@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Reference-surface relational operators (SURVEY.md §2.A).
+  *
+  * Re-expresses the reference's pandas cleaning pipeline
+  * (reference: CDCPROJECT_(code_for_cleaning_data_set).ipynb cells 1-6,
+  * app/streamlit_app.py:18-26) as declarative Spark plans. Every
+  * operator is a pure `DataFrame` transformation — Catalyst handles
+  * pushdown/pruning; joins against dimension tables are broadcast so
+  * the fact-table scan never shuffles for them at cluster scale.
+  *
+  * Cross-engine determinism rules (SURVEY.md §6): floating aggregates
+  * `round(_, k)` on both sides; derived integers cast to BIGINT;
+  * every result ends with a total-order `ORDER BY`.
+  */
+object Relational {
+
+  /** A1 melt/unpivot wide→long — ipynb cells 1-2 (`table2.melt(...)`). */
+  def melt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_discount")
+      .unpivot(
+        ids = Array($"l_orderkey", $"l_linenumber"),
+        values = Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+  }
+
+  /** A2 pivot long→wide with aggregation — ipynb cell 4
+    * (`df.pivot_table(index=..., columns=..., values=...)`).
+    * Explicit pivot values keep the schema static (no extra pass). */
+  def pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum($"value"), 2))
+      .orderBy($"user_id")
+  }
+
+  /** A3 flagship clean: merge two long tables on (group, year), dropna,
+    * derived real value, range filter — ipynb cell 3
+    * (`pd.merge(table2_long, table3_long, on=["Industry","Year"])` +
+    * `Real_Value = Nominal * 100 / Price_Index`).
+    * Industry→nation, Nominal→order revenue, PriceIndex→discount index.
+    * `nation` is broadcast; the two fact aggregates shuffle once each
+    * on their group keys. */
+  def cleanReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nation = broadcast(Tables.nation(s, dir))
+    val nominal = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(nation, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"o_orderdate").cast("long").as("yr"))
+      .agg(round(sum($"o_totalprice"), 2).as("nominal_value"))
+    val index = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(nation, $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"l_shipdate").cast("long").as("yr"))
+      .agg(round(lit(100.0) * avg(lit(1.0) - $"l_discount"), 6).as("price_index"))
+    nominal.join(index, Seq("n_name", "yr"))
+      .na.drop(Seq("nominal_value", "price_index"))
+      .filter($"yr" >= 1995 && $"yr" <= 2000)
+      .withColumn("real_value",
+        round($"nominal_value" * lit(100.0) / $"price_index", 2))
+      .orderBy($"n_name", $"yr")
+  }
+
+  /** A4 permissive numeric coercion — ipynb cell 3
+    * (`pd.to_numeric(errors="coerce")`): regexp extract + cast, null on
+    * failure; also JSON-ish field pull from `events.props`. */
+  def coerce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(
+        $"event_id",
+        nullif(regexp_extract($"props", "\"k\": (\\d+)", 1), lit(""))
+          .cast("long").as("k"),
+        floor($"value").cast("long").as("value_int"),
+        nullif(regexp_extract($"event_type", "^(\\d+)", 1), lit(""))
+          .cast("long").as("never_numeric"))
+      .orderBy($"event_id")
+  }
+
+  /** A5 grouped aggregation — resilience.py:30 (`df.groupby("Industry")`)
+    * generalized to the TPC-H Q1 shape (map-side partial agg). */
+  def agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** A6 multi-table join + aggregate + top-k — ipynb cell 3 merge shape
+    * at TPC-H Q3 scale. Filtered `customer` is broadcast; the
+    * orders⋈lineitem join shuffles on the order key only. */
+  def joinAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** A7 top-k with deterministic ties — streamlit_app.py:18
+    * (`df.sort_values("Drawdown_2020").head(10)`). Spark plans this as
+    * TakeOrderedAndProject — no global sort materialization. */
+  def topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+      .limit(10)
+  }
+
+  /** A8 dropna/fillna cleaning — ipynb cell 3 (`df.dropna(subset=...)`),
+    * streamlit_app.py:23 (`df.dropna(subset=["Recovered_Years"])`). */
+  def dropnaFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .withColumn("bal_bucket",
+        when($"c_acctbal" >= 0, floor($"c_acctbal" / 1000).cast("long")))
+      .na.fill(Map("bal_bucket" -> -1L))
+      .na.drop(Seq("c_name"))
+      .select($"c_custkey", $"c_mktsegment", $"bal_bucket")
+      .orderBy($"c_custkey")
+  }
+
+  /** A9 outer merge with null preservation — resilience.py:76
+    * (`pd.merge(..., how="outer")`). */
+  def outerMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nation = broadcast(Tables.nation(s, dir))
+    val rev = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(nation, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"o_totalprice"), 2).as("revenue"))
+    val supp = Tables.supplier(s, dir)
+      .join(nation, $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"s_acctbal"), 2).as("supp_bal"))
+    rev.join(supp, Seq("n_name"), "full_outer")
+      .orderBy($"n_name")
+  }
+
+  /** A10 distinct projection — implied by the reference's cleaning. */
+  def distinctProj(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_linestatus")
+      .distinct()
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_melt" -> melt,
+    "q_pivot" -> pivot,
+    "q_clean_real" -> cleanReal,
+    "q_coerce" -> coerce,
+    "q_agg" -> agg,
+    "q_join_agg" -> joinAgg,
+    "q_topk" -> topk,
+    "q_dropna_fill" -> dropnaFill,
+    "q_outer_merge" -> outerMerge,
+    "q_distinct" -> distinctProj)
+
+  val oracles: Map[String, String] = Map(
+    "q_melt" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_clean_real" ->
+      """WITH nominal AS (
+        |  SELECT n_name, year(o_orderdate)::BIGINT AS yr,
+        |         round(sum(o_totalprice), 2) AS nominal_value
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT n_name, year(l_shipdate)::BIGINT AS yr,
+        |         round(100.0 * avg(1.0 - l_discount), 6) AS price_index
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n.n_name, n.yr, n.nominal_value, i.price_index,
+        |       round(n.nominal_value * 100.0 / i.price_index, 2) AS real_value
+        |FROM nominal n JOIN idx i ON n.n_name = i.n_name AND n.yr = i.yr
+        |WHERE n.nominal_value IS NOT NULL AND i.price_index IS NOT NULL
+        |  AND n.yr BETWEEN 1995 AND 2000
+        |ORDER BY n.n_name, n.yr""".stripMargin,
+    "q_coerce" ->
+      """SELECT event_id,
+        |  nullif(regexp_extract(props, '"k": (\d+)', 1), '')::BIGINT AS k,
+        |  floor(value)::BIGINT AS value_int,
+        |  nullif(regexp_extract(event_type, '^(\d+)', 1), '')::BIGINT AS never_numeric
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_agg" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_topk" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
+    "q_dropna_fill" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  coalesce(CASE WHEN c_acctbal >= 0 THEN floor(c_acctbal / 1000)::BIGINT END, -1) AS bal_bucket
+        |FROM customer WHERE c_name IS NOT NULL ORDER BY c_custkey""".stripMargin,
+    "q_outer_merge" ->
+      """WITH rev AS (
+        |  SELECT n_name, round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |supp AS (
+        |  SELECT n_name, round(sum(s_acctbal), 2) AS supp_bal
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1)
+        |SELECT n_name, revenue, supp_bal
+        |FROM rev FULL OUTER JOIN supp USING (n_name)
+        |ORDER BY n_name""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+}
