@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** CDC apply / event-stream operators, batch twins (SURVEY.md §2.C).
+  *
+  * The north-star architecture treats the reference's pipeline as
+  * change-data-capture ingestion: `events` is read as a change stream
+  * keyed by `user_id` (signup→insert, error→delete tombstone,
+  * click/view/purchase→update). These are the batch-mode twins of the
+  * Structured Streaming operators in `graft.streaming` — identical
+  * semantics, so the oracle validates the streaming logic's shape too.
+  *
+  * Scale notes: every op is a single hash-partition-by-key pass
+  * (window or agg on user_id). At 100 TB the same plan shuffles once
+  * on the key; no driver-side state. Timestamps are exported as epoch
+  * micros (BIGINT) so engine-side timestamp encodings never skew the
+  * oracle compare.
+  */
+object Cdc {
+
+  private def op = when(col("event_type") === "signup", "I")
+    .when(col("event_type") === "error", "D")
+    .otherwise("U")
+
+  /** C1 latest-state materialization: newest change per key wins
+    * (upsert apply). */
+  def latestState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("last_op"),
+        round($"value", 2).as("last_value"),
+        unix_micros($"ts").as("last_ts_us"))
+      .orderBy($"user_id")
+  }
+
+  /** C2 upsert+delete apply: rows whose final change is a tombstone
+    * drop out of the materialized state. */
+  def applyDeletes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+    Tables.events(s, dir)
+      .withColumn("op", op)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" =!= "D")
+      .select($"user_id", $"op".as("last_op"),
+        round($"value", 2).as("last_value"))
+      .orderBy($"user_id")
+  }
+
+  /** C3 SCD type-2: every change opens a version; `lead` closes the
+    * previous one; the open version is current. */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id",
+        unix_micros($"ts").as("valid_from_us"),
+        lead(unix_micros($"ts"), 1).over(w).as("valid_to_us"))
+      .withColumn("is_current", $"valid_to_us".isNull)
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** C4 tumbling event-time aggregation (batch twin of the streaming
+    * windowed agg in graft.streaming.EventAgg). */
+  def eventCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(unix_micros(date_trunc("hour", $"ts")).as("hour_us"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"hour_us", $"event_type")
+  }
+
+  /** C5 gap-based sessionization (30-min inactivity): new-session flag
+    * via lag, session id via running sum — the classic two-window
+    * formulation, all key-local. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("gap_us", $"us" - lag($"us", 1).over(wOrd))
+      .withColumn("is_new",
+        when($"gap_us".isNull || $"gap_us" > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum($"is_new").over(wRun))
+      .groupBy($"user_id", $"session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min($"us").as("start_us"), max($"us").as("end_us"))
+      .orderBy($"user_id", $"session_seq")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_latest_state" -> latestState,
+    "cdc_apply_deletes" -> applyDeletes,
+    "cdc_scd2" -> scd2,
+    "cdc_event_counts" -> eventCounts,
+    "cdc_sessionize" -> sessionize)
+
+  val oracles: Map[String, String] = Map(
+    "cdc_latest_state" ->
+      """SELECT user_id, event_type AS last_op,
+        |  round(value, 2) AS last_value, epoch_us(ts) AS last_ts_us
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "cdc_apply_deletes" ->
+      """SELECT user_id,
+        |  CASE WHEN event_type = 'signup' THEN 'I'
+        |       WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS last_op,
+        |  round(value, 2) AS last_value
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |  AND (CASE WHEN event_type = 'signup' THEN 'I'
+        |       WHEN event_type = 'error' THEN 'D' ELSE 'U' END) <> 'D'
+        |ORDER BY user_id""".stripMargin,
+    "cdc_scd2" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts), 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+        |  (lead(epoch_us(ts), 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id)) IS NULL AS is_current
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "cdc_event_counts" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
+    "cdc_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM t),
+        |sess AS (
+        |  SELECT *, sum(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin)
+}

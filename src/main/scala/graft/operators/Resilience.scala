@@ -1,0 +1,286 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Resilience / time-series analytics (SURVEY.md §2.B) — the
+  * reference's core metrics re-expressed as single-pass Spark plans.
+  *
+  * Reference: src/features/resilience.py:29-44 (Drawdown_2020),
+  * :50-70 (Recovered_Years), :76 (outer merge); README.md shock
+  * simulator (trend fit + recovery path). The reference loops per
+  * group on the driver (`for industry, g in df.groupby(...)`); here
+  * every metric is one distributed aggregation/window — no driver
+  * loops, so the same plan holds at 100 TB.
+  *
+  * Industry→nation, Year→year(o_orderdate), Real_Value→revenue;
+  * baseline year 1998, shock year 1999 (data spans 1995-2001).
+  */
+object Resilience {
+
+  private val BaseYr = 1998
+  private val ShockYr = 1999
+
+  /** Yearly revenue per nation — shared shape for B1/B2/B4/B5/B10.
+    * Dim joins broadcast; one shuffle on (n_name, yr). */
+  private def yearlyRev(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"o_orderdate").cast("long").as("yr"))
+      .agg(sum($"o_totalprice").as("rev"))
+  }
+
+  /** B1 drawdown between baseline and shock year — resilience.py:29-44
+    * (`(val2020 - val2019) / val2019`), via conditional aggregation
+    * (one pass, no per-group driver loop). */
+  def drawdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    yearlyRev(s, dir)
+      .groupBy($"n_name")
+      .agg(round(
+        (sum(when($"yr" === ShockYr, $"rev")) - sum(when($"yr" === BaseYr, $"rev")))
+          / sum(when($"yr" === BaseYr, $"rev")), 6).as("drawdown"))
+      .orderBy($"n_name")
+  }
+
+  /** B2 recovery years — resilience.py:50-70: first year after baseline
+    * whose value >= baseline value; null when never recovered (the
+    * reference's `recovery = None`). Groups missing the baseline year
+    * are dropped (the reference's IndexError→continue). */
+  def recovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = yearlyRev(s, dir)
+    val base = rev.filter($"yr" === BaseYr)
+      .select($"n_name", $"rev".as("v0"))
+    val rec = rev.join(base, "n_name")
+      .filter($"yr" > BaseYr && $"rev" >= $"v0")
+      .groupBy($"n_name")
+      .agg(min($"yr" - BaseYr).as("recovered_years"))
+    base.select($"n_name")
+      .join(rec, Seq("n_name"), "left")
+      .orderBy($"n_name")
+  }
+
+  /** B3 combined metric table — resilience.py:76 outer merge of
+    * drawdown and recovery. */
+  def resilienceJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    drawdown(s, dir).join(recovery(s, dir), Seq("n_name"), "full_outer")
+      .orderBy($"n_name")
+  }
+
+  /** B4 per-group linear trend — README shock simulator's "based on
+    * past trends": OLS slope/intercept of yearly revenue (in $M so the
+    * rounded compare is scale-stable). */
+  def trend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    yearlyRev(s, dir)
+      .withColumn("rev_m", $"rev" / 1e6)
+      .groupBy($"n_name")
+      .agg(
+        round(regr_slope($"rev_m", $"yr"), 6).as("slope_m"),
+        round(regr_intercept($"rev_m", $"yr"), 4).as("intercept_m"),
+        count(lit(1)).as("n_years"))
+      .orderBy($"n_name")
+  }
+
+  /** B5 shock simulation — README: "input a shock percentage to
+    * simulate future downturns, with forecasts and recovery paths":
+    * project next year from the trend, apply a 30% shock, and compute
+    * years-to-recover along the trend slope. */
+  def shockSim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shock = 0.30
+    yearlyRev(s, dir)
+      .withColumn("rev_m", $"rev" / 1e6)
+      .groupBy($"n_name")
+      .agg(
+        regr_slope($"rev_m", $"yr").as("slope"),
+        regr_intercept($"rev_m", $"yr").as("icept"))
+      .select(
+        $"n_name",
+        round($"icept" + $"slope" * 2002, 4).as("projected_m"),
+        round(($"icept" + $"slope" * 2002) * (1 - shock), 4).as("shocked_m"),
+        when($"slope" > 0,
+          ceil(($"icept" + $"slope" * 2002) * shock / $"slope").cast("long"))
+          .as("years_to_recover"))
+      .orderBy($"n_name")
+  }
+
+  /** B6 rank-per-group: latest order per customer — the reference's
+    * per-group head() pattern (app top-10s), as one window pass. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey",
+        unix_micros($"o_orderdate".cast("timestamp")).as("order_us"),
+        round($"o_totalprice", 2).as("totalprice"))
+      .orderBy($"o_custkey")
+  }
+
+  /** B7 cumulative sum over event time per key. */
+  def runningSum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id",
+        round(sum($"value").over(w), 2).as("running_value"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** B8 sliding moving average (4-row window). */
+  def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id",
+        round(avg($"value").over(w), 4).as("moving_avg"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** B9 lag delta (period-over-period change per key). */
+  def lagDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id",
+        round($"value" - lag($"value", 1).over(w), 2).as("delta"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** B10 year-over-year growth per group — the drawdown generalized to
+    * every consecutive year pair. */
+  def yoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"n_name").orderBy($"yr")
+    yearlyRev(s, dir)
+      .withColumn("prev", lag($"rev", 1).over(w))
+      .select($"n_name", $"yr",
+        round(($"rev" - $"prev") / $"prev", 6).as("yoy_growth"))
+      .orderBy($"n_name", $"yr")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_drawdown" -> drawdown,
+    "q_recovery" -> recovery,
+    "q_resilience_join" -> resilienceJoin,
+    "q_trend" -> trend,
+    "q_shock_sim" -> shockSim,
+    "q_window_rank" -> windowRank,
+    "q_running_sum" -> runningSum,
+    "q_moving_avg" -> movingAvg,
+    "q_lag_delta" -> lagDelta,
+    "q_yoy_growth" -> yoyGrowth)
+
+  private val yearlyRevSql =
+    """SELECT n_name, year(o_orderdate)::BIGINT AS yr, sum(o_totalprice) AS rev
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_drawdown" ->
+      s"""WITH rev AS ($yearlyRevSql)
+         |SELECT n_name,
+         |  round((sum(CASE WHEN yr = 1999 THEN rev END)
+         |        - sum(CASE WHEN yr = 1998 THEN rev END))
+         |        / sum(CASE WHEN yr = 1998 THEN rev END), 6) AS drawdown
+         |FROM rev GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_recovery" ->
+      s"""WITH rev AS ($yearlyRevSql),
+         |base AS (SELECT n_name, rev AS v0 FROM rev WHERE yr = 1998),
+         |rec AS (
+         |  SELECT r.n_name, min(r.yr - 1998) AS recovered_years
+         |  FROM rev r JOIN base b ON r.n_name = b.n_name
+         |  WHERE r.yr > 1998 AND r.rev >= b.v0
+         |  GROUP BY r.n_name)
+         |SELECT b.n_name, rec.recovered_years
+         |FROM base b LEFT JOIN rec ON b.n_name = rec.n_name
+         |ORDER BY b.n_name""".stripMargin,
+    "q_resilience_join" ->
+      s"""WITH rev AS ($yearlyRevSql),
+         |dd AS (
+         |  SELECT n_name,
+         |    round((sum(CASE WHEN yr = 1999 THEN rev END)
+         |          - sum(CASE WHEN yr = 1998 THEN rev END))
+         |          / sum(CASE WHEN yr = 1998 THEN rev END), 6) AS drawdown
+         |  FROM rev GROUP BY n_name),
+         |base AS (SELECT n_name, rev AS v0 FROM rev WHERE yr = 1998),
+         |rec AS (
+         |  SELECT r.n_name, min(r.yr - 1998) AS recovered_years
+         |  FROM rev r JOIN base b ON r.n_name = b.n_name
+         |  WHERE r.yr > 1998 AND r.rev >= b.v0
+         |  GROUP BY r.n_name),
+         |recov AS (
+         |  SELECT b.n_name, rec.recovered_years
+         |  FROM base b LEFT JOIN rec ON b.n_name = rec.n_name)
+         |SELECT n_name, drawdown, recovered_years
+         |FROM dd FULL OUTER JOIN recov USING (n_name)
+         |ORDER BY n_name""".stripMargin,
+    "q_trend" ->
+      s"""WITH rev AS ($yearlyRevSql)
+         |SELECT n_name,
+         |  round(regr_slope(rev / 1e6, yr), 6) AS slope_m,
+         |  round(regr_intercept(rev / 1e6, yr), 4) AS intercept_m,
+         |  count(*) AS n_years
+         |FROM rev GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_shock_sim" ->
+      s"""WITH rev AS ($yearlyRevSql),
+         |fit AS (
+         |  SELECT n_name,
+         |    regr_slope(rev / 1e6, yr) AS slope,
+         |    regr_intercept(rev / 1e6, yr) AS icept
+         |  FROM rev GROUP BY n_name)
+         |SELECT n_name,
+         |  round(icept + slope * 2002, 4) AS projected_m,
+         |  round((icept + slope * 2002) * 0.7, 4) AS shocked_m,
+         |  CASE WHEN slope > 0
+         |    THEN ceil((icept + slope * 2002) * 0.3 / slope)::BIGINT END
+         |    AS years_to_recover
+         |FROM fit ORDER BY n_name""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
+        |  round(o_totalprice, 2) AS totalprice
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_running_sum" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  round(avg(value) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_lag_delta" ->
+      """SELECT user_id, event_id,
+        |  round(value - lag(value, 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_yoy_growth" ->
+      s"""WITH rev AS ($yearlyRevSql)
+         |SELECT n_name, yr,
+         |  round((rev - lag(rev, 1) OVER (PARTITION BY n_name ORDER BY yr))
+         |        / lag(rev, 1) OVER (PARTITION BY n_name ORDER BY yr), 6)
+         |    AS yoy_growth
+         |FROM rev ORDER BY n_name, yr""".stripMargin)
+}
