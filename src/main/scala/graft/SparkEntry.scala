@@ -16,10 +16,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Resilience.queries ++ Cdc.queries
+    Relational.queries ++ Resilience.queries ++ Cdc.queries ++
+      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Resilience.oracles ++ Cdc.oracles
+    Relational.oracles ++ Resilience.oracles ++ Cdc.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
+      Multimodal.oracles
 }

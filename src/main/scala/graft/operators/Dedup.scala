@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators for LLM training-data pipelines
+  * (SURVEY.md §2.D), over the `documents` table.
+  *
+  * Scale design: nothing here is O(n²) over the corpus.
+  * - exact dedup: one hash aggregate.
+  * - n-gram Jaccard: inverted-index join (explode shingles → equi-join
+  *   on shingle) with a document-frequency cap that drops
+  *   "stop-shingles" so no posting list explodes — the standard
+  *   candidate-pair bound for near-dup at web scale.
+  * - MinHash/LSH: constant-size signatures (32 mins, 8 bands), band
+  *   bucket equi-join; candidate verification only on bucket
+  *   collisions.
+  * - SimHash: 64-bit fingerprints, 8×8-bit chunk buckets (pigeonhole
+  *   guarantees recall for hamming ≤ 7), verify via bit_count.
+  */
+object Dedup {
+
+  private val ShingleN = 5
+  private val DfCap = 50        // stop-shingle document-frequency cap
+  private val JaccardT = 0.5
+
+  /** Normalized text: lowercase, whitespace-squeezed. */
+  private def norm(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** doc_id + distinct word 5-gram shingles, DF-capped. */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh0 = Tables.documents(s, dir)
+      .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
+      .filter(size($"w") >= ShingleN)
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(1, size(w) - ${ShingleN - 1}),
+           |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+           |    element_at(w, i + 2), element_at(w, i + 3),
+           |    element_at(w, i + 4)))""".stripMargin)).as("shingle"))
+      .distinct()
+    val rare = sh0.groupBy($"shingle").count()
+      .filter($"count" <= DfCap).select($"shingle")
+    sh0.join(rare, "shingle").select($"doc_id", $"shingle")
+  }
+
+  /** Exact Jaccard pairs ≥ t from a (doc_id, shingle) set via
+    * inverted-index join — shared by D2 (full) and D3 (candidates). */
+  private def jaccardPairs(s: SparkSession, sh: DataFrame, t: Double,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select($"doc_id".as("doc_a"), $"shingle")
+    val b = sh.select($"doc_id".as("doc_b"), $"shingle")
+    val matched = a.join(b, "shingle").filter($"doc_a" < $"doc_b")
+    // LSH path: drop non-candidate pairs BEFORE the count aggregate,
+    // so verification work is bounded by bucket collisions.
+    val restricted = candidates.fold(matched)(c =>
+      matched.join(c, Seq("doc_a", "doc_b"), "left_semi"))
+    restricted
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
+      .withColumn("jac", $"inter" / ($"sz_a" + $"sz_b" - $"inter"))
+      .filter($"jac" >= t)
+      .select($"doc_a", $"doc_b", round($"jac", 6).as("jaccard"))
+  }
+
+  /** D1 exact dedup by normalized-text hash: keeper = min doc_id per
+    * content hash (one aggregate — the only sane shape at 100 TB). */
+  def exact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", md5(norm($"text")).as("content_hash"))
+      .groupBy($"content_hash")
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"content_hash")
+  }
+
+  /** D2 n-gram Jaccard near-dup pairs (inverted-index join, no
+    * cross-product). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    jaccardPairs(s, shingles(s, dir), JaccardT)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** D3 MinHash + LSH banding: 32 permutations (xxhash64 seeds),
+    * 8 bands × 4 rows; docs sharing any band bucket are candidates,
+    * then exact-verified. Candidate generation is an equi-join on
+    * (band, bucket) — bounded work per bucket, no corpus self-join. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val numPerm = 32
+    val bands = 8
+    val rows = numPerm / bands
+    val sh = shingles(s, dir)
+    val sigCols = (0 until numPerm).map(i =>
+      min(xxhash64(lit(i), $"shingle")).as(s"m$i"))
+    val sigs = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"m${b * rows + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val buckets = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bucket")
+      .distinct()
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    jaccardPairs(s, sh, JaccardT, Some(cand))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** D4 SimHash near-dup: 64-bit fingerprint from token hashes,
+    * candidates via 8×8-bit chunk buckets (pigeonhole ⇒ every pair
+    * with hamming ≤ 7 collides on some chunk), verified with
+    * bit_count(xor). */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hamT = 7
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64($"tok"))
+    val bitSums = (0 until 64).map(j =>
+      sum(when($"h".bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"s$j"))
+    val fps = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("fp", (0 until 64)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)))
+      .select($"doc_id", $"fp")
+    val chunks = fps.select($"doc_id", $"fp", explode(array(
+      (0 until 8).map(c =>
+        struct(lit(c).as("c"), shiftright($"fp", c * 8).bitwiseAND(lit(255L))
+          .as("v"))): _*)).as("ch"))
+      .select($"doc_id", $"fp", $"ch.c", $"ch.v")
+    chunks.as("x").join(chunks.as("y"), Seq("c", "v"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        bit_count($"x.fp".bitwiseXOR($"y.fp")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= hamT)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** D5 embedding-cosine near-dup pairs (cos ≥ 0.5, rounded) — exact
+    * double-precision dot products; the LSH-blocked scale path for
+    * this shape is Similarity.annLsh. */
+  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("n", sqrt(aggregate(zip_with($"v", $"v", (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)))
+    val a = e.select($"vec_id".as("vec_a"), $"v".as("va"), $"n".as("na"))
+    val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"n".as("nb"))
+    a.join(b, $"vec_a" < $"vec_b")
+      .withColumn("cos", round(
+        aggregate(zip_with($"va", $"vb", (x, y) => x * y), lit(0.0),
+          (acc, x) => acc + x) / ($"na" * $"nb"), 6))
+      .filter($"cos" >= 0.5)
+      .select($"vec_a", $"vec_b", $"cos")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_minhash" -> minhashLsh,
+    "dedup_simhash" -> simhash,
+    "dedup_embedding" -> embeddingCosine)
+
+  private val shinglesSql =
+    s"""w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, len(w) - ${ShingleN - 2}),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+       |           w[i+3] || ' ' || w[i+4])) AS shingle
+       |    FROM w WHERE len(w) >= $ShingleN)),
+       |rare AS (
+       |  SELECT shingle FROM sh0 GROUP BY shingle
+       |  HAVING count(*) <= $DfCap),
+       |sh AS (
+       |  SELECT sh0.doc_id, sh0.shingle FROM sh0
+       |  JOIN rare USING (shingle))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+        |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shinglesSql,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= $JaccardT
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.5
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2.G).
+  *
+  * Media assets are carried as opaque `binary` payloads + typed
+  * metadata — the schema contract a 100 TB image/audio corpus uses
+  * (payload stays columnar-compressed, metadata is prunable without
+  * touching bytes). The codec itself is STUBBED (no media libs in
+  * this container): [[FakeCodec]] is a deterministic stand-in with
+  * the real batched `mapPartitions` shape — batch amortization,
+  * per-partition codec init, typed row contract — so swapping in a
+  * real decoder changes one function, not the pipeline.
+  */
+object Multimodal {
+
+  /** Decoded-asset row contract (what a real image decode would emit). */
+  case class DecodedAsset(
+      doc_id: Long,
+      mime: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      checksum: Long)
+
+  /** Deterministic stand-in for a media codec. Real impl would wrap
+    * e.g. javax.imageio / ffmpeg bindings; the *shape* (init once per
+    * partition, decode a batch, emit typed rows) is the real contract. */
+  object FakeCodec {
+    def init(): FakeCodec.type = this // per-partition "handle"
+    def decode(docId: Long, payload: Array[Byte]): DecodedAsset = {
+      var cs = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { cs = cs * 31 + (payload(i) & 0xff); i += 1 }
+      DecodedAsset(
+        doc_id = docId,
+        mime = "text/plain",
+        n_bytes = payload.length.toLong,
+        width = (math.abs(cs) % 1920).toInt,
+        height = (math.abs(cs / 1920) % 1080).toInt,
+        checksum = cs)
+    }
+  }
+
+  /** Binary payload + typed metadata — the raw multimodal schema
+    * contract (used by [[decodeAssets]]). */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        $"text".cast("binary").as("payload"),
+        lit("text/plain").as("mime"),
+        octet_length($"text").cast("long").as("n_bytes"),
+        $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** G1 oracle-checkable view of the contract: payload exported as
+    * hex so the compare is byte-encoding-neutral (parquet BLOB vs
+    * engine-native bytes). */
+  def binaryMetaHex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    binaryMeta(s, dir)
+      .select($"doc_id", lower(hex($"payload")).as("payload_hex"),
+        $"mime", $"n_bytes", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** G2 batched decode over binary payloads: partition-local codec
+    * init + batch iteration via mapPartitions (checked by spec, not
+    * oracle — the decode is a stub). */
+  def decodeAssets(s: SparkSession, dir: String): Dataset[DecodedAsset] = {
+    import s.implicits._
+    binaryMeta(s, dir)
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = FakeCodec.init() // once per partition, not per row
+        it.grouped(64).flatMap { batch => // batch shape for real codecs
+          batch.map { case (id, bytes) => codec.decode(id, bytes) }
+        }
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> binaryMetaHex)
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id, lower(hex(text::BLOB)) AS payload_hex,
+        |  'text/plain' AS mime,
+        |  octet_length(text::BLOB)::BIGINT AS n_bytes, source
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

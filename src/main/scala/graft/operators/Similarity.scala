@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.E).
+  *
+  * E1 is the exact baseline: brute-force cosine top-k for a small,
+  * broadcast query set — at cluster scale this is one pass over the
+  * corpus per query batch (queries broadcast, corpus partition-local
+  * scoring, TakeOrdered per query).
+  * E2/E3 are the approximate scale paths: candidate sets bounded by
+  * LSH buckets / IVF cells so the per-query work is a small fraction
+  * of the corpus. Both are deterministic (hash-derived hyperplanes,
+  * fixed seed centroids) so results are reproducible and testable.
+  */
+object Similarity {
+
+  private val TopK = 3
+  private val NumQueries = 5
+
+  private def withNorm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("n", sqrt(aggregate(zip_with($"v", $"v", (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)))
+  }
+
+  private def cosine(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column,
+      na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
+    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0),
+      (acc, x) => acc + x) / (na * nb)
+
+  /** E1 exact brute-force cosine top-k (queries = vec_id < 5,
+    * broadcast; self-matches excluded). */
+  def bruteforce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(s, dir)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6))
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** Deterministic random-hyperplane sign bits: plane p coefficient
+    * for dim d is ±1 from xxhash64(p, d). Returns (vec rows with
+    * bucket column). bits-per-table × tables = 4 × 8. */
+  private def lshBuckets(s: SparkSession, e: DataFrame, tables: Int,
+      bits: Int): DataFrame = {
+    import s.implicits._
+    // bucket(table t) = Σ_b [sign(Σ_d c_{t,b,d}·v_d) > 0] << b
+    val bucketCols = (0 until tables).map { t =>
+      val bitExprs = (0 until bits).map { b =>
+        val dot = expr(
+          s"""aggregate(transform(v, (x, i) ->
+             |  CASE WHEN pmod(xxhash64($t, $b, i), 2) = 0
+             |       THEN x ELSE -x END),
+             |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
+        when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("t"), bitExprs.reduce(_.bitwiseOR(_)).as("bucket"))
+    }
+    e.withColumn("tb", explode(array(bucketCols: _*)))
+      .select(e.columns.map(col) :+ $"tb.t".as("t") :+ $"tb.bucket".as("bucket"): _*)
+  }
+
+  /** E2 LSH-bucketed approximate top-k: 8 hash tables × 4 hyperplane
+    * bits; a query only scores vectors sharing a bucket in some table.
+    * At scale the bucket join replaces the corpus scan. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = withNorm(s, dir)
+    val bucketed = lshBuckets(s, e, tables = 8, bits = 4)
+    val q = bucketed.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"), $"t", $"bucket")
+    val cand = bucketed.join(broadcast(q), Seq("t", "bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"qv", $"qn", $"vec_id", $"v", $"n")
+      .distinct()
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    cand.withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** E3 IVF-style ANN: coarse quantizer = 16 deterministic seed
+    * centroids (vec_id·7 mod corpus); every vector is assigned to its
+    * nearest centroid (one broadcast pass); queries probe the 2
+    * nearest cells. Probed cells bound the candidate set exactly like
+    * IVF nprobe. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val nCentroids = 16
+    val nProbe = 2
+    val e = withNorm(s, dir)
+    val cents = e.filter(pmod($"vec_id" * 7, lit(101)) < nCentroids)
+      .orderBy($"vec_id").limit(nCentroids)
+      .select($"vec_id".as("c_id"), $"v".as("cv"), $"n".as("cn"))
+    // assign: nearest centroid per vector
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"c_id")
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("ccos", cosine($"cv", $"v", $"cn", $"n"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter($"arn" === 1)
+      .select($"vec_id", $"v", $"n", $"c_id".as("cell"))
+    // probe: 2 nearest cells per query
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
+    val wProbe = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"c_id")
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("ccos", cosine($"cv", $"qv", $"cn", $"qn"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter($"prn" <= nProbe)
+      .select($"q_id", $"qv", $"qn", $"c_id".as("cell"))
+    val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> bruteforce,
+    "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf)
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e
+         |      WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) AS cos
+         |  FROM e JOIN q ON e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+}

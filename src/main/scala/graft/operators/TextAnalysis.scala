@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for LLM training-data pipelines
+  * (SURVEY.md §2.F), over the `documents` table.
+  *
+  * Everything is per-row column math (regexp + array functions) —
+  * embarrassingly parallel, whole-stage-codegen friendly, no shuffle
+  * except the final profile aggregation in F5. All regexes are chosen
+  * to evaluate identically under Java regex (Spark) and RE2-ish
+  * (DuckDB) so the oracles compare exactly.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** F1 token counting: whitespace tokens + a BPE-ish word/punct
+    * regex count. */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        size(tokens($"text")).cast("long").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)"))
+          .cast("long").as("n_re_tokens"),
+        length($"text").cast("long").as("n_chars_calc"))
+      .orderBy($"doc_id")
+  }
+
+  /** F2 quality scoring: length/punct/stopword signals + keep filter —
+    * the classic pre-training quality gate shape. Ratios and the
+    * composite score are integer parts-per-million (floor division on
+    * BIGINT), so the result is bit-exact across engines — no float
+    * rounding ties. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sw = Stopwords.mkString("|")
+    Tables.documents(s, dir)
+      .withColumn("n_tok", size(tokens($"text")).cast("long"))
+      .withColumn("n_chars_d", greatest(length($"text").cast("long"), lit(1L)))
+      .withColumn("n_punct",
+        size(expr("regexp_extract_all(text, '[.,!?;:()]', 0)")).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"regexp_extract_all(text, '\\\\b($sw)\\\\b', 0)")).cast("long"))
+      .withColumn("punct_ppm", expr("(n_punct * 1000000) div n_chars_d"))
+      .withColumn("stop_ppm", expr("(n_stop * 1000000) div greatest(n_tok, 1)"))
+      .withColumn("score_ppm", expr(
+        "least(n_tok * 10000, 1000000) div 2 + stop_ppm div 2 - punct_ppm div 5"))
+      .withColumn("keep", $"score_ppm" >= 200000L)
+      .select($"doc_id", $"n_tok", $"punct_ppm", $"stop_ppm",
+        $"score_ppm", $"keep")
+      .orderBy($"doc_id")
+  }
+
+  /** F3 language-ID by marker-word profiles (n-gram-heuristic family):
+    * per-language marker counts, argmax with fixed precedence. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val markers = Map(
+      "en" -> "the|a|of",
+      "es" -> "la|el|los|de",
+      "fr" -> "le|la|les|des",
+      "de" -> "der|die|das|und")
+    val scored = markers.foldLeft(Tables.documents(s, dir)) {
+      case (df, (lang, pat)) => df.withColumn(s"s_$lang",
+        size(expr(s"regexp_extract_all(text, '\\\\b($pat)\\\\b', 0)")).cast("long"))
+    }
+    scored
+      .withColumn("best", greatest($"s_en", $"s_es", $"s_fr", $"s_de"))
+      .withColumn("lang_pred",
+        when($"best" === 0, "und")
+          .when($"s_en" === $"best", "en")
+          .when($"s_es" === $"best", "es")
+          .when($"s_fr" === $"best", "fr")
+          .otherwise("de"))
+      .select($"doc_id", $"s_en", $"s_es", $"s_fr", $"s_de",
+        $"lang_pred", ($"lang_pred" === $"lang").as("matches_label"))
+      .orderBy($"doc_id")
+  }
+
+  /** F4 document fingerprinting: md5 of normalized text (stable
+    * content address) + coarse length bucket. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        substring(md5(lower(trim(regexp_replace($"text", "\\s+", " ")))), 1, 16)
+          .as("fp16"),
+        floor(length($"text") / 100).cast("long").as("len_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  /** F5 corpus n-gram profile: top-20 word bigrams (count desc,
+    * bigram asc) — partial-aggregated explode, one shuffle. */
+  def ngramProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(split(trim($"text"), "\\s+").as("w"))
+      .filter(size($"w") >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""
+          .stripMargin)).as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> tokenCounts,
+    "text_quality" -> quality,
+    "text_langid" -> langId,
+    "text_fingerprint" -> fingerprint,
+    "text_ngram_profile" -> ngramProfile)
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS n_re_tokens,
+        |  length(text)::BIGINT AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok,
+        |    len(regexp_extract_all(text, '[.,!?;:()]'))::BIGINT AS n_punct,
+        |    len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is)\b'))::BIGINT AS n_stop,
+        |    greatest(length(text)::BIGINT, 1) AS n_chars_d
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tok,
+        |    (n_punct * 1000000) // n_chars_d AS punct_ppm,
+        |    (n_stop * 1000000) // greatest(n_tok, 1) AS stop_ppm
+        |  FROM t)
+        |SELECT doc_id, n_tok, punct_ppm, stop_ppm,
+        |  least(n_tok * 10000, 1000000) // 2 + stop_ppm // 2
+        |    - punct_ppm // 5 AS score_ppm,
+        |  (least(n_tok * 10000, 1000000) // 2 + stop_ppm // 2
+        |    - punct_ppm // 5 >= 200000) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '\b(the|a|of)\b'))::BIGINT AS s_en,
+        |    len(regexp_extract_all(text, '\b(la|el|los|de)\b'))::BIGINT AS s_es,
+        |    len(regexp_extract_all(text, '\b(le|la|les|des)\b'))::BIGINT AS s_fr,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und)\b'))::BIGINT AS s_de
+        |  FROM documents),
+        |p AS (
+        |  SELECT *, greatest(s_en, s_es, s_fr, s_de) AS best FROM t),
+        |q AS (
+        |  SELECT *, CASE WHEN best = 0 THEN 'und'
+        |    WHEN s_en = best THEN 'en'
+        |    WHEN s_es = best THEN 'es'
+        |    WHEN s_fr = best THEN 'fr'
+        |    ELSE 'de' END AS lang_pred
+        |  FROM p)
+        |SELECT doc_id, s_en, s_es, s_fr, s_de, lang_pred,
+        |  (lang_pred = lang) AS matches_label
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 16)
+        |    AS fp16,
+        |  floor(length(text) / 100)::BIGINT AS len_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_ngram_profile" ->
+      """WITH w AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM w)
+        |SELECT bigram, count(*) AS n FROM bg
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming CDC operators (SURVEY.md §2.C6-C7) — the
+  * streaming twins of the batch ops in [[graft.operators.Cdc]].
+  *
+  * The north-star architecture: an external CDC capture (Debezium-
+  * style) lands change records on a stream; this module materializes
+  * state and windowed aggregates incrementally. State is partitioned
+  * by key in the Spark state store — at cluster scale each executor
+  * holds only its key range, and checkpointing gives exactly-once.
+  */
+object CdcStream {
+
+  /** One change record (op: I=insert, U=update, D=delete tombstone). */
+  case class Change(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      op: String, value: Double)
+
+  /** Materialized per-key state after applying a change. */
+  case class UserState(user_id: Long, last_op: String, last_value: Double,
+      last_ts: java.sql.Timestamp, last_event_id: Long, deleted: Boolean)
+
+  /** C6 streaming latest-state store: newest change per key wins;
+    * tombstones mark the key deleted but stay in state so late
+    * out-of-order updates older than the tombstone don't resurrect
+    * the row. Emits the updated state per key per micro-batch
+    * (use OutputMode.Update). */
+  def latestState(changes: Dataset[Change]): Dataset[UserState] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Change], state: GroupState[UserState]) =>
+          val incoming = it.map(c => UserState(uid, c.op, c.value, c.ts,
+            c.event_id, deleted = c.op == "D"))
+          val newest = (state.getOption.iterator ++ incoming)
+            .maxBy(s => (s.last_ts.getTime, s.last_event_id))
+          state.update(newest)
+          newest
+      }
+  }
+
+  /** C7 streaming windowed aggregation with watermark: tumbling 1-hour
+    * event-time counts — the streaming twin of Cdc.eventCounts. The
+    * 2h watermark bounds state: closed windows are finalized and
+    * dropped from the store. */
+  def hourlyCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour").as("win"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select(unix_micros($"win.start").as("hour_us"), $"event_type",
+        $"n", $"sum_value")
+  }
+
+  /** Convenience: run a streaming Dataset to completion against a
+    * named in-memory sink (test/smoke harness). */
+  def runToMemory[T](ds: Dataset[T], name: String, mode: OutputMode): Unit = {
+    val q = ds.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Property checks for the approximate dedup/ANN operators whose
+  * results have no SQL oracle (SURVEY.md §6). */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  private val sf = GraftTestSession.sf
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH finds the high-jaccard pairs (recall at 0.5 threshold)") {
+    val exact = pairSet(Dedup.ngramJaccard(spark, sf))
+    val lsh = pairSet(Dedup.minhashLsh(spark, sf))
+    // LSH output is verified, so it's a subset of the exact pairs…
+    assert(lsh.subsetOf(exact))
+    // …and with 8 bands × 4 rows at j≥0.5 collision prob per pair is
+    // ≥ 1-(1-0.5^4)^8 ≈ 0.40; the injected near-dups are j≈0.99 where
+    // it's ≈ 1. Require we catch most of the exact set.
+    if (exact.nonEmpty)
+      assert(lsh.size >= math.max(1, (0.8 * exact.size).toInt),
+        s"lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("simhash: near-identical docs collide at small hamming distance") {
+    val nearDup = pairSet(Dedup.ngramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.95))
+    val sim = pairSet(Dedup.simhash(spark, sf))
+    // every ~identical text pair must be a simhash pair too
+    nearDup.foreach(p => assert(sim.contains(p), s"missing $p"))
+  }
+
+  test("simhash pairs respect the hamming threshold") {
+    val bad = Dedup.simhash(spark, sf).filter(col("hamming") > 7)
+    assert(bad.count() == 0)
+  }
+
+  test("ann_lsh recall vs brute force is nontrivial and candidates are bounded") {
+    val exact = Similarity.bruteforce(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annLsh(spark, sf)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0
+      else exact.count(approx.contains).toDouble / exact.size
+    // random gaussian corpus: neighbors are weak (cos≈0.4), so LSH
+    // recall is inherently modest; it must still beat random chance
+    // (3 of 500 ≈ 0.006) by a wide margin.
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
+  test("ann_ivf returns top-k per query from probed cells") {
+    val df = Similarity.annIvf(spark, sf)
+    assert(df.groupBy("q_id").count().filter(col("count") > 3).count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("dedup_embedding is symmetric-free and thresholded") {
+    val df = Dedup.embeddingCosine(spark, sf)
+    assert(df.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(df.filter(col("cos") < 0.5).count() == 0)
+  }
+}

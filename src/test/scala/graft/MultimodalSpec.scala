@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** G2: the batched binary-decode pipeline (stubbed codec, real
+  * mapPartitions plumbing). */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  private val sf = GraftTestSession.sf
+
+  test("decodeAssets emits one typed row per document, deterministically") {
+    val a = Multimodal.decodeAssets(spark, sf).collect().sortBy(_.doc_id)
+    val b = Multimodal.decodeAssets(spark, sf).collect().sortBy(_.doc_id)
+    assert(a.length == spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(a.toSeq == b.toSeq) // decode is deterministic
+    assert(a.forall(d => d.n_bytes > 0 && d.width >= 0 && d.width < 1920))
+  }
+
+  test("decode output checksum matches a local reference computation") {
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().head
+    val bytes = doc.getString(1).getBytes("UTF-8")
+    val expect = Multimodal.FakeCodec.decode(doc.getLong(0), bytes)
+    val got = Multimodal.decodeAssets(spark, sf)
+      .filter(_.doc_id == doc.getLong(0)).collect().head
+    assert(got == expect)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for every SparkEntry query (the oracle gate does
+  * the exact-value compare; these specs pin structural properties and
+  * run fast at sf0.001). */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  private val sf = GraftTestSession.sf
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("every declared query executes and every oracle key has a query") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_melt triples the measure rows") {
+    val n = run("q_melt").count()
+    val base = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(n == 3 * base)
+  }
+
+  test("q_pivot has one row per user and 6 columns") {
+    val df = run("q_pivot")
+    assert(df.columns.toSeq == Seq("user_id", "click", "error", "purchase", "signup", "view"))
+    assert(df.count() == df.select("user_id").distinct().count())
+  }
+
+  test("q_clean_real stays within the year range and computes real value") {
+    val df = run("q_clean_real")
+    assert(df.filter(col("yr") < 1995 || col("yr") > 2000).count() == 0)
+    assert(df.filter(col("real_value").isNull).count() == 0)
+  }
+
+  test("q_topk returns exactly 10 in non-increasing order") {
+    val rows = run("q_topk").collect()
+    assert(rows.length == 10)
+    val bals = rows.map(_.getAs[Double]("c_acctbal"))
+    assert(bals.zip(bals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_drawdown covers all nations present in base year") {
+    assert(run("q_drawdown").count() == 25)
+  }
+
+  test("q_recovery values are positive year offsets or null") {
+    val bad = run("q_recovery")
+      .filter(col("recovered_years").isNotNull && col("recovered_years") <= 0)
+    assert(bad.count() == 0)
+  }
+
+  test("cdc_latest_state has exactly one row per user") {
+    val df = run("cdc_latest_state")
+    assert(df.count() == df.select("user_id").distinct().count())
+  }
+
+  test("cdc_scd2 intervals chain: exactly one open version per user") {
+    val df = run("cdc_scd2")
+    val open = df.filter(col("is_current")).groupBy("user_id").count()
+    assert(open.filter(col("count") =!= 1).count() == 0)
+  }
+
+  test("cdc_sessionize: session bounds ordered, gaps respected") {
+    val df = run("cdc_sessionize")
+    assert(df.filter(col("start_us") > col("end_us")).count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("dedup_exact: keepers unique, copies >= 1") {
+    val df = run("dedup_exact")
+    assert(df.filter(col("n_copies") < 1).count() == 0)
+    assert(df.select("keeper_doc_id").distinct().count() == df.count())
+  }
+
+  test("text_quality ppm scores bounded") {
+    val df = run("text_quality")
+    assert(df.filter(col("stop_ppm") > 1000000L || col("punct_ppm") > 1000000L).count() == 0)
+  }
+
+  test("text_langid predicts a language for every doc") {
+    val df = run("text_langid")
+    assert(df.filter(col("lang_pred").isNull).count() == 0)
+  }
+
+  test("ann_bruteforce: top-k per query, cos within [-1,1]") {
+    val df = run("ann_bruteforce")
+    assert(df.groupBy("q_id").count().filter(col("count") > 3).count() == 0)
+    assert(df.filter(abs(col("cos")) > 1.0).count() == 0)
+  }
+
+  test("mm_binary_meta: hex payload round-trips length") {
+    val df = run("mm_binary_meta")
+    assert(df.filter(length(col("payload_hex")) =!= col("n_bytes") * 2).count() == 0)
+  }
+}

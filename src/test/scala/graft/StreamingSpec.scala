@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.CdcStream
+import graft.streaming.CdcStream.{Change, UserState}
+
+/** Streaming CDC semantics (SURVEY.md §2.C6-C7): the streaming
+  * operators must agree with their batch twins. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+
+  private def ts(minute: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("C6 latest-state store applies upserts and tombstones across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Change]
+    val q = CdcStream.latestState(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("cdc_state").start()
+    try {
+      in.addData(
+        Change(1L, 1L, ts(0), "I", 10.0),
+        Change(2L, 2L, ts(1), "I", 20.0))
+      q.processAllAvailable()
+      in.addData(
+        Change(1L, 3L, ts(5), "U", 11.0), // newer update wins
+        Change(2L, 4L, ts(6), "D", 0.0),  // tombstone
+        Change(2L, 5L, ts(2), "U", 21.0)) // older than tombstone: ignored
+      q.processAllAvailable()
+      val state = spark.table("cdc_state").as[UserState].collect()
+        .groupBy(_.user_id).map { case (_, v) => v.maxBy(_.last_event_id) }
+        .toSeq.sortBy(_.user_id)
+      assert(state.map(_.user_id) == Seq(1L, 2L))
+      val u1 = state.head
+      assert(u1.last_value == 11.0 && !u1.deleted && u1.last_event_id == 3L)
+      val u2 = state(1)
+      assert(u2.deleted && u2.last_event_id == 4L,
+        s"tombstone must win over older update: $u2")
+    } finally q.stop()
+  }
+
+  test("C7 streaming hourly counts match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = CdcStream.hourlyCounts(events)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("cdc_hourly").start()
+    try {
+      in.addData(
+        (ts(5), "click", 1.5), (ts(10), "click", 2.5),
+        (ts(20), "view", 3.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("cdc_hourly")
+        .orderBy("hour_us", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      val h10 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000
+      val h11 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00").getTime * 1000
+      assert(got.toSeq == Seq(
+        (h10, "click", 2L, 4.0), (h10, "view", 1L, 3.0), (h11, "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("C6/C4 twin parity: streaming latest-state equals batch window on events table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // feed the real events table through the streaming op in two chunks
+    val ev = graft.sources.Tables.events(spark, GraftTestSession.sf)
+      .withColumn("op", when($"event_type" === "signup", "I")
+        .when($"event_type" === "error", "D").otherwise("U"))
+      .select($"user_id", $"event_id",
+        $"ts".cast("timestamp").as("ts"), $"op", $"value")
+      .as[Change].collect().sortBy(_.event_id)
+    val (first, second) = ev.splitAt(ev.length / 2)
+    val in = MemoryStream[Change]
+    val q = CdcStream.latestState(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("cdc_state_full").start()
+    try {
+      in.addData(first.toSeq); q.processAllAvailable()
+      in.addData(second.toSeq); q.processAllAvailable()
+      val streamed = spark.table("cdc_state_full").as[UserState].collect()
+        .groupBy(_.user_id).map { case (_, v) => v.maxBy(s => (s.last_ts.getTime, s.last_event_id)) }
+      val batch = graft.operators.Cdc.latestState(spark, GraftTestSession.sf)
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_ts_us"))).toMap
+      streamed.foreach { st =>
+        assert(batch(st.user_id) == st.last_ts.getTime * 1000 +
+          (st.last_ts.getNanos / 1000) % 1000,
+          s"user ${st.user_id}: batch=${batch(st.user_id)} stream=${st.last_ts}")
+      }
+    } finally q.stop()
+  }
+}
