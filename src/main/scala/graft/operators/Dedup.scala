@@ -152,16 +152,15 @@ object Dedup {
     * this shape is Similarity.annLsh. */
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import graft.functions.VectorFunctions
     val e = Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("n", sqrt(aggregate(zip_with($"v", $"v", (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)))
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("n", VectorFunctions.norm($"v"))
     val a = e.select($"vec_id".as("vec_a"), $"v".as("va"), $"n".as("na"))
     val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"n".as("nb"))
     a.join(b, $"vec_a" < $"vec_b")
-      .withColumn("cos", round(
-        aggregate(zip_with($"va", $"vb", (x, y) => x * y), lit(0.0),
-          (acc, x) => acc + x) / ($"na" * $"nb"), 6))
+      .withColumn("cos",
+        round(VectorFunctions.dot($"va", $"vb") / ($"na" * $"nb"), 6))
       .filter($"cos" >= 0.5)
       .select($"vec_a", $"vec_b", $"cos")
       .orderBy($"vec_a", $"vec_b")

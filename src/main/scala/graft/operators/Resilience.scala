@@ -73,18 +73,37 @@ object Resilience {
       .orderBy($"n_name")
   }
 
-  /** B4 per-group linear trend — README shock simulator's "based on
-    * past trends": OLS slope/intercept of yearly revenue (in $M so the
-    * rounded compare is scale-stable). */
-  def trend(s: SparkSession, dir: String): DataFrame = {
+  /** Integer-exact OLS over cent-quantized yearly revenue: x = yr−1998
+    * (small int), yc = revenue in integer cents. Every regression sum
+    * is then an exact BIGINT, the slope/intercept are ratios of
+    * identical integers in both engines, and one IEEE double division
+    * is bit-deterministic — no rounding, no decimal-tie flakes, stable
+    * under any partitioning. Output unit: $M/yr (cents / 1e8). */
+  private def fitAggs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     yearlyRev(s, dir)
-      .withColumn("rev_m", $"rev" / 1e6)
+      .select($"n_name", ($"yr" - 1998).as("x"),
+        round($"rev" * 100).cast("long").as("yc"))
       .groupBy($"n_name")
-      .agg(
-        round(regr_slope($"rev_m", $"yr"), 6).as("slope_m"),
-        round(regr_intercept($"rev_m", $"yr"), 4).as("intercept_m"),
-        count(lit(1)).as("n_years"))
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"), sum($"yc").as("sy"),
+        sum($"x" * $"yc").as("sxy"))
+      .withColumn("a", $"n" * $"sxy" - $"sx" * $"sy")   // slope numerator
+      .withColumn("b", $"n" * $"sxx" - $"sx" * $"sx")   // slope denominator
+      .withColumn("slope_m",
+        $"a".cast("double") / ($"b".cast("double") * lit(1.0e8)))
+      .withColumn("icept_m",
+        ($"sy" * $"b" - $"a" * $"sx").cast("double")
+          / (($"n" * $"b").cast("double") * lit(1.0e8)))
+  }
+
+  /** B4 per-group linear trend — README shock simulator's "based on
+    * past trends": closed-form OLS slope/intercept of yearly revenue. */
+  def trend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    fitAggs(s, dir)
+      .select($"n_name", $"slope_m", $"icept_m".as("intercept_m"),
+        $"n".as("n_years"))
       .orderBy($"n_name")
   }
 
@@ -94,19 +113,16 @@ object Resilience {
     * years-to-recover along the trend slope. */
   def shockSim(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val shock = 0.30
-    yearlyRev(s, dir)
-      .withColumn("rev_m", $"rev" / 1e6)
-      .groupBy($"n_name")
-      .agg(
-        regr_slope($"rev_m", $"yr").as("slope"),
-        regr_intercept($"rev_m", $"yr").as("icept"))
+    // projection year 2002 → centered x = 4; all inputs are the
+    // bit-deterministic doubles from fitAggs, so every derived value
+    // (same IEEE op sequence in the oracle) compares exactly.
+    fitAggs(s, dir)
+      .withColumn("projected_m", $"icept_m" + $"slope_m" * 4)
       .select(
-        $"n_name",
-        round($"icept" + $"slope" * 2002, 4).as("projected_m"),
-        round(($"icept" + $"slope" * 2002) * (1 - shock), 4).as("shocked_m"),
-        when($"slope" > 0,
-          ceil(($"icept" + $"slope" * 2002) * shock / $"slope").cast("long"))
+        $"n_name", $"projected_m",
+        ($"projected_m" * 0.7).as("shocked_m"),
+        when($"slope_m" > 0,
+          ceil($"projected_m" * 0.3 / $"slope_m").cast("long"))
           .as("years_to_recover"))
       .orderBy($"n_name")
   }
@@ -229,26 +245,55 @@ object Resilience {
          |FROM dd FULL OUTER JOIN recov USING (n_name)
          |ORDER BY n_name""".stripMargin,
     "q_trend" ->
-      s"""WITH rev AS ($yearlyRevSql)
+      s"""WITH rev AS ($yearlyRevSql),
+         |pts AS (
+         |  SELECT n_name, (yr - 1998) AS x,
+         |    round(rev * 100)::BIGINT AS yc
+         |  FROM rev),
+         |agg AS (
+         |  SELECT n_name, count(*) AS n, sum(x)::BIGINT AS sx,
+         |    sum(x * x)::BIGINT AS sxx, sum(yc)::BIGINT AS sy,
+         |    sum(x * yc)::BIGINT AS sxy
+         |  FROM pts GROUP BY n_name),
+         |fit AS (
+         |  SELECT n_name, n, sx, sy,
+         |    (n * sxy - sx * sy) AS a, (n * sxx - sx * sx) AS b
+         |  FROM agg)
          |SELECT n_name,
-         |  round(regr_slope(rev / 1e6, yr), 6) AS slope_m,
-         |  round(regr_intercept(rev / 1e6, yr), 4) AS intercept_m,
-         |  count(*) AS n_years
-         |FROM rev GROUP BY n_name ORDER BY n_name""".stripMargin,
+         |  a::DOUBLE / (b::DOUBLE * 1.0e8) AS slope_m,
+         |  (sy * b - a * sx)::DOUBLE / ((n * b)::DOUBLE * 1.0e8)
+         |    AS intercept_m,
+         |  n AS n_years
+         |FROM fit ORDER BY n_name""".stripMargin,
     "q_shock_sim" ->
       s"""WITH rev AS ($yearlyRevSql),
+         |pts AS (
+         |  SELECT n_name, (yr - 1998) AS x,
+         |    round(rev * 100)::BIGINT AS yc
+         |  FROM rev),
+         |agg AS (
+         |  SELECT n_name, count(*) AS n, sum(x)::BIGINT AS sx,
+         |    sum(x * x)::BIGINT AS sxx, sum(yc)::BIGINT AS sy,
+         |    sum(x * yc)::BIGINT AS sxy
+         |  FROM pts GROUP BY n_name),
          |fit AS (
+         |  SELECT n_name, n, sx, sy,
+         |    (n * sxy - sx * sy) AS a, (n * sxx - sx * sx) AS b
+         |  FROM agg),
+         |fd AS (
          |  SELECT n_name,
-         |    regr_slope(rev / 1e6, yr) AS slope,
-         |    regr_intercept(rev / 1e6, yr) AS icept
-         |  FROM rev GROUP BY n_name)
-         |SELECT n_name,
-         |  round(icept + slope * 2002, 4) AS projected_m,
-         |  round((icept + slope * 2002) * 0.7, 4) AS shocked_m,
-         |  CASE WHEN slope > 0
-         |    THEN ceil((icept + slope * 2002) * 0.3 / slope)::BIGINT END
+         |    a::DOUBLE / (b::DOUBLE * 1.0e8) AS slope_m,
+         |    (sy * b - a * sx)::DOUBLE / ((n * b)::DOUBLE * 1.0e8) AS icept_m
+         |  FROM fit),
+         |proj AS (
+         |  SELECT n_name, slope_m, icept_m + slope_m * 4 AS projected_m
+         |  FROM fd)
+         |SELECT n_name, projected_m,
+         |  projected_m * 0.7 AS shocked_m,
+         |  CASE WHEN slope_m > 0
+         |    THEN ceil(projected_m * 0.3 / slope_m)::BIGINT END
          |    AS years_to_recover
-         |FROM fit ORDER BY n_name""".stripMargin,
+         |FROM proj ORDER BY n_name""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
         |  round(o_totalprice, 2) AS totalprice

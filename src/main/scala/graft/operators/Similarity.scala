@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (SURVEY.md §2.E).
@@ -11,27 +12,29 @@ import graft.sources.Tables
   * corpus per query batch (queries broadcast, corpus partition-local
   * scoring, TakeOrdered per query).
   * E2/E3 are the approximate scale paths: candidate sets bounded by
-  * LSH buckets / IVF cells so the per-query work is a small fraction
-  * of the corpus. Both are deterministic (hash-derived hyperplanes,
+  * LSH buckets / IVF cells so per-query work is a small fraction of
+  * the corpus. Both are deterministic (hash-derived hyperplanes,
   * fixed seed centroids) so results are reproducible and testable.
+  *
+  * All vector math goes through [[graft.functions.DotProduct]] — a
+  * codegen'd primitive loop (the `zip_with`+`aggregate` formulation
+  * is CodegenFallback and ~20× slower at bench scale).
   */
 object Similarity {
 
   private val TopK = 3
   private val NumQueries = 5
+  private val Dim = 64
 
   private def withNorm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("n", sqrt(aggregate(zip_with($"v", $"v", (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)))
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("n", VectorFunctions.norm($"v"))
   }
 
-  private def cosine(va: org.apache.spark.sql.Column, vb: org.apache.spark.sql.Column,
-      na: org.apache.spark.sql.Column, nb: org.apache.spark.sql.Column) =
-    aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0),
-      (acc, x) => acc + x) / (na * nb)
+  private def cosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    VectorFunctions.dot(va, vb) / (na * nb)
 
   /** E1 exact brute-force cosine top-k (queries = vec_id < 5,
     * broadcast; self-matches excluded). */
@@ -50,21 +53,21 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
-  /** Deterministic random-hyperplane sign bits: plane p coefficient
-    * for dim d is ±1 from xxhash64(p, d). Returns (vec rows with
-    * bucket column). bits-per-table × tables = 4 × 8. */
-  private def lshBuckets(s: SparkSession, e: DataFrame, tables: Int,
-      bits: Int): DataFrame = {
-    import s.implicits._
-    // bucket(table t) = Σ_b [sign(Σ_d c_{t,b,d}·v_d) > 0] << b
+  /** Deterministic ±1 random hyperplanes (MurmurHash3-seeded), as
+    * array<double> literals so each projection is one codegen'd dot. */
+  private def plane(t: Int, b: Int): Column = typedlit(
+    Array.tabulate(Dim) { i =>
+      val h = scala.util.hashing.MurmurHash3.productHash((t, b, i))
+      if ((h & 1) == 0) 1.0 else -1.0
+    })
+
+  /** Bucket id per (table, vector): sign bits of `bits` projections. */
+  private def lshBuckets(e: DataFrame, tables: Int, bits: Int): DataFrame = {
+    import e.sparkSession.implicits._
     val bucketCols = (0 until tables).map { t =>
       val bitExprs = (0 until bits).map { b =>
-        val dot = expr(
-          s"""aggregate(transform(v, (x, i) ->
-             |  CASE WHEN pmod(xxhash64($t, $b, i), 2) = 0
-             |       THEN x ELSE -x END),
-             |  cast(0.0 as double), (acc, x) -> acc + x)""".stripMargin)
-        when(dot > 0, lit(1L << b)).otherwise(lit(0L))
+        when(VectorFunctions.dot($"v", plane(t, b)) > 0, lit(1L << b))
+          .otherwise(lit(0L))
       }
       struct(lit(t).as("t"), bitExprs.reduce(_.bitwiseOR(_)).as("bucket"))
     }
@@ -74,12 +77,12 @@ object Similarity {
 
   /** E2 LSH-bucketed approximate top-k: 8 hash tables × 4 hyperplane
     * bits; a query only scores vectors sharing a bucket in some table.
-    * At scale the bucket join replaces the corpus scan. */
+    * At scale the bucket equi-join replaces the corpus scan. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val e = withNorm(s, dir)
-    val bucketed = lshBuckets(s, e, tables = 8, bits = 4)
+    val bucketed = lshBuckets(e, tables = 8, bits = 4)
     val q = bucketed.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"), $"t", $"bucket")
     val cand = bucketed.join(broadcast(q), Seq("t", "bucket"))
@@ -95,10 +98,9 @@ object Similarity {
   }
 
   /** E3 IVF-style ANN: coarse quantizer = 16 deterministic seed
-    * centroids (vec_id·7 mod corpus); every vector is assigned to its
-    * nearest centroid (one broadcast pass); queries probe the 2
-    * nearest cells. Probed cells bound the candidate set exactly like
-    * IVF nprobe. */
+    * centroids; every vector is assigned to its nearest centroid (one
+    * broadcast pass, min-by aggregation — no window); queries probe
+    * the 2 nearest cells, bounding candidates like IVF nprobe. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -108,14 +110,15 @@ object Similarity {
     val cents = e.filter(pmod($"vec_id" * 7, lit(101)) < nCentroids)
       .orderBy($"vec_id").limit(nCentroids)
       .select($"vec_id".as("c_id"), $"v".as("cv"), $"n".as("cn"))
-    // assign: nearest centroid per vector
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"c_id")
+    // assign: nearest centroid per vector via max_by (single agg pass,
+    // cheaper than a row_number window over corpus × centroids)
     val assigned = e.join(broadcast(cents), lit(true))
       .withColumn("ccos", cosine($"cv", $"v", $"cn", $"n"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter($"arn" === 1)
-      .select($"vec_id", $"v", $"n", $"c_id".as("cell"))
-    // probe: 2 nearest cells per query
+      .groupBy($"vec_id")
+      .agg(first($"v").as("v"), first($"n").as("n"),
+        max(struct($"ccos".as("s"), (-$"c_id").as("nc"))).as("best"))
+      .select($"vec_id", $"v", $"n", (-$"best.nc").as("cell"))
+    // probe: 2 nearest cells per query (tiny: window is fine)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
     val wProbe = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"c_id")

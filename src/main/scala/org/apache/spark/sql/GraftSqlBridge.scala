@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to `private[sql]` helpers needed when extending Catalyst
+  * from a library: Column ⇄ Expression conversion in Spark 4's
+  * classic API. Same technique as public Spark-extension libraries
+  * (a one-object shim in the org.apache.spark.sql package). */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
