@@ -29,10 +29,11 @@ object Dedup {
   private def norm(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
-  /** doc_id + distinct word 5-gram shingles, DF-capped. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  /** doc_id + word 5-gram shingles (with duplicates — cheap, no
+    * shuffle; distinct only where set semantics are needed). */
+  private def rawShingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh0 = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
       .filter(size($"w") >= ShingleN)
       .select($"doc_id", explode(expr(
@@ -40,7 +41,12 @@ object Dedup {
            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
            |    element_at(w, i + 2), element_at(w, i + 3),
            |    element_at(w, i + 4)))""".stripMargin)).as("shingle"))
-      .distinct()
+  }
+
+  /** doc_id + distinct word 5-gram shingles, DF-capped. */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh0 = rawShingles(s, dir).distinct()
     val rare = sh0.groupBy($"shingle").count()
       .filter($"count" <= DfCap).select($"shingle")
     sh0.join(rare, "shingle").select($"doc_id", $"shingle")
@@ -97,10 +103,13 @@ object Dedup {
     val numPerm = 32
     val bands = 8
     val rows = numPerm / bands
-    val sh = shingles(s, dir)
+    // signatures: min is idempotent over duplicate shingles, so the
+    // raw (pre-distinct, pre-cap) stream feeds the 32 min-aggs in one
+    // map-side-combined pass — two fewer shuffles than the set form.
     val sigCols = (0 until numPerm).map(i =>
       min(xxhash64(lit(i), $"shingle")).as(s"m$i"))
-    val sigs = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sigs = rawShingles(s, dir)
+      .groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => col(s"m${b * rows + r}"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
@@ -112,7 +121,7 @@ object Dedup {
       .filter($"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
-    jaccardPairs(s, sh, JaccardT, Some(cand))
+    jaccardPairs(s, shingles(s, dir), JaccardT, Some(cand))
       .orderBy($"doc_a", $"doc_b")
   }
 
