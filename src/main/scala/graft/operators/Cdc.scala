@@ -99,7 +99,29 @@ object Cdc {
       .orderBy($"user_id", $"session_seq")
   }
 
+  /** C8 as-of (backward) join: attach to every query row the most
+    * recent state row with state.ts <= query.ts, per key — the CDC
+    * "state at event time" lookup. Spark lacks a native as-of join;
+    * the scalable composition is the union + last-ignore-nulls window
+    * trick: one shuffle on the key, no range cross-join, holds at
+    * 100 TB (vs. the naive `ON s.ts <= q.ts` join which explodes).
+    * State stream = signup events; query stream = the rest. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("sval", when($"event_type" === "signup", $"value"))
+      .withColumn("state_asof", last($"sval", ignoreNulls = true).over(w))
+      .filter($"event_type" =!= "signup")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        round($"value", 2).as("value"),
+        round($"state_asof", 2).as("state_value_asof"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_asof_join" -> asofJoin,
     "cdc_latest_state" -> latestState,
     "cdc_apply_deletes" -> applyDeletes,
     "cdc_scd2" -> scd2,
@@ -107,6 +129,17 @@ object Cdc {
     "cdc_sessionize" -> sessionize)
 
   val oracles: Map[String, String] = Map(
+    "cdc_asof_join" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  round(value, 2) AS value,
+        |  round(last_value(CASE WHEN event_type = 'signup' THEN value END
+        |    IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS state_value_asof
+        |FROM events
+        |QUALIFY event_type <> 'signup'
+        |ORDER BY user_id, event_id""".stripMargin,
     "cdc_latest_state" ->
       """SELECT user_id, event_type AS last_op,
         |  round(value, 2) AS last_value, epoch_us(ts) AS last_ts_us

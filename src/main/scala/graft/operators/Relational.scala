@@ -45,6 +45,36 @@ object Relational {
       .orderBy($"user_id")
   }
 
+  /** A11 pivot with mean aggregation — pandas `pivot_table`'s DEFAULT
+    * aggfunc is mean (reference ipynb cell 4 relies on it). */
+  def pivotMean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // mean as (exact cent sum) / (100·n): one IEEE division of
+    // identical integers in both engines — no rounding ties
+    Tables.events(s, dir)
+      .withColumn("vc", round($"value" * 100).cast("long"))
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum($"vc").cast("double") / (count(lit(1)).cast("double") * 100.0))
+      .orderBy($"user_id")
+  }
+
+  /** A12 grouped stats incl. exact interpolated percentiles —
+    * `describe`-style profiling of a measure column. */
+  def stats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min($"l_quantity"), 2).as("min_qty"),
+        round(max($"l_quantity"), 2).as("max_qty"),
+        round(avg($"l_quantity"), 6).as("avg_qty"),
+        round(percentile($"l_quantity", lit(0.5)), 6).as("p50_qty"),
+        round(percentile($"l_quantity", lit(0.9)), 6).as("p90_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** A3 flagship clean: merge two long tables on (group, year), dropna,
     * derived real value, range filter — ipynb cell 3
     * (`pd.merge(table2_long, table3_long, on=["Industry","Year"])` +
@@ -173,6 +203,8 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_melt" -> melt,
     "q_pivot" -> pivot,
+    "q_pivot_mean" -> pivotMean,
+    "q_stats" -> stats,
     "q_clean_real" -> cleanReal,
     "q_coerce" -> coerce,
     "q_agg" -> agg,
@@ -183,6 +215,30 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    "q_pivot_mean" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, round(value * 100)::BIGINT AS vc
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN vc END)::DOUBLE
+        |    / (count(CASE WHEN event_type = 'click' THEN 1 END)::DOUBLE * 100.0) AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN vc END)::DOUBLE
+        |    / (count(CASE WHEN event_type = 'error' THEN 1 END)::DOUBLE * 100.0) AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN vc END)::DOUBLE
+        |    / (count(CASE WHEN event_type = 'purchase' THEN 1 END)::DOUBLE * 100.0) AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN vc END)::DOUBLE
+        |    / (count(CASE WHEN event_type = 'signup' THEN 1 END)::DOUBLE * 100.0) AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN vc END)::DOUBLE
+        |    / (count(CASE WHEN event_type = 'view' THEN 1 END)::DOUBLE * 100.0) AS view
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(min(l_quantity), 2) AS min_qty,
+        |  round(max(l_quantity), 2) AS max_qty,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_melt" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem

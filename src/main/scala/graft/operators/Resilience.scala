@@ -186,7 +186,30 @@ object Resilience {
       .orderBy($"n_name", $"yr")
   }
 
+  /** B11 worst-hit top-10 — streamlit_app.py:18
+    * (`df.sort_values("Drawdown_2020").head(10)`). */
+  def worstDrawdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    drawdown(s, dir)
+      .filter($"drawdown".isNotNull)
+      .orderBy($"drawdown".asc, $"n_name")
+      .limit(10)
+  }
+
+  /** B12 fastest-to-recover top-10 with null-dropping —
+    * streamlit_app.py:22-26 (`df.dropna(subset=["Recovered_Years"])
+    * .sort_values("Recovered_Years").head(10)`). */
+  def fastestRecovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    recovery(s, dir)
+      .na.drop(Seq("recovered_years"))
+      .orderBy($"recovered_years".asc, $"n_name")
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_worst_drawdown" -> worstDrawdown,
+    "q_fastest_recovery" -> fastestRecovery,
     "q_drawdown" -> drawdown,
     "q_recovery" -> recovery,
     "q_resilience_join" -> resilienceJoin,
@@ -206,6 +229,27 @@ object Resilience {
       |GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_worst_drawdown" ->
+      s"""WITH rev AS ($yearlyRevSql),
+         |dd AS (
+         |  SELECT n_name,
+         |    round((sum(CASE WHEN yr = 1999 THEN rev END)
+         |          - sum(CASE WHEN yr = 1998 THEN rev END))
+         |          / sum(CASE WHEN yr = 1998 THEN rev END), 6) AS drawdown
+         |  FROM rev GROUP BY n_name)
+         |SELECT n_name, drawdown FROM dd WHERE drawdown IS NOT NULL
+         |ORDER BY drawdown ASC, n_name LIMIT 10""".stripMargin,
+    "q_fastest_recovery" ->
+      s"""WITH rev AS ($yearlyRevSql),
+         |base AS (SELECT n_name, rev AS v0 FROM rev WHERE yr = 1998),
+         |rec AS (
+         |  SELECT r.n_name, min(r.yr - 1998) AS recovered_years
+         |  FROM rev r JOIN base b ON r.n_name = b.n_name
+         |  WHERE r.yr > 1998 AND r.rev >= b.v0
+         |  GROUP BY r.n_name)
+         |SELECT b.n_name, rec.recovered_years
+         |FROM base b JOIN rec ON b.n_name = rec.n_name
+         |ORDER BY recovered_years ASC, b.n_name LIMIT 10""".stripMargin,
     "q_drawdown" ->
       s"""WITH rev AS ($yearlyRevSql)
          |SELECT n_name,

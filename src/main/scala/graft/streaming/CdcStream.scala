@@ -56,6 +56,15 @@ object CdcStream {
         $"n", $"sum_value")
   }
 
+  /** C9 streaming exact dedup: drop duplicate keys across
+    * micro-batches with bounded state — late duplicates beyond the
+    * watermark age out of the state store instead of growing it
+    * forever (the only viable form at 100 TB/day ingest). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String, delay: String): DataFrame =
+    events.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Convenience: run a streaming Dataset to completion against a
     * named in-memory sink (test/smoke harness). */
   def runToMemory[T](ds: Dataset[T], name: String, mode: OutputMode): Unit = {

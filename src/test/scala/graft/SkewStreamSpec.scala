@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.Skew
+import graft.sources.Tables
+
+/** Skew-salting equivalence + streaming dedup (C9). */
+class SkewStreamSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+  private val sf = GraftTestSession.sf
+
+  test("saltedJoin returns exactly the plain join result") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0))
+      .toDF("event_type", "weight")
+    val plain = ev.join(dim, Seq("event_type"))
+      .agg(round(sum($"value" * $"weight"), 2)).as[Double].head()
+    val salted = Skew.saltedJoin(ev, dim, "event_type", $"event_id", 8)
+      .agg(round(sum($"value" * $"weight"), 2)).as[Double].head()
+    assert(plain == salted)
+  }
+
+  test("saltedSum equals plain groupBy sum") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val plain = ev.groupBy($"event_type").agg(sum($"value").as("s"))
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
+      .toMap
+    val salted = Skew.saltedSum(ev, "event_type", "value", $"event_id", 8)
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1) * 100))
+      .toMap
+    assert(plain == salted)
+  }
+
+  test("C9 dedupStream drops cross-batch duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("k", "ts", "v")
+    val q = graft.streaming.CdcStream.dedupStream(df, Seq("k"), "ts", "1 hour")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try {
+      def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      in.addData((1L, t(0), 1.0), (2L, t(1), 2.0), (1L, t(2), 99.0))
+      q.processAllAvailable()
+      in.addData((1L, t(3), 98.0), (3L, t(4), 3.0)) // k=1 still a dup
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("k").as[Long]
+        .collect().sorted.toSeq
+      assert(got == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
