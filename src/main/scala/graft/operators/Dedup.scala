@@ -103,15 +103,16 @@ object Dedup {
     val numPerm = 32
     val bands = 8
     val rows = numPerm / bands
-    // signatures: min is idempotent over duplicate shingles, so the
-    // raw (pre-distinct, pre-cap) stream feeds the 32 min-aggs in one
-    // map-side-combined pass — two fewer shuffles than the set form.
-    val sigCols = (0 until numPerm).map(i =>
-      min(xxhash64(lit(i), $"shingle")).as(s"m$i"))
+    // signatures: one TypedImperativeAggregate holding all numPerm
+    // mins in a single primitive buffer (graft.functions.MinHashAgg) —
+    // min is idempotent over duplicate shingles, so the raw
+    // (pre-distinct, pre-cap) stream feeds it in one map-side-combined
+    // pass.
     val sigs = rawShingles(s, dir)
-      .groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .groupBy($"doc_id")
+      .agg(graft.functions.MinHashAgg.minhashSig($"shingle", numPerm).as("sig"))
     val bandCols = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => col(s"m${b * rows + r}"))
+      val cols = (0 until rows).map(r => element_at($"sig", b * rows + r + 1))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
     }
     val buckets = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bb"))

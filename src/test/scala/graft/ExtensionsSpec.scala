@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Custom-expression SQL registration + bucketed co-located join. */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+
+  test("dot_product is callable from SQL and matches the Scala API") {
+    val sql = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(sql == 11.0)
+    import spark.implicits._
+    val viaApi = Tables.embeddings(spark, GraftTestSession.sf)
+      .limit(1)
+      .select(graft.functions.VectorFunctions.dot($"embedding", $"embedding"))
+      .collect().head.getDouble(0)
+    val viaSql = Tables.embeddings(spark, GraftTestSession.sf)
+      .limit(1).createOrReplaceTempView("emb1")
+    val s = spark.sql("SELECT dot_product(embedding, embedding) FROM emb1")
+      .collect().head.getDouble(0)
+    assert(viaApi == s)
+  }
+
+  test("minhash_sig from SQL produces a numPerm-length signature") {
+    Tables.documents(spark, GraftTestSession.sf).limit(50)
+      .createOrReplaceTempView("docs50")
+    val sig = spark.sql(
+      """SELECT minhash_sig(text, 16) AS sig FROM docs50""")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 16)
+    assert(sig.forall(_ != Long.MaxValue))
+  }
+
+  test("bucketed tables join without a shuffle") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    // the in-memory metastore forgets tables between JVM runs but the
+    // warehouse dirs survive — clear them or CTAS refuses the location
+    Seq("li_b", "ord_b").foreach { t =>
+      val d = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+    Tables.lineitem(spark, GraftTestSession.sf)
+      .select($"l_orderkey", $"l_quantity")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_b")
+    Tables.orders(spark, GraftTestSession.sf)
+      .select($"o_orderkey", $"o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_b")
+    // force the SMJ path (broadcast would bypass bucketing on data
+    // this small; at scale both sides are too big to broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange"), plan.take(1500))
+      assert(joined.count() ==
+        Tables.lineitem(spark, GraftTestSession.sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
