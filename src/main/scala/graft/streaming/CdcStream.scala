@@ -12,6 +12,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * state and windowed aggregates incrementally. State is partitioned
   * by key in the Spark state store — at cluster scale each executor
   * holds only its key range, and checkpointing gives exactly-once.
+  *
+  * Design follows the incremental-execution model of "Structured
+  * Streaming: A Declarative API for Real-Time Applications in Apache
+  * Spark" (SIGMOD 2018) — same declarative plans for batch and
+  * stream, watermark-bounded state — over the micro-batch fault
+  * tolerance of "Discretized Streams" (SOSP 2013). See PAPERS.md.
   */
 object CdcStream {
 

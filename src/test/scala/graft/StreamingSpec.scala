@@ -15,6 +15,25 @@ class StreamingSpec extends AnyFunSuite {
   private def ts(minute: Int) =
     java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  test("file-source streaming ingestion: readStream over parquet drives hourlyCounts") {
+    import spark.implicits._
+    // stage the events table as a stream-source directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val batch = graft.sources.Tables.events(spark, GraftTestSession.sf)
+      .select($"ts", $"event_type", $"value")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = CdcStream.hourlyCounts(stream)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("file_hourly").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_hourly")
+        .agg(org.apache.spark.sql.functions.sum($"n")).as[Long].head()
+      assert(streamed == batch.count(), "streaming ingested every row")
+    } finally q.stop()
+  }
+
   test("C6 latest-state store applies upserts and tombstones across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
