@@ -133,16 +133,12 @@ object Dedup {
   def simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val hamT = 7
-    val toks = Tables.documents(s, dir)
+    // one-pass fingerprint via the SimHashAgg imperative aggregate
+    // (single 64-int bit-balance buffer instead of 64 sum() columns)
+    val fps = Tables.documents(s, dir)
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64($"tok"))
-    val bitSums = (0 until 64).map(j =>
-      sum(when($"h".bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"s$j"))
-    val fps = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("fp", (0 until 64)
-        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b)))
-      .select($"doc_id", $"fp")
+      .groupBy($"doc_id")
+      .agg(graft.functions.SimHashAgg.simhash($"tok").as("fp"))
     val chunks = fps.select($"doc_id", $"fp", explode(array(
       (0 until 8).map(c =>
         struct(lit(c).as("c"), shiftright($"fp", c * 8).bitwiseAND(lit(255L))

@@ -200,11 +200,68 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** A13 semi join (EXISTS): customers that placed urgent orders —
+    * left_semi keeps the probe side only, no row multiplication. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    Tables.customer(s, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** A14 anti join (NOT EXISTS): customers with no urgent orders. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    Tables.customer(s, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** A15 rollup with grouping markers — subtotal hierarchies in one
+    * pass (partial-aggregated like any hash agg). */
+  def rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id($"l_returnflag", $"l_linestatus").cast("long").as("lvl"))
+      // coalesce subtotal labels: engines order NULLs differently, and
+      // label-free output keeps the compare order-proof
+      .select(coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
+        coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
+        $"sum_qty", $"n", $"lvl")
+      .orderBy($"lvl", $"returnflag", $"linestatus")
+  }
+
+  /** A16 set operations: EXCEPT/INTERSECT with distinct semantics. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val buyers = Tables.orders(s, dir).select($"o_custkey".as("custkey")).distinct()
+    val bigBal = Tables.customer(s, dir).filter($"c_acctbal" > 5000)
+      .select($"c_custkey".as("custkey")).distinct()
+    val both = buyers.intersect(bigBal).withColumn("tag", lit("both"))
+    val onlyBuyers = buyers.except(bigBal).withColumn("tag", lit("buyer_only"))
+    both.unionByName(onlyBuyers).orderBy($"tag", $"custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_melt" -> melt,
     "q_pivot" -> pivot,
     "q_pivot_mean" -> pivotMean,
     "q_stats" -> stats,
+    "q_semi_join" -> semiJoin,
+    "q_anti_join" -> antiJoin,
+    "q_rollup" -> rollup,
+    "q_setops" -> setOps,
     "q_clean_real" -> cleanReal,
     "q_coerce" -> coerce,
     "q_agg" -> agg,
@@ -215,6 +272,35 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |  coalesce(l_linestatus, '(all)') AS linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+        |  (CASE WHEN GROUPING(l_returnflag) = 1 THEN 2 ELSE 0 END
+        |   + CASE WHEN GROUPING(l_linestatus) = 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS lvl
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY lvl, returnflag, linestatus""".stripMargin,
+    "q_setops" ->
+      """WITH buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        |big AS (SELECT DISTINCT c_custkey AS custkey FROM customer
+        |        WHERE c_acctbal > 5000)
+        |SELECT custkey, 'both' AS tag FROM (
+        |  SELECT custkey FROM buyers INTERSECT SELECT custkey FROM big)
+        |UNION ALL
+        |SELECT custkey, 'buyer_only' AS tag FROM (
+        |  SELECT custkey FROM buyers EXCEPT SELECT custkey FROM big)
+        |ORDER BY tag, custkey""".stripMargin,
     "q_pivot_mean" ->
       """WITH t AS (
         |  SELECT user_id, event_type, round(value * 100)::BIGINT AS vc
