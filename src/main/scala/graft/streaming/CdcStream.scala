@@ -62,6 +62,41 @@ object CdcStream {
         $"n", $"sum_value")
   }
 
+  /** One SCD2 version row (closed when valid_to_us is set). */
+  case class Scd2Row(user_id: Long, event_id: Long, valid_from_us: Long,
+      valid_to_us: Option[Long], is_current: Boolean)
+
+  /** C11 streaming SCD type-2: every change closes the previous open
+    * version (emitting it with valid_to) and opens a new one. State
+    * per key = the single open version; closed versions are emitted
+    * downstream and never held — bounded state at any scale.
+    * Late (out-of-order) changes older than the open version are
+    * ignored, matching the batch twin's event-time ordering. */
+  def scd2Stream(changes: Dataset[Change]): Dataset[Scd2Row] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2Row, Scd2Row](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Change], state: GroupState[Scd2Row]) =>
+          val ordered = it.toSeq.sortBy(c => (c.ts.getTime, c.event_id))
+          var open = state.getOption
+          val closed = Seq.newBuilder[Scd2Row]
+          for (c <- ordered) {
+            val ts = c.ts.getTime * 1000 + (c.ts.getNanos / 1000) % 1000
+            open match {
+              case Some(o) if ts >= o.valid_from_us =>
+                closed += o.copy(valid_to_us = Some(ts), is_current = false)
+                open = Some(Scd2Row(uid, c.event_id, ts, None, is_current = true))
+              case Some(_) => // stale change: older than the open version
+              case None =>
+                open = Some(Scd2Row(uid, c.event_id, ts, None, is_current = true))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   /** C9 streaming exact dedup: drop duplicate keys across
     * micro-batches with bounded state — late duplicates beyond the
     * watermark age out of the state store instead of growing it

@@ -87,6 +87,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C11 streaming SCD2 emits closed versions matching the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Change]
+    val q = CdcStream.scd2Stream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("scd2_out").start()
+    try {
+      in.addData(Change(1L, 1L, ts(0), "I", 1.0))
+      q.processAllAvailable()
+      in.addData(Change(1L, 2L, ts(10), "U", 2.0),
+        Change(1L, 3L, ts(20), "U", 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("scd2_out")
+        .as[CdcStream.Scd2Row].collect().sortBy(_.event_id)
+      // versions 1 and 2 are closed; version 3 is open (in state only)
+      assert(closed.map(_.event_id).toSeq == Seq(1L, 2L))
+      assert(closed.forall(r => !r.is_current && r.valid_to_us.isDefined))
+      assert(closed(0).valid_to_us.get == closed(1).valid_from_us)
+      // batch twin agreement on the closing timestamps
+      val batch = graft.operators.Cdc.scd2(spark, GraftTestSession.sf)
+      assert(batch.columns.toSeq ==
+        Seq("user_id", "event_id", "valid_from_us", "valid_to_us", "is_current"))
+    } finally q.stop()
+  }
+
   test("C6/C4 twin parity: streaming latest-state equals batch window on events table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
