@@ -137,10 +137,56 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** E4 distributed k-means (Lloyd's): centroids live on the driver
+    * (k × dim doubles — tiny), each iteration is one broadcast
+    * assignment pass + one partial-aggregated mean per cell. The only
+    * per-iteration driver traffic is k centroids, so the same loop
+    * runs unchanged on 10⁹ rows. Deterministic init (lowest vec_ids).
+    * Returns (vec_id, cell) assignments. */
+  def kmeans(s: SparkSession, dir: String, k: Int = 8, iters: Int = 3): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    var centroids: Array[(Int, Array[Double])] = e.orderBy($"vec_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    for (_ <- 0 until iters) {
+      val assignExpr = assignCol(centroids)
+      val means = e.withColumn("cell", assignExpr)
+        .select($"cell", posexplode($"v").as(Seq("i", "x")))
+        .groupBy($"cell", $"i").agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+        .groupBy($"cell")
+        .agg(map_from_arrays(collect_list($"i"), collect_list($"sx" / $"n"))
+          .as("m"))
+        .collect()
+      centroids = means.map { r =>
+        val m = r.getMap[Int, Double](1)
+        (r.getInt(0), Array.tabulate(m.size)(i => m(i)))
+      }.sortBy(_._1)
+    }
+    e.withColumn("cell", assignCol(centroids)).select($"vec_id", $"cell")
+      .orderBy($"vec_id")
+  }
+
+  /** Nearest-centroid expression: squared-euclidean argmin over the
+    * broadcast centroid literals, all inside codegen via DotProduct. */
+  private def assignCol(centroids: Array[(Int, Array[Double])]): Column = {
+    val scored = centroids.map { case (id, c) =>
+      val cl = typedlit(c)
+      // |v-c|² = v·v - 2 v·c + c·c; v·v is constant per row → argmin
+      // over (c·c - 2 v·c)
+      val d = lit(c.map(x => x * x).sum) -
+        lit(2.0) * VectorFunctions.dot(col("v"), cl)
+      struct(d.as("d"), lit(id).as("id"))
+    }
+    least(scored: _*).getField("id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> bruteforce,
     "ann_lsh" -> annLsh,
-    "ann_ivf" -> annIvf)
+    "ann_ivf" -> annIvf,
+    "kmeans_assign" -> ((s, dir) => kmeans(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" ->

@@ -112,7 +112,32 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** F6 TF-IDF top terms per document (rows-only: ln() is libm-
+    * dependent so no SQL oracle; ranked output is spec-checked).
+    * Inverted-index shape: one explode, two hash aggregates, one
+    * broadcast join of the tiny df table — no cross-product. */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val terms = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = terms.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    tf.join(broadcast(df), "term")
+      .withColumn("score", $"tf" * log(lit(n.toDouble) / $"df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df",
+        round($"score", 4).as("score"))
+      .orderBy($"doc_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> tfidf,
     "text_tokens" -> tokenCounts,
     "text_quality" -> quality,
     "text_langid" -> langId,

@@ -59,6 +59,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("kmeans assigns every vector, deterministically, into <= k cells") {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val a3 = Similarity.kmeans(spark, sf, k = 8, iters = 3)
+    assert(a3.count() == e.count())
+    assert(a3.select("cell").distinct().count() <= 8)
+    assert(a3.collect().toSeq == Similarity.kmeans(spark, sf, 8, 3).collect().toSeq)
+  }
+
+  test("tfidf ranks rare terms above ubiquitous ones") {
+    import spark.implicits._
+    val out = graft.operators.TextAnalysis.tfidf(spark, sf)
+    assert(out.groupBy("doc_id").count().filter($"count" > 3).count() == 0)
+    // a term present in EVERY doc has idf=0 → can never be a top term
+    // unless everything ties at 0; require positive top-1 scores
+    assert(out.filter($"rank" === 1 && $"score" <= 0).count() == 0)
+  }
+
   test("dedup_embedding is symmetric-free and thresholded") {
     val df = Dedup.embeddingCosine(spark, sf)
     assert(df.filter(col("vec_a") >= col("vec_b")).count() == 0)
