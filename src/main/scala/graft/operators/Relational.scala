@@ -200,6 +200,48 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** A17 native JSON parsing of the props column (from_json with an
+    * explicit schema — prunable, codegen'd, vs. string regexps). */
+  def jsonParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(s, dir)
+      .select($"event_id",
+        from_json($"props", schema).getField("k").as("k_json"),
+        $"event_type")
+      .orderBy($"event_id")
+  }
+
+  /** A18 ntile / percent_rank analytics within a keyed partition
+    * (quartiles of customers per market segment). percent_rank is
+    * (rank-1)/(n-1): a division of identical integers in both
+    * engines — exported unrounded. */
+  def ntileRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.customer(s, dir)
+      .select($"c_mktsegment", $"c_custkey",
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
+  /** A19 correlated scalar subquery through the SQL surface —
+    * customers above their own nation's average balance (Catalyst
+    * decorrelates this into an aggregate + join). */
+  def aboveAvg(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+        |FROM customer_v c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** A13 semi join (EXISTS): customers that placed urgent orders —
     * left_semi keeps the probe side only, no row multiplication. */
   def semiJoin(s: SparkSession, dir: String): DataFrame = {
@@ -262,6 +304,9 @@ object Relational {
     "q_anti_join" -> antiJoin,
     "q_rollup" -> rollup,
     "q_setops" -> setOps,
+    "q_json_parse" -> jsonParse,
+    "q_ntile_rank" -> ntileRank,
+    "q_above_avg" -> aboveAvg,
     "q_clean_real" -> cleanReal,
     "q_coerce" -> coerce,
     "q_agg" -> agg,
@@ -272,6 +317,24 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    "q_json_parse" ->
+      """SELECT event_id,
+        |  nullif(regexp_extract(props, '"k": (\d+)', 1), '')::BIGINT AS k_json,
+        |  event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_ntile_rank" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  ntile(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+        |  percent_rank() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey) AS pr
+        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q_above_avg" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
