@@ -85,6 +85,36 @@ object Multimodal {
       }
   }
 
+  /** One sampled "frame" from a media payload. */
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Long, checksum: Long)
+
+  /** G3 frame sampling: the 1→N decode contract (video → frames,
+    * audio → windows). Emits `n` evenly-spaced frames per asset from
+    * one batched pass — output fan-out happens inside the partition,
+    * so a 1000-frame video never materializes on the driver. Decode
+    * is the same deterministic stub as [[FakeCodec]]. */
+  def sampleFrames(s: SparkSession, dir: String, n: Int = 4): Dataset[Frame] = {
+    import s.implicits._
+    binaryMeta(s, dir)
+      .select($"doc_id", $"payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val codec = FakeCodec.init()
+        it.flatMap { case (id, bytes) =>
+          val stride = math.max(1, bytes.length / n)
+          (0 until n).iterator
+            .map(i => i * stride)
+            .filter(_ < bytes.length)
+            .map { off =>
+              val end = math.min(off + stride, bytes.length)
+              val slice = java.util.Arrays.copyOfRange(bytes, off, end)
+              Frame(id, off / stride, off.toLong,
+                codec.decode(id, slice).checksum)
+            }
+        }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMetaHex)
 

@@ -106,6 +106,14 @@ object CdcStream {
     events.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** C12 stream-static enrichment: join a change stream against a
+    * static dimension (the canonical "enrich events with reference
+    * data" shape). Spark broadcasts the static side per micro-batch;
+    * at scale the dim is re-read each batch, so slowly-changing dims
+    * stay fresh without restarting the query. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Convenience: run a streaming Dataset to completion against a
     * named in-memory sink (test/smoke harness). */
   def runToMemory[T](ds: Dataset[T], name: String, mode: OutputMode): Unit = {

@@ -17,6 +17,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.forall(d => d.n_bytes > 0 && d.width >= 0 && d.width < 1920))
   }
 
+  test("G3 frame sampling fans out n frames per asset inside the partition") {
+    val frames = Multimodal.sampleFrames(spark, sf, n = 4).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(frames.length == 4 * nDocs) // every doc ≥ 4 bytes → 4 frames
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.values.forall(_.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3)))
+    // deterministic
+    val again = Multimodal.sampleFrames(spark, sf, n = 4).collect()
+    assert(frames.sortBy(f => (f.doc_id, f.frame_idx)).toSeq ==
+      again.sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
+  }
+
   test("decode output checksum matches a local reference computation") {
     val doc = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect().head

@@ -87,6 +87,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C12 stream-static enrichment joins a dim onto a change stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq(("click", "engagement"), ("purchase", "revenue"))
+      .toDF("event_type", "category")
+    val in = MemoryStream[(String, Double)]
+    val stream = in.toDF().toDF("event_type", "value")
+    val q = CdcStream.enrich(stream, dim, "event_type")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enriched").start()
+    try {
+      in.addData(("click", 1.0), ("error", 2.0), ("purchase", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("enriched")
+        .collect().map(r => (r.getString(0), Option(r.getString(2))))
+        .sortBy(_._1).toSeq
+      assert(got == Seq(("click", Some("engagement")),
+        ("error", None), ("purchase", Some("revenue"))))
+    } finally q.stop()
+  }
+
   test("C11 streaming SCD2 emits closed versions matching the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
