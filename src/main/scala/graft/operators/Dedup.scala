@@ -172,7 +172,20 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** D6 end-to-end clean corpus: documents surviving exact dedup
+    * (keeper per content hash), i.e. what a pipeline actually feeds
+    * downstream. */
+  def dedupedCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keepers = exact(s, dir).select($"keeper_doc_id".as("doc_id"))
+    Tables.documents(s, dir)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_corpus" -> dedupedCorpus,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash" -> minhashLsh,
@@ -198,6 +211,13 @@ object Dedup {
        |  JOIN rare USING (shingle))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_corpus" ->
+      """WITH keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
         |  min(doc_id) AS keeper_doc_id, count(*) AS n_copies

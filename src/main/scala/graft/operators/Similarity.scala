@@ -40,16 +40,20 @@ object Similarity {
     * broadcast; self-matches excluded). */
   def bruteforce(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val e = withNorm(s, dir)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
     val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
       .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6))
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= TopK)
-      .select($"q_id", $"rank", $"vec_id", $"cos")
+    // bounded-heap top-k aggregate: O(k) state per query, map-side
+    // combinable — no per-group sort of the full candidate set (the
+    // row_number window would shuffle AND sort every scored row)
+    scored.groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topK(
+        struct($"cos".as("score"), $"vec_id".as("id")), TopK).as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"t.id".as("vec_id"), $"t.score".as("cos"))
       .orderBy($"q_id", $"rank")
   }
 
