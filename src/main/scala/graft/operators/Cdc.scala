@@ -28,11 +28,11 @@ object Cdc {
 
   /** C1 latest-state materialization: newest change per key wins
     * (upsert apply). */
-  def latestState(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def latestState(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val w = Window.partitionBy($"user_id")
       .orderBy($"ts".desc, $"event_id".desc)
-    Tables.events(s, dir)
+    events
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"user_id", $"event_type".as("last_op"),
@@ -43,11 +43,11 @@ object Cdc {
 
   /** C2 upsert+delete apply: rows whose final change is a tombstone
     * drop out of the materialized state. */
-  def applyDeletes(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def applyDeletes(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val w = Window.partitionBy($"user_id")
       .orderBy($"ts".desc, $"event_id".desc)
-    Tables.events(s, dir)
+    events
       .withColumn("op", op)
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1 && $"op" =!= "D")
@@ -58,10 +58,10 @@ object Cdc {
 
   /** C3 SCD type-2: every change opens a version; `lead` closes the
     * previous one; the open version is current. */
-  def scd2(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def scd2(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables.events(s, dir)
+    events
       .select($"user_id", $"event_id",
         unix_micros($"ts").as("valid_from_us"),
         lead(unix_micros($"ts"), 1).over(w).as("valid_to_us"))
@@ -71,9 +71,9 @@ object Cdc {
 
   /** C4 tumbling event-time aggregation (batch twin of the streaming
     * windowed agg in graft.streaming.EventAgg). */
-  def eventCounts(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.events(s, dir)
+  def eventCounts(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
       .groupBy(unix_micros(date_trunc("hour", $"ts")).as("hour_us"),
         $"event_type")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
@@ -83,11 +83,11 @@ object Cdc {
   /** C5 gap-based sessionization (30-min inactivity): new-session flag
     * via lag, session id via running sum — the classic two-window
     * formulation, all key-local. */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def sessionize(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
+    events
       .withColumn("us", unix_micros($"ts"))
       .withColumn("gap_us", $"us" - lag($"us", 1).over(wOrd))
       .withColumn("is_new",
@@ -106,11 +106,11 @@ object Cdc {
     * trick: one shuffle on the key, no range cross-join, holds at
     * 100 TB (vs. the naive `ON s.ts <= q.ts` join which explodes).
     * State stream = signup events; query stream = the rest. */
-  def asofJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def asofJoin(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
+    events
       .withColumn("sval", when($"event_type" === "signup", $"value"))
       .withColumn("state_asof", last($"sval", ignoreNulls = true).over(w))
       .filter($"event_type" =!= "signup")
@@ -120,13 +120,16 @@ object Cdc {
       .orderBy($"user_id", $"event_id")
   }
 
+  private def onEvents(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cdc_asof_join" -> asofJoin,
-    "cdc_latest_state" -> latestState,
-    "cdc_apply_deletes" -> applyDeletes,
-    "cdc_scd2" -> scd2,
-    "cdc_event_counts" -> eventCounts,
-    "cdc_sessionize" -> sessionize)
+    "cdc_asof_join" -> onEvents(asofJoin),
+    "cdc_latest_state" -> onEvents(latestState),
+    "cdc_apply_deletes" -> onEvents(applyDeletes),
+    "cdc_scd2" -> onEvents(scd2),
+    "cdc_event_counts" -> onEvents(eventCounts),
+    "cdc_sessionize" -> onEvents(sessionize))
 
   val oracles: Map[String, String] = Map(
     "cdc_asof_join" ->

@@ -5,7 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Deduplication operators for LLM training-data pipelines
-  * (SURVEY.md §2.D), over the `documents` table.
+  * (SURVEY.md §2.D).
+  *
+  * DataFrame-first API: every operator's core takes the input frame
+  * (`docs` with (doc_id, text, …) / `vecs` with (vec_id, embedding)),
+  * so library users run them on their own tables; the `(session, dir)`
+  * overloads are the driver-contract adapters over the test corpus.
   *
   * Scale design: nothing here is O(n²) over the corpus.
   * - exact dedup: one hash aggregate.
@@ -31,9 +36,9 @@ object Dedup {
 
   /** doc_id + word 5-gram shingles (with duplicates — cheap, no
     * shuffle; distinct only where set semantics are needed). */
-  private def rawShingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  private def rawShingles(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
       .filter(size($"w") >= ShingleN)
       .select($"doc_id", explode(expr(
@@ -44,9 +49,9 @@ object Dedup {
   }
 
   /** doc_id + distinct word 5-gram shingles, DF-capped. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh0 = rawShingles(s, dir).distinct()
+  private def shingles(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh0 = rawShingles(docs).distinct()
     val rare = sh0.groupBy($"shingle").count()
       .filter($"count" <= DfCap).select($"shingle")
     sh0.join(rare, "shingle").select($"doc_id", $"shingle")
@@ -54,9 +59,9 @@ object Dedup {
 
   /** Exact Jaccard pairs ≥ t from a (doc_id, shingle) set via
     * inverted-index join — shared by D2 (full) and D3 (candidates). */
-  private def jaccardPairs(s: SparkSession, sh: DataFrame, t: Double,
+  private def jaccardPairs(sh: DataFrame, t: Double,
       candidates: Option[DataFrame] = None): DataFrame = {
-    import s.implicits._
+    import sh.sparkSession.implicits._
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val a = sh.select($"doc_id".as("doc_a"), $"shingle")
     val b = sh.select($"doc_id".as("doc_b"), $"shingle")
@@ -77,9 +82,9 @@ object Dedup {
 
   /** D1 exact dedup by normalized-text hash: keeper = min doc_id per
     * content hash (one aggregate — the only sane shape at 100 TB). */
-  def exact(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  def exact(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", md5(norm($"text")).as("content_hash"))
       .groupBy($"content_hash")
       .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
@@ -88,18 +93,18 @@ object Dedup {
 
   /** D2 n-gram Jaccard near-dup pairs (inverted-index join, no
     * cross-product). */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    jaccardPairs(s, shingles(s, dir), JaccardT)
+  def ngramJaccard(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    jaccardPairs(shingles(docs), JaccardT)
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** D3 MinHash + LSH banding: 32 permutations (xxhash64 seeds),
-    * 8 bands × 4 rows; docs sharing any band bucket are candidates,
-    * then exact-verified. Candidate generation is an equi-join on
-    * (band, bucket) — bounded work per bucket, no corpus self-join. */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** D3 MinHash + LSH banding: 32 permutations, 8 bands × 4 rows;
+    * docs sharing any band bucket are candidates, then exact-verified.
+    * Candidate generation is an equi-join on (band, bucket) — bounded
+    * work per bucket, no corpus self-join. */
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val numPerm = 32
     val bands = 8
     val rows = numPerm / bands
@@ -108,7 +113,7 @@ object Dedup {
     // min is idempotent over duplicate shingles, so the raw
     // (pre-distinct, pre-cap) stream feeds it in one map-side-combined
     // pass.
-    val sigs = rawShingles(s, dir)
+    val sigs = rawShingles(docs)
       .groupBy($"doc_id")
       .agg(graft.functions.MinHashAgg.minhashSig($"shingle", numPerm).as("sig"))
     val bandCols = (0 until bands).map { b =>
@@ -122,7 +127,7 @@ object Dedup {
       .filter($"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
-    jaccardPairs(s, shingles(s, dir), JaccardT, Some(cand))
+    jaccardPairs(shingles(docs), JaccardT, Some(cand))
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -130,12 +135,12 @@ object Dedup {
     * candidates via 8×8-bit chunk buckets (pigeonhole ⇒ every pair
     * with hamming ≤ 7 collides on some chunk), verified with
     * bit_count(xor). */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def simhash(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val hamT = 7
     // one-pass fingerprint via the SimHashAgg imperative aggregate
     // (single 64-int bit-balance buffer instead of 64 sum() columns)
-    val fps = Tables.documents(s, dir)
+    val fps = docs
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
       .groupBy($"doc_id")
       .agg(graft.functions.SimHashAgg.simhash($"tok").as("fp"))
@@ -156,10 +161,10 @@ object Dedup {
   /** D5 embedding-cosine near-dup pairs (cos ≥ 0.5, rounded) — exact
     * double-precision dot products; the LSH-blocked scale path for
     * this shape is Similarity.annLsh. */
-  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def embeddingCosine(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
     import graft.functions.VectorFunctions
-    val e = Tables.embeddings(s, dir)
+    val e = vecs
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("n", VectorFunctions.norm($"v"))
     val a = e.select($"vec_id".as("vec_a"), $"v".as("va"), $"n".as("na"))
@@ -175,22 +180,25 @@ object Dedup {
   /** D6 end-to-end clean corpus: documents surviving exact dedup
     * (keeper per content hash), i.e. what a pipeline actually feeds
     * downstream. */
-  def dedupedCorpus(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val keepers = exact(s, dir).select($"keeper_doc_id".as("doc_id"))
-    Tables.documents(s, dir)
+  def dedupedCorpus(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val keepers = exact(docs).select($"keeper_doc_id".as("doc_id"))
+    docs
       .join(keepers, Seq("doc_id"), "left_semi")
       .select($"doc_id", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")
   }
 
+  private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_corpus" -> dedupedCorpus,
-    "dedup_exact" -> exact,
-    "dedup_ngram_jaccard" -> ngramJaccard,
-    "dedup_minhash" -> minhashLsh,
-    "dedup_simhash" -> simhash,
-    "dedup_embedding" -> embeddingCosine)
+    "dedup_corpus" -> onDocs(dedupedCorpus),
+    "dedup_exact" -> onDocs(exact),
+    "dedup_ngram_jaccard" -> onDocs(ngramJaccard),
+    "dedup_minhash" -> onDocs(minhashLsh),
+    "dedup_simhash" -> onDocs(simhash),
+    "dedup_embedding" -> ((s, dir) => embeddingCosine(Tables.embeddings(s, dir))))
 
   private val shinglesSql =
     s"""w AS (

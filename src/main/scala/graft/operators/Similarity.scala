@@ -26,9 +26,9 @@ object Similarity {
   private val NumQueries = 5
   private val Dim = 64
 
-  private def withNorm(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.embeddings(s, dir)
+  private def withNorm(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs
       .select($"vec_id", $"embedding".as("v"))
       .withColumn("n", VectorFunctions.norm($"v"))
   }
@@ -38,9 +38,9 @@ object Similarity {
 
   /** E1 exact brute-force cosine top-k (queries = vec_id < 5,
     * broadcast; self-matches excluded). */
-  def bruteforce(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = withNorm(s, dir)
+  def bruteforce(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = withNorm(vecs)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
     val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
@@ -82,10 +82,10 @@ object Similarity {
   /** E2 LSH-bucketed approximate top-k: 8 hash tables × 4 hyperplane
     * bits; a query only scores vectors sharing a bucket in some table.
     * At scale the bucket equi-join replaces the corpus scan. */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def annLsh(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val e = withNorm(s, dir)
+    val e = withNorm(vecs)
     val bucketed = lshBuckets(e, tables = 8, bits = 4)
     val q = bucketed.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"), $"t", $"bucket")
@@ -105,12 +105,12 @@ object Similarity {
     * centroids; every vector is assigned to its nearest centroid (one
     * broadcast pass, min-by aggregation — no window); queries probe
     * the 2 nearest cells, bounding candidates like IVF nprobe. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def annIvf(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val nCentroids = 16
     val nProbe = 2
-    val e = withNorm(s, dir)
+    val e = withNorm(vecs)
     val cents = e.filter(pmod($"vec_id" * 7, lit(101)) < nCentroids)
       .orderBy($"vec_id").limit(nCentroids)
       .select($"vec_id".as("c_id"), $"v".as("cv"), $"n".as("cn"))
@@ -147,9 +147,9 @@ object Similarity {
     * per-iteration driver traffic is k centroids, so the same loop
     * runs unchanged on 10⁹ rows. Deterministic init (lowest vec_ids).
     * Returns (vec_id, cell) assignments. */
-  def kmeans(s: SparkSession, dir: String, k: Int = 8, iters: Int = 3): DataFrame = {
-    import s.implicits._
-    val e = Tables.embeddings(s, dir)
+  def kmeans(vecs: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = vecs
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     var centroids: Array[(Int, Array[Double])] = e.orderBy($"vec_id").limit(k)
       .collect().zipWithIndex
@@ -186,11 +186,14 @@ object Similarity {
     least(scored: _*).getField("id")
   }
 
+  private def onVecs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_bruteforce" -> bruteforce,
-    "ann_lsh" -> annLsh,
-    "ann_ivf" -> annIvf,
-    "kmeans_assign" -> ((s, dir) => kmeans(s, dir)))
+    "ann_bruteforce" -> onVecs(bruteforce),
+    "ann_lsh" -> onVecs(annLsh),
+    "ann_ivf" -> onVecs(annIvf),
+    "kmeans_assign" -> onVecs(v => kmeans(v)))
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" ->

@@ -21,9 +21,9 @@ object TextAnalysis {
 
   /** F1 token counting: whitespace tokens + a BPE-ish word/punct
     * regex count. */
-  def tokenCounts(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id",
         size(tokens($"text")).cast("long").as("n_ws_tokens"),
         size(expr("regexp_extract_all(text, '\\\\w+|[^\\\\w\\\\s]', 0)"))
@@ -37,10 +37,10 @@ object TextAnalysis {
     * composite score are integer parts-per-million (floor division on
     * BIGINT), so the result is bit-exact across engines — no float
     * rounding ties. */
-  def quality(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def quality(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val sw = Stopwords.mkString("|")
-    Tables.documents(s, dir)
+    docs
       .withColumn("n_tok", size(tokens($"text")).cast("long"))
       .withColumn("n_chars_d", greatest(length($"text").cast("long"), lit(1L)))
       .withColumn("n_punct",
@@ -59,14 +59,14 @@ object TextAnalysis {
 
   /** F3 language-ID by marker-word profiles (n-gram-heuristic family):
     * per-language marker counts, argmax with fixed precedence. */
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def langId(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val markers = Map(
       "en" -> "the|a|of",
       "es" -> "la|el|los|de",
       "fr" -> "le|la|les|des",
       "de" -> "der|die|das|und")
-    val scored = markers.foldLeft(Tables.documents(s, dir)) {
+    val scored = markers.foldLeft(docs) {
       case (df, (lang, pat)) => df.withColumn(s"s_$lang",
         size(expr(s"regexp_extract_all(text, '\\\\b($pat)\\\\b', 0)")).cast("long"))
     }
@@ -85,9 +85,9 @@ object TextAnalysis {
 
   /** F4 document fingerprinting: md5 of normalized text (stable
     * content address) + coarse length bucket. */
-  def fingerprint(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  def fingerprint(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id",
         substring(md5(lower(trim(regexp_replace($"text", "\\s+", " ")))), 1, 16)
           .as("fp16"),
@@ -97,9 +97,9 @@ object TextAnalysis {
 
   /** F5 corpus n-gram profile: top-20 word bigrams (count desc,
     * bigram asc) — partial-aggregated explode, one shuffle. */
-  def ngramProfile(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  def ngramProfile(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select(split(trim($"text"), "\\s+").as("w"))
       .filter(size($"w") >= 2)
       .select(explode(expr(
@@ -116,10 +116,9 @@ object TextAnalysis {
     * dependent so no SQL oracle; ranked output is spec-checked).
     * Inverted-index shape: one explode, two hash aggregates, one
     * broadcast join of the tiny df table — no cross-product. */
-  def tfidf(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def tfidf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
     val n = docs.count()
     val terms = docs
       .select($"doc_id", explode(tokens($"text")).as("term"))
@@ -136,13 +135,16 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
+  private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_tfidf" -> tfidf,
-    "text_tokens" -> tokenCounts,
-    "text_quality" -> quality,
-    "text_langid" -> langId,
-    "text_fingerprint" -> fingerprint,
-    "text_ngram_profile" -> ngramProfile)
+    "text_tfidf" -> onDocs(tfidf),
+    "text_tokens" -> onDocs(tokenCounts),
+    "text_quality" -> onDocs(quality),
+    "text_langid" -> onDocs(langId),
+    "text_fingerprint" -> onDocs(fingerprint),
+    "text_ngram_profile" -> onDocs(ngramProfile))
 
   val oracles: Map[String, String] = Map(
     "text_tokens" ->

@@ -2,7 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
 
 /** Property checks for the approximate dedup/ANN operators whose
   * results have no SQL oracle (SURVEY.md §6). */
@@ -15,8 +16,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
   test("minhash LSH finds the high-jaccard pairs (recall at 0.5 threshold)") {
-    val exact = pairSet(Dedup.ngramJaccard(spark, sf))
-    val lsh = pairSet(Dedup.minhashLsh(spark, sf))
+    val exact = pairSet(Dedup.ngramJaccard(Tables.documents(spark, sf)))
+    val lsh = pairSet(Dedup.minhashLsh(Tables.documents(spark, sf)))
     // LSH output is verified, so it's a subset of the exact pairs…
     assert(lsh.subsetOf(exact))
     // …and with 8 bands × 4 rows at j≥0.5 collision prob per pair is
@@ -28,22 +29,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("simhash: near-identical docs collide at small hamming distance") {
-    val nearDup = pairSet(Dedup.ngramJaccard(spark, sf)
+    val nearDup = pairSet(Dedup.ngramJaccard(Tables.documents(spark, sf))
       .filter(col("jaccard") >= 0.95))
-    val sim = pairSet(Dedup.simhash(spark, sf))
+    val sim = pairSet(Dedup.simhash(Tables.documents(spark, sf)))
     // every ~identical text pair must be a simhash pair too
     nearDup.foreach(p => assert(sim.contains(p), s"missing $p"))
   }
 
   test("simhash pairs respect the hamming threshold") {
-    val bad = Dedup.simhash(spark, sf).filter(col("hamming") > 7)
+    val bad = Dedup.simhash(Tables.documents(spark, sf)).filter(col("hamming") > 7)
     assert(bad.count() == 0)
   }
 
   test("ann_lsh recall vs brute force is nontrivial and candidates are bounded") {
-    val exact = Similarity.bruteforce(spark, sf)
+    val exact = Similarity.bruteforce(Tables.embeddings(spark, sf))
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.annLsh(spark, sf)
+    val approx = Similarity.annLsh(Tables.embeddings(spark, sf))
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = if (exact.isEmpty) 1.0
       else exact.count(approx.contains).toDouble / exact.size
@@ -54,23 +55,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("ann_ivf returns top-k per query from probed cells") {
-    val df = Similarity.annIvf(spark, sf)
+    val df = Similarity.annIvf(Tables.embeddings(spark, sf))
     assert(df.groupBy("q_id").count().filter(col("count") > 3).count() == 0)
     assert(df.count() > 0)
   }
 
   test("kmeans assigns every vector, deterministically, into <= k cells") {
     import spark.implicits._
-    val e = graft.sources.Tables.embeddings(spark, sf)
-    val a3 = Similarity.kmeans(spark, sf, k = 8, iters = 3)
+    val e = Tables.embeddings(spark, sf)
+    val a3 = Similarity.kmeans(Tables.embeddings(spark, sf), k = 8, iters = 3)
     assert(a3.count() == e.count())
     assert(a3.select("cell").distinct().count() <= 8)
-    assert(a3.collect().toSeq == Similarity.kmeans(spark, sf, 8, 3).collect().toSeq)
+    assert(a3.collect().toSeq == Similarity.kmeans(Tables.embeddings(spark, sf), 8, 3).collect().toSeq)
   }
 
   test("tfidf ranks rare terms above ubiquitous ones") {
     import spark.implicits._
-    val out = graft.operators.TextAnalysis.tfidf(spark, sf)
+    val out = TextAnalysis.tfidf(Tables.documents(spark, sf))
     assert(out.groupBy("doc_id").count().filter($"count" > 3).count() == 0)
     // a term present in EVERY doc has idf=0 → can never be a top term
     // unless everything ties at 0; require positive top-1 scores
@@ -78,7 +79,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("dedup_embedding is symmetric-free and thresholded") {
-    val df = Dedup.embeddingCosine(spark, sf)
+    val df = Dedup.embeddingCosine(Tables.embeddings(spark, sf))
     assert(df.filter(col("vec_a") >= col("vec_b")).count() == 0)
     assert(df.filter(col("cos") < 0.5).count() == 0)
   }

@@ -128,7 +128,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed.forall(r => !r.is_current && r.valid_to_us.isDefined))
       assert(closed(0).valid_to_us.get == closed(1).valid_from_us)
       // batch twin agreement on the closing timestamps
-      val batch = graft.operators.Cdc.scd2(spark, GraftTestSession.sf)
+      val batch = graft.operators.Cdc.scd2(graft.sources.Tables.events(spark, GraftTestSession.sf))
       assert(batch.columns.toSeq ==
         Seq("user_id", "event_id", "valid_from_us", "valid_to_us", "is_current"))
     } finally q.stop()
@@ -154,7 +154,7 @@ class StreamingSpec extends AnyFunSuite {
       in.addData(second.toSeq); q.processAllAvailable()
       val streamed = spark.table("cdc_state_full").as[UserState].collect()
         .groupBy(_.user_id).map { case (_, v) => v.maxBy(s => (s.last_ts.getTime, s.last_event_id)) }
-      val batch = graft.operators.Cdc.latestState(spark, GraftTestSession.sf)
+      val batch = graft.operators.Cdc.latestState(graft.sources.Tables.events(spark, GraftTestSession.sf))
         .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_ts_us"))).toMap
       streamed.foreach { st =>
         assert(batch(st.user_id) == st.last_ts.getTime * 1000 +
