@@ -87,6 +87,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C7 watermark drops data later than the bound (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = CdcStream.hourlyCounts(events)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm_out").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      in.addData((t(10, 5), "click", 1.0), (t(10, 10), "click", 2.0))
+      q.processAllAvailable()
+      // advance event time far enough (watermark = max - 2h) to close 10:00
+      in.addData((t(13, 30), "view", 9.0))
+      q.processAllAvailable()
+      // now a straggler inside the already-closed 10:00 window: must be dropped
+      in.addData((t(10, 20), "click", 99.0))
+      q.processAllAvailable()
+      // and one more advance so everything finalizable is emitted
+      in.addData((t(16, 0), "view", 1.0))
+      q.processAllAvailable()
+      val h10 = spark.table("wm_out")
+        .filter($"event_type" === "click")
+        .collect().map(r => (r.getLong(2), r.getDouble(3)))
+      // the 10:00 click window finalized with the 2 on-time rows only
+      assert(h10.toSeq == Seq((2L, 3.0)), h10.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("C12 stream-static enrichment joins a dim onto a change stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
