@@ -120,6 +120,24 @@ object Cdc {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Generic CDC apply for arbitrary change feeds (Debezium-style):
+    * given a frame with key / ordering / op columns, materialize the
+    * latest surviving row per key (tombstones excluded). `ordering`
+    * may be several columns (e.g. ts + lsn) for total order; all other
+    * columns pass through. This is the library entry point — the
+    * `events`-schema ops above are its specialization to the test
+    * corpus. */
+  def applyChanges(changes: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[org.apache.spark.sql.Column], opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(_.desc): _*)
+    changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= deleteOp)
+      .drop("__rn")
+  }
+
   private def onEvents(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.events(s, dir))
 

@@ -75,9 +75,13 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
       .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
-      .withColumn("jac", $"inter" / ($"sz_a" + $"sz_b" - $"inter"))
+      .withColumn("jac",
+        $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter").cast("double"))
       .filter($"jac" >= t)
-      .select($"doc_a", $"doc_b", round($"jac", 6).as("jaccard"))
+      // raw quotient: both engines divide the same exact integers, so
+      // the doubles are bit-identical — rounding would only reintroduce
+      // engine-specific decimal-tie behavior
+      .select($"doc_a", $"doc_b", $"jac".as("jaccard"))
   }
 
   /** D1 exact dedup by normalized-text hash: keeper = min doc_id per
@@ -239,11 +243,11 @@ object Dedup {
          |  WHERE a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
-         |  round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+         |  i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard
          |FROM inter
          |JOIN sizes sa ON doc_a = sa.doc_id
          |JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= $JaccardT
+         |WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $JaccardT
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (

@@ -19,6 +19,16 @@ import graft.sources.Tables
   */
 object Relational {
 
+  /** Σ price·(1−disc) in exact integer cent·percent units: inputs are
+    * 2-decimal, so round(×100) is an exact integer and the whole sum
+    * is BIGINT-exact; the single final division by 10⁴ is one IEEE op
+    * on identical values in both engines — no rounding, no decimal
+    * ties. (At >10¹⁰-row scale switch the sum to decimal(38,0).) */
+  private val revenueCp = expr(
+    "sum(cast(round(l_extendedprice * 100) as bigint) * " +
+      "(100 - cast(round(l_discount * 100) as bigint)))")
+  private def revenueExact = (revenueCp.cast("double") / 10000.0)
+
   /** A1 melt/unpivot wide→long — ipynb cells 1-2 (`table2.melt(...)`). */
   def melt(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -94,12 +104,13 @@ object Relational {
       .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
       .join(nation, $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name", year($"l_shipdate").cast("long").as("yr"))
-      .agg(round(lit(100.0) * avg(lit(1.0) - $"l_discount"), 6).as("price_index"))
+      .agg((expr("sum(100 - cast(round(l_discount * 100) as bigint))")
+        .cast("double") / expr("count(1)").cast("double")).as("price_index"))
     nominal.join(index, Seq("n_name", "yr"))
       .na.drop(Seq("nominal_value", "price_index"))
       .filter($"yr" >= 1995 && $"yr" <= 2000)
       .withColumn("real_value",
-        round($"nominal_value" * lit(100.0) / $"price_index", 2))
+        $"nominal_value" * lit(100.0) / $"price_index")
       .orderBy($"n_name", $"yr")
   }
 
@@ -127,8 +138,9 @@ object Relational {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
-        round(avg($"l_discount"), 6).as("avg_disc"),
+        revenueExact.as("revenue"),
+        (expr("sum(cast(round(l_discount * 100) as bigint))").cast("double")
+          / (expr("count(1)") * 100).cast("double")).as("avg_disc"),
         count(lit(1)).as("n_rows"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -143,8 +155,7 @@ object Relational {
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
       .groupBy($"o_orderkey")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
-        .as("revenue"))
+      .agg(revenueExact.as("revenue"))
       .orderBy($"revenue".desc, $"o_orderkey")
       .limit(10)
   }
@@ -242,6 +253,42 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** A20 six-table join (TPC-H Q5 shape): revenue by nation where the
+    * supplier and customer share a nation — the classic join-order +
+    * broadcast planning stress. All four dims broadcast; the single
+    * shuffle pair is lineitem⋈orders. */
+  def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nation = broadcast(Tables.nation(s, dir))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" === $"s_nationkey")
+      .join(nation, $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .filter(year($"o_orderdate") === 1997)
+      .groupBy($"r_name", $"n_name")
+      .agg(revenueExact.as("revenue"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** A21 returned-items report (TPC-H Q10 shape): top-20 customers by
+    * revenue lost to returns in a quarter. */
+  def returnedItems(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .join(Tables.orders(s, dir)
+        .filter(year($"o_orderdate") === 1998), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(revenueExact.as("lost_revenue"))
+      .orderBy($"lost_revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
   /** A13 semi join (EXISTS): customers that placed urgent orders —
     * left_semi keeps the probe side only, no row multiplication. */
   def semiJoin(s: SparkSession, dir: String): DataFrame = {
@@ -307,6 +354,8 @@ object Relational {
     "q_json_parse" -> jsonParse,
     "q_ntile_rank" -> ntileRank,
     "q_above_avg" -> aboveAvg,
+    "q_local_supplier" -> localSupplierVolume,
+    "q_returned_items" -> returnedItems,
     "q_clean_real" -> cleanReal,
     "q_coerce" -> coerce,
     "q_agg" -> agg,
@@ -317,6 +366,27 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    "q_local_supplier" ->
+      """SELECT r_name, n_name,
+        |  sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT))::BIGINT::DOUBLE / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE c_nationkey = s_nationkey AND year(o_orderdate) = 1997
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT))::BIGINT::DOUBLE / 10000.0 AS lost_revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R' AND year(o_orderdate) = 1998
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_json_parse" ->
       """SELECT event_id,
         |  nullif(regexp_extract(props, '"k": (\d+)', 1), '')::BIGINT AS k_json,
@@ -411,13 +481,14 @@ object Relational {
         |  GROUP BY 1, 2),
         |idx AS (
         |  SELECT n_name, year(l_shipdate)::BIGINT AS yr,
-        |         round(100.0 * avg(1.0 - l_discount), 6) AS price_index
+        |         sum(100 - round(l_discount * 100)::BIGINT)::BIGINT::DOUBLE
+        |           / count(*)::DOUBLE AS price_index
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  GROUP BY 1, 2)
         |SELECT n.n_name, n.yr, n.nominal_value, i.price_index,
-        |       round(n.nominal_value * 100.0 / i.price_index, 2) AS real_value
+        |       n.nominal_value * 100.0 / i.price_index AS real_value
         |FROM nominal n JOIN idx i ON n.n_name = i.n_name AND n.yr = i.yr
         |WHERE n.nominal_value IS NOT NULL AND i.price_index IS NOT NULL
         |  AND n.yr BETWEEN 1995 AND 2000
@@ -431,14 +502,15 @@ object Relational {
     "q_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT))::BIGINT::DOUBLE / 10000.0 AS revenue,
+        |  sum(round(l_discount * 100)::BIGINT)::BIGINT::DOUBLE
+        |    / (count(*) * 100)::DOUBLE AS avg_disc,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_agg" ->
       """SELECT o_orderkey,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT))::BIGINT::DOUBLE / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

@@ -36,6 +36,20 @@ class SkewStreamSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("generic applyChanges materializes latest non-deleted row per key") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 1L, "c", 10.0), (1L, 3L, "u", 11.0), (1L, 2L, "u", 99.0),
+      (2L, 1L, "c", 20.0), (2L, 2L, "d", 0.0),
+      (3L, 5L, "c", 30.0)
+    ).toDF("id", "lsn", "op", "v")
+    val got = graft.operators.Cdc.applyChanges(
+      changes, Seq("id"), Seq($"lsn"), "op", deleteOp = "d")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 3L, 11.0), (3L, 5L, 30.0)))
+  }
+
   test("C9 dedupStream drops cross-batch duplicates within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
