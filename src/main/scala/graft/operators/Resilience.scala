@@ -20,10 +20,16 @@ import graft.sources.Tables
   */
 object Resilience {
 
-  private val BaseYr = 1998
-  private val ShockYr = 1999
+  private val BaseYr = 1998L
+  private val ShockYr = 1999L
 
-  /** Yearly revenue per nation — shared shape for B1/B2/B4/B5/B10.
+  /** Generic series contract: metrics run on ANY long table of
+    * (group, period, value) — exactly the reference's
+    * (Industry, Year, Real_Value) frame (resilience.py:30
+    * `df.groupby("Industry")` over clean_va_price.csv). Column names
+    * are parameters so callers keep their own schema. */
+
+  /** Yearly revenue per nation — the test-corpus series for B1-B5/B10.
     * Dim joins broadcast; one shuffle on (n_name, yr). */
   private def yearlyRev(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -34,44 +40,55 @@ object Resilience {
       .agg(sum($"o_totalprice").as("rev"))
   }
 
-  /** B1 drawdown between baseline and shock year — resilience.py:29-44
+  private def series(s: SparkSession, dir: String): Series =
+    Series(yearlyRev(s, dir), "n_name", "yr", "rev")
+
+  /** A (group, period, value) long table with named columns. */
+  case class Series(df: DataFrame, grp: String, period: String, value: String)
+
+  /** B1 drawdown between baseline and shock period — resilience.py:29-44
     * (`(val2020 - val2019) / val2019`), via conditional aggregation
     * (one pass, no per-group driver loop). */
-  def drawdown(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    yearlyRev(s, dir)
-      .groupBy($"n_name")
+  def drawdownOn(ss: Series, basePeriod: Long, shockPeriod: Long): DataFrame = {
+    val p = col(ss.period); val v = col(ss.value)
+    ss.df.groupBy(col(ss.grp))
       .agg(round(
-        (sum(when($"yr" === ShockYr, $"rev")) - sum(when($"yr" === BaseYr, $"rev")))
-          / sum(when($"yr" === BaseYr, $"rev")), 6).as("drawdown"))
-      .orderBy($"n_name")
+        (sum(when(p === shockPeriod, v)) - sum(when(p === basePeriod, v)))
+          / sum(when(p === basePeriod, v)), 6).as("drawdown"))
+      .orderBy(col(ss.grp))
   }
 
-  /** B2 recovery years — resilience.py:50-70: first year after baseline
-    * whose value >= baseline value; null when never recovered (the
-    * reference's `recovery = None`). Groups missing the baseline year
-    * are dropped (the reference's IndexError→continue). */
-  def recovery(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val rev = yearlyRev(s, dir)
-    val base = rev.filter($"yr" === BaseYr)
-      .select($"n_name", $"rev".as("v0"))
-    val rec = rev.join(base, "n_name")
-      .filter($"yr" > BaseYr && $"rev" >= $"v0")
-      .groupBy($"n_name")
-      .agg(min($"yr" - BaseYr).as("recovered_years"))
-    base.select($"n_name")
-      .join(rec, Seq("n_name"), "left")
-      .orderBy($"n_name")
+  /** B2 recovery periods — resilience.py:50-70: first period after the
+    * baseline whose value >= baseline value; null when never recovered
+    * (the reference's `recovery = None`). Groups missing the baseline
+    * period are dropped (the reference's IndexError→continue). */
+  def recoveryOn(ss: Series, basePeriod: Long): DataFrame = {
+    val p = col(ss.period); val v = col(ss.value)
+    val base = ss.df.filter(p === basePeriod)
+      .select(col(ss.grp), v.as("v0"))
+    val rec = ss.df.join(base, ss.grp)
+      .filter(p > basePeriod && v >= col("v0"))
+      .groupBy(col(ss.grp))
+      .agg(min(p - basePeriod).as("recovered_years"))
+    base.select(col(ss.grp))
+      .join(rec, Seq(ss.grp), "left")
+      .orderBy(col(ss.grp))
   }
 
-  /** B3 combined metric table — resilience.py:76 outer merge of
-    * drawdown and recovery. */
-  def resilienceJoin(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    drawdown(s, dir).join(recovery(s, dir), Seq("n_name"), "full_outer")
-      .orderBy($"n_name")
-  }
+  /** B3 combined metric table — resilience.py:76 outer merge. */
+  def resilienceOn(ss: Series, basePeriod: Long, shockPeriod: Long): DataFrame =
+    drawdownOn(ss, basePeriod, shockPeriod)
+      .join(recoveryOn(ss, basePeriod), Seq(ss.grp), "full_outer")
+      .orderBy(col(ss.grp))
+
+  def drawdown(s: SparkSession, dir: String): DataFrame =
+    drawdownOn(series(s, dir), BaseYr, ShockYr)
+
+  def recovery(s: SparkSession, dir: String): DataFrame =
+    recoveryOn(series(s, dir), BaseYr)
+
+  def resilienceJoin(s: SparkSession, dir: String): DataFrame =
+    resilienceOn(series(s, dir), BaseYr, ShockYr)
 
   /** Integer-exact OLS over cent-quantized yearly revenue: x = yr−1998
     * (small int), yc = revenue in integer cents. Every regression sum
@@ -79,12 +96,13 @@ object Resilience {
     * identical integers in both engines, and one IEEE double division
     * is bit-deterministic — no rounding, no decimal-tie flakes, stable
     * under any partitioning. Output unit: $M/yr (cents / 1e8). */
-  private def fitAggs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    yearlyRev(s, dir)
-      .select($"n_name", ($"yr" - 1998).as("x"),
-        round($"rev" * 100).cast("long").as("yc"))
-      .groupBy($"n_name")
+  def fitAggsOn(ss: Series, basePeriod: Long): DataFrame = {
+    val s0 = ss.df.sparkSession
+    import s0.implicits._
+    ss.df
+      .select(col(ss.grp), (col(ss.period) - basePeriod).as("x"),
+        round(col(ss.value) * 100).cast("long").as("yc"))
+      .groupBy(col(ss.grp))
       .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
         sum($"x" * $"x").as("sxx"), sum($"yc").as("sy"),
         sum($"x" * $"yc").as("sxy"))
@@ -99,33 +117,44 @@ object Resilience {
 
   /** B4 per-group linear trend — README shock simulator's "based on
     * past trends": closed-form OLS slope/intercept of yearly revenue. */
-  def trend(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    fitAggs(s, dir)
-      .select($"n_name", $"slope_m", $"icept_m".as("intercept_m"),
+  def trendOn(ss: Series, basePeriod: Long): DataFrame = {
+    val s0 = ss.df.sparkSession
+    import s0.implicits._
+    fitAggsOn(ss, basePeriod)
+      .select(col(ss.grp), $"slope_m", $"icept_m".as("intercept_m"),
         $"n".as("n_years"))
-      .orderBy($"n_name")
+      .orderBy(col(ss.grp))
   }
+
+  def trend(s: SparkSession, dir: String): DataFrame =
+    trendOn(series(s, dir), BaseYr)
 
   /** B5 shock simulation — README: "input a shock percentage to
     * simulate future downturns, with forecasts and recovery paths":
     * project next year from the trend, apply a 30% shock, and compute
     * years-to-recover along the trend slope. */
-  def shockSim(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // projection year 2002 → centered x = 4; all inputs are the
-    // bit-deterministic doubles from fitAggs, so every derived value
-    // (same IEEE op sequence in the oracle) compares exactly.
-    fitAggs(s, dir)
-      .withColumn("projected_m", $"icept_m" + $"slope_m" * 4)
+  /** Generic: README's "input a shock percentage": caller chooses
+    * the shock fraction and projection offset. */
+  def shockSimOn(ss: Series, basePeriod: Long, projectOffset: Int,
+      shock: Double): DataFrame = {
+    val s0 = ss.df.sparkSession
+    import s0.implicits._
+    // all inputs are the bit-deterministic doubles from fitAggsOn, so
+    // every derived value (same IEEE op sequence in the oracle)
+    // compares exactly.
+    fitAggsOn(ss, basePeriod)
+      .withColumn("projected_m", $"icept_m" + $"slope_m" * projectOffset)
       .select(
-        $"n_name", $"projected_m",
-        ($"projected_m" * 0.7).as("shocked_m"),
+        col(ss.grp), $"projected_m",
+        ($"projected_m" * (1 - shock)).as("shocked_m"),
         when($"slope_m" > 0,
-          ceil($"projected_m" * 0.3 / $"slope_m").cast("long"))
+          ceil($"projected_m" * shock / $"slope_m").cast("long"))
           .as("years_to_recover"))
-      .orderBy($"n_name")
+      .orderBy(col(ss.grp))
   }
+
+  def shockSim(s: SparkSession, dir: String): DataFrame =
+    shockSimOn(series(s, dir), BaseYr, projectOffset = 4, shock = 0.30)
 
   /** B6 rank-per-group: latest order per customer — the reference's
     * per-group head() pattern (app top-10s), as one window pass. */
@@ -176,18 +205,30 @@ object Resilience {
 
   /** B10 year-over-year growth per group — the drawdown generalized to
     * every consecutive year pair. */
-  def yoyGrowth(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val w = Window.partitionBy($"n_name").orderBy($"yr")
-    yearlyRev(s, dir)
-      .withColumn("prev", lag($"rev", 1).over(w))
-      .select($"n_name", $"yr",
-        round(($"rev" - $"prev") / $"prev", 6).as("yoy_growth"))
-      .orderBy($"n_name", $"yr")
+  def yoyGrowthOn(ss: Series): DataFrame = {
+    val w = Window.partitionBy(col(ss.grp)).orderBy(col(ss.period))
+    val v = col(ss.value)
+    ss.df
+      .withColumn("prev", lag(v, 1).over(w))
+      .select(col(ss.grp), col(ss.period),
+        round((v - col("prev")) / col("prev"), 6).as("yoy_growth"))
+      .orderBy(col(ss.grp), col(ss.period))
   }
+
+  def yoyGrowth(s: SparkSession, dir: String): DataFrame =
+    yoyGrowthOn(series(s, dir))
 
   /** B11 worst-hit top-10 — streamlit_app.py:18
     * (`df.sort_values("Drawdown_2020").head(10)`). */
+  def worstDrawdownOn(ss: Series, basePeriod: Long, shockPeriod: Long): DataFrame = {
+    val s0 = ss.df.sparkSession
+    import s0.implicits._
+    drawdownOn(ss, basePeriod, shockPeriod)
+      .filter($"drawdown".isNotNull)
+      .orderBy($"drawdown".asc, col(ss.grp))
+      .limit(10)
+  }
+
   def worstDrawdown(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     drawdown(s, dir)
