@@ -331,6 +331,21 @@ object Relational {
       .orderBy($"lvl", $"returnflag", $"linestatus")
   }
 
+  /** A22 cube: all grouping-set combinations with markers (the rollup
+    * generalized to every subset). */
+  def cube2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(round(sum($"o_totalprice"), 2).as("total"),
+        count(lit(1)).as("n"),
+        grouping_id($"o_orderstatus", $"o_orderpriority").cast("long").as("lvl"))
+      .select(coalesce($"o_orderstatus", lit("(all)")).as("status"),
+        coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+        $"total", $"n", $"lvl")
+      .orderBy($"lvl", $"status", $"priority")
+  }
+
   /** A16 set operations: EXCEPT/INTERSECT with distinct semantics. */
   def setOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -356,6 +371,7 @@ object Relational {
     "q_above_avg" -> aboveAvg,
     "q_local_supplier" -> localSupplierVolume,
     "q_returned_items" -> returnedItems,
+    "q_cube" -> cube2,
     "q_clean_real" -> cleanReal,
     "q_coerce" -> coerce,
     "q_agg" -> agg,
@@ -366,6 +382,15 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  round(sum(o_totalprice), 2) AS total, count(*) AS n,
+        |  (CASE WHEN GROUPING(o_orderstatus) = 1 THEN 2 ELSE 0 END
+        |   + CASE WHEN GROUPING(o_orderpriority) = 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS lvl
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY lvl, status, priority""".stripMargin,
     "q_local_supplier" ->
       """SELECT r_name, n_name,
         |  sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT))::BIGINT::DOUBLE / 10000.0 AS revenue

@@ -172,36 +172,45 @@ object Resilience {
   }
 
   /** B7 cumulative sum over event time per key. */
-  def runningSum(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def runningSumOn(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, dir)
+    events
       .select($"user_id", $"event_id",
         round(sum($"value").over(w), 2).as("running_value"))
       .orderBy($"user_id", $"event_id")
   }
 
+  def runningSum(s: SparkSession, dir: String): DataFrame =
+    runningSumOn(Tables.events(s, dir))
+
   /** B8 sliding moving average (4-row window). */
-  def movingAvg(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def movingAvgOn(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(-3, Window.currentRow)
-    Tables.events(s, dir)
+    events
       .select($"user_id", $"event_id",
         round(avg($"value").over(w), 4).as("moving_avg"))
       .orderBy($"user_id", $"event_id")
   }
 
+  def movingAvg(s: SparkSession, dir: String): DataFrame =
+    movingAvgOn(Tables.events(s, dir))
+
   /** B9 lag delta (period-over-period change per key). */
-  def lagDelta(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def lagDeltaOn(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables.events(s, dir)
+    events
       .select($"user_id", $"event_id",
         round($"value" - lag($"value", 1).over(w), 2).as("delta"))
       .orderBy($"user_id", $"event_id")
   }
+
+  def lagDelta(s: SparkSession, dir: String): DataFrame =
+    lagDeltaOn(Tables.events(s, dir))
 
   /** B10 year-over-year growth per group — the drawdown generalized to
     * every consecutive year pair. */

@@ -34,6 +34,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("end-to-end file->transform->parquet-sink streaming pipeline") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val batch = graft.sources.Tables.events(spark, GraftTestSession.sf)
+      .select($"ts", $"event_type", $"value")
+    batch.write.mode("overwrite").parquet(s"$base/in")
+    val q = CdcStream.hourlyCounts(
+        spark.readStream.schema(batch.schema).parquet(s"$base/in"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-finalized windows; the last
+      // 2h of event time stays open, everything earlier must be there
+      val out = spark.read.parquet(s"$base/out")
+      assert(out.count() > 0)
+      assert(out.columns.toSeq ==
+        Seq("hour_us", "event_type", "n", "sum_value"))
+      // restart from the checkpoint: no reprocessing, no duplicates
+      val n1 = out.count()
+      val q2 = CdcStream.hourlyCounts(
+          spark.readStream.schema(batch.schema).parquet(s"$base/in"))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+      assert(spark.read.parquet(s"$base/out").count() == n1,
+        "checkpoint restart must not duplicate output")
+    } finally q.stop()
+  }
+
   test("C6 latest-state store applies upserts and tombstones across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
