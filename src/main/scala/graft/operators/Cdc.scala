@@ -120,6 +120,25 @@ object Cdc {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** C14 session attribution through the custom range-join operator
+    * (graft.plans.RangeJoin — LogicalPlan/Strategy/Exec): every event
+    * finds the session interval containing its timestamp, then keeps
+    * its own user's session. The oracle replays it as a plain BETWEEN
+    * join, proving the custom physical operator's results. */
+  def sessionAttrib(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events.select($"user_id", $"event_id",
+      unix_micros($"ts").as("p_us"))
+    val sess = sessionize(events)
+      .select($"user_id".as("s_user"), $"session_seq",
+        $"start_us", $"end_us")
+    graft.plans.RangeJoin.join(pts, sess,
+        pts("p_us"), sess("start_us"), sess("end_us"))
+      .filter($"user_id" === $"s_user")
+      .select($"event_id", $"session_seq", $"start_us")
+      .orderBy($"event_id")
+  }
+
   /** Generic CDC apply for arbitrary change feeds (Debezium-style):
     * given a frame with key / ordering / op columns, materialize the
     * latest surviving row per key (tombstones excluded). `ordering`
@@ -142,6 +161,7 @@ object Cdc {
     (s, dir) => f(Tables.events(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_session_attrib" -> onEvents(sessionAttrib),
     "cdc_asof_join" -> onEvents(asofJoin),
     "cdc_latest_state" -> onEvents(latestState),
     "cdc_apply_deletes" -> onEvents(applyDeletes),
@@ -150,6 +170,31 @@ object Cdc {
     "cdc_sessionize" -> onEvents(sessionize))
 
   val oracles: Map[String, String] = Map(
+    "cdc_session_attrib" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM t),
+        |seq AS (
+        |  SELECT *, sum(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS session_seq
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, session_seq,
+        |    min(us) AS start_us, max(us) AS end_us
+        |  FROM seq GROUP BY 1, 2)
+        |SELECT e.event_id, s.session_seq, s.start_us
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) e
+        |JOIN sess s ON s.user_id = e.user_id
+        |  AND e.us BETWEEN s.start_us AND s.end_us
+        |ORDER BY e.event_id""".stripMargin,
     "cdc_asof_join" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |  round(value, 2) AS value,
