@@ -135,10 +135,45 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** F7 deterministic train/val/test split by key modulus — the
+    * reproducible-split contract a training pipeline needs (stable
+    * across runs, engines, and cluster sizes; no RNG). 80/10/10. */
+  def splitAssign(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+      when(pmod($"doc_id", lit(10L)) < 8, "train")
+        .when(pmod($"doc_id", lit(10L)) < 9, "val")
+        .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  /** F8 column profiler: per-column row/null/distinct counts over the
+    * documents table — the schema-quality report that gates ingest. */
+  def profile(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val per = cols.map { c =>
+      docs.select(
+        lit(c).as("column_name"),
+        count(lit(1)).as("n_rows"),
+        count(lit(1)).minus(count(col(c))).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"))
+    }
+    per.reduce(_.unionByName(_)).orderBy($"column_name")
+  }
+
+  /** Stratified sample with per-stratum fractions (seeded, spec-tested;
+    * sampling RNGs are engine-specific so there is no SQL oracle). */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+      fractions: Map[String, Double], seed: Long): DataFrame =
+    docs.stat.sampleBy(strataCol, fractions, seed)
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_split_assign" -> onDocs(splitAssign),
+    "text_profile" -> onDocs(profile),
     "text_tfidf" -> onDocs(tfidf),
     "text_tokens" -> onDocs(tokenCounts),
     "text_quality" -> onDocs(quality),
@@ -147,6 +182,25 @@ object TextAnalysis {
     "text_ngram_profile" -> onDocs(ngramProfile))
 
   val oracles: Map[String, String] = Map(
+    "text_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |       WHEN doc_id % 10 < 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_profile" ->
+      """SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(doc_id) AS n_null,
+        |  count(DISTINCT doc_id) AS n_distinct FROM documents
+        |UNION ALL SELECT 'text', count(*), count(*) - count(text),
+        |  count(DISTINCT text) FROM documents
+        |UNION ALL SELECT 'lang', count(*), count(*) - count(lang),
+        |  count(DISTINCT lang) FROM documents
+        |UNION ALL SELECT 'source', count(*), count(*) - count(source),
+        |  count(DISTINCT source) FROM documents
+        |UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars),
+        |  count(DISTINCT n_chars) FROM documents
+        |ORDER BY column_name""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_ws_tokens,

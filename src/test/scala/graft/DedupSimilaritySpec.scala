@@ -78,6 +78,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.filter($"rank" === 1 && $"score" <= 0).count() == 0)
   }
 
+  test("stratified sampling is seed-deterministic and respects strata") {
+    val docs = Tables.documents(spark, sf)
+    val fr = Map("en" -> 0.5, "fr" -> 0.1, "es" -> 0.0,
+      "de" -> 1.0, "zh" -> 0.2)
+    val a = TextAnalysis.stratifiedSample(docs, "lang", fr, seed = 7L)
+    val b = TextAnalysis.stratifiedSample(docs, "lang", fr, seed = 7L)
+    assert(a.select("doc_id").collect().toSeq ==
+      b.select("doc_id").collect().toSeq) // same seed → same sample
+    val counts = a.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("es"))                  // fraction 0 → none
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("de") == total("de"))             // fraction 1 → all
+  }
+
   test("dedup_embedding is symmetric-free and thresholded") {
     val df = Dedup.embeddingCosine(Tables.embeddings(spark, sf))
     assert(df.filter(col("vec_a") >= col("vec_b")).count() == 0)
