@@ -120,6 +120,18 @@ object Cdc {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** C15 day-of-week activity histogram (calendar bucketing; careful
+    * cross-engine: Spark dayofweek is 1=Sunday, DuckDB dayofweek is
+    * 0=Sunday — normalized to ISO 1=Monday..7=Sunday on both sides). */
+  def dowHistogram(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy(expr("(((dayofweek(ts) + 5) % 7) + 1)").cast("long").as("iso_dow"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"iso_dow", $"event_type")
+  }
+
   /** C14 session attribution through the custom range-join operator
     * (graft.plans.RangeJoin — LogicalPlan/Strategy/Exec): every event
     * finds the session interval containing its timestamp, then keeps
@@ -162,6 +174,7 @@ object Cdc {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_session_attrib" -> onEvents(sessionAttrib),
+    "cdc_dow_histogram" -> onEvents(dowHistogram),
     "cdc_asof_join" -> onEvents(asofJoin),
     "cdc_latest_state" -> onEvents(latestState),
     "cdc_apply_deletes" -> onEvents(applyDeletes),
@@ -170,6 +183,10 @@ object Cdc {
     "cdc_sessionize" -> onEvents(sessionize))
 
   val oracles: Map[String, String] = Map(
+    "cdc_dow_histogram" ->
+      """SELECT isodow(ts)::BIGINT AS iso_dow, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY iso_dow, event_type""".stripMargin,
     "cdc_session_attrib" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,
