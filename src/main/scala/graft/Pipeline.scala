@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.Sink
+
+/** End-to-end training-data pipeline — the reference's notebook shape
+  * (ingest → clean → derive → export; CDCPROJECT ipynb cells 1-6)
+  * composed from the library's operators at corpus scale:
+  *
+  *   documents → exact dedup → quality gate → split assignment →
+  *   partitioned parquet (by split), plus a summary stats frame.
+  *
+  * Every stage is a DataFrame transformation, so the whole pipeline is
+  * one Catalyst plan per output — no intermediate materialization
+  * except the final writes.
+  */
+object Pipeline {
+
+  case class Result(kept: Long, dropped_dupes: Long, dropped_quality: Long,
+      train: Long, `val`: Long, test: Long)
+
+  /** Run the clean-corpus pipeline; writes `outDir/corpus`
+    * partitioned by split and returns the stage counts. */
+  def cleanCorpus(spark: SparkSession, docs: DataFrame, outDir: String): Result = {
+    val total = docs.count()
+
+    val deduped = {
+      import docs.sparkSession.implicits._
+      val keepers = Dedup.exact(docs).select($"keeper_doc_id".as("doc_id"))
+      docs.join(keepers, Seq("doc_id"), "left_semi")
+    }
+    val nDeduped = deduped.count()
+
+    val gated = {
+      import docs.sparkSession.implicits._
+      deduped.join(
+        TextAnalysis.quality(deduped).filter($"keep").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+    }
+    val nGated = gated.count()
+
+    val withSplit = gated.join(
+      TextAnalysis.splitAssign(gated), Seq("doc_id"))
+
+    Sink.partitioned(withSplit, s"$outDir/corpus", Seq("split"))
+
+    val splits = withSplit.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Result(
+      kept = nGated,
+      dropped_dupes = total - nDeduped,
+      dropped_quality = nDeduped - nGated,
+      train = splits.getOrElse("train", 0L),
+      `val` = splits.getOrElse("val", 0L),
+      test = splits.getOrElse("test", 0L))
+  }
+}

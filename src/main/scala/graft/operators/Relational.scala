@@ -346,6 +346,22 @@ object Relational {
       .orderBy($"lvl", $"status", $"priority")
   }
 
+  /** A23 approximate sketches: HyperLogLog distinct counts and
+    * approximate percentiles — constant-memory profiling at any scale
+    * (rows-only: sketch internals are engine-specific; the spec bounds
+    * error vs exact). */
+  def sketches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+          .as("approx_p50_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** A16 set operations: EXCEPT/INTERSECT with distinct semantics. */
   def setOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -372,6 +388,7 @@ object Relational {
     "q_local_supplier" -> localSupplierVolume,
     "q_returned_items" -> returnedItems,
     "q_cube" -> cube2,
+    "q_sketches" -> sketches,
     "q_clean_real" -> cleanReal,
     "q_coerce" -> coerce,
     "q_agg" -> agg,

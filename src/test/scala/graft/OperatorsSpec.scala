@@ -96,6 +96,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.filter(abs(col("cos")) > 1.0).count() == 0)
   }
 
+  test("q_sketches: HLL within rsd bound of exact distinct, p50 sane") {
+    val rows = run("q_sketches").collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"HLL off by >10%: $approx vs $exact")
+      assert(r.getAs[Double]("approx_p50_price") > 0)
+    }
+  }
+
   test("mm_binary_meta: hex payload round-trips length") {
     val df = run("mm_binary_meta")
     assert(df.filter(length(col("payload_hex")) =!= col("n_bytes") * 2).count() == 0)
