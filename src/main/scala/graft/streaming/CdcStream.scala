@@ -114,6 +114,23 @@ object CdcStream {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
 
+  /** C16 stream-stream interval join: correlate two event streams on
+    * a key within a ± time window (click→purchase attribution). Both
+    * sides carry watermarks so Spark can discard buffered state once
+    * the interval can no longer match — bounded state, the only viable
+    * stream-stream join at scale. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String): DataFrame = {
+    require(leftTs != rightTs, "sides need distinct timestamp column names")
+    val l = left.withWatermark(leftTs, within)
+    val r = right.withWatermark(rightTs, within)
+      .withColumnRenamed(key, "__rkey")
+    l.join(r, org.apache.spark.sql.functions.expr(
+        s"$key = __rkey AND $rightTs >= $leftTs" +
+          s" AND $rightTs <= $leftTs + interval $within"))
+      .drop("__rkey")
+  }
+
   /** Convenience: run a streaming Dataset to completion against a
     * named in-memory sink (test/smoke harness). */
   def runToMemory[T](ds: Dataset[T], name: String, mode: OutputMode): Unit = {

@@ -36,6 +36,33 @@ class SkewStreamSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("C16 stream-stream interval join attributes purchases to clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = graft.streaming.CdcStream.intervalJoin(
+      clicks.toDF().toDF("user", "click_ts"),
+      buys.toDF().toDF("user", "buy_ts", "amount"),
+      "user", "click_ts", "buy_ts", "30 minutes")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attrib").start()
+    try {
+      clicks.addData((1L, t(0)), (2L, t(5)))
+      buys.addData((1L, t(10), 9.99),   // within 30m of click → match
+        (2L, t(50), 5.0),               // 45m after click → no match
+        (3L, t(12), 1.0))               // no click at all → no match
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("user", "amount").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((1L, 9.99)))
+    } finally q.stop()
+  }
+
   test("generic applyChanges materializes latest non-deleted row per key") {
     import spark.implicits._
     val changes = Seq(
