@@ -143,11 +143,14 @@ object Dedup {
     import docs.sparkSession.implicits._
     val hamT = 7
     // one-pass fingerprint via the SimHashAgg imperative aggregate
-    // (single 64-int bit-balance buffer instead of 64 sum() columns)
-    val fps = docs
-      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+    // (single 64-int bit-balance buffer instead of 64 sum() columns).
+    // Features are the 5-gram shingles, not unigram tokens: on
+    // low-entropy text (small vocab) token-level simhash collapses —
+    // measured 16M false-positive pairs at a 100k-doc stress corpus —
+    // while shingle features keep fingerprints distinctive.
+    val fps = rawShingles(docs)
       .groupBy($"doc_id")
-      .agg(graft.functions.SimHashAgg.simhash($"tok").as("fp"))
+      .agg(graft.functions.SimHashAgg.simhash($"shingle").as("fp"))
     val chunks = fps.select($"doc_id", $"fp", explode(array(
       (0 until 8).map(c =>
         struct(lit(c).as("c"), shiftright($"fp", c * 8).bitwiseAND(lit(255L))
