@@ -362,6 +362,39 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** A26 value histogram: fixed-width integer bucketing (exact in
+    * both engines — floor division of cents). */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(expr("cast(round(o_totalprice * 100) as bigint) div 5000000")
+        .as("bucket_50k"))
+      .agg(count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"bucket_50k")
+  }
+
+  /** A27 Pearson correlation from integer-exact sums (engine corr()
+    * implementations differ numerically; the closed form over cent/bp
+    * integers is bit-deterministic — same pattern as the OLS fit). */
+  def corrExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        expr("cast(round(l_quantity * 100) as bigint)").as("x"),
+        expr("cast(round(l_discount * 100) as bigint)").as("y"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .select($"l_returnflag", $"n",
+        (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n" * $"syy" - $"sy" * $"sy").cast("double")))
+          .as("corr_qty_disc"))
+      .orderBy($"l_returnflag")
+  }
+
   /** A16 set operations: EXCEPT/INTERSECT with distinct semantics. */
   def setOps(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -389,6 +422,8 @@ object Relational {
     "q_returned_items" -> returnedItems,
     "q_cube" -> cube2,
     "q_sketches" -> sketches,
+    "q_histogram" -> histogram,
+    "q_corr" -> corrExact,
     "q_clean_real" -> cleanReal,
     "q_coerce" -> coerce,
     "q_agg" -> agg,
@@ -399,6 +434,26 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    "q_histogram" ->
+      """SELECT round(o_totalprice * 100)::BIGINT // 5000000 AS bucket_50k,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket_50k""".stripMargin,
+    "q_corr" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    round(l_quantity * 100)::BIGINT AS x,
+        |    round(l_discount * 100)::BIGINT AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, count(*) AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        |  FROM t GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy)::DOUBLE /
+        |    sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE)
+        |    AS corr_qty_disc
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
         |  coalesce(o_orderpriority, '(all)') AS priority,
