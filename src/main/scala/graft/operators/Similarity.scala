@@ -76,7 +76,8 @@ object Similarity {
       struct(lit(t).as("t"), bitExprs.reduce(_.bitwiseOR(_)).as("bucket"))
     }
     e.withColumn("tb", explode(array(bucketCols: _*)))
-      .select(e.columns.map(col) :+ $"tb.t".as("t") :+ $"tb.bucket".as("bucket"): _*)
+      .select((e.columns.map(col) :+ $"tb.t".as("t") :+
+        $"tb.bucket".as("bucket")).toIndexedSeq: _*)
   }
 
   /** E2 LSH-bucketed approximate top-k: 8 hash tables × 4 hyperplane
@@ -183,7 +184,7 @@ object Similarity {
         lit(2.0) * VectorFunctions.dot(col("v"), cl)
       struct(d.as("d"), lit(id).as("id"))
     }
-    least(scored: _*).getField("id")
+    least(scored.toIndexedSeq: _*).getField("id")
   }
 
   private def onVecs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
