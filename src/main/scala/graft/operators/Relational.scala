@@ -29,6 +29,15 @@ object Relational {
       "(100 - cast(round(l_discount * 100) as bigint)))")
   private def revenueExact = (revenueCp.cast("double") / 10000.0)
 
+  /** decimal(38,0) twin of [[revenueExact]] for beyond-int64 scale:
+    * per-row terms stay ≤1e9·100 but a >10¹⁰-row group's SUM can
+    * overflow long; summing in decimal(38,0) is exact to 10³⁸.
+    * Equality with the long path is spec-checked (ExactDecimalSpec). */
+  def revenueExactBig: org.apache.spark.sql.Column = expr(
+    "sum(cast(cast(round(l_extendedprice * 100) as bigint) * " +
+      "(100 - cast(round(l_discount * 100) as bigint)) as decimal(38,0)))")
+    .cast("double") / 10000.0
+
   /** A1 melt/unpivot wide→long — ipynb cells 1-2 (`table2.melt(...)`). */
   def melt(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
