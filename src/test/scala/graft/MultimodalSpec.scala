@@ -29,6 +29,20 @@ class MultimodalSpec extends AnyFunSuite {
       again.sortBy(f => (f.doc_id, f.frame_idx)).toSeq)
   }
 
+  test("metadata-only queries never read the payload column (pruning)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    Multimodal.binaryMeta(spark, sf).write.mode("overwrite")
+      .parquet(s"$out/assets")
+    val metaOnly = spark.read.parquet(s"$out/assets")
+      .select("doc_id", "mime", "n_bytes")
+      .filter(org.apache.spark.sql.functions.col("n_bytes") > 200)
+    val plan = metaOnly.queryExecution.executedPlan.toString
+    // the multimodal contract's point: metadata scans skip the bytes
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("payload"), plan.take(1200))
+    assert(metaOnly.count() > 0)
+  }
+
   test("decode output checksum matches a local reference computation") {
     val doc = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect().head
