@@ -106,11 +106,15 @@ object Similarity {
     * centroids; every vector is assigned to its nearest centroid (one
     * broadcast pass, min-by aggregation — no window); queries probe
     * the 2 nearest cells, bounding candidates like IVF nprobe. */
-  def annIvf(vecs: DataFrame): DataFrame = {
+  def annIvf(vecs: DataFrame): DataFrame = annIvf(vecs, nProbe = 2)
+
+  /** nProbe is the recall/cost knob: probing more cells scans a larger
+    * candidate fraction (~nProbe/nCentroids of the corpus) for higher
+    * recall. Measured at the 50k stress corpus: see SURVEY §5. */
+  def annIvf(vecs: DataFrame, nProbe: Int): DataFrame = {
     import vecs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val nCentroids = 16
-    val nProbe = 2
     val e = withNorm(vecs)
     val cents = e.filter(pmod($"vec_id" * 7, lit(101)) < nCentroids)
       .orderBy($"vec_id").limit(nCentroids)
