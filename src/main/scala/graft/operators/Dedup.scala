@@ -196,6 +196,20 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D7 fuzzy key matching by edit distance — entity-resolution style
+    * dedup for short keys (names/brands). Distinct-value self-join is
+    * bounded by |distinct| (tiny vs corpus); levenshtein is integer
+    * so the oracle compares exactly. */
+  def fuzzyKeys(df: DataFrame, keyCol: String, maxDist: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val keys = df.select(col(keyCol).as("k")).distinct()
+    keys.as("x").join(keys.as("y"), $"x.k" < $"y.k")
+      .select($"x.k".as("key_a"), $"y.k".as("key_b"),
+        levenshtein($"x.k", $"y.k").cast("long").as("dist"))
+      .filter($"dist" <= maxDist)
+      .orderBy($"key_a", $"key_b")
+  }
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
@@ -205,7 +219,9 @@ object Dedup {
     "dedup_ngram_jaccard" -> onDocs(ngramJaccard),
     "dedup_minhash" -> onDocs(minhashLsh),
     "dedup_simhash" -> onDocs(simhash),
-    "dedup_embedding" -> ((s, dir) => embeddingCosine(Tables.embeddings(s, dir))))
+    "dedup_embedding" -> ((s, dir) => embeddingCosine(Tables.embeddings(s, dir))),
+    "dedup_fuzzy_brand" -> ((s, dir) =>
+      fuzzyKeys(Tables.part(s, dir), "p_brand", maxDist = 1)))
 
   private val shinglesSql =
     s"""w AS (
@@ -226,6 +242,13 @@ object Dedup {
        |  JOIN rare USING (shingle))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_fuzzy_brand" ->
+      """WITH k AS (SELECT DISTINCT p_brand AS k FROM part)
+        |SELECT x.k AS key_a, y.k AS key_b,
+        |  levenshtein(x.k, y.k)::BIGINT AS dist
+        |FROM k x JOIN k y ON x.k < y.k
+        |WHERE levenshtein(x.k, y.k) <= 1
+        |ORDER BY key_a, key_b""".stripMargin,
     "dedup_corpus" ->
       """WITH keepers AS (
         |  SELECT min(doc_id) AS doc_id FROM documents
