@@ -134,9 +134,13 @@ object Cdc {
 
   /** C14 session attribution through the custom range-join operator
     * (graft.plans.RangeJoin — LogicalPlan/Strategy/Exec): every event
-    * finds the session interval containing its timestamp, then keeps
-    * its own user's session. The oracle replays it as a plain BETWEEN
-    * join, proving the custom physical operator's results. */
+    * finds its own user's session interval containing its timestamp.
+    * Routed through the SHUFFLED keyed variant: the session side grows
+    * linearly with the corpus (~10⁹ sessions at 100 TB), so both sides
+    * are clustered on the user key and each task probes only its
+    * partition's per-key interval index — no driver collect, no
+    * broadcast. The oracle replays it as a plain key+BETWEEN join,
+    * proving the custom physical operator's results. */
   def sessionAttrib(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     val pts = events.select($"user_id", $"event_id",
@@ -144,9 +148,9 @@ object Cdc {
     val sess = sessionize(events)
       .select($"user_id".as("s_user"), $"session_seq",
         $"start_us", $"end_us")
-    graft.plans.RangeJoin.join(pts, sess,
+    graft.plans.RangeJoin.joinKeyed(pts, sess,
+        pts("user_id"), sess("s_user"),
         pts("p_us"), sess("start_us"), sess("end_us"))
-      .filter($"user_id" === $"s_user")
       .select($"event_id", $"session_seq", $"start_us")
       .orderBy($"event_id")
   }

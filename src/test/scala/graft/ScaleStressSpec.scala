@@ -32,6 +32,30 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(Dedup.dedupedCorpus(big).count() == n)
   }
 
+  test("keyed range join handles 10^6 intervals with zero driver materialization") {
+    import spark.implicits._
+    // 100k keys × 10 intervals each = 10^6 intervals — far past the
+    // broadcast guard; only the shuffled per-key variant can run this.
+    val nKeys = 100000L
+    val iv = spark.range(nKeys * 10).select(
+      ($"id" / 10).cast("long").as("k"),
+      ($"id" % 10 * 100).as("lo"),
+      ($"id" % 10 * 100 + 50).as("hi"))
+    // one probe per key at t=125 → falls only in interval j=1 [100,150]
+    val pts = spark.range(nKeys).select($"id".as("k2"), lit(125L).as("p"))
+    // guard set far below the interval count: a broadcast path would
+    // refuse outright, so a green run proves the shuffled exec never
+    // takes the interval side to the driver
+    spark.conf.set(graft.plans.RangeJoin.BroadcastRowLimitKey, "1000")
+    try {
+      val joined = graft.plans.RangeJoin.joinKeyed(pts, iv,
+        pts("k2"), iv("k"), pts("p"), iv("lo"), iv("hi"))
+      assert(joined.count() == nKeys) // exactly one matching interval/key
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledRangeJoin"), plan.take(800))
+    } finally spark.conf.unset(graft.plans.RangeJoin.BroadcastRowLimitKey)
+  }
+
   test("minhash LSH finds replicated near-identical docs in the 20x corpus") {
     import spark.implicits._
     val base = Tables.documents(spark, GraftTestSession.sf).limit(50)
