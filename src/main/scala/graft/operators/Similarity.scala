@@ -57,16 +57,21 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
-  /** Deterministic ±1 random hyperplanes (MurmurHash3-seeded), as
-    * array<double> literals so each projection is one codegen'd dot. */
-  private def plane(t: Int, b: Int): Column = typedlit(
+  /** Deterministic ±1 random hyperplane for (table t, bit b) —
+    * MurmurHash3-seeded, shared with Dedup's LSH blocking AND its
+    * oracle-SQL generator so both engines block identically. */
+  private[graft] def planeArray(t: Int, b: Int): Array[Double] =
     Array.tabulate(Dim) { i =>
       val h = scala.util.hashing.MurmurHash3.productHash((t, b, i))
       if ((h & 1) == 0) 1.0 else -1.0
-    })
+    }
+
+  /** The same plane as an array<double> literal so each projection is
+    * one codegen'd dot. */
+  private def plane(t: Int, b: Int): Column = typedlit(planeArray(t, b))
 
   /** Bucket id per (table, vector): sign bits of `bits` projections. */
-  private def lshBuckets(e: DataFrame, tables: Int, bits: Int): DataFrame = {
+  private[graft] def lshBuckets(e: DataFrame, tables: Int, bits: Int): DataFrame = {
     import e.sparkSession.implicits._
     val bucketCols = (0 until tables).map { t =>
       val bitExprs = (0 until bits).map { b =>

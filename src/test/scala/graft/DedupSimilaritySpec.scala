@@ -102,4 +102,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(df.filter(col("vec_a") >= col("vec_b")).count() == 0)
     assert(df.filter(col("cos") < 0.5).count() == 0)
   }
+
+  test("LSH-blocked embedding dedup recovers every exact pair at test scale") {
+    val vecs = Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = pairs(Dedup.embeddingCosine(vecs))
+    val exact = pairs(Dedup.embeddingCosineExactSmallBlock(vecs))
+    // blocked ⊆ exact by construction; equality = full recall on this
+    // corpus (deterministic planes — this is a fixed fact, not a
+    // probabilistic one)
+    assert(blocked == exact)
+  }
 }

@@ -56,6 +56,35 @@ class ScaleStressSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.RangeJoin.BroadcastRowLimitKey)
   }
 
+  test("embedding LSH blocking at 10^6 vectors: candidate fraction << n^2") {
+    import spark.implicits._
+    val n = 1000000L
+    // deterministic pseudo-random 64-dim vectors in (-0.5, 0.5)
+    val vecs = spark.range(n).select(
+      $"id".as("vec_id"),
+      expr("transform(sequence(0, 63), " +
+        "i -> cast(xxhash64(id * 64 + i) % 1000 as double) / 2000.0)")
+        .as("v"))
+    // bits scales with log2(n): 16 bits → 65536 buckets/table keeps
+    // bucket sizes bounded; candidate pairs = Σ C(bucket, 2)
+    val buckets = graft.operators.Similarity.lshBuckets(vecs, tables = 2, bits = 16)
+    val cands = buckets.groupBy($"t", $"bucket")
+      .agg(count(lit(1)).as("c"))
+      .agg(sum($"c" * ($"c" - 1)).as("pairs2"), max($"c").as("maxBucket"))
+      .collect()(0)
+    val pairs = cands.getLong(0) / 2
+    val allPairs = n * (n - 1) / 2
+    // candidate fraction must be a vanishing share of all-pairs —
+    // this is the property that makes the blocked form 100 TB-viable
+    assert(pairs > 0)
+    assert(pairs.toDouble / allPairs < 1e-3,
+      s"candidate fraction ${pairs.toDouble / allPairs} too high " +
+        s"($pairs of $allPairs; max bucket ${cands.getLong(1)})")
+    info(s"candidates=$pairs of allPairs=$allPairs " +
+      f"(fraction ${pairs.toDouble / allPairs}%.2e), " +
+      s"max bucket=${cands.getLong(1)}")
+  }
+
   test("minhash LSH finds replicated near-identical docs in the 20x corpus") {
     import spark.implicits._
     val base = Tables.documents(spark, GraftTestSession.sf).limit(50)
