@@ -85,12 +85,26 @@ object Similarity {
         $"tb.bucket".as("bucket")).toIndexedSeq: _*)
   }
 
+  /** Final per-query top-k through the bounded-heap TopKAgg (same
+    * ranking as a `row_number` window — score desc, id asc — but O(k)
+    * state, map-side combinable, and no one-task-per-query straggler
+    * when a hot query accumulates many candidates). */
+  private def topKPerQuery(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored.groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topK(
+        struct($"cos".as("score"), $"vec_id".as("id")), TopK).as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"t.id".as("vec_id"), $"t.score".as("cos"))
+      .orderBy($"q_id", $"rank")
+  }
+
   /** E2 LSH-bucketed approximate top-k: 8 hash tables × 4 hyperplane
     * bits; a query only scores vectors sharing a bucket in some table.
     * At scale the bucket equi-join replaces the corpus scan. */
   def annLsh(vecs: DataFrame): DataFrame = {
     import vecs.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
     val e = withNorm(vecs)
     val bucketed = lshBuckets(e, tables = 8, bits = 4)
     val q = bucketed.filter($"vec_id" < NumQueries)
@@ -99,12 +113,8 @@ object Similarity {
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"qv", $"qn", $"vec_id", $"v", $"n")
       .distinct()
-    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    cand.withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= TopK)
-      .select($"q_id", $"rank", $"vec_id", $"cos")
-      .orderBy($"q_id", $"rank")
+    topKPerQuery(
+      cand.withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6)))
   }
 
   /** E3 IVF-style ANN: coarse quantizer = 16 deterministic seed
@@ -115,40 +125,53 @@ object Similarity {
 
   /** nProbe is the recall/cost knob: probing more cells scans a larger
     * candidate fraction (~nProbe/nCentroids of the corpus) for higher
-    * recall. Measured at the 50k stress corpus: see SURVEY §5. */
+    * recall. Measured at the 50k stress corpus: see SURVEY §5.
+    *
+    * Cell assignment is a LITERAL cosine-argmax projection over the
+    * collected centroids (k×dim doubles on the driver — same tiny
+    * footprint as kmeans): zero join, zero shuffle, zero row
+    * amplification, fully inside whole-stage codegen — replacing the
+    * earlier corpus×k nested-loop join + re-aggregation. */
   def annIvf(vecs: DataFrame, nProbe: Int): DataFrame = {
     import vecs.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
     val nCentroids = 16
     val e = withNorm(vecs)
-    val cents = e.filter(pmod($"vec_id" * 7, lit(101)) < nCentroids)
-      .orderBy($"vec_id").limit(nCentroids)
-      .select($"vec_id".as("c_id"), $"v".as("cv"), $"n".as("cn"))
-    // assign: nearest centroid per vector via max_by (single agg pass,
-    // cheaper than a row_number window over corpus × centroids)
-    val assigned = e.join(broadcast(cents), lit(true))
-      .withColumn("ccos", cosine($"cv", $"v", $"cn", $"n"))
-      .groupBy($"vec_id")
-      .agg(first($"v").as("v"), first($"n").as("n"),
-        max(struct($"ccos".as("s"), (-$"c_id").as("nc"))).as("best"))
-      .select($"vec_id", $"v", $"n", (-$"best.nc").as("cell"))
-    // probe: 2 nearest cells per query (tiny: window is fine)
+    val cents: Array[(Long, Array[Double])] =
+      e.filter(pmod($"vec_id" * 7, lit(101)) < nCentroids)
+        .orderBy($"vec_id").limit(nCentroids)
+        .select($"vec_id", $"v".cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // assign: nearest centroid by cosine, as a codegen'd projection
+    val assigned = e.withColumn("cell", nearestCellByCosine($"v", $"n", cents))
+    // probe: nProbe nearest cells per query, same literal scoring —
+    // array_sort asc on (cos, -c_id), reversed = cos desc, c_id asc
+    val cellScores = array(cents.map { case (id, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((VectorFunctions.dot($"qv", typedlit(c)) / ($"qn" * lit(cn)))
+        .as("s"), lit(-id).as("nc"))
+    }.toIndexedSeq: _*)
     val q = e.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
-    val wProbe = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"c_id")
-    val probes = q.join(broadcast(cents), lit(true))
-      .withColumn("ccos", cosine($"cv", $"qv", $"cn", $"qn"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter($"prn" <= nProbe)
-      .select($"q_id", $"qv", $"qn", $"c_id".as("cell"))
-    val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter($"vec_id" =!= $"q_id")
-      .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter($"rank" <= TopK)
-      .select($"q_id", $"rank", $"vec_id", $"cos")
-      .orderBy($"q_id", $"rank")
+      .withColumn("pc", explode(slice(reverse(array_sort(cellScores)), 1, nProbe)))
+      .select($"q_id", $"qv", $"qn", (-$"pc.nc").as("cell"))
+    topKPerQuery(
+      assigned.join(broadcast(q), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6)))
+  }
+
+  /** Cosine-argmax cell id over literal centroids: `greatest` on
+    * (cos, -c_id) structs picks the best cell, ties to the lowest id —
+    * the same rule as the previous max_by aggregation. */
+  private def nearestCellByCosine(v: Column, n: Column,
+      cents: Array[(Long, Array[Double])]): Column = {
+    val scored = cents.map { case (id, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      struct((VectorFunctions.dot(v, typedlit(c)) / (n * lit(cn))).as("s"),
+        lit(-id).as("nc"))
+    }
+    -greatest(scored.toIndexedSeq: _*).getField("nc")
   }
 
   /** E4 distributed k-means (Lloyd's): centroids live on the driver

@@ -40,6 +40,15 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("ann/dedup vector paths have no nested-loop joins left") {
+    // IVF assignment is a literal argmax projection; embedding dedup is
+    // LSH-blocked. (ann_bruteforce intentionally broadcasts the query
+    // set against the full corpus — that one IS a scan by design.)
+    for (q <- Seq("ann_ivf", "ann_lsh", "dedup_embedding"))
+      assert(!plan(q).contains("BroadcastNestedLoopJoin"),
+        s"$q regressed to a nested-loop join")
+  }
+
   test("windowed operators partition by key (no global window)") {
     for (q <- Seq("cdc_latest_state", "cdc_scd2", "q_running_sum")) {
       val p = plan(q)
