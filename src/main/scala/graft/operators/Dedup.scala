@@ -237,15 +237,39 @@ object Dedup {
   }
 
   /** D7 fuzzy key matching by edit distance — entity-resolution style
-    * dedup for short keys (names/brands). Distinct-value self-join is
-    * bounded by |distinct| (tiny vs corpus); levenshtein is integer
-    * so the oracle compares exactly. */
+    * dedup for short keys (names/brands), BLOCKED by deletion
+    * neighborhoods (the SymSpell/FastSS scheme): if dist(a,b) ≤ d then
+    * the sets of strings reachable by ≤ d character deletions from a
+    * and from b intersect, so an equi-join on deletion variants yields
+    * an EXACT candidate superset — no recall loss, and work is
+    * Σ(posting list²) over variants instead of |distinct keys|².
+    * Each key emits O(len^d) variants (len+1 for d=1), so a
+    * 10⁸-distinct-key column is ~10⁹ variant rows — one ordinary
+    * equi-join, vs the 10¹⁶-pair self-join it replaces. levenshtein
+    * verification is integer so the oracle compares exactly (and the
+    * oracle can stay the plain quadratic form: blocked output is
+    * provably identical). */
   def fuzzyKeys(df: DataFrame, keyCol: String, maxDist: Int): DataFrame = {
     import df.sparkSession.implicits._
+    require(maxDist >= 1 && maxDist <= 3, "maxDist must be in 1..3")
     val keys = df.select(col(keyCol).as("k")).distinct()
-    keys.as("x").join(keys.as("y"), $"x.k" < $"y.k")
-      .select($"x.k".as("key_a"), $"y.k".as("key_b"),
-        levenshtein($"x.k", $"y.k").cast("long").as("dist"))
+    // deletion variants of `s`: s plus every string with one char
+    // removed, applied maxDist times (distinct at each level)
+    val del1 = "transform(sequence(1, length(%s)), i -> " +
+      "concat(substring(%s, 1, i - 1), substring(%s, i + 1, length(%s))))"
+    var varExpr = "array(k)"
+    for (_ <- 0 until maxDist) {
+      val d1 = del1.format("s", "s", "s", "s")
+      varExpr = s"array_distinct(flatten(transform($varExpr, " +
+        s"s -> array_union(array(s), ${d1}))))"
+    }
+    val variants = keys.select($"k", explode(expr(varExpr)).as("variant"))
+    val cand = variants.as("x").join(variants.as("y"), Seq("variant"))
+      .filter($"x.k" < $"y.k")
+      .select($"x.k".as("key_a"), $"y.k".as("key_b"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein($"key_a", $"key_b").cast("long"))
       .filter($"dist" <= maxDist)
       .orderBy($"key_a", $"key_b")
   }

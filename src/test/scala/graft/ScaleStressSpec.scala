@@ -85,6 +85,35 @@ class ScaleStressSpec extends AnyFunSuite {
       s"max bucket=${cands.getLong(1)}")
   }
 
+  test("fuzzy-key dedup blocks on deletion variants at 10^5 distinct keys") {
+    import spark.implicits._
+    // 100k random hex keys + 100 planted one-substitution variants
+    val base = spark.range(100000)
+      .select(substring(md5($"id".cast("string")), 1, 12).as("k"))
+    val planted = spark.range(100)
+      .select(concat(lit("z"),
+        substring(md5($"id".cast("string")), 2, 11)).as("k"))
+    val df = base.unionByName(planted)
+    val t0 = System.nanoTime()
+    val pairs = graft.operators.Dedup.fuzzyKeys(df, "k", maxDist = 1)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // every planted (original, z-variant) pair must be present — the
+    // deletion-neighborhood blocking is exact, not approximate
+    val got = pairs.map(r => Set(r.getString(0), r.getString(1))).toSet
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (0 until 100).foreach { i =>
+      val h = md5hex(i.toString)
+      // planted key differs from the base key only in char 1
+      assert(got.contains(Set(h.take(12), "z" + h.substring(1, 12))),
+        s"missing planted pair #$i")
+    }
+    assert(pairs.forall(_.getLong(2) <= 1))
+    info(f"found ${pairs.length} pairs over 100100 distinct keys in $secs%.1f s")
+  }
+
   test("minhash LSH finds replicated near-identical docs in the 20x corpus") {
     import spark.implicits._
     val base = Tables.documents(spark, GraftTestSession.sf).limit(50)
