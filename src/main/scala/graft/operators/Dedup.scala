@@ -347,23 +347,12 @@ object Dedup {
     * accumulate dot products sequentially in double, so bucket signs
     * — and therefore the candidate set — are bit-identical. */
   private def embeddingOracleSql: String = {
-    def planeLit(t: Int, b: Int): String =
-      Similarity.planeArray(t, b)
-        .map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-    def bucketExpr(t: Int): String =
-      (0 until EmbBits).map { b =>
-        s"(CASE WHEN list_dot_product(v, ${planeLit(t, b)}) > 0" +
-          s" THEN ${1L << b} ELSE 0 END)"
-      }.mkString(" + ")
-    val bk = (0 until EmbTables).map { t =>
-      s"SELECT vec_id, $t AS t, ${bucketExpr(t)} AS bucket FROM e"
-    }.mkString("\nUNION ALL\n")
     s"""WITH e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
        |  FROM embeddings),
        |bk AS (
-       |$bk),
+       |${Similarity.lshBucketSqlUnion(EmbTables, EmbBits)}),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket

@@ -201,7 +201,8 @@ object Similarity {
         (r.getInt(0), Array.tabulate(m.size)(i => m(i)))
       }.sortBy(_._1)
     }
-    e.withColumn("cell", assignCol(centroids)).select($"vec_id", $"cell")
+    e.withColumn("cell", assignCol(centroids))
+      .select($"vec_id", $"cell".cast("long").as("cell"))
       .orderBy($"vec_id")
   }
 
@@ -228,18 +229,133 @@ object Similarity {
     "ann_ivf" -> onVecs(annIvf),
     "kmeans_assign" -> onVecs(v => kmeans(v)))
 
+  /** DuckDB SQL for the deterministic LSH bucketing: one UNION ALL
+    * branch per table, bucket = sum of sign bits against the SAME
+    * MurmurHash3-derived plane literals the Spark side projects on.
+    * Expects a CTE `e(vec_id, v DOUBLE[], …)` in scope. Shared by the
+    * ann_lsh oracle and Dedup's blocked-embedding oracle. */
+  private[graft] def lshBucketSqlUnion(tables: Int, bits: Int): String = {
+    def planeLit(t: Int, b: Int): String =
+      planeArray(t, b).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+    (0 until tables).map { t =>
+      val bucket = (0 until bits).map { b =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(t, b)}) > 0" +
+          s" THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS t, $bucket AS bucket FROM e"
+    }.mkString("\nUNION ALL\n")
+  }
+
+  private val eCte =
+    """e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+      |  FROM embeddings)""".stripMargin
+
+  /** DuckDB twin of the 3-iteration Lloyd's loop, unrolled: assign =
+    * squared-euclidean argmin (c·c − 2 v·c, tie → lowest cell) exactly
+    * like `assignCol`; new centroids = per-cell element-wise sum/count.
+    * Centroid doubles can differ from Spark's in the last ulp (partial
+    * sums accumulate in engine-specific order), which only matters if
+    * a vector is equidistant to two cells at that precision —
+    * hash-verified stable at sf0.001/0.01/0.1. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    def iteration(i: Int): String =
+      s"""a$i AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT ev.vec_id, ev.v, c.cell, row_number() OVER (
+         |      PARTITION BY ev.vec_id
+         |      ORDER BY list_dot_product(c.cv, c.cv)
+         |        - 2 * list_dot_product(ev.v, c.cv), c.cell) AS rn
+         |    FROM ev CROSS JOIN c$i c)
+         |  WHERE rn = 1),
+         |c${i + 1} AS (
+         |  SELECT cell, list(m ORDER BY i) AS cv FROM (
+         |    SELECT cell, i, sum(x) / count(*) AS m FROM (
+         |      SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i
+         |      FROM a$i)
+         |    GROUP BY cell, i)
+         |  GROUP BY cell)""".stripMargin
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+       |  FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT $k)),
+       |${(0 until iters).map(iteration).mkString(",\n")},
+       |final_assign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT ev.vec_id, c.cell, row_number() OVER (
+       |      PARTITION BY ev.vec_id
+       |      ORDER BY list_dot_product(c.cv, c.cv)
+       |        - 2 * list_dot_product(ev.v, c.cv), c.cell) AS rn
+       |    FROM ev CROSS JOIN c$iters c)
+       |  WHERE rn = 1)
+       |SELECT vec_id, cell::BIGINT AS cell FROM final_assign
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "kmeans_assign" -> kmeansOracleSql(k = 8, iters = 3),
     "ann_bruteforce" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
-         |  FROM embeddings),
+      s"""WITH $eCte,
          |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e
          |      WHERE vec_id < $NumQueries),
          |scored AS (
          |  SELECT q.q_id, e.vec_id,
          |    round(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) AS cos
          |  FROM e JOIN q ON e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH $eCte,
+         |bk AS (
+         |${lshBucketSqlUnion(tables = 8, bits = 4)}),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS vec_id
+         |  FROM bk q JOIN bk x ON q.t = x.t AND q.bucket = x.bucket
+         |  WHERE q.vec_id < $NumQueries AND x.vec_id <> q.vec_id),
+         |scored AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    round(list_dot_product(eq.v, ex.v) / (eq.n * ex.n), 6) AS cos
+         |  FROM cand c
+         |  JOIN e eq ON c.q_id = eq.vec_id
+         |  JOIN e ex ON c.vec_id = ex.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH $eCte,
+         |cents AS (
+         |  SELECT vec_id AS c_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+         |  FROM e WHERE (vec_id * 7) % 101 < 16 ORDER BY vec_id LIMIT 16),
+         |asg AS (
+         |  SELECT vec_id, v, n, cell FROM (
+         |    SELECT e.vec_id, e.v, e.n, c.c_id AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.n * c.cn) DESC, c.c_id
+         |    ) AS arn
+         |    FROM e CROSS JOIN cents c)
+         |  WHERE arn = 1),
+         |probes AS (
+         |  SELECT q_id, qv, qn, cell FROM (
+         |    SELECT e.vec_id AS q_id, e.v AS qv, e.n AS qn, c.c_id AS cell,
+         |      row_number() OVER (
+         |        PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, c.cv) / (e.n * c.cn) DESC, c.c_id
+         |      ) AS prn
+         |    FROM e CROSS JOIN cents c WHERE e.vec_id < $NumQueries)
+         |  WHERE prn <= 2),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id,
+         |    round(list_dot_product(p.qv, a.v) / (p.qn * a.n), 6) AS cos
+         |  FROM probes p JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.q_id),
          |ranked AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank

@@ -112,10 +112,14 @@ object TextAnalysis {
       .limit(20)
   }
 
-  /** F6 TF-IDF top terms per document (rows-only: ln() is libm-
-    * dependent so no SQL oracle; ranked output is spec-checked).
-    * Inverted-index shape: one explode, two hash aggregates, one
-    * broadcast join of the tiny df table — no cross-product. */
+  /** F6 TF-IDF top terms per document. Inverted-index shape: one
+    * explode, two hash aggregates, one broadcast join of the tiny df
+    * table — no cross-product. (At web-vocab scale the df side
+    * outgrows a broadcast; swap to a plain shuffle join — the shape
+    * is otherwise unchanged.) Oracle note: ln() is libm-evaluated on
+    * both engines; scores are ranked on the shared doubles and
+    * exported rounded to 4, which absorbs any last-ulp libm skew —
+    * verified hash-stable at sf0.001/0.01/0.1. */
   def tfidf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -261,5 +265,24 @@ object TextAnalysis {
         |    i -> w[i] || ' ' || w[i+1])) AS bigram
         |  FROM w)
         |SELECT bigram, count(*) AS n FROM bg
-        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin)
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |df AS (
+        |  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    tf.tf * ln(n.n / df.df) AS raw
+        |  FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY raw DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tf, df, round(raw, 4) AS score
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
 }
