@@ -31,6 +31,132 @@ class SourcesSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  /** Minimal xlsx writer for the tests: shared strings for text,
+    * inline numerics, sparse `r=` cell refs (skipping null cells) —
+    * the same feature set Business.xlsx exercises. */
+  private def makeXlsx(sheets: Seq[(String, Seq[Seq[Any]])]): Array[Byte] = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val strings = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def sstIdx(s: String): Int =
+      strings.getOrElseUpdate(s, strings.size)
+    def colRef(i: Int): String = {
+      var n = i + 1; var s = ""
+      while (n > 0) { s = ('A' + (n - 1) % 26).toChar.toString + s; n = (n - 1) / 26 }
+      s
+    }
+    val sheetXmls = sheets.map { case (_, rows) =>
+      val body = rows.zipWithIndex.map { case (row, ri) =>
+        val cells = row.zipWithIndex.collect {
+          case (v, ci) if v != null =>
+            val ref = s"${colRef(ci)}${ri + 1}"
+            v match {
+              case s: String => s"""<c r="$ref" t="s"><v>${sstIdx(s)}</v></c>"""
+              case n => s"""<c r="$ref"><v>$n</v></c>"""
+            }
+        }.mkString
+        s"""<row r="${ri + 1}">$cells</row>"""
+      }.mkString
+      s"""<?xml version="1.0"?><worksheet><sheetData>$body</sheetData></worksheet>"""
+    }
+    val wbXml = sheets.zipWithIndex.map { case ((name, _), i) =>
+      s"""<sheet name="$name" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString(
+      """<?xml version="1.0"?><workbook xmlns:r="http://r"><sheets>""",
+      "", "</sheets></workbook>")
+    val relsXml = sheets.indices.map { i =>
+      s"""<Relationship Id="rId${i + 1}" Type="ws" Target="worksheets/sheet${i + 1}.xml"/>"""
+    }.mkString("""<?xml version="1.0"?><Relationships>""", "", "</Relationships>")
+    val sstXml = strings.keys.map(s => s"<si><t>$s</t></si>")
+      .mkString("""<?xml version="1.0"?><sst>""", "", "</sst>")
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    put("xl/workbook.xml", wbXml)
+    put("xl/_rels/workbook.xml.rels", relsXml)
+    put("xl/sharedStrings.xml", sstXml)
+    sheetXmls.zipWithIndex.foreach { case (x, i) =>
+      put(s"xl/worksheets/sheet${i + 1}.xml", x)
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  /** The Business.xlsx shape: 5 preamble rows, then header
+    * (numbering col blank, industry col blank-ish, year columns),
+    * then data with a numbering column and one missing cell. */
+  private def businessTwin(values: Boolean): Seq[Seq[Any]] = {
+    val junk = Seq.fill(5)(Seq[Any]("U.S. Space Economy", null, null, null, null))
+    val header = Seq[Any](null, "Line", "2019", "2020", "2021")
+    def v(base: Double) = if (values) base else base / 2
+    val data = Seq(
+      Seq[Any](1, "Manufacturing", v(100.0), v(80.0), v(105.0)),
+      Seq[Any](2, "Information", v(50.0), null, v(60.0)), // missing cell
+      Seq[Any](3, "Government", v(200.0), v(150.0), v(210.0)))
+    junk ++ (header +: data)
+  }
+
+  test("H5: xlsx ingest reproduces the reference's skiprows/drop/rename flow") {
+    import spark.implicits._
+    import graft.sources.Excel
+    val dir = Files.createTempDirectory("graft_xlsx").toFile
+    val f = new java.io.File(dir, "business.xlsx")
+    Files.write(f.toPath, makeXlsx(Seq(
+      "Table 2" -> businessTwin(values = true),
+      "Table 3" -> businessTwin(values = false))))
+
+    def longForm(sheet: String, valueName: String) = {
+      val t = Excel.dropAndRename(
+        Excel.read(spark, f.getAbsolutePath, sheet, skipRows = 5), "Industry")
+      assert(t.columns.toSeq == Seq("Industry", "2019", "2020", "2021"))
+      t.unpivot(Array($"Industry"), Array($"2019", $"2020", $"2021"),
+          "Year", valueName)
+    }
+    // ipynb cell 3: inner merge, dropna, real value, year coercion
+    val merged = longForm("Table 2", "Nominal_Value")
+      .join(longForm("Table 3", "Price_Index"), Seq("Industry", "Year"))
+      .na.drop(Seq("Nominal_Value", "Price_Index"))
+      .withColumn("Nominal_Value", $"Nominal_Value".cast("double"))
+      .withColumn("Price_Index", $"Price_Index".cast("double"))
+      .withColumn("Real_Value", $"Nominal_Value" * 100.0 / $"Price_Index")
+      .withColumn("Year", $"Year".cast("int"))
+      .filter($"Year" >= 2012 && $"Year" <= 2023)
+    val rows = merged.select("Industry", "Year", "Real_Value")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    // Price_Index = Nominal/2 everywhere → Real_Value = 200 for every
+    // surviving row; the Information/2020 row drops (missing cell)
+    assert(rows.size == 8)
+    assert(!rows.exists(t => t._1 == "Information" && t._2 == 2020))
+    assert(rows.forall(_._3 == 200.0))
+  }
+
+  test("H5b: distributed readMany parses a lake of workbooks on executors") {
+    import graft.sources.Excel
+    val dir = Files.createTempDirectory("graft_xlsx_many").toFile
+    val bytes = makeXlsx(Seq("Table 2" -> businessTwin(values = true)))
+    for (i <- 0 until 4)
+      Files.write(new java.io.File(dir, s"export_$i.xlsx").toPath, bytes)
+    val df = Excel.readMany(spark, dir.getAbsolutePath, "Table 2", skipRows = 5)
+    assert(df.columns.length == 5)
+    assert(df.count() == 12) // 3 data rows × 4 files
+  }
+
+  test("H6: CSV sink round-trips the resilience hand-off table") {
+    val dir = Files.createTempDirectory("graft_csvout").toFile.getAbsolutePath
+    val metrics = graft.operators.Resilience
+      .queries("q_resilience_join")(spark, GraftTestSession.sf)
+    Sink.csv(metrics, s"$dir/out", single = true)
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1) // single=true → one part, Streamlit-ready
+    val back = spark.read.option("header", "true").csv(s"$dir/out")
+    assert(back.count() == metrics.count())
+    assert(back.columns.toSeq == metrics.columns.toSeq)
+  }
+
   test("H3: partitioned sink enables partition pruning on read") {
     val out = Files.createTempDirectory("graft_sink").toFile.getAbsolutePath + "/ev"
     Sink.partitioned(
