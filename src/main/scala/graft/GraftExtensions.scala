@@ -25,6 +25,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_sig"),
       (args: Seq[Expression]) => {
+        // the permutation count must be a compile-time constant — a
+        // column here would otherwise surface as an obscure runtime
+        // ClassCastException instead of an analysis error
+        if (args.length != 2 || !args(1).foldable) {
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "USER_RAISED_EXCEPTION",
+            messageParameters = Map("errorMessage" ->
+              "minhash_sig(col, numPerm) requires a literal numPerm"))
+        }
         val n = args(1).eval().asInstanceOf[Number].intValue()
         MinHashAgg(args.head, n).toAggregateExpression()
       }))

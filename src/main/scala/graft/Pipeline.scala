@@ -24,13 +24,17 @@ object Pipeline {
   /** Run the clean-corpus pipeline; writes `outDir/corpus`
     * partitioned by split and returns the stage counts. */
   def cleanCorpus(spark: SparkSession, docs: DataFrame, outDir: String): Result = {
+    import org.apache.spark.storage.StorageLevel
     val total = docs.count()
 
+    // persisted: the dedup chain feeds three downstream actions (gate
+    // count, partitioned write, split counts) — without the cache each
+    // one would recompute the dedup aggregate + semi-join from scratch
     val deduped = {
       import docs.sparkSession.implicits._
       val keepers = Dedup.exact(docs).select($"keeper_doc_id".as("doc_id"))
       docs.join(keepers, Seq("doc_id"), "left_semi")
-    }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
     val nDeduped = deduped.count()
 
     val gated = {
@@ -38,7 +42,7 @@ object Pipeline {
       deduped.join(
         TextAnalysis.quality(deduped).filter($"keep").select($"doc_id"),
         Seq("doc_id"), "left_semi")
-    }
+    }.persist(StorageLevel.MEMORY_AND_DISK)
     val nGated = gated.count()
 
     val withSplit = gated.join(
@@ -48,6 +52,8 @@ object Pipeline {
 
     val splits = withSplit.groupBy("split").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    deduped.unpersist()
+    gated.unpersist()
     Result(
       kept = nGated,
       dropped_dupes = total - nDeduped,

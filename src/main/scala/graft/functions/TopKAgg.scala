@@ -90,6 +90,10 @@ object TopKAgg {
       s1 > s2 || (s1 == s2 && i1 < i2)
 
     def offer(s: Double, id: Long): Unit = {
+      // NaN compares false both ways in better(): once admitted it
+      // could never be evicted (zero-norm vectors yield NaN cosines
+      // upstream) — reject it outright
+      if (s.isNaN) return
       if (size < k) { scores(size) = s; ids(size) = id; size += 1 }
       else {
         // find current worst; replace if the newcomer beats it

@@ -30,16 +30,21 @@ object Dedup {
   private val DfCap = 50        // stop-shingle document-frequency cap
   private val JaccardT = 0.5
 
+  /** Whitespace class written out explicitly: Java's \s includes
+    * vertical tab (\x0B), RE2's (DuckDB) does not — an explicit class
+    * keeps hashing/tokenization engine-identical even on \x0B text. */
+  private[operators] val Ws = "[ \\t\\n\\f\\r]+"
+
   /** Normalized text: lowercase, whitespace-squeezed. */
   private def norm(c: Column): Column =
-    lower(trim(regexp_replace(c, "\\s+", " ")))
+    lower(trim(regexp_replace(c, Ws, " ")))
 
   /** doc_id + word 5-gram shingles (with duplicates — cheap, no
     * shuffle; distinct only where set semantics are needed). */
   private def rawShingles(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
-      .select($"doc_id", split(trim($"text"), "\\s+").as("w"))
+      .select($"doc_id", split(trim($"text"), Ws).as("w"))
       .filter(size($"w") >= ShingleN)
       .select($"doc_id", explode(expr(
         s"""transform(sequence(1, size(w) - ${ShingleN - 1}),

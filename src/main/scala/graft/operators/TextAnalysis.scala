@@ -17,7 +17,8 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
-  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+  // Dedup.Ws: explicit whitespace class (Java \s ⊃ RE2 \s on \x0B)
+  private def tokens(c: Column): Column = split(trim(c), Dedup.Ws)
 
   /** F1 token counting: whitespace tokens + a BPE-ish word/punct
     * regex count. */
@@ -89,7 +90,7 @@ object TextAnalysis {
     import docs.sparkSession.implicits._
     docs
       .select($"doc_id",
-        substring(md5(lower(trim(regexp_replace($"text", "\\s+", " ")))), 1, 16)
+        substring(md5(lower(trim(regexp_replace($"text", Dedup.Ws, " ")))), 1, 16)
           .as("fp16"),
         floor(length($"text") / 100).cast("long").as("len_bucket"))
       .orderBy($"doc_id")
@@ -100,7 +101,7 @@ object TextAnalysis {
   def ngramProfile(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
-      .select(split(trim($"text"), "\\s+").as("w"))
+      .select(split(trim($"text"), Dedup.Ws).as("w"))
       .filter(size($"w") >= 2)
       .select(explode(expr(
         """transform(sequence(1, size(w) - 1),
@@ -113,13 +114,12 @@ object TextAnalysis {
   }
 
   /** F6 TF-IDF top terms per document. Inverted-index shape: one
-    * explode, two hash aggregates, one broadcast join of the tiny df
-    * table — no cross-product. (At web-vocab scale the df side
-    * outgrows a broadcast; swap to a plain shuffle join — the shape
-    * is otherwise unchanged.) Oracle note: ln() is libm-evaluated on
-    * both engines; scores are ranked on the shared doubles and
-    * exported rounded to 4, which absorbs any last-ulp libm skew —
-    * verified hash-stable at sf0.001/0.01/0.1. */
+    * explode, two hash aggregates, one size-adaptive join of the df
+    * table (AQE broadcasts it while small, shuffle-joins a web-scale
+    * vocabulary) — no cross-product. Oracle note: ln() is
+    * libm-evaluated on both engines; scores are ranked on the shared
+    * doubles and exported rounded to 4, which absorbs any last-ulp
+    * libm skew — verified hash-stable at sf0.001/0.01/0.1. */
   def tfidf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -130,7 +130,10 @@ object TextAnalysis {
     val df = terms.select($"doc_id", $"term").distinct()
       .groupBy($"term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
-    tf.join(broadcast(df), "term")
+    // no broadcast hint: Catalyst/AQE broadcasts the df table while it
+    // fits autoBroadcastJoinThreshold and shuffle-joins a web-scale
+    // vocabulary — the hint would pin an unbounded table to the driver
+    tf.join(df, "term")
       .withColumn("score", $"tf" * log(lit(n.toDouble) / $"df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 3)

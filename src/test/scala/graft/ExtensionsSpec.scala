@@ -35,6 +35,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sig.forall(_ != Long.MaxValue))
   }
 
+  test("minhash_sig rejects a non-literal numPerm at analysis time") {
+    Tables.documents(spark, GraftTestSession.sf).limit(5)
+      .createOrReplaceTempView("docs5")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sig(text, n_chars) FROM docs5").collect()
+    }
+    assert(ex.getMessage.contains("literal numPerm"))
+  }
+
   test("bucketed tables join without a shuffle") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS li_b")

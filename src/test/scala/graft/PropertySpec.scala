@@ -40,6 +40,16 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKAgg rejects NaN scores (a NaN must never pin a slot)") {
+    val h = new TopKAgg.Heap(2)
+    h.offer(Double.NaN, 1L)
+    h.offer(0.5, 2L)
+    h.offer(Double.NaN, 3L)
+    h.offer(0.9, 4L)
+    h.offer(0.7, 5L) // would be blocked if a NaN squatted in the heap
+    assert(h.sortedDesc == Seq((0.9, 4L), (0.7, 5L)))
+  }
+
   test("TopKAgg serialization round-trips") {
     for (_ <- 0 until 200) {
       val xs = randomEntries(rng.nextInt(30))
