@@ -241,6 +241,28 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D8 near-dup CLUSTERS: the grouping step a real pipeline runs
+    * after pair generation — connected components over the verified
+    * n-gram Jaccard pairs ([[ngramJaccard]]), one row per document
+    * with its cluster id (min doc_id in the component), whether it is
+    * the canonical keeper, and the cluster size. Singleton documents
+    * are their own cluster. Component search is distributed min-label
+    * propagation ([[Graph.connectedComponents]]) — no driver-side
+    * graph, rounds = duplicate-cluster diameter (≤ ~3 in practice). */
+  def nearDupClusters(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val pairs = jaccardPairs(shingles(docs), JaccardT)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    val comp = Graph.connectedComponents(pairs, docs.select($"doc_id".as("id")))
+      .select($"id".as("doc_id"), $"component".as("cluster_id"))
+    val sizes = comp.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
+    comp.join(sizes, "cluster_id")
+      .select($"doc_id", $"cluster_id",
+        ($"doc_id" === $"cluster_id").cast("long").as("is_canonical"),
+        $"n_members")
+      .orderBy($"doc_id")
+  }
+
   /** D7 fuzzy key matching by edit distance — entity-resolution style
     * dedup for short keys (names/brands), BLOCKED by deletion
     * neighborhoods (the SymSpell/FastSS scheme): if dist(a,b) ≤ d then
@@ -290,7 +312,8 @@ object Dedup {
     "dedup_simhash" -> onDocs(simhash),
     "dedup_embedding" -> ((s, dir) => embeddingCosine(Tables.embeddings(s, dir))),
     "dedup_fuzzy_brand" -> ((s, dir) =>
-      fuzzyKeys(Tables.part(s, dir), "p_brand", maxDist = 1)))
+      fuzzyKeys(Tables.part(s, dir), "p_brand", maxDist = 1)),
+    "dedup_clusters" -> onDocs(nearDupClusters))
 
   private val shinglesSql =
     s"""w AS (
@@ -344,7 +367,36 @@ object Dedup {
          |JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $JaccardT
          |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_embedding" -> embeddingOracleSql)
+    "dedup_embedding" -> embeddingOracleSql,
+    // components via recursive CTE: min reachable id == component min
+    // (reachability is symmetric because edges are emitted both ways)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $JaccardT),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.b, re.r FROM reach re JOIN edges e ON e.a = re.id),
+         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |cs AS (SELECT cluster_id, count(*) AS n_members FROM comp
+         |       GROUP BY cluster_id)
+         |SELECT c.id AS doc_id, c.cluster_id,
+         |  (c.id = c.cluster_id)::BIGINT AS is_canonical, cs.n_members
+         |FROM comp c JOIN cs USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin)
 
   /** DuckDB twin of the LSH-blocked embedding dedup: the ±1 plane
     * literals are generated from the SAME MurmurHash3 derivation the

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Graph}
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = GraftTestSession.spark
+
+  test("connectedComponents: chain, pair, singleton") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (3L, 2L), (10L, 11L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val got = Graph.connectedComponents(edges, verts)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("nearDupClusters groups every jaccard pair and keeps min as canonical") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
+    val clusters = Dedup.nearDupClusters(docs)
+      .as[(Long, Long, Long, Long)].collect()
+    val byDoc = clusters.map(c => c._1 -> c._2).toMap
+    assert(byDoc.size == docs.count(), "one row per document")
+    // every verified near-dup pair lands in the same cluster
+    val pairs = Dedup.ngramJaccard(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "test corpus must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) == byDoc(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the min member; exactly one canonical per cluster
+    val members = clusters.groupBy(_._2)
+    members.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min == cid, s"cluster $cid id is not its min member")
+      assert(ms.count(_._3 == 1L) == 1, s"cluster $cid canonical count != 1")
+      assert(ms.forall(_._4 == ms.length), s"cluster $cid n_members wrong")
+    }
+  }
+}
