@@ -184,6 +184,20 @@ object Similarity {
     import vecs.sparkSession.implicits._
     val e = vecs
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val centroids = kmeansCentroids(vecs, k, iters)
+    e.withColumn("cell", assignCol(centroids))
+      .select($"vec_id", $"cell".cast("long").as("cell"))
+      .orderBy($"vec_id")
+  }
+
+  /** The trained Lloyd's centroids themselves (k × dim doubles — the
+    * only data that ever reaches the driver). Exposed so IVF can use a
+    * learned coarse quantizer instead of sampled seeds. */
+  def kmeansCentroids(vecs: DataFrame, k: Int,
+      iters: Int): Array[(Int, Array[Double])] = {
+    import vecs.sparkSession.implicits._
+    val e = vecs
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     var centroids: Array[(Int, Array[Double])] = e.orderBy($"vec_id").limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
@@ -201,9 +215,47 @@ object Similarity {
         (r.getInt(0), Array.tabulate(m.size)(i => m(i)))
       }.sortBy(_._1)
     }
-    e.withColumn("cell", assignCol(centroids))
-      .select($"vec_id", $"cell".cast("long").as("cell"))
-      .orderBy($"vec_id")
+    centroids
+  }
+
+  /** E5 IVF with a LEARNED coarse quantizer: Lloyd's-refined centroids
+    * replace E3's sampled seeds, so cells track the real density of the
+    * corpus (tighter cells → fewer probes for the same recall — the
+    * standard IVF training step in Jégou et al.'s product-quantization
+    * line of work). Assignment and probing both use the squared-
+    * euclidean argmin as one codegen'd literal projection (zero join,
+    * zero shuffle); final scoring is exact cosine over the probed
+    * cells through the bounded-heap TopKAgg. nProbe is the recall/cost
+    * knob — measured curve in SURVEY §5.
+    *
+    * Cosine-query guidance (measured, IvfRecallSpec): on roughly
+    * equal-norm embeddings the near-origin centroids make euclidean
+    * cells partition by direction and recall@3 is 1.00 at nProbe=1
+    * (scanning ~1/nlist of the corpus). When vector norms spread
+    * widely, cells become radial shells and cosine neighbors cross
+    * them — L2-normalize embeddings before indexing, or pay probes. */
+  def annIvfKmeans(vecs: DataFrame, k: Int = 16, iters: Int = 2,
+      nProbe: Int = 2): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val centroids = kmeansCentroids(vecs, k, iters)
+    val e = vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("n", VectorFunctions.norm($"v"))
+    val assigned = e.withColumn("cell", assignCol(centroids))
+    // nProbe nearest cells per query under the SAME metric as
+    // assignment: array_sort asc on (c·c − 2 q·c, cell id)
+    val cellDists = array(centroids.map { case (id, c) =>
+      struct((lit(c.map(x => x * x).sum) -
+        lit(2.0) * VectorFunctions.dot($"qv", typedlit(c))).as("d"),
+        lit(id).as("id"))
+    }.toIndexedSeq: _*)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
+      .withColumn("pc", explode(slice(array_sort(cellDists), 1, nProbe)))
+      .select($"q_id", $"qv", $"qn", $"pc.id".as("cell"))
+    topKPerQuery(
+      assigned.join(broadcast(q), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6)))
   }
 
   /** Nearest-centroid expression: squared-euclidean argmin over the
@@ -227,6 +279,7 @@ object Similarity {
     "ann_bruteforce" -> onVecs(bruteforce),
     "ann_lsh" -> onVecs(annLsh),
     "ann_ivf" -> onVecs(annIvf),
+    "ann_ivf_kmeans" -> onVecs(v => annIvfKmeans(v)),
     "kmeans_assign" -> onVecs(v => kmeans(v)))
 
   /** DuckDB SQL for the deterministic LSH bucketing: one UNION ALL
@@ -260,42 +313,86 @@ object Similarity {
     * sums accumulate in engine-specific order), which only matters if
     * a vector is equidistant to two cells at that precision —
     * hash-verified stable at sf0.001/0.01/0.1. */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
-    def iteration(i: Int): String =
-      s"""a$i AS (
-         |  SELECT vec_id, v, cell FROM (
-         |    SELECT ev.vec_id, ev.v, c.cell, row_number() OVER (
-         |      PARTITION BY ev.vec_id
-         |      ORDER BY list_dot_product(c.cv, c.cv)
-         |        - 2 * list_dot_product(ev.v, c.cv), c.cell) AS rn
-         |    FROM ev CROSS JOIN c$i c)
-         |  WHERE rn = 1),
-         |c${i + 1} AS (
-         |  SELECT cell, list(m ORDER BY i) AS cv FROM (
-         |    SELECT cell, i, sum(x) / count(*) AS m FROM (
-         |      SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i
-         |      FROM a$i)
-         |    GROUP BY cell, i)
-         |  GROUP BY cell)""".stripMargin
+  /** One unrolled Lloyd's round: a$i = euclidean-argmin assignment
+    * against centroids c$i (tie → lowest cell, same as `assignCol`);
+    * c${i+1} = per-cell element-wise means. Shared by the kmeans and
+    * IVF-kmeans oracles; expects `ev(vec_id, v, …)` and `c$i` CTEs. */
+  private def kmeansIterSql(i: Int): String =
+    s"""a$i AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT ev.vec_id, ev.v, c.cell, row_number() OVER (
+       |      PARTITION BY ev.vec_id
+       |      ORDER BY list_dot_product(c.cv, c.cv)
+       |        - 2 * list_dot_product(ev.v, c.cv), c.cell) AS rn
+       |    FROM ev CROSS JOIN c$i c)
+       |  WHERE rn = 1),
+       |c${i + 1} AS (
+       |  SELECT cell, list(m ORDER BY i) AS cv FROM (
+       |    SELECT cell, i, sum(x) / count(*) AS m FROM (
+       |      SELECT cell, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i
+       |      FROM a$i)
+       |    GROUP BY cell, i)
+       |  GROUP BY cell)""".stripMargin
+
+  /** Euclidean-argmin CTE body over centroids c$iters (rank column
+    * `rn`), reused for both the corpus assignment and query probes. */
+  private def assignRankSql(iters: Int, where: String = ""): String =
+    s"""SELECT ev.vec_id, c.cell, row_number() OVER (
+       |      PARTITION BY ev.vec_id
+       |      ORDER BY list_dot_product(c.cv, c.cv)
+       |        - 2 * list_dot_product(ev.v, c.cv), c.cell) AS rn
+       |    FROM ev CROSS JOIN c$iters c$where""".stripMargin
+
+  private def kmeansOracleSql(k: Int, iters: Int): String =
     s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
        |  FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT $k)),
-       |${(0 until iters).map(iteration).mkString(",\n")},
+       |${(0 until iters).map(kmeansIterSql).mkString(",\n")},
        |final_assign AS (
        |  SELECT vec_id, cell FROM (
-       |    SELECT ev.vec_id, c.cell, row_number() OVER (
-       |      PARTITION BY ev.vec_id
-       |      ORDER BY list_dot_product(c.cv, c.cv)
-       |        - 2 * list_dot_product(ev.v, c.cv), c.cell) AS rn
-       |    FROM ev CROSS JOIN c$iters c)
+       |    ${assignRankSql(iters)})
        |  WHERE rn = 1)
        |SELECT vec_id, cell::BIGINT AS cell FROM final_assign
        |ORDER BY vec_id""".stripMargin
-  }
+
+  /** DuckDB twin of [[annIvfKmeans]]: the same unrolled Lloyd's
+    * training, euclidean-argmin assignment AND probes, exact cosine
+    * (rounded 6) over the probed cells. */
+  private def ivfKmeansOracleSql(k: Int, iters: Int, nProbe: Int): String =
+    s"""WITH ev AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+       |  FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT $k)),
+       |${(0 until iters).map(kmeansIterSql).mkString(",\n")},
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    ${assignRankSql(iters)})
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    ${assignRankSql(iters, s" WHERE ev.vec_id < $NumQueries")})
+       |  WHERE rn <= $nProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    round(list_dot_product(eq.v, ex.v) / (eq.n * ex.n), 6) AS cos
+       |  FROM probes p
+       |  JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.q_id
+       |  JOIN ev eq ON p.q_id = eq.vec_id
+       |  JOIN ev ex ON a.vec_id = ex.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id, cos FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "kmeans_assign" -> kmeansOracleSql(k = 8, iters = 3),
+    "ann_ivf_kmeans" -> ivfKmeansOracleSql(k = 16, iters = 2, nProbe = 2),
     "ann_bruteforce" ->
       s"""WITH $eCte,
          |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e
