@@ -142,6 +142,38 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** F10 repetition metrics (the Gopher-style quality signals of
+    * Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1):
+    * per document, the fraction of tokens taken by the single most
+    * frequent token, the fraction of bigram slots taken by the most
+    * frequent word bigram, and the distinct-token ratio — repetitive
+    * boilerplate scores high top-ngram fractions and low diversity.
+    * All ratios are exact integer ppm (BIGINT floor division), so the
+    * oracle compares bit-exactly. Two hash aggregates per signal, no
+    * window, no shuffle beyond the groupBys — linear at any corpus. */
+  def repetition(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val uni = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(sum($"c").as("n_tokens"),
+        max($"c").as("top_tok"), count(lit(1)).as("n_distinct"))
+    val bi = docs.select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""
+          .stripMargin)).as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_bi"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        expr("(n_distinct * 1000000) div n_tokens").as("distinct_ppm"),
+        expr("(top_tok * 1000000) div n_tokens").as("top_token_ppm"),
+        coalesce(expr("(top_bi * 1000000) div greatest(n_tokens - 1, 1)"),
+          lit(0L)).as("top_bigram_ppm"))
+      .orderBy($"doc_id")
+  }
+
   /** F7 deterministic train/val/test split by key modulus — the
     * reproducible-split contract a training pipeline needs (stable
     * across runs, engines, and cluster sizes; no RNG). 80/10/10. */
@@ -186,7 +218,8 @@ object TextAnalysis {
     "text_quality" -> onDocs(quality),
     "text_langid" -> onDocs(langId),
     "text_fingerprint" -> onDocs(fingerprint),
-    "text_ngram_profile" -> onDocs(ngramProfile))
+    "text_ngram_profile" -> onDocs(ngramProfile),
+    "text_repetition" -> onDocs(repetition))
 
   val oracles: Map[String, String] = Map(
     "text_split_assign" ->
@@ -287,5 +320,33 @@ object TextAnalysis {
         |    PARTITION BY doc_id ORDER BY raw DESC, term) AS rank
         |  FROM scored)
         |SELECT doc_id, rank, term, tf, df, round(raw, 4) AS score
-        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |uc AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+        |u AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c)::BIGINT AS top_tok,
+        |    count(*)::BIGINT AS n_distinct
+        |  FROM uc GROUP BY doc_id),
+        |w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM w),
+        |bc AS (
+        |  SELECT doc_id, bigram, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+        |bi AS (SELECT doc_id, max(c)::BIGINT AS top_bi FROM bc GROUP BY doc_id)
+        |SELECT u.doc_id, u.n_tokens,
+        |  (u.n_distinct * 1000000) // u.n_tokens AS distinct_ppm,
+        |  (u.top_tok * 1000000) // u.n_tokens AS top_token_ppm,
+        |  coalesce((bi.top_bi * 1000000) // greatest(u.n_tokens - 1, 1), 0)::BIGINT
+        |    AS top_bigram_ppm
+        |FROM u LEFT JOIN bi ON u.doc_id = bi.doc_id
+        |ORDER BY u.doc_id""".stripMargin)
 }

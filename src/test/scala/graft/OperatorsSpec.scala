@@ -111,4 +111,18 @@ class OperatorsSpec extends AnyFunSuite {
     val df = run("mm_binary_meta")
     assert(df.filter(length(col("payload_hex")) =!= col("n_bytes") * 2).count() == 0)
   }
+
+  test("text_repetition: hand-computed ppm on a known doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),          // 4 toks, 2 distinct, top 'a'=3; bigrams: 'a a'x2 of 3
+      (2L, "x y"),              // no repetition: all ppm at their floors
+      (3L, "w")                 // single token: no bigrams -> 0
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.repetition(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r(0) == ((1L, 4L, 500000L, 750000L, 666666L)), s"got ${r(0)}")
+    assert(r(1) == ((2L, 2L, 1000000L, 500000L, 1000000L)), s"got ${r(1)}")
+    assert(r(2) == ((3L, 1L, 1000000L, 1000000L, 0L)), s"got ${r(2)}")
+  }
 }
