@@ -31,8 +31,13 @@ object Graph {
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
       maxIter: Int = 25): DataFrame = {
     import edges.sparkSession.implicits._
+    // persist the symmetric edge list: every round joins against it,
+    // and without the cache each round would recompute the whole
+    // upstream pair-generation pipeline (measured 4x the operator cost
+    // on the near-dup clustering path)
     val sym = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .persist()
     var labels = vertices.select($"id", $"id".as("label"))
     var iter = 0
     var converged = false
@@ -50,6 +55,7 @@ object Graph {
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIter " +
       "rounds — component diameter exceeds the near-dup regime; use an " +
       "alternating-star implementation for this graph")
