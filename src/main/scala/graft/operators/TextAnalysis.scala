@@ -174,6 +174,40 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // RE2-safe PII patterns (no lookaround/backrefs — identical under
+  // Java regex and DuckDB RE2). Scrub order matters and is fixed:
+  // email, then phone, then IPv4 (a NANP dotted phone would otherwise
+  // half-match the IPv4 pattern).
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  private val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** F11 PII detection + redaction: per-document counts of emails /
+    * NANP phones / IPv4 literals and a fingerprint of the scrubbed
+    * text (placeholders substituted in a fixed order). A training
+    * pipeline runs this as a pre-release gate; per-row regex column
+    * math, embarrassingly parallel. The full scrubbed text is emitted
+    * for pipeline use; the compact fingerprint is what the oracle
+    * hash-compares. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace($"text",
+      EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), Ipv4Re, "[IP]")
+    // Spark SQL string literals unescape backslashes, so the pattern
+    // must be double-escaped when embedded in expr() SQL text (the
+    // Column-API regexp_replace above takes the pattern verbatim)
+    def extractAll(re: String) =
+      expr(s"regexp_extract_all(text, '${re.replace("\\", "\\\\")}', 0)")
+    docs
+      .select($"doc_id",
+        size(extractAll(EmailRe)).cast("long").as("n_email"),
+        size(extractAll(PhoneRe)).cast("long").as("n_phone"),
+        size(extractAll(Ipv4Re)).cast("long").as("n_ipv4"),
+        substring(md5(scrubbed), 1, 16).as("scrubbed_fp16"))
+      .orderBy($"doc_id")
+  }
+
   /** F7 deterministic train/val/test split by key modulus — the
     * reproducible-split contract a training pipeline needs (stable
     * across runs, engines, and cluster sizes; no RNG). 80/10/10. */
@@ -219,7 +253,8 @@ object TextAnalysis {
     "text_langid" -> onDocs(langId),
     "text_fingerprint" -> onDocs(fingerprint),
     "text_ngram_profile" -> onDocs(ngramProfile),
-    "text_repetition" -> onDocs(repetition))
+    "text_repetition" -> onDocs(repetition),
+    "text_pii_scrub" -> onDocs(piiScrub))
 
   val oracles: Map[String, String] = Map(
     "text_split_assign" ->
@@ -348,5 +383,18 @@ object TextAnalysis {
         |  coalesce((bi.top_bi * 1000000) // greatest(u.n_tokens - 1, 1), 0)::BIGINT
         |    AS top_bigram_ppm
         |FROM u LEFT JOIN bi ON u.doc_id = bi.doc_id
-        |ORDER BY u.doc_id""".stripMargin)
+        |ORDER BY u.doc_id""".stripMargin,
+    // the test corpus carries no PII (counts 0, fingerprint = md5 of
+    // the unchanged text) — the oracle still pins the schema and the
+    // no-match regex/md5 behavior; crafted-text semantics are pinned
+    // by the hand-computed unit spec (OperatorsSpec)
+    "text_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_email,
+         |  len(regexp_extract_all(text, '$PhoneRe'))::BIGINT AS n_phone,
+         |  len(regexp_extract_all(text, '$Ipv4Re'))::BIGINT AS n_ipv4,
+         |  substr(md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '[EMAIL]', 'g'), '$PhoneRe', '[PHONE]', 'g'),
+         |    '$Ipv4Re', '[IP]', 'g')), 1, 16) AS scrubbed_fp16
+         |FROM documents ORDER BY doc_id""".stripMargin)
 }

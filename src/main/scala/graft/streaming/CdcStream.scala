@@ -131,6 +131,24 @@ object CdcStream {
       .drop("__rkey")
   }
 
+  /** C20 streaming sessionization via the native `session_window`:
+    * events on the same key closer than `gap` merge into one growing
+    * session; the watermark finalizes a session once no in-gap event
+    * can still arrive, so state per key = OPEN sessions only (bounded,
+    * RocksDB-backed at scale) — the streaming twin of the batch
+    * gap-sessionization (Cdc.sessionize). Emit in Append mode: each
+    * session is output exactly once, when it closes. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      delay: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupBy($"user_id", session_window($"ts", gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"sw.start").as("start_us"),
+        unix_micros($"sw.end").as("end_us"), $"n_events")
+  }
+
   /** Convenience: run a streaming Dataset to completion against a
     * named in-memory sink (test/smoke harness). */
   def runToMemory[T](ds: Dataset[T], name: String, mode: OutputMode): Unit = {

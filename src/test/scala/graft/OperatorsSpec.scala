@@ -112,6 +112,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.filter(length(col("payload_hex")) =!= col("n_bytes") * 2).count() == 0)
   }
 
+  test("text_pii_scrub: crafted text redacts and counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail bob@example.com or 555-123-4567 from 10.0.0.1 ok"),
+      (2L, "no pii in this one 123.456")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.piiScrub(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+    def fp(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    assert(r(0) == ((1L, 1L, 1L, 1L,
+      fp("mail [EMAIL] or [PHONE] from [IP] ok"))), s"got ${r(0)}")
+    assert(r(1) == ((2L, 0L, 0L, 0L,
+      fp("no pii in this one 123.456"))), s"got ${r(1)}")
+  }
+
   test("text_repetition: hand-computed ppm on a known doc") {
     import spark.implicits._
     val docs = Seq(

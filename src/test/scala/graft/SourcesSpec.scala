@@ -172,4 +172,27 @@ class SourcesSpec extends AnyFunSuite {
       Tables.events(spark, GraftTestSession.sf)
         .filter(col("event_type") === "purchase").count())
   }
+
+  test("H7: permissive JSONL read parses clean lines, quarantines bad ones") {
+    val dir = Files.createTempDirectory("graft_jsonl").toFile
+    val f = new java.io.File(dir, "docs.jsonl")
+    Files.writeString(f.toPath,
+      """{"doc_id": 1, "text": "the quick brown fox", "lang": "en"}
+        |{"doc_id": 2, "text": "le renard brun", "lang": "fr"}
+        |{"doc_id": 3, "text": "truncated line no closing brace
+        |{"doc_id": "not_a_number", "text": "x", "lang": "en"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType)))
+    val df = graft.sources.Jsonl.read(spark, f.getAbsolutePath, schema).cache()
+    assert(graft.sources.Jsonl.clean(df).count() == 2)
+    assert(graft.sources.Jsonl.quarantine(df).count() == 2)
+    // the clean frame feeds the text operators unchanged
+    val toks = graft.operators.TextAnalysis.tokenCounts(
+      graft.sources.Jsonl.clean(df))
+    assert(toks.filter(col("doc_id") === 1).collect()(0)
+      .getAs[Long]("n_ws_tokens") == 4)
+  }
 }

@@ -228,4 +228,34 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("C20 streaming session windows equal the batch session_window twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = graft.sources.Tables.events(spark, GraftTestSession.sf)
+      .select($"user_id", $"ts")
+    val rows = events.as[(Long, java.sql.Timestamp)].collect().toSeq
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = CdcStream.sessionWindows(in.toDF().toDF("user_id", "ts"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_win").start()
+    try {
+      in.addData(rows)
+      q.processAllAvailable()
+      // far-future sentinel advances the watermark past every real
+      // session; its own (still-open) session is filtered out below
+      in.addData(Seq((-1L, java.sql.Timestamp.valueOf("2031-01-01 00:00:00"))))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_win").filter($"user_id" >= 0)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batchTwin = events
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", unix_micros($"sw.start").as("start_us"),
+          unix_micros($"sw.end").as("end_us"), $"n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == batchTwin,
+        s"streamed ${streamed.size} sessions, batch ${batchTwin.size}")
+    } finally q.stop()
+  }
 }
