@@ -44,7 +44,7 @@ class PlanPropertiesSpec extends AnyFunSuite {
     // IVF assignment is a literal argmax projection; embedding dedup is
     // LSH-blocked. (ann_bruteforce intentionally broadcasts the query
     // set against the full corpus — that one IS a scan by design.)
-    for (q <- Seq("ann_ivf", "ann_lsh", "dedup_embedding"))
+    for (q <- Seq("ann_ivf", "ann_lsh", "ann_ivf_kmeans", "dedup_embedding"))
       assert(!plan(q).contains("BroadcastNestedLoopJoin"),
         s"$q regressed to a nested-loop join")
   }
