@@ -242,17 +242,29 @@ object Dedup {
   }
 
   /** D8 near-dup CLUSTERS: the grouping step a real pipeline runs
-    * after pair generation — connected components over the verified
-    * n-gram Jaccard pairs ([[ngramJaccard]]), one row per document
-    * with its cluster id (min doc_id in the component), whether it is
-    * the canonical keeper, and the cluster size. Singleton documents
-    * are their own cluster. Component search is distributed min-label
-    * propagation ([[Graph.connectedComponents]]) — no driver-side
-    * graph, rounds = duplicate-cluster diameter (≤ ~3 in practice). */
+    * after pair generation — connected components over the union of
+    * EXACT-duplicate pairs (content-hash groups: doc ↔ group keeper)
+    * and verified n-gram Jaccard pairs ([[ngramJaccard]]); one row per
+    * document with its cluster id (min doc_id in the component),
+    * whether it is the canonical keeper, and the cluster size.
+    * Exact pairs matter: the DF cap deliberately drops ultra-common
+    * boilerplate shingles, so a document made ENTIRELY of them can
+    * lose its posting lists — its byte-identical copies must still
+    * co-cluster, and the content hash guarantees that (measured on the
+    * 20x replicated stress corpus). Singleton documents are their own
+    * cluster. Component search is distributed min-label propagation
+    * ([[Graph.connectedComponents]]) — no driver-side graph, rounds =
+    * duplicate-cluster diameter (≤ ~3 in practice). */
   def nearDupClusters(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    val hashes = docs.select($"doc_id", md5(norm($"text")).as("h"))
+    val exactPairs = hashes
+      .join(hashes.groupBy($"h").agg(min($"doc_id").as("src")), "h")
+      .filter($"doc_id" =!= $"src")
+      .select($"src", $"doc_id".as("dst"))
     val pairs = jaccardPairs(shingles(docs), JaccardT)
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(exactPairs)
     val comp = Graph.connectedComponents(pairs, docs.select($"doc_id".as("id")))
       .select($"id".as("doc_id"), $"component".as("cluster_id"))
     val sizes = comp.groupBy($"cluster_id").agg(count(lit(1)).as("n_members"))
@@ -383,9 +395,20 @@ object Dedup {
          |  JOIN sizes sa ON doc_a = sa.doc_id
          |  JOIN sizes sb ON doc_b = sb.doc_id
          |  WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $JaccardT),
+         |hs AS (
+         |  SELECT doc_id,
+         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+         |  FROM documents),
+         |ex AS (SELECT h, min(doc_id) AS keeper FROM hs GROUP BY h),
+         |epairs AS (
+         |  SELECT e.keeper AS doc_a, hs.doc_id AS doc_b
+         |  FROM hs JOIN ex e USING (h) WHERE hs.doc_id <> e.keeper),
+         |allp AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION ALL SELECT doc_a, doc_b FROM epairs),
          |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |  SELECT doc_a AS a, doc_b AS b FROM allp
+         |  UNION ALL SELECT doc_b, doc_a FROM allp),
          |reach(id, r) AS (
          |  SELECT doc_id, doc_id FROM documents
          |  UNION

@@ -32,6 +32,30 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(Dedup.dedupedCorpus(big).count() == n)
   }
 
+  test("near-dup clustering groups every replica with its base at 20x corpus") {
+    import spark.implicits._
+    val base = Tables.documents(spark, GraftTestSession.sf)
+    val n = base.count()
+    val k = 20
+    val big = base.crossJoin(spark.range(k).select($"id".as("copy")))
+      .select(($"doc_id" + $"copy" * n).as("doc_id"), $"text",
+        $"lang", $"source", $"n_chars")
+    val t0 = System.nanoTime()
+    val clusters = Dedup.nearDupClusters(big)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"clustered ${n * k} docs in $secs%.1f s, " +
+      s"${clusters.map(_._2).distinct.length} clusters")
+    val byDoc = clusters.toMap
+    assert(byDoc.size == n * k)
+    // identical replicas (jaccard 1.0) must always share their base's
+    // cluster; distinct bases may additionally merge via true near-dups
+    byDoc.foreach { case (doc, cid) =>
+      assert(cid == byDoc(doc % n), s"doc $doc split from base ${doc % n}")
+    }
+    assert(clusters.map(_._2).distinct.length <= n)
+  }
+
   test("keyed range join handles 10^6 intervals with zero driver materialization") {
     import spark.implicits._
     // 100k keys × 10 intervals each = 10^6 intervals — far past the
