@@ -26,4 +26,19 @@ object Sink {
   def csv(df: DataFrame, path: String, single: Boolean = false): Unit =
     (if (single) df.coalesce(1) else df)
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Small-file compaction: rewrite a parquet dataset into ~targetMB
+    * files. The operational fix for streaming sinks and over-
+    * partitioned writes — a million tiny files turn a 100 TB scan
+    * into a listing/open() storm long before any byte is read. The
+    * partition count derives from the source's on-disk size, so the
+    * same call is right at 1 GB and at 100 TB. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetMB: Int = 512): Unit = {
+    val df = spark.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = ((bytes / (targetMB.toLong * 1024 * 1024)) + 1)
+      .min(BigInt(1 << 20)).toInt
+    df.repartition(parts).write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
 }

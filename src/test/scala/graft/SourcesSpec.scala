@@ -173,6 +173,19 @@ class SourcesSpec extends AnyFunSuite {
         .filter(col("event_type") === "purchase").count())
   }
 
+  test("H8: compaction rewrites a fragmented dataset into few files") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    val ev = Tables.events(spark, GraftTestSession.sf)
+    ev.repartition(200).write.parquet(s"$base/frag")
+    def parts(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(s"$base/frag") == 200)
+    Sink.compact(spark, s"$base/frag", s"$base/tidy", targetMB = 512)
+    assert(parts(s"$base/tidy") <= 4,
+      s"compaction left ${parts(s"$base/tidy")} files")
+    assert(spark.read.parquet(s"$base/tidy").count() == ev.count())
+  }
+
   test("H7: permissive JSONL read parses clean lines, quarantines bad ones") {
     val dir = Files.createTempDirectory("graft_jsonl").toFile
     val f = new java.io.File(dir, "docs.jsonl")
