@@ -115,6 +115,37 @@ object Multimodal {
       }
   }
 
+  /** G4 media-header sniffing: REAL metadata decode — container
+    * headers are plain bytes, so no codec library is needed to read
+    * them. PNG dims from the IHDR chunk (bytes 17-24, big-endian),
+    * GIF dims from the logical screen descriptor (bytes 7-10,
+    * little-endian), JPEG/others detected by magic. Pure column math
+    * over the payload's hex (substring + conv) — codegen'd, no UDF,
+    * scan-only; the format column then routes each asset to the right
+    * decoder pool without touching pixel data. Pixel decode stays
+    * behind the G2 stub. */
+  def sniffHeaders(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    val h = upper(hex(substring($"payload", 1, 24)))
+    def beField(hexPos: Int, nibbles: Int) =
+      conv(substring(h, hexPos, nibbles), 16, 10).cast("long")
+    val isPng = substring(h, 1, 16) === "89504E470D0A1A0A"
+    val isGif = substring(h, 1, 6) === "474946"
+    val isJpeg = substring(h, 1, 4) === "FFD8"
+    // PNG IHDR: width bytes 17-20 -> hex 33-40, height 21-24 -> 41-48
+    val pngW = beField(33, 8)
+    val pngH = beField(41, 8)
+    // GIF screen: width bytes 7-8 LE -> low hex 13-14, high 15-16
+    val gifW = beField(13, 2) + beField(15, 2) * 256L
+    val gifH = beField(17, 2) + beField(19, 2) * 256L
+    assets.select($"doc_id",
+      when(isPng, "png").when(isGif, "gif").when(isJpeg, "jpeg")
+        .otherwise("unknown").as("format"),
+      when(isPng, pngW).when(isGif, gifW).as("width"),
+      when(isPng, pngH).when(isGif, gifH).as("height"),
+      octet_length($"payload").cast("long").as("n_bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMetaHex)
 

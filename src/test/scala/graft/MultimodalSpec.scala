@@ -52,4 +52,27 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(_.doc_id == doc.getLong(0)).collect().head
     assert(got == expect)
   }
+
+  test("G4 header sniffing parses real PNG/GIF headers and detects JPEG") {
+    import spark.implicits._
+    // genuine container headers: PNG signature + IHDR length/type +
+    // 640x480 BE dims; GIF89a + 320x200 LE screen; JPEG SOI; junk
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x02, 0x80, 0x00, 0x00, 0x01, 0xE0).map(_.toByte)
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array(0x40, 0x01, 0xC8, 0x00, 0xF7, 0x00, 0x00).map(_.toByte))
+    val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
+    val junk = "not an image".getBytes("US-ASCII")
+    val assets = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, junk))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.sniffHeaders(assets)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1L) == (("png", Some(640L), Some(480L))), s"got ${got(1L)}")
+    assert(got(2L) == (("gif", Some(320L), Some(200L))), s"got ${got(2L)}")
+    assert(got(3L) == (("jpeg", None, None)))
+    assert(got(4L) == (("unknown", None, None)))
+  }
 }
