@@ -62,4 +62,65 @@ object Pipeline {
       `val` = splits.getOrElse("val", 0L),
       test = splits.getOrElse("test", 0L))
   }
+
+  case class TrainingResult(kept: Long, dropped_cluster_dupes: Long,
+      dropped_quality: Long, dropped_repetition: Long,
+      train: Long, `val`: Long, test: Long)
+
+  /** The FULL LLM training-data pipeline, every stage from this
+    * library:
+    *
+    *   documents → near-dup cluster canonicalization (exact ∪ jaccard
+    *   components, keep the canonical doc per cluster) → quality gate
+    *   → repetition gate (Gopher-style top-token/diversity bounds) →
+    *   PII scrub (text rewritten in place) → deterministic split →
+    *   partitioned parquet by split.
+    *
+    * Thresholds are the measured-sane defaults for the test corpus;
+    * both gates are plain filters over per-doc metric frames, so
+    * retuning them is a config change, not a pipeline change. */
+  def trainingCorpus(spark: SparkSession, docs: DataFrame,
+      outDir: String): TrainingResult = {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val total = docs.count()
+
+    val canonical = docs.join(
+      Dedup.nearDupClusters(docs).filter($"is_canonical" === 1L)
+        .select($"doc_id"),
+      Seq("doc_id"), "left_semi").persist(StorageLevel.MEMORY_AND_DISK)
+    val nCanon = canonical.count()
+
+    val qualityKeep = TextAnalysis.quality(canonical)
+      .filter($"keep").select($"doc_id")
+    val afterQuality = canonical.join(qualityKeep, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nQuality = afterQuality.count()
+
+    // repetition gate: drop docs where one token takes >30% of the
+    // text or fewer than 10% of tokens are distinct
+    val repKeep = TextAnalysis.repetition(afterQuality)
+      .filter($"top_token_ppm" <= 300000L && $"distinct_ppm" >= 100000L)
+      .select($"doc_id")
+    val gated = afterQuality.join(repKeep, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nGated = gated.count()
+
+    val scrubbed = gated.withColumn("text", TextAnalysis.scrubText($"text"))
+    val withSplit = scrubbed.join(
+      TextAnalysis.splitAssign(scrubbed), Seq("doc_id"))
+    Sink.partitioned(withSplit, s"$outDir/corpus", Seq("split"))
+
+    val splits = withSplit.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    canonical.unpersist(); afterQuality.unpersist(); gated.unpersist()
+    TrainingResult(
+      kept = nGated,
+      dropped_cluster_dupes = total - nCanon,
+      dropped_quality = nCanon - nQuality,
+      dropped_repetition = nQuality - nGated,
+      train = splits.getOrElse("train", 0L),
+      `val` = splits.getOrElse("val", 0L),
+      test = splits.getOrElse("test", 0L))
+  }
 }

@@ -190,10 +190,16 @@ object TextAnalysis {
     * math, embarrassingly parallel. The full scrubbed text is emitted
     * for pipeline use; the compact fingerprint is what the oracle
     * hash-compares. */
+  /** The redaction expression itself (email → phone → IPv4, fixed
+    * order) — exposed so pipelines can rewrite the text column
+    * in place. */
+  def scrubText(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), Ipv4Re, "[IP]")
+
   def piiScrub(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val scrubbed = regexp_replace(regexp_replace(regexp_replace($"text",
-      EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), Ipv4Re, "[IP]")
+    val scrubbed = scrubText($"text")
     // Spark SQL string literals unescape backslashes, so the pattern
     // must be double-escaped when embedded in expr() SQL text (the
     // Column-API regexp_replace above takes the pattern verbatim)

@@ -24,4 +24,41 @@ class PipelineSpec extends AnyFunSuite {
     val out2 = java.nio.file.Files.createTempDirectory("graft_pipe2").toString
     assert(Pipeline.cleanCorpus(spark, docs, out2) == r)
   }
+
+  test("trainingCorpus: clusters, gates, scrubs and splits end to end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_train").toString
+    val base = Tables.documents(spark, GraftTestSession.sf)
+    val n = base.count()
+    // adversarial rows: a PII doc, a replica of doc 0 (must cluster
+    // away), and a degenerate repetition doc (must gate away)
+    val extra = Seq(
+      (n + 1, "reach me at alice@example.com or 555-867-5309 " +
+        "the quick brown fox jumps over the lazy dog in the morning"),
+      (n + 3, "spam " * 60)) // 60x one token -> top_token_ppm 1e6
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("x"))
+      .withColumn("n_chars", length($"text"))
+    val replica = base.filter($"doc_id" === 0)
+      .withColumn("doc_id", lit(n + 2))
+    val docs = base.unionByName(extra.select(base.columns.map(col): _*))
+      .unionByName(replica)
+    val r = Pipeline.trainingCorpus(spark, docs, out)
+    assert(r.kept == r.train + r.`val` + r.test)
+    assert(r.kept + r.dropped_cluster_dupes + r.dropped_quality +
+      r.dropped_repetition == docs.count())
+    assert(r.dropped_cluster_dupes >= 1, "replica must cluster away")
+    assert(r.dropped_repetition >= 1, "degenerate doc must gate away")
+    val back = spark.read.parquet(s"$out/corpus")
+    assert(back.count() == r.kept)
+    // no unredacted PII anywhere in the written corpus
+    assert(back.filter($"text".rlike(
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() == 0)
+    val pii = back.filter($"doc_id" === n + 1)
+    if (pii.count() == 1) { // survives gates -> must be scrubbed
+      val t = pii.select("text").as[String].head()
+      assert(t.contains("[EMAIL]") && t.contains("[PHONE]"), t)
+    }
+  }
 }
