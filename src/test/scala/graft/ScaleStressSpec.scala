@@ -138,6 +138,33 @@ class ScaleStressSpec extends AnyFunSuite {
     info(f"found ${pairs.length} pairs over 100100 distinct keys in $secs%.1f s")
   }
 
+  test("kmeans-refined IVF at 10^6 vectors: train, assign, probe, full recall") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val n = 1000000
+    val dim = 32
+    val vecs = spark.range(n).select($"id".as("vec_id"),
+      expr(s"""transform(sequence(0, ${dim - 1}), j ->
+              |  cast(xxhash64(id, j) % 1000 as double) / 1000.0)"""
+        .stripMargin).as("embedding")).persist()
+    try {
+      val t0 = System.nanoTime()
+      val approx = Similarity.annIvfKmeans(vecs, k = 32, iters = 2, nProbe = 2)
+        .select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"1M-vector IVF (train 2 rounds + assign + probe 2/32 cells): $secs%.1f s")
+      val exact = Similarity.bruteforce(vecs)
+        .select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val recall = exact.map { case (q, ex) =>
+        (ex intersect approx.getOrElse(q, Set.empty)).size / 3.0
+      }.sum / exact.size
+      info(f"recall@3 vs exact = $recall%.2f")
+      assert(recall >= 0.9, s"direction-regime recall collapsed: $recall")
+    } finally vecs.unpersist()
+  }
+
   test("minhash LSH finds replicated near-identical docs in the 20x corpus") {
     import spark.implicits._
     val base = Tables.documents(spark, GraftTestSession.sf).limit(50)
