@@ -49,6 +49,39 @@ class PlanPropertiesSpec extends AnyFunSuite {
         s"$q regressed to a nested-loop join")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective fact-fact join") {
+    // at 100 TB a selective dimension-side predicate should reach the
+    // fact scan as an injected runtime bloom filter (Spark 3.3+) so
+    // non-matching row groups never leave the scan. Thresholds are
+    // production-sized, so shrink them to test scale here.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // the injector skips joins it predicts will broadcast; the test
+      // tables are tiny, so force the shuffle-join prediction too
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      val li = graft.sources.Tables.lineitem(spark, sf)
+      val ords = graft.sources.Tables.orders(spark, sf)
+        .filter($"o_orderpriority" === "1-URGENT")
+      // disable broadcast so the join is genuinely shuffle-shaped (the
+      // regime where a runtime filter pays at scale)
+      val p = li.hint("shuffle_hash").join(ords,
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").count()
+        .queryExecution.optimizedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter"),
+        s"no runtime bloom filter injected:\n${p.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("windowed operators partition by key (no global window)") {
     for (q <- Seq("cdc_latest_state", "cdc_scd2", "q_running_sum")) {
       val p = plan(q)
