@@ -71,10 +71,12 @@ object Pipeline {
     * library:
     *
     *   documents → near-dup cluster canonicalization (exact ∪ jaccard
-    *   components, keep the canonical doc per cluster) → quality gate
-    *   → repetition gate (Gopher-style top-token/diversity bounds) →
-    *   PII scrub (text rewritten in place) → deterministic split →
-    *   partitioned parquet by split.
+    *   components; the keeper is the HIGHEST-QUALITY member of each
+    *   cluster, ties to lowest doc_id — a garbled copy must not shadow
+    *   a clean one) → quality gate → repetition gate (Gopher-style
+    *   top-token/diversity bounds) → PII scrub (text rewritten in
+    *   place, n_chars recomputed) → deterministic split → partitioned
+    *   parquet by split.
     *
     * Thresholds are the measured-sane defaults for the test corpus;
     * both gates are plain filters over per-doc metric frames, so
@@ -82,13 +84,21 @@ object Pipeline {
   def trainingCorpus(spark: SparkSession, docs: DataFrame,
       outDir: String): TrainingResult = {
     import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val total = docs.count()
 
-    val canonical = docs.join(
-      Dedup.nearDupClusters(docs).filter($"is_canonical" === 1L)
-        .select($"doc_id"),
-      Seq("doc_id"), "left_semi").persist(StorageLevel.MEMORY_AND_DISK)
+    // keeper per cluster = best quality score (window over cluster_id
+    // — high-cardinality key, one shuffle)
+    val keepers = Dedup.nearDupClusters(docs)
+      .select($"doc_id", $"cluster_id")
+      .join(TextAnalysis.quality(docs).select($"doc_id", $"score_ppm"),
+        "doc_id")
+      .withColumn("rk", row_number().over(Window.partitionBy($"cluster_id")
+        .orderBy($"score_ppm".desc, $"doc_id")))
+      .filter($"rk" === 1).select($"doc_id")
+    val canonical = docs.join(keepers, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nCanon = canonical.count()
 
     val qualityKeep = TextAnalysis.quality(canonical)
@@ -106,7 +116,9 @@ object Pipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nGated = gated.count()
 
+    // rewrite text in place and keep the length metadata truthful
     val scrubbed = gated.withColumn("text", TextAnalysis.scrubText($"text"))
+      .withColumn("n_chars", length($"text"))
     val withSplit = scrubbed.join(
       TextAnalysis.splitAssign(scrubbed), Seq("doc_id"))
     Sink.partitioned(withSplit, s"$outDir/corpus", Seq("split"))

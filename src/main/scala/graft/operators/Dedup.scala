@@ -257,9 +257,11 @@ object Dedup {
     * duplicate-cluster diameter (≤ ~3 in practice). */
   def nearDupClusters(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val hashes = docs.select($"doc_id", md5(norm($"text")).as("h"))
-    val exactPairs = hashes
-      .join(hashes.groupBy($"h").agg(min($"doc_id").as("src")), "h")
+    // one definition of the exact-dup keeper: reuse exact() so the
+    // hash/normalization can never drift between D1 and D8
+    val exactPairs = docs.select($"doc_id", md5(norm($"text")).as("h"))
+      .join(exact(docs).select($"content_hash".as("h"),
+        $"keeper_doc_id".as("src")), "h")
       .filter($"doc_id" =!= $"src")
       .select($"src", $"doc_id".as("dst"))
     val pairs = jaccardPairs(shingles(docs), JaccardT)

@@ -24,9 +24,21 @@ object Graph {
 
   /** Connected components of an undirected graph.
     *
+    * Each round TRUNCATES LINEAGE with an eager `localCheckpoint`:
+    * the round's plan references the previous labels twice (union +
+    * join), so without truncation the logical tree — and Spark's
+    * un-shared plan-description string — grows exponentially with
+    * rounds and downstream composition hangs in plan stringification
+    * long before any data moves. Checkpointing each round keeps every
+    * plan one round deep. On a cluster with executor churn, switch to
+    * a reliable `checkpoint()` dir — same truncation, fault-tolerant
+    * storage.
+    *
     * @param edges    (src, dst) pairs, either orientation, duplicates ok
     * @param vertices (id) — every vertex, including isolated ones
     * @return (id, component) where component = min vertex id reachable
+    *         (checkpoint-backed: one row per vertex, no propagation
+    *         lineage attached)
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
       maxIter: Int = 25): DataFrame = {
@@ -46,11 +58,10 @@ object Graph {
         .select($"dst".as("id"), $"label")
       val next = labels.union(msgs)
         .groupBy($"id").agg(min($"label").as("label"))
-        .persist()
+        .localCheckpoint() // eager: materializes AND truncates lineage
       val changed = next.join(
           labels.withColumnRenamed("label", "prev"), "id")
         .filter($"label" =!= $"prev").count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1

@@ -24,7 +24,16 @@ object Csv {
       .schema(schema.add(CorruptCol, "string"))
       .csv(path)
 
-  /** Rows that parsed cleanly (reference's post-clean frame). */
+  /** Rows that parsed cleanly (reference's post-clean frame).
+    *
+    * Caveat shared with [[quarantine]]: Spark disallows queries over
+    * an UNCACHED raw CSV read whose scan would need only the corrupt
+    * column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — e.g. a bare
+    * `clean(df).count()`. Queries selecting data columns are fine;
+    * for count-only health checks either cache the parsed frame
+    * first or use the [[Jsonl]] source, whose text+from_json read has
+    * no such restriction (per-line from_csv cannot express CSV
+    * headers, so the CSV reader keeps the raw relation). */
   def clean(df: DataFrame): DataFrame =
     df.filter(df(CorruptCol).isNull).drop(CorruptCol)
 

@@ -1,33 +1,44 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, from_json}
 import org.apache.spark.sql.types.StructType
 
 /** JSON-lines ingestion (SURVEY.md §2.H7) — the de-facto interchange
   * format for LLM training corpora (one document object per line).
   * Same quarantine posture as [[Csv]]: an explicit schema (no
-  * inference pass over 100 TB) and PERMISSIVE mode so malformed lines
-  * land in a corrupt-record column instead of failing the load; a
-  * splittable line format parallelizes across input splits like any
-  * text source. */
+  * inference pass over 100 TB) and PERMISSIVE parsing so malformed
+  * lines land in a corrupt-record column instead of failing the load.
+  *
+  * Parsing is a text scan + `from_json` rather than the raw json
+  * relation: identical permissive semantics (bad cast → null fields +
+  * corrupt column carrying the raw line), but none of the raw-file
+  * restriction that forbids uncached queries touching only the
+  * corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — so
+  * `clean(df).count()` / `quarantine(df).count()` work straight off
+  * the load, cache or no cache, at any scale. A line-delimited text
+  * scan splits across input blocks like any other source.
+  */
 object Jsonl {
 
   val CorruptCol = "_corrupt_record"
 
   /** Schema-checked permissive read: malformed lines land in
-    * [[CorruptCol]] instead of failing the job. */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .schema(schema.add(CorruptCol, "string"))
-      .json(path)
+    * [[CorruptCol]] (raw line preserved) instead of failing the job. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val full = schema.add(CorruptCol, "string")
+    spark.read.text(path)
+      .select(from_json(col("value"), full,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
+      .select(full.fieldNames.toIndexedSeq.map(n => col(s"r.`$n`")): _*)
+  }
 
   /** Rows that parsed cleanly. */
   def clean(df: DataFrame): DataFrame =
     df.filter(df(CorruptCol).isNull).drop(CorruptCol)
 
-  /** Malformed lines, for quarantine/repair (raw line preserved). */
+  /** Malformed lines for quarantine/repair (raw line preserved). */
   def quarantine(df: DataFrame): DataFrame =
     df.filter(df(CorruptCol).isNotNull).select(df(CorruptCol))
 }

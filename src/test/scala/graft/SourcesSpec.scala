@@ -199,9 +199,14 @@ class SourcesSpec extends AnyFunSuite {
       StructField("doc_id", LongType),
       StructField("text", StringType),
       StructField("lang", StringType)))
-    val df = graft.sources.Jsonl.read(spark, f.getAbsolutePath, schema).cache()
+    // deliberately UNCACHED: neither path may trip Spark's
+    // only-corrupt-column restriction on a raw permissive read
+    val df = graft.sources.Jsonl.read(spark, f.getAbsolutePath, schema)
     assert(graft.sources.Jsonl.clean(df).count() == 2)
-    assert(graft.sources.Jsonl.quarantine(df).count() == 2)
+    val bad = graft.sources.Jsonl.quarantine(df)
+    assert(bad.count() == 2)
+    assert(bad.collect().exists(
+      _.getAs[String](graft.sources.Jsonl.CorruptCol).contains("not_a_number")))
     // the clean frame feeds the text operators unchanged
     val toks = graft.operators.TextAnalysis.tokenCounts(
       graft.sources.Jsonl.clean(df))

@@ -63,7 +63,13 @@ class StreamingSoakSpec extends AnyFunSuite {
         s"rocksdb=${ops1(0).customMetrics.keySet.toString.contains("rocksdb")}")
       assert(ops1(0).customMetrics.keySet.toArray.mkString(",").contains("rocksdb"),
         "state-store metrics must come from the RocksDB provider")
-      q1.stop() // kill mid-stream: 10 of 21 files processed
+      // restart boundary: 10 of 21 files processed, checkpoint at a
+      // batch boundary (processAllAvailable drained, then stop). A
+      // mid-BATCH crash — task dying between sink file write and
+      // commit-log append — is the file sink's own guarantee (readers
+      // only see files recorded in _spark_metadata); what THIS spec
+      // proves is no loss/duplication across query incarnations.
+      q1.stop()
 
       (10 until 20).foreach(writeFile)
       // sentinel far in the future closes every real window via watermark
