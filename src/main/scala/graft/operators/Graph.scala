@@ -40,6 +40,15 @@ object Graph {
     *         (checkpoint-backed: one row per vertex, no propagation
     *         lineage attached)
     */
+  /** Lineage truncation for iterative loops: reliable `checkpoint()`
+    * when the session has a checkpoint dir configured (the cluster
+    * posture — survives executor loss), `localCheckpoint()` otherwise
+    * (test/local posture — faster, blocks die with executors). */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
       maxIter: Int = 25): DataFrame = {
     import edges.sparkSession.implicits._
@@ -56,9 +65,8 @@ object Graph {
     while (!converged && iter < maxIter) {
       val msgs = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .select($"dst".as("id"), $"label")
-      val next = labels.union(msgs)
-        .groupBy($"id").agg(min($"label").as("label"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
+      val next = truncate(labels.union(msgs)
+        .groupBy($"id").agg(min($"label").as("label")))
       val changed = next.join(
           labels.withColumnRenamed("label", "prev"), "id")
         .filter($"label" =!= $"prev").count()
@@ -68,8 +76,81 @@ object Graph {
     }
     sym.unpersist()
     require(converged, s"connectedComponents did not converge in $maxIter " +
-      "rounds — component diameter exceeds the near-dup regime; use an " +
-      "alternating-star implementation for this graph")
+      "rounds — component diameter exceeds the near-dup regime; use " +
+      "connectedComponentsAltStar for deep graphs")
     labels.select($"id", $"label".as("component"))
+  }
+
+  /** Connected components by the ALTERNATING large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014): each round rewires every node toward its
+    * neighborhood minimum, converging in O(log²) rounds regardless of
+    * component DIAMETER — the variant for deep graphs (paths, linked
+    * chains) where min-label propagation's diameter-many rounds are
+    * intractable. Same contract as [[connectedComponents]]; each round
+    * is two grouped-min aggregates + joins, all shuffles on node ids,
+    * no driver-side graph state. Fixpoint is detected by an edge-set
+    * signature (count + hash sum), one tiny aggregate per round.
+    *
+    * For near-dup clustering the propagation variant is faster (those
+    * graphs are near-cliques, 2-4 rounds); this one is the general-
+    * graph fallback — equivalence on random graphs is property-tested
+    * in GraphSpec. */
+  def connectedComponentsAltStar(edges: DataFrame, vertices: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    import edges.sparkSession.implicits._
+
+    // canonical working set: (a, b) with a > b, no self-loops, distinct
+    var e = truncate(edges
+      .select(greatest($"src", $"dst").as("a"), least($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct())
+
+    def largeStar(es: DataFrame): DataFrame = {
+      val sym = es.select($"a".as("u"), $"b".as("v"))
+        .union(es.select($"b".as("u"), $"a".as("v")))
+      val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      // connect every strictly-larger neighbor to the neighborhood min:
+      // v > u >= m, so the (a > b) canonical form is preserved
+      sym.join(mins, "u").filter($"v" > $"u")
+        .select($"v".as("a"), $"m".as("b")).distinct()
+    }
+
+    def smallStar(es: DataFrame): DataFrame = {
+      // each edge assigned to its larger endpoint; m = min of the
+      // strictly-smaller neighborhood (all v < u here)
+      val mins = es.groupBy($"a").agg(min($"b").as("m"))
+      val nbrs = es.join(mins, "a").filter($"b" =!= $"m")
+        .select($"b".as("a"), $"m".as("b"))
+      val self = mins.select($"a", $"m".as("b"))
+      nbrs.union(self).filter($"a" =!= $"b").distinct()
+    }
+
+    def signature(es: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free under ANSI mode
+      // (a hash SUM overflows Long on large edge sets)
+      val r = es.agg(count(lit(1)),
+        bit_xor(xxhash64($"a", $"b"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var sig = signature(e)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = truncate(smallStar(largeStar(e)))
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      iter += 1
+    }
+    require(converged,
+      s"alternating-star did not converge in $maxIter rounds")
+    // fixpoint = disjoint stars centered at component minima: every
+    // non-root appears exactly once as `a`, pointing at its root
+    vertices.select($"id")
+      .join(e.select($"a".as("id"), $"b".as("c")), Seq("id"), "left")
+      .select($"id", coalesce($"c", $"id").as("component"))
   }
 }

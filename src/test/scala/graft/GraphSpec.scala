@@ -16,6 +16,35 @@ class GraphSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("alt-star solves a 100k-node path (diameter label-prop cannot touch)") {
+    import spark.implicits._
+    val n = 100000L
+    val edges = spark.range(n - 1).select($"id".as("src"), ($"id" + 1).as("dst"))
+    val verts = spark.range(n).select($"id")
+    val t0 = System.nanoTime()
+    val bad = Graph.connectedComponentsAltStar(edges, verts)
+      .filter($"component" =!= 0L).count()
+    info(f"100k-path solved in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assert(bad == 0, s"$bad nodes not labeled 0 on a single path")
+  }
+
+  test("alt-star equals label propagation on random graphs") {
+    import spark.implicits._
+    val n = 2000L
+    val verts = spark.range(n).select($"id")
+    // deterministic random edges, sparse enough to leave many components
+    val edges = spark.range(1500)
+      .select((org.apache.spark.sql.functions.abs(
+          org.apache.spark.sql.functions.xxhash64($"id")) % n).as("src"),
+        (org.apache.spark.sql.functions.abs(
+          org.apache.spark.sql.functions.xxhash64($"id", $"id")) % n).as("dst"))
+    val a = Graph.connectedComponentsAltStar(edges, verts)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.connectedComponents(edges, verts)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, s"${a.count { case (k, v) => b(k) != v }} nodes disagree")
+  }
+
   test("nearDupClusters groups every jaccard pair and keeps min as canonical") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
