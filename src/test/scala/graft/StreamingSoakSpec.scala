@@ -17,8 +17,54 @@ import graft.streaming.CdcStream
   * batch/stream double sums are bit-identical regardless of partial-
   * aggregation order.
   */
+object CrashOnce {
+  @volatile var armed = true
+}
+
 class StreamingSoakSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSession.spark
+
+  test("idempotent foreachBatch sink survives an injected MID-BATCH crash") {
+    import spark.implicits._
+    // the hard exactly-once case: the sink has already written batch 1
+    // when the query dies, the checkpoint has NOT committed it, and the
+    // restart replays the same batch. An idempotent sink (overwrite by
+    // batchId) makes the replay harmless — the pattern a production
+    // foreachBatch sink must follow.
+    val base = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def writeFile(i: Int): Unit =
+      Seq.tabulate(100)(j => (i.toLong * 100 + j, t(i * 2)))
+        .toDF("event_id", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    def startQuery() = spark.readStream
+      .schema("event_id long, ts timestamp").parquet(s"$base/in")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        df.write.mode("overwrite").parquet(s"$base/out/batch=$batchId")
+        if (batchId >= 1 && CrashOnce.armed) {
+          CrashOnce.armed = false
+          throw new RuntimeException("injected mid-batch crash")
+        }
+      }
+      .start()
+    CrashOnce.armed = true
+    writeFile(0)
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    writeFile(1) // this batch's sink write lands, then the query dies
+    val q2 = startQuery()
+    intercept[Exception] { q2.processAllAvailable(); q2.awaitTermination() }
+    assert(!CrashOnce.armed, "crash must have fired inside the sink")
+    val q3 = startQuery() // recovery: replays the uncommitted batch
+    q3.processAllAvailable(); q3.stop()
+    val out = spark.read.parquet(s"$base/out").select("event_id")
+      .as[Long].collect().sorted
+    assert(out.length == 200 && out.toSeq == (0L until 200L),
+      s"exactly-once violated after mid-batch crash: ${out.length} rows")
+  }
 
   test("20x windowed-agg stream survives kill/restart with exactly-once output (RocksDB)") {
     import spark.implicits._
