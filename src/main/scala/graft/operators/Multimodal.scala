@@ -126,23 +126,33 @@ object Multimodal {
     * behind the G2 stub. */
   def sniffHeaders(assets: DataFrame): DataFrame = {
     import assets.sparkSession.implicits._
-    val h = upper(hex(substring($"payload", 1, 24)))
+    val h = upper(hex(substring($"payload", 1, 32)))
     def beField(hexPos: Int, nibbles: Int) =
       conv(substring(h, hexPos, nibbles), 16, 10).cast("long")
     val isPng = substring(h, 1, 16) === "89504E470D0A1A0A"
     val isGif = substring(h, 1, 6) === "474946"
     val isJpeg = substring(h, 1, 4) === "FFD8"
+    // canonical RIFF/WAVE with a leading fmt chunk (bytes 13-16)
+    val isWav = substring(h, 1, 8) === "52494646" &&
+      substring(h, 17, 8) === "57415645" &&
+      substring(h, 25, 8) === "666D7420"
     // PNG IHDR: width bytes 17-20 -> hex 33-40, height 21-24 -> 41-48
     val pngW = beField(33, 8)
     val pngH = beField(41, 8)
     // GIF screen: width bytes 7-8 LE -> low hex 13-14, high 15-16
     val gifW = beField(13, 2) + beField(15, 2) * 256L
     val gifH = beField(17, 2) + beField(19, 2) * 256L
+    // WAV fmt: channels bytes 23-24 LE, sample rate bytes 25-28 LE
+    val wavCh = beField(45, 2) + beField(47, 2) * 256L
+    val wavSr = beField(49, 2) + beField(51, 2) * 256L +
+      beField(53, 2) * 65536L + beField(55, 2) * 16777216L
     assets.select($"doc_id",
       when(isPng, "png").when(isGif, "gif").when(isJpeg, "jpeg")
-        .otherwise("unknown").as("format"),
+        .when(isWav, "wav").otherwise("unknown").as("format"),
       when(isPng, pngW).when(isGif, gifW).as("width"),
       when(isPng, pngH).when(isGif, gifH).as("height"),
+      when(isWav, wavSr).as("sample_rate"),
+      when(isWav, wavCh).as("n_channels"),
       octet_length($"payload").cast("long").as("n_bytes"))
   }
 

@@ -53,7 +53,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
-  test("G4 header sniffing parses real PNG/GIF headers and detects JPEG") {
+  test("G4 header sniffing parses real PNG/GIF/WAV headers and detects JPEG") {
     import spark.implicits._
     // genuine container headers: PNG signature + IHDR length/type +
     // 640x480 BE dims; GIF89a + 320x200 LE screen; JPEG SOI; junk
@@ -64,15 +64,26 @@ class MultimodalSpec extends AnyFunSuite {
       Array(0x40, 0x01, 0xC8, 0x00, 0xF7, 0x00, 0x00).map(_.toByte))
     val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
     val junk = "not an image".getBytes("US-ASCII")
-    val assets = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, junk))
+    // canonical 44.1 kHz stereo PCM WAV header
+    val wav = ("RIFF".getBytes("US-ASCII") ++
+      Array(0x24, 0x00, 0x00, 0x00).map(_.toByte) ++
+      "WAVEfmt ".getBytes("US-ASCII") ++
+      Array(0x10, 0, 0, 0, 1, 0, 2, 0, 0x44, 0xAC, 0x00, 0x00).map(_.toByte))
+    val assets = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, junk), (5L, wav))
       .toDF("doc_id", "payload")
     val got = Multimodal.sniffHeaders(assets)
       .collect().map(r => r.getLong(0) -> ((r.getString(1),
         Option(r.get(2)).map(_.asInstanceOf[Long]),
-        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
-    assert(got(1L) == (("png", Some(640L), Some(480L))), s"got ${got(1L)}")
-    assert(got(2L) == (("gif", Some(320L), Some(200L))), s"got ${got(2L)}")
-    assert(got(3L) == (("jpeg", None, None)))
-    assert(got(4L) == (("unknown", None, None)))
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(1L) == (("png", Some(640L), Some(480L), None, None)),
+      s"got ${got(1L)}")
+    assert(got(2L) == (("gif", Some(320L), Some(200L), None, None)),
+      s"got ${got(2L)}")
+    assert(got(3L) == (("jpeg", None, None, None, None)))
+    assert(got(4L) == (("unknown", None, None, None, None)))
+    assert(got(5L) == (("wav", None, None, Some(44100L), Some(2L))),
+      s"got ${got(5L)}")
   }
 }
