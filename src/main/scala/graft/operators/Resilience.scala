@@ -257,7 +257,36 @@ object Resilience {
       .limit(10)
   }
 
+  /** B13 time-grid densification + forward fill — the pandas
+    * `resample('D').ffill()` twin (the reference only drops NA; a
+    * pipeline more often needs the opposite: a dense per-key grid
+    * carrying the last observation forward, e.g. "account balance on
+    * EVERY day"). Per key: every period between that key's first and
+    * last observation is generated with `sequence` + `explode` (no
+    * driver loop, no cross join — grid size is Σ per-key spans), gaps
+    * filled by a last-ignoreNulls window; one shuffle on the key. */
+  def ffillDaily(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val daily = events
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(round(sum($"value"), 2).as("day_value"))
+    val grid = daily.groupBy($"user_id")
+      .agg(min($"day").as("mn"), max($"day").as("mx"))
+      .select($"user_id",
+        explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_value", last($"day_value", ignoreNulls = true).over(w))
+      // ISO string, not DATE: parquet DATE surfaces as python objects
+      // in the driver compare while DuckDB yields datetime64
+      .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"filled_value", $"day_value".isNotNull.cast("long").as("is_observed"))
+      .orderBy($"user_id", $"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ffill_gaps" -> ((s, dir) => ffillDaily(Tables.events(s, dir))),
     "q_worst_drawdown" -> worstDrawdown,
     "q_fastest_recovery" -> fastestRecovery,
     "q_drawdown" -> drawdown,
@@ -279,6 +308,28 @@ object Resilience {
       |GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ffill_gaps" ->
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS day, round(sum(value), 2) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(day) AS mn, max(day) AS mx
+        |  FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP,
+        |      INTERVAL 1 DAY))::DATE AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.day, d.day_value
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  last_value(day_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |  (day_value IS NOT NULL)::BIGINT AS is_observed
+        |FROM j ORDER BY user_id, day""".stripMargin,
     "q_worst_drawdown" ->
       s"""WITH rev AS ($yearlyRevSql),
          |dd AS (
