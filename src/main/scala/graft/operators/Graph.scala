@@ -22,33 +22,41 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Lineage truncation for iterative loops: reliable `checkpoint()`
+    * when the session has a checkpoint dir configured (the cluster
+    * posture — survives executor loss), `localCheckpoint()` otherwise
+    * (test/local posture — faster, blocks die with executors).
+    * The reliable path persists before checkpointing — `checkpoint()`
+    * alone computes the plan TWICE (once for its eager count, once
+    * when writing the checkpoint files) — and un-persists afterwards.
+    * Reliable-dir sessions should also set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so
+    * superseded per-round checkpoint files are garbage-collected. */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cached = df.persist()
+      val out = cached.checkpoint()
+      cached.unpersist()
+      out
+    } else df.localCheckpoint()
+
   /** Connected components of an undirected graph.
     *
-    * Each round TRUNCATES LINEAGE with an eager `localCheckpoint`:
-    * the round's plan references the previous labels twice (union +
-    * join), so without truncation the logical tree — and Spark's
-    * un-shared plan-description string — grows exponentially with
-    * rounds and downstream composition hangs in plan stringification
-    * long before any data moves. Checkpointing each round keeps every
-    * plan one round deep. On a cluster with executor churn, switch to
-    * a reliable `checkpoint()` dir — same truncation, fault-tolerant
-    * storage.
+    * Each round truncates lineage (see [[truncate]]): the round's plan
+    * references the previous labels twice (union + join), so without
+    * truncation the logical tree — and Spark's un-shared
+    * plan-description string — grows exponentially with rounds and
+    * downstream composition hangs in plan stringification long before
+    * any data moves. Truncation keeps every plan one round deep.
     *
     * @param edges    (src, dst) pairs, either orientation, duplicates ok
-    * @param vertices (id) — every vertex, including isolated ones
+    * @param vertices (id) — every vertex, including isolated ones;
+    *                 duplicates are collapsed, and edge endpoints
+    *                 missing from `vertices` are labeled anyway
     * @return (id, component) where component = min vertex id reachable
     *         (checkpoint-backed: one row per vertex, no propagation
     *         lineage attached)
     */
-  /** Lineage truncation for iterative loops: reliable `checkpoint()`
-    * when the session has a checkpoint dir configured (the cluster
-    * posture — survives executor loss), `localCheckpoint()` otherwise
-    * (test/local posture — faster, blocks die with executors). */
-  private def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
-
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
       maxIter: Int = 25): DataFrame = {
     import edges.sparkSession.implicits._
@@ -64,7 +72,10 @@ object Graph {
     // near-clique graphs this operator targets, the frontier then
     // collapses to the few boundary vertices, so rounds 2+ shuffle a
     // shrinking fraction of the graph instead of every label again.
-    var labels = truncate(vertices.select($"id", $"id".as("label")))
+    val ids = vertices.select($"id")
+      .union(sym.select($"src".as("id")))
+      .distinct()
+    var labels = truncate(ids.select($"id", $"id".as("label")))
     var frontier = labels
     var active = 1L
     var iter = 0
@@ -113,6 +124,7 @@ object Graph {
     var e = truncate(edges
       .select(greatest($"src", $"dst").as("a"), least($"src", $"dst").as("b"))
       .filter($"a" =!= $"b").distinct())
+    val e0 = e // initial edge set (checkpointed): endpoint universe
 
     def largeStar(es: DataFrame): DataFrame = {
       val sym = es.select($"a".as("u"), $"b".as("v"))
@@ -157,8 +169,13 @@ object Graph {
     require(converged,
       s"alternating-star did not converge in $maxIter rounds")
     // fixpoint = disjoint stars centered at component minima: every
-    // non-root appears exactly once as `a`, pointing at its root
+    // non-root appears exactly once as `a`, pointing at its root.
+    // Same vertex contract as connectedComponents: duplicates
+    // collapsed, edge-only endpoints labeled.
     vertices.select($"id")
+      .union(e0.select($"a".as("id")))
+      .union(e0.select($"b".as("id")))
+      .distinct()
       .join(e.select($"a".as("id"), $"b".as("c")), Seq("id"), "left")
       .select($"id", coalesce($"c", $"id").as("component"))
   }

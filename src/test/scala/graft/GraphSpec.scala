@@ -16,6 +16,34 @@ class GraphSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("both algorithms collapse duplicate vertices and label edge-only endpoints") {
+    import spark.implicits._
+    // vertex list with a duplicate (1), a missing endpoint (2), and an
+    // isolated vertex (3) — the documented contract must hold anyway
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val verts = Seq(1L, 1L, 3L).toDF("id")
+    for (algo <- Seq(
+        Graph.connectedComponents(edges, verts),
+        Graph.connectedComponentsAltStar(edges, verts))) {
+      val got = algo.as[(Long, Long)].collect().sorted.toSeq
+      assert(got == Seq((1L, 1L), (2L, 1L), (3L, 3L)), s"got $got")
+    }
+  }
+
+  test("reliable checkpoint dir: same components, files cleaned up by truncate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val edges = Seq((1L, 2L), (3L, 2L), (10L, 11L)).toDF("src", "dst")
+      val verts = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+      val got = Graph.connectedComponents(edges, verts)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L))
+    } finally spark.sparkContext.setCheckpointDir(null) // local mode: resets
+  }
+
   test("alt-star solves a 100k-node path (diameter label-prop cannot touch)") {
     import spark.implicits._
     val n = 100000L
