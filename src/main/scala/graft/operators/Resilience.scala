@@ -265,7 +265,9 @@ object Resilience {
     * last observation is generated with `sequence` + `explode` (no
     * driver loop, no cross join — grid size is Σ per-key spans), gaps
     * filled by a last-ignoreNulls window; one shuffle on the key. */
-  def ffillDaily(events: DataFrame): DataFrame = {
+  /** Per-user daily observations joined onto the dense per-user day
+    * grid (shared by B13 ffill and B14 interpolation). */
+  private def dailyGrid(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     val daily = events
       .groupBy($"user_id", to_date($"ts").as("day"))
@@ -274,9 +276,14 @@ object Resilience {
       .agg(min($"day").as("mn"), max($"day").as("mx"))
       .select($"user_id",
         explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+  }
+
+  def ffillDaily(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(daily, Seq("user_id", "day"), "left")
+    dailyGrid(events)
       .withColumn("filled_value", last($"day_value", ignoreNulls = true).over(w))
       // ISO string, not DATE: parquet DATE surfaces as python objects
       // in the driver compare while DuckDB yields datetime64
@@ -285,8 +292,40 @@ object Resilience {
       .orderBy($"user_id", $"day")
   }
 
+  /** B14 linear interpolation over the same grid — the pandas
+    * `interpolate(method='linear')` twin: gaps take the straight line
+    * between the surrounding observations; leading/trailing gaps fall
+    * back to the nearest observation. Two windows per key (backward
+    * last + forward first, both ignoreNulls), no self-join. Both
+    * engines compute the identical IEEE expression over identical
+    * (2-dp-rounded) inputs, so the 4-dp export compares exactly. */
+  def interpolateDaily(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val back = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when($"day_value".isNotNull, $"day")
+    dailyGrid(events)
+      .withColumn("pv", last($"day_value", ignoreNulls = true).over(back))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(back))
+      .withColumn("nv", first($"day_value", ignoreNulls = true).over(fwd))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(fwd))
+      .withColumn("interp_value", round(
+        when($"day_value".isNotNull, $"day_value")
+          .when($"pv".isNull, $"nv")
+          .when($"nv".isNull, $"pv")
+          .otherwise($"pv" + ($"nv" - $"pv") *
+            (datediff($"day", $"pd").cast("double") /
+              datediff($"nd", $"pd").cast("double"))), 4))
+      .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+        $"interp_value", $"day_value".isNotNull.cast("long").as("is_observed"))
+      .orderBy($"user_id", $"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ffill_gaps" -> ((s, dir) => ffillDaily(Tables.events(s, dir))),
+    "q_interp_linear" -> ((s, dir) => interpolateDaily(Tables.events(s, dir))),
     "q_worst_drawdown" -> worstDrawdown,
     "q_fastest_recovery" -> fastestRecovery,
     "q_drawdown" -> drawdown,
@@ -330,6 +369,49 @@ object Resilience {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
         |  (day_value IS NOT NULL)::BIGINT AS is_observed
         |FROM j ORDER BY user_id, day""".stripMargin,
+    "q_interp_linear" ->
+      """WITH daily AS (
+        |  SELECT user_id, ts::DATE AS day, round(sum(value), 2) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, min(day) AS mn, max(day) AS mx
+        |  FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(mn::TIMESTAMP, mx::TIMESTAMP,
+        |      INTERVAL 1 DAY))::DATE AS day
+        |  FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.day, d.day_value
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day = d.day),
+        |w AS (
+        |  SELECT user_id, day, day_value,
+        |    last_value(day_value IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN day_value IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(day_value IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN day_value IS NOT NULL THEN day END
+        |      IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  round(CASE
+        |    WHEN day_value IS NOT NULL THEN day_value
+        |    WHEN pv IS NULL THEN nv
+        |    WHEN nv IS NULL THEN pv
+        |    ELSE pv + (nv - pv) *
+        |      ((day - pd)::DOUBLE / (nd - pd)::DOUBLE)
+        |  END, 4) AS interp_value,
+        |  (day_value IS NOT NULL)::BIGINT AS is_observed
+        |FROM w ORDER BY user_id, day""".stripMargin,
     "q_worst_drawdown" ->
       s"""WITH rev AS ($yearlyRevSql),
          |dd AS (
