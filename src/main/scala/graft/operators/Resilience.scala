@@ -323,8 +323,37 @@ object Resilience {
       .orderBy($"user_id", $"day")
   }
 
+  /** B15 rolling-window statistics — the pandas `rolling(7)` family
+    * (count/min/max/mean/std) per key over event time. Variance uses
+    * the integer-exact cent-quantized closed form (n·Σx² − (Σx)² over
+    * exact BIGINTs, one IEEE division + sqrt — both correctly rounded,
+    * so the doubles are bit-identical across engines; same trick as
+    * q_corr). One window pass, partitioned on the key. */
+  def rollingStats(events: DataFrame, window: Int = 7): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(-(window - 1), Window.currentRow)
+    events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        round($"value" * 100).cast("long").as("vc"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("min_c", min($"vc").over(w))
+      .withColumn("max_c", max($"vc").over(w))
+      .withColumn("sx", sum($"vc").over(w))
+      .withColumn("sxx", sum($"vc" * $"vc").over(w))
+      .withColumn("mean_val",
+        $"sx".cast("double") / ($"n_win".cast("double") * 100.0))
+      .withColumn("std_val", when($"n_win" > 1, sqrt(
+        (($"n_win" * $"sxx" - $"sx" * $"sx").cast("double") /
+          (($"n_win" * ($"n_win" - 1)).cast("double"))) / 10000.0)))
+      .select($"user_id", $"event_id", $"ts_us", $"n_win",
+        $"min_c", $"max_c", $"mean_val", $"std_val")
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ffill_gaps" -> ((s, dir) => ffillDaily(Tables.events(s, dir))),
+    "q_rolling_stats" -> ((s, dir) => rollingStats(Tables.events(s, dir))),
     "q_interp_linear" -> ((s, dir) => interpolateDaily(Tables.events(s, dir))),
     "q_worst_drawdown" -> worstDrawdown,
     "q_fastest_recovery" -> fastestRecovery,
@@ -347,6 +376,28 @@ object Resilience {
       |GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_rolling_stats" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    round(value * 100)::BIGINT AS vc
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    count(*) OVER win AS n_win,
+        |    min(vc) OVER win AS min_c,
+        |    max(vc) OVER win AS max_c,
+        |    sum(vc) OVER win AS sx,
+        |    sum(vc * vc) OVER win AS sxx
+        |  FROM v
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts_us, n_win, min_c, max_c,
+        |  sx::DOUBLE / (n_win::DOUBLE * 100.0) AS mean_val,
+        |  CASE WHEN n_win > 1 THEN sqrt(
+        |    ((n_win * sxx - sx * sx)::DOUBLE /
+        |      (n_win * (n_win - 1))::DOUBLE) / 10000.0)
+        |  END AS std_val
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
     "q_ffill_gaps" ->
       """WITH daily AS (
         |  SELECT user_id, ts::DATE AS day, round(sum(value), 2) AS day_value
