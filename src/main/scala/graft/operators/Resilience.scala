@@ -351,9 +351,46 @@ object Resilience {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** B16 exponential moving average (pandas `ewm(alpha).mean()` twin),
+    * TRUNCATED to the trailing `window` observations: weights beyond
+    * 20 rows are (1−α)²⁰ ≈ 8·10⁻⁴ of the head — the standard
+    * finite-impulse approximation that keeps per-row cost O(window)
+    * instead of the exact form's O(history). Computed as a left fold
+    * over the frame list (`aggregate` HOF; DuckDB folds the same list
+    * with `list_reduce`), so both engines execute the identical IEEE
+    * sequence and the 4-dp export compares exactly. */
+  def ewma(events: DataFrame, alpha: Double = 0.3,
+      window: Int = 20): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(-(window - 1), Window.currentRow)
+    events
+      // integer-rounded cents / 100: decimal round(v, 2) differs by an
+      // ulp between engines near representability edges (Spark exact
+      // BigDecimal vs DuckDB multiply-divide) and the fold carries the
+      // ulp into the export; integer rounding has no such edge for
+      // full-precision inputs, so the fold inputs are bit-identical
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        (round($"value" * 100) / 100.0).as("v"))
+      .withColumn("xs", collect_list($"v").over(w))
+      // RAW fold output, deliberately un-rounded: both engines fold the
+      // identical list with the identical IEEE ops, so the doubles are
+      // bit-equal — while 2-dp inputs x {0.3,0.7} land exactly on
+      // decimal half-boundaries where the engines' round() tie-break
+      // rules differ (same precedent as the jaccard raw quotient)
+      .withColumn("ewma", expr(
+        s"""aggregate(xs, cast(null as double),
+           |  (acc, x) -> CASE WHEN acc IS NULL THEN x
+           |              ELSE acc * ${1 - alpha} + $alpha * x END)"""
+          .stripMargin))
+      .select($"user_id", $"event_id", $"ts_us", $"ewma")
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ffill_gaps" -> ((s, dir) => ffillDaily(Tables.events(s, dir))),
     "q_rolling_stats" -> ((s, dir) => rollingStats(Tables.events(s, dir))),
+    "q_ewma" -> ((s, dir) => ewma(Tables.events(s, dir))),
     "q_interp_linear" -> ((s, dir) => interpolateDaily(Tables.events(s, dir))),
     "q_worst_drawdown" -> worstDrawdown,
     "q_fastest_recovery" -> fastestRecovery,
@@ -376,6 +413,19 @@ object Resilience {
       |GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ewma" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    round(value * 100) / 100.0 AS v
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    list(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+        |  FROM v)
+        |SELECT user_id, event_id, ts_us,
+        |  list_reduce(xs, (acc, x) -> acc * 0.7 + 0.3 * x) AS ewma
+        |FROM w ORDER BY user_id, event_id""".stripMargin,
     "q_rolling_stats" ->
       """WITH v AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
