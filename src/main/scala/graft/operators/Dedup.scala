@@ -315,6 +315,45 @@ object Dedup {
       .orderBy($"key_a", $"key_b")
   }
 
+  private val ContamT = 0.5
+
+  /** D9 benchmark decontamination (the GPT-3-appendix / PaLM-style
+    * n-gram collision scrub): score every training document by its
+    * word-shingle overlap with an evaluation set, so contaminated
+    * docs can be dropped before training.
+    *
+    * Scale shape: eval benchmarks are tiny next to a training corpus
+    * (~10⁵ examples vs ~10¹⁰ docs), so the eval side's distinct
+    * shingle set is broadcast and the corpus streams through one
+    * explode + broadcast-hash join + per-doc aggregate — the corpus
+    * text is never shuffled and no inverted index is built. Per-doc
+    * totals reuse the same exploded frame, so the corpus is read once.
+    *
+    * `contam_frac` is the raw quotient of two engine-identical
+    * integers (bit-identical across engines — same precedent as
+    * jaccard); the flag thresholds that exact double. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame): DataFrame = {
+    import train.sparkSession.implicits._
+    val evalSh = rawShingles(evalSet).select($"shingle").distinct()
+    val trainSh = rawShingles(train).distinct()
+    val totals = trainSh.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_matched"))
+    train.select($"doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+        coalesce($"n_matched", lit(0L)).as("n_matched"))
+      .withColumn("contam_frac",
+        when($"n_shingles" === 0, lit(0.0))
+          .otherwise($"n_matched".cast("double") / $"n_shingles".cast("double")))
+      .withColumn("is_contaminated",
+        ($"contam_frac" >= ContamT).cast("long"))
+      .orderBy($"doc_id")
+  }
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
@@ -327,7 +366,11 @@ object Dedup {
     "dedup_embedding" -> ((s, dir) => embeddingCosine(Tables.embeddings(s, dir))),
     "dedup_fuzzy_brand" -> ((s, dir) =>
       fuzzyKeys(Tables.part(s, dir), "p_brand", maxDist = 1)),
-    "dedup_clusters" -> onDocs(nearDupClusters))
+    "dedup_clusters" -> onDocs(nearDupClusters),
+    // deterministic eval stand-in: every 50th doc is the "benchmark";
+    // library users pass their own eval frame
+    "dedup_decontam" -> onDocs(d => decontaminate(
+      d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))))
 
   private val shinglesSql =
     s"""w AS (
@@ -382,6 +425,38 @@ object Dedup {
          |WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $JaccardT
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" -> embeddingOracleSql,
+    "dedup_decontam" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(1, len(w) - ${ShingleN - 2}),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+         |           w[i+3] || ' ' || w[i+4])) AS shingle
+         |    FROM w WHERE len(w) >= $ShingleN)),
+         |esh AS (SELECT DISTINCT shingle FROM sh0 WHERE doc_id % 50 = 0),
+         |tsh AS (SELECT doc_id, shingle FROM sh0 WHERE doc_id % 50 <> 0),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tsh
+         |        GROUP BY doc_id),
+         |hits AS (SELECT doc_id, count(*) AS n_matched
+         |         FROM tsh JOIN esh USING (shingle) GROUP BY doc_id),
+         |f AS (
+         |  SELECT d.doc_id,
+         |    coalesce(t.n_shingles, 0) AS n_shingles,
+         |    coalesce(h.n_matched, 0) AS n_matched
+         |  FROM documents d
+         |  LEFT JOIN tot t ON d.doc_id = t.doc_id
+         |  LEFT JOIN hits h ON d.doc_id = h.doc_id
+         |  WHERE d.doc_id % 50 <> 0)
+         |SELECT doc_id, n_shingles, n_matched,
+         |  CASE WHEN n_shingles = 0 THEN 0.0
+         |       ELSE n_matched::DOUBLE / n_shingles::DOUBLE END AS contam_frac,
+         |  (CASE WHEN n_shingles = 0 THEN 0.0
+         |        ELSE n_matched::DOUBLE / n_shingles::DOUBLE END
+         |    >= $ContamT)::BIGINT AS is_contaminated
+         |FROM f ORDER BY doc_id""".stripMargin,
     // components via recursive CTE: min reachable id == component min
     // (reachability is symmetric because edges are emitted both ways)
     "dedup_clusters" ->

@@ -258,6 +258,90 @@ object Similarity {
         .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6)))
   }
 
+  private val PqM = 8            // subspaces
+  private val PqK = 16           // centroids per subspace codebook
+  private val PqSub = Dim / PqM  // dims per subspace
+
+  /** E6 product quantization, seed codebooks: the per-subspace slices
+    * of the same deterministic sample rows E3 uses as coarse seeds.
+    * Driver state = k × dim doubles (the sample); at 100 TB codebooks
+    * are trained on exactly such a sample (Jégou et al. 2011), and a
+    * Lloyd's-refined variant would reuse [[kmeansCentroids]] per
+    * subspace slice. Returns codebooks(j)(c) = (code id c, sub-vector). */
+  def pqSeedCodebooks(vecs: DataFrame): Array[Array[(Int, Array[Double])]] = {
+    import vecs.sparkSession.implicits._
+    val seeds = vecs
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter(pmod($"vec_id" * 7, lit(101)) < PqK)
+      .orderBy($"vec_id").limit(PqK)
+      .collect().zipWithIndex
+      .map { case (r, c) => (c, r.getSeq[Double](1).toArray) }
+    Array.tabulate(PqM) { j =>
+      seeds.map { case (c, v) => (c, v.slice(j * PqSub, (j + 1) * PqSub)) }
+    }
+  }
+
+  /** PQ encode: every vector becomes `m` small codes (8 bytes for a
+    * 64-dim float vector — a 32× compression). Each code is a
+    * squared-euclidean argmin over codebook literals on the subspace
+    * slice — one codegen'd projection, zero join, zero shuffle. */
+  def pqEncode(vecs: DataFrame,
+      books: Array[Array[(Int, Array[Double])]]): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val codeCols = (0 until PqM).map { j =>
+      val scored = books(j).map { case (cid, c) =>
+        struct((lit(c.map(x => x * x).sum) - lit(2.0) *
+          VectorFunctions.dot(slice($"v", j * PqSub + 1, PqSub), typedlit(c)))
+          .as("d"), lit(cid).as("id"))
+      }
+      least(scored.toIndexedSeq: _*).getField("id")
+    }
+    vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .select($"vec_id", array(codeCols: _*).as("codes"))
+  }
+
+  /** E6 PQ-ADC approximate top-k: queries build an m×k distance-table
+    * column ONCE per query row (k×dim mults — the asymmetric distance
+    * computation of Jégou et al.), then every corpus CODE row costs
+    * only m array lookups + adds; the full vectors are never read at
+    * query time, which is the PQ win — a 100 TB corpus scans as ~3 TB
+    * of codes. Top-k per query through the bounded-heap TopKAgg.
+    *
+    * `adc` = ‖q‖² + Σⱼ (‖cⱼ‖² − 2 qⱼ·cⱼ) is folded left in subspace
+    * order on both engines (DuckDB: list_reduce over list(… ORDER BY
+    * j)), so the doubles are bit-identical and the oracle hash-matches
+    * without rounding. */
+  def annPq(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val books = pqSeedCodebooks(vecs)
+    val codes = pqEncode(vecs, books)
+    val tblCols = (0 until PqM).map { j =>
+      array(books(j).map { case (_, c) =>
+        lit(c.map(x => x * x).sum) - lit(2.0) *
+          VectorFunctions.dot(slice($"qv", j * PqSub + 1, PqSub), typedlit(c))
+      }.toIndexedSeq: _*)
+    }
+    val q = vecs
+      .select($"vec_id", $"embedding".cast("array<double>").as("qv"))
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"qv")
+      .withColumn("qq", VectorFunctions.dot($"qv", $"qv"))
+      .withColumn("tbls", array(tblCols: _*))
+      .select($"q_id", $"qq", $"tbls")
+    val adcCol = $"qq" + (0 until PqM).map(j =>
+      element_at(element_at($"tbls", j + 1),
+        element_at($"codes", j + 1) + 1)).reduce(_ + _)
+    val scored = codes.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("adc", adcCol)
+    scored.groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-$"adc").as("score"), $"vec_id".as("id")), TopK).as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"t.id".as("vec_id"), (-$"t.score").as("adc"))
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Nearest-centroid expression: squared-euclidean argmin over the
     * broadcast centroid literals, all inside codegen via DotProduct. */
   private def assignCol(centroids: Array[(Int, Array[Double])]): Column = {
@@ -280,7 +364,55 @@ object Similarity {
     "ann_lsh" -> onVecs(annLsh),
     "ann_ivf" -> onVecs(annIvf),
     "ann_ivf_kmeans" -> onVecs(v => annIvfKmeans(v)),
+    "ann_pq" -> onVecs(annPq),
     "kmeans_assign" -> onVecs(v => kmeans(v)))
+
+  /** DuckDB twin of [[annPq]]: same seed codebooks (slices of the
+    * LIMIT-16 sample), same squared-euclidean argmin per subspace
+    * (tie → lowest code), ADC folded left in subspace order via
+    * list_reduce — bit-identical doubles, no rounding. */
+  private def annPqOracleSql: String =
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |  FROM (SELECT vec_id, v FROM ev
+       |        WHERE (vec_id * 7) % 101 < $PqK ORDER BY vec_id LIMIT $PqK)),
+       |subs AS (SELECT j FROM range(0, $PqM) t(j)),
+       |codes AS (
+       |  SELECT vec_id, j, cid FROM (
+       |    SELECT ev.vec_id, s.j, sd.cid, row_number() OVER (
+       |      PARTITION BY ev.vec_id, s.j
+       |      ORDER BY list_dot_product(
+       |          list_slice(sd.cv, s.j*$PqSub+1, s.j*$PqSub+$PqSub),
+       |          list_slice(sd.cv, s.j*$PqSub+1, s.j*$PqSub+$PqSub))
+       |        - 2 * list_dot_product(
+       |          list_slice(ev.v, s.j*$PqSub+1, s.j*$PqSub+$PqSub),
+       |          list_slice(sd.cv, s.j*$PqSub+1, s.j*$PqSub+$PqSub)),
+       |        sd.cid) AS rn
+       |    FROM ev CROSS JOIN subs s CROSS JOIN seeds sd)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, list_dot_product(v, v) AS qq
+       |      FROM ev WHERE vec_id < $NumQueries),
+       |contrib AS (
+       |  SELECT q.q_id, c.vec_id, c.j,
+       |    list_dot_product(
+       |        list_slice(sd.cv, c.j*$PqSub+1, c.j*$PqSub+$PqSub),
+       |        list_slice(sd.cv, c.j*$PqSub+1, c.j*$PqSub+$PqSub))
+       |      - 2 * list_dot_product(
+       |        list_slice(q.qv, c.j*$PqSub+1, c.j*$PqSub+$PqSub),
+       |        list_slice(sd.cv, c.j*$PqSub+1, c.j*$PqSub+$PqSub)) AS d
+       |  FROM codes c JOIN seeds sd ON c.cid = sd.cid
+       |  CROSS JOIN q WHERE c.vec_id <> q.q_id),
+       |adcs AS (
+       |  SELECT q_id, vec_id,
+       |    list_reduce(list(d ORDER BY j), (a, b) -> a + b) AS s
+       |  FROM contrib GROUP BY q_id, vec_id),
+       |ranked AS (
+       |  SELECT a.q_id, a.vec_id, q.qq + a.s AS adc, row_number() OVER (
+       |    PARTITION BY a.q_id ORDER BY q.qq + a.s, a.vec_id) AS rank
+       |  FROM adcs a JOIN q ON a.q_id = q.q_id)
+       |SELECT q_id, rank::BIGINT AS rank, vec_id, adc FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
   /** DuckDB SQL for the deterministic LSH bucketing: one UNION ALL
     * branch per table, bucket = sum of sign bits against the SAME
@@ -393,6 +525,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "kmeans_assign" -> kmeansOracleSql(k = 8, iters = 3),
     "ann_ivf_kmeans" -> ivfKmeansOracleSql(k = 16, iters = 2, nProbe = 2),
+    "ann_pq" -> annPqOracleSql,
     "ann_bruteforce" ->
       s"""WITH $eCte,
          |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e

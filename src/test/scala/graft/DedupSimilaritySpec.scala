@@ -28,6 +28,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("decontaminate flags eval copies, passes clean and shingle-less docs") {
+    import spark.implicits._
+    val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"),      // eval copy
+      (11L, "one two three four five six seven eight nine"), // clean
+      (12L, "tiny")                                          // < 5 words
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, evalSet).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out(10L)._3 == 1.0 && out(10L)._4 == 1L)
+    assert(out(11L) == ((5L, 0L, 0.0, 0L)))
+    assert(out(12L) == ((0L, 0L, 0.0, 0L)))
+  }
+
   test("simhash: near-identical docs collide at small hamming distance") {
     val nearDup = pairSet(Dedup.ngramJaccard(Tables.documents(spark, sf))
       .filter(col("jaccard") >= 0.95))
@@ -95,6 +112,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val total = docs.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts("de") == total("de"))             // fraction 1 → all
+  }
+
+  test("ann_pq: a PQ-coded duplicate of the query is always retrieved") {
+    import spark.implicits._
+    val vecs = Seq.tabulate(100) { i =>
+      val src = if (i == 50) 0 else i // vec 50 = exact copy of query 0
+      (i.toLong, Array.tabulate(64)(d =>
+        (((src * 2654435761L + d * 40503L) % 1000L) / 250.0f) - 2.0f))
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.annPq(vecs)
+    val byQ = res.collect().groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // identical vector → identical codes → per-subspace minimum of
+    // every ADC table → minimal total distance: must be in the top-k
+    assert(byQ(0L).map(_.getLong(2)).contains(50L))
+    // adc is non-decreasing with rank within each query
+    byQ.values.foreach { rows =>
+      val adcs = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(adcs.zip(adcs.tail).forall { case (a, b) => a <= b })
+    }
   }
 
   test("dedup_embedding is symmetric-free and thresholded") {
