@@ -39,6 +39,14 @@ object Dedup {
   private def norm(c: Column): Column =
     lower(trim(regexp_replace(c, Ws, " ")))
 
+  /** Word 5-gram array over a `w` words column — the row-local shingle
+    * builder shared by the exploded and array-valued forms. */
+  private def shingleExpr: Column = expr(
+    s"""transform(sequence(1, size(w) - ${ShingleN - 1}),
+       |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+       |    element_at(w, i + 2), element_at(w, i + 3),
+       |    element_at(w, i + 4)))""".stripMargin)
+
   /** doc_id + word 5-gram shingles (with duplicates — cheap, no
     * shuffle; distinct only where set semantics are needed). */
   private def rawShingles(docs: DataFrame): DataFrame = {
@@ -46,11 +54,20 @@ object Dedup {
     docs
       .select($"doc_id", split(trim($"text"), Ws).as("w"))
       .filter(size($"w") >= ShingleN)
-      .select($"doc_id", explode(expr(
-        s"""transform(sequence(1, size(w) - ${ShingleN - 1}),
-           |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-           |    element_at(w, i + 2), element_at(w, i + 3),
-           |    element_at(w, i + 4)))""".stripMargin)).as("shingle"))
+      .select($"doc_id", explode(shingleExpr).as("shingle"))
+  }
+
+  /** doc_id + DISTINCT shingle array, deduplicated row-locally
+    * (`array_distinct`) — per-doc set semantics with zero shuffle,
+    * where an explode→distinct would shuffle every corpus shingle.
+    * Docs with < ShingleN words get an empty array. */
+  private def distinctShingleArr(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", split(trim($"text"), Ws).as("w"))
+      .select($"doc_id", array_distinct(
+        when(size($"w") >= ShingleN, shingleExpr)
+          .otherwise(typedlit(Array.empty[String]))).as("sh"))
   }
 
   /** doc_id + distinct word 5-gram shingles, DF-capped. */
@@ -324,10 +341,12 @@ object Dedup {
     *
     * Scale shape: eval benchmarks are tiny next to a training corpus
     * (~10⁵ examples vs ~10¹⁰ docs), so the eval side's distinct
-    * shingle set is broadcast and the corpus streams through one
-    * explode + broadcast-hash join + per-doc aggregate — the corpus
-    * text is never shuffled and no inverted index is built. Per-doc
-    * totals reuse the same exploded frame, so the corpus is read once.
+    * shingle set is broadcast; per-doc shingle sets are deduplicated
+    * ROW-LOCALLY (`array_distinct` — so `n_shingles` costs zero
+    * shuffle, where an explode→distinct would shuffle every corpus
+    * shingle), and the only aggregate is over matched shingles —
+    * map-side combined to one row per contaminated doc. The corpus
+    * text is never shuffled and no inverted index is built.
     *
     * `contam_frac` is the raw quotient of two engine-identical
     * integers (bit-identical across engines — same precedent as
@@ -335,16 +354,14 @@ object Dedup {
   def decontaminate(train: DataFrame, evalSet: DataFrame): DataFrame = {
     import train.sparkSession.implicits._
     val evalSh = rawShingles(evalSet).select($"shingle").distinct()
-    val trainSh = rawShingles(train).distinct()
-    val totals = trainSh.groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_shingles"))
-    val hits = trainSh.join(broadcast(evalSh), Seq("shingle"))
+    val t = distinctShingleArr(train)
+      .withColumn("n_shingles", size($"sh").cast("long"))
+    val hits = t.select($"doc_id", explode($"sh").as("shingle"))
+      .join(broadcast(evalSh), Seq("shingle"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_matched"))
-    train.select($"doc_id")
-      .join(totals, Seq("doc_id"), "left")
+    t.select($"doc_id", $"n_shingles")
       .join(hits, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+      .select($"doc_id", $"n_shingles",
         coalesce($"n_matched", lit(0L)).as("n_matched"))
       .withColumn("contam_frac",
         when($"n_shingles" === 0, lit(0.0))
