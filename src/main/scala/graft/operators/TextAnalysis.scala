@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -38,7 +39,9 @@ object TextAnalysis {
     * composite score are integer parts-per-million (floor division on
     * BIGINT), so the result is bit-exact across engines — no float
     * rounding ties. */
-  def quality(docs: DataFrame): DataFrame = {
+  /** Appends the F2 quality columns (through `score_ppm`) to any frame
+    * with a `text` column — shared by `quality` and `qualityPrune`. */
+  private def withQualityCols(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val sw = Stopwords.mkString("|")
     docs
@@ -52,6 +55,11 @@ object TextAnalysis {
       .withColumn("stop_ppm", expr("(n_stop * 1000000) div greatest(n_tok, 1)"))
       .withColumn("score_ppm", expr(
         "least(n_tok * 10000, 1000000) div 2 + stop_ppm div 2 - punct_ppm div 5"))
+  }
+
+  def quality(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    withQualityCols(docs)
       .withColumn("keep", $"score_ppm" >= 200000L)
       .select($"doc_id", $"n_tok", $"punct_ppm", $"stop_ppm",
         $"score_ppm", $"keep")
@@ -247,6 +255,76 @@ object TextAnalysis {
       fractions: Map[String, Double], seed: Long): DataFrame =
     docs.stat.sampleBy(strataCol, fractions, seed)
 
+  /** F10 per-domain quality pruning (the FineWeb/Gopher "drop the
+    * bottom tail of each domain" gate): keep every doc whose quality
+    * score clears its domain's 70%-coverage threshold.
+    *
+    * Scale shape — deliberately NOT `row_number() OVER (PARTITION BY
+    * source)`, which would funnel a whole domain through one task at
+    * 100 TB. Instead: map-side-combinable count per (source,
+    * score_ppm), a window over that AGGREGATED frame (rows = distinct
+    * scores per domain, ≤ 10⁶ by ppm construction), and a broadcast
+    * threshold join back — the corpus is scanned once, never
+    * shuffled. All-integer rule (`cum·10 ≥ keepTenths·n`, threshold =
+    * max qualifying score), so the keep-set is ≥ the target fraction
+    * with minimal over-keep at score granularity — bit-exact across
+    * engines. */
+  def qualityPrune(docs: DataFrame, keepTenths: Int = 7): DataFrame = {
+    import docs.sparkSession.implicits._
+    val scored = withQualityCols(docs)
+      .select($"doc_id", $"source", $"score_ppm")
+    val counts = scored.groupBy($"source", $"score_ppm")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"source").orderBy($"score_ppm".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = counts.groupBy($"source").agg(sum($"c").as("n"))
+    val thr = counts.withColumn("cum", sum($"c").over(w))
+      .join(n, "source")
+      .filter($"cum" * 10 >= lit(keepTenths.toLong) * $"n")
+      .groupBy($"source").agg(max($"score_ppm").as("threshold_ppm"))
+    scored.join(broadcast(thr), Seq("source"))
+      .filter($"score_ppm" >= $"threshold_ppm")
+      .select($"doc_id", $"source", $"score_ppm", $"threshold_ppm")
+      .orderBy($"doc_id")
+  }
+
+  /** Static domain mixture weights (tenths) for the graded query —
+    * library users pass their own; unlisted sources weight 0 (drop). */
+  private val MixWeightsTenths: Seq[(String, Int)] = Seq(
+    "src0" -> 3, "src1" -> 2, "src2" -> 2,
+    "src3" -> 1, "src4" -> 1, "src5" -> 1)
+
+  /** F11 domain-mixture sampling: downsample over-represented domains
+    * toward target mixture weights (the static-weight data-mixing step
+    * of Pile-style corpus assembly; under-represented domains keep all
+    * rows — matching upward would require duplication). Deterministic
+    * integer hash keep rule — `hash·10·n_source < w·n_total·M`, all
+    * BIGINT with every factor bounded (hash < M = 1000003, doc_id
+    * pre-reduced mod M before the multiply so nothing overflows at
+    * 10¹⁰ docs) — reproducible across engines and runs, no RNG.
+    * Scale shape: two tiny broadcast aggregates (per-source counts,
+    * total), one corpus scan-and-filter — zero corpus shuffle. */
+  def sampleMixture(docs: DataFrame,
+      weightsTenths: Seq[(String, Int)] = MixWeightsTenths): DataFrame = {
+    import docs.sparkSession.implicits._
+    val wCol = weightsTenths.foldLeft(lit(0L)) { case (acc, (s, t)) =>
+      when($"source" === s, lit(t.toLong)).otherwise(acc)
+    }
+    val M = 1000003L
+    val n = docs.groupBy($"source").agg(count(lit(1)).as("n_source"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    docs.select($"doc_id", $"source")
+      .withColumn("w_tenths", wCol)
+      .join(broadcast(n), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("hash_mod",
+        pmod(pmod($"doc_id", lit(M)) * lit(2654435761L), lit(M)))
+      .filter($"hash_mod" * lit(10L) * $"n_source" <
+        $"w_tenths" * $"n_total" * lit(M))
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
@@ -260,9 +338,60 @@ object TextAnalysis {
     "text_fingerprint" -> onDocs(fingerprint),
     "text_ngram_profile" -> onDocs(ngramProfile),
     "text_repetition" -> onDocs(repetition),
-    "text_pii_scrub" -> onDocs(piiScrub))
+    "text_pii_scrub" -> onDocs(piiScrub),
+    "text_quality_prune" -> onDocs(d => qualityPrune(d)),
+    "text_sample_mix" -> onDocs(d => sampleMixture(d)))
+
+  /** Shared quality-score CTE (`sc(doc_id, source, score_ppm)`) —
+    * the text_quality formula with `source` carried through. */
+  private val scoreCteSql =
+    """sc AS (
+      |  SELECT doc_id, source,
+      |    least(n_tok * 10000, 1000000) // 2
+      |      + (n_stop * 1000000) // greatest(n_tok, 1) // 2
+      |      - ((n_punct * 1000000) // n_chars_d) // 5 AS score_ppm
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok,
+      |      len(regexp_extract_all(text, '[.,!?;:()]'))::BIGINT AS n_punct,
+      |      len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is)\b'))::BIGINT AS n_stop,
+      |      greatest(length(text)::BIGINT, 1) AS n_chars_d
+      |    FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_quality_prune" ->
+      s"""WITH $scoreCteSql,
+         |counts AS (
+         |  SELECT source, score_ppm, count(*) AS c FROM sc GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, score_ppm, sum(c) OVER (
+         |    PARTITION BY source ORDER BY score_ppm DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM counts),
+         |n AS (SELECT source, sum(c) AS n FROM counts GROUP BY source),
+         |thr AS (
+         |  SELECT source, max(score_ppm) AS threshold_ppm
+         |  FROM cum JOIN n USING (source)
+         |  WHERE cum * 10 >= 7 * n GROUP BY source)
+         |SELECT sc.doc_id, sc.source, sc.score_ppm, thr.threshold_ppm
+         |FROM sc JOIN thr USING (source)
+         |WHERE sc.score_ppm >= thr.threshold_ppm
+         |ORDER BY doc_id""".stripMargin,
+    "text_sample_mix" ->
+      """WITH n AS (
+        |  SELECT source, count(*) AS n_source FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n_total FROM documents),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 2
+        |      WHEN 'src2' THEN 2 WHEN 'src3' THEN 1 WHEN 'src4' THEN 1
+        |      WHEN 'src5' THEN 1 ELSE 0 END AS w_tenths,
+        |    ((doc_id % 1000003) * 2654435761) % 1000003 AS hash_mod
+        |  FROM documents)
+        |SELECT d.doc_id, d.source
+        |FROM d JOIN n USING (source) CROSS JOIN t
+        |WHERE d.hash_mod * 10 * n.n_source < d.w_tenths * t.n_total * 1000003
+        |ORDER BY doc_id""".stripMargin,
     "text_split_assign" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 < 8 THEN 'train'

@@ -22,6 +22,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("text_quality_prune keeps >= 70% of every source, minimally") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run("text_quality_prune")
+    val keptBy = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (s, n) =>
+      val k = keptBy.getOrElse(s, 0L)
+      assert(k * 10 >= 7 * n, s"$s kept $k of $n")
+    }
+    // minimal over-keep: dropping the threshold-score docs of a source
+    // must fall below the 70% target (the threshold is the max
+    // qualifying score, so the layer below it cannot also qualify)
+    val atThr = kept.filter(col("score_ppm") === col("threshold_ppm"))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (s, n) =>
+      val without = keptBy.getOrElse(s, 0L) - atThr.getOrElse(s, 0L)
+      assert(without * 10 < 7 * n, s"$s over-keeps: $without of $n")
+    }
+  }
+
+  test("text_sample_mix downsamples over-weighted sources, drops weight-0") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = n.values.sum
+    val sampled = run("text_sample_mix").groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weight-0 sources are absent entirely
+    (n.keySet -- Set("src0", "src1", "src2", "src3", "src4", "src5"))
+      .foreach(s => assert(!sampled.contains(s), s"weight-0 source kept: $s"))
+    // a weighted source never exceeds its own row count and the keep
+    // rule is deterministic across runs
+    val again = run("text_sample_mix").groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sampled == again)
+    // target tenths: kept(s) approximates min(n_s, w/10 * total)
+    val w = Map("src0" -> 3L, "src1" -> 2L, "src2" -> 2L,
+      "src3" -> 1L, "src4" -> 1L, "src5" -> 1L)
+    w.foreach { case (s, t) =>
+      val target = math.min(n(s), t * total / 10)
+      val k = sampled.getOrElse(s, 0L)
+      assert(math.abs(k - target) <= math.max(5, target / 3),
+        s"$s kept $k target $target")
+    }
+  }
+
   test("q_melt triples the measure rows") {
     val n = run("q_melt").count()
     val base = spark.read.parquet(s"$sf/lineitem.parquet").count()
