@@ -27,6 +27,16 @@ object Sink {
     (if (single) df.coalesce(1) else df)
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** ORC export — columnar interchange with the Hive/Trino side of a
+    * lake. Same layout contract as the parquet sinks (hive-style
+    * partition directories when `cols` given), and Spark's ORC reader
+    * does the same predicate pushdown + partition pruning on the way
+    * back in. */
+  def orc(df: DataFrame, path: String, cols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (cols.nonEmpty) w.partitionBy(cols: _*) else w).orc(path)
+  }
+
   /** Small-file compaction: rewrite a parquet dataset into ~targetMB
     * files. The operational fix for streaming sinks and over-
     * partitioned writes — a million tiny files turn a 100 TB scan

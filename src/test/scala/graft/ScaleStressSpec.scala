@@ -32,6 +32,31 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(Dedup.dedupedCorpus(big).count() == n)
   }
 
+  test("decontamination flags every replica of an eval doc at 20x corpus") {
+    import spark.implicits._
+    val base = Tables.documents(spark, GraftTestSession.sf)
+    val n = base.count()
+    val k = 20
+    val evalSet = base.filter($"doc_id" % 50 === 0)
+    val train = base.crossJoin(
+        spark.range(1, k).select($"id".as("copy")))
+      .select(($"doc_id" + $"copy" * n).as("doc_id"), $"text",
+        $"lang", $"source", $"n_chars")
+    val t0 = System.nanoTime()
+    val res = Dedup.decontaminate(train, evalSet).cache()
+    assert(res.count() == n * (k - 1))
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"decontam over ${n * (k - 1)} docs vs ${n / 50} eval docs: $secs%.1f s")
+    // replicas of eval docs are exact copies: every shingle collides,
+    // so contam_frac is exactly 1.0 whenever the doc has shingles
+    val er = res.filter(pmod($"doc_id", lit(n)) % 50 === 0)
+      .filter($"n_shingles" > 0)
+    assert(er.count() > 0)
+    assert(er.filter($"is_contaminated" =!= 1L || $"contam_frac" =!= 1.0)
+      .count() == 0)
+    res.unpersist()
+  }
+
   test("near-dup clustering groups every replica with its base at 20x corpus") {
     import spark.implicits._
     val base = Tables.documents(spark, GraftTestSession.sf)

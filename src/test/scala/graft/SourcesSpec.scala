@@ -173,6 +173,22 @@ class SourcesSpec extends AnyFunSuite {
         .filter(col("event_type") === "purchase").count())
   }
 
+  test("H9: ORC sink round-trips with partition pruning and pushdown") {
+    val out = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath + "/docs"
+    val docs = Tables.documents(spark, GraftTestSession.sf)
+    Sink.orc(docs, out, Seq("lang"))
+    val back = spark.read.orc(out)
+    val one = back.filter(col("lang") === "en").filter(col("n_chars") > 100)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      plan.take(2000))
+    // predicate pushdown reaches the ORC scan for the data column too
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"),
+      plan.take(2000))
+    assert(one.count() ==
+      docs.filter(col("lang") === "en" && col("n_chars") > 100).count())
+  }
+
   test("H8: compaction rewrites a fragmented dataset into few files") {
     val base = Files.createTempDirectory("graft_compact").toString
     val ev = Tables.events(spark, GraftTestSession.sf)
