@@ -83,7 +83,11 @@ object Cdc {
   /** C5 gap-based sessionization (30-min inactivity): new-session flag
     * via lag, session id via running sum — the classic two-window
     * formulation, all key-local. */
-  def sessionize(events: DataFrame): DataFrame = {
+  /** Per-event session sequence — the pre-aggregation frame both
+    * sessionize and the funnel aggregate from: 30-min-gap
+    * sessionization, one window pass on the (high-cardinality)
+    * user key. */
+  private def withSessionSeq(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -93,10 +97,80 @@ object Cdc {
       .withColumn("is_new",
         when($"gap_us".isNull || $"gap_us" > 1800L * 1000000L, 1L).otherwise(0L))
       .withColumn("session_seq", sum($"is_new").over(wRun))
+  }
+
+  def sessionize(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    withSessionSeq(events)
       .groupBy($"user_id", $"session_seq")
       .agg(count(lit(1)).as("n_events"),
         min($"us").as("start_us"), max($"us").as("end_us"))
       .orderBy($"user_id", $"session_seq")
+  }
+
+  /** C20 ordered conversion funnel (view → click → purchase) over
+    * sessions: a session reaches step k iff the first occurrence of
+    * every step 1..k is in order. Per-session step times come from
+    * one grouped aggregate over the sessionized frame; the funnel
+    * itself is a single partial-aggregated global row unpivoted to
+    * one row per step — nothing beyond per-user windows ever
+    * shuffles, so the shape is corpus-scan-bound at 100 TB.
+    * `conv_from_prev` is the raw quotient of two engine-identical
+    * counts (step 1 = null: no previous step). */
+  def funnel(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val sess = withSessionSeq(events)
+      .groupBy($"user_id", $"session_seq")
+      .agg(
+        min(when($"event_type" === "view", $"us")).as("t_view"),
+        min(when($"event_type" === "click", $"us")).as("t_click"),
+        min(when($"event_type" === "purchase", $"us")).as("t_purchase"))
+    val r = sess.agg(
+      sum(when($"t_view".isNotNull, 1L).otherwise(0L)).as("n1"),
+      sum(when($"t_click" >= $"t_view", 1L).otherwise(0L)).as("n2"),
+      sum(when($"t_click" >= $"t_view" && $"t_purchase" >= $"t_click", 1L)
+        .otherwise(0L)).as("n3"))
+    r.select(explode(array(
+        struct(lit(1L).as("step"), lit("view").as("step_name"),
+          $"n1".as("n_sessions"),
+          lit(null).cast("double").as("conv_from_prev")),
+        struct(lit(2L).as("step"), lit("click").as("step_name"),
+          $"n2".as("n_sessions"),
+          when($"n1" === 0L, lit(null).cast("double"))
+            .otherwise($"n2".cast("double") / $"n1").as("conv_from_prev")),
+        struct(lit(3L).as("step"), lit("purchase").as("step_name"),
+          $"n3".as("n_sessions"),
+          when($"n2" === 0L, lit(null).cast("double"))
+            .otherwise($"n3".cast("double") / $"n2").as("conv_from_prev"))))
+        .as("s"))
+      .select($"s.step".as("step"), $"s.step_name".as("step_name"),
+        $"s.n_sessions".as("n_sessions"),
+        $"s.conv_from_prev".as("conv_from_prev"))
+      .orderBy($"step")
+  }
+
+  /** C21 weekly retention cohorts: cohort = ISO week of the user's
+    * first event; count distinct users active k weeks later. One
+    * window min on the user key + one distinct-count aggregate — the
+    * classic retention triangle. All-integer week math (Monday-start
+    * `date_trunc('week')` on both engines, day-diff div 7). At 100 TB
+    * swap `countDistinct` for an HLL sketch if ±1% is acceptable. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id")
+    events
+      .withColumn("first_ts", min($"ts").over(w))
+      .select($"user_id",
+        to_date(date_trunc("week", $"first_ts")).as("cohort_week"),
+        to_date(date_trunc("week", $"ts")).as("act_week"))
+      .groupBy($"cohort_week",
+        expr("datediff(act_week, cohort_week) div 7").as("week_idx"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .select(
+        datediff($"cohort_week", lit("1970-01-01")).cast("long")
+          .as("cohort_week_days"),
+        $"week_idx", $"n_users")
+      .orderBy($"cohort_week_days", $"week_idx")
   }
 
   /** C8 as-of (backward) join: attach to every query row the most
@@ -184,9 +258,64 @@ object Cdc {
     "cdc_apply_deletes" -> onEvents(applyDeletes),
     "cdc_scd2" -> onEvents(scd2),
     "cdc_event_counts" -> onEvents(eventCounts),
-    "cdc_sessionize" -> onEvents(sessionize))
+    "cdc_sessionize" -> onEvents(sessionize),
+    "cdc_funnel" -> onEvents(funnel),
+    "cdc_cohort" -> onEvents(cohortRetention))
+
+  /** Shared session-sequence CTEs (t → flagged → seq) — the DuckDB
+    * twin of [[withSessionSeq]]. */
+  private val sessionSeqCteSql =
+    """t AS (
+      |  SELECT *, epoch_us(ts) AS us,
+      |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM t),
+      |seq AS (
+      |  SELECT *, sum(is_new) OVER (
+      |    PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |    AS session_seq
+      |  FROM flagged)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "cdc_funnel" ->
+      s"""WITH $sessionSeqCteSql,
+         |sess AS (
+         |  SELECT user_id, session_seq,
+         |    min(CASE WHEN event_type = 'view' THEN us END) AS t_view,
+         |    min(CASE WHEN event_type = 'click' THEN us END) AS t_click,
+         |    min(CASE WHEN event_type = 'purchase' THEN us END) AS t_purchase
+         |  FROM seq GROUP BY 1, 2),
+         |r AS (SELECT
+         |    count(*) FILTER (WHERE t_view IS NOT NULL) AS n1,
+         |    count(*) FILTER (WHERE t_click >= t_view) AS n2,
+         |    count(*) FILTER (WHERE t_click >= t_view
+         |      AND t_purchase >= t_click) AS n3
+         |  FROM sess)
+         |SELECT 1::BIGINT AS step, 'view' AS step_name, n1 AS n_sessions,
+         |  NULL::DOUBLE AS conv_from_prev FROM r
+         |UNION ALL SELECT 2::BIGINT, 'click', n2,
+         |  CASE WHEN n1 = 0 THEN NULL ELSE n2::DOUBLE / n1 END FROM r
+         |UNION ALL SELECT 3::BIGINT, 'purchase', n3,
+         |  CASE WHEN n2 = 0 THEN NULL ELSE n3::DOUBLE / n2 END FROM r
+         |ORDER BY step""".stripMargin,
+    "cdc_cohort" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT e.user_id,
+        |    date_trunc('week', f.first_ts)::DATE AS cohort_week,
+        |    date_trunc('week', e.ts)::DATE AS act_week
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT (cohort_week - DATE '1970-01-01')::BIGINT AS cohort_week_days,
+        |  ((act_week - cohort_week) // 7)::BIGINT AS week_idx,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM d GROUP BY 1, 2
+        |ORDER BY cohort_week_days, week_idx""".stripMargin,
     "cdc_dow_histogram" ->
       """SELECT isodow(ts)::BIGINT AS iso_dow, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value

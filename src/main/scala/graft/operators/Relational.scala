@@ -282,6 +282,32 @@ object Relational {
       .orderBy($"r_name", $"n_name")
   }
 
+  /** A28 shipping-priority report (TPC-H Q3 shape): top-10 open
+    * orders by revenue for one market segment at a cutoff date. Both
+    * date filters and the segment filter reach the scans; lineitem ⋈
+    * orders is the one keyed shuffle pair, customer joins broadcast
+    * at test scale (at TPC-H-100 TB customer exceeds the threshold
+    * and AQE falls back to a shuffle join — the plan degrades
+    * gracefully). Revenue is the integer-cent exact sum; top-10 is
+    * TakeOrderedAndProject. */
+  def shipPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("1998-06-01").cast("timestamp_ntz")
+    Tables.lineitem(s, dir).filter($"l_shipdate" > cutoff)
+      .join(Tables.orders(s, dir).filter($"o_orderdate" < cutoff),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(revenueExact.as("revenue"))
+      .select($"l_orderkey",
+        datediff(to_date($"o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("o_orderdate_days"),
+        $"o_orderpriority", $"revenue")
+      .orderBy($"revenue".desc, $"o_orderdate_days", $"l_orderkey")
+      .limit(10)
+  }
+
   /** A21 returned-items report (TPC-H Q10 shape): top-20 customers by
     * revenue lost to returns in a quarter. */
   def returnedItems(s: SparkSession, dir: String): DataFrame = {
@@ -429,6 +455,7 @@ object Relational {
     "q_above_avg" -> aboveAvg,
     "q_local_supplier" -> localSupplierVolume,
     "q_returned_items" -> returnedItems,
+    "q_ship_priority" -> shipPriority,
     "q_cube" -> cube2,
     "q_sketches" -> sketches,
     "q_histogram" -> histogram,
@@ -483,6 +510,20 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE c_nationkey = s_nationkey AND year(o_orderdate) = 1997
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_ship_priority" ->
+      """SELECT l_orderkey,
+        |  (o_orderdate::DATE - DATE '1970-01-01')::BIGINT AS o_orderdate_days,
+        |  o_orderpriority,
+        |  sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT))::BIGINT::DOUBLE / 10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_shipdate > TIMESTAMP '1998-06-01'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate_days, l_orderkey
+        |LIMIT 10""".stripMargin,
     "q_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
         |  sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT))::BIGINT::DOUBLE / 10000.0 AS lost_revenue

@@ -277,9 +277,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c"))
     val w = Window.partitionBy($"source").orderBy($"score_ppm".desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val n = counts.groupBy($"source").agg(sum($"c").as("n"))
-    val thr = counts.withColumn("cum", sum($"c").over(w))
-      .join(n, "source")
+    // n from a full-partition window over the SAME aggregated frame —
+    // one corpus scan feeds both cum and n (a separate groupBy would
+    // re-scan the corpus for its own aggregate)
+    val wAll = Window.partitionBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val thr = counts
+      .withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(wAll))
       .filter($"cum" * 10 >= lit(keepTenths.toLong) * $"n")
       .groupBy($"source").agg(max($"score_ppm").as("threshold_ppm"))
     scored.join(broadcast(thr), Seq("source"))

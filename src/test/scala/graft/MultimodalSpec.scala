@@ -53,6 +53,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("G5 perceptual near-dup finds edited copies, not unrelated assets") {
+    import spark.implicits._
+    // strong region contrast (alternating dark/bright 10-byte tiles):
+    // the robust regime for an average-hash — like real images, unlike
+    // uniform noise where every region sits at the global mean
+    def pat(parity: Int): Array[Byte] = Array.tabulate(640) { i =>
+      val r = i / 10
+      ((((r + parity) % 2) * 150 + 50 + (i * 3) % 7) & 0xff).toByte
+    }
+    val base = pat(0)
+    val dup = base.clone() // exact copy → identical fingerprint
+    val edited = base.clone() // one dark tile brightened past the mean
+    (100 until 110).foreach(i => edited(i) = (edited(i) + 100).toByte)
+    val inv = pat(1) // parity-swapped: all 64 bits inverted
+    val assets = Seq(0L -> base, 1L -> dup, 2L -> edited, 3L -> inv)
+      .toDF("doc_id", "payload")
+    val res = Multimodal.imageNearDup(assets).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(res.get((0L, 1L)).contains(0L))
+    assert(res.contains((0L, 2L)) && res((0L, 2L)) <= 7L)
+    assert(!res.contains((0L, 3L)) && !res.contains((1L, 3L)))
+  }
+
   test("G4 header sniffing parses real PNG/GIF/WAV headers and detects JPEG") {
     import spark.implicits._
     // genuine container headers: PNG signature + IHDR length/type +
