@@ -4,6 +4,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
+/** Per-asset perceptual fingerprint row. Top-level and public so the
+  * Dataset encoder's generated code can reach the accessors — nested
+  * private case classes force a silent fall-back to interpreted
+  * projection for the whole fingerprint pass. */
+case class AssetHash(doc_id: Long, phash: Long)
+
 /** Multimodal-column plumbing (SURVEY.md §2.G).
   *
   * Media assets are carried as opaque `binary` payloads + typed
@@ -186,8 +192,6 @@ object Multimodal {
     }
     h
   }
-
-  private case class AssetHash(doc_id: Long, phash: Long)
 
   /** G5 perceptual near-dup for media assets — the image-dedup step
     * of a multimodal training pipeline. Fingerprints come out of the

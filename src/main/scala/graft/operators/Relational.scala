@@ -104,13 +104,18 @@ object Relational {
   def cleanReal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nation = broadcast(Tables.nation(s, dir))
+    // customer/supplier scale with SF (TPC-H 150k/10k rows × SF): no
+    // broadcast hint — the size threshold / AQE picks BHJ at test scale
+    // and degrades to a keyed shuffle join at 100 TB instead of failing
+    // on the 8 GB broadcast limit. Only fixed-cardinality dims (nation,
+    // region) keep hard hints.
     val nominal = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(nation, $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name", year($"o_orderdate").cast("long").as("yr"))
       .agg(round(sum($"o_totalprice"), 2).as("nominal_value"))
     val index = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
       .join(nation, $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name", year($"l_shipdate").cast("long").as("yr"))
       .agg((expr("sum(100 - cast(round(l_discount * 100) as bigint))")
@@ -155,14 +160,17 @@ object Relational {
   }
 
   /** A6 multi-table join + aggregate + top-k — ipynb cell 3 merge shape
-    * at TPC-H Q3 scale. Filtered `customer` is broadcast; the
-    * orders⋈lineitem join shuffles on the order key only. */
+    * at TPC-H Q3 scale. The filtered `customer` side is left unhinted:
+    * below the broadcast threshold AQE plans BHJ, beyond it (customer
+    * scales with SF) it falls back to a keyed shuffle join rather than
+    * failing on the broadcast limit. orders⋈lineitem shuffles on the
+    * order key only. */
   def joinAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"o_orderkey")
       .agg(revenueExact.as("revenue"))
       .orderBy($"revenue".desc, $"o_orderkey")
@@ -199,7 +207,7 @@ object Relational {
     import s.implicits._
     val nation = broadcast(Tables.nation(s, dir))
     val rev = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(nation, $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(round(sum($"o_totalprice"), 2).as("revenue"))
@@ -264,15 +272,17 @@ object Relational {
 
   /** A20 six-table join (TPC-H Q5 shape): revenue by nation where the
     * supplier and customer share a nation — the classic join-order +
-    * broadcast planning stress. All four dims broadcast; the single
-    * shuffle pair is lineitem⋈orders. */
+    * broadcast planning stress. nation/region (fixed 25/5 rows) are
+    * hint-broadcast; customer/supplier scale with SF so they rely on
+    * the threshold/AQE (BHJ at test scale, shuffle join at 100 TB).
+    * The single guaranteed shuffle pair is lineitem⋈orders. */
   def localSupplierVolume(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nation = broadcast(Tables.nation(s, dir))
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
       .filter($"c_nationkey" === $"s_nationkey")
       .join(nation, $"s_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
@@ -316,7 +326,7 @@ object Relational {
       .filter($"l_returnflag" === "R")
       .join(Tables.orders(s, dir)
         .filter(year($"o_orderdate") === 1998), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"c_custkey", $"c_name", $"n_name")
       .agg(revenueExact.as("lost_revenue"))

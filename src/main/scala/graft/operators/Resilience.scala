@@ -30,11 +30,14 @@ object Resilience {
     * are parameters so callers keep their own schema. */
 
   /** Yearly revenue per nation — the test-corpus series for B1-B5/B10.
-    * Dim joins broadcast; one shuffle on (n_name, yr). */
+    * nation (fixed 25 rows) is hint-broadcast; customer scales with SF
+    * so it carries NO hint — threshold/AQE picks BHJ at test scale and
+    * a keyed shuffle join at 100 TB instead of tripping the broadcast
+    * limit. One shuffle on (n_name, yr). */
   private def yearlyRev(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name", year($"o_orderdate").cast("long").as("yr"))
       .agg(sum($"o_totalprice").as("rev"))

@@ -342,6 +342,131 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Driver-side sequential dot — the same index-order fold
+    * VectorFunctions.dot and DuckDB's list_dot_product use, so
+    * driver-precomputed literals are bit-identical to what either
+    * engine would compute from the same inputs. */
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** E7 IVF-PQ (Jégou et al. 2011 §IV, IVFADC): the E-track capstone
+    * composing E5's learned coarse quantizer with E6's product codes —
+    * trained on RESIDUALS v − centroid(cell), which are smaller than
+    * raw vectors so the same 8-byte code spends its precision where
+    * the variance actually is.
+    *
+    * Query cost shape (the reason IVFADC is the standard web-scale
+    * layout): a query probes `nProbe` of `k` cells and reads ONLY the
+    * code rows of those cells — cell is an equi-join key, so at
+    * 100 TB a query touches ~nProbe/k of a ~3 TB code table and the
+    * vector corpus is never scanned at query time (E5 re-reads exact
+    * vectors; E6 scans every code row — this reads neither).
+    *
+    * Implementation keeps every corpus-side expression codegen'd:
+    * encode's argmin needs residual dots r·c = (v−cent)·c, which
+    * would take an interpreted zip_with per row; instead the
+    * cell-dependent part 2·cent_sub·c is precomputed per
+    * (subspace, code, cell) on the driver (k·m·K doubles — tiny) and
+    * the per-row work is one literal lookup + one codegen'd dot:
+    * d = (c·c + 2·cent_sub·c) − 2·v_sub·c. The query side builds its
+    * per-(query, probed-cell) ADC tables over the true residual
+    * q − cent (zip_with is fine there: NumQueries·nProbe rows).
+    * Both engines fold the ADC sum in subspace order and the export
+    * rounds to 6 decimals, absorbing the last-ulp skew of the
+    * learned-centroid means (partial sums accumulate in
+    * engine-specific order). */
+  def annIvfPq(vecs: DataFrame, k: Int = 16, iters: Int = 2,
+      nProbe: Int = 2): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val centroids = kmeansCentroids(vecs, k, iters)
+    val maxCell = centroids.map(_._1).max
+    val centByCell = new Array[Array[Double]](maxCell + 1)
+    centroids.foreach { case (id, c) => centByCell(id) = c }
+    val e = vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val assigned = e.withColumn("cell", assignCol(centroids))
+
+    // residual codebooks from the deterministic sample rows (driver
+    // state: PqK residual vectors — the same "train on a sample"
+    // contract as pqSeedCodebooks)
+    def cellOf(v: Array[Double]): Int =
+      centroids.minBy { case (id, c) => (dotD(c, c) - 2.0 * dotD(v, c), id) }._1
+    val sampleResiduals: Array[Array[Double]] = e
+      .filter(pmod($"vec_id" * 7, lit(101)) < PqK)
+      .orderBy($"vec_id").limit(PqK)
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val c = centByCell(cellOf(v))
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+    val books: Array[Array[(Int, Array[Double])]] = Array.tabulate(PqM) { j =>
+      sampleResiduals.zipWithIndex.map { case (r, c) =>
+        (c, r.slice(j * PqSub, (j + 1) * PqSub))
+      }
+    }
+
+    // encode: per subspace, argmin over codebook of
+    // (c·c + 2·cent_sub·c) − 2·v_sub·c — corr literal per cell keeps
+    // the residual argmin codegen'd (no per-row vector subtraction)
+    val codeCols = (0 until PqM).map { j =>
+      val scored = books(j).map { case (cid, cb) =>
+        val cbSq = dotD(cb, cb)
+        val corr = Array.tabulate(maxCell + 1) { cell =>
+          if (centByCell(cell) == null) 0.0
+          else cbSq + 2.0 * dotD(
+            centByCell(cell).slice(j * PqSub, (j + 1) * PqSub), cb)
+        }
+        struct((element_at(typedlit(corr), $"cell" + 1) -
+          lit(2.0) * VectorFunctions.dot(
+            slice($"v", j * PqSub + 1, PqSub), typedlit(cb))).as("d"),
+          lit(cid).as("id"))
+      }
+      least(scored.toIndexedSeq: _*).getField("id")
+    }
+    val coded = assigned.select($"vec_id", $"cell", array(codeCols: _*).as("codes"))
+
+    // probes: nProbe nearest cells under the assignment metric
+    val cellDists = array(centroids.map { case (id, c) =>
+      struct((lit(c.map(x => x * x).sum) -
+        lit(2.0) * VectorFunctions.dot($"qv", typedlit(c))).as("d"),
+        lit(id).as("id"))
+    }.toIndexedSeq: _*)
+    val centLit = typedlit(centByCell.map(c =>
+      if (c == null) Array.fill(centroids.head._2.length)(0.0) else c))
+    val qprobe = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .withColumn("pc", explode(slice(array_sort(cellDists), 1, nProbe)))
+      .select($"q_id", $"qv", $"pc.id".as("cell"))
+      .withColumn("qr", zip_with($"qv",
+        element_at(centLit, $"cell" + 1), (a, b) => a - b))
+      .withColumn("qrq", VectorFunctions.dot($"qr", $"qr"))
+      .withColumn("tbls", array((0 until PqM).map { j =>
+        array(books(j).map { case (_, cb) =>
+          lit(dotD(cb, cb)) - lit(2.0) * VectorFunctions.dot(
+            slice($"qr", j * PqSub + 1, PqSub), typedlit(cb))
+        }.toIndexedSeq: _*)
+      }: _*))
+      .select($"q_id", $"cell", $"qrq", $"tbls")
+
+    // hot path: cell equi-join (only probed cells' code rows move),
+    // ADC = qrq + Σⱼ table lookup, folded left in subspace order
+    val adcCol = $"qrq" + (0 until PqM).map(j =>
+      element_at(element_at($"tbls", j + 1),
+        element_at($"codes", j + 1) + 1)).reduce(_ + _)
+    val scored = coded.join(broadcast(qprobe), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("adc", adcCol)
+    scored.groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-$"adc").as("score"), $"vec_id".as("id")), TopK).as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"t.id".as("vec_id"), round(-$"t.score", 6).as("adc"))
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Nearest-centroid expression: squared-euclidean argmin over the
     * broadcast centroid literals, all inside codegen via DotProduct. */
   private def assignCol(centroids: Array[(Int, Array[Double])]): Column = {
@@ -364,6 +489,7 @@ object Similarity {
     "ann_lsh" -> onVecs(annLsh),
     "ann_ivf" -> onVecs(annIvf),
     "ann_ivf_kmeans" -> onVecs(v => annIvfKmeans(v)),
+    "ann_ivfpq" -> onVecs(v => annIvfPq(v)),
     "ann_pq" -> onVecs(annPq),
     "kmeans_assign" -> onVecs(v => kmeans(v)))
 
@@ -522,9 +648,83 @@ object Similarity {
        |SELECT q_id, rank, vec_id, cos FROM ranked
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
+  /** DuckDB twin of [[annIvfPq]]: same unrolled Lloyd's coarse
+    * quantizer, residual codebooks from the same sample rows
+    * (list_transform subtraction — exact float op, engine-identical),
+    * the same algebraically-expanded encode argmin
+    * `(c·c + 2·cent_sub·c) − 2·v_sub·c` with the same parenthesization
+    * so the argmin compares identical doubles, and the ADC folded in
+    * subspace order via list_reduce. Export rounds to 6 like the
+    * Spark side. */
+  private def ivfPqOracleSql(k: Int, iters: Int, nProbe: Int): String = {
+    def sub(l: String, j: String = "s.j") =
+      s"list_slice($l, $j*$PqSub+1, $j*$PqSub+$PqSub)"
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+       |  FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT $k)),
+       |${(0 until iters).map(kmeansIterSql).mkString(",\n")},
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    ${assignRankSql(iters)})
+       |  WHERE rn = 1),
+       |rsd AS (
+       |  SELECT ev.vec_id,
+       |    list_transform(range(1, len(ev.v) + 1), i -> ev.v[i] - c.cv[i]) AS r
+       |  FROM ev JOIN asg a ON ev.vec_id = a.vec_id
+       |  JOIN c$iters c ON a.cell = c.cell),
+       |cb AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, r AS cbv
+       |  FROM (SELECT vec_id, r FROM rsd WHERE (vec_id * 7) % 101 < $PqK
+       |        ORDER BY vec_id LIMIT $PqK)),
+       |subs AS (SELECT j FROM range(0, $PqM) t(j)),
+       |codes AS (
+       |  SELECT vec_id, cell, j, cid FROM (
+       |    SELECT ev.vec_id, a.cell, s.j, b.cid, row_number() OVER (
+       |      PARTITION BY ev.vec_id, s.j
+       |      ORDER BY (list_dot_product(${sub("b.cbv")}, ${sub("b.cbv")})
+       |          + 2 * list_dot_product(${sub("c.cv")}, ${sub("b.cbv")}))
+       |        - 2 * list_dot_product(${sub("ev.v")}, ${sub("b.cbv")}),
+       |        b.cid) AS rn
+       |    FROM ev JOIN asg a ON ev.vec_id = a.vec_id
+       |    JOIN c$iters c ON a.cell = c.cell
+       |    CROSS JOIN subs s CROSS JOIN cb b)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    ${assignRankSql(iters, s" WHERE ev.vec_id < $NumQueries")})
+       |  WHERE rn <= $nProbe),
+       |qres AS (
+       |  SELECT p.q_id, p.cell,
+       |    list_transform(range(1, len(ev.v) + 1), i -> ev.v[i] - c.cv[i]) AS qr
+       |  FROM probes p JOIN ev ON p.q_id = ev.vec_id
+       |  JOIN c$iters c ON p.cell = c.cell),
+       |qrq AS (SELECT q_id, cell, qr,
+       |        list_dot_product(qr, qr) AS qrq FROM qres),
+       |contrib AS (
+       |  SELECT q.q_id, cd.vec_id, q.cell, cd.j,
+       |    list_dot_product(${sub("b.cbv", "cd.j")}, ${sub("b.cbv", "cd.j")})
+       |      - 2 * list_dot_product(${sub("q.qr", "cd.j")},
+       |                             ${sub("b.cbv", "cd.j")}) AS d
+       |  FROM qrq q
+       |  JOIN codes cd ON q.cell = cd.cell AND cd.vec_id <> q.q_id
+       |  JOIN cb b ON cd.cid = b.cid),
+       |adcs AS (
+       |  SELECT q_id, vec_id, any_value(cell) AS cell,
+       |    list_reduce(list(d ORDER BY j), (a, b) -> a + b) AS s
+       |  FROM contrib GROUP BY q_id, vec_id),
+       |ranked AS (
+       |  SELECT a.q_id, a.vec_id, q.qrq + a.s AS adc, row_number() OVER (
+       |    PARTITION BY a.q_id ORDER BY q.qrq + a.s, a.vec_id) AS rank
+       |  FROM adcs a JOIN qrq q ON a.q_id = q.q_id AND a.cell = q.cell)
+       |SELECT q_id, rank::BIGINT AS rank, vec_id, round(adc, 6) AS adc
+       |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "kmeans_assign" -> kmeansOracleSql(k = 8, iters = 3),
     "ann_ivf_kmeans" -> ivfKmeansOracleSql(k = 16, iters = 2, nProbe = 2),
+    "ann_ivfpq" -> ivfPqOracleSql(k = 16, iters = 2, nProbe = 2),
     "ann_pq" -> annPqOracleSql,
     "ann_bruteforce" ->
       s"""WITH $eCte,

@@ -66,8 +66,14 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** F3 language-ID by marker-word profiles (n-gram-heuristic family):
-    * per-language marker counts, argmax with fixed precedence. */
+  /** F3 language-ID by marker profiles (n-gram-heuristic family):
+    * per-language marker counts, argmax with fixed precedence.
+    * Latin-script languages count `\b`-delimited marker WORDS; zh
+    * counts CJK-Unified-Ideograph CHARS (`[\x{4E00}-\x{9FFF}]`) —
+    * Chinese has no word boundaries, so `\b` markers would be
+    * systematically blind to it (char-class counts are the standard
+    * fix). zh wins ties first: any ideograph present is decisive in a
+    * way shared Latin stopwords are not. */
   def langId(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val markers = Map(
@@ -78,16 +84,19 @@ object TextAnalysis {
     val scored = markers.foldLeft(docs) {
       case (df, (lang, pat)) => df.withColumn(s"s_$lang",
         size(expr(s"regexp_extract_all(text, '\\\\b($pat)\\\\b', 0)")).cast("long"))
-    }
+    }.withColumn("s_zh",
+      size(expr("regexp_extract_all(text, '[\\\\x{4E00}-\\\\x{9FFF}]', 0)"))
+        .cast("long"))
     scored
-      .withColumn("best", greatest($"s_en", $"s_es", $"s_fr", $"s_de"))
+      .withColumn("best", greatest($"s_en", $"s_es", $"s_fr", $"s_de", $"s_zh"))
       .withColumn("lang_pred",
         when($"best" === 0, "und")
+          .when($"s_zh" === $"best", "zh")
           .when($"s_en" === $"best", "en")
           .when($"s_es" === $"best", "es")
           .when($"s_fr" === $"best", "fr")
           .otherwise("de"))
-      .select($"doc_id", $"s_en", $"s_es", $"s_fr", $"s_de",
+      .select($"doc_id", $"s_en", $"s_es", $"s_fr", $"s_de", $"s_zh",
         $"lang_pred", ($"lang_pred" === $"lang").as("matches_label"))
       .orderBy($"doc_id")
   }
@@ -150,7 +159,7 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
-  /** F10 repetition metrics (the Gopher-style quality signals of
+  /** F12 repetition metrics (the Gopher-style quality signals of
     * Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1):
     * per document, the fraction of tokens taken by the single most
     * frequent token, the fraction of bigram slots taken by the most
@@ -191,7 +200,7 @@ object TextAnalysis {
   private val Ipv4Re =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
-  /** F11 PII detection + redaction: per-document counts of emails /
+  /** F13 PII detection + redaction: per-document counts of emails /
     * NANP phones / IPv4 literals and a fingerprint of the scrubbed
     * text (placeholders substituted in a fixed order). A training
     * pipeline runs this as a pre-release gate; per-row regex column
@@ -447,18 +456,20 @@ object TextAnalysis {
         |    len(regexp_extract_all(text, '\b(the|a|of)\b'))::BIGINT AS s_en,
         |    len(regexp_extract_all(text, '\b(la|el|los|de)\b'))::BIGINT AS s_es,
         |    len(regexp_extract_all(text, '\b(le|la|les|des)\b'))::BIGINT AS s_fr,
-        |    len(regexp_extract_all(text, '\b(der|die|das|und)\b'))::BIGINT AS s_de
+        |    len(regexp_extract_all(text, '\b(der|die|das|und)\b'))::BIGINT AS s_de,
+        |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]'))::BIGINT AS s_zh
         |  FROM documents),
         |p AS (
-        |  SELECT *, greatest(s_en, s_es, s_fr, s_de) AS best FROM t),
+        |  SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS best FROM t),
         |q AS (
         |  SELECT *, CASE WHEN best = 0 THEN 'und'
+        |    WHEN s_zh = best THEN 'zh'
         |    WHEN s_en = best THEN 'en'
         |    WHEN s_es = best THEN 'es'
         |    WHEN s_fr = best THEN 'fr'
         |    ELSE 'de' END AS lang_pred
         |  FROM p)
-        |SELECT doc_id, s_en, s_es, s_fr, s_de, lang_pred,
+        |SELECT doc_id, s_en, s_es, s_fr, s_de, s_zh, lang_pred,
         |  (lang_pred = lang) AS matches_label
         |FROM q ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->

@@ -139,6 +139,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df.filter(col("lang_pred").isNull).count() == 0)
   }
 
+  test("text_langid zh profile: CJK char-class counts, crafted texts") {
+    // the synthetic corpus's zh docs are Latin word soup, so the zh
+    // path never fires in the oracle run — pin it on real text here.
+    // `\b`-marker profiles are blind to unsegmented scripts; the CJK
+    // ideograph class is what must carry zh.
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "机器学习模型在大规模数据上训练", "zh"),  // pure zh
+      (2L, "the model of the data", "en"),            // pure en
+      (3L, "la la el de los la", "es"),               // pure es
+      (4L, "the training corpus 包含中文文本 of course", "zh"), // mixed: 6 CJK > 3 en markers
+      (5L, "12345 !!!", "und"))                        // no markers at all
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.TextAnalysis.langId(crafted)
+      .select("doc_id", "lang_pred", "s_zh").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == "zh" && out(1L)._2 == 15L)
+    assert(out(2L)._1 == "en" && out(2L)._2 == 0L)
+    assert(out(3L)._1 == "es")
+    assert(out(4L)._1 == "zh" && out(4L)._2 == 6L)
+    assert(out(5L)._1 == "und")
+  }
+
   test("ann_bruteforce: top-k per query, cos within [-1,1]") {
     val df = run("ann_bruteforce")
     assert(df.groupBy("q_id").count().filter(col("count") > 3).count() == 0)

@@ -18,6 +18,26 @@ class PlanPropertiesSpec extends AnyFunSuite {
       assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its broadcast")
   }
 
+  test("no hard broadcast hint on SF-scaling tables (customer/supplier)") {
+    // customer (150k × SF) and supplier (10k × SF) grow with the data;
+    // a hard broadcast() hint overrides the size threshold, so at
+    // 100 TB the job FAILS on the 8 GB broadcast limit instead of
+    // degrading to a shuffle join. Hints are reserved for fixed-size
+    // dims (nation/region/brand) and bounded derived frames (query
+    // sets, thresholds). This pins the absence of the hint in the
+    // LOGICAL plan — the physical join may still be BHJ at test scale
+    // via the threshold, which is exactly the desired behavior.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for ((name, fn) <- SparkEntry.queries) {
+      val analyzed = fn(spark, sf).queryExecution.analyzed
+      analyzed.collect { case h: ResolvedHint => h }.foreach { h =>
+        val cols = h.child.output.map(_.name).toSet
+        assert(!cols.contains("c_custkey") && !cols.contains("s_suppkey"),
+          s"$name hard-broadcasts an SF-scaling table: ${h.child.output.map(_.name)}")
+      }
+    }
+  }
+
   test("top-k queries use TakeOrderedAndProject, not a global sort") {
     for (q <- Seq("q_topk", "q_join_agg", "q_worst_drawdown"))
       assert(plan(q).contains("TakeOrderedAndProject"), s"$q sorts globally")
