@@ -190,6 +190,55 @@ class ScaleStressSpec extends AnyFunSuite {
     } finally vecs.unpersist()
   }
 
+  test("IVF-PQ at 10^6 vectors: twin retrieval through codes-only ADC") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // Gate design: on blob corpora, the exact top-3 among thousands of
+    // cluster-mates is decided by margins at the noise scale — no
+    // 16-code quantizer can (or should) resolve that, measured recall
+    // there is ~0. The property ADC search is deployed for (near-dup /
+    // twin retrieval over compressed codes) IS testable: plant 3
+    // near-copies of each query (offset 50× below cluster noise) among
+    // 10⁶ vectors in 32 natural clusters; ADC must surface the twins
+    // above ~31k same-cluster mates, reading only probed cells' codes.
+    val n = 1000000
+    val vecs = spark.range(n + 15)
+      .select($"id".as("vec_id"),
+        expr(s"case when id >= $n then (id - $n) div 3 else id end").as("bid"))
+      .select($"vec_id",
+        expr(s"""transform(sequence(0, 63), j ->
+                |  cast(xxhash64(bid % 32, j) % 1000 as double) / 1000.0
+                |  + cast(xxhash64(bid, j) % 1000 as double) / 20000.0
+                |  + (case when vec_id >= $n
+                |     then cast(xxhash64(vec_id, j) % 1000 as double) / 1000000.0
+                |     else 0.0 end))""".stripMargin).as("embedding"))
+      .persist()
+    try {
+      // sanity: exact search finds exactly the 3 planted twins per query
+      val exact = Similarity.bruteforce(vecs)
+        .select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (0L until 5L).foreach { q =>
+        assert(exact(q) == Set(n + 3 * q, n + 3 * q + 1, n + 3 * q + 2),
+          s"exact top-3 of $q is not its twins: ${exact(q)}")
+      }
+      val t0 = System.nanoTime()
+      val approx = Similarity.annIvfPq(vecs, k = 32, iters = 2, nProbe = 4)
+        .select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"1M-vector IVF-PQ (train + encode + ADC over 4/32 cells): $secs%.1f s")
+      val recall = exact.map { case (q, ex) =>
+        (ex intersect approx.getOrElse(q, Set.empty)).size / 3.0
+      }.sum / exact.size
+      info(f"IVF-PQ twin recall@3 = $recall%.2f")
+      // a twin ties a cluster-mate only if all 8 subspace codes
+      // collide — rare but possible, and ties break to lower ids, so
+      // gate at 0.8 rather than 1.0
+      assert(recall >= 0.8, s"twin retrieval through ADC collapsed: $recall")
+    } finally vecs.unpersist()
+  }
+
   test("minhash LSH finds replicated near-identical docs in the 20x corpus") {
     import spark.implicits._
     val base = Tables.documents(spark, GraftTestSession.sf).limit(50)
