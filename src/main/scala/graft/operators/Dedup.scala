@@ -106,12 +106,18 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"jac".as("jaccard"))
   }
 
+  /** The engine's canonical content address: md5 of the normalized
+    * text. Shared by batch exact dedup and the streaming ingest twin
+    * ([[graft.streaming.DocStream]]) so both agree on what "the same
+    * document" means. */
+  def contentHash(text: Column): Column = md5(norm(text))
+
   /** D1 exact dedup by normalized-text hash: keeper = min doc_id per
     * content hash (one aggregate — the only sane shape at 100 TB). */
   def exact(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
-      .select($"doc_id", md5(norm($"text")).as("content_hash"))
+      .select($"doc_id", contentHash($"text").as("content_hash"))
       .groupBy($"content_hash")
       .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy($"content_hash")

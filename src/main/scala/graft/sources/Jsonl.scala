@@ -23,16 +23,29 @@ object Jsonl {
 
   val CorruptCol = "_corrupt_record"
 
-  /** Schema-checked permissive read: malformed lines land in
-    * [[CorruptCol]] (raw line preserved) instead of failing the job. */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  /** The permissive line→row projection shared by the batch and
+    * streaming readers (one parser, two execution modes — the
+    * batch/stream symmetry Structured Streaming is built on). */
+  def parse(lines: DataFrame, schema: StructType): DataFrame = {
     val full = schema.add(CorruptCol, "string")
-    spark.read.text(path)
+    lines
       .select(from_json(col("value"), full,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
       .select(full.fieldNames.toIndexedSeq.map(n => col(s"r.`$n`")): _*)
   }
+
+  /** Schema-checked permissive read: malformed lines land in
+    * [[CorruptCol]] (raw line preserved) instead of failing the job. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    parse(spark.read.text(path), schema)
+
+  /** Streaming twin of [[read]]: tail a landing directory of jsonl
+    * files (the shape of a continuous crawl/CDC drop zone). Identical
+    * parse + quarantine semantics; new files become micro-batches. */
+  def readStream(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    parse(spark.readStream.text(path), schema)
 
   /** Rows that parsed cleanly. */
   def clean(df: DataFrame): DataFrame =
