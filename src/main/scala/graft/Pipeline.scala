@@ -63,6 +63,77 @@ object Pipeline {
       test = splits.getOrElse("test", 0L))
   }
 
+  case class IncrementalResult(appended: Long, dropped_seen: Long,
+      dropped_dupes: Long, dropped_quality: Long)
+
+  /** Daily-ingest mode of [[cleanCorpus]]: process ONLY the new
+    * documents against persistent dedup state, instead of recomputing
+    * the whole corpus per run — what a real 100 TB ingest loop does.
+    *
+    * State = the set of content hashes already ingested (one 16-byte
+    * hash per distinct doc ever seen; ~TB-class at 10¹⁰ docs), kept as
+    * parquet under `stateDir`. A delta run is three hash-keyed steps:
+    * anti-join the delta against the state (drops docs whose content
+    * is already in the corpus), exact-dedup within the delta, then
+    * quality-gate + split + APPEND the survivors — the existing corpus
+    * is never read, so run cost scales with the delta, not the corpus.
+    *
+    * Output equality with a full [[cleanCorpus]] recompute holds under
+    * the ingest-loop contract that doc_ids are monotonically assigned
+    * (a later copy never has a smaller id): the full run's keeper
+    * (min doc_id per hash) is then exactly the first-ingested doc,
+    * which is what the state preserved. Quality and split are pure
+    * per-doc functions, so they agree run-for-run. Every distinct
+    * delta hash enters the state — including quality-rejects, whose
+    * later copies would fail the same content-determined gate — so
+    * re-sends cost one anti-join probe, not a re-evaluation.
+    * Spec-pinned (PipelineSpec): base + deltas == one full run. */
+  def incrementalCorpus(spark: SparkSession, delta: DataFrame,
+      stateDir: String, outDir: String): IncrementalResult = {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val total = delta.count()
+    val hashed = delta.withColumn("content_hash",
+      Dedup.contentHash($"text"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val hasState = fs.exists(new org.apache.hadoop.fs.Path(stateDir))
+    // hash-keyed anti join: at scale both sides shuffle on the hash —
+    // the same single-key shuffle shape as exact dedup itself
+    val unseen = (if (hasState)
+        hashed.join(spark.read.parquet(stateDir), Seq("content_hash"),
+          "left_anti")
+      else hashed).persist(StorageLevel.MEMORY_AND_DISK)
+    val nUnseen = unseen.count()
+
+    // within-delta exact dedup: first (lowest-id) copy wins
+    val keepers = unseen.groupBy($"content_hash")
+      .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+    val deduped = unseen.join(keepers, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDeduped = deduped.count()
+
+    val gated = deduped.join(
+      TextAnalysis.quality(deduped).filter($"keep").select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    val withSplit = gated.join(
+      TextAnalysis.splitAssign(gated), Seq("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nAppended = withSplit.count()
+    Sink.partitionedAppend(withSplit.drop("content_hash"),
+      s"$outDir/corpus", Seq("split"))
+
+    // record every distinct delta hash — seen is seen, kept or not
+    unseen.select($"content_hash").distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(stateDir)
+    unseen.unpersist(); deduped.unpersist(); withSplit.unpersist()
+    IncrementalResult(
+      appended = nAppended,
+      dropped_seen = total - nUnseen,
+      dropped_dupes = nUnseen - nDeduped,
+      dropped_quality = nDeduped - nAppended)
+  }
+
   case class TrainingResult(kept: Long, dropped_cluster_dupes: Long,
       dropped_quality: Long, dropped_repetition: Long,
       train: Long, `val`: Long, test: Long)

@@ -18,6 +18,13 @@ object Sink {
   def partitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
+  /** Append-mode partitioned parquet: the daily-increment write of an
+    * ingest loop — new files land inside the existing hive-style
+    * partition directories, so the corpus grows without rewriting
+    * history (pair with [[compact]] when small files accumulate). */
+  def partitionedAppend(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(cols: _*).parquet(path)
+
   /** CSV export (the `merged.to_csv(...)` twin, resilience.py:82) —
     * headered, one part per task. At 100 TB this stays distributed;
     * `single = true` coalesces to one file for the reference's

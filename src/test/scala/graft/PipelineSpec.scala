@@ -25,6 +25,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.cleanCorpus(spark, docs, out2) == r)
   }
 
+  test("incrementalCorpus: base + deltas equals one full recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, GraftTestSession.sf)
+    val n = docs.count()
+    val base = docs.filter($"doc_id" < n / 2)
+    // delta 1: next quarter of the corpus, plus a re-send of a base
+    // doc's content under a NEW (higher) id — the daily-ingest dup
+    val resend = base.filter($"doc_id" === 3)
+      .withColumn("doc_id", lit(n + 1))
+    val d1 = docs.filter($"doc_id" >= n / 2 && $"doc_id" < 3 * n / 4)
+      .unionByName(resend)
+    // delta 2: the rest, plus a re-send of a DELTA-1 doc's content
+    val resend2 = docs.filter($"doc_id" === n / 2 + 1)
+      .withColumn("doc_id", lit(n + 2))
+    val d2 = docs.filter($"doc_id" >= 3 * n / 4).unionByName(resend2)
+
+    val incOut = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val state = s"$incOut/state"
+    val r0 = Pipeline.incrementalCorpus(spark, base, state, incOut)
+    val r1 = Pipeline.incrementalCorpus(spark, d1, state, incOut)
+    val r2 = Pipeline.incrementalCorpus(spark, d2, state, incOut)
+    assert(r0.dropped_seen == 0)
+    assert(r1.dropped_seen >= 1, "re-sent base content must be dropped by state")
+    assert(r2.dropped_seen >= 1, "re-sent delta-1 content must be dropped by state")
+
+    // one full batch recompute over everything ever ingested
+    val fullOut = java.nio.file.Files.createTempDirectory("graft_full").toString
+    val all = base.unionByName(d1).unionByName(d2)
+    val rf = Pipeline.cleanCorpus(spark, all, fullOut)
+    assert(r0.appended + r1.appended + r2.appended == rf.kept)
+
+    // identical corpus: same (doc_id, split, text-fingerprint) rows
+    def snap(dir: String) = spark.read.parquet(s"$dir/corpus")
+      .select($"doc_id", $"split", md5($"text").as("fp"))
+      .as[(Long, String, String)].collect().toSet
+    assert(snap(incOut) == snap(fullOut),
+      "incremental corpus diverged from full recompute")
+
+    // a second run of an already-seen delta is a no-op on the corpus
+    val r3 = Pipeline.incrementalCorpus(spark, d2, state, incOut)
+    assert(r3.appended == 0 && r3.dropped_seen == d2.count())
+    assert(snap(incOut) == snap(fullOut))
+  }
+
   test("trainingCorpus: clusters, gates, scrubs and splits end to end") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
