@@ -29,7 +29,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // stdout capture has truncated the tail three rounds running; keep a
+    // durable copy of the full artifact in the working tree
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_out.json"),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => }
     spark.stop()
   }
 }

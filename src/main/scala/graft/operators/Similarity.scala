@@ -381,16 +381,41 @@ object Similarity {
   def annIvfPq(vecs: DataFrame, k: Int = 16, iters: Int = 2,
       nProbe: Int = 2): DataFrame = {
     import vecs.sparkSession.implicits._
+    val m = ivfPqTrain(vecs, k, iters)
+    val e = vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val coded = ivfPqEncode(e, m)
+    val qprobe = ivfPqProbe(
+      e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv")), m, nProbe)
+    ivfPqScore(coded, qprobe)
+  }
+
+  /** Trained IVF-PQ model. Driver state is k coarse centroids plus
+    * m×K codebook sub-vectors (k·dim + m·K·sub doubles — a few KB),
+    * the only data that ever leaves the executors. */
+  private[graft] case class IvfPqModel(
+      centroids: Array[(Int, Array[Double])],
+      books: Array[Array[(Int, Array[Double])]]) {
+    val maxCell: Int = centroids.map(_._1).max
+    val centByCell: Array[Array[Double]] = {
+      val a = new Array[Array[Double]](maxCell + 1)
+      centroids.foreach { case (id, c) => a(id) = c }
+      a
+    }
+  }
+
+  /** IVF-PQ training: Lloyd's coarse quantizer + residual codebooks
+    * from the deterministic sample rows (driver state: PqK residual
+    * vectors — the same "train on a sample" contract as
+    * pqSeedCodebooks). */
+  private[graft] def ivfPqTrain(vecs: DataFrame, k: Int,
+      iters: Int): IvfPqModel = {
+    import vecs.sparkSession.implicits._
     val centroids = kmeansCentroids(vecs, k, iters)
     val maxCell = centroids.map(_._1).max
     val centByCell = new Array[Array[Double]](maxCell + 1)
     centroids.foreach { case (id, c) => centByCell(id) = c }
     val e = vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    val assigned = e.withColumn("cell", assignCol(centroids))
-
-    // residual codebooks from the deterministic sample rows (driver
-    // state: PqK residual vectors — the same "train on a sample"
-    // contract as pqSeedCodebooks)
     def cellOf(v: Array[Double]): Int =
       centroids.minBy { case (id, c) => (dotD(c, c) - 2.0 * dotD(v, c), id) }._1
     val sampleResiduals: Array[Array[Double]] = e
@@ -406,17 +431,23 @@ object Similarity {
         (c, r.slice(j * PqSub, (j + 1) * PqSub))
       }
     }
+    IvfPqModel(centroids, books)
+  }
 
-    // encode: per subspace, argmin over codebook of
-    // (c·c + 2·cent_sub·c) − 2·v_sub·c — corr literal per cell keeps
-    // the residual argmin codegen'd (no per-row vector subtraction)
+  /** IVF-PQ encode over `e(vec_id, v)`: per subspace, argmin over the
+    * codebook of (c·c + 2·cent_sub·c) − 2·v_sub·c — the corr literal
+    * per cell keeps the residual argmin codegen'd (no per-row vector
+    * subtraction). Output: (vec_id, cell, codes). */
+  private def ivfPqEncode(e: DataFrame, m: IvfPqModel): DataFrame = {
+    import e.sparkSession.implicits._
+    val assigned = e.withColumn("cell", assignCol(m.centroids))
     val codeCols = (0 until PqM).map { j =>
-      val scored = books(j).map { case (cid, cb) =>
+      val scored = m.books(j).map { case (cid, cb) =>
         val cbSq = dotD(cb, cb)
-        val corr = Array.tabulate(maxCell + 1) { cell =>
-          if (centByCell(cell) == null) 0.0
+        val corr = Array.tabulate(m.maxCell + 1) { cell =>
+          if (m.centByCell(cell) == null) 0.0
           else cbSq + 2.0 * dotD(
-            centByCell(cell).slice(j * PqSub, (j + 1) * PqSub), cb)
+            m.centByCell(cell).slice(j * PqSub, (j + 1) * PqSub), cb)
         }
         struct((element_at(typedlit(corr), $"cell" + 1) -
           lit(2.0) * VectorFunctions.dot(
@@ -425,33 +456,43 @@ object Similarity {
       }
       least(scored.toIndexedSeq: _*).getField("id")
     }
-    val coded = assigned.select($"vec_id", $"cell", array(codeCols: _*).as("codes"))
+    assigned.select($"vec_id", $"cell", array(codeCols: _*).as("codes"))
+  }
 
-    // probes: nProbe nearest cells under the assignment metric
-    val cellDists = array(centroids.map { case (id, c) =>
+  /** Query-side probe prep over `queries(q_id, qv)`: nProbe nearest
+    * cells under the assignment metric, true-residual ADC tables per
+    * (query, probed cell) — NumQueries·nProbe rows, so the interpreted
+    * zip_with is off the hot path. */
+  private def ivfPqProbe(queries: DataFrame, m: IvfPqModel,
+      nProbe: Int): DataFrame = {
+    import queries.sparkSession.implicits._
+    val cellDists = array(m.centroids.map { case (id, c) =>
       struct((lit(c.map(x => x * x).sum) -
         lit(2.0) * VectorFunctions.dot($"qv", typedlit(c))).as("d"),
         lit(id).as("id"))
     }.toIndexedSeq: _*)
-    val centLit = typedlit(centByCell.map(c =>
-      if (c == null) Array.fill(centroids.head._2.length)(0.0) else c))
-    val qprobe = e.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("q_id"), $"v".as("qv"))
+    val centLit = typedlit(m.centByCell.map(c =>
+      if (c == null) Array.fill(m.centroids.head._2.length)(0.0) else c))
+    queries
       .withColumn("pc", explode(slice(array_sort(cellDists), 1, nProbe)))
       .select($"q_id", $"qv", $"pc.id".as("cell"))
       .withColumn("qr", zip_with($"qv",
         element_at(centLit, $"cell" + 1), (a, b) => a - b))
       .withColumn("qrq", VectorFunctions.dot($"qr", $"qr"))
       .withColumn("tbls", array((0 until PqM).map { j =>
-        array(books(j).map { case (_, cb) =>
+        array(m.books(j).map { case (_, cb) =>
           lit(dotD(cb, cb)) - lit(2.0) * VectorFunctions.dot(
             slice($"qr", j * PqSub + 1, PqSub), typedlit(cb))
         }.toIndexedSeq: _*)
       }: _*))
       .select($"q_id", $"cell", $"qrq", $"tbls")
+  }
 
-    // hot path: cell equi-join (only probed cells' code rows move),
-    // ADC = qrq + Σⱼ table lookup, folded left in subspace order
+  /** Hot path: cell equi-join (only probed cells' code rows move),
+    * ADC = qrq + Σⱼ table lookup, folded left in subspace order,
+    * bounded-heap top-k per query. */
+  private def ivfPqScore(coded: DataFrame, qprobe: DataFrame): DataFrame = {
+    import coded.sparkSession.implicits._
     val adcCol = $"qrq" + (0 until PqM).map(j =>
       element_at(element_at($"tbls", j + 1),
         element_at($"codes", j + 1) + 1)).reduce(_ + _)
@@ -465,6 +506,85 @@ object Similarity {
       .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
         $"t.id".as("vec_id"), round(-$"t.score", 6).as("adc"))
       .orderBy($"q_id", $"rank")
+  }
+
+  /** E8 persisted IVF-PQ index — the BUILD half of the build/serve
+    * split a real deployment runs (VERDICT r3 #1): training and corpus
+    * encoding are a batch job executed ONCE, not billed to every
+    * query. Writes under `dir`:
+    *   - `codes/` — (vec_id, codes) parquet PARTITIONED BY cell, so a
+    *     serving query's cell filter becomes partition PRUNING: only
+    *     probed cells' files are listed/read, ~nProbe/k of a
+    *     32×-compressed table at 100 TB;
+    *   - `centroids/`, `codebooks/` — the k×dim + m×K model doubles
+    *     (KB-sized; parquet round-trips doubles exactly, so serve
+    *     results are bit-identical to the in-memory path). */
+  def buildIvfPqIndex(vecs: DataFrame, dir: String, k: Int = 16,
+      iters: Int = 2): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val m = ivfPqTrain(vecs, k, iters)
+    val e = vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    m.centroids.toSeq.map { case (id, c) => (id, c.toSeq) }
+      .toDF("cell", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    (for { j <- 0 until PqM; (cid, cb) <- m.books(j) }
+      yield (j, cid, cb.toSeq))
+      .toDF("j", "cid", "cbv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    // codes last: its _SUCCESS doubles as the whole-index marker
+    ivfPqEncode(e, m)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Reload the KB-sized model half of a persisted index. */
+  private[graft] def loadIvfPqModel(spark: SparkSession,
+      dir: String): IvfPqModel = {
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val bookRows = spark.read.parquet(s"$dir/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val books = Array.tabulate(PqM) { j =>
+      bookRows.filter(_._1 == j).map(t => (t._2, t._3)).sortBy(_._1)
+    }
+    IvfPqModel(cents, books)
+  }
+
+  /** E8 SERVE: answer `queries(q_id, qv)` from a persisted index with
+    * NO training stage and NO vector scan. The probed-cell set is
+    * query-batch sized (≤ queries × nProbe ints), so it collects to a
+    * literal IN filter that prunes the cell-partitioned code table at
+    * planning time — the scan reads only probed partitions (pinned by
+    * PlanPropertiesSpec). Results are bit-identical to [[annIvfPq]]
+    * on the same corpus/params (spec-pinned). */
+  def queryIvfPqIndex(spark: SparkSession, dir: String, queries: DataFrame,
+      nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val m = loadIvfPqModel(spark, dir)
+    val qprobe = ivfPqProbe(
+      queries.select($"q_id", $"qv".cast("array<double>").as("qv")),
+      m, nProbe)
+    val cells = qprobe.select($"cell").distinct().collect().map(_.getInt(0))
+    val coded = spark.read.parquet(s"$dir/codes")
+      .filter($"cell".isin(cells.map(c => c: java.lang.Integer).toIndexedSeq: _*))
+    ivfPqScore(coded, qprobe)
+  }
+
+  /** Driver-contract adapter for the served path: builds the index in
+    * a versioned temp dir ONCE per dataset (subsequent calls are
+    * serve-only — exactly the deployment shape), then queries it with
+    * the same query set as `ann_ivfpq`. Oracle: identical SQL twin —
+    * the served result is bit-identical to the in-memory path. */
+  private def ivfPqIndexEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecs = Tables.embeddings(s, dir)
+    val idxDir = sys.props("java.io.tmpdir") +
+      s"/graft_ivfpq_v1_${new java.io.File(dir).getName}"
+    if (!new java.io.File(s"$idxDir/codes/_SUCCESS").exists())
+      buildIvfPqIndex(vecs, idxDir)
+    val q = vecs.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qv"))
+    queryIvfPqIndex(s, idxDir, q)
   }
 
   /** Nearest-centroid expression: squared-euclidean argmin over the
@@ -490,6 +610,7 @@ object Similarity {
     "ann_ivf" -> onVecs(annIvf),
     "ann_ivf_kmeans" -> onVecs(v => annIvfKmeans(v)),
     "ann_ivfpq" -> onVecs(v => annIvfPq(v)),
+    "ann_ivfpq_index" -> (ivfPqIndexEntry(_, _)),
     "ann_pq" -> onVecs(annPq),
     "kmeans_assign" -> onVecs(v => kmeans(v)))
 
@@ -725,6 +846,10 @@ object Similarity {
     "kmeans_assign" -> kmeansOracleSql(k = 8, iters = 3),
     "ann_ivf_kmeans" -> ivfKmeansOracleSql(k = 16, iters = 2, nProbe = 2),
     "ann_ivfpq" -> ivfPqOracleSql(k = 16, iters = 2, nProbe = 2),
+    // the served path is bit-identical to the in-memory path by
+    // construction (parquet round-trips the model doubles exactly),
+    // so it shares the same SQL twin
+    "ann_ivfpq_index" -> ivfPqOracleSql(k = 16, iters = 2, nProbe = 2),
     "ann_pq" -> annPqOracleSql,
     "ann_bruteforce" ->
       s"""WITH $eCte,
