@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -125,7 +125,9 @@ object Multimodal {
     * headers are plain bytes, so no codec library is needed to read
     * them. PNG dims from the IHDR chunk (bytes 17-24, big-endian),
     * GIF dims from the logical screen descriptor (bytes 7-10,
-    * little-endian), JPEG/others detected by magic. Pure column math
+    * little-endian), JPEG dims from the SOF0/SOF2 frame header found
+    * by an unrolled walk of the marker-segment chain (APPn/EXIF/COM
+    * segments precede it at variable offsets). Pure column math
     * over the payload's hex (substring + conv) — codegen'd, no UDF,
     * scan-only; the format column then routes each asset to the right
     * decoder pool without touching pixel data. Pixel decode stays
@@ -133,6 +135,29 @@ object Multimodal {
   def sniffHeaders(assets: DataFrame): DataFrame = {
     import assets.sparkSession.implicits._
     val h = upper(hex(substring($"payload", 1, 32)))
+    // JPEG SOF walk needs more header: APPn/COM segments precede the
+    // SOF marker, so hop the segment chain over the first 4 KB
+    val hj = upper(hex(substring($"payload", 1, 4096)))
+    def be16(off: Column): Column = // 1-based byte offset → u16 BE
+      conv(hj.substr(off * 2 - 1, lit(4)), 16, 10).cast("long")
+    def byteHex(off: Column): Column = hj.substr(off * 2 - 1, lit(2))
+    // SOF0-15 minus DHT(C4)/JPG(C8)/DAC(CC): frame headers carrying
+    // precision(1) height(2) width(2) after the 2-byte length
+    val sofMarkers = Seq("C0", "C1", "C2", "C3", "C5", "C6", "C7",
+      "C9", "CA", "CB", "CD", "CE", "CF")
+    // unrolled segment-chain walk: marker i at `seg` (FF xx), next at
+    // seg + 2 + len. 8 hops cover SOI + APP0/APP1(EXIF)/quant tables
+    // before any real-world SOF; all still one codegen'd projection.
+    var seg: Column = lit(3L) // first marker after SOI (bytes 1-2)
+    val sofDims = (0 until 8).map { _ =>
+      val valid = byteHex(seg) === "FF"
+      val isSof = valid && byteHex(seg + 1).isin(sofMarkers: _*)
+      val dims = (when(isSof, be16(seg + 7)), when(isSof, be16(seg + 5)))
+      seg = seg + 2 + be16(seg + 2)
+      dims
+    }
+    val jpegW = coalesce(sofDims.map(_._1): _*)
+    val jpegH = coalesce(sofDims.map(_._2): _*)
     def beField(hexPos: Int, nibbles: Int) =
       conv(substring(h, hexPos, nibbles), 16, 10).cast("long")
     val isPng = substring(h, 1, 16) === "89504E470D0A1A0A"
@@ -155,8 +180,8 @@ object Multimodal {
     assets.select($"doc_id",
       when(isPng, "png").when(isGif, "gif").when(isJpeg, "jpeg")
         .when(isWav, "wav").otherwise("unknown").as("format"),
-      when(isPng, pngW).when(isGif, gifW).as("width"),
-      when(isPng, pngH).when(isGif, gifH).as("height"),
+      when(isPng, pngW).when(isGif, gifW).when(isJpeg, jpegW).as("width"),
+      when(isPng, pngH).when(isGif, gifH).when(isJpeg, jpegH).as("height"),
       when(isWav, wavSr).as("sample_rate"),
       when(isWav, wavCh).as("n_channels"),
       octet_length($"payload").cast("long").as("n_bytes"))

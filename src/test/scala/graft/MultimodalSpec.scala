@@ -87,13 +87,28 @@ class MultimodalSpec extends AnyFunSuite {
       Array(0x40, 0x01, 0xC8, 0x00, 0xF7, 0x00, 0x00).map(_.toByte))
     val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
     val junk = "not an image".getBytes("US-ASCII")
+    // baseline JPEG: SOI, APP0/JFIF (len 16), SOF0 with 768x1024
+    val jpegSof0 = Array(0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00,
+      0x01, 0x01, 0x00, 0x00, 0x48, 0x00, 0x48, 0x00, 0x00,
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x03, 0x00, 0x04, 0x00,
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+      .map(_.toInt.toByte)
+    // progressive JPEG: SOI, APP1/EXIF (len 8), DQT (len 5), SOF2
+    // with 600x800 — SOF at a different hop depth than jpegSof0
+    val jpegSof2 = Array(0xFF, 0xD8,
+      0xFF, 0xE1, 0x00, 0x08, 'E', 'x', 'i', 'f', 0x00, 0x00,
+      0xFF, 0xDB, 0x00, 0x05, 0x01, 0x02, 0x03,
+      0xFF, 0xC2, 0x00, 0x11, 0x08, 0x02, 0x58, 0x03, 0x20,
+      0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+      .map(_.toInt.toByte)
     // canonical 44.1 kHz stereo PCM WAV header
     val wav = ("RIFF".getBytes("US-ASCII") ++
       Array(0x24, 0x00, 0x00, 0x00).map(_.toByte) ++
       "WAVEfmt ".getBytes("US-ASCII") ++
       Array(0x10, 0, 0, 0, 1, 0, 2, 0, 0x44, 0xAC, 0x00, 0x00).map(_.toByte))
-    val assets = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, junk), (5L, wav))
-      .toDF("doc_id", "payload")
+    val assets = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, junk), (5L, wav),
+      (6L, jpegSof0), (7L, jpegSof2)).toDF("doc_id", "payload")
     val got = Multimodal.sniffHeaders(assets)
       .collect().map(r => r.getLong(0) -> ((r.getString(1),
         Option(r.get(2)).map(_.asInstanceOf[Long]),
@@ -108,5 +123,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4L) == (("unknown", None, None, None, None)))
     assert(got(5L) == (("wav", None, None, Some(44100L), Some(2L))),
       s"got ${got(5L)}")
+    assert(got(6L) == (("jpeg", Some(1024L), Some(768L), None, None)),
+      s"got ${got(6L)}")
+    assert(got(7L) == (("jpeg", Some(800L), Some(600L), None, None)),
+      s"got ${got(7L)}")
   }
 }
