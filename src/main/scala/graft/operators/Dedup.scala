@@ -70,6 +70,41 @@ object Dedup {
           .otherwise(typedlit(Array.empty[String]))).as("sh"))
   }
 
+  /** Row-local shingle array directly from a text column (empty array
+    * for docs under ShingleN words) — the streaming-safe form of the
+    * shingle builder: no aggregation, no shuffle, usable in a
+    * continuous query plan. */
+  private[graft] def shingleArrCol(text: Column): Column = {
+    val w = split(trim(text), Ws)
+    when(size(w) >= ShingleN,
+      transform(sequence(lit(1), size(w) - (ShingleN - 1)),
+        i => concat_ws(" ",
+          (0 until ShingleN).map(o => element_at(w, i + o)): _*)))
+      .otherwise(typedlit(Array.empty[String]))
+  }
+
+  /** Row-local MinHash signature from a (materialized) shingle-array
+    * column: per permutation i, min over shingles of
+    * XXH64(shingle bytes, seed = i) — the IDENTICAL per-shingle hash
+    * [[graft.functions.MinHashAgg]] computes, so streaming signatures
+    * agree bit-for-bit with the batch aggregate (pinned by
+    * DocStreamSpec). NULL when the doc has no shingles.
+    *
+    * Pass an already-selected column (e.g. `withColumn("sh", …)`), not
+    * the [[shingleArrCol]] expression inline: the signature references
+    * the shingles 33 times and the alias keeps shingle construction a
+    * once-per-row cost (CollapseProject leaves non-cheap multi-use
+    * aliases alone). */
+  private[graft] def minhashSigCol(sh: Column, numPerm: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    val mins = (0 until numPerm).map { i =>
+      array_min(transform(sh, s => GraftSqlBridge.column(
+        XxHash64(Seq(GraftSqlBridge.expression(s)), i.toLong))))
+    }
+    when(size(sh) > 0, array(mins: _*))
+  }
+
   /** doc_id + distinct word 5-gram shingles, DF-capped. */
   private def shingles(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._

@@ -100,4 +100,102 @@ class DocStreamSpec extends AnyFunSuite {
       assert(ids == Set(1L, 2L, 5L), s"unexpected survivors: $ids")
     } finally q.stop()
   }
+
+  // ---- streaming NEAR-dup (minhash) bridge ----
+
+  /** Distinctive per-cluster vocabulary so shingle sets are disjoint
+    * across clusters and DF caps never bite. */
+  private def docText(cluster: Int, words: Int = 30): String =
+    (0 until words).map(i => s"w${cluster}_$i").mkString(" ")
+
+  /** Same text with the last two words edited: shingle Jaccard ≈ 0.86
+    * vs the original — a near-dup, not an exact dup. */
+  private def docTextEdited(cluster: Int, words: Int = 30): String =
+    ((0 until words - 2).map(i => s"w${cluster}_$i") ++
+      Seq(s"x${cluster}_a", s"x${cluster}_b")).mkString(" ")
+
+  test("row-local minhash signature == MinHashAgg over the same shingles") {
+    import spark.implicits._
+    val sf = GraftTestSession.sf
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .withColumn("sh", Dedup.shingleArrCol($"text"))
+    val local = docs.select($"doc_id", Dedup.minhashSigCol($"sh", 32).as("sig"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Long](1)).map(_.toSeq)).toMap
+    val agg = docs.select($"doc_id", explode($"sh").as("shingle"))
+      .groupBy($"doc_id")
+      .agg(graft.functions.MinHashAgg.minhashSig($"shingle", 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(agg.nonEmpty)
+    agg.foreach { case (id, sig) =>
+      assert(local(id).contains(sig), s"sig mismatch for doc $id")
+    }
+    // docs the aggregate never sees (no shingles) are NULL locally
+    local.filter(_._2.isEmpty).keys.foreach(id => assert(!agg.contains(id)))
+  }
+
+  test("streaming near-dup pairs match the batch minhash dup decision") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val b1 = Seq(
+      StreamDoc(10L, docText(1), ts(0)),
+      StreamDoc(20L, docText(2), ts(1)),
+      StreamDoc(30L, docText(3), ts(2)))
+    val b2 = Seq(
+      StreamDoc(11L, docText(1), ts(10)),        // cross-batch exact copy
+      StreamDoc(12L, docTextEdited(1), ts(11)),  // cross-batch near-dup
+      StreamDoc(21L, docText(2), ts(12)),        // cross-batch exact copy
+      StreamDoc(31L, "too short for shingles", ts(13)))
+    val in = MemoryStream[StreamDoc]
+    val q = DocStream.nearDupPairs(in.toDF(), "ts", "1 hour")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("near_dup").start()
+    try {
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val pairs = spark.table("near_dup")
+        .select($"doc_a", $"doc_b", $"est_jaccard")
+        .as[(Long, Long, Double)].collect().toSeq
+      // every hit names the earlier doc first and clears the threshold
+      pairs.foreach { case (a, b, j) =>
+        assert(a < b && j >= 0.5, s"bad pair ($a,$b,$j)")
+      }
+      val streamDups = pairs.map(_._2).toSet
+      // batch twin over the identical input: a doc is a dup iff some
+      // verified pair names it second (arrival order == id order here)
+      val batchDups = Dedup.minhashLsh((b1 ++ b2).toDF())
+        .select($"doc_b").as[Long].collect().toSet
+      assert(streamDups == batchDups,
+        s"stream=$streamDups batch=$batchDups")
+      assert(streamDups == Set(11L, 12L, 21L))
+      // exact copies estimate 1.0 from identical signatures
+      assert(pairs.filter(_._2 == 11L).forall(_._3 == 1.0))
+    } finally q.stop()
+  }
+
+  test("near-dup bucket state ages out past the watermark (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamDoc]
+    val q = DocStream.nearDupPairs(in.toDF(), "ts", "10 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("near_dup_ttl").start()
+    try {
+      in.addData(Seq(StreamDoc(40L, docText(4), ts(0))))
+      q.processAllAvailable()
+      // unrelated traffic 3 hours later advances the watermark far past
+      // doc 40's bucket TTL; its reps time out and are removed
+      in.addData(Seq(StreamDoc(50L, docText(5),
+        java.sql.Timestamp.valueOf("2024-01-01 13:00:00"))))
+      q.processAllAvailable()
+      // a copy of doc 40 arriving after expiry finds no representative
+      in.addData(Seq(StreamDoc(41L, docText(4),
+        java.sql.Timestamp.valueOf("2024-01-01 13:05:00"))))
+      q.processAllAvailable()
+      val dups = spark.table("near_dup_ttl")
+        .select($"doc_b").as[Long].collect().toSet
+      assert(!dups.contains(41L),
+        "expired bucket state still matched — state is not bounded")
+    } finally q.stop()
+  }
 }
