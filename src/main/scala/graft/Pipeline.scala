@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Graph, TextAnalysis}
 import graft.sources.Sink
 
 /** End-to-end training-data pipeline — the reference's notebook shape
@@ -89,7 +89,8 @@ object Pipeline {
     * re-sends cost one anti-join probe, not a re-evaluation.
     * Spec-pinned (PipelineSpec): base + deltas == one full run. */
   def incrementalCorpus(spark: SparkSession, delta: DataFrame,
-      stateDir: String, outDir: String): IncrementalResult = {
+      stateDir: String, outDir: String,
+      maxStateFiles: Int = 64): IncrementalResult = {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
     val total = delta.count()
@@ -126,6 +127,12 @@ object Pipeline {
     // record every distinct delta hash — seen is seen, kept or not
     unseen.select($"content_hash").distinct()
       .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(stateDir)
+    // each run appends a file-set; bound the state's file count so a
+    // daily cadence doesn't turn the anti-join scan into a listing
+    // storm (VERDICT r3 #5)
+    val stFiles = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .count(_.getPath.getName.startsWith("part-"))
+    if (stFiles > maxStateFiles) compactInPlace(spark, stateDir)
     unseen.unpersist(); deduped.unpersist(); withSplit.unpersist()
     IncrementalResult(
       appended = nAppended,
@@ -205,5 +212,258 @@ object Pipeline {
       train = splits.getOrElse("train", 0L),
       `val` = splits.getOrElse("val", 0L),
       test = splits.getOrElse("test", 0L))
+  }
+
+  /** In-place parquet compaction: rewrite `dir` into ~targetMB files
+    * through a sibling temp dir, then swap. */
+  def compactInPlace(spark: SparkSession, dir: String,
+      targetMB: Int = 512): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact")
+    Sink.compact(spark, dir, tmp.toString, targetMB)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  case class IncrementalTrainingResult(delta_docs: Long, appended: Long,
+      tombstoned: Long, merged_clusters: Long)
+
+  /** Daily-ingest mode of [[trainingCorpus]] — NEAR-dup cluster
+    * canonicalization extended incrementally (VERDICT r3 #4): a delta
+    * run matches new docs against PERSISTED derived state, never
+    * re-reading corpus text.
+    *
+    * State under `stateDir` (all derived, all append-only):
+    *   - `postings/` (shingle-hash, doc_id): the inverted shingle
+    *     index — candidate generation for delta-vs-history pairs is a
+    *     posting-list equi-join, EXACT pair recall (same inter counts
+    *     as [[Dedup.ngramJaccard]]'s index), work ∝ Σ df over the
+    *     delta's shingles;
+    *   - `sizes/` (doc_id, sz): Jaccard denominators;
+    *   - `hashes/` (content_hash, rep): exact-dup pairs vs history;
+    *   - `members/` (doc_id, cid0, run): each doc's component at
+    *     ingest time; never rewritten;
+    *   - `remaps/` (from_cid, to_cid): cluster merges — when a delta
+    *     doc bridges two existing clusters, one remap row supersedes
+    *     both ids (resolution follows the chain; ids only decrease, so
+    *     no cycles);
+    *   - `keepers/` (cid, keeper_doc_id, score_ppm, emitted, run):
+    *     current canonical per cluster, latest run wins.
+    *
+    * The output corpus is an UPSERT LOG — the only shape that stays
+    * append-only when a better canonical can arrive later: winners
+    * passing the gates are appended; dethroned emitted keepers land in
+    * `outDir/tombstones`. [[trainingSnapshot]] resolves the effective
+    * corpus (rows minus tombstones); a periodic [[compactInPlace]] on
+    * the corpus after applying tombstones is the CDC-style compaction
+    * step.
+    *
+    * Equality contract (PipelineSpec pins base + deltas ==
+    * [[trainingCorpus]] on the merged corpus): doc_ids monotone across
+    * runs, and the stop-shingle DF cap never bites (delta pair
+    * generation is uncapped — at scale the stop-shingle list is a
+    * static broadcast input computed offline, like a stopword list;
+    * a cap that newly engulfs a shingle cannot retroactively unpair
+    * documents an earlier run already clustered, so corpora where the
+    * cap matters need the batch pipeline's global view anyway).
+    * Quality/repetition/scrub/split are pure per-doc functions, so
+    * delta-time evaluation agrees with recompute-time evaluation. */
+  def incrementalTraining(spark: SparkSession, delta: DataFrame,
+      stateDir: String, outDir: String): IncrementalTrainingResult = {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def hasState(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/$sub"))
+    def st(sub: String) = spark.read.parquet(s"$stateDir/$sub")
+    def appendTo(df: DataFrame, sub: String): Unit =
+      df.write.mode(SaveMode.Append).parquet(s"$stateDir/$sub")
+
+    val run = if (hasState("members"))
+      st("members").agg(max($"run")).collect()(0).getLong(0) + 1 else 1L
+
+    val d0 = delta
+      .withColumn("content_hash", Dedup.contentHash($"text"))
+      .withColumn("sh", Dedup.hashedShingleCol($"text"))
+      .withColumn("sz", size($"sh").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDelta = d0.count()
+    val postings = d0.select($"doc_id", explode($"sh").as("shingle"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val szs = d0.select($"doc_id", $"sz")
+
+    // ---- verified pairs: intra-delta and delta-vs-history ----
+    val jacT = Dedup.jaccardThreshold
+    def verify(inter: DataFrame, szA: DataFrame, szB: DataFrame) = inter
+      .join(szA, "doc_a").join(szB, "doc_b")
+      .withColumn("jac", $"inter".cast("double") /
+        ($"sz_a" + $"sz_b" - $"inter").cast("double"))
+      .filter($"jac" >= jacT).select($"doc_a", $"doc_b")
+    val intraJac = verify(
+      postings.select($"doc_id".as("doc_a"), $"shingle")
+        .join(postings.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter")),
+      szs.select($"doc_id".as("doc_a"), $"sz".as("sz_a")),
+      szs.select($"doc_id".as("doc_b"), $"sz".as("sz_b")))
+    val repPerHash = d0.groupBy($"content_hash").agg(min($"doc_id").as("rep"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val intraExact = d0.select($"doc_id", $"content_hash")
+      .join(repPerHash, "content_hash")
+      .filter($"doc_id" =!= $"rep")
+      .select($"rep".as("doc_a"), $"doc_id".as("doc_b"))
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val oldJac = if (hasState("postings")) verify(
+      st("postings").select($"doc_id".as("doc_a"), $"shingle")
+        .join(postings.select($"doc_id".as("doc_b"), $"shingle"), "shingle")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter")),
+      st("sizes").select($"doc_id".as("doc_a"), $"sz".as("sz_a")),
+      szs.select($"doc_id".as("doc_b"), $"sz".as("sz_b")))
+      else emptyPairs
+    val oldExact = if (hasState("hashes"))
+      d0.select($"doc_id", $"content_hash")
+        .join(st("hashes"), "content_hash")
+        .select($"rep".as("doc_a"), $"doc_id".as("doc_b"))
+      else emptyPairs
+    val oldPairs = oldJac.union(oldExact).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- map matched history docs to their EFFECTIVE cluster ids ----
+    // remap log is merge-event sized: resolve chains on the driver
+    val remapRaw: Map[Long, Long] = if (hasState("remaps"))
+      st("remaps").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      else Map.empty
+    def chase(c: Long): Long = {
+      var x = c; while (remapRaw.contains(x)) x = remapRaw(x); x
+    }
+    val closure = remapRaw.keys.map(k => (k, chase(k))).toSeq
+    val closureDf = if (closure.nonEmpty) closure.toDF("cid0", "eff")
+      else Seq.empty[(Long, Long)].toDF("cid0", "eff")
+    val oldEff = (if (hasState("members"))
+        oldPairs.select($"doc_a").distinct()
+          .join(st("members").select($"doc_id".as("doc_a"), $"cid0"), "doc_a")
+          .join(broadcast(closureDf), Seq("cid0"), "left")
+          .withColumn("ecid", coalesce($"eff", $"cid0"))
+          .select($"doc_a", $"ecid")
+      else Seq.empty[(Long, Long)].toDF("doc_a", "ecid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- components over delta docs + affected cluster nodes ----
+    // history docs enter as their cluster id, so the merged component
+    // id = min(old cluster ids, delta ids) — with monotone doc_ids
+    // exactly the id a full recompute assigns the merged cluster
+    val edges = intraJac.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(intraExact.select($"doc_a".as("src"), $"doc_b".as("dst")))
+      .union(oldPairs.join(oldEff, "doc_a")
+        .select($"ecid".as("src"), $"doc_b".as("dst")))
+    val comp = Graph.connectedComponents(edges, d0.select($"doc_id".as("id")))
+    val deltaComp = comp.join(d0.select($"doc_id".as("id")), Seq("id"), "left_semi")
+      .select($"id".as("doc_id"), $"component".as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oldCidComp = comp
+      .join(oldEff.select($"ecid".as("id")).distinct(), Seq("id"), "left_semi")
+      .select($"id".as("ecid"), $"component".as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = oldCidComp.filter($"ecid" =!= $"comp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nMerges = merges.count()
+
+    // ---- keeper election per affected component ----
+    val deltaCand = deltaComp
+      .join(TextAnalysis.quality(d0).select($"doc_id", $"score_ppm"), "doc_id")
+      .select($"comp", $"doc_id", $"score_ppm",
+        lit(false).as("is_old"), lit(false).as("old_emitted"))
+    val oldCand = if (hasState("keepers"))
+      st("keepers")
+        .join(broadcast(closureDf.withColumnRenamed("cid0", "cid")),
+          Seq("cid"), "left")
+        .withColumn("ecid", coalesce($"eff", $"cid"))
+        .join(oldCidComp, "ecid")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"ecid").orderBy($"run".desc)))
+        .filter($"rn" === 1)
+        .select($"comp", $"keeper_doc_id".as("doc_id"), $"score_ppm",
+          lit(true).as("is_old"), $"emitted".as("old_emitted"))
+      else deltaCand.limit(0)
+    val cand = deltaCand.union(oldCand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val winners = cand.withColumn("rn", row_number().over(
+        Window.partitionBy($"comp")
+          .orderBy($"score_ppm".desc, $"doc_id")))
+      .filter($"rn" === 1)
+      .select($"comp", $"doc_id".as("win"), $"score_ppm".as("win_score"),
+        $"is_old".as("win_is_old"), $"old_emitted".as("win_old_emitted"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    winners.count()
+
+    // dethroned emitted keepers leave the corpus via tombstones
+    val tomb = cand.filter($"is_old" && $"old_emitted")
+      .join(winners, "comp").filter($"doc_id" =!= $"win")
+      .select($"doc_id").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nTomb = tomb.count()
+
+    // ---- gates + scrub + split on NEW winners only ----
+    val winDocs = d0.join(winners.filter(!$"win_is_old")
+      .select($"win".as("doc_id")), Seq("doc_id"), "left_semi")
+    val qKeep = TextAnalysis.quality(winDocs).filter($"keep").select($"doc_id")
+    val afterQ = winDocs.join(qKeep, Seq("doc_id"), "left_semi")
+    val repKeep = TextAnalysis.repetition(afterQ)
+      .filter($"top_token_ppm" <= 300000L && $"distinct_ppm" >= 100000L)
+      .select($"doc_id")
+    val gated = afterQ.join(repKeep, Seq("doc_id"), "left_semi")
+    val scrubbed = gated.withColumn("text", TextAnalysis.scrubText($"text"))
+      .withColumn("n_chars", length($"text"))
+    val withSplit = scrubbed
+      .join(TextAnalysis.splitAssign(scrubbed), Seq("doc_id"))
+      .drop("content_hash", "sh", "sz")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nAppend = withSplit.count()
+    Sink.partitionedAppend(withSplit, s"$outDir/corpus", Seq("split"))
+    tomb.write.mode(SaveMode.Append).parquet(s"$outDir/tombstones")
+
+    // ---- extend state (all readers above are materialized) ----
+    val emittedDelta = withSplit.select($"doc_id".as("win"))
+      .withColumn("em", lit(true))
+    val keeperRows = winners.join(emittedDelta, Seq("win"), "left")
+      .withColumn("emitted", when($"win_is_old", $"win_old_emitted")
+        .otherwise(coalesce($"em", lit(false))))
+      .select($"comp".as("cid"), $"win".as("keeper_doc_id"),
+        $"win_score".as("score_ppm"), $"emitted", lit(run).as("run"))
+    appendTo(keeperRows, "keepers")
+    appendTo(merges.select($"ecid".as("from_cid"), $"comp".as("to_cid")),
+      "remaps")
+    appendTo(deltaComp.select($"doc_id", $"comp".as("cid0"),
+      lit(run).as("run")), "members")
+    appendTo(postings, "postings")
+    appendTo(szs, "sizes")
+    val newHashes = repPerHash.select($"content_hash", $"rep")
+    val hashAppend = (if (hasState("hashes"))
+        newHashes.join(st("hashes").select($"content_hash"),
+          Seq("content_hash"), "left_anti")
+      else newHashes).persist(StorageLevel.MEMORY_AND_DISK)
+    hashAppend.count() // materialize BEFORE writing to the same path
+    appendTo(hashAppend, "hashes")
+
+    Seq(d0, postings, repPerHash, oldPairs, oldEff, deltaComp, oldCidComp,
+      merges, cand, winners, tomb, withSplit, hashAppend)
+      .foreach(_.unpersist())
+    IncrementalTrainingResult(nDelta, nAppend, nTomb, nMerges)
+  }
+
+  /** Effective corpus of an [[incrementalTraining]] output dir:
+    * appended rows minus tombstoned keepers. */
+  def trainingSnapshot(spark: SparkSession, outDir: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val corpus = spark.read.parquet(s"$outDir/corpus")
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/tombstones")))
+      corpus.join(spark.read.parquet(s"$outDir/tombstones"),
+        Seq("doc_id"), "left_anti")
+    else corpus
   }
 }

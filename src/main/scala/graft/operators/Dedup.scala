@@ -105,6 +105,20 @@ object Dedup {
     when(size(sh) > 0, array(mins: _*))
   }
 
+  /** Row-local DISTINCT hashed shingle set (xxhash64 of each word
+    * 5-gram) — the derived per-doc state the incremental pipeline
+    * persists instead of text: 8 bytes per distinct shingle, and
+    * Jaccard over these hash sets equals Jaccard over the string sets
+    * (modulo 64-bit collisions). Deliberately UNCAPPED — see
+    * [[graft.Pipeline.incrementalTraining]]'s contract note on the
+    * stop-shingle cap. */
+  private[graft] def hashedShingleCol(text: Column): Column =
+    array_distinct(transform(shingleArrCol(text), s => xxhash64(s)))
+
+  /** The verified-pair Jaccard threshold shared with the incremental
+    * pipeline's delta pair generation. */
+  private[graft] def jaccardThreshold: Double = JaccardT
+
   /** doc_id + distinct word 5-gram shingles, DF-capped. */
   private def shingles(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._

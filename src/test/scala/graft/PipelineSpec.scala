@@ -106,4 +106,87 @@ class PipelineSpec extends AnyFunSuite {
       assert(t.contains("[EMAIL]") && t.contains("[PHONE]"), t)
     }
   }
+
+  // ---- incremental near-dup canonicalization (VERDICT r3 #4/#5) ----
+
+  /** Distinct-vocabulary word blocks: every shingle is unique to its
+    * block, so the stop-shingle DF cap never bites and pair structure
+    * is fully controlled. Quality score for such text is
+    * min(words × 10000, 10⁶) / 2 — keep gate (≥ 200000) needs ≥ 40
+    * words. */
+  private def blk(tag: String, n: Int): Seq[String] =
+    (0 until n).map(i => s"${tag}q$i")
+
+  private def mkDocs(rows: Seq[(Long, Seq[String])]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    rows.map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("x"))
+      .withColumn("n_chars", length($"text"))
+  }
+
+  test("incrementalTraining: base + deltas == full trainingCorpus recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val a = blk("a", 20); val b = blk("b", 20); val c = blk("c", 20)
+    val x = blk("x", 50); val d = blk("d", 30)
+    val base = mkDocs(Seq(
+      1L -> x,                                  // keeper of cluster X
+      2L -> (x.dropRight(1) :+ "xvariant"),     // near-dup of 1, same score
+      5L -> (a ++ b),                           // cluster Y keeper
+      6L -> (b ++ c),                           // cluster Z keeper (j(5,6)≈0.29)
+      7L -> d))                                 // canonical but FAILS quality
+    val d1 = mkDocs(Seq(
+      100L -> (x ++ blk("e", 10)),   // dethrones 1 (higher score, j≈0.82)
+      101L -> (a ++ b ++ c),         // BRIDGES Y and Z, wins merged cluster
+      110L -> blk("f", 40)))         // fresh singleton
+    val d2 = mkDocs(Seq(
+      120L -> (a ++ b),              // exact copy of 5's text: member only
+      121L -> (d ++ blk("g", 15))))  // dethrones never-emitted keeper 7
+
+    val incOut = java.nio.file.Files.createTempDirectory("graft_itr").toString
+    val state = s"$incOut/state"
+    val r0 = Pipeline.incrementalTraining(spark, base, state, incOut)
+    val r1 = Pipeline.incrementalTraining(spark, d1, state, incOut)
+    val r2 = Pipeline.incrementalTraining(spark, d2, state, incOut)
+    assert(r0.tombstoned == 0 && r0.merged_clusters == 0)
+    assert(r1.tombstoned == 3, s"1, 5 and 6 dethroned: $r1") // by 100 and 101
+    assert(r1.merged_clusters >= 1, s"Y+Z must merge: $r1")
+    assert(r2.appended == 1 && r2.tombstoned == 0,
+      s"121 appended, 7 was never emitted: $r2")
+
+    val fullOut = java.nio.file.Files.createTempDirectory("graft_ftr").toString
+    val all = base.unionByName(d1).unionByName(d2)
+    Pipeline.trainingCorpus(spark, all, fullOut)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"text", $"n_chars".cast("long"), $"split")
+        .as[(Long, String, Long, String)].collect().toSet
+    val inc = rows(Pipeline.trainingSnapshot(spark, incOut))
+    val full = rows(spark.read.parquet(s"$fullOut/corpus"))
+    assert(inc == full, s"inc=${inc.map(_._1)} full=${full.map(_._1)}")
+    assert(inc.map(_._1) == Set(100L, 101L, 110L, 121L))
+  }
+
+  test("incrementalCorpus bounds its hash-state file count under compaction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, GraftTestSession.sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    val state = s"$out/state"
+    val slices = (0 until 5).map(k =>
+      docs.filter($"doc_id" % 5 === k))
+    slices.foreach(s =>
+      Pipeline.incrementalCorpus(spark, s, state, out, maxStateFiles = 3))
+    val files = new java.io.File(state).listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(files <= 3, s"state not compacted: $files part-files")
+    // state still correct after in-place compaction: a re-send of an
+    // already-ingested doc's content is dropped
+    val resend = docs.filter($"doc_id" === 1)
+      .withColumn("doc_id", lit(10000000L))
+    val r = Pipeline.incrementalCorpus(spark, resend, state, out,
+      maxStateFiles = 3)
+    assert(r.dropped_seen == 1 && r.appended == 0, s"$r")
+  }
 }
