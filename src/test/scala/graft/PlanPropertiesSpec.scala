@@ -52,6 +52,16 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("l_shipdate"), "column pruning lost")
   }
 
+  test("ann_ivfpq hot path is a broadcast cell equi-join") {
+    // the IVFADC scan shape: probed (query, cell) rows broadcast, code
+    // rows joined on cell — never a corpus-wide scoring pass
+    val p = plan("ann_ivfpq")
+    assert("BroadcastHashJoin \\[cell#\\d+\\]".r.findFirstIn(p).isDefined,
+      s"cell equi-join lost:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "ann_ivfpq degraded to an all-pairs join")
+  }
+
   test("no accidental cartesian products anywhere") {
     for ((name, _) <- SparkEntry.queries) {
       val p = SparkEntry.queries(name)(spark, sf)
