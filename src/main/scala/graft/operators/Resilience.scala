@@ -159,6 +159,56 @@ object Resilience {
   def shockSim(s: SparkSession, dir: String): DataFrame =
     shockSimOn(series(s, dir), BaseYr, projectOffset = 4, shock = 0.30)
 
+  /** B17 AR(1) recursive forecast — the step past B4's straight-line
+    * OLS that the reference reaches for statsmodels/scikit-learn for
+    * (requirements.txt:3-4; README.md:5 "forecasts and recovery paths
+    * based on past trends"): fit y_t = c + φ·y_{t−1} per group by
+    * closed-form OLS over CONSECUTIVE-period lag pairs, then roll the
+    * recursion h steps forward from the last observation. φ < 1 gives
+    * the mean-reverting recovery path a shock simulator wants; φ ≈ 1
+    * degenerates to the linear trend.
+    *
+    * Exactness: observations round to whole-dollar BIGINTs, the five
+    * OLS sums are integer (overflow-free through the sf0.1 test scale;
+    * at 10⁹-row scale swap the sums to decimal(38,0) — the C18
+    * pattern), and φ/c/forecasts are derived with the IDENTICAL IEEE
+    * op sequence in both engines — exact compare, no rounding. Groups
+    * with < 2 pairs or zero lag variance are excluded (no fit). */
+  def ar1ForecastOn(ss: Series, horizon: Int): DataFrame = {
+    val s0 = ss.df.sparkSession
+    import s0.implicits._
+    val w = Window.partitionBy(col(ss.grp)).orderBy(col("p"))
+    val pts = ss.df
+      .select(col(ss.grp), col(ss.period).as("p"),
+        round(col(ss.value)).cast("long").as("y"))
+      .withColumn("py", lag($"y", 1).over(w))
+      .withColumn("pp", lag($"p", 1).over(w))
+      .filter($"p" === $"pp" + 1)
+    val agg = pts.groupBy(col(ss.grp))
+      .agg(count(lit(1)).as("m"), sum($"py").as("sp"), sum($"y").as("sc"),
+        sum($"py" * $"py").as("spp"), sum($"py" * $"y").as("spc"))
+    val last = ss.df.groupBy(col(ss.grp))
+      .agg(max(struct(col(ss.period).as("p"),
+        round(col(ss.value)).cast("long").as("y"))).as("l"))
+      .select(col(ss.grp), $"l.y".as("ylast"))
+    var out = agg.join(last, ss.grp)
+      .filter($"m" >= 2 && ($"m" * $"spp" - $"sp" * $"sp") =!= 0)
+      .withColumn("phi", ($"m" * $"spc" - $"sp" * $"sc").cast("double") /
+        ($"m" * $"spp" - $"sp" * $"sp").cast("double"))
+      .withColumn("c", ($"sc".cast("double") - $"phi" * $"sp".cast("double"))
+        / $"m".cast("double"))
+      .withColumn("fc0", $"ylast".cast("double"))
+    for (i <- 1 to horizon)
+      out = out.withColumn(s"fc$i", $"c" + $"phi" * col(s"fc${i - 1}"))
+    out.select((col(ss.grp) +: $"m".as("n_pairs") +: $"phi".as("ar1_phi") +:
+        $"c".as("ar1_c") +: $"ylast".cast("double").as("last_val") +:
+        (1 to horizon).map(i => col(s"fc$i"))): _*)
+      .orderBy(col(ss.grp))
+  }
+
+  def ar1Forecast(s: SparkSession, dir: String): DataFrame =
+    ar1ForecastOn(series(s, dir), horizon = 3)
+
   /** B6 rank-per-group: latest order per customer — the reference's
     * per-group head() pattern (app top-10s), as one window pass. */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
@@ -402,6 +452,7 @@ object Resilience {
     "q_resilience_join" -> resilienceJoin,
     "q_trend" -> trend,
     "q_shock_sim" -> shockSim,
+    "q_ar1_forecast" -> ar1Forecast,
     "q_window_rank" -> windowRank,
     "q_running_sum" -> runningSum,
     "q_moving_avg" -> movingAvg,
@@ -625,6 +676,38 @@ object Resilience {
          |    THEN ceil(projected_m * 0.3 / slope_m)::BIGINT END
          |    AS years_to_recover
          |FROM proj ORDER BY n_name""".stripMargin,
+    "q_ar1_forecast" ->
+      s"""WITH rev AS ($yearlyRevSql),
+         |pts AS (
+         |  SELECT n_name, yr, round(rev)::BIGINT AS y,
+         |    lag(round(rev)::BIGINT) OVER (
+         |      PARTITION BY n_name ORDER BY yr) AS py,
+         |    lag(yr) OVER (PARTITION BY n_name ORDER BY yr) AS pp
+         |  FROM rev),
+         |prs AS (SELECT * FROM pts WHERE yr = pp + 1),
+         |agg AS (
+         |  SELECT n_name, count(*) AS m, sum(py)::BIGINT AS sp,
+         |    sum(y)::BIGINT AS sc, sum(py * py)::BIGINT AS spp,
+         |    sum(py * y)::BIGINT AS spc
+         |  FROM prs GROUP BY n_name),
+         |lastv AS (
+         |  SELECT n_name, arg_max(round(rev)::BIGINT, yr) AS ylast
+         |  FROM rev GROUP BY n_name),
+         |fit AS (
+         |  SELECT a.n_name, m, sp, sc, ylast,
+         |    (m * spc - sp * sc)::DOUBLE / (m * spp - sp * sp)::DOUBLE AS phi
+         |  FROM agg a JOIN lastv l USING (n_name)
+         |  WHERE m >= 2 AND (m * spp - sp * sp) <> 0),
+         |fit2 AS (
+         |  SELECT n_name, m, ylast, phi,
+         |    (sc::DOUBLE - phi * sp::DOUBLE) / m::DOUBLE AS c
+         |  FROM fit),
+         |f1 AS (SELECT *, c + phi * ylast::DOUBLE AS fc1 FROM fit2),
+         |f2 AS (SELECT *, c + phi * fc1 AS fc2 FROM f1),
+         |f3 AS (SELECT *, c + phi * fc2 AS fc3 FROM f2)
+         |SELECT n_name, m AS n_pairs, phi AS ar1_phi, c AS ar1_c,
+         |  ylast::DOUBLE AS last_val, fc1, fc2, fc3
+         |FROM f3 ORDER BY n_name""".stripMargin,
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
         |  round(o_totalprice, 2) AS totalprice

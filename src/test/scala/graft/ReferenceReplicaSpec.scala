@@ -72,4 +72,37 @@ class ReferenceReplicaSpec extends AnyFunSuite {
       assert(math.abs(shocked - proj * 0.6) < 1e-12)
     }
   }
+
+  test("AR(1) forecast recovers exact coefficients on crafted series") {
+    import spark.implicits._
+    // geometric: y_t = 2^t -> phi = 2, c = 0, forecasts keep doubling;
+    // mean-reverting: y_t = 50 + 0.5^t * 64 -> phi = 0.5, c = 25,
+    // forecasts decay toward the 50 fixed point
+    val df = Seq(
+      ("geo", 1L, 2.0), ("geo", 2L, 4.0), ("geo", 3L, 8.0),
+      ("geo", 4L, 16.0),
+      ("rev", 1L, 82.0), ("rev", 2L, 66.0), ("rev", 3L, 58.0),
+      ("rev", 4L, 54.0)).toDF("g", "p", "v")
+    val got = Resilience.ar1ForecastOn(Series(df, "g", "p", "v"), 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7))).toMap
+    val (gphi, gc, g1, g2, g3) = got("geo")
+    assert(gphi == 2.0 && gc == 0.0 && g1 == 32.0 && g2 == 64.0 && g3 == 128.0)
+    val (rphi, rc, r1, r2, r3) = got("rev")
+    assert(rphi == 0.5 && rc == 25.0)
+    assert(r1 == 52.0 && r2 == 51.0 && r3 == 50.5,
+      "forecast must decay toward the AR(1) fixed point c/(1-phi) = 50")
+  }
+
+  test("AR(1) skips groups without consecutive periods or with zero variance") {
+    import spark.implicits._
+    val df = Seq(
+      ("gap", 1L, 10.0), ("gap", 3L, 20.0), ("gap", 5L, 30.0), // no pairs
+      ("flat", 1L, 7.0), ("flat", 2L, 7.0), ("flat", 3L, 7.0), // var = 0
+      ("ok", 1L, 1.0), ("ok", 2L, 2.0), ("ok", 3L, 4.0)).toDF("g", "p", "v")
+    val got = Resilience.ar1ForecastOn(Series(df, "g", "p", "v"), 3)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("ok"), s"got $got")
+  }
 }
