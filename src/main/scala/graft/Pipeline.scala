@@ -272,7 +272,6 @@ object Pipeline {
     * delta-time evaluation agrees with recompute-time evaluation. */
   def incrementalTraining(spark: SparkSession, delta: DataFrame,
       stateDir: String, outDir: String): IncrementalTrainingResult = {
-    import org.apache.spark.storage.StorageLevel
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -290,10 +289,10 @@ object Pipeline {
       .withColumn("content_hash", Dedup.contentHash($"text"))
       .withColumn("sh", Dedup.hashedShingleCol($"text"))
       .withColumn("sz", size($"sh").cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val nDelta = d0.count()
     val postings = d0.select($"doc_id", explode($"sh").as("shingle"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val szs = d0.select($"doc_id", $"sz")
 
     // ---- verified pairs: intra-delta and delta-vs-history ----
@@ -311,7 +310,7 @@ object Pipeline {
       szs.select($"doc_id".as("doc_a"), $"sz".as("sz_a")),
       szs.select($"doc_id".as("doc_b"), $"sz".as("sz_b")))
     val repPerHash = d0.groupBy($"content_hash").agg(min($"doc_id").as("rep"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val intraExact = d0.select($"doc_id", $"content_hash")
       .join(repPerHash, "content_hash")
       .filter($"doc_id" =!= $"rep")
@@ -330,7 +329,7 @@ object Pipeline {
         .select($"rep".as("doc_a"), $"doc_id".as("doc_b"))
       else emptyPairs
     val oldPairs = oldJac.union(oldExact).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // ---- map matched history docs to their EFFECTIVE cluster ids ----
     // remap log is merge-event sized: resolve chains on the driver
@@ -350,7 +349,7 @@ object Pipeline {
           .withColumn("ecid", coalesce($"eff", $"cid0"))
           .select($"doc_a", $"ecid")
       else Seq.empty[(Long, Long)].toDF("doc_a", "ecid"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // ---- components over delta docs + affected cluster nodes ----
     // history docs enter as their cluster id, so the merged component
@@ -363,13 +362,12 @@ object Pipeline {
     val comp = Graph.connectedComponents(edges, d0.select($"doc_id".as("id")))
     val deltaComp = comp.join(d0.select($"doc_id".as("id")), Seq("id"), "left_semi")
       .select($"id".as("doc_id"), $"component".as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val oldCidComp = comp
       .join(oldEff.select($"ecid".as("id")).distinct(), Seq("id"), "left_semi")
       .select($"id".as("ecid"), $"component".as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val merges = oldCidComp.filter($"ecid" =!= $"comp")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nMerges = merges.count()
 
     // ---- keeper election per affected component ----
@@ -390,21 +388,19 @@ object Pipeline {
           lit(true).as("is_old"), $"emitted".as("old_emitted"))
       else deltaCand.limit(0)
     val cand = deltaCand.union(oldCand)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val winners = cand.withColumn("rn", row_number().over(
         Window.partitionBy($"comp")
           .orderBy($"score_ppm".desc, $"doc_id")))
       .filter($"rn" === 1)
       .select($"comp", $"doc_id".as("win"), $"score_ppm".as("win_score"),
         $"is_old".as("win_is_old"), $"old_emitted".as("win_old_emitted"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    winners.count()
+      .localCheckpoint()
 
     // dethroned emitted keepers leave the corpus via tombstones
     val tomb = cand.filter($"is_old" && $"old_emitted")
       .join(winners, "comp").filter($"doc_id" =!= $"win")
       .select($"doc_id").distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val nTomb = tomb.count()
 
     // ---- gates + scrub + split on NEW winners only ----
@@ -421,12 +417,18 @@ object Pipeline {
     val withSplit = scrubbed
       .join(TextAnalysis.splitAssign(scrubbed), Seq("doc_id"))
       .drop("content_hash", "sh", "sz")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val nAppend = withSplit.count()
     Sink.partitionedAppend(withSplit, s"$outDir/corpus", Seq("split"))
     tomb.write.mode(SaveMode.Append).parquet(s"$outDir/tombstones")
 
-    // ---- extend state (all readers above are materialized) ----
+    // ---- extend state ----
+    // every frame that READS state was eagerly localCheckpoint-ed
+    // above, so the appends below cannot feed back into their plans;
+    // checkpointing (vs persist) also cuts lineage, keeping downstream
+    // plans LogicalRDD-small — with persist, the cache manager's
+    // plan-matching on the delta run's big plans dominated wall time
+    // (measured 230 s of uncacheQuery on a 20k-doc state)
     val emittedDelta = withSplit.select($"doc_id".as("win"))
       .withColumn("em", lit(true))
     val keeperRows = winners.join(emittedDelta, Seq("win"), "left")
@@ -445,13 +447,9 @@ object Pipeline {
     val hashAppend = (if (hasState("hashes"))
         newHashes.join(st("hashes").select($"content_hash"),
           Seq("content_hash"), "left_anti")
-      else newHashes).persist(StorageLevel.MEMORY_AND_DISK)
-    hashAppend.count() // materialize BEFORE writing to the same path
+      else newHashes).localCheckpoint() // snapshot BEFORE the self-append
     appendTo(hashAppend, "hashes")
 
-    Seq(d0, postings, repPerHash, oldPairs, oldEff, deltaComp, oldCidComp,
-      merges, cand, winners, tomb, withSplit, hashAppend)
-      .foreach(_.unpersist())
     IncrementalTrainingResult(nDelta, nAppend, nTomb, nMerges)
   }
 
@@ -465,5 +463,26 @@ object Pipeline {
       corpus.join(spark.read.parquet(s"$outDir/tombstones"),
         Seq("doc_id"), "left_anti")
     else corpus
+  }
+
+  /** CDC-style compaction of the upsert-log corpus: apply the
+    * tombstones and rewrite, so the corpus dir IS the snapshot again
+    * and the tombstone log resets. Run periodically (cost ∝ live
+    * corpus bytes), exactly like a Hudi/Iceberg table service; delta
+    * runs keep appending either way. */
+  def compactTrainingCorpus(spark: SparkSession, outDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val snap = trainingSnapshot(spark, outDir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    snap.count() // materialize before overwriting what it reads
+    val tmp = s"$outDir/corpus__compact"
+    Sink.partitioned(snap, tmp, Seq("split"))
+    snap.unpersist()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/corpus"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$outDir/corpus"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/tombstones"), true)
   }
 }

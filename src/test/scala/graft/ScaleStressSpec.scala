@@ -239,6 +239,58 @@ class ScaleStressSpec extends AnyFunSuite {
     } finally vecs.unpersist()
   }
 
+  test("incremental training at 20k docs: delta run beats full recompute, parity holds") {
+    import spark.implicits._
+    // 4000 near-dup clusters x 5 variants, distinct vocab per cluster
+    // (the DF cap never bites -> the incremental equality contract)
+    def w(c: Int, j: Int) = s"c${c}w$j"
+    def variant(c: Int, v: Int): String =
+      ((0 until 40 - v).map(w(c, _)) ++
+        (0 until v).map(k => s"d${c}v${v}k$k")).mkString(" ")
+    val base = (for { c <- 0 until 4000; v <- 0 until 5 }
+      yield ((c * 5 + v).toLong, variant(c, v)))
+    // delta: 250 higher-quality near-dups (dethrone 250 keepers) +
+    // 250 fresh singletons
+    val delta = (0 until 250).map { c =>
+      (100000L + c,
+        ((0 until 40).map(w(c, _)) ++ (0 until 5).map(k => s"e${c}k$k"))
+          .mkString(" "))
+    } ++ (0 until 250).map { i =>
+      (200000L + i, (0 until 40).map(j => s"s${i}w$j").mkString(" "))
+    }
+    def mk(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("x"))
+      .withColumn("n_chars", length($"text"))
+    val out = java.nio.file.Files.createTempDirectory("graft_itr20k").toString
+    val state = s"$out/state"
+    Pipeline.incrementalTraining(spark, mk(base), state, out)
+    val t0 = System.nanoTime()
+    val rd = Pipeline.incrementalTraining(spark, mk(delta), state, out)
+    val tDelta = (System.nanoTime() - t0) / 1e9
+    assert(rd.appended == 500 && rd.tombstoned == 250, s"$rd")
+
+    val fullOut = java.nio.file.Files.createTempDirectory("graft_ftr20k").toString
+    val t1 = System.nanoTime()
+    Pipeline.trainingCorpus(spark, mk(base ++ delta), fullOut)
+    val tFull = (System.nanoTime() - t1) / 1e9
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_chars".cast("long"), $"split")
+        .as[(Long, Long, String)].collect().toSet
+    val inc = rows(Pipeline.trainingSnapshot(spark, out))
+    assert(inc == rows(spark.read.parquet(s"$fullOut/corpus")))
+    // the point of the delta mode: a 500-doc delta run must not cost a
+    // 20.5k-doc recompute (ratio is far larger at real scale; the gap
+    // here is bounded by fixed plan overheads)
+    assert(tDelta < tFull,
+      f"delta run $tDelta%.1f s vs full recompute $tFull%.1f s")
+
+    // CDC-style compaction: corpus becomes the snapshot, tombstones reset
+    Pipeline.compactTrainingCorpus(spark, out)
+    assert(!new java.io.File(s"$out/tombstones").exists)
+    assert(rows(spark.read.parquet(s"$out/corpus")) == inc)
+    assert(rows(Pipeline.trainingSnapshot(spark, out)) == inc)
+  }
+
   test("minhash LSH finds replicated near-identical docs in the 20x corpus") {
     import spark.implicits._
     val base = Tables.documents(spark, GraftTestSession.sf).limit(50)
