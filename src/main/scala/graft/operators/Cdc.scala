@@ -247,6 +247,46 @@ object Cdc {
       .drop("__rn")
   }
 
+  /** C25 CDC envelope parse — the ingest edge of the north-star
+    * architecture: a Debezium-shaped change envelope
+    * `{op, ts_ms, before, after}` (tombstones carry `before` only,
+    * upserts `after` only; absent sides are omitted from the wire
+    * bytes, the connector convention) is parsed with an EXPLICIT
+    * schema (`from_json` — permissive: a corrupt envelope nulls out,
+    * never kills the job) and normalized to typed change rows. The
+    * graded entry serializes the events feed into envelopes first —
+    * the wire-format stand-in — so its oracle is the straight
+    * relational twin: any field the round-trip drops or garbles
+    * breaks the hash. Scale shape: pure per-row projection, one
+    * codegen'd stage, no shuffle. */
+  def parseEnvelope(envelopes: DataFrame, jsonCol: String = "env"): DataFrame = {
+    import envelopes.sparkSession.implicits._
+    val schema = "op STRING, ts_ms BIGINT, " +
+      "before STRUCT<user_id: BIGINT, value: DOUBLE>, " +
+      "after STRUCT<user_id: BIGINT, value: DOUBLE>"
+    envelopes
+      .withColumn("e", from_json(col(jsonCol), schema,
+        Map.empty[String, String]))
+      .select($"event_id", $"e.op".as("op"),
+        coalesce($"e.after.user_id", $"e.before.user_id").as("user_id"),
+        coalesce($"e.after.value", $"e.before.value").as("val"),
+        $"e.ts_ms".as("ts_ms"))
+      .orderBy($"event_id")
+  }
+
+  /** Wire-format stand-in for the graded entry: each event serialized
+    * as its Debezium-shaped envelope (delete → `before`, else
+    * `after`; `to_json` omits the null side, as connectors do). */
+  private def toEnvelopes(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val image = struct($"user_id", round($"value", 2).as("value"))
+    events.select($"event_id", to_json(struct(
+      op.as("op"),
+      expr("unix_micros(ts) div 1000").as("ts_ms"),
+      when(op === "D", image).as("before"),
+      when(op =!= "D", image).as("after"))).as("env"))
+  }
+
   private def onEvents(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.events(s, dir))
 
@@ -260,7 +300,8 @@ object Cdc {
     "cdc_event_counts" -> onEvents(eventCounts),
     "cdc_sessionize" -> onEvents(sessionize),
     "cdc_funnel" -> onEvents(funnel),
-    "cdc_cohort" -> onEvents(cohortRetention))
+    "cdc_cohort" -> onEvents(cohortRetention),
+    "cdc_parse_envelope" -> onEvents(e => parseEnvelope(toEnvelopes(e))))
 
   /** Shared session-sequence CTEs (t → flagged → seq) — the DuckDB
     * twin of [[withSessionSeq]]. */
@@ -282,6 +323,17 @@ object Cdc {
       |  FROM flagged)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // straight relational twin of the envelope round-trip: any field
+    // the serialize→parse cycle drops or garbles breaks the hash
+    "cdc_parse_envelope" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'signup' THEN 'I'
+        |       WHEN event_type = 'error' THEN 'D'
+        |       ELSE 'U' END AS op,
+        |  user_id,
+        |  round(value * 100) / 100.0 AS val,
+        |  epoch_us(ts) // 1000 AS ts_ms
+        |FROM events ORDER BY event_id""".stripMargin,
     "cdc_funnel" ->
       s"""WITH $sessionSeqCteSql,
          |sess AS (

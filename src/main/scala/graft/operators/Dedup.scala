@@ -426,6 +426,60 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D10 corpus-level LINE dedup (the C4/RefinedWeb boilerplate
+    * scrub): drop every line whose normalized form (lowercase,
+    * space-trimmed) occurs in more than `maxDocs` distinct documents
+    * — nav bars, cookie banners, licence footers — and reassemble
+    * each document from its surviving lines in original order. Blank
+    * lines are document structure, not boilerplate: always kept and
+    * never counted.
+    *
+    * Scale shape: one explode to line rows, one aggregate keyed by
+    * line content to find offending lines (count-distinct doc_id is
+    * partially aggregated map-side), one anti-join of lines against
+    * that (small, high-DF-tail-sized) set — AQE broadcasts it when it
+    * fits, no hint pinned — and one keyed aggregate back to documents.
+    * No all-pairs stage; memory per task is line-sized.
+    *
+    * Output: (doc_id, n_lines, n_removed, text_clean). */
+  def lineDedup(docs: DataFrame, maxDocs: Int = 1): DataFrame = {
+    import docs.sparkSession.implicits._
+    val lines = docs
+      .select($"doc_id", posexplode(split($"text", "\n")).as(Seq("pos", "line")))
+      .withColumn("k", lower(trim($"line")))
+    val bad = lines.filter($"k" =!= "")
+      .groupBy($"k").agg(countDistinct($"doc_id").as("ndocs"))
+      .filter($"ndocs" > maxDocs).select($"k")
+    // blank lines carry k = '' which is never in `bad` → auto-kept
+    val kept = lines.join(bad, Seq("k"), "left_anti")
+    val re = kept.groupBy($"doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(struct($"pos", $"line"))),
+        x => x.getField("line")), "\n").as("text_clean"))
+    lines.groupBy($"doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(re, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_lines",
+        ($"n_lines" - coalesce($"n_kept", lit(0L))).as("n_removed"),
+        coalesce($"text_clean", lit("")).as("text_clean"))
+      .orderBy($"doc_id")
+  }
+
+  /** The test corpus is single-line docs, so the graded `dedup_lines`
+    * first derives a line-structured corpus deterministically: each
+    * doc re-chunked into non-overlapping 10-word segments joined by
+    * newlines (a page whose "lines" are the segments). Near-dup docs
+    * share verbatim segments, which is exactly the repetition
+    * [[lineDedup]] scrubs. Library users with real multi-line text
+    * call [[lineDedup]] directly. */
+  private[operators] def chunkedPages(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", split(trim($"text"), Ws).as("w"))
+      .select($"doc_id", expr(
+        """array_join(transform(sequence(1, cast((size(w) + 9) div 10 as int)),
+          |  s -> array_join(slice(w, (s - 1) * 10 + 1, 10), ' ')), '\n')"""
+          .stripMargin).as("text"))
+  }
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
@@ -442,7 +496,8 @@ object Dedup {
     // deterministic eval stand-in: every 50th doc is the "benchmark";
     // library users pass their own eval frame
     "dedup_decontam" -> onDocs(d => decontaminate(
-      d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))))
+      d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))),
+    "dedup_lines" -> onDocs(d => lineDedup(chunkedPages(d))))
 
   private val shinglesSql =
     s"""w AS (
@@ -497,6 +552,40 @@ object Dedup {
          |WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $JaccardT
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" -> embeddingOracleSql,
+    // chunk → zipped-unnest lines with ordinality → offending-line set
+    // (normalized, >1 distinct doc) → reassemble survivors in order
+    "dedup_lines" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |pages AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    generate_series(1, (len(w) + 9) // 10),
+        |    s -> array_to_string(w[(s-1)*10+1 : s*10], ' ')),
+        |    chr(10)) AS text
+        |  FROM w),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos
+        |  FROM pages),
+        |bad AS (
+        |  SELECT lower(trim(line)) AS k FROM lines WHERE trim(line) <> ''
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM lines
+        |  WHERE trim(line) = ''
+        |     OR lower(trim(line)) NOT IN (SELECT k FROM bad)),
+        |re AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY pos) AS text_clean
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines,
+        |  t.n_lines - coalesce(re.n_kept, 0) AS n_removed,
+        |  coalesce(re.text_clean, '') AS text_clean
+        |FROM tot t LEFT JOIN re USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "dedup_decontam" ->
       s"""WITH w AS (
          |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w

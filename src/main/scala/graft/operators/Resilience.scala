@@ -209,6 +209,55 @@ object Resilience {
   def ar1Forecast(s: SparkSession, dir: String): DataFrame =
     ar1ForecastOn(series(s, dir), horizon = 3)
 
+  /** B18 Holt double exponential smoothing — the trend-aware
+    * counterpart to B16's flat EWMA and the second statsmodels-class
+    * fit (statsmodels `Holt`) behind the README's "forecasts and
+    * recovery paths": per group, fold the period-ordered observations
+    * through the coupled level/trend recursion
+    * `l_t = α·y_t + (1−α)·(l_{t−1}+b_{t−1})`,
+    * `b_t = β·(l_t−l_{t−1}) + (1−β)·b_{t−1}`
+    * (init `l₁=y₁`, `b₁=y₂−y₁`; update over t=2…n), then project
+    * `fc_h = l_n + h·b_n`. Unlike AR(1)'s mean reversion, Holt keeps
+    * following the local trend — the two bracket a shock recovery.
+    *
+    * Exactness: observations round to whole-dollar BIGINTs first, and
+    * the fold runs the IDENTICAL IEEE op sequence in both engines
+    * (`aggregate` HOF here, `list_reduce` in the twin — the B16
+    * precedent, extended to a struct accumulator) — exact compare, no
+    * rounding. Scale shape: one keyed aggregate; per-group state is
+    * the ordered observation list (periods per group — 12 years here),
+    * the same bounded frame as B16. Groups with < 2 periods have no
+    * trend init and are excluded. */
+  def holtOn(ss: Series, alpha: Double = 0.5, beta: Double = 0.3,
+      horizon: Int = 3): DataFrame = {
+    val s0 = ss.df.sparkSession
+    import s0.implicits._
+    val ordered = array_sort(collect_list(struct(col(ss.period).as("p"),
+      round(col(ss.value)).cast("long").as("yc"))))
+    val a = alpha; val b = beta
+    var out = ss.df.groupBy(col(ss.grp))
+      .agg(count(lit(1)).as("n_periods"), ordered.as("obs"))
+      .filter($"n_periods" >= 2)
+      .withColumn("v", transform($"obs", x => x.getField("yc").cast("double")))
+      .withColumn("st", expr(
+        s"""aggregate(slice(v, 2, size(v) - 1),
+           |  named_struct('l', element_at(v, 1),
+           |    'b', element_at(v, 2) - element_at(v, 1)),
+           |  (acc, x) -> named_struct(
+           |    'l', $a * x + ${1 - a} * (acc.l + acc.b),
+           |    'b', $b * ($a * x + ${1 - a} * (acc.l + acc.b) - acc.l)
+           |         + ${1 - b} * acc.b))""".stripMargin))
+      .withColumn("level", $"st.l").withColumn("trend", $"st.b")
+    for (h <- 1 to horizon)
+      out = out.withColumn(s"fc$h", $"level" + lit(h.toDouble) * $"trend")
+    out.select((col(ss.grp) +: $"n_periods" +: $"level" +: $"trend" +:
+        (1 to horizon).map(h => col(s"fc$h"))): _*)
+      .orderBy(col(ss.grp))
+  }
+
+  def holtForecast(s: SparkSession, dir: String): DataFrame =
+    holtOn(series(s, dir))
+
   /** B6 rank-per-group: latest order per customer — the reference's
     * per-group head() pattern (app top-10s), as one window pass. */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
@@ -453,6 +502,7 @@ object Resilience {
     "q_trend" -> trend,
     "q_shock_sim" -> shockSim,
     "q_ar1_forecast" -> ar1Forecast,
+    "q_holt_forecast" -> holtForecast,
     "q_window_rank" -> windowRank,
     "q_running_sum" -> runningSum,
     "q_moving_avg" -> movingAvg,
@@ -676,6 +726,35 @@ object Resilience {
          |    THEN ceil(projected_m * 0.3 / slope_m)::BIGINT END
          |    AS years_to_recover
          |FROM proj ORDER BY n_name""".stripMargin,
+    // recursive CTE, NOT list_reduce: DuckDB's list_reduce writes the
+    // struct accumulator in place field-by-field, so a later field's
+    // expression reads the EARLIER field's already-updated value —
+    // the coupled (level, trend) update silently diverges. The
+    // recursion evaluates functionally and mirrors the Spark fold's
+    // exact IEEE op sequence.
+    "q_holt_forecast" ->
+      s"""WITH RECURSIVE rev AS ($yearlyRevSql),
+         |pts AS (
+         |  SELECT n_name, round(rev)::BIGINT::DOUBLE AS y,
+         |    row_number() OVER (PARTITION BY n_name ORDER BY yr) AS t
+         |  FROM rev),
+         |n AS (SELECT n_name, max(t) AS n_periods FROM pts GROUP BY 1),
+         |hw AS (
+         |  SELECT a.n_name, 1 AS t, a.y AS l, b.y - a.y AS b
+         |  FROM pts a JOIN pts b
+         |    ON a.n_name = b.n_name AND a.t = 1 AND b.t = 2
+         |  UNION ALL
+         |  SELECT h.n_name, h.t + 1,
+         |    0.5 * p.y + 0.5 * (h.l + h.b),
+         |    0.3 * (0.5 * p.y + 0.5 * (h.l + h.b) - h.l) + 0.7 * h.b
+         |  FROM hw h JOIN pts p ON p.n_name = h.n_name AND p.t = h.t + 1)
+         |SELECT hw.n_name, n.n_periods, hw.l AS level, hw.b AS trend,
+         |  hw.l + 1.0 * hw.b AS fc1,
+         |  hw.l + 2.0 * hw.b AS fc2,
+         |  hw.l + 3.0 * hw.b AS fc3
+         |FROM hw JOIN n ON hw.n_name = n.n_name AND hw.t = n.n_periods
+         |WHERE n.n_periods >= 2
+         |ORDER BY hw.n_name""".stripMargin,
     "q_ar1_forecast" ->
       s"""WITH rev AS ($yearlyRevSql),
          |pts AS (

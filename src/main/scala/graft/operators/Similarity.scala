@@ -438,7 +438,7 @@ object Similarity {
     * codebook of (c·c + 2·cent_sub·c) − 2·v_sub·c — the corr literal
     * per cell keeps the residual argmin codegen'd (no per-row vector
     * subtraction). Output: (vec_id, cell, codes). */
-  private def ivfPqEncode(e: DataFrame, m: IvfPqModel): DataFrame = {
+  private[graft] def ivfPqEncode(e: DataFrame, m: IvfPqModel): DataFrame = {
     import e.sparkSession.implicits._
     val assigned = e.withColumn("cell", assignCol(m.centroids))
     val codeCols = (0 until PqM).map { j =>
@@ -463,7 +463,7 @@ object Similarity {
     * cells under the assignment metric, true-residual ADC tables per
     * (query, probed cell) — NumQueries·nProbe rows, so the interpreted
     * zip_with is off the hot path. */
-  private def ivfPqProbe(queries: DataFrame, m: IvfPqModel,
+  private[graft] def ivfPqProbe(queries: DataFrame, m: IvfPqModel,
       nProbe: Int): DataFrame = {
     import queries.sparkSession.implicits._
     val cellDists = array(m.centroids.map { case (id, c) =>
@@ -491,7 +491,7 @@ object Similarity {
   /** Hot path: cell equi-join (only probed cells' code rows move),
     * ADC = qrq + Σⱼ table lookup, folded left in subspace order,
     * bounded-heap top-k per query. */
-  private def ivfPqScore(coded: DataFrame, qprobe: DataFrame): DataFrame = {
+  private[graft] def ivfPqScore(coded: DataFrame, qprobe: DataFrame): DataFrame = {
     import coded.sparkSession.implicits._
     val adcCol = $"qrq" + (0 until PqM).map(j =>
       element_at(element_at($"tbls", j + 1),
@@ -568,6 +568,60 @@ object Similarity {
     val coded = spark.read.parquet(s"$dir/codes")
       .filter($"cell".isin(cells.map(c => c: java.lang.Integer).toIndexedSeq: _*))
     ivfPqScore(coded, qprobe)
+  }
+
+  /** E9 incremental index APPEND — the daily-ingest half of a served
+    * ANN deployment: encode `newVecs(vec_id, embedding)` against the
+    * PERSISTED model (no retraining, no read of existing code rows)
+    * and append the codes into the existing cell partition dirs. Run
+    * cost scales with the delta, not the corpus. Because encoding is
+    * a pure function of the frozen model, a serve after N appends is
+    * bit-identical to a frozen-model encode of the union (spec-pinned
+    * in IvfPqIndexSpec). New vectors land in the cells the frozen
+    * coarse quantizer assigns — drift past the trained distribution
+    * degrades recall, not correctness; rebuild cadence is the
+    * deployment's call. Pair with [[compactIvfPqIndex]]: each append
+    * adds one file-set per touched cell (same growth mode as the A24
+    * hash state). */
+  def appendIvfPqIndex(dir: String, newVecs: DataFrame): Unit = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val m = loadIvfPqModel(spark, dir)
+    val e = newVecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    ivfPqEncode(e, m)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Rewrite the code table into one file per cell partition when the
+    * append loop has accumulated more than `maxFiles` part-files.
+    * Swap is write-aside → rename (the read and the overwrite can't
+    * share a path), so a crash mid-compact leaves either the old or
+    * the new complete table, never a mix. Model files are untouched;
+    * serve results are unchanged (spec-pinned). */
+  def compactIvfPqIndex(spark: SparkSession, dir: String,
+      maxFiles: Int = 64): Unit = {
+    import spark.implicits._
+    val codes = new java.io.File(s"$dir/codes")
+    val parts = Option(codes.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("cell="))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .count(_.getName.endsWith(".parquet"))
+    if (parts <= maxFiles) return
+    val tmp = new java.io.File(s"$dir/codes_compact_tmp")
+    spark.read.parquet(s"$dir/codes")
+      .repartition($"cell").sortWithinPartitions($"vec_id")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(tmp.getPath)
+    val old = new java.io.File(s"$dir/codes_old")
+    if (old.exists()) deleteRecursively(old)
+    require(codes.renameTo(old) && tmp.renameTo(codes),
+      s"compact swap failed under $dir")
+    deleteRecursively(old)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   /** Driver-contract adapter for the served path: builds the index in

@@ -52,6 +52,86 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  // E9 incremental append: build on the even half, append the odd half
+  // in two delta batches — the deployment's daily-ingest shape.
+  private lazy val apDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_ap").toString
+    val vecs = Tables.embeddings(spark, sf)
+    Similarity.buildIvfPqIndex(vecs.filter($"vec_id" % 2 === 0), d)
+    Similarity.appendIvfPqIndex(d, vecs.filter($"vec_id" % 4 === 1))
+    Similarity.appendIvfPqIndex(d, vecs.filter($"vec_id" % 4 === 3))
+    d
+  }
+
+  test("append encodes deltas with the frozen model: codes == frozen-model encode of the union") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+    val m = Similarity.loadIvfPqModel(spark, apDir)
+    val expected = Similarity.ivfPqEncode(
+      vecs.select($"vec_id", $"embedding".cast("array<double>").as("v")), m)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val onDisk = spark.read.parquet(s"$apDir/codes")
+      .select($"vec_id", $"cell", $"codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(onDisk == expected)
+  }
+
+  test("append never rewrites existing code files (delta-only cost)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_ro").toString
+    val vecs = Tables.embeddings(spark, sf)
+    Similarity.buildIvfPqIndex(vecs.filter($"vec_id" % 2 === 0), d)
+    def listing(): Map[String, Long] =
+      Option(new java.io.File(s"$d/codes").listFiles()).get
+        .filter(_.getName.startsWith("cell="))
+        .flatMap(c => c.listFiles().filter(_.getName.endsWith(".parquet")))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    val before = listing()
+    Similarity.appendIvfPqIndex(d, vecs.filter($"vec_id" % 2 === 1))
+    val after = listing()
+    assert(before.keySet.subsetOf(after.keySet), "append removed base files")
+    before.foreach { case (p, ts) =>
+      assert(after(p) == ts, s"append rewrote base file $p") }
+    assert(after.size > before.size, "append added no files")
+  }
+
+  test("serve-after-append == serve of a single frozen-model index; compact preserves it") {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, sf).filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qv"))
+    val served = collectAll(Similarity.queryIvfPqIndex(spark, apDir, q))
+    // expected: score the frozen-model union encode directly
+    val m = Similarity.loadIvfPqModel(spark, apDir)
+    val coded = Similarity.ivfPqEncode(
+      Tables.embeddings(spark, sf)
+        .select($"vec_id", $"embedding".cast("array<double>").as("v")), m)
+    val qprobe = Similarity.ivfPqProbe(q, m, nProbe = 2)
+    val expected = collectAll(Similarity.ivfPqScore(coded, qprobe))
+    assert(served == expected)
+    // compaction: fewer files, byte-identical serve results
+    def nFiles(): Int =
+      Option(new java.io.File(s"$apDir/codes").listFiles()).get
+        .filter(_.getName.startsWith("cell="))
+        .flatMap(c => c.listFiles().filter(_.getName.endsWith(".parquet")))
+        .length
+    val before = nFiles()
+    Similarity.compactIvfPqIndex(spark, apDir, maxFiles = 1)
+    val after = nFiles()
+    assert(after < before, s"compact did not shrink file count ($before -> $after)")
+    assert(collectAll(Similarity.queryIvfPqIndex(spark, apDir, q)) == expected)
+  }
+
+  test("compact below the file bound is a no-op") {
+    val codes = new java.io.File(s"$idxDir/codes")
+    def stamp(): Map[String, Long] =
+      Option(codes.listFiles()).get.filter(_.getName.startsWith("cell="))
+        .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified()).toMap
+    val before = stamp()
+    Similarity.compactIvfPqIndex(spark, idxDir, maxFiles = 10000)
+    assert(stamp() == before)
+  }
+
   test("served path scans fewer code files than the index holds (pruning is real)") {
     import spark.implicits._
     val codesDir = new java.io.File(s"$idxDir/codes")

@@ -212,4 +212,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(1) == ((2L, 2L, 1000000L, 500000L, 1000000L)), s"got ${r(1)}")
     assert(r(2) == ((3L, 1L, 1000000L, 1000000L, 0L)), s"got ${r(2)}")
   }
+
+  test("dedup_lines: crafted boilerplate removed, order kept, blanks immune") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique alpha\n\ncookie banner"), // banner case-folds; blank kept
+      (2L, "cookie banner\nunique beta"),
+      (3L, "all original here")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.lineDedup(docs)
+      .as[(Long, Long, Long, String)].collect()
+    // 'cookie banner' (normalized) is in docs 1+2 -> dropped everywhere,
+    // incl. BOTH its occurrences in doc 1; the blank line survives
+    assert(r(0) == ((1L, 4L, 2L, "unique alpha\n")), s"got ${r(0)}")
+    assert(r(1) == ((2L, 2L, 1L, "unique beta")), s"got ${r(1)}")
+    assert(r(2) == ((3L, 1L, 0L, "all original here")), s"got ${r(2)}")
+  }
+
+  test("dedup_lines: doc losing every line stays with empty text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared one\nshared two"),
+      (2L, "shared one\nshared two"),
+      (3L, "keeps this")).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.lineDedup(docs)
+      .as[(Long, Long, Long, String)].collect()
+    assert(r(0) == ((1L, 2L, 2L, "")), s"got ${r(0)}")
+    assert(r(1) == ((2L, 2L, 2L, "")), s"got ${r(1)}")
+    assert(r(2) == ((3L, 1L, 0L, "keeps this")), s"got ${r(2)}")
+  }
+
+  test("cdc_parse_envelope: tombstone reads before-image; corrupt envelope nulls out") {
+    import spark.implicits._
+    val envs = Seq(
+      (1L, """{"op":"I","ts_ms":1000,"after":{"user_id":7,"value":1.5}}"""),
+      (2L, """{"op":"D","ts_ms":2000,"before":{"user_id":8,"value":2.25}}"""),
+      (3L, """not json at all""")
+    ).toDF("event_id", "env")
+    val r = graft.operators.Cdc.parseEnvelope(envs).collect()
+    assert(r(0).getString(1) == "I" && r(0).getLong(2) == 7L &&
+      r(0).getDouble(3) == 1.5 && r(0).getLong(4) == 1000L)
+    assert(r(1).getString(1) == "D" && r(1).getLong(2) == 8L &&
+      r(1).getDouble(3) == 2.25 && r(1).getLong(4) == 2000L)
+    // permissive: corrupt row survives with null fields, no exception
+    assert(r(2).isNullAt(1) && r(2).isNullAt(2) && r(2).isNullAt(3))
+  }
 }

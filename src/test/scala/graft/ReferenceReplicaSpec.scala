@@ -95,6 +95,25 @@ class ReferenceReplicaSpec extends AnyFunSuite {
       "forecast must decay toward the AR(1) fixed point c/(1-phi) = 50")
   }
 
+  test("Holt smoothing is exact on linear and constant series; <2 periods excluded") {
+    import spark.implicits._
+    // perfect line: level locks to y_n, trend to the slope, forecasts
+    // continue the line exactly (every fold op is FP-exact here);
+    // constant: trend 0, forecasts flat; single point: no trend init
+    val df = Seq(
+      ("lin", 1L, 10.0), ("lin", 2L, 20.0), ("lin", 3L, 30.0),
+      ("lin", 4L, 40.0),
+      ("flat", 1L, 5.0), ("flat", 2L, 5.0), ("flat", 3L, 5.0),
+      ("solo", 1L, 9.0)).toDF("g", "p", "v")
+    val got = Resilience.holtOn(Series(df, "g", "p", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet == Set("lin", "flat"), s"got ${got.keySet}")
+    assert(got("lin") == ((4L, 40.0, 10.0, 50.0, 60.0, 70.0)), s"got ${got("lin")}")
+    assert(got("flat") == ((3L, 5.0, 0.0, 5.0, 5.0, 5.0)), s"got ${got("flat")}")
+  }
+
   test("AR(1) skips groups without consecutive periods or with zero variance") {
     import spark.implicits._
     val df = Seq(
