@@ -127,7 +127,10 @@ object Multimodal {
     * GIF dims from the logical screen descriptor (bytes 7-10,
     * little-endian), JPEG dims from the SOF0/SOF2 frame header found
     * by an unrolled walk of the marker-segment chain (APPn/EXIF/COM
-    * segments precede it at variable offsets). Pure column math
+    * segments precede it at variable offsets), BMP dims from the
+    * BITMAPINFOHEADER (LE, height signed — negative is top-down),
+    * ISO-BMFF (mp4/mov/m4a) detected by the ftyp box with its major
+    * brand extracted for demuxer routing. Pure column math
     * over the payload's hex (substring + conv) — codegen'd, no UDF,
     * scan-only; the format column then routes each asset to the right
     * decoder pool without touching pixel data. Pixel decode stays
@@ -163,6 +166,13 @@ object Multimodal {
     val isPng = substring(h, 1, 16) === "89504E470D0A1A0A"
     val isGif = substring(h, 1, 6) === "474946"
     val isJpeg = substring(h, 1, 4) === "FFD8"
+    val isBmp = substring(h, 1, 4) === "424D"
+    // ISO-BMFF (mp4/mov/m4a family): 'ftyp' box at bytes 5-8; the
+    // major brand (bytes 9-12, ASCII) routes to the demuxer pool.
+    // Dims live in moov/trak/tkhd at arbitrary depth — a box walk is
+    // the codec pool's job, not the sniffer's.
+    val isMp4 = substring(h, 9, 8) === "66747970"
+    val mp4Brand = decode(unhex(substring(h, 17, 8)), "UTF-8")
     // canonical RIFF/WAVE with a leading fmt chunk (bytes 13-16)
     val isWav = substring(h, 1, 8) === "52494646" &&
       substring(h, 17, 8) === "57415645" &&
@@ -177,13 +187,25 @@ object Multimodal {
     val wavCh = beField(45, 2) + beField(47, 2) * 256L
     val wavSr = beField(49, 2) + beField(51, 2) * 256L +
       beField(53, 2) * 65536L + beField(55, 2) * 16777216L
+    // BITMAPINFOHEADER: width bytes 19-22 LE; height bytes 23-26 LE
+    // SIGNED — negative means top-down row order, dimension is |h|
+    val bmpW = beField(37, 2) + beField(39, 2) * 256L +
+      beField(41, 2) * 65536L + beField(43, 2) * 16777216L
+    val bmpHRaw = beField(45, 2) + beField(47, 2) * 256L +
+      beField(49, 2) * 65536L + beField(51, 2) * 16777216L
+    val bmpH = abs(when(bmpHRaw > 2147483647L, bmpHRaw - 4294967296L)
+      .otherwise(bmpHRaw))
     assets.select($"doc_id",
       when(isPng, "png").when(isGif, "gif").when(isJpeg, "jpeg")
-        .when(isWav, "wav").otherwise("unknown").as("format"),
-      when(isPng, pngW).when(isGif, gifW).when(isJpeg, jpegW).as("width"),
-      when(isPng, pngH).when(isGif, gifH).when(isJpeg, jpegH).as("height"),
+        .when(isBmp, "bmp").when(isWav, "wav").when(isMp4, "mp4")
+        .otherwise("unknown").as("format"),
+      when(isPng, pngW).when(isGif, gifW).when(isJpeg, jpegW)
+        .when(isBmp, bmpW).as("width"),
+      when(isPng, pngH).when(isGif, gifH).when(isJpeg, jpegH)
+        .when(isBmp, bmpH).as("height"),
       when(isWav, wavSr).as("sample_rate"),
       when(isWav, wavCh).as("n_channels"),
+      when(isMp4, mp4Brand).as("brand"),
       octet_length($"payload").cast("long").as("n_bytes"))
   }
 

@@ -107,25 +107,42 @@ class MultimodalSpec extends AnyFunSuite {
       Array(0x24, 0x00, 0x00, 0x00).map(_.toByte) ++
       "WAVEfmt ".getBytes("US-ASCII") ++
       Array(0x10, 0, 0, 0, 1, 0, 2, 0, 0x44, 0xAC, 0x00, 0x00).map(_.toByte))
+    // BITMAPINFOHEADER BMP: 800 wide, TOP-DOWN (-600) tall — the
+    // signed-height case; 14-byte file header + DIB size 40
+    val bmp = ("BM".getBytes("US-ASCII") ++
+      Array(0x36, 0x10, 0x0E, 0x00, 0, 0, 0, 0, 0x36, 0, 0, 0,
+        0x28, 0, 0, 0,
+        0x20, 0x03, 0x00, 0x00,
+        0xA8, 0xFD, 0xFF, 0xFF).map(_.toByte))
+    // ISO-BMFF: 24-byte ftyp box, major brand 'isom'
+    val mp4 = (Array(0x00, 0x00, 0x00, 0x18).map(_.toByte) ++
+      "ftypisom".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 2, 0) ++ "isomiso2".getBytes("US-ASCII"))
     val assets = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, junk), (5L, wav),
-      (6L, jpegSof0), (7L, jpegSof2)).toDF("doc_id", "payload")
+      (6L, jpegSof0), (7L, jpegSof2), (8L, bmp), (9L, mp4))
+      .toDF("doc_id", "payload")
     val got = Multimodal.sniffHeaders(assets)
       .collect().map(r => r.getLong(0) -> ((r.getString(1),
         Option(r.get(2)).map(_.asInstanceOf[Long]),
         Option(r.get(3)).map(_.asInstanceOf[Long]),
         Option(r.get(4)).map(_.asInstanceOf[Long]),
-        Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
-    assert(got(1L) == (("png", Some(640L), Some(480L), None, None)),
+        Option(r.get(5)).map(_.asInstanceOf[Long]),
+        Option(r.get(6)).map(_.asInstanceOf[String])))).toMap
+    assert(got(1L) == (("png", Some(640L), Some(480L), None, None, None)),
       s"got ${got(1L)}")
-    assert(got(2L) == (("gif", Some(320L), Some(200L), None, None)),
+    assert(got(2L) == (("gif", Some(320L), Some(200L), None, None, None)),
       s"got ${got(2L)}")
-    assert(got(3L) == (("jpeg", None, None, None, None)))
-    assert(got(4L) == (("unknown", None, None, None, None)))
-    assert(got(5L) == (("wav", None, None, Some(44100L), Some(2L))),
+    assert(got(3L) == (("jpeg", None, None, None, None, None)))
+    assert(got(4L) == (("unknown", None, None, None, None, None)))
+    assert(got(5L) == (("wav", None, None, Some(44100L), Some(2L), None)),
       s"got ${got(5L)}")
-    assert(got(6L) == (("jpeg", Some(1024L), Some(768L), None, None)),
+    assert(got(6L) == (("jpeg", Some(1024L), Some(768L), None, None, None)),
       s"got ${got(6L)}")
-    assert(got(7L) == (("jpeg", Some(800L), Some(600L), None, None)),
+    assert(got(7L) == (("jpeg", Some(800L), Some(600L), None, None, None)),
       s"got ${got(7L)}")
+    assert(got(8L) == (("bmp", Some(800L), Some(600L), None, None, None)),
+      s"got ${got(8L)}")
+    assert(got(9L) == (("mp4", None, None, None, None, Some("isom"))),
+      s"got ${got(9L)}")
   }
 }
