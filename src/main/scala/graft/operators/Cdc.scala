@@ -271,8 +271,10 @@ object Cdc {
         coalesce($"e.after.user_id", $"e.before.user_id").as("user_id"),
         coalesce($"e.after.value", $"e.before.value").as("val"),
         $"e.ts_ms".as("ts_ms"))
-      .orderBy($"event_id")
   }
+  // no ORDER BY in the core: the same projection must plan on a
+  // streaming relation (CdcStream.envelopeChanges); the graded batch
+  // entry adds the total order below
 
   /** Wire-format stand-in for the graded entry: each event serialized
     * as its Debezium-shaped envelope (delete → `before`, else
@@ -301,7 +303,8 @@ object Cdc {
     "cdc_sessionize" -> onEvents(sessionize),
     "cdc_funnel" -> onEvents(funnel),
     "cdc_cohort" -> onEvents(cohortRetention),
-    "cdc_parse_envelope" -> onEvents(e => parseEnvelope(toEnvelopes(e))))
+    "cdc_parse_envelope" -> onEvents(e =>
+      parseEnvelope(toEnvelopes(e)).orderBy(col("event_id"))))
 
   /** Shared session-sequence CTEs (t → flagged → seq) — the DuckDB
     * twin of [[withSessionSeq]]. */

@@ -434,12 +434,15 @@ object Dedup {
     * lines are document structure, not boilerplate: always kept and
     * never counted.
     *
-    * Scale shape: one explode to line rows, one aggregate keyed by
-    * line content to find offending lines (count-distinct doc_id is
-    * partially aggregated map-side), one anti-join of lines against
-    * that (small, high-DF-tail-sized) set — AQE broadcasts it when it
-    * fits, no hint pinned — and one keyed aggregate back to documents.
-    * No all-pairs stage; memory per task is line-sized.
+    * Scale shape: TWO corpus scans total — one explode feeding the
+    * offending-line aggregate (count-distinct doc_id partially
+    * aggregated map-side), one explode marked by a left-outer join
+    * against that (small, high-DF-tail-sized) set — AQE broadcasts
+    * it, no hint pinned — then ONE doc-keyed aggregate computing
+    * totals, removals, and the reassembly together (collect_list
+    * skips the nulled-out dropped lines, so all-dropped docs survive
+    * with empty text and no third scan is needed for totals). No
+    * all-pairs stage; memory per task is line-sized.
     *
     * Output: (doc_id, n_lines, n_removed, text_clean). */
   def lineDedup(docs: DataFrame, maxDocs: Int = 1): DataFrame = {
@@ -447,20 +450,19 @@ object Dedup {
     val lines = docs
       .select($"doc_id", posexplode(split($"text", "\n")).as(Seq("pos", "line")))
       .withColumn("k", lower(trim($"line")))
+    // blank lines carry k = '' which is never counted → auto-kept
     val bad = lines.filter($"k" =!= "")
       .groupBy($"k").agg(countDistinct($"doc_id").as("ndocs"))
-      .filter($"ndocs" > maxDocs).select($"k")
-    // blank lines carry k = '' which is never in `bad` → auto-kept
-    val kept = lines.join(bad, Seq("k"), "left_anti")
-    val re = kept.groupBy($"doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      array_join(transform(array_sort(collect_list(struct($"pos", $"line"))),
-        x => x.getField("line")), "\n").as("text_clean"))
-    lines.groupBy($"doc_id").agg(count(lit(1)).as("n_lines"))
-      .join(re, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_lines",
-        ($"n_lines" - coalesce($"n_kept", lit(0L))).as("n_removed"),
-        coalesce($"text_clean", lit("")).as("text_clean"))
+      .filter($"ndocs" > maxDocs)
+      .select($"k", lit(1).as("__bad"))
+    lines.join(bad, Seq("k"), "left")
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when($"__bad".isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when($"__bad".isNull, struct($"pos", $"line")))),
+          x => x.getField("line")), "\n").as("text_clean"))
+      .select($"doc_id", $"n_lines", $"n_removed", $"text_clean")
       .orderBy($"doc_id")
   }
 

@@ -97,6 +97,28 @@ object CdcStream {
       }
   }
 
+  /** C26 streaming envelope ingest — the full Debezium-shaped edge
+    * wired end-to-end: raw envelope JSON as landed by a connector
+    * (`event_id` = the source's record offset, `env` = the wire
+    * bytes) is parsed with the C25 explicit-schema projection —
+    * permissive, tombstones normalized from the before-image — and
+    * typed into [[Change]] records ready for [[latestState]] /
+    * [[scd2Stream]]. Corrupt envelopes null out in the parse and are
+    * dropped here (a real deployment forks them to a quarantine sink
+    * first — the Jsonl pattern); the stream never dies on bad bytes.
+    * Shape: pure per-row projection, fuses into the source scan —
+    * the keyed state op downstream does the only shuffle. */
+  def envelopeChanges(envelopes: DataFrame,
+      jsonCol: String = "env"): Dataset[Change] = {
+    import envelopes.sparkSession.implicits._
+    graft.operators.Cdc.parseEnvelope(envelopes, jsonCol)
+      .filter($"user_id".isNotNull && $"op".isNotNull &&
+        $"ts_ms".isNotNull && $"val".isNotNull)
+      .select($"user_id", $"event_id",
+        timestamp_millis($"ts_ms").as("ts"), $"op", $"val".as("value"))
+      .as[Change]
+  }
+
   /** C9 streaming exact dedup: drop duplicate keys across
     * micro-batches with bounded state — late duplicates beyond the
     * watermark age out of the state store instead of growing it

@@ -258,4 +258,31 @@ class StreamingSpec extends AnyFunSuite {
         s"streamed ${streamed.size} sessions, batch ${batchTwin.size}")
     } finally q.stop()
   }
+
+  test("C26 envelope stream feeds the latest-state store; corrupt bytes survive") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)]
+    val changes = CdcStream.envelopeChanges(
+      in.toDS().toDF("event_id", "env"))
+    val q = CdcStream.latestState(changes)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("env_state").start()
+    try {
+      in.addData(
+        (1L, """{"op":"I","ts_ms":1000,"after":{"user_id":7,"value":1.5}}"""),
+        (2L, """broken { bytes"""),
+        (3L, """{"op":"U","ts_ms":2000,"after":{"user_id":7,"value":2.5}}"""))
+      q.processAllAvailable()
+      in.addData(
+        (4L, """{"op":"D","ts_ms":3000,"before":{"user_id":7,"value":2.5}}"""))
+      q.processAllAvailable()
+      val state = spark.table("env_state").as[UserState].collect()
+        .groupBy(_.user_id).map { case (_, v) => v.maxBy(_.last_event_id) }
+      assert(state.size == 1)
+      val u = state.head
+      assert(u.user_id == 7L && u.deleted && u.last_op == "D" &&
+        u.last_event_id == 4L, s"got $u")
+    } finally q.stop()
+  }
 }
