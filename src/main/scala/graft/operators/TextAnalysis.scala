@@ -339,6 +339,49 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** F15 sequence packing (the GPT-2/3 concat-and-chunk step): the
+    * corpus is one virtual token stream — docs in doc_id order, one
+    * EOS separator after each — cut into fixed `blockTokens` training
+    * blocks. Emits each doc's global token span and the block range
+    * it lands in (a doc crossing a boundary spans several blocks; the
+    * loader reads exactly those).
+    *
+    * Scale shape: a NAIVE global cumulative sum would be one window
+    * over an unpartitioned ORDER BY — a single-task sort of the whole
+    * corpus. Instead the classic two-phase split: doc_ids bucket by
+    * range (order-preserving), the in-bucket cumsum partitions by
+    * bucket, and the cross-bucket offsets come from a bucket-count-
+    * sized aggregate (N/10⁴ rows — ITS global window is driver-scale)
+    * broadcast back. All integer math (`div`), so the decomposition
+    * is exactly the single-window result. */
+  def packBlocks(docs: DataFrame, blockTokens: Int = 512,
+      bucketSize: Long = 10000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs.select($"doc_id",
+        size(tokens($"text")).cast("long").as("n_tok"))
+      .withColumn("b", expr(s"doc_id div $bucketSize"))
+    val wIn = Window.partitionBy($"b").orderBy($"doc_id")
+    val inBucket = toks.withColumn("cum_in", sum($"n_tok" + 1L).over(wIn))
+    val bsums = toks.groupBy($"b").agg(sum($"n_tok" + 1L).as("bt"))
+    val wB = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // no broadcast hint: offsets is corpus/10⁴-sized, so it SCALES —
+    // AQE broadcasts it while it fits and degrades gracefully past
+    // the limit (the round-3 no-hint-on-scaling-frames rule)
+    val offsets = bsums
+      .withColumn("off", coalesce(sum($"bt").over(wB), lit(0L)))
+      .select($"b", $"off")
+    inBucket.join(offsets, Seq("b"))
+      .withColumn("tok_end", $"off" + $"cum_in")
+      .withColumn("tok_start", $"tok_end" - ($"n_tok" + 1L))
+      .withColumn("first_block", expr(s"tok_start div $blockTokens"))
+      .withColumn("last_block", expr(s"(tok_end - 1) div $blockTokens"))
+      .select($"doc_id", $"n_tok", $"tok_start", $"tok_end",
+        $"first_block", $"last_block",
+        ($"last_block" - $"first_block" + 1L).as("n_blocks"))
+      .orderBy($"doc_id")
+  }
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
@@ -354,7 +397,8 @@ object TextAnalysis {
     "text_repetition" -> onDocs(repetition),
     "text_pii_scrub" -> onDocs(piiScrub),
     "text_quality_prune" -> onDocs(d => qualityPrune(d)),
-    "text_sample_mix" -> onDocs(d => sampleMixture(d)))
+    "text_sample_mix" -> onDocs(d => sampleMixture(d)),
+    "text_pack_blocks" -> onDocs(d => packBlocks(d)))
 
   /** Shared quality-score CTE (`sc(doc_id, source, score_ppm)`) —
     * the text_quality formula with `source` carried through. */
@@ -373,6 +417,27 @@ object TextAnalysis {
       |    FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the oracle uses the one-window form; the Spark side's bucketed
+    // two-phase decomposition is exact integer math, so they agree
+    // bit-for-bit
+    "text_pack_blocks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(n_tok + 1) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS tok_end
+        |  FROM t)
+        |SELECT doc_id, n_tok,
+        |  tok_end - (n_tok + 1) AS tok_start, tok_end,
+        |  (tok_end - (n_tok + 1)) // 512 AS first_block,
+        |  (tok_end - 1) // 512 AS last_block,
+        |  (tok_end - 1) // 512 - (tok_end - (n_tok + 1)) // 512 + 1
+        |    AS n_blocks
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_quality_prune" ->
       s"""WITH $scoreCteSql,
          |counts AS (

@@ -242,6 +242,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2) == ((3L, 1L, 0L, "keeps this")), s"got ${r(2)}")
   }
 
+  test("text_pack_blocks: hand-computed spans across a block boundary") {
+    import spark.implicits._
+    // block = 4 tokens, bucket = 2 docs (so doc 2 needs a cross-bucket
+    // offset); each doc contributes n_tok + 1 (EOS)
+    val docs = Seq((0L, "a b c"), (1L, "d e"), (2L, "f g h i j"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .packBlocks(docs, blockTokens = 4, bucketSize = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(r(0) == ((0L, 3L, 0L, 4L, 0L, 0L, 1L)), s"got ${r(0)}")
+    assert(r(1) == ((1L, 2L, 4L, 7L, 1L, 1L, 1L)), s"got ${r(1)}")
+    // 5 tokens + EOS: spans blocks 1..3 (crosses two boundaries)
+    assert(r(2) == ((2L, 5L, 7L, 13L, 1L, 3L, 3L)), s"got ${r(2)}")
+  }
+
+  test("text_pack_blocks: bucketed decomposition invariant under bucket size") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = graft.operators.TextAnalysis.packBlocks(docs, bucketSize = 7L)
+      .collect().toSeq
+    val b = graft.operators.TextAnalysis.packBlocks(docs, bucketSize = 1000000L)
+      .collect().toSeq
+    assert(a == b, "global token offsets must not depend on bucketing")
+  }
+
   test("cdc_parse_envelope: tombstone reads before-image; corrupt envelope nulls out") {
     import spark.implicits._
     val envs = Seq(

@@ -70,6 +70,22 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_lines reads the corpus exactly twice (offending set + reassembly)") {
+    // the first cut had a third scan for per-doc totals; the totals now
+    // ride the reassembly aggregate — a regression here is +50% scan IO
+    // at 100 TB
+    val p = plan("dedup_lines")
+    assert("Scan parquet".r.findAllIn(p).size == 2,
+      s"dedup_lines should scan the corpus exactly twice:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("cdc_parse_envelope is one scan and zero joins before the presentation sort") {
+    val p = plan("cdc_parse_envelope")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"), s"envelope parse grew a join:\n$p")
+  }
+
   test("ann/dedup vector paths have no nested-loop joins left") {
     // IVF assignment is a literal argmax projection; embedding dedup is
     // LSH-blocked. (ann_bruteforce intentionally broadcasts the query
