@@ -473,7 +473,7 @@ object Dedup {
     * share verbatim segments, which is exactly the repetition
     * [[lineDedup]] scrubs. Library users with real multi-line text
     * call [[lineDedup]] directly. */
-  private[operators] def chunkedPages(docs: DataFrame): DataFrame = {
+  private[graft] def chunkedPages(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select($"doc_id", split(trim($"text"), Ws).as("w"))
       .select($"doc_id", expr(

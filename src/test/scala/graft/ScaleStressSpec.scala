@@ -32,6 +32,23 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(Dedup.dedupedCorpus(big).count() == n)
   }
 
+  test("line dedup at 20x replication scrubs every replicated segment") {
+    import spark.implicits._
+    // every page replicated 20x -> every one of its lines appears in
+    // >= 20 distinct docs -> at maxDocs = 1 ALL content lines drop and
+    // every doc survives as an empty-text row (the all-dropped path)
+    val base = Dedup.chunkedPages(Tables.documents(spark, GraftTestSession.sf))
+    val n = base.count()
+    val k = 20
+    val big = base.crossJoin(spark.range(k).select($"id".as("copy")))
+      .select(($"doc_id" + $"copy" * n).as("doc_id"), $"text")
+    val out = Dedup.lineDedup(big)
+    assert(out.count() == n * k, "one output row per input doc")
+    assert(out.filter($"n_removed" =!= $"n_lines").count() == 0,
+      "every line of a replicated page must be scrubbed")
+    assert(out.filter($"text_clean" =!= "").count() == 0)
+  }
+
   test("decontamination flags every replica of an eval doc at 20x corpus") {
     import spark.implicits._
     val base = Tables.documents(spark, GraftTestSession.sf)

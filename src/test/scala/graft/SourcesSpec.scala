@@ -229,4 +229,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(toks.filter(col("doc_id") === 1).collect()(0)
       .getAs[Long]("n_ws_tokens") == 4)
   }
+
+  test("H10: schema-evolution read merges parquet generations; late column filters push down") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_evolve").toString
+    // generation 1: (id, a); generation 2 adds `score`
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.parquet(s"$base/gen1")
+    Seq((3L, "z", 10L), (4L, "w", 20L)).toDF("id", "a", "score")
+      .write.parquet(s"$base/gen2")
+    val merged = graft.sources.Lake.parquetEvolved(
+      spark, s"$base/gen1", s"$base/gen2")
+    assert(merged.columns.toSet == Set("id", "a", "score"))
+    // old-generation rows surface the late column as null
+    val rows = merged.orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(2)))
+    assert(rows.toSeq == Seq((1L, true), (2L, true), (3L, false), (4L, false)))
+    // filters on the late-added column push to the scan and still
+    // return the right rows (missing column reads as all-null)
+    val q = merged.filter($"score" >= 20)
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(score), GreaterThanOrEqual(score,20)]"),
+      "late-column filter must reach the scan")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // the default single-footer read is exactly the trap this guards:
+    // without mergeSchema the surviving schema depends on file order
+    val unmerged = spark.read.parquet(s"$base/gen1", s"$base/gen2")
+    assert(unmerged.columns.length <= 3)
+  }
 }
