@@ -180,6 +180,36 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  private val ContainThresh = 0.9
+
+  /** D11 containment near-dup (asymmetric): |A∩B| / min(|A|,|B|) —
+    * the signal for a short doc copied INTO a longer one (quote
+    * inclusion, template embedding, article + boilerplate wrapper),
+    * which symmetric Jaccard under-scores because the union is
+    * dominated by the long side (a 100-shingle doc fully contained in
+    * a 10000-shingle doc has j ≈ 0.01 but containment = 1.0). Same
+    * DF-capped inverted-index join as D2 — only the denominator
+    * changes, so the scale bound (Σ df² candidate work) is identical.
+    * `inter` rides along so consumers can re-threshold without a
+    * recompute. */
+  def ngramContainment(docs: DataFrame,
+      t: Double = ContainThresh): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = shingles(docs)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select($"doc_id".as("doc_a"), $"shingle")
+    val b = sh.select($"doc_id".as("doc_b"), $"shingle")
+    a.join(b, "shingle").filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
+      .withColumn("containment",
+        $"inter".cast("double") / least($"sz_a", $"sz_b").cast("double"))
+      .filter($"containment" >= t)
+      .select($"doc_a", $"doc_b", $"inter", $"containment")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** D3 MinHash + LSH banding: 32 permutations, 8 bands × 4 rows;
     * docs sharing any band bucket are candidates, then exact-verified.
     * Candidate generation is an equi-join on (band, bucket) — bounded
@@ -499,7 +529,8 @@ object Dedup {
     // library users pass their own eval frame
     "dedup_decontam" -> onDocs(d => decontaminate(
       d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))),
-    "dedup_lines" -> onDocs(d => lineDedup(chunkedPages(d))))
+    "dedup_lines" -> onDocs(d => lineDedup(chunkedPages(d))),
+    "dedup_containment" -> onDocs(d => ngramContainment(d)))
 
   private val shinglesSql =
     s"""w AS (
@@ -554,6 +585,21 @@ object Dedup {
          |WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $JaccardT
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" -> embeddingOracleSql,
+    "dedup_containment" ->
+      s"""WITH $shinglesSql,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, i AS inter,
+         |  i::DOUBLE / least(sa.sz, sb.sz)::DOUBLE AS containment
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE i::DOUBLE / least(sa.sz, sb.sz)::DOUBLE >= $ContainThresh
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // chunk → zipped-unnest lines with ordinality → offending-line set
     // (normalized, >1 distinct doc) → reassemble survivors in order
     "dedup_lines" ->

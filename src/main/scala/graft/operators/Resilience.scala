@@ -258,6 +258,28 @@ object Resilience {
   def holtForecast(s: SparkSession, dir: String): DataFrame =
     holtOn(series(s, dir))
 
+  /** B19 time-RANGE window aggregation — the pandas `rolling('7D')`
+    * twin: per key, trailing-7-day count and value sum with a RANGE
+    * frame over event time. Rows enter the frame by TIMESTAMP
+    * distance, not row count — bursty/sparse series aggregate
+    * correctly where B15's ROWS frame would count a fixed number of
+    * events regardless of how stale they are. Tied timestamps are
+    * frame peers (both engines include all peers — deterministic).
+    * Integer-cent sums; one window pass keyed by user_id. */
+  def rangeWindow(events: DataFrame, days: Int = 7): DataFrame = {
+    import events.sparkSession.implicits._
+    val span = days.toLong * 86400L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-span, 0)
+    events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        round($"value" * 100).cast("long").as("vc"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_cents_7d", sum($"vc").over(w))
+      .select($"user_id", $"event_id", $"us", $"n_7d", $"sum_cents_7d")
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** B6 rank-per-group: latest order per customer — the reference's
     * per-group head() pattern (app top-10s), as one window pass. */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
@@ -503,6 +525,7 @@ object Resilience {
     "q_shock_sim" -> shockSim,
     "q_ar1_forecast" -> ar1Forecast,
     "q_holt_forecast" -> holtForecast,
+    "q_range_window" -> ((s, dir) => rangeWindow(Tables.events(s, dir))),
     "q_window_rank" -> windowRank,
     "q_running_sum" -> runningSum,
     "q_moving_avg" -> movingAvg,
@@ -755,6 +778,15 @@ object Resilience {
          |FROM hw JOIN n ON hw.n_name = n.n_name AND hw.t = n.n_periods
          |WHERE n.n_periods >= 2
          |ORDER BY hw.n_name""".stripMargin,
+    "q_range_window" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  count(*) OVER win AS n_7d,
+        |  (sum(round(value * 100)::BIGINT) OVER win)::BIGINT
+        |    AS sum_cents_7d
+        |FROM events
+        |WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_ar1_forecast" ->
       s"""WITH rev AS ($yearlyRevSql),
          |pts AS (

@@ -28,6 +28,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("containment catches a short doc embedded in a long one that jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, short),                  // 4 shingles
+      (2L, short + " " + filler),   // contains all 4, plus ~64 of its own
+      (3L, "unrelated text pile one two three four five six")
+    ).toDF("doc_id", "text")
+    val c = Dedup.ngramContainment(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(c.keySet == Set((1L, 2L)), s"got ${c.keySet}")
+    assert(c((1L, 2L)) == 1.0, "full inclusion must score containment 1.0")
+    // symmetric jaccard on the same pair: 4 / (4 + 64 - 4) << 0.5
+    assert(pairSet(Dedup.ngramJaccard(docs)).isEmpty,
+      "jaccard at 0.5 must miss the quote-inclusion pair")
+  }
+
   test("decontaminate flags eval copies, passes clean and shingle-less docs") {
     import spark.implicits._
     val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta eta"))

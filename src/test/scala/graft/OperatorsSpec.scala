@@ -242,6 +242,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2) == ((3L, 1L, 0L, "keeps this")), s"got ${r(2)}")
   }
 
+  test("q_range_window: frame admits by time distance, 7-day boundary inclusive") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        + day.toLong * 86400000L)
+    val ev = Seq(
+      (1L, t(0), 1L, "view", 1.0),
+      (2L, t(3), 1L, "view", 2.0),
+      (3L, t(7), 1L, "view", 4.0),   // exactly 7d after ev1: still in frame
+      (4L, t(8), 1L, "view", 8.0))   // ev1 aged out, ev2/ev3 in
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.operators.Resilience.rangeWindow(ev)
+      .select("event_id", "n_7d", "sum_cents_7d")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((1L, 1L, 100L), (2L, 2L, 300L),
+      (3L, 3L, 700L), (4L, 3L, 1400L)), s"got ${r.toSeq}")
+  }
+
   test("text_pack_blocks: hand-computed spans across a block boundary") {
     import spark.implicits._
     // block = 4 tokens, bucket = 2 docs (so doc 2 needs a cross-bucket
