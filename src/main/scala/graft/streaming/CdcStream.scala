@@ -171,6 +171,21 @@ object CdcStream {
         unix_micros($"sw.end").as("end_us"), $"n_events")
   }
 
+  /** C27 late-data observability: total rows the state store dropped
+    * because they arrived past the watermark, summed over a query's
+    * recent progress. At 100 TB/day this number IS the data-loss SLO
+    * of every watermarked aggregate — a silent riser means upstream
+    * lag is eating events, and no downstream count looks wrong (the
+    * rows simply never existed). Poll it per batch (or diff across
+    * polls) and alert; pair with widening the watermark when the
+    * budget is real. */
+  def rowsDroppedByWatermark(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator)
+      .map(_.numRowsDroppedByWatermark)
+      .sum
+
   /** Convenience: run a streaming Dataset to completion against a
     * named in-memory sink (test/smoke harness). */
   def runToMemory[T](ds: Dataset[T], name: String, mode: OutputMode): Unit = {

@@ -259,6 +259,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C27 watermark drop metric counts a late row the aggregate silently excludes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = CdcStream.hourlyCounts(
+        in.toDS().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("late_counts").start()
+    try {
+      // advance the watermark far past 10:xx: max event 14:00 - 2h = 12:00
+      in.addData((ts(0), "view", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 14:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val before = CdcStream.rowsDroppedByWatermark(q)
+      // this event is hours older than the watermark -> dropped
+      in.addData((ts(5), "view", 100.0))
+      q.processAllAvailable()
+      val dropped = CdcStream.rowsDroppedByWatermark(q) - before
+      assert(dropped == 1L, s"late row must be counted, got $dropped")
+      // and the aggregate really did exclude it: the 10:00 window keeps n=1
+      val n10 = spark.table("late_counts")
+        .filter($"hour_us" === java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+          .getTime * 1000)
+        .agg(max($"n")).as[Long].collect().headOption.getOrElse(0L)
+      assert(n10 == 1L, s"late row leaked into the closed window: n=$n10")
+    } finally q.stop()
+  }
+
   test("C26 envelope stream feeds the latest-state store; corrupt bytes survive") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
