@@ -451,7 +451,31 @@ object Relational {
     both.unionByName(onlyBuyers).orderBy($"tag", $"custkey")
   }
 
+  /** A29 arg-aggregates (pandas idxmax/idxmin twin): per nation, the
+    * customer holding the max and min account balance. NOT `max_by` —
+    * its tie-break is engine-/partition-nondeterministic; a struct
+    * extremum with the key as the second field gives a total order,
+    * so ties resolve to the highest (max) / lowest (min) custkey
+    * identically everywhere. Cents-exact compare; single keyed
+    * aggregate, map-side combined. */
+  def argExtremes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cents = expr("cast(round(c_acctbal * 100) as bigint)")
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", cents.as("bal_c"), $"c_custkey")
+      .groupBy($"n_name")
+      .agg(max(struct($"bal_c", $"c_custkey")).as("mx"),
+        min(struct($"bal_c", $"c_custkey")).as("mn"))
+      .select($"n_name",
+        $"mx.c_custkey".as("richest_custkey"), $"mx.bal_c".as("max_bal_c"),
+        $"mn.c_custkey".as("poorest_custkey"), $"mn.bal_c".as("min_bal_c"))
+      .orderBy($"n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_argmax" -> argExtremes,
     "q_melt" -> melt,
     "q_pivot" -> pivot,
     "q_pivot_mean" -> pivotMean,
@@ -480,6 +504,23 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // struct-extremum twin: (bal, custkey) tuple order == Spark's
+    // struct field order, so ties break identically
+    "q_argmax" ->
+      """WITH c AS (
+        |  SELECT n_name, round(c_acctbal * 100)::BIGINT AS bal_c,
+        |    c_custkey
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name,
+        |  (max(struct_pack(bal_c := bal_c, c_custkey := c_custkey)))
+        |    .c_custkey AS richest_custkey,
+        |  (max(struct_pack(bal_c := bal_c, c_custkey := c_custkey)))
+        |    .bal_c AS max_bal_c,
+        |  (min(struct_pack(bal_c := bal_c, c_custkey := c_custkey)))
+        |    .c_custkey AS poorest_custkey,
+        |  (min(struct_pack(bal_c := bal_c, c_custkey := c_custkey)))
+        |    .bal_c AS min_bal_c
+        |FROM c GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_histogram" ->
       """SELECT round(o_totalprice * 100)::BIGINT // 5000000 AS bucket_50k,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total

@@ -44,6 +44,15 @@ object Sink {
     (if (cols.nonEmpty) w.partitionBy(cols: _*) else w).orc(path)
   }
 
+  /** JSONL export — the interchange format LLM corpus tooling speaks
+    * (one JSON object per line; pairs with [[Jsonl.read]] on the way
+    * back in). Distributed one-file-per-task by default; `single`
+    * coalesces for small hand-off tables only — a 100 TB corpus
+    * export stays parallel and gets compacted downstream instead. */
+  def jsonl(df: DataFrame, path: String, single: Boolean = false): Unit =
+    (if (single) df.coalesce(1) else df)
+      .write.mode(SaveMode.Overwrite).json(path)
+
   /** Small-file compaction: rewrite a parquet dataset into ~targetMB
     * files. The operational fix for streaming sinks and over-
     * partitioned writes — a million tiny files turn a 100 TB scan

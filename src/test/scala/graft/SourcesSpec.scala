@@ -230,6 +230,26 @@ class SourcesSpec extends AnyFunSuite {
       .getAs[Long]("n_ws_tokens") == 4)
   }
 
+  test("H11: JSONL sink round-trips the corpus through the permissive reader") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_jsonl_sink").toString
+    val docs = Tables.documents(spark, GraftTestSession.sf)
+      .select($"doc_id", $"text", $"lang")
+    Sink.jsonl(docs, s"$base/out")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType)))
+    val back = graft.sources.Jsonl.clean(
+      graft.sources.Jsonl.read(spark, s"$base/out", schema))
+    assert(back.count() == docs.count())
+    val orig = docs.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val round = back.select($"doc_id", $"text", $"lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(round == orig, "JSONL round-trip must preserve every row")
+  }
+
   test("H10: schema-evolution read merges parquet generations; late column filters push down") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_evolve").toString
