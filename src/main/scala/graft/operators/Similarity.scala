@@ -491,7 +491,8 @@ object Similarity {
   /** Hot path: cell equi-join (only probed cells' code rows move),
     * ADC = qrq + Σⱼ table lookup, folded left in subspace order,
     * bounded-heap top-k per query. */
-  private[graft] def ivfPqScore(coded: DataFrame, qprobe: DataFrame): DataFrame = {
+  private[graft] def ivfPqScore(coded: DataFrame, qprobe: DataFrame,
+      k: Int = TopK): DataFrame = {
     import coded.sparkSession.implicits._
     val adcCol = $"qrq" + (0 until PqM).map(j =>
       element_at(element_at($"tbls", j + 1),
@@ -501,10 +502,44 @@ object Similarity {
       .withColumn("adc", adcCol)
     scored.groupBy($"q_id")
       .agg(graft.functions.TopKAgg.topK(
-        struct((-$"adc").as("score"), $"vec_id".as("id")), TopK).as("top"))
+        struct((-$"adc").as("score"), $"vec_id".as("id")), k).as("top"))
       .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
       .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
         $"t.id".as("vec_id"), round(-$"t.score", 6).as("adc"))
+      .orderBy($"q_id", $"rank")
+  }
+
+  /** E10 two-stage retrieval (the standard serving composition —
+    * Jégou et al. §V's re-ranking): the IVF-PQ ADC pass produces a
+    * `shortlist`-sized candidate set per query from codes alone, then
+    * ONLY those candidates' true vectors are read for an exact-cosine
+    * re-rank to top-k. Fixes ADC's quantization-error misorderings
+    * near the cut line while reading `queries × shortlist` vectors —
+    * at 100 TB the exact stage touches KBs, not the corpus. The
+    * re-rank join is keyed on vec_id with the (tiny) shortlist as the
+    * AQE-broadcast side. Scores are exact cosines (E1's formula), so
+    * rank quality is measurable against `ann_bruteforce` directly. */
+  def annIvfPqRerank(vecs: DataFrame, k: Int = 16, iters: Int = 2,
+      nProbe: Int = 2, shortlist: Int = 10): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val m = ivfPqTrain(vecs, k, iters)
+    val e = vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val coded = ivfPqEncode(e, m)
+    val qprobe = ivfPqProbe(
+      e.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"v".as("qv")), m, nProbe)
+    val short = ivfPqScore(coded, qprobe, shortlist)
+      .select($"q_id", $"vec_id")
+    val en = withNorm(vecs)
+    val q = en.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    short.join(en, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
       .orderBy($"q_id", $"rank")
   }
 
@@ -664,6 +699,7 @@ object Similarity {
     "ann_ivf" -> onVecs(annIvf),
     "ann_ivf_kmeans" -> onVecs(v => annIvfKmeans(v)),
     "ann_ivfpq" -> onVecs(v => annIvfPq(v)),
+    "ann_ivfpq_rerank" -> onVecs(v => annIvfPqRerank(v)),
     "ann_ivfpq_index" -> (ivfPqIndexEntry(_, _)),
     "ann_pq" -> onVecs(annPq),
     "kmeans_assign" -> onVecs(v => kmeans(v)))
@@ -831,6 +867,45 @@ object Similarity {
     * so the argmin compares identical doubles, and the ADC folded in
     * subspace order via list_reduce. Export rounds to 6 like the
     * Spark side. */
+  /** ADC-ordering CTEs shared by the plain and re-ranked twins
+    * (everything through `ranked`). */
+  private def ivfPqCoreSql(k: Int, iters: Int, nProbe: Int): String = {
+    val full = ivfPqOracleSql(k, iters, nProbe)
+    require(full.endsWith(ivfPqFinalSql),
+      "ivfPq oracle tail drifted from ivfPqFinalSql — update both")
+    full.stripSuffix(ivfPqFinalSql)
+  }
+
+  private val ivfPqFinalSql =
+    s"""
+       |SELECT q_id, rank::BIGINT AS rank, vec_id, round(adc, 6) AS adc
+       |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  /** E10 twin: ADC shortlist from the shared core, exact-cosine
+    * re-rank with E1's formula (same `qn·n` denominator op order). */
+  private def ivfPqRerankOracleSql(k: Int, iters: Int, nProbe: Int,
+      shortlist: Int): String =
+    ivfPqCoreSql(k, iters, nProbe) +
+      s""",
+         |short AS (SELECT q_id, vec_id FROM ranked
+         |          WHERE rank <= $shortlist),
+         |en AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+         |      AS n
+         |  FROM embeddings),
+         |rr AS (
+         |  SELECT s.q_id, s.vec_id,
+         |    round(list_dot_product(qe.v, ce.v) / (qe.n * ce.n), 6) AS cos
+         |  FROM short s JOIN en qe ON s.q_id = qe.vec_id
+         |  JOIN en ce ON s.vec_id = ce.vec_id),
+         |rr2 AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM rr)
+         |SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM rr2
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
   private def ivfPqOracleSql(k: Int, iters: Int, nProbe: Int): String = {
     def sub(l: String, j: String = "s.j") =
       s"list_slice($l, $j*$PqSub+1, $j*$PqSub+$PqSub)"
@@ -900,6 +975,8 @@ object Similarity {
     "kmeans_assign" -> kmeansOracleSql(k = 8, iters = 3),
     "ann_ivf_kmeans" -> ivfKmeansOracleSql(k = 16, iters = 2, nProbe = 2),
     "ann_ivfpq" -> ivfPqOracleSql(k = 16, iters = 2, nProbe = 2),
+    "ann_ivfpq_rerank" ->
+      ivfPqRerankOracleSql(k = 16, iters = 2, nProbe = 2, shortlist = 10),
     // the served path is bit-identical to the in-memory path by
     // construction (parquet round-trips the model doubles exactly),
     // so it shares the same SQL twin

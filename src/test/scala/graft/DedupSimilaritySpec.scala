@@ -28,6 +28,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("ivfpq rerank emits true cosines in descending order over the ADC shortlist") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.annIvfPqRerank(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    // per query: exactly top-3, ranks 1..3, scores non-increasing
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1L, 2L, 3L), s"q=$q ranks")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-(_: Double)).toSeq,
+        s"q=$q scores not descending")
+    }
+    // scores are TRUE cosines (quantization error gone): recompute
+    // independently from the raw vectors
+    val vm = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    got.foreach { case (q, _, id, cos) =>
+      val expect = dot(vm(q), vm(id)) /
+        (math.sqrt(dot(vm(q), vm(q))) * math.sqrt(dot(vm(id), vm(id))))
+      // emitted score is rounded to 6 dp; half an ulp of slack
+      assert(math.abs(cos - expect) < 6e-7, s"($q,$id): $cos vs $expect")
+    }
+  }
+
   test("containment catches a short doc embedded in a long one that jaccard misses") {
     import spark.implicits._
     val short = "alpha beta gamma delta epsilon zeta eta theta"
