@@ -593,7 +593,14 @@ object Similarity {
     * PlanPropertiesSpec). Results are bit-identical to [[annIvfPq]]
     * on the same corpus/params (spec-pinned). */
   def queryIvfPqIndex(spark: SparkSession, dir: String, queries: DataFrame,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2): DataFrame =
+    servedShortlist(spark, dir, queries, nProbe, TopK)
+
+  /** Shared serve core: probe → pruned-partition code scan → ADC
+    * top-`k` (the E8 plan; `k` = TopK for plain serve, `shortlist`
+    * for the re-ranked path). */
+  private def servedShortlist(spark: SparkSession, dir: String,
+      queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
     import spark.implicits._
     val m = loadIvfPqModel(spark, dir)
     val qprobe = ivfPqProbe(
@@ -602,7 +609,37 @@ object Similarity {
     val cells = qprobe.select($"cell").distinct().collect().map(_.getInt(0))
     val coded = spark.read.parquet(s"$dir/codes")
       .filter($"cell".isin(cells.map(c => c: java.lang.Integer).toIndexedSeq: _*))
-    ivfPqScore(coded, qprobe)
+    ivfPqScore(coded, qprobe, k)
+  }
+
+  /** E11 SERVED two-stage retrieval — the full deployment read path:
+    * E8's serve (no training, partition-pruned code scan) produces
+    * the ADC shortlist, then E10's exact re-rank reads ONLY the
+    * shortlist vectors — the id set (queries × shortlist longs)
+    * collects to an IN filter that pushes into the vector scan, so
+    * the exact stage is row-group lookups, never a corpus pass
+    * (pinned by IvfPqIndexSpec). Results are bit-identical to
+    * [[annIvfPqRerank]] on the corpus the index was built from. */
+  def queryIvfPqIndexRerank(spark: SparkSession, dir: String,
+      queries: DataFrame, vecs: DataFrame, nProbe: Int = 2,
+      shortlist: Int = 10): DataFrame = {
+    import spark.implicits._
+    val short = servedShortlist(spark, dir, queries, nProbe, shortlist)
+      .select($"q_id", $"vec_id")
+    val ids = short.select($"vec_id").distinct().collect().map(_.getLong(0))
+    val cand = withNorm(vecs)
+      .filter($"vec_id".isin(ids.map(i => i: java.lang.Long).toIndexedSeq: _*))
+    val q = queries.select($"q_id",
+        $"qv".cast("array<double>").as("qv"))
+      .withColumn("qn", VectorFunctions.norm($"qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    short.join(cand, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
   }
 
   /** E9 incremental index APPEND — the daily-ingest half of a served
@@ -664,17 +701,31 @@ object Similarity {
     * serve-only — exactly the deployment shape), then queries it with
     * the same query set as `ann_ivfpq`. Oracle: identical SQL twin —
     * the served result is bit-identical to the in-memory path. */
-  private def ivfPqIndexEntry(s: SparkSession, dir: String): DataFrame = {
+  private def ensureIndex(s: SparkSession, dir: String): String = {
     import s.implicits._
-    val vecs = Tables.embeddings(s, dir)
     val idxDir = sys.props("java.io.tmpdir") +
       s"/graft_ivfpq_v1_${new java.io.File(dir).getName}"
     if (!new java.io.File(s"$idxDir/codes/_SUCCESS").exists())
-      buildIvfPqIndex(vecs, idxDir)
-    val q = vecs.filter($"vec_id" < NumQueries)
-      .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qv"))
-    queryIvfPqIndex(s, idxDir, q)
+      buildIvfPqIndex(Tables.embeddings(s, dir), idxDir)
+    idxDir
   }
+
+  private def queriesOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir).filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"),
+        $"embedding".cast("array<double>").as("qv"))
+  }
+
+  private def ivfPqIndexEntry(s: SparkSession, dir: String): DataFrame =
+    queryIvfPqIndex(s, ensureIndex(s, dir), queriesOf(s, dir))
+
+  /** E11 adapter: served shortlist + exact re-rank, same oracle twin
+    * as `ann_ivfpq_rerank` (frozen persisted model == the model the
+    * in-memory path trains — deterministic). */
+  private def ivfPqIndexRerankEntry(s: SparkSession, dir: String): DataFrame =
+    queryIvfPqIndexRerank(s, ensureIndex(s, dir), queriesOf(s, dir),
+      Tables.embeddings(s, dir))
 
   /** Nearest-centroid expression: squared-euclidean argmin over the
     * broadcast centroid literals, all inside codegen via DotProduct. */
@@ -701,6 +752,7 @@ object Similarity {
     "ann_ivfpq" -> onVecs(v => annIvfPq(v)),
     "ann_ivfpq_rerank" -> onVecs(v => annIvfPqRerank(v)),
     "ann_ivfpq_index" -> (ivfPqIndexEntry(_, _)),
+    "ann_ivfpq_index_rerank" -> (ivfPqIndexRerankEntry(_, _)),
     "ann_pq" -> onVecs(annPq),
     "kmeans_assign" -> onVecs(v => kmeans(v)))
 
@@ -981,6 +1033,8 @@ object Similarity {
     // construction (parquet round-trips the model doubles exactly),
     // so it shares the same SQL twin
     "ann_ivfpq_index" -> ivfPqOracleSql(k = 16, iters = 2, nProbe = 2),
+    "ann_ivfpq_index_rerank" ->
+      ivfPqRerankOracleSql(k = 16, iters = 2, nProbe = 2, shortlist = 10),
     "ann_pq" -> annPqOracleSql,
     "ann_bruteforce" ->
       s"""WITH $eCte,

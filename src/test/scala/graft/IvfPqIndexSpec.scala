@@ -122,6 +122,21 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(collectAll(Similarity.queryIvfPqIndex(spark, apDir, q)) == expected)
   }
 
+  test("E11 served rerank == in-memory rerank; vector lookups push an IN filter") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+    val q = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qv"))
+    val served = Similarity.queryIvfPqIndexRerank(spark, idxDir, q, vecs)
+    val got = collectAll(served)
+    assert(got == collectAll(Similarity.annIvfPqRerank(vecs)))
+    // the exact stage must be id lookups, not a corpus pass: the
+    // vector scan carries the shortlist IN filter
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*In\\(vec_id".r.findFirstIn(plan).isDefined,
+      s"shortlist IN filter missing from vector scan:\n$plan")
+  }
+
   test("compact below the file bound is a no-op") {
     val codes = new java.io.File(s"$idxDir/codes")
     def stamp(): Map[String, Long] =
