@@ -258,6 +258,149 @@ object Resilience {
   def holtForecast(s: SparkSession, dir: String): DataFrame =
     holtOn(series(s, dir))
 
+  /** Daily event counts per event type — the weekly-seasonal test
+    * corpus series for B20/B21 (events span 30 days; counts are
+    * exact BIGINTs, so every derived double is bit-deterministic).
+    * One shuffle on (event_type, day). */
+  private def dailyCounts(s: SparkSession, dir: String): Series = {
+    import s.implicits._
+    val df = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    Series(df, "event_type", "day", "cnt")
+  }
+
+  /** B20 classical seasonal decomposition — the statsmodels
+    * `seasonal_decompose(model='additive')` twin (requirements.txt:3;
+    * the seasonal fit a user of the README's shock simulator reaches
+    * for next): per group over the period-ordered series,
+    * trend = centered `period`-term moving average (null at the
+    * edges, like statsmodels' NaN margin), seasonal = positional
+    * ((t−1) mod period) mean of the detrended values re-centered to
+    * sum to zero, resid = y − trend − seasonal.
+    *
+    * Exactness: y is BIGINT, so the centered-window sum and the
+    * per-position detrended numerator (period·y − windowSum) are
+    * exact integers; each seasonal mean is ONE double division of
+    * identical integers, and the re-centering mean folds the
+    * `period` position means in an explicit left-associated chain —
+    * the same IEEE sequence both engines. Scale shape: one window
+    * pass on the group key + one tiny (groups × period) aggregate
+    * joined back — no driver state, holds at any series count. */
+  def seasonalDecomposeOn(ss: Series, period: Int = 7): DataFrame = {
+    val s0 = ss.df.sparkSession
+    import s0.implicits._
+    require(period % 2 == 1, "centered MA needs an odd period")
+    val half = period / 2
+    val wOrd = Window.partitionBy(col(ss.grp)).orderBy(col("p"))
+    val w7 = wOrd.rowsBetween(-half, half)
+    val base = ss.df
+      .select(col(ss.grp), col(ss.period).as("p"),
+        col(ss.value).cast("long").as("y"))
+      .withColumn("t", row_number().over(wOrd))
+      .withColumn("nwin", count(lit(1)).over(w7))
+      .withColumn("wsum", sum($"y").over(w7))
+      .withColumn("trend",
+        when($"nwin" === period, $"wsum".cast("double") / period))
+      .withColumn("season", (($"t" - 1) % period).cast("int"))
+      .withColumn("dnum",
+        when($"nwin" === period, lit(period) * $"y" - $"wsum"))
+    // positional means over exact integer numerators, then re-center
+    // with an explicit left-associated fold so both engines run the
+    // identical IEEE addition order.
+    val praw = base.filter($"dnum".isNotNull)
+      .groupBy(col(ss.grp), $"season")
+      .agg(sum($"dnum").as("snum"), count(lit(1)).as("scnt"))
+      .withColumn("s_raw",
+        $"snum".cast("double") / (lit(period.toDouble) * $"scnt"))
+    val posCols = (0 until period).map(i =>
+      max(when($"season" === i, $"s_raw")).as(s"s$i"))
+    val wide = praw.groupBy(col(ss.grp))
+      .agg(posCols.head, posCols.tail: _*)
+      .withColumn("smean",
+        (1 until period).foldLeft(col("s0"))((acc, i) => acc + col(s"s$i"))
+          / period.toDouble)
+    val seasonal = (0 until period).foldLeft(wide) {
+      (df, i) => df.withColumn(s"adj$i", col(s"s$i") - $"smean")
+    }.select(col(ss.grp) +: (0 until period).map(i => col(s"adj$i")): _*)
+    base.join(seasonal, ss.grp)
+      .withColumn("seasonal", (0 until period).foldLeft(lit(null)
+          .cast("double")) {
+        (acc, i) => when($"season" === i, col(s"adj$i")).otherwise(acc)
+      })
+      .withColumn("resid", $"y" - $"trend" - $"seasonal")
+      .select(col(ss.grp), $"p", $"y", $"trend", $"seasonal", $"resid")
+  }
+
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val ss = dailyCounts(s, dir)
+    seasonalDecomposeOn(ss)
+      .withColumn("day", date_format(col("p"), "yyyy-MM-dd"))
+      .select(col(ss.grp), col("day"), col("y"), col("trend"),
+        col("seasonal"), col("resid"))
+      .orderBy(col(ss.grp), col("day"))
+  }
+
+  /** B21 Holt-Winters additive triple exponential smoothing — the
+    * seasonal statsmodels `ExponentialSmoothing` twin, completing the
+    * forecast ladder B4 (linear) → B17 (AR1) → B18 (Holt) → seasonal:
+    * per group, classic init from the first two seasons
+    * (l = mean(season 1), b = (mean(season 2) − mean(season 1))/m,
+    * s_i = y_i − mean(season 1)), then fold t = m+1…n through
+    * `l_t = α(y_t − s_{t−m}) + (1−α)(l+b)`,
+    * `b_t = β(l_t − l) + (1−β)b`,
+    * `s_t = γ(y_t − l_t) + (1−γ)s_{t−m}`
+    * with the seasonal state as a rolling m-queue inside the fold
+    * accumulator; forecasts `fc_h = l_n + h·b_n + s_{n+h−m}`.
+    *
+    * Exactness: observations are BIGINTs, the two init sums are
+    * exact integers, and the fold runs the IDENTICAL IEEE op sequence
+    * in both engines (`aggregate` HOF with a struct(l, b, s-array)
+    * accumulator here, a RECURSIVE CTE carrying a DOUBLE[] list in
+    * the twin — the B18 precedent extended with a list column).
+    * Scale shape: one keyed aggregate; per-group state is the ordered
+    * observation list (30 days here) — the B16/B18 bounded frame.
+    * Groups with < 2m observations have no seasonal init and are
+    * excluded. */
+  def holtWintersOn(ss: Series, alpha: Double = 0.5, beta: Double = 0.3,
+      gamma: Double = 0.2, m: Int = 7, horizon: Int = 7): DataFrame = {
+    val s0 = ss.df.sparkSession
+    import s0.implicits._
+    val a = alpha; val b = beta; val g = gamma
+    val ordered = array_sort(collect_list(struct(col(ss.period).as("p"),
+      col(ss.value).cast("long").as("yc"))))
+    // lnew is textually inlined in the b/s updates (identical twin
+    // text) — codegen CSEs it, the IEEE sequence is unchanged.
+    val lnew = s"$a * (x - element_at(acc.s, 1)) + ${1 - a} * (acc.l + acc.b)"
+    var out = ss.df.groupBy(col(ss.grp))
+      .agg(count(lit(1)).as("n_obs"), ordered.as("obs"))
+      .filter($"n_obs" >= 2 * m)
+      .withColumn("v", transform($"obs", x => x.getField("yc").cast("double")))
+      .withColumn("s1", expr(s"aggregate(slice(v, 1, $m), 0D, (acc, x) -> acc + x)"))
+      .withColumn("s2", expr(s"aggregate(slice(v, ${m + 1}, $m), 0D, (acc, x) -> acc + x)"))
+      .withColumn("st", expr(
+        s"""aggregate(slice(v, ${m + 1}, size(v) - $m),
+           |  named_struct(
+           |    'l', s1 / $m.0D,
+           |    'b', (s2 - s1) / ${m * m}.0D,
+           |    's', transform(slice(v, 1, $m), x -> x - s1 / $m.0D)),
+           |  (acc, x) -> named_struct(
+           |    'l', $lnew,
+           |    'b', $b * ($lnew - acc.l) + ${1 - b} * acc.b,
+           |    's', concat(slice(acc.s, 2, ${m - 1}),
+           |      array($g * (x - ($lnew)) + ${1 - g} * element_at(acc.s, 1)))))""".stripMargin))
+      .withColumn("level", $"st.l").withColumn("trend", $"st.b")
+    for (h <- 1 to horizon)
+      out = out.withColumn(s"fc$h",
+        $"level" + lit(h.toDouble) * $"trend" + element_at($"st.s", h))
+    out.select((col(ss.grp) +: $"n_obs" +: $"level" +: $"trend" +:
+        (1 to horizon).map(h => col(s"fc$h"))): _*)
+      .orderBy(col(ss.grp))
+  }
+
+  def holtWinters(s: SparkSession, dir: String): DataFrame =
+    holtWintersOn(dailyCounts(s, dir))
+
   /** B19 time-RANGE window aggregation — the pandas `rolling('7D')`
     * twin: per key, trailing-7-day count and value sum with a RANGE
     * frame over event time. Rows enter the frame by TIMESTAMP
@@ -525,6 +668,8 @@ object Resilience {
     "q_shock_sim" -> shockSim,
     "q_ar1_forecast" -> ar1Forecast,
     "q_holt_forecast" -> holtForecast,
+    "q_seasonal_decompose" -> seasonalDecompose,
+    "q_hw_forecast" -> holtWinters,
     "q_range_window" -> ((s, dir) => rangeWindow(Tables.events(s, dir))),
     "q_window_rank" -> windowRank,
     "q_running_sum" -> runningSum,
@@ -538,6 +683,10 @@ object Resilience {
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1, 2""".stripMargin
+
+  private val dailyCountsSql =
+    """SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+      |FROM events GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_ewma" ->
@@ -778,6 +927,98 @@ object Resilience {
          |FROM hw JOIN n ON hw.n_name = n.n_name AND hw.t = n.n_periods
          |WHERE n.n_periods >= 2
          |ORDER BY hw.n_name""".stripMargin,
+    // trend = centered-window integer sum / 7; positional seasonal
+    // means over exact integer numerators; the re-centering mean is
+    // an explicit left-associated 7-term chain — the identical IEEE
+    // sequence as the Spark fold.
+    "q_seasonal_decompose" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |b AS (
+         |  SELECT event_type, day, y,
+         |    row_number() OVER w AS t,
+         |    count(*) OVER w7 AS nwin,
+         |    (sum(y) OVER w7)::BIGINT AS wsum
+         |  FROM d
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+         |    w7 AS (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |c AS (
+         |  SELECT *, CASE WHEN nwin = 7 THEN wsum::DOUBLE / 7 END AS trend,
+         |    ((t - 1) % 7)::INT AS season,
+         |    CASE WHEN nwin = 7 THEN 7 * y - wsum END AS dnum
+         |  FROM b),
+         |praw AS (
+         |  SELECT event_type, season, sum(dnum)::BIGINT AS snum,
+         |    count(*) AS scnt
+         |  FROM c WHERE dnum IS NOT NULL GROUP BY 1, 2),
+         |pr2 AS (SELECT event_type, season,
+         |  snum::DOUBLE / (7.0 * scnt) AS s_raw FROM praw),
+         |wide AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN season = 0 THEN s_raw END) AS s0,
+         |    max(CASE WHEN season = 1 THEN s_raw END) AS s1,
+         |    max(CASE WHEN season = 2 THEN s_raw END) AS s2,
+         |    max(CASE WHEN season = 3 THEN s_raw END) AS s3,
+         |    max(CASE WHEN season = 4 THEN s_raw END) AS s4,
+         |    max(CASE WHEN season = 5 THEN s_raw END) AS s5,
+         |    max(CASE WHEN season = 6 THEN s_raw END) AS s6
+         |  FROM pr2 GROUP BY 1),
+         |wm AS (SELECT *,
+         |  (s0 + s1 + s2 + s3 + s4 + s5 + s6) / 7.0 AS smean FROM wide),
+         |sj AS (
+         |  SELECT c.*, CASE c.season
+         |      WHEN 0 THEN s0 - smean WHEN 1 THEN s1 - smean
+         |      WHEN 2 THEN s2 - smean WHEN 3 THEN s3 - smean
+         |      WHEN 4 THEN s4 - smean WHEN 5 THEN s5 - smean
+         |      WHEN 6 THEN s6 - smean END AS seasonal
+         |  FROM c JOIN wm ON c.event_type = wm.event_type)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, y, trend,
+         |  seasonal, y - trend - seasonal AS resid
+         |FROM sj ORDER BY event_type, day""".stripMargin,
+    // recursive CTE carrying the seasonal queue as a DOUBLE[] list —
+    // the B18 (struct-accumulator aliasing) precedent extended; every
+    // update expression is textually the Spark fold's.
+    "q_hw_forecast" ->
+      s"""WITH RECURSIVE d AS ($dailyCountsSql),
+         |pts AS (
+         |  SELECT event_type, y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+         |  FROM d),
+         |lists AS (
+         |  SELECT event_type, list(y ORDER BY t) AS ys, count(*) AS n
+         |  FROM pts GROUP BY 1),
+         |init AS (
+         |  SELECT event_type, ys, n,
+         |    list_sum(ys[1:7])::DOUBLE AS sm1,
+         |    list_sum(ys[8:14])::DOUBLE AS sm2
+         |  FROM lists WHERE n >= 14),
+         |rec AS (
+         |  SELECT event_type, 7 AS t,
+         |    sm1 / 7.0 AS l,
+         |    (sm2 - sm1) / 49.0 AS b,
+         |    list_transform(ys[1:7], x -> x - sm1 / 7.0) AS s
+         |  FROM init
+         |  UNION ALL
+         |  SELECT r.event_type, r.t + 1,
+         |    0.5 * (p.y - r.s[1]) + 0.5 * (r.l + r.b),
+         |    0.3 * (0.5 * (p.y - r.s[1]) + 0.5 * (r.l + r.b) - r.l)
+         |      + 0.7 * r.b,
+         |    r.s[2:7] || [0.2 * (p.y
+         |      - (0.5 * (p.y - r.s[1]) + 0.5 * (r.l + r.b)))
+         |      + 0.8 * r.s[1]]
+         |  FROM rec r JOIN pts p
+         |    ON p.event_type = r.event_type AND p.t = r.t + 1)
+         |SELECT r.event_type, i.n AS n_obs, r.l AS level, r.b AS trend,
+         |  r.l + 1.0 * r.b + r.s[1] AS fc1,
+         |  r.l + 2.0 * r.b + r.s[2] AS fc2,
+         |  r.l + 3.0 * r.b + r.s[3] AS fc3,
+         |  r.l + 4.0 * r.b + r.s[4] AS fc4,
+         |  r.l + 5.0 * r.b + r.s[5] AS fc5,
+         |  r.l + 6.0 * r.b + r.s[6] AS fc6,
+         |  r.l + 7.0 * r.b + r.s[7] AS fc7
+         |FROM rec r JOIN init i
+         |  ON r.event_type = i.event_type AND r.t = i.n
+         |ORDER BY r.event_type""".stripMargin,
     "q_range_window" ->
       """SELECT user_id, event_id, epoch_us(ts) AS us,
         |  count(*) OVER win AS n_7d,

@@ -114,6 +114,62 @@ class ReferenceReplicaSpec extends AnyFunSuite {
     assert(got("flat") == ((3L, 5.0, 0.0, 5.0, 5.0, 5.0)), s"got ${got("flat")}")
   }
 
+  test("seasonal decompose recovers an exact linear trend + integer seasonal") {
+    import spark.implicits._
+    // y = 10·t + p[(t−1)%7], Σp = 0: the centered 7-MA of the linear
+    // part is exactly 10·t, every window covers each position once, so
+    // trend/seasonal/resid are all EXACT (integer FP arithmetic).
+    val p = Array(3L, -2L, 5L, -1L, -4L, 1L, -2L)
+    val rows = for (t <- 1L to 28L) yield ("g", t, 10L * t + p(((t - 1) % 7).toInt))
+    val got = Resilience.seasonalDecomposeOn(
+        Series(rows.toDF("g", "p", "v"), "g", "p", "v"))
+      .orderBy($"p").collect()
+    assert(got.length == 28)
+    for (r <- got) {
+      val t = r.getLong(1)
+      if (t >= 4 && t <= 25) {
+        assert(r.getDouble(3) == 10.0 * t, s"trend at t=$t")
+        assert(r.getDouble(4) == p(((t - 1) % 7).toInt).toDouble, s"seasonal at t=$t")
+        assert(r.getDouble(5) == 0.0, s"resid at t=$t")
+      } else assert(r.isNullAt(3) && r.isNullAt(5), s"edge t=$t must be null")
+    }
+  }
+
+  test("Holt-Winters: flat series is a fixed point; random series matches a driver fold") {
+    import spark.implicits._
+    val flat = (1L to 28L).map(t => ("flat", t, 9L))
+    // deterministic pseudo-random integers (no Random — seeded LCG)
+    var seed = 12345L
+    val rnd = (1L to 30L).map { t =>
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ("rnd", t, math.floorMod(seed >> 33, 50L))
+    }
+    val got = Resilience.holtWintersOn(
+        Series((flat ++ rnd).toDF("g", "p", "v"), "g", "p", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val f = got("flat")
+    assert(f.getLong(1) == 28L && f.getDouble(2) == 9.0 && f.getDouble(3) == 0.0)
+    for (h <- 1 to 7) assert(f.getDouble(3 + h) == 9.0, s"flat fc$h")
+    // driver-side reference fold: classic init + the three coupled
+    // updates, the IDENTICAL op order — must match bit-for-bit.
+    val ys = rnd.map(_._3.toDouble).toArray
+    val (a, b, g, m) = (0.5, 0.3, 0.2, 7)
+    val s1 = ys.take(m).foldLeft(0.0)(_ + _)
+    val s2 = ys.slice(m, 2 * m).foldLeft(0.0)(_ + _)
+    var l = s1 / 7.0; var bb = (s2 - s1) / 49.0
+    var q = ys.take(m).map(_ - s1 / 7.0)
+    for (x <- ys.drop(m)) {
+      val lnew = a * (x - q(0)) + (1 - a) * (l + bb)
+      val bnew = b * (lnew - l) + (1 - b) * bb
+      val snew = g * (x - lnew) + (1 - g) * q(0)
+      q = q.drop(1) :+ snew; l = lnew; bb = bnew
+    }
+    val r = got("rnd")
+    assert(r.getDouble(2) == l && r.getDouble(3) == bb)
+    for (h <- 1 to 7)
+      assert(r.getDouble(3 + h) == l + h.toDouble * bb + q(h - 1), s"rnd fc$h")
+  }
+
   test("AR(1) skips groups without consecutive periods or with zero variance") {
     import spark.implicits._
     val df = Seq(
