@@ -53,6 +53,24 @@ object Sink {
     (if (single) df.coalesce(1) else df)
       .write.mode(SaveMode.Overwrite).json(path)
 
+  /** Bucketed + sorted parquet table (H12) — the co-location layout
+    * for repeated big joins/aggregations on a stable key: both sides
+    * hash into the same `buckets` files at WRITE time, so every later
+    * join or groupBy on `keys` reads matching buckets instead of
+    * shuffling the corpus (plan shows a join with ZERO Exchange —
+    * spec-pinned). At 100 TB this converts the recurring fact⋈fact
+    * shuffle (the single most expensive stage in a daily pipeline)
+    * into a one-time write cost; size `buckets` so one bucket of the
+    * LARGER table fits an executor (e.g. 4096 for a 10 TB fact at
+    * ~2.5 GB/bucket). Registered through the session catalog because
+    * bucket metadata lives in the table definition, not the files. */
+  def bucketed(df: DataFrame, table: String, buckets: Int,
+      keys: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(table)
+
   /** Small-file compaction: rewrite a parquet dataset into ~targetMB
     * files. The operational fix for streaming sinks and over-
     * partitioned writes — a million tiny files turn a 100 TB scan

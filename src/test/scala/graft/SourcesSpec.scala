@@ -277,4 +277,52 @@ class SourcesSpec extends AnyFunSuite {
     val unmerged = spark.read.parquet(s"$base/gen1", s"$base/gen2")
     assert(unmerged.columns.length <= 3)
   }
+
+  test("H12: bucketed tables join and aggregate with zero Exchange") {
+    import spark.implicits._
+    val confs = Seq(
+      // force the shuffle-join regime (the one bucketing exists for);
+      // AQE off so the pinned plan is the static one
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      graft.sources.Sink.bucketed(
+        graft.sources.Tables.orders(spark, "/root/testdata/sf0.001"), "b_orders", 8, Seq("o_custkey"))
+      graft.sources.Sink.bucketed(
+        graft.sources.Tables.customer(spark, "/root/testdata/sf0.001"), "b_customer", 8, Seq("c_custkey"))
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(org.apache.spark.sql.functions.sum($"o_totalprice").as("rev"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join AND the partial-agg-to-final boundary would each be a
+      // shuffle on unbucketed reads; co-located buckets erase the join
+      // one (the groupBy re-keys on a different column, so exactly the
+      // one unavoidable Exchange survives)
+      assert(plan.split("Exchange").length - 1 == 1,
+        s"expected exactly 1 Exchange (the re-key agg), got:\n$plan")
+      assert(plan.contains("SortMergeJoin"), "bucketed join must be SMJ")
+      assert(plan.contains("SelectedBucketsCount"),
+        "scan must report bucket pruning capability")
+      // same-key aggregation needs NO shuffle at all
+      val agg = spark.table("b_orders").groupBy($"o_custkey")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val aplan = agg.queryExecution.executedPlan.toString
+      assert(!aplan.contains("Exchange"),
+        s"bucketed same-key agg must not shuffle:\n$aplan")
+      // and the answers are right
+      assert(joined.count() > 0 && agg.count() > 0)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
 }
