@@ -741,6 +741,44 @@ object Similarity {
     least(scored.toIndexedSeq: _*).getField("id")
   }
 
+  /** E12 SQ8 scalar quantization — the memory lever BEFORE any index:
+    * each vector stores as `array<tinyint>` codes + ONE float scale
+    * (max-abs / 127), a 4× shrink of the float corpus (≈8× vs a
+    * double one) that composes with every E-track searcher. Encoding
+    * is `floor(x·127/m + 0.5)` — an explicit half-up written the same
+    * way in the twin, because the engines' `round()` tie rules differ.
+    * Zero vectors get scale 0 and all-zero codes. */
+  def sq8Quantize(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("m", expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("codes", expr(
+        "transform(v, x -> CAST(CASE WHEN m > 0 THEN floor(x * 127.0 / m + 0.5) ELSE 0 END AS TINYINT))"))
+      .select($"vec_id", $"codes", $"m")
+  }
+
+  /** E12 search over the quantized corpus: dequantize per row
+    * (`code · m/127` — codegen'd, no stored doubles) and run the E1
+    * scoring shape (broadcast exact queries, DotProduct cosine,
+    * bounded-heap top-k). The approximation error is the point of the
+    * graded query: the oracle replays the quantization bit-exactly,
+    * and the recall spec measures SQ8-vs-exact agreement. At 100 TB
+    * the quantized table is what you persist and scan — 4× fewer
+    * bytes through every stage of an exact or IVF search. */
+  def annSq8(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = sq8Quantize(vecs)
+      .withColumn("v", expr("transform(codes, c -> c * (m / 127.0))"))
+      .withColumn("n", VectorFunctions.norm($"v"))
+      .select($"vec_id", $"v", $"n")
+    val q = withNorm(vecs).filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6))
+    topKPerQuery(scored)
+  }
+
   private def onVecs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.embeddings(s, dir))
 
@@ -754,6 +792,7 @@ object Similarity {
     "ann_ivfpq_index" -> (ivfPqIndexEntry(_, _)),
     "ann_ivfpq_index_rerank" -> (ivfPqIndexRerankEntry(_, _)),
     "ann_pq" -> onVecs(annPq),
+    "ann_sq8" -> onVecs(annSq8),
     "kmeans_assign" -> onVecs(v => kmeans(v)))
 
   /** DuckDB twin of [[annPq]]: same seed codebooks (slices of the
@@ -1036,6 +1075,40 @@ object Similarity {
     "ann_ivfpq_index_rerank" ->
       ivfPqRerankOracleSql(k = 16, iters = 2, nProbe = 2, shortlist = 10),
     "ann_pq" -> annPqOracleSql,
+    // explicit half-up (floor(x+0.5)) in BOTH engines — round() tie
+    // rules differ; dequant + cosine replay the identical IEEE ops.
+    "ann_sq8" ->
+      s"""WITH raw AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |mx AS (
+         |  SELECT vec_id, v,
+         |    list_max(list_transform(v, x -> abs(x))) AS m
+         |  FROM raw),
+         |sq AS (
+         |  SELECT vec_id, m, list_transform(v, x ->
+         |    CASE WHEN m > 0 THEN floor(x * 127.0 / m + 0.5) ELSE 0 END
+         |  ) AS codes
+         |  FROM mx),
+         |e AS (
+         |  SELECT vec_id,
+         |    list_transform(codes, c -> c * (m / 127.0)) AS v
+         |  FROM sq),
+         |en AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM e),
+         |q AS (
+         |  SELECT vec_id AS q_id, v AS qv,
+         |    sqrt(list_dot_product(v, v)) AS qn
+         |  FROM raw WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.q_id, en.vec_id,
+         |    round(list_dot_product(q.qv, en.v) / (q.qn * en.n), 6) AS cos
+         |  FROM en JOIN q ON en.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "ann_bruteforce" ->
       s"""WITH $eCte,
          |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e

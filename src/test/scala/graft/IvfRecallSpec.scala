@@ -75,6 +75,35 @@ class IvfRecallSpec extends AnyFunSuite {
     } finally vecs.unpersist()
   }
 
+  test("SQ8: codes are 1-byte, dequant error is bounded, top-k agrees with exact") {
+    import spark.implicits._
+    val sf = GraftTestSession.sf
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+    val q = Similarity.sq8Quantize(vecs)
+    // the compression claim: int8 codes + one float scale per vector
+    assert(q.schema("codes").dataType.asInstanceOf[
+        org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.ByteType,
+      s"codes must be tinyint, got ${q.schema("codes").dataType}")
+    // max dequantization error ≤ m/254 per component (half-step)
+    val err = q.join(vecs.select($"vec_id",
+        $"embedding".cast("array<double>").as("v")), "vec_id")
+      .withColumn("d", expr("transform(codes, c -> c * (m / 127.0))"))
+      .withColumn("e", expr(
+        """aggregate(zip_with(v, d, (a, b) -> abs(a - b)),
+          |  0D, (acc, x) -> greatest(acc, x))""".stripMargin))
+      .withColumn("bound", $"m" / 254.0 + lit(1e-12))
+      .filter($"e" > $"bound").count()
+    assert(err == 0, s"$err vectors exceed the half-step error bound")
+    // retrieval agreement: SQ8 top-3 vs exact top-3 (recall@3)
+    val exact = Similarity.bruteforce(vecs)
+      .select($"q_id", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.annSq8(vecs)
+      .select($"q_id", $"vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"SQ8 recall@3 vs exact = $recall")
+  }
+
   test("norm-mismatch regime: recall climbs to exact as nProbe -> nlist") {
     val vecs = corpus(normSpread = true).persist()
     try {
