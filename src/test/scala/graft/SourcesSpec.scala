@@ -278,6 +278,73 @@ class SourcesSpec extends AnyFunSuite {
     assert(unmerged.columns.length <= 3)
   }
 
+  test("H13: copy-on-write merge rewrites only touched partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cow").toString + "/t"
+    // target: 5 partitions × 3 rows
+    val rows = for (p <- 0 until 5; i <- 0 until 3)
+      yield (p.toLong * 10 + i, s"v${p}_$i", p)
+    rows.toDF("id", "payload", "part")
+      .write.partitionBy("part").parquet(dir)
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val before = files()
+    // delta: update id=10 (part 1), delete id=30 (part 3), insert id=99 (part 3)
+    val delta = Seq(
+      (10L, "v1_0_NEW", 1, "u"),
+      (30L, null.asInstanceOf[String], 3, "d"),
+      (99L, "v3_new", 3, "u")).toDF("id", "payload", "part", "op")
+    graft.sources.Lake.mergeIntoPartitioned(spark, dir, "part", "id", delta)
+    val after = files()
+    // untouched partitions (0, 2, 4): byte-identical files
+    def untouched(m: Map[String, Long]) =
+      m.filter { case (p, _) => Seq("part=0", "part=2", "part=4").exists(p.contains) }
+    assert(untouched(before) == untouched(after),
+      "untouched partitions must not be rewritten")
+    // touched partitions actually rewritten
+    assert(before.keySet.filter(_.contains("part=1")) !=
+      after.keySet.filter(_.contains("part=1")), "part=1 must be rewritten")
+    // semantics: update applied, delete gone, insert present, rest intact
+    val got = spark.read.parquet(dir).orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 15) // 15 - 1 delete + 1 insert
+    assert(got(10L) == "v1_0_NEW" && got(99L) == "v3_new" && !got.contains(30L))
+    assert(got(11L) == "v1_1" && got(32L) == "v3_2")
+  }
+
+  test("H14: z-order layout prunes row groups on BOTH box dimensions") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_z").toString
+    // 200k rows, two independent uniform dims
+    val data = spark.range(200000).select(
+      $"id",
+      expr("cast(abs(xxhash64(id, 1)) % 100000 as double)").as("x"),
+      expr("cast(abs(xxhash64(id, 2)) % 100000 as double)").as("y"))
+    // unclustered baseline: same file count, insertion order
+    data.repartition(16).write.parquet(s"$base/plain")
+    graft.sources.Lake.zorderWrite(data, s"$base/z", Seq("x", "y"), 16)
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter($"x" < 10000 && $"y" < 10000) // ~1% box
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .find(_.nodeName.contains("Scan")).get
+      scan.metrics("numOutputRows").value
+    }
+    val plain = scanRows(s"$base/plain")
+    val z = scanRows(s"$base/z")
+    // unclustered: every row group intersects the box → scan reads ~all
+    // z-ordered: only the box corner's curve segments survive stats
+    assert(plain > 150000L, s"baseline unexpectedly pruned: $plain")
+    assert(z < plain / 4, s"z-order must prune most row groups: z=$z plain=$plain")
+    // layout change must not change content
+    assert(spark.read.parquet(s"$base/z").count() == 200000L)
+  }
+
   test("H12: bucketed tables join and aggregate with zero Exchange") {
     import spark.implicits._
     val confs = Seq(
