@@ -331,6 +331,56 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  /** D12 semantic dedup (SemDeDup, Abbas et al. 2023): cluster-blocked
+    * embedding near-dup — k-means cells bound the candidate space
+    * (the paper's blocking: only same-cluster pairs are compared, an
+    * explicit approximation — cross-cell near-dups are missed by
+    * design), then exact cosine within the cell drops every vector
+    * that has a lower-id neighbor above the threshold. Complements
+    * D5's LSH blocking: clusters adapt to corpus density where
+    * hyperplane buckets are data-oblivious, and the same trained
+    * centroids serve the E5/E7 indexes. Per dropped vector the output
+    * carries its smallest-id kept neighbor and that pair's cosine
+    * (struct-min — deterministic under any partitioning).
+    * Scale shape: candidate work is Σ cell², controlled by k
+    * (k ≈ corpus/10⁵ keeps cells bounded); centroid state is k×dim
+    * doubles on the driver — the E-track contract. */
+  def semanticDedup(vecs: DataFrame, k: Int = 8, iters: Int = 3,
+      threshold: Double = 0.40): DataFrame = {
+    import vecs.sparkSession.implicits._
+    import graft.functions.VectorFunctions
+    // cluster on L2-NORMALIZED vectors (the paper's setup): euclidean
+    // cells over unit vectors partition by direction — the geometry
+    // cosine scores by — so scaled near-dups co-locate; raw-vector
+    // cells would split by norm (the IvfRecallSpec norm-mismatch
+    // regime) and miss them. Zero vectors stay raw (cell 0-ish,
+    // harmless: their cosine is NaN and never crosses the threshold).
+    val unit = vecs.select($"vec_id",
+        $"embedding".cast("array<double>").as("v"))
+      .withColumn("n", VectorFunctions.norm($"v"))
+      .withColumn("embedding",
+        expr("CASE WHEN n > 0 THEN transform(v, x -> x / n) ELSE v END"))
+      .select($"vec_id", $"embedding")
+    val centroids = Similarity.kmeansCentroids(unit, k, iters)
+    val e = vecs
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("n", VectorFunctions.norm($"v"))
+      .withColumn("u",
+        expr("CASE WHEN n > 0 THEN transform(v, x -> x / n) ELSE v END"))
+      .withColumn("cell", Similarity.assignColOn(centroids, $"u"))
+      .drop("u")
+    val a = e.select($"cell", $"vec_id".as("ka"), $"v".as("va"), $"n".as("na"))
+    val b = e.select($"cell", $"vec_id".as("kb"), $"v".as("vb"), $"n".as("nb"))
+    a.join(b, Seq("cell")).filter($"ka" < $"kb")
+      .withColumn("cos",
+        round(VectorFunctions.dot($"va", $"vb") / ($"na" * $"nb"), 6))
+      .filter($"cos" >= threshold)
+      .groupBy($"kb".as("vec_id"))
+      .agg(min(struct($"ka", $"cos")).as("m"))
+      .select($"vec_id", $"m.ka".as("kept_id"), $"m.cos".as("cos"))
+      .orderBy($"vec_id")
+  }
+
   /** D6 end-to-end clean corpus: documents surviving exact dedup
     * (keeper per content hash), i.e. what a pipeline actually feeds
     * downstream. */
@@ -522,6 +572,7 @@ object Dedup {
     "dedup_minhash" -> onDocs(minhashLsh),
     "dedup_simhash" -> onDocs(simhash),
     "dedup_embedding" -> ((s, dir) => embeddingCosine(Tables.embeddings(s, dir))),
+    "dedup_semantic" -> ((s, dir) => semanticDedup(Tables.embeddings(s, dir))),
     "dedup_fuzzy_brand" -> ((s, dir) =>
       fuzzyKeys(Tables.part(s, dir), "p_brand", maxDist = 1)),
     "dedup_clusters" -> onDocs(nearDupClusters),
@@ -551,6 +602,39 @@ object Dedup {
        |  JOIN rare USING (shingle))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same unrolled Lloyd's as the kmeans oracles but trained on
+    // L2-NORMALIZED vectors (SemDeDup clusters by direction), then
+    // exact cosine over the RAW vectors within the learned cell and a
+    // min-ka keeper per dropped vector
+    "dedup_semantic" ->
+      s"""WITH ${Similarity.lloydAssignCtesSql(k = 8, iters = 3, evSql =
+           """SELECT vec_id,
+             |    CASE WHEN n0 > 0 THEN list_transform(v0, x -> x / n0)
+             |      ELSE v0 END AS v
+             |  FROM (
+             |    SELECT vec_id, embedding::DOUBLE[] AS v0,
+             |      sqrt(list_dot_product(embedding::DOUBLE[],
+             |        embedding::DOUBLE[])) AS n0
+             |    FROM embeddings)""".stripMargin)},
+         |rawv AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    sqrt(list_dot_product(embedding::DOUBLE[],
+         |      embedding::DOUBLE[])) AS n
+         |  FROM embeddings),
+         |en AS (
+         |  SELECT a.vec_id, a.cell, r.v, r.n
+         |  FROM asg a JOIN rawv r USING (vec_id)),
+         |pairs AS (
+         |  SELECT x.vec_id AS ka, y.vec_id AS kb,
+         |    round(list_dot_product(x.v, y.v) / (x.n * y.n), 6) AS cos
+         |  FROM en x JOIN en y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |hits AS (SELECT * FROM pairs WHERE cos >= 0.4),
+         |r AS (
+         |  SELECT kb AS vec_id, ka AS kept_id, cos,
+         |    row_number() OVER (PARTITION BY kb ORDER BY ka) AS rn
+         |  FROM hits)
+         |SELECT vec_id, kept_id, cos FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
     "dedup_fuzzy_brand" ->
       """WITH k AS (SELECT DISTINCT p_brand AS k FROM part)
         |SELECT x.k AS key_a, y.k AS key_b,

@@ -94,6 +94,37 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** A29 exact distributed quantiles — the scale path past A12's
+    * `percentile` aggregate (which buffers a value→count map per
+    * group): inverse-CDF (type-1) quantiles from a cumulative
+    * histogram. The corpus reduces to a (group, value) count table
+    * (one shuffle), a per-group cumulative window runs over DISTINCT
+    * values only, and each quantile is `min(value | cum ≥ ⌈p·n⌉)` —
+    * exact integers end to end, no per-group collect, no value map.
+    * Scale shape: window cost is O(distinct values) in one task per
+    * group — integer cents bound it at ~10⁷ for money-like columns;
+    * for unbounded-cardinality doubles, pre-quantize or split the
+    * cumsum with the F14 bucket-offset decomposition. */
+  def quantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("priority"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val counts = pts.groupBy($"priority", $"cents").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"priority").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"priority")))
+    val qCols = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+      .map { case (nm, p) =>
+        min(when($"cum" >= ceil(lit(p) * $"n"), $"cents")).as(nm) }
+    cum.groupBy($"priority")
+      .agg(max($"n").as("n"), qCols: _*)
+      .orderBy($"priority")
+  }
+
   /** A3 flagship clean: merge two long tables on (group, year), dropna,
     * derived real value, range filter — ipynb cell 3
     * (`pd.merge(table2_long, table3_long, on=["Industry","Year"])` +
@@ -476,6 +507,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_argmax" -> argExtremes,
+    "q_quantiles" -> quantiles,
     "q_melt" -> melt,
     "q_pivot" -> pivot,
     "q_pivot_mean" -> pivotMean,
@@ -506,6 +538,26 @@ object Relational {
   val oracles: Map[String, String] = Map(
     // struct-extremum twin: (bal, custkey) tuple order == Spark's
     // struct field order, so ties break identically
+    // type-1 inverse-CDF over exact integer cents; ⌈p·n⌉ is the same
+    // one double product + ceil in both engines
+    "q_quantiles" ->
+      """WITH pts AS (
+        |  SELECT o_orderpriority AS priority,
+        |    round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |counts AS (
+        |  SELECT priority, cents, count(*) AS c FROM pts GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT priority, cents,
+        |    (sum(c) OVER (PARTITION BY priority ORDER BY cents))::BIGINT AS cum,
+        |    (sum(c) OVER (PARTITION BY priority))::BIGINT AS n
+        |  FROM counts)
+        |SELECT priority, max(n) AS n,
+        |  min(CASE WHEN cum >= ceil(0.25 * n) THEN cents END) AS p25,
+        |  min(CASE WHEN cum >= ceil(0.5 * n) THEN cents END) AS p50,
+        |  min(CASE WHEN cum >= ceil(0.9 * n) THEN cents END) AS p90,
+        |  min(CASE WHEN cum >= ceil(0.99 * n) THEN cents END) AS p99
+        |FROM cum GROUP BY priority ORDER BY priority""".stripMargin,
     "q_argmax" ->
       """WITH c AS (
         |  SELECT n_name, round(c_acctbal * 100)::BIGINT AS bal_c,

@@ -729,16 +729,23 @@ object Similarity {
 
   /** Nearest-centroid expression: squared-euclidean argmin over the
     * broadcast centroid literals, all inside codegen via DotProduct. */
-  private def assignCol(centroids: Array[(Int, Array[Double])]): Column = {
+  private[graft] def assignCol(centroids: Array[(Int, Array[Double])]): Column =
+    assignColOn(centroids, col("v"))
+
+  private[graft] def assignColOn(centroids: Array[(Int, Array[Double])],
+      v: Column): Column = {
     val scored = centroids.map { case (id, c) =>
       val cl = typedlit(c)
       // |v-c|² = v·v - 2 v·c + c·c; v·v is constant per row → argmin
       // over (c·c - 2 v·c)
       val d = lit(c.map(x => x * x).sum) -
-        lit(2.0) * VectorFunctions.dot(col("v"), cl)
+        lit(2.0) * VectorFunctions.dot(v, cl)
       struct(d.as("d"), lit(id).as("id"))
     }
-    least(scored.toIndexedSeq: _*).getField("id")
+    // Lloyd's can collapse to one populated cell (e.g. rank-1 data);
+    // `least` requires ≥ 2 args
+    if (scored.length == 1) scored.head.getField("id")
+    else least(scored.toIndexedSeq: _*).getField("id")
   }
 
   /** E12 SQ8 scalar quantization — the memory lever BEFORE any index:
@@ -902,6 +909,27 @@ object Similarity {
        |      ORDER BY list_dot_product(c.cv, c.cv)
        |        - 2 * list_dot_product(ev.v, c.cv), c.cell) AS rn
        |    FROM ev CROSS JOIN c$iters c$where""".stripMargin
+
+  /** The trained-assignment CTE chain (ev with norms, unrolled Lloyd's
+    * c0…c$iters, final `asg(vec_id, cell)`) for oracles that block on
+    * learned cells — shared with Dedup's SemDeDup twin. `evSql`
+    * overrides the ev body (e.g. L2-normalized vectors) as long as it
+    * yields (vec_id, v DOUBLE[]). */
+  private[graft] def lloydAssignCtesSql(k: Int, iters: Int,
+      evSql: String =
+        """SELECT vec_id, embedding::DOUBLE[] AS v,
+          |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+          |  FROM embeddings""".stripMargin): String =
+    s"""ev AS (
+       |  $evSql),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+       |  FROM (SELECT vec_id, v FROM ev ORDER BY vec_id LIMIT $k)),
+       |${(0 until iters).map(kmeansIterSql).mkString(",\n")},
+       |asg AS (
+       |  SELECT vec_id, cell FROM (
+       |    ${assignRankSql(iters)})
+       |  WHERE rn = 1)""".stripMargin
 
   private def kmeansOracleSql(k: Int, iters: Int): String =
     s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

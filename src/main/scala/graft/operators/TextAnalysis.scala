@@ -339,7 +339,7 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** F15 sequence packing (the GPT-2/3 concat-and-chunk step): the
+  /** F14 sequence packing (the GPT-2/3 concat-and-chunk step): the
     * corpus is one virtual token stream — docs in doc_id order, one
     * EOS separator after each — cut into fixed `blockTokens` training
     * blocks. Emits each doc's global token span and the block range

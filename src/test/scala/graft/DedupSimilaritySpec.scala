@@ -199,4 +199,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // probabilistic one)
     assert(blocked == exact)
   }
+
+  test("semantic dedup drops the cloned vector, keeps the original, skips distinct ones") {
+    import spark.implicits._
+    // 0 and 5 identical (cos 1.0); 1 = 0 scaled (cos 1.0 — scale-
+    // invariant); the rest orthogonal-ish
+    val rows = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),
+      1L -> Array(2f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f),
+      3L -> Array(0f, 0f, 1f, 0f),
+      4L -> Array(0f, 0f, 0f, 1f),
+      5L -> Array(1f, 0f, 0f, 0f))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, k = 2, iters = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // clones of 0 must both be dropped with 0 as the kept neighbor —
+    // IF clustering co-locates them (identical direction ⇒ same cell)
+    assert(got == List((1L, 0L, 1.0), (5L, 0L, 1.0)), s"got $got")
+  }
+
+  test("exact quantiles: crafted uniform and tied groups hit the type-1 definition") {
+    import spark.implicits._
+    // group u: cents 1..100 → p25/p50/p90/p99 = 25/50/90/99
+    // group t: fifty 7s then fifty 11s → p25/p50 = 7, p90/p99 = 11
+    val u = (1 to 100).map(i => ("u", i.toLong / 100.0))
+    val t = (Seq.fill(50)(0.07) ++ Seq.fill(50)(0.11)).map(("t", _))
+    val df = (u ++ t).toDF("o_orderpriority", "o_totalprice")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q").toString
+    df.select($"o_orderpriority", $"o_totalprice").write
+      .parquet(s"$tmp/orders.parquet")
+    val got = graft.operators.Relational.quantiles(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("u") == ((100L, 25L, 50L, 90L, 99L)), s"got ${got("u")}")
+    assert(got("t") == ((100L, 7L, 7L, 11L, 11L)), s"got ${got("t")}")
+  }
 }

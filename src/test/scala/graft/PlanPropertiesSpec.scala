@@ -80,6 +80,23 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_hw_forecast folds in one keyed aggregate — no join, no window, one scan") {
+    val p = plan("q_hw_forecast")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"extra scans:\n$p")
+    assert(!p.contains("Join"), s"HW fold grew a join:\n$p")
+    assert(!p.contains("Window"), s"HW fold grew a window:\n$p")
+  }
+
+  test("q_seasonal_decompose joins only driver-scale frames (broadcast both ways)") {
+    val p = plan("q_seasonal_decompose")
+    // corpus-sized work is the two daily-count aggs; the trend ⋈
+    // seasonal recombination must stay a broadcast of (types × days)-
+    // sized frames, never a shuffled corpus join
+    assert(p.contains("BroadcastHashJoin"), s"recombination lost broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"seasonal recombination shuffles:\n$p")
+  }
+
   test("cdc_parse_envelope is one scan and zero joins before the presentation sort") {
     val p = plan("cdc_parse_envelope")
     assert("Scan parquet".r.findAllIn(p).size == 1)
