@@ -618,6 +618,46 @@ object Resilience {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** B22 rolling z-score anomaly detection — the monitoring twin of
+    * B15: flag events whose value deviates > `z`σ from the TRAILING
+    * window's mean, where mean/σ come from the `window` observations
+    * BEFORE the current row (a window including the current value
+    * inflates σ and masks the very spike being tested). The flag
+    * itself is an exact INTEGER predicate — (n·v − Σx)² > z²·n·(n·Σx²
+    * − (Σx)²) over cent-quantized BIGINTs, the B15/q_corr closed-form
+    * trick — so flagged rows are bit-deterministic in both engines
+    * with no epsilon anywhere; the reported z-score is one identical
+    * IEEE expression over those integers. Full-window rows only
+    * (n = window): partial heads would compare against noise.
+    * Scale shape: ONE window pass partitioned by user_id — the B15
+    * frame bound. */
+  def anomalies(events: DataFrame, window: Int = 7, z: Int = 3): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(-window, -1)
+    events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        round($"value" * 100).cast("long").as("vc"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum($"vc").over(w))
+      .withColumn("sxx", sum($"vc" * $"vc").over(w))
+      .filter($"n" === window)
+      // dev = n·v − Σx = n·(v − mean); varn = n·Σx² − (Σx)² = n²·σ²
+      // (population σ of the window) — so z = dev/√varn and the flag
+      // |z| > Z is exactly dev² > Z²·varn in BIGINTs
+      .withColumn("dev", $"n" * $"vc" - $"sx")
+      .withColumn("varn", $"n" * $"sxx" - $"sx" * $"sx")
+      .filter($"dev" * $"dev" > lit(z.toLong * z) * $"varn")
+      // a deviation from a CONSTANT window (varn = 0) is flagged but
+      // its z is undefined → null (ANSI-safe; same CASE in the twin)
+      .withColumn("z_score", when($"varn" > 0,
+        $"dev".cast("double") / sqrt($"varn".cast("double"))))
+      .select($"user_id", $"event_id", $"ts_us", $"vc",
+        ($"sx".cast("double") / ($"n".cast("double") * 100.0)).as("win_mean"),
+        $"z_score")
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** B16 exponential moving average (pandas `ewm(alpha).mean()` twin),
     * TRUNCATED to the trailing `window` observations: weights beyond
     * 20 rows are (1−α)²⁰ ≈ 8·10⁻⁴ of the head — the standard
@@ -670,6 +710,7 @@ object Resilience {
     "q_holt_forecast" -> holtForecast,
     "q_seasonal_decompose" -> seasonalDecompose,
     "q_hw_forecast" -> holtWinters,
+    "q_anomaly" -> ((s, dir) => anomalies(Tables.events(s, dir))),
     "q_range_window" -> ((s, dir) => rangeWindow(Tables.events(s, dir))),
     "q_window_rank" -> windowRank,
     "q_running_sum" -> runningSum,
@@ -1019,6 +1060,30 @@ object Resilience {
          |FROM rec r JOIN init i
          |  ON r.event_type = i.event_type AND r.t = i.n
          |ORDER BY r.event_type""".stripMargin,
+    // the anomaly flag is the exact integer predicate dev² > Z²·varn;
+    // win_mean/z_score are one identical IEEE expression each
+    "q_anomaly" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    round(value * 100)::BIGINT AS vc
+        |  FROM events),
+        |w AS (
+        |  SELECT *, count(*) OVER win AS n,
+        |    (sum(vc) OVER win)::BIGINT AS sx,
+        |    (sum(vc * vc) OVER win)::BIGINT AS sxx
+        |  FROM v
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        |  SELECT *, n * vc - sx AS dev, n * sxx - sx * sx AS varn
+        |  FROM w WHERE n = 7)
+        |SELECT user_id, event_id, ts_us, vc,
+        |  sx::DOUBLE / (n::DOUBLE * 100.0) AS win_mean,
+        |  CASE WHEN varn > 0
+        |    THEN dev::DOUBLE / sqrt(varn::DOUBLE) END AS z_score
+        |FROM f
+        |WHERE dev * dev > 9 * varn
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_range_window" ->
       """SELECT user_id, event_id, epoch_us(ts) AS us,
         |  count(*) OVER win AS n_7d,

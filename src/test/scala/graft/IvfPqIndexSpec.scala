@@ -122,6 +122,42 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(collectAll(Similarity.queryIvfPqIndex(spark, apDir, q)) == expected)
   }
 
+  test("C28: streamed appends serve identically to batch appends; replays are skipped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_st").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfpq_ck").toString
+    val vecs = Tables.embeddings(spark, sf)
+    Similarity.buildIvfPqIndex(vecs.filter($"vec_id" % 2 === 0), d)
+    // stream the odd half in as two micro-batches
+    val odd = vecs.filter($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect()
+    val in = MemoryStream[(Long, Array[Float])]
+    in.addData(odd.take(odd.length / 2).toIndexedSeq)
+    in.addData(odd.drop(odd.length / 2).toIndexedSeq)
+    val q = graft.streaming.VecStream.appendToIndex(
+      in.toDF().toDF("vec_id", "embedding"), d, ckpt, maxFiles = 0)
+    q.awaitTermination(60000); q.stop()
+    // served results == one frozen-model index over the union
+    val queries = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qv"))
+    val m = Similarity.loadIvfPqModel(spark, d)
+    val expected = collectAll(Similarity.ivfPqScore(
+      Similarity.ivfPqEncode(vecs.select($"vec_id",
+        $"embedding".cast("array<double>").as("v")), m),
+      Similarity.ivfPqProbe(queries, m, nProbe = 2)))
+    assert(collectAll(Similarity.queryIvfPqIndex(spark, d, queries)) == expected)
+    // a replayed batchId must be a no-op (the crash-recovery path)
+    val rows = spark.read.parquet(s"$d/codes").count()
+    val replay = vecs.filter($"vec_id" % 2 === 1).limit(3)
+    assert(!graft.streaming.VecStream.streamAppendBatch(d, replay, 0L),
+      "replayed batch 0 must be skipped")
+    assert(spark.read.parquet(s"$d/codes").count() == rows,
+      "replay appended duplicate code rows")
+  }
+
   test("E11 served rerank == in-memory rerank; vector lookups push an IN filter") {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, sf)

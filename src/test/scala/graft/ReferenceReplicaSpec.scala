@@ -170,6 +170,27 @@ class ReferenceReplicaSpec extends AnyFunSuite {
       assert(r.getDouble(3 + h) == l + h.toDouble * bb + q(h - 1), s"rnd fc$h")
   }
 
+  test("anomaly flag: spike fires, steady state doesn't, constant-window deviation is ±inf") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def series(uid: Long, vals: Seq[Double]) =
+      vals.zipWithIndex.map { case (v, i) => (uid, uid * 100 + i, i, v) }
+    val rows =
+      series(10L, Seq(4, 6, 4, 6, 4, 6, 4, 100.0)) ++ // spike → flag
+      series(20L, Seq(5, 5, 5, 5, 5, 5, 5, 5.0)) ++   // steady → none
+      series(30L, Seq(5, 5, 5, 5, 5, 5, 5, 6.0))      // const window, dev → ±inf flag
+    val events = rows.toDF("user_id", "event_id", "i", "value")
+      .withColumn("ts", expr("to_timestamp('2024-01-01') + make_interval(0, 0, 0, 0, i)"))
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val res = graft.operators.Resilience.anomalies(events).collect()
+    val got = res.map(r => (r.getLong(0), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(got.map(_._1).toSeq == Seq(10L, 30L), s"flagged users: ${got.toSeq}")
+    val z10 = got.find(_._1 == 10L).get._2.get
+    assert(z10 > 3 && !z10.isInfinite, s"spike z=$z10")
+    assert(got.find(_._1 == 30L).get._2.isEmpty,
+      "const-window deviation flags with undefined (null) z")
+  }
+
   test("AR(1) skips groups without consecutive periods or with zero variance") {
     import spark.implicits._
     val df = Seq(
