@@ -328,9 +328,7 @@ object Similarity {
       .withColumn("qq", VectorFunctions.dot($"qv", $"qv"))
       .withColumn("tbls", array(tblCols: _*))
       .select($"q_id", $"qq", $"tbls")
-    val adcCol = $"qq" + (0 until PqM).map(j =>
-      element_at(element_at($"tbls", j + 1),
-        element_at($"codes", j + 1) + 1)).reduce(_ + _)
+    val adcCol = $"qq" + graft.functions.AdcSum.adc($"tbls", $"codes")
     val scored = codes.join(broadcast(q), $"vec_id" =!= $"q_id")
       .withColumn("adc", adcCol)
     scored.groupBy($"q_id")
@@ -494,9 +492,7 @@ object Similarity {
   private[graft] def ivfPqScore(coded: DataFrame, qprobe: DataFrame,
       k: Int = TopK): DataFrame = {
     import coded.sparkSession.implicits._
-    val adcCol = $"qrq" + (0 until PqM).map(j =>
-      element_at(element_at($"tbls", j + 1),
-        element_at($"codes", j + 1) + 1)).reduce(_ + _)
+    val adcCol = $"qrq" + graft.functions.AdcSum.adc($"tbls", $"codes")
     val scored = coded.join(broadcast(qprobe), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
       .withColumn("adc", adcCol)

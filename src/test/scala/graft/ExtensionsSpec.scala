@@ -78,4 +78,23 @@ class ExtensionsSpec extends AnyFunSuite {
         Tables.lineitem(spark, GraftTestSession.sf).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("adc_sum equals the composed element_at fold bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic tables/codes; fold order must match exactly
+    val df = spark.range(100).select($"id",
+      expr("""transform(sequence(0, 7), j ->
+             |  transform(sequence(0, 15), c ->
+             |    cast(xxhash64(id, j, c) % 1000 as double) / 7.0))"""
+        .stripMargin).as("tbls"),
+      expr("transform(sequence(0, 7), j -> cast(abs(xxhash64(id, j)) % 16 as int))")
+        .as("codes"))
+    val both = df.select(
+      graft.functions.AdcSum.adc($"tbls", $"codes").as("fast"),
+      (0 until 8).map(j => element_at(element_at($"tbls", j + 1),
+        element_at($"codes", j + 1) + 1)).reduce(_ + _).as("slow"))
+    assert(both.filter($"fast" =!= $"slow").count() == 0,
+      "adc_sum diverged from the composed fold")
+  }
 }
