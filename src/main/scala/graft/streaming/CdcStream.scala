@@ -153,6 +153,27 @@ object CdcStream {
       .drop("__rkey")
   }
 
+  /** C29 stream-stream LEFT OUTER interval join — the attribution
+    * query users actually need: every left event emits, matched or
+    * not ("which clicks converted, AND which didn't"). Outer-ness is
+    * only decidable once the watermark proves no matching right row
+    * can still arrive, so unmatched rows emit null-padded AFTER the
+    * interval expires (Spark's outer stream-stream contract) — the
+    * spec drives the watermark forward and pins both the matched and
+    * the late null-padded emissions. Same bounded-state posture as
+    * C16: both sides watermarked, state evicted past the interval. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String): DataFrame = {
+    require(leftTs != rightTs, "sides need distinct timestamp column names")
+    val l = left.withWatermark(leftTs, within)
+    val r = right.withWatermark(rightTs, within)
+      .withColumnRenamed(key, "__rkey")
+    l.join(r, org.apache.spark.sql.functions.expr(
+        s"$key = __rkey AND $rightTs >= $leftTs" +
+          s" AND $rightTs <= $leftTs + interval $within"), "left_outer")
+      .drop("__rkey")
+  }
+
   /** C20 streaming sessionization via the native `session_window`:
     * events on the same key closer than `gap` merge into one growing
     * session; the watermark finalizes a session once no in-gap event

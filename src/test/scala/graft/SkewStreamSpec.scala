@@ -63,6 +63,46 @@ class SkewStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C29 left-outer interval join emits unmatched clicks null-padded after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def late(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = graft.streaming.CdcStream.intervalJoinLeftOuter(
+      clicks.toDF().toDF("user", "click_ts"),
+      buys.toDF().toDF("user", "buy_ts", "amount"),
+      "user", "click_ts", "buy_ts", "30 minutes")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attrib_outer").start()
+    try {
+      clicks.addData((1L, t(0)), (2L, t(5)))
+      buys.addData((1L, t(10), 9.99)) // converts; user 2 never buys
+      q.processAllAvailable()
+      // matched row emits promptly; the unmatched click CANNOT yet
+      // (a buy might still arrive inside its interval)
+      val early = spark.table("attrib_outer")
+        .select("user").as[Long].collect().toSet
+      assert(early == Set(1L), s"premature outer emission: $early")
+      // advance both watermarks far past user 2's interval
+      clicks.addData((9L, late(13)))
+      buys.addData((9L, late(13), 0.0))
+      q.processAllAvailable()
+      clicks.addData((10L, late(14))); buys.addData((10L, late(14), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer")
+        .select("user", "amount").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toSet
+      assert(rows.contains((1L, Some(9.99))), s"lost the match: $rows")
+      assert(rows.contains((2L, None)),
+        s"unmatched click never emitted null-padded: $rows")
+    } finally q.stop()
+  }
+
   test("generic applyChanges materializes latest non-deleted row per key") {
     import spark.implicits._
     val changes = Seq(
