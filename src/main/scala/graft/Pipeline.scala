@@ -21,6 +21,24 @@ object Pipeline {
   case class Result(kept: Long, dropped_dupes: Long, dropped_quality: Long,
       train: Long, `val`: Long, test: Long)
 
+  /** Single-pass observed corpus write: the QA counters every
+    * production write needs (row count, null counts on contract
+    * columns) ride the write job itself via the `Observation` API —
+    * at 100 TB the alternative is a SECOND corpus scan per metric
+    * batch. Metrics must be streaming aggregates (count/sum/min/max —
+    * no distinct), which is exactly what ingest-contract checks are.
+    * Returns the metric map after the write commits; PipelineSpec
+    * pins the values against independently recomputed counts. */
+  def observedWrite(df: DataFrame, path: String, partitionCols: Seq[String],
+      nullCheckCols: Seq[String]): Map[String, Long] = {
+    val obs = org.apache.spark.sql.Observation("graft_write_qa")
+    val metrics = count(lit(1)).as("n_rows") +: nullCheckCols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    val observed = df.observe(obs, metrics.head, metrics.tail: _*)
+    Sink.partitioned(observed, path, partitionCols)
+    obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+  }
+
   /** Run the clean-corpus pipeline; writes `outDir/corpus`
     * partitioned by split and returns the stage counts. */
   def cleanCorpus(spark: SparkSession, docs: DataFrame, outDir: String): Result = {

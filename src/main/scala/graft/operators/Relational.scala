@@ -272,6 +272,28 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** A30 VARIANT semi-structured analytics — the schema-LESS twin of
+    * A17's `from_json`: `parse_json` ingests arbitrary JSON into
+    * Spark 4's binary VARIANT encoding at write/scan time (no schema
+    * declared, unlike A17's StructType contract), and `variant_get`
+    * extracts typed paths lazily per query — the modern lakehouse
+    * pattern for event property bags whose shape drifts faster than a
+    * schema migration cycle. At 100 TB the VARIANT binary encoding
+    * scans ~2-8× faster than re-parsing JSON strings per query and is
+    * the shape you'd persist the props column in. Filter + aggregate
+    * on the extracted field stay integer-exact. */
+  def variantExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", expr("parse_json(props)").as("v"))
+      .withColumn("k", expr("variant_get(v, '$.k', 'long')"))
+      .filter($"k" >= 50)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_hi"), sum($"k").as("sum_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
   /** A18 ntile / percent_rank analytics within a keyed partition
     * (quartiles of customers per market segment). percent_rank is
     * (rank-1)/(n-1): a division of identical integers in both
@@ -517,6 +539,7 @@ object Relational {
     "q_rollup" -> rollup,
     "q_setops" -> setOps,
     "q_json_parse" -> jsonParse,
+    "q_variant" -> variantExtract,
     "q_ntile_rank" -> ntileRank,
     "q_above_avg" -> aboveAvg,
     "q_local_supplier" -> localSupplierVolume,
@@ -637,6 +660,13 @@ object Relational {
         |WHERE l_returnflag = 'R' AND year(o_orderdate) = 1998
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_variant" ->
+      """SELECT event_type, count(*) AS n_hi,
+        |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  max(json_extract(props, '$.k')::BIGINT) AS max_k
+        |FROM events
+        |WHERE json_extract(props, '$.k')::BIGINT >= 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_json_parse" ->
       """SELECT event_id,
         |  nullif(regexp_extract(props, '"k": (\d+)', 1), '')::BIGINT AS k_json,

@@ -189,4 +189,21 @@ class PipelineSpec extends AnyFunSuite {
       maxStateFiles = 3)
     assert(r.dropped_seen == 1 && r.appended == 0, s"$r")
   }
+
+  test("observedWrite QA counters ride the write and match recomputed truth") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, GraftTestSession.sf)
+      .withColumn("lang", when(col("doc_id") % 7 === 0, lit(null)
+        .cast("string")).otherwise(col("lang")))
+    val out = java.nio.file.Files.createTempDirectory("graft_obs").toString
+    val m = Pipeline.observedWrite(docs, s"$out/corpus", Seq("source"),
+      Seq("lang", "text"))
+    val truthRows = docs.count()
+    val truthNullLang = docs.filter(col("lang").isNull).count()
+    assert(m("n_rows") == truthRows, s"$m")
+    assert(m("nulls_lang") == truthNullLang && m("nulls_lang") > 0, s"$m")
+    assert(m("nulls_text") == 0, s"$m")
+    // the written corpus is complete and partitioned
+    assert(spark.read.parquet(s"$out/corpus").count() == truthRows)
+  }
 }
