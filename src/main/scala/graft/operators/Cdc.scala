@@ -289,6 +289,57 @@ object Cdc {
       when(op =!= "D", image).as("after"))).as("env"))
   }
 
+  /** C30 snapshot diff — CDC WITHOUT a change log: given two
+    * snapshots of the same table, derive the change feed (insert /
+    * update / delete rows) by a keyed full-outer join and value
+    * comparison — the standard bootstrap when a source system offers
+    * only periodic dumps (the reference's own data is exactly such
+    * yearly snapshot dumps). Unchanged rows produce NO delta row, so
+    * downstream apply cost tracks the real change rate, and the
+    * emitted feed is exactly what [[applyChanges]]/H13's
+    * copy-on-write merge consume. One keyed shuffle per side;
+    * null-safe comparison (`<=>`) so null↔value transitions surface
+    * as updates, not misses. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keys ++ compareCols).map(c =>
+      col(c).as(s"old_$c")): _*)
+    val n = newDf.select((keys ++ compareCols).map(c =>
+      col(c).as(s"new_$c")): _*)
+    val cond = keys.map(k => col(s"old_$k") === col(s"new_$k"))
+      .reduce(_ && _)
+    val changed = compareCols.map(c =>
+      !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
+    val oldKeyNull = col(s"old_${keys.head}").isNull
+    val newKeyNull = col(s"new_${keys.head}").isNull
+    o.join(n, cond, "full_outer")
+      .withColumn("op",
+        when(oldKeyNull, lit("i"))
+          .when(newKeyNull, lit("d"))
+          .when(changed, lit("u")))
+      .filter(col("op").isNotNull)
+      .select(keys.map(k =>
+          coalesce(col(s"new_$k"), col(s"old_$k")).as(k)) ++
+        Seq(col("op")) ++
+        compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
+  /** Graded adapter: two deterministic snapshots derived from orders —
+    * new drops key%10==3 (deletes), adds key%10==7 back (inserts,
+    * absent from old), reprices key%5==0 (+1 cent — updates). */
+  private def snapshotDiffEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val oldSnap = base.filter($"o_orderkey" % 10 =!= 7)
+    val newSnap = base.filter($"o_orderkey" % 10 =!= 3)
+      .withColumn("cents",
+        when($"o_orderkey" % 5 === 0, $"cents" + 1).otherwise($"cents"))
+    snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"), Seq("cents"))
+      .orderBy($"o_orderkey")
+  }
+
   private def onEvents(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.events(s, dir))
 
@@ -304,7 +355,8 @@ object Cdc {
     "cdc_funnel" -> onEvents(funnel),
     "cdc_cohort" -> onEvents(cohortRetention),
     "cdc_parse_envelope" -> onEvents(e =>
-      parseEnvelope(toEnvelopes(e)).orderBy(col("event_id"))))
+      parseEnvelope(toEnvelopes(e)).orderBy(col("event_id"))),
+    "cdc_snapshot_diff" -> (snapshotDiffEntry(_, _)))
 
   /** Shared session-sequence CTEs (t → flagged → seq) — the DuckDB
     * twin of [[withSessionSeq]]. */
@@ -326,6 +378,27 @@ object Cdc {
       |  FROM flagged)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // full-outer diff twin; IS DISTINCT FROM is the <=> negation
+    "cdc_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |olds AS (SELECT * FROM base WHERE o_orderkey % 10 <> 7),
+        |news AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN cents + 1 ELSE cents END AS cents
+        |  FROM base WHERE o_orderkey % 10 <> 3),
+        |j AS (
+        |  SELECT o.o_orderkey AS ok, n.o_orderkey AS nk,
+        |    o.cents AS old_cents, n.cents AS new_cents
+        |  FROM olds o FULL OUTER JOIN news n ON o.o_orderkey = n.o_orderkey),
+        |d AS (
+        |  SELECT coalesce(nk, ok) AS o_orderkey,
+        |    CASE WHEN ok IS NULL THEN 'i' WHEN nk IS NULL THEN 'd'
+        |      WHEN old_cents IS DISTINCT FROM new_cents THEN 'u' END AS op,
+        |    old_cents, new_cents
+        |  FROM j)
+        |SELECT * FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
     // straight relational twin of the envelope round-trip: any field
     // the serialize→parse cycle drops or garbles breaks the hash
     "cdc_parse_envelope" ->

@@ -322,4 +322,31 @@ class ScaleStressSpec extends AnyFunSuite {
       assert(pairs.contains((d, d + 1000)), s"missing identical pair $d")
     }
   }
+
+  test("exact quantiles at 10^7 rows: histogram bound holds, values match the definition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 10M rows, 8 groups, values uniform over 10k DISTINCT cents —
+    // the cumulative window runs over ≤ 10k rows per group no matter
+    // the corpus size (the operator's whole point)
+    val n = 10000000L
+    val df = spark.range(n).select(
+      concat(lit("g"), ($"id" % 8)).as("o_orderpriority"),
+      (expr("abs(xxhash64(id)) % 10000").cast("double") / 100.0)
+        .as("o_totalprice"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qs").toString
+    df.write.parquet(s"$tmp/orders.parquet")
+    val t0 = System.nanoTime()
+    val got = graft.operators.Relational.quantiles(spark, tmp).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.length == 8)
+    // uniform over [0, 9999] cents: type-1 quantiles land within a
+    // tight band of p·10000 (law-of-large-numbers at 1.25M rows/group)
+    for (r <- got; (p, i) <- Seq(0.25 -> 2, 0.5 -> 3, 0.9 -> 4, 0.99 -> 5)) {
+      val v = r.getLong(i)
+      assert(math.abs(v - p * 10000) < 100,
+        s"${r.getString(0)} p$p = $v drifted from uniform expectation")
+    }
+    assert(secs < 120, s"10M-row quantiles took ${secs}s")
+  }
 }
