@@ -361,7 +361,12 @@ object Dedup {
       .withColumn("embedding",
         expr("CASE WHEN n > 0 THEN transform(v, x -> x / n) ELSE v END"))
       .select($"vec_id", $"embedding")
-    val centroids = Similarity.kmeansCentroids(unit, k, iters)
+      // Lloyd's scans this iters+1 times — persist so normalization
+      // (64 mults + sqrt + 64 divs per row) is paid once, not per pass
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids =
+      try Similarity.kmeansCentroids(unit, k, iters)
+      finally unit.unpersist()
     val e = vecs
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
       .withColumn("n", VectorFunctions.norm($"v"))
