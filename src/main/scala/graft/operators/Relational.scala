@@ -125,6 +125,36 @@ object Relational {
       .orderBy($"priority")
   }
 
+  /** A31 winsorization — outlier clipping to the group's [p05, p95]
+    * type-1 quantiles, the robust-scaling prep step before any
+    * distance/regression consumer chokes on heavy tails. Thresholds
+    * come from the A29 cumulative-histogram machinery (exact integer
+    * quantiles, no per-group collect) and join back as a
+    * groups-sized broadcast; the clamp is `least(greatest(v, lo),
+    * hi)` over exact BIGINT cents — bit-deterministic, no epsilon.
+    * Scale shape: A29's cost + one broadcast join over the corpus. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority".as("priority"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val counts = pts.groupBy($"priority", $"cents").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"priority").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"priority")))
+    val bounds = cum.groupBy($"priority").agg(
+      min(when($"cum" >= ceil(lit(0.05) * $"n"), $"cents")).as("lo"),
+      min(when($"cum" >= ceil(lit(0.95) * $"n"), $"cents")).as("hi"))
+    pts.join(broadcast(bounds), "priority")
+      .withColumn("cents_w", least(greatest($"cents", $"lo"), $"hi"))
+      .select($"o_orderkey", $"priority", $"cents", $"cents_w",
+        ($"cents" =!= $"cents_w").cast("long").as("clipped"))
+      .orderBy($"o_orderkey")
+  }
+
   /** A3 flagship clean: merge two long tables on (group, year), dropna,
     * derived real value, range filter — ipynb cell 3
     * (`pd.merge(table2_long, table3_long, on=["Industry","Year"])` +
@@ -530,6 +560,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_argmax" -> argExtremes,
     "q_quantiles" -> quantiles,
+    "q_winsorize" -> winsorize,
     "q_melt" -> melt,
     "q_pivot" -> pivot,
     "q_pivot_mean" -> pivotMean,
@@ -660,6 +691,28 @@ object Relational {
         |WHERE l_returnflag = 'R' AND year(o_orderdate) = 1998
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_winsorize" ->
+      """WITH pts AS (
+        |  SELECT o_orderkey, o_orderpriority AS priority,
+        |    round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |counts AS (
+        |  SELECT priority, cents, count(*) AS c FROM pts GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT priority, cents,
+        |    (sum(c) OVER (PARTITION BY priority ORDER BY cents))::BIGINT AS cum,
+        |    (sum(c) OVER (PARTITION BY priority))::BIGINT AS n
+        |  FROM counts),
+        |bounds AS (
+        |  SELECT priority,
+        |    min(CASE WHEN cum >= ceil(0.05 * n) THEN cents END) AS lo,
+        |    min(CASE WHEN cum >= ceil(0.95 * n) THEN cents END) AS hi
+        |  FROM cum GROUP BY priority)
+        |SELECT o_orderkey, p.priority, cents,
+        |  least(greatest(cents, lo), hi) AS cents_w,
+        |  (cents <> least(greatest(cents, lo), hi))::BIGINT AS clipped
+        |FROM pts p JOIN bounds b ON p.priority = b.priority
+        |ORDER BY o_orderkey""".stripMargin,
     "q_variant" ->
       """SELECT event_type, count(*) AS n_hi,
         |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
