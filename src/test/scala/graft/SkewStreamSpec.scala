@@ -103,6 +103,20 @@ class SkewStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C30 snapshotDiff: null<->value transitions are updates; unchanged rows vanish") {
+    import spark.implicits._
+    val oldS = Seq((1L, Some("a")), (2L, None), (3L, Some("c")),
+      (4L, Some("d")), (6L, None)).toDF("id", "v")
+    val newS = Seq((1L, None), (2L, Some("b")), (3L, Some("c")),
+      (5L, Some("e")), (6L, None)).toDF("id", "v")
+    val got = graft.operators.Cdc.snapshotDiff(oldS, newS, Seq("id"), Seq("v"))
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 1: a→null = u; 2: null→b = u; 3 unchanged → absent;
+    // 4 deleted; 5 inserted; 6: null→null unchanged → absent
+    assert(got == Seq((1L, "u"), (2L, "u"), (4L, "d"), (5L, "i")), s"got $got")
+  }
+
   test("generic applyChanges materializes latest non-deleted row per key") {
     import spark.implicits._
     val changes = Seq(
