@@ -407,7 +407,7 @@ object Cdc {
         |       WHEN event_type = 'error' THEN 'D'
         |       ELSE 'U' END AS op,
         |  user_id,
-        |  round(value * 100) / 100.0 AS val,
+        |  round(value, 2) AS val,
         |  epoch_us(ts) // 1000 AS ts_ms
         |FROM events ORDER BY event_id""".stripMargin,
     "cdc_funnel" ->

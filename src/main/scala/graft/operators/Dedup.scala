@@ -305,6 +305,9 @@ object Dedup {
     cand
       .join(e.select($"vec_id".as("vec_a"), $"v".as("va"), $"n".as("na")), "vec_a")
       .join(e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"n".as("nb")), "vec_b")
+      // zero-norm guard: 0/0 = NaN sorts ABOVE every double in both
+      // Spark and DuckDB, so an unguarded `cos >= T` admits NaN pairs
+      .filter($"na" > 0 && $"nb" > 0)
       .withColumn("cos",
         round(VectorFunctions.dot($"va", $"vb") / ($"na" * $"nb"), 6))
       .filter($"cos" >= EmbCosT)
@@ -324,6 +327,7 @@ object Dedup {
     val a = e.select($"vec_id".as("vec_a"), $"v".as("va"), $"n".as("na"))
     val b = e.select($"vec_id".as("vec_b"), $"v".as("vb"), $"n".as("nb"))
     a.join(b, $"vec_a" < $"vec_b")
+      .filter($"na" > 0 && $"nb" > 0)
       .withColumn("cos",
         round(VectorFunctions.dot($"va", $"vb") / ($"na" * $"nb"), 6))
       .filter($"cos" >= EmbCosT)
@@ -353,8 +357,12 @@ object Dedup {
     // cells over unit vectors partition by direction — the geometry
     // cosine scores by — so scaled near-dups co-locate; raw-vector
     // cells would split by norm (the IvfRecallSpec norm-mismatch
-    // regime) and miss them. Zero vectors stay raw (cell 0-ish,
-    // harmless: their cosine is NaN and never crosses the threshold).
+    // regime) and miss them. Zero vectors stay raw for assignment but
+    // are EXCLUDED from pairing below: cos against a zero norm is
+    // 0/0 = NaN, and both Spark and DuckDB order NaN ABOVE all doubles,
+    // so `cos >= threshold` would be TRUE — a zero vector would
+    // spuriously "absorb" every cell-mate. Undefined similarity is not
+    // similarity; zero vectors are never dropped and never keepers.
     val unit = vecs.select($"vec_id",
         $"embedding".cast("array<double>").as("v"))
       .withColumn("n", VectorFunctions.norm($"v"))
@@ -377,6 +385,7 @@ object Dedup {
     val a = e.select($"cell", $"vec_id".as("ka"), $"v".as("va"), $"n".as("na"))
     val b = e.select($"cell", $"vec_id".as("kb"), $"v".as("vb"), $"n".as("nb"))
     a.join(b, Seq("cell")).filter($"ka" < $"kb")
+      .filter($"na" > 0 && $"nb" > 0)
       .withColumn("cos",
         round(VectorFunctions.dot($"va", $"vb") / ($"na" * $"nb"), 6))
       .filter($"cos" >= threshold)
@@ -632,7 +641,8 @@ object Dedup {
          |pairs AS (
          |  SELECT x.vec_id AS ka, y.vec_id AS kb,
          |    round(list_dot_product(x.v, y.v) / (x.n * y.n), 6) AS cos
-         |  FROM en x JOIN en y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |  FROM en x JOIN en y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |    AND x.n > 0 AND y.n > 0),
          |hits AS (SELECT * FROM pairs WHERE cos >= 0.4),
          |r AS (
          |  SELECT kb AS vec_id, ka AS kept_id, cos,
@@ -817,7 +827,8 @@ object Dedup {
        |FROM cand c
        |JOIN e ea ON c.vec_a = ea.vec_id
        |JOIN e eb ON c.vec_b = eb.vec_id
-       |WHERE round(list_dot_product(ea.v, eb.v) / (ea.n * eb.n), 6) >= $EmbCosT
+       |WHERE ea.n > 0 AND eb.n > 0
+       |  AND round(list_dot_product(ea.v, eb.v) / (ea.n * eb.n), 6) >= $EmbCosT
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 }

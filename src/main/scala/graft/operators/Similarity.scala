@@ -663,12 +663,20 @@ object Similarity {
   /** Rewrite the code table into one file per cell partition when the
     * append loop has accumulated more than `maxFiles` part-files.
     * Swap is write-aside → rename (the read and the overwrite can't
-    * share a path), so a crash mid-compact leaves either the old or
-    * the new complete table, never a mix. Model files are untouched;
-    * serve results are unchanged (spec-pinned). */
+    * share a path). Either complete table survives a crash: the only
+    * window where `codes/` is absent is between the two renames, and
+    * entry-time recovery below rolls a half-finished swap back (or
+    * forward, if the new table fully landed), so the next call —
+    * compact or serve via the normal load path after one recover —
+    * never finds the index unservable. Both renames are local-FS
+    * `java.io.File` ops (like the marker-gated append path's markers);
+    * an object-store deployment swaps these for its atomic-rename or
+    * manifest primitive. Model files are untouched; serve results are
+    * unchanged (spec-pinned). */
   def compactIvfPqIndex(spark: SparkSession, dir: String,
       maxFiles: Int = 64): Unit = {
     import spark.implicits._
+    recoverCompactSwap(dir)
     val codes = new java.io.File(s"$dir/codes")
     val parts = Option(codes.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("cell="))
@@ -682,9 +690,34 @@ object Similarity {
       .parquet(tmp.getPath)
     val old = new java.io.File(s"$dir/codes_old")
     if (old.exists()) deleteRecursively(old)
-    require(codes.renameTo(old) && tmp.renameTo(codes),
-      s"compact swap failed under $dir")
+    require(codes.renameTo(old), s"compact swap failed under $dir")
+    // if the second rename fails (not crashes), roll the first back so
+    // codes/ is never left missing by a non-crash failure path
+    if (!tmp.renameTo(codes)) {
+      old.renameTo(codes)
+      sys.error(s"compact swap failed under $dir (rolled back)")
+    }
     deleteRecursively(old)
+  }
+
+  /** Entry-time recovery for a crash inside [[compactIvfPqIndex]]'s
+    * rename window: if `codes/` is missing, restore it from whichever
+    * complete table exists — the compacted one (roll forward: the
+    * crash hit between the two renames with the new table fully
+    * written and marked) else the old one (roll back). Idempotent and
+    * a no-op in the normal case. */
+  private[graft] def recoverCompactSwap(dir: String): Unit = {
+    val codes = new java.io.File(s"$dir/codes")
+    if (codes.exists()) return
+    val tmp = new java.io.File(s"$dir/codes_compact_tmp")
+    val old = new java.io.File(s"$dir/codes_old")
+    if (tmp.exists() && new java.io.File(tmp, "_SUCCESS").exists()) {
+      require(tmp.renameTo(codes), s"swap recovery failed under $dir")
+      if (old.exists()) deleteRecursively(old)
+    } else if (old.exists()) {
+      require(old.renameTo(codes), s"swap recovery failed under $dir")
+      if (tmp.exists()) deleteRecursively(tmp)
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -19,7 +19,14 @@ object Lake {
     * partitions, the run costs O(k/N · corpus), not O(corpus).
     * Caveats of the format-less shape (why Delta/Iceberg exist):
     * the swap is atomic per partition directory, not across the
-    * table, and concurrent writers need external fencing. */
+    * table, and concurrent writers need external fencing.
+    * PRECONDITION — partition column stable per key (the Hudi
+    * non-global-index contract): touched partitions are derived from
+    * the DELTA's partition values only, so a delta row that MOVES a
+    * key to a different partition leaves the key's old row in the
+    * now-untouched partition (a duplicate). If keys can migrate,
+    * derive touched partitions from a target-side key lookup too, or
+    * route through a table format with a global index. */
   def mergeIntoPartitioned(spark: SparkSession, targetDir: String,
       partCol: String, keyCol: String, delta: DataFrame,
       opCol: String = "op"): Unit = {
@@ -62,7 +69,10 @@ object Lake {
       targetFiles: Int = 64): Unit = {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty && cols.size <= 4, "z-order over 1-4 columns")
-    val bits = 32 / cols.size
+    // clamp: 1 column would give bits = 32 and `1 << 32` overflows Int
+    // to 1, silently collapsing every z-value to 0 (no clustering at
+    // all); 20 bits ≈ 10⁶ buckets is already far beyond targetFiles
+    val bits = math.min(32 / cols.size, 20)
     val aggCols = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"mn_$c"),
       max(col(c).cast("double")).as(s"mx_$c")))

@@ -219,6 +219,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == List((1L, 0L, 1.0), (5L, 0L, 1.0)), s"got $got")
   }
 
+  test("semantic dedup: a zero vector neither absorbs cell-mates nor is dropped") {
+    import spark.implicits._
+    // vec 0 is all-zero; cos(0, x) = 0/0 = NaN, which sorts ABOVE every
+    // double in Spark and DuckDB — an unguarded `cos >= t` would drop
+    // EVERY vector sharing a cell with vec 0, with vec 0 as "keeper".
+    // k = 1 forces everything into one cell, the worst case.
+    val rows = Seq(
+      0L -> Array(0f, 0f, 0f, 0f),
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f),
+      3L -> Array(1f, 0f, 0f, 0f))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, k = 1, iters = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // only the genuine clone pair (3 dups 1) survives; vec 0 appears on
+    // neither side of any pair
+    assert(got == List((3L, 1L, 1.0)), s"got $got")
+  }
+
   test("exact quantiles: crafted uniform and tied groups hit the type-1 definition") {
     import spark.implicits._
     // group u: cents 1..100 → p25/p50/p90/p99 = 25/50/90/99

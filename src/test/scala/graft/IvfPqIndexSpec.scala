@@ -183,6 +183,30 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(stamp() == before)
   }
 
+  test("a crash inside the compact rename window is recovered on next entry") {
+    import spark.implicits._
+    val q = Tables.embeddings(spark, sf).filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qv"))
+    val expected = collectAll(Similarity.queryIvfPqIndex(spark, idxDir, q))
+    val codes = new java.io.File(s"$idxDir/codes")
+    val old = new java.io.File(s"$idxDir/codes_old")
+    // crash shape 1 (roll BACK): codes renamed away, compacted tmp not
+    // yet complete — only codes_old holds a complete table
+    require(codes.renameTo(old))
+    Similarity.recoverCompactSwap(idxDir)
+    assert(codes.exists() && !old.exists())
+    assert(collectAll(Similarity.queryIvfPqIndex(spark, idxDir, q)) == expected)
+    // crash shape 2 (roll FORWARD): a complete compacted tmp (_SUCCESS
+    // present) plus codes_old, codes missing — the tmp must win
+    val tmp = new java.io.File(s"$idxDir/codes_compact_tmp")
+    spark.read.parquet(codes.getPath)
+      .repartition($"cell").write.partitionBy("cell").parquet(tmp.getPath)
+    require(codes.renameTo(old))
+    Similarity.recoverCompactSwap(idxDir)
+    assert(codes.exists() && !old.exists() && !tmp.exists())
+    assert(collectAll(Similarity.queryIvfPqIndex(spark, idxDir, q)) == expected)
+  }
+
   test("served path scans fewer code files than the index holds (pruning is real)") {
     import spark.implicits._
     val codesDir = new java.io.File(s"$idxDir/codes")
