@@ -84,6 +84,55 @@ object Resilience {
       .join(recoveryOn(ss, basePeriod), Seq(ss.grp), "full_outer")
       .orderBy(col(ss.grp))
 
+  /** B23 FAITHFUL replay of the reference's driver loop on inputs with
+    * DUPLICATE (group, period) rows — the real clean_va_price.csv has
+    * 24 such pairs (same industry label at two hierarchy positions,
+    * crossed by the notebook's inner merge). resilience.py:35-36
+    * resolves them with `.values[0]`: the FIRST row in file order
+    * (pandas' stable sort by Year preserves it). The Spark twin is
+    * `min_by(value, ord)` per (group, period) — one map-side-combined
+    * aggregate, no driver loop — where `ord` is any total order
+    * reproducing ingest order (a line number, an ingest sequence).
+    * Unlike [[drawdownOn]] this emits the UNROUNDED IEEE quotient:
+    * v0 = 0 yields ±Infinity or NaN (0/0) exactly as numpy scalar
+    * division does — the published metrics file contains both, so
+    * fidelity requires propagating them, not nulling them. (ANSI mode
+    * makes double /0 an error, so the zero-baseline cases are emitted
+    * by an explicit branch; the nonzero-divisor branch is plain IEEE
+    * division under ANSI too.)
+    * Recovery = first period in (base, base+horizon] whose FIRST row
+    * value >= the base value; groups lacking a base-period row are
+    * dropped (the reference's IndexError→continue). One divergence,
+    * by design: a NaN `value` recovers in Spark (NaN >= x is true in
+    * Spark SQL's ordering) but not in numpy; the reference inputs
+    * carry no NaN values, so the replay is exact there. */
+  def resilienceReplayOn(ss: Series, ordCol: String, basePeriod: Long,
+      shockPeriod: Long, horizon: Long): DataFrame = {
+    val first = ss.df.groupBy(col(ss.grp), col(ss.period).as("p"))
+      .agg(min_by(col(ss.value), col(ordCol)).as("v"))
+    val base = first.filter(col("p") === basePeriod)
+      .select(col(ss.grp), col("v").as("v0"))
+    val shock = first.filter(col("p") === shockPeriod)
+      .select(col(ss.grp), col("v").as("v1"))
+    val num = col("v1") - col("v0")
+    val dd = base.join(shock, Seq(ss.grp))
+      .select(col(ss.grp),
+        when(col("v0") === 0.0,
+            when(num === 0.0, lit(Double.NaN))
+              .when(num > 0.0, lit(Double.PositiveInfinity))
+              .otherwise(lit(Double.NegativeInfinity)))
+          .otherwise(num / col("v0")).as("drawdown"))
+    val rec = first.join(base, Seq(ss.grp))
+      .filter(col("p") > basePeriod && col("p") <= basePeriod + horizon
+        && col("v") >= col("v0"))
+      .groupBy(col(ss.grp))
+      .agg(min(col("p") - basePeriod).as("recovered_periods"))
+    base.select(col(ss.grp))
+      .join(dd, Seq(ss.grp), "left")
+      .join(rec, Seq(ss.grp), "left")
+      .orderBy(col(ss.grp))
+  }
+
   def drawdown(s: SparkSession, dir: String): DataFrame =
     drawdownOn(series(s, dir), BaseYr, ShockYr)
 
@@ -694,6 +743,23 @@ object Resilience {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** B23 adapter: replay-loop semantics over raw order rows — many
+    * orders per (priority, year) exercises the first-by-ord duplicate
+    * resolution exactly as the real CSV's duplicate industry labels
+    * do; ord = o_orderkey. Drawdown is rounded here for the
+    * cross-engine hash only (the operator itself is unrounded IEEE;
+    * ReferenceReplicaSpec covers that fidelity on the real file). */
+  private def resilienceReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ss = Series(
+      Tables.orders(s, dir).select($"o_orderpriority",
+        year($"o_orderdate").cast("long").as("yr"),
+        $"o_totalprice", $"o_orderkey"),
+      "o_orderpriority", "yr", "o_totalprice")
+    resilienceReplayOn(ss, "o_orderkey", 1995L, 1996L, 4L)
+      .withColumn("drawdown", round(col("drawdown"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ffill_gaps" -> ((s, dir) => ffillDaily(Tables.events(s, dir))),
     "q_rolling_stats" -> ((s, dir) => rollingStats(Tables.events(s, dir))),
@@ -704,6 +770,7 @@ object Resilience {
     "q_drawdown" -> drawdown,
     "q_recovery" -> recovery,
     "q_resilience_join" -> resilienceJoin,
+    "q_resilience_replay" -> resilienceReplay,
     "q_trend" -> trend,
     "q_shock_sim" -> shockSim,
     "q_ar1_forecast" -> ar1Forecast,
@@ -858,6 +925,29 @@ object Resilience {
          |        - sum(CASE WHEN yr = 1998 THEN rev END))
          |        / sum(CASE WHEN yr = 1998 THEN rev END), 6) AS drawdown
          |FROM rev GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // arg_min = Spark's min_by: both resolve duplicate (group, period)
+    // rows to the first by o_orderkey, the .values[0] replay semantic
+    "q_resilience_replay" ->
+      """WITH f AS (
+        |  SELECT o_orderpriority, year(o_orderdate)::BIGINT AS p,
+        |    arg_min(o_totalprice, o_orderkey) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |base AS (SELECT o_orderpriority, v AS v0 FROM f WHERE p = 1995),
+        |shock AS (SELECT o_orderpriority, v AS v1 FROM f WHERE p = 1996),
+        |dd AS (
+        |  SELECT b.o_orderpriority, round((s.v1 - b.v0) / b.v0, 6) AS drawdown
+        |  FROM base b JOIN shock s USING (o_orderpriority)),
+        |rec AS (
+        |  SELECT f.o_orderpriority,
+        |    min(f.p - 1995)::BIGINT AS recovered_periods
+        |  FROM f JOIN base b USING (o_orderpriority)
+        |  WHERE f.p > 1995 AND f.p <= 1999 AND f.v >= b.v0
+        |  GROUP BY 1)
+        |SELECT b.o_orderpriority, d.drawdown, r.recovered_periods
+        |FROM base b
+        |LEFT JOIN dd d USING (o_orderpriority)
+        |LEFT JOIN rec r USING (o_orderpriority)
+        |ORDER BY b.o_orderpriority""".stripMargin,
     "q_recovery" ->
       s"""WITH rev AS ($yearlyRevSql),
          |base AS (SELECT n_name, rev AS v0 FROM rev WHERE yr = 1998),

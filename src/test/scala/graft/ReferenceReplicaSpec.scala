@@ -201,4 +201,124 @@ class ReferenceReplicaSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(got == Set("ok"), s"got $got")
   }
+
+  // ------------------------------------------------------------------
+  // REAL reference data: fixture copies of the reference's shipped
+  // input (data/processed/clean_va_price.csv — 1,190 data rows, 93
+  // industries with leading-whitespace hierarchy indentation,
+  // footnote-suffixed labels, quoted commas, and 24 duplicate
+  // (Industry, Year) pairs from the notebook's inner-merge cross) and
+  // its published output (resilience_metrics.csv, the ground truth
+  // resilience.py:29-82 saved).
+  // ------------------------------------------------------------------
+
+  private def realInput() = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.monotonically_increasing_id
+    val path = getClass.getResource("/reference/clean_va_price.csv").getPath
+    val schema = StructType(Seq(
+      StructField("Industry", StringType),
+      StructField("Year", LongType),
+      StructField("Nominal_Value", LongType),
+      StructField("Price_Index", DoubleType),
+      StructField("Real_Value", DoubleType)))
+    // _ord = file order (single small file: partition-local id order
+    // follows byte offsets), standing in for an ingest sequence — the
+    // order pandas' .values[0] silently depends on
+    graft.sources.Csv.clean(graft.sources.Csv.read(spark, path, schema))
+      .withColumn("_ord", monotonically_increasing_id())
+  }
+
+  private def sparkReplay(): Map[String, (Option[Double], Option[Long])] =
+    Resilience.resilienceReplayOn(
+        Series(realInput(), "Industry", "Year", "Real_Value"),
+        "_ord", 2019L, 2020L, 4L)
+      .collect().map(r => r.getString(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+
+  test("REAL data: Spark replay is bit-identical to the pandas loop semantics") {
+    import spark.implicits._
+    // exact driver-side transcription of resilience.py:29-70 (test
+    // scope only — the operator under test is the distributed twin)
+    val rows = realInput().select($"Industry", $"Year", $"Real_Value", $"_ord")
+      .orderBy($"_ord").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byInd = rows.groupBy(_._1) // Array groupBy keeps file order in-group
+    def firstAt(g: Array[(String, Long, Double)], y: Long): Option[Double] =
+      g.find(_._2 == y).map(_._3)
+    val loop: Map[String, (Option[Double], Option[Long])] =
+      byInd.flatMap { case (ind, g) =>
+        firstAt(g, 2019L).map { v19 =>
+          val dd = firstAt(g, 2020L).map(v20 => (v20 - v19) / v19)
+          val rec = (2020L to 2023L).collectFirst {
+            case y if firstAt(g, y).exists(_ >= v19) => y - 2019L }
+          ind -> ((dd, rec))
+        }
+      }
+    val got = sparkReplay()
+    assert(got.size == 93 && loop.keySet == got.keySet)
+    for ((k, (ld, lr)) <- loop) {
+      val (gd, gr) = got(k)
+      assert(gr == lr, s"$k recovery: loop $lr vs spark $gr")
+      (ld, gd) match {
+        case (Some(l), Some(g)) =>
+          assert(java.lang.Double.doubleToLongBits(l) ==
+            java.lang.Double.doubleToLongBits(g),
+            s"$k drawdown: loop $l vs spark $g") // NaN/Inf included
+        case (l, g) => assert(l == g, s"$k drawdown: loop $l vs spark $g")
+      }
+    }
+  }
+
+  test("REAL data: replay matches the published resilience_metrics.csv") {
+    val pubPath = getClass.getResource("/reference/resilience_metrics.csv").getPath
+    val pub = spark.read.option("header", "true").csv(pubPath)
+      .collect().map { r =>
+        val dd = Option(r.getString(1)).map {
+          case "inf" => Double.PositiveInfinity
+          case "-inf" => Double.NegativeInfinity
+          case s => s.toDouble }
+        val rec = Option(r.getString(2)).map(_.toDouble.toLong)
+        r.getString(0) -> ((dd, rec))
+      }.toMap
+    val got = sparkReplay()
+    assert(pub.keySet == got.keySet && got.size == 93)
+    // Recovered_Years: exact for every industry, null rows included
+    for ((k, (_, pr)) <- pub)
+      assert(got(k)._2 == pr, s"$k recovery: published $pr vs got ${got(k)._2}")
+    // Drawdown_2020: the published file was generated from a pre-save
+    // revision of the input — re-running the reference's OWN code on
+    // the SHIPPED csv reproduces only 27/93 doubles bitwise (the rest
+    // differ in the final 1-2 digits, ≤6e-14 relative) and picks
+    // different duplicate rows for the two duplicate-label industries
+    // (both appear under Federal AND State-and-local; the generating
+    // frame's row order differed). So: tolerance 1e-12 for 91 rows,
+    // NaN (0/0: Amusements etc.) and ±inf (Motor vehicle dealers:
+    // v2019 = 0) positions exact, and the two dup-label rows pinned
+    // as KNOWN divergence — bit-fidelity to the shipped input is
+    // covered by the loop-replication test above.
+    val dupLabels = Set("            General government",
+      "            Government enterprises")
+    var nan = 0; var inf = 0
+    for ((k, (pd, _)) <- pub if !dupLabels(k)) {
+      val gd = got(k)._1
+      (pd, gd) match {
+        case (None, Some(g)) =>
+          assert(g.isNaN, s"$k: published empty but got $g"); nan += 1
+        case (Some(p), Some(g)) if p.isInfinity =>
+          assert(g == p, s"$k: published $p vs got $g"); inf += 1
+        case (Some(p), Some(g)) =>
+          assert(math.abs(p - g) <= 1e-12 * math.abs(p), s"$k: $p vs $g")
+        case other => fail(s"$k: unexpected $other")
+      }
+    }
+    assert(nan == 7, s"expected 7 NaN drawdowns, saw $nan")
+    assert(inf == 1, s"expected 1 inf drawdown, saw $inf")
+    for (k <- dupLabels) {
+      assert(pub(k)._1.isDefined && got(k)._1.isDefined, s"$k missing")
+      assert(pub(k)._1.get != got(k)._1.get,
+        s"$k: published now matches the shipped input — drop the dup-label carve-out")
+    }
+  }
 }
