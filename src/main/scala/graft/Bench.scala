@@ -21,11 +21,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val a = timeOnce(fn)
-      val b = timeOnce(fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }
+    // SPARK_GRAFT_ONLY=q1,q2 narrows to named queries and
+    // SPARK_GRAFT_REPS=n raises best-of-2 to best-of-n — adjudication
+    // knobs for re-benching individual rows on a quiet host; the
+    // driver's full-suite run sets neither
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val ts = (1 to reps).map(_ => timeOnce(fn))
+        name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -119,14 +119,19 @@ object Dedup {
     * pipeline's delta pair generation. */
   private[graft] def jaccardThreshold: Double = JaccardT
 
-  /** doc_id + distinct word 5-gram shingles, DF-capped. */
-  private def shingles(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val sh0 = rawShingles(docs).distinct()
+  /** DF cap over a prebuilt DISTINCT (doc_id, shingle) frame: drop
+    * shingles appearing in more than DfCap docs (boilerplate) so every
+    * posting list — and with it the Σ df² candidate work — is bounded. */
+  private def dfCapped(sh0: DataFrame): DataFrame = {
+    import sh0.sparkSession.implicits._
     val rare = sh0.groupBy($"shingle").count()
       .filter($"count" <= DfCap).select($"shingle")
     sh0.join(rare, "shingle").select($"doc_id", $"shingle")
   }
+
+  /** doc_id + distinct word 5-gram shingles, DF-capped. */
+  private def shingles(docs: DataFrame): DataFrame =
+    dfCapped(rawShingles(docs).distinct())
 
   /** Exact Jaccard pairs ≥ t from a (doc_id, shingle) set via
     * inverted-index join — shared by D2 (full) and D3 (candidates). */
@@ -219,12 +224,19 @@ object Dedup {
     val numPerm = 32
     val bands = 8
     val rows = numPerm / bands
+    // ONE shingle pass serves both stages (the old shape scanned and
+    // tokenized the corpus twice — once raw for signatures, once
+    // distinct for the verify): the distinct (doc_id, shingle) frame
+    // is localCheckpointed, then feeds (a) the signature aggregate —
+    // min over hashes is idempotent, so distinct input yields the
+    // same signature as the raw stream — and (b) the DF-capped
+    // exact-Jaccard verify. At 100 TB that's one corpus scan plus one
+    // tokenization instead of two of each; the checkpoint holds
+    // 8-byte-hashable shingle rows, not text.
     // signatures: one TypedImperativeAggregate holding all numPerm
-    // mins in a single primitive buffer (graft.functions.MinHashAgg) —
-    // min is idempotent over duplicate shingles, so the raw
-    // (pre-distinct, pre-cap) stream feeds it in one map-side-combined
-    // pass.
-    val sigs = rawShingles(docs)
+    // mins in a single primitive buffer (graft.functions.MinHashAgg).
+    val sh0 = rawShingles(docs).distinct().localCheckpoint()
+    val sigs = sh0
       .groupBy($"doc_id")
       .agg(graft.functions.MinHashAgg.minhashSig($"shingle", numPerm).as("sig"))
     val bandCols = (0 until bands).map { b =>
@@ -238,7 +250,7 @@ object Dedup {
       .filter($"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
-    jaccardPairs(shingles(docs), JaccardT, Some(cand))
+    jaccardPairs(dfCapped(sh0), JaccardT, Some(cand))
       .orderBy($"doc_a", $"doc_b")
   }
 
