@@ -468,7 +468,62 @@ object Pipeline {
       else newHashes).localCheckpoint() // snapshot BEFORE the self-append
     appendTo(hashAppend, "hashes")
 
+    // the remap log is merge-event sized PER RUN but append-only
+    // ACROSS runs — bound it so the per-run driver collect above
+    // stays bounded over years of deltas
+    compactRemaps(spark, stateDir)
+
     IncrementalTrainingResult(nDelta, nAppend, nTomb, nMerges)
+  }
+
+  /** Fold resolved remap chains into the `members`/`keepers` state and
+    * truncate the remap log once it exceeds `maxRemapRows`. Without
+    * this, `remaps/` grows without bound across runs on a high-dup
+    * corpus — and [[incrementalTraining]] collects it to the driver
+    * every run (the one unbounded driver structure the round-4 audit
+    * flagged). Folding rewrites each cid to its chain-terminal
+    * effective id, which is exactly what the per-run closure computes;
+    * an id absent from the (now empty) log resolves to itself, so
+    * subsequent runs see identical effective clusters.
+    * Crash ordering: members is swapped first, then keepers, then the
+    * log is truncated. Every intermediate state is safe because
+    * folding is IDEMPOTENT — chain terminals are never log keys, so
+    * re-applying the surviving log to already-folded rows is a no-op,
+    * and a crash before truncation just means the next call folds
+    * again. Each individual swap is write-aside + rename (the
+    * [[compactInPlace]] pattern). */
+  def compactRemaps(spark: SparkSession, stateDir: String,
+      maxRemapRows: Long = 100000L): Unit = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def path(sub: String) = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+    if (!fs.exists(path("remaps"))) return
+    val remapRaw = spark.read.parquet(s"$stateDir/remaps")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (remapRaw.size <= maxRemapRows) return
+    def chase(c: Long): Long = {
+      var x = c; while (remapRaw.contains(x)) x = remapRaw(x); x
+    }
+    val closureDf = remapRaw.keys.map(k => (k, chase(k))).toSeq
+      .toDF("__from", "__eff")
+    def foldCids(sub: String, cidCol: String): Unit = {
+      val df = spark.read.parquet(s"$stateDir/$sub")
+      val folded = df
+        .join(broadcast(closureDf.withColumnRenamed("__from", cidCol)),
+          Seq(cidCol), "left")
+        .withColumn(cidCol, coalesce($"__eff", col(cidCol)))
+        .select(df.columns.map(col).toIndexedSeq: _*)
+      folded.write.parquet(s"$stateDir/${sub}__compact")
+      fs.delete(path(sub), true)
+      fs.rename(path(s"${sub}__compact"), path(sub))
+    }
+    foldCids("members", "cid0")
+    foldCids("keepers", "cid")
+    val empty = Seq.empty[(Long, Long)].toDF("from_cid", "to_cid")
+    empty.write.parquet(s"$stateDir/remaps__compact")
+    fs.delete(path("remaps"), true)
+    fs.rename(path("remaps__compact"), path("remaps"))
   }
 
   /** Effective corpus of an [[incrementalTraining]] output dir:

@@ -168,6 +168,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(inc.map(_._1) == Set(100L, 101L, 110L, 121L))
   }
 
+  test("compactRemaps bounds the remap log across many merging runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 5 disjoint-vocabulary cluster pairs (a_i++b_i, b_i++c_i); each
+    // delta run bridges one pair (a_i++b_i++c_i), producing >=1 merge
+    // and so >=1 remap row per run
+    val pairs = (0 until 5).map { i =>
+      (blk(s"a$i", 20), blk(s"b$i", 20), blk(s"c$i", 20)) }
+    val base = mkDocs(pairs.zipWithIndex.flatMap { case ((a, b, c), i) =>
+      Seq((10L + 2 * i) -> (a ++ b), (11L + 2 * i) -> (b ++ c)) })
+    val incOut = java.nio.file.Files.createTempDirectory("graft_rmc").toString
+    val state = s"$incOut/state"
+    Pipeline.incrementalTraining(spark, base, state, incOut)
+    pairs.zipWithIndex.foreach { case ((a, b, c), i) =>
+      val r = Pipeline.incrementalTraining(spark,
+        mkDocs(Seq((100L + i) -> (a ++ b ++ c))), state, incOut)
+      assert(r.merged_clusters >= 1, s"run $i produced no merge: $r")
+      // zero bound forces the fold every run (production default only
+      // folds past 100k log rows); the log must be empty afterwards
+      Pipeline.compactRemaps(spark, state, maxRemapRows = 0L)
+      assert(spark.read.parquet(s"$state/remaps").count() == 0,
+        s"run $i: remap log not truncated")
+    }
+    // base + 5 deltas ACROSS 5 folds still equals one full recompute
+    val fullOut = java.nio.file.Files.createTempDirectory("graft_rmf").toString
+    val all = base.unionByName(mkDocs(
+      pairs.zipWithIndex.map { case ((a, b, c), i) =>
+        (100L + i) -> (a ++ b ++ c) }))
+    Pipeline.trainingCorpus(spark, all, fullOut)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"text", $"n_chars".cast("long"), $"split")
+        .as[(Long, String, Long, String)].collect().toSet
+    val inc = rows(Pipeline.trainingSnapshot(spark, incOut))
+    val full = rows(spark.read.parquet(s"$fullOut/corpus"))
+    assert(inc == full, s"inc=${inc.map(_._1)} full=${full.map(_._1)}")
+    assert(inc.map(_._1) == (0 until 5).map(100L + _).toSet)
+    // idempotence: folding again with an already-empty log is a no-op
+    Pipeline.compactRemaps(spark, state, maxRemapRows = 0L)
+    assert(rows(Pipeline.trainingSnapshot(spark, incOut)) == full)
+  }
+
   test("incrementalCorpus bounds its hash-state file count under compaction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
