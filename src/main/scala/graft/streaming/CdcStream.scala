@@ -119,6 +119,49 @@ object CdcStream {
       .as[Change]
   }
 
+  /** Partition-capacity of the [[kafkaEnvelopes]] event_id encoding:
+    * id = partition · 2⁴⁴ + offset — 2⁴⁴ offsets per partition and
+    * ~2¹⁹ partitions before overflow, both far beyond real topics. */
+  private val KafkaOffsetStride = 1L << 44
+
+  /** C31 Kafka ingest wiring for the envelope stream — the production
+    * reader a real CDC deployment starts from (`spark-sql-kafka-0-10`,
+    * the standard external connector jar, must be on the classpath;
+    * this build environment has no network access and does not bundle
+    * it, which is why the spec proves the pipeline through
+    * [[kafkaEnvelopes]] on a kafka-schema stream instead of a live
+    * broker). Returns the connector's fixed wire schema (key/value
+    * binary, topic, partition, offset, timestamp, timestampType). */
+  def kafkaEnvelopeSource(spark: org.apache.spark.sql.SparkSession,
+      bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Normalize a Kafka-schema frame (from [[kafkaEnvelopeSource]] or
+    * any source with the same wire schema) to the `(event_id, env)`
+    * envelope contract [[envelopeChanges]] consumes: `env` = the
+    * record value decoded as UTF-8, `event_id` = partition · 2⁴⁴ +
+    * offset — unique across partitions, monotone within one, so
+    * downstream latest-state ties break exactly as the file twin's
+    * record offsets do. Source-independence is the point: the
+    * projection is pure column math, so the SAME downstream pipeline
+    * plans on a Kafka relation, a file relation, or a MemoryStream
+    * (spec-pinned parity). */
+  def kafkaEnvelopes(kafka: DataFrame): DataFrame =
+    kafka.select(
+      (col("partition").cast("long") * KafkaOffsetStride + col("offset"))
+        .as("event_id"),
+      col("value").cast("string").as("env"))
+
+  /** [[kafkaEnvelopeSource]] ∘ [[kafkaEnvelopes]] ∘ [[envelopeChanges]]
+    * composed: Kafka wire bytes → typed [[Change]] records. */
+  def kafkaEnvelopeChanges(kafka: DataFrame): Dataset[Change] =
+    envelopeChanges(kafkaEnvelopes(kafka))
+
   /** C9 streaming exact dedup: drop duplicate keys across
     * micro-batches with bounded state — late duplicates beyond the
     * watermark age out of the state store instead of growing it

@@ -313,4 +313,47 @@ class StreamingSpec extends AnyFunSuite {
         u.last_event_id == 4L, s"got $u")
     } finally q.stop()
   }
+
+  test("C31 kafka-schema envelope ingest == file-shaped twin (source independence)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the connector's exact wire schema: key/value binary, topic,
+    // partition, offset, timestamp, timestampType — no broker needed
+    // to prove the projection + parse, which is pure column math and
+    // plans identically on the real kafka relation
+    val envs = Seq(
+      (0, 0L, """{"op":"I","ts_ms":1000,"after":{"user_id":7,"value":1.5}}"""),
+      (0, 1L, """{"op":"U","ts_ms":2000,"after":{"user_id":7,"value":2.5}}"""),
+      (1, 0L, """{"op":"I","ts_ms":1500,"after":{"user_id":9,"value":9.0}}"""),
+      (1, 1L, """not json at all"""),
+      (1, 2L, """{"op":"D","ts_ms":3000,"before":{"user_id":9,"value":9.0}}"""))
+    val kIn = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long,
+      java.sql.Timestamp, Int)]
+    val kafkaShaped = kIn.toDS().toDF("key", "value", "topic", "partition",
+      "offset", "timestamp", "timestampType")
+    val q = CdcStream.kafkaEnvelopeChanges(kafkaShaped)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("kafka_changes").start()
+    try {
+      kIn.addData(envs.map { case (p, o, e) =>
+        (Array.empty[Byte], e.getBytes("UTF-8"), "cdc", p, o,
+          new java.sql.Timestamp(0L), 0) })
+      q.processAllAvailable()
+      val got = spark.table("kafka_changes").as[Change].collect()
+        .sortBy(_.event_id)
+      // file-shaped twin over the same envelope bytes, event_id built
+      // with the same partition-stride encoding
+      val fileTwin = CdcStream.envelopeChanges(
+        envs.map { case (p, o, e) => (p.toLong * (1L << 44) + o, e) }
+          .toDF("event_id", "env"))
+        .collect().sortBy(_.event_id)
+      assert(got.toSeq == fileTwin.toSeq, s"got ${got.toSeq}")
+      assert(got.length == 4, "corrupt record must drop, not kill")
+      // encoding: unique across partitions, monotone within one
+      val ids = got.map(_.event_id)
+      assert(ids.distinct.length == ids.length)
+      assert(ids.filter(_ >= (1L << 44)).sorted.sameElements(
+        ids.filter(_ >= (1L << 44))))
+    } finally q.stop()
+  }
 }
