@@ -53,6 +53,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("G2 ImageIoCodec really decodes PNG and BMP pixels; corrupt bytes quarantine") {
+    import spark.implicits._
+    // craft real images in-memory: a 7x5 gradient PNG and a 4x3 BMP
+    def img(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val b = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        b.setRGB(x, y, (x * 40 << 16) | (y * 50 << 8) | (x + y))
+      b
+    }
+    def bytes(i: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(i, fmt, out), s"no $fmt writer")
+      out.toByteArray
+    }
+    val png = bytes(img(7, 5), "png"); val bmp = bytes(img(4, 3), "bmp")
+    val assets = Seq(
+      (1L, png), (2L, bmp),
+      (3L, "definitely not an image".getBytes("UTF-8")),
+      (4L, png.take(10).toArray)) // truncated header
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodeWith(assets, Multimodal.ImageIoCodec)
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(got(1L).width == 7 && got(1L).height == 5 &&
+      got(1L).mime == "image/png", s"${got(1L)}")
+    assert(got(2L).width == 4 && got(2L).height == 3 &&
+      got(2L).mime == "image/bmp", s"${got(2L)}")
+    // checksum equals a direct driver-side pixel walk of the SAME image
+    def pixelChecksum(i: java.awt.image.BufferedImage): Long = {
+      var cs = 1125899906842597L
+      for (y <- 0 until i.getHeight; x <- 0 until i.getWidth)
+        cs = cs * 31 + i.getRGB(x, y)
+      cs
+    }
+    assert(got(1L).checksum == pixelChecksum(img(7, 5)))
+    assert(got(2L).checksum == pixelChecksum(img(4, 3)))
+    // PNG and BMP of the SAME pixels agree on the pixel identity
+    assert(pixelChecksum(img(4, 3)) == Multimodal.ImageIoCodec
+      .decode(0L, bytes(img(4, 3), "png")).checksum,
+      "pixel checksum must be format-independent")
+    // corrupt payloads quarantine instead of killing the scan
+    for (id <- Seq(3L, 4L))
+      assert(got(id).width == -1 && got(id).height == -1 &&
+        got(id).mime == "application/octet-stream", s"${got(id)}")
+  }
+
   test("G5 perceptual near-dup finds edited copies, not unrelated assets") {
     import spark.implicits._
     // strong region contrast (alternating dark/bright 10-byte tiles):
