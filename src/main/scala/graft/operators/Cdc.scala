@@ -194,6 +194,55 @@ object Cdc {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** C32 as-of INTERPOLATED join — the time-weighted upgrade of C8's
+    * last-observation as-of: each `purchase` event takes the LINEAR
+    * interpolation of its user's bracketing `view` values at its
+    * timestamp, v_prev + (v_next − v_prev)·(t − t_prev)/(t_next −
+    * t_prev) — the standard sensor/price-series enrichment where
+    * step-function as-of biases toward the stale side. Union-trick
+    * plan: reference and query rows ride ONE keyed window ordering
+    * (user, ts, ref-before-query, event_id) — prev ref via backward
+    * `last` ignoreNulls, next ref via forward `first` — no range
+    * self-join, no explosion, one shuffle on the user key (the C8
+    * scale shape, two window passes instead of one). Edges: a missing
+    * bracket on either side → null (strict interior interpolation,
+    * pandas `interpolate(limit_area='inside')`); a ref sharing the
+    * query's exact timestamp sorts BEFORE it (C8's inclusive tie
+    * rule) and is taken AS the answer by an explicit exact-hit branch
+    * — an exact observation needs no right bracket;
+    * equal-timestamp brackets guard the zero denominator (ANSI-safe)
+    * and take v_prev. Timestamp deltas are exact µs BIGINTs; one
+    * double ratio + one fused multiply-add shape, identical op
+    * sequence in the twin. */
+  def asofInterp(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val u = events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"),
+        $"value", $"event_type",
+        when($"event_type" === "view", lit(1)).otherwise(lit(0)).as("is_ref"))
+      .filter($"event_type".isin("view", "purchase"))
+    val ord = Window.partitionBy($"user_id")
+      .orderBy($"us", $"is_ref".desc, $"event_id")
+    val back = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = ord.rowsBetween(1, Window.unboundedFollowing)
+    val refVal = when($"is_ref" === 1, $"value")
+    val refUs = when($"is_ref" === 1, $"us")
+    u.withColumn("v_prev", last(refVal, ignoreNulls = true).over(back))
+      .withColumn("us_prev", last(refUs, ignoreNulls = true).over(back))
+      .withColumn("v_next", first(refVal, ignoreNulls = true).over(fwd))
+      .withColumn("us_next", first(refUs, ignoreNulls = true).over(fwd))
+      .filter($"event_type" === "purchase")
+      .withColumn("interp",
+        when($"us_prev" === $"us", $"v_prev") // exact observation hit
+          .when($"us_next" === $"us_prev", $"v_prev")
+          .otherwise($"v_prev" + ($"v_next" - $"v_prev") *
+            (($"us" - $"us_prev").cast("double") /
+              ($"us_next" - $"us_prev").cast("double"))))
+      .select($"user_id", $"event_id", $"us".as("ts_us"),
+        round($"interp", 6).as("val_interp"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** C15 day-of-week activity histogram (calendar bucketing; careful
     * cross-engine: Spark dayofweek is 1=Sunday, DuckDB dayofweek is
     * 0=Sunday — normalized to ISO 1=Monday..7=Sunday on both sides). */
@@ -347,6 +396,7 @@ object Cdc {
     "cdc_session_attrib" -> onEvents(sessionAttrib),
     "cdc_dow_histogram" -> onEvents(dowHistogram),
     "cdc_asof_join" -> onEvents(asofJoin),
+    "cdc_asof_interp" -> onEvents(asofInterp),
     "cdc_latest_state" -> onEvents(latestState),
     "cdc_apply_deletes" -> onEvents(applyDeletes),
     "cdc_scd2" -> onEvents(scd2),
@@ -483,6 +533,38 @@ object Cdc {
         |    AS state_value_asof
         |FROM events
         |QUALIFY event_type <> 'signup'
+        |ORDER BY user_id, event_id""".stripMargin,
+    // C32 twin: same union-trick windows (ref rows sort before query
+    // rows at equal timestamps), same µs-BIGINT deltas and single
+    // double ratio — op-sequence identical
+    "cdc_asof_interp" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value, event_type,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_ref
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |b AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN is_ref = 1 THEN value END IGNORE NULLS)
+        |      OVER w1 AS v_prev,
+        |    last_value(CASE WHEN is_ref = 1 THEN us END IGNORE NULLS)
+        |      OVER w1 AS us_prev,
+        |    first_value(CASE WHEN is_ref = 1 THEN value END IGNORE NULLS)
+        |      OVER w2 AS v_next,
+        |    first_value(CASE WHEN is_ref = 1 THEN us END IGNORE NULLS)
+        |      OVER w2 AS us_next
+        |  FROM u
+        |  WINDOW
+        |    w1 AS (PARTITION BY user_id ORDER BY us, is_ref DESC, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    w2 AS (PARTITION BY user_id ORDER BY us, is_ref DESC, event_id
+        |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, event_id, us AS ts_us,
+        |  round(CASE WHEN us_prev = us THEN v_prev
+        |    WHEN us_next = us_prev THEN v_prev
+        |    ELSE v_prev + (v_next - v_prev) *
+        |      ((us - us_prev)::DOUBLE / (us_next - us_prev)::DOUBLE)
+        |    END, 6) AS val_interp
+        |FROM b WHERE event_type = 'purchase'
         |ORDER BY user_id, event_id""".stripMargin,
     "cdc_latest_state" ->
       """SELECT user_id, event_type AS last_op,

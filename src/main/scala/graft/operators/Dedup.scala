@@ -160,6 +160,50 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"jac".as("jaccard"))
   }
 
+  /** D13 URL canonicalization — the web-crawl twin of [[norm]]'s text
+    * normalization, and the FIRST dedup key a crawl pipeline applies
+    * (URL identity is free; content identity costs a fetch + hash):
+    * fragment stripped; scheme + host lowercased; leading `www.`
+    * dropped; default port removed (`:80` for http else `:443`);
+    * trailing path slashes trimmed; query params split, `utm_*`
+    * tracking params dropped, the rest SORTED (param order is
+    * serving-side noise). Pure codegen'd column math — regexes are
+    * RE2-safe (no lookarounds), so the DuckDB twin replays the exact
+    * same patterns; parity is proven by the graded query's hash, not
+    * assumed. Canonical collisions are CANDIDATES in a real pipeline
+    * (dynamic pages change under one URL) — pair with D1 content
+    * hashing downstream, which is why the op emits the key rather
+    * than dropping rows. */
+  def urlCanonical(url: Column): Column = {
+    val base = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(base, "^([a-zA-Z]+)://", 1))
+    val rest = regexp_replace(base, "^[a-zA-Z]+://", "")
+    val hostRaw = regexp_extract(rest, "^[^/?]+", 0)
+    val hostL = regexp_replace(lower(hostRaw), "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(hostL, ":80$", ""))
+      .otherwise(regexp_replace(hostL, ":443$", ""))
+    val pathq = rest.substr(length(hostRaw) + 1, length(rest))
+    val path = regexp_replace(regexp_extract(pathq, "^[^?]*", 0), "/+$", "")
+    val qs = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(qs, "&"),
+      p => p =!= lit("") && not(p.startsWith("utm_"))))
+    concat(scheme, lit("://"), host, path,
+      when(size(params) === 0, lit(""))
+        .otherwise(concat(lit("?"), array_join(params, "&"))))
+  }
+
+  /** D13 grouped URL dedup over a (doc_id, url) frame: one hash
+    * aggregate on the canonical key — the D1 shape, so the same
+    * map-side-combined single-shuffle scale posture. */
+  def urlDedup(pages: DataFrame): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages
+      .withColumn("canon_url", urlCanonical($"url"))
+      .groupBy($"canon_url")
+      .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_docs"))
+      .orderBy($"canon_url")
+  }
+
   /** The engine's canonical content address: md5 of the normalized
     * text. Shared by batch exact dedup and the streaming ingest twin
     * ([[graft.streaming.DocStream]]) so both agree on what "the same
@@ -607,7 +651,26 @@ object Dedup {
     "dedup_decontam" -> onDocs(d => decontaminate(
       d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))),
     "dedup_lines" -> onDocs(d => lineDedup(chunkedPages(d))),
-    "dedup_containment" -> onDocs(d => ngramContainment(d)))
+    "dedup_containment" -> onDocs(d => ngramContainment(d)),
+    // D13 synthetic crawl frame: five URL spellings per page (case,
+    // default port, www, param order, tracking params, fragment)
+    // derived deterministically from doc_id; the oracle constructs the
+    // IDENTICAL frame, so the hash proves construction AND
+    // canonicalization agree across engines
+    "dedup_url" -> onDocs(d => urlDedup(
+      d.select(col("doc_id"), expr(UrlVariantSql).as("url")))))
+
+  /** The five URL spellings — valid in BOTH Spark SQL and DuckDB
+    * except integer division (`div` vs `//`), substituted per engine. */
+  private def urlVariantSql(intDiv: String): String =
+    s"""CASE doc_id % 5
+       |  WHEN 0 THEN 'https://Example.COM/d/' || (doc_id $intDiv 5) || '?b=2&a=1'
+       |  WHEN 1 THEN 'https://example.com:443/d/' || (doc_id $intDiv 5) || '?a=1&b=2'
+       |  WHEN 2 THEN 'https://www.example.com/d/' || (doc_id $intDiv 5) || '/?a=1&b=2&utm_source=x'
+       |  WHEN 3 THEN 'HTTPS://example.com/d/' || (doc_id $intDiv 5) || '?a=1&b=2#sec'
+       |  ELSE 'http://example.com:80/d/' || (doc_id $intDiv 5) || '?a=1&b=2&utm_campaign=y'
+       |END""".stripMargin
+  private val UrlVariantSql = urlVariantSql("div")
 
   private val shinglesSql =
     s"""w AS (
@@ -628,6 +691,37 @@ object Dedup {
        |  JOIN rare USING (shingle))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // D13 twin: identical variant construction (// is DuckDB int div)
+    // and the same RE2-safe canonicalization patterns step for step
+    "dedup_url" ->
+      s"""WITH urls AS (
+         |  SELECT doc_id, ${urlVariantSql("//").replace("\n", "\n  ")} AS u
+         |  FROM documents),
+         |c AS (SELECT doc_id, regexp_replace(u, '#.*', '') AS base FROM urls),
+         |p AS (SELECT doc_id,
+         |    lower(regexp_extract(base, '^([a-zA-Z]+)://', 1)) AS scheme,
+         |    regexp_replace(base, '^[a-zA-Z]+://', '') AS rest FROM c),
+         |h AS (SELECT doc_id, scheme,
+         |    regexp_replace(
+         |      regexp_replace(lower(regexp_extract(rest, '^[^/?]+', 0)),
+         |        '^www\\.', ''),
+         |      CASE WHEN scheme = 'http' THEN ':80$$' ELSE ':443$$' END,
+         |      '') AS host,
+         |    substr(rest, length(regexp_extract(rest, '^[^/?]+', 0)) + 1)
+         |      AS pathq FROM p),
+         |pq AS (SELECT doc_id, scheme, host,
+         |    regexp_replace(regexp_extract(pathq, '^[^?]*', 0), '/+$$', '')
+         |      AS path,
+         |    regexp_extract(pathq, '\\?(.*)$$', 1) AS qs FROM h),
+         |f AS (SELECT doc_id, scheme || '://' || host || path ||
+         |    CASE WHEN len(params) = 0 THEN ''
+         |      ELSE '?' || array_to_string(params, '&') END AS canon_url
+         |  FROM (SELECT *, list_sort(list_filter(string_split(qs, '&'),
+         |      x -> x <> '' AND NOT starts_with(x, 'utm_'))) AS params
+         |    FROM pq))
+         |SELECT canon_url, min(doc_id) AS keeper_doc_id,
+         |  count(*)::BIGINT AS n_docs
+         |FROM f GROUP BY 1 ORDER BY canon_url""".stripMargin,
     // same unrolled Lloyd's as the kmeans oracles but trained on
     // L2-NORMALIZED vectors (SemDeDup clusters by direction), then
     // exact cosine over the RAW vectors within the learned cell and a

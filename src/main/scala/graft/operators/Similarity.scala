@@ -57,6 +57,37 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  // chosen against the synthetic corpus's cosine spread (max query-
+  // corpus cosine ≈ 0.39 at every SF): high enough to be a selective
+  // radius, low enough that the answer is non-empty at sf0.001+
+  private val RangeCosT = 0.35
+
+  /** E13 RANGE (radius) search: every corpus vector within cosine ≥ t
+    * of each query — the dedup/recall-audit complement of top-k (a
+    * k-bounded answer silently truncates dense neighborhoods exactly
+    * where near-dup analysis needs them all; a radius answer's size
+    * IS the signal). Exact brute-force form: broadcast the query
+    * batch, one codegen'd dot per (query, vector), keep rows clearing
+    * the threshold — no per-query state at all, so unlike top-k there
+    * is no heap aggregate and the output is a pure filter of the
+    * scored scan. At 100 TB the same call runs against the E8 index:
+    * probed-cell pruning bounds the scan and the ADC lower-bounds the
+    * cosine before the exact re-check (the E10/E11 two-stage shape);
+    * the brute-force form here is the recall oracle for that path.
+    * Zero-norm guard mirrors D5/D12 (NaN sorts high in both engines). */
+  def rangeSearch(vecs: DataFrame, t: Double = RangeCosT): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = withNorm(vecs)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
+    e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .filter($"n" > 0 && $"qn" > 0)
+      .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6))
+      .filter($"cos" >= t)
+      .select($"q_id", $"vec_id", $"cos")
+      .orderBy($"q_id", $"vec_id")
+  }
+
   /** Deterministic ±1 random hyperplane for (table t, bit b) —
     * MurmurHash3-seeded, shared with Dedup's LSH blocking AND its
     * oracle-SQL generator so both engines block identically. */
@@ -820,6 +851,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> onVecs(bruteforce),
+    "ann_range" -> onVecs(v => rangeSearch(v)),
     "ann_lsh" -> onVecs(annLsh),
     "ann_ivf" -> onVecs(annIvf),
     "ann_ivf_kmeans" -> onVecs(v => annIvfKmeans(v)),
@@ -1180,6 +1212,16 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, cos FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ann_range" ->
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e
+         |      WHERE vec_id < $NumQueries)
+         |SELECT q.q_id, e.vec_id,
+         |  round(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) AS cos
+         |FROM e JOIN q ON e.vec_id <> q.q_id
+         |WHERE e.n > 0 AND q.qn > 0
+         |  AND round(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) >= $RangeCosT
+         |ORDER BY q_id, vec_id""".stripMargin,
     "ann_lsh" ->
       s"""WITH $eCte,
          |bk AS (

@@ -159,6 +159,53 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
+  private[graft] val Bm25K1 = 1.2
+  private[graft] val Bm25B = 0.75
+  private[graft] val Bm25Query = Seq("spark", "window", "scan")
+
+  /** F15 BM25 ranked retrieval (Robertson & Spärck Jones probabilistic
+    * weighting in the Lucene practical form) — the retrieval twin of
+    * F6's TF-IDF, and the scoring a training-data pipeline uses for
+    * query-targeted corpus selection (e.g. quality-proxy retrieval
+    * against a seed query set):
+    * idf(t) = ln(1 + (N − df + ½)/(df + ½)) — never negative, unlike
+    * the raw log-odds form; tf-norm = tf·(k1+1)/(tf + k1·(1 − b +
+    * b·dl/avgdl)) saturates term frequency and penalizes long docs;
+    * score(d) = Σ_{t ∈ q} idf·tfnorm over the fixed query terms.
+    * Plan shape: one explode, the per-doc length aggregate, a
+    * query-term filter BEFORE the tf aggregate (work ∝ posting lists
+    * of the query terms, not the corpus vocabulary), df over the same
+    * filtered frame, top-k via orderBy+limit (TakeOrderedAndProject —
+    * no global sort). All counts BIGINT; avgdl is one double ratio of
+    * two exact BIGINTs; ln is libm on both engines and the score is
+    * ranked on shared doubles then exported rounded to 4 — the F6
+    * precedent, hash-stable. */
+  def bm25(docs: DataFrame, queryTerms: Seq[String] = Bm25Query,
+      k: Int = 10): DataFrame = {
+    import docs.sparkSession.implicits._
+    val n = docs.count()
+    val terms = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+    val dl = terms.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val totTok = dl.agg(sum($"dl")).collect()(0).getLong(0)
+    val avgdl = totTok.toDouble / n
+    val qt = terms.filter($"term".isin(queryTerms: _*))
+    val tf = qt.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = qt.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .join(dl, "doc_id")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n.toDouble) - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("part", $"idf" * ($"tf" * lit(Bm25K1 + 1.0)) /
+        ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+          lit(Bm25B) * $"dl" / lit(avgdl))))
+      .groupBy($"doc_id")
+      .agg(sum($"part").as("raw"), count(lit(1)).as("n_terms_hit"))
+      .select($"doc_id", round($"raw", 4).as("score"), $"n_terms_hit")
+      .orderBy(round($"raw", 4).desc, $"doc_id")
+      .limit(k)
+  }
+
   /** F12 repetition metrics (the Gopher-style quality signals of
     * Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1):
     * per document, the fraction of tokens taken by the single most
@@ -389,6 +436,7 @@ object TextAnalysis {
     "text_split_assign" -> onDocs(splitAssign),
     "text_profile" -> onDocs(profile),
     "text_tfidf" -> onDocs(tfidf),
+    "text_bm25" -> onDocs(d => bm25(d)),
     "text_tokens" -> onDocs(tokenCounts),
     "text_quality" -> onDocs(quality),
     "text_langid" -> onDocs(langId),
@@ -572,6 +620,34 @@ object TextAnalysis {
         |  FROM scored)
         |SELECT doc_id, rank, term, tf, df, round(raw, 4) AS score
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // F15 twin: identical BM25 op sequence — BIGINT counts, one avgdl
+    // ratio, libm ln, rank on shared doubles, export rounded (the F6
+    // precedent)
+    "text_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+         |stats AS (
+         |  SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+         |    (SELECT sum(dl)::DOUBLE / (SELECT count(*) FROM documents)
+         |     FROM dl) AS avgdl),
+         |qt AS (SELECT doc_id, term FROM toks
+         |  WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM qt GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM qt GROUP BY 1),
+         |parts AS (
+         |  SELECT tf.doc_id,
+         |    ln(1.0 + (s.n::DOUBLE - df.df + 0.5) / (df.df + 0.5))
+         |      * (tf.tf * ${Bm25K1 + 1.0}) /
+         |      (tf.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl / s.avgdl))
+         |      AS part
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s),
+         |agg AS (
+         |  SELECT doc_id, sum(part) AS raw, count(*)::BIGINT AS n_terms_hit
+         |  FROM parts GROUP BY 1)
+         |SELECT doc_id, round(raw, 4) AS score, n_terms_hit
+         |FROM agg ORDER BY round(raw, 4) DESC, doc_id LIMIT 10""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term

@@ -299,4 +299,74 @@ class OperatorsSpec extends AnyFunSuite {
     // permissive: corrupt row survives with null fields, no exception
     assert(r(2).isNullAt(1) && r(2).isNullAt(2) && r(2).isNullAt(3))
   }
+
+  test("D13 urlCanonical applies every rule on crafted URLs") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://Example.COM/a/7?b=2&a=1" ->
+        "https://example.com/a/7?a=1&b=2",      // case + param sort
+      "https://example.com:443/a/7?a=1&b=2" ->
+        "https://example.com/a/7?a=1&b=2",      // default https port
+      "https://www.example.com/a/7/?a=1&b=2&utm_source=x" ->
+        "https://example.com/a/7?a=1&b=2",      // www + slash + utm
+      "HTTPS://example.com/a/7#sec" ->
+        "https://example.com/a/7",              // scheme case + fragment
+      "http://example.com:80/a/7?utm_campaign=y&a=1&b=2" ->
+        "http://example.com/a/7?a=1&b=2",       // default http port
+      "http://example.com:8080/a/7" ->
+        "http://example.com:8080/a/7",          // NON-default port kept
+      "http://example.com/a/7" ->
+        "http://example.com/a/7")               // already canonical
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.operators.Dedup.urlCanonical(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
+  test("C32 asofInterp: interior interpolation exact, edges null, same-ts ref wins") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000) // s in millis here
+    val rows = Seq(
+      // user 1: views at t=0 (v=10) and t=100s (v=30); purchases at
+      // t=25s (interp 15), t=100s sharing a view's ts (exactly 30)
+      (1L, 10L, t(0), "view", 10.0),
+      (2L, 11L, t(100000), "view", 30.0),
+      (3L, 1L, t(25000), "purchase", 999.0),
+      (4L, 2L, t(100000), "purchase", 999.0),
+      // user 2: purchase BEFORE any view -> null (no left bracket);
+      // purchase AFTER the last view -> null (no right bracket)
+      (5L, 20L, t(50000), "view", 5.0),
+      (6L, 3L, t(10000), "purchase", 999.0),
+      (7L, 4L, t(90000), "purchase", 999.0)
+    ).map { case (eid, _, ts, et, v) => (eid, eid, ts, et, v) }
+      // user id: events 1-4 -> user 1, 5-7 -> user 2
+      .map { case (eid, _, ts, et, v) =>
+        (eid, if (eid <= 4) 1L else 2L, ts, et, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = graft.operators.Cdc.asofInterp(rows)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(3L) == Some(15.0), s"25% of [10,30]: ${got(3L)}")
+    assert(got(4L) == Some(30.0), "ref at the same ts is the prev bracket")
+    assert(got(6L).isEmpty && got(7L).isEmpty, "strict interior only")
+  }
+
+  test("F15 bm25 ranks a term-stuffed doc first and saturates tf") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("spark " * 50).trim),                    // stuffed, short
+      (2L, ("spark window scan " * 5 + "x " * 200).trim), // all terms, long
+      (3L, "spark " + ("y " * 20).trim),             // one hit
+      (4L, ("z " * 30).trim))                        // no hits
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bm25(docs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(!got.map(_._1).contains(4L), "no-hit doc must not appear")
+    // doc 2 hits all 3 query terms; idf of each term is equal here
+    // (every term appears in 2 docs), so 3 saturated parts beat doc
+    // 1's single saturated part despite 50x term stuffing
+    assert(got.head._1 == 2L && got.head._3 == 3L, s"got ${got.toSeq}")
+    val d1 = got.find(_._1 == 1L).get
+    assert(d1._3 == 1L && d1._2 < 3 * got.head._2, s"tf must saturate: $d1")
+  }
 }
