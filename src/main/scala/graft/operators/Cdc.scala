@@ -227,10 +227,13 @@ object Cdc {
     val fwd = ord.rowsBetween(1, Window.unboundedFollowing)
     val refVal = when($"is_ref" === 1, $"value")
     val refUs = when($"is_ref" === 1, $"us")
-    u.withColumn("v_prev", last(refVal, ignoreNulls = true).over(back))
-      .withColumn("us_prev", last(refUs, ignoreNulls = true).over(back))
-      .withColumn("v_next", first(refVal, ignoreNulls = true).over(fwd))
-      .withColumn("us_next", first(refUs, ignoreNulls = true).over(fwd))
+    // one select so CollapseWindow fuses the four projections into
+    // TWO Window nodes (one per frame) over a single sort
+    u.select($"*",
+        last(refVal, ignoreNulls = true).over(back).as("v_prev"),
+        last(refUs, ignoreNulls = true).over(back).as("us_prev"),
+        first(refVal, ignoreNulls = true).over(fwd).as("v_next"),
+        first(refUs, ignoreNulls = true).over(fwd).as("us_next"))
       .filter($"event_type" === "purchase")
       .withColumn("interp",
         when($"us_prev" === $"us", $"v_prev") // exact observation hit

@@ -108,8 +108,13 @@ object Resilience {
     * carry no NaN values, so the replay is exact there. */
   def resilienceReplayOn(ss: Series, ordCol: String, basePeriod: Long,
       shockPeriod: Long, horizon: Long): DataFrame = {
+    // localCheckpoint: base, shock and recovery all consume this
+    // aggregate — without it each consumer replays the corpus scan
+    // (4 scans at 100 TB); materialized it is groups × periods rows,
+    // corpus-independent
     val first = ss.df.groupBy(col(ss.grp), col(ss.period).as("p"))
       .agg(min_by(col(ss.value), col(ordCol)).as("v"))
+      .localCheckpoint()
     val base = first.filter(col("p") === basePeriod)
       .select(col(ss.grp), col("v").as("v0"))
     val shock = first.filter(col("p") === shockPeriod)

@@ -184,14 +184,22 @@ object TextAnalysis {
       k: Int = 10): DataFrame = {
     import docs.sparkSession.implicits._
     val n = docs.count()
-    val terms = docs.select($"doc_id", explode(tokens($"text")).as("term"))
-    val dl = terms.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    // ONE tokenization pass: every downstream frame (doc lengths,
+    // query-term tf, df) derives from the per-doc term counts, which
+    // are materialized (doc × distinct-term rows, far smaller than
+    // the corpus text) — without the checkpoint each consumer would
+    // re-scan and re-tokenize the corpus
+    val tcounts = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val dl = tcounts.groupBy($"doc_id").agg(sum($"c").as("dl"))
     val totTok = dl.agg(sum($"dl")).collect()(0).getLong(0)
     val avgdl = totTok.toDouble / n
-    val qt = terms.filter($"term".isin(queryTerms: _*))
-    val tf = qt.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val df = qt.select($"doc_id", $"term").distinct()
-      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val tf = tcounts.filter($"term".isin(queryTerms: _*))
+      .select($"doc_id", $"term", $"c".as("tf"))
+    // tcounts is already distinct per (doc, term): df = row count
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     tf.join(df, "term")
       .join(dl, "doc_id")
       .withColumn("idf",
