@@ -165,6 +165,16 @@ object Similarity {
     * earlier corpus×k nested-loop join + re-aggregation. */
   def annIvf(vecs: DataFrame, nProbe: Int): DataFrame = {
     import vecs.sparkSession.implicits._
+    topKPerQuery(ivfScoredCandidates(vecs, nProbe))
+  }
+
+  /** Shared IVF probe pipeline: assign every vector to its nearest
+    * seed cell (codegen'd literal argmax), probe the nProbe best
+    * cells per query, equi-join on the cell and score the survivors —
+    * the candidate frame both the top-k (E3) and range (E14) searches
+    * consume. */
+  private def ivfScoredCandidates(vecs: DataFrame, nProbe: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
     val nCentroids = 16
     val e = withNorm(vecs)
     val cents: Array[(Long, Array[Double])] =
@@ -186,10 +196,28 @@ object Similarity {
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
       .withColumn("pc", explode(slice(reverse(array_sort(cellScores)), 1, nProbe)))
       .select($"q_id", $"qv", $"qn", (-$"pc.nc").as("cell"))
-    topKPerQuery(
-      assigned.join(broadcast(q), Seq("cell"))
-        .filter($"vec_id" =!= $"q_id")
-        .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6)))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6))
+  }
+
+  /** E14 range search through the IVF path — the scale form of E13:
+    * candidates come only from the nProbe probed cells (the scan
+    * reads ~nProbe/k of the corpus instead of all of it), the exact
+    * cosine threshold filters the survivors. Recall contract is the
+    * IVF one — a qualifying neighbor living outside the probed cells
+    * is missed by design; [[rangeSearch]] is the exact recall oracle
+    * (spec compares the two at the test corpus). The DuckDB twin
+    * replays the same assignment and probing, so the graded hash
+    * proves the PRUNED pipeline end to end, not just the cosine. */
+  def rangeSearchIvf(vecs: DataFrame, nProbe: Int = 2,
+      t: Double = RangeCosT): DataFrame = {
+    import vecs.sparkSession.implicits._
+    ivfScoredCandidates(vecs, nProbe)
+      .filter($"n" > 0 && $"qn" > 0)
+      .filter($"cos" >= t)
+      .select($"q_id", $"vec_id", $"cos")
+      .orderBy($"q_id", $"vec_id")
   }
 
   /** Cosine-argmax cell id over literal centroids: `greatest` on
@@ -852,6 +880,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> onVecs(bruteforce),
     "ann_range" -> onVecs(v => rangeSearch(v)),
+    "ann_range_ivf" -> onVecs(v => rangeSearchIvf(v)),
     "ann_lsh" -> onVecs(annLsh),
     "ann_ivf" -> onVecs(annIvf),
     "ann_ivf_kmeans" -> onVecs(v => annIvfKmeans(v)),
@@ -1222,6 +1251,38 @@ object Similarity {
          |WHERE e.n > 0 AND q.qn > 0
          |  AND round(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) >= $RangeCosT
          |ORDER BY q_id, vec_id""".stripMargin,
+    // E14 twin: the ann_ivf CTE chain (same seed centroids, same
+    // argmax assignment, same nProbe=2 probing) with the range filter
+    // in place of the rank window
+    "ann_range_ivf" ->
+      s"""WITH $eCte,
+         |cents AS (
+         |  SELECT vec_id AS c_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+         |  FROM e WHERE (vec_id * 7) % 101 < 16 ORDER BY vec_id LIMIT 16),
+         |asg AS (
+         |  SELECT vec_id, v, n, cell FROM (
+         |    SELECT e.vec_id, e.v, e.n, c.c_id AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.n * c.cn) DESC, c.c_id
+         |    ) AS arn
+         |    FROM e CROSS JOIN cents c)
+         |  WHERE arn = 1),
+         |probes AS (
+         |  SELECT q_id, qv, qn, cell FROM (
+         |    SELECT e.vec_id AS q_id, e.v AS qv, e.n AS qn, c.c_id AS cell,
+         |      row_number() OVER (
+         |        PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, c.cv) / (e.n * c.cn) DESC, c.c_id
+         |      ) AS prn
+         |    FROM e CROSS JOIN cents c WHERE e.vec_id < $NumQueries)
+         |  WHERE prn <= 2),
+         |scored AS (
+         |  SELECT p.q_id, a.vec_id,
+         |    round(list_dot_product(p.qv, a.v) / (p.qn * a.n), 6) AS cos
+         |  FROM probes p JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.q_id
+         |  WHERE a.n > 0 AND p.qn > 0)
+         |SELECT q_id, vec_id, cos FROM scored
+         |WHERE cos >= $RangeCosT ORDER BY q_id, vec_id""".stripMargin,
     "ann_lsh" ->
       s"""WITH $eCte,
          |bk AS (

@@ -104,6 +104,22 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"SQ8 recall@3 vs exact = $recall")
   }
 
+  test("E14 pruned range search is a subset of exact; exhaustive probe recovers it") {
+    import spark.implicits._
+    val vecs = graft.sources.Tables.embeddings(spark, GraftTestSession.sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"q_id", $"vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.rangeSearch(vecs, t = 0.3))
+    val pruned = pairs(Similarity.rangeSearchIvf(vecs, nProbe = 2, t = 0.3))
+    assert(pruned.subsetOf(exact),
+      s"pruned results must come from the exact set: ${pruned -- exact}")
+    assert(exact.nonEmpty, "threshold chosen so the exact answer is non-empty")
+    // probing every cell is exhaustive -> exactly the E13 answer
+    val all = pairs(Similarity.rangeSearchIvf(vecs, nProbe = 16, t = 0.3))
+    assert(all == exact, s"exhaustive probe diverged: ${all union exact -- (all intersect exact)}")
+  }
+
   test("norm-mismatch regime: recall climbs to exact as nProbe -> nlist") {
     val vecs = corpus(normSpread = true).persist()
     try {
