@@ -214,6 +214,42 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** F16 unigram language-model scoring — the CCNet/CC-Net-style
+    * perplexity proxy for corpus quality filtering: train add-one-
+    * smoothed unigram probabilities ON the corpus itself (p(t) =
+    * (c(t)+1)/(T+V)), score each document by its mean token log-prob
+    * Σ c_d(t)·ln p(t) / len(d). Low scores = rare-token-heavy docs
+    * (OCR noise, codes, gibberish); high = stopword-heavy boilerplate
+    * — both tails are what a quality gate trims. (A real deployment
+    * swaps the self-trained table for a reference-corpus one — same
+    * plan, different join input.)
+    * Determinism: per-doc contributions are folded in SORTED TERM
+    * ORDER via an explicit left-associated `aggregate` fold (the
+    * B16/B18 precedent) — a bare sum() would expose partial-agg
+    * ordering across engines. One tokenization pass (the F15 tcounts
+    * shape); the term-probability table joins size-adaptively (AQE
+    * broadcasts while it fits). */
+  def lmScore(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tcounts = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tc = tcounts.groupBy($"term").agg(sum($"c").as("ct"))
+    val stats = tc.agg(sum($"ct"), count(lit(1))).collect()(0)
+    val denom = (stats.getLong(0) + stats.getLong(1)).toDouble // T + V
+    tcounts.join(tc, "term")
+      .withColumn("contrib", $"c" * log(($"ct" + lit(1.0)) / lit(denom)))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"term", $"contrib"))).as("parts"),
+        sum($"c").as("n_tokens"))
+      .withColumn("lp",
+        expr("aggregate(transform(parts, x -> x.contrib), 0D, (acc, x) -> acc + x)"))
+      .select($"doc_id", $"n_tokens",
+        round($"lp" / $"n_tokens", 4).as("lm_score"))
+      .orderBy($"doc_id")
+  }
+
   /** F12 repetition metrics (the Gopher-style quality signals of
     * Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1):
     * per document, the fraction of tokens taken by the single most
@@ -445,6 +481,7 @@ object TextAnalysis {
     "text_profile" -> onDocs(profile),
     "text_tfidf" -> onDocs(tfidf),
     "text_bm25" -> onDocs(d => bm25(d)),
+    "text_lm_score" -> onDocs(lmScore),
     "text_tokens" -> onDocs(tokenCounts),
     "text_quality" -> onDocs(quality),
     "text_langid" -> onDocs(langId),
@@ -656,6 +693,31 @@ object TextAnalysis {
          |  FROM parts GROUP BY 1)
          |SELECT doc_id, round(raw, 4) AS score, n_terms_hit
          |FROM agg ORDER BY round(raw, 4) DESC, doc_id LIMIT 10""".stripMargin,
+    // F16 twin: same smoothed probabilities, contributions folded in
+    // the SAME sorted term order via list(... ORDER BY term) +
+    // list_reduce (left fold; DuckDB's scalar-accumulator reduce is
+    // safe — the B18 aliasing caveat applies to struct accumulators)
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tcounts AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+        |tc AS (SELECT term, sum(c)::BIGINT AS ct FROM tcounts GROUP BY 1),
+        |stats AS (
+        |  SELECT (SELECT sum(ct) FROM tc) + (SELECT count(*) FROM tc)
+        |    AS denom),
+        |parts AS (
+        |  SELECT t.doc_id, t.term, t.c,
+        |    t.c * ln((tc.ct + 1.0) / s.denom::DOUBLE) AS contrib
+        |  FROM tcounts t JOIN tc USING (term), stats s),
+        |agg AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |    list_reduce(list(contrib ORDER BY term), (acc, x) -> acc + x)
+        |      AS lp
+        |  FROM parts GROUP BY 1)
+        |SELECT doc_id, n_tokens, round(lp / n_tokens, 4) AS lm_score
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
