@@ -342,7 +342,52 @@ object Multimodal {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Little-endian hex of the low `nBytes` bytes of a Spark SQL long
+    * expression — builds the GIF/BMP/WAV header fields. */
+  private def leHex(nBytes: Int, e: String): String =
+    (0 until nBytes).map { i =>
+      val div = math.pow(256, i).toLong
+      s"lpad(hex(($e div $div) % 256), 2, '0')"
+    }.mkString(" || ")
+
+  /** Synthetic container payloads planted from doc_id: real PNG / GIF
+    * / BMP (signed top-down height on odd ids) / canonical-WAV headers
+    * plus a non-media control, dims/rates derived from doc_id. Spark
+    * SQL only — the oracle never parses bytes; it recomputes the
+    * PLANTED values, so the graded hash proves [[sniffHeaders]]
+    * inverts this construction. */
+  private val SniffPayloadSql: String = {
+    val w = "(100 + doc_id % 1000)"
+    val h = "(50 + doc_id % 500)"
+    val hSigned = s"(CASE WHEN doc_id % 2 = 1 THEN 4294967296 - $h ELSE $h END)"
+    val sr = "(8000 + (doc_id % 100) * 441)"
+    val ch = "(1 + doc_id % 2)"
+    s"""unhex(CASE doc_id % 5
+       |  WHEN 0 THEN '89504E470D0A1A0A0000000D49484452'
+       |    || lpad(hex($w), 8, '0') || lpad(hex($h), 8, '0')
+       |  WHEN 1 THEN '474946383961' || ${leHex(2, w)} || ${leHex(2, h)}
+       |  WHEN 2 THEN '424D' || '000000000000000000000000' || '28000000'
+       |    || ${leHex(4, w)} || ${leHex(4, hSigned)}
+       |  WHEN 3 THEN '524946460000000057415645666D742010000000' || '0100'
+       |    || ${leHex(2, ch)} || ${leHex(4, sr)}
+       |  ELSE '4E4F544D45444941'
+       |END)""".stripMargin
+  }
+
+  /** G4 graded entry (`mm_sniff`): header sniffing over the planted
+    * payloads; brand dropped (no ISO-BMFF in the construction — its
+    * detection stays spec-covered with crafted ftyp boxes). */
+  private def sniffEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sniffHeaders(Tables.documents(s, dir)
+        .select($"doc_id", expr(SniffPayloadSql).as("payload")))
+      .select($"doc_id", $"format", $"width", $"height",
+        $"sample_rate", $"n_channels", $"n_bytes")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_sniff" -> sniffEntry,
     "mm_binary_meta" -> binaryMetaHex,
     // rows-only by design: the fingerprint input is the stubbed
     // codec's decode, which no SQL engine replicates. The graded
@@ -362,6 +407,25 @@ object Multimodal {
     }))
 
   val oracles: Map[String, String] = Map(
+    // G4 twin: recomputes the PLANTED header values from doc_id — no
+    // byte parsing — so a hash match proves the Spark sniffer decodes
+    // the constructed binary back to exactly what was planted
+    "mm_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |    WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav' ELSE 'unknown'
+        |    END AS format,
+        |  (CASE WHEN doc_id % 5 <= 2 THEN 100 + doc_id % 1000
+        |    END)::BIGINT AS width,
+        |  (CASE WHEN doc_id % 5 <= 2 THEN 50 + doc_id % 500
+        |    END)::BIGINT AS height,
+        |  (CASE WHEN doc_id % 5 = 3 THEN 8000 + (doc_id % 100) * 441
+        |    END)::BIGINT AS sample_rate,
+        |  (CASE WHEN doc_id % 5 = 3 THEN 1 + doc_id % 2
+        |    END)::BIGINT AS n_channels,
+        |  (CASE doc_id % 5 WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 26
+        |    WHEN 3 THEN 28 ELSE 8 END)::BIGINT AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, lower(hex(text::BLOB)) AS payload_hex,
         |  'text/plain' AS mime,
