@@ -246,6 +246,26 @@ object Cdc {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** C33 changelog compaction — drop NO-OP change records: a row is
+    * emitted only when its value differs from the key's PREVIOUS
+    * record (null-safe — the key's first record always emits). Retry
+    * storms, heartbeat re-sends and idempotent writer re-emissions are
+    * the bulk of many real change feeds; compacting them upstream
+    * shrinks every downstream state store and apply cost to the TRUE
+    * change rate (the same reason C30's snapshot diff skips unchanged
+    * rows). One keyed window pass, value compared in exact cents. */
+  def compactChangelog(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .withColumn("prev", lag($"cents", 1).over(w))
+      .filter(!($"cents" <=> $"prev"))
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        $"cents")
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** C15 day-of-week activity histogram (calendar bucketing; careful
     * cross-engine: Spark dayofweek is 1=Sunday, DuckDB dayofweek is
     * 0=Sunday — normalized to ISO 1=Monday..7=Sunday on both sides). */
@@ -400,6 +420,7 @@ object Cdc {
     "cdc_dow_histogram" -> onEvents(dowHistogram),
     "cdc_asof_join" -> onEvents(asofJoin),
     "cdc_asof_interp" -> onEvents(asofInterp),
+    "cdc_compact_changelog" -> onEvents(compactChangelog),
     "cdc_latest_state" -> onEvents(latestState),
     "cdc_apply_deletes" -> onEvents(applyDeletes),
     "cdc_scd2" -> onEvents(scd2),
@@ -568,6 +589,17 @@ object Cdc {
         |      ((us - us_prev)::DOUBLE / (us_next - us_prev)::DOUBLE)
         |    END, 6) AS val_interp
         |FROM b WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+    // C33 twin: IS DISTINCT FROM is Spark's !(a <=> b)
+    "cdc_compact_changelog" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, cents
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    round(value * 100)::BIGINT AS cents,
+        |    lag(round(value * 100)::BIGINT) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |WHERE cents IS DISTINCT FROM prev
         |ORDER BY user_id, event_id""".stripMargin,
     "cdc_latest_state" ->
       """SELECT user_id, event_type AS last_op,

@@ -125,6 +125,53 @@ object Relational {
       .orderBy($"priority")
   }
 
+  /** A32 INTERPOLATED quantiles — the type-7 definition (pandas
+    * `quantile` / numpy `percentile` DEFAULT, vs A29's type-1): rank
+    * h = (n−1)·p, result = v_⌊h⌋₊₁ + (h−⌊h⌋)·(v_⌊h⌋₊₂ − v_⌊h⌋₊₁)
+    * over the 1-based order statistics. Same cumulative-histogram
+    * machinery as A29 — the value at rank r is min(cents | cum ≥ r),
+    * a conditional min inside the one grouped aggregate, so both
+    * order statistics of every quantile come from the SAME pass (no
+    * sort of the group, no per-group collect). Interpolation is
+    * INTEGER-exact: h is carried as the scaled integer (n−1)·p·100,
+    * so rank = h div 100 + 1 and the fractional term is
+    * (h mod 100)·(v_hi − v_lo) — an exact BIGINT product — over one
+    * final division by 100. A float h (the naive form) loses a ulp in
+    * the 0.9·(n−1) product and breaks the cross-engine hash; measured,
+    * not hypothetical. */
+  def quantilesInterp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("priority"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val counts = pts.groupBy($"priority", $"cents").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"priority").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"priority")))
+    val ps = Seq("p25" -> 25L, "p50" -> 50L, "p90" -> 90L, "p99" -> 99L)
+    val ranksAgg = ps.flatMap { case (nm, pc) =>
+      // scaled integer rank in units of 1/100 — `div` is integer
+      val hdiv = expr(s"((n - 1) * $pc) div 100")
+      Seq(
+        min(when($"cum" >= hdiv + 1, $"cents")).as(s"${nm}_lo"),
+        min(when($"cum" >= least(hdiv + 2, $"n"), $"cents"))
+          .as(s"${nm}_hi"))
+    }
+    val agged = cum.groupBy($"priority")
+      .agg(max($"n").as("n"), ranksAgg: _*)
+    val qCols = ps.map { case (nm, pc) =>
+      val rem = (($"n" - 1) * lit(pc)) % 100
+      (col(s"${nm}_lo") +
+        (rem * (col(s"${nm}_hi") - col(s"${nm}_lo"))).cast("double") / 100.0)
+        .as(nm)
+    }
+    agged.select($"priority" +: $"n" +: qCols: _*)
+      .orderBy($"priority")
+  }
+
   /** A31 winsorization — outlier clipping to the group's [p05, p95]
     * type-1 quantiles, the robust-scaling prep step before any
     * distance/regression consumer chokes on heavy tails. Thresholds
@@ -560,6 +607,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_argmax" -> argExtremes,
     "q_quantiles" -> quantiles,
+    "q_quantiles_interp" -> quantilesInterp,
     "q_winsorize" -> winsorize,
     "q_melt" -> melt,
     "q_pivot" -> pivot,
@@ -612,6 +660,38 @@ object Relational {
         |  min(CASE WHEN cum >= ceil(0.9 * n) THEN cents END) AS p90,
         |  min(CASE WHEN cum >= ceil(0.99 * n) THEN cents END) AS p99
         |FROM cum GROUP BY priority ORDER BY priority""".stripMargin,
+    // A32 twin: same rank selectors from the same cumulative
+    // histogram; the interpolation is one double product over exact
+    // BIGINT order statistics — identical op sequence, exact compare
+    "q_quantiles_interp" ->
+      """WITH pts AS (
+        |  SELECT o_orderpriority AS priority,
+        |    round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |counts AS (
+        |  SELECT priority, cents, count(*) AS c FROM pts GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT priority, cents,
+        |    (sum(c) OVER (PARTITION BY priority ORDER BY cents))::BIGINT AS cum,
+        |    (sum(c) OVER (PARTITION BY priority))::BIGINT AS n
+        |  FROM counts),
+        |a AS (
+        |  SELECT priority, max(n) AS n,
+        |    min(CASE WHEN cum >= ((n-1) * 25) // 100 + 1 THEN cents END) AS p25_lo,
+        |    min(CASE WHEN cum >= least(((n-1) * 25) // 100 + 2, n) THEN cents END) AS p25_hi,
+        |    min(CASE WHEN cum >= ((n-1) * 50) // 100 + 1 THEN cents END) AS p50_lo,
+        |    min(CASE WHEN cum >= least(((n-1) * 50) // 100 + 2, n) THEN cents END) AS p50_hi,
+        |    min(CASE WHEN cum >= ((n-1) * 90) // 100 + 1 THEN cents END) AS p90_lo,
+        |    min(CASE WHEN cum >= least(((n-1) * 90) // 100 + 2, n) THEN cents END) AS p90_hi,
+        |    min(CASE WHEN cum >= ((n-1) * 99) // 100 + 1 THEN cents END) AS p99_lo,
+        |    min(CASE WHEN cum >= least(((n-1) * 99) // 100 + 2, n) THEN cents END) AS p99_hi
+        |  FROM cum GROUP BY priority)
+        |SELECT priority, n,
+        |  p25_lo + (((n-1) * 25) % 100 * (p25_hi - p25_lo))::DOUBLE / 100.0 AS p25,
+        |  p50_lo + (((n-1) * 50) % 100 * (p50_hi - p50_lo))::DOUBLE / 100.0 AS p50,
+        |  p90_lo + (((n-1) * 90) % 100 * (p90_hi - p90_lo))::DOUBLE / 100.0 AS p90,
+        |  p99_lo + (((n-1) * 99) % 100 * (p99_hi - p99_lo))::DOUBLE / 100.0 AS p99
+        |FROM a ORDER BY priority""".stripMargin,
     "q_argmax" ->
       """WITH c AS (
         |  SELECT n_name, round(c_acctbal * 100)::BIGINT AS bal_c,

@@ -765,7 +765,45 @@ object Resilience {
       .withColumn("drawdown", round(col("drawdown"), 6))
   }
 
+  /** B25 CUSUM drift detection (Page 1954) per key — the
+    * change-point complement of B22's point-anomaly z-score: a
+    * sustained small shift never trips a 3σ test but accumulates in
+    * S⁺_t = max(0, S⁺_{t−1} + (x_t − μ)); the classic alarm is
+    * S⁺ crossing a threshold. Exactness and scale come from two
+    * substitutions: (1) deviations are scaled by n (d_i = n·x_i − Σx,
+    * exact BIGINT cents — μ never materializes as a double), and
+    * (2) the max(0, …) RECURSION is replaced by its closed form
+    * S⁺_t = P_t − min(0, min_{j≤t} P_j) over prefix sums P — a plain
+    * window expression, so the whole statistic is ONE keyed window
+    * pass instead of a sequential fold (the fold shape caps
+    * parallelism at one task per key AND would need a struct
+    * accumulator, the B18 DuckDB hazard). Down-drift is the mirror
+    * max prefix. Output: per-key max drift statistics (n-scaled
+    * cents), comparable across engines bit-exactly. */
+  def cusumDrift(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = events.select($"user_id", $"event_id", $"ts",
+      round($"value" * 100).cast("long").as("cents"))
+    val byKey = Window.partitionBy($"user_id")
+    val ord = byKey.orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = pts
+      .withColumn("n", count(lit(1)).over(byKey))
+      .withColumn("sumc", sum($"cents").over(byKey))
+      .withColumn("d", $"n" * $"cents" - $"sumc")
+      .withColumn("p", sum($"d").over(ord))
+      .withColumn("runmin", least(min($"p").over(ord), lit(0L)))
+      .withColumn("runmax", greatest(max($"p").over(ord), lit(0L)))
+    scored.groupBy($"user_id")
+      .agg(max($"n").as("n_events"),
+        max($"p" - $"runmin").as("drift_up"),
+        max($"runmax" - $"p").as("drift_down"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum" -> ((s, dir) => cusumDrift(Tables.events(s, dir))),
     "q_ffill_gaps" -> ((s, dir) => ffillDaily(Tables.events(s, dir))),
     "q_rolling_stats" -> ((s, dir) => rollingStats(Tables.events(s, dir))),
     "q_ewma" -> ((s, dir) => ewma(Tables.events(s, dir))),
@@ -930,6 +968,36 @@ object Resilience {
          |        - sum(CASE WHEN yr = 1998 THEN rev END))
          |        / sum(CASE WHEN yr = 1998 THEN rev END), 6) AS drawdown
          |FROM rev GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // B25 twin: same n-scaled integer deviations and the same
+    // prefix-sum/running-extremum closed form — all BIGINT, exact
+    "q_cusum" ->
+      """WITH pts AS (
+        |  SELECT user_id, event_id, ts,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |scored AS (
+        |  SELECT user_id, event_id, ts,
+        |    (count(*) OVER w0)::BIGINT AS n,
+        |    (count(*) OVER w0)::BIGINT * cents
+        |      - (sum(cents) OVER w0)::BIGINT AS d
+        |  FROM pts
+        |  WINDOW w0 AS (PARTITION BY user_id)),
+        |p1 AS (
+        |  SELECT user_id, event_id, ts, n,
+        |    (sum(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS p
+        |  FROM scored),
+        |p2 AS (
+        |  SELECT user_id, n, p,
+        |    least((min(p) OVER wo)::BIGINT, 0) AS runmin,
+        |    greatest((max(p) OVER wo)::BIGINT, 0) AS runmax
+        |  FROM p1
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, max(n) AS n_events,
+        |  max(p - runmin) AS drift_up,
+        |  max(runmax - p) AS drift_down
+        |FROM p2 GROUP BY user_id ORDER BY user_id""".stripMargin,
     // arg_min = Spark's min_by: both resolve duplicate (group, period)
     // rows to the first by o_orderkey, the .values[0] replay semantic
     "q_resilience_replay" ->

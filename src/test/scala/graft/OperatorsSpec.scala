@@ -351,6 +351,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(6L).isEmpty && got(7L).isEmpty, "strict interior only")
   }
 
+  test("A32 interpolated quantiles hit pandas' type-7 values on crafted groups") {
+    import spark.implicits._
+    // group u: cents 1..100 -> type-7 p25/p50/p90/p99 =
+    // 25.75 / 50.5 / 90.1 / 99.01 (pandas quantile defaults)
+    val u = (1 to 100).map(i => ("u", i.toLong / 100.0))
+    // group t: two values -> p50 interpolates halfway
+    val t = Seq(("t", 0.10), ("t", 0.30))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qi").toString
+    (u ++ t).toDF("o_orderpriority", "o_totalprice")
+      .write.parquet(s"$tmp/orders.parquet")
+    val got = graft.operators.Relational.quantilesInterp(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got("u") == ((25.75, 50.5, 90.1, 99.01)), s"got ${got("u")}")
+    assert(got("t")._2 == 20.0, s"two-point median: ${got("t")}")
+  }
+
+  test("B25 cusum: sustained shift accumulates, constant series scores zero") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s)
+    // user 1: 4 x 1.00 then 4 x 3.00 (mean 2.00) — sustained up-shift;
+    // user 2: constant 5.00 — drift must be exactly zero
+    val rows = (0 until 4).map(i => (1L, i.toLong, t(i), 1.0)) ++
+      (4 until 8).map(i => (1L, i.toLong, t(i), 3.0)) ++
+      (0 until 6).map(i => (2L, 100L + i, t(i), 5.0))
+    val got = graft.operators.Resilience.cusumDrift(
+        rows.toDF("user_id", "event_id", "ts", "value"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // replicate the closed form: d_i = n*c_i - sum, S+ = P - min(0, runmin P)
+    val c = Seq(100L, 100, 100, 100, 300, 300, 300, 300)
+    val n = c.size; val s = c.sum
+    val p = c.map(n * _ - s).scanLeft(0L)(_ + _).tail
+    val up = p.zipWithIndex.map { case (pi, i) =>
+      pi - math.min(0L, p.take(i + 1).min) }.max
+    val down = p.zipWithIndex.map { case (pi, i) =>
+      math.max(0L, p.take(i + 1).max) - pi }.max
+    assert(got(1L) == ((up, down)), s"got ${got(1L)}, want ($up,$down)")
+    assert(got(1L)._1 > 0, "up-shift must accumulate")
+    assert(got(2L) == ((0L, 0L)), s"constant series: ${got(2L)}")
+  }
+
+  test("C33 changelog compaction keeps first records and true changes only") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s)
+    val rows = Seq(
+      (1L, 1L, t(1), 2.50), (1L, 2L, t(2), 2.50), // retry dup -> drop
+      (1L, 3L, t(3), 3.00),                        // change -> keep
+      (1L, 4L, t(4), 3.00), (1L, 5L, t(5), 3.00), // heartbeats -> drop
+      (1L, 6L, t(6), 2.50),                        // back-change -> keep
+      (2L, 7L, t(1), 9.99))                        // first per key -> keep
+    val got = graft.operators.Cdc.compactChangelog(
+        rows.toDF("user_id", "event_id", "ts", "value"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 3L, 6L, 7L), s"got $got")
+  }
+
   test("F15 bm25 ranks a term-stuffed doc first and saturates tf") {
     import spark.implicits._
     val docs = Seq(
