@@ -97,6 +97,111 @@ object Lake {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
   }
 
+  /** H17 manifest-gated atomic publish — the minimal transactional
+    * primitive the hand-rolled paths above acknowledge they lack
+    * (C28/E9's append→marker window, H13's per-directory atomicity):
+    * data files land under `data/` but are INVISIBLE until a manifest
+    * names them, and readers resolve the current manifest through one
+    * atomically-swapped pointer file. A crash at ANY point before the
+    * pointer swap leaves readers on the previous version; orphaned
+    * part-files from dead writers are never read (spec plants one).
+    * This is the kernel of every table format: Delta's _delta_log,
+    * Iceberg's snapshot manifests — reduced to the two operations the
+    * engine's own state stores need (append a version, replace a
+    * snapshot) under a SINGLE-WRITER contract (concurrent writers
+    * need the formats' conditional-commit machinery — that is where
+    * this primitive hands over). Local-FS rename is the atomic swap;
+    * an object-store deployment substitutes its conditional put.
+    * Old versions stay readable ([[readPublishedVersion]] — time
+    * travel) until a retention pass deletes manifests. */
+  object Manifest {
+    private def fs(spark: SparkSession) =
+      org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+    private def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    private def currentVersion(spark: SparkSession, dir: String): Long = {
+      val f = fs(spark)
+      if (!f.exists(p(s"$dir/_latest"))) 0L
+      else {
+        val in = f.open(p(s"$dir/_latest"))
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    }
+
+    private def manifestFiles(spark: SparkSession, dir: String,
+        version: Long): Seq[String] = {
+      if (version == 0L) return Seq.empty
+      val f = fs(spark)
+      val in = f.open(p(f"$dir/_manifests/v$version%08d.manifest"))
+      try scala.io.Source.fromInputStream(in).getLines()
+        .filter(_.nonEmpty).map(rel => s"$dir/$rel").toList
+      finally in.close()
+    }
+
+    private def writeFile(spark: SparkSession, path: String,
+        content: String): Unit = {
+      val f = fs(spark)
+      val out = f.create(p(path), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+
+    /** Write `df` as a new version whose manifest lists `carry` (the
+      * retained predecessor files) plus the newly written files, then
+      * swap the pointer. Returns the published version. */
+    private def commit(df: DataFrame, dir: String,
+        carry: Seq[String]): Long = {
+      val spark = df.sparkSession
+      val f = fs(spark)
+      val next = currentVersion(spark, dir) + 1
+      val sub = f"data/v$next%08d"
+      df.write.parquet(s"$dir/$sub")
+      val fresh = f.listStatus(p(s"$dir/$sub")).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+        .sorted.map(n => s"$sub/$n")
+      val rels = carry.map(_.stripPrefix(s"$dir/")) ++ fresh
+      writeFile(spark, f"$dir/_manifests/v$next%08d.manifest",
+        rels.mkString("\n"))
+      // pointer swap LAST and atomically: readers see old-or-new only.
+      // FileContext.rename(OVERWRITE) is the atomic-replace API —
+      // FileSystem.rename silently refuses an existing destination
+      writeFile(spark, s"$dir/_latest.tmp", next.toString)
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(spark.sparkContext.hadoopConfiguration)
+        .rename(p(s"$dir/_latest.tmp"), p(s"$dir/_latest"),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      next
+    }
+
+    /** Append-publish: new version = predecessor files + df's files. */
+    def publishAppend(df: DataFrame, dir: String): Long = {
+      val spark = df.sparkSession
+      commit(df, dir, manifestFiles(spark, dir, currentVersion(spark, dir)))
+    }
+
+    /** Snapshot-publish: new version = df's files only (logical
+      * replace; old data files remain for time travel). */
+    def publishSnapshot(df: DataFrame, dir: String): Long =
+      commit(df, dir, Seq.empty)
+
+    /** Current published view; empty-but-typed is the caller's
+      * concern — version 0 (nothing published) throws. */
+    def readPublished(spark: SparkSession, dir: String): DataFrame =
+      readPublishedVersion(spark, dir, currentVersion(spark, dir))
+
+    /** Time travel: any still-retained version. */
+    def readPublishedVersion(spark: SparkSession, dir: String,
+        version: Long): DataFrame = {
+      require(version > 0, s"no published version under $dir")
+      val files = manifestFiles(spark, dir, version)
+      spark.read.parquet(files: _*)
+    }
+
+    def latestVersion(spark: SparkSession, dir: String): Long =
+      currentVersion(spark, dir)
+  }
+
   /** Read a parquet dataset whose files were written across schema
     * GENERATIONS (columns added over time — the normal life of a
     * long-lived ingest directory): union the files' footer schemas

@@ -17,9 +17,13 @@ import graft.operators.Similarity
   * marker under `_stream_batches/` AFTER its append commits, and a
   * replayed batchId with a marker present is skipped. This narrows
   * at-least-once to the append→marker crash window; closing that last
-  * window needs a transactional table format, which is exactly the
-  * boundary where Delta/Iceberg start (same caveat as
-  * [[graft.sources.Lake.mergeIntoPartitioned]]).
+  * window needs manifest-gated visibility — the repo's minimal
+  * primitive is [[graft.sources.Lake.Manifest]] (orphaned part-files
+  * invisible until a manifest names them, pointer swapped atomically),
+  * kept separate here because the served index relies on hive
+  * `cell=` partition pruning that a flat manifest file-list bypasses;
+  * a production deployment lands the code table in a real table
+  * format (same caveat as [[graft.sources.Lake.mergeIntoPartitioned]]).
   *
   * Compaction: pass `maxFiles` to run E9's crash-safe
   * `compactIvfPqIndex` after each applied batch — the file count stays

@@ -435,4 +435,40 @@ class SourcesSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("H17 manifest publish: orphans invisible, crashes leave the old version, time travel") {
+    import spark.implicits._
+    import graft.sources.Lake.Manifest
+    val dir = Files.createTempDirectory("graft_manifest").toString
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+
+    val v1 = Manifest.publishAppend(Seq(1L, 2L, 3L).toDF("id"), dir)
+    assert(v1 == 1L && ids(Manifest.readPublished(spark, dir)) == Set(1L, 2L, 3L))
+
+    // a dead writer's orphan part-file is INVISIBLE — this is the
+    // append→marker crash window the marker-gated paths acknowledge
+    Seq(99L).toDF("id").write.parquet(s"$dir/data/orphan")
+    assert(ids(Manifest.readPublished(spark, dir)) == Set(1L, 2L, 3L))
+
+    val v2 = Manifest.publishAppend(Seq(4L, 5L).toDF("id"), dir)
+    assert(v2 == 2L)
+    assert(ids(Manifest.readPublished(spark, dir)) == Set(1L, 2L, 3L, 4L, 5L))
+    // time travel
+    assert(ids(Manifest.readPublishedVersion(spark, dir, 1L)) == Set(1L, 2L, 3L))
+
+    // crash AFTER manifest write but BEFORE the pointer swap: craft a
+    // v3 manifest by hand — readers must stay on v2
+    val m3 = new java.io.File(s"$dir/_manifests/v00000003.manifest")
+    java.nio.file.Files.write(m3.toPath, "data/orphan\n".getBytes)
+    assert(Manifest.latestVersion(spark, dir) == 2L)
+    assert(ids(Manifest.readPublished(spark, dir)) == Set(1L, 2L, 3L, 4L, 5L))
+    m3.delete()
+
+    // snapshot-publish logically replaces; the old version stays readable
+    val v3 = Manifest.publishSnapshot(Seq(7L).toDF("id"), dir)
+    assert(v3 == 3L && ids(Manifest.readPublished(spark, dir)) == Set(7L))
+    assert(ids(Manifest.readPublishedVersion(spark, dir, 2L)) ==
+      Set(1L, 2L, 3L, 4L, 5L))
+  }
 }
