@@ -162,6 +162,48 @@ object CdcStream {
   def kafkaEnvelopeChanges(kafka: DataFrame): Dataset[Change] =
     envelopeChanges(kafkaEnvelopes(kafka))
 
+  /** Per-key drift statistics emitted by [[cusumStream]]. */
+  case class Drift(user_id: Long, n_events: Long,
+      drift_up: Long, drift_down: Long)
+
+  /** C34 streaming CUSUM drift detection — the continuous twin of the
+    * batch closed form (`Resilience.cusumDrift`): per key, prefix sum
+    * P of (cents − target), running min/max of P, and the historical
+    * max up/down drift S⁺ = P − min(0, minP) / S⁻ = max(0, maxP) − P,
+    * all updated incrementally. The reference value is a FIXED target
+    * (standard streaming CUSUM) because a stream has no global mean;
+    * with target == the series mean, the batch statistic is exactly
+    * n × this one (its deviations are n-scaled) — the spec pins that
+    * identity. State is six longs + nothing else per key (bounded
+    * regardless of stream length); events apply in (ts, event_id)
+    * order within each batch, and the cross-batch contract is
+    * per-key in-order delivery (the CDC envelope offset order,
+    * same as [[latestState]]). */
+  def cusumStream(changes: Dataset[Change],
+      targetCents: Long): Dataset[Drift] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Change],
+            state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
+          var (p, minP, maxP, up, down, n) =
+            state.getOption.getOrElse((0L, 0L, 0L, 0L, 0L, 0L))
+          it.toArray.sortBy(c => (c.ts.getTime, c.event_id)).foreach { c =>
+            p += math.round(c.value * 100) - targetCents
+            if (p < minP) minP = p
+            if (p > maxP) maxP = p
+            val du = p - math.min(0L, minP)
+            val dd = math.max(0L, maxP) - p
+            if (du > up) up = du
+            if (dd > down) down = dd
+            n += 1
+          }
+          state.update((p, minP, maxP, up, down, n))
+          Iterator.single(Drift(uid, n, up, down))
+      }
+  }
+
   /** C9 streaming exact dedup: drop duplicate keys across
     * micro-batches with bounded state — late duplicates beyond the
     * watermark age out of the state store instead of growing it

@@ -314,6 +314,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C34 streaming CUSUM across batches == batch closed form (n-scaled)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s)
+    // 4 x 1.00 then 4 x 3.00: mean 2.00 exactly -> target 200 cents;
+    // split mid-shift across two micro-batches
+    val all = (0 until 4).map(i => Change(1L, i.toLong, t(i), "U", 1.0)) ++
+      (4 until 8).map(i => Change(1L, i.toLong, t(i), "U", 3.0))
+    val in = MemoryStream[Change]
+    val q = CdcStream.cusumStream(in.toDS(), targetCents = 200L)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("cusum_stream").start()
+    try {
+      in.addData(all.take(5): _*); q.processAllAvailable()
+      in.addData(all.drop(5): _*); q.processAllAvailable()
+      val rows = spark.table("cusum_stream").as[CdcStream.Drift]
+        .collect().maxBy(_.n_events)
+      assert(rows.n_events == 8L)
+      // batch closed form over the same series (data-derived mean ==
+      // the target here) scales every deviation by n
+      val batch = graft.operators.Resilience.cusumDrift(
+          all.map(c => (c.user_id, c.event_id, c.ts, c.value))
+            .toDF("user_id", "event_id", "ts", "value"))
+        .collect().head
+      assert(batch.getLong(2) == 8L * rows.drift_up,
+        s"batch ${batch.getLong(2)} vs 8 x ${rows.drift_up}")
+      assert(batch.getLong(3) == 8L * rows.drift_down)
+      assert(rows.drift_up > 0)
+    } finally q.stop()
+  }
+
   test("C31 kafka-schema envelope ingest == file-shaped twin (source independence)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
