@@ -131,6 +131,32 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** E15 FILTERED top-k — the serving shape real vector search runs
+    * ("nearest English documents", "nearest within this tenant"):
+    * exact cosine top-k restricted to vectors whose metadata row
+    * passes a predicate. Strategy is PRE-filter: the predicate
+    * semi-joins the corpus BEFORE scoring, so cost tracks the
+    * filtered corpus — correct for selective predicates, and unlike
+    * post-filtering the top-k it cannot return fewer than k matches
+    * while qualifying vectors exist. (Post-filter wins only for
+    * ~100%-selective predicates: same scan, no join — noted, not
+    * implemented.) At scale the same semi-join applies to the E8
+    * index's code table before ADC scoring; metadata joins on vec_id,
+    * which the corpus layout co-partitions. */
+  def annFiltered(vecs: DataFrame, docs: DataFrame,
+      lang: String = "en"): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = withNorm(vecs)
+    val keep = docs.filter($"lang" === lang)
+      .select($"doc_id".as("vec_id"))
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
+    topKPerQuery(
+      e.join(keep, Seq("vec_id"), "left_semi")
+        .join(broadcast(q), $"vec_id" =!= $"q_id")
+        .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6)))
+  }
+
   /** E2 LSH-bucketed approximate top-k: 8 hash tables × 4 hyperplane
     * bits; a query only scores vectors sharing a bucket in some table.
     * At scale the bucket equi-join replaces the corpus scan. */
@@ -881,6 +907,8 @@ object Similarity {
     "ann_bruteforce" -> onVecs(bruteforce),
     "ann_range" -> onVecs(v => rangeSearch(v)),
     "ann_range_ivf" -> onVecs(v => rangeSearchIvf(v)),
+    "ann_filtered" -> ((s, dir) =>
+      annFiltered(Tables.embeddings(s, dir), Tables.documents(s, dir))),
     "ann_lsh" -> onVecs(annLsh),
     "ann_ivf" -> onVecs(annIvf),
     "ann_ivf_kmeans" -> onVecs(v => annIvfKmeans(v)),
@@ -1251,6 +1279,26 @@ object Similarity {
          |WHERE e.n > 0 AND q.qn > 0
          |  AND round(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) >= $RangeCosT
          |ORDER BY q_id, vec_id""".stripMargin,
+    // E15 twin: the bruteforce chain over the semi-join-filtered
+    // corpus; queries stay unfiltered (a query need not satisfy the
+    // predicate to search within it)
+    "ann_filtered" ->
+      s"""WITH $eCte,
+         |keep AS (SELECT doc_id AS vec_id FROM documents
+         |         WHERE lang = 'en'),
+         |ef AS (SELECT e.* FROM e SEMI JOIN keep USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e
+         |      WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.q_id, ef.vec_id,
+         |    round(list_dot_product(q.qv, ef.v) / (q.qn * ef.n), 6) AS cos
+         |  FROM ef JOIN q ON ef.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     // E14 twin: the ann_ivf CTE chain (same seed centroids, same
     // argmax assignment, same nProbe=2 probing) with the range filter
     // in place of the rank window
