@@ -604,7 +604,28 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** A33 per-group MODE (pandas `.mode()` head): most frequent
+    * l_quantity per (returnflag, linestatus); ties break to the
+    * SMALLEST value (pandas mode sorts). Two hash aggregates — value
+    * histogram, then a struct-max argmax over (count, −value) — the
+    * A28 pattern, no window, no sort of the group. */
+  def modePerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_linestatus",
+        $"l_quantity".cast("long").as("qty"))
+      .groupBy($"l_returnflag", $"l_linestatus", $"qty")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(max(struct($"c", (-$"qty").as("nq"))).as("m"),
+        sum($"c").as("n_rows"))
+      .select($"l_returnflag", $"l_linestatus",
+        (-$"m.nq").as("mode_qty"), $"m.c".as("mode_count"), $"n_rows")
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mode" -> modePerGroup,
     "q_argmax" -> argExtremes,
     "q_quantiles" -> quantiles,
     "q_quantiles_interp" -> quantilesInterp,
@@ -642,6 +663,18 @@ object Relational {
     // struct field order, so ties break identically
     // type-1 inverse-CDF over exact integer cents; ⌈p·n⌉ is the same
     // one double product + ceil in both engines
+    // A33 twin: struct-max on (count, -qty) = max count, smallest
+    // value — the same tie rule Spark's max(struct(c, -qty)) applies
+    "q_mode" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, l_linestatus, l_quantity::BIGINT AS qty,
+        |    count(*)::BIGINT AS c
+        |  FROM lineitem GROUP BY 1, 2, 3)
+        |SELECT l_returnflag, l_linestatus,
+        |  -(max(struct_pack(c := c, nq := -qty)).nq) AS mode_qty,
+        |  max(struct_pack(c := c, nq := -qty)).c AS mode_count,
+        |  sum(c)::BIGINT AS n_rows
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_quantiles" ->
       """WITH pts AS (
         |  SELECT o_orderpriority AS priority,

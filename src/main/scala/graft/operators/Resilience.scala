@@ -802,7 +802,50 @@ object Resilience {
       .orderBy($"user_id")
   }
 
+  /** B26 rolling lag-1 AUTOCORRELATION per key — the trending/mean-
+    * reversion monitor (the windowed sibling of B17's global AR(1)
+    * fit): over each trailing `window` events, Pearson correlation of
+    * (x_t, x_{t−1}). Positive = momentum, negative = oscillation,
+    * ≈0 = noise — regime shifts show up as the sign flipping.
+    * Numerics: x in exact cents; every sum (Σx, Σy, Σxy, Σx², Σy²)
+    * is a BIGINT window aggregate over the pair rows (rows whose lag
+    * is null contribute nothing — count skips them, the products null
+    * out), the correlation numerator/denominators are exact integers
+    * (the B15/q_corr closed form), and the ONLY floating ops are the
+    * final sqrt + divide — identical in the twin, round(6).
+    * Degenerate windows (n < 2 pairs or zero variance) emit null.
+    * One keyed window pass, no self-join. */
+  def rollingAutocorr(events: DataFrame, window: Int = 10): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wf = ord.rowsBetween(-(window - 1), 0)
+    val pts = events
+      .select($"user_id", $"event_id", $"ts",
+        round($"value" * 100).cast("long").as("x"))
+      .withColumn("y", lag($"x", 1).over(ord))
+      .withColumn("xy", $"x" * $"y")          // null when y is null
+      .withColumn("xp", when($"y".isNotNull, $"x"))
+      .withColumn("n", count($"y").over(wf))
+      .withColumn("sx", sum($"xp").over(wf))
+      .withColumn("sy", sum($"y").over(wf))
+      .withColumn("sxy", sum($"xy").over(wf))
+      .withColumn("sxx", sum($"xp" * $"xp").over(wf))
+      .withColumn("syy", sum($"y" * $"y").over(wf))
+    pts
+      .withColumn("num", $"n" * $"sxy" - $"sx" * $"sy")
+      .withColumn("d1", $"n" * $"sxx" - $"sx" * $"sx")
+      .withColumn("d2", $"n" * $"syy" - $"sy" * $"sy")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        when($"n" >= 2 && $"d1" > 0 && $"d2" > 0,
+          round($"num" /
+            sqrt($"d1".cast("double") * $"d2".cast("double")), 6))
+          .as("autocorr"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rolling_corr" -> ((s, dir) => rollingAutocorr(Tables.events(s, dir))),
     "q_cusum" -> ((s, dir) => cusumDrift(Tables.events(s, dir))),
     "q_ffill_gaps" -> ((s, dir) => ffillDaily(Tables.events(s, dir))),
     "q_rolling_stats" -> ((s, dir) => rollingStats(Tables.events(s, dir))),
@@ -970,6 +1013,36 @@ object Resilience {
          |FROM rev GROUP BY n_name ORDER BY n_name""".stripMargin,
     // B25 twin: same n-scaled integer deviations and the same
     // prefix-sum/running-extremum closed form — all BIGINT, exact
+    // B26 twin: same BIGINT window sums over the pair rows, same
+    // single sqrt+divide at the end
+    "q_rolling_corr" ->
+      """WITH pts AS (
+        |  SELECT user_id, event_id, ts,
+        |    round(value * 100)::BIGINT AS x
+        |  FROM events),
+        |lagged AS (
+        |  SELECT user_id, event_id, ts, x,
+        |    lag(x) OVER wo AS y
+        |  FROM pts
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sums AS (
+        |  SELECT user_id, event_id, ts,
+        |    (count(y) OVER wf)::BIGINT AS n,
+        |    (sum(CASE WHEN y IS NOT NULL THEN x END) OVER wf)::BIGINT AS sx,
+        |    (sum(y) OVER wf)::BIGINT AS sy,
+        |    (sum(x * y) OVER wf)::BIGINT AS sxy,
+        |    (sum(CASE WHEN y IS NOT NULL THEN x * x END) OVER wf)::BIGINT AS sxx,
+        |    (sum(y * y) OVER wf)::BIGINT AS syy
+        |  FROM lagged
+        |  WINDOW wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+        |        AND n * syy - sy * sy > 0
+        |    THEN round((n * sxy - sx * sy) /
+        |      sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+        |    END AS autocorr
+        |FROM sums ORDER BY user_id, event_id""".stripMargin,
     "q_cusum" ->
       """WITH pts AS (
         |  SELECT user_id, event_id, ts,

@@ -200,6 +200,45 @@ object Lake {
 
     def latestVersion(spark: SparkSession, dir: String): Long =
       currentVersion(spark, dir)
+
+    /** Retention pass: drop manifests older than the newest
+      * `keepVersions` and DELETE every data file no surviving manifest
+      * references — the vacuum that bounds storage under snapshot
+      * publishes (each replaces the logical content but leaves old
+      * files readable until vacuumed). Orphans from dead writers are
+      * collected too: anything under `data/` that no surviving
+      * manifest names. Deletion order is safe under the single-writer
+      * contract: manifests are pruned FIRST, so a crash mid-vacuum
+      * leaves at worst still-referenced files intact and some garbage
+      * for the next pass — never a referenced file missing. */
+    def vacuum(spark: SparkSession, dir: String,
+        keepVersions: Int = 1): Unit = {
+      val f = fs(spark)
+      val cur = currentVersion(spark, dir)
+      if (cur == 0L) return
+      val keepFrom = math.max(1L, cur - keepVersions + 1)
+      val all = f.listStatus(p(s"$dir/_manifests")).toSeq
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".manifest"))
+        .map(n => n.stripPrefix("v").stripSuffix(".manifest").toLong)
+      all.filter(_ < keepFrom).foreach { v =>
+        f.delete(p(f"$dir/_manifests/v$v%08d.manifest"), false) }
+      val live = (keepFrom to cur)
+        .flatMap(v => manifestFiles(spark, dir, v))
+        .map(_.stripPrefix(s"$dir/")).toSet
+      // every parquet under data/ not named by a surviving manifest
+      val it = f.listFiles(p(s"$dir/data"), true)
+      val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString.split("/data/", 2) match {
+          case Array(_, r) => s"data/$r"; case _ => ""
+        }
+        if (st.isFile && rel.endsWith(".parquet") && !live.contains(rel))
+          doomed += rel
+      }
+      doomed.foreach(rel => f.delete(p(s"$dir/$rel"), false))
+    }
   }
 
   /** Read a parquet dataset whose files were written across schema

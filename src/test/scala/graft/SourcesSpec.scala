@@ -470,5 +470,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(v3 == 3L && ids(Manifest.readPublished(spark, dir)) == Set(7L))
     assert(ids(Manifest.readPublishedVersion(spark, dir, 2L)) ==
       Set(1L, 2L, 3L, 4L, 5L))
+
+    // H18 vacuum: keep only the newest version — old manifests AND
+    // every unreferenced data file (incl. the planted orphan) go;
+    // the current version stays byte-complete
+    def parquetFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/data"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    assert(parquetFiles().exists(_.contains("orphan")))
+    Manifest.vacuum(spark, dir, keepVersions = 1)
+    assert(ids(Manifest.readPublished(spark, dir)) == Set(7L))
+    assert(!parquetFiles().exists(_.contains("orphan")), "orphan survived")
+    assert(parquetFiles().forall(_.contains("data/v00000003")),
+      s"stale files survived: ${parquetFiles()}")
+    intercept[Exception] { // old manifests are gone
+      Manifest.readPublishedVersion(spark, dir, 2L).collect()
+    }
+    // vacuumed table still accepts new publishes
+    val v4 = Manifest.publishAppend(Seq(8L).toDF("id"), dir)
+    assert(v4 == 4L && ids(Manifest.readPublished(spark, dir)) == Set(7L, 8L))
   }
 }
