@@ -204,6 +204,32 @@ object CdcStream {
       }
   }
 
+  /** C35 streaming changelog compaction — the ingest-side twin of the
+    * batch no-op filter (`Cdc.compactChangelog`): per key, emit only
+    * changes whose cent value differs from the key's last EMITTED
+    * value; retry storms, heartbeats and idempotent re-sends die at
+    * the edge, before they inflate every downstream state store and
+    * sink. State per key is ONE long (the last emitted cents) —
+    * bounded regardless of stream length; batch-internal order is
+    * (ts, event_id), cross-batch the per-key in-order delivery
+    * contract (same as [[latestState]]/[[cusumStream]]). */
+  def compactChangelogStream(changes: Dataset[Change]): Dataset[Change] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[Change], state: GroupState[Long]) =>
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = it.toArray.sortBy(c => (c.ts.getTime, c.event_id))
+            .flatMap { c =>
+              val cents = math.round(c.value * 100)
+              if (cents != last) { last = cents; Some(c) } else None
+            }
+          state.update(last)
+          out.iterator
+      }
+  }
+
   /** C9 streaming exact dedup: drop duplicate keys across
     * micro-batches with bounded state — late duplicates beyond the
     * watermark age out of the state store instead of growing it

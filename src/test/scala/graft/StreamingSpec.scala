@@ -314,6 +314,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C35 streaming changelog compaction == batch twin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s)
+    val all = Seq(
+      Change(1L, 1L, t(1), "U", 2.50), Change(1L, 2L, t(2), "U", 2.50),
+      Change(1L, 3L, t(3), "U", 3.00), Change(1L, 4L, t(4), "U", 3.00),
+      Change(1L, 5L, t(5), "U", 3.00), Change(1L, 6L, t(6), "U", 2.50),
+      Change(2L, 7L, t(1), "U", 9.99))
+    val in = MemoryStream[Change]
+    val q = CdcStream.compactChangelogStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("compact_stream").start()
+    try {
+      // split INSIDE a heartbeat run: the dedup must hold across the
+      // batch boundary through state, not within-batch lag alone
+      in.addData(all.take(4): _*); q.processAllAvailable()
+      in.addData(all.drop(4): _*); q.processAllAvailable()
+      val got = spark.table("compact_stream").as[Change]
+        .collect().map(_.event_id).sorted.toSeq
+      val batch = graft.operators.Cdc.compactChangelog(
+          all.map(c => (c.user_id, c.event_id, c.ts, c.value))
+            .toDF("user_id", "event_id", "ts", "value"))
+        .collect().map(_.getLong(1)).sorted.toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got == Seq(1L, 3L, 6L, 7L))
+    } finally q.stop()
+  }
+
   test("C34 streaming CUSUM across batches == batch closed form (n-scaled)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
