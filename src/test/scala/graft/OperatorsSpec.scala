@@ -408,6 +408,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(1L, 3L, 6L, 7L), s"got $got")
   }
 
+  test("B26 rolling autocorr: ramp -> +1, alternation -> -1, constants -> null") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s)
+    val rows =
+      (0 until 12).map(i => (1L, i.toLong, t(i), 1.0 + i)) ++        // ramp
+      (0 until 12).map(i => (2L, 20L + i, t(i),
+        if (i % 2 == 0) 1.0 else 3.0)) ++                            // alternating
+      (0 until 12).map(i => (3L, 40L + i, t(i), 7.0))                // constant
+    val got = graft.operators.Resilience.rollingAutocorr(
+        rows.toDF("user_id", "event_id", "ts", "value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // a linear ramp's trailing windows correlate exactly +1; a strict
+    // alternation exactly -1; a constant series has zero variance ->
+    // null. First pairs (n < 2) are null everywhere.
+    def lastOf(u: Long) = got.filter(_._1 == u).maxBy(_._2)._3
+    assert(lastOf(1L) == Some(1.0), s"ramp: ${lastOf(1L)}")
+    assert(lastOf(2L) == Some(-1.0), s"alternation: ${lastOf(2L)}")
+    assert(lastOf(3L).isEmpty, s"constant: ${lastOf(3L)}")
+    assert(got.filter(r => r._1 == 1L && r._2 <= 1L).forall(_._3.isEmpty),
+      "n < 2 pairs must be null")
+  }
+
   test("F15 bm25 ranks a term-stuffed doc first and saturates tf") {
     import spark.implicits._
     val docs = Seq(
