@@ -412,6 +412,126 @@ object Cdc {
       .orderBy($"o_orderkey")
   }
 
+  /** C36 late-arrival audit — the watermark-delay SIZING statistic:
+    * order each key's changes by ARRIVAL (the connector's commit
+    * sequence, event_id — the C31 offset contract) and compare each
+    * row's EVENT time against the latest event time already arrived;
+    * a row whose ts trails that running max arrived out of order, and
+    * `prev_max − ts` is exactly the lateness a watermark must absorb
+    * to keep it (C27 counts what a CHOSEN delay drops; this measures
+    * the delay the data needs). Per key: event count, late count, max
+    * lateness. All exact integer µs — one keyed window pass + one
+    * aggregate, nothing else shuffles. */
+  def lateAudit(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val wPrev = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("prev_max", max($"us").over(wPrev))
+      .withColumn("late_us", when($"prev_max" > $"us", $"prev_max" - $"us"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count($"late_us").as("n_late"),
+        max($"late_us").as("max_late_us"))
+      .orderBy($"user_id")
+  }
+
+  /** Changelog rows typed for the C37 materialized-view path:
+    * (user_id, event_id, cents, del) — cents exact, del = tombstone
+    * flag, event_id = the commit sequence state applies in. */
+  private def mvChanges(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.select($"user_id", $"event_id",
+      round($"value" * 100).cast("long").as("cents"),
+      ($"event_type" === "error").cast("int").as("del"))
+  }
+
+  /** Latest state per key in COMMIT order (max event_id wins — the
+    * order a connector applies changes in; C1's variant orders by
+    * event time). Struct extremum keyed on the unique event_id, so
+    * the result is deterministic under any partitioning. Carries
+    * tombstoned keys as `deleted = 1` rows — the full state table
+    * C37's old-contribution lookup needs. */
+  def keyState(changes: DataFrame): DataFrame = {
+    import changes.sparkSession.implicits._
+    changes.groupBy($"user_id")
+      .agg(max(struct($"event_id", $"cents", $"del")).as("m"))
+      .select($"user_id", pmod($"user_id", lit(100L)).as("cohort"),
+        $"m.cents".as("cents"), $"m.del".as("deleted"))
+  }
+
+  /** Grouped-aggregate view over a key-state table: live keys per
+    * cohort + exact cent sum. */
+  def cohortAgg(state: DataFrame): DataFrame = {
+    import state.sparkSession.implicits._
+    state.filter($"deleted" === 0)
+      .groupBy($"cohort")
+      .agg(count(lit(1)).as("n_keys"), sum($"cents").as("sum_cents"))
+  }
+
+  /** C37 incremental materialized-view maintenance — keep a grouped
+    * aggregate (cohort → live-key count, cent sum) current under a
+    * CDC delta WITHOUT re-aggregating the corpus: the delta's latest
+    * per-key state joins the BASE key-state table for each touched
+    * key's old contribution, the (new − old) contributions aggregate
+    * per cohort (delta-sized), and that tiny frame merges into the
+    * base aggregate by a full-outer coalesce — upserts retract the
+    * old value and add the new, tombstones retract, revivals re-add,
+    * unseen keys insert. Run cost scales with the DELTA (one
+    * delta-keyed aggregate + one key-lookup join + one cohort-sized
+    * merge); the corpus-sized base state/agg are read-only inputs —
+    * at 100 TB the lookup join is the H12 bucketed / H13
+    * copy-on-write layout's co-located read, and the same
+    * (old, new) pairing is what a Flink/Materialize retraction
+    * stream carries. PRECONDITION (the H13 contract): the grouping
+    * key is a pure function of the record key — a cohort derived
+    * from mutable payload would need the old row's group retracted
+    * and the new row's added, which this single-group merge does not
+    * model. Spec pins base+delta == full recompute across upserts,
+    * deletes, revivals, inserts; the graded entry splits the events
+    * changelog at the 80th commit percentile and must hash-match the
+    * split-UNAWARE full-recompute oracle. */
+  def incrAggMerge(baseState: DataFrame, baseAgg: DataFrame,
+      deltaChanges: DataFrame): DataFrame = {
+    import baseState.sparkSession.implicits._
+    val d = keyState(deltaChanges).alias("d")
+    val b = baseState.alias("b")
+    val contrib = d.join(b, Seq("user_id"), "left")
+      .select($"d.cohort".as("cohort"),
+        (when($"d.deleted" === 0, lit(1L)).otherwise(lit(0L)) -
+          when($"b.deleted" === 0, lit(1L)).otherwise(lit(0L))).as("dcnt"),
+        (when($"d.deleted" === 0, $"d.cents").otherwise(lit(0L)) -
+          when($"b.deleted" === 0, $"b.cents").otherwise(lit(0L))).as("dcents"))
+    val perCohort = contrib.groupBy($"cohort")
+      .agg(sum($"dcnt").as("dn"), sum($"dcents").as("ds"))
+    baseAgg.join(perCohort, Seq("cohort"), "full_outer")
+      .select($"cohort",
+        (coalesce($"n_keys", lit(0L)) + coalesce($"dn", lit(0L))).as("n_keys"),
+        (coalesce($"sum_cents", lit(0L)) + coalesce($"ds", lit(0L)))
+          .as("sum_cents"))
+      .filter($"n_keys" > 0)
+  }
+
+  /** Graded adapter: split the events changelog at the 80th commit
+    * percentile (in-plan scalar, broadcast — no driver round-trip),
+    * maintain the view incrementally across the split. The oracle is
+    * the split-UNAWARE full recompute, so the hash proves the merge
+    * algebra, not the split. */
+  private def incrAggEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ch = mvChanges(Tables.events(s, dir))
+    val cut = ch.agg(expr("max(event_id) * 4 div 5").as("cutoff"))
+    val withCut = ch.crossJoin(broadcast(cut))
+    val base = withCut.filter($"event_id" <= $"cutoff")
+      .drop("cutoff")
+    val delta = withCut.filter($"event_id" > $"cutoff")
+      .drop("cutoff")
+    val bState = keyState(base)
+    incrAggMerge(bState, cohortAgg(bState), delta)
+      .orderBy($"cohort")
+  }
+
   private def onEvents(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.events(s, dir))
 
@@ -430,6 +550,8 @@ object Cdc {
     "cdc_cohort" -> onEvents(cohortRetention),
     "cdc_parse_envelope" -> onEvents(e =>
       parseEnvelope(toEnvelopes(e)).orderBy(col("event_id"))),
+    "cdc_late_audit" -> onEvents(lateAudit),
+    "cdc_incr_agg" -> (incrAggEntry(_, _)),
     "cdc_snapshot_diff" -> (snapshotDiffEntry(_, _)))
 
   /** Shared session-sequence CTEs (t → flagged → seq) — the DuckDB
@@ -452,6 +574,33 @@ object Cdc {
       |  FROM flagged)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // lateness of each row vs the running event-time max in ARRIVAL
+    // (event_id) order — exact integer µs both engines
+    "cdc_late_audit" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |w AS (
+        |  SELECT *, max(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM t)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  count(CASE WHEN prev_max > us THEN 1 END)::BIGINT AS n_late,
+        |  max(CASE WHEN prev_max > us THEN prev_max - us END) AS max_late_us
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // split-UNAWARE full recompute: latest state per key in commit
+    // (event_id) order, live keys aggregated per cohort — the Spark
+    // side must reproduce this through the base+delta merge algebra
+    "cdc_incr_agg" ->
+      """WITH last AS (
+        |  SELECT user_id,
+        |    arg_max(round(value * 100)::BIGINT, event_id) AS cents,
+        |    arg_max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END,
+        |      event_id) AS deleted
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id % 100 AS cohort, count(*)::BIGINT AS n_keys,
+        |  sum(cents)::BIGINT AS sum_cents
+        |FROM last WHERE deleted = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // full-outer diff twin; IS DISTINCT FROM is the <=> negation
     "cdc_snapshot_diff" ->
       """WITH base AS (

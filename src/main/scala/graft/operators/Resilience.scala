@@ -312,6 +312,63 @@ object Resilience {
   def holtForecast(s: SparkSession, dir: String): DataFrame =
     holtOn(series(s, dir))
 
+  /** B27 local-level KALMAN filter per group — the state-space member
+    * of the forecast ladder (statsmodels `UnobservedComponents
+    * (level='local level')` twin; B4 linear → B17 AR(1) → B18 Holt →
+    * B21 Holt-Winters fit a CURVE, the Kalman filter carries an
+    * UNCERTAINTY): observation y_t = l_t + ε (var R), level random
+    * walk l_t = l_{t−1} + η (var Q). Filtering recursion per step —
+    * predict `P⁻ = P + Q`, gain `K = P⁻/(P⁻+R)`, update
+    * `l ← l + K·(y−l)`, `P ← (1−K)·P⁻` — init l₁ = y₁, P₁ = R
+    * (posterior scale of a single noisy observation). The level
+    * forecast is FLAT (= l_n, the random-walk best guess); what
+    * Kalman adds over Holt is the widening h-step prediction variance
+    * `fvar_h = P + h·Q + R` — the confidence band a shock simulator
+    * needs around its recovery path. Gain converges to the
+    * steady-state root of P⁻² − Q·P⁻ − Q·R = 0 (spec-pinned).
+    *
+    * Exactness: whole-dollar BIGINT observations; the fold runs the
+    * identical IEEE op sequence in both engines (`aggregate` HOF
+    * struct accumulator here, recursive CTE in the twin — the B18
+    * precedent; every update expression is textually the same, with
+    * P⁻ and K expanded in place since neither engine has let-binding
+    * in SQL). Exact compare, no rounding. Scale: one keyed aggregate;
+    * per-group state = the ordered observation list (12 years here),
+    * the B16/B18 bounded frame. */
+  def kalmanOn(ss: Series, q: Double = 25.0, r: Double = 100.0,
+      horizon: Int = 3): DataFrame = {
+    val s0 = ss.df.sparkSession
+    import s0.implicits._
+    val ordered = array_sort(collect_list(struct(col(ss.period).as("p"),
+      round(col(ss.value)).cast("long").as("yc"))))
+    // expanded in place: pp = acc.p + q, k = pp / (pp + r)
+    val ppS = s"(acc.p + $q)"
+    val kS = s"($ppS / ($ppS + $r))"
+    var out = ss.df.groupBy(col(ss.grp))
+      .agg(count(lit(1)).as("n_periods"), ordered.as("obs"))
+      .filter($"n_periods" >= 2)
+      .withColumn("v", transform($"obs", x => x.getField("yc").cast("double")))
+      .withColumn("st", expr(
+        s"""aggregate(slice(v, 2, size(v) - 1),
+           |  named_struct('l', element_at(v, 1), 'p', cast($r as double),
+           |    'k', cast(null as double)),
+           |  (acc, x) -> named_struct(
+           |    'l', cast(acc.l + $kS * (x - acc.l) as double),
+           |    'p', cast((1.0 - $kS) * $ppS as double),
+           |    'k', cast($kS as double)))""".stripMargin))
+      .withColumn("level", $"st.l").withColumn("pvar", $"st.p")
+      .withColumn("gain", $"st.k")
+    for (h <- 1 to horizon)
+      out = out.withColumn(s"fvar$h",
+        $"pvar" + lit(h * q) + lit(r))
+    out.select((col(ss.grp) +: $"n_periods" +: $"level" +: $"pvar" +:
+        $"gain" +: (1 to horizon).map(h => col(s"fvar$h"))): _*)
+      .orderBy(col(ss.grp))
+  }
+
+  def kalmanForecast(s: SparkSession, dir: String): DataFrame =
+    kalmanOn(series(s, dir))
+
   /** Daily event counts per event type — the weekly-seasonal test
     * corpus series for B20/B21 (events span 30 days; counts are
     * exact BIGINTs, so every derived double is bit-deterministic).
@@ -861,6 +918,7 @@ object Resilience {
     "q_shock_sim" -> shockSim,
     "q_ar1_forecast" -> ar1Forecast,
     "q_holt_forecast" -> holtForecast,
+    "q_kalman" -> kalmanForecast,
     "q_seasonal_decompose" -> seasonalDecompose,
     "q_hw_forecast" -> holtWinters,
     "q_anomaly" -> ((s, dir) => anomalies(Tables.events(s, dir))),
@@ -1204,6 +1262,34 @@ object Resilience {
          |FROM hw JOIN n ON hw.n_name = n.n_name AND hw.t = n.n_periods
          |WHERE n.n_periods >= 2
          |ORDER BY hw.n_name""".stripMargin,
+    // recursive CTE twin of the Kalman fold (B18 struct-accumulator
+    // precedent): P⁻ and K expanded in place, textually the Spark
+    // update expressions — identical IEEE sequence, exact compare.
+    "q_kalman" ->
+      s"""WITH RECURSIVE rev AS ($yearlyRevSql),
+         |pts AS (
+         |  SELECT n_name, round(rev)::BIGINT::DOUBLE AS y,
+         |    row_number() OVER (PARTITION BY n_name ORDER BY yr) AS t
+         |  FROM rev),
+         |n AS (SELECT n_name, max(t) AS n_periods FROM pts GROUP BY 1),
+         |kf AS (
+         |  SELECT n_name, 1 AS t, y AS l, 100.0::DOUBLE AS p,
+         |    CAST(NULL AS DOUBLE) AS k
+         |  FROM pts WHERE t = 1
+         |  UNION ALL
+         |  SELECT h.n_name, h.t + 1,
+         |    h.l + ((h.p + 25.0) / ((h.p + 25.0) + 100.0)) * (p2.y - h.l),
+         |    (1.0 - ((h.p + 25.0) / ((h.p + 25.0) + 100.0))) * (h.p + 25.0),
+         |    ((h.p + 25.0) / ((h.p + 25.0) + 100.0))
+         |  FROM kf h JOIN pts p2 ON p2.n_name = h.n_name AND p2.t = h.t + 1)
+         |SELECT kf.n_name, n.n_periods, kf.l AS level, kf.p AS pvar,
+         |  kf.k AS gain,
+         |  kf.p + 25.0 + 100.0 AS fvar1,
+         |  kf.p + 50.0 + 100.0 AS fvar2,
+         |  kf.p + 75.0 + 100.0 AS fvar3
+         |FROM kf JOIN n ON kf.n_name = n.n_name AND kf.t = n.n_periods
+         |WHERE n.n_periods >= 2
+         |ORDER BY kf.n_name""".stripMargin,
     // trend = centered-window integer sum / 7; positional seasonal
     // means over exact integer numerators; the re-centering mean is
     // an explicit left-associated 7-term chain — the identical IEEE

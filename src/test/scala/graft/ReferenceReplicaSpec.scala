@@ -114,6 +114,39 @@ class ReferenceReplicaSpec extends AnyFunSuite {
     assert(got("flat") == ((3L, 5.0, 0.0, 5.0, 5.0, 5.0)), s"got ${got("flat")}")
   }
 
+  test("Kalman local-level: constant locks, gain hits steady state, LCG fold bit-equal") {
+    import spark.implicits._
+    // constant: every innovation is exactly 0 → level == c bitwise;
+    // long series: gain must converge to the steady-state root
+    // k* = pp*/(pp*+r) with pp* = (q+√(q²+4qr))/2
+    var seed = 98765L
+    val rnd = (1L to 40L).map { t =>
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      ("rnd", t, math.floorMod(seed >> 33, 200L).toDouble)
+    }
+    val flat = (1L to 40L).map(t => ("flat", t, 42.0))
+    val got = Resilience.kalmanOn(
+        Series((flat ++ rnd).toDF("g", "p", "v"), "g", "p", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val f = got("flat")
+    assert(f.getDouble(2) == 42.0, "constant series: level must lock exactly")
+    val ppStar = (25.0 + math.sqrt(25.0 * 25.0 + 4 * 25.0 * 100.0)) / 2
+    val kStar = ppStar / (ppStar + 100.0)
+    assert(math.abs(f.getDouble(4) - kStar) < 1e-9,
+      s"steady-state gain: got ${f.getDouble(4)}, want $kStar")
+    // driver-side reference fold, identical op order — bit-equality
+    val ys = rnd.map(_._3).toArray
+    var l = ys(0); var p = 100.0; var k = 0.0
+    for (x <- ys.drop(1)) {
+      val pp = p + 25.0; k = pp / (pp + 100.0)
+      l = l + k * (x - l); p = (1.0 - k) * pp
+    }
+    val r = got("rnd")
+    assert(r.getDouble(2) == l && r.getDouble(3) == p && r.getDouble(4) == k,
+      s"fold mismatch: got (${r.getDouble(2)}, ${r.getDouble(3)}, ${r.getDouble(4)})")
+    assert(r.getDouble(5) == p + 25.0 + 100.0, "fvar1 = P + Q + R")
+  }
+
   test("seasonal decompose recovers an exact linear trend + integer seasonal") {
     import spark.implicits._
     // y = 10·t + p[(t−1)%7], Σp = 0: the centered 7-MA of the linear
