@@ -437,6 +437,40 @@ object Cdc {
       .orderBy($"user_id")
   }
 
+  /** C38 watermark-delay PLANNING — the decision table C36's audit
+    * feeds: for each candidate watermark delay, how many rows the
+    * stream would DROP (lateness exceeds the delay) vs absorb
+    * (late but within it). Lateness is measured per SHARD
+    * (user_id mod 8 — the source-partition model: a Kafka consumer
+    * tracks one event-time high-water mark per partition and the
+    * engine takes the min), so the running-max window partitions by
+    * shard instead of collapsing the corpus onto one task the way a
+    * global arrival order would. All exact integer µs; drop rate is
+    * integer ppm (`div`, no float). One keyed window pass + one
+    * delay-×-row conditional aggregate (the delay explode multiplies
+    * rows by |delays| BEFORE the map-side combine, never shuffled). */
+  def watermarkPlan(events: DataFrame,
+      delaysSec: Seq[Long] = Seq(0L, 1L, 10L, 60L)): DataFrame = {
+    import events.sparkSession.implicits._
+    val wPrev = Window.partitionBy($"shard").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = events
+      .select(pmod($"user_id", lit(8L)).as("shard"), $"event_id",
+        unix_micros($"ts").as("us"))
+      .withColumn("prev_max", max($"us").over(wPrev))
+      .withColumn("late_us",
+        coalesce(when($"prev_max" > $"us", $"prev_max" - $"us"), lit(0L)))
+    late
+      .select($"late_us",
+        explode(array(delaysSec.map(d => lit(d * 1000000L)): _*)).as("delay_us"))
+      .groupBy($"delay_us")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"late_us" > 0, 1L).otherwise(0L)).as("n_late"),
+        sum(when($"late_us" > $"delay_us", 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("drop_ppm", expr("n_dropped * 1000000 div n_events"))
+      .orderBy($"delay_us")
+  }
+
   /** Changelog rows typed for the C37 materialized-view path:
     * (user_id, event_id, cents, del) — cents exact, del = tombstone
     * flag, event_id = the commit sequence state applies in. */
@@ -551,6 +585,7 @@ object Cdc {
     "cdc_parse_envelope" -> onEvents(e =>
       parseEnvelope(toEnvelopes(e)).orderBy(col("event_id"))),
     "cdc_late_audit" -> onEvents(lateAudit),
+    "cdc_watermark_plan" -> onEvents(e => watermarkPlan(e)),
     "cdc_incr_agg" -> (incrAggEntry(_, _)),
     "cdc_snapshot_diff" -> (snapshotDiffEntry(_, _)))
 
@@ -587,6 +622,29 @@ object Cdc {
         |  count(CASE WHEN prev_max > us THEN 1 END)::BIGINT AS n_late,
         |  max(CASE WHEN prev_max > us THEN prev_max - us END) AS max_late_us
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // per-shard running event-time max in arrival order; drop/absorb
+    // counts per candidate delay — exact integer µs and ppm
+    "cdc_watermark_plan" ->
+      """WITH t AS (
+        |  SELECT user_id % 8 AS shard, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (
+        |  SELECT *, max(us) OVER (PARTITION BY shard ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM t),
+        |l AS (
+        |  SELECT coalesce(CASE WHEN prev_max > us THEN prev_max - us END,
+        |    0) AS late_us FROM w),
+        |d AS (
+        |  SELECT late_us, unnest([0, 1000000, 10000000, 60000000]) AS delay_us
+        |  FROM l)
+        |SELECT delay_us::BIGINT AS delay_us, count(*)::BIGINT AS n_events,
+        |  sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+        |  sum(CASE WHEN late_us > delay_us THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dropped,
+        |  (sum(CASE WHEN late_us > delay_us THEN 1 ELSE 0 END) * 1000000
+        |    // count(*))::BIGINT AS drop_ppm
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // split-UNAWARE full recompute: latest state per key in commit
     // (event_id) order, live keys aggregated per cohort — the Spark
     // side must reproduce this through the base+delta merge algebra

@@ -624,7 +624,32 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** A34 per-cohort GINI IMPURITY over the event-type distribution —
+    * the class-balance diagnostic a corpus-mixture monitor watches
+    * (sklearn's split criterion; 0 = one event type, →1 = uniform
+    * spread): gini = 1 − Σ(cᵢ/n)² per cohort. Emitted through its
+    * EXACT integer numerator n² − Σcᵢ² (BIGINT — the B15/q_corr
+    * closed-form precedent), so the only double is one final
+    * division — no per-class quotient summation whose order could
+    * differ across engines. Two hash aggregates (type histogram,
+    * cohort reduce), both map-side combined; no window, no sort. */
+  def giniImpurity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(pmod($"user_id", lit(100L)).as("cohort"), $"event_type")
+      .groupBy($"cohort", $"event_type").agg(count(lit(1)).as("c"))
+      .groupBy($"cohort")
+      .agg(sum($"c").as("n_events"), count(lit(1)).as("n_types"),
+        sum($"c" * $"c").as("sum_sq"))
+      .select($"cohort", $"n_events", $"n_types",
+        ($"n_events" * $"n_events" - $"sum_sq").as("gini_num"),
+        (($"n_events" * $"n_events" - $"sum_sq").cast("double") /
+          ($"n_events" * $"n_events").cast("double")).as("gini"))
+      .orderBy($"cohort")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini" -> giniImpurity,
     "q_mode" -> modePerGroup,
     "q_argmax" -> argExtremes,
     "q_quantiles" -> quantiles,
@@ -665,6 +690,20 @@ object Relational {
     // one double product + ceil in both engines
     // A33 twin: struct-max on (count, -qty) = max count, smallest
     // value — the same tie rule Spark's max(struct(c, -qty)) applies
+    // A34 twin: exact BIGINT numerator n² − Σc², one final division
+    "q_gini" ->
+      """WITH h AS (
+        |  SELECT user_id % 100 AS cohort, event_type, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT cohort, sum(c)::BIGINT AS n_events,
+        |    count(*)::BIGINT AS n_types, sum(c * c)::BIGINT AS sum_sq
+        |  FROM h GROUP BY 1)
+        |SELECT cohort, n_events, n_types,
+        |  n_events * n_events - sum_sq AS gini_num,
+        |  (n_events * n_events - sum_sq)::DOUBLE
+        |    / (n_events * n_events)::DOUBLE AS gini
+        |FROM g ORDER BY cohort""".stripMargin,
     "q_mode" ->
       """WITH h AS (
         |  SELECT l_returnflag, l_linestatus, l_quantity::BIGINT AS qty,

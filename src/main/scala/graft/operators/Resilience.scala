@@ -369,6 +369,55 @@ object Resilience {
   def kalmanForecast(s: SparkSession, dir: String): DataFrame =
     kalmanOn(series(s, dir))
 
+  /** B28 THEIL–SEN robust trend per group — the breakdown-resistant
+    * sibling of B4's least-squares slope (scipy
+    * `stats.theilslopes` / `mstats.theilslopes` twin): slope = median
+    * of all pairwise slopes (y_j−y_i)/(t_j−t_i), i<j, so up to ~29%
+    * of the points can be arbitrary outliers (a revision spike, a
+    * mis-keyed year) without moving the estimate — B4's OLS moves on
+    * a single bad point. Intercept = median of (y_i − slope·t_i)
+    * (the scipy convention). Median is the TYPE-1 lower median
+    * (sorted[(n+1) div 2], 1-based) so both engines index the same
+    * element — no interpolation, no mean-of-middle-two ambiguity.
+    *
+    * Exactness: whole-dollar BIGINT observations; each pairwise slope
+    * is ONE double division of exact integers and each residual ONE
+    * multiply-subtract — identical IEEE sequence in both engines, and
+    * the median SELECTS one of those bit-identical doubles rather
+    * than combining them. Scale: the pair join is per-group O(p²) in
+    * the PERIOD count only (p ≈ years, bounded and tiny — never the
+    * row count); one shuffle on the group key, then two hash
+    * aggregates. The sorted-array median state is p²-bounded doubles
+    * per group, far under the B18 fold-state precedent. */
+  def theilSenOn(ss: Series): DataFrame = {
+    val s0 = ss.df.sparkSession
+    import s0.implicits._
+    val g = ss.grp
+    val pts = ss.df.select(col(g), col(ss.period).cast("long").as("t"),
+      round(col(ss.value)).cast("long").as("yw"))
+    val pairs = pts.as("a").join(pts.as("b"),
+        col(s"a.$g") === col(s"b.$g") && $"a.t" < $"b.t")
+      .select(col(s"a.$g"),
+        (($"b.yw" - $"a.yw").cast("double") /
+          ($"b.t" - $"a.t").cast("double")).as("slope"))
+    val sl = pairs.groupBy(col(g))
+      .agg(count(lit(1)).as("n_pairs"),
+        sort_array(collect_list($"slope")).as("sls"))
+      .select(col(g), $"n_pairs",
+        element_at($"sls", (($"n_pairs" + 1) / 2).cast("int")).as("sen_slope"))
+    pts.join(sl, Seq(g))
+      .withColumn("resid", $"yw".cast("double") - $"sen_slope" * $"t")
+      .groupBy(col(g))
+      .agg(count(lit(1)).as("n_periods"), max($"n_pairs").as("n_pairs"),
+        max($"sen_slope").as("sen_slope"),
+        element_at(sort_array(collect_list($"resid")),
+          ((count(lit(1)) + 1) / 2).cast("int")).as("sen_intercept"))
+      .orderBy(col(g))
+  }
+
+  def theilSen(s: SparkSession, dir: String): DataFrame =
+    theilSenOn(series(s, dir))
+
   /** Daily event counts per event type — the weekly-seasonal test
     * corpus series for B20/B21 (events span 30 days; counts are
     * exact BIGINTs, so every derived double is bit-deterministic).
@@ -919,6 +968,7 @@ object Resilience {
     "q_ar1_forecast" -> ar1Forecast,
     "q_holt_forecast" -> holtForecast,
     "q_kalman" -> kalmanForecast,
+    "q_theilsen" -> theilSen,
     "q_seasonal_decompose" -> seasonalDecompose,
     "q_hw_forecast" -> holtWinters,
     "q_anomaly" -> ((s, dir) => anomalies(Tables.events(s, dir))),
@@ -1262,6 +1312,29 @@ object Resilience {
          |FROM hw JOIN n ON hw.n_name = n.n_name AND hw.t = n.n_periods
          |WHERE n.n_periods >= 2
          |ORDER BY hw.n_name""".stripMargin,
+    // pairwise-slope twin: each slope/residual is the identical
+    // one-division / one-multiply-subtract IEEE op on exact BIGINTs;
+    // the type-1 lower median INDEXES the sorted list, so both
+    // engines select the same bit-identical double
+    "q_theilsen" ->
+      s"""WITH rev AS ($yearlyRevSql),
+         |pts AS (
+         |  SELECT n_name, yr::BIGINT AS t, round(rev)::BIGINT AS yw FROM rev),
+         |pairs AS (
+         |  SELECT a.n_name, (b.yw - a.yw)::DOUBLE / (b.t - a.t)::DOUBLE AS slope
+         |  FROM pts a JOIN pts b ON a.n_name = b.n_name AND a.t < b.t),
+         |sl AS (
+         |  SELECT n_name, count(*)::BIGINT AS n_pairs,
+         |    list_sort(list(slope))[((count(*) + 1) // 2)] AS sen_slope
+         |  FROM pairs GROUP BY 1),
+         |res AS (
+         |  SELECT p.n_name, s.n_pairs, s.sen_slope,
+         |    p.yw::DOUBLE - s.sen_slope * p.t AS resid
+         |  FROM pts p JOIN sl s USING (n_name))
+         |SELECT n_name, count(*)::BIGINT AS n_periods,
+         |  max(n_pairs) AS n_pairs, max(sen_slope) AS sen_slope,
+         |  list_sort(list(resid))[((count(*) + 1) // 2)] AS sen_intercept
+         |FROM res GROUP BY 1 ORDER BY 1""".stripMargin,
     // recursive CTE twin of the Kalman fold (B18 struct-accumulator
     // precedent): P⁻ and K expanded in place, textually the Spark
     // update expressions — identical IEEE sequence, exact compare.

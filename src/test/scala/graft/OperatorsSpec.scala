@@ -393,6 +393,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L)), s"constant series: ${got(2L)}")
   }
 
+  test("A34 gini impurity: pure cohort 0, balanced pair 1/2, exact numerator") {
+    import spark.implicits._
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    // cohort 1 (user 1): 4 rows one type → gini 0; cohort 2 (user 2):
+    // 2+2 across two types → num = 16 − 8 = 8, gini = 0.5; cohort 3
+    // (user 3): 3+1 → num = 16 − 10 = 6, gini = 0.375
+    val rows = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "a"), (2L, "b"), (2L, "b"),
+      (3L, "a"), (3L, "a"), (3L, "a"), (3L, "b"))
+      .zipWithIndex.map { case ((u, et), i) => (i.toLong, t(i * 1000), u, et, 0.0, "{}") }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val spark2 = spark
+    val dir = java.nio.file.Files.createTempDirectory("gini").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Relational.giniImpurity(spark2, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((4L, 1L, 0L, 0.0)), s"pure: ${got(1L)}")
+    assert(got(2L) == ((4L, 2L, 8L, 0.5)), s"balanced: ${got(2L)}")
+    assert(got(3L) == ((4L, 2L, 6L, 0.375)), s"3+1: ${got(3L)}")
+  }
+
+  test("C38 watermark plan: drop counts shrink as the delay absorbs lateness") {
+    import spark.implicits._
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    // shard 0 (user 8): arrival ts 10s, 60s, then 58.5s (1.5s late),
+    // then 9s (51s late) — delays 0/1s drop both, 10s absorbs the
+    // 1.5s one, 60s absorbs both; shard 1 (user 9) is in order
+    val rows = Seq(
+      (1L, 8L, t(10000000L)), (2L, 8L, t(60000000L)),
+      (3L, 8L, t(58500000L)), (4L, 8L, t(9000000L)),
+      (5L, 9L, t(1000000L)), (6L, 9L, t(2000000L)))
+    val df = rows.map { case (e, u, ts) => (e, ts, u, "x", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Cdc.watermarkPlan(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0L) == ((6L, 2L, 2L, 333333L)), s"delay 0: ${got(0L)}")
+    assert(got(1000000L)._3 == 2L, s"1s still drops both: ${got(1000000L)}")
+    assert(got(10000000L)._3 == 1L, s"10s absorbs the 1.5s row: ${got(10000000L)}")
+    assert(got(60000000L) == ((6L, 2L, 0L, 0L)), s"60s absorbs all: ${got(60000000L)}")
+  }
+
   test("C36 late-arrival audit measures event-time lateness in arrival order") {
     import spark.implicits._
     def t(us: Long) = new java.sql.Timestamp(us / 1000)

@@ -114,6 +114,24 @@ class ReferenceReplicaSpec extends AnyFunSuite {
     assert(got("flat") == ((3L, 5.0, 0.0, 5.0, 5.0, 5.0)), s"got ${got("flat")}")
   }
 
+  test("Theil-Sen: exact on a line, immune to an outlier OLS would chase") {
+    import spark.implicits._
+    // clean: y = 5t + 3 for t = 1..9 → slope exactly 5.0, intercept 3.0
+    val clean = (1L to 9L).map(t => ("clean", t, 5.0 * t + 3.0))
+    // same line but t=9 is a wild outlier (y=1000): 8 of 9 points
+    // still pairwise-agree on slope 5 → median slope stays 5.0 and
+    // the median residual stays 3.0; OLS slope would jump to ~21
+    val dirty = clean.init.map { case (_, t, v) => ("dirty", t, v) } :+
+      (("dirty", 9L, 1000.0))
+    val got = Resilience.theilSenOn(
+        Series((clean ++ dirty).toDF("g", "p", "v"), "g", "p", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got("clean") == ((9L, 36L, 5.0, 3.0)), s"clean: ${got("clean")}")
+    assert(got("dirty")._3 == 5.0 && got("dirty")._4 == 3.0,
+      s"outlier must not move the Sen estimates: ${got("dirty")}")
+  }
+
   test("Kalman local-level: constant locks, gain hits steady state, LCG fold bit-equal") {
     import spark.implicits._
     // constant: every innovation is exactly 0 → level == c bitwise;
