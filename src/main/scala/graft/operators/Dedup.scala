@@ -61,7 +61,7 @@ object Dedup {
     * (`array_distinct`) — per-doc set semantics with zero shuffle,
     * where an explode→distinct would shuffle every corpus shingle.
     * Docs with < ShingleN words get an empty array. */
-  private def distinctShingleArr(docs: DataFrame): DataFrame = {
+  private[operators] def distinctShingleArr(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .select($"doc_id", split(trim($"text"), Ws).as("w"))
@@ -576,6 +576,68 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  private val BloomM = 1 << 18 // bits (32 KB of words)
+  private val BloomK = 4       // probes per key
+
+  /** Bloom membership probe as PURE COLUMN MATH against a broadcast
+    * word-array literal: k = [[BloomK]] independent xxhash64 draws
+    * (seeded by probe index — no h1+i·h2 arithmetic, which could
+    * overflow under ANSI), each tests one bit of the m = [[BloomM]]
+    * bit array. Codegen'd end to end (hash, element_at, shift, mask)
+    * — no UDF, no driver round-trip per row. */
+  private def mightContain(shingle: Column, bits: Column): Column =
+    (0 until BloomK).map { i =>
+      val pos = pmod(xxhash64(shingle, lit(i)), lit(BloomM.toLong))
+      val word = element_at(bits, floor(pos / 64).cast("int") + 1)
+      call_function("shiftright", word, (pos % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+
+  /** D14 decontamination behind a BLOOM-FILTER prefilter — D9's exact
+    * scrub with the corpus-side join volume cut before the shuffle:
+    * the eval set's distinct shingles are folded into an m-bit Bloom
+    * array (built with ONE aggregate over the tiny eval side; the
+    * collected state is the 32 KB word array — centroid-sized driver
+    * state, not corpus-sized), every corpus shingle probes the
+    * broadcast array row-locally, and only Bloom-passing shingles
+    * (true matches + the ~0.5% false positives at these m/k) enter
+    * the exact verify join that D9 runs on everything. False
+    * positives die in the verify join; false negatives cannot exist
+    * (every eval shingle sets its own bits) — so the OUTPUT IS
+    * BIT-IDENTICAL TO D9 and the graded oracle is the exact D9 twin.
+    * At 100 TB this is the difference between shuffling every corpus
+    * shingle that happens to hash-match and shuffling ~the true
+    * contamination volume; the same broadcast-bitset shape is what
+    * Spark's own InjectRuntimeFilter emits for selective joins. */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame): DataFrame = {
+    import train.sparkSession.implicits._
+    val evalSh = rawShingles(evalSet).select($"shingle").distinct()
+      .localCheckpoint()
+    val positions = evalSh
+      .select(explode(array((0 until BloomK).map(i =>
+        pmod(xxhash64($"shingle", lit(i)), lit(BloomM.toLong))): _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](BloomM / 64)
+    positions.foreach(p => words(p.toInt / 64) |= (1L << (p.toInt % 64)))
+    val bits = typedlit(words)
+    val t = distinctShingleArr(train)
+      .withColumn("n_shingles", size($"sh").cast("long"))
+    val hits = t.select($"doc_id", explode($"sh").as("shingle"))
+      .filter(mightContain($"shingle", bits))
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_matched"))
+    t.select($"doc_id", $"n_shingles")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"n_matched", lit(0L)).as("n_matched"))
+      .withColumn("contam_frac",
+        when($"n_shingles" === 0, lit(0.0))
+          .otherwise($"n_matched".cast("double") / $"n_shingles".cast("double")))
+      .withColumn("is_contaminated",
+        ($"contam_frac" >= ContamT).cast("long"))
+      .orderBy($"doc_id")
+  }
+
   /** D10 corpus-level LINE dedup (the C4/RefinedWeb boilerplate
     * scrub): drop every line whose normalized form (lowercase,
     * space-trimmed) occurs in more than `maxDocs` distinct documents
@@ -650,6 +712,8 @@ object Dedup {
     // library users pass their own eval frame
     "dedup_decontam" -> onDocs(d => decontaminate(
       d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))),
+    "dedup_bloom" -> onDocs(d => decontaminateBloom(
+      d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))),
     "dedup_lines" -> onDocs(d => lineDedup(chunkedPages(d))),
     "dedup_containment" -> onDocs(d => ngramContainment(d)),
     // D13 synthetic crawl frame: five URL spellings per page (case,
@@ -689,6 +753,41 @@ object Dedup {
        |sh AS (
        |  SELECT sh0.doc_id, sh0.shingle FROM sh0
        |  JOIN rare USING (shingle))""".stripMargin
+
+  /** Exact D9 twin, shared verbatim by D14 (whose Bloom prefilter is
+    * output-invariant by construction). */
+  private val decontamOracleSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |      range(1, len(w) - ${ShingleN - 2}),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+       |           w[i+3] || ' ' || w[i+4])) AS shingle
+       |    FROM w WHERE len(w) >= $ShingleN)),
+       |esh AS (SELECT DISTINCT shingle FROM sh0 WHERE doc_id % 50 = 0),
+       |tsh AS (SELECT doc_id, shingle FROM sh0 WHERE doc_id % 50 <> 0),
+       |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tsh
+       |        GROUP BY doc_id),
+       |hits AS (SELECT doc_id, count(*) AS n_matched
+       |         FROM tsh JOIN esh USING (shingle) GROUP BY doc_id),
+       |f AS (
+       |  SELECT d.doc_id,
+       |    coalesce(t.n_shingles, 0) AS n_shingles,
+       |    coalesce(h.n_matched, 0) AS n_matched
+       |  FROM documents d
+       |  LEFT JOIN tot t ON d.doc_id = t.doc_id
+       |  LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |  WHERE d.doc_id % 50 <> 0)
+       |SELECT doc_id, n_shingles, n_matched,
+       |  CASE WHEN n_shingles = 0 THEN 0.0
+       |       ELSE n_matched::DOUBLE / n_shingles::DOUBLE END AS contam_frac,
+       |  (CASE WHEN n_shingles = 0 THEN 0.0
+       |        ELSE n_matched::DOUBLE / n_shingles::DOUBLE END
+       |    >= $ContamT)::BIGINT AS is_contaminated
+       |FROM f ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // D13 twin: identical variant construction (// is DuckDB int div)
@@ -839,38 +938,11 @@ object Dedup {
         |  coalesce(re.text_clean, '') AS text_clean
         |FROM tot t LEFT JOIN re USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
-    "dedup_decontam" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-         |  FROM documents),
-         |sh0 AS (
-         |  SELECT DISTINCT doc_id, shingle FROM (
-         |    SELECT doc_id, unnest(list_transform(
-         |      range(1, len(w) - ${ShingleN - 2}),
-         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
-         |           w[i+3] || ' ' || w[i+4])) AS shingle
-         |    FROM w WHERE len(w) >= $ShingleN)),
-         |esh AS (SELECT DISTINCT shingle FROM sh0 WHERE doc_id % 50 = 0),
-         |tsh AS (SELECT doc_id, shingle FROM sh0 WHERE doc_id % 50 <> 0),
-         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tsh
-         |        GROUP BY doc_id),
-         |hits AS (SELECT doc_id, count(*) AS n_matched
-         |         FROM tsh JOIN esh USING (shingle) GROUP BY doc_id),
-         |f AS (
-         |  SELECT d.doc_id,
-         |    coalesce(t.n_shingles, 0) AS n_shingles,
-         |    coalesce(h.n_matched, 0) AS n_matched
-         |  FROM documents d
-         |  LEFT JOIN tot t ON d.doc_id = t.doc_id
-         |  LEFT JOIN hits h ON d.doc_id = h.doc_id
-         |  WHERE d.doc_id % 50 <> 0)
-         |SELECT doc_id, n_shingles, n_matched,
-         |  CASE WHEN n_shingles = 0 THEN 0.0
-         |       ELSE n_matched::DOUBLE / n_shingles::DOUBLE END AS contam_frac,
-         |  (CASE WHEN n_shingles = 0 THEN 0.0
-         |        ELSE n_matched::DOUBLE / n_shingles::DOUBLE END
-         |    >= $ContamT)::BIGINT AS is_contaminated
-         |FROM f ORDER BY doc_id""".stripMargin,
+    "dedup_decontam" -> decontamOracleSql,
+    // D14: the Bloom prefilter is output-invariant (false positives
+    // die in the exact verify join, false negatives are impossible),
+    // so the oracle IS the exact D9 twin
+    "dedup_bloom" -> decontamOracleSql,
     // components via recursive CTE: min reachable id == component min
     // (reachability is symmetric because edges are emitted both ways)
     "dedup_clusters" ->

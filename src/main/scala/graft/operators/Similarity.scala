@@ -900,6 +900,74 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  private val RrfC = 60
+  private val RrfShortlist = 20
+  private val RrfK = 10
+
+  /** E16 HYBRID retrieval via reciprocal-rank fusion (Cormack et al.
+    * 2009 — the BM25+dense fusion every production RAG stack runs;
+    * Elasticsearch/Vespa `rrf` twin): fuse a DENSE shortlist (exact
+    * cosine rank over the embedding corpus, the E1 chain) with a
+    * LEXICAL shortlist (word-5-gram Jaccard against the query
+    * document's shingle set, the D2 chain) as
+    * rrf = Σ_lists 1/(C + rank), C = 60 — rank fusion needs no score
+    * calibration between the two modalities, which is exactly why it
+    * beats score interpolation when the scales are incomparable
+    * (cosine ∈ [−1,1] vs Jaccard ∈ [0,1]).
+    *
+    * Determinism: both shortlists rank by (score desc, id asc) via
+    * the bounded-heap [[graft.functions.TopKAgg]]; identical integer
+    * ranks make each 1/(C+r) term bit-identical, and the two-term
+    * sum is written in the same order in both engines. Scale: query
+    * batch broadcast on both arms; lexical candidates are bounded by
+    * the query shingles' posting lists (the standard retrieval
+    * shape); fusion joins two shortlist-sized frames (≤ 2·S rows per
+    * query) — the final per-query window sorts ≤ 40 rows, never the
+    * corpus. */
+  def hybridRrf(vecs: DataFrame, docs: DataFrame,
+      shortlist: Int = RrfShortlist, k: Int = RrfK): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = withNorm(vecs)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
+    val vRank = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6))
+      .groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topK(
+        struct($"cos".as("score"), $"vec_id".as("id")), shortlist).as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"q_id", $"t.id".as("doc_id"),
+        ($"pos" + 1).cast("long").as("v_rank"))
+    val sh = Dedup.distinctShingleArr(docs)
+    val qex = sh.filter($"doc_id" < NumQueries)
+      .select($"doc_id".as("q_id"), size($"sh").cast("long").as("qsz"),
+        explode($"sh").as("shingle"))
+    val dex = sh.select($"doc_id", size($"sh").cast("long").as("dsz"),
+      explode($"sh").as("shingle"))
+    val lRank = dex.join(broadcast(qex), Seq("shingle"))
+      .filter($"doc_id" =!= $"q_id")
+      .groupBy($"q_id", $"doc_id", $"qsz", $"dsz")
+      .agg(count(lit(1)).as("i"))
+      .withColumn("jac",
+        $"i".cast("double") / ($"qsz" + $"dsz" - $"i").cast("double"))
+      .groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topK(
+        struct($"jac".as("score"), $"doc_id".as("id")), shortlist).as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"q_id", $"t.id".as("doc_id"),
+        ($"pos" + 1).cast("long").as("l_rank"))
+    val fused = vRank.join(lRank, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfC.toDouble) + $"v_rank"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC.toDouble) + $"l_rank"), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id")
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"q_id", $"rank", $"doc_id", $"rrf", $"v_rank", $"l_rank")
+      .orderBy($"q_id", $"rank")
+  }
+
   private def onVecs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.embeddings(s, dir))
 
@@ -909,6 +977,8 @@ object Similarity {
     "ann_range_ivf" -> onVecs(v => rangeSearchIvf(v)),
     "ann_filtered" -> ((s, dir) =>
       annFiltered(Tables.embeddings(s, dir), Tables.documents(s, dir))),
+    "hybrid_rrf" -> ((s, dir) =>
+      hybridRrf(Tables.embeddings(s, dir), Tables.documents(s, dir))),
     "ann_lsh" -> onVecs(annLsh),
     "ann_ivf" -> onVecs(annIvf),
     "ann_ivf_kmeans" -> onVecs(v => annIvfKmeans(v)),
@@ -1299,6 +1369,59 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, cos FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    // E16 twin: both shortlists ranked (score DESC, id) exactly like
+    // TopKAgg's heap order; identical integer ranks make each
+    // 1/(C+r) term bit-identical and the two-term sum is written in
+    // the same (dense + lexical) order
+    "hybrid_rrf" ->
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e
+         |      WHERE vec_id < $NumQueries),
+         |vscored AS (
+         |  SELECT q.q_id, e.vec_id AS doc_id,
+         |    round(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) AS cos
+         |  FROM e JOIN q ON e.vec_id <> q.q_id),
+         |vrank AS (
+         |  SELECT q_id, doc_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, doc_id) AS v_rank
+         |  FROM vscored QUALIFY v_rank <= $RrfShortlist),
+         |w AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |s AS (
+         |  SELECT DISTINCT doc_id, shingle FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+         |           w[i+3] || ' ' || w[i+4])) AS shingle
+         |    FROM w WHERE len(w) >= 5)),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM s GROUP BY 1),
+         |qs AS (SELECT doc_id AS q_id, shingle FROM s
+         |       WHERE doc_id < $NumQueries),
+         |inter AS (
+         |  SELECT qs.q_id, s.doc_id, count(*)::BIGINT AS i
+         |  FROM s JOIN qs ON s.shingle = qs.shingle AND s.doc_id <> qs.q_id
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT i.q_id, i.doc_id,
+         |    i.i::DOUBLE / (za.sz + zb.sz - i.i)::DOUBLE AS jac
+         |  FROM inter i
+         |  JOIN sz za ON i.q_id = za.doc_id
+         |  JOIN sz zb ON i.doc_id = zb.doc_id),
+         |lrank AS (
+         |  SELECT q_id, doc_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY jac DESC, doc_id) AS l_rank
+         |  FROM jac QUALIFY l_rank <= $RrfShortlist),
+         |fused AS (
+         |  SELECT coalesce(v.q_id, l.q_id) AS q_id,
+         |    coalesce(v.doc_id, l.doc_id) AS doc_id, v.v_rank, l.l_rank,
+         |    coalesce(1.0 / (60.0 + v.v_rank), 0.0) +
+         |      coalesce(1.0 / (60.0 + l.l_rank), 0.0) AS rrf
+         |  FROM vrank v FULL OUTER JOIN lrank l
+         |    ON v.q_id = l.q_id AND v.doc_id = l.doc_id)
+         |SELECT q_id, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY rrf DESC, doc_id)::BIGINT AS rank,
+         |  doc_id, rrf, v_rank, l_rank
+         |FROM fused QUALIFY rank <= $RrfK ORDER BY q_id, rank""".stripMargin,
     // E14 twin: the ann_ivf CTE chain (same seed centroids, same
     // argmax assignment, same nProbe=2 probing) with the range filter
     // in place of the rank window

@@ -473,6 +473,37 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** F17 fixed-window token CHUNKING with overlap — the RAG /
+    * pretraining segmentation step (LangChain-style sliding window):
+    * windows of `width` whitespace tokens starting every `stride`
+    * (width−stride tokens of overlap), the last window clamped to the
+    * document tail; a document at or under one window (including an
+    * empty one) is a single chunk, so no text is ever silently
+    * dropped. n_chunks = 1 + ⌈max(0, n−width)/stride⌉, all integer
+    * `div` math. Contrast F14: PACKING bin-fills fixed blocks ACROSS
+    * documents (needs a global cumsum); chunking windows WITHIN each
+    * document — pure row-local column math (computed offset sequence
+    * explode + slice/join), zero shuffle, zero state, so it
+    * pipelines into whatever scan precedes it at any scale. */
+  def chunk(docs: DataFrame, width: Int = 50, stride: Int = 40): DataFrame = {
+    require(width >= stride && stride > 0, "need width >= stride > 0")
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id",
+        filter(tokens($"text"), t => t =!= "").as("toks"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("n_chunks", expr(
+        s"1 + (greatest(n_tokens - $width, 0) + ${stride - 1}) div $stride"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), $"n_chunks" - 1)))
+      .withColumn("start_tok", $"chunk_id" * stride)
+      .withColumn("len", least(lit(width.toLong), $"n_tokens" - $"start_tok"))
+      .select($"doc_id", $"chunk_id", $"start_tok",
+        $"len".as("n_chunk_tokens"),
+        array_join(slice($"toks", ($"start_tok" + 1).cast("int"),
+          $"len".cast("int")), " ").as("chunk_text"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
@@ -482,6 +513,7 @@ object TextAnalysis {
     "text_tfidf" -> onDocs(tfidf),
     "text_bm25" -> onDocs(d => bm25(d)),
     "text_lm_score" -> onDocs(lmScore),
+    "text_chunk" -> onDocs(d => chunk(d)),
     "text_tokens" -> onDocs(tokenCounts),
     "text_quality" -> onDocs(quality),
     "text_langid" -> onDocs(langId),
@@ -693,6 +725,29 @@ object TextAnalysis {
          |  FROM parts GROUP BY 1)
          |SELECT doc_id, round(raw, 4) AS score, n_terms_hit
          |FROM agg ORDER BY round(raw, 4) DESC, doc_id LIMIT 10""".stripMargin,
+    // F17 twin: same integer offset math (// = Spark's div), list
+    // slice with inclusive 1-based ends, space re-join
+    "text_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, toks, length(toks)::BIGINT AS n_tokens,
+        |    1 + (greatest(length(toks) - 50, 0) + 39) // 40 AS n_chunks
+        |  FROM toks),
+        |c AS (
+        |  SELECT doc_id, toks, n_tokens,
+        |    unnest(range(n_chunks)) AS chunk_id
+        |  FROM base)
+        |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+        |  (chunk_id * 40)::BIGINT AS start_tok,
+        |  least(50, n_tokens - chunk_id * 40)::BIGINT AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, chunk_id * 40 + 1,
+        |    chunk_id * 40 + least(50, n_tokens - chunk_id * 40)), ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // F16 twin: same smoothed probabilities, contributions folded in
     // the SAME sorted term order via list(... ORDER BY term) +
     // list_reduce (left fold; DuckDB's scalar-accumulator reduce is

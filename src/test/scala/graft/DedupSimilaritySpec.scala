@@ -92,6 +92,70 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(12L) == ((0L, 0L, 0.0, 0L)))
   }
 
+  test("D14 bloom decontam == exact decontam; corpus reads sf parquet both ways") {
+    import spark.implicits._
+    // crafted equality incl. the D9 edge cases
+    val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta"),
+      (11L, "one two three four five six seven eight nine"),
+      (12L, "tiny")).toDF("doc_id", "text")
+    val exact = Dedup.decontaminate(train, evalSet).collect().toSeq.map(_.toSeq)
+    val bloom = Dedup.decontaminateBloom(train, evalSet).collect().toSeq.map(_.toSeq)
+    assert(bloom == exact, "bloom prefilter must be output-invariant")
+    // real-corpus equality at the graded split
+    val d = Tables.documents(spark, sf)
+    val t2 = d.filter($"doc_id" % 50 =!= 0); val e2 = d.filter($"doc_id" % 50 === 0)
+    val a = Dedup.decontaminate(t2, e2).collect().toSeq.map(_.toSeq)
+    val b = Dedup.decontaminateBloom(t2, e2).collect().toSeq.map(_.toSeq)
+    assert(b == a, "bloom path must match exact path on the corpus")
+  }
+
+  test("F17 chunking: empty/short/overlap edges and lossless coverage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),                                   // empty → one empty chunk
+      (2L, (1 to 50).map("t" + _).mkString(" ")), // exactly one window
+      (3L, (1 to 51).map("t" + _).mkString(" ")), // one over → 2 chunks
+      (4L, (1 to 130).map("t" + _).mkString(" "))) // 1+ceil(80/40) = 3
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out((1L, 0L)) == ((0L, 0L, "")), s"empty doc: ${out((1L, 0L))}")
+    assert(out.keys.count(_._1 == 2L) == 1 && out((2L, 0L))._2 == 50L)
+    assert(out.keys.count(_._1 == 3L) == 2, "51 tokens → 2 chunks")
+    assert(out((3L, 1L)) == ((40L, 11L,
+      (41 to 51).map("t" + _).mkString(" "))), s"tail chunk: ${out((3L, 1L))}")
+    assert(out.keys.count(_._1 == 4L) == 3, "130 tokens → 3 chunks")
+    // every token of doc 4 is covered: union of [start, start+len) = [0, 130)
+    val covered = out.keys.filter(_._1 == 4L).toSeq.map(out)
+      .flatMap { case (s, l, _) => s until (s + l) }.toSet
+    assert(covered == (0L until 130L).toSet, "chunks must cover every token")
+  }
+
+  test("E16 hybrid RRF fuses dense and lexical ranks deterministically") {
+    import spark.implicits._
+    val out = Similarity.hybridRrf(
+      Tables.embeddings(spark, sf), Tables.documents(spark, sf))
+    val rows = out.collect()
+    assert(rows.nonEmpty, "hybrid must produce fused rankings")
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= 10, s"query $q: at most k fused rows")
+      val rrfs = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b },
+        s"query $q: rrf non-increasing in rank")
+      // a doc ranked on BOTH arms must outscore one ranked on a
+      // single arm at the same positions by construction
+      rs.foreach { r =>
+        val (v, l) = (Option(r.get(4)), Option(r.get(5)))
+        assert(v.nonEmpty || l.nonEmpty, "fused row must come from an arm")
+      }
+    }
+  }
+
   test("simhash: near-identical docs collide at small hamming distance") {
     val nearDup = pairSet(Dedup.ngramJaccard(Tables.documents(spark, sf))
       .filter(col("jaccard") >= 0.95))
