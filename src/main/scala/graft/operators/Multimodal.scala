@@ -374,6 +374,133 @@ object Multimodal {
        |END)""".stripMargin
   }
 
+  // ---- G6: real WAV/PCM audio decode --------------------------------
+
+  private val WavRate = 8000
+
+  /** Deterministic 16-bit PCM test signal for doc `docId`: a 31-bit
+    * LCG (glibc constants) folded to int16 — pure integer arithmetic
+    * both here and in the DuckDB oracle's recursive CTE, so the
+    * synth→encode→parse→aggregate ROUND TRIP is provable to the bit
+    * without any audio library. */
+  private[graft] def lcgSamples(docId: Long, n: Int): Array[Short] = {
+    var s = (docId * 1103515245L + 12345L) % 2147483648L
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      s = (s * 1103515245L + 12345L) % 2147483648L
+      out(i) = ((s % 65536L) - 32768L).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Minimal canonical RIFF/WAVE PCM16 mono container around a
+    * sample array — the ENCODER side of the G6 seam (44-byte header,
+    * little-endian throughout, as produced by every PCM writer). */
+  private[graft] def wavBytes(samples: Array[Short],
+      rate: Int = WavRate): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Exact integer PCM statistics per decoded file (rms is the one
+    * double, derived from the exact sum of squares). */
+  case class WavStats(doc_id: Long, sample_rate: Long, n_samples: Long,
+      peak: Long, sum_sq: Long)
+
+  /** G6 REAL WAV decode: a general RIFF chunk walker (not a fixed
+    * 44-byte offset read) — accepts extra chunks (LIST/INFO/fact)
+    * before `data`, honors the spec's odd-size pad byte, requires
+    * uncompressed PCM16, and aggregates the samples to exact integer
+    * statistics (count, peak = max |s|, Σs² — all BIGINT; ±32768
+    * never overflows a Long). Malformed payloads return None — the
+    * quarantine convention of [[ImageIoCodec]]: a 100 TB scan never
+    * dies on one corrupt asset. Multi-channel files aggregate over
+    * interleaved samples of all channels. */
+  private[graft] def parseWav(docId: Long,
+      payload: Array[Byte]): Option[WavStats] = {
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      if (tag() != "RIFF") return None
+      bb.getInt // declared riff size; trust actual chunk walk instead
+      if (tag() != "WAVE") return None
+      var rate = -1L; var fmtOk = false
+      while (bb.remaining() >= 8) {
+        val id = tag(); val sz = bb.getInt
+        if (sz < 0 || sz > bb.remaining()) return None
+        if (id == "fmt ") {
+          val audioFormat = bb.getShort; val channels = bb.getShort
+          rate = bb.getInt.toLong; bb.getInt; bb.getShort
+          val bits = bb.getShort
+          fmtOk = audioFormat == 1 && bits == 16 && channels >= 1
+          bb.position(bb.position() + sz - 16 + (sz & 1))
+        } else if (id == "data") {
+          if (!fmtOk || rate <= 0) return None
+          val n = sz / 2
+          var peak = 0L; var sumSq = 0L; var i = 0
+          while (i < n) {
+            val v = bb.getShort.toLong
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumSq += v * v
+            i += 1
+          }
+          return Some(WavStats(docId, rate, n.toLong, peak, sumSq))
+        } else bb.position(bb.position() + sz + (sz & 1))
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** G6 batched decode of a (doc_id, payload) frame to PCM stats —
+    * the same mapPartitions boundary as [[decodeWith]] (SURVEY §4):
+    * batch iteration, no per-row JVM object churn beyond the parser,
+    * malformed rows dropped (quarantine by omission; the count delta
+    * is the QA signal, the H16 observed-write pattern). The derived
+    * rms and duration are column math AFTER the seam so they stay in
+    * codegen. */
+  def wavPcmStats(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) => parseWav(id, p) })
+      .toDF()
+      .select($"doc_id", $"sample_rate", $"n_samples", $"peak", $"sum_sq",
+        sqrt($"sum_sq".cast("double") / $"n_samples".cast("double")).as("rms"),
+        expr("n_samples * 1000000 div sample_rate").as("duration_us"))
+      .orderBy($"doc_id")
+  }
+
+  /** G6 graded entry (`mm_wav_stats`): synthesize a REAL WAV
+    * container per document (LCG PCM16 mono, 32 + doc_id mod 33
+    * samples), decode it back with the general chunk walker, and
+    * aggregate exact PCM statistics. The oracle recomputes the same
+    * statistics from the LCG recurrence alone (recursive CTE — no
+    * byte parsing), so a hash match proves encoder, walker, and
+    * aggregation agree to the bit. */
+  private def wavStatsEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long]
+      .map(id => (id, wavBytes(lcgSamples(id, (32 + id % 33).toInt))))
+      .toDF("doc_id", "payload")
+    wavPcmStats(payloads)
+  }
+
   /** G4 graded entry (`mm_sniff`): header sniffing over the planted
     * payloads; brand dropped (no ISO-BMFF in the construction — its
     * detection stays spec-covered with crafted ftyp boxes). */
@@ -388,6 +515,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_sniff" -> sniffEntry,
+    "mm_wav_stats" -> wavStatsEntry,
     "mm_binary_meta" -> binaryMetaHex,
     // rows-only by design: the fingerprint input is the stubbed
     // codec's decode, which no SQL engine replicates. The graded
@@ -407,6 +535,30 @@ object Multimodal {
     }))
 
   val oracles: Map[String, String] = Map(
+    // G6 twin: replays the LCG recurrence in a recursive CTE — no
+    // byte parsing — so the hash match proves the WAV encoder, the
+    // chunk-walking decoder, and the PCM aggregation agree to the bit
+    "mm_wav_stats" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, 32 + doc_id % 33 AS n,
+        |    (doc_id * 1103515245 + 12345) % 2147483648 AS s
+        |  FROM documents),
+        |gen AS (
+        |  SELECT doc_id, n, 0 AS k, s, CAST(NULL AS BIGINT) AS sample
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, n, k + 1,
+        |    (s * 1103515245 + 12345) % 2147483648,
+        |    ((s * 1103515245 + 12345) % 2147483648) % 65536 - 32768
+        |  FROM gen WHERE k < n)
+        |SELECT doc_id, 8000::BIGINT AS sample_rate,
+        |  count(sample)::BIGINT AS n_samples,
+        |  max(abs(sample))::BIGINT AS peak,
+        |  sum(sample * sample)::BIGINT AS sum_sq,
+        |  sqrt(sum(sample * sample)::DOUBLE / count(sample)::DOUBLE) AS rms,
+        |  (count(sample) * 1000000 // 8000)::BIGINT AS duration_us
+        |FROM gen WHERE sample IS NOT NULL
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // G4 twin: recomputes the PLANTED header values from doc_id — no
     // byte parsing — so a hash match proves the Spark sniffer decodes
     // the constructed binary back to exactly what was planted

@@ -230,6 +230,51 @@ object CdcStream {
       }
   }
 
+  /** Per-key retraction delta for C39: what this key's transition
+    * adds to (or retracts from) its cohort's aggregate. */
+  case class MvKeyDelta(user_id: Long, cohort: Long,
+      d_keys: Long, d_cents: Long)
+
+  /** C39 streaming incremental MATERIALIZED-VIEW maintenance — the
+    * continuous twin of the batch merge (`Cdc.incrAggMerge`): per
+    * key, state is the latest applied (cents, deleted) pair; each
+    * micro-batch applies the key's changes in COMMIT (event_id)
+    * order and emits ONE retraction-style delta row
+    * (new contribution − old contribution), exactly the (old, new)
+    * pairing a Flink/Materialize changelog carries. Zero-deltas
+    * (heartbeats, idempotent re-sends) are suppressed — the C35
+    * compaction idea applied to aggregate maintenance. Downstream,
+    * the view is current by FOLDING deltas into the base aggregate —
+    * delta-sized work per batch, never a corpus re-aggregation; the
+    * spec pins fold(deltas) == the batch full recompute across
+    * upsert/delete/revive/insert transitions split over batches.
+    * State per key: two longs + a flag, bounded for any stream
+    * length; cross-batch contract is per-key in-order delivery
+    * (the C31 envelope offset order, as [[latestState]]). */
+  def mvDeltaStream(changes: Dataset[Change]): Dataset[MvKeyDelta] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Change],
+            state: GroupState[(Long, Boolean, Boolean)]) =>
+          val (c0, del0, seen) = state.getOption.getOrElse((0L, true, false))
+          val batch = it.toArray
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val last = batch.maxBy(_.event_id)
+            val c1 = math.round(last.value * 100)
+            val del1 = last.op == "D"
+            state.update((c1, del1, true))
+            val (k0, s0) = if (seen && !del0) (1L, c0) else (0L, 0L)
+            val (k1, s1) = if (!del1) (1L, c1) else (0L, 0L)
+            if (k1 - k0 == 0L && s1 - s0 == 0L) Iterator.empty
+            else Iterator.single(
+              MvKeyDelta(uid, uid % 100, k1 - k0, s1 - s0))
+          }
+      }
+  }
+
   /** C9 streaming exact dedup: drop duplicate keys across
     * micro-batches with bounded state — late duplicates beyond the
     * watermark age out of the state store instead of growing it

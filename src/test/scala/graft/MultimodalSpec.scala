@@ -122,6 +122,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!res.contains((0L, 3L)) && !res.contains((1L, 3L)))
   }
 
+  test("G6 WAV walker: known samples exact, extra chunks skipped, garbage quarantined") {
+    import spark.implicits._
+    // hand-known samples: peak picks |−32768|, sum_sq exact
+    val samples = Array[Short](0, 1000, -32768, 32767, -1)
+    val canonical = Multimodal.wavBytes(samples, rate = 44100)
+    // same data chunk but with a LIST chunk (odd size → pad byte)
+    // between fmt and data — a chunk walker must skip it, a fixed
+    // 44-byte-offset reader would misparse
+    val listBody = Array[Byte]('I', 'N', 'F', 'O', 7)
+    val canonicalData = canonical.drop(36) // "data" + len + samples
+    val fancy = {
+      val bb = java.nio.ByteBuffer
+        .allocate(36 + 8 + listBody.length + 1 + canonicalData.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(canonical, 0, 36) // RIFF..fmt chunk
+      bb.put("LIST".getBytes("US-ASCII")).putInt(listBody.length)
+      bb.put(listBody).put(0.toByte) // pad to even
+      bb.put(canonicalData)
+      bb.array()
+    }
+    val assets = Seq(
+      (1L, canonical), (2L, fancy),
+      (3L, "not a wav at all".getBytes("US-ASCII")),
+      (4L, canonical.take(30))) // truncated
+      .toDF("doc_id", "payload")
+    val got = Multimodal.wavPcmStats(assets).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6)))).toMap
+    val sumSq = samples.map(s => s.toLong * s).sum
+    assert(got.keySet == Set(1L, 2L), s"garbage must quarantine: ${got.keySet}")
+    assert(got(1L) == ((44100L, 5L, 32768L, sumSq, 5L * 1000000L / 44100L)),
+      s"canonical: ${got(1L)}")
+    assert(got(2L) == got(1L), "extra LIST chunk must not change the stats")
+  }
+
   test("G4 header sniffing parses real PNG/GIF/WAV headers and detects JPEG") {
     import spark.implicits._
     // genuine container headers: PNG signature + IHDR length/type +

@@ -99,6 +99,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C39 MV delta stream folds to the batch recompute across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Change]
+    val q = CdcStream.mvDeltaStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("mv_deltas").start()
+    try {
+      // batch 1: inserts + an in-batch upsert (latest commit wins)
+      in.addData(
+        Change(1L, 1L, ts(0), "I", 1.00), Change(2L, 2L, ts(1), "I", 2.00),
+        Change(3L, 3L, ts(2), "I", 3.00), Change(3L, 4L, ts(3), "U", 3.50))
+      q.processAllAvailable()
+      // batch 2: upsert, tombstone, revive, fresh insert, heartbeat
+      in.addData(
+        Change(1L, 11L, ts(10), "U", 1.50), // upsert
+        Change(2L, 12L, ts(11), "D", 0.0),  // tombstone
+        Change(4L, 14L, ts(12), "I", 4.00), // new key
+        Change(5L, 15L, ts(13), "I", 5.00)) // new key
+      q.processAllAvailable()
+      // batch 3: revive key 2, no-op heartbeat on key 5
+      in.addData(
+        Change(2L, 21L, ts(20), "I", 2.25),
+        Change(5L, 22L, ts(21), "U", 5.00)) // same cents → zero delta
+      q.processAllAvailable()
+      val deltas = spark.table("mv_deltas").as[CdcStream.MvKeyDelta].collect()
+      // zero-deltas suppressed (key 5's heartbeat)
+      assert(!deltas.exists(d => d.d_keys == 0 && d.d_cents == 0),
+        s"zero deltas must be suppressed: ${deltas.mkString(",")}")
+      // fold all deltas per cohort == batch full recompute of live state
+      val folded = deltas.groupBy(_.cohort)
+        .map { case (c, ds) => c -> ((ds.map(_.d_keys).sum, ds.map(_.d_cents).sum)) }
+        .filter { case (_, (k, _)) => k > 0 }
+      val want = Map(1L -> ((1L, 150L)), 2L -> ((1L, 225L)),
+        3L -> ((1L, 350L)), 4L -> ((1L, 400L)), 5L -> ((1L, 500L)))
+      assert(folded == want, s"folded $folded != $want")
+    } finally q.stop()
+  }
+
   test("C7 streaming hourly counts match the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
