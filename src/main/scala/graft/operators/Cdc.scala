@@ -471,6 +471,32 @@ object Cdc {
       .orderBy($"delay_us")
   }
 
+  /** C40 offset ACCOUNTING — gaps-and-islands over each shard's
+    * commit sequence (the reconciliation audit a CDC consumer runs
+    * against its source: which offsets never arrived?): island id =
+    * event_id − row_number() per shard (consecutive ids share it —
+    * the classic islands trick, one window pass, no self-join);
+    * emits per shard the row/island counts, the longest contiguous
+    * run, the widest gap, and the id span. A healthy partition has
+    * n_islands = 1; every extra island is a hole the upstream
+    * connector must replay. All exact BIGINTs. */
+  def offsetIslands(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"shard").orderBy($"event_id")
+    val iz = events
+      .select(pmod($"user_id", lit(8L)).as("shard"), $"event_id")
+      .withColumn("isl", $"event_id" - row_number().over(w))
+      .withColumn("gap", $"event_id" - lag($"event_id", 1).over(w) - 1)
+    val runs = iz.groupBy($"shard", $"isl").agg(count(lit(1)).as("run"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_islands"), max($"run").as("longest_run"))
+    iz.groupBy($"shard")
+      .agg(count(lit(1)).as("n_rows"), min($"event_id").as("min_id"),
+        max($"event_id").as("max_id"), max($"gap").as("max_gap"))
+      .join(runs, Seq("shard"))
+      .orderBy($"shard")
+  }
+
   /** Changelog rows typed for the C37 materialized-view path:
     * (user_id, event_id, cents, del) — cents exact, del = tombstone
     * flag, event_id = the commit sequence state applies in. */
@@ -586,6 +612,7 @@ object Cdc {
       parseEnvelope(toEnvelopes(e)).orderBy(col("event_id"))),
     "cdc_late_audit" -> onEvents(lateAudit),
     "cdc_watermark_plan" -> onEvents(e => watermarkPlan(e)),
+    "cdc_offset_islands" -> onEvents(offsetIslands),
     "cdc_incr_agg" -> (incrAggEntry(_, _)),
     "cdc_snapshot_diff" -> (snapshotDiffEntry(_, _)))
 
@@ -622,6 +649,30 @@ object Cdc {
         |  count(CASE WHEN prev_max > us THEN 1 END)::BIGINT AS n_late,
         |  max(CASE WHEN prev_max > us THEN prev_max - us END) AS max_late_us
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // C40 twin: the same event_id − row_number() islands trick
+    "cdc_offset_islands" ->
+      """WITH t AS (
+        |  SELECT user_id % 8 AS shard, event_id FROM events),
+        |iz AS (
+        |  SELECT shard, event_id,
+        |    event_id - row_number() OVER (PARTITION BY shard
+        |      ORDER BY event_id) AS isl,
+        |    event_id - lag(event_id) OVER (PARTITION BY shard
+        |      ORDER BY event_id) - 1 AS gap
+        |  FROM t),
+        |runs AS (
+        |  SELECT shard, isl, count(*)::BIGINT AS run FROM iz
+        |  GROUP BY 1, 2),
+        |ra AS (
+        |  SELECT shard, count(*)::BIGINT AS n_islands,
+        |    max(run) AS longest_run
+        |  FROM runs GROUP BY 1)
+        |SELECT iz.shard, count(*)::BIGINT AS n_rows,
+        |  min(event_id) AS min_id, max(event_id) AS max_id,
+        |  max(gap) AS max_gap, max(ra.n_islands) AS n_islands,
+        |  max(ra.longest_run) AS longest_run
+        |FROM iz JOIN ra ON iz.shard = ra.shard
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-shard running event-time max in arrival order; drop/absorb
     // counts per candidate delay — exact integer µs and ppm
     "cdc_watermark_plan" ->

@@ -576,6 +576,43 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  private val TfCosT = 0.5
+
+  /** D15 TF-COSINE near-dup over the DF-capped vocabulary — the
+    * bag-of-words sibling of D2's set-Jaccard (SpotSigs/related-work
+    * shape: Jaccard ignores how OFTEN terms repeat, cosine weights
+    * it, so template pages with different repetition factors separate
+    * where Jaccard ties): vectors are raw term frequencies over the
+    * DF ≤ cap vocabulary (hot terms are stopwords for near-dup
+    * purposes — dropping them is the same contract as D2's DfCap, and
+    * it is also what BOUNDS the posting-list join: Σ df² with
+    * df ≤ cap, never an all-pairs stage).
+    * Exactness: dot products and norm-squares are BIGINT sums of
+    * integer products (order-free), so the only floats are
+    * sqrt·sqrt·divide on exact integers — bit-identical both engines;
+    * the threshold tests that exact double, output rounds to 6. */
+  def tfCosine(docs: DataFrame, threshold: Double = TfCosT): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tc = docs
+      .select($"doc_id", explode(split(trim($"text"), Ws)).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val rare = tc.groupBy($"term").agg(count(lit(1)).as("df"))
+      .filter($"df" <= DfCap).select($"term")
+    val v = tc.join(rare, Seq("term")).localCheckpoint()
+    val norms = v.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("nsq"))
+    v.as("a").join(v.as("b"), Seq("term"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(sum($"a.tf" * $"b.tf").as("dot"))
+      .join(norms.select($"doc_id".as("doc_a"), $"nsq".as("na")), Seq("doc_a"))
+      .join(norms.select($"doc_id".as("doc_b"), $"nsq".as("nb")), Seq("doc_b"))
+      .withColumn("cosx", $"dot".cast("double") /
+        (sqrt($"na".cast("double")) * sqrt($"nb".cast("double"))))
+      .filter($"cosx" >= threshold)
+      .select($"doc_a", $"doc_b", $"dot", round($"cosx", 6).as("cos"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   private val BloomM = 1 << 18 // bits (32 KB of words)
   private val BloomK = 4       // probes per key
 
@@ -714,6 +751,7 @@ object Dedup {
       d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))),
     "dedup_bloom" -> onDocs(d => decontaminateBloom(
       d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0))),
+    "dedup_tf_cosine" -> onDocs(d => tfCosine(d)),
     "dedup_lines" -> onDocs(d => lineDedup(chunkedPages(d))),
     "dedup_containment" -> onDocs(d => ngramContainment(d)),
     // D13 synthetic crawl frame: five URL spellings per page (case,
@@ -938,6 +976,35 @@ object Dedup {
         |  coalesce(re.text_clean, '') AS text_clean
         |FROM tot t LEFT JOIN re USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // D15 twin: BIGINT dot/norm sums over the same DF-capped
+    // vocabulary; sqrt·sqrt·divide on exact integers both engines
+    "dedup_tf_cosine" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+'))
+         |    AS term
+         |  FROM documents),
+         |tc AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+         |  GROUP BY 1, 2),
+         |rare AS (SELECT term FROM tc GROUP BY term
+         |         HAVING count(*) <= $DfCap),
+         |v AS (SELECT tc.* FROM tc JOIN rare USING (term)),
+         |norms AS (SELECT doc_id, sum(tf * tf)::BIGINT AS nsq FROM v
+         |          GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    sum(a.tf * b.tf)::BIGINT AS dot
+         |  FROM v a JOIN v b USING (term)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, dot,
+         |  round(dot::DOUBLE / (sqrt(na.nsq::DOUBLE) * sqrt(nb.nsq::DOUBLE)),
+         |    6) AS cos
+         |FROM dots
+         |JOIN norms na ON doc_a = na.doc_id
+         |JOIN norms nb ON doc_b = nb.doc_id
+         |WHERE dot::DOUBLE / (sqrt(na.nsq::DOUBLE) * sqrt(nb.nsq::DOUBLE))
+         |  >= $TfCosT
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_decontam" -> decontamOracleSql,
     // D14: the Bloom prefilter is output-invariant (false positives
     // die in the exact verify join, false negatives are impossible),

@@ -648,8 +648,38 @@ object Relational {
       .orderBy($"cohort")
   }
 
+  /** A35 WEIGHTED median per group (numpy `weighted quantile` /
+    * wquantiles twin — "the price at which half the shipped QUANTITY
+    * sits below"): type-1 lower weighted median = the smallest value
+    * whose cumulative weight reaches half the total, selected by the
+    * INTEGER predicate 2·cumw ≥ W — no division, no interpolation,
+    * no engine tie ambiguity. Shape: one hash aggregate collapses
+    * duplicate values (corpus-sized → distinct-value-sized), then a
+    * keyed cumulative window over values and a min — the A29
+    * cumulative-histogram pattern with weights. */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"cents")
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag")
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag",
+        round($"l_extendedprice" * 100).cast("long").as("cents"),
+        $"l_quantity".cast("long").as("w"))
+      .groupBy($"l_returnflag", $"cents").agg(sum($"w").as("w"))
+      .withColumn("cumw", sum($"w").over(win))
+      .withColumn("wtot", sum($"w").over(tot))
+      .filter($"cumw" * 2 >= $"wtot")
+      .groupBy($"l_returnflag")
+      .agg(max($"wtot").as("total_weight"),
+        min($"cents").as("wmedian_cents"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gini" -> giniImpurity,
+    "q_weighted_median" -> weightedMedian,
     "q_mode" -> modePerGroup,
     "q_argmax" -> argExtremes,
     "q_quantiles" -> quantiles,
@@ -690,6 +720,24 @@ object Relational {
     // one double product + ceil in both engines
     // A33 twin: struct-max on (count, -qty) = max count, smallest
     // value — the same tie rule Spark's max(struct(c, -qty)) applies
+    // A35 twin: same cumulative-weight histogram, same integer
+    // 2·cumw ≥ W selector
+    "q_weighted_median" ->
+      """WITH pts AS (
+        |  SELECT l_returnflag,
+        |    round(l_extendedprice * 100)::BIGINT AS cents,
+        |    sum(l_quantity::BIGINT)::BIGINT AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, cents,
+        |    (sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents))::BIGINT
+        |      AS cumw,
+        |    (sum(w) OVER (PARTITION BY l_returnflag))::BIGINT AS wtot
+        |  FROM pts)
+        |SELECT l_returnflag, max(wtot) AS total_weight,
+        |  min(cents) AS wmedian_cents
+        |FROM cum WHERE cumw * 2 >= wtot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // A34 twin: exact BIGINT numerator n² − Σc², one final division
     "q_gini" ->
       """WITH h AS (

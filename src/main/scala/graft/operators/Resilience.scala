@@ -418,6 +418,45 @@ object Resilience {
   def theilSen(s: SparkSession, dir: String): DataFrame =
     theilSenOn(series(s, dir))
 
+  /** B29 CROSS-correlation function between two daily series at lags
+    * 0..`maxLag` — the lead/lag detector B26's AUTOcorrelation can't
+    * see (does `click` activity lead `view` activity by k days?):
+    * ccf(k) = corr(x_t, y_{t+k}) over the days where both series
+    * observe (inner join on the shifted grid — missing days drop the
+    * pair, the pandas `.corr()` pairwise-complete rule). All five
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    * BIGINTs over event counts; the correlation is the q_corr closed
+    * form — integer numerator n·Σxy − Σx·Σy and variance numerators,
+    * then sqrt·sqrt·divide as the only float ops, identical order
+    * both engines. One aggregate per lag over a lag-exploded join —
+    * |lags| × grid-sized frames, never event-row-sized. */
+  def crossCorr(s: SparkSession, dir: String, xType: String = "click",
+      yType: String = "view", maxLag: Int = 3): DataFrame = {
+    import s.implicits._
+    val d = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val x = d.filter($"event_type" === xType)
+      .select($"day", $"cnt".as("x"))
+      .select($"x", explode(sequence(lit(0), lit(maxLag))).as("lag"),
+        $"day")
+    val y = d.filter($"event_type" === yType)
+      .select($"day".as("yday"), $"cnt".as("y"))
+    x.join(y, date_add($"day", $"lag".cast("int")) === $"yday")
+      .groupBy($"lag".cast("long").as("lag"))
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"),
+        sum($"y" * $"y").as("syy"))
+      .withColumn("num", $"n" * $"sxy" - $"sx" * $"sy")
+      .withColumn("dxn", $"n" * $"sxx" - $"sx" * $"sx")
+      .withColumn("dyn", $"n" * $"syy" - $"sy" * $"sy")
+      .withColumn("ccf", when($"dxn" > 0 && $"dyn" > 0,
+        $"num".cast("double") / (sqrt($"dxn".cast("double")) *
+          sqrt($"dyn".cast("double")))))
+      .select($"lag", $"n", $"num", $"dxn", $"dyn", $"ccf")
+      .orderBy($"lag")
+  }
+
   /** Daily event counts per event type — the weekly-seasonal test
     * corpus series for B20/B21 (events span 30 days; counts are
     * exact BIGINTs, so every derived double is bit-deterministic).
@@ -969,6 +1008,7 @@ object Resilience {
     "q_holt_forecast" -> holtForecast,
     "q_kalman" -> kalmanForecast,
     "q_theilsen" -> theilSen,
+    "q_crosscorr" -> ((s, dir) => crossCorr(s, dir)),
     "q_seasonal_decompose" -> seasonalDecompose,
     "q_hw_forecast" -> holtWinters,
     "q_anomaly" -> ((s, dir) => anomalies(Tables.events(s, dir))),
@@ -1312,6 +1352,28 @@ object Resilience {
          |FROM hw JOIN n ON hw.n_name = n.n_name AND hw.t = n.n_periods
          |WHERE n.n_periods >= 2
          |ORDER BY hw.n_name""".stripMargin,
+    // B29 twin: exact BIGINT sufficient statistics per lag over the
+    // shifted-grid inner join; sqrt·sqrt·divide is the only float
+    "q_crosscorr" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |x AS (SELECT day, y AS x, unnest([0, 1, 2, 3]) AS lag
+         |      FROM d WHERE event_type = 'click'),
+         |yy AS (SELECT day AS yday, y FROM d WHERE event_type = 'view'),
+         |j AS (SELECT x.lag, x.x, yy.y
+         |      FROM x JOIN yy ON x.day + x.lag = yy.yday),
+         |a AS (
+         |  SELECT lag::BIGINT AS lag, count(*)::BIGINT AS n,
+         |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+         |    sum(y * y)::BIGINT AS syy
+         |  FROM j GROUP BY 1)
+         |SELECT lag, n, n * sxy - sx * sy AS num,
+         |  n * sxx - sx * sx AS dxn, n * syy - sy * sy AS dyn,
+         |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         |    (n * sxy - sx * sy)::DOUBLE /
+         |      (sqrt((n * sxx - sx * sx)::DOUBLE) *
+         |       sqrt((n * syy - sy * sy)::DOUBLE)) END AS ccf
+         |FROM a ORDER BY lag""".stripMargin,
     // pairwise-slope twin: each slope/residual is the identical
     // one-division / one-multiply-subtract IEEE op on exact BIGINTs;
     // the type-1 lower median INDEXES the sorted list, so both

@@ -938,7 +938,14 @@ object Similarity {
       .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
       .select($"q_id", $"t.id".as("doc_id"),
         ($"pos" + 1).cast("long").as("v_rank"))
-    val sh = Dedup.distinctShingleArr(docs)
+    // ONE shingle computation, materialized: both arms (query set +
+    // corpus postings) read the checkpointed frame. Without this the
+    // optimizer collapses the expensive shingle HOF INTO each
+    // consumer's Generate node — the explode then re-derives every
+    // array outside codegen (measured 27 s → 0.3 s at sf0.1), and
+    // the corpus would be shingled twice besides (the minhashLsh
+    // round-5 lesson).
+    val sh = Dedup.distinctShingleArr(docs).localCheckpoint()
     val qex = sh.filter($"doc_id" < NumQueries)
       .select($"doc_id".as("q_id"), size($"sh").cast("long").as("qsz"),
         explode($"sh").as("shingle"))

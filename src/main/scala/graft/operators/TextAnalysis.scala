@@ -504,6 +504,35 @@ object TextAnalysis {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** F18 character-entropy quality signal (the Shannon-entropy
+    * gibberish/compression detector every corpus quality gate pairs
+    * with F12's repetition ratios: base64 blobs and key-mash score
+    * HIGH, single-char runs score 0): H = −Σ pᵢ·ln pᵢ over the
+    * document's character distribution.
+    * Determinism: per-char contributions fold in SORTED CHARACTER
+    * ORDER with a 0-init left fold (0+x₁ = x₁ bitwise, so Spark's
+    * 0D-init `aggregate` equals DuckDB's first-element-init
+    * `list_reduce` — the F16 precedent); ln is the one
+    * library-dependent op, so the result rounds to 4 decimals like
+    * F15/F16. Two hash aggregates; per-doc state is the distinct-char
+    * histogram (alphabet-bounded, not length-bounded). */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", explode(split($"text", "")).as("ch"))
+      .filter($"ch" =!= "")
+      .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_chars"), count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(struct($"ch", $"c"))).as("cs"))
+      .withColumn("entropy", round(expr(
+        """aggregate(transform(cs, x ->
+          |    - ((cast(x.c as double) / cast(n_chars as double))
+          |      * ln(cast(x.c as double) / cast(n_chars as double)))),
+          |  0D, (acc, x) -> acc + x)""".stripMargin), 4))
+      .select($"doc_id", $"n_chars", $"n_distinct", $"entropy")
+      .orderBy($"doc_id")
+  }
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
@@ -514,6 +543,7 @@ object TextAnalysis {
     "text_bm25" -> onDocs(d => bm25(d)),
     "text_lm_score" -> onDocs(lmScore),
     "text_chunk" -> onDocs(d => chunk(d)),
+    "text_entropy" -> onDocs(charEntropy),
     "text_tokens" -> onDocs(tokenCounts),
     "text_quality" -> onDocs(quality),
     "text_langid" -> onDocs(langId),
@@ -725,6 +755,32 @@ object TextAnalysis {
          |  FROM parts GROUP BY 1)
          |SELECT doc_id, round(raw, 4) AS score, n_terms_hit
          |FROM agg ORDER BY round(raw, 4) DESC, doc_id LIMIT 10""".stripMargin,
+    // F18 twin: same per-char contribs folded in sorted char order;
+    // list_reduce's first-element init == Spark's 0-init (0+x₁ = x₁)
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |cc AS (
+        |  SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch
+        |  WHERE ch <> '' GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_chars,
+        |    count(*)::BIGINT AS n_distinct
+        |  FROM cc GROUP BY 1),
+        |parts AS (
+        |  SELECT cc.doc_id, cc.ch,
+        |    - ((cc.c::DOUBLE / t.n_chars::DOUBLE)
+        |      * ln(cc.c::DOUBLE / t.n_chars::DOUBLE)) AS contrib
+        |  FROM cc JOIN tot t USING (doc_id)),
+        |agg AS (
+        |  SELECT doc_id,
+        |    list_reduce(list(contrib ORDER BY ch), (acc, x) -> acc + x)
+        |      AS ent
+        |  FROM parts GROUP BY 1)
+        |SELECT t.doc_id, t.n_chars, t.n_distinct, round(agg.ent, 4)
+        |  AS entropy
+        |FROM tot t JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // F17 twin: same integer offset math (// = Spark's div), list
     // slice with inclusive 1-based ends, space re-join
     "text_chunk" ->

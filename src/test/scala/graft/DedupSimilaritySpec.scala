@@ -156,6 +156,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("D15 tf-cosine separates repetition factors where set-jaccard ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common rare rare"),
+      (2L, "common rare"),
+      (3L, "totally different words here"),
+      (4L, "alpha beta"),
+      (5L, "alpha alpha alpha alpha beta")) // same SET as 4, diff tf
+      .toDF("doc_id", "text")
+    val out = Dedup.tfCosine(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // (1,2): dot = 1·1 + 2·1 = 3, norms √5·√2 → 3/√10
+    val c12 = 3.0 / (math.sqrt(5.0) * math.sqrt(2.0))
+    assert(out.contains((1L, 2L)) &&
+      out((1L, 2L)) == ((3L, math.rint(c12 * 1e6) / 1e6)), s"got ${out.get((1L, 2L))}")
+    // (4,5): identical term SET (jaccard would say 1.0) but cosine
+    // 5/(√2·√17) ≈ 0.857 — repetition factor separates them
+    val c45 = 5.0 / (math.sqrt(2.0) * math.sqrt(17.0))
+    assert(out((4L, 5L))._2 == math.rint(c45 * 1e6) / 1e6, s"got ${out((4L, 5L))}")
+    assert(!out.keys.exists { case (a, b) => a == 3L || b == 3L },
+      "no shared terms → no pair")
+  }
+
+  test("F18 char entropy: zero for runs, ln 2 for a balanced pair") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "aabb"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((4L, 1L, 0.0)), s"single-char run: ${got(1L)}")
+    val ln2r = math.rint(math.log(2.0) * 1e4) / 1e4
+    assert(got(2L) == ((2L, 2L, ln2r)), s"balanced pair: ${got(2L)}")
+    assert(got(3L)._3 == ln2r, "entropy depends on distribution, not length")
+  }
+
   test("simhash: near-identical docs collide at small hamming distance") {
     val nearDup = pairSet(Dedup.ngramJaccard(Tables.documents(spark, sf))
       .filter(col("jaccard") >= 0.95))

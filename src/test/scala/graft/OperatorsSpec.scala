@@ -393,6 +393,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L)), s"constant series: ${got(2L)}")
   }
 
+  test("B29 cross-correlation: perfect 1-day lead gives ccf exactly 1.0") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf(f"2020-01-$day%02d").getTime + 3600000L)
+    // clicks day1×1, day2×4; views day2×3, day3×6: lag-1 pairs
+    // (1,3),(4,6) have dxn=dyn=num=9 → ccf = 9/(3·3) = 1.0 EXACTLY
+    // (dxn a perfect square so sqrt is exact); lag-0/2 have n=1 → null
+    val rows =
+      Seq.fill(1)(("click", 1)) ++ Seq.fill(4)(("click", 2)) ++
+      Seq.fill(3)(("view", 2)) ++ Seq.fill(6)(("view", 3))
+    val df = rows.zipWithIndex.map { case ((et, d), i) =>
+      (i.toLong, t(d), 1L, et, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("ccf").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Resilience.crossCorr(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(5)) Double.NaN else r.getDouble(5))))
+      .toMap
+    assert(got(1L) == ((2L, 1.0)), s"lag 1 must be exactly 1.0: ${got(1L)}")
+    assert(got(0L)._2.isNaN && got(2L)._2.isNaN,
+      s"degenerate lags must be null: $got")
+  }
+
+  test("A35 weighted median: weight mass picks the value, lower-median ties") {
+    import spark.implicits._
+    val rows = Seq(
+      ("A", 1.00, 1L), ("A", 2.00, 2L), ("A", 3.00, 100L), // mass at 3.00
+      ("B", 1.00, 5L), ("B", 2.00, 5L))                    // tie → lower
+    val df = rows.toDF("l_returnflag", "l_extendedprice", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("wmed").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Relational.weightedMedian(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got("A") == ((103L, 300L)), s"mass: ${got("A")}")
+    assert(got("B") == ((10L, 100L)), s"lower-median tie: ${got("B")}")
+  }
+
+  test("C40 offset islands: holes split islands, gaps and runs measured") {
+    import spark.implicits._
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    // user 8 → shard 0: ids 1,2,3 | 7,8 | 100 → 3 islands,
+    // longest run 3, widest gap 100−8−1 = 91
+    val df = Seq(1L, 2L, 3L, 7L, 8L, 100L)
+      .map(e => (e, t(e * 1000), 8L, "x", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Cdc.offsetIslands(df).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) == ((6L, 1L, 100L, 91L, 3L, 3L)),
+      s"got ${r.mkString(",")}")
+  }
+
   test("A34 gini impurity: pure cohort 0, balanced pair 1/2, exact numerator") {
     import spark.implicits._
     def t(us: Long) = new java.sql.Timestamp(us / 1000)
