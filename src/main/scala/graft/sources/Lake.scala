@@ -239,6 +239,103 @@ object Lake {
       }
       doomed.foreach(rel => f.delete(p(s"$dir/$rel"), false))
     }
+
+    // ---- H19: per-file min/max stats + data skipping ---------------
+
+    /** H19 publish with PER-FILE MIN/MAX column statistics — the
+      * Delta/Iceberg data-skipping shape on this manifest format:
+      * the frame is range-clustered on `statsCol` before the write
+      * (skipping is only as good as the clustering — the H14 z-order
+      * lesson in one dimension), then each fresh file's (min, max)
+      * of `statsCol` is recorded in a `vNNN.stats` sidecar next to
+      * the manifest. Stats are computed with ONE distributed pass
+      * over the fresh files only (grouped by `input_file_name()` —
+      * file-count-sized driver state); predecessor versions keep
+      * their own sidecars, so stats accrete append-by-append like
+      * the manifests themselves. `statsCol` must be integral
+      * (BIGINT-comparable) — the cents/id/timestamp-µs columns a
+      * range predicate actually hits. */
+    def publishAppendStats(df: DataFrame, dir: String, statsCol: String,
+        buckets: Int = 8): Long = {
+      val spark = df.sparkSession
+      import org.apache.spark.sql.functions._
+      val v = publishAppend(
+        df.repartitionByRange(buckets, df.col(statsCol)), dir)
+      val sub = f"data/v$v%08d"
+      val stats = spark.read.parquet(s"$dir/$sub")
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(statsCol).cast("long")).as("mn"),
+          max(col(statsCol).cast("long")).as("mx"))
+        .collect()
+        .map { r =>
+          val rel = r.getString(0).split("/data/", 2) match {
+            case Array(_, rest) => s"data/$rest"
+            case _ => r.getString(0)
+          }
+          s"$rel\t${r.getLong(1)}\t${r.getLong(2)}"
+        }
+      writeFile(spark, f"$dir/_manifests/v$v%08d.stats",
+        stats.sorted.mkString("\n"))
+      v
+    }
+
+    /** All recorded per-file stats visible from the CURRENT version:
+      * rel path → (min, max). Files with no recorded stats are simply
+      * absent (readers must keep them — skipping is an optimization,
+      * never a filter). */
+    private def fileStats(spark: SparkSession,
+        dir: String): Map[String, (Long, Long)] = {
+      val f = fs(spark)
+      val sdir = p(s"$dir/_manifests")
+      if (!f.exists(sdir)) return Map.empty
+      f.listStatus(sdir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".stats"))
+        .flatMap { sp =>
+          val in = f.open(sp)
+          try scala.io.Source.fromInputStream(in).getLines()
+            .filter(_.nonEmpty).map { l =>
+              val Array(rel, mn, mx) = l.split("\t")
+              rel -> ((mn.toLong, mx.toLong))
+            }.toList
+          finally in.close()
+        }.toMap
+    }
+
+    /** The skipping decision, exposed for metrics/specs: of the
+      * current manifest's files, which survive the [lo, hi] range
+      * predicate on the stats column? Returns (kept, total). A file
+      * without stats is kept unconditionally. */
+    def pruneFiles(spark: SparkSession, dir: String, lo: Long,
+        hi: Long): (Seq[String], Int) = {
+      val all = manifestFiles(spark, dir, currentVersion(spark, dir))
+      val stats = fileStats(spark, dir)
+      val kept = all.filter { abs =>
+        stats.get(abs.stripPrefix(s"$dir/")) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+      (kept, all.size)
+    }
+
+    /** H19 stats-pruned range read: list only the files whose
+      * recorded [min, max] intersects [lo, hi], scan those, and apply
+      * the exact predicate on top (stats prune FILES; the filter
+      * still owns row-level truth — pruning can never change the
+      * answer, only the bytes read). At 100 TB this is the difference
+      * between listing a manifest and scanning a table: the skipping
+      * decision costs file-count work on the driver, zero executor
+      * time. */
+    def readPrunedRange(spark: SparkSession, dir: String,
+        statsCol: String, lo: Long, hi: Long): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val (kept, _) = pruneFiles(spark, dir, lo, hi)
+      require(kept.nonEmpty,
+        s"no file under $dir intersects [$lo, $hi] — read the " +
+          "published view and filter if an empty frame is acceptable")
+      spark.read.parquet(kept: _*)
+        .filter(col(statsCol).cast("long").between(lo, hi))
+    }
   }
 
   /** Read a parquet dataset whose files were written across schema

@@ -98,6 +98,63 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(clusters.map(_._2).distinct.length <= n)
   }
 
+  test("incremental MV merge at 8M-key base: delta-sized cost, recompute parity") {
+    import spark.implicits._
+    import graft.operators.Cdc
+    // 8M keys in the base changelog, then a ~10^3-key delta touching
+    // upserts + tombstones + inserts. The merge must (a) equal the
+    // full recompute exactly and (b) cost like the DELTA: its
+    // wall-clock must beat re-aggregating base+delta from scratch
+    // once the base key-state and aggregate are materialized (the
+    // C37 run-cost contract at scale).
+    val nBase = 8000000L
+    val base = spark.range(nBase).select($"id".as("user_id"),
+      $"id".as("event_id"), ($"id" % 10000L * 7L).as("cents"),
+      ($"id" % 97L === 0L).cast("int").as("del"))
+    val delta = spark.range(1000L).select(
+      ($"id" * 8000L).as("user_id"),            // spread over base keys
+      ($"id" + nBase).as("event_id"),
+      ($"id" * 13L % 10000L).as("cents"),
+      ($"id" % 5L === 0L).cast("int").as("del")) // some tombstones
+      .union(spark.range(500L).select(          // brand-new keys
+        ($"id" + nBase * 2L).as("user_id"), ($"id" + nBase + 10000L).as("event_id"),
+        lit(4200L).as("cents"), lit(0).as("del")))
+    // both contenders read from DISK, as deployed: the incremental
+    // path owns a materialized state/agg table, the recompute owns
+    // the raw changelog — neither side gets to re-generate its input
+    // for free from an in-memory range
+    val dir = java.nio.file.Files.createTempDirectory("mv_stress").toString
+    base.write.parquet(s"$dir/changelog")
+    Cdc.keyState(base).write.parquet(s"$dir/state")
+    Cdc.cohortAgg(Cdc.keyState(base)).write.parquet(s"$dir/agg")
+    val bState = spark.read.parquet(s"$dir/state")
+    val bAgg = spark.read.parquet(s"$dir/agg")
+    val changelog = spark.read.parquet(s"$dir/changelog")
+    // best-of-2 per path (the Bench protocol): the first run of
+    // either pays file-listing + codegen first-touch costs that
+    // would otherwise be attributed to whichever path runs first
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      val t1 = (System.nanoTime() - t0) / 1e9
+      val t2 = System.nanoTime(); f
+      (r, math.min(t1, (System.nanoTime() - t2) / 1e9))
+    }
+    val (merged, tMerge) = timed {
+      Cdc.incrAggMerge(bState, bAgg, delta).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    val (full, tFull) = timed {
+      Cdc.cohortAgg(Cdc.keyState(changelog.union(delta))).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    }
+    assert(merged == full, "merge must equal the full recompute")
+    assert(merged.size == 100, s"all cohorts live: ${merged.size}")
+    // delta-sized vs corpus-sized: generous 0.9x bar to stay
+    // noise-proof on a busy host; typical ratio is far lower
+    assert(tMerge < tFull * 0.9,
+      f"merge $tMerge%.2fs must beat recompute $tFull%.2fs")
+  }
+
   test("keyed range join handles 10^6 intervals with zero driver materialization") {
     import spark.implicits._
     // 100k keys × 10 intervals each = 10^6 intervals — far past the

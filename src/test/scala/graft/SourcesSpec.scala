@@ -436,6 +436,38 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("H19 stats sidecar skips files; pruning never changes the answer") {
+    import spark.implicits._
+    import graft.sources.Lake.Manifest
+    val dir = Files.createTempDirectory("graft_stats").toString
+    // 800 cents values range-clustered into 8 files → each covers
+    // ~100; a narrow predicate must touch few files
+    val v1 = Manifest.publishAppendStats(
+      (0L until 800L).map(c => (c, s"k$c")).toDF("cents", "k"), dir, "cents")
+    assert(v1 == 1L)
+    val (kept1, tot1) = Manifest.pruneFiles(spark, dir, 150L, 249L)
+    assert(tot1 >= 8, s"expected >= 8 clustered files, got $tot1")
+    assert(kept1.size < tot1 && kept1.size <= 3,
+      s"narrow range must skip most files: ${kept1.size} of $tot1")
+    // correctness: pruned read == full read + filter, exactly
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.select("cents").collect().map(_.getLong(0)).toSet
+    val pruned = vals(Manifest.readPrunedRange(spark, dir, "cents", 150L, 249L))
+    assert(pruned == (150L to 249L).toSet, s"pruned read wrong: ${pruned.size}")
+    // a second append accretes stats; old + new files both skippable
+    Manifest.publishAppendStats(
+      (1000L until 1800L).map(c => (c, s"k$c")).toDF("cents", "k"), dir, "cents")
+    val (kept2, tot2) = Manifest.pruneFiles(spark, dir, 1050L, 1149L)
+    assert(kept2.size < tot2 && kept2.size <= 3,
+      s"second-version range must skip v1 files entirely: ${kept2.size}/$tot2")
+    assert(vals(Manifest.readPrunedRange(spark, dir, "cents", 1050L, 1149L))
+      == (1050L until 1150L).toSet)
+    // disjoint range refuses (no silent empty scan)
+    intercept[IllegalArgumentException] {
+      Manifest.readPrunedRange(spark, dir, "cents", 5000L, 6000L)
+    }
+  }
+
   test("H17 manifest publish: orphans invisible, crashes leave the old version, time travel") {
     import spark.implicits._
     import graft.sources.Lake.Manifest
