@@ -203,29 +203,14 @@ object Multimodal {
   def sniffHeaders(assets: DataFrame): DataFrame = {
     import assets.sparkSession.implicits._
     val h = upper(hex(substring($"payload", 1, 32)))
-    // JPEG SOF walk needs more header: APPn/COM segments precede the
-    // SOF marker, so hop the segment chain over the first 4 KB
-    val hj = upper(hex(substring($"payload", 1, 4096)))
-    def be16(off: Column): Column = // 1-based byte offset → u16 BE
-      conv(hj.substr(off * 2 - 1, lit(4)), 16, 10).cast("long")
-    def byteHex(off: Column): Column = hj.substr(off * 2 - 1, lit(2))
-    // SOF0-15 minus DHT(C4)/JPG(C8)/DAC(CC): frame headers carrying
-    // precision(1) height(2) width(2) after the 2-byte length
-    val sofMarkers = Seq("C0", "C1", "C2", "C3", "C5", "C6", "C7",
-      "C9", "CA", "CB", "CD", "CE", "CF")
-    // unrolled segment-chain walk: marker i at `seg` (FF xx), next at
-    // seg + 2 + len. 8 hops cover SOI + APP0/APP1(EXIF)/quant tables
-    // before any real-world SOF; all still one codegen'd projection.
-    var seg: Column = lit(3L) // first marker after SOI (bytes 1-2)
-    val sofDims = (0 until 8).map { _ =>
-      val valid = byteHex(seg) === "FF"
-      val isSof = valid && byteHex(seg + 1).isin(sofMarkers: _*)
-      val dims = (when(isSof, be16(seg + 7)), when(isSof, be16(seg + 5)))
-      seg = seg + 2 + be16(seg + 2)
-      dims
-    }
-    val jpegW = coalesce(sofDims.map(_._1): _*)
-    val jpegH = coalesce(sofDims.map(_._2): _*)
+    // JPEG SOF walk (APPn/COM segments precede the SOF marker at
+    // variable offsets over the first 4 KB): one codegen'd loop
+    // expression — the unrolled column form nested each hop's offset
+    // arithmetic twice per hop (~2⁸ subtree copies) and fell out of
+    // whole-stage codegen; see graft.functions.JpegSofDims
+    val sof = graft.functions.JpegSofDims.dims($"payload")
+    val jpegW = shiftright(sof, 32)
+    val jpegH = sof.bitwiseAND(lit(0xFFFFFFFFL))
     def beField(hexPos: Int, nibbles: Int) =
       conv(substring(h, hexPos, nibbles), 16, 10).cast("long")
     val isPng = substring(h, 1, 16) === "89504E470D0A1A0A"
