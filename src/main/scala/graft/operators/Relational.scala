@@ -677,7 +677,121 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** A36 chi-square test of independence over the priority × status
+    * contingency table (scipy `chi2_contingency` twin — the
+    * label-vs-split drift check a corpus monitor runs): observed cell
+    * counts, marginals and N are exact BIGINT; expected = rt·ct/N is
+    * ONE integer product + ONE divide, and each cell's (O−E)²/E is
+    * the identical IEEE sequence in both engines. The statistic sums
+    * the 15-ish cell contributions through an ORDERED fold
+    * (sort_array → `aggregate` HOF, the B18 forecast precedent) so
+    * the float accumulation order is pinned, not left to the hash
+    * aggregate. Shape: one cell aggregate (corpus → cells), three
+    * windows over the CELL frame (cells ≈ |priority|·|status| rows,
+    * never the corpus), one single-row fold broadcast back. */
+  def chiSquare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.orders(s, dir)
+      .groupBy($"o_orderpriority".as("priority"),
+        $"o_orderstatus".as("status"))
+      .agg(count(lit(1)).as("obs"))
+    val t = cells
+      .withColumn("row_total", sum($"obs").over(Window.partitionBy($"priority")))
+      .withColumn("col_total", sum($"obs").over(Window.partitionBy($"status")))
+      .withColumn("n", sum($"obs").over(Window.partitionBy()))
+    val e = ($"row_total" * $"col_total").cast("double") / $"n".cast("double")
+    val c2 = t.select($"priority", $"status", $"obs", $"row_total",
+      $"col_total", e.as("expected"),
+      (($"obs".cast("double") - e) * ($"obs".cast("double") - e) / e)
+        .as("chi_cell"))
+    val tot = c2.agg(
+      aggregate(sort_array(collect_list(struct($"priority", $"status",
+          $"chi_cell"))), lit(0.0), (acc, x) => acc + x("chi_cell")).as("chi2"),
+      ((countDistinct($"priority") - 1) * (countDistinct($"status") - 1))
+        .as("dof"))
+    c2.crossJoin(tot).orderBy($"priority", $"status")
+  }
+
+  /** A37 median absolute deviation per group (pandas/statsmodels
+    * `mad` with interpolated medians — the robust spread estimate
+    * quality-pruning thresholds come from): BOTH medians run the A32
+    * cumulative-histogram interpolation, but entirely in INTEGERS by
+    * carrying doubled units — an interpolated median of BIGINTs is
+    * (lo + hi·[rem≠0])/2, so med2 = 2·median stays BIGINT, the
+    * deviation |2·cents − med2| stays BIGINT, and 2·median(dev) stays
+    * BIGINT; the only doubles are the two final dyadic divisions
+    * (exact in IEEE). No approx_percentile, no engine interpolation
+    * rule in play anywhere. Shape: two cumulative-histogram passes
+    * (distinct-value-sized windows) + one broadcast-back join of the
+    * per-group median. */
+  def madPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // doubled interpolated median of an integer column, per group:
+    // returns (group, n, m2 = 2·median) — rem ∈ {0, 50} only
+    def med2Of(pts: DataFrame, group: String, v: String): DataFrame = {
+      val counts = pts.groupBy(col(group), col(v)).agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col(group)).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(Window.partitionBy(col(group))))
+      cum.groupBy(col(group))
+        .agg(max($"n").as("n"),
+          min(when($"cum" >= expr("((n - 1) * 50) div 100") + 1, col(v)))
+            .as("lo"),
+          min(when($"cum" >= least(expr("((n - 1) * 50) div 100") + 2, $"n"),
+            col(v))).as("hi"))
+        .select(col(group), $"n",
+          ($"lo" + when(expr("((n - 1) * 50) % 100") === 0, $"lo")
+            .otherwise($"hi")).as("m2"))
+    }
+    val pts = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("priority"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val med = med2Of(pts, "priority", "cents")
+      .select($"priority", $"n", $"m2".as("med2"))
+    val dev = pts.join(broadcast(med), Seq("priority"))
+      .select($"priority", abs($"cents" * 2 - $"med2").as("dev2"))
+    val mad = med2Of(dev, "priority", "dev2")
+      .select($"priority", $"m2".as("mad4"))
+    med.join(mad, Seq("priority"))
+      .select($"priority", $"n",
+        ($"med2".cast("double") / 2.0).as("median_c"),
+        ($"mad4".cast("double") / 4.0).as("mad_c"))
+      .orderBy($"priority")
+  }
+
+  /** A38 Benford first-digit profile (the fraud/synthetic-data smell
+    * test an ingest monitor runs on money columns): leading digit via
+    * STRING head of the exact BIGINT cents — no log10-of-value
+    * boundary risk at powers of ten — against the Benford expectation
+    * log₁₀(1+1/d). Observed frequency is integer ppm (n·10⁶ div N);
+    * the expectation is the one rounded double, far from every .5
+    * boundary for d ∈ 1..9. One corpus aggregate to 9 rows, then
+    * column math. */
+  def benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.lineitem(s, dir)
+      .select(round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .filter($"cents" > 0)
+      .select(substring($"cents".cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+    h.select($"digit", $"n",
+        expr("n * 1000000 div total").as("freq_ppm"),
+        round(log10(lit(1.0) + lit(1.0) / $"digit".cast("double")) * 1e6)
+          .cast("long").as("benford_ppm"))
+      .withColumn("dev_ppm", $"freq_ppm" - $"benford_ppm")
+      .orderBy($"digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chisq" -> chiSquare,
+    "q_mad" -> madPerGroup,
+    "q_benford" -> benford,
     "q_gini" -> giniImpurity,
     "q_weighted_median" -> weightedMedian,
     "q_mode" -> modePerGroup,
@@ -720,6 +834,102 @@ object Relational {
     // one double product + ceil in both engines
     // A33 twin: struct-max on (count, -qty) = max count, smallest
     // value — the same tie rule Spark's max(struct(c, -qty)) applies
+    // A36 twin: same BIGINT marginals, same per-cell IEEE sequence,
+    // same ordered fold (0-seeded list_reduce == 0-seeded aggregate
+    // HOF — 0.0 + x is exact for the non-negative contributions)
+    "q_chisq" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |    count(*)::BIGINT AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (
+        |  SELECT priority, status, obs,
+        |    (sum(obs) OVER (PARTITION BY priority))::BIGINT AS row_total,
+        |    (sum(obs) OVER (PARTITION BY status))::BIGINT AS col_total,
+        |    (sum(obs) OVER ())::BIGINT AS n
+        |  FROM cells),
+        |c2 AS (
+        |  SELECT priority, status, obs, row_total, col_total,
+        |    (row_total * col_total)::DOUBLE / n::DOUBLE AS expected,
+        |    (obs::DOUBLE - (row_total * col_total)::DOUBLE / n::DOUBLE)
+        |      * (obs::DOUBLE - (row_total * col_total)::DOUBLE / n::DOUBLE)
+        |      / ((row_total * col_total)::DOUBLE / n::DOUBLE) AS chi_cell
+        |  FROM t),
+        |tot AS (
+        |  SELECT list_reduce(
+        |      list_prepend(0.0::DOUBLE, list(chi_cell ORDER BY priority, status)),
+        |      (a, b) -> a + b) AS chi2,
+        |    ((count(DISTINCT priority) - 1)
+        |      * (count(DISTINCT status) - 1))::BIGINT AS dof
+        |  FROM c2)
+        |SELECT priority, status, obs, row_total, col_total, expected,
+        |  chi_cell, chi2, dof
+        |FROM c2, tot ORDER BY priority, status""".stripMargin,
+    // A37 twin: both medians through the same doubled-integer
+    // cumulative-histogram interpolation; only the final dyadic
+    // divisions are doubles
+    "q_mad" ->
+      """WITH pts AS (
+        |  SELECT o_orderpriority AS priority,
+        |    round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |c1 AS (
+        |  SELECT priority, cents, count(*) AS c FROM pts GROUP BY 1, 2),
+        |cum1 AS (
+        |  SELECT priority, cents,
+        |    (sum(c) OVER (PARTITION BY priority ORDER BY cents))::BIGINT AS cum,
+        |    (sum(c) OVER (PARTITION BY priority))::BIGINT AS n
+        |  FROM c1),
+        |medA AS (
+        |  SELECT priority, max(n) AS n,
+        |    min(CASE WHEN cum >= ((n-1) * 50) // 100 + 1 THEN cents END) AS lo,
+        |    min(CASE WHEN cum >= least(((n-1) * 50) // 100 + 2, n)
+        |        THEN cents END) AS hi
+        |  FROM cum1 GROUP BY priority),
+        |med AS (
+        |  SELECT priority, n,
+        |    lo + (CASE WHEN ((n-1) * 50) % 100 = 0 THEN lo ELSE hi END) AS med2
+        |  FROM medA),
+        |dev AS (
+        |  SELECT p.priority, abs(p.cents * 2 - m.med2) AS dev2
+        |  FROM pts p JOIN med m ON p.priority = m.priority),
+        |c2 AS (
+        |  SELECT priority, dev2, count(*) AS c FROM dev GROUP BY 1, 2),
+        |cum2 AS (
+        |  SELECT priority, dev2,
+        |    (sum(c) OVER (PARTITION BY priority ORDER BY dev2))::BIGINT AS cum,
+        |    (sum(c) OVER (PARTITION BY priority))::BIGINT AS n
+        |  FROM c2),
+        |madA AS (
+        |  SELECT priority, max(n) AS n,
+        |    min(CASE WHEN cum >= ((n-1) * 50) // 100 + 1 THEN dev2 END) AS lo,
+        |    min(CASE WHEN cum >= least(((n-1) * 50) // 100 + 2, n)
+        |        THEN dev2 END) AS hi
+        |  FROM cum2 GROUP BY priority),
+        |mad AS (
+        |  SELECT priority,
+        |    lo + (CASE WHEN ((n-1) * 50) % 100 = 0 THEN lo ELSE hi END) AS mad4
+        |  FROM madA)
+        |SELECT m.priority, m.n, m.med2::DOUBLE / 2.0 AS median_c,
+        |  d.mad4::DOUBLE / 4.0 AS mad_c
+        |FROM med m JOIN mad d ON m.priority = d.priority
+        |ORDER BY m.priority""".stripMargin,
+    // A38 twin: leading digit via the BIGINT's string head, integer
+    // ppm frequencies, one rounded log10 far from every .5 boundary
+    "q_benford" ->
+      """WITH h AS (
+        |  SELECT substring(round(l_extendedprice * 100)::BIGINT::VARCHAR,
+        |      1, 1)::BIGINT AS digit, count(*)::BIGINT AS n
+        |  FROM lineitem WHERE round(l_extendedprice * 100)::BIGINT > 0
+        |  GROUP BY 1)
+        |SELECT digit, n,
+        |  n * 1000000 // (sum(n) OVER ())::BIGINT AS freq_ppm,
+        |  round(log10(1.0 + 1.0 / digit::DOUBLE) * 1000000)::BIGINT
+        |    AS benford_ppm,
+        |  n * 1000000 // (sum(n) OVER ())::BIGINT
+        |    - round(log10(1.0 + 1.0 / digit::DOUBLE) * 1000000)::BIGINT
+        |    AS dev_ppm
+        |FROM h ORDER BY digit""".stripMargin,
     // A35 twin: same cumulative-weight histogram, same integer
     // 2·cumw ≥ W selector
     "q_weighted_median" ->

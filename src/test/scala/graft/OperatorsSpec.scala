@@ -597,4 +597,66 @@ class OperatorsSpec extends AnyFunSuite {
     val d1 = got.find(_._1 == 1L).get
     assert(d1._3 == 1L && d1._2 < 3 * got.head._2, s"tf must saturate: $d1")
   }
+
+  test("A36 chi-square: crafted 2x2 table gives chi2=20, dof=1, exact cells") {
+    import spark.implicits._
+    // A-X 30, A-Y 10, B-X 10, B-Y 30: all marginals 40, N 80,
+    // every expected cell 20, every |O-E| 10 → chi_cell 5, chi2 20
+    val rows =
+      Seq.fill(30)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++
+      Seq.fill(10)(("B", "X")) ++ Seq.fill(30)(("B", "Y"))
+    val df = rows.zipWithIndex.map { case ((p, st), i) =>
+      (i.toLong, p, st, 1.0) }
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("chisq").toString
+    df.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Relational.chiSquare(spark, dir).collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getDouble(5) == 20.0, s"expected: ${r.mkString(",")}")
+      assert(r.getDouble(6) == 5.0, s"chi_cell: ${r.mkString(",")}")
+      assert(r.getDouble(7) == 20.0 && r.getLong(8) == 1L,
+        s"chi2/dof: ${r.mkString(",")}")
+    }
+  }
+
+  test("A37 MAD: even-count interpolation and odd-count exact, both dyadic") {
+    import spark.implicits._
+    // A: cents 100,200,300,400 → median 250, deviations
+    // 150,50,50,150 → MAD 100; B: 1000,2000,9000 → median 2000,
+    // deviations 1000,0,7000 → MAD 1000
+    val rows = Seq(("A", 1.00), ("A", 2.00), ("A", 3.00), ("A", 4.00),
+      ("B", 10.00), ("B", 20.00), ("B", 90.00))
+    val df = rows.zipWithIndex.map { case ((p, v), i) =>
+      (i.toLong, p, "O", v) }
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("mad").toString
+    df.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Relational.madPerGroup(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("A") == ((4L, 250.0, 100.0)), s"interp: ${got("A")}")
+    assert(got("B") == ((3L, 2000.0, 1000.0)), s"odd: ${got("B")}")
+  }
+
+  test("A38 Benford: string-head digits, integer ppm, known expectations") {
+    import spark.implicits._
+    // digits of cents: 100→1 (x2), 250→2, 9500→9; zero-price row
+    // dropped. freq_ppm: digit 1 = 2·10⁶/4 = 500000, others 250000
+    val df = Seq(1.00, 1.05, 2.50, 95.00, 0.00).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("l_orderkey", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("benford").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Relational.benford(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq((1L, 2L, 500000L), (2L, 1L, 250000L), (9L, 1L, 250000L)),
+      s"got ${got.toSeq}")
+    // log10(2)·10⁶ and log10(10/9)·10⁶, rounded
+    val byDigit = got.map(x => x._1 -> x._4).toMap
+    assert(byDigit(1L) == 301030L && byDigit(9L) == 45757L, s"$byDigit")
+    assert(got.forall(x => x._5 == x._3 - x._4), "dev must be freq - benford")
+  }
 }
