@@ -88,6 +88,71 @@ object Similarity {
       .orderBy($"q_id", $"vec_id")
   }
 
+  private val MmrShortlist = 10
+  private val MmrK = 5
+  private val MmrLambda = 0.5
+
+  /** E17 Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    * Goldstein 1998 — the dedup-at-serve-time step of a RAG
+    * retriever): greedily pick k results trading query relevance
+    * against redundancy with what's already picked, score(d) =
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s). The greedy is inherently
+    * sequential IN k, but k is tiny and fixed — so each step is a
+    * tiny distributed argmax over the m-candidate shortlist (anti
+    * join out the picked set, one max-sim aggregate against it, one
+    * struct-max), never a driver loop over data. All relevance and
+    * pairwise similarities are 6dp-rounded cosines (the E1
+    * convention), λ = 0.5 is a power of two, and ties break on the
+    * smallest id — so every pick is bit-deterministic and the twin
+    * replays the identical unrolled chain. Corpus cost is exactly
+    * the E1 scored scan; shortlist (m·|Q| rows) and its m² pair
+    * sims are checkpointed once and reused by every step. */
+  def mmr(vecs: DataFrame, m: Int = MmrShortlist, k: Int = MmrK,
+      lam: Double = MmrLambda): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = withNorm(vecs)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("rel", round(cosine($"qv", $"v", $"qn", $"n"), 6))
+    val short = scored.groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topK(
+        struct($"rel".as("score"), $"vec_id".as("id")), m).as("top"))
+      .select($"q_id", explode($"top").as("t"))
+      .select($"q_id", $"t.id".as("id"), $"t.score".as("rel"))
+      .localCheckpoint()
+    val sv = short.join(e, short("id") === e("vec_id"))
+      .select($"q_id", $"id", $"v", $"n")
+    val pairs = sv.as("a").join(sv.as("b"),
+        $"a.q_id" === $"b.q_id" && $"a.id" =!= $"b.id")
+      .select($"a.q_id".as("q_id"), $"a.id".as("a"), $"b.id".as("b"),
+        round(cosine($"a.v", $"b.v", $"a.n", $"b.n"), 6).as("sim"))
+      .localCheckpoint()
+    val first = short.groupBy($"q_id")
+      .agg(max(struct($"rel", (-$"id").as("nid"))).as("s"))
+      .select($"q_id", (-$"s.nid").as("id"), $"s.rel".as("rel"),
+        lit(1L).as("rank"))
+    val selected = (2 to k).foldLeft(first) { (sel, i) =>
+      val maxsim = pairs
+        .join(sel.select($"q_id", $"id".as("b")), Seq("q_id", "b"))
+        .groupBy($"q_id", $"a").agg(max($"sim").as("maxsim"))
+      val pick = short
+        .join(sel.select($"q_id", $"id"), Seq("q_id", "id"), "left_anti")
+        .join(maxsim, short("q_id") === maxsim("q_id") &&
+          short("id") === maxsim("a"))
+        .select(short("q_id").as("q_id"), $"id", $"rel",
+          (lit(lam) * $"rel" - lit(1.0 - lam) * $"maxsim").as("score"))
+        .groupBy($"q_id")
+        .agg(max(struct($"score", (-$"id").as("nid"), $"rel")).as("s"))
+        .select($"q_id", (-$"s.nid").as("id"), $"s.rel".as("rel"),
+          lit(i.toLong).as("rank"))
+      sel.unionByName(pick)
+    }
+    selected
+      .select($"q_id", $"rank", $"id".as("vec_id"), $"rel")
+      .orderBy($"q_id", $"rank")
+  }
+
   /** Deterministic ±1 random hyperplane for (table t, bit b) —
     * MurmurHash3-seeded, shared with Dedup's LSH blocking AND its
     * oracle-SQL generator so both engines block identically. */
@@ -981,6 +1046,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> onVecs(bruteforce),
     "ann_range" -> onVecs(v => rangeSearch(v)),
+    "ann_mmr" -> onVecs(v => mmr(v)),
     "ann_range_ivf" -> onVecs(v => rangeSearchIvf(v)),
     "ann_filtered" -> ((s, dir) =>
       annFiltered(Tables.embeddings(s, dir), Tables.documents(s, dir))),
@@ -1060,6 +1126,60 @@ object Similarity {
       }.mkString(" + ")
       s"SELECT vec_id, $t AS t, $bucket AS bucket FROM e"
     }.mkString("\nUNION ALL\n")
+  }
+
+  /** E17 oracle generator: sel₁ is the plain relevance argmax; each
+    * later selᵢ re-scores the not-yet-picked shortlist against the
+    * union of earlier picks. Mirrors the Spark fold step-for-step. */
+  private def mmrOracleSql: String = {
+    val steps = (2 to MmrK).map { i =>
+      val prev = (1 until i).map(j => s"SELECT q_id, id FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""sel$i AS (
+         |  SELECT q_id, id, rel, $i::BIGINT AS rank FROM (
+         |    SELECT c.q_id, c.id, c.rel, row_number() OVER (
+         |      PARTITION BY c.q_id
+         |      ORDER BY $MmrLambda * c.rel - ${1.0 - MmrLambda} * ms.maxsim
+         |        DESC, c.id) AS rn
+         |    FROM short c
+         |    JOIN (SELECT p.q_id, p.a AS id, max(p.sim) AS maxsim
+         |          FROM pairs p JOIN ($prev) s
+         |            ON p.q_id = s.q_id AND p.b = s.id
+         |          GROUP BY 1, 2) ms
+         |      ON c.q_id = ms.q_id AND c.id = ms.id
+         |    WHERE NOT EXISTS (SELECT 1 FROM ($prev) s2
+         |                      WHERE s2.q_id = c.q_id AND s2.id = c.id))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to MmrK).map(i => s"SELECT * FROM sel$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $eCte,
+       |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS id,
+       |    round(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) AS rel
+       |  FROM e JOIN q ON e.vec_id <> q.q_id),
+       |short AS (
+       |  SELECT q_id, id, rel FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY rel DESC, id) AS rn
+       |    FROM scored) WHERE rn <= $MmrShortlist),
+       |sv AS (
+       |  SELECT s.q_id, s.id, e.v, e.n FROM short s
+       |  JOIN e ON s.id = e.vec_id),
+       |pairs AS (
+       |  SELECT a.q_id, a.id AS a, b.id AS b,
+       |    round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS sim
+       |  FROM sv a JOIN sv b ON a.q_id = b.q_id AND a.id <> b.id),
+       |sel1 AS (
+       |  SELECT q_id, id, rel, 1::BIGINT AS rank FROM (
+       |    SELECT q_id, id, rel, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY rel DESC, id) AS rn
+       |    FROM short) WHERE rn = 1),
+       |$steps
+       |SELECT q_id, rank, id AS vec_id, rel FROM ($all)
+       |ORDER BY q_id, rank""".stripMargin
   }
 
   private val eCte =
@@ -1346,6 +1466,11 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, cos FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    // E17 twin: the identical unrolled greedy — same 6dp-rounded
+    // relevances and pair sims, same λ=0.5 score sequence, same
+    // smallest-id tie rule; sel_i CTEs are GENERATED for the same k
+    // the Spark fold unrolls
+    "ann_mmr" -> mmrOracleSql,
     "ann_range" ->
       s"""WITH $eCte,
          |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e

@@ -533,6 +533,47 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** F19 bigram language-model scoring — the next LM rung above F16's
+    * unigram: train add-one-smoothed bigram probabilities ON the
+    * corpus (p(t₂|t₁) = (c(t₁t₂)+1)/(c(t₁·)+V), V = unigram vocab),
+    * score each document by its mean bigram log-prob. Unlike the
+    * unigram score, this separates "right words, wrong order"
+    * (shuffled/template text) from natural phrasing — the repetition
+    * and fluency signal in one number. Determinism: contributions
+    * fold in sorted (t₁,t₂) order (the F16 ordered-fold precedent).
+    * Shape: one tokenization pass into per-doc bigram counts
+    * (localCheckpointed — the hybrid_rrf HOF-collapse lesson), two
+    * derived count tables that join back size-adaptively, one
+    * driver-side scalar (vocab size). Docs with <2 tokens carry no
+    * bigram and are absent, matching the twin. */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bi = docs.select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t as t1, w[i + 1] as t2))"))
+        .as("b"))
+      .select($"doc_id", $"b.t1".as("t1"), $"b.t2".as("t2"))
+      .groupBy($"doc_id", $"t1", $"t2").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cb = bi.groupBy($"t1", $"t2").agg(sum($"c").as("cb"))
+    val cf = cb.groupBy($"t1").agg(sum($"cb").as("cf"))
+    val vocab = docs.select(explode(tokens($"text")).as("t"))
+      .agg(countDistinct($"t")).collect()(0).getLong(0)
+    bi.join(cb, Seq("t1", "t2")).join(cf, Seq("t1"))
+      .withColumn("contrib",
+        $"c" * log(($"cb" + lit(1.0)) / ($"cf" + lit(vocab.toDouble))))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"t1", $"t2", $"contrib")))
+          .as("parts"),
+        sum($"c").as("n_bigrams"))
+      .withColumn("lp",
+        expr("aggregate(transform(parts, x -> x.contrib), 0D, (acc, x) -> acc + x)"))
+      .select($"doc_id", $"n_bigrams",
+        round($"lp" / $"n_bigrams", 4).as("bigram_lm"))
+      .orderBy($"doc_id")
+  }
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
@@ -542,6 +583,7 @@ object TextAnalysis {
     "text_tfidf" -> onDocs(tfidf),
     "text_bm25" -> onDocs(d => bm25(d)),
     "text_lm_score" -> onDocs(lmScore),
+    "text_bigram_lm" -> onDocs(bigramLm),
     "text_chunk" -> onDocs(d => chunk(d)),
     "text_entropy" -> onDocs(charEntropy),
     "text_tokens" -> onDocs(tokenCounts),
@@ -804,6 +846,38 @@ object TextAnalysis {
         |    chunk_id * 40 + least(50, n_tokens - chunk_id * 40)), ' ')
         |    AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // F19 twin: same 1-based bigram construction (DuckDB lists are
+    // 1-based; Spark's transform index is 0-based — both read
+    // (w[i], w[i+1]) pairs), same smoothed probability sequence,
+    // same sorted-(t1,t2) fold
+    "text_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, w, unnest(range(1, length(w))) AS i FROM toks),
+        |bigr AS (
+        |  SELECT doc_id, w[i] AS t1, w[i + 1] AS t2 FROM pos),
+        |bi AS (
+        |  SELECT doc_id, t1, t2, count(*)::BIGINT AS c
+        |  FROM bigr GROUP BY 1, 2, 3),
+        |cb AS (SELECT t1, t2, sum(c)::BIGINT AS cb FROM bi GROUP BY 1, 2),
+        |cf AS (SELECT t1, sum(cb)::BIGINT AS cf FROM cb GROUP BY 1),
+        |voc AS (
+        |  SELECT count(DISTINCT term)::BIGINT AS v FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents)),
+        |parts AS (
+        |  SELECT b.doc_id, b.t1, b.t2, b.c,
+        |    b.c * ln((cb.cb + 1.0) / (cf.cf + voc.v)::DOUBLE) AS contrib
+        |  FROM bi b JOIN cb USING (t1, t2) JOIN cf USING (t1), voc),
+        |agg AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(contrib ORDER BY t1, t2)), (acc, x) -> acc + x) AS lp
+        |  FROM parts GROUP BY 1)
+        |SELECT doc_id, n_bigrams, round(lp / n_bigrams, 4) AS bigram_lm
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // F16 twin: same smoothed probabilities, contributions folded in
     // the SAME sorted term order via list(... ORDER BY term) +
     // list_reduce (left fold; DuckDB's scalar-accumulator reduce is

@@ -355,4 +355,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got("u") == ((100L, 25L, 50L, 90L, 99L)), s"got ${got("u")}")
     assert(got("t") == ((100L, 7L, 7L, 11L, 11L)), s"got ${got("t")}")
   }
+
+  test("E17 MMR: a clone of the top pick is displaced by the diverse candidate") {
+    import spark.implicits._
+    // query 0 = x̂. Candidates 10 and 11 are IDENTICAL vectors at
+    // rel ≈ .9397; 12 mirrors them across x at the same relevance.
+    // Plain top-3 is (10, 11, 12) by the id tie rule; MMR's second
+    // pick must skip the clone: score(11) = .5(.9397−1) < 0 <
+    // .5(.9397−.766) = score(12).
+    val rows = Seq(
+      0L -> Array(1.0, 0.0, 0.0), 1L -> Array(0.0, 0.0, 1.0),
+      2L -> Array(0.0, 1.0, 0.0), 3L -> Array(0.5, 0.5, 0.7),
+      4L -> Array(0.3, 0.4, 0.5),
+      10L -> Array(0.9397, 0.342, 0.0), 11L -> Array(0.9397, 0.342, 0.0),
+      12L -> Array(0.9397, -0.342, 0.0))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.mmr(df)
+      .filter($"q_id" === 0L).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got(1L) == 10L, s"first pick is plain argmax: $got")
+    assert(got(2L) == 12L, s"diverse candidate must beat the clone: $got")
+    // 3rd: the irrelevant-but-orthogonal ẑ (rel 0, maxsim 0, score 0)
+    // still beats the clone's .5(.9397−1) < 0; the clone only
+    // re-enters 4th, once every zero-redundancy candidate is gone
+    assert(got(3L) == 1L && got(4L) == 11L, s"greedy order: $got")
+  }
 }

@@ -598,6 +598,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(d1._3 == 1L && d1._2 < 3 * got.head._2, s"tf must saturate: $d1")
   }
 
+  test("F19 bigram LM: order-sensitive scoring, hand-computed smoothed probs") {
+    import spark.implicits._
+    // same unigram bag (3×a, 3×b) in docs 1 and 2 — only the bigram
+    // structure differs. Corpus bigrams: ab×4, ba×4, aa×1, bb×1;
+    // first-token totals a·=5, b·=5; V=3 (a, b, solo).
+    // doc1 = 5 predictable bigrams → lp/5 = ln(5/8); doc2 mixes in
+    // the rare aa/bb → (3·ln(5/8) + 2·ln(2/8))/5. doc3 has no bigram.
+    val docs = Seq((1L, "a b a b a b"), (2L, "b a a b b a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bigramLm(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(!got.contains(3L), "single-token doc carries no bigram")
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((5L, r4(math.log(5.0 / 8.0)))), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((5L,
+      r4((3 * math.log(5.0 / 8.0) + 2 * math.log(2.0 / 8.0)) / 5))),
+      s"doc2: ${got(2L)}")
+    assert(got(1L)._2 > got(2L)._2, "natural order must outscore shuffled")
+  }
+
   test("A36 chi-square: crafted 2x2 table gives chi2=20, dof=1, exact cells") {
     import spark.implicits._
     // A-X 30, A-Y 10, B-X 10, B-Y 30: all marginals 40, N 80,
