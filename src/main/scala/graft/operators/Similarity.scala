@@ -146,7 +146,12 @@ object Similarity {
         .agg(max(struct($"score", (-$"id").as("nid"), $"rel")).as("s"))
         .select($"q_id", (-$"s.nid").as("id"), $"s.rel".as("rel"),
           lit(i.toLong).as("rank"))
-      sel.unionByName(pick)
+      // sel is referenced twice per step (anti join + maxsim join), so
+      // an un-truncated fold doubles the plan each pick — 2^k growth
+      // that showed up as 6 s of pure optimizer time. The picked set
+      // is |Q|·i rows; checkpointing it per step keeps every pick's
+      // plan constant-size.
+      sel.unionByName(pick).localCheckpoint()
     }
     selected
       .select($"q_id", $"rank", $"id".as("vec_id"), $"rel")
