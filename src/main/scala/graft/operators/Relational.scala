@@ -788,7 +788,137 @@ object Relational {
       .orderBy($"digit")
   }
 
+  /** A39 two-sample Kolmogorov-Smirnov test (scipy `ks_2samp` twin —
+    * the distribution-drift gate a corpus monitor runs between two
+    * slices): D = max |F̂_R(x) − F̂_N(x)| between returned and
+    * delivered line-item prices. ENTIRELY integer-exact: the corpus
+    * collapses to a distinct-value histogram (one hash aggregate),
+    * cumulative counts are BIGINT, and the ECDF gap is compared
+    * cross-multiplied — |cumR·nN − cumN·nR| in decimal(38,0), exact
+    * past the 3·10⁹-sample point where the BIGINT product would
+    * overflow (the C18 precedent) — so the argmax row and its
+    * smallest-value tie-break carry no float anywhere; the single
+    * division happens once, at export. Shape: one aggregate + windows
+    * over the VALUE-DOMAIN-sized histogram (never the corpus); an
+    * unbounded value domain would bucket the cumsum exactly like F14.
+    */
+  def ksTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vc = Tables.lineitem(s, dir)
+      .filter($"l_returnflag".isin("R", "N"))
+      .select($"l_returnflag".as("flag"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"cents")
+      .agg(sum(when($"flag" === "R", 1L).otherwise(0L)).as("cr"),
+        sum(when($"flag" === "N", 1L).otherwise(0L)).as("cn"))
+    val wCum = Window.orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc
+      .withColumn("cumr", sum($"cr").over(wCum))
+      .withColumn("cumn", sum($"cn").over(wCum))
+      .withColumn("nr", sum($"cr").over(Window.partitionBy()))
+      .withColumn("nn", sum($"cn").over(Window.partitionBy()))
+      .withColumn("diff", abs($"cumr".cast("decimal(38,0)") * $"nn" -
+        $"cumn".cast("decimal(38,0)") * $"nr"))
+    cum.withColumn("mx", max($"diff").over(Window.partitionBy()))
+      .filter($"diff" === $"mx")
+      .groupBy()
+      .agg(max($"nr").as("n_r"), max($"nn").as("n_n"),
+        min($"cents").as("at_cents"), max($"diff").as("dnum"))
+      .select($"n_r", $"n_n", $"at_cents",
+        round($"dnum".cast("double") /
+          ($"n_r".cast("double") * $"n_n".cast("double")), 6).as("ks_d"))
+  }
+
+  /** A40 Welch's unequal-variance t-test for every priority pair
+    * (scipy `ttest_ind(equal_var=False)` twin — "did this slice's
+    * money distribution move?"): per-group n/Σx/Σx² are EXACT
+    * decimal(38,0) sums (Σcents² clears int64 at ~10⁶ rows already;
+    * decimal is exact to 10³⁸ — the C18 posture), every later op is
+    * the identical IEEE scalar sequence on identical doubles in both
+    * engines (÷, ×, √ are all correctly-rounded), so t and the
+    * Welch–Satterthwaite dof are bit-identical before the export
+    * round. Shape: ONE corpus aggregate to |groups| rows, then a
+    * |groups|²/2 self-join of a 5-row frame. */
+  def welchTTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("priority"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"priority")
+      .agg(count(lit(1)).as("n"),
+        sum($"cents".cast("decimal(38,0)")).as("s1"),
+        sum(($"cents" * $"cents").cast("decimal(38,0)")).as("s2"))
+      .select($"priority", $"n", $"n".cast("double").as("nd"),
+        $"s1".cast("double").as("s1d"), $"s2".cast("double").as("s2d"))
+      .withColumn("m", $"s1d" / $"nd")
+      .withColumn("v",
+        ($"s2d" - $"s1d" * $"s1d" / $"nd") / ($"nd" - lit(1.0)))
+    val a = g.select($"priority".as("pa"), $"n".as("n_a"),
+      $"nd".as("nda"), $"m".as("ma"), $"v".as("va"))
+    val b = g.select($"priority".as("pb"), $"n".as("n_b"),
+      $"nd".as("ndb"), $"m".as("mb"), $"v".as("vb"))
+    val se2 = $"va" / $"nda" + $"vb" / $"ndb"
+    a.join(b, $"pa" < $"pb")
+      .select($"pa", $"pb", $"n_a", $"n_b",
+        round(($"ma" - $"mb") / lit(100.0), 4).as("mean_diff"),
+        round(($"ma" - $"mb") / sqrt(se2), 6).as("t_stat"),
+        round(se2 * se2 /
+          (($"va" / $"nda") * ($"va" / $"nda") / ($"nda" - lit(1.0)) +
+           ($"vb" / $"ndb") * ($"vb" / $"ndb") / ($"ndb" - lit(1.0))), 4)
+          .as("welch_dof"))
+      .orderBy($"pa", $"pb")
+  }
+
+  /** A41 one-way ANOVA across the 7 line numbers (scipy `f_oneway`
+    * twin — the k-group generalization of A40; "does position within
+    * an order shift the money distribution?"): per-group n/Σx/Σx²
+    * exact in decimal(38,0), grand totals exact sums of the 7-row
+    * group frame, SSB = Σnᵢ(mᵢ−m̄)² and SSW = Σ(Σx²ᵢ − Σxᵢ²/nᵢ)
+    * folded in SORTED GROUP ORDER (the A36/B18 ordered-fold
+    * precedent) so the float accumulation is pinned;
+    * F = (SSB/(k−1))/(SSW/(N−k)). The corpus cost is exactly one
+    * map-side-combined aggregate. */
+  def anovaF(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.lineitem(s, dir)
+      .select($"l_linenumber".cast("long").as("lineno"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"lineno")
+      .agg(count(lit(1)).as("n"),
+        sum($"cents".cast("decimal(38,0)")).as("s1"),
+        sum(($"cents" * $"cents").cast("decimal(38,0)")).as("s2"))
+      .withColumn("nall", sum($"n").over(Window.partitionBy()))
+      .withColumn("s1all", sum($"s1").over(Window.partitionBy()))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("gm", $"s1all".cast("double") / $"nall".cast("double"))
+      .withColumn("m", $"s1".cast("double") / $"n".cast("double"))
+      .withColumn("ssb_t",
+        $"n".cast("double") * ($"m" - $"gm") * ($"m" - $"gm"))
+      .withColumn("ssw_t", $"s2".cast("double") -
+        $"s1".cast("double") * $"s1".cast("double") / $"n".cast("double"))
+    val tot = g.groupBy()
+      .agg(max($"k").as("k"), max($"nall").as("n"),
+        aggregate(sort_array(collect_list(struct($"lineno", $"ssb_t"))),
+          lit(0.0), (acc, x) => acc + x("ssb_t")).as("ssb"),
+        aggregate(sort_array(collect_list(struct($"lineno", $"ssw_t"))),
+          lit(0.0), (acc, x) => acc + x("ssw_t")).as("ssw"))
+      .select($"k", $"n", $"ssb", $"ssw",
+        round(($"ssb" / ($"k" - lit(1)).cast("double")) /
+          ($"ssw" / ($"n" - $"k").cast("double")), 6).as("f_stat"))
+    g.select($"lineno", $"n".as("n_g"), round($"m" / lit(100.0), 4).as("mean_d"))
+      .crossJoin(tot.select(
+        $"k", $"n", round($"ssb" / lit(1e4), 2).as("ssb_d2"),
+        round($"ssw" / lit(1e4), 2).as("ssw_d2"), $"f_stat"))
+      .orderBy($"lineno")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ks_test" -> ksTest,
+    "q_welch_ttest" -> welchTTest,
+    "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
     "q_mad" -> madPerGroup,
     "q_benford" -> benford,
@@ -837,6 +967,103 @@ object Relational {
     // A36 twin: same BIGINT marginals, same per-cell IEEE sequence,
     // same ordered fold (0-seeded list_reduce == 0-seeded aggregate
     // HOF — 0.0 + x is exact for the non-negative contributions)
+    // A39 twin: same distinct-value histogram, same BIGINT cumulative
+    // counts, same decimal(38,0) cross-multiplied gap, same smallest-
+    // value tie; the one division happens once at export in both
+    "q_ks_test" ->
+      """WITH vc AS (
+        |  SELECT round(l_extendedprice * 100)::BIGINT AS cents,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS cr,
+        |    sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)::BIGINT AS cn
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT cents,
+        |    (sum(cr) OVER (ORDER BY cents
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |       AS cumr,
+        |    (sum(cn) OVER (ORDER BY cents
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |       AS cumn,
+        |    (sum(cr) OVER ())::BIGINT AS nr,
+        |    (sum(cn) OVER ())::BIGINT AS nn
+        |  FROM vc),
+        |d AS (
+        |  -- HUGEINT (int128) carries the exact cross product here; the
+        |  -- Spark side uses decimal(38,0) — same exact integers, and
+        |  -- only n_r/n_n/at_cents/ks_d are exported
+        |  SELECT cents, nr, nn,
+        |    abs(cumr::HUGEINT * nn - cumn::HUGEINT * nr) AS diff
+        |  FROM cum),
+        |m AS (SELECT cents, nr, nn, diff,
+        |        max(diff) OVER () AS mx FROM d)
+        |SELECT max(nr) AS n_r, max(nn) AS n_n, min(cents) AS at_cents,
+        |  round(max(diff)::DOUBLE / (max(nr)::DOUBLE * max(nn)::DOUBLE), 6)
+        |    AS ks_d
+        |FROM m WHERE diff = mx""".stripMargin,
+    // A40 twin: identical exact decimal sums, identical IEEE scalar
+    // sequence (÷ × √ are correctly rounded in both engines), so
+    // t and dof are bit-identical before the export round
+    "q_welch_ttest" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS priority, count(*)::BIGINT AS n,
+        |    count(*)::DOUBLE AS nd,
+        |    sum((round(o_totalprice * 100)::BIGINT)::DECIMAL(38,0))::DOUBLE
+        |      AS s1d,
+        |    sum(((round(o_totalprice * 100)::BIGINT)
+        |      * (round(o_totalprice * 100)::BIGINT))::DECIMAL(38,0))::DOUBLE
+        |      AS s2d
+        |  FROM orders GROUP BY 1),
+        |gm AS (
+        |  SELECT priority, n, nd, s1d / nd AS m,
+        |    (s2d - s1d * s1d / nd) / (nd - 1.0) AS v
+        |  FROM g)
+        |SELECT a.priority AS pa, b.priority AS pb,
+        |  a.n AS n_a, b.n AS n_b,
+        |  round((a.m - b.m) / 100.0, 4) AS mean_diff,
+        |  round((a.m - b.m) / sqrt(a.v / a.nd + b.v / b.nd), 6) AS t_stat,
+        |  round((a.v / a.nd + b.v / b.nd) * (a.v / a.nd + b.v / b.nd)
+        |    / ((a.v / a.nd) * (a.v / a.nd) / (a.nd - 1.0)
+        |      + (b.v / b.nd) * (b.v / b.nd) / (b.nd - 1.0)), 4)
+        |    AS welch_dof
+        |FROM gm a JOIN gm b ON a.priority < b.priority
+        |ORDER BY pa, pb""".stripMargin,
+    // A41 twin: exact decimal group sums, SSB/SSW folded in the same
+    // sorted group order via list(... ORDER BY) + list_reduce
+    "q_anova" ->
+      """WITH g AS (
+        |  SELECT l_linenumber::BIGINT AS lineno, count(*)::BIGINT AS n,
+        |    sum((round(l_extendedprice * 100)::BIGINT)::DECIMAL(38,0)) AS s1,
+        |    sum(((round(l_extendedprice * 100)::BIGINT)
+        |      * (round(l_extendedprice * 100)::BIGINT))::DECIMAL(38,0)) AS s2
+        |  FROM lineitem GROUP BY 1),
+        |t AS (
+        |  SELECT lineno, n, s1, s2,
+        |    (sum(n) OVER ())::BIGINT AS nall,
+        |    sum(s1) OVER () AS s1all,
+        |    (count(*) OVER ())::BIGINT AS k
+        |  FROM g),
+        |c AS (
+        |  SELECT lineno, n, nall, k,
+        |    s1::DOUBLE / n::DOUBLE AS m,
+        |    n::DOUBLE * (s1::DOUBLE / n::DOUBLE - s1all::DOUBLE / nall::DOUBLE)
+        |      * (s1::DOUBLE / n::DOUBLE - s1all::DOUBLE / nall::DOUBLE)
+        |      AS ssb_t,
+        |    s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE AS ssw_t
+        |  FROM t),
+        |tot AS (
+        |  SELECT max(k)::BIGINT AS k, max(nall)::BIGINT AS n,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(ssb_t ORDER BY lineno)), (a, b) -> a + b) AS ssb,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(ssw_t ORDER BY lineno)), (a, b) -> a + b) AS ssw
+        |  FROM c)
+        |SELECT c.lineno, c.n AS n_g, round(c.m / 100.0, 4) AS mean_d,
+        |  tot.k, tot.n, round(tot.ssb / 10000.0, 2) AS ssb_d2,
+        |  round(tot.ssw / 10000.0, 2) AS ssw_d2,
+        |  round((tot.ssb / (tot.k - 1)::DOUBLE)
+        |    / (tot.ssw / (tot.n - tot.k)::DOUBLE), 6) AS f_stat
+        |FROM c, tot ORDER BY c.lineno""".stripMargin,
     "q_chisq" ->
       """WITH cells AS (
         |  SELECT o_orderpriority AS priority, o_orderstatus AS status,

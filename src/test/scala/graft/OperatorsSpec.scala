@@ -619,6 +619,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L)._2 > got(2L)._2, "natural order must outscore shuffled")
   }
 
+  test("A39 KS: hand-computed ECDF gap, smallest-value tie, non-R/N excluded") {
+    import spark.implicits._
+    // R = {1,2,3,4}, N = {3,4,5,6} (dollars): cross-multiplied gaps
+    // over the value union are 4,8,8,8,4,0 sixteenths -> D = 8/16 =
+    // 0.5 first reached at 2.00; the 'A' row must be ignored
+    val rows = Seq(("R", 1.0), ("R", 2.0), ("R", 3.0), ("R", 4.0),
+      ("N", 3.0), ("N", 4.0), ("N", 5.0), ("N", 6.0), ("A", 9.0))
+    val df = rows.zipWithIndex.map { case ((f, p), i) => (i.toLong, f, p) }
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("ks").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Relational.ksTest(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L, s"ns: ${r.mkString(",")}")
+    assert(r.getLong(2) == 200L, s"argmax value: ${r.mkString(",")}")
+    assert(r.getDouble(3) == 0.5, s"D: ${r.mkString(",")}")
+  }
+
+  test("A40 Welch t: hand-computed unequal-variance statistic and dof") {
+    import spark.implicits._
+    // group 1: {1..5} -> m=300c, var=25000; group 2: {2,4,6} -> m=400c,
+    // var=40000; the spec replays the identical IEEE sequence
+    val rows = Seq(("1", 1.0), ("1", 2.0), ("1", 3.0), ("1", 4.0),
+      ("1", 5.0), ("2", 2.0), ("2", 4.0), ("2", 6.0))
+    val df = rows.zipWithIndex.map { case ((p, v), i) => (i.toLong, p, v) }
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("welch").toString
+    df.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Relational.welchTTest(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val se2 = 25000.0 / 5.0 + 40000.0 / 3.0
+    val t = (300.0 - 400.0) / math.sqrt(se2)
+    val dof = se2 * se2 / ((25000.0 / 5.0) * (25000.0 / 5.0) / 4.0 +
+      (40000.0 / 3.0) * (40000.0 / 3.0) / 2.0)
+    assert(r.getLong(2) == 5L && r.getLong(3) == 3L, r.mkString(","))
+    assert(r.getDouble(4) == -1.0, s"mean_diff: ${r.mkString(",")}")
+    assert(r.getDouble(5) == r6(t), s"t: ${r.mkString(",")} vs ${r6(t)}")
+    assert(r.getDouble(6) == r4(dof), s"dof: ${r.mkString(",")} vs ${r4(dof)}")
+  }
+
+  test("A41 ANOVA: two crafted groups give F=13.5, exact SSB/SSW") {
+    import spark.implicits._
+    // line 1: {1,2,3}, line 2: {4,5,6} (dollars): SSB=135000c2,
+    // SSW=40000c2, F=(135000/1)/(40000/4)=13.5
+    val rows = Seq((1, 1.0), (1, 2.0), (1, 3.0), (2, 4.0), (2, 5.0), (2, 6.0))
+    val df = rows.zipWithIndex.map { case ((ln, v), i) => (i.toLong, ln, v) }
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("anova").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Relational.anovaF(spark, dir).collect()
+    assert(got.length == 2)
+    val byLine = got.map(r => r.getLong(0) -> r).toMap
+    assert(byLine(1L).getLong(1) == 3L && byLine(1L).getDouble(2) == 2.0)
+    assert(byLine(2L).getLong(1) == 3L && byLine(2L).getDouble(2) == 5.0)
+    got.foreach { r =>
+      assert(r.getLong(3) == 2L && r.getLong(4) == 6L, r.mkString(","))
+      assert(r.getDouble(5) == 13.5 && r.getDouble(6) == 4.0, r.mkString(","))
+      assert(r.getDouble(7) == 13.5, s"F: ${r.mkString(",")}")
+    }
+  }
+
   test("A36 chi-square: crafted 2x2 table gives chi2=20, dof=1, exact cells") {
     import spark.implicits._
     // A-X 30, A-Y 10, B-X 10, B-Y 30: all marginals 40, N 80,
