@@ -108,6 +108,44 @@ object Cdc {
       .orderBy($"user_id", $"session_seq")
   }
 
+  /** C41 peak session concurrency per day — the capacity-planning
+    * statistic over C5's sessions (interval-stabbing sweep, the
+    * classic +1/−1 event trick): each session contributes +1 at
+    * start_us and −1 at end_us; the running delta sum IS the live
+    * session count, and its per-day max is the peak. Ties at one
+    * microsecond order +1 before −1 (closed intervals: back-to-back
+    * counts as overlap) — the per-day MAX is invariant to any
+    * permutation within an equal (t, d) run, so the window order is
+    * fully deterministic where it matters. Scale: the global cumsum
+    * is decomposed day-bucketed (in-day window + exclusive per-day
+    * offsets joined back — the F14 two-level shape), so no
+    * single-task corpus-sized window exists; the twin's single
+    * global window equals the decomposition exactly in integers. */
+  def concurrency(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val sess = withSessionSeq(events)
+      .groupBy($"user_id", $"session_seq")
+      .agg(min($"us").as("start_us"), max($"us").as("end_us"))
+    val deltas = sess.select($"start_us".as("t"), lit(1L).as("d"))
+      .unionByName(sess.select($"end_us".as("t"), lit(-1L).as("d")))
+      .withColumn("day", to_date(timestamp_micros($"t")))
+    val wIn = Window.partitionBy($"day").orderBy($"t", $"d".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inner = deltas.withColumn("run_in", sum($"d").over(wIn))
+    val offs = deltas.groupBy($"day")
+      .agg(sum($"d").as("dsum"),
+        sum(when($"d" === 1L, 1L).otherwise(0L)).as("starts"))
+      .withColumn("off", coalesce(sum($"dsum").over(
+        Window.orderBy($"day").rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"day", $"off", $"starts")
+    inner.join(broadcast(offs), Seq("day"))
+      .groupBy(date_format($"day", "yyyy-MM-dd").as("day"))
+      .agg(max($"off" + $"run_in").as("peak_concurrency"),
+        max($"starts").as("sessions_started"))
+      .orderBy($"day")
+  }
+
   /** C20 ordered conversion funnel (view → click → purchase) over
     * sessions: a session reaches step k iff the first occurrence of
     * every step 1..k is in order. Per-session step times come from
@@ -618,6 +656,7 @@ object Cdc {
     "cdc_scd2" -> onEvents(scd2),
     "cdc_event_counts" -> onEvents(eventCounts),
     "cdc_sessionize" -> onEvents(sessionize),
+    "cdc_concurrency" -> onEvents(concurrency),
     "cdc_funnel" -> onEvents(funnel),
     "cdc_cohort" -> onEvents(cohortRetention),
     "cdc_parse_envelope" -> onEvents(e =>
@@ -904,6 +943,32 @@ object Cdc {
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
+    // C41 twin: the single global window ORDER BY (t, d DESC) equals
+    // the Spark side's day-bucketed decomposition exactly — day is a
+    // monotone function of t, and the per-day MAX is permutation-
+    // invariant within equal (t, d) runs
+    "cdc_concurrency" ->
+      s"""WITH $sessionSeqCteSql,
+         |sess AS (
+         |  SELECT user_id, session_seq,
+         |    min(us)::BIGINT AS start_us, max(us)::BIGINT AS end_us
+         |  FROM seq GROUP BY 1, 2),
+         |deltas AS (
+         |  SELECT start_us AS t, 1::BIGINT AS d FROM sess
+         |  UNION ALL
+         |  SELECT end_us AS t, -1::BIGINT AS d FROM sess),
+         |r AS (
+         |  SELECT t, d, make_timestamp(t)::DATE AS day FROM deltas),
+         |run AS (
+         |  SELECT day, t, d,
+         |    (sum(d) OVER (ORDER BY t, d DESC
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+         |       AS counter
+         |  FROM r)
+         |SELECT strftime(day, '%Y-%m-%d') AS day,
+         |  max(counter) AS peak_concurrency,
+         |  sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS sessions_started
+         |FROM run GROUP BY 1 ORDER BY day""".stripMargin,
     "cdc_sessionize" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,

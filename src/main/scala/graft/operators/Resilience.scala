@@ -540,6 +540,66 @@ object Resilience {
       .orderBy(col(ss.grp), col("day"))
   }
 
+  /** B30 Schuster periodogram over the daily event-count series —
+    * the frequency-domain twin of B20's time-domain decomposition
+    * (statsmodels/scipy `periodogram`): per event type, spectral
+    * power I(k) = (a_k² + b_k²)/n³ at harmonics k = 1..min(10,
+    * ⌊(n−1)/2⌋) of the series length, over MEAN-CENTERED values
+    * carried as exact integers (z_t = n·y_t − S stays BIGINT, so
+    * centering adds no float). The dominant k (rank 1) reads off the
+    * cycle length in days — the data-driven answer to "what period
+    * should seasonal_decompose use?".
+    *
+    * Determinism: each a_k/b_k folds the n cos/sin terms in SORTED t
+    * ORDER (sort_array → aggregate HOF == list ORDER BY +
+    * list_reduce), every term is the identical IEEE sequence
+    * (exact-int cast, one cos/sin — correctly-rounded libm in both
+    * engines, the F16 ln precedent), and ranking uses the ROUNDED
+    * power with k as tie-break so both engines rank identical
+    * doubles. Shape: one aggregate to a per-group point list
+    * (series-length-bounded, the B18/B21 forecast-ladder state
+    * shape), explode over ≤10 harmonics, column math — the corpus
+    * is scanned once. */
+  def periodogramOn(ss: Series, maxK: Int = 10): DataFrame = {
+    val s0 = ss.df.sparkSession
+    import s0.implicits._
+    val base = ss.df
+      .select(col(ss.grp), col(ss.period).as("p"),
+        col(ss.value).cast("long").as("y"))
+      .withColumn("t", row_number().over(
+        Window.partitionBy(col(ss.grp)).orderBy($"p")).cast("long"))
+    val pts = base.groupBy(col(ss.grp))
+      .agg(sort_array(collect_list(struct($"t", $"y"))).as("pts"),
+        count(lit(1)).as("n"), sum($"y").as("s"))
+      .withColumn("kmax", least(lit(maxK.toLong), expr("(n - 1) div 2")))
+      // guard before explode: Spark's sequence(1, 0) steps DOWN; a
+      // sub-3-point series has no resolvable harmonic in either engine
+      .filter($"kmax" >= 1)
+      .withColumn("k", explode(expr("sequence(1L, kmax)")))
+    val tau = lit(2.0) * lit(math.Pi)
+    def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate($"pts", lit(0.0), (acc, x) =>
+        acc + (($"n" * x("y") - $"s").cast("double") *
+          f(tau * $"k".cast("double") * x("t").cast("double") /
+            $"n".cast("double"))))
+    val powered = pts
+      .withColumn("a", fold(cos))
+      .withColumn("b", fold(sin))
+      .withColumn("power", round(($"a" * $"a" + $"b" * $"b") /
+        ($"n".cast("double") * $"n".cast("double") * $"n".cast("double")),
+        4))
+      .withColumn("period_days", round($"n".cast("double") /
+        $"k".cast("double"), 2))
+    powered
+      .withColumn("rank", row_number().over(Window.partitionBy(col(ss.grp))
+        .orderBy($"power".desc, $"k")).cast("long"))
+      .select(col(ss.grp), $"k", $"n", $"period_days", $"power", $"rank")
+      .orderBy(col(ss.grp), $"k")
+  }
+
+  def periodogram(s: SparkSession, dir: String): DataFrame =
+    periodogramOn(dailyCounts(s, dir))
+
   /** B21 Holt-Winters additive triple exponential smoothing — the
     * seasonal statsmodels `ExponentialSmoothing` twin, completing the
     * forecast ladder B4 (linear) → B17 (AR1) → B18 (Holt) → seasonal:
@@ -1010,6 +1070,7 @@ object Resilience {
     "q_theilsen" -> theilSen,
     "q_crosscorr" -> ((s, dir) => crossCorr(s, dir)),
     "q_seasonal_decompose" -> seasonalDecompose,
+    "q_periodogram" -> periodogram,
     "q_hw_forecast" -> holtWinters,
     "q_anomaly" -> ((s, dir) => anomalies(Tables.events(s, dir))),
     "q_range_window" -> ((s, dir) => rangeWindow(Tables.events(s, dir))),
@@ -1426,9 +1487,49 @@ object Resilience {
          |WHERE n.n_periods >= 2
          |ORDER BY kf.n_name""".stripMargin,
     // trend = centered-window integer sum / 7; positional seasonal
-    // means over exact integer numerators; the re-centering mean is
-    // an explicit left-associated 7-term chain — the identical IEEE
-    // sequence as the Spark fold.
+    // B30 twin: same exact-integer centering (n·y − S), same sorted-t
+    // left fold of the cos/sin terms, same rounded-power ranking with
+    // the k tie-break
+    "q_periodogram" ->
+      s"""WITH dc AS ($dailyCountsSql),
+         |base AS (
+         |  SELECT event_type, day, y,
+         |    (row_number() OVER (PARTITION BY event_type ORDER BY day))::BIGINT
+         |      AS t
+         |  FROM dc),
+         |g AS (
+         |  SELECT event_type,
+         |    list(struct_pack(t := t, y := y) ORDER BY t) AS pts,
+         |    count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+         |  FROM base GROUP BY 1),
+         |kk AS (
+         |  SELECT event_type, pts, n, s,
+         |    unnest(range(1, least(10, (n - 1) // 2) + 1)) AS k
+         |  FROM g),
+         |f AS (
+         |  SELECT event_type, k, n,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(pts,
+         |      x -> ((n * x.y - s)::DOUBLE)
+         |        * cos(2.0 * pi() * k::DOUBLE * x.t::DOUBLE / n::DOUBLE))),
+         |      (p, q) -> p + q) AS a,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(pts,
+         |      x -> ((n * x.y - s)::DOUBLE)
+         |        * sin(2.0 * pi() * k::DOUBLE * x.t::DOUBLE / n::DOUBLE))),
+         |      (p, q) -> p + q) AS b
+         |  FROM kk),
+         |p AS (
+         |  SELECT event_type, k, n,
+         |    round(n::DOUBLE / k::DOUBLE, 2) AS period_days,
+         |    round((a * a + b * b)
+         |      / (n::DOUBLE * n::DOUBLE * n::DOUBLE), 4) AS power
+         |  FROM f)
+         |SELECT event_type, k, n, period_days, power,
+         |  (row_number() OVER (PARTITION BY event_type
+         |     ORDER BY power DESC, k))::BIGINT AS rank
+         |FROM p ORDER BY event_type, k""".stripMargin,
+    // positional means over exact integer numerators; the re-centering
+    // mean is an explicit left-associated 7-term chain — the identical
+    // IEEE sequence as the Spark fold.
     "q_seasonal_decompose" ->
       s"""WITH d AS ($dailyCountsSql),
          |b AS (

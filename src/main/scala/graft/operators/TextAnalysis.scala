@@ -574,6 +574,58 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  private val CollocMinCount = 5
+  private val CollocTopK = 20
+
+  /** F20 collocation mining — PMI-ranked corpus bigrams (Church &
+    * Hanks 1990; the phrase-vocabulary step of a tokenizer/data
+    * pipeline — "new york" is one unit, "the the" is noise): pmi =
+    * ln(p(t₁t₂)/(p(t₁)p(t₂))) over corpus bigram/unigram frequencies,
+    * min-count-filtered (PMI is unstable on rare pairs), top-20 by
+    * (rounded pmi, t₁, t₂). Exactness: all counts BIGINT; the PMI
+    * ratio is computed as ONE division of two exact integer products
+    * — c₁₂·N² and B·c₁·c₂ in decimal(38,0) (Spark) / HUGEINT (twin),
+    * exact to 10³⁸-scale corpora — then one ln (correctly-rounded
+    * libm both engines, the F16 precedent) rounded at export; ranking
+    * uses the rounded value with the bigram itself as tie-break.
+    * Shape: one tokenization pass feeds both the bigram and unigram
+    * aggregates (localCheckpointed — the hybrid_rrf HOF-collapse
+    * lesson), two corpus-vocabulary-sized joins, a top-k window over
+    * the min-count survivors. */
+  def collocations(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select($"doc_id", tokens($"text").as("w"))
+      .localCheckpoint()
+    val uni = toks.select(explode($"w").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+    val nTot = toks.select(sum(size($"w")).as("n"))
+    val bi0 = toks.filter(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t as t1, w[i + 1] as t2))"))
+        .as("b"))
+      .select($"b.t1".as("t1"), $"b.t2".as("t2"))
+      .groupBy($"t1", $"t2").agg(count(lit(1)).as("c12"))
+    // B counts ALL bigrams (the probability denominator), computed
+    // before the min-count filter; one-row frame, broadcast joined
+    val bTot = bi0.agg(sum($"c12").as("btot"))
+    val bi = bi0.filter($"c12" >= CollocMinCount).crossJoin(bTot)
+    val scored = bi
+      .join(uni.select($"t".as("t1"), $"c".as("c1")), Seq("t1"))
+      .join(uni.select($"t".as("t2"), $"c".as("c2")), Seq("t2"))
+      .crossJoin(nTot)
+      .withColumn("pmi", round(log(
+        ($"c12".cast("decimal(38,0)") * $"n" * $"n").cast("double") /
+          (($"btot".cast("decimal(38,0)") * $"c1" * $"c2").cast("double"))),
+        4))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"pmi".desc, $"t1", $"t2")).cast("long"))
+      .filter($"rank" <= CollocTopK)
+      .select($"rank", $"t1", $"t2", $"c12", $"pmi")
+      .orderBy($"rank")
+  }
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
@@ -584,6 +636,7 @@ object TextAnalysis {
     "text_bm25" -> onDocs(d => bm25(d)),
     "text_lm_score" -> onDocs(lmScore),
     "text_bigram_lm" -> onDocs(bigramLm),
+    "text_collocations" -> onDocs(collocations),
     "text_chunk" -> onDocs(d => chunk(d)),
     "text_entropy" -> onDocs(charEntropy),
     "text_tokens" -> onDocs(tokenCounts),
@@ -846,6 +899,38 @@ object TextAnalysis {
         |    chunk_id * 40 + least(50, n_tokens - chunk_id * 40)), ' ')
         |    AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // F20 twin: same one-pass bigram/unigram counts, same exact
+    // integer products (HUGEINT == the Spark side's decimal(38,0)),
+    // one ln, ranked on the shared rounded double with (t1,t2) ties
+    "text_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |uni AS (
+        |  SELECT t, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+        |ntot AS (SELECT sum(length(w))::BIGINT AS n FROM toks),
+        |pos AS (
+        |  SELECT doc_id, w, unnest(range(1, length(w))) AS i FROM toks),
+        |bi0 AS (
+        |  SELECT w[i] AS t1, w[i + 1] AS t2, count(*)::BIGINT AS c12
+        |  FROM pos GROUP BY 1, 2),
+        |btot AS (SELECT sum(c12)::BIGINT AS btot FROM bi0),
+        |scored AS (
+        |  SELECT b.t1, b.t2, b.c12,
+        |    round(ln((b.c12::HUGEINT * nt.n * nt.n)::DOUBLE
+        |      / (bt.btot::HUGEINT * u1.c * u2.c)::DOUBLE), 4) AS pmi
+        |  FROM bi0 b
+        |  JOIN uni u1 ON b.t1 = u1.t
+        |  JOIN uni u2 ON b.t2 = u2.t
+        |  CROSS JOIN btot bt CROSS JOIN ntot nt
+        |  WHERE b.c12 >= 5),
+        |r AS (
+        |  SELECT *, (row_number() OVER (ORDER BY pmi DESC, t1, t2))::BIGINT
+        |    AS rank
+        |  FROM scored)
+        |SELECT rank, t1, t2, c12, pmi FROM r WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
     // F19 twin: same 1-based bigram construction (DuckDB lists are
     // 1-based; Spark's transform index is 0-based — both read
     // (w[i], w[i+1]) pairs), same smoothed probability sequence,

@@ -684,6 +684,58 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("B30 periodogram: pure period-4 wave peaks at k=2 with power 50") {
+    import spark.implicits._
+    // y = 10 + 5*cos(2*pi*2t/8): centered z = n*y - S = 8y - 80 gives
+    // a(k=2) = 160, b = 0 -> power = 160^2/8^3 = 50; k=1 and k=3
+    // carry ~0 (cos(pi/2) ulps round away at 4dp)
+    val ys = Seq(10L, 5L, 10L, 15L, 10L, 5L, 10L, 15L)
+    val df = ys.zipWithIndex.map { case (y, i) => ("x", i + 1, y) }
+      .toDF("g", "p", "y")
+    val got = graft.operators.Resilience
+      .periodogramOn(graft.operators.Resilience.Series(df, "g", "p", "y"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"kmax=(n-1)/2=3: ${got.keySet}")
+    assert(got(2L) == ((4.0, 50.0, 1L)), s"k=2: ${got(2L)}")
+    assert(got(1L)._2 == 0.0 && got(3L)._2 == 0.0, s"off-harmonics: $got")
+  }
+
+  test("F20 collocations: hand-computed PMI ranks the true phrase first") {
+    import spark.implicits._
+    // corpus: 5x "new york" + one 10-a doc. N=20 tokens, B=14 bigrams;
+    // PMI(new,york) = ln(5*20*20/(14*5*5)) = ln(40/7) beats
+    // PMI(a,a) = ln(9*20*20/(14*10*10)) = ln(18/7)
+    val docs = ((1 to 5).map(i => (i.toLong, "new york")) :+
+      (9L, "a a a a a a a a a a")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.collocations(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.size == 2, s"min-count 5 leaves 2 pairs: $got")
+    assert(got(1L) == (("new", "york", 5L, r4(math.log(40.0 / 7.0)))), s"${got(1L)}")
+    assert(got(2L) == (("a", "a", 9L, r4(math.log(18.0 / 7.0)))), s"${got(2L)}")
+  }
+
+  test("C41 concurrency: overlap peak=3 with closed-interval ties, day offsets") {
+    import spark.implicits._
+    // day 1: u1 [00:00,00:10], u2 [00:05,00:15], u3 [00:10,00:10] -
+    // at 00:10 the +1 lands before u1's -1 -> peak 3. day 2: one
+    // 2-event session (20-min gap stays one session) -> peak 1
+    val rows = Seq(
+      (1L, 1L, "2020-01-01 00:00:00"), (2L, 1L, "2020-01-01 00:10:00"),
+      (3L, 2L, "2020-01-01 00:05:00"), (4L, 2L, "2020-01-01 00:15:00"),
+      (5L, 3L, "2020-01-01 00:10:00"),
+      (6L, 1L, "2020-01-02 10:00:00"), (7L, 1L, "2020-01-02 10:20:00"))
+    val df = rows.toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val got = graft.operators.Cdc.concurrency(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("2020-01-01") == ((3L, 3L)), s"day1: $got")
+    assert(got("2020-01-02") == ((1L, 1L)), s"day2: $got")
+  }
+
   test("A36 chi-square: crafted 2x2 table gives chi2=20, dof=1, exact cells") {
     import spark.implicits._
     // A-X 30, A-Y 10, B-X 10, B-Y 30: all marginals 40, N 80,
