@@ -19,12 +19,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): with
-    // spark.sql.legacy.parquet.nanosAsLong=true it surfaces as Long
-    // nanos; truncate to a µs TIMESTAMP (exactly what DuckDB does when
-    // it reads the same file, so oracles compare bit-equal).
+    // events.ts has shipped as two parquet physical types across
+    // testdata generations: TIMESTAMP(NANOS) (surfaces as Long nanos
+    // under spark.sql.legacy.parquet.nanosAsLong=true — truncate to
+    // µs exactly like DuckDB reading the same file) and plain
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfaces as
+    // TIMESTAMP_NTZ — re-type to the session-UTC instant type, a
+    // wall-clock no-op under the UTC session, so unix_micros/window
+    // functions downstream see the type they expect). Oracles compare
+    // bit-equal under both: DuckDB's naive µs values match either way.
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+        .cast(org.apache.spark.sql.types.TimestampType))
     else df
   }
 
