@@ -915,7 +915,164 @@ object Relational {
       .orderBy($"lineno")
   }
 
+  /** A42 Mann-Whitney U rank-sum test (scipy `mannwhitneyu` twin —
+    * the nonparametric sibling of A40: "did the slice's distribution
+    * move?" without the normality assumption): R-vs-N line-item
+    * prices through the A39 value-domain histogram. Average tie
+    * ranks carried DOUBLED so they stay integers — a tied block of
+    * size c after B predecessors has doubled rank 2B+c+1 — and the
+    * doubled R rank sum Σ cr·(2B+c+1) is an exact decimal(38,0)
+    * product-sum, so 2U = Σ2ranks − nR(nR+1) is integer-exact. The
+    * tie-correction Σ(c³−c) is likewise exact; z's numerator and the
+    * tie-corrected variance are evaluated as ONE pinned single-row
+    * IEEE sequence on identical exact inputs. Shape: one corpus
+    * aggregate to the value histogram, windows over the histogram
+    * (never the corpus), one single-row export. */
+  def mannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vc = Tables.lineitem(s, dir)
+      .filter($"l_returnflag".isin("R", "N"))
+      .select($"l_returnflag".as("flag"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"cents")
+      .agg(sum(when($"flag" === "R", 1L).otherwise(0L)).as("cr"),
+        sum(when($"flag" === "N", 1L).otherwise(0L)).as("cn"))
+      .withColumn("c", $"cr" + $"cn")
+    val wCum = Window.orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = vc
+      .withColumn("b", sum($"c").over(wCum) - $"c") // block predecessors
+      .withColumn("r2", $"b" * 2 + $"c" + 1)        // doubled avg rank
+    val tot = h.groupBy().agg(
+      sum($"cr").as("nr"), sum($"cn").as("nn"),
+      sum(($"cr" * $"r2").cast("decimal(38,0)")).as("sr2"),
+      sum(($"c" * $"c" * $"c" - $"c").cast("decimal(38,0)")).as("ties"))
+    tot.select($"nr", $"nn",
+        ($"sr2" - ($"nr".cast("decimal(38,0)") * ($"nr" + 1))).as("u2"),
+        $"ties",
+        ($"nr" + $"nn").as("n"))
+      .select($"nr".as("n_r"), $"nn".as("n_n"),
+        ($"u2".cast("double") / 2.0).as("u_stat"),
+        round(
+          ($"u2".cast("double") -
+            $"nr".cast("double") * $"nn".cast("double")) /
+          (lit(2.0) * sqrt(
+            $"nr".cast("double") * $"nn".cast("double") / 12.0 *
+              (($"n" + 1).cast("double") -
+                $"ties".cast("double") /
+                  ($"n".cast("double") * ($"n" - 1).cast("double"))))),
+          6).as("z_score"))
+  }
+
+  /** A43 Spearman rank correlation per return flag (scipy `spearmanr`
+    * twin — the monotone-association gate: quantity vs price): both
+    * variables ranked through per-group value-domain histograms with
+    * DOUBLED average tie ranks (the A42 integer trick), rows joined
+    * back to their two rank lookups, then Pearson on the doubled
+    * ranks via exact decimal(38,0) product-sums — n·Σxy − Σx·Σy and
+    * both variance numerators are computed EXACTLY in decimal and
+    * only then cast to double for the one division + sqrt (identical
+    * IEEE sequence both engines; doubling cancels in the ratio).
+    * Shape: two histogram passes + two histogram-sized joins (the
+    * quantity lookup is ~50 rows/group — broadcast; the price lookup
+    * shuffles on (flag, cents) once) + one final aggregate. */
+  def spearman(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("flag"),
+        $"l_quantity".cast("long").as("x"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+    def rank2(v: String): DataFrame = {
+      val wCum = Window.partitionBy($"flag").orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rows.groupBy($"flag", col(v)).agg(count(lit(1)).as("c"))
+        .withColumn("b", sum($"c").over(wCum) - $"c")
+        .select($"flag", col(v), ($"b" * 2 + $"c" + 1).as(s"r_$v"))
+    }
+    val ranked = rows
+      .join(broadcast(rank2("x")), Seq("flag", "x"))
+      .join(rank2("y"), Seq("flag", "y"))
+    ranked.groupBy($"flag")
+      .agg(count(lit(1)).as("n"),
+        sum($"r_x".cast("decimal(38,0)")).as("sx"),
+        sum($"r_y".cast("decimal(38,0)")).as("sy"),
+        sum(($"r_x" * $"r_x").cast("decimal(38,0)")).as("sxx"),
+        sum(($"r_y" * $"r_y").cast("decimal(38,0)")).as("syy"),
+        sum(($"r_x" * $"r_y").cast("decimal(38,0)")).as("sxy"))
+      .select($"flag", $"n",
+        round(
+          ($"n".cast("decimal(38,0)") * $"sxy" - $"sx" * $"sy")
+            .cast("double") /
+          (sqrt(($"n".cast("decimal(38,0)") * $"sxx" - $"sx" * $"sx")
+              .cast("double")) *
+           sqrt(($"n".cast("decimal(38,0)") * $"syy" - $"sy" * $"sy")
+              .cast("double"))), 6).as("rho"))
+      .orderBy($"flag")
+  }
+
+  /** A44 Wald-Wolfowitz runs test per event type (the
+    * randomness-of-sequence gate a telemetry monitor runs: "are the
+    * highs and lows clumping?"): sign of each event's value against
+    * its type's DOUBLED interpolated median (the A37 integer trick —
+    * 2·cents vs med2 compares exactly; exact ties are dropped, the
+    * standard rule), runs counted over the (ts, event_id)-ordered
+    * survivor sequence via one lag window — R, n⁺, n⁻ all
+    * integer-exact. z uses the normal approximation
+    * μ = 1 + 2n₁n₂/n, σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) as one pinned
+    * single-row IEEE sequence. Shape: one histogram median pass, a
+    * 6-row broadcast back, one lag window partitioned by type, one
+    * aggregate. */
+  def runsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.events(s, dir)
+      .select($"event_type", $"event_id", $"ts",
+        round($"value" * 100).cast("long").as("cents"))
+    // doubled interpolated median per type (A37 med2 form)
+    val counts = pts.groupBy($"event_type", $"cents").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = counts
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"),
+        min(when($"cum" >= expr("((n - 1) * 50) div 100") + 1, $"cents"))
+          .as("lo"),
+        min(when($"cum" >= least(expr("((n - 1) * 50) div 100") + 2, $"n"),
+          $"cents")).as("hi"))
+      .select($"event_type",
+        ($"lo" + when(expr("((n - 1) * 50) % 100") === 0, $"lo")
+          .otherwise($"hi")).as("med2"))
+    val signed = pts.join(broadcast(med), Seq("event_type"))
+      .withColumn("sgn", when($"cents" * 2 > $"med2", 1L)
+        .when($"cents" * 2 < $"med2", -1L))
+      .filter($"sgn".isNotNull)
+    val wSeq = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val runs = signed
+      .withColumn("brk",
+        when(lag($"sgn", 1).over(wSeq).isNull ||
+          lag($"sgn", 1).over(wSeq) =!= $"sgn", 1L).otherwise(0L))
+      .groupBy($"event_type")
+      .agg(sum(when($"sgn" === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when($"sgn" === -1L, 1L).otherwise(0L)).as("n_neg"),
+        sum($"brk").as("runs"))
+    val n1 = $"n_pos".cast("double"); val n2 = $"n_neg".cast("double")
+    val nn = n1 + n2
+    val mu = lit(1.0) + lit(2.0) * n1 * n2 / nn
+    val sig2 = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn)) /
+      (nn * nn * (nn - lit(1.0)))
+    runs.select($"event_type", $"n_pos", $"n_neg", $"runs",
+        round(($"runs".cast("double") - mu) / sqrt(sig2), 6).as("z_score"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mannwhitney" -> mannWhitney,
+    "q_spearman" -> spearman,
+    "q_runs_test" -> runsTest,
     "q_ks_test" -> ksTest,
     "q_welch_ttest" -> welchTTest,
     "q_anova" -> anovaF,
@@ -958,6 +1115,126 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A42 twin: identical doubled-rank histogram; 2U and the tie sum
+    // are exact decimals, z is the same pinned scalar sequence
+    "q_mannwhitney" ->
+      """WITH vc AS (
+        |  SELECT round(l_extendedprice * 100)::BIGINT AS cents,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS cr,
+        |    sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)::BIGINT AS cn
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |h AS (
+        |  SELECT cents, cr, cn, cr + cn AS c,
+        |    (sum(cr + cn) OVER (ORDER BY cents))::BIGINT - (cr + cn) AS b
+        |  FROM vc),
+        |tot AS (
+        |  SELECT sum(cr)::BIGINT AS nr, sum(cn)::BIGINT AS nn,
+        |    sum((cr * (b * 2 + c + 1))::DECIMAL(38,0)) AS sr2,
+        |    sum((c * c * c - c)::DECIMAL(38,0)) AS ties
+        |  FROM h)
+        |SELECT nr AS n_r, nn AS n_n,
+        |  (sr2 - nr::DECIMAL(38,0) * (nr + 1))::DOUBLE / 2.0 AS u_stat,
+        |  round(
+        |    ((sr2 - nr::DECIMAL(38,0) * (nr + 1))::DOUBLE
+        |       - nr::DOUBLE * nn::DOUBLE) /
+        |    (2.0 * sqrt(nr::DOUBLE * nn::DOUBLE / 12.0 *
+        |      ((nr + nn + 1)::DOUBLE
+        |        - ties::DOUBLE / ((nr + nn)::DOUBLE * (nr + nn - 1)::DOUBLE)))),
+        |    6) AS z_score
+        |FROM tot""".stripMargin,
+    // A43 twin: same two doubled-rank lookups joined back, Pearson
+    // numerators exact in DECIMAL before the one double divide
+    "q_spearman" ->
+      """WITH rows_ AS (
+        |  SELECT l_returnflag AS flag, l_quantity::BIGINT AS x,
+        |    round(l_extendedprice * 100)::BIGINT AS y
+        |  FROM lineitem),
+        |rx AS (
+        |  SELECT flag, x,
+        |    ((sum(c) OVER (PARTITION BY flag ORDER BY x)) - c) * 2 + c + 1
+        |      AS r_x
+        |  FROM (SELECT flag, x, count(*)::BIGINT AS c FROM rows_
+        |        GROUP BY 1, 2)),
+        |ry AS (
+        |  SELECT flag, y,
+        |    ((sum(c) OVER (PARTITION BY flag ORDER BY y)) - c) * 2 + c + 1
+        |      AS r_y
+        |  FROM (SELECT flag, y, count(*)::BIGINT AS c FROM rows_
+        |        GROUP BY 1, 2)),
+        |j AS (
+        |  SELECT rows_.flag, r_x, r_y FROM rows_
+        |  JOIN rx ON rows_.flag = rx.flag AND rows_.x = rx.x
+        |  JOIN ry ON rows_.flag = ry.flag AND rows_.y = ry.y),
+        |g AS (
+        |  SELECT flag, count(*)::BIGINT AS n,
+        |    sum(r_x::DECIMAL(38,0)) AS sx, sum(r_y::DECIMAL(38,0)) AS sy,
+        |    sum((r_x * r_x)::DECIMAL(38,0)) AS sxx,
+        |    sum((r_y * r_y)::DECIMAL(38,0)) AS syy,
+        |    sum((r_x * r_y)::DECIMAL(38,0)) AS sxy
+        |  FROM j GROUP BY 1)
+        |SELECT flag, n,
+        |  round((n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE /
+        |    (sqrt((n::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE) *
+        |     sqrt((n::DECIMAL(38,0) * syy - sy * sy)::DOUBLE)), 6) AS rho
+        |FROM g ORDER BY flag""".stripMargin,
+    // A44 twin: doubled-median signs, lag over the same (ts,
+    // event_id) order, identical z scalar sequence
+    "q_runs_test" ->
+      """WITH pts AS (
+        |  SELECT event_type, event_id, ts,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |c1 AS (
+        |  SELECT event_type, cents, count(*)::BIGINT AS c
+        |  FROM pts GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, cents,
+        |    (sum(c) OVER (PARTITION BY event_type ORDER BY cents))::BIGINT
+        |      AS cum,
+        |    (sum(c) OVER (PARTITION BY event_type))::BIGINT AS n
+        |  FROM c1),
+        |med AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum >= ((n - 1) * 50) // 100 + 1 THEN cents END)
+        |      AS lo,
+        |    min(CASE WHEN cum >= least(((n - 1) * 50) // 100 + 2, n)
+        |      THEN cents END) AS hi,
+        |    CASE WHEN max(((n - 1) * 50) % 100) = 0 THEN 1 ELSE 0 END
+        |      AS exact_
+        |  FROM cum GROUP BY 1),
+        |m2 AS (
+        |  SELECT event_type,
+        |    lo + (CASE WHEN exact_ = 1 THEN lo ELSE hi END) AS med2
+        |  FROM med),
+        |signed AS (
+        |  SELECT pts.event_type, ts, event_id,
+        |    CASE WHEN cents * 2 > med2 THEN 1
+        |         WHEN cents * 2 < med2 THEN -1 END AS sgn
+        |  FROM pts JOIN m2 ON pts.event_type = m2.event_type
+        |  WHERE cents * 2 <> med2),
+        |runs_ AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |    sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+        |    sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0
+        |      END)::BIGINT AS runs
+        |  FROM (
+        |    SELECT event_type, sgn,
+        |      lag(sgn) OVER (PARTITION BY event_type
+        |        ORDER BY ts, event_id) AS prev
+        |    FROM signed)
+        |  GROUP BY 1)
+        |SELECT event_type, n_pos, n_neg, runs,
+        |  round((runs::DOUBLE
+        |      - (1.0 + 2.0 * n_pos::DOUBLE * n_neg::DOUBLE
+        |         / (n_pos::DOUBLE + n_neg::DOUBLE))) /
+        |    sqrt((2.0 * n_pos::DOUBLE * n_neg::DOUBLE
+        |        * (2.0 * n_pos::DOUBLE * n_neg::DOUBLE
+        |           - (n_pos::DOUBLE + n_neg::DOUBLE))) /
+        |      ((n_pos::DOUBLE + n_neg::DOUBLE)
+        |        * (n_pos::DOUBLE + n_neg::DOUBLE)
+        |        * (n_pos::DOUBLE + n_neg::DOUBLE - 1.0))), 6) AS z_score
+        |FROM runs_ ORDER BY event_type""".stripMargin,
     // struct-extremum twin: (bal, custkey) tuple order == Spark's
     // struct field order, so ties break identically
     // type-1 inverse-CDF over exact integer cents; ⌈p·n⌉ is the same

@@ -797,4 +797,76 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byDigit(1L) == 301030L && byDigit(9L) == 45757L, s"$byDigit")
     assert(got.forall(x => x._5 == x._3 - x._4), "dev must be freq - benford")
   }
+
+  test("A42 Mann-Whitney: doubled tie ranks, hand-computed U and z") {
+    import spark.implicits._
+    // R = {1,2,3}, N = {2,3,4} dollars. Doubled avg ranks over the
+    // union: 100→2, 200→5 (avg 2.5), 300→9 (4.5), 400→12. R's
+    // doubled rank sum = 2+5+9 = 16 → 2U = 16 − 3·4 = 4, U = 2.
+    // ties Σ(c³−c) = 6+6 = 12 over blocks {1,2,2,1}; the 'A' row is
+    // excluded like A39
+    val rows = Seq(("R", 1.0), ("R", 2.0), ("R", 3.0),
+      ("N", 2.0), ("N", 3.0), ("N", 4.0), ("A", 9.0))
+    val df = rows.zipWithIndex.map { case ((f, p), i) => (i.toLong, f, p) }
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("mwu").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Relational.mannWhitney(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got.head
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L, r.mkString(","))
+    assert(r.getDouble(2) == 2.0, s"U: ${r.mkString(",")}")
+    // identical IEEE sequence as the operator: (2U − nRnN)/(2σ)
+    val z = (4.0 - 9.0) / (2.0 * math.sqrt(
+      3.0 * 3.0 / 12.0 * (7.0 - 12.0 / (6.0 * 5.0))))
+    assert(r.getDouble(3) == r6(z), s"z: ${r.mkString(",")} vs ${r6(z)}")
+  }
+
+  test("A43 Spearman: perfect monotone gives ±1 through tied doubled ranks") {
+    import spark.implicits._
+    // R: y strictly decreasing in x → rho = −1; N: x has a tie and y
+    // ties along with it → Pearson-on-ranks still exactly +1
+    val rows = Seq(
+      ("R", 1L, 3.00), ("R", 2L, 2.00), ("R", 3L, 1.00),
+      ("N", 1L, 5.00), ("N", 1L, 5.00), ("N", 2L, 9.00))
+    val df = rows.zipWithIndex.map { case ((f, x, y), i) => (i.toLong, f, x, y) }
+      .toDF("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("spear").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Relational.spearman(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got("R") == ((3L, -1.0)), s"R: ${got("R")}")
+    assert(got("N") == ((3L, 1.0)), s"N: ${got("N")}")
+  }
+
+  test("A44 runs test: alternation maxes runs, clumps minimize, all-tied group vanishes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // a: 1,9 alternating ×4 → median 5, signs alternate → runs=8;
+    // c: 1,1,9,9 → runs=2; b: all equal → every row is a median tie,
+    // dropped → the group emits NO row
+    def mk(t: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) => (t, (t.hashCode.toLong << 8) + i, i, v) }
+    val rows = mk("a", Seq(1, 9, 1, 9, 1, 9, 1, 9.0)) ++
+      mk("b", Seq(5, 5, 5.0)) ++ mk("c", Seq(1, 1, 9, 9.0))
+    val df = rows.toDF("event_type", "event_id", "i", "value")
+      .withColumn("ts",
+        expr("to_timestamp('2024-01-01') + make_interval(0, 0, 0, 0, 0, 0, i)"))
+      .select("event_type", "event_id", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("runs").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Relational.runsTest(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set("a", "c"), s"groups: ${got.keySet}")
+    val za = (8.0 - (1.0 + 2.0 * 16.0 / 8.0)) / math.sqrt(
+      (2.0 * 16.0 * (2.0 * 16.0 - 8.0)) / (8.0 * 8.0 * 7.0))
+    assert(got("a") == ((4L, 4L, 8L, r6(za))), s"a: ${got("a")} vs ${r6(za)}")
+    val zc = (2.0 - (1.0 + 2.0 * 4.0 / 4.0)) / math.sqrt(
+      (2.0 * 4.0 * (2.0 * 4.0 - 4.0)) / (4.0 * 4.0 * 3.0))
+    assert(got("c") == ((2L, 2L, 2L, r6(zc))), s"c: ${got("c")} vs ${r6(zc)}")
+  }
 }
