@@ -18,12 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Resilience.queries ++ Cdc.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries
+      Multimodal.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Resilience.oracles ++ Cdc.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++ Graph.oracles
 }

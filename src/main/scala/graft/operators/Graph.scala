@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
 /** Distributed graph primitives needed by the dedup pipeline
   * (SURVEY.md §2.D8): near-dup PAIRS are only half the job — a
@@ -179,4 +180,212 @@ object Graph {
       .join(e.select($"a".as("id"), $"b".as("c")), Seq("id"), "left")
       .select($"id", coalesce($"c", $"id").as("component"))
   }
+
+  /** PageRank over a directed edge list (Brin/Page 1998 — the quality
+    * prior a web-corpus pipeline feeds into sampling weights) in
+    * FIXED-POINT integer arithmetic: ranks live in 10⁻¹² units
+    * (r₀ = 10¹², reset 0.15 = 1.5·10¹¹), contributions are r div
+    * outdeg and the damping step is (Σ·17) div 20 — every operation
+    * is exact BIGINT, so the incoming-contribution sum is ASSOCIATIVE
+    * and COMMUTATIVE and the usual floating determinism problem (sum
+    * order across engines/partitions) vanishes without ordered folds:
+    * each iteration is ONE broadcast-joined scan of the cached edge
+    * list + ONE map-side-combinable long-sum aggregate shuffled on
+    * node id, the plan you want on a 10¹¹-edge web graph. (The div
+    * floors shave < 10⁻¹² per term vs the real-valued recurrence —
+    * a documented quantization, not drift: both engines compute the
+    * identical integers. Near 10⁹ in-edges per node the Σ·17 product
+    * approaches int64; switch the sum to decimal(38,0) — the C18
+    * posture.) Dangling mass is NOT redistributed (per-node formula
+    * variant, documented contract). Per-source weights are computed
+    * on the SOURCE-sized frame so AQE broadcasts them; the edge list
+    * never shuffles for the join. Lineage checkpoint-truncated per
+    * round ([[truncate]]).
+    *
+    * @param edges (src, dst) directed pairs; duplicates collapsed
+    * @return (node, r_fp) fixed-point 10⁻¹² rank per node
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val e = edges.select($"src", $"dst").distinct().persist()
+    val deg = e.groupBy($"src")
+      .agg(count(lit(1)).as("outdeg")).persist()
+    val nodes = e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct().persist()
+    var ranks = nodes.select($"node", lit(1000000000000L).as("r"))
+    for (i <- 1 to iters) {
+      val w = deg.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select($"src", expr("r div outdeg").as("contrib"))
+      val sums = e.join(w, "src")
+        .groupBy($"dst").agg(sum($"contrib").as("s"))
+      ranks = nodes
+        .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select($"node",
+          (lit(150000000000L) +
+            expr("coalesce(s, 0L) * 17 div 20")).as("r"))
+      // each round references the previous ranks ONCE, so the plan
+      // grows linearly, not exponentially — truncate every 4th round
+      // (and on exit) to bound optimizer time without paying an eager
+      // materialization job per round
+      if (i % 4 == 0 || i == iters) ranks = truncate(ranks)
+    }
+    deg.unpersist(); nodes.unpersist(); e.unpersist()
+    ranks
+  }
+
+  /** Per-node triangle counts by DEGREE-ORIENTED wedge enumeration
+    * (Schank/Wagner "forward" / Latapy compact-forward — the standard
+    * O(E^{3/2}) bound): every undirected edge is directed from its
+    * (degree, id)-smaller endpoint to the larger, so each node's
+    * out-neighborhood is O(√E) even at power-law hubs and the wedge
+    * join never explodes on a high-degree node — THE property that
+    * lets triangle counting survive a web-scale co-occurrence graph.
+    * Wedges pair two out-neighbors of u (ordered by the same
+    * (degree, id) key so each triangle is generated exactly once) and
+    * close via one semi-join against the oriented edge set. All
+    * integer counts — no float anywhere.
+    *
+    * @param edges (src, dst) pairs, either orientation, dupes/loops ok
+    * @return (node, triangles) for every edge endpoint, zeros included
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val canon = edges
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val deg = canon.select($"a".as("node"))
+      .union(canon.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select($"node".as("a"), $"d".as("da")), "a")
+      .join(deg.select($"node".as("b"), $"d".as("db")), "b")
+    val fwd = withDeg.select(
+      when(struct($"da", $"a") < struct($"db", $"b"), $"a").otherwise($"b")
+        .as("u"),
+      when(struct($"da", $"a") < struct($"db", $"b"), $"b").otherwise($"a")
+        .as("v"),
+      when(struct($"da", $"a") < struct($"db", $"b"), $"db").otherwise($"da")
+        .as("dv")).persist()
+    val wedges = fwd.select($"u", $"v".as("x"), $"dv".as("dx"))
+      .join(fwd.select($"u", $"v".as("y"), $"dv".as("dy")), Seq("u"))
+      .filter(struct($"dx", $"x") < struct($"dy", $"y"))
+    val tri = wedges.join(fwd.select($"u".as("x"), $"v".as("y")),
+      Seq("x", "y"), "left_semi")
+    val perNode = tri.select($"u".as("node"))
+      .union(tri.select($"x".as("node")))
+      .union(tri.select($"y".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("triangles"))
+    val out = deg.select($"node")
+      .join(perNode, Seq("node"), "left")
+      .select($"node", coalesce($"triangles", lit(0L)).as("triangles"))
+    fwd.unpersist()
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // Driver-contract adapters (SURVEY.md §2 — graded graph queries)
+  // ------------------------------------------------------------------
+
+  /** q_pagerank: 5 PageRank iterations over the supplier→customer
+    * trade graph (edges = distinct (l_suppkey, o_custkey) pairs via
+    * the order key; 's'/'c' prefixes keep the two key spaces
+    * disjoint). */
+  def pageRankTrade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(concat(lit("s"), $"l_suppkey".cast("string")).as("src"),
+        concat(lit("c"), $"o_custkey".cast("string")).as("dst"))
+    pageRank(edges, 5)
+      .select($"node", $"r".as("rank_fp"),
+        round($"r".cast("double") / 1e12, 6).as("rank"))
+      .orderBy($"node")
+  }
+
+  /** q_triangles: per-part triangle counts over the co-order graph
+    * (parts are adjacent when some order contains both). */
+  def trianglesCoOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    triangleCounts(edges)
+      .select($"node".cast("long").as("part"), $"triangles")
+      .orderBy($"part")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> pageRankTrade,
+    "q_triangles" -> trianglesCoOrder)
+
+  /** Unrolled 5-iteration PageRank CTE chain — the identical
+    * fixed-point integer recurrence, so every rank is the same
+    * BIGINT with no float anywhere until the export division. */
+  private def pageRankSql(iters: Int): String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (
+        |  SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (
+        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |r0 AS (SELECT node, 1000000000000::BIGINT AS r FROM nodes)"""
+        .stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    (150000000000 + coalesce(c.s, 0) * 17 // 20)::BIGINT AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, sum(rr.r // d.outdeg)::BIGINT AS s
+         |    FROM edges e
+         |    JOIN deg d ON e.src = d.src
+         |    JOIN r${i - 1} rr ON rr.node = e.src
+         |    GROUP BY e.dst) c ON n.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iterCtes
+       |SELECT node, r AS rank_fp,
+       |  round(r::DOUBLE / 1e12, 6) AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" -> pageRankSql(5),
+    // degree-oriented forward counting, integer-exact throughout
+    "q_triangles" ->
+      """WITH canon AS (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey)::BIGINT AS a,
+        |    greatest(x.l_partkey, y.l_partkey)::BIGINT AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS d FROM (
+        |    SELECT a AS node FROM canon
+        |    UNION ALL SELECT b FROM canon) GROUP BY 1),
+        |fwd AS (
+        |  SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
+        |    CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS v,
+        |    CASE WHEN (da.d, a) < (db.d, b) THEN db.d ELSE da.d END AS dv
+        |  FROM canon
+        |  JOIN deg da ON da.node = a
+        |  JOIN deg db ON db.node = b),
+        |tri AS (
+        |  SELECT e1.u, e1.v AS x, e2.v AS y
+        |  FROM fwd e1 JOIN fwd e2
+        |    ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+        |  WHERE EXISTS (SELECT 1 FROM fwd f
+        |    WHERE f.u = e1.v AND f.v = e2.v)),
+        |per_node AS (
+        |  SELECT node, count(*)::BIGINT AS triangles FROM (
+        |    SELECT u AS node FROM tri
+        |    UNION ALL SELECT x FROM tri
+        |    UNION ALL SELECT y FROM tri) GROUP BY 1)
+        |SELECT deg.node AS part, coalesce(triangles, 0)::BIGINT AS triangles
+        |FROM deg LEFT JOIN per_node ON deg.node = per_node.node
+        |ORDER BY part""".stripMargin)
 }

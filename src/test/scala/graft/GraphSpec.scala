@@ -95,4 +95,55 @@ class GraphSpec extends AnyFunSuite {
       assert(ms.forall(_._4 == ms.length), s"cluster $cid n_members wrong")
     }
   }
+
+  test("pageRank: hand-folded two fixed-point iterations, dangling source at reset") {
+    import spark.implicits._
+    // a→b, a→c, b→c: a has no in-links (rank locks to the 0.15 reset
+    // = 15·10¹⁰ after one iteration); the spec replays the identical
+    // integer recurrence driver-side
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val got = Graph.pageRank(edges, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val R = 150000000000L
+    def step(s: Long) = R + s * 17 / 20
+    val r1 = Map("a" -> R,
+      "b" -> step(1000000000000L / 2),
+      "c" -> step(1000000000000L / 2 + 1000000000000L / 1))
+    val r2 = Map("a" -> R,
+      "b" -> step(r1("a") / 2),
+      "c" -> step(r1("a") / 2 + r1("b") / 1))
+    for ((k, v) <- r2) assert(got(k) == v, s"$k: ${got(k)} vs $v")
+  }
+
+  test("pageRank collapses duplicate edges; disconnected node holds reset") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("a", "b"), ("x", "y")).toDF("src", "dst")
+    val got = Graph.pageRank(edges, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val R = 150000000000L
+    // a→b deduped: outdeg(a) = 1, so b's fixpoint is R + (R·17) div 20
+    assert(got("b") == R + R * 17 / 20, s"b: ${got("b")}")
+    assert(got("b") == got("y"), "identical structure, identical rank")
+    assert(got("a") == R && got("x") == R)
+  }
+
+  test("triangleCounts: K4 minus an edge, orientation-independent input") {
+    import spark.implicits._
+    // edges 12,13,14,23,24 (some reversed, one duplicated, one loop):
+    // triangles {1,2,3} and {1,2,4} → counts 1:2 2:2 3:1 4:1
+    val edges = Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (2L, 1L), (3L, 3L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), s"got $got")
+  }
+
+  test("triangleCounts: triangle-free star and path report zeros") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (5L, 6L), (6L, 7L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    assert(got.values.forall(_ == 0L), s"got $got")
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 5L, 6L, 7L))
+  }
 }
