@@ -642,10 +642,31 @@ object Cdc {
       .orderBy($"cohort")
   }
 
+  /** C42 GDPR erasure over the versioned history (the
+    * right-to-be-forgotten pass every regulated CDC deployment runs):
+    * remove EVERY version of every requested key from the C3 SCD2
+    * history — not just current state; retention law applies to the
+    * history table too. The request set is broadcast (it is
+    * request-sized, never corpus-sized) and the purge is one
+    * anti-join; surviving users' version chains are untouched —
+    * `lead` windows are per-user, so purging user A cannot re-close
+    * or re-open user B's versions (spec-pinned). At 100 TB this
+    * composes with H13's copy-on-write merge: the anti-join output
+    * rewrites only partitions containing requested keys. */
+  def forget(events: DataFrame, forgetUsers: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    scd2(events)
+      .join(broadcast(forgetUsers.select($"user_id").distinct()),
+        Seq("user_id"), "left_anti")
+      .orderBy($"user_id", $"event_id")
+  }
+
   private def onEvents(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.events(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_forget" -> onEvents(e =>
+      forget(e, e.filter(col("user_id") % 10 === 3))),
     "cdc_session_attrib" -> onEvents(sessionAttrib),
     "cdc_dow_histogram" -> onEvents(dowHistogram),
     "cdc_asof_join" -> onEvents(asofJoin),
@@ -687,6 +708,17 @@ object Cdc {
       |  FROM flagged)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // C42 twin: per-user windows make pre- vs post-window purge
+    // equivalent; the twin filters first (cheaper), same rows out
+    "cdc_forget" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts), 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us,
+        |  (lead(epoch_us(ts), 1) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id)) IS NULL AS is_current
+        |FROM events WHERE user_id % 10 <> 3
+        |ORDER BY user_id, event_id""".stripMargin,
     // lateness of each row vs the running event-time max in ARRIVAL
     // (event_id) order — exact integer µs both engines
     "cdc_late_audit" ->

@@ -1049,7 +1049,77 @@ object Resilience {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** B31 Bollinger bands with integer-exact breach flags (the
+    * mean±2σ envelope a telemetry monitor draws): 20-row trailing
+    * window per user, POPULATION σ (the Bollinger convention). The
+    * breach test never touches a float — (n·v − Σx)² > 4·(n·Σx² −
+    * (Σx)²) over cent BIGINTs is the exact square of |v−mean| > 2σ_pop
+    * (the B22/q_corr closed-form trick), with the side from the sign
+    * of n·v − Σx — so flagged rows are bit-deterministic in both
+    * engines; the exported band edges are one identical IEEE sequence
+    * over the same integers. Full-window rows only. ONE window pass
+    * partitioned by user. */
+  def bollinger(events: DataFrame, window: Int = 20): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(-(window - 1), Window.currentRow)
+    events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        round($"value" * 100).cast("long").as("vc"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("sx", sum($"vc").over(w))
+      .withColumn("sxx", sum($"vc" * $"vc").over(w))
+      .filter($"n_win" === window)
+      .withColumn("dev_n", $"n_win" * $"vc" - $"sx") // n·(v − mean)
+      .withColumn("var_nn", $"n_win" * $"sxx" - $"sx" * $"sx") // n²σ²
+      .withColumn("breach",
+        when($"dev_n" * $"dev_n" > lit(4L) * $"var_nn",
+          when($"dev_n" > 0, 1L).otherwise(-1L)).otherwise(0L))
+      .withColumn("mean_val",
+        $"sx".cast("double") / ($"n_win".cast("double") * 100.0))
+      .withColumn("sigma",
+        sqrt($"var_nn".cast("double")) /
+          ($"n_win".cast("double") * 100.0))
+      .select($"user_id", $"event_id", $"ts_us",
+        round($"mean_val", 4).as("mid"),
+        round($"mean_val" - lit(2.0) * $"sigma", 4).as("lower"),
+        round($"mean_val" + lit(2.0) * $"sigma", 4).as("upper"),
+        $"breach")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** B32 RSI, Cutler's SMA variant (the 100·SG/(SG+SL) momentum
+    * oscillator; Cutler's simple-average form rather than Wilder's
+    * recursive smoothing PRECISELY so the whole statistic stays in
+    * integers): per-user deltas via one lag, 14-row trailing gain/
+    * loss sums in BIGINT cents, RSI exported as integer ppm —
+    * rsi_ppm = SG·10⁶ div (SG+SL) — so there is NO float anywhere
+    * and no engine rounding rule in play. Null until the window is
+    * full or when the window is flat (SG+SL = 0, the standard
+    * undefined case). Two window passes (lag + rolling sums) over
+    * the same per-user order. */
+  def rsi(events: DataFrame, window: Int = 14): DataFrame = {
+    import events.sparkSession.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val wSum = wOrd.rowsBetween(-(window - 1), Window.currentRow)
+    events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        round($"value" * 100).cast("long").as("vc"))
+      .withColumn("delta", $"vc" - lag($"vc", 1).over(wOrd))
+      .withColumn("gain", when($"delta" > 0, $"delta").otherwise(0L))
+      .withColumn("loss", when($"delta" < 0, -$"delta").otherwise(0L))
+      .withColumn("n_d", count($"delta").over(wSum))
+      .withColumn("sg", sum($"gain").over(wSum))
+      .withColumn("sl", sum($"loss").over(wSum))
+      .select($"user_id", $"event_id", $"ts_us",
+        when($"n_d" === window && ($"sg" + $"sl") > 0,
+          expr("sg * 1000000 div (sg + sl)")).as("rsi_ppm"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bollinger" -> ((s, dir) => bollinger(Tables.events(s, dir))),
+    "q_rsi" -> ((s, dir) => rsi(Tables.events(s, dir))),
     "q_rolling_corr" -> ((s, dir) => rollingAutocorr(Tables.events(s, dir))),
     "q_cusum" -> ((s, dir) => cusumDrift(Tables.events(s, dir))),
     "q_ffill_gaps" -> ((s, dir) => ffillDaily(Tables.events(s, dir))),
@@ -1092,6 +1162,63 @@ object Resilience {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B31 twin: identical integer breach predicate, identical IEEE
+    // band expressions over the same BIGINTs
+    "q_bollinger" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    round(value * 100)::BIGINT AS vc
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, ts_us, vc,
+        |    count(*) OVER win::BIGINT AS n_win,
+        |    sum(vc) OVER win::BIGINT AS sx,
+        |    sum(vc * vc) OVER win::BIGINT AS sxx
+        |  FROM v
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |d AS (
+        |  SELECT user_id, event_id, ts_us, n_win, sx,
+        |    n_win * vc - sx AS dev_n,
+        |    n_win * sxx - sx * sx AS var_nn
+        |  FROM w WHERE n_win = 20)
+        |SELECT user_id, event_id, ts_us,
+        |  round(sx::DOUBLE / (n_win::DOUBLE * 100.0), 4) AS mid,
+        |  round(sx::DOUBLE / (n_win::DOUBLE * 100.0)
+        |    - 2.0 * (sqrt(var_nn::DOUBLE) / (n_win::DOUBLE * 100.0)), 4)
+        |    AS lower,
+        |  round(sx::DOUBLE / (n_win::DOUBLE * 100.0)
+        |    + 2.0 * (sqrt(var_nn::DOUBLE) / (n_win::DOUBLE * 100.0)), 4)
+        |    AS upper,
+        |  CASE WHEN dev_n * dev_n > 4 * var_nn
+        |       THEN CASE WHEN dev_n > 0 THEN 1 ELSE -1 END
+        |       ELSE 0 END::BIGINT AS breach
+        |FROM d ORDER BY user_id, event_id""".stripMargin,
+    // B32 twin: all-integer Cutler RSI, ppm export
+    "q_rsi" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    round(value * 100)::BIGINT AS vc
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    vc - lag(vc) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS delta
+        |  FROM v),
+        |g AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    count(delta) OVER win::BIGINT AS n_d,
+        |    sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) OVER win::BIGINT
+        |      AS sg,
+        |    sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END) OVER win::BIGINT
+        |      AS sl
+        |  FROM d
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts_us,
+        |  CASE WHEN n_d = 14 AND sg + sl > 0
+        |       THEN sg * 1000000 // (sg + sl) END AS rsi_ppm
+        |FROM g ORDER BY user_id, event_id""".stripMargin,
     "q_ewma" ->
       """WITH v AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

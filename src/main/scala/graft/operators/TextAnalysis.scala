@@ -626,10 +626,31 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** F21 per-domain document cap (the anti-domination rule every
+    * web-corpus recipe applies — no single host may contribute more
+    * than K documents, C4/RefinedWeb-style): keep each source's top-K
+    * by the F2 integer quality score, ties broken by doc_id, so the
+    * selection is bit-deterministic. ONE window pass partitioned by
+    * source over the integer score — at 100 TB this is a top-K per
+    * group, never a global sort; a pathological mega-domain still
+    * bounds its partition at its own doc count, and the F14 bucketed
+    * decomposition applies if one source exceeds a task. */
+  def domainCap(docs: DataFrame, k: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    withQualityCols(docs)
+      .withColumn("rk", row_number().over(
+          Window.partitionBy($"source")
+            .orderBy($"score_ppm".desc, $"doc_id")).cast("long"))
+      .filter($"rk" <= k)
+      .select($"source", $"doc_id", $"score_ppm", $"rk")
+      .orderBy($"source", $"rk")
+  }
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_domain_cap" -> onDocs(d => domainCap(d)),
     "text_split_assign" -> onDocs(splitAssign),
     "text_profile" -> onDocs(profile),
     "text_tfidf" -> onDocs(tfidf),
@@ -667,6 +688,16 @@ object TextAnalysis {
       |    FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // F21 twin: same integer score, same (score DESC, doc_id) rank
+    "text_domain_cap" ->
+      s"""WITH $scoreCteSql,
+         |r AS (
+         |  SELECT source, doc_id, score_ppm,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY score_ppm DESC, doc_id)::BIGINT AS rk
+         |  FROM sc)
+         |SELECT source, doc_id, score_ppm, rk
+         |FROM r WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
     // the oracle uses the one-window form; the Spark side's bucketed
     // two-phase decomposition is exact integer math, so they agree
     // bit-for-bit

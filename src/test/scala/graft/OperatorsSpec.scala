@@ -869,4 +869,95 @@ class OperatorsSpec extends AnyFunSuite {
       (2.0 * 4.0 * (2.0 * 4.0 - 4.0)) / (4.0 * 4.0 * 3.0))
     assert(got("c") == ((2L, 2L, 2L, r6(zc))), s"c: ${got("c")} vs ${r6(zc)}")
   }
+
+  private def eventsFixture(rows: Seq[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val flat = rows.flatMap { case (uid, vs) => vs.zipWithIndex.map {
+      case (v, i) => (uid, uid * 1000 + i, i, v) } }
+    val df = flat.toDF("user_id", "event_id", "i", "value")
+      .withColumn("ts",
+        expr("to_timestamp('2024-01-01') + make_interval(0, 0, 0, 0, 0, 0, i)"))
+      .select("user_id", "event_id", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("evfix").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("B31 Bollinger: hand-computed breach on a spike, flat window silent, short series excluded") {
+    // u1: 19×5.00 then 6.00 — dev_n=1900, var_nn=190000 →
+    // 1900² > 4·190000 → breach +1; u2: 20×5.00 → var 0, breach 0;
+    // u3: 19 rows → below the window, no output
+    val dir = eventsFixture(Seq(
+      1L -> (Seq.fill(19)(5.00) :+ 6.00),
+      2L -> Seq.fill(20)(5.00),
+      3L -> Seq.fill(19)(5.00)))
+    val got = graft.operators.Resilience.bollinger(
+        graft.sources.Tables.events(spark, dir))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L), s"users: ${got.keySet}")
+    val sigma = math.sqrt(190000.0) / (20.0 * 100.0)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((5.05, r4(5.05 - 2.0 * sigma), r4(5.05 + 2.0 * sigma), 1L)),
+      s"u1: ${got(1L)}")
+    assert(got(2L) == ((5.0, 5.0, 5.0, 0L)), s"u2: ${got(2L)}")
+  }
+
+  test("B32 RSI: monotone up = 1e6 ppm, down = 0, alternation = 500000, short = null") {
+    // 15 points: 14 deltas fill the window exactly at the last row
+    val up = (1 to 15).map(i => 10.0 + i)
+    val down = (1 to 15).map(i => 50.0 - i)
+    val alt = (1 to 15).map(i => if (i % 2 == 0) 11.0 else 10.0)
+    val dir = eventsFixture(Seq(1L -> up, 2L -> down, 3L -> alt,
+      4L -> Seq(1.0, 2.0, 3.0)))
+    val got = graft.operators.Resilience.rsi(
+        graft.sources.Tables.events(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val byUser = got.groupBy(_._1)
+    // only the 15th row of each full series carries a value
+    assert(byUser(1L).flatMap(_._3).toSeq == Seq(1000000L))
+    assert(byUser(2L).flatMap(_._3).toSeq == Seq(0L))
+    assert(byUser(3L).flatMap(_._3).toSeq == Seq(500000L))
+    assert(byUser(4L).flatMap(_._3).isEmpty, "short series must stay null")
+    assert(got.count(_._3.isDefined) == 3)
+  }
+
+  test("F21 domain cap keeps exactly top-3 by (quality score desc, doc_id)") {
+    import spark.implicits._
+    // 5 docs per source with strictly different stopword densities;
+    // the cap must agree with the independently-spec'd quality() order
+    val mk = (n: Int) => ("the and of " * n) + ("zzz " * (12 - n))
+    val docs = (0 until 10).map { i =>
+      (i.toLong, mk(i % 5 + 1), "en", s"src${i / 5}", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextAnalysis.domainCap(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.count(_._1 == "src0") == 3 && got.count(_._1 == "src1") == 3)
+    val scores = graft.operators.TextAnalysis.quality(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    for (src <- Seq("src0", "src1")) {
+      val ids = (0 until 10).map(_.toLong)
+        .filter(d => (if (d < 5) "src0" else "src1") == src)
+      val want = ids.sortBy(d => (-scores(d), d)).take(3)
+      val kept = got.filter(_._1 == src).sortBy(_._3).map(_._2).toSeq
+      assert(kept == want, s"$src: kept $kept want $want")
+    }
+  }
+
+  test("C42 forget purges every version of requested keys, survivors bit-identical") {
+    val dir = eventsFixture(Seq(
+      1L -> Seq(1.0, 2.0, 3.0), 2L -> Seq(4.0, 5.0), 3L -> Seq(6.0)))
+    import spark.implicits._
+    val ev = graft.sources.Tables.events(spark, dir)
+    val purged = graft.operators.Cdc.forget(ev, Seq(2L).toDF("user_id"))
+      .collect().map(_.toSeq)
+    assert(!purged.exists(_.head == 2L), "no version of user 2 may survive")
+    val full = graft.operators.Cdc.scd2(ev)
+      .filter($"user_id" =!= 2L).collect().map(_.toSeq)
+    assert(purged.toSeq == full.toSeq,
+      "survivors' version chains must be untouched by the purge")
+  }
 }
