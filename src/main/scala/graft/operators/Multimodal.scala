@@ -156,6 +156,31 @@ object Multimodal {
   def decodeAssets(s: SparkSession, dir: String): Dataset[DecodedAsset] =
     decodeWith(binaryMeta(s, dir), FakeCodec)
 
+  /** H20 raw-media directory ingest through Spark's `binaryFile`
+    * source — the missing first hop before G2/G4: files on a
+    * lake path become (doc_id, payload, file_name, n_bytes) asset
+    * rows with a STABLE content address (xxhash64 of path + length +
+    * mtime is deliberately avoided — the id must survive a copy, so
+    * it hashes the BYTES). binaryFile assigns one file per task
+    * split (no mid-file splits — correct for opaque media), prunes
+    * by `pathGlobFilter`, and recurses with `recursiveFileLookup`;
+    * compose with [[sniffHeaders]] for mime and [[decodeWith]] for
+    * pixels. At 100 TB the pattern is this source for the raw zone,
+    * then a parquet/binary column rewrite (G1 contract) so later
+    * passes read columnar. */
+  def readBinaryDir(s: SparkSession, path: String,
+      glob: String = "*"): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(path)
+      .select(xxhash64($"content").as("doc_id"),
+        $"content".as("payload"),
+        element_at(split($"path", "/"), -1).as("file_name"),
+        $"length".as("n_bytes"))
+  }
+
   /** One sampled "frame" from a media payload. */
   case class Frame(doc_id: Long, frame_idx: Int, offset: Long, checksum: Long)
 

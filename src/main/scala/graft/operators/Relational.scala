@@ -1069,7 +1069,50 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** A45 2-D skyline / Pareto frontier ("cheapest AND smallest" —
+    * the dominance query behind best-offer pickers and
+    * multi-objective pruning): minimize (price, quantity) over the
+    * distinct value pairs. NOT the naive quadratic dominance
+    * self-join: on distinct points, q is dominated iff
+    * min y over {x' < x} ≤ y  OR  min y over {x' = x} < y,
+    * so the skyline is TWO window functions over the distinct-pair
+    * frame after one dedup aggregate. The prefix min is decomposed
+    * two-level (in-bucket range window + exclusive running min over
+    * the BUCKET-count frame broadcast back — the F14 cumsum shape
+    * with min) so no single-task global window exists at 100 TB.
+    * All integer cents/units — dominance has no epsilon. */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.lineitem(s, dir)
+      .select(round($"l_extendedprice" * 100).cast("long").as("price_c"),
+        $"l_quantity".cast("long").as("qty"))
+      .distinct()
+      .withColumn("bkt", expr("price_c div 100000"))
+    // in-bucket strict-prefix min of qty (range window on price)
+    val wIn = Window.partitionBy($"bkt").orderBy($"price_c")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    // exclusive prior-bucket running min over the bucket-sized frame
+    val wBkt = Window.orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktMin = pts.groupBy($"bkt").agg(min($"qty").as("bmin"))
+      .withColumn("prior_min", min($"bmin").over(wBkt))
+      .select($"bkt", $"prior_min")
+    val wSame = Window.partitionBy($"price_c")
+    pts
+      .join(broadcast(bktMin), Seq("bkt"))
+      .withColumn("in_min", min($"qty").over(wIn))
+      .withColumn("prev_min", least(
+        coalesce($"in_min", lit(Long.MaxValue)),
+        coalesce($"prior_min", lit(Long.MaxValue))))
+      .withColumn("same_min", min($"qty").over(wSame))
+      .filter($"prev_min" > $"qty" && $"same_min" === $"qty")
+      .select($"price_c", $"qty")
+      .orderBy($"price_c")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> skyline,
     "q_mannwhitney" -> mannWhitney,
     "q_spearman" -> spearman,
     "q_runs_test" -> runsTest,
@@ -1115,6 +1158,24 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A45 twin: the one-window form of the same prefix-min test —
+    // the Spark side's bucketed decomposition computes the identical
+    // integer mins
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT round(l_extendedprice * 100)::BIGINT AS price_c,
+        |    l_quantity::BIGINT AS qty
+        |  FROM lineitem),
+        |w AS (
+        |  SELECT price_c, qty,
+        |    min(qty) OVER (ORDER BY price_c
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_min,
+        |    min(qty) OVER (PARTITION BY price_c) AS same_min
+        |  FROM pts)
+        |SELECT price_c, qty FROM w
+        |WHERE (prev_min IS NULL OR prev_min > qty) AND same_min = qty
+        |ORDER BY price_c""".stripMargin,
     // A42 twin: identical doubled-rank histogram; 2U and the tie sum
     // are exact decimals, z is the same pinned scalar sequence
     "q_mannwhitney" ->

@@ -48,6 +48,47 @@ object CdcStream {
       }
   }
 
+  /** C43 streaming GDPR forget — the streaming twin of
+    * [[graft.operators.Cdc.forget]]: a change with op "F" is an
+    * erasure REQUEST flowing in-band with the CDC feed (the Debezium
+    * tombstone-topic pattern). Semantics, deliberately distinct from
+    * "D": a delete tombstone STAYS in state so late out-of-order
+    * updates can't resurrect the row; a forget REMOVES the key's
+    * state entirely — tombstone included — because retention law
+    * covers the state store itself. Each request emits one scrubbed
+    * confirmation record (op "F", value 0.0, deleted) for the
+    * downstream audit sink; the key's pre-forget values never leave
+    * the operator again. Changes arriving AFTER the forget (in
+    * event-time order) legitimately re-create state — stopping the
+    * feed for an erased subject is the capture layer's contract, and
+    * replay determinism here requires processing each micro-batch in
+    * (ts, event_id) order. State cost: one row per LIVE key, same as
+    * C6; forgotten keys cost zero. */
+  def forgetStream(changes: Dataset[Change]): Dataset[UserState] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Change], state: GroupState[UserState]) =>
+          val out = scala.collection.mutable.ArrayBuffer[UserState]()
+          for (c <- it.toSeq.sortBy(c => (c.ts.getTime, c.event_id))) {
+            if (c.op == "F") {
+              state.remove()
+              out += UserState(uid, "F", 0.0, c.ts, c.event_id,
+                deleted = true)
+            } else {
+              val cand = UserState(uid, c.op, c.value, c.ts, c.event_id,
+                deleted = c.op == "D")
+              val newest = (state.getOption.iterator ++ Iterator(cand))
+                .maxBy(s => (s.last_ts.getTime, s.last_event_id))
+              state.update(newest)
+            }
+          }
+          if (state.exists) out += state.get
+          out.iterator
+      }
+  }
+
   /** C7 streaming windowed aggregation with watermark: tumbling 1-hour
     * event-time counts — the streaming twin of Cdc.eventCounts. The
     * 2h watermark bounds state: closed windows are finalized and

@@ -870,6 +870,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("c") == ((2L, 2L, 2L, r6(zc))), s"c: ${got("c")} vs ${r6(zc)}")
   }
 
+  test("A45 skyline: hand-checked frontier with x-ties and cross-bucket points") {
+    import spark.implicits._
+    // pairs (cents, qty): frontier = (1,5), (2,4), (4,1), and the
+    // cross-bucket point (200000, 0); (300000, 1) is dominated from
+    // two buckets away — exercises the exclusive prior-bucket min
+    val rows = Seq((0.01, 5L), (0.01, 7L), (0.02, 4L), (0.03, 4L),
+      (0.04, 1L), (0.05, 1L), (0.02, 9L), (0.04, 1L),
+      (2000.00, 0L), (3000.00, 1L))
+    val df = rows.zipWithIndex.map { case ((p, q), i) => (i.toLong, p, q) }
+      .toDF("l_orderkey", "l_extendedprice", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("sky").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Relational.skyline(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L), (2L, 4L), (4L, 1L), (200000L, 0L)),
+      s"got $got")
+  }
+
   private def eventsFixture(rows: Seq[(Long, Seq[Double])]) = {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr

@@ -99,6 +99,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C43 forget stream erases state (unlike D), confirms scrubbed, allows later re-create") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Change]
+    val q = CdcStream.forgetStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("forget_state").start()
+    try {
+      in.addData(
+        Change(1L, 1L, ts(0), "I", 10.0),
+        Change(2L, 2L, ts(1), "I", 20.0),
+        Change(3L, 3L, ts(2), "I", 30.0))
+      q.processAllAvailable()
+      in.addData(
+        Change(1L, 4L, ts(5), "F", 99.0), // erasure request; value ignored
+        Change(3L, 5L, ts(6), "D", 0.0))  // ordinary tombstone for contrast
+      q.processAllAvailable()
+      val afterForget = spark.table("forget_state").as[UserState].collect()
+      val u1rows = afterForget.filter(_.user_id == 1L)
+      // confirmation is scrubbed: op F, value 0.0, never 10.0 again
+      val conf = u1rows.maxBy(_.last_event_id)
+      assert(conf.last_op == "F" && conf.last_value == 0.0 && conf.deleted,
+        s"confirmation: $conf")
+      assert(!u1rows.exists(r => r.last_event_id > 1L && r.last_value == 10.0),
+        "pre-forget value must not be re-emitted after the request")
+      // D keeps state (emitted as deleted), F leaves none: a later
+      // OLDER-than-tombstone update for u3 is still blocked, while u1
+      // re-creates cleanly
+      in.addData(
+        Change(1L, 6L, ts(9), "I", 12.0),
+        Change(3L, 7L, ts(3), "U", 31.0)) // older than u3's tombstone
+      q.processAllAvailable()
+      val fin = spark.table("forget_state").as[UserState].collect()
+        .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.last_event_id) }
+      assert(fin(1L).last_value == 12.0 && !fin(1L).deleted,
+        s"re-created after forget: ${fin(1L)}")
+      assert(fin(3L).deleted && fin(3L).last_event_id == 5L,
+        s"tombstone must still block older updates: ${fin(3L)}")
+    } finally q.stop()
+  }
+
   test("C39 MV delta stream folds to the batch recompute across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
