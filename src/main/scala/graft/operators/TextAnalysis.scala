@@ -646,10 +646,101 @@ object TextAnalysis {
       .orderBy($"source", $"rk")
   }
 
+  /** F22 RAKE keyword extraction (Rose et al. 2010 — the
+    * stopword-boundary phrase scorer; the cheap unsupervised keyword
+    * pass a corpus labeler runs before anything neural): candidate
+    * phrases are the maximal runs between stopwords/punctuation;
+    * word score = degree/frequency over within-doc co-occurrence
+    * (degree counts each containing phrase's full length, with
+    * multiplicity); phrase score = Σ member word scores. The
+    * degree/frequency RATIO is quantized to integer ppm
+    * (deg·10⁶ div freq) BEFORE summing, so phrase scores are exact
+    * BIGINTs and cross-engine ranking has no float tie ambiguity —
+    * a documented quantization (<1 ppm per word) rather than IEEE
+    * drift. Everything is per-document: the only shuffles are
+    * doc-keyed aggregates, so the operator scales with docs, not
+    * vocabulary. Top-3 phrases per doc, ties by phrase text. */
+  def rake(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sw = Stopwords.mkString("|")
+    val phrases = docs
+      .select($"doc_id",
+        expr(s"regexp_replace(regexp_replace(lower(text), " +
+          s"'[.,!?;:()]', '|'), '\\\\b($sw)\\\\b', '|')").as("marked"))
+      .select($"doc_id", explode(split($"marked", "\\|")).as("rawp"))
+      // Dedup.Ws, not \s: Java \s ⊃ RE2 \s on \x0B — the engines
+      // must squeeze the identical whitespace class
+      .select($"doc_id",
+        trim(regexp_replace($"rawp", Dedup.Ws, " ")).as("phrase"))
+      .filter(length($"phrase") > 0)
+      .withColumn("wlen", size(split($"phrase", " ")).cast("long"))
+    val words = phrases
+      .select($"doc_id", $"phrase", $"wlen",
+        explode(split($"phrase", " ")).as("word"))
+    val wordScore = words
+      .groupBy($"doc_id", $"word")
+      .agg(count(lit(1)).as("freq"), sum($"wlen").as("deg"))
+      .withColumn("score_ppm", expr("deg * 1000000 div freq"))
+    // every occurrence of a (doc, phrase) has the same member-word
+    // scores, so score once per DISTINCT phrase and carry the
+    // occurrence count; a repeated word inside one phrase counts per
+    // instance (RAKE sums member instances)
+    val scored = phrases
+      .groupBy($"doc_id", $"phrase").agg(count(lit(1)).as("n_occ"))
+      .select($"doc_id", $"phrase", $"n_occ",
+        explode(split($"phrase", " ")).as("word"))
+      .join(wordScore, Seq("doc_id", "word"))
+      .groupBy($"doc_id", $"phrase", $"n_occ")
+      .agg(sum($"score_ppm").as("score_ppm"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id")
+          .orderBy($"score_ppm".desc, $"phrase")).cast("long"))
+      .filter($"rk" <= topK)
+      .select($"doc_id", $"rk", $"phrase", $"score_ppm", $"n_occ")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  /** F23 heavy-hitter tokens — sketch-accelerated AND exactly
+    * correct: pass 1 runs the Misra-Gries summary
+    * ([[graft.functions.MisraGriesAgg]], ≤ k counters per partition
+    * regardless of vocabulary size — the aggregate an exact groupBy
+    * over an unbounded token domain can't be at 100 TB); pass 2
+    * re-counts ONLY the ≤ k surviving candidates exactly (broadcast
+    * semi-join) and applies the frequency threshold to the EXACT
+    * counts. Because every token with true frequency > n/(k+1) is
+    * guaranteed to survive pass 1 whatever the partitioning, and
+    * minPpm > 10⁶/(k+1), the final output is the same rows an exact
+    * full groupBy would produce — bit-deterministic, oracle-checked
+    * against the sketch-free SQL — while per-executor state stays
+    * k-bounded. */
+  def heavyHitters(docs: DataFrame, k: Int = 255,
+      minPpm: Long = 5000L): DataFrame = {
+    require(minPpm > 1000000L / (k + 1),
+      s"minPpm $minPpm below the MG guarantee 1e6/(k+1); raise k")
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .select(explode(tokens(lower($"text"))).as("token"))
+      .filter(length($"token") > 0)
+    val cand = toks
+      .agg(graft.functions.MisraGriesAgg.sketch($"token", k).as("sk"))
+      .select(explode($"sk").as("e"))
+      .select($"e.item".as("token"))
+    val tot = toks.agg(count(lit(1)).as("total"))
+    toks.join(broadcast(cand), Seq("token"), "left_semi")
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(tot)
+      .filter($"cnt" * 1000000L > $"total" * minPpm)
+      .select($"token", $"cnt", expr("cnt * 1000000 div total").as("freq_ppm"))
+      .orderBy($"token")
+  }
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heavy_hitters" -> onDocs(d => heavyHitters(d)),
+    "text_rake" -> onDocs(d => rake(d)),
     "text_domain_cap" -> onDocs(d => domainCap(d)),
     "text_split_assign" -> onDocs(splitAssign),
     "text_profile" -> onDocs(profile),
@@ -688,6 +779,62 @@ object TextAnalysis {
       |    FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // F23 twin: the sketch-FREE exact plan — pass-1 MG candidates ⊇
+    // everything above threshold, so the exact-recount filter yields
+    // identical rows
+    "text_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT t AS token FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\f\r]+')) AS t FROM documents)
+        |  WHERE length(t) > 0),
+        |tot AS (SELECT count(*)::BIGINT AS total FROM toks),
+        |g AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY 1)
+        |SELECT token, cnt, cnt * 1000000 // total AS freq_ppm
+        |FROM g, tot WHERE cnt * 1000000 > total * 5000
+        |ORDER BY token""".stripMargin,
+    // F22 twin: same boundary marking, same ppm-quantized word
+    // scores, same (score DESC, phrase) rank — all BIGINT
+    "text_rake" ->
+      """WITH marked AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(lower(text),
+        |    '[.,!?;:()]', '|', 'g'),
+        |    '\b(the|a|and|of|to|in|is)\b', '|', 'g') AS m
+        |  FROM documents),
+        |ph AS (
+        |  SELECT doc_id, phrase,
+        |    len(string_split(phrase, ' '))::BIGINT AS wlen
+        |  FROM (
+        |    SELECT doc_id, trim(regexp_replace(p, '[ \t\n\f\r]+', ' ',
+        |      'g')) AS phrase
+        |    FROM (SELECT doc_id, unnest(string_split(m, '|')) AS p
+        |          FROM marked))
+        |  WHERE length(phrase) > 0),
+        |ws AS (
+        |  SELECT doc_id, word, count(*)::BIGINT AS freq,
+        |    sum(wlen)::BIGINT AS deg
+        |  FROM (SELECT doc_id, wlen, unnest(string_split(phrase, ' '))
+        |          AS word FROM ph)
+        |  GROUP BY 1, 2),
+        |wsc AS (
+        |  SELECT doc_id, word, deg * 1000000 // freq AS score_ppm FROM ws),
+        |dp AS (
+        |  SELECT doc_id, phrase, count(*)::BIGINT AS n_occ
+        |  FROM ph GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT d.doc_id, d.phrase, d.n_occ,
+        |    sum(w.score_ppm)::BIGINT AS score_ppm
+        |  FROM (SELECT doc_id, phrase, n_occ,
+        |          unnest(string_split(phrase, ' ')) AS word FROM dp) d
+        |  JOIN wsc w ON d.doc_id = w.doc_id AND d.word = w.word
+        |  GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT doc_id, phrase, score_ppm, n_occ,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_ppm DESC, phrase)::BIGINT AS rk
+        |  FROM sc)
+        |SELECT doc_id, rk, phrase, score_ppm, n_occ
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     // F21 twin: same integer score, same (score DESC, doc_id) rank
     "text_domain_cap" ->
       s"""WITH $scoreCteSql,

@@ -701,6 +701,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L)._2 == 0.0 && got(3L)._2 == 0.0, s"off-harmonics: $got")
   }
 
+  test("F22 RAKE: hand-computed degree/freq phrase scores, dup phrases, in-phrase repeats") {
+    import spark.implicits._
+    // d1: phrases "red apple" / "red apple pie" / "red" —
+    //   red f3 d6 → 2M ppm, apple f2 d5 → 2.5M, pie f1 d3 → 3M;
+    //   scores 7.5M > 4.5M > 2M
+    // d2: "big cat" twice → one phrase row, n_occ 2, score 4M
+    // d3: "very very good" — very counts per instance → 9M
+    val docs = Seq(
+      (1L, "red apple. red apple pie of red"),
+      (2L, "big cat. big cat"),
+      (3L, "very very good")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.rake(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got((1L, 1L)) == (("red apple pie", 7500000L, 1L)), s"${got((1L, 1L))}")
+    assert(got((1L, 2L)) == (("red apple", 4500000L, 1L)))
+    assert(got((1L, 3L)) == (("red", 2000000L, 1L)))
+    assert(got((2L, 1L)) == (("big cat", 4000000L, 2L)), s"${got((2L, 1L))}")
+    assert(!got.contains((2L, 2L)), "duplicate phrase must collapse to one row")
+    assert(got((3L, 1L)) == (("very very good", 9000000L, 1L)), s"${got((3L, 1L))}")
+  }
+
+  test("F23 heavy hitters == exact groupBy under every partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, length, lit, lower, split}
+    // 4000 noise singletons dilute the corpus; "alpha"/"beta" stay
+    // above the 0.5% threshold, "gamma" (20 hits ≈ 0.3%) must not
+    val docs = (
+      (1 to 300).map(i => (i.toLong, "alpha")) ++
+      (1 to 60).map(i => (1000L + i, "beta beta")) ++
+      (1 to 20).map(i => (2000L + i, "gamma")) ++
+      (1 to 4000).map(i => (10000L + i, s"n$i"))
+    ).toDF("doc_id", "text")
+    val exact = docs
+      .select(explode(split(lower($"text"), "\\s+")).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val want = exact.filter { case (_, c) => c * 1000000L > n * 5000L }
+    assert(want.keySet == Set("alpha", "beta"), s"fixture drifted: $want")
+    for (p <- Seq(1, 3, 8)) {
+      val got = graft.operators.TextAnalysis.heavyHitters(docs.repartition(p))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got.keySet == want.keySet, s"p=$p: ${got.keySet}")
+      for ((t, (c, ppm)) <- got) {
+        assert(c == want(t), s"p=$p $t: exact recount must equal groupBy")
+        assert(ppm == c * 1000000L / n)
+      }
+    }
+  }
+
   test("F20 collocations: hand-computed PMI ranks the true phrase first") {
     import spark.implicits._
     // corpus: 5x "new york" + one 10-a doc. N=20 tokens, B=14 bigrams;

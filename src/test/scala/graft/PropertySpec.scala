@@ -13,6 +13,54 @@ class PropertySpec extends AnyFunSuite {
     List.fill(n)((rng.nextInt(201).toDouble / 10.0 - 10.0,
       rng.nextInt(50).toLong))
 
+  test("MisraGries core: k-bound, guarantee, undercount bound over random merge trees") {
+    import scala.collection.mutable
+    // drive the aggregate's own update/merge logic through random
+    // partitionings of skewed streams and check the MG invariants
+    val agg = graft.functions.MisraGriesAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), k = 9)
+    def updateAll(items: Seq[String]): mutable.HashMap[String, Long] = {
+      // replicate update() semantics without an InternalRow: the
+      // arithmetic under test is the counter logic, exercised via
+      // merge of singleton buffers
+      items.foldLeft(agg.createAggregationBuffer()) { (buf, s) =>
+        agg.merge(buf, mutable.HashMap(s -> 1L))
+      }
+    }
+    for (trial <- 1 to 50) {
+      // zipf-ish: item i appears ~ 200/i times, plus noise singletons
+      val stream = rng.shuffle(
+        (1 to 12).flatMap(i => Seq.fill(200 / i)(s"hh$i")) ++
+          (1 to 150).map(i => s"noise${trial}_$i"))
+      val n = stream.length
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // random merge tree: split into 2-7 chunks, fold in random order
+      val chunks = stream.grouped(n / (2 + rng.nextInt(6)) max 1)
+        .map(c => updateAll(c)).toList
+      val merged = rng.shuffle(chunks)
+        .reduce((a, b) => agg.merge(a, b))
+      assert(merged.size <= 9, s"k-bound violated: ${merged.size}")
+      val bound = n.toDouble / 10 // n/(k+1)
+      for ((item, f) <- exact if f > bound)
+        assert(merged.contains(item),
+          s"trial $trial: frequent $item (f=$f > $bound) evicted")
+      for ((item, est) <- merged) {
+        val f = exact(item)
+        assert(est <= f && est >= f - bound.toLong - 1,
+          s"trial $trial: $item est=$est true=$f bound=$bound")
+      }
+    }
+  }
+
+  test("MisraGries serialization round-trips") {
+    import scala.collection.mutable
+    val agg = graft.functions.MisraGriesAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), k = 4)
+    val buf = mutable.HashMap("a" -> 3L, "βeta" -> 7L, "" -> 1L)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back == buf)
+  }
+
   test("TopKAgg heap == sort-based top-k for 500 random inputs (with ties)") {
     for (_ <- 0 until 500) {
       val xs = randomEntries(rng.nextInt(40))
