@@ -1045,10 +1045,55 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** E18 per-label centroid OUTLIERS — the SemDeDup/quality-audit
+    * primitive "which members sit farthest from their cluster
+    * center?" (mislabeled or junk embeddings surface here first).
+    * Determinism at scale comes from FIXED-POINT arithmetic, not
+    * ordered folds: components quantize to integer micros
+    * (round(x·10⁶)), per-dimension sums are exact BIGINTs —
+    * associative, commutative, map-side combinable, any partitioning
+    * — and the centroid is the floor-div S div n (≤ 1 micro
+    * quantization per dim, documented). Each vector's squared
+    * distance to its label centroid is then a pure-integer
+    * zip_with/aggregate fold over its own array (≤ 64·(2·10⁶)² ≈
+    * 2.6·10¹⁴, well inside int64), so the (dist DESC, vec_id)
+    * ranking has no float tie anywhere; the exported double distance
+    * is one identical IEEE sqrt per row. Shapes: one explode
+    * aggregate to the (labels × dims)-sized centroid frame
+    * (broadcast back as sorted arrays), one per-row fold, one
+    * per-label top-k window. */
+  def embedOutliers(vecs: DataFrame, topK: Int = 3): DataFrame = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = vecs.select($"vec_id", $"label".cast("long").as("label"),
+      expr("transform(embedding, x -> " +
+        "cast(round(cast(x as double) * 1000000) as bigint))").as("vq"))
+    val cent = q
+      .select($"label", posexplode($"vq").as(Seq("dim", "xi")))
+      .groupBy($"label", $"dim")
+      .agg(sum($"xi").as("s"), count(lit(1)).as("n"))
+      .select($"label", $"dim", expr("s div n").as("ci"))
+    val cvec = cent.groupBy($"label")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, ci))), " +
+        "p -> p.ci)").as("cv"))
+    q.join(broadcast(cvec), "label")
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(vq, cv, (x, c) -> (x - c) * (x - c)), " +
+          "0L, (acc, y) -> acc + y)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"label").orderBy($"dist2".desc, $"vec_id"))
+        .cast("long"))
+      .filter($"rk" <= topK)
+      .select($"label", $"rk", $"vec_id", $"dist2",
+        round(sqrt($"dist2".cast("double")) / 1e6, 6).as("dist"))
+      .orderBy($"label", $"rk")
+  }
+
   private def onVecs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.embeddings(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_centroid_outliers" -> onVecs(v => embedOutliers(v)),
     "ann_bruteforce" -> onVecs(bruteforce),
     "ann_range" -> onVecs(v => rangeSearch(v)),
     "ann_mmr" -> onVecs(v => mmr(v)),
@@ -1457,6 +1502,36 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, cos FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    // E18 twin: identical micro quantization, floor-div centroid,
+    // integer distance fold (the range(64) lateral replays the
+    // zip_with pairing; integer sums are order-free)
+    "ann_centroid_outliers" ->
+      """WITH qv AS (
+        |  SELECT vec_id, label::BIGINT AS label,
+        |    list_transform(embedding,
+        |      x -> round(x::DOUBLE * 1000000)::BIGINT) AS vq
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, i AS dim, vq[i + 1] AS xi
+        |  FROM qv, range(64) t(i)),
+        |cent AS (
+        |  SELECT label, dim, sum(xi)::BIGINT // count(*)::BIGINT AS ci
+        |  FROM dims GROUP BY 1, 2),
+        |cv AS (SELECT label, list(ci ORDER BY dim) AS cv
+        |       FROM cent GROUP BY 1),
+        |d AS (
+        |  SELECT q.vec_id, q.label,
+        |    sum((q.vq[i + 1] - c.cv[i + 1])
+        |      * (q.vq[i + 1] - c.cv[i + 1]))::BIGINT AS dist2
+        |  FROM qv q JOIN cv c USING (label), range(64) t(i)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT label, vec_id, dist2, row_number() OVER (
+        |    PARTITION BY label ORDER BY dist2 DESC, vec_id)::BIGINT AS rk
+        |  FROM d)
+        |SELECT label, rk, vec_id, dist2,
+        |  round(sqrt(dist2::DOUBLE) / 1e6, 6) AS dist
+        |FROM r WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
     "ann_bruteforce" ->
       s"""WITH $eCte,
          |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e

@@ -380,4 +380,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // re-enters 4th, once every zero-redundancy candidate is gone
     assert(got(3L) == 1L && got(4L) == 11L, s"greedy order: $got")
   }
+
+  test("E18 centroid outliers: hand-computed integer distances, vec_id tie rule") {
+    import spark.implicits._
+    // label 1: two vectors at (1,1), one at (4,5) — centroid micros
+    // = floor(6e6/3, 7e6/3) = (2000000, 2333333); label 2: a lone
+    // vector is its own centroid, dist 0
+    val vecs = Seq(
+      (10L, 1, Array(1.0f, 1.0f)), (11L, 1, Array(1.0f, 1.0f)),
+      (12L, 1, Array(4.0f, 5.0f)), (20L, 2, Array(9.0f, 9.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.operators.Similarity.embedOutliers(vecs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val c = Array(6000000L / 3, 7000000L / 3)
+    def d2(x: Long, y: Long) = (x - c(0)) * (x - c(0)) + (y - c(1)) * (y - c(1))
+    val d12 = d2(4000000L, 5000000L)
+    val d10 = d2(1000000L, 1000000L)
+    assert(got((1L, 1L)) == ((12L, d12)), s"${got((1L, 1L))} vs $d12")
+    // equal distances: vec_id ascending breaks the tie
+    assert(got((1L, 2L)) == ((10L, d10)) && got((1L, 3L)) == ((11L, d10)))
+    assert(got((2L, 1L)) == ((20L, 0L)), "singleton label centers on itself")
+  }
 }
