@@ -476,6 +476,77 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** Chunk-walking PCM16 extraction — same walk as [[parseWav]] but
+    * materializing the samples (for windowed features, where the
+    * aggregate shape depends on sample ORDER, not just sums). */
+  private[graft] def parseWavSamples(
+      payload: Array[Byte]): Option[(Long, Array[Short])] = {
+    try {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      }
+      if (tag() != "RIFF") return None
+      bb.getInt
+      if (tag() != "WAVE") return None
+      var rate = -1L; var fmtOk = false
+      while (bb.remaining() >= 8) {
+        val id = tag(); val sz = bb.getInt
+        if (sz < 0 || sz > bb.remaining()) return None
+        if (id == "fmt ") {
+          val audioFormat = bb.getShort; val channels = bb.getShort
+          rate = bb.getInt.toLong; bb.getInt; bb.getShort
+          val bits = bb.getShort
+          fmtOk = audioFormat == 1 && bits == 16 && channels >= 1
+          bb.position(bb.position() + sz - 16 + (sz & 1))
+        } else if (id == "data") {
+          if (!fmtOk || rate <= 0) return None
+          val n = sz / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = bb.getShort; i += 1 }
+          return Some((rate, out))
+        } else bb.position(bb.position() + sz + (sz & 1))
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** G7 windowed audio features — frame-level RMS energy and
+    * zero-crossing count, the two signals an audio-corpus curator
+    * filters on first (silence/clipping detection, speech-vs-tone
+    * heuristics): fixed `win`-sample frames; a crossing is counted
+    * in the frame of its RIGHT endpoint when s_{i−1}·s_i < 0
+    * (a zero sample never crosses) — each sample carries its
+    * predecessor OUT OF THE DECODE SEAM, so no lag window runs over
+    * the corpus and the whole aggregate is one doc+frame-keyed
+    * map-side-combinable groupBy of exact BIGINTs; rms is the one
+    * IEEE op at export. Malformed payloads drop (QA by omission,
+    * the G6 contract). */
+  def wavFeatures(assets: DataFrame, win: Int = 16): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        parseWavSamples(p).iterator.flatMap { case (_, ss) =>
+          ss.iterator.zipWithIndex.map { case (s, i) =>
+            (id, i.toLong, s.toLong,
+              if (i > 0) ss(i - 1).toLong else 0L, i > 0)
+          }
+        }
+      })
+      .toDF("doc_id", "idx", "s", "prev", "has_prev")
+      .groupBy($"doc_id", expr(s"idx div $win").as("frame"))
+      .agg(count(lit(1)).as("n_win"),
+        sum($"s" * $"s").as("sum_sq"),
+        sum(when($"has_prev" && $"s" * $"prev" < 0, 1L).otherwise(0L))
+          .as("zero_crossings"))
+      .withColumn("rms",
+        round(sqrt($"sum_sq".cast("double") / $"n_win".cast("double")), 6))
+      .orderBy($"doc_id", $"frame")
+  }
+
   /** G6 batched decode of a (doc_id, payload) frame to PCM stats —
     * the same mapPartitions boundary as [[decodeWith]] (SURVEY §4):
     * batch iteration, no per-row JVM object churn beyond the parser,
@@ -523,7 +594,21 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** G7 graded entry (`mm_wav_features`): same synthesized WAVs as
+    * G6, decoded back through the chunk walker into 16-sample
+    * frames; the oracle regenerates the frames from the LCG
+    * recurrence alone. */
+  private def wavFeaturesEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long]
+      .map(id => (id, wavBytes(lcgSamples(id, (32 + id % 33).toInt))))
+      .toDF("doc_id", "payload")
+    wavFeatures(payloads)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_wav_features" -> wavFeaturesEntry,
     "mm_sniff" -> sniffEntry,
     "mm_wav_stats" -> wavStatsEntry,
     "mm_binary_meta" -> binaryMetaHex,
@@ -545,6 +630,34 @@ object Multimodal {
     }))
 
   val oracles: Map[String, String] = Map(
+    // G7 twin: same LCG regeneration, 0-based sample index (k−1),
+    // frame = idx // 16, crossing counted at the right endpoint via
+    // lag — all-integer until the one rms sqrt
+    "mm_wav_features" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, 32 + doc_id % 33 AS n,
+        |    (doc_id * 1103515245 + 12345) % 2147483648 AS s
+        |  FROM documents),
+        |gen AS (
+        |  SELECT doc_id, n, 0 AS k, s, CAST(NULL AS BIGINT) AS sample
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, n, k + 1,
+        |    (s * 1103515245 + 12345) % 2147483648,
+        |    ((s * 1103515245 + 12345) % 2147483648) % 65536 - 32768
+        |  FROM gen WHERE k < n),
+        |pcm AS (
+        |  SELECT doc_id, k - 1 AS idx, sample,
+        |    lag(sample) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        |  FROM gen WHERE sample IS NOT NULL)
+        |SELECT doc_id, (idx // 16)::BIGINT AS frame,
+        |  count(*)::BIGINT AS n_win,
+        |  sum(sample * sample)::BIGINT AS sum_sq,
+        |  sum(CASE WHEN prev IS NOT NULL AND sample * prev < 0
+        |    THEN 1 ELSE 0 END)::BIGINT AS zero_crossings,
+        |  round(sqrt(sum(sample * sample)::DOUBLE / count(*)::DOUBLE), 6)
+        |    AS rms
+        |FROM pcm GROUP BY 1, 2 ORDER BY doc_id, frame""".stripMargin,
     // G6 twin: replays the LCG recurrence in a recursive CTE — no
     // byte parsing — so the hash match proves the WAV encoder, the
     // chunk-walking decoder, and the PCM aggregation agree to the bit

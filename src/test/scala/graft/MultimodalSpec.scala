@@ -226,4 +226,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(9L) == (("mp4", None, None, None, None, Some("isom"))),
       s"got ${got(9L)}")
   }
+
+  test("G7 wav features: alternation maxes crossings per frame, zero never crosses") {
+    import spark.implicits._
+    // doc 1: ±1 alternating ×20 — frame 0 (samples 0..15) holds the
+    // 15 right-endpoint crossings at idx 1..15; frame 1 (16..19)
+    // holds 4 (incl. the boundary pair 15→16). doc 2: a zero sample
+    // kills both adjacent crossings.
+    val alt = Array.tabulate(20)(i => if (i % 2 == 0) 1 else -1)
+      .map(_.toShort)
+    val zero = Array[Short](0, 5, -5, 0)
+    val assets = Seq(
+      (1L, Multimodal.wavBytes(alt)),
+      (2L, Multimodal.wavBytes(zero)),
+      (3L, Array[Byte](1, 2, 3))) // malformed: dropped
+    val got = Multimodal.wavFeatures(assets.toDF("doc_id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got((1L, 0L)) == ((16L, 16L, 15L, 1.0)), s"${got((1L, 0L))}")
+    assert(got((1L, 1L)) == ((4L, 4L, 4L, 1.0)), s"${got((1L, 1L))}")
+    assert(got((2L, 0L)) == ((4L, 50L, 1L,
+      BigDecimal(math.sqrt(50.0 / 4.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)), s"${got((2L, 0L))}")
+    assert(!got.keySet.exists(_._1 == 3L), "malformed payload must drop")
+  }
 }
