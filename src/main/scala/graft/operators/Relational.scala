@@ -1111,7 +1111,54 @@ object Relational {
       .orderBy($"price_c")
   }
 
+  /** A46 Lorenz curve + Gini COEFFICIENT of revenue concentration
+    * (the "what share of spend do the top customers carry"
+    * statistic — and, for a corpus, the domain-concentration audit
+    * F21 caps against): per-customer spend in exact cents, ranked
+    * ascending, G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) with both
+    * numerator terms exact decimal(38,0) product-sums (rank ties
+    * carry equal x, so Σi·xᵢ is tie-order invariant — the statistic
+    * is deterministic even though row_number is not). Deciles via
+    * ntile over the same (spend, custkey) total order; cumulative
+    * share exported as integer ppm. Windows run over the
+    * CUSTOMER-aggregate frame, never the order corpus (an
+    * ultra-high-cardinality key set would bucket the cumsum, the
+    * F14 shape). */
+  def lorenzGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val wOrd = Window.orderBy($"cents", $"o_custkey")
+    val ranked = spend
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("decile", ntile(10).over(wOrd).cast("long"))
+    val tot = ranked.groupBy().agg(
+      count(lit(1)).as("n"),
+      sum($"cents".cast("decimal(38,0)")).as("sx"),
+      sum(($"i".cast("decimal(38,0)") * $"cents")).as("six"))
+      .select($"n", $"sx",
+        round((lit(2).cast("decimal(38,0)") * $"six" -
+            ($"n" + 1).cast("decimal(38,0)") * $"sx").cast("double") /
+          ($"n".cast("double") * $"sx".cast("double")), 6).as("gini"))
+    val deciles = ranked.groupBy($"decile")
+      .agg(count(lit(1)).as("n_cust"),
+        sum($"cents".cast("decimal(38,0)")).as("dec_cents"))
+    val wCum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("cum_cents", sum($"dec_cents").over(wCum))
+      .crossJoin(tot)
+      .select($"decile", $"n_cust",
+        $"dec_cents".cast("double").as("dec_dollars_x100"),
+        expr("cum_cents * 1000000 div sx").as("cum_ppm"),
+        $"gini")
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lorenz" -> lorenzGini,
     "q_skyline" -> skyline,
     "q_mannwhitney" -> mannWhitney,
     "q_spearman" -> spearman,
@@ -1158,6 +1205,42 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A46 twin: same (cents, custkey) total order, exact decimal
+    // product-sums, same ppm floor-div and 6dp gini round
+    "q_lorenz" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT o_custkey, cents,
+        |    row_number() OVER w::BIGINT AS i,
+        |    ntile(10) OVER w::BIGINT AS decile
+        |  FROM spend
+        |  WINDOW w AS (ORDER BY cents, o_custkey)),
+        |tot AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(cents::DECIMAL(38,0)) AS sx,
+        |    sum(i::DECIMAL(38,0) * cents) AS six
+        |  FROM ranked),
+        |g AS (
+        |  SELECT n, sx,
+        |    round((2::DECIMAL(38,0) * six
+        |        - (n + 1)::DECIMAL(38,0) * sx)::DOUBLE
+        |      / (n::DOUBLE * sx::DOUBLE), 6) AS gini
+        |  FROM tot),
+        |dec AS (
+        |  SELECT decile, count(*)::BIGINT AS n_cust,
+        |    sum(cents::DECIMAL(38,0)) AS dec_cents
+        |  FROM ranked GROUP BY 1),
+        |cum AS (
+        |  SELECT decile, n_cust, dec_cents,
+        |    sum(dec_cents) OVER (ORDER BY decile) AS cum_cents
+        |  FROM dec)
+        |SELECT decile, n_cust, dec_cents::DOUBLE AS dec_dollars_x100,
+        |  (cum_cents::HUGEINT * 1000000 // sx::HUGEINT)::BIGINT AS cum_ppm,
+        |  gini
+        |FROM cum, g ORDER BY decile""".stripMargin,
     // A45 twin: the one-window form of the same prefix-min test —
     // the Spark side's bucketed decomposition computes the identical
     // integer mins

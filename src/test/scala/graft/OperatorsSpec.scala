@@ -941,6 +941,24 @@ class OperatorsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("A46 Lorenz/Gini: hand-computed coefficient and cumulative shares") {
+    import spark.implicits._
+    // spends [1, 1, 2] cents: Σi·x = 9, Σx = 4, n = 3 →
+    // G = (18 − 16)/12 = 1/6; cum shares 25%, 50%, 100%
+    val df = Seq((10L, 1L, 0.01), (11L, 2L, 0.01), (12L, 3L, 0.02))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val dir = java.nio.file.Files.createTempDirectory("lorenz").toString
+    df.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Relational.lorenzGini(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getDouble(4)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gini = r6(2.0 / 12.0)
+    assert(got(1L) == ((1L, 250000L, gini)), s"${got(1L)}")
+    assert(got(2L) == ((1L, 500000L, gini)))
+    assert(got(3L) == ((1L, 1000000L, gini)))
+  }
+
   private def eventsFixture(rows: Seq[(Long, Seq[Double])]) = {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
