@@ -1157,7 +1157,46 @@ object Relational {
       .orderBy($"decile")
   }
 
+  /** A47 two-proportion z-test over an A/B assignment (the
+    * experimentation readout: "did the B cohort convert more?"):
+    * cohort = user_id parity (the deterministic stand-in for an
+    * assignment column), conversion = ≥1 purchase event. Counts are
+    * one exact distinct-user aggregate; rates export as integer ppm
+    * (floor-div); z = (p̂₁−p̂₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) with the pooled
+    * p̂ — ONE pinned single-row IEEE sequence over exact integers,
+    * the A40/A42 posture. Corpus cost: one aggregate to two rows. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .select(($"user_id" % 2).as("cohort"), $"converted")
+    val g = perUser.groupBy($"cohort")
+      .agg(count(lit(1)).as("n"), sum($"converted").as("conv"))
+    val a = g.filter($"cohort" === 0)
+      .select($"n".as("n_a"), $"conv".as("conv_a"))
+    val b = g.filter($"cohort" === 1)
+      .select($"n".as("n_b"), $"conv".as("conv_b"))
+    val na = $"n_a".cast("double"); val nb = $"n_b".cast("double")
+    val pa = $"conv_a".cast("double") / na
+    val pb = $"conv_b".cast("double") / nb
+    val pp = ($"conv_a" + $"conv_b").cast("double") / (na + nb)
+    a.crossJoin(b)
+      .select($"n_a", $"conv_a", $"n_b", $"conv_b",
+        expr("conv_a * 1000000 div n_a").as("rate_a_ppm"),
+        expr("conv_b * 1000000 div n_b").as("rate_b_ppm"),
+        // degenerate experiment (everyone or no one converted):
+        // pooled variance 0, z undefined → null, both engines
+        when($"conv_a" + $"conv_b" > 0 &&
+            $"conv_a" + $"conv_b" < $"n_a" + $"n_b",
+          round((pa - pb) /
+            sqrt(pp * (lit(1.0) - pp) *
+              (lit(1.0) / na + lit(1.0) / nb)), 6)).as("z_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_test" -> abTest,
     "q_lorenz" -> lorenzGini,
     "q_skyline" -> skyline,
     "q_mannwhitney" -> mannWhitney,
@@ -1205,6 +1244,30 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A47 twin: same exact counts, same pooled-p̂ scalar sequence
+    "q_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END)::BIGINT AS converted
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT user_id % 2 AS cohort, count(*)::BIGINT AS n,
+        |    sum(converted)::BIGINT AS conv
+        |  FROM pu GROUP BY 1),
+        |a AS (SELECT n AS n_a, conv AS conv_a FROM g WHERE cohort = 0),
+        |b AS (SELECT n AS n_b, conv AS conv_b FROM g WHERE cohort = 1)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  conv_a * 1000000 // n_a AS rate_a_ppm,
+        |  conv_b * 1000000 // n_b AS rate_b_ppm,
+        |  CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+        |  THEN round((conv_a::DOUBLE / n_a::DOUBLE
+        |      - conv_b::DOUBLE / n_b::DOUBLE) /
+        |    sqrt((conv_a + conv_b)::DOUBLE / (n_a::DOUBLE + n_b::DOUBLE)
+        |      * (1.0 - (conv_a + conv_b)::DOUBLE
+        |          / (n_a::DOUBLE + n_b::DOUBLE))
+        |      * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 6) END AS z_score
+        |FROM a, b""".stripMargin,
     // A46 twin: same (cents, custkey) total order, exact decimal
     // product-sums, same ppm floor-div and 6dp gini round
     "q_lorenz" ->

@@ -941,6 +941,37 @@ class OperatorsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("A47 A/B z-test: hand-computed pooled z, degenerate experiment nulls out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    def write(rows: Seq[(Long, String)]): String = {
+      val df = rows.zipWithIndex.map { case ((u, t), i) => (u, i.toLong, i, t) }
+        .toDF("user_id", "event_id", "i", "event_type")
+        .withColumn("ts",
+          expr("to_timestamp('2024-01-01') + make_interval(0, 0, 0, 0, 0, 0, i)"))
+        .withColumn("value", expr("1.0"))
+        .select("user_id", "event_id", "ts", "event_type", "value")
+      val dir = java.nio.file.Files.createTempDirectory("ab").toString
+      df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // cohort 0 = {2 converts, 4 doesn't}; cohort 1 = {1, 3 both convert}
+    val dir = write(Seq(2L -> "purchase", 2L -> "view", 4L -> "view",
+      1L -> "purchase", 3L -> "purchase"))
+    val r = graft.operators.Relational.abTest(spark, dir).collect().head
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 2L, 2L)), r.mkString(","))
+    assert(r.getLong(4) == 500000L && r.getLong(5) == 1000000L)
+    val z = (0.5 - 1.0) / math.sqrt(
+      3.0 / 4.0 * (1.0 - 3.0 / 4.0) * (1.0 / 2.0 + 1.0 / 2.0))
+    assert(r.getDouble(6) == r6(z), s"z: ${r.getDouble(6)} vs ${r6(z)}")
+    // everyone converts → pooled variance 0 → z null
+    val dir2 = write(Seq(1L -> "purchase", 2L -> "purchase"))
+    val r2 = graft.operators.Relational.abTest(spark, dir2).collect().head
+    assert(r2.isNullAt(6), s"degenerate z must be null: ${r2.mkString(",")}")
+  }
+
   test("A46 Lorenz/Gini: hand-computed coefficient and cumulative shares") {
     import spark.implicits._
     // spends [1, 1, 2] cents: Σi·x = 9, Σx = 4, n = 3 →
