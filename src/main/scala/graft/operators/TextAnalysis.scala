@@ -735,10 +735,67 @@ object TextAnalysis {
       .orderBy($"token")
   }
 
+  /** F24 Jensen-Shannon divergence between corpus slices (the
+    * mixture-drift gate: "is the en slice's token distribution
+    * moving away from the rest?" — what a pretraining-mixture
+    * monitor alarms on): distributions over the TOP-64 global
+    * tokens (deterministic (count DESC, token) rank) plus one
+    * "other" mass bucket, so the statistic is vocabulary-bounded no
+    * matter the corpus. Probabilities are exact-integer ratios
+    * (c/n — both operands BIGINT, one division each), m = (p+q)/2,
+    * and the ≤ 130 p·log₂(p/m) terms fold in TOKEN ORDER (empty
+    * string = the other-bucket sorts first in both engines). The
+    * one cross-engine caveat lives here by design: log₂ is the
+    * single libm call in the whole suite — inputs are identical
+    * doubles, a last-ulp library disagreement would shift the FINAL
+    * 6dp-rounded sum only if it lands within ~1e-9 of a rounding
+    * boundary (term magnitudes ≤ 1; no per-term rounding
+    * anywhere). */
+  def jsdSlices(docs: DataFrame, vocab: Int = 64): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .select(when($"lang" === "en", "en").otherwise("rest").as("grp"),
+        explode(tokens(lower($"text"))).as("token"))
+      .filter(length($"token") > 0)
+    val counts = toks.groupBy($"token")
+      .agg(sum(when($"grp" === "en", 1L).otherwise(0L)).as("ce"),
+        sum(when($"grp" === "rest", 1L).otherwise(0L)).as("cr"))
+    val top = counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy(($"ce" + $"cr").desc, $"token")))
+      .filter($"rk" <= vocab)
+      .select($"token", $"ce", $"cr")
+    val tot = counts.groupBy().agg(sum($"ce").as("ne"), sum($"cr").as("nr"))
+    val topTot = top.groupBy()
+      .agg(sum($"ce").as("ve"), sum($"cr").as("vr"))
+    val other = tot.crossJoin(topTot)
+      .select(lit("").as("token"),
+        ($"ne" - $"ve").as("ce"), ($"nr" - $"vr").as("cr"))
+    val terms = top.unionByName(other).crossJoin(tot)
+      .select($"token", $"ce", $"cr",
+        expr("ce * 1000000 div ne").as("p_en_ppm"),
+        expr("cr * 1000000 div nr").as("p_rest_ppm"),
+        ($"ce".cast("double") / $"ne".cast("double")).as("pe"),
+        ($"cr".cast("double") / $"nr".cast("double")).as("pr"))
+      .withColumn("m", ($"pe" + $"pr") / lit(2.0))
+      .withColumn("contrib",
+        when($"pe" > 0, $"pe" * log2($"pe" / $"m")).otherwise(lit(0.0)) +
+          when($"pr" > 0, $"pr" * log2($"pr" / $"m")).otherwise(lit(0.0)))
+    val jsd = terms.groupBy()
+      .agg(round(
+        aggregate(sort_array(collect_list(struct($"token", $"contrib"))),
+          lit(0.0), (acc, x) => acc + x("contrib")) / lit(2.0), 6)
+        .as("jsd_bits"))
+    terms.select($"token", $"p_en_ppm", $"p_rest_ppm")
+      .crossJoin(jsd)
+      .orderBy($"token")
+  }
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_jsd" -> onDocs(d => jsdSlices(d)),
     "text_heavy_hitters" -> onDocs(d => heavyHitters(d)),
     "text_rake" -> onDocs(d => rake(d)),
     "text_domain_cap" -> onDocs(d => domainCap(d)),
@@ -779,6 +836,56 @@ object TextAnalysis {
       |    FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // F24 twin: same top-64 vocabulary rank, same exact-integer
+    // probability ratios, same token-ordered fold ('' other-bucket
+    // first); log2 the one libm call — see the operator note
+    "text_jsd" ->
+      """WITH toks AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'rest' END AS grp,
+        |    t AS token
+        |  FROM (SELECT lang, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\f\r]+')) AS t FROM documents)
+        |  WHERE length(t) > 0),
+        |counts AS (
+        |  SELECT token,
+        |    sum(CASE WHEN grp = 'en' THEN 1 ELSE 0 END)::BIGINT AS ce,
+        |    sum(CASE WHEN grp = 'rest' THEN 1 ELSE 0 END)::BIGINT AS cr
+        |  FROM toks GROUP BY 1),
+        |top AS (
+        |  SELECT token, ce, cr FROM (
+        |    SELECT token, ce, cr, row_number() OVER (
+        |      ORDER BY ce + cr DESC, token) AS rk FROM counts)
+        |  WHERE rk <= 64),
+        |tot AS (SELECT sum(ce)::BIGINT AS ne, sum(cr)::BIGINT AS nr
+        |        FROM counts),
+        |vt AS (SELECT sum(ce)::BIGINT AS ve, sum(cr)::BIGINT AS vr
+        |       FROM top),
+        |terms AS (
+        |  SELECT token, ce, cr FROM top
+        |  UNION ALL
+        |  SELECT '' AS token, ne - ve AS ce, nr - vr AS cr FROM tot, vt),
+        |scored AS (
+        |  SELECT token,
+        |    ce * 1000000 // ne AS p_en_ppm,
+        |    cr * 1000000 // nr AS p_rest_ppm,
+        |    ce::DOUBLE / ne::DOUBLE AS pe,
+        |    cr::DOUBLE / nr::DOUBLE AS pr
+        |  FROM terms, tot),
+        |con AS (
+        |  SELECT token, p_en_ppm, p_rest_ppm,
+        |    (CASE WHEN pe > 0
+        |       THEN pe * log2(pe / ((pe + pr) / 2.0)) ELSE 0.0 END)
+        |    + (CASE WHEN pr > 0
+        |       THEN pr * log2(pr / ((pe + pr) / 2.0)) ELSE 0.0 END)
+        |      AS contrib
+        |  FROM scored),
+        |jsd AS (
+        |  SELECT round(list_reduce(
+        |      list_prepend(0.0::DOUBLE, list(contrib ORDER BY token)),
+        |      (a, b) -> a + b) / 2.0, 6) AS jsd_bits
+        |  FROM con)
+        |SELECT token, p_en_ppm, p_rest_ppm, jsd_bits
+        |FROM con, jsd ORDER BY token""".stripMargin,
     // F23 twin: the sketch-FREE exact plan — pass-1 MG candidates ⊇
     // everything above threshold, so the exact-recount filter yields
     // identical rows

@@ -754,6 +754,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("F24 JSD: identical slices give exactly 0, crafted asymmetry matches the formula") {
+    import spark.implicits._
+    // identical distributions: every pe == pr → log2(1) = 0 exactly,
+    // jsd bit-exactly 0.0 with no tolerance
+    val same = Seq(
+      (1L, "aa aa bb", "en"), (2L, "aa aa bb", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val r0 = graft.operators.TextAnalysis.jsdSlices(same).collect()
+    assert(r0.forall(_.getDouble(3) == 0.0), s"${r0.map(_.mkString(",")).toSeq}")
+    // en = {aa,aa,bb}, rest = {aa,cc,cc}: hand formula within 1e-9
+    // (log2 is the suite's one libm call — see operator note)
+    val diff = Seq(
+      (1L, "aa aa bb", "en"), (2L, "aa cc cc", "de"))
+      .toDF("doc_id", "text", "lang")
+    val rows = graft.operators.TextAnalysis.jsdSlices(diff)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def t(p: Double, q: Double) =
+      (if (p > 0) p * math.log(p / ((p + q) / 2)) / math.log(2) else 0.0) +
+      (if (q > 0) q * math.log(q / ((p + q) / 2)) / math.log(2) else 0.0)
+    val want = (t(2.0 / 3, 1.0 / 3) + t(1.0 / 3, 0) + t(0, 2.0 / 3)) / 2
+    assert(rows("aa")._1 == 666666L && rows("aa")._2 == 333333L)
+    assert(rows("bb")._1 == 333333L && rows("bb")._2 == 0L)
+    assert(rows("")._1 == 0L && rows("")._2 == 0L, "other bucket empty here")
+    val want6 = BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    assert(rows("aa")._3 == want6, s"jsd ${rows("aa")._3} vs $want6")
+  }
+
   test("F20 collocations: hand-computed PMI ranks the true phrase first") {
     import spark.implicits._
     // corpus: 5x "new york" + one 10-a doc. N=20 tokens, B=14 bigrams;
