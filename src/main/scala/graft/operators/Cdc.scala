@@ -661,10 +661,40 @@ object Cdc {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** C44 first-order event-type transition matrix (the Markov-chain
+    * readout of user behavior — "after a view, what comes next?" —
+    * the model behind next-action prediction baselines and funnel
+    * drop-off attribution): per-user (ts, event_id)-ordered lag
+    * pairs WITHIN the C5 30-minute session boundary (a transition
+    * across sessions is noise by definition), transition counts and
+    * row totals exact BIGINT, probabilities exported as integer
+    * ppm floor-divs. One sessionize window pass + one lag over the
+    * same order + one aggregate — all user-keyed. */
+  def transitions(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val seq = withSessionSeq(events)
+      .withColumn("prev_type", lag($"event_type", 1).over(wOrd))
+      .withColumn("prev_session",
+        lag($"session_seq", 1).over(wOrd))
+      .filter($"prev_type".isNotNull &&
+        $"prev_session" === $"session_seq")
+    val counts = seq.groupBy($"prev_type".as("from_type"),
+        $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("row_total",
+        sum($"n").over(Window.partitionBy($"from_type")))
+      .select($"from_type", $"to_type", $"n", $"row_total",
+        expr("n * 1000000 div row_total").as("p_ppm"))
+      .orderBy($"from_type", $"to_type")
+  }
+
   private def onEvents(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.events(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_transitions" -> onEvents(transitions),
     "cdc_forget" -> onEvents(e =>
       forget(e, e.filter(col("user_id") % 10 === 3))),
     "cdc_session_attrib" -> onEvents(sessionAttrib),
@@ -708,6 +738,29 @@ object Cdc {
       |  FROM flagged)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // C44 twin: same session boundary, same (ts, event_id) lag
+    // order, integer ppm probabilities
+    "cdc_transitions" ->
+      s"""WITH $sessionSeqCteSql,
+         |lagged AS (
+         |  SELECT user_id, session_seq, event_type,
+         |    lag(event_type) OVER w AS prev_type,
+         |    lag(session_seq) OVER w AS prev_session
+         |  FROM seq
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |counts AS (
+         |  SELECT prev_type AS from_type, event_type AS to_type,
+         |    count(*)::BIGINT AS n
+         |  FROM lagged
+         |  WHERE prev_type IS NOT NULL AND prev_session = session_seq
+         |  GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT from_type, to_type, n,
+         |    (sum(n) OVER (PARTITION BY from_type))::BIGINT AS row_total
+         |  FROM counts)
+         |SELECT from_type, to_type, n, row_total,
+         |  n * 1000000 // row_total AS p_ppm
+         |FROM tot ORDER BY from_type, to_type""".stripMargin,
     // C42 twin: per-user windows make pre- vs post-window purge
     // equivalent; the twin filters first (cheaper), same rows out
     "cdc_forget" ->

@@ -1195,7 +1195,50 @@ object Relational {
               (lit(1.0) / na + lit(1.0) / nb)), 6)).as("z_score"))
   }
 
+  /** A48 market-basket association (support/confidence/lift for
+    * co-ordered part pairs — the "customers who bought A also
+    * bought B" readout): pairs from the same per-order self-join
+    * the triangle counter uses (a < b canonical, DISTINCT per
+    * order so a duplicated line doesn't double-count a basket),
+    * item and pair counts exact BIGINT, and every ratio exported as
+    * an INTEGER ppm floor-div — support n_ab/N, confidence
+    * n_ab/n_a, lift n_ab·N/(n_a·n_b) (cross-multiplied in
+    * decimal(38,0) before the one div) — so ranking by lift has no
+    * float anywhere. Min-support 3 keeps the tail honest; top-20 by
+    * (lift desc, a, b). Σ basket² pair cost, the D2 bound. */
+  def basketLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val nOrders = Tables.orders(s, dir).groupBy()
+      .agg(count(lit(1)).as("n_orders"))
+    val item = li.groupBy($"l_partkey".as("part"))
+      .agg(count(lit(1)).as("n_part"))
+    val pairs = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 3)
+    pairs
+      .join(item.select($"part".as("a"), $"n_part".as("n_a")), "a")
+      .join(item.select($"part".as("b"), $"n_part".as("n_b")), "b")
+      .crossJoin(nOrders)
+      .select($"a", $"b", $"n_ab", $"n_a", $"n_b",
+        expr("n_ab * 1000000 div n_orders").as("supp_ppm"),
+        expr("n_ab * 1000000 div n_a").as("conf_ppm"),
+        expr("cast(cast(n_ab as decimal(38,0)) * n_orders * 1000000 " +
+          "div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
+          .as("lift_ppm"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"lift_ppm".desc, $"a", $"b")).cast("long"))
+      .filter($"rk" <= 20)
+      .orderBy($"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_basket_lift" -> basketLift,
     "q_ab_test" -> abTest,
     "q_lorenz" -> lorenzGini,
     "q_skyline" -> skyline,
@@ -1244,6 +1287,35 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A48 twin: same distinct baskets, integer ppm ratios, lift
+    // cross-multiplied in HUGEINT before the one floor-div
+    "q_basket_lift" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |no AS (SELECT count(*)::BIGINT AS n_orders FROM orders),
+        |item AS (
+        |  SELECT l_partkey AS part, count(*)::BIGINT AS n_part
+        |  FROM li GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b,
+        |    count(*)::BIGINT AS n_ab
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |j AS (
+        |  SELECT a, b, n_ab, ia.n_part AS n_a, ib.n_part AS n_b,
+        |    n_ab * 1000000 // n_orders AS supp_ppm,
+        |    n_ab * 1000000 // ia.n_part AS conf_ppm,
+        |    (n_ab::HUGEINT * n_orders * 1000000
+        |      // (ia.n_part::HUGEINT * ib.n_part))::BIGINT AS lift_ppm
+        |  FROM pairs
+        |  JOIN item ia ON ia.part = a
+        |  JOIN item ib ON ib.part = b, no),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY lift_ppm DESC, a, b)::BIGINT AS rk FROM j)
+        |SELECT a, b, n_ab, n_a, n_b, supp_ppm, conf_ppm, lift_ppm, rk
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     // A47 twin: same exact counts, same pooled-p̂ scalar sequence
     "q_ab_test" ->
       """WITH pu AS (

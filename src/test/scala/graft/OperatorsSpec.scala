@@ -1001,6 +1001,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r2.isNullAt(6), s"degenerate z must be null: ${r2.mkString(",")}")
   }
 
+  test("A48 basket lift: hand-computed support/confidence/lift, dup lines collapse") {
+    import spark.implicits._
+    // baskets {1,2}×3, {1,3}, {3}; order 1 lists part 1 TWICE (must
+    // not double-count); N=5, n1=4, n2=3 → pair (1,2): supp 600000,
+    // conf 750000, lift 3·5·1e6/(4·3) = 1250000; (1,3) misses
+    // min-support
+    val li = Seq((1L, 1L), (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (4L, 1L), (4L, 3L), (5L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val orders = (1L to 5L).map(i => (i, i)).toDF("o_orderkey", "o_custkey")
+    val dir = java.nio.file.Files.createTempDirectory("basket").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Relational.basketLift(spark, dir).collect()
+    assert(got.length == 1, got.map(_.mkString(",")).mkString(";"))
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 2L, 3L)))
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((600000L, 750000L, 1250000L)), r.mkString(","))
+  }
+
+  test("C44 transitions: session-bounded lag pairs, exact ppm rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // u1 session 1: view→click→view; then a 2h gap → purchase opens
+    // session 2 (the view→purchase pair must NOT count). u2: one
+    // more view→click.
+    val rows = Seq(
+      (1L, 1L, 0, "view"), (1L, 2L, 60, "click"), (1L, 3L, 120, "view"),
+      (1L, 4L, 7500, "purchase"),
+      (2L, 5L, 0, "view"), (2L, 6L, 30, "click"))
+    val df = rows.toDF("user_id", "event_id", "i", "event_type")
+      .withColumn("ts",
+        expr("to_timestamp('2024-01-01') + make_interval(0, 0, 0, 0, 0, 0, i)"))
+      .withColumn("value", expr("1.0"))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("trans").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Cdc.transitions(
+        graft.sources.Tables.events(spark, dir))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set(("view", "click"), ("click", "view")),
+      s"pairs: ${got.keySet}")
+    assert(got(("view", "click")) == ((2L, 2L, 1000000L)))
+    assert(got(("click", "view")) == ((1L, 1L, 1000000L)))
+  }
+
   test("A46 Lorenz/Gini: hand-computed coefficient and cumulative shares") {
     import spark.implicits._
     // spends [1, 1, 2] cents: Σi·x = 9, Σx = 4, n = 3 →
