@@ -406,4 +406,46 @@ class ScaleStressSpec extends AnyFunSuite {
     }
     assert(secs < 120, s"10M-row quantiles took ${secs}s")
   }
+
+  test("PageRank at 2x10^6 edges: fixed-point ranks, mass bound, bounded time") {
+    import spark.implicits._
+    // scale-free-ish synthetic graph: 2M directed edges over 100k
+    // nodes, destinations skewed by xxhash64 mod a square so hubs
+    // exist (max in-degree ~thousands) — the shape a web graph has
+    val edges = spark.range(2000000L).select(
+      expr("abs(xxhash64(id)) % 100000").as("src"),
+      expr("pmod(abs(xxhash64(id + 7)), 317) * pmod(abs(xxhash64(id + 13)), 317)")
+        .as("dst"))
+    val t0 = System.nanoTime()
+    val ranks = graft.operators.Graph.pageRank(edges, 5)
+    val agg = ranks.agg(count(lit(1)), sum($"r"), max($"r")).collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    val (n, total, top) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    info(s"2M-edge PageRank 5 iters: ${secs}s, $n nodes, " +
+      s"top rank ${top / 1e12}")
+    // every node holds at least the reset mass; total mass can't
+    // exceed the dangling-free upper bound n·10^12; hubs must
+    // accumulate well above reset
+    assert(total >= n * 150000000000L && total <= n * 1000000000000L)
+    assert(top > 10L * 1000000000000L, s"no hub accumulated mass: $top")
+    assert(secs < 120, s"2M-edge PageRank took ${secs}s")
+  }
+
+  test("triangle counting at 10^6 edges: degree orientation keeps wedges bounded") {
+    import spark.implicits._
+    // random graph, 1M canonical edges over 50k nodes (avg degree
+    // 40); the degree-oriented wedge count must stay near the
+    // O(E^1.5) bound rather than the hub-quadratic naive count
+    val edges = spark.range(1000000L).select(
+      expr("abs(xxhash64(id)) % 50000").as("src"),
+      expr("abs(xxhash64(id + 3)) % 50000").as("dst"))
+    val t0 = System.nanoTime()
+    val tri = graft.operators.Graph.triangleCounts(edges)
+    val agg = tri.agg(count(lit(1)), sum($"triangles")).collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(s"1M-edge triangles: ${secs}s, ${agg.getLong(0)} nodes, " +
+      s"${agg.getLong(1)} triangle-incidences")
+    assert(agg.getLong(1) > 0, "a 40-avg-degree random graph has triangles")
+    assert(secs < 120, s"1M-edge triangle count took ${secs}s")
+  }
 }
