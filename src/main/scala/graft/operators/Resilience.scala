@@ -1117,7 +1117,61 @@ object Resilience {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** B33 Kaplan-Meier survival estimator over user lifetimes (the
+    * churn/retention curve — product-limit form, the standard
+    * right-censored estimator): lifetime = whole HOURS between a
+    * user's first and last event (exact µs div); a user whose last
+    * event sits more than censorHours before the dataset's end CHURNED
+    * (event observed), otherwise they are right-censored at their
+    * observed span. At each distinct event time t: n_t = users with
+    * lifetime ≥ t (suffix-sum over the lifetime HISTOGRAM — never
+    * the user table), d_t = churns at exactly t, and
+    * S(t) = Π_{u ≤ t} (1 − d_u/n_u) folded in TIME ORDER
+    * (sort_array → aggregate, the A36 precedent) so the float
+    * product sequence is pinned; every input to every multiply is
+    * an exact-integer ratio. Shape: one user aggregate, one
+    * histogram aggregate + one window over it, one ordered fold. */
+  def kaplanMeier(events: DataFrame, censorHours: Int = 6): DataFrame = {
+    import events.sparkSession.implicits._
+    val wAll = Window.partitionBy()
+    val users = events
+      .groupBy($"user_id")
+      .agg(min(unix_micros($"ts")).as("first_us"),
+        max(unix_micros($"ts")).as("last_us"))
+      .withColumn("max_us", max($"last_us").over(wAll))
+      .select($"user_id",
+        expr("(last_us - first_us) div 3600000000").as("t_hours"),
+        (($"max_us" - $"last_us") >
+          lit(censorHours.toLong) * 3600000000L).as("churned"))
+    val hist = users.groupBy($"t_hours")
+      .agg(count(lit(1)).as("n_at"),
+        sum(when($"churned", 1L).otherwise(0L)).as("d_events"))
+    val wSuffix = Window.orderBy($"t_hours")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = hist
+      .withColumn("n_risk", sum($"n_at").over(wSuffix))
+      .filter($"d_events" > 0)
+    // running S(t): recompute the prefix product per row via the
+    // same ordered fold restricted to u ≤ t — the event-time frame
+    // is tiny (distinct lifetimes), so the quadratic fold is frame-
+    // bounded, not corpus-bounded
+    val all = risk.select($"t_hours", $"n_risk", $"d_events")
+    val folded = all.crossJoin(
+        all.select(struct($"t_hours".as("td"), $"n_risk".as("nr"),
+          $"d_events".as("de")).as("ev"))
+          .groupBy().agg(sort_array(collect_list($"ev")).as("evs")))
+      .withColumn("s_km", round(
+        aggregate(expr("filter(evs, e -> e.td <= t_hours)"),
+          lit(1.0), (acc, x) => acc *
+            (lit(1.0) - x("de").cast("double") / x("nr").cast("double"))),
+        6))
+      .select($"t_hours", $"n_risk", $"d_events", $"s_km")
+      .orderBy($"t_hours")
+    folded
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_kaplan_meier" -> ((s, dir) => kaplanMeier(Tables.events(s, dir))),
     "q_bollinger" -> ((s, dir) => bollinger(Tables.events(s, dir))),
     "q_rsi" -> ((s, dir) => rsi(Tables.events(s, dir))),
     "q_rolling_corr" -> ((s, dir) => rollingAutocorr(Tables.events(s, dir))),
@@ -1162,6 +1216,39 @@ object Resilience {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B33 twin: same integer lifetimes/censor rule, same suffix-sum
+    // risk sets, same time-ordered product fold
+    "q_kaplan_meier" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000
+        |      AS t_hours,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT user_id, t_hours,
+        |    ((SELECT max(last_us) FROM users) - last_us)
+        |      > 6 * 3600000000 AS churned
+        |  FROM users),
+        |hist AS (
+        |  SELECT t_hours, count(*)::BIGINT AS n_at,
+        |    sum(CASE WHEN churned THEN 1 ELSE 0 END)::BIGINT AS d_events
+        |  FROM c GROUP BY 1),
+        |risk AS (
+        |  SELECT t_hours, d_events,
+        |    (sum(n_at) OVER (ORDER BY t_hours DESC))::BIGINT AS n_risk
+        |  FROM hist),
+        |r AS (
+        |  SELECT t_hours, n_risk, d_events FROM risk WHERE d_events > 0),
+        |evs AS (
+        |  SELECT list(struct_pack(td := t_hours, nr := n_risk,
+        |    de := d_events) ORDER BY t_hours) AS l FROM r)
+        |SELECT t_hours, n_risk, d_events,
+        |  round(list_reduce(list_prepend(1.0::DOUBLE,
+        |    list_transform(list_filter(l, e -> e.td <= t_hours),
+        |      e -> 1.0 - e.de::DOUBLE / e.nr::DOUBLE)),
+        |    (a, b) -> a * b), 6) AS s_km
+        |FROM r, evs ORDER BY t_hours""".stripMargin,
     // B31 twin: identical integer breach predicate, identical IEEE
     // band expressions over the same BIGINTs
     "q_bollinger" ->

@@ -1049,6 +1049,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(("click", "view")) == ((1L, 1L, 1000000L)))
   }
 
+  test("B33 Kaplan-Meier: hand-computed survival steps, censored user stays at risk") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // lifetimes (hours): u1=2 churn, u2=2 churn, u3=10 churn,
+    // u4=25 censored (active at the end) → S(2)=1·(1−2/4)=0.5,
+    // S(10)=0.5·(1−1/2)=0.25; u4 is at risk at t=2 but not an event
+    val rows = Seq(
+      (1L, 1L, 0), (1L, 2L, 2), (2L, 3L, 0), (2L, 4L, 2),
+      (3L, 5L, 0), (3L, 6L, 10), (4L, 7L, 5), (4L, 8L, 30))
+    val df = rows.toDF("user_id", "event_id", "h")
+      .withColumn("ts",
+        expr("to_timestamp('2024-01-01') + make_interval(0, 0, 0, 0, h, 0, 0)"))
+      .withColumn("event_type", expr("'view'"))
+      .withColumn("value", expr("1.0"))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("km").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Resilience.kaplanMeier(
+        graft.sources.Tables.events(spark, dir))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(2L, 10L), s"event times: ${got.keySet}")
+    assert(got(2L) == ((4L, 2L, 0.5)), s"${got(2L)}")
+    assert(got(10L) == ((2L, 1L, 0.25)), s"${got(10L)}")
+  }
+
   test("A46 Lorenz/Gini: hand-computed coefficient and cumulative shares") {
     import spark.implicits._
     // spends [1, 1, 2] cents: Σi·x = 9, Σx = 4, n = 3 →
