@@ -89,6 +89,43 @@ object CdcStream {
       }
   }
 
+  /** One shard's heavy-hitter estimate at a micro-batch boundary. */
+  case class HeavyHitter(shard: Int, token: String, est: Long)
+
+  /** C45 streaming heavy hitters — the continuous frequent-items
+    * monitor (trending tokens/domains on the ingest feed) built on
+    * the SAME Misra-Gries counter logic as the batch F23 aggregate:
+    * tokens shard by hash, each shard holds ≤ k counters in
+    * `flatMapGroupsWithState` FOREVER-bounded state (the entire
+    * store is shards·k counters no matter how long the stream runs
+    * or how large the vocabulary grows), and every micro-batch
+    * emits the shard's current candidate list. Because a token's
+    * every occurrence lands on its own shard, any token with GLOBAL
+    * frequency > n_shard/(k+1) ≥ its shard's bound survives — the
+    * F23 survival guarantee holds per shard with a tighter n. As in
+    * batch, estimates are undercounts; a consumer needing exact
+    * counts re-counts the ≤ shards·k candidates (the F23 second
+    * pass run as a periodic batch job over the same feed). */
+  def heavyHittersStream(tokens: Dataset[String], k: Int = 64,
+      shards: Int = 8): Dataset[HeavyHitter] = {
+    import tokens.sparkSession.implicits._
+    val mg = graft.functions.MisraGriesAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), k)
+    tokens.groupByKey(t => math.floorMod(t.hashCode, shards))
+      .flatMapGroupsWithState[Map[String, Long], HeavyHitter](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (shard: Int, it: Iterator[String],
+            state: GroupState[Map[String, Long]]) =>
+          val buf = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(m => buf ++= m)
+          for (t <- it)
+            mg.merge(buf, scala.collection.mutable.HashMap(t -> 1L))
+          state.update(buf.toMap)
+          buf.toSeq.sortBy { case (s, c) => (-c, s) }
+            .iterator.map { case (s, c) => HeavyHitter(shard, s, c) }
+      }
+  }
+
   /** C7 streaming windowed aggregation with watermark: tumbling 1-hour
     * event-time counts — the streaming twin of Cdc.eventCounts. The
     * 2h watermark bounds state: closed windows are finalized and

@@ -140,6 +140,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C45 streaming heavy hitters: survival across batches, k-bounded state, undercounts only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val k = 5
+    val q = CdcStream.heavyHittersStream(in.toDS(), k = k, shards = 2)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("hh_stream").start()
+    try {
+      // two batches of a skewed stream: "hot" appears 60×, "warm"
+      // 20×, plus 80 distinct singletons spread over both batches
+      def batch(tag: String) =
+        Seq.fill(30)("hot") ++ Seq.fill(10)("warm") ++
+          (1 to 40).map(i => s"noise_${tag}_$i")
+      in.addData(batch("a"): _*); q.processAllAvailable()
+      in.addData(batch("b"): _*); q.processAllAvailable()
+      val rows = spark.table("hh_stream")
+        .as[CdcStream.HeavyHitter].collect()
+      // latest emission per (shard, token)
+      val latest = rows.groupBy(r => (r.shard, r.token))
+        .map { case (_, v) => v.maxBy(_.est) }
+      val byTok = latest.groupBy(_.token).map { case (t, v) =>
+        t -> v.map(_.est).max }
+      // survival: each shard saw ≤ 160 tokens; 160/(k+1) ≈ 26.7 —
+      // hot (60) and warm (20 on its shard ≥ its shard bound? hot
+      // is guaranteed; warm is best-effort) — assert the guaranteed
+      assert(byTok.contains("hot"), s"hot evicted: ${byTok.keySet}")
+      assert(byTok("hot") <= 60L, "estimates must be undercounts")
+      // k-bound per shard at every emission batch
+      val perShardBatch = rows.groupBy(_.shard).values
+      assert(perShardBatch.forall(_.map(_.token).distinct.size <= 2 * k),
+        "shard emissions exceed the counter bound")
+    } finally q.stop()
+  }
+
   test("C39 MV delta stream folds to the batch recompute across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
