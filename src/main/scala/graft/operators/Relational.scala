@@ -1237,7 +1237,42 @@ object Relational {
       .orderBy($"rk")
   }
 
+  /** A49 two-feature RIDGE regression per return flag (sklearn
+    * `Ridge(fit_intercept=False)` twin — the shrunk linear probe a
+    * feature-quality audit fits): β = (XᵀX + λI)⁻¹Xᵀy solved in
+    * CLOSED FORM by Cramer's rule on the 2×2 normal equations, with
+    * every Gram/moment entry an EXACT decimal(38,0) integer sum
+    * (quantity, line number, cents), λ = 1000 an integer, so det
+    * and both β numerators are exact decimals and the ONLY doubles
+    * are the two final divisions (identical IEEE both engines). No
+    * iterative solver, no matrix library, one map-side-combined
+    * corpus aggregate to 3 rows. */
+  def ridge2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lam = 1000L
+    val g = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("flag"),
+        $"l_quantity".cast("long").as("x1"),
+        $"l_linenumber".cast("long").as("x2"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+      .groupBy($"flag")
+      .agg(count(lit(1)).as("n"),
+        sum(($"x1" * $"x1").cast("decimal(38,0)")).as("s11"),
+        sum(($"x1" * $"x2").cast("decimal(38,0)")).as("s12"),
+        sum(($"x2" * $"x2").cast("decimal(38,0)")).as("s22"),
+        sum(($"x1" * $"y").cast("decimal(38,0)")).as("b1"),
+        sum(($"x2" * $"y").cast("decimal(38,0)")).as("b2"))
+    val det = ($"s11" + lam) * ($"s22" + lam) - $"s12" * $"s12"
+    g.select($"flag", $"n",
+        round(((($"s22" + lam) * $"b1" - $"s12" * $"b2").cast("double")) /
+          det.cast("double"), 6).as("beta_qty"),
+        round(((($"s11" + lam) * $"b2" - $"s12" * $"b1").cast("double")) /
+          det.cast("double"), 6).as("beta_line"))
+      .orderBy($"flag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ridge" -> ridge2,
     "q_basket_lift" -> basketLift,
     "q_ab_test" -> abTest,
     "q_lorenz" -> lorenzGini,
@@ -1287,6 +1322,30 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A49 twin: same exact decimal Gram entries, same Cramer
+    // numerators, two double divisions at export
+    "q_ridge" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, count(*)::BIGINT AS n,
+        |    sum((l_quantity::BIGINT * l_quantity::BIGINT)::DECIMAL(38,0))
+        |      AS s11,
+        |    sum((l_quantity::BIGINT * l_linenumber::BIGINT)::DECIMAL(38,0))
+        |      AS s12,
+        |    sum((l_linenumber::BIGINT * l_linenumber::BIGINT)::DECIMAL(38,0))
+        |      AS s22,
+        |    sum((l_quantity::BIGINT
+        |      * round(l_extendedprice * 100)::BIGINT)::DECIMAL(38,0)) AS b1,
+        |    sum((l_linenumber::BIGINT
+        |      * round(l_extendedprice * 100)::BIGINT)::DECIMAL(38,0)) AS b2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, n,
+        |  round((((s22 + 1000) * b1 - s12 * b2))::DOUBLE /
+        |    (((s11 + 1000) * (s22 + 1000) - s12 * s12))::DOUBLE, 6)
+        |    AS beta_qty,
+        |  round((((s11 + 1000) * b2 - s12 * b1))::DOUBLE /
+        |    (((s11 + 1000) * (s22 + 1000) - s12 * s12))::DOUBLE, 6)
+        |    AS beta_line
+        |FROM g ORDER BY flag""".stripMargin,
     // A48 twin: same distinct baskets, integer ppm ratios, lift
     // cross-multiplied in HUGEINT before the one floor-div
     "q_basket_lift" ->

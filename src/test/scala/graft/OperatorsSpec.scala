@@ -1001,6 +1001,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r2.isNullAt(6), s"degenerate z must be null: ${r2.mkString(",")}")
   }
 
+  test("A49 ridge: Cramer closed form on crafted Gram matrix, exact numerators") {
+    import spark.implicits._
+    // s11=2 s12=1 s22=2 b1=2500 b2=2000, λ=1000 →
+    // det=1002²−1, β = exact integer numerators / det
+    val rows = Seq((1L, 0L, 10.00), (0L, 1L, 5.00), (1L, 1L, 15.00))
+    val df = rows.zipWithIndex.map { case ((x1, x2, y), i) =>
+      (i.toLong, "R", x1, x2, y) }
+      .toDF("l_orderkey", "l_returnflag", "l_quantity", "l_linenumber",
+        "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("ridge").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.operators.Relational.ridge2(spark, dir).collect().head
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val det = 1002.0 * 1002.0 - 1.0
+    assert(r.getString(0) == "R" && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == r6((1002.0 * 2500 - 2000) / det), r.mkString(","))
+    assert(r.getDouble(3) == r6((1002.0 * 2000 - 2500) / det), r.mkString(","))
+  }
+
   test("A48 basket lift: hand-computed support/confidence/lift, dup lines collapse") {
     import spark.implicits._
     // baskets {1,2}×3, {1,3}, {3}; order 1 lists part 1 TWICE (must
