@@ -1271,7 +1271,52 @@ object Relational {
       .orderBy($"flag")
   }
 
+  /** A50 1-D Wasserstein-1 (earth mover's) distance between the
+    * returned and delivered price distributions (scipy
+    * `wasserstein_distance` twin — the INTEGRATED distribution-shift
+    * metric where A39's KS takes the max; small persistent drift
+    * that never spikes the ECDF gap still moves mass): over the
+    * shared value-domain histogram,
+    * W₁ = Σ_v |F_R(v) − F_N(v)|·Δv, computed ENTIRELY in integers —
+    * the ECDF difference cross-multiplied (|cumR·nN − cumN·nR| in
+    * decimal(38,0), the A39 posture), times the BIGINT gap to the
+    * next distinct value, summed exactly; the ONE division by
+    * nR·nN·100 happens at export. Same single-aggregate +
+    * histogram-window shape as A39 — the corpus shuffles once. */
+  def wasserstein(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vc = Tables.lineitem(s, dir)
+      .filter($"l_returnflag".isin("R", "N"))
+      .select($"l_returnflag".as("flag"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"cents")
+      .agg(sum(when($"flag" === "R", 1L).otherwise(0L)).as("cr"),
+        sum(when($"flag" === "N", 1L).otherwise(0L)).as("cn"))
+    val wCum = Window.orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.orderBy($"cents")
+    val cum = vc
+      .withColumn("cumr", sum($"cr").over(wCum))
+      .withColumn("cumn", sum($"cn").over(wCum))
+      .withColumn("nr", sum($"cr").over(Window.partitionBy()))
+      .withColumn("nn", sum($"cn").over(Window.partitionBy()))
+      .withColumn("gap", lead($"cents", 1).over(wLead) - $"cents")
+      .filter($"gap".isNotNull)
+      .withColumn("term",
+        abs($"cumr".cast("decimal(38,0)") * $"nn" -
+          $"cumn".cast("decimal(38,0)") * $"nr") * $"gap")
+    cum.groupBy()
+      .agg(max($"nr").as("n_r"), max($"nn").as("n_n"),
+        sum($"term").as("wnum"))
+      .select($"n_r", $"n_n",
+        round($"wnum".cast("double") /
+          ($"n_r".cast("double") * $"n_n".cast("double") * 100.0), 6)
+          .as("w1_dollars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_wasserstein" -> wasserstein,
     "q_ridge" -> ridge2,
     "q_basket_lift" -> basketLift,
     "q_ab_test" -> abTest,
@@ -1322,6 +1367,33 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A50 twin: same histogram, same cross-multiplied ECDF gaps ×
+    // BIGINT value gaps summed exactly, one division at export
+    "q_wasserstein" ->
+      """WITH vc AS (
+        |  SELECT round(l_extendedprice * 100)::BIGINT AS cents,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS cr,
+        |    sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)::BIGINT AS cn
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+        |cum AS (
+        |  SELECT cents,
+        |    (sum(cr) OVER w)::BIGINT AS cumr,
+        |    (sum(cn) OVER w)::BIGINT AS cumn,
+        |    (sum(cr) OVER ())::BIGINT AS nr,
+        |    (sum(cn) OVER ())::BIGINT AS nn,
+        |    lead(cents) OVER (ORDER BY cents) - cents AS gap
+        |  FROM vc
+        |  WINDOW w AS (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (
+        |  SELECT nr, nn,
+        |    abs(cumr::DECIMAL(38,0) * nn - cumn::DECIMAL(38,0) * nr)
+        |      * gap AS term
+        |  FROM cum WHERE gap IS NOT NULL)
+        |SELECT max(nr)::BIGINT AS n_r, max(nn)::BIGINT AS n_n,
+        |  round(sum(term)::DOUBLE /
+        |    (max(nr)::DOUBLE * max(nn)::DOUBLE * 100.0), 6) AS w1_dollars
+        |FROM t""".stripMargin,
     // A49 twin: same exact decimal Gram entries, same Cramer
     // numerators, two double divisions at export
     "q_ridge" ->

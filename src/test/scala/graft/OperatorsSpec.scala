@@ -1001,6 +1001,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r2.isNullAt(6), s"degenerate z must be null: ${r2.mkString(",")}")
   }
 
+  test("A50 Wasserstein: interleaved unit shift gives exactly 1 dollar") {
+    import spark.implicits._
+    // R={1,3}, N={2,4}: every R point moves one dollar right → W₁=1;
+    // the 'A' row is excluded like A39
+    val rows = Seq(("R", 1.0), ("R", 3.0), ("N", 2.0), ("N", 4.0),
+      ("A", 9.0))
+    val df = rows.zipWithIndex.map { case ((f, p), i) => (i.toLong, f, p) }
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("emd").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = graft.operators.Relational.wasserstein(spark, dir).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L, r.mkString(","))
+    assert(r.getDouble(2) == 1.0, s"W1: ${r.mkString(",")}")
+  }
+
   test("A49 ridge: Cramer closed form on crafted Gram matrix, exact numerators") {
     import spark.implicits._
     // s11=2 s12=1 s22=2 b1=2500 b2=2000, λ=1000 →
