@@ -1315,7 +1315,34 @@ object Relational {
           .as("w1_dollars"))
   }
 
+  /** A51 Herfindahl-Hirschman concentration index per market
+    * (antitrust's market-power statistic — and the per-nation twin
+    * of A46's global Gini): market = supplier nation, shares =
+    * supplier revenue within the nation. HHI = Σ shareᵢ² in the
+    * conventional 0..10000 points scale, computed EXACTLY:
+    * Σcᵢ²·10⁴ div (Σc)² with the numerator an exact decimal(38,0)
+    * product-sum — no per-supplier float share anywhere, so the
+    * concentration ranking is bit-deterministic. One revenue
+    * aggregate + one nation aggregate; nation dim broadcast. */
+  def hhi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey", $"s_suppkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
+    rev.groupBy($"s_nationkey".cast("long").as("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum($"cents".cast("decimal(38,0)")).as("tot"),
+        sum(($"cents".cast("decimal(38,0)") * $"cents")).as("sq"))
+      .select($"nation", $"n_suppliers",
+        expr("cast(sq * 10000 div (tot * tot) as bigint)")
+          .as("hhi_points"))
+      .orderBy($"nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hhi" -> hhi,
     "q_wasserstein" -> wasserstein,
     "q_ridge" -> ridge2,
     "q_basket_lift" -> basketLift,
@@ -1367,6 +1394,19 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A51 twin: same exact decimal square-sum, same HUGEINT floor-div
+    "q_hhi" ->
+      """WITH rev AS (
+        |  SELECT s_nationkey, l_suppkey,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT s_nationkey::BIGINT AS nation,
+        |  count(*)::BIGINT AS n_suppliers,
+        |  (sum(cents::HUGEINT * cents) * 10000
+        |    // (sum(cents::HUGEINT) * sum(cents::HUGEINT)))::BIGINT
+        |    AS hhi_points
+        |FROM rev GROUP BY 1 ORDER BY nation""".stripMargin,
     // A50 twin: same histogram, same cross-multiplied ECDF gaps ×
     // BIGINT value gaps summed exactly, one division at export
     "q_wasserstein" ->

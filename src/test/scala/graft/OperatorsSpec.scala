@@ -1001,6 +1001,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r2.isNullAt(6), s"degenerate z must be null: ${r2.mkString(",")}")
   }
 
+  test("A51 HHI: monopoly 10000, even split 2500, exact integer points") {
+    import spark.implicits._
+    // nation 1: one supplier → HHI 10000; nation 2: four equal
+    // suppliers → 4·(1/4)² = 2500; nation 3: shares 3/4, 1/4 →
+    // (9+1)/16 → 6250
+    val sup = Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 2L), (5L, 2L),
+      (6L, 3L), (7L, 3L)).toDF("s_suppkey", "s_nationkey")
+    val li = Seq((1L, 8.0), (2L, 2.0), (3L, 2.0), (4L, 2.0), (5L, 2.0),
+      (6L, 6.0), (7L, 2.0))
+      .zipWithIndex.map { case ((sk, p), i) => (i.toLong, sk, p) }
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("hhi").toString
+    sup.write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Relational.hhi(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == ((1L, 10000L)), s"${got(1L)}")
+    assert(got(2L) == ((4L, 2500L)), s"${got(2L)}")
+    assert(got(3L) == ((2L, 6250L)), s"${got(3L)}")
+  }
+
   test("A50 Wasserstein: interleaved unit shift gives exactly 1 dollar") {
     import spark.implicits._
     // R={1,3}, N={2,4}: every R point moves one dollar right → W₁=1;

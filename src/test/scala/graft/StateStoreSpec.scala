@@ -64,4 +64,48 @@ class StateStoreSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("GDPR forget is DURABLE across restart: erased state stays erased") {
+    import spark.implicits._
+    // the legal claim under test: after an erasure request commits,
+    // a crash + restart must NOT resurrect the subject's data from
+    // the checkpoint — and a late pre-forget change must be treated
+    // as a fresh insert (no tombstone survives to block it, and no
+    // old value survives to win the max)
+    val base = java.nio.file.Files.createTempDirectory("graft_forget").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    def startQuery() = {
+      val src = spark.readStream
+        .schema(Seq.empty[Change].toDS().schema)
+        .parquet(s"$base/in").as[Change]
+      CdcStream.forgetStream(src)
+        .writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[UserState], _: Long) =>
+          df.write.mode("append").parquet(s"$base/out")
+        }
+        .start()
+    }
+    // batch 1: data; batch 2: forget; crash; batch 3 after restart:
+    // an event OLDER than the erased one arrives
+    Seq(Change(1L, 1L, t(10), "I", 10.0)).toDS()
+      .write.mode("append").parquet(s"$base/in")
+    val q1 = startQuery(); q1.processAllAvailable()
+    Seq(Change(1L, 2L, t(20), "F", 0.0)).toDS()
+      .write.mode("append").parquet(s"$base/in")
+    q1.processAllAvailable(); q1.stop() // crash after the erasure
+    Seq(Change(1L, 3L, t(5), "U", 7.0)).toDS()
+      .write.mode("append").parquet(s"$base/in")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(s"$base/out").as[UserState].collect()
+    val afterForget = out.filter(_.last_event_id == 3L)
+    assert(afterForget.nonEmpty, "post-restart change must emit")
+    // the restored store held NOTHING for user 1: the older change
+    // wins as a fresh insert — had the pre-forget state survived the
+    // checkpoint, event 1 (t=10, newer) would have won instead
+    assert(afterForget.head.last_value == 7.0 &&
+      !afterForget.head.deleted, s"resurrected state: ${afterForget.head}")
+    assert(!out.exists(s => s.last_event_id == 3L && s.last_value == 10.0),
+      "pre-forget value leaked through the restart")
+  }
 }
