@@ -1170,7 +1170,47 @@ object Resilience {
     folded
   }
 
+  /** B34 Mann-Kendall trend test per event type (the nonparametric
+    * "is this series monotonically trending?" gate — pairs with
+    * B28's Theil-Sen exactly as in practice: MK decides IF a trend
+    * exists, Sen estimates its slope): S = Σ_{i<j} sign(yⱼ − yᵢ)
+    * over the daily-count series — EXACT integer, as is the tie
+    * correction Σt(t−1)(2t+5) from the value histogram;
+    * Var(S) = (n(n−1)(2n+5) − T)/18 and the continuity-corrected
+    * z = (S∓1)/√Var are one pinned scalar sequence per group.
+    * Series are per-type daily aggregates (≈ observation-window
+    * days), so the O(n²) pair join is frame-bounded, never
+    * corpus-bounded — the B28 shape. */
+  def mannKendall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = pts.as("a").join(pts.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        signum(col("b.cnt") - col("a.cnt")).cast("long").as("sgn"))
+      .groupBy($"event_type").agg(sum($"sgn").as("s_stat"))
+    val ties = pts.groupBy($"event_type", $"cnt")
+      .agg(count(lit(1)).as("t"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_distinct"), sum($"t").as("n"),
+        sum($"t" * ($"t" - 1) * (lit(2) * $"t" + 5)).as("tsum"))
+    val varNum = ($"n" * ($"n" - 1) * (lit(2) * $"n" + 5) - $"tsum")
+    pairs.join(ties, "event_type")
+      .withColumn("var_s", varNum.cast("double") / lit(18.0))
+      .select($"event_type", $"n".as("n_days"), $"s_stat",
+        when($"s_stat" > 0,
+          round(($"s_stat" - 1).cast("double") / sqrt($"var_s"), 6))
+          .when($"s_stat" < 0,
+            round(($"s_stat" + 1).cast("double") / sqrt($"var_s"), 6))
+          .otherwise(lit(0.0)).as("z_score"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mann_kendall" -> mannKendall,
     "q_kaplan_meier" -> ((s, dir) => kaplanMeier(Tables.events(s, dir))),
     "q_bollinger" -> ((s, dir) => bollinger(Tables.events(s, dir))),
     "q_rsi" -> ((s, dir) => rsi(Tables.events(s, dir))),
@@ -1216,6 +1256,34 @@ object Resilience {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B34 twin: same daily series, same exact S and tie sum, same
+    // continuity-corrected scalar sequence
+    "q_mann_kendall" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type, sum(sign(b.cnt - a.cnt))::BIGINT AS s_stat
+        |  FROM pts a JOIN pts b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type, sum(t)::BIGINT AS n,
+        |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tsum
+        |  FROM (SELECT event_type, cnt, count(*)::BIGINT AS t
+        |        FROM pts GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT s.event_type, n, s_stat,
+        |    (n * (n - 1) * (2 * n + 5) - tsum)::DOUBLE / 18.0 AS var_s
+        |  FROM s JOIN ties ON s.event_type = ties.event_type)
+        |SELECT event_type, n AS n_days, s_stat,
+        |  CASE WHEN s_stat > 0
+        |       THEN round((s_stat - 1)::DOUBLE / sqrt(var_s), 6)
+        |       WHEN s_stat < 0
+        |       THEN round((s_stat + 1)::DOUBLE / sqrt(var_s), 6)
+        |       ELSE 0.0 END AS z_score
+        |FROM j ORDER BY event_type""".stripMargin,
     // B33 twin: same integer lifetimes/censor rule, same suffix-sum
     // risk sets, same time-ordered product fold
     "q_kaplan_meier" ->

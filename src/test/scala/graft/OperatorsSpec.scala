@@ -1105,6 +1105,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(("click", "view")) == ((1L, 1L, 1000000L)))
   }
 
+  test("B34 Mann-Kendall: monotone series maxes S, flat zeroes, tie correction applies") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // one event on day d contributes cnt=1... craft counts via
+    // repeated events per day: type 'up' counts 1,2,3,4 over 4 days
+    // → S = 6 (all pairs rise); 'flat' 2,2,2 → S = 0, z = 0;
+    // 'tied' 1,1,2 → S = 2, T = 2·1·9 = 18,
+    // var = (3·2·11 − 18)/18 = 48/18
+    def mk(t: String, daily: Seq[Int]) = daily.zipWithIndex.flatMap {
+      case (c, d) => (0 until c).map(j =>
+        (t, (t.hashCode.toLong << 16) + d * 100 + j, d, j)) }
+    val rows = mk("up", Seq(1, 2, 3, 4)) ++ mk("flat", Seq(2, 2, 2)) ++
+      mk("tied", Seq(1, 1, 2))
+    val df = rows.toDF("event_type", "event_id", "d", "j")
+      .withColumn("ts",
+        expr("to_timestamp('2024-01-01') + make_interval(0, 0, 0, d, 0, 0, j)"))
+      .withColumn("user_id", expr("1L")).withColumn("value", expr("1.0"))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("mk").toString
+    df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Resilience.mannKendall(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val zUp = r6(5.0 / math.sqrt((4.0 * 3 * 13 - 0) / 18.0))
+    assert(got("up") == ((4L, 6L, zUp)), s"up: ${got("up")} vs $zUp")
+    assert(got("flat") == ((3L, 0L, 0.0)), s"flat: ${got("flat")}")
+    val zTied = r6(1.0 / math.sqrt((3.0 * 2 * 11 - 18) / 18.0))
+    assert(got("tied") == ((3L, 2L, zTied)), s"tied: ${got("tied")} vs $zTied")
+  }
+
   test("B33 Kaplan-Meier: hand-computed survival steps, censored user stays at risk") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
