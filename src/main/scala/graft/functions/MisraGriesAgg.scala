@@ -15,6 +15,46 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** The Misra-Gries counter arithmetic as PLAIN functions over
+  * mutable maps — shared verbatim by the Catalyst aggregate below
+  * and the streaming operator (CdcStream.heavyHittersStream), and
+  * testable without constructing an expression tree. */
+object MisraGries {
+  /** One observation: increment, insert, or the decrement-all step. */
+  def add(buf: mutable.HashMap[String, Long], s: String, k: Int): Unit =
+    buf.get(s) match {
+      case Some(c) => buf(s) = c + 1
+      case None if buf.size < k => buf(s) = 1L
+      case None => // the MG decrement step: all counters down one
+        // snapshot before mutating — updating a mutable.HashMap
+        // mid-iteration corrupts the walk (measured; see merge)
+        for ((key, c) <- buf.toArray) {
+          if (c == 1L) buf.remove(key) else buf(key) = c - 1
+        }
+    }
+
+  /** Summary merge (Agarwal et al., TODS 2013): pointwise addition,
+    * then subtract the (k+1)-th largest count and drop
+    * non-positives. Mutates and returns `a`. */
+  def merge(a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long], k: Int): mutable.HashMap[String, Long] = {
+    for ((key, c) <- b) a(key) = a.getOrElse(key, 0L) + c
+    if (a.size > k) {
+      // Snapshot first: mutating a mutable.HashMap mid-iteration is
+      // undefined and measurably corrupts the walk (observed: an
+      // 11-entry map "surviving" 10 entries where <= 9 is provable).
+      val entries = a.toArray
+      val counts = entries.map(_._2)
+      java.util.Arrays.sort(counts)
+      val d = counts(counts.length - (k + 1)) // (k+1)-th largest
+      for ((key, c) <- entries) {
+        if (c - d <= 0L) a.remove(key) else a(key) = c - d
+      }
+    }
+    a
+  }
+}
+
 /** Misra-Gries heavy-hitter sketch as ONE imperative aggregate — the
   * frequent-item pass that replaces an exact `groupBy` when the key
   * domain (tokens, n-grams, domains) won't fit anywhere at 100 TB:
@@ -66,37 +106,14 @@ case class MisraGriesAgg(
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String].toString
-      buf.get(s) match {
-        case Some(c) => buf(s) = c + 1
-        case None if buf.size < k => buf(s) = 1L
-        case None => // the MG decrement step: all counters down one
-          // snapshot before mutating — see the note in merge()
-          for ((key, c) <- buf.toArray) {
-            if (c == 1L) buf.remove(key) else buf(key) = c - 1
-          }
-      }
+      MisraGries.add(buf, s, k)
     }
     buf
   }
 
   override def merge(a: mutable.HashMap[String, Long],
-      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    for ((key, c) <- b) a(key) = a.getOrElse(key, 0L) + c
-    if (a.size > k) {
-      // subtract the (k+1)-th largest count, drop non-positives.
-      // Snapshot first: mutating a mutable.HashMap mid-iteration is
-      // undefined and measurably corrupts the walk (observed: an
-      // 11-entry map "surviving" 10 entries where ≤ 9 is provable).
-      val entries = a.toArray
-      val counts = entries.map(_._2)
-      java.util.Arrays.sort(counts)
-      val d = counts(counts.length - (k + 1)) // (k+1)-th largest
-      for ((key, c) <- entries) {
-        if (c - d <= 0L) a.remove(key) else a(key) = c - d
-      }
-    }
-    a
-  }
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    MisraGries.merge(a, b, k)
 
   override def eval(buf: mutable.HashMap[String, Long]): Any = {
     val sorted = buf.toArray.sortBy { case (s, c) => (-c, s) }

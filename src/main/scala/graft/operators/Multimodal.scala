@@ -437,48 +437,26 @@ object Multimodal {
     * quarantine convention of [[ImageIoCodec]]: a 100 TB scan never
     * dies on one corrupt asset. Multi-channel files aggregate over
     * interleaved samples of all channels. */
+  /** The one RIFF chunk walk (tag reader, fmt validation, odd-size
+    * pad skipping, size guards) — both PCM consumers go through it
+    * so a parsing fix can never silently miss one of them. */
   private[graft] def parseWav(docId: Long,
-      payload: Array[Byte]): Option[WavStats] = {
-    try {
-      val bb = java.nio.ByteBuffer.wrap(payload)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      def tag(): String = {
-        val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+      payload: Array[Byte]): Option[WavStats] =
+    parseWavSamples(payload).map { case (rate, ss) =>
+      var peak = 0L; var sumSq = 0L; var i = 0
+      while (i < ss.length) {
+        val v = ss(i).toLong
+        val a = math.abs(v)
+        if (a > peak) peak = a
+        sumSq += v * v
+        i += 1
       }
-      if (tag() != "RIFF") return None
-      bb.getInt // declared riff size; trust actual chunk walk instead
-      if (tag() != "WAVE") return None
-      var rate = -1L; var fmtOk = false
-      while (bb.remaining() >= 8) {
-        val id = tag(); val sz = bb.getInt
-        if (sz < 0 || sz > bb.remaining()) return None
-        if (id == "fmt ") {
-          val audioFormat = bb.getShort; val channels = bb.getShort
-          rate = bb.getInt.toLong; bb.getInt; bb.getShort
-          val bits = bb.getShort
-          fmtOk = audioFormat == 1 && bits == 16 && channels >= 1
-          bb.position(bb.position() + sz - 16 + (sz & 1))
-        } else if (id == "data") {
-          if (!fmtOk || rate <= 0) return None
-          val n = sz / 2
-          var peak = 0L; var sumSq = 0L; var i = 0
-          while (i < n) {
-            val v = bb.getShort.toLong
-            val a = math.abs(v)
-            if (a > peak) peak = a
-            sumSq += v * v
-            i += 1
-          }
-          return Some(WavStats(docId, rate, n.toLong, peak, sumSq))
-        } else bb.position(bb.position() + sz + (sz & 1))
-      }
-      None
-    } catch { case _: Exception => None }
-  }
+      WavStats(docId, rate, ss.length.toLong, peak, sumSq)
+    }
 
-  /** Chunk-walking PCM16 extraction — same walk as [[parseWav]] but
-    * materializing the samples (for windowed features, where the
-    * aggregate shape depends on sample ORDER, not just sums). */
+  /** Chunk-walking PCM16 extraction to (rate, samples) — the shared
+    * walker behind [[parseWav]] (streamed stats) and [[wavFeatures]]
+    * (order-dependent frames). */
   private[graft] def parseWavSamples(
       payload: Array[Byte]): Option[(Long, Array[Short])] = {
     try {

@@ -946,8 +946,8 @@ object Relational {
       .withColumn("r2", $"b" * 2 + $"c" + 1)        // doubled avg rank
     val tot = h.groupBy().agg(
       sum($"cr").as("nr"), sum($"cn").as("nn"),
-      sum(($"cr" * $"r2").cast("decimal(38,0)")).as("sr2"),
-      sum(($"c" * $"c" * $"c" - $"c").cast("decimal(38,0)")).as("ties"))
+      sum($"cr".cast("decimal(38,0)") * $"r2").as("sr2"),
+      sum($"c".cast("decimal(38,0)") * $"c" * $"c" - $"c").as("ties"))
     tot.select($"nr", $"nn",
         ($"sr2" - ($"nr".cast("decimal(38,0)") * ($"nr" + 1))).as("u2"),
         $"ties",
@@ -998,9 +998,9 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         sum($"r_x".cast("decimal(38,0)")).as("sx"),
         sum($"r_y".cast("decimal(38,0)")).as("sy"),
-        sum(($"r_x" * $"r_x").cast("decimal(38,0)")).as("sxx"),
-        sum(($"r_y" * $"r_y").cast("decimal(38,0)")).as("syy"),
-        sum(($"r_x" * $"r_y").cast("decimal(38,0)")).as("sxy"))
+        sum($"r_x".cast("decimal(38,0)") * $"r_x").as("sxx"),
+        sum($"r_y".cast("decimal(38,0)") * $"r_y").as("syy"),
+        sum($"r_x".cast("decimal(38,0)") * $"r_y").as("sxy"))
       .select($"flag", $"n",
         round(
           ($"n".cast("decimal(38,0)") * $"sxy" - $"sx" * $"sy")
@@ -1257,11 +1257,11 @@ object Relational {
         round($"l_extendedprice" * 100).cast("long").as("y"))
       .groupBy($"flag")
       .agg(count(lit(1)).as("n"),
-        sum(($"x1" * $"x1").cast("decimal(38,0)")).as("s11"),
-        sum(($"x1" * $"x2").cast("decimal(38,0)")).as("s12"),
-        sum(($"x2" * $"x2").cast("decimal(38,0)")).as("s22"),
-        sum(($"x1" * $"y").cast("decimal(38,0)")).as("b1"),
-        sum(($"x2" * $"y").cast("decimal(38,0)")).as("b2"))
+        sum($"x1".cast("decimal(38,0)") * $"x1").as("s11"),
+        sum($"x1".cast("decimal(38,0)") * $"x2").as("s12"),
+        sum($"x2".cast("decimal(38,0)") * $"x2").as("s22"),
+        sum($"x1".cast("decimal(38,0)") * $"y").as("b1"),
+        sum($"x2".cast("decimal(38,0)") * $"y").as("b2"))
     val det = ($"s11" + lam) * ($"s22" + lam) - $"s12" * $"s12"
     g.select($"flag", $"n",
         round(((($"s22" + lam) * $"b1" - $"s12" * $"b2").cast("double")) /
@@ -1439,16 +1439,16 @@ object Relational {
     "q_ridge" ->
       """WITH g AS (
         |  SELECT l_returnflag AS flag, count(*)::BIGINT AS n,
-        |    sum((l_quantity::BIGINT * l_quantity::BIGINT)::DECIMAL(38,0))
+        |    sum(l_quantity::DECIMAL(38,0) * l_quantity::BIGINT)
         |      AS s11,
-        |    sum((l_quantity::BIGINT * l_linenumber::BIGINT)::DECIMAL(38,0))
+        |    sum(l_quantity::DECIMAL(38,0) * l_linenumber::BIGINT)
         |      AS s12,
-        |    sum((l_linenumber::BIGINT * l_linenumber::BIGINT)::DECIMAL(38,0))
+        |    sum(l_linenumber::DECIMAL(38,0) * l_linenumber::BIGINT)
         |      AS s22,
-        |    sum((l_quantity::BIGINT
-        |      * round(l_extendedprice * 100)::BIGINT)::DECIMAL(38,0)) AS b1,
-        |    sum((l_linenumber::BIGINT
-        |      * round(l_extendedprice * 100)::BIGINT)::DECIMAL(38,0)) AS b2
+        |    sum(l_quantity::DECIMAL(38,0)
+        |      * round(l_extendedprice * 100)::BIGINT) AS b1,
+        |    sum(l_linenumber::DECIMAL(38,0)
+        |      * round(l_extendedprice * 100)::BIGINT) AS b2
         |  FROM lineitem GROUP BY 1)
         |SELECT flag, n,
         |  round((((s22 + 1000) * b1 - s12 * b2))::DOUBLE /
@@ -1579,8 +1579,8 @@ object Relational {
         |  FROM vc),
         |tot AS (
         |  SELECT sum(cr)::BIGINT AS nr, sum(cn)::BIGINT AS nn,
-        |    sum((cr * (b * 2 + c + 1))::DECIMAL(38,0)) AS sr2,
-        |    sum((c * c * c - c)::DECIMAL(38,0)) AS ties
+        |    sum(cr::DECIMAL(38,0) * (b * 2 + c + 1)) AS sr2,
+        |    sum(c::DECIMAL(38,0) * c * c - c) AS ties
         |  FROM h)
         |SELECT nr AS n_r, nn AS n_n,
         |  (sr2 - nr::DECIMAL(38,0) * (nr + 1))::DOUBLE / 2.0 AS u_stat,
@@ -1618,9 +1618,9 @@ object Relational {
         |g AS (
         |  SELECT flag, count(*)::BIGINT AS n,
         |    sum(r_x::DECIMAL(38,0)) AS sx, sum(r_y::DECIMAL(38,0)) AS sy,
-        |    sum((r_x * r_x)::DECIMAL(38,0)) AS sxx,
-        |    sum((r_y * r_y)::DECIMAL(38,0)) AS syy,
-        |    sum((r_x * r_y)::DECIMAL(38,0)) AS sxy
+        |    sum(r_x::DECIMAL(38,0) * r_x) AS sxx,
+        |    sum(r_y::DECIMAL(38,0) * r_y) AS syy,
+        |    sum(r_x::DECIMAL(38,0) * r_y) AS sxy
         |  FROM j GROUP BY 1)
         |SELECT flag, n,
         |  round((n::DECIMAL(38,0) * sxy - sx * sy)::DOUBLE /

@@ -1195,7 +1195,7 @@ object Resilience {
     val ties = pts.groupBy($"event_type", $"cnt")
       .agg(count(lit(1)).as("t"))
       .groupBy($"event_type")
-      .agg(count(lit(1)).as("n_distinct"), sum($"t").as("n"),
+      .agg(sum($"t").as("n"),
         sum($"t" * ($"t" - 1) * (lit(2) * $"t" + 5)).as("tsum"))
     val varNum = ($"n" * ($"n" - 1) * (lit(2) * $"n" + 5) - $"tsum")
     pairs.join(ties, "event_type")

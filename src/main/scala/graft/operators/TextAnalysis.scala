@@ -760,10 +760,12 @@ object TextAnalysis {
     val counts = toks.groupBy($"token")
       .agg(sum(when($"grp" === "en", 1L).otherwise(0L)).as("ce"),
         sum(when($"grp" === "rest", 1L).otherwise(0L)).as("cr"))
+    // distributed TakeOrderedAndProject — NOT an unpartitioned
+    // row_number window, which would single-task the whole
+    // vocabulary-sized counts frame
     val top = counts
-      .withColumn("rk", row_number().over(
-        Window.orderBy(($"ce" + $"cr").desc, $"token")))
-      .filter($"rk" <= vocab)
+      .orderBy(($"ce" + $"cr").desc, $"token")
+      .limit(vocab)
       .select($"token", $"ce", $"cr")
     val tot = counts.groupBy().agg(sum($"ce").as("ne"), sum($"cr").as("nr"))
     val topTot = top.groupBy()

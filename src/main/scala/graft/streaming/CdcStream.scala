@@ -29,6 +29,13 @@ object CdcStream {
   case class UserState(user_id: Long, last_op: String, last_value: Double,
       last_ts: java.sql.Timestamp, last_event_id: Long, deleted: Boolean)
 
+  /** Full-microsecond event time: `getTime` alone truncates to ms
+    * and can mis-order two changes inside one millisecond against
+    * the documented (ts, event_id) contract — Timestamp carries the
+    * sub-ms digits only in `getNanos`. */
+  private def tsUs(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + t.getNanos / 1000 % 1000
+
   /** C6 streaming latest-state store: newest change per key wins;
     * tombstones mark the key deleted but stay in state so late
     * out-of-order updates older than the tombstone don't resurrect
@@ -42,7 +49,7 @@ object CdcStream {
           val incoming = it.map(c => UserState(uid, c.op, c.value, c.ts,
             c.event_id, deleted = c.op == "D"))
           val newest = (state.getOption.iterator ++ incoming)
-            .maxBy(s => (s.last_ts.getTime, s.last_event_id))
+            .maxBy(s => (tsUs(s.last_ts), s.last_event_id))
           state.update(newest)
           newest
       }
@@ -71,7 +78,7 @@ object CdcStream {
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Change], state: GroupState[UserState]) =>
           val out = scala.collection.mutable.ArrayBuffer[UserState]()
-          for (c <- it.toSeq.sortBy(c => (c.ts.getTime, c.event_id))) {
+          for (c <- it.toSeq.sortBy(c => (tsUs(c.ts), c.event_id))) {
             if (c.op == "F") {
               state.remove()
               out += UserState(uid, "F", 0.0, c.ts, c.event_id,
@@ -80,7 +87,7 @@ object CdcStream {
               val cand = UserState(uid, c.op, c.value, c.ts, c.event_id,
                 deleted = c.op == "D")
               val newest = (state.getOption.iterator ++ Iterator(cand))
-                .maxBy(s => (s.last_ts.getTime, s.last_event_id))
+                .maxBy(s => (tsUs(s.last_ts), s.last_event_id))
               state.update(newest)
             }
           }
@@ -109,8 +116,6 @@ object CdcStream {
   def heavyHittersStream(tokens: Dataset[String], k: Int = 64,
       shards: Int = 8): Dataset[HeavyHitter] = {
     import tokens.sparkSession.implicits._
-    val mg = graft.functions.MisraGriesAgg(
-      org.apache.spark.sql.catalyst.expressions.Literal("x"), k)
     tokens.groupByKey(t => math.floorMod(t.hashCode, shards))
       .flatMapGroupsWithState[Map[String, Long], HeavyHitter](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
@@ -118,8 +123,7 @@ object CdcStream {
             state: GroupState[Map[String, Long]]) =>
           val buf = scala.collection.mutable.HashMap.empty[String, Long]
           state.getOption.foreach(m => buf ++= m)
-          for (t <- it)
-            mg.merge(buf, scala.collection.mutable.HashMap(t -> 1L))
+          for (t <- it) graft.functions.MisraGries.add(buf, t, k)
           state.update(buf.toMap)
           buf.toSeq.sortBy { case (s, c) => (-c, s) }
             .iterator.map { case (s, c) => HeavyHitter(shard, s, c) }

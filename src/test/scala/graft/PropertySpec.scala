@@ -17,15 +17,12 @@ class PropertySpec extends AnyFunSuite {
     import scala.collection.mutable
     // drive the aggregate's own update/merge logic through random
     // partitionings of skewed streams and check the MG invariants
-    val agg = graft.functions.MisraGriesAgg(
-      org.apache.spark.sql.catalyst.expressions.Literal("x"), k = 9)
+    import graft.functions.MisraGries
+    val k = 9
     def updateAll(items: Seq[String]): mutable.HashMap[String, Long] = {
-      // replicate update() semantics without an InternalRow: the
-      // arithmetic under test is the counter logic, exercised via
-      // merge of singleton buffers
-      items.foldLeft(agg.createAggregationBuffer()) { (buf, s) =>
-        agg.merge(buf, mutable.HashMap(s -> 1L))
-      }
+      val buf = mutable.HashMap.empty[String, Long]
+      items.foreach(s => MisraGries.add(buf, s, k))
+      buf
     }
     for (trial <- 1 to 50) {
       // zipf-ish: item i appears ~ 200/i times, plus noise singletons
@@ -38,7 +35,7 @@ class PropertySpec extends AnyFunSuite {
       val chunks = stream.grouped(n / (2 + rng.nextInt(6)) max 1)
         .map(c => updateAll(c)).toList
       val merged = rng.shuffle(chunks)
-        .reduce((a, b) => agg.merge(a, b))
+        .reduce((a, b) => MisraGries.merge(a, b, k))
       assert(merged.size <= 9, s"k-bound violated: ${merged.size}")
       val bound = n.toDouble / 10 // n/(k+1)
       for ((item, f) <- exact if f > bound)

@@ -140,6 +140,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C43 forget orders by FULL microseconds: same-millisecond F-then-U re-creates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // F at .000200us (event_id 20) precedes U at .000500us (event_id
+    // 10) in true (ts, event_id) order; a millisecond-truncated sort
+    // would apply U first (smaller event_id) and then erase it
+    def us(micros: Int): java.sql.Timestamp = {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      t.setNanos(micros * 1000); t
+    }
+    val in = MemoryStream[Change]
+    val q = CdcStream.forgetStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("forget_us").start()
+    try {
+      in.addData(
+        Change(1L, 20L, us(200), "F", 0.0),
+        Change(1L, 10L, us(500), "U", 42.0))
+      q.processAllAvailable()
+      val fin = spark.table("forget_us").as[UserState].collect()
+        .filter(s => !s.deleted)
+      assert(fin.nonEmpty && fin.head.last_value == 42.0,
+        s"U after F must survive: ${spark.table("forget_us").collect().toSeq}")
+    } finally q.stop()
+  }
+
   test("C45 streaming heavy hitters: survival across batches, k-bounded state, undercounts only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
