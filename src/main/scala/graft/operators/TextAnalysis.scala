@@ -793,10 +793,41 @@ object TextAnalysis {
       .orderBy($"token")
   }
 
+  /** F25 lexical diversity per document — type-token ratio and hapax
+    * share (the vocabulary-richness pair every corpus-quality recipe
+    * carries: template/boilerplate text scores low TTR, OCR noise
+    * scores pathological hapax): n_types = distinct tokens, both
+    * ratios integer ppm floor-divs — nothing floats. One per-doc
+    * token aggregate (doc-keyed shuffle only); empty docs emit a
+    * zero row rather than vanishing. */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .select($"doc_id", explode(tokens(lower($"text"))).as("token"))
+      .filter(length($"token") > 0)
+    val perType = toks.groupBy($"doc_id", $"token")
+      .agg(count(lit(1)).as("c"))
+    val agg = perType.groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    docs.select($"doc_id").distinct()
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"n_types", lit(0L)).as("n_types"),
+        coalesce(expr("n_types * 1000000 div n_tokens"), lit(0L))
+          .as("ttr_ppm"),
+        coalesce(expr("n_hapax * 1000000 div n_tokens"), lit(0L))
+          .as("hapax_ppm"))
+      .orderBy($"doc_id")
+  }
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lexdiv" -> onDocs(lexicalDiversity),
     "text_jsd" -> onDocs(d => jsdSlices(d)),
     "text_heavy_hitters" -> onDocs(d => heavyHitters(d)),
     "text_rake" -> onDocs(d => rake(d)),
@@ -838,6 +869,30 @@ object TextAnalysis {
       |    FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // F25 twin: same tokenizer, integer ppm ratios, zero row for
+    // token-free docs
+    "text_lexdiv" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\f\r]+')) AS t FROM documents)
+        |  WHERE length(t) > 0),
+        |pt AS (
+        |  SELECT doc_id, token, count(*)::BIGINT AS c
+        |  FROM toks GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS n_types,
+        |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+        |  FROM pt GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(n_types, 0) AS n_types,
+        |  coalesce(n_types * 1000000 // n_tokens, 0) AS ttr_ppm,
+        |  coalesce(n_hapax * 1000000 // n_tokens, 0) AS hapax_ppm
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // F24 twin: same top-64 vocabulary rank, same exact-integer
     // probability ratios, same token-ordered fold ('' other-bucket
     // first); log2 the one libm call — see the operator note

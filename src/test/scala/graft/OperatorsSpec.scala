@@ -754,6 +754,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("F25 lexical diversity: hand-computed TTR/hapax, empty doc emits zeros") {
+    import spark.implicits._
+    // d1 "a a b c": 4 tokens, 3 types (ttr 750000), hapax b,c
+    // (500000); d2 all-same: ttr 1/3, hapax 0; d3 empty: zero row
+    val docs = Seq((1L, "a a b c"), (2L, "x x x"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lexicalDiversity(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((4L, 3L, 750000L, 500000L)), s"${got(1L)}")
+    assert(got(2L) == ((3L, 1L, 333333L, 0L)), s"${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0L, 0L)), s"empty doc: ${got(3L)}")
+  }
+
   test("F24 JSD: identical slices give exactly 0, crafted asymmetry matches the formula") {
     import spark.implicits._
     // identical distributions: every pe == pr → log2(1) = 0 exactly,
