@@ -282,6 +282,68 @@ object Graph {
     out
   }
 
+  /** Multi-source BFS hop counts by min-label propagation: each round
+    * every labeled vertex offers `hop+1` to its neighbors and labels
+    * fold by min — one equi-join + one min-agg per round, both plain
+    * shuffles on the vertex id (the D8 shape; no driver-side graph
+    * state, so any vertex count works). `rounds` bounds the explored
+    * radius: vertices farther than `rounds` hops are ABSENT from the
+    * output by design (the caller budgets radius = graph diameter of
+    * interest; each round's labels are lineage-truncated so plan depth
+    * stays constant regardless of radius).
+    *
+    * @param edges (src, dst) pairs treated as UNDIRECTED; dupes ok
+    * @param seeds (node) hop-0 vertices — need not appear in `edges`
+    *              (isolated seeds surface with hop 0)
+    * @return (node, hop) minimal hop count per reached vertex
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst"))).persist()
+    var labels = seeds.select($"node").distinct()
+      .select($"node", lit(0L).as("hop"))
+    for (i <- 1 to rounds) {
+      val offers = sym.join(labels.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"), ($"hop" + 1).as("hop"))
+      labels = labels.union(offers)
+        .groupBy($"node").agg(min($"hop").as("hop"))
+      if (i % 2 == 0 || i == rounds) labels = truncate(labels)
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Bounded k-core peeling: `rounds` passes of "drop every vertex of
+    * degree < k, restrict edges to survivors". The true k-core is this
+    * process run to fixpoint; each pass costs one degree aggregate and
+    * two semi-joins on the edge frame (linear shuffles, no driver
+    * state), and since every non-converged pass removes at least one
+    * vertex, `rounds` ≥ the graph's peel depth yields the exact core
+    * (GraphSpec pins a crafted graph at convergence). Parity with the
+    * SQL twin is exact at ANY pass budget because the oracle unrolls
+    * the SAME passes.
+    *
+    * @param edges (src, dst) pairs treated as UNDIRECTED; dupes count
+    *              toward degree (pre-distinct if that is not wanted)
+    * @return (node, core_deg) degree within the surviving edge set
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    var sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+    for (i <- 1 to rounds) {
+      val keep = sym.groupBy($"src").agg(count(lit(1)).as("d"))
+        .filter($"d" >= k).select($"src")
+      sym = sym.join(keep, Seq("src"), "left_semi")
+        .join(keep.select($"src".as("dst")), Seq("dst"), "left_semi")
+        .select($"src", $"dst")
+      if (i % 2 == 0 || i == rounds) sym = truncate(sym)
+    }
+    sym.groupBy($"src").agg(count(lit(1)).as("core_deg"))
+      .select($"src".as("node"), $"core_deg")
+  }
+
   // ------------------------------------------------------------------
   // Driver-contract adapters (SURVEY.md §2 — graded graph queries)
   // ------------------------------------------------------------------
@@ -318,9 +380,53 @@ object Graph {
       .orderBy($"part")
   }
 
+  /** q_bfs_hops: supply-chain reach — minimal hop distance from a
+    * seed supplier cohort (every 20th supplier) through the
+    * supplier↔part bipartite graph ('s'/'p' prefixes keep the key
+    * spaces disjoint). Hop 1 = parts the cohort ships, hop 2 = its
+    * co-supplier competitors, hop 3 = the competitors' other parts;
+    * radius 4 covers the graph (propagation is converged on the test
+    * corpus — round 4 adds nothing). */
+  def bfsSupplyChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sp = Tables.lineitem(s, dir)
+      .select(concat(lit("s"), $"l_suppkey".cast("string")).as("src"),
+        concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+      .distinct()
+    val seeds = Tables.supplier(s, dir)
+      .filter($"s_suppkey" % 20 === 1)
+      .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"))
+    bfsHops(sp, seeds, 4)
+      .select($"node", $"hop".as("hops"))
+      .orderBy($"node")
+  }
+
+  /** q_kcore: 3-core of the REPEATED co-order part graph (parts
+    * adjacent when ≥2 order lines pair them — the ≥2 support floor
+    * keeps the graph sparse where the raw co-order graph is
+    * near-complete). 6 peel passes; the survivors are the stable
+    * frequently-bundled cohort, each with its within-core degree —
+    * the "bundle strength" a recommender or sampling prior consumes. */
+  def kcoreCoOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val canon = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"src", $"dst")
+    kCorePeel(canon, 3, 6)
+      .select($"node".cast("long").as("part"), $"core_deg")
+      .orderBy($"part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> pageRankTrade,
-    "q_triangles" -> trianglesCoOrder)
+    "q_triangles" -> trianglesCoOrder,
+    "q_bfs_hops" -> bfsSupplyChain,
+    "q_kcore" -> kcoreCoOrder)
 
   /** Unrolled 5-iteration PageRank CTE chain — the identical
     * fixed-point integer recurrence, so every rank is the same
@@ -354,8 +460,58 @@ object Graph {
        |FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Unrolled BFS twin — the identical per-round min-fold. */
+  private def bfsSql(rounds: Int): String = {
+    val base =
+      """WITH sp AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+        |  FROM lineitem),
+        |sym AS (SELECT src, dst FROM sp UNION ALL SELECT dst, src FROM sp),
+        |h0 AS (
+        |  SELECT DISTINCT 's' || s_suppkey AS node, 0::BIGINT AS hop
+        |  FROM supplier WHERE s_suppkey % 20 = 1)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""h$i AS (
+         |  SELECT node, min(hop)::BIGINT AS hop FROM (
+         |    SELECT node, hop FROM h${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst, h.hop + 1 FROM sym e
+         |    JOIN h${i - 1} h ON e.src = h.node)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT node, hop AS hops FROM h$rounds ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled k-core twin — the identical peel passes. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val base =
+      """WITH canon AS (
+        |  SELECT x.l_partkey::BIGINT AS src, y.l_partkey::BIGINT AS dst
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS (SELECT src, dst FROM canon
+        |       UNION ALL SELECT dst, src FROM canon)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""k$i AS (
+         |  SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+         |e$i AS (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.src
+         |  JOIN k$i b ON e.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT src AS part, count(*)::BIGINT AS core_deg
+       |FROM e$rounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankSql(5),
+    "q_bfs_hops" -> bfsSql(4),
+    "q_kcore" -> kcoreSql(3, 6),
     // degree-oriented forward counting, integer-exact throughout
     "q_triangles" ->
       """WITH canon AS (

@@ -1209,7 +1209,91 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B35 autocorrelation function + Ljung-Box portmanteau statistic
+    * per event type — the "is this series white noise?" gate that
+    * decides whether the B17/B18 forecast ladder has anything to
+    * model. ACF at lag k over the daily-count series, mean-centered
+    * EXACTLY by clearing denominators: with n = days and S = Σy,
+    * n²·cov_k = Σ (n·yₜ − S)(n·yₜ₊ₖ − S) and n²·var = Σ (n·yₜ − S)²
+    * are INTEGER sums (y are counts), so r_k = cov_k/var is one IEEE
+    * division per lag — no float accumulation anywhere, parity is
+    * exact. Q_LB = n(n+2) Σ r_k²/(n−k) folds the 7 lag terms in fixed
+    * left-to-right order (the forecast-ladder determinism contract).
+    * Series are per-type daily aggregates, so the window/agg work is
+    * frame-bounded; the integer core assumes the counts regime
+    * (n·y < ~3·10⁹ — switch the sums to decimal(38,0) past that). */
+  def acfLjungBox(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val maxLag = 7
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val st = pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"y").as("s"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    var led = pts.join(st, "event_type")
+    for (k <- 1 to maxLag) led = led.withColumn(s"y$k", lead($"y", k).over(w))
+    val d = $"n" * $"y" - $"s"
+    val aggCols = sum(d * d).as("den") +:
+      ((1 to maxLag).map(k =>
+        sum(d * ($"n" * col(s"y$k") - $"s")).as(s"num$k")) :+
+        max($"n").as("nd"))
+    val agg = led.groupBy($"event_type").agg(aggCols.head, aggCols.tail: _*)
+    val acfCols = (1 to maxLag).map(k =>
+      round(col(s"num$k").cast("double") / $"den", 6).as(s"acf_$k"))
+    val qTerms = (1 to maxLag).map { k =>
+      val r = col(s"num$k").cast("double") / $"den"
+      r * r / ($"nd" - k).cast("double")
+    }.reduceLeft(_ + _)
+    val outCols = Seq($"event_type", $"nd".as("n_days")) ++ acfCols :+
+      round(($"nd" * ($"nd" + 2)).cast("double") * qTerms, 4).as("q_lb")
+    agg.select(outCols: _*).orderBy($"event_type")
+  }
+
+  /** B36 single change-point detection per event type (binary
+    * segmentation, step 1 — the "WHEN did the level shift?" companion
+    * to B22's anomaly flags): the split τ maximizing the between-
+    * segment sum-of-squares reduction. With integer prefix sums
+    * P_i over the daily counts, the candidate score S₁²/i + S₂²/(n−i)
+    * uses exact integer numerators and two IEEE divisions, so the
+    * argmax (ties → smallest i) is engine-independent. ΔSSE =
+    * score(τ) − S²/n ≥ 0 measures shift strength; segment means are
+    * exact-ratio exports. O(n) candidates over a frame-bounded series
+    * — recursing on the two halves yields full binary segmentation. */
+  def changePoint(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val cum = pts
+      .withColumn("i", row_number().over(w))
+      .withColumn("p", sum($"y").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val st = pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"y").as("s"))
+    val scored = cum.join(st, "event_type")
+      .filter($"i" < $"n")
+      .withColumn("gain",
+        ($"p" * $"p").cast("double") / $"i" +
+          (($"s" - $"p") * ($"s" - $"p")).cast("double") / ($"n" - $"i"))
+    val best = Window.partitionBy($"event_type")
+      .orderBy($"gain".desc, $"i".asc)
+    scored.withColumn("rk", row_number().over(best))
+      .filter($"rk" === 1)
+      .select($"event_type", $"i".as("tau_idx"),
+        date_format($"day", "yyyy-MM-dd").as("tau_day"),
+        round($"gain" - ($"s" * $"s").cast("double") / $"n", 4)
+          .as("delta_sse"),
+        round($"p".cast("double") / $"i", 4).as("mean_left"),
+        round(($"s" - $"p").cast("double") / ($"n" - $"i"), 4)
+          .as("mean_right"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_acf" -> ((s, dir) => acfLjungBox(Tables.events(s, dir))),
+    "q_changepoint" -> ((s, dir) => changePoint(Tables.events(s, dir))),
     "q_mann_kendall" -> mannKendall,
     "q_kaplan_meier" -> ((s, dir) => kaplanMeier(Tables.events(s, dir))),
     "q_bollinger" -> ((s, dir) => bollinger(Tables.events(s, dir))),
@@ -1256,6 +1340,70 @@ object Resilience {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B35 twin: same integer numerators (denominators cleared), same
+    // per-lag division, same left-to-right Ljung-Box fold
+    "q_acf" -> {
+      val lags = 1 to 7
+      val leads = lags.map(k => s"lead(y, $k) OVER w AS y$k").mkString(",\n        |    ")
+      val nums = lags.map(k =>
+        s"sum((n*y - s)*(n*y$k - s))::BIGINT AS num$k").mkString(",\n        |    ")
+      val acfs = lags.map(k =>
+        s"round(num$k::DOUBLE / den, 6) AS acf_$k").mkString(",\n        |  ")
+      val terms = lags.map(k =>
+        s"(num$k::DOUBLE/den)*(num$k::DOUBLE/den)/(n - $k)").mkString("\n        |    + ")
+      s"""WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+        |  FROM pts GROUP BY 1),
+        |led AS (
+        |  SELECT p.event_type, n, s, y,
+        |    $leads
+        |  FROM pts p JOIN st USING (event_type)
+        |  WINDOW w AS (PARTITION BY p.event_type ORDER BY day)),
+        |agg AS (
+        |  SELECT event_type, max(n)::BIGINT AS n,
+        |    sum((n*y - s)*(n*y - s))::BIGINT AS den,
+        |    $nums
+        |  FROM led GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |  $acfs,
+        |  round((n*(n+2))::DOUBLE * (
+        |    $terms), 4) AS q_lb
+        |FROM agg ORDER BY event_type""".stripMargin
+    },
+    // B36 twin: same integer prefix sums, same two-division score,
+    // same (gain DESC, i ASC) argmax
+    "q_changepoint" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, day, y,
+        |    row_number() OVER w AS i,
+        |    sum(y) OVER w AS p
+        |  FROM pts
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |st AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+        |  FROM pts GROUP BY 1),
+        |scored AS (
+        |  SELECT c.event_type, c.i, c.day, n, s, p,
+        |    (p*p)::DOUBLE / i + ((s-p)*(s-p))::DOUBLE / (n-i) AS gain
+        |  FROM cum c JOIN st USING (event_type)
+        |  WHERE c.i < n),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY gain DESC, i ASC) AS rk
+        |  FROM scored)
+        |SELECT event_type, i AS tau_idx,
+        |  strftime(day, '%Y-%m-%d') AS tau_day,
+        |  round(gain - (s*s)::DOUBLE / n, 4) AS delta_sse,
+        |  round(p::DOUBLE / i, 4) AS mean_left,
+        |  round((s-p)::DOUBLE / (n-i), 4) AS mean_right
+        |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
     // B34 twin: same daily series, same exact S and tie sum, same
     // continuity-corrected scalar sequence
     "q_mann_kendall" ->

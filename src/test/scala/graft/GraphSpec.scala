@@ -146,4 +146,38 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 0L), s"got $got")
     assert(got.keySet == Set(0L, 1L, 2L, 3L, 5L, 6L, 7L))
   }
+
+  test("bfsHops: path radius budget, isolated seed, multi-seed min-fold") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6; radius 3 from seed 1 reaches 1..4 ONLY, and an
+    // isolated seed (99, no edges) still surfaces at hop 0
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val one = Graph.bfsHops(path, Seq(1L, 99L).toDF("node"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 99L -> 0L),
+      s"got $one")
+    // seeds at both ends: every hop is the MIN over sources
+    val both = Graph.bfsHops(path, Seq(1L, 6L).toDF("node"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(both == Map(1L -> 0L, 2L -> 1L, 3L -> 2L,
+      4L -> 2L, 5L -> 1L, 6L -> 0L), s"got $both")
+  }
+
+  test("kCorePeel: pendant chain peels off K4; extra rounds are a no-op") {
+    import spark.implicits._
+    // K4 on 1..4 plus pendant chain 4-5-6: the 3-core is exactly the
+    // K4 (6 peels first as deg-1, exposing 5) — two passes needed
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val core = Graph.kCorePeel(edges, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $core")
+    // past convergence the peel is a fixpoint: more rounds change nothing
+    val more = Graph.kCorePeel(edges, k = 3, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(more == core, s"got $more")
+    // k above the max core degree empties the graph
+    assert(Graph.kCorePeel(edges, k = 4, rounds = 4).isEmpty)
+  }
 }

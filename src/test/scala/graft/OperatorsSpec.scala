@@ -1150,6 +1150,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("tied") == ((3L, 2L, zTied)), s"tied: ${got("tied")} vs $zTied")
   }
 
+  test("B35 ACF/Ljung-Box: alternating counts give exact alternating acf and Q") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // daily counts 1,2,1,2,... over 10 days: n=10, S=15, every
+    // centered term is ±5 → den=250, num_k = ±25·(10−k), so
+    // acf_k = ±(10−k)/10 alternating, and
+    // Q = 120·(.81/9+.64/8+.49/7+.36/6+.25/5+.16/4+.09/3) = 50.4
+    val rows = (0 until 10).flatMap { d =>
+      (0 until (if (d % 2 == 0) 1 else 2)).map(j => ("alt", d, j)) }
+    val events = rows.toDF("event_type", "d", "j")
+      .withColumn("ts",
+        expr("to_timestamp('2024-01-01') + make_interval(0, 0, 0, d, 0, 0, j)"))
+    val got = graft.operators.Resilience.acfLjungBox(events).collect()(0)
+    assert(got.getString(0) == "alt" && got.getLong(1) == 10L)
+    val acf = (2 to 8).map(got.getDouble)
+    assert(acf == Seq(-0.9, 0.8, -0.7, 0.6, -0.5, 0.4, -0.3), s"acf $acf")
+    assert(got.getDouble(9) == 50.4, s"q_lb ${got.getDouble(9)}")
+  }
+
+  test("B36 change point: level shift found exactly; ties break to smallest index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // 'shift' counts 2,2,2,8,8,8 → S=30, best split after i=3
+    // (gain 36/3 + 576/3 = 204), ΔSSE = 204 − 30²/6 = 54, means 2, 8;
+    // 'tie' counts 1,3,3,1 is symmetric: i=1 and i=3 score the SAME
+    // two addends (1/1 + 49/3) — the argmax must take i=1
+    def mk(t: String, daily: Seq[Int]) = daily.zipWithIndex.flatMap {
+      case (c, d) => (0 until c).map(j => (t, d, j)) }
+    val events = (mk("shift", Seq(2, 2, 2, 8, 8, 8)) ++
+        mk("tie", Seq(1, 3, 3, 1))).toDF("event_type", "d", "j")
+      .withColumn("ts",
+        expr("to_timestamp('2024-01-01') + make_interval(0, 0, 0, d, 0, 0, j)"))
+    val got = graft.operators.Resilience.changePoint(events)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getString(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("shift") == ((3, "2024-01-03", 54.0, 2.0, 8.0)),
+      s"shift: ${got("shift")}")
+    val tie = got("tie")
+    assert(tie._1 == 1 && tie._2 == "2024-01-01" && tie._4 == 1.0 &&
+      tie._5 == 2.3333, s"tie: $tie")
+  }
+
   test("B33 Kaplan-Meier: hand-computed survival steps, censored user stays at risk") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
