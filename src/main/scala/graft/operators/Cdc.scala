@@ -693,7 +693,56 @@ object Cdc {
   private def onEvents(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.events(s, dir))
 
+  /** C46 RFM segmentation (the recency/frequency/monetary quintile
+    * grid a CRM feeds its campaign targeting from): per-user recency
+    * (whole hours to the corpus max, exact µs div), frequency and
+    * cent-exact monetary, each bucketed into quintiles by the
+    * EXPLICIT rank formula ⌊(rank−1)·5/n⌋+1 with (metric, user_id)
+    * total order — NOT the builtin ntile, so the bucket rule is the
+    * same arithmetic in both engines AND the rank itself is computed
+    * scale-shaped: a distinct-value cumulative histogram (A29) plus a
+    * row_number partitioned BY METRIC VALUE for the tie-break, so no
+    * global row_number window over the user table anywhere. Recency
+    * is inverted (recent = 5). Output carries the three scores and
+    * the familiar 3-digit rfm_code. */
+  def rfm(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val users = events
+      .groupBy($"user_id")
+      .agg(max(unix_micros($"ts")).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(round($"value" * 100).cast("long")).as("monetary_cents"))
+      .withColumn("recency_h",
+        expr("(max(last_us) OVER () - last_us) div 3600000000"))
+      .drop("last_us")
+    // ascending quintile of `m` with user_id tie-break, rank assembled
+    // from the distinct-value histogram — no unpartitioned row_number
+    def quintile(df: DataFrame, m: String, score: String): DataFrame = {
+      val counts = df.groupBy(col(m)).agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy(col(m))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = counts
+        .withColumn("cum", sum($"c").over(wCum))
+        .withColumn("n", sum($"c").over(Window.partitionBy()))
+        .select(col(m), ($"cum" - $"c").as("cum_prev"), $"n")
+      val wTie = Window.partitionBy(col(m)).orderBy($"user_id")
+      df.join(cum, m)
+        .withColumn("rk", $"cum_prev" + row_number().over(wTie))
+        .withColumn(score, expr("(rk - 1) * 5 div n + 1"))
+        .drop("cum_prev", "n", "rk")
+    }
+    val s0 = quintile(users, "recency_h", "r_asc")
+    val s1 = quintile(s0, "frequency", "f_score")
+    val s2 = quintile(s1, "monetary_cents", "m_score")
+    s2.select($"user_id", $"recency_h", $"frequency", $"monetary_cents",
+        (lit(6L) - $"r_asc").as("r_score"), $"f_score", $"m_score")
+      .withColumn("rfm_code",
+        $"r_score" * 100 + $"f_score" * 10 + $"m_score")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_rfm" -> ((s, dir) => rfm(Tables.events(s, dir))),
     "cdc_transitions" -> onEvents(transitions),
     "cdc_forget" -> onEvents(e =>
       forget(e, e.filter(col("user_id") % 10 === 3))),
@@ -738,6 +787,34 @@ object Cdc {
       |  FROM flagged)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // C46 twin: plain global row_number is fine at oracle scale; the
+    // bucket formula is the identical integer arithmetic
+    "cdc_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+        |    count(*)::BIGINT AS frequency,
+        |    sum(round(value * 100)::BIGINT)::BIGINT AS monetary_cents
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT user_id,
+        |    ((max(last_us) OVER ()) - last_us) // 3600000000 AS recency_h,
+        |    frequency, monetary_cents,
+        |    (count(*) OVER ())::BIGINT AS n
+        |  FROM u),
+        |rk AS (
+        |  SELECT *,
+        |    row_number() OVER (ORDER BY recency_h, user_id) AS rk_r,
+        |    row_number() OVER (ORDER BY frequency, user_id) AS rk_f,
+        |    row_number() OVER (ORDER BY monetary_cents, user_id) AS rk_m
+        |  FROM r)
+        |SELECT user_id, recency_h, frequency, monetary_cents,
+        |  6 - ((rk_r - 1) * 5 // n + 1) AS r_score,
+        |  (rk_f - 1) * 5 // n + 1 AS f_score,
+        |  (rk_m - 1) * 5 // n + 1 AS m_score,
+        |  (6 - ((rk_r - 1) * 5 // n + 1)) * 100
+        |    + ((rk_f - 1) * 5 // n + 1) * 10
+        |    + ((rk_m - 1) * 5 // n + 1) AS rfm_code
+        |FROM rk ORDER BY user_id""".stripMargin,
     // C44 twin: same session boundary, same (ts, event_id) lag
     // order, integer ppm probabilities
     "cdc_transitions" ->

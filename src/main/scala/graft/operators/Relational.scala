@@ -692,10 +692,16 @@ object Relational {
   def chiSquare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val cells = Tables.orders(s, dir)
+    val cells0 = Tables.orders(s, dir)
       .groupBy($"o_orderpriority".as("priority"),
         $"o_orderstatus".as("status"))
       .agg(count(lit(1)).as("obs"))
+    // densify zero cells (A52 rationale): an unobserved combination
+    // still contributes (0−E)²/E to the statistic
+    val cells = cells0.select($"priority").distinct()
+      .crossJoin(cells0.select($"status").distinct())
+      .join(cells0, Seq("priority", "status"), "left")
+      .na.fill(0L, Seq("obs"))
     val t = cells
       .withColumn("row_total", sum($"obs").over(Window.partitionBy($"priority")))
       .withColumn("col_total", sum($"obs").over(Window.partitionBy($"status")))
@@ -1341,7 +1347,94 @@ object Relational {
       .orderBy($"nation")
   }
 
+  /** A52 Cramér's V (the normalized χ²-association measure — the
+    * number an analyst actually compares across tables, since χ²
+    * grows with n): contingency over lineitem's returnflag × linestatus,
+    * cells/margins exact BIGINT, per-cell χ² terms summed in a
+    * PINNED (flag, mode) order via the A36 sorted-struct fold, then
+    * V = √(χ²/(n·min(r−1, c−1))) — one division and one sqrt over
+    * the fold result, the identical IEEE tail in both engines.
+    * Shape: one cell aggregate + margin windows over the CELL table
+    * (r·c rows, never the fact table) + one global fold. */
+  def cramersV(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells0 = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag".as("flag"), $"l_linestatus".as("mode"))
+      .agg(count(lit(1)).as("obs"))
+    // densify: a (flag, mode) combination with NO rows still
+    // contributes (0−E)²/E — dropping zero cells understates χ²
+    // (V of a perfectly-associated diagonal would come out 1/√2)
+    val cells = cells0.select($"flag").distinct()
+      .crossJoin(cells0.select($"mode").distinct())
+      .join(cells0, Seq("flag", "mode"), "left")
+      .na.fill(0L, Seq("obs"))
+    val t = cells
+      .withColumn("row_total", sum($"obs").over(Window.partitionBy($"flag")))
+      .withColumn("col_total", sum($"obs").over(Window.partitionBy($"mode")))
+      .withColumn("n", sum($"obs").over(Window.partitionBy()))
+    val e = ($"row_total" * $"col_total").cast("double") / $"n".cast("double")
+    val c2 = t.select($"flag", $"mode", $"n",
+      (($"obs".cast("double") - e) * ($"obs".cast("double") - e) / e)
+        .as("chi_cell"))
+    c2.agg(
+        max($"n").as("n"),
+        aggregate(sort_array(collect_list(struct($"flag", $"mode",
+          $"chi_cell"))), lit(0.0), (acc, x) => acc + x("chi_cell"))
+          .as("chi2"),
+        countDistinct($"flag").as("r"),
+        countDistinct($"mode").as("c"))
+      .select($"n", $"r", $"c", $"chi2",
+        sqrt($"chi2" / ($"n".cast("double") *
+          least($"r" - 1, $"c" - 1).cast("double"))).as("v"))
+  }
+
+  /** A53 two-feature PCA per group (closed-form 2×2 eigen — the
+    * variance-structure probe a feature pipeline runs before deciding
+    * whether two signals are redundant): Gram entries for
+    * (quantity, price-cents) are EXACT decimal sums; the n-scaled
+    * covariance entries a = n·Σx²−(Σx)², b = n·Σxy−ΣxΣy,
+    * c = n·Σy²−(Σy)² leave integer land in ONE decimal→double cast
+    * each (correctly rounded in both engines), and the eigenvalues
+    * are the quadratic closed form λ± = (tr ± √((a−c)²+4b²))/2
+    * normalized by n² — population-covariance eigenvalues — with
+    * evr = λ₁/(λ₁+λ₂) the explained-variance ratio. Every post-cast
+    * op is the same IEEE sequence; no iteration, no library call.
+    * Shape: one map-side-combined aggregate, group-count output. */
+  def pca2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("flag"),
+        $"l_quantity".cast("long").as("x"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+      .groupBy($"flag")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x".cast("decimal(38,0)") * $"x").as("sxx"),
+        sum($"x".cast("decimal(38,0)") * $"y").as("sxy"),
+        sum($"y".cast("decimal(38,0)") * $"y").as("syy"))
+    g.select($"flag", $"n",
+        ($"n" * $"sxx" - $"sx".cast("decimal(38,0)") * $"sx")
+          .cast("double").as("a"),
+        ($"n" * $"sxy" - $"sx".cast("decimal(38,0)") * $"sy")
+          .cast("double").as("b"),
+        ($"n" * $"syy" - $"sy".cast("decimal(38,0)") * $"sy")
+          .cast("double").as("c"))
+      .select($"flag", $"n", ($"a" + $"c").as("tr"),
+        sqrt(($"a" - $"c") * ($"a" - $"c") + lit(4.0) * $"b" * $"b")
+          .as("disc"),
+        ($"n" * $"n").cast("double").as("nn"))
+      .select($"flag", $"n",
+        (($"tr" + $"disc") / 2.0 / $"nn").as("lam1"),
+        (($"tr" - $"disc") / 2.0 / $"nn").as("lam2"))
+      .select($"flag", $"n", $"lam1", $"lam2",
+        ($"lam1" / ($"lam1" + $"lam2")).as("evr"))
+      .orderBy($"flag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cramers_v" -> cramersV,
+    "q_pca2" -> pca2,
     "q_hhi" -> hhi,
     "q_wasserstein" -> wasserstein,
     "q_ridge" -> ridge2,
@@ -1394,6 +1487,71 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A52 twin: same integer cells/margins, same pinned-order fold,
+    // same one-division-one-sqrt tail
+    "q_cramers_v" ->
+      """WITH cells0 AS (
+        |  SELECT l_returnflag AS flag, l_linestatus AS mode,
+        |    count(*)::BIGINT AS obs
+        |  FROM lineitem GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT f.flag, m.mode, coalesce(c.obs, 0)::BIGINT AS obs
+        |  FROM (SELECT DISTINCT flag FROM cells0) f
+        |  CROSS JOIN (SELECT DISTINCT mode FROM cells0) m
+        |  LEFT JOIN cells0 c ON c.flag = f.flag AND c.mode = m.mode),
+        |t AS (
+        |  SELECT flag, mode, obs,
+        |    (sum(obs) OVER (PARTITION BY flag))::BIGINT AS row_total,
+        |    (sum(obs) OVER (PARTITION BY mode))::BIGINT AS col_total,
+        |    (sum(obs) OVER ())::BIGINT AS n
+        |  FROM cells),
+        |c2 AS (
+        |  SELECT flag, mode, n,
+        |    (obs::DOUBLE - (row_total * col_total)::DOUBLE / n::DOUBLE)
+        |      * (obs::DOUBLE - (row_total * col_total)::DOUBLE / n::DOUBLE)
+        |      / ((row_total * col_total)::DOUBLE / n::DOUBLE) AS chi_cell
+        |  FROM t),
+        |tot AS (
+        |  SELECT max(n)::BIGINT AS n,
+        |    list_reduce(
+        |      list_prepend(0.0::DOUBLE, list(chi_cell ORDER BY flag, mode)),
+        |      (a, b) -> a + b) AS chi2,
+        |    count(DISTINCT flag)::BIGINT AS r,
+        |    count(DISTINCT mode)::BIGINT AS c
+        |  FROM c2)
+        |SELECT n, r, c, chi2,
+        |  sqrt(chi2 / (n::DOUBLE * least(r - 1, c - 1)::DOUBLE)) AS v
+        |FROM tot""".stripMargin,
+    // A53 twin: same exact HUGEINT Gram combinations, one cast each,
+    // then the identical quadratic-formula IEEE sequence
+    "q_pca2" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, count(*)::BIGINT AS n,
+        |    sum(l_quantity::BIGINT)::HUGEINT AS sx,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::HUGEINT AS sy,
+        |    sum(l_quantity::HUGEINT * l_quantity::BIGINT) AS sxx,
+        |    sum(l_quantity::HUGEINT
+        |      * round(l_extendedprice * 100)::BIGINT) AS sxy,
+        |    sum(round(l_extendedprice * 100)::HUGEINT
+        |      * round(l_extendedprice * 100)::BIGINT) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT flag, n,
+        |    (n * sxx - sx * sx)::DOUBLE AS a,
+        |    (n * sxy - sx * sy)::DOUBLE AS b,
+        |    (n * syy - sy * sy)::DOUBLE AS c
+        |  FROM g),
+        |e AS (
+        |  SELECT flag, n, a + c AS tr,
+        |    sqrt((a - c) * (a - c) + 4.0 * b * b) AS disc,
+        |    (n * n)::DOUBLE AS nn
+        |  FROM m),
+        |l AS (
+        |  SELECT flag, n, (tr + disc) / 2.0 / nn AS lam1,
+        |    (tr - disc) / 2.0 / nn AS lam2
+        |  FROM e)
+        |SELECT flag, n, lam1, lam2, lam1 / (lam1 + lam2) AS evr
+        |FROM l ORDER BY flag""".stripMargin,
     // A51 twin: same exact decimal square-sum, same HUGEINT floor-div
     "q_hhi" ->
       """WITH rev AS (
@@ -1792,10 +1950,16 @@ object Relational {
         |    / (tot.ssw / (tot.n - tot.k)::DOUBLE), 6) AS f_stat
         |FROM c, tot ORDER BY c.lineno""".stripMargin,
     "q_chisq" ->
-      """WITH cells AS (
+      """WITH cells0 AS (
         |  SELECT o_orderpriority AS priority, o_orderstatus AS status,
         |    count(*)::BIGINT AS obs
         |  FROM orders GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT f.priority, m.status, coalesce(c.obs, 0)::BIGINT AS obs
+        |  FROM (SELECT DISTINCT priority FROM cells0) f
+        |  CROSS JOIN (SELECT DISTINCT status FROM cells0) m
+        |  LEFT JOIN cells0 c
+        |    ON c.priority = f.priority AND c.status = m.status),
         |t AS (
         |  SELECT priority, status, obs,
         |    (sum(obs) OVER (PARTITION BY priority))::BIGINT AS row_total,

@@ -1291,8 +1291,129 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B38 stochastic oscillator (%K/%D, the rolling min-max momentum
+    * indicator): per-user 14-row trailing window, %K = position of the
+    * current value inside the window's [min, max] band, %D = 3-row
+    * simple average of %K. NO float anywhere: k_ppm =
+    * (v − min)·10⁶ div (max − min) over BIGINT cents (null when the
+    * band is flat or the window not yet full — the standard undefined
+    * cases), d_ppm = Σ₃ k_ppm div 3 only when all three %K values
+    * exist. Two window passes (band + smoothing), both partitioned by
+    * the high-cardinality user key — state per row is three BIGINTs,
+    * so the shape survives any corpus size. */
+  def stochastic(events: DataFrame, window: Int = 14): DataFrame = {
+    import events.sparkSession.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val wBand = wOrd.rowsBetween(-(window - 1), Window.currentRow)
+    val wD = wOrd.rowsBetween(-2, Window.currentRow)
+    events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        round($"value" * 100).cast("long").as("vc"))
+      .withColumn("n_win", count(lit(1)).over(wBand))
+      .withColumn("lo", min($"vc").over(wBand))
+      .withColumn("hi", max($"vc").over(wBand))
+      .withColumn("k_ppm",
+        when($"n_win" === window && $"hi" > $"lo",
+          expr("(vc - lo) * 1000000 div (hi - lo)")))
+      .withColumn("nk", count($"k_ppm").over(wD))
+      .withColumn("sk", sum($"k_ppm").over(wD))
+      .withColumn("d_ppm", when($"nk" === 3, expr("sk div 3")))
+      .select($"user_id", $"event_id", $"ts_us", $"k_ppm", $"d_ppm")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** B39 MACD (EMA₁₂ − EMA₂₆ with an EMA₉ signal line — the classic
+    * trend-following momentum triple): per-user series of 2-dp values
+    * (the B16 integer-rounded-cents input, bit-identical across
+    * engines), EMAs computed as NULL-seeded folds over a 40-row
+    * trailing window — a DOCUMENTED truncation: the dropped tail's
+    * weight is (1−α)⁴⁰ < 0.2% for α = 2/13, and the twin replays the
+    * IDENTICAL truncated fold so the compare stays exact. The signal
+    * line folds the macd COLUMN (window-over-window), and the
+    * histogram is one subtraction. All coefficients are interpolated
+    * from the same Scala doubles into both engines (shortest-repr
+    * round-trip), so every fold step is the same IEEE sequence —
+    * raw un-rounded doubles exported, the B16 precedent. Bounded
+    * state: two 40-double lists per row, one keyed window pass each. */
+  // MACD smoothing coefficients, object-level so the DuckDB twin
+  // interpolates the IDENTICAL shortest-repr double literals.
+  // CRITICAL: both engines must parse them as DOUBLE literals, not
+  // DECIMAL — DuckDB converts a 17-significant-digit DECIMAL to
+  // double via int/10^scale, which double-rounds once the integer
+  // part exceeds 2^53 (measured: 2/13's 17-digit repr lands one ulp
+  // off strtod). Appending an exponent ("…e0") forces the
+  // correctly-rounded strtod path in BOTH parsers. Coefficients are
+  // in (0.07, 0.93) so Double.toString never emits its own exponent.
+  private def dlit(d: Double): String = s"${d}e0"
+  private val MacdAF = 2.0 / 13.0   // fast EMA-12
+  private val MacdAS = 2.0 / 27.0   // slow EMA-26
+  private val MacdASig = 2.0 / 10.0 // signal EMA-9
+
+  def macd(events: DataFrame, span: Int = 40): DataFrame = {
+    import events.sparkSession.implicits._
+    val aF = MacdAF; val aS = MacdAS; val aSig = MacdASig
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val wSpan = wOrd.rowsBetween(-(span - 1), Window.currentRow)
+    def fold(xs: String, a: Double) =
+      expr(s"""aggregate($xs, cast(null as double),
+              |  (acc, x) -> CASE WHEN acc IS NULL THEN x
+              |              ELSE acc * ${dlit(1 - a)} + ${dlit(a)} * x END)"""
+        .stripMargin)
+    events
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+        (round($"value" * 100) / 100.0).as("v"))
+      .withColumn("xs", collect_list($"v").over(wSpan))
+      .withColumn("macd", fold("xs", aF) - fold("xs", aS))
+      .drop("xs")
+      .withColumn("ms", collect_list($"macd").over(wSpan))
+      .withColumn("sig", fold("ms", aSig))
+      .select($"user_id", $"event_id", $"ts_us",
+        $"macd", $"sig", ($"macd" - $"sig").as("hist"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** B40 historical VaR / expected shortfall (the risk-desk tail
+    * summary, lower-tail convention): per event_type, VaR₅ is the
+    * type-1 5th-percentile of the cent-value distribution (A29's
+    * cumulative-histogram inverse CDF — k = ⌈n·5/100⌉ carried as the
+    * INTEGER (5n+99) div 100, never a float rank) and ES₅ is the mean
+    * of the k smallest observations, assembled EXACTLY from the same
+    * histogram: Σ cents·c over buckets strictly below VaR plus
+    * VaR·(k − count_below) for the partial bucket — so both numbers
+    * come from ONE distinct-value cumulative pass, no per-group sort
+    * or collect. The only division is the final es export; var is an
+    * exact cents-to-dollars halving. Scale: window cost is
+    * O(distinct cent values) per group, the A29 bound. */
+  def varEs(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events.select($"event_type",
+      round($"value" * 100).cast("long").as("cents"))
+    val counts = pts.groupBy($"event_type", $"cents")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+      .withColumn("k", expr("(n * 5 + 99) div 100"))
+    cum.groupBy($"event_type")
+      .agg(max($"n").as("n"), max($"k").as("k"),
+        min(when($"cum" >= $"k", $"cents")).as("var_c"),
+        sum(when($"cum" < $"k", $"cents" * $"c")).as("below_sum"),
+        max(when($"cum" < $"k", $"cum")).as("below_cnt"))
+      .select($"event_type", $"n",
+        ($"var_c".cast("double") / 100.0).as("var_dollars"),
+        ((coalesce($"below_sum", lit(0L))
+          + $"var_c" * ($"k" - coalesce($"below_cnt", lit(0L))))
+          .cast("double") / ($"k".cast("double") * 100.0)).as("es_dollars"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_acf" -> ((s, dir) => acfLjungBox(Tables.events(s, dir))),
+    "q_stochastic" -> ((s, dir) => stochastic(Tables.events(s, dir))),
+    "q_macd" -> ((s, dir) => macd(Tables.events(s, dir))),
+    "q_var_es" -> ((s, dir) => varEs(Tables.events(s, dir))),
     "q_changepoint" -> ((s, dir) => changePoint(Tables.events(s, dir))),
     "q_mann_kendall" -> mannKendall,
     "q_kaplan_meier" -> ((s, dir) => kaplanMeier(Tables.events(s, dir))),
@@ -1340,6 +1461,94 @@ object Resilience {
       |FROM events GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B38 twin: same cents band, same integer ppm divisions, same
+    // 3-of-3 smoothing rule — no float anywhere
+    "q_stochastic" ->
+      """WITH v AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    round(value * 100)::BIGINT AS vc
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, ts_us, vc,
+        |    count(*) OVER win AS n_win,
+        |    min(vc) OVER win AS lo,
+        |    max(vc) OVER win AS hi
+        |  FROM v
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |k AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN n_win = 14 AND hi > lo
+        |      THEN (vc - lo) * 1000000 // (hi - lo) END AS k_ppm
+        |  FROM w)
+        |SELECT user_id, event_id, ts_us, k_ppm,
+        |  CASE WHEN count(k_ppm) OVER wd = 3
+        |    THEN (sum(k_ppm) OVER wd)::BIGINT // 3 END AS d_ppm
+        |FROM k
+        |WINDOW wd AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    // B39 twin: identical truncated folds over the identical 2-dp
+    // inputs with the identical interpolated coefficients — raw
+    // doubles, exact compare (the B16 precedent)
+    "q_macd" ->
+      s"""WITH v AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    round(value * 100) / 100.0 AS v
+         |  FROM events),
+         |w AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    list(v) OVER win AS xs
+         |  FROM v
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN 39 PRECEDING AND CURRENT ROW)),
+         |m AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    list_reduce(xs, (acc, x) ->
+         |        acc * ${dlit(1 - MacdAF)} + ${dlit(MacdAF)} * x)
+         |      - list_reduce(xs, (acc, x) ->
+         |          acc * ${dlit(1 - MacdAS)} + ${dlit(MacdAS)} * x) AS macd
+         |  FROM w),
+         |m2 AS (
+         |  SELECT user_id, event_id, ts_us, macd,
+         |    list(macd) OVER win AS ms
+         |  FROM m
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN 39 PRECEDING AND CURRENT ROW)),
+         |sg AS (
+         |  SELECT user_id, event_id, ts_us, macd,
+         |    list_reduce(ms, (acc, x) ->
+         |      acc * ${dlit(1 - MacdASig)} + ${dlit(MacdASig)} * x) AS sig
+         |  FROM m2)
+         |SELECT user_id, event_id, ts_us, macd, sig, macd - sig AS hist
+         |FROM sg ORDER BY user_id, event_id""".stripMargin,
+    // B40 twin: same cumulative histogram, same integer ceil rank,
+    // same exact tail assembly, one division at export
+    "q_var_es" ->
+      """WITH pts AS (
+        |  SELECT event_type, round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |counts AS (
+        |  SELECT event_type, cents, count(*) AS c FROM pts GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, cents, c,
+        |    (sum(c) OVER (PARTITION BY event_type ORDER BY cents))::BIGINT
+        |      AS cum,
+        |    (sum(c) OVER (PARTITION BY event_type))::BIGINT AS n
+        |  FROM counts),
+        |kk AS (SELECT *, (n * 5 + 99) // 100 AS k FROM cum),
+        |a AS (
+        |  SELECT event_type, max(n) AS n, max(k) AS k,
+        |    min(CASE WHEN cum >= k THEN cents END) AS var_c,
+        |    sum(CASE WHEN cum < k THEN cents * c END)::BIGINT AS below_sum,
+        |    max(CASE WHEN cum < k THEN cum END) AS below_cnt
+        |  FROM kk GROUP BY 1)
+        |SELECT event_type, n,
+        |  var_c::DOUBLE / 100.0 AS var_dollars,
+        |  (coalesce(below_sum, 0)
+        |    + var_c * (k - coalesce(below_cnt, 0)))::DOUBLE
+        |    / (k::DOUBLE * 100.0) AS es_dollars
+        |FROM a ORDER BY event_type""".stripMargin,
     // B35 twin: same integer numerators (denominators cleared), same
     // per-lag division, same left-to-right Ljung-Box fold
     "q_acf" -> {

@@ -852,6 +852,17 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getDouble(7) == 20.0 && r.getLong(8) == 1L,
         s"chi2/dof: ${r.mkString(",")}")
     }
+    // zero cells are densified: a diagonal-only 2×2 (A-X 10, B-Y 10)
+    // must surface all four cells and χ² = n = 20
+    val diag = (Seq.fill(10)(("A", "X")) ++ Seq.fill(10)(("B", "Y")))
+      .zipWithIndex.map { case ((p, st), i) => (i.toLong, p, st, 1.0) }
+      .toDF("o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice")
+    val dir2 = java.nio.file.Files.createTempDirectory("chisq0").toString
+    diag.write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    val got2 = graft.operators.Relational.chiSquare(spark, dir2).collect()
+    assert(got2.length == 4, s"densified cells: ${got2.length}")
+    assert(got2.forall(_.getDouble(7) == 20.0),
+      "zero cells must contribute to chi2")
   }
 
   test("A37 MAD: even-count interpolation and odd-count exact, both dyadic") {
@@ -1326,5 +1337,123 @@ class OperatorsSpec extends AnyFunSuite {
       .filter($"user_id" =!= 2L).collect().map(_.toSeq)
     assert(purged.toSeq == full.toSeq,
       "survivors' version chains must be untouched by the purge")
+  }
+
+  test("A52 Cramér's V: independent table = 0, perfect 2×2 association = 1") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String)]): (Long, Double, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory("cramers").toString
+      rows.toDF("l_returnflag", "l_linestatus")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val r = graft.operators.Relational.cramersV(spark, dir).collect().head
+      (r.getLong(0), r.getDouble(3), r.getDouble(4))
+    }
+    val indep = run(for { f <- Seq("R", "N"); m <- Seq("AIR", "TRUCK");
+      _ <- 1 to 10 } yield (f, m))
+    assert(indep == ((40L, 0.0, 0.0)), s"independent: $indep")
+    val assoc = run(Seq.fill(10)(("R", "AIR")) ++ Seq.fill(10)(("N", "TRUCK")))
+    assert(assoc._1 == 20L && assoc._2 == 20.0 && assoc._3 == 1.0,
+      s"perfect association: $assoc")
+  }
+
+  test("A53 pca2: isotropic cloud gives equal eigenvalues, perfect correlation gives evr 1") {
+    import spark.implicits._
+    val rows =
+      Seq(("I", 0L, 0.00), ("I", 2L, 0.00), ("I", 0L, 0.02), ("I", 2L, 0.02),
+        ("C", 0L, 0.00), ("C", 2L, 0.02))
+    val dir = java.nio.file.Files.createTempDirectory("pca2").toString
+    rows.toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Relational.pca2(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    // I: x,y independent ±1 around the mean → λ₁ = λ₂ = 1, evr ½
+    assert(got("I") == ((4L, 1.0, 1.0, 0.5)), s"isotropic: ${got("I")}")
+    // C: y ≡ x → all variance on the diagonal, λ₂ exactly 0
+    assert(got("C") == ((2L, 2.0, 0.0, 1.0)), s"correlated: ${got("C")}")
+  }
+
+  test("C46 RFM: aligned metrics give rank-identical quintiles on all three axes") {
+    import spark.implicits._
+    // u_i has i events, last at t0 + i hours, each worth i dollars —
+    // so recency/frequency/monetary all rank u1 < … < u5 and with
+    // n = 5 the quintile formula degenerates to the rank itself
+    val rows = for { i <- 1 to 5; j <- 1 to i } yield
+      (i.toLong, i * 100L + j, (i * 3600L) - (i - j), i.toDouble)
+    val df = rows.toDF("user_id", "event_id", "secs", "value")
+      .withColumn("ts", expr(
+        "to_timestamp('2024-01-01') + make_interval(0, 0, 0, 0, 0, 0, secs)"))
+      .select("user_id", "event_id", "ts", "value")
+    val got = graft.operators.Cdc.rfm(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    for (i <- 1L to 5L) {
+      val (rec, freq, mon, rs, fs, ms, code) = got(i)
+      assert(rec == 5 - i && freq == i && mon == i * i * 100,
+        s"u$i metrics: ${got(i)}")
+      assert((rs, fs, ms, code) == ((i, i, i, i * 111)),
+        s"u$i scores: ${got(i)}")
+    }
+  }
+
+  test("B38 stochastic: hand-computed %K band positions, 3-of-3 %D, flat and short null") {
+    // u1: 13×5.00 then 10.00, 7.50, 5.00 — windows all span [500,1000]
+    val dir = eventsFixture(Seq(
+      1L -> ((Seq.fill(13)(5.00) :+ 10.00) :+ 7.50 :+ 5.00),
+      2L -> Seq.fill(14)(5.00),
+      3L -> Seq.fill(13)(5.00)))
+    val got = graft.operators.Resilience.stochastic(
+        graft.sources.Tables.events(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val byUser = got.groupBy(_._1)
+    assert(byUser(1L).flatMap(_._3).toSeq == Seq(1000000L, 500000L, 0L))
+    // %D fires only on the 16th row, averaging the three %K values
+    assert(byUser(1L).flatMap(_._4).toSeq == Seq(500000L))
+    assert(byUser(2L).flatMap(_._3).isEmpty, "flat band must stay null")
+    assert(byUser(3L).flatMap(_._3).isEmpty, "short series must stay null")
+  }
+
+  test("B39 MACD: constant series all-zero; two-point step matches the hand fold") {
+    val dir = eventsFixture(Seq(
+      1L -> Seq.fill(5)(3.25),
+      2L -> Seq(1.00, 2.00)))
+    val got = graft.operators.Resilience.macd(
+        graft.sources.Tables.events(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    val byUser = got.groupBy(_._1)
+    assert(byUser(1L).forall(_._3 == ((0.0, 0.0, 0.0))),
+      "EMA of a constant is the constant, so macd/sig/hist are exactly 0")
+    val aF = 2.0 / 13.0; val aS = 2.0 / 27.0; val aSig = 2.0 / 10.0
+    val eF = 1.0 * (1 - aF) + aF * 2.0
+    val eS = 1.0 * (1 - aS) + aS * 2.0
+    val m2 = eF - eS
+    val sig2 = 0.0 * (1 - aSig) + aSig * m2
+    val u2 = byUser(2L).sortBy(_._2).map(_._3)
+    assert(u2.head == ((0.0, 0.0, 0.0)), s"first row: ${u2.head}")
+    assert(u2(1) == ((m2, sig2, m2 - sig2)), s"second row: ${u2(1)}")
+  }
+
+  test("B40 VaR/ES: exact tail means incl. partial bucket, tiny-n k=1 edge") {
+    import spark.implicits._
+    val rows =
+      (1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 10).map(_ => ("b", 2.00)) ++
+      (Seq.fill(3)(1.00) ++ Seq.fill(97)(2.00)).map(("d", _))
+    val ev = rows.toDF("event_type", "value")
+    val got = graft.operators.Resilience.varEs(ev)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // a: n=100, k=5, VaR = 5.00, ES = mean(1..5) = 3.00
+    assert(got("a") == ((100L, 5.0, 3.0)), s"a: ${got("a")}")
+    // b: n=10, k=1, VaR = ES = the single smallest value
+    assert(got("b") == ((10L, 2.0, 2.0)), s"b: ${got("b")}")
+    // d: k=5 splits the VaR bucket — 3×1.00 below + 2×2.00 at VaR
+    assert(got("d") == ((100L, 2.0, 1.4)), s"d: ${got("d")}")
   }
 }
