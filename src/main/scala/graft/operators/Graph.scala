@@ -422,10 +422,60 @@ object Graph {
       .orderBy($"part")
   }
 
+  /** I5 link prediction: common-neighbor and Jaccard scores for the
+    * top non-adjacent vertex pairs (the "you might also bundle"
+    * candidate list a recommender reads). Wedge enumeration through
+    * each center (every common neighbor of (x, y) contributes exactly
+    * one ordered wedge x < y), one grouped count per pair, adjacency
+    * removed by an anti-join, Jaccard as the INTEGER ppm
+    * cn·10⁶ div (dx+dy−cn). Top-k via orderBy+limit →
+    * TakeOrderedAndProject, no global sort. Cost is Σ deg² wedges —
+    * on a power-law graph cap hub degrees first (the D2 DF-cap
+    * pattern); the ≥2-support co-order graph is already sparse.
+    *
+    * @param edges canonical (a, b) pairs, a < b, distinct
+    */
+  def linkPrediction(edges: DataFrame, topK: Int = 100): DataFrame = {
+    import edges.sparkSession.implicits._
+    val canon = edges.select($"a", $"b").localCheckpoint()
+    val sym = canon.select($"a".as("u"), $"b".as("v"))
+      .union(canon.select($"b".as("u"), $"a".as("v")))
+    val deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("d"))
+    val wedges = sym.select($"u".as("c"), $"v".as("x"))
+      .join(sym.select($"u".as("c"), $"v".as("y")), Seq("c"))
+      .filter($"x" < $"y")
+    val cn = wedges.groupBy($"x", $"y").agg(count(lit(1)).as("cn"))
+    cn.join(canon.select($"a".as("x"), $"b".as("y")),
+        Seq("x", "y"), "left_anti")
+      .join(deg.select($"node".as("x"), $"d".as("dx")), "x")
+      .join(deg.select($"node".as("y"), $"d".as("dy")), "y")
+      .withColumn("jaccard_ppm", expr("cn * 1000000 div (dx + dy - cn)"))
+      .select($"x", $"y", $"cn", $"dx", $"dy", $"jaccard_ppm")
+      .orderBy($"cn".desc, $"jaccard_ppm".desc, $"x", $"y")
+      .limit(topK)
+  }
+
+  /** q_link_predict: top-100 predicted part pairs over the same
+    * ≥2-support co-order graph q_kcore peels. */
+  def linkPredictCoOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val canon = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").cast("long").as("a"),
+        col("y.l_partkey").cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"a", $"b")
+    linkPrediction(canon, 100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> pageRankTrade,
     "q_triangles" -> trianglesCoOrder,
     "q_bfs_hops" -> bfsSupplyChain,
+    "q_link_predict" -> linkPredictCoOrder,
     "q_kcore" -> kcoreCoOrder)
 
   /** Unrolled 5-iteration PageRank CTE chain — the identical
@@ -509,6 +559,34 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // I5 twin: same wedge counting, same anti-join, same integer ppm,
+    // same total-order top-k
+    "q_link_predict" ->
+      """WITH canon AS (
+        |  SELECT x.l_partkey::BIGINT AS a, y.l_partkey::BIGINT AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT a AS u, b AS v FROM canon
+        |        UNION ALL SELECT b, a FROM canon),
+        |deg AS (SELECT u AS node, count(*)::BIGINT AS d
+        |        FROM sym GROUP BY 1),
+        |wedges AS (
+        |  SELECT e1.v AS x, e2.v AS y
+        |  FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v),
+        |cnt AS (SELECT x, y, count(*)::BIGINT AS cn
+        |        FROM wedges GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT cnt.x, cnt.y, cnt.cn FROM cnt
+        |  WHERE NOT EXISTS (SELECT 1 FROM canon c
+        |    WHERE c.a = cnt.x AND c.b = cnt.y))
+        |SELECT cand.x, cand.y, cand.cn, dx.d AS dx, dy.d AS dy,
+        |  cand.cn * 1000000 // (dx.d + dy.d - cand.cn) AS jaccard_ppm
+        |FROM cand
+        |JOIN deg dx ON dx.node = cand.x
+        |JOIN deg dy ON dy.node = cand.y
+        |ORDER BY cand.cn DESC, jaccard_ppm DESC, cand.x, cand.y
+        |LIMIT 100""".stripMargin,
     "q_pagerank" -> pageRankSql(5),
     "q_bfs_hops" -> bfsSql(4),
     "q_kcore" -> kcoreSql(3, 6),

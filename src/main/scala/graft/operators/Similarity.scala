@@ -244,6 +244,43 @@ object Similarity {
       cand.withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6)))
   }
 
+  // plane-family id for the Hamming codes — disjoint from E2's
+  // (table, bit) space so the two sign-bit families never collide
+  private val HammingT = 100
+
+  /** E19 binary Hamming search (the "binary embedding" tier a serving
+    * stack runs as its cheapest filter): every vector compresses to
+    * ONE BIGINT of 64 deterministic hyperplane sign bits (the same
+    * MurmurHash3 plane family as E2, disjoint seeds), and distance is
+    * bit_count(xor(code, qcode)) — a two-instruction comparison over
+    * an 8-byte-per-vector table, 64× smaller than the double corpus.
+    * Exact top-k per query by (hamming asc, vec_id asc) through the
+    * bounded-heap TopKAgg. 100 TB shape: 10⁹ vectors make an ~8 GB
+    * code table — scanned or broadcast, scoring never touches the
+    * vector corpus; the integer distances are engine-exact so the
+    * oracle replays them bit-for-bit. */
+  def annHamming(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = withNorm(vecs)
+    val bitExprs = (0 until 64).map { j =>
+      when(VectorFunctions.dot($"v", plane(HammingT, j)) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }
+    val codes = e.select($"vec_id", bitExprs.reduce(_.bitwiseOR(_)).as("code"))
+    val q = codes.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"code".as("qcode"))
+    val scored = codes.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("ham", expr("bit_count(code ^ qcode)").cast("long"))
+    scored.groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-$"ham").cast("double").as("score"), $"vec_id".as("id")),
+        TopK).as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"t.id".as("vec_id"), (-$"t.score").cast("long").as("hamming"))
+      .orderBy($"q_id", $"rank")
+  }
+
   /** E3 IVF-style ANN: coarse quantizer = 16 deterministic seed
     * centroids; every vector is assigned to its nearest centroid (one
     * broadcast pass, min-by aggregation — no window); queries probe
@@ -1103,6 +1140,7 @@ object Similarity {
     "hybrid_rrf" -> ((s, dir) =>
       hybridRrf(Tables.embeddings(s, dir), Tables.documents(s, dir))),
     "ann_lsh" -> onVecs(annLsh),
+    "ann_hamming" -> onVecs(annHamming),
     "ann_ivf" -> onVecs(annIvf),
     "ann_ivf_kmeans" -> onVecs(v => annIvfKmeans(v)),
     "ann_ivfpq" -> onVecs(v => annIvfPq(v)),
@@ -1159,6 +1197,36 @@ object Similarity {
        |  FROM adcs a JOIN q ON a.q_id = q.q_id)
        |SELECT q_id, rank::BIGINT AS rank, vec_id, adc FROM ranked
        |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+  /** E19 oracle: the identical sign-bit packing (same plane literals,
+    * bit 63 lands as BIGINT min-value — the left-to-right sum never
+    * overflows because bits 0..62 cap at 2⁶³−1) and the identical
+    * integer Hamming ranking. */
+  private def hammingOracleSql: String = {
+    def planeLit(b: Int): String =
+      planeArray(HammingT, b).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+    val bits = (0 until 64).map { j =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(j)}) > 0" +
+        s" THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH $eCte,
+       |codes AS (SELECT vec_id,
+       |    $bits AS code
+       |  FROM e),
+       |q AS (SELECT vec_id AS q_id, code AS qcode FROM codes
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id,
+       |    bit_count(xor(c.code, q.qcode))::BIGINT AS ham
+       |  FROM codes c JOIN q ON c.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, ham, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY ham, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank::BIGINT AS rank, vec_id, ham AS hamming
+       |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
 
   /** DuckDB SQL for the deterministic LSH bucketing: one UNION ALL
     * branch per table, bucket = sum of sign bits against the SAME
@@ -1666,6 +1734,7 @@ object Similarity {
          |  WHERE a.n > 0 AND p.qn > 0)
          |SELECT q_id, vec_id, cos FROM scored
          |WHERE cos >= $RangeCosT ORDER BY q_id, vec_id""".stripMargin,
+    "ann_hamming" -> hammingOracleSql,
     "ann_lsh" ->
       s"""WITH $eCte,
          |bk AS (

@@ -402,4 +402,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got((1L, 2L)) == ((10L, d10)) && got((1L, 3L)) == ((11L, d10)))
     assert(got((2L, 1L)) == ((20L, 0L)), "singleton label centers on itself")
   }
+
+  test("E19 Hamming codes: clone at distance 0, every distance matches the replicated packing") {
+    import spark.implicits._
+    // replicate the operator's sign-bit packing (plane family t=100,
+    // sequential double fold — the DotProduct order) independently
+    def code(v: Array[Float]): Long = (0 until 64).map { j =>
+      val p = Similarity.planeArray(100, j)
+      var d = 0.0
+      var i = 0
+      while (i < 64) { d += v(i).toDouble * p(i); i += 1 }
+      if (d > 0) 1L << j else 0L
+    }.reduce(_ | _)
+    val base = Array.tabulate(64)(i => (i + 1).toFloat)
+    val vs = Map(
+      0L -> base, 1L -> base.clone(),
+      2L -> base.map(-_),
+      3L -> base.map(x => 65f - x))
+    val df = vs.toSeq.map { case (id, v) => (id, v, "x") }
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.annHamming(df)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    def want(a: Long, b: Long) =
+      java.lang.Long.bitCount(code(vs(a)) ^ code(vs(b)))
+    assert(got((0L, 1L)) == 0L, "clone must sit at Hamming 0")
+    got.foreach { case ((q, v), h) =>
+      assert(h == want(q, v), s"($q,$v): got $h want ${want(q, v)}")
+    }
+    // all 4 vectors are queries and each sees all 3 others (TopK = 3)
+    assert(got.size == 12, s"rows: ${got.size}")
+  }
 }

@@ -180,4 +180,27 @@ class GraphSpec extends AnyFunSuite {
     // k above the max core degree empties the graph
     assert(Graph.kCorePeel(edges, k = 4, rounds = 4).isEmpty)
   }
+
+  test("I5 link prediction: 4-cycle diagonals score cn=2 jacc=1e6, pendant wedges cn=1, adjacency excluded") {
+    import spark.implicits._
+    // square 1-2-3-4 plus pendant 5 attached to 1:
+    //   diagonals (1,3) and (2,4) share two neighbors, Jaccard 1;
+    //   (2,5) and (4,5) share only vertex 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 5L))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("a", "b")
+    val got = Graph.linkPrediction(edges, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val m = got.toMap
+    assert(m.keySet == Set((1L, 3L), (2L, 4L), (2L, 5L), (4L, 5L)),
+      s"candidate pairs: ${m.keySet}")
+    assert(m((1L, 3L)) == ((2L, 3L, 2L, 666666L)), s"${m((1L, 3L))}")
+    assert(m((2L, 4L)) == ((2L, 2L, 2L, 1000000L)), s"${m((2L, 4L))}")
+    assert(m((2L, 5L)) == ((1L, 2L, 1L, 500000L)), s"${m((2L, 5L))}")
+    assert(m((4L, 5L)) == ((1L, 2L, 1L, 500000L)), s"${m((4L, 5L))}")
+    // ordering: cn desc first, then jaccard desc breaks the cn tie
+    assert(got.map(_._1).toSeq ==
+      Seq((2L, 4L), (1L, 3L), (2L, 5L), (4L, 5L)))
+  }
 }
