@@ -585,7 +585,52 @@ object Multimodal {
     wavFeatures(payloads)
   }
 
+  /** G8 PCM decimation by 2 (the cheapest resampling tier an audio
+    * pipeline runs before feature extraction): consecutive sample
+    * pairs average to one output sample, with the mean floored via
+    * ARITHMETIC SHIFT (`shiftright(a+b, 1)`) — both engines shift
+    * arithmetically, where `div`-by-2 would truncate toward zero in
+    * Spark but floor in DuckDB on negative sums, a real parity trap.
+    * The odd tail sample drops (complete pairs only — the count==2
+    * filter). Decimation and all statistics run as COLUMN math after
+    * the decode seam: one doc+pair-keyed map-side-combinable groupBy,
+    * then one per-doc aggregate — the G6/G7 scale shape. */
+  def wavResample(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        parseWavSamples(p).iterator.flatMap { case (rate, ss) =>
+          ss.iterator.zipWithIndex.map { case (s, i) =>
+            (id, rate, i.toLong, s.toLong) } } })
+      .toDF("doc_id", "rate", "idx", "s")
+      .groupBy($"doc_id", $"rate", expr("idx div 2").as("k"))
+      .agg(count(lit(1)).as("cnt"), sum($"s").as("pair_sum"))
+      .filter($"cnt" === 2)
+      .withColumn("o", expr("shiftright(pair_sum, 1)"))
+      .groupBy($"doc_id")
+      .agg(max(expr("rate div 2")).as("out_rate"),
+        count(lit(1)).as("n_out"),
+        max(abs($"o")).as("peak"),
+        sum($"o" * $"o").as("sum_sq"))
+      .withColumn("duration_us", expr("n_out * 1000000 div out_rate"))
+      .orderBy($"doc_id")
+  }
+
+  /** G8 graded entry (`mm_resample`): the G6 synthesized WAVs,
+    * decoded and decimated; the oracle regenerates the pairs from
+    * the LCG recurrence alone. */
+  private def wavResampleEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long]
+      .map(id => (id, wavBytes(lcgSamples(id, (32 + id % 33).toInt))))
+      .toDF("doc_id", "payload")
+    wavResample(payloads)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_resample" -> wavResampleEntry,
     "mm_wav_features" -> wavFeaturesEntry,
     "mm_sniff" -> sniffEntry,
     "mm_wav_stats" -> wavStatsEntry,
@@ -608,6 +653,36 @@ object Multimodal {
     }))
 
   val oracles: Map[String, String] = Map(
+    // G8 twin: LCG regeneration, pair sums floored by the same
+    // arithmetic shift, complete pairs only — all-integer
+    "mm_resample" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, 32 + doc_id % 33 AS n,
+        |    (doc_id * 1103515245 + 12345) % 2147483648 AS s
+        |  FROM documents),
+        |gen AS (
+        |  SELECT doc_id, n, 0 AS k, s, CAST(NULL AS BIGINT) AS sample
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, n, k + 1,
+        |    (s * 1103515245 + 12345) % 2147483648,
+        |    ((s * 1103515245 + 12345) % 2147483648) % 65536 - 32768
+        |  FROM gen WHERE k < n),
+        |pcm AS (
+        |  SELECT doc_id, k - 1 AS idx, sample
+        |  FROM gen WHERE sample IS NOT NULL),
+        |pairs AS (
+        |  SELECT doc_id, idx // 2 AS k, count(*) AS cnt,
+        |    sum(sample)::BIGINT AS pair_sum
+        |  FROM pcm GROUP BY 1, 2),
+        |res AS (
+        |  SELECT doc_id, pair_sum >> 1 AS o FROM pairs WHERE cnt = 2)
+        |SELECT doc_id, 4000::BIGINT AS out_rate,
+        |  count(*)::BIGINT AS n_out,
+        |  max(abs(o))::BIGINT AS peak,
+        |  sum(o * o)::BIGINT AS sum_sq,
+        |  (count(*) * 1000000 // 4000)::BIGINT AS duration_us
+        |FROM res GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // G7 twin: same LCG regeneration, 0-based sample index (k−1),
     // frame = idx // 16, crossing counted at the right endpoint via
     // lag — all-integer until the one rms sqrt

@@ -1409,7 +1409,58 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B41 band-limited dynamic time warping (Sakoe-Chiba r = 3) between
+    * each priority's 1995 and 1996 monthly revenue curves — the
+    * shape-alignment distance a seasonality monitor uses where
+    * Euclidean month-by-month comparison breaks on phase shift.
+    * ENTIRELY integer: monthly sums are exact cents (missing months
+    * densified to 0 positionally — no ordinal drift), cell cost is
+    * |x_i − y_j|, and the 12×12 DP runs as a nested HOF fold (outer
+    * fold over rows, inner fold builds each row left-to-right; the
+    * previous row rides as the accumulator — no UDF, no driver loop,
+    * whole plan stays one aggregate + one projection per group).
+    * Out-of-band cells pin to INF = 10¹⁵ cents (≥100× any in-band
+    * path at SF 1); every in-band cell has an in-band predecessor so
+    * INF never accumulates. The twin replays the identical integer
+    * DP with DuckDB list folds — exact BIGINT equality, engine fold
+    * mechanics irrelevant because the arithmetic is integral. */
+  def dtwSeasonal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val INF = "1000000000000000"
+    val pts = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("priority"),
+        year($"o_orderdate").as("yr"), month($"o_orderdate").as("m"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .filter($"yr".isin(1995, 1996))
+    def yearArr(yr: Int) = array((1 to 12).map(mm =>
+      coalesce(sum(when($"yr" === yr && $"m" === mm, $"cents")),
+        lit(0L))): _*)
+    val series = pts.groupBy($"priority")
+      .agg(yearArr(1995).as("xs"), yearArr(1996).as("ys"))
+    series
+      .withColumn("dp", expr(
+        s"""aggregate(sequence(1, 12),
+           |  concat(array(cast(0 as bigint)),
+           |    transform(sequence(1, 12), z -> cast($INF as bigint))),
+           |  (prev, i) -> aggregate(sequence(1, 12),
+           |    array(cast($INF as bigint)),
+           |    (row, j) -> concat(row, array(
+           |      CASE WHEN abs(i - j) > 3 THEN cast($INF as bigint)
+           |      ELSE abs(element_at(xs, i) - element_at(ys, j))
+           |        + least(element_at(prev, j + 1), element_at(prev, j),
+           |                element_at(row, size(row))) END))))"""
+          .stripMargin))
+      .select($"priority",
+        expr("element_at(dp, 13)").as("dtw_cents"),
+        expr("aggregate(xs, cast(0 as bigint), (a, x) -> a + x)")
+          .as("total_1995_cents"),
+        expr("aggregate(ys, cast(0 as bigint), (a, x) -> a + x)")
+          .as("total_1996_cents"))
+      .orderBy($"priority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dtw" -> dtwSeasonal,
     "q_acf" -> ((s, dir) => acfLjungBox(Tables.events(s, dir))),
     "q_stochastic" -> ((s, dir) => stochastic(Tables.events(s, dir))),
     "q_macd" -> ((s, dir) => macd(Tables.events(s, dir))),
@@ -1460,7 +1511,50 @@ object Resilience {
     """SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** B41 twin: the identical integer DP, outer loop unrolled into 12
+    * chained CTEs (the I1 house pattern), each row built by one
+    * list fold. Elements ride as single-element lists so the fold
+    * accumulator (the growing row) and the iterated j share a type.
+    * All arithmetic is BIGINT — fold mechanics cannot skew parity. */
+  private def dtwSql: String = {
+    val INF = "1000000000000000::BIGINT"
+    def sums(yr: Int) = (1 to 12).map(m =>
+      s"coalesce(sum(CASE WHEN yr = $yr AND m = $m THEN cents END), 0)::BIGINT")
+      .mkString("[", ",\n    ", "]")
+    val iters = (1 to 12).map { i =>
+      s"""r$i AS (SELECT priority, xs, ys,
+         |  list_reduce(
+         |    list_prepend([$INF],
+         |      list_transform(range(1, 13), j -> [j::BIGINT])),
+         |    (acc, x) -> list_append(acc,
+         |      CASE WHEN abs($i - x[1]) > 3 THEN $INF
+         |      ELSE abs(xs[$i] - ys[x[1]])
+         |        + least(row${i - 1}[x[1] + 1], row${i - 1}[x[1]], acc[-1])
+         |      END)) AS row$i
+         |  FROM r${i - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT o_orderpriority AS priority, year(o_orderdate) AS yr,
+       |    month(o_orderdate) AS m, round(o_totalprice * 100)::BIGINT AS cents
+       |  FROM orders WHERE year(o_orderdate) IN (1995, 1996)),
+       |series AS (
+       |  SELECT priority,
+       |    ${sums(1995)} AS xs,
+       |    ${sums(1996)} AS ys
+       |  FROM pts GROUP BY 1),
+       |r0 AS (SELECT priority, xs, ys,
+       |  list_prepend(0::BIGINT,
+       |    list_transform(range(1, 13), z -> $INF)) AS row0
+       |  FROM series),
+       |$iters
+       |SELECT priority, row12[13] AS dtw_cents,
+       |  list_reduce(xs, (a, b) -> a + b) AS total_1995_cents,
+       |  list_reduce(ys, (a, b) -> a + b) AS total_1996_cents
+       |FROM r12 ORDER BY priority""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dtw" -> dtwSql,
     // B38 twin: same cents band, same integer ppm divisions, same
     // 3-of-3 smoothing rule — no float anywhere
     "q_stochastic" ->

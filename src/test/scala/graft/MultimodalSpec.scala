@@ -250,4 +250,18 @@ class MultimodalSpec extends AnyFunSuite {
         BigDecimal.RoundingMode.HALF_UP).toDouble)), s"${got((2L, 0L))}")
     assert(!got.keySet.exists(_._1 == 3L), "malformed payload must drop")
   }
+  test("G8 resample: pair means floor on negatives, odd tail drops") {
+    import spark.implicits._
+    // (1,2) -> 1; (-5,-4) -> -9 >> 1 = -5 (FLOOR, not toward zero);
+    // trailing 7 has no partner and drops
+    val df = Seq(
+      (1L, Multimodal.wavBytes(Array[Short](1, 2, -5, -4, 7))))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.wavResample(df).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((4000L, 2L, 5L, 26L, 500L)),
+      s"got ${r.mkString(",")}")
+  }
 }

@@ -1399,6 +1399,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("B41 DTW: identical series 0, one-month phase shift 0, amplitude change pays") {
+    import spark.implicits._
+    def month(yr: Int, m: Int) = f"$yr-$m%02d-15"
+    def series(p: String, yr: Int, pulse: Int, amp: Double) =
+      (1 to 12).map(m => (p, month(yr, m),
+        if (m == pulse) amp else 1.00))
+    val rows =
+      series("A", 1995, 0, 1.00) ++ series("A", 1996, 0, 1.00) ++
+      series("B", 1995, 3, 2.00) ++ series("B", 1996, 4, 2.00) ++
+      series("C", 1995, 3, 3.00) ++ series("C", 1996, 3, 2.00)
+    val df = rows.zipWithIndex.map { case ((p, d, v), i) =>
+      (i.toLong, p, d, v) }
+      .toDF("o_orderkey", "o_orderpriority", "ds", "o_totalprice")
+      .withColumn("o_orderdate", to_date($"ds"))
+      .drop("ds")
+    val dir = java.nio.file.Files.createTempDirectory("dtw").toString
+    df.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Resilience.dtwSeasonal(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("A") == ((0L, 1200L, 1200L)), s"identical: ${got("A")}")
+    // the shifted pulse re-aligns inside the band at zero cost —
+    // month-by-month Euclidean would have paid 200
+    assert(got("B") == ((0L, 1300L, 1300L)), s"shift: ${got("B")}")
+    assert(got("C") == ((100L, 1400L, 1300L)), s"amplitude: ${got("C")}")
+  }
+
   test("B38 stochastic: hand-computed %K band positions, 3-of-3 %D, flat and short null") {
     // u1: 13×5.00 then 10.00, 7.50, 5.00 — windows all span [500,1000]
     val dir = eventsFixture(Seq(
