@@ -266,7 +266,11 @@ object Similarity {
       when(VectorFunctions.dot($"v", plane(HammingT, j)) > 0, lit(1L << j))
         .otherwise(lit(0L))
     }
+    // 8 bytes/row: checkpoint so the 64-projection packing runs ONCE —
+    // the corpus scan, the query filter, and both join sides would
+    // each re-derive it otherwise (the hybrid_rrf HOF-collapse lesson)
     val codes = e.select($"vec_id", bitExprs.reduce(_.bitwiseOR(_)).as("code"))
+      .localCheckpoint()
     val q = codes.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"code".as("qcode"))
     val scored = codes.join(broadcast(q), $"vec_id" =!= $"q_id")
