@@ -693,6 +693,48 @@ object Cdc {
   private def onEvents(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.events(s, dir))
 
+  /** C47 Markov stationary distribution (where C44's transition
+    * matrix settles — the long-run state mix a capacity model feeds
+    * from): 5 power-iteration steps over the session-bounded
+    * transition counts in 10¹² fixed-point BIGINTs, each step ONE
+    * equi-join + ONE grouped sum shuffled on the state key (the I1
+    * PageRank shape — no driver matrix, so a billion-state graph
+    * iterates the same plan). Per-cell mass r·n div rowsum runs the
+    * product in DECIMAL(38,0)/HUGEINT so fixed-point × count never
+    * overflows at any SF; the ≤1 floor leak per cell is deterministic
+    * and identical in the twin. States with no outgoing edges absorb
+    * (raw iteration, no reinjection — documented contract). */
+  def markovStationary(events: DataFrame, iters: Int = 5): DataFrame = {
+    import events.sparkSession.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val seq = withSessionSeq(events)
+      .withColumn("prev_type", lag($"event_type", 1).over(wOrd))
+      .withColumn("prev_session", lag($"session_seq", 1).over(wOrd))
+      .filter($"prev_type".isNotNull && $"prev_session" === $"session_seq")
+    val counts = seq.groupBy($"prev_type".as("from_type"),
+        $"event_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum($"n").over(Window.partitionBy($"from_type")))
+      .localCheckpoint()
+    val states = counts.select($"from_type".as("state"))
+      .union(counts.select($"to_type".as("state"))).distinct()
+    var pi = states.select($"state", lit(1000000000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = counts
+        .join(pi.withColumnRenamed("state", "from_type"), "from_type")
+        .select($"to_type".as("state"),
+          expr("cast(r as decimal(38,0)) * n div row_total").as("c"))
+      pi = states.join(
+          contrib.groupBy($"state").agg(sum($"c").as("s")),
+          Seq("state"), "left")
+        .select($"state", coalesce($"s", lit(0L)).as("r"))
+    }
+    pi.select($"state", $"r".as("pi_fp"),
+        round($"r".cast("double") / 1e12, 6).as("pi"))
+      .orderBy($"state")
+  }
+
   /** C46 RFM segmentation (the recency/frequency/monetary quintile
     * grid a CRM feeds its campaign targeting from): per-user recency
     * (whole hours to the corpus max, exact µs div), frequency and
@@ -742,6 +784,7 @@ object Cdc {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_markov_pi" -> onEvents(e => markovStationary(e)),
     "cdc_rfm" -> ((s, dir) => rfm(Tables.events(s, dir))),
     "cdc_transitions" -> onEvents(transitions),
     "cdc_forget" -> onEvents(e =>
@@ -786,7 +829,46 @@ object Cdc {
       |    AS session_seq
       |  FROM flagged)""".stripMargin
 
+  /** C47 twin: unrolled power-iteration CTEs over the identical
+    * session-bounded counts — HUGEINT products, same floor leak. */
+  private def markovSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT s.state, coalesce(c.s, 0)::BIGINT AS r
+         |  FROM states s LEFT JOIN (
+         |    SELECT t.to_type AS state,
+         |      sum(p.r::HUGEINT * t.n // t.row_total)::BIGINT AS s
+         |    FROM ct t JOIN p${i - 1} p ON p.state = t.from_type
+         |    GROUP BY 1) c ON s.state = c.state)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sessionSeqCteSql,
+       |lagged AS (
+       |  SELECT user_id, session_seq, event_type,
+       |    lag(event_type) OVER w AS prev_type,
+       |    lag(session_seq) OVER w AS prev_session
+       |  FROM seq
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |counts AS (
+       |  SELECT prev_type AS from_type, event_type AS to_type,
+       |    count(*)::BIGINT AS n
+       |  FROM lagged
+       |  WHERE prev_type IS NOT NULL AND prev_session = session_seq
+       |  GROUP BY 1, 2),
+       |ct AS (
+       |  SELECT from_type, to_type, n,
+       |    (sum(n) OVER (PARTITION BY from_type))::BIGINT AS row_total
+       |  FROM counts),
+       |states AS (
+       |  SELECT from_type AS state FROM ct
+       |  UNION SELECT to_type FROM ct),
+       |p0 AS (SELECT state, 1000000000000::BIGINT AS r FROM states),
+       |$steps
+       |SELECT state, r AS pi_fp, round(r::DOUBLE / 1e12, 6) AS pi
+       |FROM p$iters ORDER BY state""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "cdc_markov_pi" -> markovSql(5),
     // C46 twin: plain global row_number is fine at oracle scale; the
     // bucket formula is the identical integer arithmetic
     "cdc_rfm" ->

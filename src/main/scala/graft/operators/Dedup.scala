@@ -734,7 +734,58 @@ object Dedup {
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
+  /** D16 winnowing fingerprints (Schleimer/Wilkerson/Aiken MOSS — the
+    * plagiarism-detector's local fingerprint selection, the missing
+    * rung between whole-doc hashing (F4) and full shingle indexes
+    * (D2)): normalize to [a-z0-9 ] (first 1000 chars — documented
+    * cap), hash every 12-char gram with a polynomial rolling hash mod
+    * 10⁹+7 (SQL-expressible in both engines — no engine-private hash),
+    * then in every window of 8 consecutive gram hashes select the
+    * MINIMUM, rightmost on ties — encoded as min over the single
+    * BIGINT key h·1024 + (1024 − pos), so the tie rule is integer
+    * arithmetic, not an arg_min contract. Selection keeps ~2/w of the
+    * grams (guarantee: any ≥ k+w−1 = 19-char shared substring yields
+    * a shared fingerprint), so the inverted index is ~8× smaller than
+    * D2's. Pairs share ≥ 5 selected hashes; posting lists DF-capped
+    * at 20 (the D2 stop-shingle bound), so candidate work stays
+    * Σ df²-bounded at corpus scale. */
+  def winnow(docs: DataFrame, k: Int = 12, w: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val norm = docs.select($"doc_id",
+      substring(regexp_replace(regexp_replace(lower($"text"),
+        "[^a-z0-9 ]", ""), Ws, " "), 1, 1000).as("txt"))
+    val grams = norm
+      .filter(length($"txt") >= k)
+      .select($"doc_id", expr(
+        s"""transform(sequence(1, length(txt) - ${k - 1}), i ->
+           |  aggregate(sequence(0, ${k - 1}), cast(0 as bigint),
+           |    (a, j) -> (a * 257 + ascii(substring(txt, i + j, 1)))
+           |      % 1000000007))""".stripMargin).as("hs"))
+      .select($"doc_id", posexplode($"hs").as(Seq("pos0", "h")))
+      .select($"doc_id", ($"pos0" + 1).as("pos"),
+        expr("h * 1024 + (1024 - (pos0 + 1))").as("key"))
+    val wWin = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val sel = grams
+      .withColumn("nw", count(lit(1)).over(wWin))
+      .withColumn("sel_key", min($"key").over(wWin))
+      .filter($"nw" === w)
+      .select($"doc_id", expr("sel_key div 1024").as("h"))
+      .distinct()
+    val df = sel.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 20)
+    val kept = sel.join(df.select($"h"), "h")
+    kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= 5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnow" -> onDocs(d => winnow(d)),
     "dedup_corpus" -> onDocs(dedupedCorpus),
     "dedup_exact" -> onDocs(exact),
     "dedup_ngram_jaccard" -> onDocs(ngramJaccard),
@@ -828,6 +879,44 @@ object Dedup {
        |FROM f ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // D16 twin: same normalization (note DuckDB needs the 'g' flag
+    // where Spark replaces all matches by default), same polynomial
+    // hash fold, same min-key window selection, same DF cap
+    "dedup_winnow" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    substring(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), '[ \t\n\f\r]+', ' ', 'g'),
+        |      1, 1000) AS txt
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, txt, unnest(range(1, length(txt) - 10)) AS i
+        |  FROM norm WHERE length(txt) >= 12),
+        |grams AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT, list_transform(range(0, 12), j -> j)),
+        |      (a, j) -> (a * 257
+        |        + ascii(substring(txt, (i + j)::INT, 1))) % 1000000007)
+        |      AS h
+        |  FROM pos),
+        |keyed AS (
+        |  SELECT doc_id, pos, h * 1024 + (1024 - pos) AS key FROM grams),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, sel_key // 1024 AS h FROM (
+        |    SELECT doc_id, count(*) OVER win AS nw,
+        |      min(key) OVER win AS sel_key
+        |    FROM keyed
+        |    WINDOW win AS (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |  WHERE nw = 8),
+        |dfc AS (SELECT h FROM sel GROUP BY h HAVING count(*) <= 20),
+        |kept AS (SELECT s.doc_id, s.h FROM sel s JOIN dfc USING (h))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*)::BIGINT AS shared
+        |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // D13 twin: identical variant construction (// is DuckDB int div)
     // and the same RE2-safe canonicalization patterns step for step
     "dedup_url" ->

@@ -1459,7 +1459,41 @@ object Resilience {
       .orderBy($"priority")
   }
 
+  /** B42 ratio-to-moving-average seasonal indices (the classical
+    * decomposition a demand planner quotes as "July runs 12% above
+    * trend"): per priority, the centered 2×12-month moving total T
+    * (the two straddling 12-month sums — the standard even-period
+    * centering) deflates each month to an index in basis points,
+    * idx_bp = cents·240000 div T (= 10⁴·month/MA, all-integer; cents
+    * ≤ ~5·10¹² keeps the product under 2⁶³ through SF 10 — document
+    * scale bound), full windows only; the per-calendar-month index
+    * then averages across years by integer div. One keyed window
+    * pass + one grouped aggregate. */
+  def seasonalityIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("priority"),
+        year($"o_orderdate").as("yr"), month($"o_orderdate").as("m"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"priority", $"yr", $"m")
+      .agg(sum($"cents").as("cents"))
+    val ord = Window.partitionBy($"priority").orderBy($"yr", $"m")
+    val wA = ord.rowsBetween(-6, 5)
+    val wB = ord.rowsBetween(-5, 6)
+    val idx = pts
+      .withColumn("na", count(lit(1)).over(wA))
+      .withColumn("nb", count(lit(1)).over(wB))
+      .withColumn("t", sum($"cents").over(wA) + sum($"cents").over(wB))
+      .filter($"na" === 12 && $"nb" === 12)
+      .withColumn("idx_bp", expr("cents * 240000 div t"))
+    idx.groupBy($"priority", $"m")
+      .agg(count(lit(1)).as("n_years"),
+        expr("sum(idx_bp) div count(1)").as("seas_bp"))
+      .orderBy($"priority", $"m")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonality" -> seasonalityIndex,
     "q_dtw" -> dtwSeasonal,
     "q_acf" -> ((s, dir) => acfLjungBox(Tables.events(s, dir))),
     "q_stochastic" -> ((s, dir) => stochastic(Tables.events(s, dir))),
@@ -1554,6 +1588,29 @@ object Resilience {
   }
 
   val oracles: Map[String, String] = Map(
+    // B42 twin: same monthly cents, same straddling 12-sums, same
+    // integer basis-point division and cross-year integer mean
+    "q_seasonality" ->
+      """WITH pts AS (
+        |  SELECT o_orderpriority AS priority,
+        |    year(o_orderdate)::BIGINT AS yr, month(o_orderdate)::BIGINT AS m,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1, 2, 3),
+        |w AS (
+        |  SELECT priority, yr, m, cents,
+        |    count(*) OVER wa AS na, count(*) OVER wb AS nb,
+        |    ((sum(cents) OVER wa) + (sum(cents) OVER wb))::BIGINT AS t
+        |  FROM pts
+        |  WINDOW wa AS (PARTITION BY priority ORDER BY yr, m
+        |    ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
+        |  wb AS (PARTITION BY priority ORDER BY yr, m
+        |    ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)),
+        |idx AS (
+        |  SELECT priority, m, cents * 240000 // t AS idx_bp
+        |  FROM w WHERE na = 12 AND nb = 12)
+        |SELECT priority, m, count(*)::BIGINT AS n_years,
+        |  (sum(idx_bp)::BIGINT // count(*))::BIGINT AS seas_bp
+        |FROM idx GROUP BY 1, 2 ORDER BY priority, m""".stripMargin,
     "q_dtw" -> dtwSql,
     // B38 twin: same cents band, same integer ppm divisions, same
     // 3-of-3 smoothing rule — no float anywhere

@@ -826,7 +826,47 @@ object TextAnalysis {
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
+  /** F26 Zipf slope per source (the power-law fit a corpus curator
+    * reads as "is this slice natural language or generated sludge" —
+    * natural text sits near −1, templated/spammy text flattens): OLS
+    * of ln(freq) on ln(rank) over each source's top-200 terms. Sums
+    * fold in PINNED rank order (sorted-struct aggregate, the A36
+    * precedent); ln is libm on both engines and the export rounds to
+    * 4 dp, which absorbs last-ulp libm skew (the F6 precedent,
+    * hash-stable at all tested SFs). Shape: one token aggregate, one
+    * bounded per-source window over the term-count table, one
+    * 200-row fold per source. */
+  def zipfSlope(docs: DataFrame, topN: Int = 200): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tc = docs.select($"source", explode(tokens($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"source").orderBy($"n".desc, $"term")
+    val top = tc.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topN)
+      .select($"source", $"rank",
+        expr("ln(cast(rank as double))").as("x"),
+        expr("ln(cast(n as double))").as("y"))
+    top.groupBy($"source")
+      .agg(count(lit(1)).as("n_terms"),
+        sort_array(collect_list(struct($"rank", $"x", $"y"))).as("ps"))
+      .select($"source", $"n_terms",
+        expr("aggregate(ps, 0D, (a, p) -> a + p.x)").as("sx"),
+        expr("aggregate(ps, 0D, (a, p) -> a + p.y)").as("sy"),
+        expr("aggregate(ps, 0D, (a, p) -> a + p.x * p.y)").as("sxy"),
+        expr("aggregate(ps, 0D, (a, p) -> a + p.x * p.x)").as("sxx"))
+      .withColumn("slope_raw",
+        ($"n_terms" * $"sxy" - $"sx" * $"sy") /
+          ($"n_terms" * $"sxx" - $"sx" * $"sx"))
+      .select($"source", $"n_terms",
+        round($"slope_raw", 4).as("slope"),
+        round(($"sy" - $"slope_raw" * $"sx") / $"n_terms", 4)
+          .as("intercept"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> onDocs(d => zipfSlope(d)),
     "text_lexdiv" -> onDocs(lexicalDiversity),
     "text_jsd" -> onDocs(d => jsdSlices(d)),
     "text_heavy_hitters" -> onDocs(d => heavyHitters(d)),
@@ -869,6 +909,39 @@ object TextAnalysis {
       |    FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // F26 twin: same tokenizer, same (n desc, term) rank, same
+    // rank-ordered folds of the same libm lns, round-4 export
+    "text_zipf" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tc AS (SELECT source, term, count(*)::BIGINT AS n
+        |       FROM toks GROUP BY 1, 2),
+        |top AS (
+        |  SELECT source, rank, ln(rank::DOUBLE) AS x, ln(n::DOUBLE) AS y
+        |  FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY source ORDER BY n DESC, term) AS rank
+        |    FROM tc) WHERE rank <= 200),
+        |s AS (
+        |  SELECT source, count(*)::BIGINT AS n_terms,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY rank)),
+        |      (a, b) -> a + b) AS sx,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(y ORDER BY rank)),
+        |      (a, b) -> a + b) AS sy,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(x * y ORDER BY rank)),
+        |      (a, b) -> a + b) AS sxy,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(x * x ORDER BY rank)),
+        |      (a, b) -> a + b) AS sxx
+        |  FROM top GROUP BY 1),
+        |r AS (
+        |  SELECT source, n_terms, sx, sy,
+        |    (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
+        |      AS slope_raw
+        |  FROM s)
+        |SELECT source, n_terms, round(slope_raw, 4) AS slope,
+        |  round((sy - slope_raw * sx) / n_terms, 4) AS intercept
+        |FROM r ORDER BY source""".stripMargin,
     // F25 twin: same tokenizer, integer ppm ratios, zero row for
     // token-free docs
     "text_lexdiv" ->

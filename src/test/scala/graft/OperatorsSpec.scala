@@ -1399,6 +1399,101 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("B42 seasonality: single July pulse yields the exact basis-point indices") {
+    import spark.implicits._
+    // 24 months of 1.00 with July = 2.00 both years: every full
+    // centered window straddles exactly one pulse, so T = 2600 cents
+    // everywhere; July indexes at 200·240000//2600, others at half
+    val rows = for (yr <- Seq(1995, 1996); m <- 1 to 12) yield
+      (s"$yr-$m", "P", f"$yr-$m%02d-15", if (m == 7) 2.00 else 1.00)
+    val df = rows.zipWithIndex.map { case ((_, p, d, v), i) =>
+      (i.toLong, p, d, v) }
+      .toDF("o_orderkey", "o_orderpriority", "ds", "o_totalprice")
+      .withColumn("o_orderdate", to_date($"ds")).drop("ds")
+    val dir = java.nio.file.Files.createTempDirectory("seas").toString
+    df.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Resilience.seasonalityIndex(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 12, s"one index per calendar month: ${got.size}")
+    assert(got(("P", 7)) == ((1L, 200L * 240000L / 2600L)),
+      s"July: ${got(("P", 7))}")
+    for (m <- (1 to 12).filter(_ != 7))
+      assert(got(("P", m)) == ((1L, 100L * 240000L / 2600L)),
+        s"month $m: ${got(("P", m))}")
+  }
+
+  test("C47 Markov stationary: absorbing state takes all mass, floor split exact") {
+    import spark.implicits._
+    def ev(uid: Long, types: Seq[String]) = types.zipWithIndex.map {
+      case (t, i) => (uid, uid * 100 + i, i, t) }
+    // u1: X→Y then Y→Y — Y absorbs everything
+    val df = ev(1L, Seq("X", "Y", "Y"))
+      .toDF("user_id", "event_id", "i", "event_type")
+      .withColumn("ts", expr(
+        "to_timestamp('2024-01-01') + make_interval(0, 0, 0, 0, 0, 0, i)"))
+      .select("user_id", "event_id", "ts", "event_type")
+    val got5 = graft.operators.Cdc.markovStationary(df)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got5 == Map("X" -> 0L, "Y" -> 2000000000000L), s"$got5")
+    // u2 adds X,Y,X,X: X→Y, Y→X, X→X — after ONE step from uniform,
+    // X's mass splits by integer div: piX' = piY + piX div 2
+    val df2 = (ev(1L, Seq("X", "Y", "X", "X")))
+      .toDF("user_id", "event_id", "i", "event_type")
+      .withColumn("ts", expr(
+        "to_timestamp('2024-01-01') + make_interval(0, 0, 0, 0, 0, 0, i)"))
+      .select("user_id", "event_id", "ts", "event_type")
+    val got1 = graft.operators.Cdc.markovStationary(df2, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got1 == Map("X" -> 1500000000000L, "Y" -> 500000000000L),
+      s"$got1")
+  }
+
+  test("F26 Zipf slope matches the replicated rank-ordered OLS fold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa aa aa aa bb bb cc", "en", "s0", 10L),
+      (2L, "aa aa aa aa bb bb cc dd", "en", "s1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.TextAnalysis.zipfSlope(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def ols(freqs: Seq[Long]): (Double, Double) = {
+      val pts = freqs.zipWithIndex.map { case (f, i) =>
+        (math.log((i + 1).toDouble), math.log(f.toDouble)) }
+      var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0
+      pts.foreach { case (x, y) =>
+        sx += x; sy += y; sxy += x * y; sxx += x * x }
+      val n = pts.length.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      def r4(v: Double) = BigDecimal(v).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r4(slope), r4((sy - slope * sx) / n))
+    }
+    val (s0, i0) = ols(Seq(4L, 2L, 1L))
+    val (s1, i1) = ols(Seq(4L, 2L, 1L, 1L))
+    assert(got("s0") == ((3L, s0, i0)), s"s0: ${got("s0")} vs ($s0, $i0)")
+    assert(got("s1") == ((4L, s1, i1)), s"s1: ${got("s1")} vs ($s1, $i1)")
+    assert(s0 < 0 && s1 < 0, "Zipf slopes must be negative")
+  }
+
+  test("D16 winnowing: long shared substring links the pair, unrelated doc silent") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the fence falls over completely"
+    val d1 = s"unique preamble one two three $shared suffix alpha"
+    val d2 = s"different opening entirely $shared other ending beta"
+    val d3 = "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn mmm " +
+      "lll kkk jjj iii hhh ggg fff eee ddd ccc bbb"
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.winnow(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got.keySet == Set((1L, 2L)), s"pairs: ${got.keySet}")
+    // ~90 shared grams winnow to far more than the 5-hash floor
+    assert(got((1L, 2L)) >= 5L, s"shared: ${got((1L, 2L))}")
+  }
+
   test("B41 DTW: identical series 0, one-month phase shift 0, amplitude change pays") {
     import spark.implicits._
     def month(yr: Int, m: Int) = f"$yr-$m%02d-15"
