@@ -783,7 +783,40 @@ object Cdc {
       .orderBy($"user_id")
   }
 
+  /** C48 interval union (gaps-and-islands over [start, end) spans —
+    * the coverage statistic behind "how many distinct on-call windows
+    * did this user actually occupy"): each event opens a fixed-length
+    * 10-minute interval; overlapping or TOUCHING intervals merge
+    * (new island iff start strictly exceeds the running max end of
+    * all earlier intervals — the exclusive-prefix max, one keyed
+    * window). Output per user: island count, exact covered
+    * microseconds, longest island. Duplicate starts are
+    * order-interchangeable so the window tie needs no extra key.
+    * All integer; one window + two aggregates, everything keyed on
+    * the high-cardinality user id. */
+  def intervalUnion(events: DataFrame, lenUs: Long = 600000000L): DataFrame = {
+    import events.sparkSession.implicits._
+    val iv = events.select($"user_id", unix_micros($"ts").as("s"))
+      .withColumn("e", $"s" + lenUs)
+    val wOrd = Window.partitionBy($"user_id").orderBy($"s")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("pmax", max($"e").over(wPrev))
+      .withColumn("is_new",
+        when($"pmax".isNull || $"s" > $"pmax", 1L).otherwise(0L))
+      .withColumn("island", sum($"is_new").over(wRun))
+      .groupBy($"user_id", $"island")
+      .agg(min($"s").as("is"), max($"e").as("ie"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum($"ie" - $"is").as("covered_us"),
+        max($"ie" - $"is").as("longest_us"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_intervals" -> onEvents(e => intervalUnion(e)),
     "cdc_markov_pi" -> onEvents(e => markovStationary(e)),
     "cdc_rfm" -> ((s, dir) => rfm(Tables.events(s, dir))),
     "cdc_transitions" -> onEvents(transitions),
@@ -868,6 +901,34 @@ object Cdc {
   }
 
   val oracles: Map[String, String] = Map(
+    // C48 twin: same exclusive-prefix max sweep, same strict-greater
+    // island rule, all-integer
+    "cdc_intervals" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 600000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |f AS (
+        |  SELECT *, CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+        |    AS is_new
+        |  FROM m),
+        |isl AS (
+        |  SELECT *, (sum(is_new) OVER (PARTITION BY user_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |    AS island
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, count(*)::BIGINT AS n_islands,
+        |  sum(i_e - i_s)::BIGINT AS covered_us,
+        |  max(i_e - i_s)::BIGINT AS longest_us
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
     "cdc_markov_pi" -> markovSql(5),
     // C46 twin: plain global row_number is fine at oracle scale; the
     // bucket formula is the identical integer arithmetic

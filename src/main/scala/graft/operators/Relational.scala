@@ -1432,7 +1432,80 @@ object Relational {
       .orderBy($"flag")
   }
 
+  /** A54 price elasticity per brand (the ln-ln demand slope an
+    * economist fits first): per (brand, year, month) the exact
+    * aggregates Q = Σqty and R = Σcents; each month contributes the
+    * point (x, y) = (ln(R/Q), ln Q) — one identical double division,
+    * then libm ln — and the per-brand OLS slope is the elasticity.
+    * Sums fold in PINNED (yr, m) order (the F26 sorted-struct
+    * pattern); export rounds to 4 dp, absorbing last-ulp libm skew.
+    * Brands with <3 months are excluded (a 2-point fit is noise).
+    * One aggregate + one bounded fold per brand. */
+  def elasticity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"),
+        year($"l_shipdate").as("yr"), month($"l_shipdate").as("m"))
+      .agg(sum($"l_quantity".cast("long")).as("q"),
+        sum(round($"l_extendedprice" * 100).cast("long")).as("r"))
+      .filter($"q" > 0)
+      .select($"brand", $"yr", $"m",
+        expr("ln(cast(r as double) / cast(q as double))").as("x"),
+        expr("ln(cast(q as double))").as("y"))
+    pts.groupBy($"brand")
+      .agg(count(lit(1)).as("n_months"),
+        sort_array(collect_list(struct($"yr", $"m", $"x", $"y"))).as("ps"))
+      .filter($"n_months" >= 3)
+      .select($"brand", $"n_months",
+        expr("aggregate(ps, 0D, (a, p) -> a + p.x)").as("sx"),
+        expr("aggregate(ps, 0D, (a, p) -> a + p.y)").as("sy"),
+        expr("aggregate(ps, 0D, (a, p) -> a + p.x * p.y)").as("sxy"),
+        expr("aggregate(ps, 0D, (a, p) -> a + p.x * p.x)").as("sxx"))
+      .select($"brand", $"n_months",
+        round(($"n_months" * $"sxy" - $"sx" * $"sy") /
+          ($"n_months" * $"sxx" - $"sx" * $"sx"), 4).as("elasticity"))
+      .orderBy($"brand")
+  }
+
+  /** A55 Theil T inequality index per nation over supplier revenue —
+    * the decomposable complement of A34's Gini (Theil splits into
+    * within/between-group terms, which is why inequality audits
+    * carry both): T = Σᵢ (xᵢ/X)·ln(n·xᵢ/X) over each nation's
+    * supplier revenue cents. Terms fold in PINNED supplier order;
+    * the share and its log run the same IEEE/libm sequence in both
+    * engines; round-4 export. Zero-revenue suppliers are excluded
+    * (ln 0; the standard convention treats their contribution as 0).
+    * Shape: one supplier aggregate + one per-nation fold. */
+  def theilIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey".cast("long").as("nation"), $"s_suppkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
+      .filter($"cents" > 0)
+    rev
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"nation")))
+      .withColumn("tot",
+        sum($"cents".cast("decimal(38,0)")).over(Window.partitionBy($"nation")))
+      .groupBy($"nation")
+      .agg(max($"n").as("n_suppliers"),
+        sort_array(collect_list(struct($"s_suppkey",
+          ($"cents".cast("double") / $"tot".cast("double")).as("share"),
+          (($"n".cast("double") * $"cents".cast("double")) /
+            $"tot".cast("double")).as("ratio")))).as("ps"))
+      .select($"nation", $"n_suppliers",
+        round(expr("aggregate(ps, 0D, (a, p) -> a + p.share * ln(p.ratio))"),
+          4).as("theil_t"))
+      .orderBy($"nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_elasticity" -> elasticity,
+    "q_theil" -> theilIndex,
     "q_cramers_v" -> cramersV,
     "q_pca2" -> pca2,
     "q_hhi" -> hhi,
@@ -1487,6 +1560,59 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A54 twin: same monthly aggregates, same division-then-ln, same
+    // (yr, m)-ordered folds, round-4 export
+    "q_elasticity" ->
+      """WITH pts AS (
+        |  SELECT p_brand AS brand, year(l_shipdate)::BIGINT AS yr,
+        |    month(l_shipdate)::BIGINT AS m,
+        |    sum(l_quantity::BIGINT)::BIGINT AS q,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS r
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2, 3),
+        |xy AS (
+        |  SELECT brand, yr, m,
+        |    ln(r::DOUBLE / q::DOUBLE) AS x, ln(q::DOUBLE) AS y
+        |  FROM pts WHERE q > 0),
+        |s AS (
+        |  SELECT brand, count(*)::BIGINT AS n_months,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(x ORDER BY yr, m)),
+        |      (a, b) -> a + b) AS sx,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(y ORDER BY yr, m)),
+        |      (a, b) -> a + b) AS sy,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(x * y ORDER BY yr, m)), (a, b) -> a + b) AS sxy,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(x * x ORDER BY yr, m)), (a, b) -> a + b) AS sxx
+        |  FROM xy GROUP BY 1)
+        |SELECT brand, n_months,
+        |  round((n_months * sxy - sx * sy)
+        |    / (n_months * sxx - sx * sx), 4) AS elasticity
+        |FROM s WHERE n_months >= 3 ORDER BY brand""".stripMargin,
+    // A55 twin: same exact shares, same supplier-ordered fold of
+    // share·ln(ratio), round-4 export
+    "q_theil" ->
+      """WITH rev AS (
+        |  SELECT s_nationkey::BIGINT AS nation, s_suppkey,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2
+        |  HAVING sum(round(l_extendedprice * 100)::BIGINT) > 0),
+        |t AS (
+        |  SELECT nation, s_suppkey, cents,
+        |    (count(*) OVER (PARTITION BY nation))::BIGINT AS n,
+        |    (sum(cents::HUGEINT) OVER (PARTITION BY nation)) AS tot
+        |  FROM rev),
+        |terms AS (
+        |  SELECT nation, s_suppkey, n,
+        |    cents::DOUBLE / tot::DOUBLE AS share,
+        |    (n::DOUBLE * cents::DOUBLE) / tot::DOUBLE AS ratio
+        |  FROM t)
+        |SELECT nation, max(n)::BIGINT AS n_suppliers,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(share * ln(ratio) ORDER BY s_suppkey)),
+        |    (a, b) -> a + b), 4) AS theil_t
+        |FROM terms GROUP BY nation ORDER BY nation""".stripMargin,
     // A52 twin: same integer cells/margins, same pinned-order fold,
     // same one-division-one-sqrt tail
     "q_cramers_v" ->

@@ -865,7 +865,25 @@ object TextAnalysis {
       .orderBy($"source")
   }
 
+  /** F27 language-ID confusion matrix (the QA table a curator reads
+    * before trusting F3's router: which declared languages leak into
+    * which predicted buckets): F3's prediction joined back to the
+    * declared label, counted per (declared, predicted) cell with the
+    * per-declared share in integer ppm. Cell count output is r·c
+    * rows; the margin window runs over the CELL table. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pred = langId(docs).select($"doc_id", $"lang_pred")
+    docs.select($"doc_id", $"lang").join(pred, "doc_id")
+      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum($"n").over(Window.partitionBy($"lang")))
+      .withColumn("share_ppm", expr("n * 1000000 div row_total"))
+      .orderBy($"lang", $"lang_pred")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_confusion" -> onDocs(langConfusion),
     "text_zipf" -> onDocs(d => zipfSlope(d)),
     "text_lexdiv" -> onDocs(lexicalDiversity),
     "text_jsd" -> onDocs(d => jsdSlices(d)),
@@ -909,6 +927,37 @@ object TextAnalysis {
       |    FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // F27 twin: the F3 prediction CTEs + one grouped count and an
+    // integer ppm margin share
+    "text_lang_confusion" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '\b(the|a|of)\b'))::BIGINT AS s_en,
+        |    len(regexp_extract_all(text, '\b(la|el|los|de)\b'))::BIGINT AS s_es,
+        |    len(regexp_extract_all(text, '\b(le|la|les|des)\b'))::BIGINT AS s_fr,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und)\b'))::BIGINT AS s_de,
+        |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]'))::BIGINT AS s_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS best FROM t),
+        |q AS (
+        |  SELECT *, CASE WHEN best = 0 THEN 'und'
+        |    WHEN s_zh = best THEN 'zh'
+        |    WHEN s_en = best THEN 'en'
+        |    WHEN s_es = best THEN 'es'
+        |    WHEN s_fr = best THEN 'fr'
+        |    ELSE 'de' END AS lang_pred
+        |  FROM p),
+        |c AS (
+        |  SELECT lang, lang_pred, count(*)::BIGINT AS n
+        |  FROM q GROUP BY 1, 2),
+        |ct AS (
+        |  SELECT lang, lang_pred, n,
+        |    (sum(n) OVER (PARTITION BY lang))::BIGINT AS row_total
+        |  FROM c)
+        |SELECT lang, lang_pred, n, row_total,
+        |  n * 1000000 // row_total AS share_ppm
+        |FROM ct ORDER BY lang, lang_pred""".stripMargin,
     // F26 twin: same tokenizer, same (n desc, term) rank, same
     // rank-ordered folds of the same libm lns, round-4 export
     "text_zipf" ->

@@ -1494,6 +1494,87 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got((1L, 2L)) >= 5L, s"shared: ${got((1L, 2L))}")
   }
 
+  test("C48 interval union: overlap merges, touching merges, gap splits") {
+    import spark.implicits._
+    // u1: 0s and 300s overlap into [0,900); 1200s opens a new island
+    // u2: 600s starts EXACTLY at the first interval's end — merges
+    val rows = Seq((1L, 0L), (1L, 300L), (1L, 1200L),
+      (2L, 0L), (2L, 600L))
+    val df = rows.zipWithIndex.map { case ((u, sec), i) =>
+      (u, i.toLong, sec) }
+      .toDF("user_id", "event_id", "secs")
+      .withColumn("ts", expr(
+        "to_timestamp('2024-01-01') + make_interval(0, 0, 0, 0, 0, 0, secs)"))
+      .select("user_id", "event_id", "ts")
+    val got = graft.operators.Cdc.intervalUnion(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 1500000000L, 900000000L)), s"u1: ${got(1L)}")
+    assert(got(2L) == ((1L, 1200000000L, 1200000000L)), s"u2: ${got(2L)}")
+  }
+
+  test("A54 elasticity: collinear ln-ln months fit slope exactly -1, short brand excluded") {
+    import spark.implicits._
+    // B1: (price, qty) = (8,2), (4,4), (2,8) across three months —
+    // y = ln Q, x = ln(price) are exactly collinear with slope -1
+    val li = Seq(
+      (1L, 101L, 2L, 16.00, "1995-01-10"),
+      (2L, 101L, 4L, 16.00, "1995-02-10"),
+      (3L, 101L, 8L, 16.00, "1995-03-10"),
+      (4L, 102L, 5L, 10.00, "1995-01-10"),
+      (5L, 102L, 5L, 10.00, "1995-02-10"))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "ds")
+      .withColumn("l_shipdate", to_date($"ds")).drop("ds")
+    val part = Seq((101L, "B1"), (102L, "B2"))
+      .toDF("p_partkey", "p_brand")
+    val dir = java.nio.file.Files.createTempDirectory("elas").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    part.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = graft.operators.Relational.elasticity(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set("B1"), "2-month B2 must be excluded")
+    assert(got("B1") == ((3L, -1.0)), s"B1: ${got("B1")}")
+  }
+
+  test("A55 Theil: equal shares give exactly 0, 1:3 split matches the replicated fold") {
+    import spark.implicits._
+    val li = Seq(
+      (1L, 11L, 1.00), (2L, 12L, 1.00),           // nation 1: equal
+      (3L, 21L, 1.00), (4L, 22L, 3.00))           // nation 2: 1:3
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice")
+    val supp = Seq((11L, 1L), (12L, 1L), (21L, 2L), (22L, 2L))
+      .toDF("s_suppkey", "s_nationkey")
+    val dir = java.nio.file.Files.createTempDirectory("theil").toString
+    li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    supp.write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = graft.operators.Relational.theilIndex(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((2L, 0.0)), s"equal shares: ${got(1L)}")
+    val want = 0.25 * math.log(2.0 * 100 / 400) +
+      0.75 * math.log(2.0 * 300 / 400)
+    def r4(v: Double) = BigDecimal(v).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L) == ((2L, r4(want))), s"1:3 split: ${got(2L)} vs $want")
+  }
+
+  test("F27 confusion matrix: off-diagonal leak counted, ppm shares exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the a of the", "en"),
+      (2L, "la el los de la", "en"),     // declared en, predicts es
+      (3L, "le la les des le la", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextAnalysis.langConfusion(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("en", "en")) == ((1L, 2L, 500000L)), s"${got(("en", "en"))}")
+    assert(got(("en", "es")) == ((1L, 2L, 500000L)), s"${got(("en", "es"))}")
+    assert(got(("fr", "fr")) == ((1L, 1L, 1000000L)), s"${got(("fr", "fr"))}")
+    assert(got.size == 3)
+  }
+
   test("B41 DTW: identical series 0, one-month phase shift 0, amplitude change pays") {
     import spark.implicits._
     def month(yr: Int, m: Int) = f"$yr-$m%02d-15"
