@@ -784,7 +784,46 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** D17 duplicated-span fraction (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the per-document
+    * HOW-MUCH-is-duplicated statistic the pair operators D2/D3 don't
+    * emit): fraction of a doc's word 5-gram WINDOWS (positional, with
+    * in-doc repeats — spans, not the distinct set) whose shingle also
+    * appears in ≥ 2 distinct documents, plus a flag at ≥ 50%. A
+    * near-dup pair says "these two match"; this says "60% of THIS doc
+    * is corpus-repeated text" — the signal for trimming or dropping
+    * heavily-templated documents regardless of which partner they
+    * duplicate.
+    *
+    * Scale shape: one shingle aggregate (countDistinct per shingle —
+    * map-side combined), one equi-join back on shingle, one doc-keyed
+    * aggregate. No pair join at all, so no Σ df² term — this is
+    * CHEAPER than D2 and needs no DF cap (hot shingles cost one
+    * counter row, not a posting-list explosion). Short docs
+    * (< 5 words) carry zero windows and emit dup_ppm 0 via the
+    * left join from the corpus frame. */
+  def dupSpans(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = rawShingles(docs)
+    val hot = sh.groupBy($"shingle")
+      .agg(countDistinct($"doc_id").as("ndocs"))
+      .filter($"ndocs" >= minDf).select($"shingle")
+    val dup = sh.join(hot, "shingle")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+    docs.select($"doc_id",
+        greatest(size(split(trim($"text"), Ws)) - (ShingleN - 1), lit(0))
+          .cast("long").as("n_windows"))
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("n_dup", coalesce($"n_dup", lit(0L)))
+      .withColumn("dup_ppm",
+        expr("CASE WHEN n_windows > 0 THEN n_dup * 1000000 div n_windows ELSE 0 END"))
+      .select($"doc_id", $"n_windows", $"n_dup", $"dup_ppm",
+        ($"dup_ppm" >= 500000L).as("flagged"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_spans" -> onDocs(d => dupSpans(d)),
     "dedup_winnow" -> onDocs(d => winnow(d)),
     "dedup_corpus" -> onDocs(dedupedCorpus),
     "dedup_exact" -> onDocs(exact),

@@ -826,6 +826,88 @@ object TextAnalysis {
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
+  /** F28 readability scoring (Flesch reading ease + Flesch-Kincaid
+    * grade) — the classic "is this text readable prose" gate a
+    * curriculum/quality pipeline keys on (very low FRE flags legal
+    * boilerplate and gibberish; negative FK grades flag fragmentary
+    * text). Counts are exact BIGINTs from engine-identical regexes:
+    * words = `[a-z0-9]+` runs of the lowercased text, syllables =
+    * `[aeiouy]+` vowel groups plus one for each vowel-free word (the
+    * standard floor — every word carries ≥ 1 syllable), sentences =
+    * `[.!?]+` terminator runs floored at 1. The two scores are one
+    * short pinned IEEE sequence over those integers (two divisions,
+    * two multiply-adds), rounded at export — bit-identical across
+    * engines (the A40 scalar-tail precedent). One scan, zero shuffle
+    * beyond the per-doc projection. */
+  def readability(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("words", expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+      .withColumn("n_words", size($"words").cast("long"))
+      .withColumn("n_vgroups",
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long"))
+      .withColumn("n_novowel",
+        size(expr(
+          "filter(words, w -> w rlike '^[b-df-hj-np-tv-xz0-9]+$')"))
+          .cast("long"))
+      .withColumn("n_syllables", $"n_vgroups" + $"n_novowel")
+      .withColumn("n_sentences",
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
+          .cast("long"), lit(1L)))
+      .withColumn("wps",
+        $"n_words".cast("double") / $"n_sentences".cast("double"))
+      .withColumn("spw",
+        $"n_syllables".cast("double") /
+          greatest($"n_words", lit(1L)).cast("double"))
+      .select($"doc_id", $"n_words", $"n_syllables", $"n_sentences",
+        round(lit(206.835) - lit(1.015) * $"wps" - lit(84.6) * $"spw", 4)
+          .as("fre"),
+        round(lit(0.39) * $"wps" + lit(11.8) * $"spw" - lit(15.59), 4)
+          .as("fk_grade"))
+      .orderBy($"doc_id")
+  }
+
+  /** F29 code-vs-prose detection — the corpus-routing signal a
+    * pretraining mixer needs before weighting code separately (and a
+    * prose-quality pipeline needs to NOT punish code for "bad
+    * punctuation"): per-doc integer-ppm structural signals — lines
+    * ending in `;`/`{`/`}`, indented lines (2+ spaces or tab),
+    * code-symbol character share, reserved-keyword token share — and
+    * one integer-predicate flag over their weighted sum. All counts
+    * BIGINT from engine-identical regexes, all ratios floor-div ppm,
+    * so the flag is bit-deterministic (the B22 integer-flag
+    * precedent). Pure per-row column math: one scan, zero shuffle. */
+  def codeDetect(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("lines", split($"text", "\n"))
+      .withColumn("n_lines", size($"lines").cast("long"))
+      .withColumn("n_stmt",
+        size(expr("filter(lines, l -> trim(l) rlike '[;{}]$')"))
+          .cast("long"))
+      .withColumn("n_indent",
+        size(expr("filter(lines, l -> l rlike '^(  |\\t)')")).cast("long"))
+      .withColumn("n_sym",
+        size(expr("regexp_extract_all(text, '[{}()=<>;\\\\[\\\\]]', 0)"))
+          .cast("long"))
+      .withColumn("n_kw",
+        size(expr("regexp_extract_all(text, " +
+          "'\\\\b(def|class|return|import|function|var|const|void|int|for|while|if|else)\\\\b', 0)"))
+          .cast("long"))
+      .withColumn("n_tok", greatest(size(tokens($"text")).cast("long"), lit(1L)))
+      .withColumn("n_ch", greatest(length($"text").cast("long"), lit(1L)))
+      .withColumn("stmt_ppm", expr("n_stmt * 1000000 div n_lines"))
+      .withColumn("indent_ppm", expr("n_indent * 1000000 div n_lines"))
+      .withColumn("sym_ppm", expr("n_sym * 1000000 div n_ch"))
+      .withColumn("kw_ppm", expr("n_kw * 1000000 div n_tok"))
+      .select($"doc_id", $"stmt_ppm", $"indent_ppm", $"sym_ppm", $"kw_ppm",
+        (($"stmt_ppm" * 2 + $"indent_ppm" + $"sym_ppm" * 10 + $"kw_ppm" * 3)
+          >= 400000L).as("is_code"))
+      .orderBy($"doc_id")
+  }
+
   /** F26 Zipf slope per source (the power-law fit a corpus curator
     * reads as "is this slice natural language or generated sludge" —
     * natural text sits near −1, templated/spammy text flattens): OLS
@@ -883,6 +965,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> onDocs(readability),
+    "text_code_detect" -> onDocs(codeDetect),
     "text_lang_confusion" -> onDocs(langConfusion),
     "text_zipf" -> onDocs(d => zipfSlope(d)),
     "text_lexdiv" -> onDocs(lexicalDiversity),
@@ -927,6 +1011,62 @@ object TextAnalysis {
       |    FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // F28 twin: same word/vowel-group/sentence regexes, same integer
+    // floors, same pinned two-division IEEE tail, round-4 export
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT
+        |      AS n_words,
+        |    (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |     + len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |         w -> regexp_matches(w, '^[b-df-hj-np-tv-xz0-9]+$'))))::BIGINT
+        |      AS n_syllables,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+'))::BIGINT, 1)
+        |      AS n_sentences
+        |  FROM documents),
+        |r AS (
+        |  SELECT *,
+        |    n_words::DOUBLE / n_sentences::DOUBLE AS wps,
+        |    n_syllables::DOUBLE / greatest(n_words, 1)::DOUBLE AS spw
+        |  FROM c)
+        |SELECT doc_id, n_words, n_syllables, n_sentences,
+        |  round(206.835 - 1.015 * wps - 84.6 * spw, 4) AS fre,
+        |  round(0.39 * wps + 11.8 * spw - 15.59, 4) AS fk_grade
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // F29 twin: same line/symbol/keyword regexes, floor-div ppm, the
+    // identical integer flag predicate
+    "text_code_detect" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    string_split(text, chr(10)) AS lines,
+        |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
+        |    len(regexp_extract_all(text, '[{}()=<>;\[\]]'))::BIGINT AS n_sym,
+        |    len(regexp_extract_all(text,
+        |      '\b(def|class|return|import|function|var|const|void|int|for|while|if|else)\b'))::BIGINT
+        |      AS n_kw,
+        |    greatest(len(string_split_regex(trim(text),
+        |      '[ \t\n\f\r]+'))::BIGINT, 1) AS n_tok,
+        |    greatest(length(text)::BIGINT, 1) AS n_ch
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, n_lines, n_sym, n_kw, n_tok, n_ch,
+        |    len(list_filter(lines,
+        |      l -> regexp_matches(trim(l), '[;{}]$')))::BIGINT AS n_stmt,
+        |    len(list_filter(lines,
+        |      l -> regexp_matches(l, '^(  |\t)')))::BIGINT AS n_indent
+        |  FROM c),
+        |p AS (
+        |  SELECT doc_id,
+        |    n_stmt * 1000000 // n_lines AS stmt_ppm,
+        |    n_indent * 1000000 // n_lines AS indent_ppm,
+        |    n_sym * 1000000 // n_ch AS sym_ppm,
+        |    n_kw * 1000000 // n_tok AS kw_ppm
+        |  FROM d)
+        |SELECT doc_id, stmt_ppm, indent_ppm, sym_ppm, kw_ppm,
+        |  (stmt_ppm * 2 + indent_ppm + sym_ppm * 10 + kw_ppm * 3)
+        |    >= 400000 AS is_code
+        |FROM p ORDER BY doc_id""".stripMargin,
     // F27 twin: the F3 prediction CTEs + one grouped count and an
     // integer ppm margin share
     "text_lang_confusion" ->

@@ -199,6 +199,34 @@ class OperatorsSpec extends AnyFunSuite {
       fp("no pii in this one 123.456"))), s"got ${r(1)}")
   }
 
+  test("F28 readability: hand-computed Flesch scores on crafted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"), // 5 words, 5 syllables, 2 sentences
+      (2L, "xyzzy 42"),             // y-vowel groups ×2 + vowel-free "42"
+      (3L, "")                      // empty doc: sentence floor at 1
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.readability(docs)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(r(0) == ((1L, 5L, 5L, 2L, 119.6975, -2.815)), s"got ${r(0)}")
+    assert(r(1) == ((2L, 2L, 3L, 1L, 77.905, 2.89)), s"got ${r(1)}")
+    assert(r(2) == ((3L, 0L, 0L, 1L, 206.835, -15.59)), s"got ${r(2)}")
+  }
+
+  test("F29 code detection: structural signals separate code from prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "def f(x):\n  return x;\nint y = 3;\n  while (y) { y = y - 1; }"),
+      (2L, "It was a quiet morning and the cats slept.")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.codeDetect(docs)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    val (_, stmt1, ind1, sym1, kw1, flag1) = r(0)
+    assert(stmt1 == 750000L && ind1 == 500000L, s"got ${r(0)}")
+    assert(sym1 > 0L && kw1 > 0L && flag1, s"got ${r(0)}")
+    assert(r(1) == ((2L, 0L, 0L, 0L, 0L, false)), s"got ${r(1)}")
+  }
+
   test("text_repetition: hand-computed ppm on a known doc") {
     import spark.implicits._
     val docs = Seq(
