@@ -918,6 +918,37 @@ object Dedup {
        |FROM f ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // D17 twin: same positional 5-gram windows (with in-doc repeats),
+    // same ndocs >= 2 hot set, same floor-div ppm and 50% flag
+    "dedup_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+        |    AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        |        FROM w WHERE len(w) >= 5)),
+        |hot AS (
+        |  SELECT shingle FROM sh GROUP BY shingle
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_dup
+        |  FROM sh JOIN hot USING (shingle) GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id, greatest(len(w) - 4, 0)::BIGINT AS n_windows
+        |  FROM w)
+        |SELECT b.doc_id, b.n_windows,
+        |  coalesce(d.n_dup, 0)::BIGINT AS n_dup,
+        |  CASE WHEN b.n_windows > 0
+        |    THEN coalesce(d.n_dup, 0) * 1000000 // b.n_windows
+        |    ELSE 0 END::BIGINT AS dup_ppm,
+        |  (CASE WHEN b.n_windows > 0
+        |    THEN coalesce(d.n_dup, 0) * 1000000 // b.n_windows
+        |    ELSE 0 END) >= 500000 AS flagged
+        |FROM base b LEFT JOIN dup d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // D16 twin: same normalization (note DuckDB needs the 'g' flag
     // where Spark replaces all matches by default), same polynomial
     // hash fold, same min-key window selection, same DF cap

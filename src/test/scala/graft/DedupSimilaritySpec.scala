@@ -75,6 +75,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "jaccard at 0.5 must miss the quote-inclusion pair")
   }
 
+  test("D17 dup spans: per-doc repeated-window fraction, hand-computed") {
+    import spark.implicits._
+    val shared = "one two three four five"          // one shared 5-gram
+    val docs = Seq(
+      (1L, shared),                                  // 1 window, repeated
+      (2L, shared + " six seven eight nine"),        // 5 windows, 1 hot
+      (3L, "totally different words here now ok"),   // 2 windows, 0 hot
+      (4L, "tiny doc")                               // < 5 words: 0 windows
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpans(docs)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(r(0) == ((1L, 1L, 1L, 1000000L, true)), s"got ${r(0)}")
+    assert(r(1) == ((2L, 5L, 1L, 200000L, false)), s"got ${r(1)}")
+    assert(r(2) == ((3L, 2L, 0L, 0L, false)), s"got ${r(2)}")
+    assert(r(3) == ((4L, 0L, 0L, 0L, false)), s"got ${r(3)}")
+  }
+
   test("decontaminate flags eval copies, passes clean and shingle-less docs") {
     import spark.implicits._
     val evalSet = Seq((1L, "alpha beta gamma delta epsilon zeta eta"))
