@@ -1250,6 +1250,80 @@ object Resilience {
     agg.select(outCols: _*).orderBy($"event_type")
   }
 
+  /** B43 rescaled-range HURST exponent per event type (Hurst 1951 /
+    * Mandelbrot R/S analysis — the long-memory diagnostic of the
+    * ladder: H ≈ 0.5 random walk, H → 1 persistent trend, H → 0
+    * anti-persistent mean reversion; which forecaster of
+    * B17/B18/B21 is even appropriate depends on it): for block sizes
+    * m ∈ {5, 10, 15}, partition the day-ordered daily-count series
+    * into full blocks, compute each block's rescaled range R/S, and
+    * fit ln(mean R/S) on ln(m) by OLS — the slope is H.
+    *
+    * Determinism: deviations stay integer by the B25 n-scaling trick
+    * (P_j = m·prefix_j − r_j·S_b is exact BIGINT, and R_scaled =
+    * max P − min P includes the Z_m = 0 endpoint automatically);
+    * varn = m·Σy² − S² is exact, so each block's R/S =
+    * R_scaled / √varn is ONE division of one sqrt — bit-identical
+    * both engines. Constant blocks (varn = 0) are excluded (their
+    * R/S is 0/0 by definition). Block means and the OLS sums fold in
+    * PINNED block/size order (the F26 precedent); ln is libm, export
+    * rounds absorb the last ulp. All windows run over the
+    * frame-bounded daily aggregate, never the event corpus. */
+  def hurst(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val sizes = Seq(5, 10, 15)
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val idx = pts.withColumn("i", row_number().over(w).cast("long"))
+    val ex = idx.withColumn("m",
+        explode(typedlit(sizes.map(_.toLong))))
+      .withColumn("b", expr("(i - 1) div m"))
+    val wb = Window.partitionBy($"event_type", $"m", $"b")
+    val wbo = wb.orderBy($"i")
+    val wnd = ex
+      .withColumn("cnt", count(lit(1)).over(wb))
+      .withColumn("s", sum($"y").over(wb))
+      .withColumn("sq", sum($"y" * $"y").over(wb))
+      .withColumn("r", row_number().over(wbo).cast("long"))
+      .withColumn("p", sum($"y").over(
+        wbo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("pp", $"m" * $"p" - $"r" * $"s")
+    val blocks = wnd.groupBy($"event_type", $"m", $"b")
+      .agg((max($"pp") - min($"pp")).as("rsc"),
+        max($"m" * $"sq" - $"s" * $"s").as("varn"),
+        max($"cnt").as("cnt"))
+      .filter($"cnt" === $"m" && $"varn" > 0)
+      .withColumn("rs",
+        $"rsc".cast("double") / sqrt($"varn".cast("double")))
+    val per = blocks.groupBy($"event_type", $"m")
+      .agg(count(lit(1)).as("n_b"),
+        sort_array(collect_list(struct($"b", $"rs"))).as("ps"))
+      .withColumn("mean_rs",
+        expr("aggregate(ps, 0D, (a, p) -> a + p.rs)") / $"n_b")
+    val nd = pts.groupBy($"event_type").agg(count(lit(1)).as("n_days"))
+    val fit = per.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sizes"),
+        max(when($"m" === 5, round($"mean_rs", 6))).as("rs5"),
+        max(when($"m" === 10, round($"mean_rs", 6))).as("rs10"),
+        max(when($"m" === 15, round($"mean_rs", 6))).as("rs15"),
+        sort_array(collect_list(struct($"m",
+          expr("ln(cast(m as double))").as("x"),
+          expr("ln(mean_rs)").as("y")))).as("fs"))
+      .withColumn("sx", expr("aggregate(fs, 0D, (a, p) -> a + p.x)"))
+      .withColumn("sy", expr("aggregate(fs, 0D, (a, p) -> a + p.y)"))
+      .withColumn("sxy", expr("aggregate(fs, 0D, (a, p) -> a + p.x * p.y)"))
+      .withColumn("sxx", expr("aggregate(fs, 0D, (a, p) -> a + p.x * p.x)"))
+      .withColumn("hurst", when($"n_sizes" >= 2, round(
+        ($"n_sizes" * $"sxy" - $"sx" * $"sy") /
+          ($"n_sizes" * $"sxx" - $"sx" * $"sx"), 4)))
+    fit.join(nd, "event_type")
+      .select($"event_type", $"n_days", $"n_sizes",
+        $"rs5", $"rs10", $"rs15", $"hurst")
+      .orderBy($"event_type")
+  }
+
   /** B36 single change-point detection per event type (binary
     * segmentation, step 1 — the "WHEN did the level shift?" companion
     * to B22's anomaly flags): the split τ maximizing the between-
@@ -1496,6 +1570,7 @@ object Resilience {
     "q_seasonality" -> seasonalityIndex,
     "q_dtw" -> dtwSeasonal,
     "q_acf" -> ((s, dir) => acfLjungBox(Tables.events(s, dir))),
+    "q_hurst" -> ((s, dir) => hurst(Tables.events(s, dir))),
     "q_stochastic" -> ((s, dir) => stochastic(Tables.events(s, dir))),
     "q_macd" -> ((s, dir) => macd(Tables.events(s, dir))),
     "q_var_es" -> ((s, dir) => varEs(Tables.events(s, dir))),
@@ -1700,6 +1775,76 @@ object Resilience {
         |    + var_c * (k - coalesce(below_cnt, 0)))::DOUBLE
         |    / (k::DOUBLE * 100.0) AS es_dollars
         |FROM a ORDER BY event_type""".stripMargin,
+    // B43 twin: same integer scaled prefix deviations, same varn > 0
+    // block filter, same block/size-ordered folds and OLS tail
+    "q_hurst" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT *, (row_number() OVER
+        |    (PARTITION BY event_type ORDER BY day))::BIGINT AS i
+        |  FROM pts),
+        |ex AS (
+        |  SELECT event_type, y, i, m::BIGINT AS m, (i - 1) // m AS b
+        |  FROM idx, (SELECT unnest([5, 10, 15]) AS m)),
+        |wnd AS (
+        |  SELECT event_type, m, b,
+        |    count(*) OVER wb AS cnt,
+        |    sum(y) OVER wb AS s,
+        |    sum(y * y) OVER wb AS sq,
+        |    (row_number() OVER wbo)::BIGINT AS r,
+        |    sum(y) OVER wrun AS p
+        |  FROM ex
+        |  WINDOW wb AS (PARTITION BY event_type, m, b),
+        |    wbo AS (PARTITION BY event_type, m, b ORDER BY i),
+        |    wrun AS (PARTITION BY event_type, m, b ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |pp AS (
+        |  SELECT event_type, m, b, cnt, s, sq, m * p - r * s AS pp
+        |  FROM wnd),
+        |blocks AS (
+        |  SELECT event_type, m, b,
+        |    (max(pp) - min(pp))::BIGINT AS rsc,
+        |    max(m * sq - s * s)::BIGINT AS varn,
+        |    max(cnt)::BIGINT AS cnt
+        |  FROM pp GROUP BY 1, 2, 3),
+        |good AS (
+        |  SELECT event_type, m, b,
+        |    rsc::DOUBLE / sqrt(varn::DOUBLE) AS rs
+        |  FROM blocks WHERE cnt = m AND varn > 0),
+        |per AS (
+        |  SELECT event_type, m, count(*)::BIGINT AS n_b,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(rs ORDER BY b)),
+        |      (a, x) -> a + x) AS srs
+        |  FROM good GROUP BY 1, 2),
+        |mz AS (
+        |  SELECT event_type, m, srs / n_b AS mean_rs FROM per),
+        |fit AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_sizes,
+        |    max(CASE WHEN m = 5 THEN round(mean_rs, 6) END) AS rs5,
+        |    max(CASE WHEN m = 10 THEN round(mean_rs, 6) END) AS rs10,
+        |    max(CASE WHEN m = 15 THEN round(mean_rs, 6) END) AS rs15,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(ln(m::DOUBLE) ORDER BY m)), (a, x) -> a + x) AS sx,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(ln(mean_rs) ORDER BY m)), (a, x) -> a + x) AS sy,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(ln(m::DOUBLE) * ln(mean_rs) ORDER BY m)),
+        |      (a, x) -> a + x) AS sxy,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(ln(m::DOUBLE) * ln(m::DOUBLE) ORDER BY m)),
+        |      (a, x) -> a + x) AS sxx
+        |  FROM mz GROUP BY 1),
+        |nd AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_days
+        |  FROM pts GROUP BY 1)
+        |SELECT f.event_type, n_days, n_sizes, rs5, rs10, rs15,
+        |  CASE WHEN n_sizes >= 2 THEN round(
+        |    (n_sizes * sxy - sx * sy) / (n_sizes * sxx - sx * sx), 4)
+        |  END AS hurst
+        |FROM fit f JOIN nd USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // B35 twin: same integer numerators (denominators cleared), same
     // per-lag division, same left-to-right Ljung-Box fold
     "q_acf" -> {

@@ -1208,6 +1208,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.getDouble(9) == 50.4, s"q_lb ${got.getDouble(9)}")
   }
 
+  test("B43 Hurst R/S: bit-equal to a driver-side fold; trend beats alternation") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf("2020-01-01").getTime + (day - 1) * 86400000L)
+    // trend: y_i = i (persistent ramp); alt: 1,9,1,9,… (anti-persistent)
+    val trendY = (1 to 30).map(i => i)
+    val altY = (1 to 30).map(i => if (i % 2 == 1) 1 else 9)
+    val rows =
+      trendY.zipWithIndex.flatMap { case (y, d) =>
+        Seq.fill(y)(("trend", d + 1)) } ++
+      altY.zipWithIndex.flatMap { case (y, d) =>
+        Seq.fill(y)(("alt", d + 1)) }
+    val df = rows.map { case (et, d) => (t(d), et) }.toDF("ts", "event_type")
+    // driver-side reference: the identical integer/IEEE sequence
+    def ref(ys: Seq[Long]): (Map[Int, Double], Double) = {
+      val sizes = Seq(5, 10, 15)
+      val means = sizes.map { m =>
+        val rs = ys.grouped(m).filter(_.size == m).toSeq.flatMap { blk =>
+          val s = blk.sum; val sq = blk.map(y => y * y).sum
+          val varn = m * sq - s * s
+          if (varn <= 0) None else {
+            var p = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
+            blk.zipWithIndex.foreach { case (y, j) =>
+              p += y
+              val pp = m * p - (j + 1) * s
+              if (pp > mx) mx = pp; if (pp < mn) mn = pp
+            }
+            Some((mx - mn).toDouble / math.sqrt(varn.toDouble))
+          }
+        }
+        m -> (if (rs.isEmpty) Double.NaN
+              else rs.foldLeft(0d)(_ + _) / rs.size)
+      }
+      val pts = means.filter(!_._2.isNaN)
+        .map { case (m, v) => (math.log(m.toDouble), math.log(v)) }
+      val n = pts.size
+      val sx = pts.foldLeft(0d)(_ + _._1); val sy = pts.foldLeft(0d)(_ + _._2)
+      val sxy = pts.foldLeft(0d)((a, p) => a + p._1 * p._2)
+      val sxx = pts.foldLeft(0d)((a, p) => a + p._1 * p._1)
+      (means.toMap, (n * sxy - sx * sy) / (n * sxx - sx * sx))
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.operators.Resilience.hurst(df).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6)))).toMap
+    for ((name, ys) <- Seq("trend" -> trendY, "alt" -> altY)) {
+      val (ms, h) = ref(ys.map(_.toLong))
+      val (g5, g10, g15, gh) = got(name)
+      assert((g5, g10, g15) == ((r6(ms(5)), r6(ms(10)), r6(ms(15)))),
+        s"$name mean R/S mismatch: got ${got(name)}, ref $ms")
+      assert(gh == r4(h), s"$name hurst: got $gh ref ${r4(h)}")
+    }
+    assert(got("trend")._4 > 0.7 && got("alt")._4 < 0.4,
+      s"trend must read persistent, alternation anti-persistent: $got")
+  }
+
   test("B36 change point: level shift found exactly; ties break to smallest index") {
     import spark.implicits._
     import org.apache.spark.sql.functions.expr
