@@ -399,6 +399,55 @@ object Cdc {
       when(op =!= "D", image).as("after"))).as("env"))
   }
 
+  /** C50 schema-drift detection — the property-bag REGISTRY a CDC
+    * consumer maintains when the upstream emits semi-structured
+    * payloads whose key set evolves faster than any declared schema
+    * (the operational companion of A30's VARIANT analytics: VARIANT
+    * makes drifting bags queryable, this tells you WHEN they
+    * drifted): per JSON key observed anywhere in the feed, the first
+    * and last day it appeared, days-seen and row counts. A key with
+    * a late `first_day` IS the schema change — the signal that
+    * triggers a backfill/contract review before downstream jobs
+    * break.
+    *
+    * Keys come from one RE2-safe `regexp_extract_all` over the raw
+    * payload (no parse, no schema — corrupt bags contribute no keys
+    * and never kill the scan), exploded and aggregated in ONE
+    * map-side-combined pass keyed by (key, day) then key —
+    * vocabulary-bounded output regardless of corpus size. */
+  def schemaDrift(feed: DataFrame, propsCol: String = "props"): DataFrame = {
+    import feed.sparkSession.implicits._
+    feed
+      .select(to_date($"ts").as("day"),
+        expr(s"regexp_extract_all($propsCol, '\"([a-z0-9_]+)\"\\\\s*:', 1)")
+          .as("ks"))
+      .select($"day", explode($"ks").as("key"))
+      .groupBy($"key", $"day").agg(count(lit(1)).as("n"))
+      .groupBy($"key")
+      .agg(date_format(min($"day"), "yyyy-MM-dd").as("first_day"),
+        date_format(max($"day"), "yyyy-MM-dd").as("last_day"),
+        count(lit(1)).as("n_days"),
+        sum($"n").as("n_rows"))
+      .orderBy($"key")
+  }
+
+  /** Graded-entry payload for [[schemaDrift]]: the static test feed
+    * carries a fixed `{"k": N}` bag, so the entry synthesizes the
+    * DRIFT deterministically from the event itself (the C25
+    * wire-format stand-in precedent) — `k` always, `v2_score` from
+    * day 10 (a mid-month producer release), `exp_<type>` from day 20
+    * (a per-type experiment field). The oracle reconstructs the same
+    * payloads, so the hash proves construction, extraction, and
+    * registry aggregation together. */
+  private def driftedProps: org.apache.spark.sql.Column =
+    concat(lit("{\"k\": 1"),
+      when(dayofmonth(col("ts")) >= 10, lit(", \"v2_score\": 2"))
+        .otherwise(lit("")),
+      when(dayofmonth(col("ts")) >= 20,
+        concat(lit(", \"exp_"), col("event_type"), lit("\": 3")))
+        .otherwise(lit("")),
+      lit("}"))
+
   /** C30 snapshot diff — CDC WITHOUT a change log: given two
     * snapshots of the same table, derive the change feed (insert /
     * update / delete rows) by a keyed full-outer join and value
@@ -837,6 +886,8 @@ object Cdc {
     "cdc_cohort" -> onEvents(cohortRetention),
     "cdc_parse_envelope" -> onEvents(e =>
       parseEnvelope(toEnvelopes(e)).orderBy(col("event_id"))),
+    "cdc_schema_drift" -> onEvents(e =>
+      schemaDrift(e.withColumn("props", driftedProps))),
     "cdc_late_audit" -> onEvents(lateAudit),
     "cdc_watermark_plan" -> onEvents(e => watermarkPlan(e)),
     "cdc_offset_islands" -> onEvents(offsetIslands),
@@ -1087,6 +1138,30 @@ object Cdc {
         |    old_cents, new_cents
         |  FROM j)
         |SELECT * FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    // C50 twin: identical payload construction, the same key-extract
+    // regex, and the same two-level registry aggregation
+    "cdc_schema_drift" ->
+      """WITH pay AS (
+        |  SELECT ts::DATE AS day,
+        |    '{"k": 1'
+        |    || CASE WHEN day(ts) >= 10 THEN ', "v2_score": 2' ELSE '' END
+        |    || CASE WHEN day(ts) >= 20
+        |         THEN ', "exp_' || event_type || '": 3' ELSE '' END
+        |    || '}' AS props
+        |  FROM events),
+        |ks AS (
+        |  SELECT day, unnest(regexp_extract_all(props,
+        |    '"([a-z0-9_]+)"\s*:', 1)) AS key
+        |  FROM pay),
+        |kd AS (
+        |  SELECT key, day, count(*)::BIGINT AS n
+        |  FROM ks GROUP BY 1, 2)
+        |SELECT key,
+        |  strftime(min(day), '%Y-%m-%d') AS first_day,
+        |  strftime(max(day), '%Y-%m-%d') AS last_day,
+        |  count(*)::BIGINT AS n_days,
+        |  sum(n)::BIGINT AS n_rows
+        |FROM kd GROUP BY key ORDER BY key""".stripMargin,
     // straight relational twin of the envelope round-trip: any field
     // the serialize→parse cycle drops or garbles breaks the hash
     "cdc_parse_envelope" ->

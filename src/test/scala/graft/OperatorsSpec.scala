@@ -1208,6 +1208,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.getDouble(9) == 50.4, s"q_lb ${got.getDouble(9)}")
   }
 
+  test("C50 schema drift: late key surfaces with its first day, corrupt bags survive") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf(f"2021-03-$day%02d").getTime + 7200000L)
+    val feed = Seq(
+      (t(1), """{"k": 1}"""),
+      (t(2), """{"k": 2, "k": 3}"""),          // dup key in one row: 2 hits
+      (t(3), """not json at all"""),           // corrupt: contributes nothing
+      (t(5), """{"k": 4, "new_field": 9}"""),  // the drift event
+      (t(6), """{"new_field": 10}""")
+    ).toDF("ts", "props")
+    val r = graft.operators.Cdc.schemaDrift(feed)
+      .as[(String, String, String, Long, Long)].collect()
+    assert(r(0) == (("k", "2021-03-01", "2021-03-05", 3L, 4L)), s"got ${r(0)}")
+    assert(r(1) == (("new_field", "2021-03-05", "2021-03-06", 2L, 2L)),
+      s"got ${r(1)}")
+    assert(r.length == 2)
+  }
+
   test("B43 Hurst R/S: bit-equal to a driver-side fold; trend beats alternation") {
     import spark.implicits._
     def t(day: Int) = new java.sql.Timestamp(
