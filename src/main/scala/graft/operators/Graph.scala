@@ -471,7 +471,67 @@ object Graph {
     linkPrediction(canon, 100)
   }
 
+  /** I6 degree assortativity (Newman 2002) — ARE hubs wired to hubs?
+    * The one-number mixing diagnostic read before trusting any
+    * sampling/pruning policy on a derived graph: social-like graphs
+    * assort (r > 0, hub-hub), dependency/co-purchase graphs usually
+    * disassort (r < 0, hubs bind leaves), and which regime holds
+    * decides whether hub-capping (the D2/I5 bound) removes noise or
+    * structure. r = Pearson correlation of endpoint degrees over the
+    * SYMMETRIC directed edge list (each undirected edge counted both
+    * ways, so Σj = Σk and one sum set suffices).
+    *
+    * Exactness: every sufficient statistic is an exact decimal(38,0)
+    * sum of BIGINT degree products (the C18/A39 posture — clears
+    * int64 at hub degrees ≫ 10⁶), the denominator-zero regular-graph
+    * case nulls EXPLICITLY (Spark doubles divide to ±Inf where
+    * decimals null — the guard keeps both engines on the same
+    * branch), and the one division is the export. Cost: one degree
+    * aggregate + two broadcast-or-shuffle joins back + one global
+    * fold — all shuffles on the node key. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val canon = edges.select($"a", $"b").localCheckpoint()
+    val sym = canon.select($"a".as("u"), $"b".as("v"))
+      .union(canon.select($"b".as("u"), $"a".as("v")))
+    val deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("d"))
+    val je = sym
+      .join(deg.select($"node".as("u"), $"d".as("j")), "u")
+      .join(deg.select($"node".as("v"), $"d".as("k")), "v")
+    val s = je.agg(
+      count(lit(1)).as("m"),
+      sum($"j".cast("decimal(38,0)") * $"k").as("sjk"),
+      sum($"j".cast("decimal(38,0)")).as("sj"),
+      sum($"j".cast("decimal(38,0)") * $"j").as("sjj"))
+    val counts = deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(canon.agg(count(lit(1)).as("n_edges")))
+    counts.crossJoin(s)
+      .withColumn("num", $"m" * $"sjk" - $"sj" * $"sj")
+      .withColumn("den", $"m" * $"sjj" - $"sj" * $"sj")
+      .select($"n_nodes", $"n_edges",
+        when($"den" =!= 0,
+          round($"num".cast("double") / $"den".cast("double"), 6))
+          .as("assortativity"))
+  }
+
+  /** q_assortativity: degree mixing of the ≥2-support co-order part
+    * graph (the q_kcore/q_link_predict graph). */
+  def assortativityCoOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val canon = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").cast("long").as("a"),
+        col("y.l_partkey").cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"a", $"b")
+    assortativity(canon)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_assortativity" -> assortativityCoOrder,
     "q_pagerank" -> pageRankTrade,
     "q_triangles" -> trianglesCoOrder,
     "q_bfs_hops" -> bfsSupplyChain,
@@ -559,6 +619,37 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // I6 twin: same symmetric edge list, HUGEINT == decimal(38,0)
+    // sums, the same explicit zero-denominator null branch
+    "q_assortativity" ->
+      """WITH canon AS (
+        |  SELECT x.l_partkey::BIGINT AS a, y.l_partkey::BIGINT AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT a AS u, b AS v FROM canon
+        |  UNION ALL SELECT b, a FROM canon),
+        |deg AS (SELECT u AS node, count(*)::BIGINT AS d
+        |        FROM sym GROUP BY 1),
+        |je AS (
+        |  SELECT du.d AS j, dv.d AS k
+        |  FROM sym JOIN deg du ON sym.u = du.node
+        |    JOIN deg dv ON sym.v = dv.node),
+        |s AS (
+        |  SELECT count(*)::HUGEINT AS m,
+        |    sum(j::HUGEINT * k)::HUGEINT AS sjk,
+        |    sum(j::HUGEINT)::HUGEINT AS sj,
+        |    sum(j::HUGEINT * j)::HUGEINT AS sjj
+        |  FROM je)
+        |SELECT
+        |  (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+        |  (SELECT count(*) FROM canon)::BIGINT AS n_edges,
+        |  CASE WHEN m * sjj - sj * sj <> 0
+        |    THEN round((m * sjk - sj * sj)::DOUBLE
+        |      / (m * sjj - sj * sj)::DOUBLE, 6)
+        |  END AS assortativity
+        |FROM s""".stripMargin,
     // I5 twin: same wedge counting, same anti-join, same integer ppm,
     // same total-order top-k
     "q_link_predict" ->

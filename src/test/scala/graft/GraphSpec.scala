@@ -203,4 +203,19 @@ class GraphSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq ==
       Seq((2L, 4L), (1L, 3L), (2L, 5L), (4L, 5L)))
   }
+
+  test("I6 assortativity: star -1, path -0.5, regular cycle null") {
+    import spark.implicits._
+    def r(edges: Seq[(Long, Long)]): (Long, Long, Option[Double]) = {
+      val row = Graph.assortativity(edges.toDF("a", "b")).collect()(0)
+      (row.getLong(0), row.getLong(1),
+        if (row.isNullAt(2)) None else Some(row.getDouble(2)))
+    }
+    // star S3: every edge joins the deg-3 hub to a deg-1 leaf → -1
+    assert(r(Seq((1L, 2L), (1L, 3L), (1L, 4L))) == ((4L, 3L, Some(-1.0))))
+    // path P4: hand-computed r = (6·16-100)/(6·18-100) = -0.5
+    assert(r(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == ((4L, 3L, Some(-0.5))))
+    // 4-cycle: 2-regular, zero degree variance → explicit null
+    assert(r(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) == ((4L, 4L, None)))
+  }
 }
