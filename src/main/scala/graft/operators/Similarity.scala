@@ -285,6 +285,39 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  private val RpT = 200   // RP plane family, disjoint from E2/E19 seeds
+  private val RpDim = 16
+
+  /** E20 random-projection (Johnson-Lindenstrauss) compressed search —
+    * the dense-float compression tier between SQ8 (E12: same dims,
+    * smaller cells) and the binary codes (E19: 1 bit/plane): project
+    * 64-dim vectors onto [[RpDim]] deterministic ±1 hyperplanes
+    * (Achlioptas 2003's database-friendly JL — ±1 entries carry the
+    * same distortion guarantee as Gaussians and keep every projection
+    * one codegen'd dot against a literal), then run the E1 exact-
+    * cosine top-k IN THE PROJECTED SPACE. 4× smaller rows than the
+    * corpus with angles approximately preserved — the cheap first
+    * tier of a cascade whose exact re-rank is E10's. Projected code
+    * table is checkpointed once (the E19 packing lesson); zero-norm
+    * projections are excluded like D5/D12. The oracle replays the
+    * identical plane literals, so ranking parity proves projection,
+    * scoring, and heap ordering together. */
+  def annRp(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = vecs.select($"vec_id", $"embedding".as("v"))
+    val proj = array((0 until RpDim).map(j =>
+      VectorFunctions.dot($"v", plane(RpT, j))): _*)
+    val codes = e.select($"vec_id", proj.as("p"))
+      .withColumn("np", VectorFunctions.norm($"p"))
+      .localCheckpoint()
+    val q = codes.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"p".as("qp"), $"np".as("qn"))
+    val scored = codes.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .filter($"np" > 0 && $"qn" > 0)
+      .withColumn("cos", round(cosine($"qp", $"p", $"qn", $"np"), 6))
+    topKPerQuery(scored)
+  }
+
   /** E3 IVF-style ANN: coarse quantizer = 16 deterministic seed
     * centroids; every vector is assigned to its nearest centroid (one
     * broadcast pass, min-by aggregation — no window); queries probe
@@ -1145,6 +1178,7 @@ object Similarity {
       hybridRrf(Tables.embeddings(s, dir), Tables.documents(s, dir))),
     "ann_lsh" -> onVecs(annLsh),
     "ann_hamming" -> onVecs(annHamming),
+    "ann_rp" -> onVecs(annRp),
     "ann_ivf" -> onVecs(annIvf),
     "ann_ivf_kmeans" -> onVecs(v => annIvfKmeans(v)),
     "ann_ivfpq" -> onVecs(v => annIvfPq(v)),
@@ -1229,6 +1263,37 @@ object Similarity {
        |    PARTITION BY q_id ORDER BY ham, vec_id) AS rank
        |  FROM scored)
        |SELECT q_id, rank::BIGINT AS rank, vec_id, ham AS hamming
+       |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** E20 oracle: the identical ±1 plane literals build the projected
+    * list, then the E1 scoring/ranking shape runs on it. */
+  private def rpOracleSql: String = {
+    def planeLit(j: Int): String =
+      planeArray(RpT, j).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+    val proj = (0 until RpDim).map(j =>
+      s"list_dot_product(v, ${planeLit(j)})").mkString("[", ",\n     ", "]")
+    s"""WITH $eCte,
+       |codes AS (
+       |  SELECT vec_id,
+       |    $proj AS p
+       |  FROM e),
+       |cn AS (
+       |  SELECT vec_id, p, sqrt(list_dot_product(p, p)) AS np
+       |  FROM codes),
+       |q AS (SELECT vec_id AS q_id, p AS qp, np AS qn FROM cn
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id,
+       |    round(list_dot_product(q.qp, c.p) / (q.qn * c.np), 6) AS cos
+       |  FROM cn c JOIN q ON c.vec_id <> q.q_id
+       |  WHERE c.np > 0 AND q.qn > 0),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank::BIGINT AS rank, vec_id, cos
        |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
@@ -1739,6 +1804,7 @@ object Similarity {
          |SELECT q_id, vec_id, cos FROM scored
          |WHERE cos >= $RangeCosT ORDER BY q_id, vec_id""".stripMargin,
     "ann_hamming" -> hammingOracleSql,
+    "ann_rp" -> rpOracleSql,
     "ann_lsh" ->
       s"""WITH $eCte,
          |bk AS (

@@ -210,6 +210,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(3L)._3 == ln2r, "entropy depends on distribution, not length")
   }
 
+  test("E20 random projection: recall beats chance, projected angles track true cosines") {
+    import spark.implicits._
+    val exact = Similarity.bruteforce(Tables.embeddings(spark, sf))
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rp = Similarity.annRp(Tables.embeddings(spark, sf))
+    val approx = rp.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0
+      else exact.count(approx.contains).toDouble / exact.size
+    // random corpus = weak neighbors (cos≈0.4): a 4× projection keeps
+    // enough angle signal to beat chance (3/500 ≈ 0.006) ~20×, but
+    // weak-neighbor rankings are inherently distorted — the planted-
+    // duplicate check below is the strong-neighbor guarantee
+    assert(recall >= 0.1, s"recall=$recall")
+    // planted exact duplicates MUST come back at rank 1: identical
+    // vectors project identically, so projected cosine is exactly 1
+    val base = Tables.embeddings(spark, sf)
+    val dups = base.filter($"vec_id" < 5)
+      .withColumn("vec_id", $"vec_id" + 1000000L)
+    val withDups = base.unionByName(dups)
+    val top1 = Similarity.annRp(withDups)
+      .filter($"rank" === 1).select("q_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach { q =>
+      assert(top1(q) == q + 1000000L,
+        s"query $q must retrieve its planted clone first, got ${top1(q)}")
+    }
+    // retrieval must be INFORMATIVE in true-cosine terms: the mean
+    // TRUE cosine of retrieved pairs beats the all-pairs mean (a
+    // correlation test over retrieved pairs would be selection-biased
+    // — pairs are chosen BY projected score, which truncates the
+    // range; the planted-duplicate check below is the strong regime)
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def trueCos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a).map(_.toDouble), vecs(b).map(_.toDouble))
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val retrieved = rp.select("q_id", "vec_id").collect()
+      .map(r => trueCos(r.getLong(0), r.getLong(1)))
+    val allMean = {
+      val qs = vecs.keys.filter(_ < 5)
+      val cs = for (q <- qs.toSeq; v <- vecs.keys if v != q)
+        yield trueCos(q, v)
+      cs.sum / cs.size
+    }
+    val retMean = retrieved.sum / retrieved.length
+    assert(retMean > allMean + 0.05,
+      s"retrieved true-cos mean $retMean must beat corpus mean $allMean")
+  }
+
   test("simhash: near-identical docs collide at small hamming distance") {
     val nearDup = pairSet(Dedup.ngramJaccard(Tables.documents(spark, sf))
       .filter(col("jaccard") >= 0.95))
