@@ -384,6 +384,107 @@ object Multimodal {
        |END)""".stripMargin
   }
 
+  // ---- G9: real BMP image pixel decode ------------------------------
+
+  /** Deterministic RGB test pixel for (doc, x, y, channel) — pure
+    * integer arithmetic shared verbatim by the encoder below and the
+    * DuckDB oracle, so the synth→encode→ImageIO-decode→aggregate
+    * round trip is provable to the bit without any image fixture. */
+  private[graft] def bmpChannel(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 31 + y.toLong * 97 + x.toLong * 13 + c.toLong * 101) % 256).toInt
+
+  /** Minimal canonical 24-bpp BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, positive height = bottom-up rows, 4-byte row
+    * padding) around the [[bmpChannel]] test pattern — the ENCODER
+    * side of the G9 seam, exercising exactly the container details
+    * (stride padding, bottom-up row order, BGR byte order) a real
+    * decoder must honor. */
+  private[graft] def bmpBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = ((3 * w + 3) / 4) * 4
+    val imgSize = stride * h
+    val bb = java.nio.ByteBuffer.allocate(54 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + imgSize)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(imgSize).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    var row = h - 1
+    while (row >= 0) { // bottom-up: image bottom row stored first
+      var x = 0
+      while (x < w) {
+        bb.put(bmpChannel(id, x, row, 2).toByte) // B
+        bb.put(bmpChannel(id, x, row, 1).toByte) // G
+        bb.put(bmpChannel(id, x, row, 0).toByte) // R
+        x += 1
+      }
+      var pad = 3 * w
+      while (pad < stride) { bb.put(0.toByte); pad += 1 }
+      row -= 1
+    }
+    bb.array()
+  }
+
+  /** G9 REAL image pixel decode: each payload decodes through the
+    * JDK-bundled `javax.imageio` readers (BMP/PNG/GIF/JPEG) inside
+    * the one declared mapPartitions seam, fanning out to per-pixel
+    * (x, y, r, g, b) rows in TOP-DOWN raster coordinates — everything
+    * downstream (statistics, histograms, phash inputs) is codegen'd
+    * column math over exact integers. Undecodable payloads contribute
+    * no rows (quarantine by omission, the G6 contract; the count
+    * delta is the QA signal). Per-row cost is one getRGB; a 100 TB
+    * media lake runs this per-asset with pixel rows never leaving
+    * the partition before the doc-keyed aggregate. */
+  def imagePixels(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(p))
+          if (img == null) Iterator.empty
+          else for {
+            y <- (0 until img.getHeight).iterator
+            x <- (0 until img.getWidth).iterator
+          } yield {
+            val argb = img.getRGB(x, y)
+            (id, x.toLong, y.toLong, ((argb >> 16) & 255).toLong,
+              ((argb >> 8) & 255).toLong, (argb & 255).toLong)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => Iterator.empty
+        }
+      })
+      .toDF("doc_id", "x", "y", "r", "g", "b")
+  }
+
+  /** G9 graded entry (`mm_bmp_stats`): synthesize a REAL BMP per
+    * document from the [[bmpChannel]] pattern (dims 2-5 × 2-4 so the
+    * stride-padding branch is exercised), decode it back through
+    * `javax.imageio`, and aggregate exact per-channel statistics plus
+    * a position-weighted moment — the moment breaks if the decoder
+    * flips rows (bottom-up mishandled), swaps channels (BGR→RGB), or
+    * mis-strides the padding, so the oracle's formula replay pins the
+    * full container contract. */
+  private def bmpStatsEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long]
+      .map(id => (id,
+        bmpBytes(id, (2 + id % 4).toInt, (2 + id % 3).toInt)))
+      .toDF("doc_id", "payload")
+    imagePixels(payloads)
+      .groupBy($"doc_id")
+      .agg((max($"x") + 1).as("width"), (max($"y") + 1).as("height"),
+        count(lit(1)).as("n_px"),
+        sum($"r").as("sum_r"), sum($"g").as("sum_g"),
+        sum($"b").as("sum_b"),
+        sum(($"r" + $"g" * 2 + $"b" * 3) *
+          (($"x" + 1) * ($"y" + 3))).as("moment"))
+      .orderBy($"doc_id")
+  }
+
   // ---- G6: real WAV/PCM audio decode --------------------------------
 
   private val WavRate = 8000
@@ -630,6 +731,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_bmp_stats" -> bmpStatsEntry,
     "mm_resample" -> wavResampleEntry,
     "mm_wav_features" -> wavFeaturesEntry,
     "mm_sniff" -> sniffEntry,
@@ -653,6 +755,35 @@ object Multimodal {
     }))
 
   val oracles: Map[String, String] = Map(
+    // G9 twin: NO byte parsing — the planted pixel formula replayed
+    // over the (x, y) grid; a hash match proves the BMP encoder, the
+    // real javax.imageio decode (bottom-up rows, BGR order, stride
+    // padding), and the aggregation agree to the bit
+    "mm_bmp_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, (2 + doc_id % 4)::BIGINT AS w,
+        |    (2 + doc_id % 3)::BIGINT AS h
+        |  FROM documents),
+        |xs AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w::INT))::BIGINT AS x
+        |  FROM dims),
+        |px AS (
+        |  SELECT doc_id, w, h, x,
+        |    unnest(range(0, h::INT))::BIGINT AS y
+        |  FROM xs),
+        |v AS (
+        |  SELECT doc_id, x, y,
+        |    (doc_id * 31 + y * 97 + x * 13) % 256 AS r,
+        |    (doc_id * 31 + y * 97 + x * 13 + 101) % 256 AS g,
+        |    (doc_id * 31 + y * 97 + x * 13 + 202) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id,
+        |  (max(x) + 1)::BIGINT AS width, (max(y) + 1)::BIGINT AS height,
+        |  count(*)::BIGINT AS n_px,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+        |  sum(b)::BIGINT AS sum_b,
+        |  sum((r + g * 2 + b * 3) * ((x + 1) * (y + 3)))::BIGINT AS moment
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // G8 twin: LCG regeneration, pair sums floored by the same
     // arithmetic shift, complete pairs only — all-integer
     "mm_resample" ->

@@ -99,6 +99,28 @@ class MultimodalSpec extends AnyFunSuite {
         got(id).mime == "application/octet-stream", s"${got(id)}")
   }
 
+  test("G9 BMP round trip: hand-built 2x2 pixels exact, padding rows honored, corrupt drops") {
+    import spark.implicits._
+    // 2x2 needs no padding (stride 8 > 6 does: w=2 → 6 bytes → pad 2);
+    // 3x2 strides 9→12; both shapes must decode to the formula pixels
+    val assets = Seq(
+      (7L, Multimodal.bmpBytes(7L, 2, 2)),
+      (8L, Multimodal.bmpBytes(8L, 3, 2)),
+      (9L, "not a bitmap".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.imagePixels(assets)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2, t._3) -> ((t._4, t._5, t._6))).toMap
+    for (id <- Seq(7L, 8L); y <- 0 until 2; x <- 0 until (if (id == 7L) 2 else 3)) {
+      val want = ((Multimodal.bmpChannel(id, x, y, 0).toLong,
+        Multimodal.bmpChannel(id, x, y, 1).toLong,
+        Multimodal.bmpChannel(id, x, y, 2).toLong))
+      assert(got((id, x.toLong, y.toLong)) == want,
+        s"pixel ($id, $x, $y): got ${got((id, x.toLong, y.toLong))}, want $want")
+    }
+    assert(got.size == 4 + 6, "corrupt payload must contribute no rows")
+  }
+
   test("G5 perceptual near-dup finds edited copies, not unrelated assets") {
     import spark.implicits._
     // strong region contrast (alternating dark/bright 10-byte tiles):
