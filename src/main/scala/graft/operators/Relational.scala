@@ -971,6 +971,48 @@ object Relational {
           6).as("z_score"))
   }
 
+  /** A56 ROC AUC per ship mode (sklearn `roc_auc_score` twin — the
+    * classifier-evaluation statistic every quality/filter model
+    * report leads with; here scoring how well raw price separates
+    * returned from kept lines): AUC = P(score_pos > score_neg) +
+    * ½P(tie), computed EXACTLY by the rank-sum identity
+    * AUC = (R_pos − nP(nP+1)/2) / (nP·nN) with average tie ranks —
+    * the A42 doubled-rank machinery re-aimed at evaluation: doubled
+    * ranks 2B + c + 1 keep every rank an integer, Σ over positives
+    * stays a decimal(38,0) product-sum over the VALUE-DOMAIN
+    * histogram (never the corpus), and the single division is the
+    * export. Degenerate groups (no positives or no negatives) null
+    * explicitly. Groups = the 7 line numbers (the A41 cohort). One
+    * corpus aggregate → histogram window → per-group fold; the
+    * window partitions by group over distinct values only. */
+  def aucScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vc = Tables.lineitem(s, dir)
+      .select($"l_linenumber".cast("long").as("lineno"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"),
+        when($"l_returnflag" === "R", 1L).otherwise(0L).as("pos"))
+      .groupBy($"lineno", $"cents")
+      .agg(sum($"pos").as("cp"), sum(lit(1L) - $"pos").as("cg"))
+      .withColumn("c", $"cp" + $"cg")
+    val w = Window.partitionBy($"lineno").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = vc
+      .withColumn("b", sum($"c").over(w) - $"c")
+      .withColumn("r2", $"b" * 2 + $"c" + 1)
+    h.groupBy($"lineno")
+      .agg(sum($"cp").as("n_pos"), sum($"cg").as("n_neg"),
+        sum($"cp".cast("decimal(38,0)") * $"r2").as("sr2"))
+      .withColumn("two_u",
+        $"sr2" - $"n_pos".cast("decimal(38,0)") * ($"n_pos" + 1))
+      .select($"lineno", $"n_pos", $"n_neg",
+        when($"n_pos" > 0 && $"n_neg" > 0,
+          round($"two_u".cast("double") /
+            (lit(2.0) * $"n_pos".cast("double") * $"n_neg".cast("double")),
+            6)).as("auc"))
+      .orderBy($"lineno")
+  }
+
   /** A43 Spearman rank correlation per return flag (scipy `spearmanr`
     * twin — the monotone-association gate: quantity vs price): both
     * variables ranked through per-group value-domain histograms with
@@ -1515,6 +1557,7 @@ object Relational {
     "q_ab_test" -> abTest,
     "q_lorenz" -> lorenzGini,
     "q_skyline" -> skyline,
+    "q_auc" -> aucScore,
     "q_mannwhitney" -> mannWhitney,
     "q_spearman" -> spearman,
     "q_runs_test" -> runsTest,
@@ -1851,6 +1894,34 @@ object Relational {
         |ORDER BY price_c""".stripMargin,
     // A42 twin: identical doubled-rank histogram; 2U and the tie sum
     // are exact decimals, z is the same pinned scalar sequence
+    // A56 twin: same value-domain histogram, same doubled tie ranks,
+    // same decimal product-sum and single-division export
+    "q_auc" ->
+      """WITH vc AS (
+        |  SELECT l_linenumber::BIGINT AS lineno,
+        |    round(l_extendedprice * 100)::BIGINT AS cents,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+        |      AS cp,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)::BIGINT
+        |      AS cg
+        |  FROM lineitem GROUP BY 1, 2),
+        |h AS (
+        |  SELECT lineno, cp, cg, cp + cg AS c,
+        |    (sum(cp + cg) OVER (PARTITION BY lineno ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      - (cp + cg) AS b
+        |  FROM vc),
+        |tot AS (
+        |  SELECT lineno, sum(cp)::BIGINT AS n_pos,
+        |    sum(cg)::BIGINT AS n_neg,
+        |    sum(cp::HUGEINT * (b * 2 + c + 1))::HUGEINT AS sr2
+        |  FROM h GROUP BY 1)
+        |SELECT lineno, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round((sr2 - n_pos::HUGEINT * (n_pos + 1))::DOUBLE
+        |      / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6)
+        |  END AS auc
+        |FROM tot ORDER BY lineno""".stripMargin,
     "q_mannwhitney" ->
       """WITH vc AS (
         |  SELECT round(l_extendedprice * 100)::BIGINT AS cents,

@@ -1208,6 +1208,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.getDouble(9) == 50.4, s"q_lb ${got.getDouble(9)}")
   }
 
+  test("A56 AUC: perfect separation 1.0, identical distributions 0.5 through ties, one-class null") {
+    import spark.implicits._
+    // group 1: pos {3,4} vs neg {1,2} → AUC 1; group 2: pos {1,2} vs
+    // neg {1,2} (full ties) → 0.5; group 3: positives only → null
+    val rows = Seq(
+      (1, 3.0, "R"), (1, 4.0, "R"), (1, 1.0, "N"), (1, 2.0, "N"),
+      (2, 1.0, "R"), (2, 2.0, "R"), (2, 1.0, "N"), (2, 2.0, "N"),
+      (3, 1.0, "R"), (3, 2.0, "R"))
+    val df = rows.map { case (ln, price, fl) => (ln, price, fl) }
+      .toDF("l_linenumber", "l_extendedprice", "l_returnflag")
+    val dir = java.nio.file.Files.createTempDirectory("auc").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Relational.aucScore(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got(1L) == ((2L, 2L, Some(1.0))), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, Some(0.5))), s"got ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, None)), s"got ${got(3L)}")
+  }
+
   test("C50 schema drift: late key surfaces with its first day, corrupt bags survive") {
     import spark.implicits._
     def t(day: Int) = new java.sql.Timestamp(
