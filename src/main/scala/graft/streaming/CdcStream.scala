@@ -312,6 +312,48 @@ object CdcStream {
       }
   }
 
+  /** One schema-registry update from [[schemaDriftStream]]: a key's
+    * registry row after a batch that touched it. */
+  case class KeyDrift(key: String, first_day: String, last_day: String,
+      n_rows: Long, is_new: Boolean)
+
+  /** C51 STREAMING schema-drift registry — the continuous twin of the
+    * batch registry (`Cdc.schemaDrift`): payload keys extracted
+    * row-locally (the same no-parse regex contract upstream), sharded
+    * by key into `flatMapGroupsWithState`; state is (first_us,
+    * last_us, n_rows) — three longs per DISTINCT KEY, so the whole
+    * store is vocabulary-bounded regardless of stream length. Each
+    * micro-batch emits ONE updated registry row per touched key,
+    * flagged `is_new` exactly when the key was never in state — the
+    * alert a consumer pages on BEFORE downstream jobs break on the
+    * changed contract. Day strings derive from the stored µs, so
+    * emitted rows agree with the batch registry on any prefix of the
+    * feed (spec-pinned). */
+  def schemaDriftStream(keyed: Dataset[(String, java.sql.Timestamp)])
+      : Dataset[KeyDrift] = {
+    import keyed.sparkSession.implicits._
+    def day(us: Long): String =
+      java.time.Instant.ofEpochSecond(us / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: String, it: Iterator[(String, java.sql.Timestamp)],
+            state: GroupState[(Long, Long, Long)]) =>
+          val fresh = !state.exists
+          var (first, last, n) = state.getOption
+            .getOrElse((Long.MaxValue, Long.MinValue, 0L))
+          it.foreach { case (_, ts) =>
+            val us = tsUs(ts)
+            if (us < first) first = us
+            if (us > last) last = us
+            n += 1
+          }
+          state.update((first, last, n))
+          Iterator.single(KeyDrift(key, day(first), day(last), n, fresh))
+      }
+  }
+
   /** Per-key retraction delta for C39: what this key's transition
     * adds to (or retracts from) its cohort's aggregate. */
   case class MvKeyDelta(user_id: Long, cohort: Long,

@@ -484,6 +484,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C51 streaming schema drift: new key flags once, registry matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf(f"2022-05-$day%02d").getTime + 3600000L)
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val q = CdcStream.schemaDriftStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("drift_stream").start()
+    try {
+      in.addData(("k", t(1)), ("k", t(2))); q.processAllAvailable()
+      in.addData(("k", t(3)), ("new_field", t(3))); q.processAllAvailable()
+      val rows = spark.table("drift_stream")
+        .as[CdcStream.KeyDrift].collect()
+      // batch 1: k is new; batch 2: k updates (not new), new_field new
+      val kRows = rows.filter(_.key == "k").sortBy(_.n_rows)
+      assert(kRows.map(r => (r.n_rows, r.is_new)).toSeq ==
+        Seq((2L, true), (3L, false)), s"got ${kRows.toSeq}")
+      assert(kRows.last.first_day == "2022-05-01" &&
+        kRows.last.last_day == "2022-05-03")
+      val nf = rows.filter(_.key == "new_field")
+      assert(nf.map(r => (r.n_rows, r.is_new, r.first_day)).toSeq ==
+        Seq((1L, true, "2022-05-03")), s"got ${nf.toSeq}")
+      // final registry rows agree with the batch operator on the feed
+      val batch = graft.operators.Cdc.schemaDrift(
+        Seq((t(1), """{"k":1}"""), (t(2), """{"k":1}"""),
+            (t(3), """{"k":1,"new_field":2}"""))
+          .toDF("ts", "props"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getString(2), r.getLong(4))).toSet
+      val streamFinal = rows.groupBy(_.key).map { case (k, rs) =>
+        val last = rs.maxBy(_.n_rows)
+        (k, last.first_day, last.last_day, last.n_rows)
+      }.toSet
+      assert(streamFinal == batch, s"stream $streamFinal vs batch $batch")
+    } finally q.stop()
+  }
+
   test("C34 streaming CUSUM across batches == batch closed form (n-scaled)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
