@@ -1324,6 +1324,124 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B45 PARTIAL autocorrelation (PACF) at lags 1-7 per event type —
+    * the other half of the Box-Jenkins identification pair: B35's ACF
+    * tails off for an AR process while the PACF CUTS OFF at the true
+    * order p, which is how an analyst picks the AR order B17 then
+    * fits. Computed by the Durbin-Levinson recursion over the exact
+    * ACF values: φ₁₁ = ρ₁; φ_kk = (ρ_k − Σφ_{k−1,j}ρ_{k−j}) /
+    * (1 − Σφ_{k−1,j}ρ_j), with the previous φ row updated in place.
+    *
+    * Determinism: ρ_k = num_k/den is one division of the B35 exact
+    * BIGINT numerators; the recursion is a functional `aggregate`
+    * fold whose accumulator carries the φ row as an ARRAY — mirrored
+    * by a recursive CTE in the twin carrying a DOUBLE[] list (the
+    * B18/B21 precedent: DuckDB's list_reduce struct accumulator
+    * aliases in place on coupled recurrences, so the CTE form is the
+    * safe twin), every inner sum folding in j order. Null ACF
+    * (constant series) null-propagates identically. Frame-bounded:
+    * the fold runs on one 7-element array per group. */
+  def pacf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val maxLag = 7
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val st = pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"y").as("s"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    var led = pts.join(st, "event_type")
+    for (k <- 1 to maxLag) led = led.withColumn(s"y$k", lead($"y", k).over(w))
+    val d = $"n" * $"y" - $"s"
+    val aggCols = sum(d * d).as("den") +:
+      (1 to maxLag).map(k =>
+        sum(d * ($"n" * col(s"y$k") - $"s")).as(s"num$k"))
+    val agg = led.groupBy($"event_type").agg(aggCols.head, aggCols.tail: _*)
+    val rArr = array((1 to maxLag).map(k =>
+      col(s"num$k").cast("double") / $"den"): _*)
+    // Durbin-Levinson as a functional fold: acc = (φ row, pacf list)
+    val phikk = (k: String, phis: String) =>
+      s"""(element_at(r, $k) - aggregate(sequence(1, $k - 1), 0D,
+         |  (a, j) -> a + element_at($phis, j) * element_at(r, $k - j)))
+         | / (1D - aggregate(sequence(1, $k - 1), 0D,
+         |  (a, j) -> a + element_at($phis, j) * element_at(r, j)))"""
+        .stripMargin
+    val fold = agg.withColumn("r", rArr)
+      .withColumn("dl", expr(
+        s"""aggregate(sequence(2, $maxLag),
+           |  struct(array(element_at(r, 1)) as phis,
+           |         array(element_at(r, 1)) as pacfs),
+           |  (acc, k) -> struct(
+           |    transform(sequence(1, k), j -> CASE WHEN j = k
+           |      THEN ${phikk("k", "acc.phis")}
+           |      ELSE element_at(acc.phis, j)
+           |        - (${phikk("k", "acc.phis")})
+           |          * element_at(acc.phis, k - j) END) as phis,
+           |    concat(acc.pacfs, array(${phikk("k", "acc.phis")})) as pacfs))
+           |""".stripMargin))
+    val pCols = (1 to maxLag).map(k =>
+      round(expr(s"element_at(dl.pacfs, $k)"), 6).as(s"pacf_$k"))
+    fold.select(($"event_type" +: pCols): _*).orderBy($"event_type")
+  }
+
+  /** B44 SAX symbolization (Lin et al. 2003 — the time-series
+    * INDEXING representation: z-normalize, piecewise-aggregate to w
+    * segments, quantize against Gaussian breakpoints; equal words ⇒
+    * provably close series, which is how a 100 TB series store
+    * shortlists candidates before any DTW/correlation pass): daily
+    * counts per event type → 6 segments of 5 days → alphabet {a..d}
+    * at breakpoints ±0.6745 and 0.
+    *
+    * Determinism: the z-scored segment mean is D_j / (m·√varn) with
+    * D_j = Σ(n·y − S) an exact BIGINT (the B25 scaling — μ never
+    * becomes a double) and varn = n·Σy² − S² exact, so both engines
+    * derive the identical double and the breakpoint CASE takes the
+    * same branch (boundary hits are measure-zero on computed
+    * doubles; the breakpoints are shared literals). Constant series
+    * (varn = 0) emit a null word. Incomplete tail segments drop
+    * (documented — the standard n mod w contract). Windows run over
+    * the daily aggregate only. */
+  def sax(events: DataFrame, segLen: Int = 5): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val idx = pts.withColumn("i", row_number().over(w).cast("long"))
+    val st = pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"y").as("s"),
+        sum($"y" * $"y").as("sq"))
+      .withColumn("varn", $"n" * $"sq" - $"s" * $"s")
+    val segs = idx.join(st, "event_type")
+      .withColumn("seg", expr(s"(i - 1) div $segLen"))
+      .groupBy($"event_type", $"seg")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"n" * $"y" - $"s").as("d"),
+        max($"varn").as("varn"), max($"n").as("n"))
+      .filter($"cnt" === segLen)
+      .withColumn("z", when($"varn" > 0,
+        $"d".cast("double") / (lit(segLen.toDouble) *
+          sqrt($"varn".cast("double")))))
+      .withColumn("sym", when($"z".isNull, lit("?"))
+        .when($"z" < -0.6745, "a")
+        .when($"z" < 0.0, "b")
+        .when($"z" < 0.6745, "c")
+        .otherwise("d"))
+    val zCols = (0 until 6).map(j =>
+      max(when($"seg" === j, round($"z", 4))).as(s"z$j"))
+    val aggs = Seq(max($"n").as("n_days"), count(lit(1)).as("n_segs"),
+      array_join(transform(array_sort(collect_list(
+        struct($"seg", $"sym"))), x => x.getField("sym")), "")
+        .as("word"),
+      max(when($"z".isNull, 1L).otherwise(0L)).as("has_null")) ++ zCols
+    segs.groupBy($"event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .select((Seq($"event_type", $"n_days", $"n_segs",
+        when($"has_null" === 0, $"word").as("sax_word")) ++
+        (0 until 6).map(j => col(s"z$j"))): _*)
+      .orderBy($"event_type")
+  }
+
   /** B36 single change-point detection per event type (binary
     * segmentation, step 1 — the "WHEN did the level shift?" companion
     * to B22's anomaly flags): the split τ maximizing the between-
@@ -1571,6 +1689,8 @@ object Resilience {
     "q_dtw" -> dtwSeasonal,
     "q_acf" -> ((s, dir) => acfLjungBox(Tables.events(s, dir))),
     "q_hurst" -> ((s, dir) => hurst(Tables.events(s, dir))),
+    "q_sax" -> ((s, dir) => sax(Tables.events(s, dir))),
+    "q_pacf" -> ((s, dir) => pacf(Tables.events(s, dir))),
     "q_stochastic" -> ((s, dir) => stochastic(Tables.events(s, dir))),
     "q_macd" -> ((s, dir) => macd(Tables.events(s, dir))),
     "q_var_es" -> ((s, dir) => varEs(Tables.events(s, dir))),
@@ -1775,6 +1895,103 @@ object Resilience {
         |    + var_c * (k - coalesce(below_cnt, 0)))::DOUBLE
         |    / (k::DOUBLE * 100.0) AS es_dollars
         |FROM a ORDER BY event_type""".stripMargin,
+    // B45 twin: same exact ACF ratios, the Durbin-Levinson recursion
+    // as a recursive CTE carrying the φ row as DOUBLE[] (the B18/B21
+    // list-state precedent — list_reduce struct accumulators alias),
+    // every inner sum folded in j order
+    "q_pacf" -> {
+      val lags = 1 to 7
+      val leads = lags.map(k => s"lead(y, $k) OVER w AS y$k")
+        .mkString(",\n        |    ")
+      val nums = lags.map(k =>
+        s"sum((n*y - s)*(n*y$k - s))::BIGINT AS num$k")
+        .mkString(",\n        |    ")
+      val rhoList = lags.map(k => s"num$k::DOUBLE / den").mkString("[", ", ", "]")
+      val phikk =
+        """(rr.rho[d.k + 1] - list_reduce(list_prepend(0.0::DOUBLE,
+          |        list_transform(range(1, d.k + 1),
+          |          j -> d.phis[j] * rr.rho[d.k + 1 - j])), (a, b) -> a + b))
+          |      / (1.0 - list_reduce(list_prepend(0.0::DOUBLE,
+          |        list_transform(range(1, d.k + 1),
+          |          j -> d.phis[j] * rr.rho[j])), (a, b) -> a + b))""".stripMargin
+      val pacfCols = lags.map(k =>
+        s"round(pacfs[$k], 6) AS pacf_$k").mkString(",\n        |  ")
+      s"""WITH RECURSIVE pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+        |  FROM pts GROUP BY 1),
+        |led AS (
+        |  SELECT p.event_type, n, s, y,
+        |    $leads
+        |  FROM pts p JOIN st USING (event_type)
+        |  WINDOW w AS (PARTITION BY p.event_type ORDER BY day)),
+        |agg AS (
+        |  SELECT event_type, sum((n*y - s)*(n*y - s))::BIGINT AS den,
+        |    $nums
+        |  FROM led GROUP BY 1),
+        |rr AS (
+        |  SELECT event_type, $rhoList AS rho FROM agg),
+        |dl AS (
+        |  SELECT event_type, 1 AS k, [rho[1]] AS phis, [rho[1]] AS pacfs
+        |  FROM rr
+        |  UNION ALL
+        |  SELECT d.event_type, d.k + 1,
+        |    list_transform(range(1, d.k + 2), j -> CASE WHEN j = d.k + 1
+        |      THEN $phikk
+        |      ELSE d.phis[j] - ($phikk) * d.phis[d.k + 1 - j] END),
+        |    list_append(d.pacfs, $phikk)
+        |  FROM dl d JOIN rr USING (event_type) WHERE d.k < 7)
+        |SELECT event_type,
+        |  $pacfCols
+        |FROM dl WHERE k = 7 ORDER BY event_type""".stripMargin
+    },
+    // B44 twin: same exact D_j/varn integers, same shared breakpoint
+    // literals, same complete-segment filter and seg-ordered word
+    "q_sax" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT *, (row_number() OVER
+        |    (PARTITION BY event_type ORDER BY day))::BIGINT AS i
+        |  FROM pts),
+        |st AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(y)::BIGINT AS s,
+        |    sum(y * y)::BIGINT AS sq
+        |  FROM pts GROUP BY 1),
+        |segs AS (
+        |  SELECT i.event_type, (i.i - 1) // 5 AS seg,
+        |    count(*)::BIGINT AS cnt,
+        |    sum(st.n * i.y - st.s)::BIGINT AS d,
+        |    max(st.n * st.sq - st.s * st.s)::BIGINT AS varn,
+        |    max(st.n)::BIGINT AS n
+        |  FROM idx i JOIN st USING (event_type)
+        |  GROUP BY 1, 2),
+        |z AS (
+        |  SELECT event_type, seg, n,
+        |    CASE WHEN varn > 0
+        |      THEN d::DOUBLE / (5.0 * sqrt(varn::DOUBLE)) END AS z
+        |  FROM segs WHERE cnt = 5),
+        |sym AS (
+        |  SELECT *, CASE WHEN z IS NULL THEN '?'
+        |    WHEN z < -0.6745 THEN 'a'
+        |    WHEN z < 0.0 THEN 'b'
+        |    WHEN z < 0.6745 THEN 'c'
+        |    ELSE 'd' END AS sym
+        |  FROM z)
+        |SELECT event_type, max(n)::BIGINT AS n_days,
+        |  count(*)::BIGINT AS n_segs,
+        |  CASE WHEN max(CASE WHEN z IS NULL THEN 1 ELSE 0 END) = 0
+        |    THEN string_agg(sym, '' ORDER BY seg) END AS sax_word,
+        |  max(CASE WHEN seg = 0 THEN round(z, 4) END) AS z0,
+        |  max(CASE WHEN seg = 1 THEN round(z, 4) END) AS z1,
+        |  max(CASE WHEN seg = 2 THEN round(z, 4) END) AS z2,
+        |  max(CASE WHEN seg = 3 THEN round(z, 4) END) AS z3,
+        |  max(CASE WHEN seg = 4 THEN round(z, 4) END) AS z4,
+        |  max(CASE WHEN seg = 5 THEN round(z, 4) END) AS z5
+        |FROM sym GROUP BY event_type ORDER BY event_type""".stripMargin,
     // B43 twin: same integer scaled prefix deviations, same varn > 0
     // block filter, same block/size-ordered folds and OLS tail
     "q_hurst" ->

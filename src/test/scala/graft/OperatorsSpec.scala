@@ -1248,6 +1248,69 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.length == 2)
   }
 
+  test("B45 PACF: bit-equal to a driver-side Durbin-Levinson fold") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf("2020-02-01").getTime + (day - 1) * 86400000L)
+    // seeded-LCG daily counts — arbitrary but deterministic
+    val ys = {
+      var s = 77L
+      (1 to 30).map { _ => s = (s * 1103515245L + 12345L) % 2147483648L
+        (1 + (s % 7)).toInt }
+    }
+    val rows = ys.zipWithIndex.flatMap { case (y, d) =>
+      Seq.fill(y)(("e", d + 1)) }
+    val df = rows.map { case (et, d) => (t(d), et) }.toDF("ts", "event_type")
+    // reference: exact integer ACF numerators then the identical fold
+    val n = ys.length.toLong; val s0 = ys.map(_.toLong).sum
+    val dev = ys.map(y => n * y - s0)
+    val den = dev.map(d => d * d).sum.toDouble
+    val rho = (1 to 7).map(k =>
+      dev.dropRight(k).zip(dev.drop(k)).map { case (a, b) => a * b }
+        .sum.toDouble / den)
+    var phis = Vector(rho(0)); var pacfs = Vector(rho(0))
+    for (k <- 2 to 7) {
+      val num = rho(k - 1) -
+        (1 until k).foldLeft(0d)((a, j) => a + phis(j - 1) * rho(k - j - 1))
+      val d2 = 1d -
+        (1 until k).foldLeft(0d)((a, j) => a + phis(j - 1) * rho(j - 1))
+      val pkk = num / d2
+      phis = Vector.tabulate(k)(i => if (i == k - 1) pkk
+        else phis(i) - pkk * phis(k - 2 - i))
+      pacfs = pacfs :+ pkk
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.operators.Resilience.pacf(df).collect()(0)
+    (1 to 7).foreach { k =>
+      assert(got.getDouble(k) == r6(pacfs(k - 1)),
+        s"pacf_$k: got ${got.getDouble(k)}, ref ${r6(pacfs(k - 1))}")
+    }
+    // lag-1 PACF is the lag-1 ACF by definition
+    assert(got.getDouble(1) == r6(rho(0)))
+  }
+
+  test("B44 SAX: step series reads aaaddd with z exactly ±1, constant series nulls") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf("2020-06-01").getTime + (day - 1) * 86400000L)
+    // step: 15 days of 1 event then 15 days of 9 → varn = 14400,
+    // each segment D = ∓600 → z = ∓1.0 exactly; flat: varn = 0
+    val rows =
+      (1 to 15).flatMap(d => Seq.fill(1)(("step", d))) ++
+      (16 to 30).flatMap(d => Seq.fill(9)(("step", d))) ++
+      (1 to 30).flatMap(d => Seq.fill(2)(("flat", d)))
+    val df = rows.map { case (et, d) => (t(d), et) }.toDF("ts", "event_type")
+    val got = graft.operators.Resilience.sax(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s = got("step")
+    assert(s.getLong(1) == 30L && s.getLong(2) == 6L)
+    assert(s.getString(3) == "aaaddd", s"word ${s.getString(3)}")
+    assert((4 to 6).forall(i => s.getDouble(i) == -1.0) &&
+      (7 to 9).forall(i => s.getDouble(i) == 1.0), s"z row $s")
+    val f = got("flat")
+    assert(f.isNullAt(3) && f.isNullAt(4), s"flat row $f")
+  }
+
   test("B43 Hurst R/S: bit-equal to a driver-side fold; trend beats alternation") {
     import spark.implicits._
     def t(day: Int) = new java.sql.Timestamp(
