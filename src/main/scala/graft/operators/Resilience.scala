@@ -1324,6 +1324,50 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B46 permutation entropy of order 3 (Bandt & Pompe 2002 — the
+    * model-free irregularity diagnostic: ~0 for monotone/periodic
+    * series, ln 6 for white noise; robust to monotone transforms
+    * where B35/B45 assume linearity): each consecutive triple of the
+    * daily series maps to one of 6 ordinal patterns by EXACT INTEGER
+    * comparisons (ties broken by time order — the standard `<=`
+    * earlier-wins rule), patterns histogram per event type, H =
+    * −Σ p ln p folded in PATTERN ORDER with the probabilities exact
+    * integer ratios (the F18 fold contract); normalized H/ln 6 is
+    * the export. One lead window over the daily aggregate + one
+    * 6-row fold per group — frame-bounded everywhere. */
+  def permutationEntropy(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val tri = pts
+      .withColumn("y1", lead($"y", 1).over(w))
+      .withColumn("y2", lead($"y", 2).over(w))
+      .filter($"y2".isNotNull)
+    // pattern id: rank of (a,b,c) with earlier-index tie wins (<=):
+    // a<=b<=c:0  a<=c<b:1  b<a<=c:2  c<b<a... enumerate explicitly
+    val pat = when($"y" <= $"y1" && $"y1" <= $"y2", 0L)
+      .when($"y" <= $"y2" && $"y2" < $"y1", 1L)
+      .when($"y1" < $"y" && $"y" <= $"y2", 2L)
+      .when($"y2" < $"y" && $"y" <= $"y1", 3L)
+      .when($"y1" <= $"y2" && $"y2" < $"y", 4L)
+      .otherwise(5L)
+    val hist = tri.withColumn("pat", pat)
+      .groupBy($"event_type", $"pat").agg(count(lit(1)).as("c"))
+    hist.groupBy($"event_type")
+      .agg(sum($"c").as("n_tri"),
+        count(lit(1)).as("n_patterns"),
+        sort_array(collect_list(struct($"pat", $"c"))).as("ps"))
+      .select($"event_type", $"n_tri", $"n_patterns",
+        round(expr(
+          """-aggregate(ps, 0D, (a, p) ->
+            |  a + (cast(p.c as double) / cast(n_tri as double))
+            |    * ln(cast(p.c as double) / cast(n_tri as double)))
+            |  / ln(6D)""".stripMargin), 6).as("pe_norm"))
+      .orderBy($"event_type")
+  }
+
   /** B45 PARTIAL autocorrelation (PACF) at lags 1-7 per event type —
     * the other half of the Box-Jenkins identification pair: B35's ACF
     * tails off for an AR process while the PACF CUTS OFF at the true
@@ -1691,6 +1735,7 @@ object Resilience {
     "q_hurst" -> ((s, dir) => hurst(Tables.events(s, dir))),
     "q_sax" -> ((s, dir) => sax(Tables.events(s, dir))),
     "q_pacf" -> ((s, dir) => pacf(Tables.events(s, dir))),
+    "q_perm_entropy" -> ((s, dir) => permutationEntropy(Tables.events(s, dir))),
     "q_stochastic" -> ((s, dir) => stochastic(Tables.events(s, dir))),
     "q_macd" -> ((s, dir) => macd(Tables.events(s, dir))),
     "q_var_es" -> ((s, dir) => varEs(Tables.events(s, dir))),
@@ -1895,6 +1940,44 @@ object Resilience {
         |    + var_c * (k - coalesce(below_cnt, 0)))::DOUBLE
         |    / (k::DOUBLE * 100.0) AS es_dollars
         |FROM a ORDER BY event_type""".stripMargin,
+    // B46 twin: same integer ordinal-pattern CASE (earlier-wins tie
+    // rule), same pattern-ordered −Σ p ln p fold, same ln 6 norm
+    "q_perm_entropy" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |tri AS (
+        |  SELECT event_type, y,
+        |    lead(y, 1) OVER w AS y1, lead(y, 2) OVER w AS y2
+        |  FROM pts
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |pat AS (
+        |  SELECT event_type,
+        |    CASE WHEN y <= y1 AND y1 <= y2 THEN 0
+        |      WHEN y <= y2 AND y2 < y1 THEN 1
+        |      WHEN y1 < y AND y <= y2 THEN 2
+        |      WHEN y2 < y AND y <= y1 THEN 3
+        |      WHEN y1 <= y2 AND y2 < y THEN 4
+        |      ELSE 5 END::BIGINT AS pat
+        |  FROM tri WHERE y2 IS NOT NULL),
+        |hist AS (
+        |  SELECT event_type, pat, count(*)::BIGINT AS c
+        |  FROM pat GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, sum(c)::BIGINT AS n_tri,
+        |    count(*)::BIGINT AS n_patterns
+        |  FROM hist GROUP BY 1),
+        |g AS (
+        |  SELECT h.event_type, t.n_tri, t.n_patterns,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list((h.c::DOUBLE / t.n_tri::DOUBLE)
+        |        * ln(h.c::DOUBLE / t.n_tri::DOUBLE) ORDER BY h.pat)),
+        |      (a, b) -> a + b) AS hsum
+        |  FROM hist h JOIN tot t USING (event_type)
+        |  GROUP BY h.event_type, t.n_tri, t.n_patterns)
+        |SELECT event_type, n_tri, n_patterns,
+        |  round(-hsum / ln(6.0), 6) AS pe_norm
+        |FROM g ORDER BY event_type""".stripMargin,
     // B45 twin: same exact ACF ratios, the Durbin-Levinson recursion
     // as a recursive CTE carrying the φ row as DOUBLE[] (the B18/B21
     // list-state precedent — list_reduce struct accumulators alias),

@@ -1248,6 +1248,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.length == 2)
   }
 
+  test("B46 permutation entropy: monotone 0, alternation ln2/ln6, tie rule honored") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf("2020-07-01").getTime + (day - 1) * 86400000L)
+    val rows =
+      (1 to 10).flatMap(d => Seq.fill(d)(("mono", d))) ++           // 1..10 rising
+      (1 to 10).flatMap(d => Seq.fill(if (d % 2 == 1) 1 else 9)(("alt", d)))
+    val df = rows.map { case (et, d) => (t(d), et) }.toDF("ts", "event_type")
+    val got = graft.operators.Resilience.permutationEntropy(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got("mono") == ((8L, 1L, 0.0)), s"got ${got("mono")}")
+    // alternation: patterns 021 and 102 split 4/4 → H = ln 2
+    assert(got("alt")._1 == 8L && got("alt")._2 == 2L)
+    assert(got("alt")._3 == 0.386853, s"got ${got("alt")}")
+  }
+
   test("B45 PACF: bit-equal to a driver-side Durbin-Levinson fold") {
     import spark.implicits._
     def t(day: Int) = new java.sql.Timestamp(
