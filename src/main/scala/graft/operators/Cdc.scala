@@ -448,6 +448,50 @@ object Cdc {
         .otherwise(lit("")),
       lit("}"))
 
+  /** C52 BITEMPORAL read — the two-clock query a CDC-fed warehouse
+    * owes its auditors: "as we KNEW it at transaction time T_tx, what
+    * was each key's state VALID at event time T_v?" Arrival order is
+    * the commit sequence (event_id — the C31/C36 convention), valid
+    * time is the event timestamp; the then-known version is the
+    * (ts, event_id)-max change with event_id ≤ tx_cut and ts ≤
+    * valid_cut, the now-known version drops the tx bound. A key whose
+    * two versions disagree was RESTATED — late-arriving data
+    * retroactively changed history, which is exactly what bitemporal
+    * bookkeeping exists to surface (and what a single-clock SCD2
+    * silently overwrites).
+    *
+    * Both versions are ONE struct-max aggregate each (A28 extremum —
+    * no window over the corpus), merged by a keyed full-outer join;
+    * cuts are in-plan scalars (arithmetic points of the id/µs spans,
+    * broadcast). Exact cents; tombstoned versions surface with null
+    * cents rather than vanishing — an auditor must see the deletion. */
+  def bitemporal(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val ch = events.select($"user_id", $"event_id",
+      unix_micros($"ts").as("us"),
+      when(op === "D", lit(null)).otherwise(
+        round($"value" * 100).cast("long")).as("cents"))
+    val cuts = ch.agg(
+      expr("max(event_id) * 4 div 5").as("tx_cut"),
+      expr("min(us) + (max(us) - min(us)) * 3 div 5").as("valid_cut"))
+    val bounded = ch.crossJoin(broadcast(cuts))
+    def version(df: DataFrame, name: String) = df
+      .groupBy($"user_id")
+      .agg(max(struct($"us", $"event_id", $"cents")).as("v"))
+      .select($"user_id", $"v.cents".as(s"${name}_cents"),
+        $"v.event_id".as(s"${name}_event_id"),
+        $"v.us".as(s"${name}_us"))
+    val thenV = version(
+      bounded.filter($"event_id" <= $"tx_cut" && $"us" <= $"valid_cut"),
+      "then")
+    val nowV = version(bounded.filter($"us" <= $"valid_cut"), "now")
+    thenV.join(nowV, Seq("user_id"), "full_outer")
+      .withColumn("restated",
+        !($"then_cents" <=> $"now_cents") ||
+          !($"then_event_id" <=> $"now_event_id"))
+      .orderBy($"user_id")
+  }
+
   /** C30 snapshot diff — CDC WITHOUT a change log: given two
     * snapshots of the same table, derive the change feed (insert /
     * update / delete rows) by a keyed full-outer join and value
@@ -888,6 +932,7 @@ object Cdc {
       parseEnvelope(toEnvelopes(e)).orderBy(col("event_id"))),
     "cdc_schema_drift" -> onEvents(e =>
       schemaDrift(e.withColumn("props", driftedProps))),
+    "cdc_bitemporal" -> onEvents(bitemporal),
     "cdc_late_audit" -> onEvents(lateAudit),
     "cdc_watermark_plan" -> onEvents(e => watermarkPlan(e)),
     "cdc_offset_islands" -> onEvents(offsetIslands),
@@ -1138,6 +1183,46 @@ object Cdc {
         |    old_cents, new_cents
         |  FROM j)
         |SELECT * FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    // C52 twin: same arithmetic cuts, same struct_pack extremum per
+    // clock pair, same null-safe restatement compare
+    "cdc_bitemporal" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'error' THEN NULL
+        |      ELSE round(value * 100)::BIGINT END AS cents
+        |  FROM events),
+        |cuts AS (
+        |  SELECT (max(event_id) * 4 // 5)::BIGINT AS tx_cut,
+        |    (min(us) + (max(us) - min(us)) * 3 // 5)::BIGINT AS valid_cut
+        |  FROM ch),
+        |thenv AS (
+        |  SELECT user_id,
+        |    (max(struct_pack(us := us, event_id := event_id,
+        |      cents := cents))).cents AS then_cents,
+        |    (max(struct_pack(us := us, event_id := event_id,
+        |      cents := cents))).event_id AS then_event_id,
+        |    (max(struct_pack(us := us, event_id := event_id,
+        |      cents := cents))).us AS then_us
+        |  FROM ch, cuts
+        |  WHERE event_id <= tx_cut AND us <= valid_cut
+        |  GROUP BY user_id),
+        |nowv AS (
+        |  SELECT user_id,
+        |    (max(struct_pack(us := us, event_id := event_id,
+        |      cents := cents))).cents AS now_cents,
+        |    (max(struct_pack(us := us, event_id := event_id,
+        |      cents := cents))).event_id AS now_event_id,
+        |    (max(struct_pack(us := us, event_id := event_id,
+        |      cents := cents))).us AS now_us
+        |  FROM ch, cuts WHERE us <= valid_cut
+        |  GROUP BY user_id)
+        |SELECT coalesce(t.user_id, n.user_id) AS user_id,
+        |  then_cents, then_event_id, then_us,
+        |  now_cents, now_event_id, now_us,
+        |  (then_cents IS DISTINCT FROM now_cents)
+        |    OR (then_event_id IS DISTINCT FROM now_event_id) AS restated
+        |FROM thenv t FULL OUTER JOIN nowv n ON t.user_id = n.user_id
+        |ORDER BY user_id""".stripMargin,
     // C50 twin: identical payload construction, the same key-extract
     // regex, and the same two-level registry aggregation
     "cdc_schema_drift" ->

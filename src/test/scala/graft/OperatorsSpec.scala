@@ -1229,6 +1229,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 0L, None)), s"got ${got(3L)}")
   }
 
+  test("C52 bitemporal: late arrival restates history, tombstone visible, late valid time excluded") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf(f"2023-01-$day%02d").getTime)
+    // eids 1..10 → tx_cut 8; days 1..9 → valid_cut = day1 + 4.8 days
+    val rows = Seq(
+      (1L, 1L, t(1), "click", 1.00),  // known early
+      (1L, 9L, t(2), "click", 2.00),  // late ARRIVAL, early valid → restates
+      (2L, 2L, t(3), "click", 5.00),
+      (2L, 3L, t(9), "click", 7.00),  // valid time past the cut: both clocks ignore
+      (3L, 10L, t(4), "click", 3.00), // arrived after tx_cut only
+      (4L, 4L, t(5), "error", 9.99),  // tombstone: visible as null cents
+      (5L, 5L, t(1), "click", 1.00), (5L, 6L, t(2), "click", 1.00),
+      (5L, 7L, t(3), "click", 1.00), (5L, 8L, t(4), "click", 2.00))
+    val df = rows.map { case (u, e, ts, et, v) => (u, e, ts, et, v) }
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = graft.operators.Cdc.bitemporal(df).collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getBoolean(7)))).toMap
+    assert(got(1L) == ((Some(100L), Some(200L), true)), s"got ${got(1L)}")
+    assert(got(2L) == ((Some(500L), Some(500L), false)), s"got ${got(2L)}")
+    assert(got(3L) == ((None, Some(300L), true)), s"got ${got(3L)}")
+    assert(got(4L) == ((None, None, false)), s"got ${got(4L)}")
+    assert(got(5L) == ((Some(200L), Some(200L), false)), s"got ${got(5L)}")
+  }
+
   test("C50 schema drift: late key surfaces with its first day, corrupt bags survive") {
     import spark.implicits._
     def t(day: Int) = new java.sql.Timestamp(
