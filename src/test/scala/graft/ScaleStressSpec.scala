@@ -49,6 +49,29 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(out.filter($"text_clean" =!= "").count() == 0)
   }
 
+  test("dup spans at 20x corpus: every replica fully flagged, cost stays aggregate-shaped") {
+    import spark.implicits._
+    val base = Tables.documents(spark, GraftTestSession.sf)
+    val n = base.count()
+    val k = 20
+    val big = base.crossJoin(spark.range(k).select($"id".as("copy")))
+      .select(($"doc_id" + $"copy" * n).as("doc_id"), $"text")
+    val t0 = System.nanoTime()
+    val out = Dedup.dupSpans(big).cache()
+    // every window of every replicated doc appears in >= 20 docs →
+    // dup_ppm = 1e6 for every doc that has windows at all
+    assert(out.filter($"n_windows" > 0 && $"dup_ppm" =!= 1000000L)
+      .count() == 0)
+    assert(out.filter($"n_windows" > 0 && !$"flagged").count() == 0)
+    assert(out.count() == n * k, "one row per doc incl. window-less")
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"dup-span stats over ${n * k} docs in $secs%.1f s")
+    // no pair join: runtime must stay far under the D2 pair-query
+    // cost on the same corpus (~24 s measured in SURVEY §5)
+    assert(secs < 20.0, s"aggregate-shaped op too slow: $secs s")
+    out.unpersist()
+  }
+
   test("decontamination flags every replica of an eval doc at 20x corpus") {
     import spark.implicits._
     val base = Tables.documents(spark, GraftTestSession.sf)
