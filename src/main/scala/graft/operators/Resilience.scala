@@ -1324,6 +1324,78 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B47 lag-1 GRANGER causality between the click and view daily
+    * series (statsmodels `grangercausalitytests` twin, maxlag=1 — the
+    * causal upgrade of B29's cross-correlation: correlation at lag 1
+    * says the series MOVE together shifted, Granger asks whether
+    * clicks IMPROVE the prediction of views beyond views' own past):
+    * F-test of y_t ~ y_{t−1} + x_{t−1} against y_t ~ y_{t−1}, both
+    * directions.
+    *
+    * All six sufficient moments are exact decimal(38,0) sums over
+    * consecutive-day pairs (gaps excluded by an exact day-difference
+    * predicate); the centered covariances n·Sab − Sa·Sb stay exact
+    * decimals (the A49 Gram posture), and the closed-form solve —
+    * det, slopes, the two SSEs, F — is one pinned IEEE scalar
+    * sequence per direction, identical in both engines, rounded at
+    * export. One events scan → 30-row grid → one aggregate → scalar
+    * tail. Degenerate determinants null explicitly. */
+  def granger(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events
+      .filter($"event_type".isin("click", "view"))
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("y"))
+    val w = Window.orderBy($"day")
+    val lagged = pts
+      .withColumn("xl", lag($"x", 1).over(w))
+      .withColumn("yl", lag($"y", 1).over(w))
+      .withColumn("pd", lag($"day", 1).over(w))
+      .filter($"pd".isNotNull && datediff($"day", $"pd") === 1)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = lagged.agg(
+      count(lit(1)).as("n"),
+      sum(dec($"x")).as("sx"), sum(dec($"y")).as("sy"),
+      sum(dec($"xl")).as("sxl"), sum(dec($"yl")).as("syl"),
+      sum(dec($"x") * $"x").as("sxx"), sum(dec($"y") * $"y").as("syy"),
+      sum(dec($"xl") * $"xl").as("sxlxl"),
+      sum(dec($"yl") * $"yl").as("sylyl"),
+      sum(dec($"xl") * $"yl").as("sxlyl"),
+      sum(dec($"yl") * $"y").as("syly"),
+      sum(dec($"xl") * $"y").as("sxly"),
+      sum(dec($"yl") * $"x").as("sylx"),
+      sum(dec($"xl") * $"x").as("sxlx"))
+    // direction x→y: own lag = yl, cross lag = xl, target = y;
+    // direction y→x mirrors. All centered covariances exact.
+    def fCols(tgt: String, own: String, cross: String,
+        stt: String, soo: String, scc: String, soc: String,
+        sot: String, sct: String, suffix: String) = {
+      val n = col("n").cast("decimal(38,0)")
+      val coo = (n * col(soo) - col(own) * col(own)).cast("double")
+      val ccc = (n * col(scc) - col(cross) * col(cross)).cast("double")
+      val coc = (n * col(soc) - col(own) * col(cross)).cast("double")
+      val cot = (n * col(sot) - col(own) * col(tgt)).cast("double")
+      val cct = (n * col(sct) - col(cross) * col(tgt)).cast("double")
+      val ctt = (n * col(stt) - col(tgt) * col(tgt)).cast("double")
+      val det = coo * ccc - coc * coc
+      val b = (cot * ccc - cct * coc) / det
+      val c = (cct * coo - cot * coc) / det
+      val sseU = ctt - b * cot - c * cct
+      val sseR = ctt - (cot / coo) * cot
+      val f = (sseR - sseU) / (sseU / (col("n").cast("double") - 3.0))
+      Seq(
+        when(det =!= 0.0 && coo =!= 0.0,
+          round(f, 4)).as(s"f_$suffix"),
+        when(det =!= 0.0, round(c, 6)).as(s"beta_cross_$suffix"))
+    }
+    val xy = fCols("sy", "syl", "sxl", "syy", "sylyl", "sxlxl",
+      "sxlyl", "syly", "sxly", "xy")
+    val yx = fCols("sx", "sxl", "syl", "sxx", "sxlxl", "sylyl",
+      "sxlyl", "sxlx", "sylx", "yx")
+    m.select((col("n").as("n_pairs") +: (xy ++ yx)): _*)
+  }
+
   /** B46 permutation entropy of order 3 (Bandt & Pompe 2002 — the
     * model-free irregularity diagnostic: ~0 for monotone/periodic
     * series, ln 6 for white noise; robust to monotone transforms
@@ -1736,6 +1808,7 @@ object Resilience {
     "q_sax" -> ((s, dir) => sax(Tables.events(s, dir))),
     "q_pacf" -> ((s, dir) => pacf(Tables.events(s, dir))),
     "q_perm_entropy" -> ((s, dir) => permutationEntropy(Tables.events(s, dir))),
+    "q_granger" -> ((s, dir) => granger(Tables.events(s, dir))),
     "q_stochastic" -> ((s, dir) => stochastic(Tables.events(s, dir))),
     "q_macd" -> ((s, dir) => macd(Tables.events(s, dir))),
     "q_var_es" -> ((s, dir) => varEs(Tables.events(s, dir))),
@@ -1940,6 +2013,84 @@ object Resilience {
         |    + var_c * (k - coalesce(below_cnt, 0)))::DOUBLE
         |    / (k::DOUBLE * 100.0) AS es_dollars
         |FROM a ORDER BY event_type""".stripMargin,
+    // B47 twin: same exact HUGEINT moments over the same consecutive-
+    // day pairs, the identical closed-form scalar tail per direction
+    "q_granger" ->
+      """WITH pts AS (
+        |  SELECT ts::DATE AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+        |      AS x,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+        |      AS y
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |lagged AS (
+        |  SELECT * FROM (
+        |    SELECT day, x, y,
+        |      lag(x) OVER w AS xl, lag(y) OVER w AS yl,
+        |      lag(day) OVER w AS pd
+        |    FROM pts WINDOW w AS (ORDER BY day))
+        |  WHERE pd IS NOT NULL AND day - pd = 1),
+        |m AS (
+        |  SELECT count(*)::HUGEINT AS n,
+        |    sum(x::HUGEINT)::HUGEINT AS sx, sum(y::HUGEINT)::HUGEINT AS sy,
+        |    sum(xl::HUGEINT)::HUGEINT AS sxl,
+        |    sum(yl::HUGEINT)::HUGEINT AS syl,
+        |    sum(x::HUGEINT * x)::HUGEINT AS sxx,
+        |    sum(y::HUGEINT * y)::HUGEINT AS syy,
+        |    sum(xl::HUGEINT * xl)::HUGEINT AS sxlxl,
+        |    sum(yl::HUGEINT * yl)::HUGEINT AS sylyl,
+        |    sum(xl::HUGEINT * yl)::HUGEINT AS sxlyl,
+        |    sum(yl::HUGEINT * y)::HUGEINT AS syly,
+        |    sum(xl::HUGEINT * y)::HUGEINT AS sxly,
+        |    sum(yl::HUGEINT * x)::HUGEINT AS sylx,
+        |    sum(xl::HUGEINT * x)::HUGEINT AS sxlx
+        |  FROM lagged),
+        |d AS (
+        |  SELECT n::BIGINT AS n_pairs,
+        |    (n * sylyl - syl * syl)::DOUBLE AS coo_xy,
+        |    (n * sxlxl - sxl * sxl)::DOUBLE AS ccc_xy,
+        |    (n * sxlyl - syl * sxl)::DOUBLE AS coc_xy,
+        |    (n * syly - syl * sy)::DOUBLE AS cot_xy,
+        |    (n * sxly - sxl * sy)::DOUBLE AS cct_xy,
+        |    (n * syy - sy * sy)::DOUBLE AS ctt_xy,
+        |    (n * sxlxl - sxl * sxl)::DOUBLE AS coo_yx,
+        |    (n * sylyl - syl * syl)::DOUBLE AS ccc_yx,
+        |    (n * sxlyl - sxl * syl)::DOUBLE AS coc_yx,
+        |    (n * sxlx - sxl * sx)::DOUBLE AS cot_yx,
+        |    (n * sylx - syl * sx)::DOUBLE AS cct_yx,
+        |    (n * sxx - sx * sx)::DOUBLE AS ctt_yx
+        |  FROM m),
+        |f AS (
+        |  SELECT n_pairs,
+        |    coo_xy * ccc_xy - coc_xy * coc_xy AS det_xy,
+        |    coo_yx * ccc_yx - coc_yx * coc_yx AS det_yx,
+        |    (cot_xy * ccc_xy - cct_xy * coc_xy) / det_xy AS b_xy,
+        |    (cct_xy * coo_xy - cot_xy * coc_xy) / det_xy AS c_xy,
+        |    (cot_yx * ccc_yx - cct_yx * coc_yx) / det_yx AS b_yx,
+        |    (cct_yx * coo_yx - cot_yx * coc_yx) / det_yx AS c_yx,
+        |    coo_xy, ccc_xy, coc_xy, cot_xy, cct_xy, ctt_xy,
+        |    coo_yx, ccc_yx, coc_yx, cot_yx, cct_yx, ctt_yx
+        |  FROM d),
+        |g AS (
+        |  SELECT n_pairs, det_xy, det_yx, c_xy, c_yx, coo_xy, coo_yx,
+        |    ctt_xy - b_xy * cot_xy - c_xy * cct_xy AS sseu_xy,
+        |    ctt_xy - (cot_xy / coo_xy) * cot_xy AS sser_xy,
+        |    ctt_yx - b_yx * cot_yx - c_yx * cct_yx AS sseu_yx,
+        |    ctt_yx - (cot_yx / coo_yx) * cot_yx AS sser_yx
+        |  FROM f)
+        |SELECT n_pairs,
+        |  CASE WHEN det_xy <> 0 AND coo_xy <> 0 THEN round(
+        |    (sser_xy - sseu_xy) / (sseu_xy / (n_pairs::DOUBLE - 3.0)), 4)
+        |  END AS f_xy,
+        |  CASE WHEN det_xy <> 0 THEN round(c_xy, 6) END
+        |    AS beta_cross_xy,
+        |  CASE WHEN det_yx <> 0 AND coo_yx <> 0 THEN round(
+        |    (sser_yx - sseu_yx) / (sseu_yx / (n_pairs::DOUBLE - 3.0)), 4)
+        |  END AS f_yx,
+        |  CASE WHEN det_yx <> 0 THEN round(c_yx, 6) END
+        |    AS beta_cross_yx
+        |FROM g""".stripMargin,
     // B46 twin: same integer ordinal-pattern CASE (earlier-wins tie
     // rule), same pattern-ordered −Σ p ln p fold, same ln 6 norm
     "q_perm_entropy" ->

@@ -1276,6 +1276,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.length == 2)
   }
 
+  test("B47 Granger: a strict one-day lead is causal in one direction only") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf("2020-09-01").getTime + (day - 1) * 86400000L)
+    // clicks: seeded irregular counts; views tomorrow = clicks today
+    // plus a small alternating wobble → x Granger-causes y, not vice versa
+    val xs = {
+      var s = 5L
+      (1 to 14).map { _ => s = (s * 1103515245L + 12345L) % 2147483648L
+        (2 + (s % 9)).toInt }
+    }
+    val rows =
+      xs.zipWithIndex.flatMap { case (x, d) =>
+        Seq.fill(x)(("click", d + 1)) } ++
+      xs.dropRight(1).zipWithIndex.flatMap { case (x, d) =>
+        Seq.fill(x + ((d + 2) % 2))(("view", d + 2)) } ++
+      Seq(("view", 1))
+    val df = rows.map { case (et, d) => (t(d), et) }.toDF("ts", "event_type")
+    val r = graft.operators.Resilience.granger(df).collect()(0)
+    val (fxy, bxy, fyx) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(fxy > 10 * math.max(fyx, 1.0),
+      s"x->y must dominate: f_xy=$fxy f_yx=$fyx")
+    assert(math.abs(bxy - 1.0) < 0.3,
+      s"cross slope must track the planted unit lead: $bxy")
+  }
+
   test("B46 permutation entropy: monotone 0, alternation ln2/ln6, tie rule honored") {
     import spark.implicits._
     def t(day: Int) = new java.sql.Timestamp(
