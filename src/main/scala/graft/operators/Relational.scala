@@ -1013,6 +1013,59 @@ object Relational {
       .orderBy($"lineno")
   }
 
+  /** A57 decile GAINS/LIFT table (the sklearn-adjacent
+    * `cumulative_gain`/lift report — A56's AUC compressed to one
+    * number, this is the table a campaign/filter OPERATOR actually
+    * reads: "the top score decile captures 2.3× its share of
+    * positives"): rows ranked by score descending into 10 equal
+    * deciles, per decile the response rate, cumulative capture of
+    * all positives, and cumulative lift vs the base rate.
+    *
+    * Scale-shaped ranking (the C46 pattern): rank = rows strictly
+    * above my score (from the distinct-value histogram) + row_number
+    * WITHIN my score value ordered by the unique line id — no global
+    * row_number over the corpus ever exists; the only unpartitioned
+    * window runs over distinct cent values. Decile =
+    * (rank−1)·10 div N with N an in-plan broadcast scalar. Every
+    * rate is integer ppm; lift is cross-multiplied in decimal(38,0)
+    * before its one floor division — float-free. */
+  def decileLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.lineitem(s, dir)
+      .select(($"l_orderkey" * 8 + $"l_linenumber").as("rid"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"),
+        when($"l_returnflag" === "R", 1L).otherwise(0L).as("pos"))
+    val hist = base.groupBy($"cents").agg(count(lit(1)).as("c"))
+    val wAbove = Window.orderBy($"cents".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val above = hist
+      .withColumn("above", sum($"c").over(wAbove) - $"c")
+      .select($"cents", $"above")
+    val tot = base.agg(count(lit(1)).as("nn"), sum($"pos").as("np"))
+    val ranked = base.join(above, "cents")
+      .withColumn("rk", $"above" + row_number().over(
+        Window.partitionBy($"cents").orderBy($"rid")))
+      .crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(rk - 1) * 10 div nn + 1"))
+    val per = ranked.groupBy($"decile")
+      .agg(count(lit(1)).as("n_rows"), sum($"pos").as("n_pos"),
+        max($"nn").as("nn"), max($"np").as("np"))
+      .withColumn("resp_ppm", expr("n_pos * 1000000 div n_rows"))
+    val wCum = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cum_rows", sum($"n_rows").over(wCum))
+      .withColumn("cum_pos", sum($"n_pos").over(wCum))
+      .withColumn("capture_ppm", expr("cum_pos * 1000000 div np"))
+      .withColumn("lift_ppm", expr(
+        "(cast(cum_pos as decimal(38,0)) * nn * 1000000) div (cast(cum_rows as decimal(38,0)) * np)")
+        .cast("long"))
+      .select($"decile".cast("long").as("decile"), $"n_rows", $"n_pos",
+        $"resp_ppm", $"cum_pos", $"capture_ppm", $"lift_ppm")
+      .orderBy($"decile")
+  }
+
   /** A43 Spearman rank correlation per return flag (scipy `spearmanr`
     * twin — the monotone-association gate: quantity vs price): both
     * variables ranked through per-group value-domain histograms with
@@ -1558,6 +1611,7 @@ object Relational {
     "q_lorenz" -> lorenzGini,
     "q_skyline" -> skyline,
     "q_auc" -> aucScore,
+    "q_decile_lift" -> decileLift,
     "q_mannwhitney" -> mannWhitney,
     "q_spearman" -> spearman,
     "q_runs_test" -> runsTest,
@@ -1894,6 +1948,49 @@ object Relational {
         |ORDER BY price_c""".stripMargin,
     // A42 twin: identical doubled-rank histogram; 2U and the tie sum
     // are exact decimals, z is the same pinned scalar sequence
+    // A57 twin: same histogram-plus-in-value rank, same integer
+    // decile cut, same ppm/cross-multiplied-lift arithmetic
+    "q_decile_lift" ->
+      """WITH base AS (
+        |  SELECT (l_orderkey * 8 + l_linenumber)::BIGINT AS rid,
+        |    round(l_extendedprice * 100)::BIGINT AS cents,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END::BIGINT AS pos
+        |  FROM lineitem),
+        |hist AS (SELECT cents, count(*)::BIGINT AS c
+        |         FROM base GROUP BY 1),
+        |above AS (
+        |  SELECT cents,
+        |    (sum(c) OVER (ORDER BY cents DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - c
+        |      AS above
+        |  FROM hist),
+        |tot AS (SELECT count(*)::BIGINT AS nn, sum(pos)::BIGINT AS np
+        |        FROM base),
+        |ranked AS (
+        |  SELECT b.pos, t.nn, t.np,
+        |    (a.above + row_number() OVER (
+        |      PARTITION BY b.cents ORDER BY b.rid) - 1) * 10 // t.nn + 1
+        |      AS decile
+        |  FROM base b JOIN above a USING (cents) CROSS JOIN tot t),
+        |per AS (
+        |  SELECT decile, count(*)::BIGINT AS n_rows,
+        |    sum(pos)::BIGINT AS n_pos,
+        |    max(nn)::BIGINT AS nn, max(np)::BIGINT AS np
+        |  FROM ranked GROUP BY 1),
+        |cum AS (
+        |  SELECT decile, n_rows, n_pos, nn, np,
+        |    n_pos * 1000000 // n_rows AS resp_ppm,
+        |    (sum(n_rows) OVER w)::BIGINT AS cum_rows,
+        |    (sum(n_pos) OVER w)::BIGINT AS cum_pos
+        |  FROM per
+        |  WINDOW w AS (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT decile::BIGINT AS decile, n_rows, n_pos, resp_ppm,
+        |  cum_pos,
+        |  cum_pos * 1000000 // np AS capture_ppm,
+        |  ((cum_pos::HUGEINT * nn * 1000000)
+        |    // (cum_rows::HUGEINT * np))::BIGINT AS lift_ppm
+        |FROM cum ORDER BY decile""".stripMargin,
     // A56 twin: same value-domain histogram, same doubled tie ranks,
     // same decimal product-sum and single-division export
     "q_auc" ->

@@ -1229,6 +1229,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 0L, None)), s"got ${got(3L)}")
   }
 
+  test("A57 decile lift: top deciles capture the planted positives, lift exact") {
+    import spark.implicits._
+    // 20 rows, prices 20..1; positives at ranks 1-4 and 20
+    val rows = (1 to 20).map { i =>
+      (i.toLong, 1, i.toDouble, if (i >= 17 || i == 1) "R" else "N")
+    }
+    val df = rows.toDF("l_orderkey", "l_linenumber", "l_extendedprice",
+      "l_returnflag")
+    val dir = java.nio.file.Files.createTempDirectory("lift").toString
+    df.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Relational.decileLift(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got(1L) == ((2L, 2L, 1000000L, 2L, 400000L, 4000000L)),
+      s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 1000000L, 4L, 800000L, 4000000L)),
+      s"got ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, 0L, 4L, 800000L, 2666666L)),
+      s"got ${got(3L)}")
+    assert(got(10L) == ((2L, 1L, 500000L, 5L, 1000000L, 1000000L)),
+      s"got ${got(10L)}")
+  }
+
   test("C52 bitemporal: late arrival restates history, tombstone visible, late valid time excluded") {
     import spark.implicits._
     def t(day: Int) = new java.sql.Timestamp(
