@@ -514,6 +514,52 @@ object Graph {
           .as("assortativity"))
   }
 
+  /** I7 local clustering coefficient — per node, how close its
+    * neighborhood is to a clique: cc = 2·T(v) / (d(v)·(d(v)−1)),
+    * the Watts-Strogatz statistic that separates clustered
+    * community structure from hub-spoke sprawl (a corpus-derived
+    * graph with high degree but near-zero clustering is co-occurrence
+    * noise, not community signal — the audit before trusting D8's
+    * components as topical clusters). Triangle counts come from the
+    * I2 degree-oriented enumeration (O(E^{3/2}) wedges); the
+    * coefficient is integer ppm over exact BIGINTs (swap to
+    * decimal(38,0) past 10⁹-triangle hubs), deg < 2 nulls by
+    * definition. One extra node-keyed join over I2's cost. */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    import edges.sparkSession.implicits._
+    val canon = edges
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val deg = canon.select($"a".as("node"))
+      .union(canon.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    triangleCounts(edges).join(deg, "node")
+      .select($"node", $"d", $"triangles",
+        when($"d" >= 2,
+          expr("triangles * 2000000 div (d * (d - 1))")).as("cc_ppm"))
+      .orderBy($"node")
+  }
+
+  /** q_clustering_coeff: local clustering over the ≥2-support
+    * co-order part graph (the q_kcore graph — the raw co-order graph
+    * is near-complete, where clustering is trivially ~1). */
+  def ccCoOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val canon = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").cast("long").as("src"),
+        col("y.l_partkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"src", $"dst")
+    clusteringCoeff(canon)
+      .select($"node".cast("long").as("part"), $"d", $"triangles",
+        $"cc_ppm")
+      .orderBy($"part")
+  }
+
   /** q_assortativity: degree mixing of the ≥2-support co-order part
     * graph (the q_kcore/q_link_predict graph). */
   def assortativityCoOrder(s: SparkSession, dir: String): DataFrame = {
@@ -531,6 +577,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clustering_coeff" -> ccCoOrder,
     "q_assortativity" -> assortativityCoOrder,
     "q_pagerank" -> pageRankTrade,
     "q_triangles" -> trianglesCoOrder,
@@ -619,6 +666,43 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // I7 twin: the I2 degree-oriented triangle CTEs on the
+    // ≥2-support graph + the same integer ppm coefficient
+    "q_clustering_coeff" ->
+      """WITH canon AS (
+        |  SELECT x.l_partkey::BIGINT AS a, y.l_partkey::BIGINT AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS d FROM (
+        |    SELECT a AS node FROM canon
+        |    UNION ALL SELECT b FROM canon) GROUP BY 1),
+        |fwd AS (
+        |  SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
+        |    CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS v,
+        |    CASE WHEN (da.d, a) < (db.d, b) THEN db.d ELSE da.d END AS dv
+        |  FROM canon
+        |  JOIN deg da ON da.node = a
+        |  JOIN deg db ON db.node = b),
+        |tri AS (
+        |  SELECT e1.u, e1.v AS x, e2.v AS y
+        |  FROM fwd e1 JOIN fwd e2
+        |    ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+        |  WHERE EXISTS (SELECT 1 FROM fwd f
+        |    WHERE f.u = e1.v AND f.v = e2.v)),
+        |per_node AS (
+        |  SELECT node, count(*)::BIGINT AS triangles FROM (
+        |    SELECT u AS node FROM tri
+        |    UNION ALL SELECT x FROM tri
+        |    UNION ALL SELECT y FROM tri) GROUP BY 1)
+        |SELECT deg.node AS part, deg.d,
+        |  coalesce(triangles, 0)::BIGINT AS triangles,
+        |  CASE WHEN deg.d >= 2 THEN
+        |    coalesce(triangles, 0) * 2000000 // (deg.d * (deg.d - 1))
+        |  END::BIGINT AS cc_ppm
+        |FROM deg LEFT JOIN per_node ON deg.node = per_node.node
+        |ORDER BY part""".stripMargin,
     // I6 twin: same symmetric edge list, HUGEINT == decimal(38,0)
     // sums, the same explicit zero-denominator null branch
     "q_assortativity" ->

@@ -826,6 +826,41 @@ object TextAnalysis {
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
+  /** F31 token BURSTINESS — the index of dispersion (variance-to-mean
+    * ratio, Church & Gale's burstiness) of each token's per-document
+    * count, zeros included: content words burst (VMR ≫ 1 — absent
+    * from most docs, repeated where present), function words spread
+    * (VMR ≈ 1), and a HIGH-VMR high-frequency token is the signature
+    * of template/boilerplate text the F12/D10 scrubbers then chase.
+    * Exact integers end to end: with tf = Σc, s2 = Σc² over one
+    * (doc, token) count frame and N docs, VMR = (N·s2 − tf²)/(N·tf)
+    * emitted as ppm with the numerator a decimal(38,0) product —
+    * zeros contribute nothing to either sum, so the per-doc zero
+    * rows NEVER materialize. Top-20 by (vmr desc, token) over a
+    * tf ≥ 10 floor via TakeOrderedAndProject; one tokenization pass,
+    * two map-side-combined aggregates, vocabulary-bounded output. */
+  def burstiness(docs: DataFrame, minTf: Long = 10L,
+      topK: Int = 20): DataFrame = {
+    import docs.sparkSession.implicits._
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tc = docs
+      .select($"doc_id", explode(tokens(lower($"text"))).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+    tc.groupBy($"token")
+      .agg(count(lit(1)).as("df"), sum($"c").as("tf"),
+        sum($"c" * $"c").as("s2"))
+      .filter($"tf" >= minTf)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("vmr_ppm", expr(
+        """(cast(n_docs as decimal(38,0)) * s2 - cast(tf as decimal(38,0)) * tf)
+          | * 1000000 div (cast(n_docs as decimal(38,0)) * tf)"""
+          .stripMargin).cast("long"))
+      .select($"token", $"df", $"tf", $"vmr_ppm")
+      .orderBy($"vmr_ppm".desc, $"token")
+      .limit(topK)
+  }
+
   /** F28 readability scoring (Flesch reading ease + Flesch-Kincaid
     * grade) — the classic "is this text readable prose" gate a
     * curriculum/quality pipeline keys on (very low FRE flags legal
@@ -966,6 +1001,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_readability" -> onDocs(readability),
+    "text_burstiness" -> onDocs(d => burstiness(d)),
     "text_code_detect" -> onDocs(codeDetect),
     "text_lang_confusion" -> onDocs(langConfusion),
     "text_zipf" -> onDocs(d => zipfSlope(d)),
@@ -1011,6 +1047,24 @@ object TextAnalysis {
       |    FROM documents))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // F31 twin: same tokenizer, same exact HUGEINT VMR numerator and
+    // floor-div ppm, same (vmr desc, token) top-20
+    "text_burstiness" ->
+      """WITH nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |tc AS (
+        |  SELECT doc_id, t AS token, count(*)::BIGINT AS c FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\f\r]+')) AS t FROM documents)
+        |  WHERE t <> '' GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT token, count(*)::BIGINT AS df, sum(c)::BIGINT AS tf,
+        |    sum(c * c)::BIGINT AS s2
+        |  FROM tc GROUP BY 1)
+        |SELECT token, df, tf,
+        |  ((n_docs::HUGEINT * s2 - tf::HUGEINT * tf) * 1000000
+        |    // (n_docs::HUGEINT * tf))::BIGINT AS vmr_ppm
+        |FROM agg, nd WHERE tf >= 10
+        |ORDER BY vmr_ppm DESC, token LIMIT 20""".stripMargin,
     // F28 twin: same word/vowel-group/sentence regexes, same integer
     // floors, same pinned two-division IEEE tail, round-4 export
     "text_readability" ->

@@ -204,6 +204,24 @@ class GraphSpec extends AnyFunSuite {
       Seq((2L, 4L), (1L, 3L), (2L, 5L), (4L, 5L)))
   }
 
+  test("I7 clustering coefficient: K4 all 1.0, pendant and path nulls/zeros exact") {
+    import spark.implicits._
+    // K4 on 1-4 plus pendant 5 hung off 4 plus path edge 5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = Graph.clusteringCoeff(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // nodes 1-3: K4 members, d=3, 3 triangles → cc = 2·3/(3·2) = 1
+    for (v <- Seq(1L, 2L, 3L))
+      assert(got(v) == ((3L, 3L, 1000000L)), s"node $v: ${got(v)}")
+    // node 4: d=4, still only the 3 K4 triangles → 6/12 = 0.5
+    assert(got(4L) == ((4L, 3L, 500000L)), s"node 4: ${got(4L)}")
+    // node 5: d=2, no triangle → 0; node 6: d=1 → null by definition
+    assert(got(5L) == ((2L, 0L, 0L)), s"node 5: ${got(5L)}")
+    assert(got(6L) == ((1L, 0L, -1L)), s"node 6: ${got(6L)}")
+  }
+
   test("I6 assortativity: star -1, path -0.5, regular cycle null") {
     import spark.implicits._
     def r(edges: Seq[(Long, Long)]): (Long, Long, Option[Double]) = {

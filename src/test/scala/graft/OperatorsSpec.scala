@@ -199,6 +199,23 @@ class OperatorsSpec extends AnyFunSuite {
       fp("no pii in this one 123.456"))), s"got ${r(1)}")
   }
 
+  test("F31 burstiness: bursty token beats spread token, VMR hand-exact") {
+    import spark.implicits._
+    // 'burst' appears 10x in ONE of 5 docs; 'even' appears 2x in each
+    val docs = Seq(
+      (1L, ("burst " * 10) + ("even " * 2)),
+      (2L, "even even filler"), (3L, "even even filler"),
+      (4L, "even even filler"), (5L, "even even filler"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.burstiness(docs, minTf = 10L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // burst: N=5, tf=10, s2=100 → (500-100)·1e6/50 = 8e6 (VMR 8)
+    assert(got("burst") == ((1L, 10L, 8000000L)), s"got ${got("burst")}")
+    // even: tf=10, s2=20 → (100-100)·1e6/50 = 0 (zero variance)
+    assert(got("even") == ((5L, 10L, 0L)), s"got ${got("even")}")
+  }
+
   test("F28 readability: hand-computed Flesch scores on crafted docs") {
     import spark.implicits._
     val docs = Seq(
