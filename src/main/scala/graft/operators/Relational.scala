@@ -971,6 +971,69 @@ object Relational {
           6).as("z_score"))
   }
 
+  /** A58 data-quality EXPECTATIONS audit (the Great-Expectations /
+    * dbt-test contract checker as one engine pass — the gate a 100 TB
+    * ingest runs before anything downstream trusts the batch): seven
+    * declarative rules — positive totals, bounded discounts, date
+    * range, key uniqueness, referential integrity both directions,
+    * cross-table order consistency — each emitting (rule,
+    * rows_checked, violations, pass). All counts exact BIGINTs; each
+    * rule is ONE map-side-combined aggregate or ONE keyed anti-join
+    * count, unioned into the report; nothing scans a table twice for
+    * the same rule family (the two orders rules share one aggregate,
+    * the two lineitem rules another — H16's observed-write pattern
+    * applied to a standing audit). */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val cust = Tables.customer(s, dir)
+    def row(rule: String, checked: org.apache.spark.sql.Column,
+        viol: org.apache.spark.sql.Column) =
+      Seq(lit(rule).as("rule"), checked.as("rows_checked"),
+        viol.as("violations"))
+    val oAgg = orders.agg(
+      count(lit(1)).as("n"),
+      sum(when($"o_totalprice" <= 0, 1L).otherwise(0L)).as("bad_price"),
+      sum(when($"o_orderdate" < to_date(lit("1992-01-01")) ||
+        $"o_orderdate" > to_date(lit("1998-12-31")), 1L).otherwise(0L))
+        .as("bad_date"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("dup_keys"))
+    val liAgg = li.agg(
+      count(lit(1)).as("n"),
+      sum(when($"l_discount" < 0 || $"l_discount" > 1, 1L).otherwise(0L))
+        .as("bad_disc"),
+      sum(when($"l_quantity" <= 0, 1L).otherwise(0L)).as("bad_qty"))
+    val orphanLi = li.select($"l_orderkey")
+      .join(orders.select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    val orphanOrd = orders.select($"o_custkey")
+      .join(cust.select($"c_custkey"),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    val liN = li.agg(count(lit(1)).as("n"))
+    val oN = orders.agg(count(lit(1)).as("n"))
+    val shipBefore = li.join(orders, $"l_orderkey" === $"o_orderkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_shipdate" < $"o_orderdate", 1L).otherwise(0L))
+          .as("bad_ship"))
+    val rows = Seq(
+      oAgg.select(row("orders_totalprice_positive", $"n", $"bad_price"): _*),
+      oAgg.select(row("orders_orderdate_in_range", $"n", $"bad_date"): _*),
+      oAgg.select(row("orders_orderkey_unique", $"n", $"dup_keys"): _*),
+      liAgg.select(row("lineitem_discount_bounded", $"n", $"bad_disc"): _*),
+      liAgg.select(row("lineitem_quantity_positive", $"n", $"bad_qty"): _*),
+      liN.crossJoin(orphanLi)
+        .select(row("lineitem_orderkey_exists", $"n", $"orphans"): _*),
+      oN.crossJoin(orphanOrd)
+        .select(row("orders_custkey_exists", $"n", $"orphans"): _*),
+      shipBefore.select(row("lineitem_ship_after_order", $"n", $"bad_ship"): _*))
+    rows.reduce(_.unionByName(_))
+      .withColumn("pass", $"violations" === 0L)
+      .orderBy($"rule")
+  }
+
   /** A56 ROC AUC per ship mode (sklearn `roc_auc_score` twin — the
     * classifier-evaluation statistic every quality/filter model
     * report leads with; here scoring how well raw price separates
@@ -1612,6 +1675,7 @@ object Relational {
     "q_skyline" -> skyline,
     "q_auc" -> aucScore,
     "q_decile_lift" -> decileLift,
+    "q_dq_checks" -> dqChecks,
     "q_mannwhitney" -> mannWhitney,
     "q_spearman" -> spearman,
     "q_runs_test" -> runsTest,
@@ -1948,6 +2012,51 @@ object Relational {
         |ORDER BY price_c""".stripMargin,
     // A42 twin: identical doubled-rank histogram; 2U and the tie sum
     // are exact decimals, z is the same pinned scalar sequence
+    // A58 twin: the same seven declarative rules as plain aggregates
+    // and anti-join counts, unioned
+    "q_dq_checks" ->
+      """WITH o AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS bad_price,
+        |    sum(CASE WHEN o_orderdate < DATE '1992-01-01'
+        |          OR o_orderdate > DATE '1998-12-31'
+        |        THEN 1 ELSE 0 END)::BIGINT AS bad_date,
+        |    (count(*) - count(DISTINCT o_orderkey))::BIGINT AS dup_keys
+        |  FROM orders),
+        |l AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |        THEN 1 ELSE 0 END)::BIGINT AS bad_disc,
+        |    sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS bad_qty
+        |  FROM lineitem),
+        |orph_l AS (
+        |  SELECT count(*)::BIGINT AS orphans FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |orph_o AS (
+        |  SELECT count(*)::BIGINT AS orphans FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |sb AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN l_shipdate < o_orderdate
+        |        THEN 1 ELSE 0 END)::BIGINT AS bad_ship
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |r AS (
+        |  SELECT 'orders_totalprice_positive' AS rule, n AS rows_checked,
+        |    bad_price AS violations FROM o
+        |  UNION ALL SELECT 'orders_orderdate_in_range', n, bad_date FROM o
+        |  UNION ALL SELECT 'orders_orderkey_unique', n, dup_keys FROM o
+        |  UNION ALL SELECT 'lineitem_discount_bounded', n, bad_disc FROM l
+        |  UNION ALL SELECT 'lineitem_quantity_positive', n, bad_qty FROM l
+        |  UNION ALL SELECT 'lineitem_orderkey_exists', l.n, orphans
+        |    FROM l, orph_l
+        |  UNION ALL SELECT 'orders_custkey_exists', o.n, orphans
+        |    FROM o, orph_o
+        |  UNION ALL SELECT 'lineitem_ship_after_order', n, bad_ship FROM sb)
+        |SELECT rule, rows_checked, violations,
+        |  violations = 0 AS pass
+        |FROM r ORDER BY rule""".stripMargin,
     // A57 twin: same histogram-plus-in-value rank, same integer
     // decile cut, same ppm/cross-multiplied-lift arithmetic
     "q_decile_lift" ->

@@ -318,6 +318,44 @@ object Similarity {
     topKPerQuery(scored)
   }
 
+  /** E21 NDCG@k retrieval-quality evaluation — the ranking metric a
+    * serving stack reports next to A56's AUC: over the E1 exact-
+    * cosine top-3, relevance = label agreement with the query vector
+    * (the embeddings table's class labels), DCG = Σ relᵢ/log₂(i+1)
+    * with the three rank terms written EXPLICITLY in rank order (no
+    * fold ambiguity), IDCG from the same three integer relevances
+    * sorted descending, NDCG = DCG/IDCG with the zero-ideal case
+    * (no relevant neighbor in the top-k) nulled explicitly. log₂ is
+    * libm in both engines over identical integer inputs (the F24
+    * precedent), export rounds to 6. Corpus cost is exactly E1's
+    * scored scan; the metric math runs on |Q|×k rows. */
+  def annNdcg(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val ranked = bruteforce(vecs)
+    val labels = vecs.select($"vec_id", $"label")
+    val rel = ranked
+      .join(broadcast(labels.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"label".as("q_label"))), "q_id")
+      .join(labels.select($"vec_id", $"label".as("h_label")), "vec_id")
+      .withColumn("rel", when($"h_label" === $"q_label", 1L).otherwise(0L))
+    rel.groupBy($"q_id")
+      .agg(max(when($"rank" === 1, $"rel")).as("r1"),
+        max(when($"rank" === 2, $"rel")).as("r2"),
+        max(when($"rank" === 3, $"rel")).as("r3"))
+      .withColumn("dcg",
+        $"r1".cast("double") / lit(1.0) +
+          $"r2".cast("double") / log2(lit(3.0)) +
+          $"r3".cast("double") / lit(2.0))
+      .withColumn("nrel", $"r1" + $"r2" + $"r3")
+      .withColumn("idcg",
+        when($"nrel" >= 1, 1.0).otherwise(0.0) +
+          when($"nrel" >= 2, lit(1.0) / log2(lit(3.0))).otherwise(0.0) +
+          when($"nrel" >= 3, 0.5).otherwise(0.0))
+      .select($"q_id", $"r1", $"r2", $"r3",
+        when($"nrel" > 0, round($"dcg" / $"idcg", 6)).as("ndcg"))
+      .orderBy($"q_id")
+  }
+
   /** E3 IVF-style ANN: coarse quantizer = 16 deterministic seed
     * centroids; every vector is assigned to its nearest centroid (one
     * broadcast pass, min-by aggregation — no window); queries probe
@@ -1179,6 +1217,7 @@ object Similarity {
     "ann_lsh" -> onVecs(annLsh),
     "ann_hamming" -> onVecs(annHamming),
     "ann_rp" -> onVecs(annRp),
+    "ann_ndcg" -> onVecs(annNdcg),
     "ann_ivf" -> onVecs(annIvf),
     "ann_ivf_kmeans" -> onVecs(v => annIvfKmeans(v)),
     "ann_ivfpq" -> onVecs(v => annIvfPq(v)),
@@ -1669,6 +1708,47 @@ object Similarity {
         |SELECT label, rk, vec_id, dist2,
         |  round(sqrt(dist2::DOUBLE) / 1e6, 6) AS dist
         |FROM r WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
+    // E21 twin: the E1 ranking CTEs + label joins + the identical
+    // explicit three-term DCG/IDCG sequence
+    "ann_ndcg" ->
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e
+         |      WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) AS cos
+         |  FROM e JOIN q ON e.vec_id <> q.q_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored),
+         |rel AS (
+         |  SELECT r.q_id, r.rank,
+         |    CASE WHEN lh.label = lq.label THEN 1 ELSE 0 END::BIGINT
+         |      AS rel
+         |  FROM ranked r
+         |  JOIN embeddings lq ON lq.vec_id = r.q_id
+         |  JOIN embeddings lh ON lh.vec_id = r.vec_id
+         |  WHERE r.rank <= $TopK),
+         |g AS (
+         |  SELECT q_id,
+         |    max(CASE WHEN rank = 1 THEN rel END)::BIGINT AS r1,
+         |    max(CASE WHEN rank = 2 THEN rel END)::BIGINT AS r2,
+         |    max(CASE WHEN rank = 3 THEN rel END)::BIGINT AS r3
+         |  FROM rel GROUP BY 1),
+         |s AS (
+         |  SELECT q_id, r1, r2, r3, r1 + r2 + r3 AS nrel,
+         |    r1::DOUBLE / 1.0 + r2::DOUBLE / log2(3.0)
+         |      + r3::DOUBLE / 2.0 AS dcg,
+         |    (CASE WHEN r1 + r2 + r3 >= 1 THEN 1.0 ELSE 0.0 END)
+         |      + (CASE WHEN r1 + r2 + r3 >= 2
+         |           THEN 1.0 / log2(3.0) ELSE 0.0 END)
+         |      + (CASE WHEN r1 + r2 + r3 >= 3 THEN 0.5 ELSE 0.0 END)
+         |      AS idcg
+         |  FROM g)
+         |SELECT q_id, r1, r2, r3,
+         |  CASE WHEN nrel > 0 THEN round(dcg / idcg, 6) END AS ndcg
+         |FROM s ORDER BY q_id""".stripMargin,
     "ann_bruteforce" ->
       s"""WITH $eCte,
          |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e

@@ -264,6 +264,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"retrieved true-cos mean $retMean must beat corpus mean $allMean")
   }
 
+  test("E21 NDCG: full agreement 1.0, rank-2-only hit exact, no relevant null") {
+    import spark.implicits._
+    def axis(i: Int): Array[Float] = {
+      val a = new Array[Float](8); a(i) = 1f; a
+    }
+    val vecs = (Seq(
+      (0L, axis(0), 100), (1L, axis(1), 101), (2L, axis(2), 102),
+      (3L, axis(3), 103), (4L, axis(4), 104),
+      (10L, axis(0), 100), (11L, axis(0), 100), (12L, axis(0), 999),
+      (13L, axis(1), 999), (14L, axis(1), 999), (15L, axis(1), 999),
+      (16L, axis(2), 999), (17L, axis(2), 102), (18L, axis(2), 999)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.annNdcg(vecs).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(0L) == Some(1.0), s"got ${got(0L)}")     // rel (1,1,0)
+    assert(got(1L) == None, s"got ${got(1L)}")          // no relevant hit
+    assert(got(2L) == Some(0.63093), s"got ${got(2L)}") // hit at rank 2 only
+    assert(got(3L) == None && got(4L) == None)
+  }
+
   test("simhash: near-identical docs collide at small hamming distance") {
     val nearDup = pairSet(Dedup.ngramJaccard(Tables.documents(spark, sf))
       .filter(col("jaccard") >= 0.95))

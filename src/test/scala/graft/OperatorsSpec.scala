@@ -1246,6 +1246,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == ((2L, 0L, None)), s"got ${got(3L)}")
   }
 
+  test("A58 DQ checks: every planted violation counted, clean rules pass") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("dq").toString
+    Seq(
+      (1L, 1L, 10.0, d("1995-01-01")),
+      (2L, 99L, -5.0, d("2005-01-01")), // orphan cust, bad price, bad date
+      (2L, 1L, 20.0, d("1995-03-01"))   // duplicate key
+    ).toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(
+      (1L, 0.05, 5.0, d("1995-02-01")),
+      (77L, 1.5, 0.0, d("1995-02-01")), // orphan order, bad disc, bad qty
+      (1L, 0.10, 3.0, d("1994-12-31"))  // shipped before its order
+    ).toDF("l_orderkey", "l_discount", "l_quantity", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(Tuple1(1L)).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = graft.operators.Relational.dqChecks(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("orders_totalprice_positive") == ((3L, 1L, false)))
+    assert(got("orders_orderdate_in_range") == ((3L, 1L, false)))
+    assert(got("orders_orderkey_unique") == ((3L, 1L, false)))
+    assert(got("orders_custkey_exists") == ((3L, 1L, false)))
+    assert(got("lineitem_discount_bounded") == ((3L, 1L, false)))
+    assert(got("lineitem_quantity_positive") == ((3L, 1L, false)))
+    assert(got("lineitem_orderkey_exists") == ((3L, 1L, false)))
+    // dup order key 2 fans nothing (no lineitem joins it): 2 joined
+    // rows from order 1, one shipped before it
+    assert(got("lineitem_ship_after_order") == ((2L, 1L, false)))
+  }
+
   test("A57 decile lift: top deciles capture the planted positives, lift exact") {
     import spark.implicits._
     // 20 rows, prices 20..1; positives at ranks 1-4 and 20
