@@ -448,6 +448,60 @@ object Cdc {
         .otherwise(lit("")),
       lit("}"))
 
+  /** C53 windowed funnel (the ClickHouse `windowFunnel` semantic —
+    * C21's session funnel asks "did the steps happen in this
+    * session?", this asks "did view→click→purchase complete within
+    * ONE HOUR of the view?" — the conversion-latency-bounded variant
+    * campaign analytics bills on): per user, the deepest step chain
+    * with every step strictly after the previous and the WHOLE chain
+    * inside [t_view, t_view + window], plus the earliest completing
+    * chain's timestamps.
+    *
+    * No per-user fold: each step is one keyed equi-join restricted
+    * by the exact-µs window predicate + a min aggregate — candidate
+    * fan-out is events-per-user-per-window, not events²; all
+    * shuffles on user_id. Chain choice is the struct-min over exact
+    * integers (earliest view, then earliest click, then earliest
+    * purchase — bit-deterministic). Users with no view emit depth 0
+    * via the left join from the user universe. */
+  def funnelWindow(events: DataFrame,
+      windowUs: Long = 3600L * 1000000L): DataFrame = {
+    import events.sparkSession.implicits._
+    val ev = events.select($"user_id", $"event_type",
+      unix_micros($"ts").as("us"))
+    val users = ev.select($"user_id").distinct()
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id", $"us".as("tv"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"us".as("tc"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"us".as("tp"))
+    val vc = v.join(c, Seq("user_id"))
+      .filter($"tc" > $"tv" && $"tc" <= $"tv" + windowUs)
+      .groupBy($"user_id", $"tv").agg(min($"tc").as("tc"))
+    val vcp = vc.join(p, Seq("user_id"))
+      .filter($"tp" > $"tc" && $"tp" <= $"tv" + windowUs)
+      .groupBy($"user_id", $"tv", $"tc").agg(min($"tp").as("tp"))
+    val d1 = v.groupBy($"user_id").agg(min($"tv").as("first_tv"))
+    val d2 = vc.groupBy($"user_id")
+      .agg(min(struct($"tv", $"tc")).as("m"))
+      .select($"user_id", $"m.tv".as("tv2"), $"m.tc".as("tc2"))
+    val d3 = vcp.groupBy($"user_id")
+      .agg(min(struct($"tv", $"tc", $"tp")).as("m"))
+      .select($"user_id", $"m.tv".as("tv3"), $"m.tc".as("tc3"),
+        $"m.tp".as("tp3"))
+    users.join(d1, Seq("user_id"), "left")
+      .join(d2, Seq("user_id"), "left")
+      .join(d3, Seq("user_id"), "left")
+      .select($"user_id",
+        when($"tp3".isNotNull, 3L)
+          .when($"tc2".isNotNull, 2L)
+          .when($"first_tv".isNotNull, 1L)
+          .otherwise(0L).as("depth"),
+        $"tv3".as("chain_tv"), $"tc3".as("chain_tc"), $"tp3".as("chain_tp"))
+      .orderBy($"user_id")
+  }
+
   /** C52 BITEMPORAL read — the two-clock query a CDC-fed warehouse
     * owes its auditors: "as we KNEW it at transaction time T_tx, what
     * was each key's state VALID at event time T_v?" Arrival order is
@@ -933,6 +987,7 @@ object Cdc {
     "cdc_schema_drift" -> onEvents(e =>
       schemaDrift(e.withColumn("props", driftedProps))),
     "cdc_bitemporal" -> onEvents(bitemporal),
+    "cdc_funnel_window" -> onEvents(e => funnelWindow(e)),
     "cdc_late_audit" -> onEvents(lateAudit),
     "cdc_watermark_plan" -> onEvents(e => watermarkPlan(e)),
     "cdc_offset_islands" -> onEvents(offsetIslands),
@@ -1183,6 +1238,50 @@ object Cdc {
         |    old_cents, new_cents
         |  FROM j)
         |SELECT * FROM d WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+    // C53 twin: same window predicates in exact µs, same struct_pack
+    // minima, same depth CASE
+    "cdc_funnel_window" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |users AS (SELECT DISTINCT user_id FROM ev),
+        |v AS (SELECT user_id, us AS tv FROM ev WHERE event_type = 'view'),
+        |c AS (SELECT user_id, us AS tc FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, us AS tp FROM ev
+        |      WHERE event_type = 'purchase'),
+        |vc AS (
+        |  SELECT v.user_id, tv, min(tc)::BIGINT AS tc
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |  WHERE tc > tv AND tc <= tv + 3600000000
+        |  GROUP BY 1, 2),
+        |vcp AS (
+        |  SELECT vc.user_id, tv, tc, min(tp)::BIGINT AS tp
+        |  FROM vc JOIN p ON vc.user_id = p.user_id
+        |  WHERE tp > tc AND tp <= tv + 3600000000
+        |  GROUP BY 1, 2, 3),
+        |d1 AS (SELECT user_id, min(tv)::BIGINT AS first_tv
+        |       FROM v GROUP BY 1),
+        |d2 AS (
+        |  SELECT user_id,
+        |    (min(struct_pack(tv := tv, tc := tc))).tv AS tv2,
+        |    (min(struct_pack(tv := tv, tc := tc))).tc AS tc2
+        |  FROM vc GROUP BY 1),
+        |d3 AS (
+        |  SELECT user_id,
+        |    (min(struct_pack(tv := tv, tc := tc, tp := tp))).tv AS tv3,
+        |    (min(struct_pack(tv := tv, tc := tc, tp := tp))).tc AS tc3,
+        |    (min(struct_pack(tv := tv, tc := tc, tp := tp))).tp AS tp3
+        |  FROM vcp GROUP BY 1)
+        |SELECT u.user_id,
+        |  CASE WHEN tp3 IS NOT NULL THEN 3
+        |    WHEN tc2 IS NOT NULL THEN 2
+        |    WHEN first_tv IS NOT NULL THEN 1
+        |    ELSE 0 END::BIGINT AS depth,
+        |  tv3 AS chain_tv, tc3 AS chain_tc, tp3 AS chain_tp
+        |FROM users u
+        |LEFT JOIN d1 ON u.user_id = d1.user_id
+        |LEFT JOIN d2 ON u.user_id = d2.user_id
+        |LEFT JOIN d3 ON u.user_id = d3.user_id
+        |ORDER BY u.user_id""".stripMargin,
     // C52 twin: same arithmetic cuts, same struct_pack extremum per
     // clock pair, same null-safe restatement compare
     "cdc_bitemporal" ->

@@ -485,6 +485,41 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** G10 REAL average-hash (`mm_phash_real`): the G5 perceptual
+    * fingerprint computed from ACTUALLY DECODED pixels instead of the
+    * stub codec — 8×8 BMPs synthesized from the [[bmpChannel]]
+    * formula, decoded through `javax.imageio`, grayscale bit = pixel
+    * strictly brighter than the image mean with the comparison EXACT
+    * (gray·64 > Σgray — the mean never becomes a double), packed via
+    * bit_or of shifted bits (bit 63 wraps identically in both
+    * engines' two's-complement shift). The oracle replays the pixel
+    * formula, so the graded hash proves real decode + the full
+    * fingerprint math — retiring the "fingerprint input is the
+    * stubbed decode" caveat G5 carries for its bucketing demo. The
+    * 64 bits ship as two 32-bit halves: DuckDB raises on 1 << 63
+    * where Spark wraps, so the signed-overflow bit never exists. */
+  private def phashRealEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long]
+      .map(id => (id, bmpBytes(id, 8, 8)))
+      .toDF("doc_id", "payload")
+    val px = imagePixels(payloads)
+      .withColumn("gray", expr("(r + g + b) div 3"))
+    val tot = px.groupBy($"doc_id").agg(sum($"gray").as("sg"))
+    px.join(tot, "doc_id")
+      .groupBy($"doc_id")
+      .agg(
+        expr("""bit_or(CASE WHEN gray * 64 > sg AND y * 8 + x < 32
+               |  THEN shiftleft(cast(1 as bigint), cast(y * 8 + x as int))
+               |  ELSE 0 END)""".stripMargin).as("phash_lo"),
+        expr("""bit_or(CASE WHEN gray * 64 > sg AND y * 8 + x >= 32
+               |  THEN shiftleft(cast(1 as bigint), cast(y * 8 + x - 32 as int))
+               |  ELSE 0 END)""".stripMargin).as("phash_hi"),
+        sum(when($"gray" * 64 > $"sg", 1L).otherwise(0L)).as("n_bright"))
+      .orderBy($"doc_id")
+  }
+
   // ---- G6: real WAV/PCM audio decode --------------------------------
 
   private val WavRate = 8000
@@ -732,6 +767,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_bmp_stats" -> bmpStatsEntry,
+    "mm_phash_real" -> phashRealEntry,
     "mm_resample" -> wavResampleEntry,
     "mm_wav_features" -> wavFeaturesEntry,
     "mm_sniff" -> sniffEntry,
@@ -755,6 +791,34 @@ object Multimodal {
     }))
 
   val oracles: Map[String, String] = Map(
+    // G10 twin: the pixel formula replayed, same exact mean compare
+    // and two's-complement bit packing
+    "mm_phash_real" ->
+      """WITH dims AS (SELECT doc_id FROM documents),
+        |xs AS (
+        |  SELECT doc_id, unnest(range(0, 8))::BIGINT AS x FROM dims),
+        |px AS (
+        |  SELECT doc_id, x, unnest(range(0, 8))::BIGINT AS y FROM xs),
+        |v AS (
+        |  SELECT doc_id, x, y,
+        |    (((doc_id * 31 + y * 97 + x * 13) % 256)
+        |     + ((doc_id * 31 + y * 97 + x * 13 + 101) % 256)
+        |     + ((doc_id * 31 + y * 97 + x * 13 + 202) % 256)) // 3
+        |      AS gray
+        |  FROM px),
+        |tot AS (SELECT doc_id, sum(gray)::BIGINT AS sg
+        |        FROM v GROUP BY 1)
+        |SELECT v.doc_id,
+        |  bit_or(CASE WHEN gray * 64 > sg AND y * 8 + x < 32
+        |    THEN (1::BIGINT << ((y * 8 + x)::INT))
+        |    ELSE 0 END)::BIGINT AS phash_lo,
+        |  bit_or(CASE WHEN gray * 64 > sg AND y * 8 + x >= 32
+        |    THEN (1::BIGINT << ((y * 8 + x - 32)::INT))
+        |    ELSE 0 END)::BIGINT AS phash_hi,
+        |  sum(CASE WHEN gray * 64 > sg THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_bright
+        |FROM v JOIN tot ON v.doc_id = tot.doc_id
+        |GROUP BY v.doc_id ORDER BY v.doc_id""".stripMargin,
     // G9 twin: NO byte parsing — the planted pixel formula replayed
     // over the (x, y) grid; a hash match proves the BMP encoder, the
     // real javax.imageio decode (bottom-up rows, BGR order, stride

@@ -1303,6 +1303,34 @@ class OperatorsSpec extends AnyFunSuite {
       s"got ${got(10L)}")
   }
 
+  test("C53 window funnel: chain completes inside the hour, breaks past it, picks earliest") {
+    import spark.implicits._
+    def t(min: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf("2024-04-01").getTime + min * 60000L)
+    val rows = Seq(
+      // user 1: full chain within the hour — and a LATER cheaper chain
+      // that must NOT displace the earliest one
+      (1L, t(0), "view"), (1L, t(10), "click"), (1L, t(20), "purchase"),
+      (1L, t(30), "view"), (1L, t(31), "click"), (1L, t(32), "purchase"),
+      // user 2: purchase lands 61 min after the view → depth 2
+      (2L, t(0), "view"), (2L, t(40), "click"), (2L, t(61), "purchase"),
+      // user 3: click precedes the view → depth 1
+      (3L, t(10), "click"), (3L, t(20), "view"),
+      // user 4: purchases only → depth 0
+      (4L, t(5), "purchase"))
+    val df = rows.map { case (u, ts, et) => (u, ts, et) }
+      .toDF("user_id", "ts", "event_type")
+    val baseUs = java.sql.Date.valueOf("2024-04-01").getTime * 1000L
+    val got = graft.operators.Cdc.funnelWindow(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L
+        else (r.getLong(2) - baseUs) / 60000000L))).toMap
+    assert(got(1L) == ((3L, 0L)), s"got ${got(1L)}")   // earliest chain at min 0
+    assert(got(2L) == ((2L, -1L)), s"got ${got(2L)}")
+    assert(got(3L) == ((1L, -1L)), s"got ${got(3L)}")
+    assert(got(4L) == ((0L, -1L)), s"got ${got(4L)}")
+  }
+
   test("C52 bitemporal: late arrival restates history, tombstone visible, late valid time excluded") {
     import spark.implicits._
     def t(day: Int) = new java.sql.Timestamp(
