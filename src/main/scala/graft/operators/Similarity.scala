@@ -457,6 +457,61 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** E22 SIMPLIFIED SILHOUETTE clustering-quality score per cell —
+    * the "are these clusters real" diagnostic read before trusting
+    * E5's cells as probe units or D12's as dedup blocks: per vector,
+    * a = distance to its own centroid, b = the nearest OTHER
+    * centroid's distance, s = (b−a)/max(a,b) ∈ [−1, 1] (the
+    * centroid-based silhouette — the O(n·k) form that replaces the
+    * O(n²) pairwise original at corpus scale; sklearn ships it the
+    * same way for large n). Cells whose mean s ≈ 0 are noise cuts,
+    * not structure. Squared distances expand in the ORACLE'S exact
+    * op order (vv + (cc − 2·v·c), the Lloyd's-twin comparator) with
+    * FP-negative guards before each sqrt; the own-cell entry masks
+    * to +∞ for the b-minimum (commutative min — order-free); per-cell
+    * means fold in vec_id order, round 6. One literal-centroid
+    * projection + one doc-keyed aggregate beyond the E4 training. */
+  def kmeansSilhouette(vecs: DataFrame, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val centroids = kmeansCentroids(vecs, k, iters)
+    // empty Lloyd's cells drop out of the centroid array, so index by
+    // POSITION in the surviving sorted array, not by raw cell id
+    val sorted = centroids.sortBy(_._1)
+    val vv = VectorFunctions.dot($"v", $"v")
+    val dists = array(sorted.map { case (_, c) =>
+      val cc = c.foldLeft(0d)((a, x) => a + x * x)
+      vv + (lit(cc) - lit(2.0) * VectorFunctions.dot($"v", typedlit(c)))
+    }: _*)
+    val posExpr = sorted.zipWithIndex
+      .map { case ((id, _), p) => s"WHEN cell = $id THEN $p" }
+      .mkString("CASE ", " ", " END")
+    val sil = e.withColumn("cell", assignCol(centroids))
+      .withColumn("d2s", dists)
+      .withColumn("pos", expr(posExpr))
+      .withColumn("a2", expr("element_at(d2s, cast(pos + 1 as int))"))
+      .withColumn("b2", expr(
+        s"""array_min(transform(sequence(1, ${sorted.length}), j ->
+           |  CASE WHEN j - 1 = pos THEN cast('Infinity' as double)
+           |  ELSE element_at(d2s, j) END))""".stripMargin))
+      .withColumn("a", sqrt(greatest($"a2", lit(0.0))))
+      .withColumn("b", sqrt(greatest($"b2", lit(0.0))))
+      // single-surviving-cell corpus: no "other centroid" exists (the
+      // twin's j <> cell min is NULL there) — silhouette is 0
+      .withColumn("sil", when($"b2" === lit(Double.PositiveInfinity),
+          lit(0.0))
+        .when(greatest($"a", $"b") > 0,
+          ($"b" - $"a") / greatest($"a", $"b")).otherwise(lit(0.0)))
+    sil.groupBy($"cell".cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sort_array(collect_list(struct($"vec_id", $"sil"))).as("ps"))
+      .select($"cell", $"n_vecs",
+        round(expr("aggregate(ps, 0D, (a, p) -> a + p.sil)") /
+          $"n_vecs".cast("double"), 6).as("mean_sil"))
+      .orderBy($"cell")
+  }
+
   /** The trained Lloyd's centroids themselves (k × dim doubles — the
     * only data that ever reaches the driver). Exposed so IVF can use a
     * learned coarse quantizer instead of sampled seeds. */
@@ -1226,6 +1281,7 @@ object Similarity {
     "ann_ivfpq_index_rerank" -> (ivfPqIndexRerankEntry(_, _)),
     "ann_pq" -> onVecs(annPq),
     "ann_sq8" -> onVecs(annSq8),
+    "kmeans_silhouette" -> onVecs(v => kmeansSilhouette(v)),
     "kmeans_assign" -> onVecs(v => kmeans(v)))
 
   /** DuckDB twin of [[annPq]]: same seed codebooks (slices of the
@@ -1632,6 +1688,36 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "kmeans_silhouette" -> {
+      // E22 twin: the Lloyd's CTE chain, the identical distance
+      // expansion, the same masked-minimum and vec_id-ordered mean
+      s"""WITH ${lloydAssignCtesSql(k = 8, iters = 3)},
+         |d AS (
+         |  SELECT a.vec_id, a.cell, c.cell AS j,
+         |    list_dot_product(ev.v, ev.v)
+         |      + (list_dot_product(c.cv, c.cv)
+         |         - 2 * list_dot_product(ev.v, c.cv)) AS d2
+         |  FROM asg a JOIN ev ON a.vec_id = ev.vec_id
+         |  CROSS JOIN c3 c),
+         |per AS (
+         |  SELECT vec_id, cell,
+         |    min(CASE WHEN j = cell THEN d2 END) AS a2,
+         |    min(CASE WHEN j <> cell THEN d2 END) AS b2
+         |  FROM d GROUP BY 1, 2),
+         |sil AS (
+         |  SELECT vec_id, cell,
+         |    CASE WHEN greatest(sqrt(greatest(a2, 0)),
+         |        sqrt(greatest(b2, 0))) > 0
+         |      THEN (sqrt(greatest(b2, 0)) - sqrt(greatest(a2, 0)))
+         |        / greatest(sqrt(greatest(a2, 0)), sqrt(greatest(b2, 0)))
+         |      ELSE 0.0 END AS s
+         |  FROM per)
+         |SELECT cell::BIGINT AS cell, count(*)::BIGINT AS n_vecs,
+         |  round(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list(s ORDER BY vec_id)), (a, b) -> a + b)
+         |    / count(*)::DOUBLE, 6) AS mean_sil
+         |FROM sil GROUP BY cell ORDER BY cell""".stripMargin
+    },
     "kmeans_assign" -> kmeansOracleSql(k = 8, iters = 3),
     "ann_ivf_kmeans" -> ivfKmeansOracleSql(k = 16, iters = 2, nProbe = 2),
     "ann_ivfpq" -> ivfPqOracleSql(k = 16, iters = 2, nProbe = 2),

@@ -264,6 +264,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"retrieved true-cos mean $retMean must beat corpus mean $allMean")
   }
 
+  test("E22 silhouette: tight separated clusters near 1, degenerate identical corpus 0") {
+    import spark.implicits._
+    def v(base: Float, i: Int): Array[Float] = {
+      val a = new Array[Float](4); a(0) = base + i * 0.01f; a(1) = base; a
+    }
+    // cluster A around 0, cluster B around 100 — far apart, tight
+    val two = ((0 until 10).map(i => (i.toLong, v(0f, i), 0)) ++
+      (0 until 10).map(i => (100L + i, v(100f, i), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val s2 = Similarity.kmeansSilhouette(two, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(s2.map(_._1).sum == 20L)
+    assert(s2.forall(_._2 > 0.9), s"tight clusters must score near 1: ${s2.toSeq}")
+    // identical vectors: a = b = 0 everywhere → silhouette exactly 0
+    val same = (0 until 8).map(i => (i.toLong, v(5f, 0), 0))
+      .toDF("vec_id", "embedding", "label")
+    val s1 = Similarity.kmeansSilhouette(same, k = 2, iters = 1).collect()
+    assert(s1.forall(_.getDouble(2) == 0.0), s"degenerate: ${s1.toSeq}")
+  }
+
   test("E21 NDCG: full agreement 1.0, rank-2-only hit exact, no relevant null") {
     import spark.implicits._
     def axis(i: Int): Array[Float] = {
