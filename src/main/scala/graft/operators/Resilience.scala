@@ -540,6 +540,47 @@ object Resilience {
       .orderBy(col(ss.grp), col("day"))
   }
 
+  /** B48 seasonal/trend STRENGTH (Hyndman & Wang's STL features —
+    * the one-number answers to "is this series seasonal enough to
+    * model with B21, trending enough for B18?" that gate the whole
+    * forecast ladder): from the B20 decomposition, F_T = max(0, 1 −
+    * Var(R)/Var(y − S)) and F_S = max(0, 1 − Var(R)/Var(y − T)) over
+    * the interior rows (full centered-MA windows). The deseasonalized
+    * and detrended series are computed as y − S and y − T directly
+    * (ONE subtraction each — not T+R, whose double rounding could
+    * differ); all six variance sums fold in day order and the
+    * n·Σx² − (Σx)² forms, clamp, and round-6 export are the identical
+    * scalar tail both engines. Zero-variance denominators null. */
+  def stlStrength(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ss = dailyCounts(s, dir)
+    val dec = seasonalDecomposeOn(ss)
+      .filter(col("trend").isNotNull && col("seasonal").isNotNull)
+      .withColumn("r", $"y" - $"trend" - $"seasonal")
+      .withColumn("tr", $"y" - $"seasonal")
+      .withColumn("sr", $"y" - $"trend")
+    val f = dec.groupBy(col(ss.grp).as("event_type"))
+      .agg(count(lit(1)).as("n_obs"),
+        sort_array(collect_list(struct($"p", $"r", $"tr", $"sr")))
+          .as("ps"))
+      .select($"event_type", $"n_obs",
+        expr("aggregate(ps, 0D, (a, x) -> a + x.r)").as("sr1"),
+        expr("aggregate(ps, 0D, (a, x) -> a + x.r * x.r)").as("sr2"),
+        expr("aggregate(ps, 0D, (a, x) -> a + x.tr)").as("st1"),
+        expr("aggregate(ps, 0D, (a, x) -> a + x.tr * x.tr)").as("st2"),
+        expr("aggregate(ps, 0D, (a, x) -> a + x.sr)").as("ss1"),
+        expr("aggregate(ps, 0D, (a, x) -> a + x.sr * x.sr)").as("ss2"))
+      .withColumn("vr", $"n_obs" * $"sr2" - $"sr1" * $"sr1")
+      .withColumn("vt", $"n_obs" * $"st2" - $"st1" * $"st1")
+      .withColumn("vs", $"n_obs" * $"ss2" - $"ss1" * $"ss1")
+    f.select($"event_type", $"n_obs",
+        when($"vt" > 0, round(greatest(lit(0.0), lit(1.0) - $"vr" / $"vt"), 6))
+          .as("f_trend"),
+        when($"vs" > 0, round(greatest(lit(0.0), lit(1.0) - $"vr" / $"vs"), 6))
+          .as("f_seasonal"))
+      .orderBy($"event_type")
+  }
+
   /** B30 Schuster periodogram over the daily event-count series —
     * the frequency-domain twin of B20's time-domain decomposition
     * (statsmodels/scipy `periodogram`): per event type, spectral
@@ -1837,6 +1878,7 @@ object Resilience {
     "q_theilsen" -> theilSen,
     "q_crosscorr" -> ((s, dir) => crossCorr(s, dir)),
     "q_seasonal_decompose" -> seasonalDecompose,
+    "q_stl_strength" -> stlStrength,
     "q_periodogram" -> periodogram,
     "q_hw_forecast" -> holtWinters,
     "q_anomaly" -> ((s, dir) => anomalies(Tables.events(s, dir))),
@@ -1899,6 +1941,51 @@ object Resilience {
        |  list_reduce(ys, (a, b) -> a + b) AS total_1996_cents
        |FROM r12 ORDER BY priority""".stripMargin
   }
+
+  /** The B20 classical-decomposition CTE chain (d → b → c → praw
+    * → wide → sj with per-row `trend`/`seasonal`) — shared by the
+    * q_seasonal_decompose twin and the B48 strength tail. */
+  private lazy val seasonalDecomposeCtesSql: String =
+    s"""d AS ($dailyCountsSql),
+         |b AS (
+         |  SELECT event_type, day, y,
+         |    row_number() OVER w AS t,
+         |    count(*) OVER w7 AS nwin,
+         |    (sum(y) OVER w7)::BIGINT AS wsum
+         |  FROM d
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+         |    w7 AS (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |c AS (
+         |  SELECT *, CASE WHEN nwin = 7 THEN wsum::DOUBLE / 7 END AS trend,
+         |    ((t - 1) % 7)::INT AS season,
+         |    CASE WHEN nwin = 7 THEN 7 * y - wsum END AS dnum
+         |  FROM b),
+         |praw AS (
+         |  SELECT event_type, season, sum(dnum)::BIGINT AS snum,
+         |    count(*) AS scnt
+         |  FROM c WHERE dnum IS NOT NULL GROUP BY 1, 2),
+         |pr2 AS (SELECT event_type, season,
+         |  snum::DOUBLE / (7.0 * scnt) AS s_raw FROM praw),
+         |wide AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN season = 0 THEN s_raw END) AS s0,
+         |    max(CASE WHEN season = 1 THEN s_raw END) AS s1,
+         |    max(CASE WHEN season = 2 THEN s_raw END) AS s2,
+         |    max(CASE WHEN season = 3 THEN s_raw END) AS s3,
+         |    max(CASE WHEN season = 4 THEN s_raw END) AS s4,
+         |    max(CASE WHEN season = 5 THEN s_raw END) AS s5,
+         |    max(CASE WHEN season = 6 THEN s_raw END) AS s6
+         |  FROM pr2 GROUP BY 1),
+         |wm AS (SELECT *,
+         |  (s0 + s1 + s2 + s3 + s4 + s5 + s6) / 7.0 AS smean FROM wide),
+         |sj AS (
+         |  SELECT c.*, CASE c.season
+         |      WHEN 0 THEN s0 - smean WHEN 1 THEN s1 - smean
+         |      WHEN 2 THEN s2 - smean WHEN 3 THEN s3 - smean
+         |      WHEN 4 THEN s4 - smean WHEN 5 THEN s5 - smean
+         |      WHEN 6 THEN s6 - smean END AS seasonal
+         |  FROM c JOIN wm ON c.event_type = wm.event_type)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // B42 twin: same monthly cents, same straddling 12-sums, same
@@ -2917,49 +3004,47 @@ object Resilience {
     // mean is an explicit left-associated 7-term chain — the identical
     // IEEE sequence as the Spark fold.
     "q_seasonal_decompose" ->
-      s"""WITH d AS ($dailyCountsSql),
-         |b AS (
-         |  SELECT event_type, day, y,
-         |    row_number() OVER w AS t,
-         |    count(*) OVER w7 AS nwin,
-         |    (sum(y) OVER w7)::BIGINT AS wsum
-         |  FROM d
-         |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
-         |    w7 AS (PARTITION BY event_type ORDER BY day
-         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-         |c AS (
-         |  SELECT *, CASE WHEN nwin = 7 THEN wsum::DOUBLE / 7 END AS trend,
-         |    ((t - 1) % 7)::INT AS season,
-         |    CASE WHEN nwin = 7 THEN 7 * y - wsum END AS dnum
-         |  FROM b),
-         |praw AS (
-         |  SELECT event_type, season, sum(dnum)::BIGINT AS snum,
-         |    count(*) AS scnt
-         |  FROM c WHERE dnum IS NOT NULL GROUP BY 1, 2),
-         |pr2 AS (SELECT event_type, season,
-         |  snum::DOUBLE / (7.0 * scnt) AS s_raw FROM praw),
-         |wide AS (
-         |  SELECT event_type,
-         |    max(CASE WHEN season = 0 THEN s_raw END) AS s0,
-         |    max(CASE WHEN season = 1 THEN s_raw END) AS s1,
-         |    max(CASE WHEN season = 2 THEN s_raw END) AS s2,
-         |    max(CASE WHEN season = 3 THEN s_raw END) AS s3,
-         |    max(CASE WHEN season = 4 THEN s_raw END) AS s4,
-         |    max(CASE WHEN season = 5 THEN s_raw END) AS s5,
-         |    max(CASE WHEN season = 6 THEN s_raw END) AS s6
-         |  FROM pr2 GROUP BY 1),
-         |wm AS (SELECT *,
-         |  (s0 + s1 + s2 + s3 + s4 + s5 + s6) / 7.0 AS smean FROM wide),
-         |sj AS (
-         |  SELECT c.*, CASE c.season
-         |      WHEN 0 THEN s0 - smean WHEN 1 THEN s1 - smean
-         |      WHEN 2 THEN s2 - smean WHEN 3 THEN s3 - smean
-         |      WHEN 4 THEN s4 - smean WHEN 5 THEN s5 - smean
-         |      WHEN 6 THEN s6 - smean END AS seasonal
-         |  FROM c JOIN wm ON c.event_type = wm.event_type)
+      s"""WITH $seasonalDecomposeCtesSql
          |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, y, trend,
          |  seasonal, y - trend - seasonal AS resid
          |FROM sj ORDER BY event_type, day""".stripMargin,
+    // B48 twin: the B20 CTE chain, then day-ordered folds of the
+    // identical variance sums and the same clamp/round tail
+    "q_stl_strength" ->
+      s"""WITH $seasonalDecomposeCtesSql,
+         |dec AS (
+         |  SELECT event_type, day, y::DOUBLE AS yd, trend, seasonal,
+         |    y - trend - seasonal AS r,
+         |    y - seasonal AS tr, y - trend AS sr
+         |  FROM sj WHERE trend IS NOT NULL AND seasonal IS NOT NULL),
+         |f AS (
+         |  SELECT event_type, count(*)::BIGINT AS n_obs,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(r ORDER BY day)),
+         |      (a, b) -> a + b) AS sr1,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(r * r ORDER BY day)), (a, b) -> a + b) AS sr2,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(tr ORDER BY day)),
+         |      (a, b) -> a + b) AS st1,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(tr * tr ORDER BY day)), (a, b) -> a + b) AS st2,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list(sr ORDER BY day)),
+         |      (a, b) -> a + b) AS ss1,
+         |    list_reduce(list_prepend(0.0::DOUBLE,
+         |      list(sr * sr ORDER BY day)), (a, b) -> a + b) AS ss2
+         |  FROM dec GROUP BY 1),
+         |v AS (
+         |  SELECT event_type, n_obs,
+         |    n_obs * sr2 - sr1 * sr1 AS vr,
+         |    n_obs * st2 - st1 * st1 AS vt,
+         |    n_obs * ss2 - ss1 * ss1 AS vs
+         |  FROM f)
+         |SELECT event_type, n_obs,
+         |  CASE WHEN vt > 0 THEN round(greatest(0.0, 1.0 - vr / vt), 6)
+         |  END AS f_trend,
+         |  CASE WHEN vs > 0 THEN round(greatest(0.0, 1.0 - vr / vs), 6)
+         |  END AS f_seasonal
+         |FROM v ORDER BY event_type""".stripMargin,
+
     // recursive CTE carrying the seasonal queue as a DOUBLE[] list —
     // the B18 (struct-accumulator aliasing) precedent extended; every
     // update expression is textually the Spark fold's.

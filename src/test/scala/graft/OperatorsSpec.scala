@@ -1378,6 +1378,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.length == 2)
   }
 
+  test("B48 STL strength: periodic+trend series scores exactly 1/1, flat series nulls") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf("2020-10-01").getTime + (day - 1) * 86400000L)
+    // mixed: weekly pattern + linear trend — a 7-term centered MA
+    // reproduces the trend exactly, so resid ≡ 0 and both strengths
+    // are exactly 1; flat: every variance is 0 → both null
+    val pat = Array(1, 3, 6, 9, 6, 3, 1)
+    val rows =
+      (1 to 28).flatMap(d => Seq.fill(pat((d - 1) % 7) + d)(("mix", d))) ++
+      (1 to 28).flatMap(d => Seq.fill(4)(("flat", d)))
+    val df = rows.map { case (et, d) => (t(d), et) }.toDF("ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("stl").toString
+    df.withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", lit(1L)).withColumn("value", lit(0.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.Resilience.stlStrength(spark, dir)
+      .collect().map(r => r.getString(0) -> ((
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got("mix") == ((Some(1.0), Some(1.0))), s"got ${got("mix")}")
+    assert(got("flat") == ((None, None)), s"got ${got("flat")}")
+  }
+
   test("B47 Granger: a strict one-day lead is causal in one direction only") {
     import spark.implicits._
     def t(day: Int) = new java.sql.Timestamp(
