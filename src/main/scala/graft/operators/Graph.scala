@@ -560,6 +560,51 @@ object Graph {
       .orderBy($"part")
   }
 
+  /** I8 power-law degree-distribution fit (Clauset/Shalizi/Newman's
+    * discrete MLE with the standard −½ continuity correction):
+    * α = 1 + n_tail / Σ_{d ≥ dmin} ln(d / (dmin − ½)) — the
+    * scale-free diagnostic that decides whether hub-capping policies
+    * (the D2/I5 Σdeg² bounds) face a heavy tail at all, and the
+    * exponent they must budget for. Exact integer degrees; the ln
+    * terms fold in NODE order (F26 precedent); α, the tail share,
+    * and d_max export rounded/integer. One degree aggregate + one
+    * bounded fold. */
+  def powerlawFit(edges: DataFrame, dMin: Long = 2L): DataFrame = {
+    import edges.sparkSession.implicits._
+    val canon = edges
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val deg = canon.select($"a".as("node"))
+      .union(canon.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val tail = deg.filter($"d" >= dMin)
+    val all = deg.agg(count(lit(1)).as("n_nodes"), max($"d").as("d_max"))
+    val t = tail.agg(count(lit(1)).as("n_tail"),
+      sort_array(collect_list(struct($"node", $"d"))).as("ps"))
+    all.crossJoin(t)
+      .withColumn("lsum", expr(
+        s"aggregate(ps, 0D, (a, p) -> a + ln(cast(p.d as double) / ${dMin - 0.5}))"))
+      .select($"n_nodes", $"n_tail", $"d_max",
+        expr("n_tail * 1000000 div n_nodes").as("tail_ppm"),
+        when($"lsum" > 0,
+          round(lit(1.0) + $"n_tail".cast("double") / $"lsum", 4))
+          .as("alpha"))
+  }
+
+  /** q_powerlaw: degree-tail fit of the raw co-order part graph (the
+    * hub-heavy q_triangles graph — the ≥2-support floor would
+    * truncate exactly the tail being measured). */
+  def powerlawCoOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").cast("long").as("src"),
+        col("y.l_partkey").cast("long").as("dst"))
+    powerlawFit(edges)
+  }
+
   /** q_assortativity: degree mixing of the ≥2-support co-order part
     * graph (the q_kcore/q_link_predict graph). */
   def assortativityCoOrder(s: SparkSession, dir: String): DataFrame = {
@@ -578,6 +623,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_clustering_coeff" -> ccCoOrder,
+    "q_powerlaw" -> powerlawCoOrder,
     "q_assortativity" -> assortativityCoOrder,
     "q_pagerank" -> pageRankTrade,
     "q_triangles" -> trianglesCoOrder,
@@ -666,6 +712,32 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // I8 twin: same degree aggregate, same node-ordered ln fold and
+    // continuity-corrected MLE tail
+    "q_powerlaw" ->
+      """WITH canon AS (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey)::BIGINT AS a,
+        |    greatest(x.l_partkey, y.l_partkey)::BIGINT AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS d FROM (
+        |    SELECT a AS node FROM canon
+        |    UNION ALL SELECT b FROM canon) GROUP BY 1),
+        |allx AS (
+        |  SELECT count(*)::BIGINT AS n_nodes, max(d)::BIGINT AS d_max
+        |  FROM deg),
+        |t AS (
+        |  SELECT count(*)::BIGINT AS n_tail,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(ln(d::DOUBLE / 1.5) ORDER BY node)), (a, b) -> a + b)
+        |      AS lsum
+        |  FROM deg WHERE d >= 2)
+        |SELECT n_nodes, n_tail, d_max,
+        |  n_tail * 1000000 // n_nodes AS tail_ppm,
+        |  CASE WHEN lsum > 0
+        |    THEN round(1.0 + n_tail::DOUBLE / lsum, 4) END AS alpha
+        |FROM allx, t""".stripMargin,
     // I7 twin: the I2 degree-oriented triangle CTEs on the
     // ≥2-support graph + the same integer ppm coefficient
     "q_clustering_coeff" ->

@@ -540,6 +540,48 @@ object Resilience {
       .orderBy(col(ss.grp), col("day"))
   }
 
+  /** B49 SES FIT — the model-SELECTION step the ladder's fixed-α
+    * smoothers (B16/B18) skip (statsmodels' `SimpleExpSmoothing.fit`
+    * twin): grid-search α ∈ {0.1 … 0.9} minimizing the one-step-ahead
+    * SSE of l ← l + α(y − l), per event type; emits the winning α,
+    * its SSE, and the resulting next-day forecast (= l_n). The fold
+    * is the COUPLED recurrence family (sse reads the pre-update l),
+    * so the twin is a recursive CTE (the B18 list_reduce-aliasing
+    * precedent) running the textually identical update expressions;
+    * the Spark side is one functional `aggregate` per (type, α) over
+    * the day-ordered list — 9 folds of a frame-bounded series, zero
+    * corpus cost beyond the daily aggregate. Winner = (sse, α)
+    * struct-min on the shared doubles — bit-deterministic. */
+  def sesFit(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val alphas = (1 to 9).map(_ / 10.0)
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val lists = pts.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"y"))).as("ps"))
+      .withColumn("ys", expr("transform(ps, p -> cast(p.y as double))"))
+      .filter(size($"ys") >= 2)
+    val folded = lists
+      .withColumn("alpha", explode(typedlit(alphas)))
+      .withColumn("st", expr(
+        """aggregate(slice(ys, 2, size(ys) - 1),
+          |  struct(element_at(ys, 1) as l, 0D as sse),
+          |  (acc, yk) -> struct(
+          |    acc.l + alpha * (yk - acc.l) as l,
+          |    acc.sse + (yk - acc.l) * (yk - acc.l) as sse))"""
+          .stripMargin))
+    folded.groupBy($"event_type")
+      .agg(min(struct($"st.sse".as("sse"), $"alpha",
+        $"st.l".as("l"))).as("best"),
+        max(size($"ys")).as("n_days"))
+      .select($"event_type", $"n_days",
+        $"best.alpha".as("best_alpha"),
+        round($"best.sse", 4).as("sse"),
+        round($"best.l", 4).as("forecast"))
+      .orderBy($"event_type")
+  }
+
   /** B48 seasonal/trend STRENGTH (Hyndman & Wang's STL features —
     * the one-number answers to "is this series seasonal enough to
     * model with B21, trending enough for B18?" that gate the whole
@@ -1879,6 +1921,7 @@ object Resilience {
     "q_crosscorr" -> ((s, dir) => crossCorr(s, dir)),
     "q_seasonal_decompose" -> seasonalDecompose,
     "q_stl_strength" -> stlStrength,
+    "q_ses_fit" -> ((s, dir) => sesFit(Tables.events(s, dir))),
     "q_periodogram" -> periodogram,
     "q_hw_forecast" -> holtWinters,
     "q_anomaly" -> ((s, dir) => anomalies(Tables.events(s, dir))),
@@ -2100,6 +2143,37 @@ object Resilience {
         |    + var_c * (k - coalesce(below_cnt, 0)))::DOUBLE
         |    / (k::DOUBLE * 100.0) AS es_dollars
         |FROM a ORDER BY event_type""".stripMargin,
+    // B49 twin: recursive CTE running the textually identical coupled
+    // update (sse reads the pre-update l), same (sse, α) struct-min
+    "q_ses_fit" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |lists AS (
+        |  SELECT event_type, list(y::DOUBLE ORDER BY day) AS ys,
+        |    count(*)::BIGINT AS n
+        |  FROM pts GROUP BY 1 HAVING count(*) >= 2),
+        |al AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+        |  0.6, 0.7, 0.8, 0.9]) AS alpha),
+        |st AS (
+        |  SELECT event_type, n, ys, alpha, 1::BIGINT AS k,
+        |    ys[1] AS l, 0.0::DOUBLE AS sse
+        |  FROM lists, al
+        |  UNION ALL
+        |  SELECT event_type, n, ys, alpha, k + 1,
+        |    l + alpha * (ys[(k + 1)::INT] - l),
+        |    sse + (ys[(k + 1)::INT] - l) * (ys[(k + 1)::INT] - l)
+        |  FROM st WHERE k < n),
+        |fin AS (
+        |  SELECT event_type, n, alpha, l, sse FROM st WHERE k = n)
+        |SELECT event_type, max(n)::BIGINT AS n_days,
+        |  (min(struct_pack(sse := sse, alpha := alpha, l := l))).alpha
+        |    AS best_alpha,
+        |  round((min(struct_pack(sse := sse, alpha := alpha, l := l))).sse,
+        |    4) AS sse,
+        |  round((min(struct_pack(sse := sse, alpha := alpha, l := l))).l,
+        |    4) AS forecast
+        |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin,
     // B47 twin: same exact HUGEINT moments over the same consecutive-
     // day pairs, the identical closed-form scalar tail per direction
     "q_granger" ->

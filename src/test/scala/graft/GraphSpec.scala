@@ -222,6 +222,17 @@ class GraphSpec extends AnyFunSuite {
     assert(got(6L) == ((1L, 0L, -1L)), s"node 6: ${got(6L)}")
   }
 
+  test("I8 power-law fit: star-graph MLE matches the closed form") {
+    import spark.implicits._
+    // S5: hub degree 5, five leaves at degree 1 → tail = {hub}
+    val edges = (2L to 6L).map(l => (1L, l)).toDF("src", "dst")
+    val r = Graph.powerlawFit(edges).collect()(0)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((6L, 1L, 5L, 166666L)), s"got $r")
+    assert(r.getDouble(4) == r4(1.0 + 1.0 / math.log(5.0 / 1.5)), s"got $r")
+  }
+
   test("I6 assortativity: star -1, path -0.5, regular cycle null") {
     import spark.implicits._
     def r(edges: Seq[(Long, Long)]): (Long, Long, Option[Double]) = {

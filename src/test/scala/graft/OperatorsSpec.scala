@@ -1378,6 +1378,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r.length == 2)
   }
 
+  test("B49 SES fit: grid winner bit-equal to a driver-side fold, walk prefers high alpha") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf("2020-11-01").getTime + (day - 1) * 86400000L)
+    // "walk": strongly trending counts → one-step SSE minimized by
+    // the most reactive alpha; "level": i.i.d.-ish wiggle around 5
+    val walkY = (1 to 20).map(d => d * 3)
+    val levelY = (1 to 20).map(d => 5 + (d * 7 % 3) - 1)
+    val rows =
+      walkY.zipWithIndex.flatMap { case (y, d) => Seq.fill(y)(("walk", d + 1)) } ++
+      levelY.zipWithIndex.flatMap { case (y, d) => Seq.fill(y)(("level", d + 1)) }
+    val df = rows.map { case (et, d) => (t(d), et) }.toDF("ts", "event_type")
+    def ref(ys: Seq[Double]): (Double, Double, Double) =
+      (1 to 9).map(_ / 10.0).map { a =>
+        var l = ys.head; var sse = 0.0
+        ys.tail.foreach { y =>
+          val e = (y - l); sse += e * e; l = l + a * e
+        }
+        (sse, a, l)
+      }.minBy(x => (x._1, x._2))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.operators.Resilience.sesFit(df).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    for ((name, ys) <- Seq("walk" -> walkY, "level" -> levelY)) {
+      val (sse, a, l) = ref(ys.map(_.toDouble))
+      assert(got(name) == ((a, r4(sse), r4(l))),
+        s"$name: got ${got(name)}, ref ($a, ${r4(sse)}, ${r4(l)})")
+    }
+    assert(got("walk")._1 == 0.9, "trending series must pick the reactive alpha")
+  }
+
   test("B48 STL strength: periodic+trend series scores exactly 1/1, flat series nulls") {
     import spark.implicits._
     def t(day: Int) = new java.sql.Timestamp(
