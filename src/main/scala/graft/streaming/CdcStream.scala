@@ -312,6 +312,58 @@ object CdcStream {
       }
   }
 
+  /** One flagged observation from [[anomalyStream]]. */
+  case class AnomalyAlert(user_id: Long, event_id: Long, ts_us: Long,
+      vc: Long, win_mean: Double, z_score: Option[Double])
+
+  /** C54 STREAMING rolling-z anomaly detection — the continuous twin
+    * of the batch flagger (B22, `Resilience.anomalies`): per key the
+    * state is the last `window` cent values in (ts, event_id) order —
+    * a fixed handful of longs per key, bounded for any stream length —
+    * and each arriving value tests the EXACT integer predicate
+    * dev² > Z²·varn against the trailing window BEFORE being pushed
+    * into it (the same no-self-contamination frame as the batch
+    * ROWS BETWEEN −w AND −1). Emits only flagged alerts; constant-
+    * window hits carry a null z like the batch twin. Cross-batch
+    * contract: per-key in-order delivery (the C31 offset order);
+    * in-batch rows are sorted by full-µs event time. Spec pins
+    * flag-set equality with the batch operator across micro-batch
+    * splits that land MID-window. */
+  def anomalyStream(changes: Dataset[Change], window: Int = 7,
+      z: Int = 3): Dataset[AnomalyAlert] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Change], state: GroupState[Seq[Long]]) =>
+          var q = state.getOption.getOrElse(Seq.empty[Long]).toVector
+          val out = it.toArray
+            .sortBy(c => (tsUs(c.ts), c.event_id))
+            .flatMap { ch =>
+              val vc = math.round(ch.value * 100)
+              val res =
+                if (q.length == window) {
+                  val n = window.toLong
+                  val sx = q.sum
+                  val sxx = q.map(x => x * x).sum
+                  val dev = n * vc - sx
+                  val varn = n * sxx - sx * sx
+                  if (dev * dev > z.toLong * z * varn)
+                    Some(AnomalyAlert(uid, ch.event_id, tsUs(ch.ts), vc,
+                      sx.toDouble / (n.toDouble * 100.0),
+                      if (varn > 0)
+                        Some(dev.toDouble / math.sqrt(varn.toDouble))
+                      else None))
+                  else None
+                } else None
+              q = (q :+ vc).takeRight(window)
+              res
+            }
+          state.update(q)
+          out.iterator
+      }
+  }
+
   /** One schema-registry update from [[schemaDriftStream]]: a key's
     * registry row after a batch that touched it. */
   case class KeyDrift(key: String, first_day: String, last_day: String,

@@ -484,6 +484,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C54 streaming anomaly flags == batch twin across mid-window batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // steady 2.00s with spikes planted after the warm-up window
+    val vals = Seq(2.0, 2.0, 2.0, 2.0, 2.1, 1.9, 2.0, 2.0, 9.0, 2.0,
+      2.0, 2.0, 2.1, 1.9, 2.0, 2.0, -5.0, 2.0)
+    val all = vals.zipWithIndex.map { case (v, i) =>
+      Change(1L, i.toLong, t(i.toLong), "U", v) }
+    val in = MemoryStream[Change]
+    val q = CdcStream.anomalyStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("anomaly_stream").start()
+    try {
+      // split INSIDE the rolling window around the first spike
+      in.addData(all.take(7): _*); q.processAllAvailable()
+      in.addData(all.slice(7, 12): _*); q.processAllAvailable()
+      in.addData(all.drop(12): _*); q.processAllAvailable()
+      val got = spark.table("anomaly_stream")
+        .as[CdcStream.AnomalyAlert].collect()
+        .map(a => (a.event_id, a.vc)).toSet
+      val batch = graft.operators.Resilience.anomalies(
+          all.map(c => (c.user_id, c.event_id, c.ts, c.value))
+            .toDF("user_id", "event_id", "ts", "value"))
+        .collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.map(_._2) == Set(900L, -500L),
+        s"both planted spikes must flag: $got")
+    } finally q.stop()
+  }
+
   test("C51 streaming schema drift: new key flags once, registry matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
