@@ -826,6 +826,43 @@ object TextAnalysis {
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
+  /** F32 COMPRESSION-RATIO quality signal (the Gopher/FineWeb
+    * "too compressible = repetitive boilerplate, incompressible =
+    * binary noise" filter — the deflate oracle that catches what
+    * F12's exact ratios and F18's character entropy each miss, e.g.
+    * long-range repetition past the bigram horizon): per doc,
+    * deflated size over raw size in integer ppm, flagged outside
+    * [150000, 900000]. zlib (JVM `Deflater`, fixed level 6) runs
+    * row-locally inside the G2-style partition boundary — one scan,
+    * zero shuffle. Rows-only by design (no SQL engine deflates);
+    * the spec pins determinism under repartitioning, the repetitive/
+    * random ordering property, and exact ratios on crafted docs. */
+  def compressionRatio(docs: DataFrame, lo: Long = 150000L,
+      hi: Long = 900000L): DataFrame = {
+    import docs.sparkSession.implicits._
+    val rows = docs.select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, in.length.toLong, out)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflated")
+    rows
+      .withColumn("ratio_ppm",
+        expr("CASE WHEN n_bytes > 0 THEN n_deflated * 1000000 div n_bytes ELSE 1000000 END"))
+      .withColumn("flagged", $"ratio_ppm" < lo || $"ratio_ppm" > hi)
+      .orderBy($"doc_id")
+  }
+
   /** F31 token BURSTINESS — the index of dispersion (variance-to-mean
     * ratio, Church & Gale's burstiness) of each token's per-document
     * count, zeros included: content words burst (VMR ≫ 1 — absent
@@ -1002,6 +1039,8 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_readability" -> onDocs(readability),
     "text_burstiness" -> onDocs(d => burstiness(d)),
+    // rows-only by design: no SQL engine replays zlib; property-spec'd
+    "text_compress" -> onDocs(d => compressionRatio(d)),
     "text_code_detect" -> onDocs(codeDetect),
     "text_lang_confusion" -> onDocs(langConfusion),
     "text_zipf" -> onDocs(d => zipfSlope(d)),

@@ -199,6 +199,28 @@ class OperatorsSpec extends AnyFunSuite {
       fp("no pii in this one 123.456"))), s"got ${r(1)}")
   }
 
+  test("F32 compression ratio: repetition compresses, noise doesn't, partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = Seq(
+      (1L, "abc " * 500),                       // heavy repetition
+      (2L, Seq.fill(2000)(rnd.nextPrintableChar()).mkString), // noise
+      (3L, "")                                  // empty: ratio floor 1e6
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.compressionRatio(docs)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(3), x.getBoolean(4)))).toMap
+    assert(r(1L)._1 < 50000L && r(1L)._2,
+      s"repetitive doc must compress hard and flag: ${r(1L)}")
+    assert(r(2L)._1 > 500000L, s"noise must resist: ${r(2L)}")
+    assert(r(3L) == ((1000000L, true)), s"empty doc: ${r(3L)}")
+    // determinism under repartitioning: same ratios from 7 partitions
+    val r7 = graft.operators.TextAnalysis.compressionRatio(
+        docs.repartition(7))
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r7 == r.map { case (k, v) => k -> v._1 })
+  }
+
   test("F31 burstiness: bursty token beats spread token, VMR hand-exact") {
     import spark.implicits._
     // 'burst' appears 10x in ONE of 5 docs; 'even' appears 2x in each
