@@ -560,6 +560,89 @@ object Graph {
       .orderBy($"part")
   }
 
+  /** I9 community detection by deterministic SYNCHRONOUS label
+    * propagation (Raghavan et al. 2007 made reproducible: all nodes
+    * update simultaneously from neighbor labels, winner = highest
+    * neighbor-vote count with the SMALLEST-LABEL tie rule — the A28
+    * struct-extremum, so no random visit order anywhere), plus the
+    * MODULARITY audit of the resulting partition (Newman-Girvan Q —
+    * "are these communities denser than chance?" — the companion
+    * check to I7: clustering says the graph HAS local structure,
+    * Q says the partition FOUND it).
+    *
+    * `rounds` fixed sweeps, each one symmetric-edge join + one
+    * (node, label) vote aggregate + one struct-max per node — the
+    * I1/I3 per-round shape, lineage truncated per round; cost per
+    * round is O(E) shuffled on node keys. Q assembles from EXACT
+    * decimal(38,0) numerators — Q = (2·(2m)·Σe_c − Σd_c²)/(2m)²
+    * with (2m)² past int64 at ~1.5·10⁹ edges — and takes ONE double
+    * division for the total plus one per exported row, round-6.
+    * Output: top-`topK` communities by (size DESC, label) with
+    * (n_nodes, e_in, d_sum, contrib) + the global q_total repeated;
+    * communities beyond the top-K still count inside q_total. */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      topK: Int = 10): DataFrame = {
+    import edges.sparkSession.implicits._
+    val canon = truncate(edges
+      .select(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct())
+    val sym = truncate(
+      canon.union(canon.select($"b".as("a"), $"a".as("b"))))
+    var labels = sym.select($"a".as("v")).distinct()
+      .withColumn("lab", $"v")
+    for (_ <- 1 to rounds) {
+      val votes = sym.join(labels, sym("b") === labels("v"))
+        .groupBy(sym("a").as("node"), $"lab")
+        .agg(count(lit(1)).as("c"))
+      labels = truncate(votes.groupBy($"node")
+        .agg(max(struct($"c", (-$"lab").as("nl"))).as("m"))
+        .select($"node".as("v"), (-$"m.nl").as("lab")))
+    }
+    val deg = sym.groupBy($"a".as("node")).agg(count(lit(1)).as("d"))
+    val members = labels.join(deg, $"v" === $"node")
+      .groupBy($"lab".as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"d").as("d_sum"))
+    val ein = canon
+      .join(labels.select($"v".as("av"), $"lab".as("la")), $"a" === $"av")
+      .join(labels.select($"v".as("bv"), $"lab".as("lb")), $"b" === $"bv")
+      .filter($"la" === $"lb")
+      .groupBy($"la".as("community")).agg(count(lit(1)).as("e_in"))
+    val comm = members.join(ein, Seq("community"), "left")
+      .na.fill(0L, Seq("e_in"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val totals = comm.agg(
+      sum($"e_in").as("se"),
+      sum(dec($"d_sum") * $"d_sum").as("sdd"),
+      sum($"d_sum").as("t2m"))
+    comm.crossJoin(broadcast(totals))
+      .withColumn("den", (dec($"t2m") * $"t2m").cast("double"))
+      .select($"community", $"n_nodes", $"e_in", $"d_sum",
+        round((lit(2).cast("decimal(38,0)") * $"t2m" * $"e_in" -
+          dec($"d_sum") * $"d_sum").cast("double") / $"den", 6)
+          .as("contrib"),
+        round((lit(2).cast("decimal(38,0)") * $"t2m" * $"se" - $"sdd")
+          .cast("double") / $"den", 6).as("q_total"))
+      .orderBy(desc("n_nodes"), $"community")
+      .limit(topK)
+  }
+
+  /** q_communities: 3 LPA sweeps + modularity over the ≥2-support
+    * co-order part graph (the q_kcore/I5/I6/I7 graph). */
+  def communitiesCoOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val canon = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").cast("long").as("src"),
+        col("y.l_partkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"src", $"dst")
+    labelPropagation(canon, 3)
+  }
+
   /** I8 power-law degree-distribution fit (Clauset/Shalizi/Newman's
     * discrete MLE with the standard −½ continuity correction):
     * α = 1 + n_tail / Σ_{d ≥ dmin} ln(d / (dmin − ½)) — the
@@ -622,6 +705,7 @@ object Graph {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_communities" -> communitiesCoOrder,
     "q_clustering_coeff" -> ccCoOrder,
     "q_powerlaw" -> powerlawCoOrder,
     "q_assortativity" -> assortativityCoOrder,
@@ -711,7 +795,61 @@ object Graph {
        |FROM e$rounds GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** I9 twin: the identical synchronous sweeps unrolled — per round
+    * one neighbor-label vote aggregate and the same
+    * (count, −label) struct-max — then the exact-HUGEINT modularity
+    * assembly. */
+  private def lpaSql(rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      s"""c$r AS (
+         |  SELECT s.a AS node, l.lab, count(*)::BIGINT AS c
+         |  FROM sym s JOIN l${r - 1} l ON s.b = l.v
+         |  GROUP BY 1, 2),
+         |l$r AS (
+         |  SELECT node AS v,
+         |    (-(max(struct_pack(c := c, nl := -lab)).nl))::BIGINT AS lab
+         |  FROM c$r GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH canon AS (
+       |  SELECT x.l_partkey::BIGINT AS a, y.l_partkey::BIGINT AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS (
+       |  SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon),
+       |l0 AS (SELECT DISTINCT a AS v, a AS lab FROM sym),
+       |$iters,
+       |deg AS (SELECT a AS node, count(*)::BIGINT AS d
+       |        FROM sym GROUP BY 1),
+       |mem AS (
+       |  SELECT l.lab AS community, count(*)::BIGINT AS n_nodes,
+       |    sum(deg.d)::BIGINT AS d_sum
+       |  FROM l$rounds l JOIN deg ON deg.node = l.v GROUP BY 1),
+       |ein AS (
+       |  SELECT la.lab AS community, count(*)::BIGINT AS e_in
+       |  FROM canon JOIN l$rounds la ON canon.a = la.v
+       |    JOIN l$rounds lb ON canon.b = lb.v
+       |  WHERE la.lab = lb.lab GROUP BY 1),
+       |cm AS (
+       |  SELECT community, n_nodes, d_sum,
+       |    coalesce(e_in, 0)::BIGINT AS e_in
+       |  FROM mem LEFT JOIN ein USING (community)),
+       |tot AS (
+       |  SELECT sum(e_in)::HUGEINT AS se,
+       |    sum(d_sum::HUGEINT * d_sum)::HUGEINT AS sdd,
+       |    sum(d_sum)::HUGEINT AS t2m
+       |  FROM cm)
+       |SELECT community, n_nodes, e_in, d_sum,
+       |  round((2::HUGEINT * t2m * e_in - d_sum::HUGEINT * d_sum)::DOUBLE
+       |    / (t2m * t2m)::DOUBLE, 6) AS contrib,
+       |  round((2::HUGEINT * t2m * se - sdd)::DOUBLE
+       |    / (t2m * t2m)::DOUBLE, 6) AS q_total
+       |FROM cm, tot
+       |ORDER BY n_nodes DESC, community LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_communities" -> lpaSql(3),
     // I8 twin: same degree aggregate, same node-ordered ln fold and
     // continuity-corrected MLE tail
     "q_powerlaw" ->

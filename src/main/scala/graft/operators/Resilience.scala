@@ -1479,6 +1479,125 @@ object Resilience {
     m.select((col("n").as("n_pairs") +: (xy ++ yx)): _*)
   }
 
+  /** B50 DICKEY-FULLER unit-root test, lag 0 with constant
+    * (statsmodels `adfuller(maxlag=0, regression='c')` twin — the
+    * STATIONARITY GATE run before the forecast ladder: B17's AR(1)
+    * and B49's SES presume mean reversion; a unit root says
+    * difference first): per event type, regress Δy_t on y_{t−1} with
+    * intercept over consecutive-day pairs; the statistic is
+    * ρ̂/se(ρ̂) against the 5% MacKinnon constant-only critical value
+    * −2.86 (flagged as integer 0/1 — a nullable boolean's pandas
+    * dtype drifts between engines).
+    *
+    * All five sufficient moments are exact decimal(38,0) sums over
+    * consecutive-day pairs (gap days excluded by the exact
+    * day-difference predicate — the B47 posture); the centered forms
+    * n·Σab − Σa·Σb stay exact decimals, and the closed-form tail —
+    * ρ, SSE, s², t — is one pinned IEEE scalar sequence identical in
+    * both engines, rounded at export. Degenerate cases (constant
+    * regressor, perfect fit, n < 4) null explicitly — the guard also
+    * keeps the NaN-sorts-above-everything trap out of both engines.
+    * One events scan → daily grid → one aggregate per type. */
+  def adf(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val lagged = pts
+      .withColumn("xl", lag($"y", 1).over(w))
+      .withColumn("pd", lag($"day", 1).over(w))
+      .filter($"pd".isNotNull && datediff($"day", $"pd") === 1)
+      .withColumn("d", $"y" - $"xl")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = lagged.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum(dec($"xl")).as("sx"), sum(dec($"d")).as("sd"),
+      sum(dec($"xl") * $"xl").as("sxx"),
+      sum(dec($"d") * $"d").as("sdd"),
+      sum(dec($"xl") * $"d").as("sxd"))
+    val n = col("n").cast("decimal(38,0)")
+    // every division sits under an explicit guard — ANSI mode raises
+    // on x/0 instead of producing NaN/Inf, and the guards double as
+    // the cross-engine degenerate-case contract
+    val g = m
+      .withColumn("cxx", (n * $"sxx" - $"sx" * $"sx").cast("double"))
+      .withColumn("cxd", (n * $"sxd" - $"sx" * $"sd").cast("double"))
+      .withColumn("cdd", (n * $"sdd" - $"sd" * $"sd").cast("double"))
+      .withColumn("rho", when($"cxx" > 0, $"cxd" / $"cxx"))
+      .withColumn("sse", when($"cxx" > 0,
+        ($"cdd" - $"cxd" * $"cxd" / $"cxx") / $"n".cast("double")))
+      .withColumn("s2",
+        when($"n" > 2, $"sse" / ($"n".cast("double") - 2.0)))
+      .withColumn("ok", $"n" >= 4 && $"cxx" > 0 && $"s2" > 0)
+      .withColumn("tstat", when($"ok",
+        $"rho" / sqrt($"s2" * $"n".cast("double") / $"cxx")))
+    g.select($"event_type", $"n".as("n_pairs"),
+        when($"cxx" > 0, round($"rho", 6)).as("rho"),
+        when($"ok", round($"tstat", 4)).as("adf_t"),
+        when($"ok", ($"tstat" < -2.86).cast("int")).as("stationary"))
+      .orderBy($"event_type")
+  }
+
+  /** B51 rolling-origin FORECAST BACKTEST (the `tscv`/`MASE`
+    * evaluation harness the ladder B17/B18/B21/B49 is missing — a
+    * forecaster you never scored is a guess): one-step-ahead errors
+    * of the three classical baselines over each type's daily series —
+    * naive (ŷ_t = y_{t−1}), seasonal-naive-7 (ŷ_t = y_{t−7}), and
+    * expanding mean (ŷ_t = mean(y_1..y_{t−1})) — evaluated over the
+    * common window t ≥ 8 (positional pandas-`shift` semantics on the
+    * day-ordered series), with MAE/RMSE each and MASE (MAE relative
+    * to naive — Hyndman & Koehler 2006) for the other two.
+    *
+    * Naive/seasonal errors and their |e|, e² sums are EXACT BIGINTs
+    * (order-free); the expanding-mean error takes ONE double division
+    * per term (F6/A54 term precedent) and its |e|, e² fold in pinned
+    * day order over a sorted list (the B48 fold contract) — both
+    * engines run the identical IEEE sequence. One events scan → daily
+    * grid → one window pass → one aggregate per type; every frame is
+    * day-count bounded. */
+  def backtest(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val rows = pts
+      .withColumn("t", row_number().over(w))
+      .withColumn("l1", lag($"y", 1).over(w))
+      .withColumn("l7", lag($"y", 7).over(w))
+      .withColumn("s1", sum($"y").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter($"t" >= 8)
+      .withColumn("en", $"y" - $"l1")
+      .withColumn("es", $"y" - $"l7")
+      .withColumn("em",
+        $"y".cast("double") - $"s1".cast("double") /
+          ($"t" - 1).cast("double"))
+    val agg = rows.groupBy($"event_type").agg(
+      count(lit(1)).as("n_eval"),
+      sum(abs($"en")).as("saen"), sum($"en" * $"en").as("ssen"),
+      sum(abs($"es")).as("saes"), sum($"es" * $"es").as("sses"),
+      sort_array(collect_list(struct($"day", $"em"))).as("ems"))
+      .withColumn("saem",
+        expr("aggregate(ems, 0D, (a, x) -> a + abs(x.em))"))
+      .withColumn("ssem",
+        expr("aggregate(ems, 0D, (a, x) -> a + x.em * x.em)"))
+    val nD = $"n_eval".cast("double")
+    agg.select($"event_type", $"n_eval",
+        round($"saen".cast("double") / nD, 4).as("mae_naive"),
+        round(sqrt($"ssen".cast("double") / nD), 4).as("rmse_naive"),
+        round($"saes".cast("double") / nD, 4).as("mae_snaive"),
+        round(sqrt($"sses".cast("double") / nD), 4).as("rmse_snaive"),
+        round($"saem" / nD, 4).as("mae_mean"),
+        round(sqrt($"ssem" / nD), 4).as("rmse_mean"),
+        when($"saen" > 0, round($"saes".cast("double") /
+          $"saen".cast("double"), 4)).as("mase_snaive"),
+        when($"saen" > 0,
+          round($"saem" / $"saen".cast("double"), 4)).as("mase_mean"))
+      .orderBy($"event_type")
+  }
+
   /** B46 permutation entropy of order 3 (Bandt & Pompe 2002 — the
     * model-free irregularity diagnostic: ~0 for monotone/periodic
     * series, ln 6 for white noise; robust to monotone transforms
@@ -1892,6 +2011,8 @@ object Resilience {
     "q_pacf" -> ((s, dir) => pacf(Tables.events(s, dir))),
     "q_perm_entropy" -> ((s, dir) => permutationEntropy(Tables.events(s, dir))),
     "q_granger" -> ((s, dir) => granger(Tables.events(s, dir))),
+    "q_adf" -> ((s, dir) => adf(Tables.events(s, dir))),
+    "q_backtest" -> ((s, dir) => backtest(Tables.events(s, dir))),
     "q_stochastic" -> ((s, dir) => stochastic(Tables.events(s, dir))),
     "q_macd" -> ((s, dir) => macd(Tables.events(s, dir))),
     "q_var_es" -> ((s, dir) => varEs(Tables.events(s, dir))),
@@ -2176,6 +2297,90 @@ object Resilience {
         |FROM fin GROUP BY event_type ORDER BY event_type""".stripMargin,
     // B47 twin: same exact HUGEINT moments over the same consecutive-
     // day pairs, the identical closed-form scalar tail per direction
+    "q_adf" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT * FROM (
+        |    SELECT event_type, day, y,
+        |      lag(y) OVER w AS xl, lag(day) OVER w AS pd
+        |    FROM pts WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |  WHERE pd IS NOT NULL AND day - pd = 1),
+        |m AS (
+        |  SELECT event_type, count(*)::HUGEINT AS n,
+        |    sum(xl::HUGEINT)::HUGEINT AS sx,
+        |    sum((y - xl)::HUGEINT)::HUGEINT AS sd,
+        |    sum(xl::HUGEINT * xl)::HUGEINT AS sxx,
+        |    sum((y - xl)::HUGEINT * (y - xl))::HUGEINT AS sdd,
+        |    sum(xl::HUGEINT * (y - xl))::HUGEINT AS sxd
+        |  FROM lagged GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n::BIGINT AS n_pairs,
+        |    (n * sxx - sx * sx)::DOUBLE AS cxx,
+        |    (n * sxd - sx * sd)::DOUBLE AS cxd,
+        |    (n * sdd - sd * sd)::DOUBLE AS cdd
+        |  FROM m),
+        |f AS (
+        |  SELECT event_type, n_pairs, cxx,
+        |    cxd / cxx AS rho,
+        |    (cdd - cxd * cxd / cxx) / n_pairs::DOUBLE AS sse
+        |  FROM d),
+        |g AS (
+        |  SELECT event_type, n_pairs, cxx, rho,
+        |    sse / (n_pairs::DOUBLE - 2.0) AS s2
+        |  FROM f),
+        |h AS (
+        |  SELECT event_type, n_pairs, cxx, rho, s2,
+        |    CASE WHEN cxx > 0 AND s2 > 0
+        |      THEN rho / sqrt(s2 * n_pairs::DOUBLE / cxx) END AS tstat,
+        |    (n_pairs >= 4 AND cxx > 0 AND s2 > 0) AS ok
+        |  FROM g)
+        |SELECT event_type, n_pairs,
+        |  CASE WHEN cxx > 0 THEN round(rho, 6) END AS rho,
+        |  CASE WHEN ok THEN round(tstat, 4) END AS adf_t,
+        |  CASE WHEN ok THEN (tstat < -2.86)::INT END AS stationary
+        |FROM h ORDER BY event_type""".stripMargin,
+    "q_backtest" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, day, y,
+        |    row_number() OVER w AS t,
+        |    lag(y, 1) OVER w AS l1,
+        |    lag(y, 7) OVER w AS l7,
+        |    sum(y) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s1
+        |  FROM pts WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |e AS (
+        |  SELECT event_type, day,
+        |    (y - l1)::BIGINT AS en, (y - l7)::BIGINT AS es,
+        |    y::DOUBLE - s1::DOUBLE / (t - 1)::DOUBLE AS em
+        |  FROM r WHERE t >= 8),
+        |a AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_eval,
+        |    sum(abs(en))::BIGINT AS saen, sum(en * en)::BIGINT AS ssen,
+        |    sum(abs(es))::BIGINT AS saes, sum(es * es)::BIGINT AS sses,
+        |    list_reduce(
+        |      list_prepend(0.0::DOUBLE, list(abs(em) ORDER BY day)),
+        |      (acc, x) -> acc + x) AS saem,
+        |    list_reduce(
+        |      list_prepend(0.0::DOUBLE, list(em * em ORDER BY day)),
+        |      (acc, x) -> acc + x) AS ssem
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, n_eval,
+        |  round(saen::DOUBLE / n_eval::DOUBLE, 4) AS mae_naive,
+        |  round(sqrt(ssen::DOUBLE / n_eval::DOUBLE), 4) AS rmse_naive,
+        |  round(saes::DOUBLE / n_eval::DOUBLE, 4) AS mae_snaive,
+        |  round(sqrt(sses::DOUBLE / n_eval::DOUBLE), 4) AS rmse_snaive,
+        |  round(saem / n_eval::DOUBLE, 4) AS mae_mean,
+        |  round(sqrt(ssem / n_eval::DOUBLE), 4) AS rmse_mean,
+        |  CASE WHEN saen > 0
+        |    THEN round(saes::DOUBLE / saen::DOUBLE, 4) END AS mase_snaive,
+        |  CASE WHEN saen > 0
+        |    THEN round(saem / saen::DOUBLE, 4) END AS mase_mean
+        |FROM a ORDER BY event_type""".stripMargin,
     "q_granger" ->
       """WITH pts AS (
         |  SELECT ts::DATE AS day,

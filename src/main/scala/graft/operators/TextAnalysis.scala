@@ -826,6 +826,106 @@ object TextAnalysis {
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
+  /** F33 COHEN'S KAPPA between two heuristic keep/drop raters — the
+    * inter-rater agreement QA a labeling pipeline runs before
+    * trusting any single filter (raw percent agreement flatters
+    * imbalanced labels; kappa discounts the agreement chance would
+    * produce from the margins): rater A keeps length ≥ 250 chars,
+    * rater B keeps ≥ 46 whitespace tokens — the same "long enough"
+    * judgment measured two ways, the classic moderate-agreement
+    * setup.
+    *
+    * κ = (n·Σdiag − Σᵢ rᵢcᵢ) / (n² − Σᵢ rᵢcᵢ) — the po/pe form
+    * cleared of its inner divisions: cells and margins are exact
+    * BIGINTs, the margin products ride decimal(38,0)/HUGEINT (n² at
+    * corpus scale outgrows int64 — the C18 posture), and the ONLY
+    * float op is the final division, rounded at export. Percent
+    * agreement ships as integer ppm. One scan, one
+    * map-side-combined aggregate to a single row. */
+  def raterKappa(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val flags = docs.select(
+      (length($"text") >= 250).cast("long").as("a"),
+      (size(tokens($"text")) >= 46).cast("long").as("b"))
+    val cells = flags.agg(
+      count(lit(1)).as("n_docs"),
+      sum($"a" * $"b").as("n11"),
+      sum($"a" * (lit(1L) - $"b")).as("n10"),
+      sum((lit(1L) - $"a") * $"b").as("n01"),
+      sum((lit(1L) - $"a") * (lit(1L) - $"b")).as("n00"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val k = cells
+      .withColumn("pe_sum",
+        (dec($"n11") + $"n10") * (dec($"n11") + $"n01") +
+          (dec($"n01") + $"n00") * (dec($"n10") + $"n00"))
+      .withColumn("kden", dec($"n_docs") * $"n_docs" - $"pe_sum")
+    k.select($"n_docs", $"n11", $"n10", $"n01", $"n00",
+      expr("(n11 + n00) * 1000000 div n_docs").as("po_ppm"),
+      when($"kden" =!= 0, round(
+        (dec($"n_docs") * (dec($"n11") + $"n00") - $"pe_sum")
+          .cast("double") / $"kden".cast("double"), 6)).as("kappa"))
+  }
+
+  /** F34 BPE-MERGE TRAINING — the first `rounds` byte-pair-encoding
+    * merges learned from the corpus (Sennrich et al. 2016; the
+    * tokenizer-training step of an LLM data pipeline, distributed the
+    * way HF `tokenizers` trains: pre-tokenize to WORDS once, then all
+    * merge rounds run over the word-frequency VOCABULARY — corpus
+    * cost is ONE tokenization scan + one hash aggregate regardless of
+    * round count; each round is a vocabulary-bounded pair-count
+    * aggregate, never a corpus pass — the 100 TB posture).
+    *
+    * Per round: adjacent symbol pairs weighted by word count (every
+    * adjacent position counts, the HF convention), winner = highest
+    * count with the lexicographically smallest (left, right) tie rule
+    * — binary string order in both engines; the winner joins back
+    * (broadcast 1-row frame, no driver collect) and merges LEFT-TO-
+    * RIGHT GREEDILY via a functional `aggregate` fold (a fresh merge
+    * result never re-merges in the same round — "aaa" → [aa, a]).
+    * The twin unrolls the identical fold per round with list-typed
+    * accumulators (the B41 single-element-list trick; DuckDB's
+    * INCLUSIVE slice end makes drop-last `acc[:-2]`). Vocab is
+    * `localCheckpoint`ed between rounds to truncate lineage. Emits
+    * (round, left, right, pair_count). */
+  def bpeTrain(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    var vocab = docs
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("wc"))
+      .withColumn("syms", expr("filter(split(w, ''), x -> x <> '')"))
+      .select($"wc", $"syms")
+      .localCheckpoint()
+    val merges = (1 to rounds).map { r =>
+      val pc = vocab
+        .filter(size($"syms") >= 2)
+        .select($"wc", explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+            |  slice(syms, 2, size(syms) - 1),
+            |  (x, y) -> named_struct('l', x, 'r', y))""".stripMargin))
+          .as("p"))
+        .groupBy($"p.l".as("a"), $"p.r".as("b"))
+        .agg(sum($"wc").as("cnt"))
+      val best = pc.orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+        .localCheckpoint()
+      vocab = vocab
+        .crossJoin(broadcast(
+          best.select($"a".as("ma"), $"b".as("mb"))))
+        .withColumn("syms", expr(
+          """aggregate(syms, cast(array() as array<string>),
+            |  (acc, x) -> CASE WHEN size(acc) > 0
+            |      AND element_at(acc, -1) = ma AND x = mb
+            |    THEN concat(slice(acc, 1, size(acc) - 1),
+            |      array(concat(ma, mb)))
+            |    ELSE concat(acc, array(x)) END)""".stripMargin))
+        .select($"wc", $"syms")
+        .localCheckpoint()
+      best.select(lit(r.toLong).as("round"), $"a".as("left"),
+        $"b".as("right"), $"cnt".as("pair_count"))
+    }
+    merges.reduce(_ union _).orderBy($"round")
+  }
+
   /** F32 COMPRESSION-RATIO quality signal (the Gopher/FineWeb
     * "too compressible = repetitive boilerplate, incompressible =
     * binary noise" filter — the deflate oracle that catches what
@@ -1037,6 +1137,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_kappa" -> onDocs(raterKappa),
+    "text_bpe_train" -> onDocs(d => bpeTrain(d)),
     "text_readability" -> onDocs(readability),
     "text_burstiness" -> onDocs(d => burstiness(d)),
     // rows-only by design: no SQL engine replays zlib; property-spec'd
@@ -1085,7 +1187,76 @@ object TextAnalysis {
       |      greatest(length(text)::BIGINT, 1) AS n_chars_d
       |    FROM documents))""".stripMargin
 
+  /** F34 twin: identical word aggregate, per-round pair count via
+    * lateral position unnest, the same (cnt DESC, a, b) winner, and
+    * the identical greedy fold with list-typed accumulators (B41
+    * trick; DuckDB's inclusive slice end makes drop-last [:-2]). */
+  private def bpeSql(rounds: Int): String = {
+    val iters = (1 to rounds).map { r =>
+      val merge =
+        if (r == rounds) ""
+        else s""",
+           |v$r AS (
+           |  SELECT wc,
+           |    list_reduce(
+           |      list_prepend([]::VARCHAR[],
+           |        list_transform(syms, x -> [x])),
+           |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = a
+           |          AND x[1] = b
+           |        THEN list_append(acc[:-2], a || b)
+           |        ELSE list_append(acc, x[1]) END) AS syms
+           |  FROM v${r - 1}, m$r)""".stripMargin
+      s"""p$r AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b, sum(wc)::BIGINT AS cnt
+         |  FROM v${r - 1}, unnest(range(1, len(syms))) AS t(i)
+         |  GROUP BY 1, 2),
+         |m$r AS (SELECT a, b, cnt FROM p$r
+         |  ORDER BY cnt DESC, a, b LIMIT 1)$merge""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map(r =>
+      s"SELECT $r::BIGINT AS round, a AS \"left\", b AS \"right\", " +
+        s"cnt AS pair_count FROM m$r").mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT w, count(*)::BIGINT AS wc FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |      AS w
+       |    FROM documents) GROUP BY 1),
+       |v0 AS (SELECT wc, string_split(w, '') AS syms FROM w0),
+       |$iters
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // F33 twin: same flags, exact HUGEINT margin products, the one
+    // final division
+    "text_kappa" ->
+      """WITH f AS (
+        |  SELECT (length(text) >= 250)::BIGINT AS a,
+        |    (len(string_split_regex(trim(text), '[ \t\n\f\r]+')) >= 46)
+        |      ::BIGINT AS b
+        |  FROM documents),
+        |c AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |    sum(a * b)::BIGINT AS n11, sum(a * (1 - b))::BIGINT AS n10,
+        |    sum((1 - a) * b)::BIGINT AS n01,
+        |    sum((1 - a) * (1 - b))::BIGINT AS n00
+        |  FROM f),
+        |k AS (
+        |  SELECT *,
+        |    (n11::HUGEINT + n10) * (n11::HUGEINT + n01)
+        |      + (n01::HUGEINT + n00) * (n10::HUGEINT + n00) AS pe_sum,
+        |    n_docs::HUGEINT * n_docs
+        |      - ((n11::HUGEINT + n10) * (n11::HUGEINT + n01)
+        |        + (n01::HUGEINT + n00) * (n10::HUGEINT + n00)) AS kden
+        |  FROM c)
+        |SELECT n_docs, n11, n10, n01, n00,
+        |  (n11 + n00) * 1000000 // n_docs AS po_ppm,
+        |  CASE WHEN kden <> 0 THEN round(
+        |    (n_docs::HUGEINT * (n11::HUGEINT + n00) - pe_sum)::DOUBLE
+        |      / kden::DOUBLE, 6) END AS kappa
+        |FROM k""".stripMargin,
+    "text_bpe_train" -> bpeSql(4),
     // F31 twin: same tokenizer, same exact HUGEINT VMR numerator and
     // floor-div ppm, same (vmr desc, token) top-20
     "text_burstiness" ->

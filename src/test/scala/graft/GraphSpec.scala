@@ -6,6 +6,25 @@ import graft.operators.{Dedup, Graph}
 class GraphSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSession.spark
 
+  test("I9 LPA communities: two bridged triangles split exactly, modularity hand-checked") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by bridge (3,4): 3 sync
+    // sweeps with the min-label tie rule converge to labels 1 and 3;
+    // m = 7, each community has e_in = 3, d_sum = 7 →
+    // contrib = (2·14·3 − 49)/196 = 35/196, Q = 70/196
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    def run() = Graph.labelPropagation(edges, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+    val c = 0.178571 // round(35/196, 6)
+    val q = 0.357143 // round(70/196, 6)
+    val want = Seq((1L, 3L, 3L, 7L, c, q), (3L, 3L, 3L, 7L, c, q))
+    val got = run()
+    assert(got == want, s"got $got")
+    assert(run() == got, "sync LPA must be run-to-run deterministic")
+  }
+
   test("connectedComponents: chain, pair, singleton") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (3L, 2L), (10L, 11L)).toDF("src", "dst")

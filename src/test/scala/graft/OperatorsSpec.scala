@@ -221,6 +221,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r7 == r.map { case (k, v) => k -> v._1 })
   }
 
+  test("F33 kappa: chance-level crossed raters score 0, perfect agreement scores 1") {
+    import spark.implicits._
+    // one doc per cell: po = 1/2 but the margins predict exactly 1/2
+    // by chance → kappa = 0 (the imbalance raw agreement hides)
+    val crossed = Seq(
+      (1L, ("w " * 130)),   // long chars AND many tokens   → n11
+      (2L, "x" * 260),      // long chars, one token        → n10
+      (3L, ("a " * 50)),    // 100 chars, 50 tokens         → n01
+      (4L, "short")         //                              → n00
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.raterKappa(crossed).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 1L, 1L, 1L, 1L)), s"cells: $r")
+    assert(r.getLong(5) == 500000L && r.getDouble(6) == 0.0, s"got $r")
+    val agree = Seq(
+      (1L, ("w " * 130)), (2L, ("w " * 130)), (3L, ("w " * 130)),
+      (4L, "short")).toDF("doc_id", "text")
+    val r2 = graft.operators.TextAnalysis.raterKappa(agree).collect()(0)
+    assert(r2.getLong(5) == 1000000L && r2.getDouble(6) == 1.0, s"got $r2")
+  }
+
+  test("F34 BPE: hand-traced merge sequence, greedy no-remerge, lexicographic ties") {
+    import spark.implicits._
+    // words: aaab ×2, cab ×1 → round 1 picks (a,a) with count 4
+    // (every adjacent position counts), and the greedy fold merges
+    // "aaab" to [aa, a, b] — the fresh "aa" never re-merges in-round
+    val docs = Seq((1L, "aaab aaab cab")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bpeTrain(docs, rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((1L, "a", "a", 4L), (2L, "a", "b", 3L),
+      (3L, "aa", "ab", 2L), (4L, "c", "ab", 1L)), s"got $got")
+    // tie: (b,a) and (a,b) both count 1 → lexicographic min wins
+    val tie = Seq((1L, "ba ab")).toDF("doc_id", "text")
+    val t = graft.operators.TextAnalysis.bpeTrain(tie, rounds = 1)
+      .collect()(0)
+    assert((t.getString(1), t.getString(2), t.getLong(3)) ==
+      (("a", "b", 1L)), s"got $t")
+  }
+
   test("F31 burstiness: bursty token beats spread token, VMR hand-exact") {
     import spark.implicits._
     // 'burst' appears 10x in ONE of 5 docs; 'even' appears 2x in each
@@ -1455,6 +1495,87 @@ class OperatorsSpec extends AnyFunSuite {
         if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
     assert(got("mix") == ((Some(1.0), Some(1.0))), s"got ${got("mix")}")
     assert(got("flat") == ((None, None)), s"got ${got("flat")}")
+  }
+
+  test("B50 ADF: alternation rejects the unit root, walk does not, ramp nulls; bit-equal to a driver ref") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf("2021-01-01").getTime + (day - 1) * 86400000L)
+    // alt: noisy mean reversion around 7 (a clean 5,9,5,9 alternation
+    // is a PERFECT AR fit — sse = 0 → null; the %3 wobble keeps a
+    // residual) → t ≈ −12, rejects; walk: cumulative LCG steps →
+    // near-unit-root, fails to reject;
+    // ramp: constant diff → perfect fit, sse = 0 → null by the guard
+    val altY = (1 to 20).map(d =>
+      if (d % 2 == 1) 4L + (d % 3) else 10L - (d % 3))
+    val walkY = {
+      var s = 11L; var y = 50L
+      (1 to 20).map { _ =>
+        s = (s * 1103515245L + 12345L) % 2147483648L
+        y += (s % 5); y }
+    }
+    val rampY = (1 to 20).map(d => 3L * d)
+    val rows =
+      altY.zipWithIndex.flatMap { case (y, d) =>
+        Seq.fill(y.toInt)(("alt", d + 1)) } ++
+      walkY.zipWithIndex.flatMap { case (y, d) =>
+        Seq.fill(y.toInt)(("walk", d + 1)) } ++
+      rampY.zipWithIndex.flatMap { case (y, d) =>
+        Seq.fill(y.toInt)(("ramp", d + 1)) }
+    val df = rows.map { case (et, d) => (t(d), et) }.toDF("ts", "event_type")
+    def rnd(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(ys: Seq[Long]): (Option[Double], Option[Double], Option[Int]) = {
+      val ps = ys.sliding(2).map { case Seq(a, b) => (a, b - a) }.toSeq
+      val n = ps.size
+      def S(f: ((Long, Long)) => BigInt) = ps.map(f).sum
+      val (sx, sd) = (S(p => BigInt(p._1)), S(p => BigInt(p._2)))
+      val sxx = S(p => BigInt(p._1) * p._1)
+      val sdd = S(p => BigInt(p._2) * p._2)
+      val sxd = S(p => BigInt(p._1) * p._2)
+      val cxx = (n * sxx - sx * sx).toDouble
+      val cxd = (n * sxd - sx * sd).toDouble
+      val cdd = (n * sdd - sd * sd).toDouble
+      val rho = cxd / cxx
+      val sse = (cdd - cxd * cxd / cxx) / n.toDouble
+      val s2 = sse / (n.toDouble - 2.0)
+      val tst = rho / math.sqrt(s2 * n.toDouble / cxx)
+      val ok = n >= 4 && cxx > 0 && s2 > 0
+      (if (cxx > 0) Some(rnd(rho, 6)) else None,
+        if (ok) Some(rnd(tst, 4)) else None,
+        if (ok) Some(if (tst < -2.86) 1 else 0) else None)
+    }
+    val got = graft.operators.Resilience.adf(df).collect().map(r =>
+      r.getString(0) -> ((
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4))))).toMap
+    for ((name, ys) <- Seq("alt" -> altY, "walk" -> walkY, "ramp" -> rampY))
+      assert(got(name) == ref(ys), s"$name: got ${got(name)}, ref ${ref(ys)}")
+    assert(got("alt")._3 == Some(1), "alternation must reject the unit root")
+    assert(got("walk")._3 == Some(0), "walk must fail to reject")
+    assert(got("ramp")._2.isEmpty, "perfect fit must null the statistic")
+  }
+
+  test("B51 backtest: ramp series scores the three baselines exactly") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf("2021-02-01").getTime + (day - 1) * 86400000L)
+    // y_t = t over 14 days: naive |e| = 1, snaive-7 |e| = 7, expanding
+    // mean ŷ_t = t/2 → |e| = t/2 for t = 8..14 → MAE = 5.5,
+    // RMSE = sqrt(31.25), MASE ratios 7 and 5.5 exactly
+    val rows = (1 to 14).flatMap(d => Seq.fill(d)(("ramp", d)))
+    val df = rows.map { case (et, d) => (t(d), et) }.toDF("ts", "event_type")
+    val r = graft.operators.Resilience.backtest(df).collect()(0)
+    assert(r.getString(0) == "ramp" && r.getLong(1) == 7L)
+    assert((r.getDouble(2), r.getDouble(3)) == ((1.0, 1.0)), "naive")
+    assert((r.getDouble(4), r.getDouble(5)) == ((7.0, 7.0)), "snaive")
+    assert(r.getDouble(6) == 5.5, s"mae_mean ${r.getDouble(6)}")
+    assert(r.getDouble(7) ==
+      BigDecimal(math.sqrt(31.25)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"rmse_mean ${r.getDouble(7)}")
+    assert((r.getDouble(8), r.getDouble(9)) == ((7.0, 5.5)), "mase")
   }
 
   test("B47 Granger: a strict one-day lead is causal in one direction only") {
