@@ -485,6 +485,64 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  // ---- G11: real PNG pixel decode -----------------------------------
+
+  /** Deterministic RGB test pixel for the PNG seam — a different
+    * coefficient mix than [[bmpChannel]] so a BMP/PNG cross-wiring
+    * can never cancel out. Shared verbatim with the oracle. */
+  private[graft] def pngChannel(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id * 37 + y.toLong * 89 + x.toLong * 17 + c.toLong * 113) % 256)
+      .toInt
+
+  /** REAL PNG per document around the [[pngChannel]] pattern, encoded
+    * through `ImageIO.write` — unlike G9's hand-built BMP this
+    * exercises the COMPRESSED path (zlib inflate + PNG row filters)
+    * of the decoder; PNG is lossless, so the decoded pixels replay
+    * the formula regardless of which filter heuristics the encoder
+    * picked. */
+  private[graft] def pngBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (pngChannel(id, x, y, 0) << 16) |
+          (pngChannel(id, x, y, 1) << 8) | pngChannel(id, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** G11 graded entry (`mm_png_stats`): the G9 contract brought to
+    * PNG — synthesize (dims 3-7 × 2-5), ImageIO-encode, decode back
+    * through the [[imagePixels]] seam, aggregate exact channel sums
+    * plus a position-weighted moment that breaks on row flips,
+    * channel swaps, or filter mis-reconstruction. The oracle replays
+    * the pixel FORMULA, so a hash match proves the zlib+filter
+    * decode end to end. */
+  private def pngStatsEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long]
+      .map(id => (id,
+        pngBytes(id, (3 + id % 5).toInt, (2 + id % 4).toInt)))
+      .toDF("doc_id", "payload")
+    imagePixels(payloads)
+      .groupBy($"doc_id")
+      .agg((max($"x") + 1).as("width"), (max($"y") + 1).as("height"),
+        count(lit(1)).as("n_px"),
+        sum($"r").as("sum_r"), sum($"g").as("sum_g"),
+        sum($"b").as("sum_b"),
+        sum(($"r" * 3 + $"g" * 5 + $"b" * 7) *
+          (($"x" + 2) * ($"y" + 1))).as("moment"))
+      .orderBy($"doc_id")
+  }
+
   /** G10 REAL average-hash (`mm_phash_real`): the G5 perceptual
     * fingerprint computed from ACTUALLY DECODED pixels instead of the
     * stub codec — 8×8 BMPs synthesized from the [[bmpChannel]]
@@ -767,6 +825,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_bmp_stats" -> bmpStatsEntry,
+    "mm_png_stats" -> pngStatsEntry,
     "mm_phash_real" -> phashRealEntry,
     "mm_resample" -> wavResampleEntry,
     "mm_wav_features" -> wavFeaturesEntry,
@@ -791,6 +850,35 @@ object Multimodal {
     }))
 
   val oracles: Map[String, String] = Map(
+    // G11 twin: the PNG pixel formula replayed — a hash match proves
+    // the ImageIO PNG encoder, the zlib+filter decode, and the
+    // aggregation agree to the bit (no byte parsing anywhere)
+    "mm_png_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, (3 + doc_id % 5)::BIGINT AS w,
+        |    (2 + doc_id % 4)::BIGINT AS h
+        |  FROM documents),
+        |xs AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w::INT))::BIGINT AS x
+        |  FROM dims),
+        |px AS (
+        |  SELECT doc_id, w, h, x,
+        |    unnest(range(0, h::INT))::BIGINT AS y
+        |  FROM xs),
+        |v AS (
+        |  SELECT doc_id, x, y,
+        |    (doc_id * 37 + y * 89 + x * 17) % 256 AS r,
+        |    (doc_id * 37 + y * 89 + x * 17 + 113) % 256 AS g,
+        |    (doc_id * 37 + y * 89 + x * 17 + 226) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id,
+        |  (max(x) + 1)::BIGINT AS width, (max(y) + 1)::BIGINT AS height,
+        |  count(*)::BIGINT AS n_px,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+        |  sum(b)::BIGINT AS sum_b,
+        |  sum((r * 3 + g * 5 + b * 7) * ((x + 2) * (y + 1)))::BIGINT
+        |    AS moment
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // G10 twin: the pixel formula replayed, same exact mean compare
     // and two's-complement bit packing
     "mm_phash_real" ->

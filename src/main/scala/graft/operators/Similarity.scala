@@ -428,6 +428,40 @@ object Similarity {
       .orderBy($"q_id", $"vec_id")
   }
 
+  /** E23 RECALL@k EVALUATION of the IVF tier against exact
+    * brute-force (the tuning loop a serving stack runs when picking
+    * nProbe — E21 scores ranking quality against labels, this scores
+    * the INDEX against ground truth): per query the overlap between
+    * the E3 approximate top-k and the E1 exact top-k, plus the
+    * macro recall over the query batch repeated per row (the
+    * I9-style global column).
+    *
+    * Everything is exact integers: both top-k sets are
+    * bit-deterministic (6dp-rounded cosines, id tie rule), the
+    * overlap is a left-semi count, and the ratios are floor-div ppm
+    * — so the graded hash proves BOTH retrieval pipelines and the
+    * set intersection. Corpus cost = E1's scan + E3's probed scan;
+    * the metric math runs on |Q|·k rows. */
+  def annRecall(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val exact = bruteforce(vecs).select($"q_id", $"vec_id")
+      .localCheckpoint()
+    val approx = annIvf(vecs)
+      .select($"q_id".as("aq"), $"vec_id".as("av"))
+    val hits = exact.join(approx,
+        $"q_id" === $"aq" && $"vec_id" === $"av", "left_semi")
+      .groupBy($"q_id").agg(count(lit(1)).as("n_hit"))
+    val per = exact.groupBy($"q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+    val tot = per.agg(sum($"n_hit").as("sh"), sum($"n_exact").as("se"))
+    per.crossJoin(broadcast(tot))
+      .select($"q_id", $"n_exact", $"n_hit",
+        expr("n_hit * 1000000 div n_exact").as("recall_ppm"),
+        expr("sh * 1000000 div se").as("macro_ppm"))
+      .orderBy($"q_id")
+  }
+
   /** Cosine-argmax cell id over literal centroids: `greatest` on
     * (cos, -c_id) structs picks the best cell, ties to the lowest id —
     * the same rule as the previous max_by aggregation. */
@@ -1274,6 +1308,7 @@ object Similarity {
     "ann_rp" -> onVecs(annRp),
     "ann_ndcg" -> onVecs(annNdcg),
     "ann_ivf" -> onVecs(annIvf),
+    "ann_recall" -> onVecs(annRecall),
     "ann_ivf_kmeans" -> onVecs(v => annIvfKmeans(v)),
     "ann_ivfpq" -> onVecs(v => annIvfPq(v)),
     "ann_ivfpq_rerank" -> onVecs(v => annIvfPqRerank(v)),
@@ -1991,6 +2026,63 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, cos FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    // E23 twin: the E1 and E3 chains side by side (CTEs renamed
+    // apart), overlap by a null-counting left join, floor-div ppm
+    "ann_recall" ->
+      s"""WITH $eCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, n AS qn FROM e
+         |      WHERE vec_id < $NumQueries),
+         |bscored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    round(list_dot_product(q.qv, e.v) / (q.qn * e.n), 6) AS cos
+         |  FROM e JOIN q ON e.vec_id <> q.q_id),
+         |branked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM bscored),
+         |bt AS (SELECT q_id, vec_id FROM branked WHERE rank <= $TopK),
+         |cents AS (
+         |  SELECT vec_id AS c_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+         |  FROM e WHERE (vec_id * 7) % 101 < 16 ORDER BY vec_id LIMIT 16),
+         |asg AS (
+         |  SELECT vec_id, v, n, cell FROM (
+         |    SELECT e.vec_id, e.v, e.n, c.c_id AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.n * c.cn) DESC, c.c_id
+         |    ) AS arn
+         |    FROM e CROSS JOIN cents c)
+         |  WHERE arn = 1),
+         |probes AS (
+         |  SELECT q_id, qv, qn, cell FROM (
+         |    SELECT e.vec_id AS q_id, e.v AS qv, e.n AS qn, c.c_id AS cell,
+         |      row_number() OVER (
+         |        PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, c.cv) / (e.n * c.cn) DESC, c.c_id
+         |      ) AS prn
+         |    FROM e CROSS JOIN cents c WHERE e.vec_id < $NumQueries)
+         |  WHERE prn <= 2),
+         |iscored AS (
+         |  SELECT p.q_id, a.vec_id,
+         |    round(list_dot_product(p.qv, a.v) / (p.qn * a.n), 6) AS cos
+         |  FROM probes p JOIN asg a ON p.cell = a.cell AND a.vec_id <> p.q_id),
+         |iranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM iscored),
+         |it AS (SELECT q_id, vec_id FROM iranked WHERE rank <= $TopK),
+         |per AS (
+         |  SELECT bt.q_id, count(*)::BIGINT AS n_exact,
+         |    sum(CASE WHEN it.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_hit
+         |  FROM bt LEFT JOIN it
+         |    ON bt.q_id = it.q_id AND bt.vec_id = it.vec_id
+         |  GROUP BY 1),
+         |tot AS (SELECT sum(n_hit)::BIGINT AS sh,
+         |        sum(n_exact)::BIGINT AS se FROM per)
+         |SELECT q_id, n_exact, n_hit,
+         |  n_hit * 1000000 // n_exact AS recall_ppm,
+         |  sh * 1000000 // se AS macro_ppm
+         |FROM per, tot ORDER BY q_id""".stripMargin,
     "ann_ivf" ->
       s"""WITH $eCte,
          |cents AS (

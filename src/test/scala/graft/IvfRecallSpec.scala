@@ -61,6 +61,29 @@ class IvfRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("E23 graded recall table matches a driver-side E1∩E3 intersection") {
+    import spark.implicits._
+    val vecs = spark.range(2000).select($"id".as("vec_id"),
+      expr("""transform(sequence(0, 31), j ->
+              |  cast(xxhash64(id, j) % 1000 as double) / 1000.0)"""
+        .stripMargin).as("embedding"))
+    val ex = topSets(Similarity.bruteforce(vecs))
+    val iv = topSets(Similarity.annIvf(vecs))
+    val hits = ex.map { case (q, s) =>
+      q -> s.intersect(iv.getOrElse(q, Set.empty)).size.toLong }
+    val sh = hits.values.sum
+    val se = ex.values.map(_.size.toLong).sum
+    val got = Similarity.annRecall(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == ex.keySet)
+    for ((q, s) <- ex) {
+      val want = ((s.size.toLong, hits(q),
+        hits(q) * 1000000L / s.size, sh * 1000000L / se))
+      assert(got(q) == want, s"q=$q: got ${got(q)}, want $want")
+    }
+  }
+
   test("direction regime: full recall at a 1/nlist candidate scan") {
     val vecs = corpus(normSpread = false).persist()
     try {

@@ -121,6 +121,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.size == 4 + 6, "corrupt payload must contribute no rows")
   }
 
+  test("G11 PNG round trip: ImageIO-encoded pixels replay the formula, corrupt drops") {
+    import spark.implicits._
+    // the PNG path exercises zlib + row filters, which G9's raw BMP
+    // never touches; losslessness means the formula must replay
+    val assets = Seq(
+      (3L, Multimodal.pngBytes(3L, 3, 2)),
+      (4L, Multimodal.pngBytes(4L, 4, 3)),
+      (5L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.imagePixels(assets)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2, t._3) -> ((t._4, t._5, t._6))).toMap
+    for (id <- Seq(3L, 4L); y <- 0 until (if (id == 3L) 2 else 3);
+        x <- 0 until (if (id == 3L) 3 else 4)) {
+      val want = ((Multimodal.pngChannel(id, x, y, 0).toLong,
+        Multimodal.pngChannel(id, x, y, 1).toLong,
+        Multimodal.pngChannel(id, x, y, 2).toLong))
+      assert(got((id, x.toLong, y.toLong)) == want,
+        s"pixel ($id, $x, $y): got ${got((id, x.toLong, y.toLong))}")
+    }
+    assert(got.size == 6 + 12, "corrupt payload must contribute no rows")
+  }
+
   test("G5 perceptual near-dup finds edited copies, not unrelated assets") {
     import spark.implicits._
     // strong region contrast (alternating dark/bright 10-byte tiles):
