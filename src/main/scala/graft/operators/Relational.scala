@@ -125,6 +125,49 @@ object Relational {
       .orderBy($"priority")
   }
 
+  /** A59 QCUT — pandas `qcut(x, 4)`'s semantic twin: VALUE-based
+    * quartile binning. A18's `ntile` splits equal values across
+    * buckets by arbitrary row order; qcut assigns by VALUE, so ties
+    * stay together and bucket populations skew exactly where the
+    * data does — the honest histogram a feature-binning step wants.
+    * Bins are right-closed on the A29 type-1 edges:
+    * bucket = 1 + [v > q25] + [v > q50] + [v > q75].
+    *
+    * Scale shape: the A29 cumulative histogram (one corpus shuffle)
+    * yields the edges, which join back onto the HISTOGRAM — never a
+    * second corpus scan — and the bucket stats aggregate
+    * distinct-value rows. All exact integers; shares floor-div ppm. */
+  def qcut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("priority"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val counts = pts.groupBy($"priority", $"cents")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"priority").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"priority")))
+    val edges = cum.groupBy($"priority")
+      .agg(max($"n").as("n"),
+        min(when($"cum" >= ceil(lit(0.25) * $"n"), $"cents")).as("q1"),
+        min(when($"cum" >= ceil(lit(0.5) * $"n"), $"cents")).as("q2"),
+        min(when($"cum" >= ceil(lit(0.75) * $"n"), $"cents")).as("q3"))
+    counts.join(broadcast(edges), "priority")
+      .withColumn("bucket", lit(1L) +
+        ($"cents" > $"q1").cast("long") +
+        ($"cents" > $"q2").cast("long") +
+        ($"cents" > $"q3").cast("long"))
+      .groupBy($"priority", $"bucket")
+      .agg(sum($"c").as("n_rows"), min($"cents").as("min_cents"),
+        max($"cents").as("max_cents"), max($"n").as("n"))
+      .select($"priority", $"bucket", $"n_rows", $"min_cents",
+        $"max_cents", expr("n_rows * 1000000 div n").as("share_ppm"))
+      .orderBy($"priority", $"bucket")
+  }
+
   /** A32 INTERPOLATED quantiles — the type-7 definition (pandas
     * `quantile` / numpy `percentile` DEFAULT, vs A29's type-1): rank
     * h = (n−1)·p, result = v_⌊h⌋₊₁ + (h−⌊h⌋)·(v_⌊h⌋₊₂ − v_⌊h⌋₊₁)
@@ -1690,6 +1733,7 @@ object Relational {
     "q_mode" -> modePerGroup,
     "q_argmax" -> argExtremes,
     "q_quantiles" -> quantiles,
+    "q_qcut" -> qcut,
     "q_quantiles_interp" -> quantilesInterp,
     "q_winsorize" -> winsorize,
     "q_melt" -> melt,
@@ -2493,6 +2537,37 @@ object Relational {
         |  max(struct_pack(c := c, nq := -qty)).c AS mode_count,
         |  sum(c)::BIGINT AS n_rows
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // A59 twin: the A29 histogram + the same right-closed bucket
+    // predicate over the edge join — all integers
+    "q_qcut" ->
+      """WITH pts AS (
+        |  SELECT o_orderpriority AS priority,
+        |    round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |counts AS (
+        |  SELECT priority, cents, count(*)::BIGINT AS c
+        |  FROM pts GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT priority, cents, c,
+        |    (sum(c) OVER (PARTITION BY priority ORDER BY cents))::BIGINT
+        |      AS cum,
+        |    (sum(c) OVER (PARTITION BY priority))::BIGINT AS n
+        |  FROM counts),
+        |edges AS (
+        |  SELECT priority, max(n) AS n,
+        |    min(CASE WHEN cum >= ceil(0.25 * n) THEN cents END) AS q1,
+        |    min(CASE WHEN cum >= ceil(0.5 * n) THEN cents END) AS q2,
+        |    min(CASE WHEN cum >= ceil(0.75 * n) THEN cents END) AS q3
+        |  FROM cum GROUP BY priority),
+        |b AS (
+        |  SELECT counts.priority, cents, c, n,
+        |    1 + (cents > q1)::BIGINT + (cents > q2)::BIGINT
+        |      + (cents > q3)::BIGINT AS bucket
+        |  FROM counts JOIN edges ON counts.priority = edges.priority)
+        |SELECT priority, bucket, sum(c)::BIGINT AS n_rows,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  (sum(c) * 1000000 // max(n))::BIGINT AS share_ppm
+        |FROM b GROUP BY 1, 2 ORDER BY priority, bucket""".stripMargin,
     "q_quantiles" ->
       """WITH pts AS (
         |  SELECT o_orderpriority AS priority,

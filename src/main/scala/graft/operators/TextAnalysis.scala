@@ -889,13 +889,29 @@ object TextAnalysis {
     * (round, left, right, pair_count). */
   def bpeTrain(docs: DataFrame, rounds: Int = 4): DataFrame = {
     import docs.sparkSession.implicits._
-    var vocab = docs
+    val (merges, _) = bpeLearn(globalVocab(docs), rounds)
+    merges.reduce(_ union _).orderBy($"round")
+  }
+
+  /** Corpus → (w, wc, syms) word-frequency vocabulary, the ONLY
+    * corpus-scan of the BPE pair (F34/F35). */
+  private def globalVocab(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select(explode(expr(
         "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("wc"))
       .withColumn("syms", expr("filter(split(w, ''), x -> x <> '')"))
-      .select($"wc", $"syms")
-      .localCheckpoint()
+  }
+
+  /** The merge loop shared by F34 (emits the merges) and F35 (emits
+    * the final segmentation): vocabulary-bounded per round, winner
+    * broadcast back, greedy left-to-right fold, lineage truncated. */
+  private def bpeLearn(vocab0: DataFrame,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
+    val s = vocab0.sparkSession
+    import s.implicits._
+    var vocab = vocab0.localCheckpoint()
     val merges = (1 to rounds).map { r =>
       val pc = vocab
         .filter(size($"syms") >= 2)
@@ -918,12 +934,46 @@ object TextAnalysis {
             |    THEN concat(slice(acc, 1, size(acc) - 1),
             |      array(concat(ma, mb)))
             |    ELSE concat(acc, array(x)) END)""".stripMargin))
-        .select($"wc", $"syms")
+        .select($"w", $"wc", $"syms")
         .localCheckpoint()
       best.select(lit(r.toLong).as("round"), $"a".as("left"),
         $"b".as("right"), $"cnt".as("pair_count"))
     }
-    merges.reduce(_ union _).orderBy($"round")
+    (merges, vocab)
+  }
+
+  /** F35 TOKENIZER FERTILITY — the APPLY side of F34 (train without
+    * apply is half a tokenizer): re-segment the corpus with the
+    * learned merges and report tokens-per-word per source — the
+    * fertility metric tokenizer teams track per language/domain
+    * (high fertility = this slice pays more sequence length per word
+    * than the tokenizer was trained for).
+    *
+    * The per-source word table and the global vocabulary come out of
+    * the SAME corpus scan shape; merges train on GLOBAL counts (the
+    * F34 chain verbatim), the final segmentation joins back to the
+    * per-source counts by word — corpus cost stays one tokenization
+    * pass, everything after is vocabulary-bounded. Fertility ships
+    * as integer floor-div ppm of exact BIGINT token/word counts. */
+  def bpeFertility(docs: DataFrame, rounds: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bySource = docs
+      .select($"source", explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+    val global = bySource.groupBy($"w").agg(sum($"wc").as("wc"))
+      .withColumn("syms", expr("filter(split(w, ''), x -> x <> '')"))
+    val (_, finalVocab) = bpeLearn(global, rounds)
+    val seg = finalVocab
+      .select($"w", size($"syms").cast("long").as("n_tok"))
+    bySource.join(seg, "w")
+      .groupBy($"source")
+      .agg(sum($"wc").as("n_words"),
+        sum($"wc" * $"n_tok").as("n_tokens"))
+      .select($"source", $"n_words", $"n_tokens",
+        expr("n_tokens * 1000000 div n_words").as("fertility_ppm"))
+      .orderBy($"source")
   }
 
   /** F32 COMPRESSION-RATIO quality signal (the Gopher/FineWeb
@@ -1139,6 +1189,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_kappa" -> onDocs(raterKappa),
     "text_bpe_train" -> onDocs(d => bpeTrain(d)),
+    "text_bpe_fertility" -> onDocs(d => bpeFertility(d)),
     "text_readability" -> onDocs(readability),
     "text_burstiness" -> onDocs(d => burstiness(d)),
     // rows-only by design: no SQL engine replays zlib; property-spec'd
@@ -1191,13 +1242,13 @@ object TextAnalysis {
     * lateral position unnest, the same (cnt DESC, a, b) winner, and
     * the identical greedy fold with list-typed accumulators (B41
     * trick; DuckDB's inclusive slice end makes drop-last [:-2]). */
-  private def bpeSql(rounds: Int): String = {
+  private def bpeCtes(rounds: Int, withFinal: Boolean): String = {
     val iters = (1 to rounds).map { r =>
       val merge =
-        if (r == rounds) ""
+        if (r == rounds && !withFinal) ""
         else s""",
            |v$r AS (
-           |  SELECT wc,
+           |  SELECT w, wc,
            |    list_reduce(
            |      list_prepend([]::VARCHAR[],
            |        list_transform(syms, x -> [x])),
@@ -1213,19 +1264,41 @@ object TextAnalysis {
          |m$r AS (SELECT a, b, cnt FROM p$r
          |  ORDER BY cnt DESC, a, b LIMIT 1)$merge""".stripMargin
     }.mkString(",\n")
-    val out = (1 to rounds).map(r =>
-      s"SELECT $r::BIGINT AS round, a AS \"left\", b AS \"right\", " +
-        s"cnt AS pair_count FROM m$r").mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT w, count(*)::BIGINT AS wc FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
        |      AS w
        |    FROM documents) GROUP BY 1),
-       |v0 AS (SELECT wc, string_split(w, '') AS syms FROM w0),
-       |$iters
+       |v0 AS (SELECT w, wc, string_split(w, '') AS syms FROM w0),
+       |$iters""".stripMargin
+  }
+
+  private def bpeSql(rounds: Int): String = {
+    val out = (1 to rounds).map(r =>
+      s"SELECT $r::BIGINT AS round, a AS \"left\", b AS \"right\", " +
+        s"cnt AS pair_count FROM m$r").mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtes(rounds, withFinal = false)}
        |$out
        |ORDER BY round""".stripMargin
   }
+
+  /** F35 twin: the F34 chain with the final vocabulary kept, joined
+    * back to per-source word counts — same floor-div ppm. */
+  private def bpeFertilitySql(rounds: Int): String =
+    s"""WITH ${bpeCtes(rounds, withFinal = true)},
+       |ws AS (
+       |  SELECT source, w, count(*)::BIGINT AS wc FROM (
+       |    SELECT source,
+       |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |    FROM documents) GROUP BY 1, 2),
+       |seg AS (SELECT w, len(syms)::BIGINT AS n_tok FROM v$rounds),
+       |agg AS (
+       |  SELECT source, sum(ws.wc)::BIGINT AS n_words,
+       |    sum(ws.wc * seg.n_tok)::BIGINT AS n_tokens
+       |  FROM ws JOIN seg USING (w) GROUP BY 1)
+       |SELECT source, n_words, n_tokens,
+       |  n_tokens * 1000000 // n_words AS fertility_ppm
+       |FROM agg ORDER BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // F33 twin: same flags, exact HUGEINT margin products, the one
@@ -1257,6 +1330,7 @@ object TextAnalysis {
         |      / kden::DOUBLE, 6) END AS kappa
         |FROM k""".stripMargin,
     "text_bpe_train" -> bpeSql(4),
+    "text_bpe_fertility" -> bpeFertilitySql(4),
     // F31 twin: same tokenizer, same exact HUGEINT VMR numerator and
     // floor-div ppm, same (vmr desc, token) top-20
     "text_burstiness" ->

@@ -364,6 +364,48 @@ object CdcStream {
       }
   }
 
+  /** One rolling-median observation from [[medianStream]]. */
+  case class MedianPoint(user_id: Long, event_id: Long, ts_us: Long,
+      vc: Long, median_cents: Long)
+
+  /** C55 STREAMING rolling EXACT median — the robust-center companion
+    * of C54 (a median monitor keeps reporting a sane center THROUGH
+    * the exact spikes C54 exists to catch, where the rolling mean is
+    * dragged by them): per key the last `window` cent values ride the
+    * same bounded state (a handful of longs per key for any stream
+    * length); each arriving value first reads the type-1 LOWER median
+    * of the trailing window — sorted element ⌈w/2⌉, integer-exact, no
+    * interpolation — over the batch ROWS −w..−1 frame (no
+    * self-contamination), then joins the window. Cross-batch
+    * contract: per-key in-order delivery (C31 offset order); in-batch
+    * rows sort by full-µs event time. Spec pins emission equality
+    * with a driver-side fold across micro-batch splits that land
+    * MID-window. */
+  def medianStream(changes: Dataset[Change],
+      window: Int = 7): Dataset[MedianPoint] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Change], state: GroupState[Seq[Long]]) =>
+          var q = state.getOption.getOrElse(Seq.empty[Long]).toVector
+          val out = it.toArray
+            .sortBy(c => (tsUs(c.ts), c.event_id))
+            .flatMap { ch =>
+              val vc = math.round(ch.value * 100)
+              val res =
+                if (q.length == window)
+                  Some(MedianPoint(uid, ch.event_id, tsUs(ch.ts), vc,
+                    q.sorted.apply((window - 1) / 2)))
+                else None
+              q = (q :+ vc).takeRight(window)
+              res
+            }
+          state.update(q)
+          out.iterator
+      }
+  }
+
   /** One schema-registry update from [[schemaDriftStream]]: a key's
     * registry row after a batch that touched it. */
   case class KeyDrift(key: String, first_day: String, last_day: String,

@@ -261,6 +261,39 @@ class OperatorsSpec extends AnyFunSuite {
       (("a", "b", 1L)), s"got $t")
   }
 
+  test("A59 qcut: ties stay in one bucket, populations skew with the data") {
+    import spark.implicits._
+    // cents [1×4, 2×2, 3, 10]: edges q25=1 q50=1 q75=2 → the four 1s
+    // all land in bucket 1 (ntile would split them 2/2), bucket 2 is
+    // EMPTY, 2s → bucket 3, 3 and 10 → bucket 4
+    val dir = java.nio.file.Files.createTempDirectory("qcut").toString
+    Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L, 10L).zipWithIndex
+      .map { case (c, i) => (i.toLong, "A", c / 100.0) }
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Relational.qcut(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(got == Seq((1L, 4L, 1L, 1L, 500000L),
+      (3L, 2L, 2L, 2L, 250000L), (4L, 2L, 3L, 10L, 250000L)),
+      s"got $got")
+  }
+
+  test("F35 BPE fertility: per-source tokens-per-word after 2 hand-traced merges") {
+    import spark.implicits._
+    // global words: aaab×2 (s1), cab×3 (s1:1, s2:2) → merge 1 = (a,b)
+    // count 5, merge 2 = (c,ab) count 3; segmentation: aaab→[a,a,ab]
+    // (3 tokens), cab→[cab] (1) → s1: 7 tokens / 3 words, s2: 2/2
+    val docs = Seq(
+      (1L, "aaab aaab cab", "s1"),
+      (2L, "cab cab", "s2")).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.bpeFertility(docs, rounds = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("s1") == ((3L, 7L, 2333333L)), s"got ${got("s1")}")
+    assert(got("s2") == ((2L, 2L, 1000000L)), s"got ${got("s2")}")
+  }
+
   test("F31 burstiness: bursty token beats spread token, VMR hand-exact") {
     import spark.implicits._
     // 'burst' appears 10x in ONE of 5 docs; 'even' appears 2x in each

@@ -515,6 +515,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C55 streaming rolling median == driver fold across mid-window splits, spike-robust") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // steady 2.00s with one 9.00 spike: the MEDIAN emitted while the
+    // spike sits inside the window must stay 200 (mean would jump)
+    val vals = Seq(2.0, 2.0, 2.0, 2.1, 1.9, 2.0, 2.0, 9.0, 2.0, 2.0,
+      2.0, 2.1, 1.9, 2.0, 2.0)
+    val all = vals.zipWithIndex.map { case (v, i) =>
+      Change(1L, i.toLong, t(i.toLong), "U", v) }
+    val in = MemoryStream[Change]
+    val q = CdcStream.medianStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("median_stream").start()
+    try {
+      // split INSIDE the rolling window around the spike
+      in.addData(all.take(6): _*); q.processAllAvailable()
+      in.addData(all.slice(6, 10): _*); q.processAllAvailable()
+      in.addData(all.drop(10): _*); q.processAllAvailable()
+      val got = spark.table("median_stream")
+        .as[CdcStream.MedianPoint].collect()
+        .map(p => p.event_id -> p.median_cents).toMap
+      val cents = vals.map(v => math.round(v * 100))
+      val want = (7 until vals.length).map { i =>
+        i.toLong -> cents.slice(i - 7, i).sorted.apply(3)
+      }.toMap
+      assert(got == want, s"stream $got vs fold $want")
+      assert((8L to 14L).forall(got(_) == 200L),
+        "median must hold 200 through the spike window")
+    } finally q.stop()
+  }
+
   test("C51 streaming schema drift: new key flags once, registry matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
