@@ -822,7 +822,37 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D18 BOILERPLATE PHRASE MINING — names WHAT is repeated (D17
+    * scores how much of each doc is corpus-repeated, D10 strips
+    * repeated lines; this ranks the most-repeated word-5-gram
+    * passages for a curator to READ — the "top boilerplate" report a
+    * crawl-cleaning run publishes before choosing filters): phrase
+    * document-frequency over per-doc DISTINCT shingles, top-`topK`
+    * by (df DESC, phrase), smallest holder doc as the citation.
+    *
+    * Scale shape: the per-doc shingle set dedups ROW-LOCALLY
+    * (`array_distinct`, zero shuffle), then ONE map-side-combined
+    * phrase aggregate + TakeOrderedAndProject. No pair join, no DF
+    * cap — a hot phrase is one counter row (D17's cost argument
+    * verbatim). */
+  def phraseMine(docs: DataFrame, topK: Int = 20,
+      minDf: Long = 2L): DataFrame = {
+    import docs.sparkSession.implicits._
+    // checkpoint before exploding: the Generate consumer re-derives
+    // its child expression per OUTPUT row, so exploding the raw
+    // transform+array_distinct tree costs O(shingles × build) — the
+    // same 27 s→0.3 s pathology the D2 postings explode hit
+    distinctShingleArr(docs).localCheckpoint()
+      .select($"doc_id", explode($"sh").as("shingle"))
+      .groupBy($"shingle")
+      .agg(count(lit(1)).as("df"), min($"doc_id").as("example_doc"))
+      .filter($"df" >= minDf)
+      .orderBy(desc("df"), $"shingle")
+      .limit(topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_phrase" -> onDocs(d => phraseMine(d)),
     "dedup_spans" -> onDocs(d => dupSpans(d)),
     "dedup_winnow" -> onDocs(d => winnow(d)),
     "dedup_corpus" -> onDocs(dedupedCorpus),
@@ -920,6 +950,23 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     // D17 twin: same positional 5-gram windows (with in-doc repeats),
     // same ndocs >= 2 hot set, same floor-div ppm and 50% flag
+    // D18 twin: same 5-gram build, per-doc DISTINCT set, one phrase
+    // aggregate, the same (df DESC, phrase) top-20
+    "dedup_phrase" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+        |      AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        |        FROM w WHERE len(w) >= 5))
+        |SELECT shingle, count(*)::BIGINT AS df,
+        |  min(doc_id)::BIGINT AS example_doc
+        |FROM sh GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
     "dedup_spans" ->
       """WITH w AS (
         |  SELECT doc_id,

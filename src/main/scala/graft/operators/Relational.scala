@@ -1119,6 +1119,55 @@ object Relational {
       .orderBy($"lineno")
   }
 
+  /** A60 ODDS RATIO with Wald CI per market segment (the
+    * epidemiologist's 2×2 next to A48's two-proportion z-test — the
+    * z-test says WHETHER return rates differ, the OR + CI says BY
+    * WHAT FACTOR and how precisely): per segment the cells are
+    * (returned, kept) inside vs outside the segment,
+    * OR = ad/bc, CI = exp-free ln OR ± 1.96·√(1/a+1/b+1/c+1/d),
+    * significant iff the CI excludes 0.
+    *
+    * Cells are exact BIGINTs off ONE keyed aggregate + a broadcast
+    * totals row; the ad/bc cross products ride decimal(38,0) into one
+    * double division each, and the ln/√ tail is a single pinned libm
+    * sequence (F6 precedent) rounded at export. Any empty cell nulls
+    * the estimate explicitly (ln(0)/÷0 must not reach either
+    * engine). */
+  def oddsRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.lineitem(s, dir)
+      .select($"l_orderkey",
+        when($"l_returnflag" === "R", 1L).otherwise(0L).as("pos"))
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+    val seg = rows.groupBy($"c_mktsegment".as("segment"))
+      .agg(sum($"pos").as("a"), sum(lit(1L) - $"pos").as("b"))
+    val tot = seg.agg(sum($"a").as("ta"), sum($"b").as("tb"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cells = seg.crossJoin(broadcast(tot))
+      .withColumn("c", $"ta" - $"a")
+      .withColumn("d", $"tb" - $"b")
+      .withColumn("ok", $"a" > 0 && $"b" > 0 && $"c" > 0 && $"d" > 0)
+      .withColumn("or_", when($"ok",
+        (dec($"a") * $"d").cast("double") /
+          (dec($"b") * $"c").cast("double")))
+      .withColumn("lnor", when($"ok", log($"or_")))
+      .withColumn("se", when($"ok", sqrt(
+        lit(1.0) / $"a".cast("double") + lit(1.0) / $"b".cast("double")
+          + lit(1.0) / $"c".cast("double")
+          + lit(1.0) / $"d".cast("double"))))
+    cells.select($"segment", $"a", $"b", $"c", $"d",
+        when($"ok", round($"or_", 6)).as("odds_ratio"),
+        when($"ok", round($"lnor" - lit(1.96) * $"se", 4)).as("ci_lo"),
+        when($"ok", round($"lnor" + lit(1.96) * $"se", 4)).as("ci_hi"),
+        when($"ok", $"lnor" - lit(1.96) * $"se" > 0 ||
+          $"lnor" + lit(1.96) * $"se" < 0).as("significant"))
+      .orderBy($"segment")
+  }
+
   /** A57 decile GAINS/LIFT table (the sklearn-adjacent
     * `cumulative_gain`/lift report — A56's AUC compressed to one
     * number, this is the table a campaign/filter OPERATOR actually
@@ -1717,6 +1766,7 @@ object Relational {
     "q_lorenz" -> lorenzGini,
     "q_skyline" -> skyline,
     "q_auc" -> aucScore,
+    "q_odds_ratio" -> oddsRatio,
     "q_decile_lift" -> decileLift,
     "q_dq_checks" -> dqChecks,
     "q_mannwhitney" -> mannWhitney,
@@ -2146,6 +2196,47 @@ object Relational {
         |FROM cum ORDER BY decile""".stripMargin,
     // A56 twin: same value-domain histogram, same doubled tie ranks,
     // same decimal product-sum and single-division export
+    // A60 twin: same cells, decimal cross products, one libm sequence
+    "q_odds_ratio" ->
+      """WITH rows_ AS (
+        |  SELECT c_mktsegment AS segment,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey),
+        |seg AS (
+        |  SELECT segment, sum(pos)::BIGINT AS a,
+        |    sum(1 - pos)::BIGINT AS b
+        |  FROM rows_ GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(a)::BIGINT AS ta, sum(b)::BIGINT AS tb FROM seg),
+        |cells AS (
+        |  SELECT segment, a, b, (ta - a)::BIGINT AS c,
+        |    (tb - b)::BIGINT AS d,
+        |    (a > 0 AND b > 0 AND ta - a > 0 AND tb - b > 0) AS ok
+        |  FROM seg, tot),
+        |est AS (
+        |  SELECT *,
+        |    CASE WHEN ok THEN
+        |      (a::HUGEINT * d)::DOUBLE / (b::HUGEINT * c)::DOUBLE
+        |    END AS or_
+        |  FROM cells),
+        |fin AS (
+        |  SELECT *,
+        |    CASE WHEN ok THEN ln(or_) END AS lnor,
+        |    CASE WHEN ok THEN sqrt(
+        |      1.0::DOUBLE / a::DOUBLE + 1.0::DOUBLE / b::DOUBLE
+        |        + 1.0::DOUBLE / c::DOUBLE + 1.0::DOUBLE / d::DOUBLE)
+        |    END AS se
+        |  FROM est)
+        |SELECT segment, a, b, c, d,
+        |  CASE WHEN ok THEN round(or_, 6) END AS odds_ratio,
+        |  CASE WHEN ok THEN round(lnor - 1.96 * se, 4) END AS ci_lo,
+        |  CASE WHEN ok THEN round(lnor + 1.96 * se, 4) END AS ci_hi,
+        |  CASE WHEN ok THEN
+        |    (lnor - 1.96 * se > 0 OR lnor + 1.96 * se < 0)
+        |  END AS significant
+        |FROM fin ORDER BY segment""".stripMargin,
     "q_auc" ->
       """WITH vc AS (
         |  SELECT l_linenumber::BIGINT AS lineno,

@@ -261,6 +261,46 @@ class OperatorsSpec extends AnyFunSuite {
       (("a", "b", 1L)), s"got $t")
   }
 
+  test("D18 phrase mining: shared 5-gram surfaces once, in-doc repeats don't inflate df") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "the quick brown fox jumps far"),
+      (3L, "something completely different here now"),
+      (4L, "a b c d e a b c d e a b c d e")) // 11 in-doc repeats, df 1
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.phraseMine(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("the quick brown fox jumps", 2L, 1L)), s"got $got")
+  }
+
+  test("A60 odds ratio: hand-computed 2x2, CI spanning 0 is not significant") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("or").toString
+    // segment X: a=2 returned, b=1 kept; Y: a=1, b=6 → X's OR = 12
+    Seq((1L, "X"), (2L, "Y")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (Seq.fill(2)((10L, "R")) ++ Seq.fill(1)((10L, "N")) ++
+      Seq.fill(1)((20L, "R")) ++ Seq.fill(6)((20L, "N")))
+      .toDF("l_orderkey", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lnor = math.log(12.0 / 1.0)
+    val se = math.sqrt(1.0 / 2 + 1.0 / 1 + 1.0 / 1 + 1.0 / 6)
+    val got = graft.operators.Relational.oddsRatio(spark, dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5), x.getDouble(6),
+        x.getDouble(7), x.getBoolean(8)))).toMap
+    assert(got("X") == ((2L, 1L, 1L, 6L, 12.0, r(lnor - 1.96 * se, 4),
+      r(lnor + 1.96 * se, 4), false)), s"got ${got("X")}")
+    // Y mirrors X: cells (1, 6, 2, 1) → OR = 1/12
+    assert(got("Y")._1 == 1L && got("Y")._5 == r(1.0 / 12.0, 6),
+      s"got ${got("Y")}")
+  }
+
   test("A59 qcut: ties stay in one bucket, populations skew with the data") {
     import spark.implicits._
     // cents [1×4, 2×2, 3, 10]: edges q25=1 q50=1 q75=2 → the four 1s
