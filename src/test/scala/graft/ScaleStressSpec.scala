@@ -72,6 +72,33 @@ class ScaleStressSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("BPE training at 20x corpus: merges invariant, counts scale exactly, vocab-bounded time") {
+    import spark.implicits._
+    val base = Tables.documents(spark, GraftTestSession.sf)
+    val n = base.count()
+    val k = 20
+    val big = base.crossJoin(spark.range(k).select($"id".as("copy")))
+      .select(($"doc_id" + $"copy" * n).as("doc_id"), $"text")
+    val t0 = System.nanoTime()
+    val bigM = graft.operators.TextAnalysis.bpeTrain(big).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    val baseM = graft.operators.TextAnalysis
+      .bpeTrain(base.select($"doc_id", $"text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // replication scales every word count by k, so every pair count
+    // scales by k and the argmax sequence is IDENTICAL — the merge
+    // rounds never touch the corpus, only the vocabulary
+    assert(bigM.map(m => (m._1, m._2, m._3)) ==
+      baseM.map(m => (m._1, m._2, m._3)), s"$bigM vs $baseM")
+    assert(bigM.map(_._4) == baseM.map(_._4 * k),
+      "pair counts must scale exactly with replication")
+    info(f"4 merges over ${n * k} docs in $secs%.1f s")
+    assert(secs < 30.0, s"vocab-bounded training too slow: $secs s")
+  }
+
   test("decontamination flags every replica of an eval doc at 20x corpus") {
     import spark.implicits._
     val base = Tables.documents(spark, GraftTestSession.sf)
