@@ -1,52 +1,115 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicBoolean
+import scala.collection.concurrent.TrieMap
+
+/** Benchmark entrypoint. Prints ONE JSON line
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  * and mirrors it to bench_out.json.
+  *
+  * Timeout posture (the round-5 driver run died rc=124 with zero rows):
+  *  - pass 1 times every query ONCE in sorted order — full per-query
+  *    coverage lands as early as possible;
+  *  - further passes (up to SPARK_GRAFT_REPS, default 2) re-time
+  *    queries cheapest-first, but only while the measured-time budget
+  *    (SPARK_GRAFT_BUDGET_SEC, default 300 s) has room — best-of-n
+  *    noise rejection degrades gracefully instead of blowing the
+  *    driver's wall-clock limit;
+  *  - a JVM shutdown hook emits the partial JSON if the driver's
+  *    `timeout` SIGTERMs us anyway, so a kill can truncate the table
+  *    but can no longer erase it.
+  */
 object Bench {
+  private val results = new TrieMap[String, Double]()
+  private val sfDirRef = new java.util.concurrent.atomic.AtomicReference[String]("")
+  private val emitted = new AtomicBoolean(false)
+
+  private def render(): String = {
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${sfDirRef.get}"}"""
+  }
+
+  private def writeFile(): Unit =
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_out.json"),
+        (render() + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+
+  private def emit(): Unit = if (emitted.compareAndSet(false, true)) {
+    println(render())
+    scala.Console.out.flush()
+    writeFile()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sfDirRef.set(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.create(s"local[$cpus]", cpus.toInt)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emit()))
     // warmup on the SAME dataset the timed queries read (JIT/codegen +
     // FS metadata outside the timed region; a host that only carries
     // sfDir must not abort here)
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     try SparkEntry.queries.head._2(spark, sfDir).count()
     catch { case _: Throwable => }
-    // per-query best-of-2: the first run of the whole suite pays
-    // first-touch costs (file listing, codegen of shared subtrees)
-    // that would otherwise be attributed to whichever query the Map
-    // iteration order puts first
+
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    // SPARK_GRAFT_ONLY=q1,q2 narrows to named queries and
-    // SPARK_GRAFT_REPS=n raises best-of-2 to best-of-n — adjudication
-    // knobs for re-benching individual rows on a quiet host; the
-    // driver's full-suite run sets neither
+
+    // SPARK_GRAFT_ONLY=q1,q2 narrows to named queries,
+    // SPARK_GRAFT_REPS=n raises the best-of target, and
+    // SPARK_GRAFT_BUDGET_SEC lifts the measured-time budget —
+    // adjudication knobs for re-benching rows on a quiet host; the
+    // driver's full-suite run sets none of them.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2)
-    val results = SparkEntry.queries
+    val budgetSec = sys.env.get("SPARK_GRAFT_BUDGET_SEC").map(_.toDouble)
+      .getOrElse(300.0)
+    val queries = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val ts = (1 to reps).map(_ => timeOnce(fn))
-        name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+      .sortBy(_._1)
+
+    val verbose = sys.env.contains("SPARK_GRAFT_LOG")
+    var spent = 0.0
+    // pass 1: every query once, sorted order — coverage before polish
+    val wall0 = System.nanoTime()
+    queries.foreach { case (name, fn) =>
+      val t = timeOnce(fn)
+      results.put(name, t)
+      if (t > 0) spent += t
+      if (verbose) System.err.println(
+        f"[bench] ${(System.nanoTime() - wall0) / 1e9}%8.1f wall  $t%7.3f q  $name")
+    }
+    writeFile() // durable checkpoint: a SIGKILL past this point loses polish, not rows
+    // passes 2..reps: cheapest-first (noise matters most on sub-second
+    // rows; expensive iterative queries are rep-stable), stop at budget
+    var pass = 2
+    while (pass <= reps && spent < budgetSec) {
+      val order = queries.filter { case (n, _) => results.getOrElse(n, -1.0) >= 0 }
+        .sortBy { case (n, _) => results(n) }
+      val it = order.iterator
+      while (it.hasNext && spent < budgetSec) {
+        val (name, fn) = it.next()
+        val t = timeOnce(fn)
+        if (t > 0) {
+          spent += t
+          if (t < results(name)) results.put(name, t)
+        }
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // stdout capture has truncated the tail three rounds running; keep a
-    // durable copy of the full artifact in the working tree
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_out.json"),
-        (json + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => }
+      writeFile()
+      pass += 1
+    }
+    emit()
     spark.stop()
   }
 }

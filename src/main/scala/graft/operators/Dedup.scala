@@ -755,16 +755,35 @@ object Dedup {
     val norm = docs.select($"doc_id",
       substring(regexp_replace(regexp_replace(lower($"text"),
         "[^a-z0-9 ]", ""), Ws, " "), 1, 1000).as("txt"))
-    val grams = norm
+    // One char-explode + ONE window pass: gram hash
+    // h_i = (Σ_j c_{i+j} · 257^{k-1-j}) mod p as k codegen'd lead()s
+    // with precomputed 257^j mod p coefficients — the same integers
+    // the Horner fold ((a·257+c) mod p) produces (both are the
+    // canonical residue of the same polynomial), but zero interpreted
+    // HOFs. The previous aggregate-in-transform form evaluated an
+    // O(len·k) interpreted fold whose substring(txt, i+j, 1) steps
+    // each re-seek the string from position 0 (UTF8String indexing is
+    // O(i)), and the Generate pre-filter evaluated the whole gram
+    // array a second time — 200+ s for 5 000 docs at sf0.1 and the
+    // round-5 bench-timeout culprit; this shape is ~2 s. Terms bound:
+    // coef < 10⁹, c ≤ 127 → Σ of 12 terms < 1.6·10¹², safely int64.
+    val P = 1000000007L
+    val coefs = (0 until k).map(j => BigInt(257).modPow(k - 1 - j, P).toLong)
+    val chars = norm
       .filter(length($"txt") >= k)
-      .select($"doc_id", expr(
-        s"""transform(sequence(1, length(txt) - ${k - 1}), i ->
-           |  aggregate(sequence(0, ${k - 1}), cast(0 as bigint),
-           |    (a, j) -> (a * 257 + ascii(substring(txt, i + j, 1)))
-           |      % 1000000007))""".stripMargin).as("hs"))
-      .select($"doc_id", posexplode($"hs").as(Seq("pos0", "h")))
+      .select($"doc_id", posexplode(split($"txt", "")).as(Seq("pos0", "ch")))
       .select($"doc_id", ($"pos0" + 1).as("pos"),
-        expr("h * 1024 + (1024 - (pos0 + 1))").as("key"))
+        ascii($"ch").cast("long").as("c"))
+    val pw = Window.partitionBy($"doc_id").orderBy($"pos")
+    val hExpr = coefs.zipWithIndex.map { case (cf, j) =>
+        (if (j == 0) $"c" else lead($"c", j).over(pw)) * lit(cf)
+      }.reduce(_ + _) % lit(P)
+    val grams = chars
+      .withColumn("h", hExpr)
+      // a null lead marks the last k-1 positions — exactly the grams
+      // that do not exist; dense pos 1..len-k+1 survives, as before
+      .filter($"h".isNotNull)
+      .select($"doc_id", $"pos", expr("h * 1024 + (1024 - pos)").as("key"))
     val wWin = Window.partitionBy($"doc_id").orderBy($"pos")
       .rowsBetween(-(w - 1), Window.currentRow)
     val sel = grams
@@ -835,8 +854,8 @@ object Dedup {
     * phrase aggregate + TakeOrderedAndProject. No pair join, no DF
     * cap — a hot phrase is one counter row (D17's cost argument
     * verbatim). */
-  def phraseMine(docs: DataFrame, topK: Int = 20,
-      minDf: Long = 2L): DataFrame = {
+  def phraseMine(docs: DataFrame, topK: Int = PhraseTopK,
+      minDf: Long = PhraseMinDf): DataFrame = {
     import docs.sparkSession.implicits._
     // checkpoint before exploding: the Generate consumer re-derives
     // its child expression per OUTPUT row, so exploding the raw
@@ -947,26 +966,36 @@ object Dedup {
        |    >= $ContamT)::BIGINT AS is_contaminated
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** D18 graded defaults — the ONE place the phrase-report knobs live;
+    * both [[phraseMine]] and its oracle derive from these. */
+  private[graft] val PhraseTopK = 20
+  private[graft] val PhraseMinDf = 2L
+
+  /** D18 oracle, parametrized by the same knobs as [[phraseMine]]. */
+  private[graft] def phraseSql(topK: Int, minDf: Long): String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    string_split_regex(trim(text), '[ \\t\\n\\f\\r]+') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
+       |      AS shingle
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+       |        FROM w WHERE len(w) >= 5))
+       |SELECT shingle, count(*)::BIGINT AS df,
+       |  min(doc_id)::BIGINT AS example_doc
+       |FROM sh GROUP BY 1 HAVING count(*) >= $minDf
+       |ORDER BY df DESC, shingle LIMIT $topK""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // D17 twin: same positional 5-gram windows (with in-doc repeats),
     // same ndocs >= 2 hot set, same floor-div ppm and 50% flag
     // D18 twin: same 5-gram build, per-doc DISTINCT set, one phrase
-    // aggregate, the same (df DESC, phrase) top-20
-    "dedup_phrase" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])
-        |      AS shingle
-        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
-        |        FROM w WHERE len(w) >= 5))
-        |SELECT shingle, count(*)::BIGINT AS df,
-        |  min(doc_id)::BIGINT AS example_doc
-        |FROM sh GROUP BY 1 HAVING count(*) >= 2
-        |ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+    // aggregate, the same (df DESC, phrase) top-K — generated from the
+    // SAME topK/minDf defaults phraseMine uses (the lpaSql pattern),
+    // so a non-default call cannot silently break parity
+    "dedup_phrase" -> phraseSql(PhraseTopK, PhraseMinDf),
     "dedup_spans" ->
       """WITH w AS (
         |  SELECT doc_id,

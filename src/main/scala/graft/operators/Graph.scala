@@ -704,7 +704,64 @@ object Graph {
     assortativity(canon)
   }
 
+  /** Weighted single/multi-source shortest paths by bounded
+    * Bellman-Ford min-plus propagation (the weighted generalization
+    * of [[bfsHops]] — Cormen et al. §24.1, and the standard
+    * Pregel-style SSSP every graph engine ships): each round every
+    * labeled vertex offers dist+w over its out-edges and labels fold
+    * by min. One equi-join + one min-agg per round, both plain
+    * shuffles on the vertex id — no driver-side state, any vertex
+    * count. `rounds` bounds explored PATH LENGTH (edge count): with
+    * nonneg weights, rounds ≥ the hop-diameter of interest yields
+    * the converged distance (a non-converged budget is still exact
+    * parity — the oracle unrolls the SAME rounds). All-integer
+    * distances; lineage truncated every 2nd round like the D8/I4
+    * iterators.
+    *
+    * @param edges (src, dst, w) DIRECTED weighted edges (symmetrize
+    *              before calling for undirected semantics); w ≥ 0
+    * @param seeds (node) distance-0 vertices
+    * @return (node, dist) minimal path weight per reached vertex
+    */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val e = edges.select($"src", $"dst", $"w").persist()
+    var labels = seeds.select($"node").distinct()
+      .select($"node", lit(0L).as("dist"))
+    for (i <- 1 to rounds) {
+      val offers = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"), ($"dist" + $"w").as("dist"))
+      labels = labels.union(offers)
+        .groupBy($"node").agg(min($"dist").as("dist"))
+      if (i % 2 == 0 || i == rounds) labels = truncate(labels)
+    }
+    e.unpersist()
+    labels
+  }
+
+  /** q_sssp: cheapest supply-chain reach — minimal total-quantity
+    * path from the every-20th-supplier cohort through the
+    * supplier↔part bipartite graph (the q_bfs_hops graph, weighted:
+    * edge cost = the smallest line quantity ever shipped on that
+    * supplier–part lane). 4 rounds covers the radius the BFS twin
+    * established. */
+  def ssspSupplyChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spw = Tables.lineitem(s, dir)
+      .groupBy(concat(lit("s"), $"l_suppkey".cast("string")).as("src"),
+        concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+      .agg(min($"l_quantity").cast("long").as("w"))
+    val sym = spw.union(spw.select($"dst".as("src"), $"src".as("dst"), $"w"))
+    val seeds = Tables.supplier(s, dir)
+      .filter($"s_suppkey" % 20 === 1)
+      .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"))
+    sssp(sym, seeds, 4)
+      .select($"node", $"dist")
+      .orderBy($"node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sssp" -> ssspSupplyChain,
     "q_communities" -> communitiesCoOrder,
     "q_clustering_coeff" -> ccCoOrder,
     "q_powerlaw" -> powerlawCoOrder,
@@ -848,7 +905,35 @@ object Graph {
        |ORDER BY n_nodes DESC, community LIMIT 10""".stripMargin
   }
 
+  /** Unrolled weighted-SSSP twin — the identical per-round min-plus
+    * fold over the same min-quantity-weighted lanes. */
+  private def ssspSql(rounds: Int): String = {
+    val base =
+      """WITH spw AS (
+        |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+        |    min(l_quantity)::BIGINT AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |sym AS (SELECT src, dst, w FROM spw
+        |        UNION ALL SELECT dst, src, w FROM spw),
+        |d0 AS (
+        |  SELECT DISTINCT 's' || s_suppkey AS node, 0::BIGINT AS dist
+        |  FROM supplier WHERE s_suppkey % 20 = 1)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""d$i AS (
+         |  SELECT node, min(dist)::BIGINT AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst, h.dist + e.w FROM sym e
+         |    JOIN d${i - 1} h ON e.src = h.node)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT node, dist FROM d$rounds ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_sssp" -> ssspSql(4),
     "q_communities" -> lpaSql(3),
     // I8 twin: same degree aggregate, same node-ordered ln fold and
     // continuity-corrected MLE tail

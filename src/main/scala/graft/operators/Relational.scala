@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -1753,7 +1753,101 @@ object Relational {
       .orderBy($"nation")
   }
 
+  /** A43 mutual information between event type and ISO day-of-week
+    * (Cover/Thomas §2.3 — the dependence screen a feature-selection
+    * or drift monitor runs where A36's χ² tests significance: MI
+    * measures the SIZE of the association in nats):
+    * I(X;Y) = Σ_xy (n_xy/N)·ln(N·n_xy/(n_x·n_y)) over OBSERVED cells
+    * (an empty cell's 0·ln0 term is 0 by the standard convention, so
+    * no densification). All counts integer; each cell's contribution
+    * is one identical IEEE sequence in both engines and the total
+    * folds in SORTED (event_type, iso_dow) order with a 0-init left
+    * fold (the A36/F16 precedent); the export rounds to 6. Shape:
+    * one map-side-combined cell aggregate (|X|·|Y| rows), margins by
+    * re-aggregating the CELLS (never a second corpus scan), one
+    * ordered fold over the tiny cell frame. */
+  def mutualInfoOn(df: DataFrame, x: Column, y: Column): DataFrame = {
+    import df.sparkSession.implicits._
+    val cells = df
+      .groupBy(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint()
+    val rx = cells.groupBy($"x").agg(sum($"n_xy").as("n_x"))
+    val cy = cells.groupBy($"y").agg(sum($"n_xy").as("n_y"))
+    val n = cells.agg(sum($"n_xy")).collect()(0).getLong(0)
+    cells.join(rx, "x").join(cy, "y")
+      .withColumn("contrib",
+        ($"n_xy".cast("double") / lit(n.toDouble)) *
+          log(lit(n.toDouble) * $"n_xy".cast("double") /
+            ($"n_x".cast("double") * $"n_y".cast("double"))))
+      .agg(lit(n).as("n"), count(lit(1)).as("n_cells"),
+        round(aggregate(sort_array(collect_list(
+            struct($"x", $"y", $"contrib"))),
+          lit(0.0), (acc, x) => acc + x("contrib")), 6).as("mi_nats"))
+  }
+
+  /** q_mutual_info driver entry: event type × ISO day-of-week. */
+  def mutualInfo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mutualInfoOn(Tables.events(s, dir), $"event_type",
+      expr("(((dayofweek(ts) + 5) % 7) + 1)").cast("long"))
+  }
+
+  /** A44 count-min sketch (Cormack/Muthukrishnan 2005 — THE bounded-
+    * memory frequency sketch a 100 TB stream summarizes into kilobytes)
+    * with its one-sided error EXACTLY replayed: d = 4 rows × w = 256
+    * counters, pairwise-independent rows hᵢ(u) = ((aᵢ·u + bᵢ) mod p)
+    * mod w with p = 2³¹−1 and literal aᵢ/bᵢ, estimate = minᵢ
+    * counter[i][hᵢ(u)]. The sketch build is ONE map-side-combined
+    * aggregate over per-user counts (4·256 = 1 024 counter rows of
+    * driver-free state); the report joins the top-10 true heavy users
+    * (count desc, user_id asc — F? Misra-Gries' deterministic tie
+    * rule) against their 4 cells and takes the integer min, exposing
+    * est ≥ true and the exact overcount. Every operation is int64
+    * (u mod p first keeps aᵢ·u under 2.2·10¹⁸), so the oracle
+    * reproduces the sketch bit-for-bit — an exactly-graded sketch
+    * where A23's HLL can only be error-bounded. */
+  def countMinOn(df: DataFrame, key: Column, topN: Int = 10): DataFrame = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val P = 2147483647L
+    val A = Seq(1299721L, 15485863L, 179424673L, 982451653L)
+    val B = Seq(7L, 131071L, 524287L, 98765431L)
+    val users = df.select(key.as("user_id"))
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val hashes = (0 until 4).map { i =>
+      struct(lit(i.toLong).as("row"),
+        expr(s"((${A(i)} * (user_id % $P) + ${B(i)}) % $P) % 256").as("cell"))
+    }
+    val cells = users
+      .select($"user_id", $"cnt", explode(array(hashes: _*)).as("h"))
+      .select($"user_id", $"cnt", $"h.row".as("row"), $"h.cell".as("cell"))
+    val sketch = cells.groupBy($"row", $"cell").agg(sum($"cnt").as("counter"))
+    // top-10 via orderBy+limit (TakeOrderedAndProject — the text_jsd
+    // lesson: never an unpartitioned window over the full frame);
+    // the rank window then runs on the 10-row result only
+    val top = users.orderBy($"cnt".desc, $"user_id").limit(topN)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"cnt".desc, $"user_id")).cast("long"))
+    top.join(cells.drop("cnt"), Seq("user_id"))
+      .join(sketch, Seq("row", "cell"))
+      .groupBy($"user_id", $"cnt", $"rk")
+      .agg(min($"counter").as("est"))
+      .select($"rk", $"user_id", $"cnt".as("true_cnt"), $"est".as("est_cnt"),
+        ($"est" - $"cnt").as("overcount"))
+      .orderBy($"rk")
+  }
+
+  /** q_cms driver entry: heavy users of the event stream. */
+  def countMin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    countMinOn(Tables.events(s, dir), $"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mutual_info" -> mutualInfo,
+    "q_cms" -> countMin,
     "q_elasticity" -> elasticity,
     "q_theil" -> theilIndex,
     "q_cramers_v" -> cramersV,
@@ -1815,6 +1909,61 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A43 twin: same observed cells, margins re-aggregated from the
+    // cells, the identical per-cell IEEE sequence folded in the SAME
+    // sorted (event_type, iso_dow) order, round-6 export
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT event_type, isodow(ts)::BIGINT AS iso_dow,
+        |    count(*)::BIGINT AS n_xy
+        |  FROM events GROUP BY 1, 2),
+        |rx AS (SELECT event_type, sum(n_xy)::BIGINT AS n_x
+        |       FROM cells GROUP BY 1),
+        |cy AS (SELECT iso_dow, sum(n_xy)::BIGINT AS n_y
+        |       FROM cells GROUP BY 1),
+        |t AS (SELECT (SELECT sum(n_xy) FROM cells)::BIGINT AS n),
+        |parts AS (
+        |  SELECT c.event_type, c.iso_dow,
+        |    (c.n_xy::DOUBLE / t.n::DOUBLE)
+        |      * ln(t.n::DOUBLE * c.n_xy::DOUBLE
+        |        / (rx.n_x::DOUBLE * cy.n_y::DOUBLE)) AS contrib
+        |  FROM cells c JOIN rx USING (event_type)
+        |  JOIN cy USING (iso_dow), t)
+        |SELECT (SELECT n FROM t) AS n, count(*)::BIGINT AS n_cells,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(contrib ORDER BY event_type, iso_dow)),
+        |    (acc, x) -> acc + x), 6) AS mi_nats
+        |FROM parts""".stripMargin,
+    // A44 twin: the identical integer hash lanes, counter sums, and
+    // per-user min over the same 4 cells; top-10 by the same
+    // (cnt DESC, user_id) rule
+    "q_cms" ->
+      """WITH users AS (
+        |  SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+        |lanes AS (
+        |  SELECT user_id, cnt, unnest([0, 1, 2, 3]) AS ri FROM users),
+        |cells AS (
+        |  SELECT user_id, cnt, ri,
+        |    (((CASE ri WHEN 0 THEN 1299721 WHEN 1 THEN 15485863
+        |       WHEN 2 THEN 179424673 ELSE 982451653 END
+        |      * (user_id % 2147483647)
+        |      + CASE ri WHEN 0 THEN 7 WHEN 1 THEN 131071
+        |        WHEN 2 THEN 524287 ELSE 98765431 END)
+        |      % 2147483647) % 256)::BIGINT AS cell
+        |  FROM lanes),
+        |sketch AS (
+        |  SELECT ri, cell, sum(cnt)::BIGINT AS counter
+        |  FROM cells GROUP BY 1, 2),
+        |top AS (
+        |  SELECT user_id, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, user_id) AS rk
+        |  FROM users ORDER BY cnt DESC, user_id LIMIT 10)
+        |SELECT t.rk::BIGINT AS rk, t.user_id, t.cnt AS true_cnt,
+        |  min(s.counter)::BIGINT AS est_cnt,
+        |  (min(s.counter) - t.cnt)::BIGINT AS overcount
+        |FROM top t JOIN cells c USING (user_id)
+        |JOIN sketch s ON c.ri = s.ri AND c.cell = s.cell
+        |GROUP BY 1, 2, 3 ORDER BY rk""".stripMargin,
     // A54 twin: same monthly aggregates, same division-then-ln, same
     // (yr, m)-ordered folds, round-4 export
     "q_elasticity" ->

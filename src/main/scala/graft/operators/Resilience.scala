@@ -2323,12 +2323,14 @@ object Resilience {
         |  FROM m),
         |f AS (
         |  SELECT event_type, n_pairs, cxx,
-        |    cxd / cxx AS rho,
-        |    (cdd - cxd * cxd / cxx) / n_pairs::DOUBLE AS sse
+        |    CASE WHEN cxx > 0 THEN cxd / cxx END AS rho,
+        |    CASE WHEN cxx > 0
+        |      THEN (cdd - cxd * cxd / cxx) / n_pairs::DOUBLE END AS sse
         |  FROM d),
         |g AS (
         |  SELECT event_type, n_pairs, cxx, rho,
-        |    sse / (n_pairs::DOUBLE - 2.0) AS s2
+        |    CASE WHEN n_pairs > 2
+        |      THEN sse / (n_pairs::DOUBLE - 2.0) END AS s2
         |  FROM f),
         |h AS (
         |  SELECT event_type, n_pairs, cxx, rho, s2,

@@ -1290,10 +1290,49 @@ object Similarity {
       .orderBy($"label", $"rk")
   }
 
+  /** E22 k-NN majority-vote CLASSIFICATION — the label-propagation
+    * eval primitive (Fix/Hodges 1951; the "does the embedding space
+    * respect my labels?" check every embedding-quality audit runs
+    * before trusting semantic dedup or retrieval): the query batch
+    * votes its k nearest corpus neighbors' labels. Determinism is the
+    * E18 fixed-point recipe — vectors quantize to integer micros,
+    * distances are exact int64 Σ(xᵢ−qᵢ)², neighbor rank breaks ties
+    * by (dist2, vec_id), the vote by (votes DESC, label) — no float
+    * compare anywhere. Shape: query batch broadcast against one
+    * corpus scan (the E1 plan), per-query top-k window over
+    * query-batch-sized groups, then a ≤k-row vote per query. */
+  def knnClassify(vecs: DataFrame, k: Int = 5): DataFrame = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val quant = expr("transform(embedding, x -> " +
+      "cast(round(cast(x as double) * 1000000) as bigint))")
+    val q = vecs.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"label".cast("long").as("true_label"),
+        quant.as("qv"))
+    val c = vecs.select($"vec_id", $"label".cast("long").as("label"),
+      quant.as("cv"))
+    val near = c.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(cv, qv, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, z) -> acc + z)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"dist2", $"vec_id")))
+      .filter($"rk" <= k)
+    near.groupBy($"q_id", $"true_label", $"label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("b", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"votes".desc, $"label")))
+      .filter($"b" === 1)
+      .select($"q_id", $"true_label", $"label".as("pred_label"), $"votes",
+        ($"label" === $"true_label").cast("long").as("correct"))
+      .orderBy($"q_id")
+  }
+
   private def onVecs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.embeddings(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_knn_classify" -> onVecs(v => knnClassify(v)),
     "ann_centroid_outliers" -> onVecs(v => embedOutliers(v)),
     "ann_bruteforce" -> onVecs(bruteforce),
     "ann_range" -> onVecs(v => rangeSearch(v)),
@@ -1802,6 +1841,37 @@ object Similarity {
     // E18 twin: identical micro quantization, floor-div centroid,
     // integer distance fold (the range(64) lateral replays the
     // zip_with pairing; integer sums are order-free)
+    // E22 twin: same integer-micro quantization, the same exact int64
+    // squared distances (summed over the 64 dims), the identical
+    // (dist2, vec_id) neighbor rank and (votes DESC, label) vote rule
+    "ann_knn_classify" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, label::BIGINT AS label,
+         |    list_transform(embedding,
+         |      x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qvv
+         |      FROM qv WHERE vec_id < $NumQueries),
+         |d AS (
+         |  SELECT q.q_id, q.true_label, e.vec_id, e.label,
+         |    sum((e.v[i + 1] - q.qvv[i + 1])
+         |      * (e.v[i + 1] - q.qvv[i + 1]))::BIGINT AS dist2
+         |  FROM qv e JOIN q ON e.vec_id <> q.q_id, range(64) t(i)
+         |  GROUP BY 1, 2, 3, 4),
+         |rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY dist2, vec_id) AS rk
+         |  FROM d),
+         |votes AS (
+         |  SELECT q_id, true_label, label, count(*)::BIGINT AS votes
+         |  FROM rk WHERE rk <= 5 GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY votes DESC, label) AS b
+         |  FROM votes)
+         |SELECT q_id, true_label, label AS pred_label, votes,
+         |  (label = true_label)::BIGINT AS correct
+         |FROM best WHERE b = 1 ORDER BY q_id""".stripMargin,
     "ann_centroid_outliers" ->
       """WITH qv AS (
         |  SELECT vec_id, label::BIGINT AS label,

@@ -1186,7 +1186,89 @@ object TextAnalysis {
       .orderBy($"lang", $"lang_pred")
   }
 
+  /** F21 DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the standard
+    * recipe for tilting a raw crawl toward a target domain): score
+    * every raw document by the log-likelihood ratio of its tokens
+    * under two add-one-smoothed unigram LMs, one trained on the
+    * TARGET set (the deterministic doc_id % 50 = 0 stand-in the
+    * decontamination pair D9/D14 already uses — library users pass
+    * their own target frame) and one on the raw corpus itself:
+    * logw(d) = Σ_t c_d(t)·[ln p_tgt(t) − ln p_raw(t)]. Positive
+    * means "more target-like than crawl-like" — the resampling
+    * weight a curation run feeds into its sampler.
+    *
+    * Determinism: per-(doc, term) contributions are one identical
+    * IEEE sequence in both engines and fold per doc in SORTED TERM
+    * ORDER with a 0-init left fold (the F16/F19 precedent); the
+    * result rounds to 4 decimals, the `selected` flag compares the
+    * UNROUNDED fold in both engines. Scale shape: one tokenize →
+    * per-doc term counts (localCheckpointed, three consumers), two
+    * term-count aggregates that join back size-adaptively, three
+    * driver-side scalars (token totals + vocab — counters, not
+    * data). No per-doc state beyond its own distinct terms. */
+  def dsirWeights(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tok = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val tgt = tok.filter($"doc_id" % 50 === 0)
+      .groupBy($"term").agg(sum($"c").as("ct"))
+    val raw = tok.filter($"doc_id" % 50 =!= 0)
+      .groupBy($"term").agg(sum($"c").as("cr"))
+    val nt = tgt.agg(coalesce(sum($"ct"), lit(0L))).collect()(0).getLong(0)
+    val nr = raw.agg(coalesce(sum($"cr"), lit(0L))).collect()(0).getLong(0)
+    val v = tok.select($"term").distinct().count()
+    tok.filter($"doc_id" % 50 =!= 0)
+      .join(raw, Seq("term"))
+      .join(tgt, Seq("term"), "left")
+      .withColumn("contrib", $"c" * (
+        log((coalesce($"ct", lit(0L)) + lit(1.0)) / lit((nt + v).toDouble)) -
+          log(($"cr" + lit(1.0)) / lit((nr + v).toDouble))))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        sort_array(collect_list(struct($"term", $"contrib"))).as("ps"))
+      .withColumn("lw", expr(
+        "aggregate(transform(ps, x -> x.contrib), 0D, (acc, x) -> acc + x)"))
+      .select($"doc_id", $"n_tokens", round($"lw", 4).as("dsir_logw"),
+        ($"lw" > 0).cast("long").as("selected"))
+      .orderBy($"doc_id")
+  }
+
+  /** F22 n-gram NOVELTY curve — per-document fraction of word
+    * 5-grams never seen in any EARLIER document (doc_id as ingestion
+    * order): the "how much new text does each increment add"
+    * diagnostic a continuously-crawled corpus publishes, and the
+    * complement of D17's duplicated-span fraction (that scores
+    * corpus-repeated mass anywhere; this scores first-appearance by
+    * order). novelty_ppm = n_novel·10⁶ div n_shingles over the
+    * per-doc DISTINCT shingle set; a shingle is novel in exactly the
+    * doc that min(doc_id)-owns it.
+    *
+    * Scale shape: row-local distinct shingle arrays
+    * (localCheckpointed before the explode — the D2/D18 Generate
+    * lesson), ONE map-side-combined min aggregate for first-owners,
+    * one join back on shingle (both sides shuffle-partitioned by
+    * shingle — no corpus-sized broadcast), one per-doc count
+    * aggregate. All integer; docs under 5 words carry no shingles
+    * and are absent by design (the twin drops them identically). */
+  def novelty(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ex = Dedup.distinctShingleArr(docs).localCheckpoint()
+      .select($"doc_id", explode($"sh").as("shingle"))
+    val first = ex.groupBy($"shingle").agg(min($"doc_id").as("first_doc"))
+    ex.join(first, "shingle")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_shingles"))
+      .select($"doc_id", $"n_shingles", $"n_novel", $"novelty_ppm")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dsir" -> onDocs(dsirWeights),
+    "text_novelty" -> onDocs(novelty),
     "text_kappa" -> onDocs(raterKappa),
     "text_bpe_train" -> onDocs(d => bpeTrain(d)),
     "text_bpe_fertility" -> onDocs(d => bpeFertility(d)),
@@ -1301,6 +1383,59 @@ object TextAnalysis {
        |FROM agg ORDER BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // F21 twin: same smoothed unigram LMs (target = doc_id % 50 = 0,
+    // raw = rest, shared corpus vocab V), the identical per-term IEEE
+    // sequence c·(ln a − ln b), folded per doc in the SAME sorted term
+    // order via list(... ORDER BY term) with a 0-prepend left fold;
+    // `selected` compares the unrounded fold in both engines
+    "text_dsir" ->
+      """WITH tok AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents) GROUP BY 1, 2),
+        |tgt AS (SELECT term, sum(c)::BIGINT AS ct FROM tok
+        |        WHERE doc_id % 50 = 0 GROUP BY 1),
+        |raw AS (SELECT term, sum(c)::BIGINT AS cr FROM tok
+        |        WHERE doc_id % 50 <> 0 GROUP BY 1),
+        |s AS (SELECT
+        |  (SELECT coalesce(sum(ct), 0) FROM tgt) AS nt,
+        |  (SELECT coalesce(sum(cr), 0) FROM raw) AS nr,
+        |  (SELECT count(DISTINCT term) FROM tok) AS v),
+        |parts AS (
+        |  SELECT t.doc_id, t.term, t.c,
+        |    t.c * (ln((coalesce(g.ct, 0) + 1.0) / (s.nt + s.v)::DOUBLE)
+        |         - ln((r.cr + 1.0) / (s.nr + s.v)::DOUBLE)) AS contrib
+        |  FROM tok t JOIN raw r USING (term) LEFT JOIN tgt g USING (term), s
+        |  WHERE t.doc_id % 50 <> 0),
+        |agg AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(contrib ORDER BY term)), (acc, x) -> acc + x) AS lw
+        |  FROM parts GROUP BY 1)
+        |SELECT doc_id, n_tokens, round(lw, 4) AS dsir_logw,
+        |  (lw > 0)::BIGINT AS selected
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // F22 twin: same per-doc DISTINCT 5-gram set, min(doc_id) first
+    // owner, integer floor-div ppm
+    "text_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '[ \t\n\f\r]+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        |        FROM w WHERE len(w) >= 5)),
+        |f AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_novel,
+        |  ((sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)::BIGINT
+        |    * 1000000) // count(*))::BIGINT AS novelty_ppm
+        |FROM sh s JOIN f USING (shingle)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // F33 twin: same flags, exact HUGEINT margin products, the one
     // final division
     "text_kappa" ->

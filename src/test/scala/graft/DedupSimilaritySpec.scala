@@ -545,4 +545,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // all 4 vectors are queries and each sees all 3 others (TopK = 3)
     assert(got.size == 12, s"rows: ${got.size}")
   }
+
+  test("E23 knn classify: majority wins, vote tie prefers the smaller label") {
+    import spark.implicits._
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    // query 0 (true label 2): 3 near label-2s, 2 farther label-1s,
+    // distant label-9 noise excluded by k=5
+    val maj = (Seq((0L, v(0f, 0f), 2),
+      (10L, v(1f, 0f), 2), (11L, v(0f, 1f), 2), (12L, v(1f, 1f), 2),
+      (13L, v(3f, 0f), 1), (14L, v(0f, 3f), 1), (15L, v(100f, 0f), 9)))
+      .toDF("vec_id", "embedding", "label")
+    val g1 = Similarity.knnClassify(maj).collect()
+    assert(g1.length == 1)
+    assert((g1(0).getLong(1), g1(0).getLong(2), g1(0).getLong(3),
+      g1(0).getLong(4)) == ((2L, 2L, 3L, 1L)))
+    // 2-2-1 vote among labels {5,4,6} → tie resolves to label 4
+    val tie = (Seq((0L, v(0f, 0f), 9),
+      (10L, v(1f, 0f), 5), (11L, v(2f, 0f), 5),
+      (12L, v(3f, 0f), 4), (13L, v(4f, 0f), 4),
+      (14L, v(5f, 0f), 6), (15L, v(100f, 0f), 7)))
+      .toDF("vec_id", "embedding", "label")
+    val g2 = Similarity.knnClassify(tie).collect()
+    assert((g2(0).getLong(1), g2(0).getLong(2), g2(0).getLong(3),
+      g2(0).getLong(4)) == ((9L, 4L, 2L, 0L)))
+  }
+
+  test("F21 DSIR: target-vocabulary doc outranks crawl-only doc, flag tracks sign") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta alpha beta"), (50L, "alpha beta"), // target side
+      (1L, "alpha beta"), (2L, "zzz qqq zzz qqq"), (3L, "alpha qqq"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    // target docs are scored-out (they are the target, not the crawl)
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L)._1 > got(3L)._1 && got(3L)._1 > got(2L)._1,
+      s"ordering: $got")
+    assert(got(1L)._2 == 1L && got(2L)._2 == 0L, s"flags: $got")
+  }
+
+  test("F22 novelty: clone scores 0, first owner 10^6, half-overlap 500000") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "b c d e f g"), (4L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.novelty(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1000000L)),   // both 5-grams first appear here
+      2L -> ((2L, 0L, 0L)),         // exact clone — nothing novel
+      3L -> ((2L, 1L, 500000L))))   // shares "b c d e f", adds "c d e f g"
+    // doc 4 (< 5 words) carries no shingles and is absent by design
+  }
 }

@@ -266,4 +266,20 @@ class GraphSpec extends AnyFunSuite {
     // 4-cycle: 2-regular, zero degree variance → explicit null
     assert(r(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) == ((4L, 4L, None)))
   }
+
+  test("I10 SSSP: cheaper 2-hop path beats the direct edge, rounds bound path length") {
+    import spark.implicits._
+    // 1→2→3 costs 20 vs direct 1→3 at 100; 4 hangs one more hop away
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 100L),
+      (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    def dists(rounds: Int) = Graph.sssp(e, seeds, rounds)
+      .as[(Long, Long)].collect().toMap
+    // 1 round: only direct edges — the heavy 1→3 wins for now
+    assert(dists(1) == Map(1L -> 0L, 2L -> 10L, 3L -> 100L))
+    // 2 rounds: the relay relaxes 3 to 20; 4 appears via the heavy path
+    assert(dists(2) == Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 101L))
+    // 3 rounds: converged — 4 rides the cheap relay
+    assert(dists(3) == Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 21L))
+  }
 }

@@ -2293,4 +2293,37 @@ class OperatorsSpec extends AnyFunSuite {
     // d: k=5 splits the VaR bucket — 3×1.00 below + 2×2.00 at VaR
     assert(got("d") == ((100L, 2.0, 1.4)), s"d: ${got("d")}")
   }
+
+  test("A43 mutual information: exact 0 under independence, ln 2 under identity") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // uniform 2×2 product distribution: every cell's log ratio is ln 1
+    val ind = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("x", "y")
+    val r0 = Relational.mutualInfoOn(ind, col("x"), col("y")).collect()(0)
+    assert((r0.getLong(0), r0.getLong(1), r0.getDouble(2)) == ((4L, 4L, 0.0)))
+    // y determined by x over 2 uniform classes: I = H = ln 2
+    val dep = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L)).toDF("x", "y")
+    val r1 = Relational.mutualInfoOn(dep, col("x"), col("y")).collect()(0)
+    assert((r1.getLong(1), r1.getDouble(2)) == ((2L, 0.693147)))
+  }
+
+  test("A44 count-min: estimates never undercount, lone-key stream is exact") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val df = (Seq.fill(40)(7L) ++ Seq.fill(30)(9L) ++ (100L to 140L))
+      .toDF("user_id")
+    val got = Relational.countMinOn(df, col("user_id")).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2), s"undercount: $r")
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(2))
+    }
+    // the two heavy keys rank first with their exact true counts
+    assert((got(0).getLong(1), got(0).getLong(2)) == ((7L, 40L)))
+    assert((got(1).getLong(1), got(1).getLong(2)) == ((9L, 30L)))
+    // a lone key owns all four of its lanes → estimate exact
+    val solo = Seq.fill(5)(42L).toDF("user_id")
+    val g2 = Relational.countMinOn(solo, col("user_id")).collect()
+    assert(g2.length == 1 && g2(0).getLong(3) == 5L && g2(0).getLong(4) == 0L)
+  }
 }
