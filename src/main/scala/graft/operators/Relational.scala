@@ -1753,7 +1753,7 @@ object Relational {
       .orderBy($"nation")
   }
 
-  /** A43 mutual information between event type and ISO day-of-week
+  /** A61 mutual information between event type and ISO day-of-week
     * (Cover/Thomas §2.3 — the dependence screen a feature-selection
     * or drift monitor runs where A36's χ² tests significance: MI
     * measures the SIZE of the association in nats):
@@ -1793,7 +1793,7 @@ object Relational {
       expr("(((dayofweek(ts) + 5) % 7) + 1)").cast("long"))
   }
 
-  /** A44 count-min sketch (Cormack/Muthukrishnan 2005 — THE bounded-
+  /** A62 count-min sketch (Cormack/Muthukrishnan 2005 — THE bounded-
     * memory frequency sketch a 100 TB stream summarizes into kilobytes)
     * with its one-sided error EXACTLY replayed: d = 4 rows × w = 256
     * counters, pairwise-independent rows hᵢ(u) = ((aᵢ·u + bᵢ) mod p)
@@ -1909,7 +1909,7 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
-    // A43 twin: same observed cells, margins re-aggregated from the
+    // A61 twin: same observed cells, margins re-aggregated from the
     // cells, the identical per-cell IEEE sequence folded in the SAME
     // sorted (event_type, iso_dow) order, round-6 export
     "q_mutual_info" ->
@@ -1934,7 +1934,7 @@ object Relational {
         |    list(contrib ORDER BY event_type, iso_dow)),
         |    (acc, x) -> acc + x), 6) AS mi_nats
         |FROM parts""".stripMargin,
-    // A44 twin: the identical integer hash lanes, counter sums, and
+    // A62 twin: the identical integer hash lanes, counter sums, and
     // per-user min over the same 4 cells; top-10 by the same
     // (cnt DESC, user_id) rule
     "q_cms" ->

@@ -2002,7 +2002,267 @@ object Resilience {
       .orderBy($"priority", $"m")
   }
 
+  /** B52 ISOTONIC regression per event type (L2 monotone-increasing
+    * fit; Barlow et al. 1972 — the shape-constrained smoother a
+    * calibration or dose-response audit runs where OLS would impose
+    * linearity): over the day-ordered daily-count series, the exact
+    * PAVA solution via the max-min formula
+    * fit[i] = max_{j≤i} min_{k≥i} mean(y[j..k]).
+    *
+    * Distributed shape (no sequential pool-adjacent pass): prefix
+    * sums give every interval mean m(j,k) = (S_k − S_{j−1})/(k−j+1)
+    * as ONE IEEE division of two integers; a suffix-min window per j
+    * turns the inner min into sm(j,k) = min_{k'≥k} m(j,k'), and
+    * because sm(j, i) IS the inner term min_{k≥i} m(j..k) for every
+    * j ≤ i, the outer max is just the per-(event_type, k) max over
+    * the suffix-min frame. Two windows + one aggregate over the
+    * O(Σ n²/2) pair frame — frame-bounded (n = days per type), never
+    * corpus-bounded; min/max of identically-computed doubles carry no
+    * accumulation order, so parity is exact. */
+  def isotonic(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val idx = pts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s", sum($"y").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pairs = idx.as("a").join(idx.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.i") <= col("b.i"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.i").as("j"), col("b.i").as("k"),
+        ((col("b.s") - col("a.s") + col("a.y")).cast("double") /
+          (col("b.i") - col("a.i") + 1).cast("double")).as("m"))
+    val wsm = Window.partitionBy($"event_type", $"j").orderBy($"k".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = pairs
+      .withColumn("smin", min($"m").over(wsm))
+      .groupBy($"event_type", $"k").agg(max($"smin").as("fit"))
+    idx.join(fit,
+        idx("event_type") === fit("event_type") && $"i" === $"k")
+      .select(idx("event_type"),
+        date_format($"day", "yyyy-MM-dd").as("day"), $"y",
+        round($"fit", 6).as("fit"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** B53 Engle-Granger COINTEGRATION test on the click/view daily
+    * pair (Engle & Granger 1987 — "do these two trending series share
+    * a common stochastic trend?", the gate between spurious and real
+    * long-run regressions; complements B45's Granger F which tests
+    * short-run lead-lag): step 1 fits y = α + βx by OLS from exact
+    * decimal(38,0) moments (the B45 recipe — counts are integers, so
+    * the centered covariances are exact and α/β are one pinned IEEE
+    * sequence); step 2 runs the no-constant Dickey-Fuller regression
+    * Δe_t = ρ·e_{t−1} on the RESIDUALS e_t = y − α − βx over
+    * consecutive-day pairs, flagging ρ/se(ρ) against the 5%
+    * Engle-Granger critical value −3.34 (estimated-intercept case).
+    *
+    * Residuals are floats, so Σe²ₜ₋₁ / Σeₜ₋₁Δe / ΣΔe² fold in pinned
+    * DAY order via one sorted-array left fold per sum (the B18
+    * precedent — n ≈ observation-window days, driver-free); each
+    * per-row term is the identical IEEE expression in both engines.
+    * Degenerate inputs (zero x-variance, perfect fit, n < 4) null
+    * explicitly. One events scan → daily grid → one aggregate. */
+  def cointegration(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events
+      .filter($"event_type".isin("click", "view"))
+      .groupBy(to_date($"ts").as("day"))
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("x"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("y"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum(dec($"x")).as("sx"), sum(dec($"y")).as("sy"),
+      sum(dec($"x") * $"x").as("sxx"), sum(dec($"x") * $"y").as("sxy"),
+      sort_array(collect_list(struct($"day", $"x", $"y"))).as("ps"))
+    val nD = $"n".cast("decimal(38,0)")
+    val cxx = (nD * $"sxx" - $"sx" * $"sx").cast("double")
+    val cxy = (nD * $"sxy" - $"sx" * $"sy").cast("double")
+    val withFit = m
+      .withColumn("beta", when(cxx =!= 0.0, cxy / cxx))
+      .withColumn("alpha", when(cxx =!= 0.0,
+        ($"sy".cast("double") - $"beta" * $"sx".cast("double")) /
+          $"n".cast("double")))
+    // residual frame in pinned day order; lag pairs restricted to
+    // consecutive days (the B47/B50 gap posture), then three ordered
+    // double folds — one per sufficient statistic of the DF step
+    val res = withFit.withColumn("es", expr(
+      """transform(ps, p -> struct(p.day as day,
+        |  cast(p.y as double) - alpha - beta * cast(p.x as double) as e))
+        |""".stripMargin.replace("\n", " ")))
+    val terms = res.withColumn("ts", expr(
+      """filter(transform(es, (p, i) -> struct(
+        |  CASE WHEN i > 0 AND datediff(p.day, es[i-1].day) = 1
+        |    THEN es[i-1].e * es[i-1].e END as t_den,
+        |  CASE WHEN i > 0 AND datediff(p.day, es[i-1].day) = 1
+        |    THEN es[i-1].e * (p.e - es[i-1].e) END as t_num,
+        |  CASE WHEN i > 0 AND datediff(p.day, es[i-1].day) = 1
+        |    THEN (p.e - es[i-1].e) * (p.e - es[i-1].e) END as t_dd)),
+        |  t -> t.t_den IS NOT NULL)""".stripMargin.replace("\n", " ")))
+      .withColumn("np", expr("size(ts)").cast("long"))
+      .withColumn("sden", expr(
+        "aggregate(ts, 0D, (a, t) -> a + t.t_den)"))
+      .withColumn("snum", expr(
+        "aggregate(ts, 0D, (a, t) -> a + t.t_num)"))
+      .withColumn("sdd", expr(
+        "aggregate(ts, 0D, (a, t) -> a + t.t_dd)"))
+    terms
+      .withColumn("rho", when($"sden" > 0.0, $"snum" / $"sden"))
+      .withColumn("sse", when($"sden" > 0.0,
+        $"sdd" - $"snum" * $"snum" / $"sden"))
+      .withColumn("s2", when($"np" > 1,
+        $"sse" / ($"np".cast("double") - 1.0)))
+      .withColumn("tstat", when($"s2" > 0.0,
+        $"rho" / sqrt($"s2" / $"sden")))
+      .select($"n".as("n_days"), $"np".as("n_pairs"),
+        round($"alpha", 4).as("alpha"), round($"beta", 6).as("beta"),
+        round($"rho", 6).as("rho"), round($"tstat", 4).as("tstat"),
+        when($"tstat".isNotNull, ($"tstat" < -3.34).cast("long"))
+          .as("cointegrated"))
+  }
+
+  /** B54 two-group LOG-RANK test (Mantel 1966 — "do these two
+    * cohorts churn at the same rate?", the hypothesis test behind
+    * B33's Kaplan-Meier curves; the deterministic user_id parity
+    * split stands in for a real treatment flag): at every distinct
+    * event time, O/E contributions from the standard hypergeometric
+    * moments — e₁ = d·n₁/n, v = d·(n₁/n)(1−n₁/n)(n−d)/(n−1) — and
+    * χ² = (O₁−E₁)²/V against the 1-df 5% critical value 3.841.
+    *
+    * Lifetimes/censoring are B33's exact integer construction;
+    * at-risk counts are suffix sums over the tiny distinct-lifetime
+    * frame; each time's e₁/v term is one identical IEEE expression
+    * (integer inputs), and the two float sums fold in pinned
+    * t_hours order via sorted-array left folds. Single-time-point
+    * degenerate frames (v = 0) null the statistic explicitly. */
+  def logRank(events: DataFrame, censorHours: Int = 6): DataFrame = {
+    import events.sparkSession.implicits._
+    val wAll = Window.partitionBy()
+    val users = events
+      .groupBy($"user_id")
+      .agg(min(unix_micros($"ts")).as("first_us"),
+        max(unix_micros($"ts")).as("last_us"))
+      .withColumn("max_us", max($"last_us").over(wAll))
+      .select(($"user_id" % 2).as("grp"),
+        expr("(last_us - first_us) div 3600000000").as("t_hours"),
+        (($"max_us" - $"last_us") >
+          lit(censorHours.toLong) * 3600000000L).as("churned"))
+    val hist = users.groupBy($"t_hours")
+      .agg(count(lit(1)).as("n_at"),
+        sum(when($"grp" === 1, 1L).otherwise(0L)).as("n1_at"),
+        sum(when($"churned", 1L).otherwise(0L)).as("d_events"),
+        sum(when($"churned" && $"grp" === 1, 1L).otherwise(0L))
+          .as("d1_events"))
+    val wSuffix = Window.orderBy($"t_hours")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = hist
+      .withColumn("n_risk", sum($"n_at").over(wSuffix))
+      .withColumn("n1_risk", sum($"n1_at").over(wSuffix))
+      .filter($"d_events" > 0 && $"n_risk" > 1)
+    val folded = risk
+      .select(struct($"t_hours",
+        ($"d_events".cast("double") * $"n1_risk" / $"n_risk").as("e1"),
+        ($"d_events".cast("double") *
+          ($"n1_risk".cast("double") / $"n_risk") *
+          (lit(1.0) - $"n1_risk".cast("double") / $"n_risk") *
+          ($"n_risk" - $"d_events").cast("double") /
+          ($"n_risk" - 1).cast("double")).as("v")).as("tv"),
+        $"d1_events")
+      .agg(count(lit(1)).as("n_times"),
+        sum($"d1_events").as("o1"),
+        sort_array(collect_list($"tv")).as("tvs"))
+      .withColumn("e1", expr("aggregate(tvs, 0D, (a, t) -> a + t.e1)"))
+      .withColumn("v", expr("aggregate(tvs, 0D, (a, t) -> a + t.v)"))
+    val n1 = users.agg(
+      sum(when($"grp" === 1, 1L).otherwise(0L)).as("n_grp1"),
+      sum(when($"grp" === 0, 1L).otherwise(0L)).as("n_grp0"))
+    folded.crossJoin(n1)
+      .withColumn("chi2", when($"v" > 0.0,
+        ($"o1".cast("double") - $"e1") *
+          ($"o1".cast("double") - $"e1") / $"v"))
+      .select($"n_grp0", $"n_grp1", $"n_times", $"o1",
+        round($"e1", 4).as("e1"), round($"chi2", 4).as("chi2"),
+        when($"chi2".isNotNull, ($"chi2" > 3.841).cast("long"))
+          .as("significant"))
+  }
+
+  /** B55 Benjamini-Hochberg FDR correction over the per-type
+    * Mann-Kendall battery (Benjamini & Hochberg 1995 — the
+    * multiple-testing discipline ANY per-segment screen needs once
+    * "per event type" becomes "per thousand segments": raw 5%
+    * thresholds fire spuriously at scale): two-sided p from the B34
+    * continuity-corrected z via the Abramowitz-Stegun 26.2.17
+    * polynomial tail (the SAME literal-coefficient formula in both
+    * engines — Φ has no closed form, so the approximation IS the
+    * spec), then p_adj(i) = min_{r≥i}(p(r)·m/r) by a suffix-min
+    * window over the ascending-(p, type) rank, rejected at q = 0.05.
+    *
+    * The battery frame is segment-sized (one row per type), so every
+    * window here is tiny; the MK core is B34's exact integer S/Var.
+    * Ranks compare identically-computed doubles — bit-equal in both
+    * engines, ties broken by event_type. */
+  def fdrBh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val az = abs($"z_unr")
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val phi = exp(az * az * -0.5) * lit(0.3989422804014327)
+    val tail = phi * (lit(0.319381530) * t +
+      lit(-0.356563782) * t * t +
+      lit(1.781477937) * t * t * t +
+      lit(-1.821255978) * t * t * t * t +
+      lit(1.330274429) * t * t * t * t * t)
+    // recompute the UNROUNDED z (B34 exports round-6): same exact
+    // integer core, one pinned scalar tail
+    val pts = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = pts.as("a").join(pts.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        signum(col("b.cnt") - col("a.cnt")).cast("long").as("sgn"))
+      .groupBy($"event_type").agg(sum($"sgn").as("s_stat"))
+    val ties = pts.groupBy($"event_type", $"cnt")
+      .agg(count(lit(1)).as("t"))
+      .groupBy($"event_type")
+      .agg(sum($"t").as("n"),
+        sum($"t" * ($"t" - 1) * (lit(2) * $"t" + 5)).as("tsum"))
+    val varNum = ($"n" * ($"n" - 1) * (lit(2) * $"n" + 5) - $"tsum")
+    val zed = pairs.join(ties, "event_type")
+      .withColumn("var_s", varNum.cast("double") / lit(18.0))
+      .withColumn("z_unr",
+        when($"s_stat" > 0,
+          ($"s_stat" - 1).cast("double") / sqrt($"var_s"))
+          .when($"s_stat" < 0,
+            ($"s_stat" + 1).cast("double") / sqrt($"var_s"))
+          .otherwise(lit(0.0)))
+      .withColumn("p_two", least(lit(1.0), lit(2.0) * tail))
+    val mTests = Window.partitionBy()
+    val wRank = Window.orderBy($"p_two", $"event_type")
+    val wSuffix = Window.orderBy($"rk")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    zed
+      .withColumn("m", count(lit(1)).over(mTests))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("p_adj", least(lit(1.0), min(
+        $"p_two" * $"m".cast("double") / $"rk".cast("double"))
+        .over(wSuffix)))
+      .select($"event_type", $"s_stat", round($"z_unr", 6).as("z_score"),
+        round($"p_two", 6).as("p_two"), $"rk",
+        round($"p_adj", 6).as("p_adj"),
+        ($"p_adj" < 0.05).cast("long").as("reject"))
+      .orderBy($"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_isotonic" -> ((s, dir) => isotonic(Tables.events(s, dir))),
+    "q_cointegration" -> ((s, dir) => cointegration(Tables.events(s, dir))),
+    "q_logrank" -> ((s, dir) => logRank(Tables.events(s, dir))),
+    "q_fdr_bh" -> fdrBh,
     "q_seasonality" -> seasonalityIndex,
     "q_dtw" -> dtwSeasonal,
     "q_acf" -> ((s, dir) => acfLjungBox(Tables.events(s, dir))),
@@ -2152,6 +2412,223 @@ object Resilience {
          |  FROM c JOIN wm ON c.event_type = wm.event_type)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B52 twin: identical pair means (one IEEE division of integer
+    // prefix sums), identical suffix-min / per-k max — min/max of
+    // bit-equal doubles carry no fold order
+    "q_isotonic" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |idx AS (
+         |  SELECT event_type, day, y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+         |      ::BIGINT AS i,
+         |    sum(y) OVER (PARTITION BY event_type ORDER BY day)
+         |      ::BIGINT AS s
+         |  FROM d),
+         |pairs AS (
+         |  SELECT a.event_type, a.i AS j, b.i AS k,
+         |    (b.s - a.s + a.y)::DOUBLE / (b.i - a.i + 1)::DOUBLE AS m
+         |  FROM idx a JOIN idx b
+         |  ON a.event_type = b.event_type AND a.i <= b.i),
+         |sm AS (
+         |  SELECT event_type, j, k,
+         |    min(m) OVER (PARTITION BY event_type, j ORDER BY k DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smin
+         |  FROM pairs),
+         |fitc AS (
+         |  SELECT event_type, k, max(smin) AS f FROM sm GROUP BY 1, 2)
+         |SELECT i.event_type, strftime(i.day, '%Y-%m-%d') AS day,
+         |  i.y, round(fitc.f, 6) AS fit
+         |FROM idx i JOIN fitc
+         |ON i.event_type = fitc.event_type AND i.i = fitc.k
+         |ORDER BY i.event_type, day""".stripMargin,
+    // B53 twin: exact HUGEINT OLS moments, the identical residual
+    // expression per row, the same three day-ordered double folds
+    // over consecutive-day lag terms, same guards and rounds
+    "q_cointegration" ->
+      """WITH d AS (
+        |  SELECT ts::DATE AS day,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS x,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS y
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |    sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy
+        |  FROM d),
+        |ab AS (
+        |  SELECT n,
+        |    CASE WHEN (n::HUGEINT * sxx - sx * sx) <> 0 THEN
+        |      (n::HUGEINT * sxy - sx * sy)::DOUBLE
+        |        / (n::HUGEINT * sxx - sx * sx)::DOUBLE END AS beta,
+        |    CASE WHEN (n::HUGEINT * sxx - sx * sx) <> 0 THEN
+        |      (sy::DOUBLE - ((n::HUGEINT * sxy - sx * sy)::DOUBLE
+        |        / (n::HUGEINT * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+        |        / n::DOUBLE END AS alpha
+        |  FROM m),
+        |r AS (
+        |  SELECT day,
+        |    y::DOUBLE - ab.alpha - ab.beta * x::DOUBLE AS e,
+        |    lag(day) OVER (ORDER BY day) AS pd,
+        |    lag(y::DOUBLE - ab.alpha - ab.beta * x::DOUBLE)
+        |      OVER (ORDER BY day) AS el
+        |  FROM d, ab),
+        |t AS (
+        |  SELECT day,
+        |    CASE WHEN pd IS NOT NULL AND day - pd = 1
+        |      THEN el * el END AS t_den,
+        |    CASE WHEN pd IS NOT NULL AND day - pd = 1
+        |      THEN el * (e - el) END AS t_num,
+        |    CASE WHEN pd IS NOT NULL AND day - pd = 1
+        |      THEN (e - el) * (e - el) END AS t_dd
+        |  FROM r),
+        |s AS (
+        |  SELECT count(t_den)::BIGINT AS np,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(t_den ORDER BY day) FILTER (t_den IS NOT NULL)),
+        |      (a, x) -> a + x) AS sden,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(t_num ORDER BY day) FILTER (t_num IS NOT NULL)),
+        |      (a, x) -> a + x) AS snum,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(t_dd ORDER BY day) FILTER (t_dd IS NOT NULL)),
+        |      (a, x) -> a + x) AS sdd
+        |  FROM t),
+        |f AS (
+        |  SELECT np,
+        |    CASE WHEN sden > 0 THEN snum / sden END AS rho,
+        |    CASE WHEN sden > 0
+        |      THEN sdd - snum * snum / sden END AS sse, sden
+        |  FROM s),
+        |g AS (
+        |  SELECT np, rho, sden,
+        |    CASE WHEN np > 1 THEN sse / (np::DOUBLE - 1.0) END AS s2
+        |  FROM f)
+        |SELECT ab.n AS n_days, g.np AS n_pairs,
+        |  round(ab.alpha, 4) AS alpha, round(ab.beta, 6) AS beta,
+        |  round(g.rho, 6) AS rho,
+        |  round(CASE WHEN g.s2 > 0
+        |    THEN g.rho / sqrt(g.s2 / g.sden) END, 4) AS tstat,
+        |  CASE WHEN g.s2 > 0 AND g.rho IS NOT NULL THEN
+        |    (CASE WHEN g.rho / sqrt(g.s2 / g.sden) < -3.34
+        |     THEN 1 ELSE 0 END)::BIGINT END AS cointegrated
+        |FROM ab, g""".stripMargin,
+    // B54 twin: B33's exact lifetime/censor construction split by
+    // user_id parity, the same suffix at-risk sums, the identical
+    // IEEE e1/v terms folded in the same t_hours order
+    "q_logrank" ->
+      """WITH l AS (
+        |  SELECT user_id,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000
+        |      AS t_hours,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1),
+        |u AS (
+        |  SELECT user_id % 2 AS grp, t_hours,
+        |    ((SELECT max(last_us) FROM l) - last_us)
+        |      > 6 * 3600000000 AS churned
+        |  FROM l),
+        |hist AS (
+        |  SELECT t_hours, count(*)::BIGINT AS n_at,
+        |    sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS n1_at,
+        |    sum(CASE WHEN churned THEN 1 ELSE 0 END)::BIGINT
+        |      AS d_events,
+        |    sum(CASE WHEN churned AND grp = 1 THEN 1 ELSE 0 END)
+        |      ::BIGINT AS d1_events
+        |  FROM u GROUP BY 1),
+        |risk AS (
+        |  SELECT t_hours, d_events, d1_events,
+        |    (sum(n_at) OVER (ORDER BY t_hours DESC))::BIGINT AS n_risk,
+        |    (sum(n1_at) OVER (ORDER BY t_hours DESC))::BIGINT
+        |      AS n1_risk
+        |  FROM hist),
+        |r AS (
+        |  SELECT * FROM risk WHERE d_events > 0 AND n_risk > 1),
+        |folded AS (
+        |  SELECT count(*)::BIGINT AS n_times,
+        |    sum(d1_events)::BIGINT AS o1,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(d_events::DOUBLE * n1_risk / n_risk
+        |        ORDER BY t_hours)), (a, x) -> a + x) AS e1,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(d_events::DOUBLE * (n1_risk::DOUBLE / n_risk)
+        |          * (1.0 - n1_risk::DOUBLE / n_risk)
+        |          * (n_risk - d_events)::DOUBLE
+        |          / (n_risk - 1)::DOUBLE
+        |        ORDER BY t_hours)), (a, x) -> a + x) AS v
+        |  FROM r),
+        |counts AS (
+        |  SELECT sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_grp0,
+        |    sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT AS n_grp1
+        |  FROM u)
+        |SELECT n_grp0, n_grp1, n_times, o1, round(e1, 4) AS e1,
+        |  round(CASE WHEN v > 0 THEN (o1::DOUBLE - e1) * (o1::DOUBLE - e1)
+        |    / v END, 4) AS chi2,
+        |  CASE WHEN v > 0 THEN
+        |    (CASE WHEN (o1::DOUBLE - e1) * (o1::DOUBLE - e1) / v > 3.841
+        |     THEN 1 ELSE 0 END)::BIGINT END AS significant
+        |FROM folded, counts""".stripMargin,
+    // B55 twin: B34's exact integer S/Var core, the same literal
+    // Abramowitz-Stegun tail, the same ascending-(p, type) rank and
+    // suffix-min step-up
+    "q_fdr_bh" ->
+      s"""WITH pts AS (
+         |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT a.event_type,
+         |    sum(CASE WHEN b.cnt > a.cnt THEN 1
+         |        WHEN b.cnt < a.cnt THEN -1 ELSE 0 END)::BIGINT AS s_stat
+         |  FROM pts a JOIN pts b
+         |  ON a.event_type = b.event_type AND a.day < b.day
+         |  GROUP BY 1),
+         |ties AS (
+         |  SELECT event_type, sum(t)::BIGINT AS n,
+         |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tsum
+         |  FROM (SELECT event_type, cnt, count(*)::BIGINT AS t
+         |        FROM pts GROUP BY 1, 2) GROUP BY 1),
+         |z AS (
+         |  SELECT p.event_type, p.s_stat,
+         |    CASE WHEN p.s_stat > 0 THEN (p.s_stat - 1)::DOUBLE
+         |        / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tsum)
+         |          ::DOUBLE / 18.0)
+         |      WHEN p.s_stat < 0 THEN (p.s_stat + 1)::DOUBLE
+         |        / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tsum)
+         |          ::DOUBLE / 18.0)
+         |      ELSE 0.0 END AS z_unr
+         |  FROM prs p JOIN ties t USING (event_type)),
+         |zt AS (
+         |  SELECT event_type, s_stat, z_unr,
+         |    1.0 / (1.0 + 0.2316419 * abs(z_unr)) AS t
+         |  FROM z),
+         |p AS (
+         |  SELECT event_type, s_stat, z_unr,
+         |    least(1.0, 2.0 * (exp(abs(z_unr) * abs(z_unr) * -0.5)
+         |      * 0.3989422804014327
+         |      * (0.319381530 * t
+         |        + -0.356563782 * t * t
+         |        + 1.781477937 * t * t * t
+         |        + -1.821255978 * t * t * t * t
+         |        + 1.330274429 * t * t * t * t * t))) AS p_two
+         |  FROM zt),
+         |rk AS (
+         |  SELECT *,
+         |    row_number() OVER (ORDER BY p_two, event_type)::BIGINT
+         |      AS rk,
+         |    count(*) OVER ()::BIGINT AS m
+         |  FROM p),
+         |adj AS (
+         |  SELECT *,
+         |    least(1.0, min(p_two * m::DOUBLE / rk::DOUBLE)
+         |      OVER (ORDER BY rk DESC)) AS p_adj
+         |  FROM rk)
+         |SELECT event_type, s_stat, round(z_unr, 6) AS z_score,
+         |  round(p_two, 6) AS p_two, rk, round(p_adj, 6) AS p_adj,
+         |  (CASE WHEN p_adj < 0.05 THEN 1 ELSE 0 END)::BIGINT AS reject
+         |FROM adj ORDER BY rk""".stripMargin,
     // B42 twin: same monthly cents, same straddling 12-sums, same
     // integer basis-point division and cross-year integer mean
     "q_seasonality" ->

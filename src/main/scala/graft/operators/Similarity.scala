@@ -1290,7 +1290,7 @@ object Similarity {
       .orderBy($"label", $"rk")
   }
 
-  /** E22 k-NN majority-vote CLASSIFICATION — the label-propagation
+  /** E24 k-NN majority-vote CLASSIFICATION — the label-propagation
     * eval primitive (Fix/Hodges 1951; the "does the embedding space
     * respect my labels?" check every embedding-quality audit runs
     * before trusting semantic dedup or retrieval): the query batch
@@ -1328,10 +1328,48 @@ object Similarity {
       .orderBy($"q_id")
   }
 
+  /** E25 HARD-NEGATIVE mining (the contrastive-training data op:
+    * for every query vector, the nearest corpus vectors of a
+    * DIFFERENT label — the "close but wrong" examples a retrieval
+    * or embedding fine-tune pairs against its positives; random
+    * negatives are too easy and teach nothing, so every dense-
+    * retrieval recipe — DPR, ANCE, sentence-transformers — mines
+    * these): top-k by exact distance restricted to label ≠ query
+    * label. Determinism is the E18/E24 fixed-point recipe — integer
+    * micros, exact int64 Σ(xᵢ−qᵢ)², (dist2, vec_id) rank — no float
+    * compare anywhere. Shape: query batch broadcast against one
+    * corpus scan, per-query top-k window over query-batch-sized
+    * groups (at fleet scale the label filter rides the same scan the
+    * E1 brute-force pass already pays — mining is free alongside
+    * positive retrieval). */
+  def hardNegatives(vecs: DataFrame, k: Int = 5): DataFrame = {
+    import vecs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val quant = expr("transform(embedding, x -> " +
+      "cast(round(cast(x as double) * 1000000) as bigint))")
+    val q = vecs.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"label".cast("long").as("q_label"),
+        quant.as("qv"))
+    val c = vecs.select($"vec_id", $"label".cast("long").as("neg_label"),
+      quant.as("cv"))
+    c.join(broadcast(q), $"neg_label" =!= $"q_label")
+      .withColumn("dist2", expr(
+        "aggregate(zip_with(cv, qv, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, z) -> acc + z)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"q_id").orderBy($"dist2", $"vec_id"))
+        .cast("long"))
+      .filter($"rk" <= k)
+      .select($"q_id", $"q_label", $"rk", $"vec_id".as("neg_id"),
+        $"neg_label", $"dist2")
+      .orderBy($"q_id", $"rk")
+  }
+
   private def onVecs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.embeddings(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hard_negatives" -> onVecs(v => hardNegatives(v)),
     "ann_knn_classify" -> onVecs(v => knnClassify(v)),
     "ann_centroid_outliers" -> onVecs(v => embedOutliers(v)),
     "ann_bruteforce" -> onVecs(bruteforce),
@@ -1841,7 +1879,31 @@ object Similarity {
     // E18 twin: identical micro quantization, floor-div centroid,
     // integer distance fold (the range(64) lateral replays the
     // zip_with pairing; integer sums are order-free)
-    // E22 twin: same integer-micro quantization, the same exact int64
+    // E25 twin: same integer-micro quantization and exact int64
+    // distances, the same label-mismatch restriction and
+    // (dist2, vec_id) top-k rank
+    "ann_hard_negatives" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, label::BIGINT AS label,
+         |    list_transform(embedding,
+         |      x -> round(x::DOUBLE * 1000000)::BIGINT) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qvv
+         |      FROM qv WHERE vec_id < $NumQueries),
+         |d AS (
+         |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         |    sum((e.v[i + 1] - q.qvv[i + 1])
+         |      * (e.v[i + 1] - q.qvv[i + 1]))::BIGINT AS dist2
+         |  FROM qv e JOIN q ON e.label <> q.q_label, range(64) t(i)
+         |  GROUP BY 1, 2, 3, 4),
+         |rk AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY dist2, vec_id)::BIGINT AS rk
+         |  FROM d)
+         |SELECT q_id, q_label, rk, vec_id AS neg_id,
+         |  label AS neg_label, dist2
+         |FROM rk WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+    // E24 twin: same integer-micro quantization, the same exact int64
     // squared distances (summed over the 64 dims), the identical
     // (dist2, vec_id) neighbor rank and (votes DESC, label) vote rule
     "ann_knn_classify" ->

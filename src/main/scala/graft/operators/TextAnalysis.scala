@@ -1186,7 +1186,7 @@ object TextAnalysis {
       .orderBy($"lang", $"lang_pred")
   }
 
-  /** F21 DSIR importance weights (Xie et al. 2023, "Data Selection
+  /** F36 DSIR importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling" — the standard
     * recipe for tilting a raw crawl toward a target domain): score
     * every raw document by the log-likelihood ratio of its tokens
@@ -1235,7 +1235,7 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
-  /** F22 n-gram NOVELTY curve — per-document fraction of word
+  /** F37 n-gram NOVELTY curve — per-document fraction of word
     * 5-grams never seen in any EARLIER document (doc_id as ingestion
     * order): the "how much new text does each increment add"
     * diagnostic a continuously-crawled corpus publishes, and the
@@ -1266,7 +1266,66 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** F38 multinomial NAIVE-BAYES quality classifier (the fastText /
+    * CCNet-style distillation step every large curation run performs:
+    * an expensive or hand-written quality rule labels a corpus once,
+    * a bag-of-words classifier learns it, and the CLASSIFIER runs at
+    * crawl scale; here the teacher is F2's integer-exact
+    * `score_ppm ≥ 200000` gate, so labels are bit-deterministic):
+    * add-one-smoothed class-conditional term models, per-doc decision
+    * logodds(d) = ln(n₁/n₀) + Σ_t c_t·[ln((c₁ₜ+1)/(N₁+V)) −
+    * ln((c₀ₜ+1)/(N₀+V))], predicted class = sign, plus the
+    * teacher-agreement flag — the confusion readout that tells a
+    * curator whether the distilled filter is safe to deploy.
+    *
+    * Determinism: per-(doc, term) contributions are one identical
+    * IEEE sequence in both engines and fold per doc in SORTED TERM
+    * ORDER with a 0-init left fold (the F36 recipe); the export
+    * rounds to 4, the pred/correct flags compare the unrounded fold.
+    * Scale shape: one tokenize → per-doc term counts
+    * (localCheckpointed), two term-level class aggregates joined back
+    * by term, four driver scalars (class token totals, vocab, doc
+    * priors — counters, not data). */
+  def nbQuality(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val lab = withQualityCols(docs)
+      .select($"doc_id", ($"score_ppm" >= 200000L).cast("long").as("y"))
+    val tok = docs.select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .join(lab, "doc_id")
+      .localCheckpoint()
+    val cls = tok.groupBy($"term")
+      .agg(sum(when($"y" === 1, $"c").otherwise(0L)).as("c1"),
+        sum(when($"y" === 0, $"c").otherwise(0L)).as("c0"))
+    val tot = tok.agg(
+      sum(when($"y" === 1, $"c").otherwise(0L)),
+      sum(when($"y" === 0, $"c").otherwise(0L))).collect()(0)
+    val (n1tok, n0tok) = (tot.getLong(0), tot.getLong(1))
+    val v = tok.select($"term").distinct().count()
+    val priors = lab.agg(sum(when($"y" === 1, 1L).otherwise(0L)),
+      sum(when($"y" === 0, 1L).otherwise(0L))).collect()(0)
+    val (nd1, nd0) = (priors.getLong(0), priors.getLong(1))
+    require(nd1 > 0 && nd0 > 0,
+      s"nbQuality needs both classes in the corpus (got $nd1/$nd0)")
+    tok.join(cls, Seq("term"))
+      .withColumn("contrib", $"c" * (
+        log(($"c1" + lit(1.0)) / lit((n1tok + v).toDouble)) -
+          log(($"c0" + lit(1.0)) / lit((n0tok + v).toDouble))))
+      .groupBy($"doc_id", $"y")
+      .agg(sum($"c").as("n_tokens"),
+        sort_array(collect_list(struct($"term", $"contrib"))).as("ps"))
+      .withColumn("lo",
+        log(lit(nd1.toDouble) / lit(nd0.toDouble)) + expr(
+          "aggregate(transform(ps, x -> x.contrib), 0D, (acc, x) -> acc + x)"))
+      .select($"doc_id", $"y", $"n_tokens",
+        round($"lo", 4).as("nb_logodds"),
+        ($"lo" > 0).cast("long").as("pred"),
+        (($"lo" > 0).cast("long") === $"y").cast("long").as("correct"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_nb_quality" -> onDocs(nbQuality),
     "text_dsir" -> onDocs(dsirWeights),
     "text_novelty" -> onDocs(novelty),
     "text_kappa" -> onDocs(raterKappa),
@@ -1383,7 +1442,63 @@ object TextAnalysis {
        |FROM agg ORDER BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // F21 twin: same smoothed unigram LMs (target = doc_id % 50 = 0,
+    // F38 twin: the same F2 integer teacher label, the same add-one
+    // class models over the shared vocab, the identical per-term IEEE
+    // contribution folded per doc in sorted term order, prior added
+    // once up front; pred/correct compare the unrounded fold
+    "text_nb_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok,
+        |    len(regexp_extract_all(text, '[.,!?;:()]'))::BIGINT
+        |      AS n_punct,
+        |    len(regexp_extract_all(text,
+        |      '\b(the|a|and|of|to|in|is)\b'))::BIGINT AS n_stop,
+        |    greatest(length(text)::BIGINT, 1) AS n_chars_d
+        |  FROM documents),
+        |lab AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN least(n_tok * 10000, 1000000) // 2
+        |      + (n_stop * 1000000) // greatest(n_tok, 1) // 2
+        |      - (n_punct * 1000000) // n_chars_d // 5 >= 200000
+        |     THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM t),
+        |tok AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(trim(text), '\s+')) AS term
+        |    FROM documents) GROUP BY 1, 2),
+        |tk AS (
+        |  SELECT tok.doc_id, term, c, y FROM tok JOIN lab USING (doc_id)),
+        |cls AS (
+        |  SELECT term,
+        |    sum(CASE WHEN y = 1 THEN c ELSE 0 END)::BIGINT AS c1,
+        |    sum(CASE WHEN y = 0 THEN c ELSE 0 END)::BIGINT AS c0
+        |  FROM tk GROUP BY 1),
+        |s AS (SELECT
+        |  (SELECT sum(CASE WHEN y = 1 THEN c ELSE 0 END) FROM tk) AS n1,
+        |  (SELECT sum(CASE WHEN y = 0 THEN c ELSE 0 END) FROM tk) AS n0,
+        |  (SELECT count(DISTINCT term) FROM tk) AS v,
+        |  (SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) FROM lab)
+        |    AS nd1,
+        |  (SELECT sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) FROM lab)
+        |    AS nd0),
+        |parts AS (
+        |  SELECT tk.doc_id, tk.y, tk.term, tk.c,
+        |    tk.c * (ln((cls.c1 + 1.0) / (s.n1 + s.v)::DOUBLE)
+        |          - ln((cls.c0 + 1.0) / (s.n0 + s.v)::DOUBLE)) AS contrib
+        |  FROM tk JOIN cls USING (term), s),
+        |agg AS (
+        |  SELECT doc_id, y, sum(c)::BIGINT AS n_tokens,
+        |    ln((SELECT nd1 FROM s)::DOUBLE / (SELECT nd0 FROM s)::DOUBLE)
+        |      + list_reduce(list_prepend(0.0::DOUBLE,
+        |          list(contrib ORDER BY term)), (acc, x) -> acc + x) AS lo
+        |  FROM parts GROUP BY 1, 2)
+        |SELECT doc_id, y, n_tokens, round(lo, 4) AS nb_logodds,
+        |  (lo > 0)::BIGINT AS pred,
+        |  ((lo > 0)::BIGINT = y)::BIGINT AS correct
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // F36 twin: same smoothed unigram LMs (target = doc_id % 50 = 0,
     // raw = rest, shared corpus vocab V), the identical per-term IEEE
     // sequence c·(ln a − ln b), folded per doc in the SAME sorted term
     // order via list(... ORDER BY term) with a 0-prepend left fold;
@@ -1416,7 +1531,7 @@ object TextAnalysis {
         |SELECT doc_id, n_tokens, round(lw, 4) AS dsir_logw,
         |  (lw > 0)::BIGINT AS selected
         |FROM agg ORDER BY doc_id""".stripMargin,
-    // F22 twin: same per-doc DISTINCT 5-gram set, min(doc_id) first
+    // F37 twin: same per-doc DISTINCT 5-gram set, min(doc_id) first
     // owner, integer floor-div ppm
     "text_novelty" ->
       """WITH w AS (

@@ -546,7 +546,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.size == 12, s"rows: ${got.size}")
   }
 
-  test("E23 knn classify: majority wins, vote tie prefers the smaller label") {
+  test("E24 knn classify: majority wins, vote tie prefers the smaller label") {
     import spark.implicits._
     def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
     // query 0 (true label 2): 3 near label-2s, 2 farther label-1s,
@@ -570,7 +570,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
       g2(0).getLong(4)) == ((9L, 4L, 2L, 0L)))
   }
 
-  test("F21 DSIR: target-vocabulary doc outranks crawl-only doc, flag tracks sign") {
+  test("F36 DSIR: target-vocabulary doc outranks crawl-only doc, flag tracks sign") {
     import spark.implicits._
     val docs = Seq(
       (0L, "alpha beta alpha beta"), (50L, "alpha beta"), // target side
@@ -585,7 +585,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(1L)._2 == 1L && got(2L)._2 == 0L, s"flags: $got")
   }
 
-  test("F22 novelty: clone scores 0, first owner 10^6, half-overlap 500000") {
+  test("E25 hard negatives: same-label excluded, distance-ranked, capped at k") {
+    import spark.implicits._
+    def v(x: Float) = Array(x, 0f, 0f, 0f)
+    // query 0 (label 1); nearest corpus vec 10 shares the label and
+    // must be skipped; 7 other-label vecs at increasing distance
+    val vecs = (Seq((0L, v(0f), 1)) ++ Seq((10L, v(1f), 1)) ++
+      (1 to 7).map(i => (10L + i, v((i + 1).toFloat), 1 + i)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs).collect()
+    assert(got.length == 5, s"rows: ${got.length}")
+    assert(got.map(_.getLong(3)).toSeq == Seq(11L, 12L, 13L, 14L, 15L),
+      s"ids: ${got.map(_.getLong(3)).toSeq}")
+    assert(got.forall(_.getLong(4) != 1L), "same-label leak")
+    assert(got.map(_.getLong(2)).toSeq == (1L to 5L), "rank order")
+    assert(got.map(_.getLong(5)).toSeq == got.map(_.getLong(5)).sorted.toSeq)
+  }
+
+  test("F38 NB quality: class-exclusive vocab makes the student match the teacher") {
+    import spark.implicits._
+    // stopword-rich prose (teacher label 1) vs punctuation junk
+    // (label 0) with disjoint vocabularies — NB must agree everywhere
+    val docs = (Seq(
+      (1L, "the cat and the dog of the house is here to stay in peace"),
+      (2L, "the sun and the moon of the sky is there to shine in june"),
+      (3L, "the old man and the sea of grass is said to wave in wind"),
+      (4L, "%%% ### !!!"), (5L, "%%% !!! ###"), (6L, "### %%% !!!")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.nbQuality(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    (1L to 3L).foreach { d =>
+      assert(got(d)._1 == 1L && got(d)._2 > 0 && got(d)._3 == 1L &&
+        got(d)._4 == 1L, s"doc $d: ${got(d)}") }
+    (4L to 6L).foreach { d =>
+      assert(got(d)._1 == 0L && got(d)._2 < 0 && got(d)._3 == 0L &&
+        got(d)._4 == 1L, s"doc $d: ${got(d)}") }
+  }
+
+  test("F37 novelty: clone scores 0, first owner 10^6, half-overlap 500000") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"),
       (3L, "b c d e f g"), (4L, "x y")).toDF("doc_id", "text")

@@ -2294,7 +2294,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("d") == ((100L, 2.0, 1.4)), s"d: ${got("d")}")
   }
 
-  test("A43 mutual information: exact 0 under independence, ln 2 under identity") {
+  test("A61 mutual information: exact 0 under independence, ln 2 under identity") {
     import spark.implicits._
     import graft.operators.Relational
     // uniform 2×2 product distribution: every cell's log ratio is ln 1
@@ -2307,7 +2307,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert((r1.getLong(1), r1.getDouble(2)) == ((2L, 0.693147)))
   }
 
-  test("A44 count-min: estimates never undercount, lone-key stream is exact") {
+  test("A62 count-min: estimates never undercount, lone-key stream is exact") {
     import spark.implicits._
     import graft.operators.Relational
     val df = (Seq.fill(40)(7L) ++ Seq.fill(30)(9L) ++ (100L to 140L))
@@ -2325,5 +2325,99 @@ class OperatorsSpec extends AnyFunSuite {
     val solo = Seq.fill(5)(42L).toDF("user_id")
     val g2 = Relational.countMinOn(solo, col("user_id")).collect()
     assert(g2.length == 1 && g2(0).getLong(3) == 5L && g2(0).getLong(4) == 0L)
+  }
+
+  // crafted events frame: daily counts per type via repeated rows
+  private def dailyEvents(specs: (String, Seq[Int])*) = {
+    import spark.implicits._
+    specs.flatMap { case (t, daily) => daily.zipWithIndex.flatMap {
+      case (c, d) => (0 until c).map(j =>
+        (t, (t.hashCode.toLong << 16) + d * 100 + j, d, j)) } }
+      .toDF("event_type", "event_id", "d", "j")
+      .withColumn("ts",
+        expr("to_timestamp('2024-01-01') + make_interval(0, 0, 0, d, 0, 0, j)"))
+      .withColumn("user_id", expr("1L")).withColumn("value", expr("1.0"))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+  }
+
+  test("B52 isotonic: textbook PAVA pooling, already-monotone series unchanged") {
+    import graft.operators.Resilience
+    // y = 1,3,2,4 → PAVA pools the violator pair: 1, 2.5, 2.5, 4
+    val got = Resilience.isotonic(dailyEvents("a" -> Seq(1, 3, 2, 4)))
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 1.0), (3L, 2.5), (2L, 2.5), (4L, 4.0)),
+      s"got: ${got.toSeq}")
+    // monotone input is its own isotonic fit
+    val mono = Resilience.isotonic(dailyEvents("m" -> Seq(1, 2, 5)))
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(mono.toSeq == Seq((1L, 1.0), (2L, 2.0), (5L, 5.0)))
+  }
+
+  test("B53 cointegration: mean-reverting residual flags, perfect fit nulls") {
+    import graft.operators.Resilience
+    // clicks 1..6, views = clicks + alternating ±1 noise → OLS
+    // beta = 87/105, alpha = 0.6; residuals alternate sign, so the
+    // DF step sees strong mean reversion → cointegrated
+    val ev = dailyEvents("click" -> Seq(1, 2, 3, 4, 5, 6),
+      "view" -> Seq(2, 1, 4, 3, 6, 5))
+    val r = Resilience.cointegration(ev).collect()(0)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 5L, s"n: $r")
+    assert(r.getDouble(2) == 0.6 && r.getDouble(3) == 0.828571, s"ab: $r")
+    assert(r.getDouble(4) < 0.0, s"rho: $r")
+    assert(r.getDouble(5) < -3.34 && r.getLong(6) == 1L, s"t: $r")
+    // views = 2*clicks exactly → zero residuals → degenerate DF nulls
+    val perfect = dailyEvents("click" -> Seq(1, 2, 3),
+      "view" -> Seq(2, 4, 6))
+    val p = Resilience.cointegration(perfect).collect()(0)
+    assert(p.isNullAt(4) && p.isNullAt(5) && p.isNullAt(6), s"p: $p")
+  }
+
+  test("B54 logrank: hand-computed chi2 = 6, symmetric groups score 0") {
+    import spark.implicits._
+    import graft.operators.Resilience
+    def ev(rows: Seq[(Long, Int)]) = rows.zipWithIndex.map {
+        case ((u, h), i) => (u, i.toLong, h) }
+      .toDF("user_id", "event_id", "h")
+      .withColumn("ts",
+        expr("to_timestamp('2024-01-01') + make_interval(0, 0, 0, 0, h)"))
+      .withColumn("event_type", expr("'x'")).withColumn("value", expr("1.0"))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    // grp1 = users 1,3,5 churn at 1h; grp0 = users 0,2,4,6 censored →
+    // single event time with n=7, n1=3, d=d1=3: chi2 = 294/49 = 6
+    val a = ev(Seq(1L -> 0, 1L -> 1, 3L -> 0, 3L -> 1, 5L -> 0, 5L -> 1,
+      0L -> 0, 0L -> 100, 2L -> 0, 2L -> 99, 4L -> 0, 4L -> 99,
+      6L -> 0, 6L -> 99))
+    val ra = Resilience.logRank(a).collect()(0)
+    assert((ra.getLong(0), ra.getLong(1), ra.getLong(2), ra.getLong(3)) ==
+      ((4L, 3L, 1L, 3L)), s"a: $ra")
+    assert(ra.getDouble(4) == 1.2857 && ra.getDouble(5) == 6.0 &&
+      ra.getLong(6) == 1L, s"a: $ra")
+    // one churner and one survivor per parity → O1 = E1 → chi2 = 0
+    val b = ev(Seq(1L -> 0, 1L -> 1, 2L -> 0, 2L -> 1,
+      3L -> 0, 3L -> 50, 4L -> 0, 4L -> 50))
+    val rb = Resilience.logRank(b).collect()(0)
+    assert(rb.getDouble(5) == 0.0 && rb.getLong(6) == 0L, s"b: $rb")
+  }
+
+  test("B55 BH-FDR: flat series is a sure null, trend survives, step-up monotone") {
+    import graft.operators.Resilience
+    val dir = java.nio.file.Files.createTempDirectory("fdr").toString
+    dailyEvents("up" -> Seq(1, 2, 3, 4, 5, 6, 7, 8),
+      "flat" -> Seq(2, 2, 2, 2, 2, 2, 2, 2),
+      "mild" -> Seq(2, 1, 3, 2, 4, 1, 3, 2))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Resilience.fdrBh(spark, dir).collect()
+    assert(got.length == 3)
+    val byType = got.map(r => r.getString(0) -> r).toMap
+    // z = 0 → two-sided p = 1 exactly, never rejected
+    assert(byType("flat").getDouble(3) == 1.0 &&
+      byType("flat").getLong(6) == 0L)
+    // strong monotone trend: first rank, rejected even after BH
+    assert(byType("up").getLong(4) == 1L && byType("up").getLong(6) == 1L)
+    // step-up: p_adj is non-decreasing in rank and ≥ its raw p
+    val byRank = got.sortBy(_.getLong(4))
+    byRank.sliding(2).foreach { case Array(x, y) =>
+      assert(x.getDouble(5) <= y.getDouble(5)) }
+    byRank.foreach(r => assert(r.getDouble(5) >= r.getDouble(3) - 1e-12))
   }
 }
