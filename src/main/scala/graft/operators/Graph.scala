@@ -760,7 +760,90 @@ object Graph {
       .orderBy($"node")
   }
 
+  /** Per-edge triangle SUPPORT over a canonical (a < b) edge set —
+    * the edge-level analogue of [[triangleCounts]], same
+    * degree-ordered wedge enumeration (each triangle found exactly
+    * once, Σ out-deg² work bound), then each triangle credits its
+    * three edges. Edges in no triangle are ABSENT (support 0) —
+    * callers coalesce. */
+  private def edgeSupport(canon: DataFrame): DataFrame = {
+    import canon.sparkSession.implicits._
+    val deg = canon.select($"a".as("node"))
+      .union(canon.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select($"node".as("a"), $"d".as("da")), "a")
+      .join(deg.select($"node".as("b"), $"d".as("db")), "b")
+    val fwd = withDeg.select(
+      when(struct($"da", $"a") < struct($"db", $"b"), $"a").otherwise($"b")
+        .as("u"),
+      when(struct($"da", $"a") < struct($"db", $"b"), $"b").otherwise($"a")
+        .as("v"),
+      when(struct($"da", $"a") < struct($"db", $"b"), $"db").otherwise($"da")
+        .as("dv")).localCheckpoint()
+    val wedges = fwd.select($"u", $"v".as("x"), $"dv".as("dx"))
+      .join(fwd.select($"u", $"v".as("y"), $"dv".as("dy")), Seq("u"))
+      .filter(struct($"dx", $"x") < struct($"dy", $"y"))
+    val tri = wedges.join(fwd.select($"u".as("x"), $"v".as("y")),
+      Seq("x", "y"), "left_semi")
+    tri.select(explode(array(
+        struct(least($"u", $"x").as("a"), greatest($"u", $"x").as("b")),
+        struct(least($"u", $"y").as("a"), greatest($"u", $"y").as("b")),
+        struct(least($"x", $"y").as("a"), greatest($"x", $"y").as("b"))))
+        .as("e"))
+      .groupBy($"e.a".as("a"), $"e.b".as("b"))
+      .agg(count(lit(1)).as("sup"))
+  }
+
+  /** I11 K-TRUSS decomposition, bounded rounds (Cohen 2008 — the
+    * EDGE-level cohesion rung above I4's k-core: a k-core node needs
+    * k neighbors, a k-truss edge needs k−2 triangles through it, so
+    * trusses are the "every tie is multiply witnessed" communities
+    * spam/fraud and community-core analyses peel to): repeatedly
+    * drop edges with support < k−2, recomputing support on the
+    * survivor graph each round. `rounds` bounds the peel depth — a
+    * non-converged budget is still exact parity (the oracle unrolls
+    * the SAME rounds, the I10/I4 budget contract). Per round: one
+    * support computation (degree-ordered triangle enumeration — two
+    * equi-joins + one semi-join + one count, all shuffles on node
+    * ids) and one filter; edge set localCheckpointed per round so
+    * plans stay constant-size. ALL integer — no float anywhere. */
+  def ktruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    var canon = edges
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val sup = edgeSupport(canon)
+      canon = sup.filter($"sup" >= k - 2).select($"a", $"b")
+        .localCheckpoint()
+    }
+    canon.join(edgeSupport(canon), Seq("a", "b"), "left")
+      .select($"a", $"b", coalesce($"sup", lit(0L)).as("support"))
+      .orderBy($"a", $"b")
+  }
+
+  /** q_ktruss: 5-truss of the raw co-order part graph (the
+    * q_triangles graph — the ≥2-support thresholded variant has no
+    * nontrivial truss at small SF; the raw graph's per-order cliques
+    * are exactly the multiply-witnessed ties trusses formalize) —
+    * 2 peel rounds, converged on the test corpus. */
+  def ktrussCoOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_partkey" % 2 === 0)
+      .select($"l_orderkey", $"l_partkey")
+    val canon = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").cast("long").as("src"),
+        col("y.l_partkey").cast("long").as("dst"))
+    ktruss(canon, 5, 2)
+      .select($"a".as("part_a"), $"b".as("part_b"), $"support")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ktruss" -> ktrussCoOrder,
     "q_sssp" -> ssspSupplyChain,
     "q_communities" -> communitiesCoOrder,
     "q_clustering_coeff" -> ccCoOrder,
@@ -932,7 +1015,48 @@ object Graph {
        |SELECT node, dist FROM d$rounds ORDER BY node""".stripMargin
   }
 
+  /** Unrolled k-truss twin: per round the same integer support
+    * (common-neighbor count ≡ triangles through the edge) and the
+    * same ≥ k−2 filter; the final left join mirrors the coalesce-0
+    * export. */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s"""sym${i - 1} AS (
+         |  SELECT a AS u, b AS v FROM e${i - 1}
+         |  UNION ALL SELECT b, a FROM e${i - 1}),
+         |s$i AS (
+         |  SELECT e.a, e.b, count(*)::BIGINT AS sup
+         |  FROM e${i - 1} e
+         |  JOIN sym${i - 1} n1 ON n1.u = e.a
+         |  JOIN sym${i - 1} n2 ON n2.u = e.b AND n2.v = n1.v
+         |  GROUP BY 1, 2),
+         |e$i AS (SELECT a, b FROM s$i WHERE sup >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH canon AS (
+       |  SELECT DISTINCT x.l_partkey::BIGINT AS a,
+       |    y.l_partkey::BIGINT AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  WHERE x.l_partkey % 2 = 0 AND y.l_partkey % 2 = 0),
+       |e0 AS (SELECT a, b FROM canon),
+       |$iters,
+       |symf AS (
+       |  SELECT a AS u, b AS v FROM e$rounds
+       |  UNION ALL SELECT b, a FROM e$rounds),
+       |sf AS (
+       |  SELECT e.a, e.b, count(*)::BIGINT AS sup
+       |  FROM e$rounds e
+       |  JOIN symf n1 ON n1.u = e.a
+       |  JOIN symf n2 ON n2.u = e.b AND n2.v = n1.v
+       |  GROUP BY 1, 2)
+       |SELECT e.a AS part_a, e.b AS part_b,
+       |  coalesce(sf.sup, 0)::BIGINT AS support
+       |FROM e$rounds e LEFT JOIN sf ON e.a = sf.a AND e.b = sf.b
+       |ORDER BY part_a, part_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_ktruss" -> ktrussSql(5, 2),
     "q_sssp" -> ssspSql(4),
     "q_communities" -> lpaSql(3),
     // I8 twin: same degree aggregate, same node-ordered ln fold and

@@ -19,6 +19,14 @@ import graft.sources.Tables
   */
 object Relational {
 
+  /** A62 count-min hash-lane literals — shared with the C56 streaming
+    * maintainer so the batch sketch, its oracle, and the streaming
+    * state are the SAME 4×256 counter table. */
+  private[graft] val CmsP = 2147483647L
+  private[graft] val CmsA = Seq(1299721L, 15485863L, 179424673L, 982451653L)
+  private[graft] val CmsB = Seq(7L, 131071L, 524287L, 98765431L)
+  private[graft] val CmsW = 256
+
   /** Σ price·(1−disc) in exact integer cent·percent units: inputs are
     * 2-decimal, so round(×100) is an exact integer and the whole sum
     * is BIGINT-exact; the single final division by 10⁴ is one IEEE op
@@ -1810,9 +1818,9 @@ object Relational {
   def countMinOn(df: DataFrame, key: Column, topN: Int = 10): DataFrame = {
     import df.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
-    val P = 2147483647L
-    val A = Seq(1299721L, 15485863L, 179424673L, 982451653L)
-    val B = Seq(7L, 131071L, 524287L, 98765431L)
+    val P = CmsP
+    val A = CmsA
+    val B = CmsB
     val users = df.select(key.as("user_id"))
       .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()

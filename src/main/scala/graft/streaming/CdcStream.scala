@@ -130,6 +130,33 @@ object CdcStream {
       }
   }
 
+  /** C56 streaming COUNT-MIN maintenance — the A62 sketch kept
+    * continuously current on the ingest feed (the production shape of
+    * a frequency sketch: nobody rebuilds it in batch per query; the
+    * stream folds into 4×256 counters and readers join against the
+    * live table). Same literal hash lanes as the batch builder
+    * (`Relational.CmsA/CmsB/CmsP`), so the streaming state IS the
+    * batch sketch: after any prefix of the feed the counter table
+    * equals `countMinOn`'s over the same events — exactly-once
+    * streaming aggregation makes replayed micro-batches a no-op.
+    * State is FOREVER-bounded at d·w = 1 024 rows no matter how long
+    * the stream runs (contrast C45's Misra-Gries candidates, which
+    * track membership; CMS answers point frequency for ANY key).
+    * Update output mode; per micro-batch only touched cells emit. */
+  def cmsStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import graft.operators.Relational.{CmsA, CmsB, CmsP, CmsW}
+    val lanes = CmsA.indices.map { i =>
+      struct(lit(i.toLong).as("row"),
+        expr(s"((${CmsA(i)} * (user_id % $CmsP) + ${CmsB(i)}) % $CmsP)" +
+          s" % $CmsW").as("cell"))
+    }
+    events.select(explode(array(lanes: _*)).as("h"))
+      .select($"h.row".as("row"), $"h.cell".as("cell"))
+      .groupBy($"row", $"cell")
+      .agg(count(lit(1)).as("counter"))
+  }
+
   /** C7 streaming windowed aggregation with watermark: tumbling 1-hour
     * event-time counts — the streaming twin of Cdc.eventCounts. The
     * 2h watermark bounds state: closed windows are finalized and

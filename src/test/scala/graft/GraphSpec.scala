@@ -282,4 +282,19 @@ class GraphSpec extends AnyFunSuite {
     // 3 rounds: converged — 4 rides the cheap relay
     assert(dists(3) == Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 21L))
   }
+
+  test("I11 k-truss: pendant triangle and lone edge peel, K4 survives at support 2") {
+    import spark.implicits._
+    // K4 on 1..4, a triangle (1,2,5) hanging off the (1,2) edge, and
+    // an isolated edge (8,9). 4-truss: the pendant triangle's edges
+    // carry support 1 and peel in round 1 (taking (1,2)'s third
+    // triangle with them); the lone edge has support 0; K4 is stable
+    // with every edge in exactly 2 surviving triangles.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (2L, 5L), (8L, 9L)).toDF("src", "dst")
+    val got = Graph.ktruss(e, 4, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
+      (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)), s"got ${got.toSeq}")
+  }
 }

@@ -34,6 +34,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C56 streaming count-min: state equals a hand-replayed sketch after every prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // independent oracle: replay the literal hash lanes in plain Scala
+    def handSketch(ids: Seq[Long]): Map[(Long, Long), Long] = {
+      val a = Seq(1299721L, 15485863L, 179424673L, 982451653L)
+      val b = Seq(7L, 131071L, 524287L, 98765431L)
+      val p = 2147483647L
+      ids.flatMap(u => a.indices.map(i =>
+          (i.toLong, ((a(i) * (u % p) + b(i)) % p) % 256)))
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    }
+    val in = MemoryStream[Long]
+    val q = CdcStream.cmsStream(
+        in.toDF.withColumnRenamed("value", "user_id"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("cms_stream").start()
+    try {
+      def sketch(): Map[(Long, Long), Long] = spark.table("cms_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val b1 = Seq.fill(10)(7L) ++ (1L to 20L)
+      in.addData(b1: _*); q.processAllAvailable()
+      assert(sketch() == handSketch(b1))
+      // second micro-batch folds INTO the same bounded counter table
+      val b2 = Seq.fill(5)(7L) ++ (100L to 110L)
+      in.addData(b2: _*); q.processAllAvailable()
+      assert(sketch() == handSketch(b1 ++ b2))
+      // forever-bound: the table can never exceed d·w rows
+      assert(sketch().size <= 4 * 256)
+    } finally q.stop()
+  }
+
   test("end-to-end file->transform->parquet-sink streaming pipeline") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_e2e").toString
