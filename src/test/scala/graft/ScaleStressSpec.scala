@@ -72,6 +72,36 @@ class ScaleStressSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("winnow at 10x corpus: every sufficiently-inked clone clique surfaces, window-pass cost") {
+    import spark.implicits._
+    val base = Tables.documents(spark, GraftTestSession.sf)
+    val n = base.count()
+    val k = 10 // keeps per-fingerprint df at 10 ≤ the 20 cap
+    val big = base.crossJoin(spark.range(k).select($"id".as("copy")))
+      .select(($"doc_id" + $"copy" * n).as("doc_id"), $"text")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.winnow(big).cache()
+    val total = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // clone pairs: same residue mod n (replicas of one base doc).
+    // A base doc with ≥5 selected fingerprints yields its FULL
+    // C(k,2) clique; docs too short for 5 fingerprints yield none —
+    // so the clone-pair count is a multiple of C(k,2) covering most
+    // of the corpus
+    val clone = pairs.filter($"doc_a" % n === $"doc_b" % n).count()
+    val cliquePairs = k.toLong * (k - 1) / 2
+    assert(clone % cliquePairs == 0, s"partial clique: $clone")
+    val cliques = clone / cliquePairs
+    assert(cliques >= (0.8 * n).toLong,
+      s"only $cliques/$n clone cliques surfaced")
+    info(f"$total pairs ($cliques cliques) over ${n * k} docs in $secs%.1f s")
+    // the window-lead gram hash is one explode + one window pass; the
+    // round-9 interpreted-fold form took ~25 s per 500 docs — a
+    // regression would blow this bound by an order of magnitude
+    assert(secs < 60.0, s"winnow no longer window-pass-shaped: $secs s")
+    pairs.unpersist()
+  }
+
   test("BPE training at 20x corpus: merges invariant, counts scale exactly, vocab-bounded time") {
     import spark.implicits._
     val base = Tables.documents(spark, GraftTestSession.sf)
