@@ -755,35 +755,23 @@ object Dedup {
     val norm = docs.select($"doc_id",
       substring(regexp_replace(regexp_replace(lower($"text"),
         "[^a-z0-9 ]", ""), Ws, " "), 1, 1000).as("txt"))
-    // One char-explode + ONE window pass: gram hash
-    // h_i = (Σ_j c_{i+j} · 257^{k-1-j}) mod p as k codegen'd lead()s
-    // with precomputed 257^j mod p coefficients — the same integers
-    // the Horner fold ((a·257+c) mod p) produces (both are the
-    // canonical residue of the same polynomial), but zero interpreted
-    // HOFs. The previous aggregate-in-transform form evaluated an
-    // O(len·k) interpreted fold whose substring(txt, i+j, 1) steps
-    // each re-seek the string from position 0 (UTF8String indexing is
-    // O(i)), and the Generate pre-filter evaluated the whole gram
-    // array a second time — 200+ s for 5 000 docs at sf0.1 and the
-    // round-5 bench-timeout culprit; this shape is ~2 s. Terms bound:
-    // coef < 10⁹, c ≤ 127 → Σ of 12 terms < 1.6·10¹², safely int64.
-    val P = 1000000007L
-    val coefs = (0 until k).map(j => BigInt(257).modPow(k - 1 - j, P).toLong)
-    val chars = norm
+    // Gram hashes via the codegen'd RollingPolyHash expression: one
+    // row-local byte pass per doc, then ONE posexplode of the gram
+    // array — no char explode, no lead() windows (the previous
+    // window form carried every CHARACTER of the corpus through the
+    // window Exchange just to compute hashes; history: the original
+    // aggregate-in-transform form was O(len·k) interpreted with
+    // O(len²) substring seeks — 200+ s at sf0.1, the round-9 driver
+    // bench-timeout culprit). Same integers: the rolling update is
+    // the canonical residue of the same polynomial mod 10⁹+7, and
+    // the D16 normalizer emits pure ASCII so byte == codepoint.
+    val grams = norm
       .filter(length($"txt") >= k)
-      .select($"doc_id", posexplode(split($"txt", "")).as(Seq("pos0", "ch")))
+      .select($"doc_id", posexplode(
+        graft.functions.TextHash.rollingPolyHash($"txt", k))
+        .as(Seq("pos0", "h")))
       .select($"doc_id", ($"pos0" + 1).as("pos"),
-        ascii($"ch").cast("long").as("c"))
-    val pw = Window.partitionBy($"doc_id").orderBy($"pos")
-    val hExpr = coefs.zipWithIndex.map { case (cf, j) =>
-        (if (j == 0) $"c" else lead($"c", j).over(pw)) * lit(cf)
-      }.reduce(_ + _) % lit(P)
-    val grams = chars
-      .withColumn("h", hExpr)
-      // a null lead marks the last k-1 positions — exactly the grams
-      // that do not exist; dense pos 1..len-k+1 survives, as before
-      .filter($"h".isNotNull)
-      .select($"doc_id", $"pos", expr("h * 1024 + (1024 - pos)").as("key"))
+        expr("h * 1024 + (1024 - (pos0 + 1))").as("key"))
     val wWin = Window.partitionBy($"doc_id").orderBy($"pos")
       .rowsBetween(-(w - 1), Window.currentRow)
     val sel = grams

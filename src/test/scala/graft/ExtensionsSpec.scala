@@ -97,4 +97,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(both.filter($"fast" =!= $"slow").count() == 0,
       "adc_sum diverged from the composed fold")
   }
+
+  test("rolling_poly_hash equals the k-term polynomial fold, edge lengths included") {
+    import spark.implicits._
+    import graft.functions.TextHash
+    val k = 12
+    val docs = Seq(
+      "",                                  // empty → empty array
+      "abcdefghijk",                       // k-1 chars → empty array
+      "abcdefghijkl",                      // exactly k → one hash
+      "the quick brown fox jumps over the lazy dog 0123456789",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaa")        // repeated chars stress the slide
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "txt")
+    // reference: the direct Σ c_j·257^(k-1-j) mod p per position,
+    // computed with interpreted HOFs over codepoints
+    val P = 1000000007L
+    val coefs = (0 until k)
+      .map(j => BigInt(257).modPow(k - 1 - j, P).toLong)
+    val slowExpr = expr(
+      s"""CASE WHEN length(txt) >= $k THEN
+         |  transform(sequence(1, length(txt) - ${k - 1}), i ->
+         |    (${coefs.zipWithIndex.map { case (cf, j) =>
+             s"ascii(substring(txt, i + $j, 1)) * ${cf}L" }
+             .mkString(" + ")}) % $P)
+         |ELSE array() END""".stripMargin.replace("\n", " "))
+    val both = docs
+      .select($"id", TextHash.rollingPolyHash($"txt", k).as("fast"),
+        slowExpr.cast("array<long>").as("slow"))
+    assert(both.filter(not($"fast" <=> $"slow")).count() == 0,
+      "rolling hash diverged from the polynomial reference")
+    // empty-array edges explicit
+    val sizes = both.orderBy($"id").select(size($"fast")).as[Int].collect()
+    assert(sizes(0) == 0 && sizes(1) == 0 && sizes(2) == 1)
+  }
 }
