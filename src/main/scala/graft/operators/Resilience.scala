@@ -2258,7 +2258,42 @@ object Resilience {
       .orderBy($"rk")
   }
 
+  /** B56 spectral ENTROPY per event type (the one-number regularity
+    * summary of B44's periodogram — ≈0 a single dominant cycle, →1
+    * white noise; the "is there ANY rhythm worth modeling" screen
+    * run before paying for the seasonal ladder, and the standard
+    * tsfresh/catch22-style feature): normalized Shannon entropy
+    * H = −Σ p_k ln p_k / ln(K) over the periodogram power
+    * distribution p_k = I_k/ΣI, plus the dominant harmonic.
+    *
+    * Built ON the B44 EXPORT: powers are the round-4 doubles both
+    * engines already agree on bit-for-bit, so the entropy tail —
+    * k-ordered total fold, per-term (p·ln p) with zero-power terms
+    * contributing 0 by convention, one ln(K) normalization — is the
+    * only new float work (ln is libm both engines, round-6 export;
+    * the F18/F24 precedent). All-zero spectra (flat series) and
+    * K = 1 null explicitly. Frames are harmonic-count-sized. */
+  def spectralEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = periodogramOn(dailyCounts(s, dir))
+    per.groupBy($"event_type")
+      .agg(count(lit(1)).as("kmax"), max($"n").as("n_days"),
+        sort_array(collect_list(struct($"k", $"power"))).as("ps"),
+        min(when($"rank" === 1, $"k")).as("peak_k"))
+      .withColumn("tp", expr("aggregate(ps, 0D, (acc, x) -> acc + x.power)"))
+      .withColumn("h", when($"tp" > 0.0 && $"kmax" > 1, expr(
+        """-aggregate(ps, 0D, (acc, x) -> acc +
+          |  (CASE WHEN x.power > 0 THEN (x.power / tp) * ln(x.power / tp)
+          |   ELSE 0D END)) / ln(cast(kmax as double))"""
+          .stripMargin.replace("\n", " "))))
+      .select($"event_type", $"n_days", $"kmax", $"peak_k",
+        round($"tp", 4).as("total_power"),
+        round($"h", 6).as("spec_entropy"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spectral_entropy" -> spectralEntropy,
     "q_isotonic" -> ((s, dir) => isotonic(Tables.events(s, dir))),
     "q_cointegration" -> ((s, dir) => cointegration(Tables.events(s, dir))),
     "q_logrank" -> ((s, dir) => logRank(Tables.events(s, dir))),
@@ -2412,6 +2447,64 @@ object Resilience {
          |  FROM c JOIN wm ON c.event_type = wm.event_type)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B56 twin: the B44 CTE chain verbatim through the round-4 power
+    // export, then the identical k-ordered entropy folds over those
+    // shared doubles; same zero-term convention, guards, rounds
+    "q_spectral_entropy" ->
+      s"""WITH dc AS ($dailyCountsSql),
+         |base AS (
+         |  SELECT event_type, day, y,
+         |    (row_number() OVER (PARTITION BY event_type ORDER BY day))::BIGINT
+         |      AS t
+         |  FROM dc),
+         |g AS (
+         |  SELECT event_type,
+         |    list(struct_pack(t := t, y := y) ORDER BY t) AS pts,
+         |    count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+         |  FROM base GROUP BY 1),
+         |kk AS (
+         |  SELECT event_type, pts, n, s,
+         |    unnest(range(1, least(10, (n - 1) // 2) + 1)) AS k
+         |  FROM g),
+         |f AS (
+         |  SELECT event_type, k, n,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(pts,
+         |      x -> ((n * x.y - s)::DOUBLE)
+         |        * cos(2.0 * pi() * k::DOUBLE * x.t::DOUBLE / n::DOUBLE))),
+         |      (p, q) -> p + q) AS a,
+         |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(pts,
+         |      x -> ((n * x.y - s)::DOUBLE)
+         |        * sin(2.0 * pi() * k::DOUBLE * x.t::DOUBLE / n::DOUBLE))),
+         |      (p, q) -> p + q) AS b
+         |  FROM kk),
+         |p AS (
+         |  SELECT event_type, k, n,
+         |    round((a * a + b * b)
+         |      / (n::DOUBLE * n::DOUBLE * n::DOUBLE), 4) AS power
+         |  FROM f),
+         |ranked AS (
+         |  SELECT *, (row_number() OVER (PARTITION BY event_type
+         |     ORDER BY power DESC, k))::BIGINT AS rank
+         |  FROM p),
+         |g2 AS (
+         |  SELECT event_type, count(*)::BIGINT AS kmax,
+         |    max(n)::BIGINT AS n_days,
+         |    list(struct_pack(k := k, power := power) ORDER BY k) AS ps,
+         |    min(CASE WHEN rank = 1 THEN k END)::BIGINT AS peak_k
+         |  FROM ranked GROUP BY 1),
+         |t2 AS (
+         |  SELECT *, list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(ps, x -> x.power)), (a, b) -> a + b) AS tp
+         |  FROM g2)
+         |SELECT event_type, n_days, kmax, peak_k,
+         |  round(tp, 4) AS total_power,
+         |  round(CASE WHEN tp > 0 AND kmax > 1 THEN
+         |    -list_reduce(list_prepend(0.0::DOUBLE, list_transform(ps,
+         |       x -> CASE WHEN x.power > 0
+         |         THEN (x.power / tp) * ln(x.power / tp)
+         |         ELSE 0.0 END)), (a, b) -> a + b)
+         |      / ln(kmax::DOUBLE) END, 6) AS spec_entropy
+         |FROM t2 ORDER BY event_type""".stripMargin,
     // B52 twin: identical pair means (one IEEE division of integer
     // prefix sums), identical suffix-min / per-k max — min/max of
     // bit-equal doubles carry no fold order

@@ -1324,7 +1324,45 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** F39 Kish EFFECTIVE SAMPLE SIZE of the F36 DSIR weights
+    * (Kish 1965, ESS = (Σw)²/Σw² — the one-number sanity gate run
+    * BEFORE importance resampling: a tilt whose ESS collapses toward
+    * 1 means a handful of documents would dominate the resample and
+    * the target LM is too far from the crawl to trust): weights are
+    * exp(logw − max logw) — ESS is scale-invariant, so the max-shift
+    * costs nothing and keeps exp in (0, 1] — quantized to integer
+    * micros via the explicit half-up floor(x·10⁶ + 0.5) (the E12
+    * rule: engines' round() tie conventions differ), making Σw and
+    * Σw² EXACT integer aggregates — order-free, no corpus-sized
+    * fold anywhere (the e12-style quantization is what makes this
+    * scale-safe where a naive float Σ would need a pinned order).
+    * Σw² sums as decimal(38,0) (overflows int64 past ~9·10⁶ docs).
+    * Inputs are the F36 EXPORT's round-4 logw — bit-identical across
+    * engines; exp is libm both sides (F6 precedent; the integer
+    * quantization boundary is the only theoretical ulp seam).
+    * Output: one row — n_docs, ess, ess_ratio. */
+  def dsirEss(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = dsirWeights(docs).select($"doc_id", $"dsir_logw")
+      .localCheckpoint()
+    val mxRow = w.agg(max($"dsir_logw")).collect()(0)
+    require(!mxRow.isNullAt(0), "dsirEss needs a non-empty crawl side")
+    val mx = mxRow.getDouble(0)
+    w.withColumn("wq",
+        floor(exp($"dsir_logw" - lit(mx)) * 1000000.0 + 0.5).cast("long"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"wq".cast("decimal(38,0)")).as("sw"),
+        sum(($"wq" * $"wq").cast("decimal(38,0)")).as("sww"))
+      .select($"n_docs",
+        round(($"sw".cast("double") * $"sw".cast("double")) /
+          $"sww".cast("double"), 4).as("ess"),
+        round((($"sw".cast("double") * $"sw".cast("double")) /
+          $"sww".cast("double")) / $"n_docs".cast("double"), 6)
+          .as("ess_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_dsir_ess" -> onDocs(dsirEss),
     "text_nb_quality" -> onDocs(nbQuality),
     "text_dsir" -> onDocs(dsirWeights),
     "text_novelty" -> onDocs(novelty),
@@ -1441,6 +1479,34 @@ object TextAnalysis {
        |  n_tokens * 1000000 // n_words AS fertility_ppm
        |FROM agg ORDER BY source""".stripMargin
 
+  /** F36 oracle CTE chain through the per-doc unrounded logw fold —
+    * shared by the text_dsir export and the F39 ESS tail. */
+  private val dsirCtesSql =
+    """tok AS (
+      |  SELECT doc_id, term, count(*)::BIGINT AS c FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(trim(text), '\s+')) AS term
+      |    FROM documents) GROUP BY 1, 2),
+      |tgt AS (SELECT term, sum(c)::BIGINT AS ct FROM tok
+      |        WHERE doc_id % 50 = 0 GROUP BY 1),
+      |raw AS (SELECT term, sum(c)::BIGINT AS cr FROM tok
+      |        WHERE doc_id % 50 <> 0 GROUP BY 1),
+      |s AS (SELECT
+      |  (SELECT coalesce(sum(ct), 0) FROM tgt) AS nt,
+      |  (SELECT coalesce(sum(cr), 0) FROM raw) AS nr,
+      |  (SELECT count(DISTINCT term) FROM tok) AS v),
+      |parts AS (
+      |  SELECT t.doc_id, t.term, t.c,
+      |    t.c * (ln((coalesce(g.ct, 0) + 1.0) / (s.nt + s.v)::DOUBLE)
+      |         - ln((r.cr + 1.0) / (s.nr + s.v)::DOUBLE)) AS contrib
+      |  FROM tok t JOIN raw r USING (term) LEFT JOIN tgt g USING (term), s
+      |  WHERE t.doc_id % 50 <> 0),
+      |agg AS (
+      |  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list(contrib ORDER BY term)), (acc, x) -> acc + x) AS lw
+      |  FROM parts GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // F38 twin: the same F2 integer teacher label, the same add-one
     // class models over the shared vocab, the identical per-term IEEE
@@ -1504,33 +1570,26 @@ object TextAnalysis {
     // order via list(... ORDER BY term) with a 0-prepend left fold;
     // `selected` compares the unrounded fold in both engines
     "text_dsir" ->
-      """WITH tok AS (
-        |  SELECT doc_id, term, count(*)::BIGINT AS c FROM (
-        |    SELECT doc_id,
-        |      unnest(string_split_regex(trim(text), '\s+')) AS term
-        |    FROM documents) GROUP BY 1, 2),
-        |tgt AS (SELECT term, sum(c)::BIGINT AS ct FROM tok
-        |        WHERE doc_id % 50 = 0 GROUP BY 1),
-        |raw AS (SELECT term, sum(c)::BIGINT AS cr FROM tok
-        |        WHERE doc_id % 50 <> 0 GROUP BY 1),
-        |s AS (SELECT
-        |  (SELECT coalesce(sum(ct), 0) FROM tgt) AS nt,
-        |  (SELECT coalesce(sum(cr), 0) FROM raw) AS nr,
-        |  (SELECT count(DISTINCT term) FROM tok) AS v),
-        |parts AS (
-        |  SELECT t.doc_id, t.term, t.c,
-        |    t.c * (ln((coalesce(g.ct, 0) + 1.0) / (s.nt + s.v)::DOUBLE)
-        |         - ln((r.cr + 1.0) / (s.nr + s.v)::DOUBLE)) AS contrib
-        |  FROM tok t JOIN raw r USING (term) LEFT JOIN tgt g USING (term), s
-        |  WHERE t.doc_id % 50 <> 0),
-        |agg AS (
-        |  SELECT doc_id, sum(c)::BIGINT AS n_tokens,
-        |    list_reduce(list_prepend(0.0::DOUBLE,
-        |      list(contrib ORDER BY term)), (acc, x) -> acc + x) AS lw
-        |  FROM parts GROUP BY 1)
-        |SELECT doc_id, n_tokens, round(lw, 4) AS dsir_logw,
-        |  (lw > 0)::BIGINT AS selected
-        |FROM agg ORDER BY doc_id""".stripMargin,
+      s"""WITH $dsirCtesSql
+         |SELECT doc_id, n_tokens, round(lw, 4) AS dsir_logw,
+         |  (lw > 0)::BIGINT AS selected
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    // F39 twin: the F36 CTEs verbatim through the round-4 logw
+    // export, the same max-shift, the same explicit half-up micro
+    // quantization, exact integer sums, two IEEE divisions
+    "text_dsir_ess" ->
+      s"""WITH $dsirCtesSql,
+         |w AS (SELECT doc_id, round(lw, 4) AS lg FROM agg),
+         |m AS (SELECT max(lg) AS mx FROM w),
+         |q AS (
+         |  SELECT floor(exp(lg - m.mx) * 1000000.0 + 0.5)::BIGINT AS wq
+         |  FROM w, m)
+         |SELECT count(*)::BIGINT AS n_docs,
+         |  round((sum(wq)::DOUBLE * sum(wq)::DOUBLE)
+         |    / sum(wq * wq)::DOUBLE, 4) AS ess,
+         |  round(((sum(wq)::DOUBLE * sum(wq)::DOUBLE)
+         |    / sum(wq * wq)::DOUBLE) / count(*)::DOUBLE, 6) AS ess_ratio
+         |FROM q""".stripMargin,
     // F37 twin: same per-doc DISTINCT 5-gram set, min(doc_id) first
     // owner, integer floor-div ppm
     "text_novelty" ->

@@ -2399,6 +2399,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rb.getDouble(5) == 0.0 && rb.getLong(6) == 0L, s"b: $rb")
   }
 
+  test("B56 spectral entropy: flat spectrum nulls, pure cycle scores 0, bounds hold") {
+    import graft.operators.Resilience
+    val dir = java.nio.file.Files.createTempDirectory("sent").toString
+    dailyEvents(
+      "flat" -> Seq(2, 2, 2, 2, 2, 2, 2, 2),          // zero spectrum
+      // pure period-4 pulse: n = 8 → kmax = 3; an exactly-periodic
+      // signal carries mass only at multiples of n/period = 2, and
+      // the Nyquist half lives at k = 4 (outside the range), so the
+      // in-range spectrum is a single line at k = 2
+      "cycle" -> Seq(1, 1, 5, 1, 1, 1, 5, 1),
+      "mixed" -> Seq(1, 4, 2, 5, 1, 2, 6, 3))          // broadband
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Resilience.spectralEntropy(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // constant series: every harmonic power is 0 → tp = 0 → null
+    assert(got("flat").isNullAt(5), s"flat: ${got("flat")}")
+    // alternating series: all mass on k = n/2 = 4 → entropy exactly 0
+    assert(got("cycle").getLong(3) == 2L, s"peak: ${got("cycle")}")
+    assert(got("cycle").getDouble(5) == 0.0, s"cycle: ${got("cycle")}")
+    // broadband: strictly inside (0, 1]
+    val h = got("mixed").getDouble(5)
+    assert(h > 0.0 && h <= 1.0, s"mixed: $h")
+  }
+
+  test("F39 DSIR ESS: uniform weights give ess == n, a dominant doc collapses it") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // crawl docs with IDENTICAL text → identical logw → ess = n exactly
+    val uniform = (Seq((0L, "alpha beta"), (50L, "alpha beta")) ++
+      (1L to 4L).map(i => (i, "alpha gamma delta")))
+      .toDF("doc_id", "text")
+    val u = TextAnalysis.dsirEss(uniform).collect()(0)
+    assert(u.getLong(0) == 4L && u.getDouble(1) == 4.0 &&
+      u.getDouble(2) == 1.0, s"uniform: $u")
+    // one target-matching doc among junk → that doc dominates
+    val skew = (Seq((0L, "alpha beta gamma delta"),
+      (50L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta")) ++
+      (2L to 9L).map(i => (i, s"zz$i qq$i ww$i rr$i")))
+      .toDF("doc_id", "text")
+    val k = TextAnalysis.dsirEss(skew).collect()(0)
+    assert(k.getLong(0) == 9L, s"skew n: $k")
+    assert(k.getDouble(1) < 2.0, s"skew ess not collapsed: $k")
+  }
+
   test("B55 BH-FDR: flat series is a sure null, trend survives, step-up monotone") {
     import graft.operators.Resilience
     val dir = java.nio.file.Files.createTempDirectory("fdr").toString
