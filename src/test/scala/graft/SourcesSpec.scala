@@ -230,6 +230,51 @@ class SourcesSpec extends AnyFunSuite {
       .getAs[Long]("n_ws_tokens") == 4)
   }
 
+  test("H21: permissive XML read splits rowTags, quarantines malformed records") {
+    val dir = Files.createTempDirectory("graft_xml").toFile
+    val f = new java.io.File(dir, "docs.xml")
+    Files.writeString(f.toPath,
+      """<docs>
+        |  <doc><doc_id>1</doc_id><text>the quick brown fox</text>
+        |    <lang>en</lang></doc>
+        |  <doc><doc_id>2</doc_id>
+        |    <text>le renard brun</text><lang>fr</lang></doc>
+        |  <doc><doc_id>not_a_number</doc_id><text>x</text>
+        |    <lang>en</lang></doc>
+        |</docs>
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType)))
+    // cached: quarantine-only queries are disallowed on raw XML
+    // relations (see Xml.read's caveat)
+    val df = graft.sources.Xml.read(spark, f.getAbsolutePath, "doc", schema)
+      .cache()
+    // multi-line records parse (the StaxXmlParser path a text scan
+    // cannot replicate), the bad-typed record lands in quarantine
+    assert(graft.sources.Jsonl.clean(df).count() == 2)
+    assert(graft.sources.Jsonl.quarantine(df).count() == 1)
+    val clean = graft.sources.Jsonl.clean(df)
+    assert(clean.filter(col("doc_id") === 1).collect()(0)
+      .getAs[String]("text") == "the quick brown fox")
+    // column-parse twin: XML fragments inside an envelope frame
+    import spark.implicits._
+    val env = Seq(
+      (10L, "<r><doc_id>7</doc_id><text>ok</text><lang>en</lang></r>"),
+      (11L, "<r><doc_id>8</doc_id><text>unclosed"),
+      (12L, null.asInstanceOf[String]))
+      .toDF("offset", "payload")
+    val parsed = graft.sources.Xml.parse(env, "payload", schema)
+    assert(graft.sources.Jsonl.clean(parsed)
+      .filter(col("doc_id") === 7).count() == 1)
+    // malformed fragment quarantined with the raw payload; a null
+    // payload is NOT quarantined (nothing to repair)
+    val q = graft.sources.Jsonl.quarantine(parsed).collect()
+    assert(q.length == 1 &&
+      q(0).getString(0).contains("unclosed"), s"q: ${q.toSeq}")
+  }
+
   test("H11: JSONL sink round-trips the corpus through the permissive reader") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_jsonl_sink").toString
