@@ -81,16 +81,19 @@ object Bench {
 
     val verbose = sys.env.contains("SPARK_GRAFT_LOG")
     var spent = 0.0
-    // pass 1: every query once, sorted order — coverage before polish
+    // pass 1: every query once, sorted order — coverage before polish;
+    // the file checkpoints after EVERY query (the shutdown hook covers
+    // SIGTERM, but `timeout -k`'s follow-up SIGKILL runs no hooks —
+    // a kill mid-pass now loses one row, not the table)
     val wall0 = System.nanoTime()
     queries.foreach { case (name, fn) =>
       val t = timeOnce(fn)
       results.put(name, t)
       if (t > 0) spent += t
+      writeFile()
       if (verbose) System.err.println(
         f"[bench] ${(System.nanoTime() - wall0) / 1e9}%8.1f wall  $t%7.3f q  $name")
     }
-    writeFile() // durable checkpoint: a SIGKILL past this point loses polish, not rows
     // passes 2..reps: cheapest-first (noise matters most on sub-second
     // rows; expensive iterative queries are rep-stable), stop at budget
     var pass = 2

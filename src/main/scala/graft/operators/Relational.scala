@@ -1853,7 +1853,38 @@ object Relational {
     countMinOn(Tables.events(s, dir), $"user_id")
   }
 
+  /** A63 K-ANONYMITY / L-DIVERSITY audit (Sweeney 2002 / Machanavajjhala
+    * 2007 — the release gate run BEFORE publishing event data or
+    * derived training sets: every quasi-identifier equivalence class
+    * must hide each member among ≥ k rows, and the sensitive
+    * attribute must take ≥ l values per class or the class leaks by
+    * homogeneity; pairs with F13's PII scrub — scrubbing removes
+    * direct identifiers, this audits the QUASI-identifiers scrubbing
+    * cannot touch): classes over (event_type, ISO dow, 6-hour
+    * bucket), sensitive attribute = user_id. ALL integer — counts,
+    * exact distinct, two integer flag predicates. One
+    * map-side-combined aggregate; the class frame is
+    * QID-cardinality-sized (|types|·7·4), never corpus-sized. */
+  def kAnonymity(df: DataFrame, k: Long = 50L, l: Long = 20L): DataFrame = {
+    import df.sparkSession.implicits._
+    df.groupBy($"event_type",
+        expr("(((dayofweek(ts) + 5) % 7) + 1)").cast("long").as("iso_dow"),
+        expr("hour(ts) div 6").cast("long").as("hod_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct($"user_id").as("n_users"))
+      .select($"event_type", $"iso_dow", $"hod_bucket", $"n_rows",
+        $"n_users",
+        ($"n_rows" >= k).cast("long").as("k_anonymous"),
+        ($"n_users" >= l).cast("long").as("l_diverse"))
+      .orderBy($"event_type", $"iso_dow", $"hod_bucket")
+  }
+
+  /** q_k_anonymity driver entry. */
+  def kAnonymityEvents(s: SparkSession, dir: String): DataFrame =
+    kAnonymity(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anonymity" -> kAnonymityEvents,
     "q_mutual_info" -> mutualInfo,
     "q_cms" -> countMin,
     "q_elasticity" -> elasticity,
@@ -1917,6 +1948,16 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A63 twin: same QID classes, exact counts/distincts, same
+    // integer flag thresholds
+    "q_k_anonymity" ->
+      """SELECT event_type, isodow(ts)::BIGINT AS iso_dow,
+        |  (hour(ts) // 6)::BIGINT AS hod_bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  count(DISTINCT user_id)::BIGINT AS n_users,
+        |  (count(*) >= 50)::BIGINT AS k_anonymous,
+        |  (count(DISTINCT user_id) >= 20)::BIGINT AS l_diverse
+        |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // A61 twin: same observed cells, margins re-aggregated from the
     // cells, the identical per-cell IEEE sequence folded in the SAME
     // sorted (event_type, iso_dow) order, round-6 export

@@ -2327,6 +2327,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g2.length == 1 && g2(0).getLong(3) == 5L && g2(0).getLong(4) == 0L)
   }
 
+  test("A63 k-anonymity: small class fails both flags, broad class passes") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // class A: 60 rows from 25 users (k=50 ok, l=20 ok);
+    // class B: 10 rows from 2 users (fails both)
+    val rows =
+      (0 until 60).map(i => (("a", (i % 25).toLong, 1))) ++
+        (0 until 10).map(i => (("b", (i % 2).toLong, 1)))
+    val df = rows.map { case (t, u, h) => (t, u, h) }
+      .toDF("event_type", "user_id", "h")
+      .withColumn("ts",
+        expr("to_timestamp('2024-01-01') + make_interval(0, 0, 0, 0, h)"))
+      .select("event_type", "user_id", "ts")
+    val got = Relational.kAnonymity(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got("a") == ((60L, 25L, 1L, 1L)), s"a: ${got("a")}")
+    assert(got("b") == ((10L, 2L, 0L, 0L)), s"b: ${got("b")}")
+  }
+
   // crafted events frame: daily counts per type via repeated rows
   private def dailyEvents(specs: (String, Seq[Int])*) = {
     import spark.implicits._
