@@ -71,6 +71,48 @@ object Sink {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
 
+  /** H22 training-shard export — the last-mile writer of a curation
+    * run: the F14-packed corpus lands as FIXED-SIZE shards (the
+    * WebDataset/Megatron dataset shape: a trainer's data loader
+    * claims whole shards, so shard count × shard size is the unit of
+    * training-time parallelism and resumability) plus a manifest the
+    * loader trusts.
+    *
+    *  - shard_id = first_block div blocksPerShard (block-aligned
+    *    cuts; a block-spanning doc follows its FIRST block, so every
+    *    doc lands in exactly one shard and per-shard token mass is
+    *    bounded by blocksPerShard·blockTokens + one max-doc carry);
+    *  - `ord` = xxhash64(doc_id, seed): a deterministic, seeded
+    *    within-shard shuffle order, so epoch randomization needs no
+    *    training-time RNG state — re-running with the same seed
+    *    replays the same stream (the F7 split-assign determinism
+    *    argument applied to iteration order);
+    *  - the manifest (one row per shard: n_docs, n_tokens,
+    *    first/last block) is recomputed FROM THE WRITTEN FILES, not
+    *    from the in-flight frame — the H16 truthful-metrics rule.
+    *
+    * Write cost: the F14 packing pass + one partitioned write; the
+    * manifest pass reads only shard_id/n_tok columns (pruned scan). */
+  def trainingShards(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, path: String, blockTokens: Long = 512L,
+      blocksPerShard: Long = 8L, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val packed = graft.operators.TextAnalysis
+      .packBlocks(docs, blockTokens.toInt)
+    val sharded = packed
+      .withColumn("shard_id", expr(s"first_block div $blocksPerShard"))
+      .withColumn("ord", xxhash64(col("doc_id"), lit(seed)))
+    sharded.write.mode(SaveMode.Overwrite)
+      .partitionBy("shard_id").parquet(path)
+    spark.read.parquet(path)
+      // partition-column inference narrows shard_id to int; pin long
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        min(col("first_block")).as("first_block"),
+        max(col("last_block")).as("last_block"))
+      .orderBy(col("shard_id"))
+  }
+
   /** Small-file compaction: rewrite a parquet dataset into ~targetMB
     * files. The operational fix for streaming sinks and over-
     * partitioned writes — a million tiny files turn a 100 TB scan

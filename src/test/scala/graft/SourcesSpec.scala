@@ -230,6 +230,49 @@ class SourcesSpec extends AnyFunSuite {
       .getAs[Long]("n_ws_tokens") == 4)
   }
 
+  test("H22: training shards cover every doc once, manifest matches the written files") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, GraftTestSession.sf)
+    val out = Files.createTempDirectory("graft_shards").toString
+    val manifest = graft.sources.Sink
+      .trainingShards(spark, docs, out, blockTokens = 512L,
+        blocksPerShard = 4L)
+      .cache()
+    val written = spark.read.parquet(out)
+      .withColumn("shard_id", col("shard_id").cast("long"))
+    // lossless: every doc exactly once, same total token mass as the
+    // packer's own accounting
+    assert(written.count() == docs.count())
+    assert(written.select("doc_id").distinct().count() == docs.count())
+    val packed = graft.operators.TextAnalysis.packBlocks(docs, 512)
+    assert(written.agg(sum($"n_tok")).as[Long].head() ==
+      packed.agg(sum($"n_tok")).as[Long].head())
+    // manifest is the truth of the files, not the in-flight frame
+    val recount = written.groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    manifest.collect().foreach { r =>
+      assert(recount(r.getLong(0)) == ((r.getLong(1), r.getLong(2))),
+        s"manifest drift at shard ${r.getLong(0)}") }
+    // block-aligned cuts: shard token mass ≤ shard capacity + one
+    // doc's carry-over (the spanning-doc bound)
+    val maxDoc = written.agg(max($"n_tok")).as[Long].head()
+    recount.values.foreach { case (_, toks) =>
+      assert(toks <= 4L * 512L + maxDoc, s"oversize shard: $toks") }
+    // the seeded order is deterministic and a real permutation
+    val ord1 = written.orderBy($"shard_id", $"ord").select($"doc_id")
+      .as[Long].collect().toSeq
+    val manifest2 = graft.sources.Sink.trainingShards(spark, docs,
+      out + "_b", blockTokens = 512L, blocksPerShard = 4L)
+    val ord2 = spark.read.parquet(out + "_b")
+      .orderBy($"shard_id", $"ord").select($"doc_id")
+      .as[Long].collect().toSeq
+    assert(ord1 == ord2, "seeded shard order must replay identically")
+    assert(ord1 != ord1.sorted, "ord must actually shuffle doc order")
+    manifest.unpersist()
+  }
+
   test("H21: permissive XML read splits rowTags, quarantines malformed records") {
     val dir = Files.createTempDirectory("graft_xml").toFile
     val f = new java.io.File(dir, "docs.xml")
