@@ -41,7 +41,7 @@ object TextAnalysis {
     * rounding ties. */
   /** Appends the F2 quality columns (through `score_ppm`) to any frame
     * with a `text` column — shared by `quality` and `qualityPrune`. */
-  private def withQualityCols(docs: DataFrame): DataFrame = {
+  private[graft] def withQualityCols(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val sw = Stopwords.mkString("|")
     docs
@@ -74,7 +74,9 @@ object TextAnalysis {
     * systematically blind to it (char-class counts are the standard
     * fix). zh wins ties first: any ideograph present is decisive in a
     * way shared Latin stopwords are not. */
-  def langId(docs: DataFrame): DataFrame = {
+  /** Projection-only langid core (no sort, no label compare) —
+    * shared by the batch report and the C57 streaming gate. */
+  private[graft] def withLangPred(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val markers = Map(
       "en" -> "the|a|of",
@@ -96,6 +98,11 @@ object TextAnalysis {
           .when($"s_es" === $"best", "es")
           .when($"s_fr" === $"best", "fr")
           .otherwise("de"))
+  }
+
+  def langId(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    withLangPred(docs)
       .select($"doc_id", $"s_en", $"s_es", $"s_fr", $"s_de", $"s_zh",
         $"lang_pred", ($"lang_pred" === $"lang").as("matches_label"))
       .orderBy($"doc_id")

@@ -35,6 +35,29 @@ object DocStream {
   def withContentHash(docs: DataFrame): DataFrame =
     docs.withColumn("content_hash", Dedup.contentHash(col("text")))
 
+  /** C57 streaming CURATION GATE — the F-track quality screen run on
+    * the ingest feed itself (the production posture: junk that will
+    * never survive curation should die at the drop zone, before it
+    * costs storage and batch passes): F2 integer quality scoring +
+    * F3 langid + F13 PII scrub composed as ONE stateless projection,
+    * so it pipelines into any micro-batch at any rate with ZERO
+    * state store. The expressions are the BATCH operators' own
+    * (`withQualityCols` / `withLangPred` / `scrubText` — one code
+    * path, two execution modes), so stream and batch agree
+    * bit-for-bit on every flag — spec-pinned by running the SAME
+    * frame through both modes. Emits every doc with its verdict
+    * (keep = the F2 gate) and the scrubbed text; callers filter —
+    * dropped docs stay observable for drop-rate monitoring. */
+  def curationGate(docs: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis
+    val scored = TextAnalysis.withLangPred(
+      TextAnalysis.withQualityCols(docs))
+    scored.select(col("doc_id"),
+      TextAnalysis.scrubText(col("text")).as("text_scrubbed"),
+      col("n_tok"), col("score_ppm"), col("lang_pred"),
+      (col("score_ppm") >= 200000L).as("keep"))
+  }
+
   /** Streaming exact dedup: first doc per content hash within the
     * watermark wins; later copies are dropped, and each hash's state
     * entry is discarded once the watermark passes it. `tsCol` is the

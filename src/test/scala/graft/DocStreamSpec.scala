@@ -198,4 +198,42 @@ class DocStreamSpec extends AnyFunSuite {
         "expired bucket state still matched — state is not bounded")
     } finally q.stop()
   }
+
+  test("C57 streaming curation gate: verdicts match batch bit-for-bit, junk dies, PII dies") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      StreamDoc(1L, "the cat and the dog of the house is here to stay " +
+        "in peace with all of the other animals around the block", ts(0)),
+      StreamDoc(2L, "%%% ### !!!", ts(1)),
+      StreamDoc(3L, "der Hund und die Katze und das Haus und der Baum " +
+        "und die Sonne und der Mond und das Meer und der Wald", ts(2)),
+      StreamDoc(4L, "contact me at jane.doe@example.com or the phone " +
+        "555-867-5309 for all of the details about the offer", ts(3)))
+    val in = MemoryStream[StreamDoc]
+    in.addData(docs: _*)
+    val q = DocStream.curationGate(in.toDF())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("curation_gate").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curation_gate").collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      // one code path, two execution modes: the batch projection of
+      // the SAME frame must agree on every column
+      val batch = DocStream.curationGate(docs.toDF()).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(streamed == batch, "stream/batch verdict drift")
+      // junk fails the gate, prose passes, German routes to de
+      def f(id: Long) = spark.table("curation_gate")
+        .filter($"doc_id" === id).collect()(0)
+      assert(f(1L).getBoolean(5) && f(1L).getString(4) == "en")
+      assert(!f(2L).getBoolean(5), "junk must not pass the gate")
+      assert(f(3L).getString(4) == "de")
+      // PII scrubbed from the emitted text
+      val scrubbed = f(4L).getString(1)
+      assert(!scrubbed.contains("jane.doe@example.com") &&
+        !scrubbed.contains("555-867-5309"), s"PII leaked: $scrubbed")
+    } finally q.stop()
+  }
 }
