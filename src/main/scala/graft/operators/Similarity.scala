@@ -1365,10 +1365,52 @@ object Similarity {
       .orderBy($"q_id", $"rk")
   }
 
+  /** E26 binary-tier CASCADE — the full cheap-filter read path E19
+    * exists for (a Hamming code is never served alone: it is the
+    * 64×-compressed FIRST tier whose shortlist the exact stage
+    * corrects — the two-stage shape of E10 with the ADC stage swapped
+    * for bit_count): Hamming top-`shortlist` from the 8-byte code
+    * table, then E10's exact-cosine re-rank of ONLY those candidates
+    * to top-k. A 100 TB corpus is scanned as 8 B/vector; the exact
+    * stage reads queries×shortlist vectors — KBs. Determinism: the
+    * shortlist rank is exact-integer (ham, vec_id); the re-rank is
+    * the E10 contract (round-6 cosines, id tie). */
+  def hammingRerank(vecs: DataFrame, shortlist: Int = 10): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = withNorm(vecs)
+    val bitExprs = (0 until 64).map { j =>
+      when(VectorFunctions.dot($"v", plane(HammingT, j)) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }
+    val codes = e.select($"vec_id", bitExprs.reduce(_.bitwiseOR(_)).as("code"))
+      .localCheckpoint()
+    val qc = codes.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"code".as("qcode"))
+    val short = codes.join(broadcast(qc), $"vec_id" =!= $"q_id")
+      .withColumn("ham", expr("bit_count(code ^ qcode)").cast("long"))
+      .groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-$"ham").cast("double").as("score"), $"vec_id".as("id")),
+        shortlist).as("top"))
+      .select($"q_id", explode($"top").as("t"))
+      .select($"q_id", $"t.id".as("vec_id"))
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    short.join(e, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+      .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= TopK)
+      .select($"q_id", $"rank", $"vec_id", $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
   private def onVecs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.embeddings(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hamming_rerank" -> onVecs(v => hammingRerank(v)),
     "ann_hard_negatives" -> onVecs(v => hardNegatives(v)),
     "ann_knn_classify" -> onVecs(v => knnClassify(v)),
     "ann_centroid_outliers" -> onVecs(v => embedOutliers(v)),
@@ -1447,6 +1489,45 @@ object Similarity {
     * bit 63 lands as BIGINT min-value — the left-to-right sum never
     * overflows because bits 0..62 cap at 2⁶³−1) and the identical
     * integer Hamming ranking. */
+  /** E26 oracle: the E19 code/rank CTEs widened to the shortlist,
+    * then the E10 re-rank tail verbatim. */
+  private def hammingRerankOracleSql(shortlist: Int): String = {
+    def planeLit(b: Int): String =
+      planeArray(HammingT, b).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+    val bits = (0 until 64).map { j =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(j)}) > 0" +
+        s" THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""WITH $eCte,
+       |codes AS (SELECT vec_id,
+       |    $bits AS code
+       |  FROM e),
+       |q AS (SELECT vec_id AS q_id, code AS qcode FROM codes
+       |      WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, c.vec_id,
+       |    bit_count(xor(c.code, q.qcode))::BIGINT AS ham
+       |  FROM codes c JOIN q ON c.vec_id <> q.q_id),
+       |hranked AS (
+       |  SELECT q_id, vec_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY ham, vec_id) AS hrank
+       |  FROM scored),
+       |short AS (SELECT q_id, vec_id FROM hranked
+       |          WHERE hrank <= $shortlist),
+       |rr AS (
+       |  SELECT s.q_id, s.vec_id,
+       |    round(list_dot_product(qe.v, ce.v) / (qe.n * ce.n), 6) AS cos
+       |  FROM short s JOIN e qe ON s.q_id = qe.vec_id
+       |  JOIN e ce ON s.vec_id = ce.vec_id),
+       |rr2 AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM rr)
+       |SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM rr2
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+  }
+
   private def hammingOracleSql: String = {
     def planeLit(b: Int): String =
       planeArray(HammingT, b).map(x => if (x > 0) "1.0" else "-1.0")
@@ -2137,6 +2218,7 @@ object Similarity {
          |SELECT q_id, vec_id, cos FROM scored
          |WHERE cos >= $RangeCosT ORDER BY q_id, vec_id""".stripMargin,
     "ann_hamming" -> hammingOracleSql,
+    "ann_hamming_rerank" -> hammingRerankOracleSql(shortlist = 10),
     "ann_rp" -> rpOracleSql,
     "ann_lsh" ->
       s"""WITH $eCte,

@@ -585,6 +585,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(1L)._2 == 1L && got(2L)._2 == 0L, s"flags: $got")
   }
 
+  test("E26 hamming cascade: exact top-3 of the binary shortlist, scores descend") {
+    import spark.implicits._
+    val got = Similarity.hammingRerank(Tables.embeddings(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1L, 2L, 3L), s"q=$q ranks")
+      assert(sorted.map(_._4).toSeq ==
+        sorted.map(_._4).sortBy(-(_: Double)).toSeq, s"q=$q order")
+    }
+  }
+
   test("E25 hard negatives: same-label excluded, distance-ranked, capped at k") {
     import spark.implicits._
     def v(x: Float) = Array(x, 0f, 0f, 0f)
