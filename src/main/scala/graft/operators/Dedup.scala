@@ -160,6 +160,55 @@ object Dedup {
       .select($"doc_a", $"doc_b", $"jac".as("jaccard"))
   }
 
+  /** D19 CROSS-CORPUS near-dup audit — pairs (a ∈ A, b ∈ B) with
+    * 5-gram Jaccard ≥ t, and ONLY cross pairs (the question a crawl
+    * refresh, a vendor data delivery, or a licensed-set intake asks:
+    * "how much of the NEW corpus is already in the old one?" —
+    * within-corpus duplication is D2's separate report; D9 answers
+    * the same cross question for exact/near-exact eval contamination
+    * at a containment threshold, this measures symmetric overlap at
+    * dedup strength). Doc ids must be disjoint across sides (ids ARE
+    * identity downstream).
+    *
+    * Shape: ONE shingle pass over A∪B with the D2 DF cap computed on
+    * the UNION (a shingle hot in either side is blocked, so the
+    * Σ df² candidate bound covers the cross join too); the inverted-
+    * index join is side-restricted BEFORE the count aggregate, so no
+    * within-side pair is ever materialized. */
+  def crossCorpusDups(corpusA: DataFrame, corpusB: DataFrame,
+      t: Double = JaccardT): DataFrame = {
+    import corpusA.sparkSession.implicits._
+    val docs = corpusA.select($"doc_id", $"text")
+      .withColumn("is_a", lit(true))
+      .union(corpusB.select($"doc_id", $"text")
+        .withColumn("is_a", lit(false)))
+    val sh = shingles(docs.select($"doc_id", $"text"))
+    val sides = docs.select($"doc_id", $"is_a")
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.join(sides.filter($"is_a"), "doc_id")
+      .select($"doc_id".as("doc_a"), $"shingle")
+    val b = sh.join(sides.filter(!$"is_a"), "doc_id")
+      .select($"doc_id".as("doc_b"), $"shingle")
+    a.join(b, "shingle")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
+      .withColumn("jaccard", $"inter".cast("double") /
+        ($"sz_a" + $"sz_b" - $"inter").cast("double"))
+      .filter($"jaccard" >= t)
+      .select($"doc_a", $"doc_b", $"inter", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** dedup_cross driver entry: sources src0–src9 as the standing
+    * corpus, src10–src19 as the incoming delivery. */
+  def crossCorpusOnSources(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = graft.sources.Tables.documents(s, dir)
+    val isA = expr("cast(substring(source, 4, 10) as int) < 10")
+    crossCorpusDups(d.filter(isA), d.filter(!isA))
+  }
+
   /** D13 URL canonicalization — the web-crawl twin of [[norm]]'s text
     * normalization, and the FIRST dedup key a crawl pipeline applies
     * (URL identity is free; content identity costs a fetch + hash):
@@ -864,6 +913,7 @@ object Dedup {
     "dedup_winnow" -> onDocs(d => winnow(d)),
     "dedup_corpus" -> onDocs(dedupedCorpus),
     "dedup_exact" -> onDocs(exact),
+    "dedup_cross" -> crossCorpusOnSources _,
     "dedup_ngram_jaccard" -> onDocs(ngramJaccard),
     "dedup_minhash" -> onDocs(minhashLsh),
     "dedup_simhash" -> onDocs(simhash),
@@ -1143,6 +1193,28 @@ object Dedup {
          |  WHERE a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
+         |  i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $JaccardT
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // D19 twin: the SAME union shingle/DF-cap frame, pairs
+    // side-restricted by the same source predicate
+    "dedup_cross" ->
+      s"""WITH $shinglesSql,
+         |sides AS (
+         |  SELECT doc_id, (substring(source, 4, 10)::INT < 10) AS is_a
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a
+         |  JOIN sides xa ON a.doc_id = xa.doc_id AND xa.is_a
+         |  JOIN sh b ON a.shingle = b.shingle
+         |  JOIN sides xb ON b.doc_id = xb.doc_id AND NOT xb.is_a
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, i::BIGINT AS inter,
          |  i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard
          |FROM inter
          |JOIN sizes sa ON doc_a = sa.doc_id

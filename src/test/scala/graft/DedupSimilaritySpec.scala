@@ -585,6 +585,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(1L)._2 == 1L && got(2L)._2 == 0L, s"flags: $got")
   }
 
+  test("D19 cross-corpus: only cross pairs emitted, within-side clones stay silent") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val a = Seq(
+      (1L, shared),                                  // crosses to 11
+      (2L, shared + " extra"),                       // also crosses
+      (3L, "one two three four five six seven"),     // A-only text
+      (4L, "one two three four five six seven"))     // clone WITHIN A
+      .toDF("doc_id", "text")
+    val b = Seq(
+      (11L, shared),
+      (12L, "totally different content nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossCorpusDups(a, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // exact cross clone scores 1.0; the prefixed variant still clears
+    // 0.5 (6 shared of 6+7 shingles = 6/7); the within-A clone pair
+    // (3,4) and the B-only doc never appear
+    assert(got.keySet == Set((1L, 11L), (2L, 11L)), s"pairs: ${got.keySet}")
+    assert(got((1L, 11L)) == 1.0)
+    assert(got((2L, 11L)) == 6.0 / 7.0, s"j: ${got((2L, 11L))}")
+  }
+
   test("E26 hamming cascade: exact top-3 of the binary shortlist, scores descend") {
     import spark.implicits._
     val got = Similarity.hammingRerank(Tables.embeddings(spark, sf))
