@@ -572,6 +572,29 @@ object Relational {
       .orderBy($"lvl", $"status", $"priority")
   }
 
+  /** A64 GROUPING SETS — the general form A15's rollup and A22's cube
+    * are special cases of, in the shape neither produces: the
+    * per-dimension MARGINALS report ({status}, {priority}, {}) with
+    * no cross cells — what a dashboard's summary strip wants without
+    * paying for (and then discarding) the full cube. One pass, one
+    * shuffle: Spark expands the sets map-side exactly as
+    * rollup/cube do (Expand → one hash aggregate). */
+  def groupingSetsMarginals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(round(sum($"o_totalprice"), 2).as("total"),
+        count(lit(1)).as("n"),
+        grouping_id($"o_orderstatus", $"o_orderpriority").cast("long")
+          .as("lvl"))
+      .select(coalesce($"o_orderstatus", lit("(all)")).as("status"),
+        coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+        $"total", $"n", $"lvl")
+      .orderBy($"lvl", $"status", $"priority")
+  }
+
   /** A23 approximate sketches: HyperLogLog distinct counts and
     * approximate percentiles — constant-memory profiling at any scale
     * (rows-only: sketch internals are engine-specific; the spec bounds
@@ -1885,6 +1908,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anonymity" -> kAnonymityEvents,
+    "q_grouping_sets" -> groupingSetsMarginals,
     "q_mutual_info" -> mutualInfo,
     "q_cms" -> countMin,
     "q_elasticity" -> elasticity,
@@ -1948,6 +1972,17 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A64 twin: the same three explicit sets, same lvl encoding
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  round(sum(o_totalprice), 2) AS total, count(*) AS n,
+        |  (CASE WHEN GROUPING(o_orderstatus) = 1 THEN 2 ELSE 0 END
+        |   + CASE WHEN GROUPING(o_orderpriority) = 1 THEN 1 ELSE 0 END)
+        |    ::BIGINT AS lvl
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY lvl, status, priority""".stripMargin,
     // A63 twin: same QID classes, exact counts/distincts, same
     // integer flag thresholds
     "q_k_anonymity" ->
