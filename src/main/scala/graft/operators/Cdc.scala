@@ -851,7 +851,11 @@ object Cdc {
     * overflows at any SF; the ≤1 floor leak per cell is deterministic
     * and identical in the twin. States with no outgoing edges absorb
     * (raw iteration, no reinjection — documented contract). */
-  def markovStationary(events: DataFrame, iters: Int = 5): DataFrame = {
+  /** The C43 transition-count + fixed-point power-iteration core —
+    * shared by the stationary-distribution report and the C58
+    * entropy rate. Returns (counts with row totals, π frame). */
+  private def markovParts(events: DataFrame,
+      iters: Int): (DataFrame, DataFrame) = {
     import events.sparkSession.implicits._
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val seq = withSessionSeq(events)
@@ -877,9 +881,42 @@ object Cdc {
           Seq("state"), "left")
         .select($"state", coalesce($"s", lit(0L)).as("r"))
     }
+    (counts, pi)
+  }
+
+  def markovStationary(events: DataFrame, iters: Int = 5): DataFrame = {
+    import events.sparkSession.implicits._
+    val (_, pi) = markovParts(events, iters)
     pi.select($"state", $"r".as("pi_fp"),
         round($"r".cast("double") / 1e12, 6).as("pi"))
       .orderBy($"state")
+  }
+
+  /** C58 Markov ENTROPY RATE of the session transition chain
+    * (Cover/Thomas §4.2, H = −Σᵢ πᵢ Σⱼ Pᵢⱼ ln Pᵢⱼ — the one-number
+    * "how predictable is user behavior" summary over C43's π and
+    * C44's transition matrix: low = rigid funnels, high = aimless
+    * browsing; its exp is the effective branching factor a sequence
+    * model must beat): per-(i,j) terms are one identical IEEE
+    * expression from EXACT integers (C43's fixed-point πᵢ, the exact
+    * n/row_total rationals), folded in pinned (from, to) order over
+    * the |S|²-bounded transition frame; perplexity = exp(H). */
+  def markovEntropy(events: DataFrame, iters: Int = 5): DataFrame = {
+    import events.sparkSession.implicits._
+    val (counts, pi) = markovParts(events, iters)
+    val nStates = pi.count()
+    counts.join(pi.withColumnRenamed("state", "from_type"), "from_type")
+      .withColumn("t", ($"r".cast("double") / lit(1e12)) *
+        ($"n".cast("double") / $"row_total".cast("double")) *
+        log($"n".cast("double") / $"row_total".cast("double")))
+      .agg(count(lit(1)).as("n_transitions"),
+        sort_array(collect_list(struct($"from_type", $"to_type", $"t")))
+          .as("ts"))
+      .withColumn("h", expr(
+        "-aggregate(transform(ts, x -> x.t), 0D, (a, x) -> a + x)"))
+      .select(lit(nStates).as("n_states"), $"n_transitions",
+        round($"h", 6).as("entropy_rate_nats"),
+        round(exp($"h"), 4).as("perplexity"))
   }
 
   /** C46 RFM segmentation (the recency/frequency/monetary quintile
@@ -965,6 +1002,7 @@ object Cdc {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_intervals" -> onEvents(e => intervalUnion(e)),
     "cdc_markov_pi" -> onEvents(e => markovStationary(e)),
+    "cdc_markov_entropy" -> onEvents(e => markovEntropy(e)),
     "cdc_rfm" -> ((s, dir) => rfm(Tables.events(s, dir))),
     "cdc_transitions" -> onEvents(transitions),
     "cdc_forget" -> onEvents(e =>
@@ -1051,6 +1089,27 @@ object Cdc {
        |FROM p$iters ORDER BY state""".stripMargin
   }
 
+  /** C58 twin: the C43 CTE chain verbatim + the identical per-(i,j)
+    * IEEE term folded in the same (from, to) order. */
+  private def markovEntropySql(iters: Int): String = {
+    val base = markovSql(iters)
+    val ctes = base.substring(0, base.lastIndexOf("SELECT state"))
+    s"""${ctes.trim},
+       |terms AS (
+       |  SELECT t.from_type, t.to_type,
+       |    (p.r::DOUBLE / 1e12) * (t.n::DOUBLE / t.row_total::DOUBLE)
+       |      * ln(t.n::DOUBLE / t.row_total::DOUBLE) AS tt
+       |  FROM ct t JOIN p$iters p ON p.state = t.from_type),
+       |f AS (SELECT
+       |  (SELECT count(*) FROM states)::BIGINT AS n_states,
+       |  count(*)::BIGINT AS n_transitions,
+       |  -list_reduce(list_prepend(0.0::DOUBLE,
+       |     list(tt ORDER BY from_type, to_type)), (a, x) -> a + x) AS h
+       |  FROM terms)
+       |SELECT n_states, n_transitions, round(h, 6) AS entropy_rate_nats,
+       |  round(exp(h), 4) AS perplexity FROM f""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // C48 twin: same exclusive-prefix max sweep, same strict-greater
     // island rule, all-integer
@@ -1081,6 +1140,7 @@ object Cdc {
         |  max(i_e - i_s)::BIGINT AS longest_us
         |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
     "cdc_markov_pi" -> markovSql(5),
+    "cdc_markov_entropy" -> markovEntropySql(5),
     // C46 twin: plain global row_number is fine at oracle scale; the
     // bucket formula is the identical integer arithmetic
     "cdc_rfm" ->
