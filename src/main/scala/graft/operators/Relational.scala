@@ -1444,6 +1444,44 @@ object Relational {
       .orderBy($"decile")
   }
 
+  /** A65 ABC / PARETO classification (the inventory-analytics
+    * 80/15/5 rule next to A52's Lorenz curve — Lorenz MEASURES the
+    * concentration, ABC ACTS on it: A-parts get tight management,
+    * C-parts get bulk policies): parts ranked by exact cent·percent
+    * revenue desc, class A while the cumulative share ≤ 80%, B to
+    * 95%, else C; per-class summary row. ALL integer: the class
+    * predicate cross-multiplies (cum·100 vs thresh·total), so no
+    * float ever decides a boundary. Scale note: the rank window is
+    * the A52 shape (distinct-part frame, not the lineitem corpus);
+    * the summary output is 3 rows. */
+  def abcPareto(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey")
+      .agg(expr("sum(cast(round(l_extendedprice * 100) as bigint) * " +
+        "(100 - cast(round(l_discount * 100) as bigint)))").as("cp"))
+    val wOrd = Window.orderBy($"cp".desc, $"l_partkey")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val tot = rev.agg(sum($"cp".cast("decimal(38,0)"))).collect()(0)
+      .getDecimal(0).toBigInteger.longValueExact()
+    val classed = rev
+      .withColumn("cum", sum($"cp").over(wCum))
+      .withColumn("abc",
+        when($"cum" * 100L <= lit(tot) * 80L, "A")
+          .when($"cum" * 100L <= lit(tot) * 95L, "B")
+          .otherwise("C"))
+    classed.groupBy($"abc")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"cp".cast("decimal(38,0)")).cast("long").as("rev_cp"))
+      // ×10⁶ overflows int64 on the A class — divide in decimal
+      .withColumn("share_ppm", expr(
+        s"cast((cast(rev_cp as decimal(38,0)) * 1000000) div ${tot}L" +
+          " as bigint)"))
+      .orderBy($"abc")
+  }
+
   /** A47 two-proportion z-test over an A/B assignment (the
     * experimentation readout: "did the B cohort convert more?"):
     * cohort = user_id parity (the deterministic stand-in for an
@@ -1909,6 +1947,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_k_anonymity" -> kAnonymityEvents,
     "q_grouping_sets" -> groupingSetsMarginals,
+    "q_abc" -> abcPareto,
     "q_mutual_info" -> mutualInfo,
     "q_cms" -> countMin,
     "q_elasticity" -> elasticity,
@@ -1972,6 +2011,30 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A65 twin: same exact cent·percent revenue, same desc rank
+    // cumsum, same cross-multiplied integer class boundaries
+    "q_abc" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    sum(round(l_extendedprice * 100)::BIGINT
+        |      * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS cp
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(cp)::HUGEINT AS tot FROM rev),
+        |c AS (
+        |  SELECT cp,
+        |    (sum(cp) OVER (ORDER BY cp DESC, l_partkey))::BIGINT AS cum
+        |  FROM rev),
+        |cl AS (
+        |  SELECT cp,
+        |    CASE WHEN cum::HUGEINT * 100 <= t.tot * 80 THEN 'A'
+        |      WHEN cum::HUGEINT * 100 <= t.tot * 95 THEN 'B'
+        |      ELSE 'C' END AS abc
+        |  FROM c, t)
+        |SELECT abc, count(*)::BIGINT AS n_parts,
+        |  sum(cp)::BIGINT AS rev_cp,
+        |  (sum(cp)::HUGEINT * 1000000 // (SELECT tot FROM t))::BIGINT
+        |    AS share_ppm
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
     // A64 twin: the same three explicit sets, same lvl encoding
     "q_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
