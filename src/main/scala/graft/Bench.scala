@@ -11,10 +11,13 @@ import scala.collection.concurrent.TrieMap
   *  - pass 1 times every query ONCE in sorted order — full per-query
   *    coverage lands as early as possible;
   *  - further passes (up to SPARK_GRAFT_REPS, default 2) re-time
-  *    queries cheapest-first, but only while the measured-time budget
-  *    (SPARK_GRAFT_BUDGET_SEC, default 300 s) has room — best-of-n
-  *    noise rejection degrades gracefully instead of blowing the
-  *    driver's wall-clock limit;
+  *    queries cheapest-first, but only while the POLISH budget
+  *    (SPARK_GRAFT_BUDGET_SEC, default 300 s of re-measure time,
+  *    pass 1 excluded — charging mandatory coverage against it
+  *    silently degraded rows to first-touch best-of-1 once the suite
+  *    outgrew the budget) has room — best-of-n noise rejection
+  *    degrades gracefully instead of blowing the driver's wall-clock
+  *    limit;
   *  - a JVM shutdown hook emits the partial JSON if the driver's
   *    `timeout` SIGTERMs us anyway, so a kill can truncate the table
   *    but can no longer erase it.
@@ -80,6 +83,10 @@ object Bench {
       .sortBy(_._1)
 
     val verbose = sys.env.contains("SPARK_GRAFT_LOG")
+    // the budget bounds the POLISH passes only — pass 1 is mandatory
+    // coverage whatever it costs (247 queries ≈ 3.5 min), and charging
+    // it against the budget silently degraded most rows to noisy
+    // first-touch best-of-1 once the suite outgrew the budget
     var spent = 0.0
     // pass 1: every query once, sorted order — coverage before polish;
     // the file checkpoints after EVERY query (the shutdown hook covers
@@ -89,7 +96,6 @@ object Bench {
     queries.foreach { case (name, fn) =>
       val t = timeOnce(fn)
       results.put(name, t)
-      if (t > 0) spent += t
       writeFile()
       if (verbose) System.err.println(
         f"[bench] ${(System.nanoTime() - wall0) / 1e9}%8.1f wall  $t%7.3f q  $name")
