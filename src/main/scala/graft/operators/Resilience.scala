@@ -2292,7 +2292,71 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B57 DIFFERENCE-IN-DIFFERENCES event study (Card/Krueger shape —
+    * the causal upgrade of B5's shock simulation: B5 ASSERTS a shock
+    * and replays it, DiD MEASURES one from observed panels by
+    * differencing away both the group gap and the common time trend):
+    * treatment = urgent/high-priority orders, event = the 1995-01-01
+    * cutoff the B41 seasonal pair already anchors on, outcome =
+    * order value in exact cents. The 2×2 cell estimator
+    * δ = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) with the
+    * unequal-variance SE √(Σ s²_g/n_g) over the four cells and a
+    * z-flag at 1.96.
+    *
+    * All four cells' Σy and Σy² are EXACT BIGINT cent sums (one
+    * map-side-combined aggregate, 4 rows); means, variances
+    * (n·Σy² − (Σy)² exact decimal), δ, SE, z are ONE pinned IEEE
+    * scalar sequence — the A40/B50 posture. Degenerate cells
+    * (n < 2) null explicitly. */
+  def didEventStudy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.orders(s, dir)
+      .select(
+        ($"o_orderpriority".isin("1-URGENT", "2-HIGH")).as("treated"),
+        ($"o_orderdate" >= lit("1995-01-01")).as("post"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"treated", $"post")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+        sum($"cents".cast("decimal(38,0)") * $"cents").as("ss"))
+    def cell(t: Boolean, p: Boolean, c: String) =
+      max(when($"treated" === t && $"post" === p, col(c)))
+    val wide = cells.agg(
+      cell(true, false, "n").as("n_t0"), cell(true, false, "s").as("s_t0"),
+      cell(true, false, "ss").as("ss_t0"),
+      cell(true, true, "n").as("n_t1"), cell(true, true, "s").as("s_t1"),
+      cell(true, true, "ss").as("ss_t1"),
+      cell(false, false, "n").as("n_c0"), cell(false, false, "s").as("s_c0"),
+      cell(false, false, "ss").as("ss_c0"),
+      cell(false, true, "n").as("n_c1"), cell(false, true, "s").as("s_c1"),
+      cell(false, true, "ss").as("ss_c1"))
+    def mean(n: String, s0: String) =
+      col(s0).cast("double") / col(n).cast("double")
+    // sample variance from exact centered decimals: (n·ss − s²)/(n(n−1))
+    def v(n: String, s0: String, ss: String) =
+      when(col(n) > 1,
+        (col(n).cast("decimal(38,0)") * col(ss) -
+          col(s0).cast("decimal(38,0)") * col(s0)).cast("double") /
+          (col(n).cast("double") * (col(n).cast("double") - 1.0)))
+    val did = (mean("n_t1", "s_t1") - mean("n_t0", "s_t0")) -
+      (mean("n_c1", "s_c1") - mean("n_c0", "s_c0"))
+    val se = sqrt(
+      v("n_t1", "s_t1", "ss_t1") / col("n_t1").cast("double") +
+        v("n_t0", "s_t0", "ss_t0") / col("n_t0").cast("double") +
+        v("n_c1", "s_c1", "ss_c1") / col("n_c1").cast("double") +
+        v("n_c0", "s_c0", "ss_c0") / col("n_c0").cast("double"))
+    wide.select($"n_t0", $"n_t1", $"n_c0", $"n_c1",
+      round(mean("n_t1", "s_t1") - mean("n_t0", "s_t0"), 4)
+        .as("delta_treated"),
+      round(mean("n_c1", "s_c1") - mean("n_c0", "s_c0"), 4)
+        .as("delta_control"),
+      round(did, 4).as("did_cents"),
+      round(did / se, 4).as("z"),
+      when(se.isNotNull && (se > 0.0),
+        (abs(did / se) > 1.96).cast("long")).as("significant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_did" -> didEventStudy,
     "q_spectral_entropy" -> spectralEntropy,
     "q_isotonic" -> ((s, dir) => isotonic(Tables.events(s, dir))),
     "q_cointegration" -> ((s, dir) => cointegration(Tables.events(s, dir))),
@@ -2447,6 +2511,63 @@ object Resilience {
          |  FROM c JOIN wm ON c.event_type = wm.event_type)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B57 twin: the same four exact-cent cells, the identical IEEE
+    // mean/variance/δ/SE/z sequence in the same op order
+    "q_did" ->
+      """WITH cells AS (
+        |  SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS treated,
+        |    (o_orderdate >= DATE '1995-01-01') AS post,
+        |    count(*)::BIGINT AS n,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS s,
+        |    sum(round(o_totalprice * 100)::HUGEINT
+        |      * round(o_totalprice * 100)::BIGINT) AS ss
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT
+        |  max(CASE WHEN treated AND NOT post THEN n END) AS n_t0,
+        |  max(CASE WHEN treated AND NOT post THEN s END) AS s_t0,
+        |  max(CASE WHEN treated AND NOT post THEN ss END) AS ss_t0,
+        |  max(CASE WHEN treated AND post THEN n END) AS n_t1,
+        |  max(CASE WHEN treated AND post THEN s END) AS s_t1,
+        |  max(CASE WHEN treated AND post THEN ss END) AS ss_t1,
+        |  max(CASE WHEN NOT treated AND NOT post THEN n END) AS n_c0,
+        |  max(CASE WHEN NOT treated AND NOT post THEN s END) AS s_c0,
+        |  max(CASE WHEN NOT treated AND NOT post THEN ss END) AS ss_c0,
+        |  max(CASE WHEN NOT treated AND post THEN n END) AS n_c1,
+        |  max(CASE WHEN NOT treated AND post THEN s END) AS s_c1,
+        |  max(CASE WHEN NOT treated AND post THEN ss END) AS ss_c1
+        |  FROM cells),
+        |m AS (SELECT *,
+        |  (s_t1::DOUBLE / n_t1::DOUBLE - s_t0::DOUBLE / n_t0::DOUBLE)
+        |    AS d_t,
+        |  (s_c1::DOUBLE / n_c1::DOUBLE - s_c0::DOUBLE / n_c0::DOUBLE)
+        |    AS d_c,
+        |  CASE WHEN n_t1 > 1 THEN (n_t1::HUGEINT * ss_t1
+        |    - s_t1::HUGEINT * s_t1)::DOUBLE
+        |    / (n_t1::DOUBLE * (n_t1::DOUBLE - 1.0)) END AS v_t1,
+        |  CASE WHEN n_t0 > 1 THEN (n_t0::HUGEINT * ss_t0
+        |    - s_t0::HUGEINT * s_t0)::DOUBLE
+        |    / (n_t0::DOUBLE * (n_t0::DOUBLE - 1.0)) END AS v_t0,
+        |  CASE WHEN n_c1 > 1 THEN (n_c1::HUGEINT * ss_c1
+        |    - s_c1::HUGEINT * s_c1)::DOUBLE
+        |    / (n_c1::DOUBLE * (n_c1::DOUBLE - 1.0)) END AS v_c1,
+        |  CASE WHEN n_c0 > 1 THEN (n_c0::HUGEINT * ss_c0
+        |    - s_c0::HUGEINT * s_c0)::DOUBLE
+        |    / (n_c0::DOUBLE * (n_c0::DOUBLE - 1.0)) END AS v_c0
+        |  FROM w),
+        |f AS (SELECT *,
+        |  (d_t - d_c) AS did,
+        |  sqrt(v_t1 / n_t1::DOUBLE + v_t0 / n_t0::DOUBLE
+        |    + v_c1 / n_c1::DOUBLE + v_c0 / n_c0::DOUBLE) AS se
+        |  FROM m)
+        |SELECT n_t0, n_t1, n_c0, n_c1,
+        |  round(d_t, 4) AS delta_treated,
+        |  round(d_c, 4) AS delta_control,
+        |  round(did, 4) AS did_cents,
+        |  round(did / se, 4) AS z,
+        |  CASE WHEN se IS NOT NULL AND se > 0 THEN
+        |    (CASE WHEN abs(did / se) > 1.96 THEN 1 ELSE 0 END)::BIGINT
+        |  END AS significant
+        |FROM f""".stripMargin,
     // B56 twin: the B44 CTE chain verbatim through the round-4 power
     // export, then the identical k-ordered entropy folds over those
     // shared doubles; same zero-term convention, guards, rounds
