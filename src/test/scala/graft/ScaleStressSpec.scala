@@ -72,6 +72,45 @@ class ScaleStressSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("CDC apply at 10M changes / 1M keys: exact state, key-local window cost") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // synthetic changelog: 10 changes per key, deterministic values;
+    // the highest (ts, event_id) per key carries value = key % 1000
+    val n = 10_000_000L
+    val keys = 1_000_000L
+    val big = spark.range(n).select(
+      ($"id" % keys).as("user_id"),
+      $"id".as("event_id"),
+      expr("timestamp_micros(1700000000000000 + (id div 1000000) * " +
+        "3600000000 + id % 1000000)").as("ts"),
+      expr("CASE WHEN id % 3 = 0 THEN 'update' ELSE 'insert' END")
+        .as("event_type"),
+      expr("cast(id % 1000 as double)").as("value"))
+    val t0 = System.nanoTime()
+    val state = graft.operators.Cdc.latestState(big).cache()
+    // exactly one row per key
+    assert(state.count() == keys)
+    // the winner is the max event_id for the key: event_id = key +
+    // (nPerKey-1)*keys → value = that id % 1000
+    val bad = state.filter(
+      expr(s"last_value <> cast((user_id + ${keys * 9}) % 1000 as double)"))
+      .count()
+    assert(bad == 0, s"$bad keys materialized a non-final value")
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"latest-state over $n%,d changes / $keys%,d keys in $secs%.1f s")
+    state.unpersist()
+    // SCD2 at the same volume: every key gets one open version and
+    // version intervals tile (count check: n rows, keys open)
+    val t1 = System.nanoTime()
+    val hist = graft.operators.Cdc.scd2(big).cache()
+    assert(hist.count() == n)
+    assert(hist.filter($"is_current").count() == keys)
+    val secs2 = (System.nanoTime() - t1) / 1e9
+    info(f"scd2 over $n%,d changes in $secs2%.1f s")
+    hist.unpersist()
+  }
+
   test("winnow at 10x corpus: every sufficiently-inked clone clique surfaces, window-pass cost") {
     import spark.implicits._
     val base = Tables.documents(spark, GraftTestSession.sf)
