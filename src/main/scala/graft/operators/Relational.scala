@@ -1482,6 +1482,48 @@ object Relational {
       .orderBy($"abc")
   }
 
+  /** A66 PRICE INDEX pair — Laspeyres / Paasche / Fisher (the CPI
+    * construction, ILO CPI manual ch. 15; squarely the reference
+    * project's economics register: its value-added price series IS a
+    * published index like this one): over parts traded in BOTH 1996
+    * and 1997, base-quantity-weighted L = Σp₁q₀/Σp₀q₀,
+    * current-weighted P = Σp₁q₁/Σp₀q₁, and their geometric-mean
+    * Fisher ideal.
+    *
+    * Exactness: per-(part, year) unit prices quantize to integer
+    * MICRO-CENTS per unit (cents·10⁶ div qty — floor-div, the
+    * documented quantization), so all four Σp·q weights are EXACT
+    * order-free BIGINT aggregates and each index is ONE IEEE
+    * division; Fisher is one sqrt of their product. No corpus-sized
+    * float fold anywhere (the F39 argument). Σp·q ≈ 10¹⁷ at sf0.1 —
+    * switch the weight sums to decimal(38,0) past ~100× that. */
+  def priceIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val py = Tables.lineitem(s, dir)
+      .filter(year($"l_shipdate").isin(1996, 1997))
+      .groupBy($"l_partkey", year($"l_shipdate").as("yr"))
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("cents"),
+        sum(round($"l_quantity").cast("long")).as("qty"))
+      .filter($"qty" > 0)
+      .withColumn("price_u", expr("cents * 1000000 div qty"))
+    val matched = py.filter($"yr" === 1996)
+      .select($"l_partkey", $"price_u".as("p0"), $"qty".as("q0"))
+      .join(py.filter($"yr" === 1997)
+        .select($"l_partkey", $"price_u".as("p1"), $"qty".as("q1")),
+        "l_partkey")
+    matched.agg(count(lit(1)).as("n_parts"),
+        sum($"p1" * $"q0").as("l_num"), sum($"p0" * $"q0").as("l_den"),
+        sum($"p1" * $"q1").as("p_num"), sum($"p0" * $"q1").as("p_den"))
+      .select($"n_parts",
+        round($"l_num".cast("double") / $"l_den".cast("double"), 6)
+          .as("laspeyres"),
+        round($"p_num".cast("double") / $"p_den".cast("double"), 6)
+          .as("paasche"),
+        round(sqrt(($"l_num".cast("double") / $"l_den".cast("double")) *
+          ($"p_num".cast("double") / $"p_den".cast("double"))), 6)
+          .as("fisher"))
+  }
+
   /** A47 two-proportion z-test over an A/B assignment (the
     * experimentation readout: "did the B cohort convert more?"):
     * cohort = user_id parity (the deterministic stand-in for an
@@ -1948,6 +1990,7 @@ object Relational {
     "q_k_anonymity" -> kAnonymityEvents,
     "q_grouping_sets" -> groupingSetsMarginals,
     "q_abc" -> abcPareto,
+    "q_price_index" -> priceIndex,
     "q_mutual_info" -> mutualInfo,
     "q_cms" -> countMin,
     "q_elasticity" -> elasticity,
@@ -2011,6 +2054,33 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A66 twin: same integer micro-cent unit prices (floor-div),
+    // same exact weight sums, same three divisions
+    "q_price_index" ->
+      """WITH py AS (
+        |  SELECT l_partkey, year(l_shipdate)::BIGINT AS yr,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents,
+        |    sum(round(l_quantity)::BIGINT)::BIGINT AS qty
+        |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)
+        |  GROUP BY 1, 2 HAVING sum(round(l_quantity)::BIGINT) > 0),
+        |pu AS (SELECT l_partkey, yr, qty,
+        |         cents * 1000000 // qty AS price_u FROM py),
+        |m AS (
+        |  SELECT a.l_partkey, a.price_u AS p0, a.qty AS q0,
+        |    b.price_u AS p1, b.qty AS q1
+        |  FROM pu a JOIN pu b ON a.l_partkey = b.l_partkey
+        |  WHERE a.yr = 1996 AND b.yr = 1997),
+        |agg AS (
+        |  SELECT count(*)::BIGINT AS n_parts,
+        |    sum(p1 * q0)::BIGINT AS l_num, sum(p0 * q0)::BIGINT AS l_den,
+        |    sum(p1 * q1)::BIGINT AS p_num, sum(p0 * q1)::BIGINT AS p_den
+        |  FROM m)
+        |SELECT n_parts,
+        |  round(l_num::DOUBLE / l_den::DOUBLE, 6) AS laspeyres,
+        |  round(p_num::DOUBLE / p_den::DOUBLE, 6) AS paasche,
+        |  round(sqrt((l_num::DOUBLE / l_den::DOUBLE)
+        |    * (p_num::DOUBLE / p_den::DOUBLE)), 6) AS fisher
+        |FROM agg""".stripMargin,
     // A65 twin: same exact cent·percent revenue, same desc rank
     // cumsum, same cross-multiplied integer class boundaries
     "q_abc" ->

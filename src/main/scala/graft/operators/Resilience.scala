@@ -2355,7 +2355,54 @@ object Resilience {
         (abs(did / se) > 1.96).cast("long")).as("significant"))
   }
 
+  /** B58 NELSON-AALEN cumulative hazard (Aalen 1978 — the
+    * nonparametric hazard companion of B33's Kaplan-Meier survival:
+    * S(t) multiplies survival fractions, H(t) sums instantaneous
+    * risks d/n; the two are linked by S ≈ e^−H, and hazard SLOPES
+    * localize when churn risk spikes where the survival curve only
+    * shows the cumulative toll): over B33's exact lifetime/censor
+    * construction, H(t) = Σ_{u≤t} d_u/n_u with the same suffix
+    * at-risk sums.
+    *
+    * The running sum folds per row over the tiny distinct-lifetime
+    * frame in pinned t_hours order (the B33 quadratic-fold shape —
+    * frame-bounded, not corpus-bounded); each d/n term is one IEEE
+    * division of exact integers. Round-6 export. */
+  def nelsonAalen(events: DataFrame, censorHours: Int = 6): DataFrame = {
+    import events.sparkSession.implicits._
+    val wAll = Window.partitionBy()
+    val users = events
+      .groupBy($"user_id")
+      .agg(min(unix_micros($"ts")).as("first_us"),
+        max(unix_micros($"ts")).as("last_us"))
+      .withColumn("max_us", max($"last_us").over(wAll))
+      .select($"user_id",
+        expr("(last_us - first_us) div 3600000000").as("t_hours"),
+        (($"max_us" - $"last_us") >
+          lit(censorHours.toLong) * 3600000000L).as("churned"))
+    val hist = users.groupBy($"t_hours")
+      .agg(count(lit(1)).as("n_at"),
+        sum(when($"churned", 1L).otherwise(0L)).as("d_events"))
+    val wSuffix = Window.orderBy($"t_hours")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = hist
+      .withColumn("n_risk", sum($"n_at").over(wSuffix))
+      .filter($"d_events" > 0)
+    val all = risk.select($"t_hours", $"n_risk", $"d_events")
+    all.crossJoin(
+        all.select(struct($"t_hours".as("td"), $"n_risk".as("nr"),
+          $"d_events".as("de")).as("ev"))
+          .groupBy().agg(sort_array(collect_list($"ev")).as("evs")))
+      .withColumn("h_na", round(
+        aggregate(expr("filter(evs, e -> e.td <= t_hours)"),
+          lit(0.0), (acc, x) => acc +
+            x("de").cast("double") / x("nr").cast("double")), 6))
+      .select($"t_hours", $"n_risk", $"d_events", $"h_na")
+      .orderBy($"t_hours")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nelson_aalen" -> ((s, dir) => nelsonAalen(Tables.events(s, dir))),
     "q_did" -> didEventStudy,
     "q_spectral_entropy" -> spectralEntropy,
     "q_isotonic" -> ((s, dir) => isotonic(Tables.events(s, dir))),
@@ -2511,6 +2558,39 @@ object Resilience {
          |  FROM c JOIN wm ON c.event_type = wm.event_type)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B58 twin: B33's CTE chain with the product fold swapped for the
+    // d/n sum fold, same order, same rounds
+    "q_nelson_aalen" ->
+      """WITH users AS (
+        |  SELECT user_id,
+        |    (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000
+        |      AS t_hours,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT user_id, t_hours,
+        |    ((SELECT max(last_us) FROM users) - last_us)
+        |      > 6 * 3600000000 AS churned
+        |  FROM users),
+        |hist AS (
+        |  SELECT t_hours, count(*)::BIGINT AS n_at,
+        |    sum(CASE WHEN churned THEN 1 ELSE 0 END)::BIGINT AS d_events
+        |  FROM c GROUP BY 1),
+        |risk AS (
+        |  SELECT t_hours, d_events,
+        |    (sum(n_at) OVER (ORDER BY t_hours DESC))::BIGINT AS n_risk
+        |  FROM hist),
+        |r AS (
+        |  SELECT t_hours, n_risk, d_events FROM risk WHERE d_events > 0),
+        |evs AS (
+        |  SELECT list(struct_pack(td := t_hours, nr := n_risk,
+        |    de := d_events) ORDER BY t_hours) AS l FROM r)
+        |SELECT t_hours, n_risk, d_events,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(list_filter(l, e -> e.td <= t_hours),
+        |      e -> e.de::DOUBLE / e.nr::DOUBLE)),
+        |    (a, b) -> a + b), 6) AS h_na
+        |FROM r, evs ORDER BY t_hours""".stripMargin,
     // B57 twin: the same four exact-cent cells, the identical IEEE
     // mean/variance/δ/SE/z sequence in the same op order
     "q_did" ->
