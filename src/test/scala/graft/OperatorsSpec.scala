@@ -2327,6 +2327,97 @@ class OperatorsSpec extends AnyFunSuite {
     assert(g2.length == 1 && g2(0).getLong(3) == 5L && g2(0).getLong(4) == 0L)
   }
 
+  test("A65 ABC: hand-built 80/15/5 revenue splits classify exactly at the boundaries") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val dir = java.nio.file.Files.createTempDirectory("abc").toString
+    Seq((1L, 0.80, 0.0), (2L, 0.15, 0.0), (3L, 0.05, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Relational.abcPareto(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cum(A) = exactly 80% and cum(B) = exactly 95% — boundaries are
+    // inclusive by the cross-multiplied integer predicate
+    assert(got == Map("A" -> ((1L, 8000L, 800000L)),
+      "B" -> ((1L, 1500L, 150000L)),
+      "C" -> ((1L, 500L, 50000L))), s"got: $got")
+  }
+
+  test("B57 DiD: hand-built 2x2 cells give did = 9000 cents, z = 4.5") {
+    import spark.implicits._
+    import graft.operators.Resilience
+    val dir = java.nio.file.Files.createTempDirectory("did").toString
+    def o(pri: String, day: String, v: Double) = (pri, java.sql.Date.valueOf(day), v)
+    Seq(o("1-URGENT", "1994-06-01", 90.0), o("1-URGENT", "1994-06-02", 110.0),
+      o("1-URGENT", "1995-06-01", 190.0), o("1-URGENT", "1995-06-02", 210.0),
+      o("5-LOW", "1994-06-01", 40.0), o("5-LOW", "1994-06-02", 60.0),
+      o("5-LOW", "1995-06-01", 50.0), o("5-LOW", "1995-06-02", 70.0))
+      .toDF("o_orderpriority", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Resilience.didEventStudy(spark, dir).collect()(0)
+    // treated: 100 -> 200 dollars, control: 50 -> 60; each cell var =
+    // 2e6 cents^2 -> se = 2000 cents, did = 9000 cents, z = 4.5
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 2L, 2L)))
+    assert(r.getDouble(4) == 10000.0 && r.getDouble(5) == 1000.0, s"d: $r")
+    assert(r.getDouble(6) == 9000.0 && r.getDouble(7) == 4.5 &&
+      r.getLong(8) == 1L, s"z: $r")
+  }
+
+  test("B58 Nelson-Aalen: single event time gives H = d/n exactly") {
+    import spark.implicits._
+    import graft.operators.Resilience
+    // the B54 construction: 3 churners at 1h among 7 at risk
+    def ev(rows: Seq[(Long, Int)]) = rows.zipWithIndex.map {
+        case ((u, h), i) => (u, i.toLong, h) }
+      .toDF("user_id", "event_id", "h")
+      .withColumn("ts",
+        expr("to_timestamp('2024-01-01') + make_interval(0, 0, 0, 0, h)"))
+      .select("user_id", "event_id", "ts")
+    val a = ev(Seq(1L -> 0, 1L -> 1, 3L -> 0, 3L -> 1, 5L -> 0, 5L -> 1,
+      0L -> 0, 0L -> 100, 2L -> 0, 2L -> 99, 4L -> 0, 4L -> 99,
+      6L -> 0, 6L -> 99))
+    val got = Resilience.nelsonAalen(a).collect()
+    assert(got.length == 1)
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2),
+      got(0).getDouble(3)) == ((1L, 7L, 3L, 0.428571)), s"got: ${got(0)}")
+  }
+
+  test("A66 price index: two-part basket gives L = P = Fisher = 1.2 exactly") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val dir = java.nio.file.Files.createTempDirectory("pidx").toString
+    def li(p: Long, day: String, qty: Double, ext: Double) =
+      (p, java.sql.Timestamp.valueOf(s"$day 00:00:00"), qty, ext)
+    Seq(li(1L, "1996-03-01", 10.0, 100.0), li(1L, "1997-03-01", 5.0, 60.0),
+      li(2L, "1996-03-01", 4.0, 20.0), li(2L, "1997-03-01", 8.0, 48.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Relational.priceIndex(spark, dir).collect()(0)
+    // unit prices $10->$12 and $5->$6: both +20%, all three indices 1.2
+    assert(r.getLong(0) == 2L)
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) ==
+      ((1.2, 1.2, 1.2)), s"got: $r")
+  }
+
+  test("C58 Markov entropy: a deterministic chain scores H = 0, perplexity 1") {
+    import spark.implicits._
+    import graft.operators.Cdc
+    // one user alternating a->b within one session: every row of the
+    // transition matrix is a point mass
+    val ev = (0 until 10).map(i =>
+        (1L, i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("user_id", "event_id", "event_type")
+      .withColumn("ts",
+        expr("to_timestamp('2024-01-01') + make_interval(0,0,0,0,0,event_id)"))
+      .withColumn("value", expr("1.0"))
+      .select("user_id", "event_id", "ts", "event_type", "value")
+    val r = Cdc.markovEntropy(ev).collect()(0)
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L, s"shape: $r")
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 1.0, s"h: $r")
+  }
+
   test("A63 k-anonymity: small class fails both flags, broad class passes") {
     import spark.implicits._
     import graft.operators.Relational
