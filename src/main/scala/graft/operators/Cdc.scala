@@ -211,6 +211,37 @@ object Cdc {
       .orderBy($"cohort_week_days", $"week_idx")
   }
 
+  /** C59 top session PATHS — 3-step path mining over the sessionized
+    * event stream (the product-analytics "what do users actually do"
+    * artifact behind every Sankey view; the order-3 extension of
+    * C44's lag-pair transitions, which C58 then summarizes — pairs
+    * say which step follows which, paths expose the FLOWS:
+    * browse→search→buy vs browse→search→browse): all
+    * within-session event-type trigrams, counted, top-20 by
+    * (count DESC, path). ALL integer/string ops; the trigram frame
+    * aggregates map-side (|types|³ distinct keys at most) and the
+    * top-20 rides orderBy+limit → TakeOrderedAndProject, never a
+    * global sort. */
+  def sessionPaths(events: DataFrame, topK: Int = 20): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tri = withSessionSeq(events)
+      .withColumn("p1", lag($"event_type", 1).over(wOrd))
+      .withColumn("p2", lag($"event_type", 2).over(wOrd))
+      .withColumn("s1", lag($"session_seq", 1).over(wOrd))
+      .withColumn("s2", lag($"session_seq", 2).over(wOrd))
+      .filter($"p2".isNotNull && $"s1" === $"session_seq" &&
+        $"s2" === $"session_seq")
+      .select(concat_ws(">", $"p2", $"p1", $"event_type").as("path"))
+    val counts = tri.groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path").limit(topK)
+    counts.withColumn("rank", row_number().over(
+        Window.orderBy($"n".desc, $"path")).cast("long"))
+      .select($"rank", $"path", $"n")
+      .orderBy($"rank")
+  }
+
   /** C8 as-of (backward) join: attach to every query row the most
     * recent state row with state.ts <= query.ts, per key — the CDC
     * "state at event time" lookup. Spark lacks a native as-of join;
@@ -1003,6 +1034,7 @@ object Cdc {
     "cdc_intervals" -> onEvents(e => intervalUnion(e)),
     "cdc_markov_pi" -> onEvents(e => markovStationary(e)),
     "cdc_markov_entropy" -> onEvents(e => markovEntropy(e)),
+    "cdc_paths" -> onEvents(e => sessionPaths(e)),
     "cdc_rfm" -> ((s, dir) => rfm(Tables.events(s, dir))),
     "cdc_transitions" -> onEvents(transitions),
     "cdc_forget" -> onEvents(e =>
@@ -1141,6 +1173,29 @@ object Cdc {
         |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
     "cdc_markov_pi" -> markovSql(5),
     "cdc_markov_entropy" -> markovEntropySql(5),
+    // C59 twin: same session-bounded trigram lags, same
+    // (count DESC, path) top-20
+    "cdc_paths" ->
+      s"""WITH $sessionSeqCteSql,
+         |lagged AS (
+         |  SELECT event_type,
+         |    lag(event_type, 1) OVER w AS p1,
+         |    lag(event_type, 2) OVER w AS p2,
+         |    lag(session_seq, 1) OVER w AS s1,
+         |    lag(session_seq, 2) OVER w AS s2, session_seq
+         |  FROM seq
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |tri AS (
+         |  SELECT p2 || '>' || p1 || '>' || event_type AS path
+         |  FROM lagged
+         |  WHERE p2 IS NOT NULL AND s1 = session_seq
+         |    AND s2 = session_seq),
+         |top AS (
+         |  SELECT path, count(*)::BIGINT AS n FROM tri GROUP BY 1
+         |  ORDER BY n DESC, path LIMIT 20)
+         |SELECT row_number() OVER (ORDER BY n DESC, path)::BIGINT
+         |    AS rank, path, n
+         |FROM top ORDER BY rank""".stripMargin,
     // C46 twin: plain global row_number is fine at oracle scale; the
     // bucket formula is the identical integer arithmetic
     "cdc_rfm" ->
