@@ -1368,7 +1368,42 @@ object TextAnalysis {
           .as("ess_ratio"))
   }
 
+  /** F40 MOJIBAKE / encoding-artifact audit (the ftfy-class crawl
+    * hygiene check: double-decoded UTF-8 shows up as 'Ã©'/'â€™'-style
+    * lead-byte pairs, failed decodes leave U+FFFD replacement chars,
+    * and binary bleed-through leaves C0 controls — all three survive
+    * F2's quality gate because they score as ordinary punctuation-free
+    * tokens, so a real pipeline screens them separately): per-doc
+    * counts of (a) UTF-8 double-decode markers (Â/Ã/â followed by a
+    * continuation-range char — the ftfy core heuristic), (b) U+FFFD,
+    * (c) C0 controls excluding \t\n\r, plus the artifacts-per-10k-char
+    * rate and a flag at ≥ 10/10k. ALL integer (regexp_extract_all
+    * counts, floor-div rate) — RE2-safe patterns, so the twin replays
+    * them verbatim. One projection, no shuffle. */
+  def mojibake(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val dd = size(expr(
+      "regexp_extract_all(text, " +
+        "'[\\\\x{00C2}\\\\x{00C3}\\\\x{00E2}][\\\\x{0080}-\\\\x{00BF}]', 0)"))
+      .cast("long")
+    val repl = size(expr(
+      "regexp_extract_all(text, '\\\\x{FFFD}', 0)")).cast("long")
+    val ctrl = size(expr(
+      "regexp_extract_all(text, '[\\\\x{0001}-\\\\x{0008}\\\\x{000B}" +
+        "\\\\x{000C}\\\\x{000E}-\\\\x{001F}]', 0)")).cast("long")
+    docs.select($"doc_id", dd.as("n_double_dec"), repl.as("n_replacement"),
+        ctrl.as("n_control"),
+        greatest(length($"text").cast("long"), lit(1L)).as("n_chars_d"))
+      .withColumn("artifacts_per_10k", expr(
+        "((n_double_dec + n_replacement + n_control) * 10000) div n_chars_d"))
+      .select($"doc_id", $"n_double_dec", $"n_replacement", $"n_control",
+        $"artifacts_per_10k",
+        ($"artifacts_per_10k" >= 10L).cast("long").as("flagged"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_mojibake" -> onDocs(mojibake),
     "text_dsir_ess" -> onDocs(dsirEss),
     "text_nb_quality" -> onDocs(nbQuality),
     "text_dsir" -> onDocs(dsirWeights),
@@ -1515,6 +1550,33 @@ object TextAnalysis {
       |  FROM parts GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // F40 twin: the identical RE2 \x{}-class patterns, exact counts,
+    // floor-div rate, same flag threshold
+    "text_mojibake" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[\x{00C2}\x{00C3}\x{00E2}][\x{0080}-\x{00BF}]'))::BIGINT
+        |    AS n_double_dec,
+        |  len(regexp_extract_all(text, '\x{FFFD}'))::BIGINT
+        |    AS n_replacement,
+        |  len(regexp_extract_all(text,
+        |    '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]'))
+        |    ::BIGINT AS n_control,
+        |  ((len(regexp_extract_all(text,
+        |      '[\x{00C2}\x{00C3}\x{00E2}][\x{0080}-\x{00BF}]'))
+        |    + len(regexp_extract_all(text, '\x{FFFD}'))
+        |    + len(regexp_extract_all(text,
+        |      '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]')))
+        |    * 10000) // greatest(length(text)::BIGINT, 1)
+        |    AS artifacts_per_10k,
+        |  (((len(regexp_extract_all(text,
+        |      '[\x{00C2}\x{00C3}\x{00E2}][\x{0080}-\x{00BF}]'))
+        |    + len(regexp_extract_all(text, '\x{FFFD}'))
+        |    + len(regexp_extract_all(text,
+        |      '[\x{0001}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}]')))
+        |    * 10000) // greatest(length(text)::BIGINT, 1) >= 10)::BIGINT
+        |    AS flagged
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // F38 twin: the same F2 integer teacher label, the same add-one
     // class models over the shared vocab, the identical per-term IEEE
     // contribution folded per doc in sorted term order, prior added

@@ -570,6 +570,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       g2(0).getLong(4)) == ((9L, 4L, 2L, 0L)))
   }
 
+  test("F40 mojibake: double-decode pairs, U+FFFD, and controls each fire; clean text is silent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cafÃ© menu âtis broken"), // Ã© + â€™
+      (2L, "lost �� bytes"),
+      (3L, "binary bleed"),
+      (4L, "perfectly clean text with café and tabs\tand newlines\n"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.mojibake(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5)))).toMap
+    // doc 1: Ã+cont and â+cont (the € in â€™ is also a lead byte
+    // artifact pair-start? no — only the defined three leads count)
+    assert(got(1L)._1 == 2L && got(1L)._4 == 1L, s"doc1: ${got(1L)}")
+    assert(got(2L) == ((0L, 2L, 0L, 1L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 3L, 1L)), s"doc3: ${got(3L)}")
+    // real é (U+00E9), tabs, newlines: all legitimate
+    assert(got(4L) == ((0L, 0L, 0L, 0L)), s"doc4: ${got(4L)}")
+  }
+
   test("F36 DSIR: target-vocabulary doc outranks crawl-only doc, flag tracks sign") {
     import spark.implicits._
     val docs = Seq(
