@@ -242,6 +242,42 @@ object Cdc {
       .orderBy($"rank")
   }
 
+  /** C60 CDC FEED AUDIT — the ingest-contract check run BEFORE
+    * trusting a changelog (every C-track operator above assumes ids
+    * are unique and arrival order roughly tracks event time; when a
+    * connector re-delivers or a partition lags, those assumptions
+    * silently break exactly-once materialization and watermark
+    * budgets): (a) duplicate event_ids (re-delivery), (b) adjacent
+    * event-time inversions in id order per user (how out-of-order
+    * the feed runs — the empirical input to choosing C27's watermark
+    * delay), (c) max observed backwards jump in µs (the watermark
+    * bound a zero-late-drop policy would need). ALL integer; two
+    * aggregates + one keyed window pass. */
+  def feedAudit(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val dups = events.groupBy($"event_id").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_ids"),
+        sum(when($"c" > 1, $"c" - 1).otherwise(0L)).as("n_dup_deliveries"))
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    val inv = events
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("inv",
+        when($"prev_us".isNotNull && unix_micros($"ts") < $"prev_us",
+          1L).otherwise(0L))
+      .withColumn("jump_us",
+        when($"inv" === 1L, $"prev_us" - unix_micros($"ts"))
+          .otherwise(0L))
+      .agg(count(lit(1)).as("n_events"), sum($"inv").as("n_inversions"),
+        max($"jump_us").as("max_backjump_us"))
+    inv.crossJoin(dups)
+      .select($"n_events", $"n_ids", $"n_dup_deliveries",
+        $"n_inversions",
+        expr("n_inversions * 1000000 div n_events").as("inversion_ppm"),
+        $"max_backjump_us",
+        ($"n_dup_deliveries" === 0L && $"n_inversions" === 0L)
+          .cast("long").as("feed_clean"))
+  }
+
   /** C8 as-of (backward) join: attach to every query row the most
     * recent state row with state.ts <= query.ts, per key — the CDC
     * "state at event time" lookup. Spark lacks a native as-of join;
@@ -1035,6 +1071,7 @@ object Cdc {
     "cdc_markov_pi" -> onEvents(e => markovStationary(e)),
     "cdc_markov_entropy" -> onEvents(e => markovEntropy(e)),
     "cdc_paths" -> onEvents(e => sessionPaths(e)),
+    "cdc_feed_audit" -> onEvents(feedAudit),
     "cdc_rfm" -> ((s, dir) => rfm(Tables.events(s, dir))),
     "cdc_transitions" -> onEvents(transitions),
     "cdc_forget" -> onEvents(e =>
@@ -1173,6 +1210,32 @@ object Cdc {
         |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
     "cdc_markov_pi" -> markovSql(5),
     "cdc_markov_entropy" -> markovEntropySql(5),
+    // C60 twin: same dup/inversion/backjump definitions, all integer
+    "cdc_feed_audit" ->
+      """WITH dups AS (
+        |  SELECT count(*)::BIGINT AS n_ids,
+        |    sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END)::BIGINT
+        |      AS n_dup_deliveries
+        |  FROM (SELECT event_id, count(*)::BIGINT AS c
+        |        FROM events GROUP BY 1)),
+        |iv AS (
+        |  SELECT epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY user_id ORDER BY event_id) AS prev_us
+        |  FROM events),
+        |inv AS (
+        |  SELECT count(*)::BIGINT AS n_events,
+        |    sum(CASE WHEN prev_us IS NOT NULL AND us < prev_us
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_inversions,
+        |    max(CASE WHEN prev_us IS NOT NULL AND us < prev_us
+        |      THEN prev_us - us ELSE 0 END)::BIGINT AS max_backjump_us
+        |  FROM iv)
+        |SELECT n_events, n_ids, n_dup_deliveries, n_inversions,
+        |  (n_inversions * 1000000 // n_events)::BIGINT AS inversion_ppm,
+        |  max_backjump_us,
+        |  (n_dup_deliveries = 0 AND n_inversions = 0)::BIGINT
+        |    AS feed_clean
+        |FROM inv, dups""".stripMargin,
     // C59 twin: same session-bounded trigram lags, same
     // (count DESC, path) top-20
     "cdc_paths" ->

@@ -2401,6 +2401,28 @@ class OperatorsSpec extends AnyFunSuite {
       ((1.2, 1.2, 1.2)), s"got: $r")
   }
 
+  test("C60 feed audit: re-deliveries and inversions fire, a clean feed passes") {
+    import spark.implicits._
+    import graft.operators.Cdc
+    def mk(rows: Seq[(Long, Long, Long)]) = rows
+      .toDF("user_id", "event_id", "us")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+      .select("user_id", "event_id", "ts")
+    // dirty: event 11 delivered twice, and id order 12→13 runs
+    // 5 s backwards in event time
+    val dirty = mk(Seq((1L, 10L, 1000000L), (1L, 11L, 2000000L),
+      (1L, 11L, 2000000L), (1L, 12L, 9000000L), (1L, 13L, 4000000L)))
+    val d = Cdc.feedAudit(dirty).collect()(0)
+    assert((d.getLong(0), d.getLong(1), d.getLong(2), d.getLong(3)) ==
+      ((5L, 4L, 1L, 1L)), s"dirty: $d")
+    assert(d.getLong(5) == 5000000L && d.getLong(6) == 0L, s"dirty: $d")
+    // clean: unique ids, monotone time
+    val clean = mk(Seq((1L, 1L, 1L), (1L, 2L, 2L), (2L, 3L, 1L)))
+    val c = Cdc.feedAudit(clean).collect()(0)
+    assert(c.getLong(2) == 0L && c.getLong(3) == 0L && c.getLong(6) == 1L,
+      s"clean: $c")
+  }
+
   test("C58 Markov entropy: a deterministic chain scores H = 0, perplexity 1") {
     import spark.implicits._
     import graft.operators.Cdc
