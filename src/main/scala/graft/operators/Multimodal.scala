@@ -779,6 +779,56 @@ object Multimodal {
     wavFeatures(payloads)
   }
 
+  /** G10 audio CLIPPING / DC-offset QA (the recording-quality gate an
+    * audio-ingest pipeline runs right after decode: clipped takes and
+    * DC-biased mics poison any downstream feature, and neither shows
+    * in G6's RMS — a clipped signal can have UNREMARKABLE power):
+    * per doc over the decoded PCM stream, samples at or beyond
+    * ±32000 (near-full-scale for int16), clip rate in ppm
+    * (floor-div), the integer-µ DC offset (Σs·10⁶ div n — the mean
+    * without a float), and flags at ≥ 1000 ppm clipping / |DC| >
+    * 1000·10⁶. ALL integer after the decode seam; one
+    * map-side-combinable per-doc aggregate — the G6 scale shape. */
+  def wavClipping(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        parseWavSamples(p).iterator.flatMap { case (_, ss) =>
+          ss.iterator.map(s => (id, s.toLong)) } })
+      .toDF("doc_id", "s")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(abs($"s") >= 32000L, 1L).otherwise(0L)).as("n_clipped"),
+        sum($"s").as("sum_s"))
+      // sum_s can be NEGATIVE and Spark's `div` truncates toward zero
+      // where DuckDB's `//` floors (the G8 parity trap) — subtracting
+      // the positive pmod first makes the division exact, where trunc
+      // and floor agree
+      .withColumn("dc_micro", expr(
+        "(sum_s * 1000000 - ((sum_s * 1000000 % n_samples) + n_samples)" +
+          " % n_samples) div n_samples"))
+      .select($"doc_id", $"n_samples", $"n_clipped",
+        expr("n_clipped * 1000000 div n_samples").as("clip_ppm"),
+        $"dc_micro",
+        (expr("n_clipped * 1000000 div n_samples") >= 1000L ||
+          abs($"dc_micro") > 1000000000L)
+          .cast("long").as("flagged"))
+      .orderBy($"doc_id")
+  }
+
+  /** G10 graded entry (`mm_wav_clipping`): the G6 synthesized WAVs
+    * through the chunk walker; the oracle regenerates the samples
+    * from the LCG recurrence alone. */
+  private def wavClippingEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long]
+      .map(id => (id, wavBytes(lcgSamples(id, (32 + id % 33).toInt))))
+      .toDF("doc_id", "payload")
+    wavClipping(payloads)
+  }
+
   /** G8 PCM decimation by 2 (the cheapest resampling tier an audio
     * pipeline runs before feature extraction): consecutive sample
     * pairs average to one output sample, with the mean floored via
@@ -829,6 +879,7 @@ object Multimodal {
     "mm_phash_real" -> phashRealEntry,
     "mm_resample" -> wavResampleEntry,
     "mm_wav_features" -> wavFeaturesEntry,
+    "mm_wav_clipping" -> wavClippingEntry,
     "mm_sniff" -> sniffEntry,
     "mm_wav_stats" -> wavStatsEntry,
     "mm_binary_meta" -> binaryMetaHex,
@@ -997,6 +1048,37 @@ object Multimodal {
     // G6 twin: replays the LCG recurrence in a recursive CTE — no
     // byte parsing — so the hash match proves the WAV encoder, the
     // chunk-walking decoder, and the PCM aggregation agree to the bit
+    // G10 twin: the same LCG regeneration, same ±32000 predicate,
+    // same pmod-floor integer divisions
+    "mm_wav_clipping" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, 32 + doc_id % 33 AS n,
+        |    (doc_id * 1103515245 + 12345) % 2147483648 AS s
+        |  FROM documents),
+        |gen AS (
+        |  SELECT doc_id, n, 0 AS k, s, CAST(NULL AS BIGINT) AS sample
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, n, k + 1,
+        |    (s * 1103515245 + 12345) % 2147483648,
+        |    ((s * 1103515245 + 12345) % 2147483648) % 65536 - 32768
+        |  FROM gen WHERE k < n),
+        |agg AS (
+        |  SELECT doc_id, count(sample)::BIGINT AS n_samples,
+        |    sum(CASE WHEN abs(sample) >= 32000 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_clipped,
+        |    sum(sample)::BIGINT AS sum_s
+        |  FROM gen WHERE sample IS NOT NULL GROUP BY doc_id),
+        |f AS (
+        |  SELECT doc_id, n_samples, n_clipped,
+        |    (n_clipped * 1000000 // n_samples)::BIGINT AS clip_ppm,
+        |    ((sum_s * 1000000 - ((sum_s * 1000000 % n_samples)
+        |      + n_samples) % n_samples) // n_samples)::BIGINT AS dc_micro
+        |  FROM agg)
+        |SELECT doc_id, n_samples, n_clipped, clip_ppm, dc_micro,
+        |  (clip_ppm >= 1000 OR abs(dc_micro) > 1000000000)::BIGINT
+        |    AS flagged
+        |FROM f ORDER BY doc_id""".stripMargin,
     "mm_wav_stats" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, 32 + doc_id % 33 AS n,
