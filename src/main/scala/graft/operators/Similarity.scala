@@ -1406,11 +1406,71 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** E27 per-cell EMBEDDING DRIFT monitor (the production check
+    * behind every "do we need to rebuild the index / retrain the
+    * quantizer" decision: E8's persisted centroids and E6's codebooks
+    * assume the vector distribution they were trained on, and a new
+    * crawl batch or an encoder upgrade silently invalidates them —
+    * cell-level population and centroid shift is the standard canary,
+    * cf. the drift monitors every feature store ships): the corpus
+    * splits into reference/current epochs (vec_id parity — the
+    * deterministic stand-in for an ingest-date column), every vector
+    * assigns to the SAME fixed E3 cells, and per cell the report
+    * carries both populations, the count-share skew (ppm), and the
+    * euclidean displacement between the two epochs' mean vectors.
+    *
+    * Determinism: vectors quantize to integer micros (the E18/E24
+    * fixed-point recipe), so per-(cell, epoch, dim) sums are EXACT
+    * order-free BIGINTs; each dim's mean difference is one IEEE
+    * sequence and the 64 d² terms fold per cell in SORTED DIM order.
+    * Shape: the E3 codegen'd literal assignment (zero join), one
+    * (cell, epoch, dim)-keyed aggregate (64·2·16 output rows), tiny
+    * joins after. */
+  def embedDrift(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val nCentroids = 16
+    val e = withNorm(vecs)
+    val cents: Array[(Long, Array[Double])] =
+      e.filter(pmod($"vec_id" * 7, lit(101)) < nCentroids)
+        .orderBy($"vec_id").limit(nCentroids)
+        .select($"vec_id", $"v".cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val q = expr("transform(cast(v as array<double>), " +
+      "x -> cast(round(x * 1000000) as bigint))")
+    val sums = e
+      .withColumn("cell", nearestCellByCosine($"v", $"n", cents))
+      .withColumn("epoch",
+        when(pmod($"vec_id", lit(2)) === 0, "a").otherwise("b"))
+      .select($"cell", $"epoch", posexplode(q).as(Seq("dim", "qv")))
+      .groupBy($"cell", $"epoch", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"qv").as("s"))
+    val a = sums.filter($"epoch" === "a")
+      .select($"cell", $"dim", $"n".as("n_a"), $"s".as("s_a"))
+    val b = sums.filter($"epoch" === "b")
+      .select($"cell", $"dim", $"n".as("n_b"), $"s".as("s_b"))
+    a.join(b, Seq("cell", "dim"))
+      .withColumn("d", $"s_b".cast("double") / $"n_b".cast("double") -
+        $"s_a".cast("double") / $"n_a".cast("double"))
+      .groupBy($"cell")
+      .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+        sort_array(collect_list(struct($"dim", $"d"))).as("ds"))
+      .withColumn("drift", round(sqrt(expr(
+        "aggregate(transform(ds, x -> x.d * x.d), 0D, (acc, x) -> acc + x)"))
+        / lit(1000000.0), 6))
+      .select($"cell", $"n_a", $"n_b",
+        expr("abs(n_a * 1000000 div (n_a + n_b) - 500000)")
+          .as("share_skew_ppm"),
+        $"drift")
+      .orderBy($"cell")
+  }
+
   private def onVecs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.embeddings(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_hamming_rerank" -> onVecs(v => hammingRerank(v)),
+    "ann_drift" -> onVecs(embedDrift),
     "ann_hard_negatives" -> onVecs(v => hardNegatives(v)),
     "ann_knn_classify" -> onVecs(v => knnClassify(v)),
     "ann_centroid_outliers" -> onVecs(v => embedOutliers(v)),
@@ -2218,6 +2278,49 @@ object Similarity {
          |SELECT q_id, vec_id, cos FROM scored
          |WHERE cos >= $RangeCosT ORDER BY q_id, vec_id""".stripMargin,
     "ann_hamming" -> hammingOracleSql,
+    // E27 twin: the E3 cents/assignment CTEs, the same integer-micro
+    // quantization, exact per-(cell, epoch, dim) sums, the identical
+    // dim-ordered d-squared fold
+    "ann_drift" ->
+      s"""WITH $eCte,
+         |cents AS (
+         |  SELECT vec_id AS c_id, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+         |  FROM e WHERE (vec_id * 7) % 101 < 16 ORDER BY vec_id LIMIT 16),
+         |asg AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, c.c_id AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) / (e.n * c.cn) DESC, c.c_id
+         |    ) AS arn
+         |    FROM e CROSS JOIN cents c)
+         |  WHERE arn = 1),
+         |qd AS (
+         |  SELECT cell,
+         |    CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS epoch,
+         |    i AS dim, round(v[i + 1] * 1000000)::BIGINT AS qv
+         |  FROM asg CROSS JOIN range(64) t(i)),
+         |sums AS (
+         |  SELECT cell, epoch, dim, count(*)::BIGINT AS n,
+         |    sum(qv)::BIGINT AS s
+         |  FROM qd GROUP BY 1, 2, 3),
+         |j AS (
+         |  SELECT a.cell, a.dim, a.n AS n_a, a.s AS s_a,
+         |    b.n AS n_b, b.s AS s_b
+         |  FROM sums a JOIN sums b
+         |  ON a.cell = b.cell AND a.dim = b.dim
+         |    AND a.epoch = 'a' AND b.epoch = 'b'),
+         |g AS (
+         |  SELECT cell, max(n_a)::BIGINT AS n_a, max(n_b)::BIGINT AS n_b,
+         |    list(s_b::DOUBLE / n_b::DOUBLE - s_a::DOUBLE / n_a::DOUBLE
+         |      ORDER BY dim) AS ds
+         |  FROM j GROUP BY 1)
+         |SELECT cell, n_a, n_b,
+         |  abs(n_a * 1000000 // (n_a + n_b) - 500000)::BIGINT
+         |    AS share_skew_ppm,
+         |  round(sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(ds, x -> x * x)), (a, b) -> a + b))
+         |    / 1000000.0, 6) AS drift
+         |FROM g ORDER BY cell""".stripMargin,
     "ann_hamming_rerank" -> hammingRerankOracleSql(shortlist = 10),
     "ann_rp" -> rpOracleSql,
     "ann_lsh" ->
