@@ -2401,7 +2401,41 @@ object Resilience {
       .orderBy($"t_hours")
   }
 
+  /** B59 TURNING-POINT test per event type (Kendall's classic
+    * randomness screen, the third of the nonparametric trio with
+    * B34's Mann-Kendall trend and A44's runs test — MK asks "is it
+    * drifting", runs asks "are signs clumping", this asks "is it too
+    * SMOOTH or too jagged": an i.i.d. series has E[T] = 2(n−2)/3
+    * interior extrema, Var = (16n−29)/90; too few says trend/cycle,
+    * too many says negative autocorrelation): strict local extrema
+    * from EXACT integer comparisons (a tie with either neighbor is
+    * not a turning point — stated, and identical in both engines),
+    * z = (T − μ)/σ rounded at export. One window pass per type over
+    * the daily frame, one aggregate. */
+  def turningPoints(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val t = pts
+      .withColumn("p", lag($"y", 1).over(w))
+      .withColumn("f", lead($"y", 1).over(w))
+      .withColumn("tp", when($"p".isNotNull && $"f".isNotNull &&
+        (($"p" < $"y" && $"y" > $"f") || ($"p" > $"y" && $"y" < $"f")),
+        1L).otherwise(0L))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"tp").as("n_turning"))
+    val nD = $"n_days".cast("double")
+    t.select($"event_type", $"n_days", $"n_turning",
+        when($"n_days" >= 3, round(
+          ($"n_turning".cast("double") - lit(2.0) * (nD - 2.0) / 3.0) /
+            sqrt((lit(16.0) * nD - 29.0) / 90.0), 4)).as("z"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_turning_points" -> ((s, dir) => turningPoints(Tables.events(s, dir))),
     "q_nelson_aalen" -> ((s, dir) => nelsonAalen(Tables.events(s, dir))),
     "q_did" -> didEventStudy,
     "q_spectral_entropy" -> spectralEntropy,
@@ -2558,6 +2592,26 @@ object Resilience {
          |  FROM c JOIN wm ON c.event_type = wm.event_type)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B59 twin: same strict-extremum integer predicate, same
+    // closed-form moments in the same IEEE op order
+    "q_turning_points" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |l AS (
+         |  SELECT event_type, y,
+         |    lag(y) OVER (PARTITION BY event_type ORDER BY day) AS p,
+         |    lead(y) OVER (PARTITION BY event_type ORDER BY day) AS f
+         |  FROM d),
+         |t AS (
+         |  SELECT event_type, count(*)::BIGINT AS n_days,
+         |    sum(CASE WHEN p IS NOT NULL AND f IS NOT NULL
+         |      AND ((p < y AND y > f) OR (p > y AND y < f))
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_turning
+         |  FROM l GROUP BY 1)
+         |SELECT event_type, n_days, n_turning,
+         |  CASE WHEN n_days >= 3 THEN round(
+         |    (n_turning::DOUBLE - 2.0 * (n_days::DOUBLE - 2.0) / 3.0)
+         |    / sqrt((16.0 * n_days::DOUBLE - 29.0) / 90.0), 4) END AS z
+         |FROM t ORDER BY event_type""".stripMargin,
     // B58 twin: B33's CTE chain with the product fold swapped for the
     // d/n sum fold, same order, same rounds
     "q_nelson_aalen" ->

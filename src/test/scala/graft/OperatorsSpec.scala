@@ -2532,6 +2532,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rb.getDouble(5) == 0.0 && rb.getLong(6) == 0L, s"b: $rb")
   }
 
+  test("B59 turning points: sawtooth maxes T, monotone zeroes it, ties count as neither") {
+    import graft.operators.Resilience
+    val got = Resilience.turningPoints(dailyEvents(
+        "saw" -> Seq(1, 3, 1, 3, 1, 3),   // every interior point turns
+        "mono" -> Seq(1, 2, 3, 4, 5, 6),  // none
+        "tied" -> Seq(1, 2, 2, 1, 2)))    // plateaus are not extrema
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("saw") == ((6L, 4L)), s"saw: ${got("saw")}")
+    assert(got("mono") == ((6L, 0L)), s"mono: ${got("mono")}")
+    // 1,2,2,1,2: index 2 ties left (not strict), index 3 is a strict
+    // minimum (2 > 1 < 2) — exactly one turning point
+    assert(got("tied") == ((5L, 1L)), s"tied: ${got("tied")}")
+  }
+
   test("B56 spectral entropy: flat spectrum nulls, pure cycle scores 0, bounds hold") {
     import graft.operators.Resilience
     val dir = java.nio.file.Files.createTempDirectory("sent").toString
