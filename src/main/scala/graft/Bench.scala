@@ -7,7 +7,7 @@ import scala.collection.concurrent.TrieMap
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
   * and mirrors it to bench_out.json.
   *
-  * Timeout posture (the round-5 driver run died rc=124 with zero rows):
+  * Timeout posture (the round-9 driver run died rc=124 with zero rows):
   *  - pass 1 times every query ONCE in sorted order — full per-query
   *    coverage lands as early as possible;
   *  - further passes (up to SPARK_GRAFT_REPS, default 2) re-time
