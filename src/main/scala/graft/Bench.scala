@@ -101,18 +101,23 @@ object Bench {
         f"[bench] ${(System.nanoTime() - wall0) / 1e9}%8.1f wall  $t%7.3f q  $name")
     }
     // passes 2..reps: cheapest-first (noise matters most on sub-second
-    // rows; expensive iterative queries are rep-stable), stop at budget
+    // rows; expensive iterative queries are rep-stable), stop at budget.
+    // Pass-1 failures (transient OOM/GC timeout) sort LAST and get a
+    // retry slot here — a one-off crash no longer freezes the row at
+    // -1 / excluded-from-total for the whole run
     var pass = 2
     while (pass <= reps && spent < budgetSec) {
-      val order = queries.filter { case (n, _) => results.getOrElse(n, -1.0) >= 0 }
-        .sortBy { case (n, _) => results(n) }
+      val order = queries.sortBy { case (n, _) =>
+        val v = results.getOrElse(n, -1.0)
+        if (v >= 0) v else Double.MaxValue
+      }
       val it = order.iterator
       while (it.hasNext && spent < budgetSec) {
         val (name, fn) = it.next()
         val t = timeOnce(fn)
         if (t > 0) {
           spent += t
-          if (t < results(name)) results.put(name, t)
+          if (results(name) < 0 || t < results(name)) results.put(name, t)
         }
       }
       writeFile()

@@ -272,7 +272,10 @@ object Cdc {
     inv.crossJoin(dups)
       .select($"n_events", $"n_ids", $"n_dup_deliveries",
         $"n_inversions",
-        expr("n_inversions * 1000000 div n_events").as("inversion_ppm"),
+        // ANSI div raises on an all-empty feed (global agg still
+        // emits one n_events=0 row) — null ppm instead of a crash
+        expr("case when n_events > 0 then n_inversions * 1000000" +
+          " div n_events end").as("inversion_ppm"),
         $"max_backjump_us",
         ($"n_dup_deliveries" === 0L && $"n_inversions" === 0L)
           .cast("long").as("feed_clean"))
@@ -1231,7 +1234,9 @@ object Cdc {
         |      THEN prev_us - us ELSE 0 END)::BIGINT AS max_backjump_us
         |  FROM iv)
         |SELECT n_events, n_ids, n_dup_deliveries, n_inversions,
-        |  (n_inversions * 1000000 // n_events)::BIGINT AS inversion_ppm,
+        |  (CASE WHEN n_events > 0
+        |    THEN n_inversions * 1000000 // n_events END)::BIGINT
+        |    AS inversion_ppm,
         |  max_backjump_us,
         |  (n_dup_deliveries = 0 AND n_inversions = 0)::BIGINT
         |    AS feed_clean

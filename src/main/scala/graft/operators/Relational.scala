@@ -1469,8 +1469,13 @@ object Relational {
     val classed = rev
       .withColumn("cum", sum($"cp").over(wCum))
       .withColumn("abc",
-        when($"cum" * 100L <= lit(tot) * 80L, "A")
-          .when($"cum" * 100L <= lit(tot) * 95L, "B")
+        // cross-multiply in decimal(38,0): cum·100 wraps int64 past
+        // total cent-percent revenue ~9.2e16 (≈ sf40) — same overflow
+        // share_ppm already dodges; the DuckDB twin is HUGEINT
+        when($"cum".cast("decimal(38,0)") * 100 <=
+            lit(tot).cast("decimal(38,0)") * 80, "A")
+          .when($"cum".cast("decimal(38,0)") * 100 <=
+            lit(tot).cast("decimal(38,0)") * 95, "B")
           .otherwise("C"))
     classed.groupBy($"abc")
       .agg(count(lit(1)).as("n_parts"),
@@ -1929,7 +1934,8 @@ object Relational {
       .localCheckpoint()
     val hashes = (0 until 4).map { i =>
       struct(lit(i.toLong).as("row"),
-        expr(s"((${A(i)} * (user_id % $P) + ${B(i)}) % $P) % 256").as("cell"))
+        expr(s"((${A(i)} * (user_id % $P) + ${B(i)}) % $P) % $CmsW")
+          .as("cell"))
     }
     val cells = users
       .select($"user_id", $"cnt", explode(array(hashes: _*)).as("h"))

@@ -950,7 +950,13 @@ object Similarity {
 
   /** Shared serve core: probe → pruned-partition code scan → ADC
     * top-`k` (the E8 plan; `k` = TopK for plain serve, `shortlist`
-    * for the re-ranked path). */
+    * for the re-ranked path). Serves BOTH code-table layouts: the
+    * plain hive dir ([[buildIvfPqIndex]] — Catalyst partition
+    * pruning on `cell=`) and the manifest-managed one
+    * ([[publishIvfPqIndex]] — file-list pruning from the manifest,
+    * [[graft.sources.Lake.Manifest.readPublishedPruned]]); the exact
+    * `isin` filter applies either way, so pruning is never load-
+    * bearing for correctness. */
   private def servedShortlist(spark: SparkSession, dir: String,
       queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
     import spark.implicits._
@@ -959,9 +965,83 @@ object Similarity {
       queries.select($"q_id", $"qv".cast("array<double>").as("qv")),
       m, nProbe)
     val cells = qprobe.select($"cell").distinct().collect().map(_.getInt(0))
-    val coded = spark.read.parquet(s"$dir/codes")
+    val coded = loadCodes(spark, dir, cells)
       .filter($"cell".isin(cells.map(c => c: java.lang.Integer).toIndexedSeq: _*))
     ivfPqScore(coded, qprobe, k)
+  }
+
+  private def codesDir(dir: String) = s"$dir/codes"
+
+  /** Is the code table under `dir` manifest-managed? */
+  private[graft] def isPublishedIndex(spark: SparkSession,
+      dir: String): Boolean =
+    graft.sources.Lake.Manifest.isManaged(spark, codesDir(dir))
+
+  /** Code-table read for either layout, pruned to `cells` where the
+    * layout supports it. */
+  private[graft] def loadCodes(spark: SparkSession, dir: String,
+      cells: Seq[Int]): DataFrame =
+    if (isPublishedIndex(spark, dir))
+      graft.sources.Lake.Manifest.readPublishedPruned(spark,
+        codesDir(dir), "cell", cells.map(_.toString))
+    else spark.read.parquet(codesDir(dir))
+
+  /** E8/C28 MANIFEST-MANAGED index build — identical model + codes to
+    * [[buildIvfPqIndex]] (training is deterministic), but the code
+    * table is published through [[graft.sources.Lake.Manifest]]:
+    * readers resolve files through an atomically-swapped pointer, so
+    * every later append (batch or streaming) is one atomic commit —
+    * a crash at ANY point leaves the served index on the previous
+    * version, never half-visible. This closes the append→marker
+    * crash window the marker-gated [[appendIvfPqIndex]] path
+    * acknowledges (SURVEY §2 C28). */
+  def publishIvfPqIndex(vecs: DataFrame, dir: String, k: Int = 16,
+      iters: Int = 2): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val m = ivfPqTrain(vecs, k, iters)
+    val e = vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    m.centroids.toSeq.map { case (id, c) => (id, c.toSeq) }
+      .toDF("cell", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    (for { j <- 0 until PqM; (cid, cb) <- m.books(j) }
+      yield (j, cid, cb.toSeq))
+      .toDF("j", "cid", "cbv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    graft.sources.Lake.Manifest.publishSnapshot(
+      ivfPqEncode(e, m), codesDir(dir), partitionBy = Seq("cell"))
+  }
+
+  /** E9/C28 atomic append into a published index: encode against the
+    * frozen model and publish ONE manifest commit that both adds the
+    * files and records `meta` (the stream batch id) — data visibility
+    * and replay bookkeeping can no longer diverge. */
+  def appendIvfPqIndexPublished(dir: String, newVecs: DataFrame,
+      meta: String = ""): Long = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    val m = loadIvfPqModel(spark, dir)
+    val e = newVecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    graft.sources.Lake.Manifest.publishAppend(
+      ivfPqEncode(e, m), codesDir(dir), partitionBy = Seq("cell"),
+      meta = meta)
+  }
+
+  /** Compaction for the published layout: one snapshot commit of the
+    * cell-clustered rewrite (readers see old-or-new atomically; the
+    * rename dance of [[compactIvfPqIndex]] is unnecessary here), then
+    * a vacuum bounds storage. Applied-batch metas survive — they ride
+    * the manifest, not the files. */
+  def compactIvfPqIndexPublished(spark: SparkSession, dir: String,
+      maxFiles: Int = 64): Unit = {
+    import spark.implicits._
+    val M = graft.sources.Lake.Manifest
+    val cd = codesDir(dir)
+    val current = M.readPublished(spark, cd)
+    if (current.inputFiles.length <= maxFiles) return
+    M.publishSnapshot(current.repartition($"cell")
+      .sortWithinPartitions($"vec_id"), cd, partitionBy = Seq("cell"))
+    M.vacuum(spark, cd, keepVersions = 1)
   }
 
   /** E11 SERVED two-stage retrieval — the full deployment read path:

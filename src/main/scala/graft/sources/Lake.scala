@@ -130,15 +130,35 @@ object Lake {
       }
     }
 
-    private def manifestFiles(spark: SparkSession, dir: String,
+    private def manifestLines(spark: SparkSession, dir: String,
         version: Long): Seq[String] = {
       if (version == 0L) return Seq.empty
       val f = fs(spark)
       val in = f.open(p(f"$dir/_manifests/v$version%08d.manifest"))
       try scala.io.Source.fromInputStream(in).getLines()
-        .filter(_.nonEmpty).map(rel => s"$dir/$rel").toList
+        .filter(_.nonEmpty).toList
       finally in.close()
     }
+
+    private def manifestFiles(spark: SparkSession, dir: String,
+        version: Long): Seq[String] =
+      manifestLines(spark, dir, version)
+        .filterNot(_.startsWith("#")).map(rel => s"$dir/$rel")
+
+    /** Commit-log FACTS (`#meta ` lines) recorded by past publishes —
+      * applied stream-batch ids and the like. Unlike file lists they
+      * are carried forward into every successor manifest (append AND
+      * snapshot), so one read of the CURRENT manifest answers "was
+      * this batch ever applied?" even after compaction rewrote the
+      * files and [[vacuum]] pruned the manifest that introduced it.
+      * One short line per fact — negligible next to the file list. */
+    def publishedMetas(spark: SparkSession, dir: String): Set[String] =
+      manifestLines(spark, dir, currentVersion(spark, dir))
+        .filter(_.startsWith("#meta ")).map(_.stripPrefix("#meta ")).toSet
+
+    /** True once any version has been published under `dir`. */
+    def isManaged(spark: SparkSession, dir: String): Boolean =
+      currentVersion(spark, dir) > 0L
 
     private def writeFile(spark: SparkSession, path: String,
         content: String): Unit = {
@@ -149,18 +169,53 @@ object Lake {
 
     /** Write `df` as a new version whose manifest lists `carry` (the
       * retained predecessor files) plus the newly written files, then
-      * swap the pointer. Returns the published version. */
-    private def commit(df: DataFrame, dir: String,
-        carry: Seq[String]): Long = {
+      * swap the pointer. Returns the published version.
+      *
+      * `partitionBy` lays the fresh files out under hive-style
+      * `__p_<col>=<value>/` dirs WITHOUT dropping the columns from
+      * the data (each is duplicated into a `__p_` twin before the
+      * write) — readers stay plain file-list reads, and
+      * [[readPublishedPruned]] prunes the list by path segment, the
+      * Delta/Iceberg partition-pruning-from-the-log shape. (Catalyst
+      * dir-inference can't prune here: versioned `data/vN/` roots
+      * between basePath and the partition dirs raise
+      * CONFLICTING_DIRECTORY_STRUCTURES.)
+      *
+      * Crash-retry safe: the data write is mode("overwrite") and the
+      * manifest write overwrites, so a commit that died anywhere
+      * before the pointer swap is simply redone — the orphan
+      * `data/vNext` from the dead attempt is replaced, never
+      * double-counted. */
+    private def commit(df: DataFrame, dir: String, carry: Seq[String],
+        partitionBy: Seq[String] = Nil, meta: String = ""): Long = {
       val spark = df.sparkSession
       val f = fs(spark)
-      val next = currentVersion(spark, dir) + 1
+      val cur = currentVersion(spark, dir)
+      val next = cur + 1
       val sub = f"data/v$next%08d"
-      df.write.parquet(s"$dir/$sub")
-      val fresh = f.listStatus(p(s"$dir/$sub")).toSeq
-        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
-        .sorted.map(n => s"$sub/$n")
-      val rels = carry.map(_.stripPrefix(s"$dir/")) ++ fresh
+      if (partitionBy.isEmpty) df.write.mode("overwrite").parquet(s"$dir/$sub")
+      else {
+        val dup = partitionBy.foldLeft(df)((d, c) =>
+          d.withColumn(s"__p_$c", d.col(c)))
+        dup.write.mode("overwrite").partitionBy(partitionBy.map("__p_" + _): _*)
+          .parquet(s"$dir/$sub")
+      }
+      val it = f.listFiles(p(s"$dir/$sub"), true)
+      val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val rel = st.getPath.toString.split(s"/$sub/", 2) match {
+            case Array(_, rest) => s"$sub/$rest"
+            case _ => st.getPath.toString
+          }
+          fresh += rel
+        }
+      }
+      val metas = (manifestLines(spark, dir, cur)
+        .filter(_.startsWith("#meta ")) ++
+        (if (meta.nonEmpty) Seq(s"#meta $meta") else Nil)).distinct
+      val rels = metas ++ carry.map(_.stripPrefix(s"$dir/")) ++ fresh.sorted
       writeFile(spark, f"$dir/_manifests/v$next%08d.manifest",
         rels.mkString("\n"))
       // pointer swap LAST and atomically: readers see old-or-new only.
@@ -174,16 +229,46 @@ object Lake {
       next
     }
 
-    /** Append-publish: new version = predecessor files + df's files. */
-    def publishAppend(df: DataFrame, dir: String): Long = {
+    /** Append-publish: new version = predecessor files + df's files.
+      * `meta` (optional) records a commit-log fact — see
+      * [[publishedMetas]]; `partitionBy` lays fresh files out for
+      * [[readPublishedPruned]]. */
+    def publishAppend(df: DataFrame, dir: String,
+        partitionBy: Seq[String] = Nil, meta: String = ""): Long = {
       val spark = df.sparkSession
-      commit(df, dir, manifestFiles(spark, dir, currentVersion(spark, dir)))
+      commit(df, dir, manifestFiles(spark, dir, currentVersion(spark, dir)),
+        partitionBy, meta)
     }
 
     /** Snapshot-publish: new version = df's files only (logical
-      * replace; old data files remain for time travel). */
-    def publishSnapshot(df: DataFrame, dir: String): Long =
-      commit(df, dir, Seq.empty)
+      * replace; old data files remain for time travel). Meta lines
+      * from the predecessor are still carried — a snapshot replaces
+      * CONTENT, not commit-log history. */
+    def publishSnapshot(df: DataFrame, dir: String,
+        partitionBy: Seq[String] = Nil, meta: String = ""): Long =
+      commit(df, dir, Seq.empty, partitionBy, meta)
+
+    /** Partition-pruned read of the current version: keep only the
+      * files whose path carries `__p_<partCol>=<v>` for some wanted
+      * `v` (files not under any `__p_<partCol>=` dir — e.g. from
+      * unpartitioned commits — are kept unconditionally: pruning is
+      * an optimization, never a filter; callers still apply the exact
+      * predicate). The decision is driver-side string work on the
+      * manifest's file list — zero FS listing, zero executor time —
+      * which is the whole point at 100 TB: nProbe/k of the table's
+      * files are opened, the rest never touched. */
+    def readPublishedPruned(spark: SparkSession, dir: String,
+        partCol: String, values: Seq[String]): DataFrame = {
+      val all = manifestFiles(spark, dir, currentVersion(spark, dir))
+      val tags = values.map(v => s"__p_$partCol=$v").toSet
+      val kept = all.filter { path =>
+        val segs = path.split("/")
+        val part = segs.find(_.startsWith(s"__p_$partCol="))
+        part.forall(tags.contains)
+      }
+      if (kept.isEmpty) spark.read.parquet(all: _*).limit(0)
+      else spark.read.parquet(kept: _*)
+    }
 
     /** Current published view; empty-but-typed is the caller's
       * concern — version 0 (nothing published) throws. */

@@ -13,17 +13,25 @@ import graft.operators.Similarity
   *
   * Replay semantics: `foreachBatch` re-delivers a batch after a crash,
   * and a blind re-append would duplicate code rows (top-k could then
-  * return a vector twice). Each applied batch therefore writes a
-  * marker under `_stream_batches/` AFTER its append commits, and a
-  * replayed batchId with a marker present is skipped. This narrows
-  * at-least-once to the append→marker crash window; closing that last
-  * window needs manifest-gated visibility — the repo's minimal
-  * primitive is [[graft.sources.Lake.Manifest]] (orphaned part-files
-  * invisible until a manifest names them, pointer swapped atomically),
-  * kept separate here because the served index relies on hive
-  * `cell=` partition pruning that a flat manifest file-list bypasses;
-  * a production deployment lands the code table in a real table
-  * format (same caveat as [[graft.sources.Lake.mergeIntoPartitioned]]).
+  * return a vector twice). On a MANIFEST-MANAGED index
+  * ([[graft.operators.Similarity.publishIvfPqIndex]]) each applied
+  * batch is ONE atomic manifest commit that both adds the code files
+  * and records `batch=<id>` as a carried commit-log meta — data
+  * visibility and replay bookkeeping cannot diverge, so a crash at
+  * ANY point leaves the served index on the previous version and the
+  * replayed batch re-applies cleanly (exactly-once by idempotent
+  * commit). Serving still prunes to probed cells: the manifest commit
+  * lays files out under `__p_cell=` dirs and
+  * [[graft.sources.Lake.Manifest.readPublishedPruned]] prunes the
+  * file LIST driver-side, the Delta/Iceberg
+  * partition-pruning-from-the-log shape.
+  *
+  * A legacy plain-hive index ([[graft.operators.Similarity
+  * .buildIvfPqIndex]]) keeps the old marker gate: a marker under
+  * `_stream_batches/` written AFTER the append commits, which narrows
+  * at-least-once to the append→marker crash window. Migrate by
+  * building with `publishIvfPqIndex` — this object auto-detects the
+  * layout per batch.
   *
   * Compaction: pass `maxFiles` to run E9's crash-safe
   * `compactIvfPqIndex` after each applied batch — the file count stays
@@ -33,18 +41,31 @@ import graft.operators.Similarity
   */
 object VecStream {
 
-  /** Apply ONE micro-batch exactly once (marker-gated): returns true
-    * if the batch was applied, false if it was a replay skip. */
+  /** Apply ONE micro-batch exactly once: returns true if the batch
+    * was applied, false if it was a replay skip. Manifest-managed
+    * index → one atomic commit carrying `batch=<id>` (no crash
+    * window); legacy hive layout → the marker gate. */
   def streamAppendBatch(dir: String, batch: DataFrame,
       batchId: Long): Boolean = {
-    val markers = new java.io.File(s"$dir/_stream_batches")
-    markers.mkdirs()
-    val marker = new java.io.File(markers, batchId.toString)
-    if (marker.exists()) false
-    else {
-      Similarity.appendIvfPqIndex(dir, batch)
-      marker.createNewFile()
-      true
+    val spark = batch.sparkSession
+    if (Similarity.isPublishedIndex(spark, dir)) {
+      val tag = s"batch=$batchId"
+      if (graft.sources.Lake.Manifest
+          .publishedMetas(spark, s"$dir/codes").contains(tag)) false
+      else {
+        Similarity.appendIvfPqIndexPublished(dir, batch, meta = tag)
+        true
+      }
+    } else {
+      val markers = new java.io.File(s"$dir/_stream_batches")
+      markers.mkdirs()
+      val marker = new java.io.File(markers, batchId.toString)
+      if (marker.exists()) false
+      else {
+        Similarity.appendIvfPqIndex(dir, batch)
+        marker.createNewFile()
+        true
+      }
     }
   }
 
@@ -56,8 +77,13 @@ object VecStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (streamAppendBatch(dir, batch, batchId) && maxFiles > 0)
-          Similarity.compactIvfPqIndex(batch.sparkSession, dir, maxFiles)
+        if (streamAppendBatch(dir, batch, batchId) && maxFiles > 0) {
+          if (Similarity.isPublishedIndex(batch.sparkSession, dir))
+            Similarity.compactIvfPqIndexPublished(
+              batch.sparkSession, dir, maxFiles)
+          else
+            Similarity.compactIvfPqIndex(batch.sparkSession, dir, maxFiles)
+        }
       }
       .start()
 }
