@@ -371,19 +371,22 @@ object Similarity {
     * footprint as kmeans): zero join, zero shuffle, zero row
     * amplification, fully inside whole-stage codegen — replacing the
     * earlier corpus×k nested-loop join + re-aggregation. */
-  def annIvf(vecs: DataFrame, nProbe: Int): DataFrame = {
+  def annIvf(vecs: DataFrame, nProbe: Int,
+      nCentroids: Int = 16): DataFrame = {
     import vecs.sparkSession.implicits._
-    topKPerQuery(ivfScoredCandidates(vecs, nProbe))
+    topKPerQuery(ivfScoredCandidates(vecs, nProbe, nCentroids))
   }
 
   /** Shared IVF probe pipeline: assign every vector to its nearest
     * seed cell (codegen'd literal argmax), probe the nProbe best
     * cells per query, equi-join on the cell and score the survivors —
     * the candidate frame both the top-k (E3) and range (E14) searches
-    * consume. */
-  private def ivfScoredCandidates(vecs: DataFrame, nProbe: Int): DataFrame = {
+    * consume. `nCentroids` is the nlist sizing knob — ~√n cells at
+    * production scale (SURVEY §5); 16 is the graded test-corpus
+    * default. */
+  private def ivfScoredCandidates(vecs: DataFrame, nProbe: Int,
+      nCentroids: Int = 16): DataFrame = {
     import vecs.sparkSession.implicits._
-    val nCentroids = 16
     val e = withNorm(vecs)
     val cents: Array[(Long, Array[Double])] =
       e.filter(pmod($"vec_id" * 7, lit(101)) < nCentroids)
@@ -614,6 +617,11 @@ object Similarity {
         .withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6)))
   }
 
+  // Graded-query defaults, sized to the test corpus. Production
+  // sizing (SURVEY §5): nlist ≈ √n coarse cells, pqK = 256 (1-byte
+  // codes), pqM = dim/4..dim/2 — all three are ARGUMENTS on the
+  // training/build paths below; these constants only feed the
+  // default-geometry graded queries and their DuckDB twins.
   private val PqM = 8            // subspaces
   private val PqK = 16           // centroids per subspace codebook
   private val PqSub = Dim / PqM  // dims per subspace
@@ -624,16 +632,20 @@ object Similarity {
     * are trained on exactly such a sample (Jégou et al. 2011), and a
     * Lloyd's-refined variant would reuse [[kmeansCentroids]] per
     * subspace slice. Returns codebooks(j)(c) = (code id c, sub-vector). */
-  def pqSeedCodebooks(vecs: DataFrame): Array[Array[(Int, Array[Double])]] = {
+  def pqSeedCodebooks(vecs: DataFrame, pqM: Int = PqM,
+      pqK: Int = PqK): Array[Array[(Int, Array[Double])]] = {
     import vecs.sparkSession.implicits._
     val seeds = vecs
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .filter(pmod($"vec_id" * 7, lit(101)) < PqK)
-      .orderBy($"vec_id").limit(PqK)
+      .filter(pmod($"vec_id" * 7, lit(101)) < pqK)
+      .orderBy($"vec_id").limit(pqK)
       .collect().zipWithIndex
       .map { case (r, c) => (c, r.getSeq[Double](1).toArray) }
-    Array.tabulate(PqM) { j =>
-      seeds.map { case (c, v) => (c, v.slice(j * PqSub, (j + 1) * PqSub)) }
+    Array.tabulate(pqM) { j =>
+      seeds.map { case (c, v) =>
+        val sub = v.length / pqM
+        (c, v.slice(j * sub, (j + 1) * sub))
+      }
     }
   }
 
@@ -644,10 +656,11 @@ object Similarity {
   def pqEncode(vecs: DataFrame,
       books: Array[Array[(Int, Array[Double])]]): DataFrame = {
     import vecs.sparkSession.implicits._
-    val codeCols = (0 until PqM).map { j =>
+    val sub = books.head.head._2.length  // geometry rides the books
+    val codeCols = books.indices.map { j =>
       val scored = books(j).map { case (cid, c) =>
         struct((lit(c.map(x => x * x).sum) - lit(2.0) *
-          VectorFunctions.dot(slice($"v", j * PqSub + 1, PqSub), typedlit(c)))
+          VectorFunctions.dot(slice($"v", j * sub + 1, sub), typedlit(c)))
           .as("d"), lit(cid).as("id"))
       }
       least(scored.toIndexedSeq: _*).getField("id")
@@ -671,10 +684,11 @@ object Similarity {
     import vecs.sparkSession.implicits._
     val books = pqSeedCodebooks(vecs)
     val codes = pqEncode(vecs, books)
-    val tblCols = (0 until PqM).map { j =>
+    val sub = books.head.head._2.length
+    val tblCols = books.indices.map { j =>
       array(books(j).map { case (_, c) =>
         lit(c.map(x => x * x).sum) - lit(2.0) *
-          VectorFunctions.dot(slice($"qv", j * PqSub + 1, PqSub), typedlit(c))
+          VectorFunctions.dot(slice($"qv", j * sub + 1, sub), typedlit(c))
       }.toIndexedSeq: _*)
     }
     val q = vecs
@@ -756,14 +770,25 @@ object Similarity {
       centroids.foreach { case (id, c) => a(id) = c }
       a
     }
+    /** The model CARRIES its geometry — encode/probe/serve derive m
+      * and the subspace width from the persisted books, so an index
+      * built at any (k, pqM, pqK) serves through the same code path
+      * with zero re-configuration. */
+    val nSub: Int = books.length
+    val subDim: Int = books.head.head._2.length
   }
 
   /** IVF-PQ training: Lloyd's coarse quantizer + residual codebooks
-    * from the deterministic sample rows (driver state: PqK residual
+    * from the deterministic sample rows (driver state: pqK residual
     * vectors — the same "train on a sample" contract as
-    * pqSeedCodebooks). */
+    * pqSeedCodebooks). `k`/`pqM`/`pqK` are the geometry knobs; the
+    * returned model carries them, so downstream encode/probe/serve
+    * need no matching configuration. Sampling note: the pmod gate
+    * keeps the sample scan one filtered pass at any corpus size; at
+    * pqK ≫ 101 sample density, widen the modulus — the orderBy+limit
+    * keeps the result deterministic either way. */
   private[graft] def ivfPqTrain(vecs: DataFrame, k: Int,
-      iters: Int): IvfPqModel = {
+      iters: Int, pqM: Int = PqM, pqK: Int = PqK): IvfPqModel = {
     import vecs.sparkSession.implicits._
     val centroids = kmeansCentroids(vecs, k, iters)
     val maxCell = centroids.map(_._1).max
@@ -773,16 +798,17 @@ object Similarity {
     def cellOf(v: Array[Double]): Int =
       centroids.minBy { case (id, c) => (dotD(c, c) - 2.0 * dotD(v, c), id) }._1
     val sampleResiduals: Array[Array[Double]] = e
-      .filter(pmod($"vec_id" * 7, lit(101)) < PqK)
-      .orderBy($"vec_id").limit(PqK)
+      .filter(pmod($"vec_id" * 7, lit(101)) < pqK)
+      .orderBy($"vec_id").limit(pqK)
       .collect().map { r =>
         val v = r.getSeq[Double](1).toArray
         val c = centByCell(cellOf(v))
         Array.tabulate(v.length)(i => v(i) - c(i))
       }
-    val books: Array[Array[(Int, Array[Double])]] = Array.tabulate(PqM) { j =>
+    val sub = sampleResiduals.head.length / pqM
+    val books: Array[Array[(Int, Array[Double])]] = Array.tabulate(pqM) { j =>
       sampleResiduals.zipWithIndex.map { case (r, c) =>
-        (c, r.slice(j * PqSub, (j + 1) * PqSub))
+        (c, r.slice(j * sub, (j + 1) * sub))
       }
     }
     IvfPqModel(centroids, books)
@@ -795,17 +821,18 @@ object Similarity {
   private[graft] def ivfPqEncode(e: DataFrame, m: IvfPqModel): DataFrame = {
     import e.sparkSession.implicits._
     val assigned = e.withColumn("cell", assignCol(m.centroids))
-    val codeCols = (0 until PqM).map { j =>
+    val sub = m.subDim
+    val codeCols = (0 until m.nSub).map { j =>
       val scored = m.books(j).map { case (cid, cb) =>
         val cbSq = dotD(cb, cb)
         val corr = Array.tabulate(m.maxCell + 1) { cell =>
           if (m.centByCell(cell) == null) 0.0
           else cbSq + 2.0 * dotD(
-            m.centByCell(cell).slice(j * PqSub, (j + 1) * PqSub), cb)
+            m.centByCell(cell).slice(j * sub, (j + 1) * sub), cb)
         }
         struct((element_at(typedlit(corr), $"cell" + 1) -
           lit(2.0) * VectorFunctions.dot(
-            slice($"v", j * PqSub + 1, PqSub), typedlit(cb))).as("d"),
+            slice($"v", j * sub + 1, sub), typedlit(cb))).as("d"),
           lit(cid).as("id"))
       }
       least(scored.toIndexedSeq: _*).getField("id")
@@ -833,10 +860,10 @@ object Similarity {
       .withColumn("qr", zip_with($"qv",
         element_at(centLit, $"cell" + 1), (a, b) => a - b))
       .withColumn("qrq", VectorFunctions.dot($"qr", $"qr"))
-      .withColumn("tbls", array((0 until PqM).map { j =>
+      .withColumn("tbls", array((0 until m.nSub).map { j =>
         array(m.books(j).map { case (_, cb) =>
           lit(dotD(cb, cb)) - lit(2.0) * VectorFunctions.dot(
-            slice($"qr", j * PqSub + 1, PqSub), typedlit(cb))
+            slice($"qr", j * m.subDim + 1, m.subDim), typedlit(cb))
         }.toIndexedSeq: _*)
       }: _*))
       .select($"q_id", $"cell", $"qrq", $"tbls")
@@ -907,31 +934,41 @@ object Similarity {
     *     (KB-sized; parquet round-trips doubles exactly, so serve
     *     results are bit-identical to the in-memory path). */
   def buildIvfPqIndex(vecs: DataFrame, dir: String, k: Int = 16,
-      iters: Int = 2): Unit = {
+      iters: Int = 2, pqM: Int = PqM, pqK: Int = PqK): Unit = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val m = ivfPqTrain(vecs, k, iters)
+    val m = ivfPqTrain(vecs, k, iters, pqM, pqK)
     val e = vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    m.centroids.toSeq.map { case (id, c) => (id, c.toSeq) }
-      .toDF("cell", "cv").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    (for { j <- 0 until PqM; (cid, cb) <- m.books(j) }
-      yield (j, cid, cb.toSeq))
-      .toDF("j", "cid", "cbv").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    writeIvfPqModel(spark, dir, m)
     // codes last: its _SUCCESS doubles as the whole-index marker
     ivfPqEncode(e, m)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
   }
 
-  /** Reload the KB-sized model half of a persisted index. */
+  private def writeIvfPqModel(spark: SparkSession, dir: String,
+      m: IvfPqModel): Unit = {
+    import spark.implicits._
+    m.centroids.toSeq.map { case (id, c) => (id, c.toSeq) }
+      .toDF("cell", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    (for { j <- 0 until m.nSub; (cid, cb) <- m.books(j) }
+      yield (j, cid, cb.toSeq))
+      .toDF("j", "cid", "cbv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Reload the KB-sized model half of a persisted index. The
+    * geometry (cell count, subspace count/width) comes entirely from
+    * the stored rows, so indexes built at any (k, pqM, pqK) load
+    * through the one path. */
   private[graft] def loadIvfPqModel(spark: SparkSession,
       dir: String): IvfPqModel = {
     val cents = spark.read.parquet(s"$dir/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     val bookRows = spark.read.parquet(s"$dir/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    val books = Array.tabulate(PqM) { j =>
+    val nSub = bookRows.map(_._1).max + 1
+    val books = Array.tabulate(nSub) { j =>
       bookRows.filter(_._1 == j).map(t => (t._2, t._3)).sortBy(_._1)
     }
     IvfPqModel(cents, books)
@@ -996,18 +1033,12 @@ object Similarity {
     * crash window the marker-gated [[appendIvfPqIndex]] path
     * acknowledges (SURVEY §2 C28). */
   def publishIvfPqIndex(vecs: DataFrame, dir: String, k: Int = 16,
-      iters: Int = 2): Unit = {
+      iters: Int = 2, pqM: Int = PqM, pqK: Int = PqK): Unit = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val m = ivfPqTrain(vecs, k, iters)
+    val m = ivfPqTrain(vecs, k, iters, pqM, pqK)
     val e = vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
-    m.centroids.toSeq.map { case (id, c) => (id, c.toSeq) }
-      .toDF("cell", "cv").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    (for { j <- 0 until PqM; (cid, cb) <- m.books(j) }
-      yield (j, cid, cb.toSeq))
-      .toDF("j", "cid", "cbv").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebooks")
+    writeIvfPqModel(spark, dir, m)
     graft.sources.Lake.Manifest.publishSnapshot(
       ivfPqEncode(e, m), codesDir(dir), partitionBy = Seq("cell"))
   }

@@ -143,6 +143,48 @@ class IvfRecallSpec extends AnyFunSuite {
     assert(all == exact, s"exhaustive probe diverged: ${all union exact -- (all intersect exact)}")
   }
 
+  test("IVF-PQ geometry knobs: a 64-cell/pqM=16/pqK=32 index builds, serves, and holds recall parity with the 16-cell default") {
+    import spark.implicits._
+    val vecs = graft.sources.Tables.embeddings(spark, GraftTestSession.sf)
+    val exact = topSets(Similarity.bruteforce(vecs))
+    def recallOf(dir: String, nProbe: Int): Double = {
+      val q = vecs.filter($"vec_id" < 5)
+        .select($"vec_id".as("q_id"),
+          $"embedding".cast("array<double>").as("qv"))
+      val got = topSets(
+        Similarity.queryIvfPqIndex(spark, dir, q, nProbe = nProbe))
+      exact.map { case (qid, ex) =>
+        (ex intersect got.getOrElse(qid, Set.empty)).size / 3.0
+      }.sum / exact.size
+    }
+    val d16 = java.nio.file.Files.createTempDirectory("graft_geo16").toString
+    val d64 = java.nio.file.Files.createTempDirectory("graft_geo64").toString
+    Similarity.buildIvfPqIndex(vecs, d16)                       // 16 cells, 8×16 PQ
+    Similarity.buildIvfPqIndex(vecs, d64, k = 64, iters = 2,
+      pqM = 16, pqK = 32)                                       // 64 cells, 16×32 PQ
+    // the persisted model carries its geometry: 64 centroids, 16
+    // books of 32×4-dim codebooks, 16-wide code arrays
+    val m64 = Similarity.loadIvfPqModel(spark, d64)
+    assert(m64.centroids.length == 64 && m64.nSub == 16 &&
+      m64.subDim == 4 && m64.books.forall(_.length == 32))
+    assert(spark.read.parquet(s"$d64/codes")
+      .selectExpr("max(size(codes))", "min(size(codes))")
+      .collect()(0).toSeq == Seq(16, 16))
+    // recall parity at a MATCHED candidate fraction (nProbe/nlist =
+    // 1/8): more, finer cells + a finer codebook must not lose recall
+    val r16 = recallOf(d16, nProbe = 2)
+    val r64 = recallOf(d64, nProbe = 8)
+    info(f"recall@3: 16-cell nProbe=2 $r16%.2f | 64-cell nProbe=8 $r64%.2f")
+    // absolute recall here reflects ADC error of 16/32-SAMPLE seed
+    // codebooks on a 500-vector corpus (measured 0.40/0.47) — the
+    // rerank stage exists for exactly that; what this test pins is
+    // PARITY: the scaled geometry must not lose recall at a matched
+    // probe fraction
+    assert(r16 >= 0.3, s"default-geometry recall collapsed: $r16")
+    assert(r64 >= r16 - 0.15,
+      s"scaled geometry lost recall at matched probe fraction: $r64 vs $r16")
+  }
+
   test("norm-mismatch regime: recall climbs to exact as nProbe -> nlist") {
     val vecs = corpus(normSpread = true).persist()
     try {
