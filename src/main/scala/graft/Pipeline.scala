@@ -350,20 +350,17 @@ object Pipeline {
       .localCheckpoint()
 
     // ---- map matched history docs to their EFFECTIVE cluster ids ----
-    // remap log is merge-event sized: resolve chains on the driver
-    val remapRaw: Map[Long, Long] = if (hasState("remaps"))
-      st("remaps").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      else Map.empty
-    def chase(c: Long): Long = {
-      var x = c; while (remapRaw.contains(x)) x = remapRaw(x); x
-    }
-    val closure = remapRaw.keys.map(k => (k, chase(k))).toSeq
-    val closureDf = if (closure.nonEmpty) closure.toDF("cid0", "eff")
-      else Seq.empty[(Long, Long)].toDF("cid0", "eff")
+    // remap log is merge-event sized; chains resolve DISTRIBUTED
+    // (pointer-doubling self-joins — round-7 fix: the old driver
+    // collect here was the one unbounded driver structure left)
+    val closureDf = (if (hasState("remaps"))
+        resolveRemapClosure(st("remaps"))
+      else Seq.empty[(Long, Long)].toDF("__from", "__eff"))
+      .toDF("cid0", "eff")
     val oldEff = (if (hasState("members"))
         oldPairs.select($"doc_a").distinct()
           .join(st("members").select($"doc_id".as("doc_a"), $"cid0"), "doc_a")
-          .join(broadcast(closureDf), Seq("cid0"), "left")
+          .join(closureDf, Seq("cid0"), "left")
           .withColumn("ecid", coalesce($"eff", $"cid0"))
           .select($"doc_a", $"ecid")
       else Seq.empty[(Long, Long)].toDF("doc_a", "ecid"))
@@ -499,18 +496,13 @@ object Pipeline {
       spark.sparkContext.hadoopConfiguration)
     def path(sub: String) = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
     if (!fs.exists(path("remaps"))) return
-    val remapRaw = spark.read.parquet(s"$stateDir/remaps")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    if (remapRaw.size <= maxRemapRows) return
-    def chase(c: Long): Long = {
-      var x = c; while (remapRaw.contains(x)) x = remapRaw(x); x
-    }
-    val closureDf = remapRaw.keys.map(k => (k, chase(k))).toSeq
-      .toDF("__from", "__eff")
+    val remaps = spark.read.parquet(s"$stateDir/remaps")
+    if (remaps.count() <= maxRemapRows) return
+    val closureDf = resolveRemapClosure(remaps).localCheckpoint()
     def foldCids(sub: String, cidCol: String): Unit = {
       val df = spark.read.parquet(s"$stateDir/$sub")
       val folded = df
-        .join(broadcast(closureDf.withColumnRenamed("__from", cidCol)),
+        .join(closureDf.withColumnRenamed("__from", cidCol),
           Seq(cidCol), "left")
         .withColumn(cidCol, coalesce($"__eff", col(cidCol)))
         .select(df.columns.map(col).toIndexedSeq: _*)
@@ -524,6 +516,40 @@ object Pipeline {
     empty.write.parquet(s"$stateDir/remaps__compact")
     fs.delete(path("remaps"), true)
     fs.rename(path("remaps__compact"), path("remaps"))
+  }
+
+  /** Resolve every remap chain to its terminal id DISTRIBUTED, by
+    * POINTER DOUBLING over the functional graph (from_cid → to_cid;
+    * terminals are never keys): each round joins the closure-so-far
+    * with itself, doubling the hop distance every pointer covers, so
+    * a storm of L chained merges resolves in ⌈log₂ L⌉ self-joins —
+    * never a driver-side materialization of the log (the round-4
+    * audit's last unbounded driver structure; the
+    * Graph.connectedComponents star-contraction shape applied to a
+    * functional graph). Each round localCheckpoints to truncate
+    * lineage (the Graph iterative-join posture). Returns
+    * (__from, __eff) for every log key. */
+  private[graft] def resolveRemapClosure(remaps: DataFrame): DataFrame = {
+    import remaps.sparkSession.implicits._
+    val keys = remaps.select($"from_cid".as("__k")).localCheckpoint()
+    var cur = remaps.select($"from_cid".as("__from"), $"to_cid".as("__eff"))
+      .localCheckpoint()
+    var pending = cur.join(keys, $"__eff" === $"__k", "left_semi").count()
+    var rounds = 0
+    while (pending > 0) {
+      // 64 doubling rounds cover chains of 2⁶⁴ hops; only a CYCLE —
+      // impossible under the merge-to-min-id invariant — survives
+      // them, and failing beats spinning
+      require(rounds < 64, "remap log contains a cycle")
+      cur = cur
+        .join(cur.select($"__from".as("__eff"), $"__eff".as("__eff2")),
+          Seq("__eff"), "left")
+        .select($"__from", coalesce($"__eff2", $"__eff").as("__eff"))
+        .localCheckpoint()
+      pending = cur.join(keys, $"__eff" === $"__k", "left_semi").count()
+      rounds += 1
+    }
+    cur
   }
 
   /** Effective corpus of an [[incrementalTraining]] output dir:

@@ -209,6 +209,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(Pipeline.trainingSnapshot(spark, incOut)) == full)
   }
 
+  test("compactRemaps resolves a 120k-row deep-chain remap log distributively (no driver materialization)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a merge STORM between compactions: 2000 chains, 60 hops each —
+    // 120k log rows (past the 100k production bound), chain terminals
+    // at c*1000. The resolver is pointer doubling, so this needs ~6
+    // self-join rounds; the old driver fold collected all 120k rows
+    val state = java.nio.file.Files.createTempDirectory("graft_rms").toString
+    val nChains = 2000L
+    val hops = 60
+    spark.range(nChains)
+      .select($"id".as("c"), explode(expr(s"sequence(1, $hops)")).as("p"))
+      .selectExpr("c*1000 + p as from_cid", "c*1000 + p - 1 as to_cid")
+      .write.parquet(s"$state/remaps")
+    // members point at arbitrary chain DEPTHS; keepers at others
+    spark.range(nChains)
+      .selectExpr("5000000 + id as doc_id",
+        s"id*1000 + ${hops} as cid0", "1L as run")
+      .write.parquet(s"$state/members")
+    spark.range(nChains)
+      .selectExpr("id*1000 + 37 as cid", "6000000 + id as keeper_doc_id",
+        "500000L as score_ppm", "false as emitted", "1L as run")
+      .write.parquet(s"$state/keepers")
+    // unit check of the resolver itself: every key lands on its
+    // chain's terminal
+    val closure = Pipeline.resolveRemapClosure(
+      spark.read.parquet(s"$state/remaps"))
+    assert(closure.count() == nChains * hops)
+    assert(closure.filter($"__eff" =!= ($"__from" - $"__from" % 1000))
+      .count() == 0, "some chain did not resolve to its terminal")
+    // the production entry point at its default 100k bound
+    Pipeline.compactRemaps(spark, state)
+    assert(spark.read.parquet(s"$state/remaps").count() == 0,
+      "log not truncated after fold")
+    assert(spark.read.parquet(s"$state/members")
+      .filter($"cid0" % 1000 =!= 0).count() == 0,
+      "members carry unresolved cids")
+    assert(spark.read.parquet(s"$state/keepers")
+      .filter($"cid" % 1000 =!= 0).count() == 0,
+      "keepers carry unresolved cids")
+    assert(spark.read.parquet(s"$state/members").count() == nChains &&
+      spark.read.parquet(s"$state/keepers").count() == nChains)
+  }
+
   test("incrementalCorpus bounds its hash-state file count under compaction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
