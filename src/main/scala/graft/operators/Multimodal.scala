@@ -399,7 +399,8 @@ object Multimodal {
     * side of the G9 seam, exercising exactly the container details
     * (stride padding, bottom-up row order, BGR byte order) a real
     * decoder must honor. */
-  private[graft] def bmpBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def bmpBytes(id: Long, w: Int, h: Int,
+      brighten: Int = 0): Array[Byte] = {
     val stride = ((3 * w + 3) / 4) * 4
     val imgSize = stride * h
     val bb = java.nio.ByteBuffer.allocate(54 + imgSize)
@@ -409,13 +410,18 @@ object Multimodal {
     bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
       .putInt(0).putInt(imgSize).putInt(2835).putInt(2835)
       .putInt(0).putInt(0)
+    // `brighten` simulates an exposure edit: every channel shifts up
+    // with saturating clamp (what a real brightness slider does) —
+    // the near-dup class the G5 average-hash is built to absorb
+    def chan(x: Int, row: Int, c: Int): Byte =
+      math.min(bmpChannel(id, x, row, c) + brighten, 255).toByte
     var row = h - 1
     while (row >= 0) { // bottom-up: image bottom row stored first
       var x = 0
       while (x < w) {
-        bb.put(bmpChannel(id, x, row, 2).toByte) // B
-        bb.put(bmpChannel(id, x, row, 1).toByte) // G
-        bb.put(bmpChannel(id, x, row, 0).toByte) // R
+        bb.put(chan(x, row, 2)) // B
+        bb.put(chan(x, row, 1)) // G
+        bb.put(chan(x, row, 0)) // R
         x += 1
       }
       var pad = 3 * w
@@ -576,6 +582,72 @@ object Multimodal {
                |  ELSE 0 END)""".stripMargin).as("phash_hi"),
         sum(when($"gray" * 64 > $"sg", 1L).otherwise(0L)).as("n_bright"))
       .orderBy($"doc_id")
+  }
+
+  /** G5 EXACTLY GRADED: the perceptual near-dup pipeline re-pointed
+    * at REAL decoded pixels (the G10 fingerprint instead of the stub
+    * codec's byte hash). Hashes come from one `javax.imageio` decode
+    * pass + the exact integer mean compare, packed as two 32-bit
+    * halves (the G10 two's-complement trick, so DuckDB never sees a
+    * 1<<63). Candidate pairs come from the same 8×8-bit pigeonhole
+    * chunk join as [[imageNearDup]] — hamming ≤ 7 over 8 chunks
+    * forces ≥1 equal chunk, so the bucketed output EQUALS the
+    * all-pairs filter the oracle replays; no all-pairs stage on the
+    * Spark side, so the shape holds at 10⁹ images while the grade
+    * proves decode + fingerprint + pairing to the bit. */
+  def imageNearDupReal(assets: DataFrame, maxHamming: Int = 7): DataFrame = {
+    import assets.sparkSession.implicits._
+    val px = imagePixels(assets)
+      .withColumn("gray", expr("(r + g + b) div 3"))
+    val tot = px.groupBy($"doc_id").agg(sum($"gray").as("sg"))
+    val hashed = px.join(tot, "doc_id")
+      .groupBy($"doc_id")
+      .agg(
+        expr("""bit_or(CASE WHEN gray * 64 > sg AND y * 8 + x < 32
+               |  THEN shiftleft(cast(1 as bigint), cast(y * 8 + x as int))
+               |  ELSE 0 END)""".stripMargin).as("lo"),
+        expr("""bit_or(CASE WHEN gray * 64 > sg AND y * 8 + x >= 32
+               |  THEN shiftleft(cast(1 as bigint),
+               |    cast(y * 8 + x - 32 as int))
+               |  ELSE 0 END)""".stripMargin).as("hi"))
+      .localCheckpoint()
+    val chunks = (0 until 8).map { c =>
+      val half = if (c < 4) $"lo" else $"hi"
+      struct(lit(c).as("c"),
+        shiftright(half, (c % 4) * 8).bitwiseAND(lit(255L)).as("b"))
+    }
+    val bucketed = hashed
+      .withColumn("cb", explode(array(chunks: _*)))
+      .select($"doc_id", $"lo", $"hi", $"cb.c".as("c"), $"cb.b".as("b"))
+    val a = bucketed.select($"c", $"b", $"doc_id".as("doc_a"),
+      $"lo".as("lo_a"), $"hi".as("hi_a"))
+    val bside = bucketed.select($"c", $"b", $"doc_id".as("doc_b"),
+      $"lo".as("lo_b"), $"hi".as("hi_b"))
+    a.join(bside, Seq("c", "b"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"lo_a", $"hi_a", $"lo_b", $"hi_b")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count($"lo_a".bitwiseXOR($"lo_b")) +
+          bit_count($"hi_a".bitwiseXOR($"hi_b"))).cast("long"))
+      .filter($"hamming" <= maxHamming)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** G5 graded corpus: one 8×8 BMP per document plus a SATURATING
+    * +16 brightness twin (offset id) for every 5th doc — the edit an
+    * average-hash must absorb (means move together except where
+    * clamped). Both sides of the pair set are formula-replayable. */
+  private def phashDedupEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select($"doc_id").as[Long]
+    val base = ids.map(id => (id, bmpBytes(id, 8, 8)))
+      .toDF("doc_id", "payload")
+    val twins = ids.filter(_ % 5 == 0L)
+      .map(id => (id + 1000000L, bmpBytes(id, 8, 8, brighten = 16)))
+      .toDF("doc_id", "payload")
+    imageNearDupReal(base.union(twins))
   }
 
   // ---- G6: real WAV/PCM audio decode --------------------------------
@@ -883,24 +955,57 @@ object Multimodal {
     "mm_sniff" -> sniffEntry,
     "mm_wav_stats" -> wavStatsEntry,
     "mm_binary_meta" -> binaryMetaHex,
-    // rows-only by design: the fingerprint input is the stubbed
-    // codec's decode, which no SQL engine replicates. The graded
-    // corpus pairs every asset with a +16 uniform "brightness shift"
-    // copy (offset ids): every region mean and the global mean move
-    // together, so the fingerprint is IDENTICAL — the invariance an
-    // average-hash is built for — and each (id, id+10⁶) pair must
-    // surface at hamming 0.
-    "mm_phash_dedup" -> ((s, dir) => {
-      import s.implicits._
-      val base = binaryMeta(s, dir).select($"doc_id", $"payload")
-      val shifted = base.as[(Long, Array[Byte])]
-        .map { case (id, b) =>
-          (id + 1000000L, b.map(x => ((x + 16) & 0xff).toByte))
-        }.toDF("doc_id", "payload")
-      imageNearDup(base.union(shifted))
-    }))
+    // exactly graded since round 7 (was rows-only on the stub
+    // codec): fingerprints now come from the REAL javax.imageio
+    // decode over formula-synthesized BMPs, so the DuckDB twin
+    // replays the pixel formula and the full pair set hashes
+    "mm_phash_dedup" -> phashDedupEntry)
 
   val oracles: Map[String, String] = Map(
+    // G5 twin: the bmpChannel formula (with the twins' saturating
+    // +16 exposure edit as least(chan + 16, 255)) replayed into the
+    // same exact-integer fingerprint, then the pair set as an
+    // all-pairs hamming filter — equal to the Spark side's
+    // pigeonhole-bucketed join because hamming ≤ 7 over 8 chunks
+    // forces ≥ 1 equal chunk (so bucketing loses nothing)
+    "mm_phash_dedup" ->
+      """WITH assets AS (
+        |  SELECT doc_id, doc_id AS src, 0 AS br FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id, 16 FROM documents
+        |  WHERE doc_id % 5 = 0),
+        |xs AS (
+        |  SELECT doc_id, src, br, unnest(range(0, 8))::BIGINT AS x
+        |  FROM assets),
+        |px AS (
+        |  SELECT doc_id, src, br, x, unnest(range(0, 8))::BIGINT AS y
+        |  FROM xs),
+        |v AS (
+        |  SELECT doc_id, x, y,
+        |    (least((src * 31 + y * 97 + x * 13) % 256 + br, 255)
+        |     + least((src * 31 + y * 97 + x * 13 + 101) % 256 + br, 255)
+        |     + least((src * 31 + y * 97 + x * 13 + 202) % 256 + br, 255))
+        |      // 3 AS gray
+        |  FROM px),
+        |tot AS (SELECT doc_id, sum(gray)::BIGINT AS sg
+        |        FROM v GROUP BY 1),
+        |h AS (
+        |  SELECT v.doc_id,
+        |    bit_or(CASE WHEN gray * 64 > sg AND y * 8 + x < 32
+        |      THEN (1::BIGINT << ((y * 8 + x)::INT))
+        |      ELSE 0 END)::BIGINT AS lo,
+        |    bit_or(CASE WHEN gray * 64 > sg AND y * 8 + x >= 32
+        |      THEN (1::BIGINT << ((y * 8 + x - 32)::INT))
+        |      ELSE 0 END)::BIGINT AS hi
+        |  FROM v JOIN tot ON v.doc_id = tot.doc_id
+        |  GROUP BY v.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  (bit_count(xor(a.lo, b.lo))
+        |   + bit_count(xor(a.hi, b.hi)))::BIGINT AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo))
+        |  + bit_count(xor(a.hi, b.hi)) <= 7
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // G11 twin: the PNG pixel formula replayed — a hash match proves
     // the ImageIO PNG encoder, the zlib+filter decode, and the
     // aggregation agree to the bit (no byte parsing anywhere)
