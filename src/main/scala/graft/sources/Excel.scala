@@ -252,4 +252,120 @@ object Excel {
     require(cols.length >= 2, "need at least 2 columns")
     df.drop(cols(0)).withColumnRenamed(cols(1), renameFirstTo)
   }
+
+  // ---- writer ---------------------------------------------------------
+
+  /** 0-based column index → spreadsheet letters ("A", …, "Z", "AA"). */
+  private def colLetters(idx: Int): String = {
+    var i = idx + 1
+    val sb = new StringBuilder
+    while (i > 0) {
+      val r = (i - 1) % 26
+      sb.insert(0, ('A' + r).toChar)
+      i = (i - 1) / 26
+    }
+    sb.toString
+  }
+
+  /** Minimal XML text escape; control chars XML 1.0 forbids are
+    * dropped rather than emitted broken. */
+  private def xmlEscape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case '"' => sb.append("&quot;")
+      case c if c >= 0x20 || c == '\t' || c == '\n' || c == '\r' =>
+        sb.append(c)
+      case _ =>
+    }
+    sb.toString
+  }
+
+  /** Native xlsx EXPORT — the reference's final hand-off is
+    * `df.to_excel(...)` (CDCPROJECT ipynb cell 5); this is its Spark
+    * twin on nothing but `java.util.zip`: one worksheet of inline
+    * strings (the same encoding [[read]] parses back, so the
+    * round-trip is closed without sharedStrings bookkeeping), header
+    * row = column names, null cells omitted. Every value is written
+    * via its Spark string form; typed re-ingest stays downstream in
+    * q_coerce exactly like the read path.
+    *
+    * Scale posture: xlsx is a REPORT format — a single-stream zip
+    * with a hard 1,048,575 data-row ceiling that no analytics sink
+    * should stream corpus data into. The writer therefore collects
+    * (bounded by the format's own ceiling, enforced) and is meant for
+    * final metric frames (the reference exports 93 rows); bulk data
+    * belongs in [[Sink.parquet]]. */
+  def write(df: DataFrame, path: String,
+      sheetName: String = "Sheet1"): Unit = {
+    val names = df.columns.toVector
+    val strDf = df.select(names.map(c =>
+      org.apache.spark.sql.functions.col(c).cast(StringType).as(c)): _*)
+    val rows = strDf.collect()
+    require(rows.length <= 1048575,
+      s"xlsx holds at most 1,048,575 data rows; got ${rows.length} — " +
+        "export a report-sized frame (bulk data belongs in parquet)")
+
+    def cell(rowNum: Int, colIdx: Int, v: String): String =
+      if (v == null) ""
+      else s"""<c r="${colLetters(colIdx)}$rowNum" t="inlineStr">""" +
+        s"<is><t xml:space=\"preserve\">${xmlEscape(v)}</t></is></c>"
+    val sb = new StringBuilder
+    sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      .append("""<worksheet xmlns="http://schemas.openxmlformats.org/""")
+      .append("""spreadsheetml/2006/main"><sheetData>""")
+    sb.append("""<row r="1">""")
+    names.zipWithIndex.foreach { case (n, i) => sb.append(cell(1, i, n)) }
+    sb.append("</row>")
+    rows.zipWithIndex.foreach { case (r, ri) =>
+      sb.append(s"""<row r="${ri + 2}">""")
+      names.indices.foreach { i =>
+        sb.append(cell(ri + 2, i, r.getString(i)))
+      }
+      sb.append("</row>")
+    }
+    sb.append("</sheetData></worksheet>")
+
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+      """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+      """<Default Extension="xml" ContentType="application/xml"/>""" +
+      """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+      """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+      """</Types>"""
+    val rootRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+      """</Relationships>"""
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" """ +
+      """xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+      s"""<sheets><sheet name="${xmlEscape(sheetName)}" sheetId="1" r:id="rId1"/></sheets>""" +
+      """</workbook>"""
+    val wbRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+      """</Relationships>"""
+
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try {
+      def put(name: String, body: String): Unit = {
+        zout.putNextEntry(new java.util.zip.ZipEntry(name))
+        zout.write(body.getBytes("UTF-8"))
+        zout.closeEntry()
+      }
+      put("[Content_Types].xml", contentTypes)
+      put("_rels/.rels", rootRels)
+      put("xl/workbook.xml", workbook)
+      put("xl/_rels/workbook.xml.rels", wbRels)
+      put("xl/worksheets/sheet1.xml", sb.toString)
+    } finally zout.close()
+  }
 }

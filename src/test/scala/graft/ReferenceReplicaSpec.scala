@@ -372,4 +372,24 @@ class ReferenceReplicaSpec extends AnyFunSuite {
         s"$k: published now matches the shipped input — drop the dup-label carve-out")
     }
   }
+
+  test("REAL data: the 93-industry metrics export to xlsx and read back intact") {
+    // the reference's final hand-off is to_excel (ipynb cell 5); this
+    // closes that loop: replay → Excel.write → Excel.read, 93 rows,
+    // values identical in their string form (NaN/Infinity included)
+    val metrics = Resilience.resilienceReplayOn(
+      Series(realInput(), "Industry", "Year", "Real_Value"),
+      "_ord", 2019L, 2020L, 4L)
+    val f = java.nio.file.Files.createTempDirectory("graft_refx")
+      .resolve("resilience_metrics.xlsx").toString
+    graft.sources.Excel.write(metrics, f, sheetName = "Metrics")
+    val back = graft.sources.Excel.read(spark, f, "Metrics")
+    assert(back.columns.toSeq == metrics.columns.toSeq)
+    def strRows(d: org.apache.spark.sql.DataFrame) = d
+      .select(d.columns.map(c => org.apache.spark.sql.functions
+        .col(c).cast("string")): _*)
+      .collect().map(_.toSeq.map(Option(_))).toSet
+    val b = strRows(back)
+    assert(b.size == 93 && b == strRows(metrics))
+  }
 }

@@ -144,6 +144,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 12) // 3 data rows × 4 files
   }
 
+  test("H23: xlsx export round-trips through the native reader") {
+    import spark.implicits._
+    import graft.sources.Excel
+    val dir = Files.createTempDirectory("graft_xlsxw").toFile
+    val f = new java.io.File(dir, "out.xlsx").getAbsolutePath
+    // strings that stress the writer: XML specials, unicode, spaces
+    // needing preservation, a null cell, plus typed columns the
+    // writer must stringify
+    val df = Seq(
+      ("a & b <c>", Some(1L), Some(2.5)),
+      ("  padded  ", Some(-7L), None),
+      ("quote\"d", None, Some(0.125)),
+      ("naïve ünïcode", Some(0L), Some(-3.0)))
+      .toDF("label", "n", "x")
+    Excel.write(df, f, sheetName = "Metrics")
+    val back = Excel.read(spark, f, "Metrics")
+    assert(back.columns.toSeq == Seq("label", "n", "x"))
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select(d.columns.map(c => org.apache.spark.sql.functions
+        .col(c).cast("string")): _*)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(rows(back) == rows(df), "xlsx round trip mutated the frame")
+  }
+
   test("H6: CSV sink round-trips the resilience hand-off table") {
     val dir = Files.createTempDirectory("graft_csvout").toFile.getAbsolutePath
     val metrics = graft.operators.Resilience
