@@ -39,6 +39,62 @@ object Pipeline {
     obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
   }
 
+  /** The reference notebook replayed TOP-TO-BOTTOM as one pipeline
+    * (CDCPROJECT ipynb cells 1-5 + resilience.py:29-82): xlsx ingest
+    * with preamble skip (H5) → drop-numbering/rename → melt to long
+    * form (A1) → inner merge + permissive numeric coercion + dropna +
+    * deflation to real values (A3/A4) → drawdown/recovery metrics
+    * (B1-B3 via the faithful B23 replay) → xlsx and/or CSV hand-off
+    * (the notebook's to_excel / to_csv cell). Returns the metric
+    * frame.
+    *
+    * Ordering: the notebook's melt emits year-major rows, so within
+    * an industry pandas order IS ascending year; with one row per
+    * (industry, year) — what the merge produces from workbook-shaped
+    * input — `Year` itself is the faithful `.values[0]` order, so no
+    * ingest sequence number is needed. Scale posture: each workbook
+    * parses where its bytes land (H5); everything after is one
+    * shuffle per aggregate on the long frame — a LAKE of exports
+    * would swap [[Excel.read]] for [[Excel.readMany]] unchanged. */
+  def resilienceReport(spark: SparkSession,
+      nominalXlsx: String, priceXlsx: String,
+      nominalSheet: String, priceSheet: String, skipRows: Int,
+      baseYear: Long, shockYear: Long, horizon: Long,
+      outXlsx: Option[String] = None,
+      outCsv: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    def longForm(path: String, sheet: String, valueName: String) = {
+      val wide = graft.sources.Excel.dropAndRename(
+        graft.sources.Excel.read(spark, path, sheet, skipRows), "Industry")
+      val yearCols = wide.columns.drop(1)
+      wide.unpivot(Array($"Industry"), yearCols.map(col), "Year", valueName)
+    }
+    val merged = longForm(nominalXlsx, nominalSheet, "Nominal_Value")
+      .join(longForm(priceXlsx, priceSheet, "Price_Index"),
+        Seq("Industry", "Year"))
+      // to_numeric(errors="coerce") twin: try_cast nulls the garbage
+      // instead of raising under the repo's ANSI posture
+      .withColumn("Nominal_Value", expr("try_cast(Nominal_Value as double)"))
+      .withColumn("Price_Index", expr("try_cast(Price_Index as double)"))
+      .withColumn("Year", expr("try_cast(Year as bigint)"))
+      .na.drop(Seq("Year", "Nominal_Value", "Price_Index"))
+      // numpy's x/0 → ±inf / 0/0 → NaN, branched explicitly because
+      // ANSI raises on double division by zero (the B23 pattern)
+      .withColumn("Real_Value",
+        when($"Price_Index" === 0.0,
+          when($"Nominal_Value" === 0.0, lit(Double.NaN))
+            .when($"Nominal_Value" > 0.0, lit(Double.PositiveInfinity))
+            .otherwise(lit(Double.NegativeInfinity)))
+        .otherwise($"Nominal_Value" * 100.0 / $"Price_Index"))
+    val metrics = graft.operators.Resilience.resilienceReplayOn(
+      graft.operators.Resilience.Series(
+        merged, "Industry", "Year", "Real_Value"),
+      "Year", baseYear, shockYear, horizon)
+    outXlsx.foreach(p => graft.sources.Excel.write(metrics, p, "Metrics"))
+    outCsv.foreach(p => Sink.csv(metrics, p, single = true))
+    metrics
+  }
+
   /** Run the clean-corpus pipeline; writes `outDir/corpus`
     * partitioned by split and returns the stage counts. */
   def cleanCorpus(spark: SparkSession, docs: DataFrame, outDir: String): Result = {

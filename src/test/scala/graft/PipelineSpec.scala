@@ -253,6 +253,69 @@ class PipelineSpec extends AnyFunSuite {
       spark.read.parquet(s"$state/keepers").count() == nChains)
   }
 
+  test("resilienceReport replays the reference notebook end-to-end from xlsx") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Table 2/Table 3-shaped workbooks synthesized FROM the
+    // reference's own cleaned data: wide Industry × Year sheets with
+    // a numbering column, deduped keep-first like pandas .values[0]
+    // (the dup-label industries appear once, as their first rows)
+    val path = getClass.getResource("/reference/clean_va_price.csv").getPath
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("Industry",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("Year",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("Nominal_Value",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("Price_Index",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("Real_Value",
+        org.apache.spark.sql.types.DoubleType)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"Industry", $"Year").orderBy($"_ord")
+    val deduped = graft.sources.Csv.clean(
+        graft.sources.Csv.read(spark, path, schema))
+      .withColumn("_ord", monotonically_increasing_id())
+      .withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1).drop("_rn", "_ord")
+      .localCheckpoint()
+    def wide(valueCol: String) = deduped
+      .groupBy($"Industry".as("Line")).pivot("Year")
+      .agg(first(col(valueCol)))
+      .orderBy($"Line")
+      .withColumn("num", monotonically_increasing_id())
+      .select(($"num" +: $"Line" +: deduped.select($"Year").distinct()
+        .orderBy($"Year").collect().map(r => col(r.getLong(0).toString))
+        .toSeq): _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft_report")
+    val t2 = dir.resolve("table2.xlsx").toString
+    val t3 = dir.resolve("table3.xlsx").toString
+    graft.sources.Excel.write(wide("Nominal_Value"), t2, "Table 2")
+    graft.sources.Excel.write(wide("Price_Index"), t3, "Table 3")
+    val outX = dir.resolve("metrics.xlsx").toString
+    val outC = dir.resolve("metrics_csv").toString
+    val got = Pipeline.resilienceReport(spark, t2, t3, "Table 2", "Table 3",
+      skipRows = 0, baseYear = 2019L, shockYear = 2020L, horizon = 4L,
+      outXlsx = Some(outX), outCsv = Some(outC))
+    // expected: the validated B23 replay twin over the same deduped
+    // frame with the same recomputed deflation — equality is exact
+    val expected = graft.operators.Resilience.resilienceReplayOn(
+      graft.operators.Resilience.Series(
+        deduped.withColumn("Real_Value",
+          $"Nominal_Value" * 100.0 / $"Price_Index"),
+        "Industry", "Year", "Real_Value"),
+      "Year", 2019L, 2020L, 4L)
+    def strRows(d: org.apache.spark.sql.DataFrame) = d
+      .select(d.columns.map(c => col(c).cast("string")): _*)
+      .collect().map(_.toSeq.map(Option(_))).toSet
+    val g = strRows(got)
+    assert(g.size == 93 && g == strRows(expected))
+    // both hand-off artifacts re-read intact
+    assert(graft.sources.Excel.read(spark, outX, "Metrics").count() == 93)
+    assert(spark.read.option("header", "true").csv(outC).count() == 93)
+  }
+
   test("incrementalCorpus bounds its hash-state file count under compaction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
