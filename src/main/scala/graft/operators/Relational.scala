@@ -1580,11 +1580,21 @@ object Relational {
     * (lift desc, a, b). Σ basket² pair cost, the D2 bound. */
   def basketLift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_partkey").distinct()
     val nOrders = Tables.orders(s, dir).groupBy()
       .agg(count(lit(1)).as("n_orders"))
+    basketLiftOn(li, nOrders)
+  }
+
+  /** [[basketLift]] core on an arbitrary (basket, item) frame —
+    * exposed so scale stresses can drive it with synthesized
+    * baskets; `nOrders` is a 1-row (n_orders) frame so the universe
+    * size can exceed the distinct baskets present. */
+  def basketLiftOn(li: DataFrame, nOrders: DataFrame): DataFrame = {
+    val s = li.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val item = li.groupBy($"l_partkey".as("part"))
       .agg(count(lit(1)).as("n_part"))
     val pairs = li.as("x").join(li.as("y"),

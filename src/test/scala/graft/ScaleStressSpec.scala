@@ -567,4 +567,114 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(agg.getLong(1) > 0, "a 40-avg-degree random graph has triangles")
     assert(secs < 120, s"1M-edge triangle count took ${secs}s")
   }
+
+  test("k-truss at 500k edges + 20k-star hub: planted cliques exact, peel rounds bounded") {
+    import spark.implicits._
+    // 500 planted 12-cliques (66 edges each, every edge support 10)
+    // + 450k random chaff edges over a disjoint 1M-node id range
+    // (avg degree <1 → almost no triangles, all peeled) + one 20k-
+    // edge star hub (zero triangles; degree orientation must keep
+    // its wedge count at 0 instead of hub-quadratic)
+    val cliq = spark.range(500L)
+      .select($"id".as("c"), explode(expr("sequence(0, 11)")).as("i"))
+      .select($"c", $"i", explode(expr("sequence(0, 11)")).as("j"))
+      .filter($"i" < $"j")
+      .select(($"c" * 12 + $"i").as("src"), ($"c" * 12 + $"j").as("dst"))
+    val chaff = spark.range(450000L).select(
+      (expr("abs(xxhash64(id))") % 1000000L + 100000L).as("src"),
+      (expr("abs(xxhash64(id + 7))") % 1000000L + 100000L).as("dst"))
+    val star = spark.range(20000L).select(
+      lit(5000000L).as("src"), ($"id" + 5000001L).as("dst"))
+    val t0 = System.nanoTime()
+    val out = graft.operators.Graph
+      .ktruss(cliq.union(chaff).union(star), k = 6, rounds = 2)
+      .cache()
+    val n = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"6-truss over ~520k edges in $secs%.1f s, $n surviving edges")
+    // exactly the clique edges survive, each with full support 10
+    assert(n == 500L * 66L, s"expected 33000 clique edges, got $n")
+    assert(out.filter($"support" =!= 10L).count() == 0)
+    assert(out.filter($"a" >= 6000L).count() == 0,
+      "a chaff or star edge survived the peel")
+    out.unpersist()
+    // cost model: each peel round is one degree-oriented support
+    // pass (O(E^1.5) wedges); the hub and chaff must die in round 1
+    // without quadratic wedge work
+    assert(secs < 90, s"k-truss peel too slow: $secs s")
+  }
+
+  test("basket lift at 200k baskets / 12.8M wedge pairs: planted pair tops, ppm exact") {
+    import spark.implicits._
+    // 200k baskets × 8 pseudo-random items from a 2k catalog
+    // (Σ basket² ≈ 12.8M candidate wedges — the D2-style bound made
+    // empirical) + a planted pair in 5k dedicated baskets. Catalog
+    // sized so noise items occur ~800× each: the strongest noise
+    // pair tops out near lift ≈ 12 while the planted pair sits at
+    // exactly 41 — rank 1 by construction, not by luck
+    val noise = spark.range(200000L)
+      .select($"id".as("o"), explode(expr("sequence(0, 7)")).as("i"))
+      .select($"o".as("l_orderkey"),
+        (expr("abs(xxhash64(o * 8 + i))") % 2000L).as("l_partkey"))
+    val planted = spark.range(5000L)
+      .select(($"id" + 1000000L).as("l_orderkey"),
+        explode(array(lit(999991L), lit(999992L))).as("l_partkey"))
+    val li = noise.union(planted).distinct()
+    val nOrders = li.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val t0 = System.nanoTime()
+    val out = graft.operators.Relational.basketLiftOn(li, nOrders).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"basket lift over 205k baskets in $secs%.1f s")
+    // the planted pair co-occurs in ALL of its owners' baskets →
+    // lift = N / 5000 = 41 exactly (205k baskets), rank 1
+    val top = out.head
+    assert((top.getLong(0), top.getLong(1)) == ((999991L, 999992L)),
+      s"planted pair not top: $top")
+    assert(top.getLong(2) == 5000L && top.getLong(7) == 41000000L,
+      s"exact ppm broke: $top")
+    assert(secs < 60, s"basket lift too slow: $secs s")
+  }
+
+  test("cross-corpus dedup at 10x replication: every cross pair found, none within-side") {
+    import spark.implicits._
+    // standing corpus A = 5 replicas of every base doc, delivery B =
+    // 5 more replicas: 25 true cross pairs per base doc, zero
+    // within-side pairs may surface. Cost tracks the TRUE cross pair
+    // count (the D2 bound side-restricted before the aggregate).
+    val base = Tables.documents(spark, GraftTestSession.sf)
+      .select($"doc_id", $"text")
+    val n = base.count()
+    def side(copies: Range, offset: Long) = base.crossJoin(
+        spark.range(copies.start, copies.end).select($"id".as("copy")))
+      .select(($"doc_id" + $"copy" * n + offset).as("doc_id"), $"text")
+    val a = side(0 until 5, 0L)
+    val b = side(0 until 5, 10000000L)
+    val t0 = System.nanoTime()
+    val out = Dedup.crossCorpusDups(a, b).cache()
+    val cnt = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"cross-corpus over ${10 * n} docs in $secs%.1f s, $cnt pairs")
+    // every (a-replica, b-replica) pair of the same base doc at
+    // jaccard 1.0 — 25 per base doc with >=1 surviving shingle
+    val same = out.filter(($"doc_a" % n) === ($"doc_b" % n))
+    val withShingle = same.select(($"doc_a" % n).as("bid")).distinct().count()
+    assert(same.count() == withShingle * 25,
+      s"expected ${withShingle * 25} replica pairs, got ${same.count()}")
+    assert(same.filter($"jaccard" < 1.0).count() == 0,
+      "replica pair below jaccard 1.0")
+    // pairs across DIFFERENT base docs are the corpus's own planted
+    // near-dups; identical text replicas make each base-level pair
+    // appear for all 25 replica combos, deterministically
+    val crossBase = out.filter(($"doc_a" % n) =!= ($"doc_b" % n))
+    val basePairs = crossBase
+      .select(($"doc_a" % n).as("x"), ($"doc_b" % n).as("y"))
+      .distinct().count()
+    assert(crossBase.count() == basePairs * 25,
+      s"base near-dup pairs must replicate 25x: ${crossBase.count()} vs $basePairs")
+    assert(out.filter($"doc_a" >= 10000000L || $"doc_b" < 10000000L)
+      .count() == 0, "side restriction leaked a within-side pair")
+    out.unpersist()
+    assert(secs < 120, s"cross-corpus dedup too slow: $secs s")
+  }
 }
