@@ -851,7 +851,7 @@ object Multimodal {
     wavFeatures(payloads)
   }
 
-  /** G11 audio CLIPPING / DC-offset QA (the recording-quality gate an
+  /** G12 audio CLIPPING / DC-offset QA (the recording-quality gate an
     * audio-ingest pipeline runs right after decode: clipped takes and
     * DC-biased mics poison any downstream feature, and neither shows
     * in G6's RMS — a clipped signal can have UNREMARKABLE power):
@@ -889,7 +889,7 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  /** G11 graded entry (`mm_wav_clipping`): the G6 synthesized WAVs
+  /** G12 graded entry (`mm_wav_clipping`): the G6 synthesized WAVs
     * through the chunk walker; the oracle regenerates the samples
     * from the LCG recurrence alone. */
   private def wavClippingEntry(s: SparkSession, dir: String): DataFrame = {
@@ -1153,7 +1153,7 @@ object Multimodal {
     // G6 twin: replays the LCG recurrence in a recursive CTE — no
     // byte parsing — so the hash match proves the WAV encoder, the
     // chunk-walking decoder, and the PCM aggregation agree to the bit
-    // G11 twin: the same LCG regeneration, same ±32000 predicate,
+    // G12 twin: the same LCG regeneration, same ±32000 predicate,
     // same pmod-floor integer divisions
     "mm_wav_clipping" ->
       """WITH RECURSIVE d AS (
