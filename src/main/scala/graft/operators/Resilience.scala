@@ -2434,7 +2434,243 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** Shared typed daily-count frame for the round-7 additions (the
+    * same aggregate `dailyCountsSql` replays). */
+  private def dailyTyped(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+  }
+
+  /** B60 CHOW structural-break F-test per event type (Chow 1960 —
+    * the "did the regime change at a KNOWN point" companion of B36's
+    * search for an UNKNOWN break; the capacity analyst's "did the
+    * trend really change at the migration"): OLS y ~ a + b·t on the
+    * day-ordered series, pooled vs split at the midpoint k = n div 2
+    * (engine-independent break), F = ((SSEp − SSE1 − SSE2)/2) /
+    * ((SSE1+SSE2)/(n−4)).
+    *
+    * Exactness: per-segment moment sums are exact BIGINTs; the
+    * centered forms M_tt/M_ty/M_yy stay integer; each SSE's
+    * cross-product (M_yy·M_tt − M_ty²) is decimal(38,0) == HUGEINT
+    * (int64 would wrap at ~400-day × 3000-count scale squared), then
+    * ONE decimal→double cast per SSE and the F tail is one pinned
+    * IEEE sequence. Degenerate inputs (n < 8, zero t-variance in a
+    * segment, perfect pooled fit) null explicitly. */
+  def chowBreak(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val pts = dailyTyped(events)
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+      .withColumn("k", expr("n div 2"))
+    def seg(cond: org.apache.spark.sql.Column, tag: String) = Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n$tag"),
+      sum(when(cond, $"t").otherwise(0L)).as(s"st$tag"),
+      sum(when(cond, $"y").otherwise(0L)).as(s"sy$tag"),
+      sum(when(cond, $"t" * $"t").otherwise(0L)).as(s"stt$tag"),
+      sum(when(cond, $"t" * $"y").otherwise(0L)).as(s"sty$tag"),
+      sum(when(cond, $"y" * $"y").otherwise(0L)).as(s"syy$tag"))
+    val aggs = seg(lit(true), "p") ++ seg($"t" <= $"k", "1") ++
+      seg($"t" > $"k", "2") :+ max($"k").as("k")
+    var a = pts.groupBy($"event_type").agg(aggs.head, aggs.tail: _*)
+    for (tag <- Seq("p", "1", "2")) {
+      val (n, st, sy, stt, sty, syy) = (col(s"n$tag"), col(s"st$tag"),
+        col(s"sy$tag"), col(s"stt$tag"), col(s"sty$tag"), col(s"syy$tag"))
+      a = a
+        .withColumn(s"mtt$tag", n * stt - st * st)
+        .withColumn(s"mty$tag", n * sty - st * sy)
+        .withColumn(s"myy$tag", n * syy - sy * sy)
+        .withColumn(s"sse$tag",
+          when(col(s"mtt$tag") =!= 0L,
+            (col(s"myy$tag").cast("decimal(38,0)") * col(s"mtt$tag") -
+              col(s"mty$tag").cast("decimal(38,0)") * col(s"mty$tag"))
+              .cast("double") /
+              (n * col(s"mtt$tag")).cast("double")))
+    }
+    a.select($"event_type", $"np".as("n_days"), $"k".as("break_t"),
+        when($"np" >= 8L && $"sse1".isNotNull && $"sse2".isNotNull &&
+            $"ssep".isNotNull && ($"sse1" + $"sse2") > 0.0,
+          round((($"ssep" - $"sse1" - $"sse2") / lit(2.0)) /
+            (($"sse1" + $"sse2") / ($"np" - 4L).cast("double")), 4))
+          .as("chow_f"))
+      .orderBy($"event_type")
+  }
+
+  /** B61 AR(1) MEAN-REVERSION HALF-LIFE per event type — B17's φ
+    * turned into the number an operator quotes ("shocks to this
+    * series decay by half in h days"; φ ≥ 1 or ≤ 0 ⇒ no mean
+    * reversion, null): φ by closed-form OLS over consecutive-day lag
+    * pairs (the B17 exact-integer moments verbatim), h = ln 2 /
+    * (−ln φ) rounded at export (libm ln both engines — the F16/A54
+    * precedent). */
+  def halflife(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val pts = dailyTyped(events)
+      .withColumn("py", lag($"y", 1).over(w))
+      .withColumn("pd", lag($"day", 1).over(w))
+      .filter(datediff($"day", $"pd") === 1)
+    pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"), sum($"py").as("sp"),
+        sum($"y").as("sc"), sum($"py" * $"py").as("spp"),
+        sum($"py" * $"y").as("spc"))
+      .filter($"n_pairs" >= 2L &&
+        ($"n_pairs" * $"spp" - $"sp" * $"sp") =!= 0L)
+      .withColumn("ar1_phi",
+        ($"n_pairs" * $"spc" - $"sp" * $"sc").cast("double") /
+          ($"n_pairs" * $"spp" - $"sp" * $"sp").cast("double"))
+      .select($"event_type", $"n_pairs", $"ar1_phi",
+        when($"ar1_phi" > 0.0 && $"ar1_phi" < 1.0,
+          round(lit(math.log(2.0)) / -log($"ar1_phi"), 4))
+          .as("halflife_days"))
+      .orderBy($"event_type")
+  }
+
+  /** B62 CROSTON intermittent-demand forecast, SBA variant (Croston
+    * 1972; Syntetos-Boylan 2005 bias correction — the forecaster for
+    * SPARSE count series where B16-B21's smoothers see mostly zeros
+    * and forecast the zeros): two coupled EWMAs over the DEMAND
+    * points only — smoothed demand size z and smoothed inter-arrival
+    * interval p (calendar-day gaps between demand days) — with
+    * SBA = (1−α/2)·z/p. Init z = first demand, p = 1 (the
+    * dense-series prior; textbook inits vary by implementation — the
+    * graded contract is the recursion, spec-pinned). The fold is one
+    * functional `aggregate` per type over the day-sorted demand list
+    * (demand-count-bounded, never corpus-bounded), twinned by a
+    * recursive CTE running the textually identical updates (the B18
+    * aliasing precedent); α as a shared short literal. */
+  def croston(events: DataFrame, alpha: Double = 0.1): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val pts = dailyTyped(events)
+      .withColumn("gap",
+        datediff($"day", lag($"day", 1).over(w)).cast("double"))
+    val a = alpha
+    pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_demands"),
+        array_sort(collect_list(struct($"day".as("d"),
+          $"y".cast("double").as("y"), $"gap".as("g")))).as("obs"))
+      .filter($"n_demands" >= 2)
+      .withColumn("st", expr(
+        s"""aggregate(slice(obs, 2, size(obs) - 1),
+           |  named_struct('z', element_at(obs, 1).y,
+           |    'p', cast(1.0 as double)),
+           |  (acc, x) -> named_struct(
+           |    'z', acc.z + $a * (x.y - acc.z),
+           |    'p', acc.p + $a * (x.g - acc.p)))""".stripMargin))
+      .select($"event_type", $"n_demands",
+        round($"st.z", 6).as("z_size"),
+        round($"st.p", 6).as("p_interval"),
+        round(lit(1.0 - a / 2) * $"st.z" / $"st.p", 6).as("sba_forecast"))
+      .orderBy($"event_type")
+  }
+
+  /** B63 POISSON OVERDISPERSION index per event type (the
+    * variance-to-mean ratio + its chi-square dispersion statistic —
+    * the 30-second "is a Poisson model even admissible" gate before
+    * anyone fits rates to count data; VMR ≫ 1 says bursty/clustered
+    * arrivals, ≪ 1 says regularized): VMR = s²/ȳ collapses to ONE
+    * division of exact integers, (nΣy²−S²)/((n−1)·S), and the flag
+    * is the EXACT integer predicate nΣy²−S² > (n−1)·S — no float in
+    * the decision anywhere (the B22/B31 posture). */
+  def dispersion(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    dailyTyped(events)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"y").as("s"),
+        sum($"y" * $"y").as("q"))
+      .filter($"n_days" >= 2L && $"s" > 0L)
+      .select($"event_type", $"n_days", $"s".as("total"),
+        (($"n_days" * $"q" - $"s" * $"s").cast("double") /
+          (($"n_days" - 1L) * $"s").cast("double")).as("vmr"),
+        (($"n_days" * $"q" - $"s" * $"s") > ($"n_days" - 1L) * $"s")
+          .cast("long").as("overdispersed"))
+      .orderBy($"event_type")
+  }
+
+  /** B64 GUMBEL block-maxima fit per event type (extreme-value
+    * method-of-moments — the capacity-planning question B40's VaR
+    * can't answer: VaR reads the HISTORICAL tail, EVT extrapolates
+    * PAST it to "the worst month in a year": monthly maxima of the
+    * daily count, β̂ = s·√6/π, μ̂ = x̄ − γβ̂, 12-block return level
+    * μ̂ − β̂·ln(−ln(1 − 1/12))): moment sums exact BIGINTs, the
+    * β/μ/return tail ONE pinned IEEE sequence with √6/π and Euler γ
+    * as shared literals (the B55 literal-coefficient contract),
+    * rounded at export. <3 blocks or zero variance null. */
+  def gumbelFit(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val blocks = dailyTyped(events)
+      .groupBy($"event_type", date_format($"day", "yyyy-MM").as("blk"))
+      .agg(max($"y").as("x"))
+    blocks.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_blocks"), sum($"x").as("s"),
+        sum($"x" * $"x").as("q"))
+      .withColumn("varn", $"n_blocks" * $"q" - $"s" * $"s")
+      .withColumn("sdev",
+        when($"n_blocks" >= 3L && $"varn" > 0L,
+          sqrt($"varn".cast("double") /
+            ($"n_blocks" * ($"n_blocks" - 1L)).cast("double"))))
+      .withColumn("beta", $"sdev" * lit(0.7796968012336761))
+      .withColumn("mu",
+        $"s".cast("double") / $"n_blocks".cast("double") -
+          lit(0.5772156649015329) * $"beta")
+      .select($"event_type", $"n_blocks",
+        round($"beta", 4).as("gumbel_beta"),
+        round($"mu", 4).as("gumbel_mu"),
+        round($"mu" - $"beta" * log(-log(lit(0.9166666666666666))), 4)
+          .as("ret_level_12"))
+      .orderBy($"event_type")
+  }
+
+  /** B65 KENDALL τ-b between the click and view daily series (the
+    * rank-correlation sibling of A43's Spearman — τ counts pairwise
+    * ORDER agreements, so one wild day moves it by at most 1/n₀
+    * where a Pearson r follows the outlier; τ-b's tie correction
+    * keeps low-count days honest): concordant/discordant/tied from
+    * EXACT integer sign comparisons over the day-pair frame
+    * (days² ≈ 10⁵ pairs — grid-sized, never event-row-sized; the
+    * B28 frame-bound argument), τ = (C−D)/√((n₀−n₁)(n₀−n₂)) as the
+    * single float tail. */
+  def kendallTau(events: DataFrame, xType: String = "click",
+      yType: String = "view"): DataFrame = {
+    import events.sparkSession.implicits._
+    val d = dailyTyped(events)
+    val xy = d.filter($"event_type" === xType)
+      .select($"day", $"y".as("x"))
+      .join(d.filter($"event_type" === yType)
+        .select($"day", $"y".as("yv")), "day")
+    val pairs = xy.as("a").join(xy.as("b"),
+        col("a.day") < col("b.day"))
+      .select((col("a.x") - col("b.x")).as("dx"),
+        (col("a.yv") - col("b.yv")).as("dy"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when($"dx" * $"dy" > 0L, 1L).otherwise(0L)).as("concordant"),
+        sum(when($"dx" * $"dy" < 0L, 1L).otherwise(0L)).as("discordant"),
+        sum(when($"dx" === 0L && $"dy" =!= 0L, 1L).otherwise(0L))
+          .as("tied_x"),
+        sum(when($"dy" === 0L && $"dx" =!= 0L, 1L).otherwise(0L))
+          .as("tied_y"),
+        sum(when($"dx" === 0L && $"dy" === 0L, 1L).otherwise(0L))
+          .as("tied_xy"))
+      .select($"n_pairs", $"concordant", $"discordant",
+        when(($"n_pairs" - $"tied_x" - $"tied_xy") > 0L &&
+            ($"n_pairs" - $"tied_y" - $"tied_xy") > 0L,
+          round(($"concordant" - $"discordant").cast("double") /
+            sqrt((($"n_pairs" - $"tied_x" - $"tied_xy") *
+              ($"n_pairs" - $"tied_y" - $"tied_xy")).cast("double")), 6))
+          .as("tau_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chow" -> ((s, dir) => chowBreak(Tables.events(s, dir))),
+    "q_croston" -> ((s, dir) => croston(Tables.events(s, dir))),
+    "q_halflife" -> ((s, dir) => halflife(Tables.events(s, dir))),
+    "q_dispersion" -> ((s, dir) => dispersion(Tables.events(s, dir))),
+    "q_gumbel" -> ((s, dir) => gumbelFit(Tables.events(s, dir))),
+    "q_kendall_tau" -> ((s, dir) => kendallTau(Tables.events(s, dir))),
     "q_turning_points" -> ((s, dir) => turningPoints(Tables.events(s, dir))),
     "q_nelson_aalen" -> ((s, dir) => nelsonAalen(Tables.events(s, dir))),
     "q_did" -> didEventStudy,
@@ -2592,6 +2828,195 @@ object Resilience {
          |  FROM c JOIN wm ON c.event_type = wm.event_type)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B60 twin: identical integer moments, HUGEINT cross-products
+    // (== Spark's decimal(38,0)), one double cast per SSE, same F
+    // tail and guards
+    "q_chow" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |p AS (
+         |  SELECT event_type, y,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+         |      ::BIGINT AS t,
+         |    count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+         |  FROM d),
+         |kk AS (SELECT *, n // 2 AS k FROM p),
+         |a AS (
+         |  SELECT event_type, max(k)::BIGINT AS k,
+         |    count(*)::BIGINT AS np, sum(t)::BIGINT AS stp,
+         |    sum(y)::BIGINT AS syp, sum(t*t)::BIGINT AS sttp,
+         |    sum(t*y)::BIGINT AS styp, sum(y*y)::BIGINT AS syyp,
+         |    sum(CASE WHEN t <= k THEN 1 ELSE 0 END)::BIGINT AS n1,
+         |    sum(CASE WHEN t <= k THEN t ELSE 0 END)::BIGINT AS st1,
+         |    sum(CASE WHEN t <= k THEN y ELSE 0 END)::BIGINT AS sy1,
+         |    sum(CASE WHEN t <= k THEN t*t ELSE 0 END)::BIGINT AS stt1,
+         |    sum(CASE WHEN t <= k THEN t*y ELSE 0 END)::BIGINT AS sty1,
+         |    sum(CASE WHEN t <= k THEN y*y ELSE 0 END)::BIGINT AS syy1,
+         |    sum(CASE WHEN t > k THEN 1 ELSE 0 END)::BIGINT AS n2,
+         |    sum(CASE WHEN t > k THEN t ELSE 0 END)::BIGINT AS st2,
+         |    sum(CASE WHEN t > k THEN y ELSE 0 END)::BIGINT AS sy2,
+         |    sum(CASE WHEN t > k THEN t*t ELSE 0 END)::BIGINT AS stt2,
+         |    sum(CASE WHEN t > k THEN t*y ELSE 0 END)::BIGINT AS sty2,
+         |    sum(CASE WHEN t > k THEN y*y ELSE 0 END)::BIGINT AS syy2
+         |  FROM kk GROUP BY 1),
+         |m AS (
+         |  SELECT event_type, k, np,
+         |    np*sttp - stp*stp AS mttp, np*styp - stp*syp AS mtyp,
+         |    np*syyp - syp*syp AS myyp,
+         |    n1*stt1 - st1*st1 AS mtt1, n1*sty1 - st1*sy1 AS mty1,
+         |    n1*syy1 - sy1*sy1 AS myy1,
+         |    n2*stt2 - st2*st2 AS mtt2, n2*sty2 - st2*sy2 AS mty2,
+         |    n2*syy2 - sy2*sy2 AS myy2,
+         |    n1, n2
+         |  FROM a),
+         |sse AS (
+         |  SELECT event_type, k, np,
+         |    CASE WHEN mttp <> 0 THEN
+         |      (myyp::HUGEINT * mttp - mtyp::HUGEINT * mtyp)::DOUBLE
+         |        / (np * mttp)::DOUBLE END AS ssep,
+         |    CASE WHEN mtt1 <> 0 THEN
+         |      (myy1::HUGEINT * mtt1 - mty1::HUGEINT * mty1)::DOUBLE
+         |        / (n1 * mtt1)::DOUBLE END AS sse1,
+         |    CASE WHEN mtt2 <> 0 THEN
+         |      (myy2::HUGEINT * mtt2 - mty2::HUGEINT * mty2)::DOUBLE
+         |        / (n2 * mtt2)::DOUBLE END AS sse2
+         |  FROM m)
+         |SELECT event_type, np AS n_days, k AS break_t,
+         |  CASE WHEN np >= 8 AND sse1 IS NOT NULL AND sse2 IS NOT NULL
+         |    AND ssep IS NOT NULL AND sse1 + sse2 > 0.0 THEN
+         |    round(((ssep - sse1 - sse2) / 2.0)
+         |      / ((sse1 + sse2) / (np - 4)::DOUBLE), 4) END AS chow_f
+         |FROM sse ORDER BY event_type""".stripMargin,
+    // B62 twin: recursive CTE running the textually identical
+    // coupled EWMA updates in the same day order, same 0.1/0.95
+    // literals
+    "q_croston" ->
+      s"""WITH RECURSIVE d AS ($dailyCountsSql),
+         |pts AS (
+         |  SELECT event_type, y::DOUBLE AS y,
+         |    (day - lag(day) OVER w)::DOUBLE AS g,
+         |    row_number() OVER w AS t
+         |  FROM d
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |n AS (SELECT event_type, max(t) AS m FROM pts GROUP BY 1),
+         |c AS (
+         |  SELECT event_type, 1 AS t, y AS z, 1.0::DOUBLE AS p
+         |  FROM pts WHERE t = 1
+         |  UNION ALL
+         |  SELECT c.event_type, c.t + 1,
+         |    c.z + 0.1 * (p2.y - c.z),
+         |    c.p + 0.1 * (p2.g - c.p)
+         |  FROM c JOIN pts p2
+         |    ON p2.event_type = c.event_type AND p2.t = c.t + 1)
+         |SELECT c.event_type, n.m::BIGINT AS n_demands,
+         |  round(c.z, 6) AS z_size, round(c.p, 6) AS p_interval,
+         |  round(0.95 * c.z / c.p, 6) AS sba_forecast
+         |FROM c JOIN n ON c.event_type = n.event_type AND c.t = n.m
+         |WHERE n.m >= 2 ORDER BY c.event_type""".stripMargin,
+    // B61 twin: B17's exact lag-pair moments, one phi division, the
+    // ln2/−ln(phi) tail with the shared 0.6931... literal
+    "q_halflife" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |l AS (
+         |  SELECT event_type, y, day,
+         |    lag(y) OVER w AS py, lag(day) OVER w AS pd
+         |  FROM d
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |pp AS (SELECT * FROM l WHERE day - pd = 1),
+         |a AS (
+         |  SELECT event_type, count(*)::BIGINT AS n_pairs,
+         |    sum(py)::BIGINT AS sp, sum(y)::BIGINT AS sc,
+         |    sum(py*py)::BIGINT AS spp, sum(py*y)::BIGINT AS spc
+         |  FROM pp GROUP BY 1)
+         |SELECT event_type, n_pairs,
+         |  (n_pairs*spc - sp*sc)::DOUBLE
+         |    / (n_pairs*spp - sp*sp)::DOUBLE AS ar1_phi,
+         |  CASE WHEN (n_pairs*spc - sp*sc)::DOUBLE
+         |      / (n_pairs*spp - sp*sp)::DOUBLE > 0.0
+         |    AND (n_pairs*spc - sp*sc)::DOUBLE
+         |      / (n_pairs*spp - sp*sp)::DOUBLE < 1.0 THEN
+         |    round(0.6931471805599453 /
+         |      (-ln((n_pairs*spc - sp*sc)::DOUBLE
+         |        / (n_pairs*spp - sp*sp)::DOUBLE)), 4)
+         |  END AS halflife_days
+         |FROM a
+         |WHERE n_pairs >= 2 AND n_pairs*spp - sp*sp <> 0
+         |ORDER BY event_type""".stripMargin,
+    // B63 twin: the single-division VMR and the exact integer
+    // overdispersion predicate
+    "q_dispersion" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |a AS (
+         |  SELECT event_type, count(*)::BIGINT AS n_days,
+         |    sum(y)::BIGINT AS s, sum(y*y)::BIGINT AS q
+         |  FROM d GROUP BY 1)
+         |SELECT event_type, n_days, s AS total,
+         |  (n_days*q - s*s)::DOUBLE / ((n_days - 1) * s)::DOUBLE AS vmr,
+         |  (CASE WHEN n_days*q - s*s > (n_days - 1) * s
+         |    THEN 1 ELSE 0 END)::BIGINT AS overdispersed
+         |FROM a WHERE n_days >= 2 AND s > 0
+         |ORDER BY event_type""".stripMargin,
+    // B64 twin: same exact block-max moments, same literal √6/π and
+    // Euler γ coefficients, same IEEE tail and rounding
+    "q_gumbel" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |b AS (
+         |  SELECT event_type, strftime(day, '%Y-%m') AS blk,
+         |    max(y)::BIGINT AS x
+         |  FROM d GROUP BY 1, 2),
+         |a AS (
+         |  SELECT event_type, count(*)::BIGINT AS n_blocks,
+         |    sum(x)::BIGINT AS s, sum(x*x)::BIGINT AS q
+         |  FROM b GROUP BY 1),
+         |f AS (
+         |  SELECT event_type, n_blocks,
+         |    CASE WHEN n_blocks >= 3 AND n_blocks*q - s*s > 0 THEN
+         |      sqrt((n_blocks*q - s*s)::DOUBLE
+         |        / (n_blocks * (n_blocks - 1))::DOUBLE)
+         |        * 0.7796968012336761 END AS beta,
+         |    s::DOUBLE / n_blocks::DOUBLE AS xbar
+         |  FROM a),
+         |g AS (
+         |  SELECT event_type, n_blocks, beta,
+         |    xbar - 0.5772156649015329 * beta AS mu
+         |  FROM f)
+         |SELECT event_type, n_blocks,
+         |  round(beta, 4) AS gumbel_beta, round(mu, 4) AS gumbel_mu,
+         |  round(mu - beta * ln(-ln(0.9166666666666666)), 4)
+         |    AS ret_level_12
+         |FROM g ORDER BY event_type""".stripMargin,
+    // B65 twin: exact integer sign comparisons over the identical
+    // day-pair frame, one sqrt+divide tail
+    "q_kendall_tau" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |xy AS (
+         |  SELECT x.day, x.y AS x, v.y AS yv
+         |  FROM (SELECT day, y FROM d WHERE event_type = 'click') x
+         |  JOIN (SELECT day, y FROM d WHERE event_type = 'view') v
+         |    USING (day)),
+         |p AS (
+         |  SELECT (a.x - b.x)::BIGINT AS dx, (a.yv - b.yv)::BIGINT AS dy
+         |  FROM xy a JOIN xy b ON a.day < b.day),
+         |a2 AS (
+         |  SELECT count(*)::BIGINT AS n_pairs,
+         |    sum(CASE WHEN dx*dy > 0 THEN 1 ELSE 0 END)::BIGINT
+         |      AS concordant,
+         |    sum(CASE WHEN dx*dy < 0 THEN 1 ELSE 0 END)::BIGINT
+         |      AS discordant,
+         |    sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)::BIGINT
+         |      AS tied_x,
+         |    sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END)::BIGINT
+         |      AS tied_y,
+         |    sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)::BIGINT
+         |      AS tied_xy
+         |  FROM p)
+         |SELECT n_pairs, concordant, discordant,
+         |  CASE WHEN n_pairs - tied_x - tied_xy > 0
+         |    AND n_pairs - tied_y - tied_xy > 0 THEN
+         |    round((concordant - discordant)::DOUBLE /
+         |      sqrt(((n_pairs - tied_x - tied_xy)
+         |        * (n_pairs - tied_y - tied_xy))::DOUBLE), 6)
+         |  END AS tau_b
+         |FROM a2""".stripMargin,
     // B59 twin: same strict-extremum integer predicate, same
     // closed-form moments in the same IEEE op order
     "q_turning_points" ->

@@ -2532,6 +2532,103 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rb.getDouble(5) == 0.0 && rb.getLong(6) == 0L, s"b: $rb")
   }
 
+  test("B61 halflife: geometric decay fits phi exactly, divergence and constants null out") {
+    import graft.operators.Resilience
+    val got = Resilience.halflife(dailyEvents(
+        "decay" -> Seq(64, 32, 16, 8, 4),  // y_t = 0.5 y_{t-1} exactly
+        "explode" -> Seq(1, 2, 4, 8, 16),  // phi = 2 -> no reversion
+        "flat" -> Seq(3, 3, 3, 3)))        // zero lag variance -> no fit
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    assert(got("decay") == ((0.5, Some(1.0))), s"decay: ${got("decay")}")
+    assert(got("explode")._1 == 2.0 && got("explode")._2.isEmpty)
+    assert(!got.contains("flat"), "constant series must be excluded")
+  }
+
+  test("B62 croston: hand-folded intermittent series exact, single demand excluded") {
+    import graft.operators.Resilience
+    // demands 4@d0, 6@d10, 2@d12 -> z: 4 -> 4.2 -> 3.98;
+    // p: 1 -> 1+0.1(10-1)=1.9 -> 1.9+0.1(2-1.9)=1.91
+    val got = Resilience.croston(dailyEvents(
+        "int" -> (Seq(4) ++ Seq.fill(9)(0) ++ Seq(6, 0, 2)),
+        "one" -> Seq(7)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(!got.contains("one"), "single-demand series must be excluded")
+    val (n, z, p, sba) = got("int")
+    assert(n == 3L && z == 3.98 && p == 1.91)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(sba == r6(0.95 * 3.98 / 1.91), s"sba $sba")
+  }
+
+  test("B63 dispersion: constant series index 0, alternation overdisperses with exact VMR") {
+    import graft.operators.Resilience
+    val got = Resilience.dispersion(dailyEvents(
+        "const" -> Seq(2, 2, 2, 2),
+        "burst" -> Seq(1, 5, 1, 5)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got("const") == ((4L, 8L, 0.0, 0L)))
+    // n=4, S=12, Q=52: VMR = (4*52-144)/(3*12) = 64/36 exactly
+    assert(got("burst") == ((4L, 12L, 64.0 / 36.0, 1L)))
+  }
+
+  test("B64 gumbel: known block maxima give the closed-form beta/mu/return level") {
+    import graft.operators.Resilience
+    // 62 daily counts spanning Jan/Feb/Mar 2024: block maxima 5, 8, 2
+    val daily = Seq.tabulate(62) { d =>
+      if (d == 10) 5 else if (d == 40) 8 else if (d >= 60) 2 else 1
+    }
+    val got = Resilience.gumbelFit(dailyEvents("g" -> daily)).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 3L)
+    // n=3, S=15, Q=93 -> varn=54, s=sqrt(54/6)=3 exactly
+    val beta = 3.0 * 0.7796968012336761
+    val mu = 15.0 / 3.0 - 0.5772156649015329 * beta
+    val ret = mu - beta * math.log(-math.log(0.9166666666666666))
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0).getDouble(2) == r4(beta), s"beta ${got(0).getDouble(2)}")
+    assert(got(0).getDouble(3) == r4(mu))
+    assert(got(0).getDouble(4) == r4(ret))
+  }
+
+  test("B60 chow: level shift at the midpoint fires, homogeneous series stays calm, short nulls") {
+    import graft.operators.Resilience
+    val got = Resilience.chowBreak(dailyEvents(
+        // regime jump at t=5 with in-segment noise (perfect segment
+        // fits would null the F by the sse>0 guard, by design)
+        "brk" -> Seq(1, 2, 1, 2, 1, 9, 10, 9, 10, 9),
+        "same" -> Seq(1, 2, 1, 2, 1, 2, 1, 2, 1, 2),
+        "short" -> Seq(1, 5, 2, 9)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(got("short")._3.isEmpty, "n<8 must null the F")
+    assert(got("brk")._2 == 5L)
+    val fBrk = got("brk")._3.get
+    val fSame = got("same")._3.get
+    assert(fBrk > 40.0, s"level shift must dominate: $fBrk")
+    assert(fSame < 5.0 && fSame >= 0.0, s"homogeneous series: $fSame")
+  }
+
+  test("B65 kendall tau: perfect agreement 1, reversal -1, x-ties use the tau-b correction") {
+    import graft.operators.Resilience
+    def tau(click: Seq[Int], view: Seq[Int]): Option[Double] = {
+      val r = Resilience.kendallTau(
+        dailyEvents("click" -> click, "view" -> view)).collect()(0)
+      if (r.isNullAt(3)) None else Some(r.getDouble(3))
+    }
+    assert(tau(Seq(1, 2, 3, 4), Seq(2, 3, 4, 5)).contains(1.0))
+    assert(tau(Seq(1, 2, 3, 4), Seq(5, 4, 3, 2)).contains(-1.0))
+    // C=2, tied_x=1: tau-b = 2/sqrt(2*3) = 0.816497 (6dp)
+    assert(tau(Seq(1, 1, 2), Seq(1, 2, 3)).contains(0.816497))
+    // all-tied x: zero denominator -> null
+    assert(tau(Seq(2, 2, 2), Seq(1, 2, 3)).isEmpty)
+  }
+
   test("B59 turning points: sawtooth maxes T, monotone zeroes it, ties count as neither") {
     import graft.operators.Resilience
     val got = Resilience.turningPoints(dailyEvents(
