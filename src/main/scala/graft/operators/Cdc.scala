@@ -1069,7 +1069,38 @@ object Cdc {
       .orderBy($"user_id")
   }
 
+  /** C61 ingest-LAG percentiles per event type — the end-to-end
+    * latency panel every CDC consumer runs next to C36's late-data
+    * audit (C36 counts what the watermark DROPPED; this measures how
+    * late the feed RUNS): exact p50/p90/p99/max of the event-time →
+    * arrival delay via the A29 cumulative VALUE-DOMAIN histogram
+    * (type-1 ranks, never a corpus-row window). The delay is the
+    * C25/C50 deterministic wire stand-in — both engines regenerate
+    * `((event_id % 1000003) * 97) % 5000000` µs; a real feed binds
+    * its arrival timestamp here. All integer; mean as floor-div. */
+  def lagQuantiles(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val del = events.select($"event_type",
+      expr("((event_id % 1000003) * 97) % 5000000").as("lag_us"))
+    val h = del.groupBy($"event_type", $"lag_us")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"event_type").orderBy($"lag_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"event_type")))
+    cum.groupBy($"event_type")
+      .agg(max($"n").as("n_events"),
+        expr("sum(lag_us * c) div sum(c)").as("mean_us"),
+        min(when($"cum" >= ceil(lit(0.5) * $"n"), $"lag_us")).as("p50_us"),
+        min(when($"cum" >= ceil(lit(0.9) * $"n"), $"lag_us")).as("p90_us"),
+        min(when($"cum" >= ceil(lit(0.99) * $"n"), $"lag_us")).as("p99_us"),
+        max($"lag_us").as("max_us"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_lag_quantiles" -> onEvents(lagQuantiles),
     "cdc_intervals" -> onEvents(e => intervalUnion(e)),
     "cdc_markov_pi" -> onEvents(e => markovStationary(e)),
     "cdc_markov_entropy" -> onEvents(e => markovEntropy(e)),
@@ -1183,6 +1214,32 @@ object Cdc {
   }
 
   val oracles: Map[String, String] = Map(
+    // C61 twin: same regenerated delay, same cumulative histogram
+    // and type-1 ceil ranks, floor-div mean
+    "cdc_lag_quantiles" ->
+      """WITH del AS (
+        |  SELECT event_type,
+        |    ((event_id % 1000003) * 97) % 5000000 AS lag_us
+        |  FROM events),
+        |h AS (
+        |  SELECT event_type, lag_us, count(*)::BIGINT AS c
+        |  FROM del GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, lag_us, c,
+        |    (sum(c) OVER (PARTITION BY event_type
+        |      ORDER BY lag_us))::BIGINT AS cum,
+        |    (sum(c) OVER (PARTITION BY event_type))::BIGINT AS n
+        |  FROM h)
+        |SELECT event_type, max(n) AS n_events,
+        |  (sum(lag_us * c) // sum(c))::BIGINT AS mean_us,
+        |  min(CASE WHEN cum >= ceil(0.5 * n) THEN lag_us END)::BIGINT
+        |    AS p50_us,
+        |  min(CASE WHEN cum >= ceil(0.9 * n) THEN lag_us END)::BIGINT
+        |    AS p90_us,
+        |  min(CASE WHEN cum >= ceil(0.99 * n) THEN lag_us END)::BIGINT
+        |    AS p99_us,
+        |  max(lag_us)::BIGINT AS max_us
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
     // C48 twin: same exclusive-prefix max sweep, same strict-greater
     // island rule, all-integer
     "cdc_intervals" ->

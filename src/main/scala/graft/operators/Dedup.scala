@@ -907,7 +907,32 @@ object Dedup {
       .limit(topK)
   }
 
+  /** D20 PREFIX-duplication detector (the CCNet/crawl head-dedup
+    * rule: boilerplate pages share their normalized opening even when
+    * tails differ — cookie banners, templated intros, mirrored
+    * headers; D1 misses them because the tail varies and D2 pays a
+    * shingle join for what one hash aggregate answers): group by the
+    * first `n` chars of the normalized text, keep groups of ≥ 2,
+    * keeper = lowest id. ONE hash aggregate — the D1 cost shape;
+    * prefixes shorter than `minLen` are skipped (short-doc noise,
+    * stated). Exported as a 16-hex prefix hash + sample. */
+  def prefixDups(docs: DataFrame, n: Int = 100,
+      minLen: Int = 20): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", substring(norm($"text"), 1, n).as("pfx"))
+      .filter(length($"pfx") >= minLen)
+      .groupBy($"pfx")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper_doc_id"))
+      .filter($"n_docs" >= 2)
+      .select(substring(md5($"pfx"), 1, 16).as("pfx16"),
+        substring($"pfx", 1, 24).as("sample"),
+        $"n_docs", $"keeper_doc_id")
+      .orderBy($"pfx16")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_prefix" -> onDocs(d => prefixDups(d)),
     "dedup_phrase" -> onDocs(d => phraseMine(d)),
     "dedup_spans" -> onDocs(d => dupSpans(d)),
     "dedup_winnow" -> onDocs(d => winnow(d)),
@@ -1027,6 +1052,21 @@ object Dedup {
        |ORDER BY df DESC, shingle LIMIT $topK""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // D20 twin: same normalization (the F4 fingerprint pair), same
+    // prefix length, same >= 2 group rule
+    "dedup_prefix" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |      1, 100) AS pfx
+        |  FROM documents),
+        |g AS (
+        |  SELECT pfx, count(*)::BIGINT AS n_docs,
+        |    min(doc_id)::BIGINT AS keeper_doc_id
+        |  FROM p WHERE length(pfx) >= 20 GROUP BY 1)
+        |SELECT substr(md5(pfx), 1, 16) AS pfx16,
+        |  substr(pfx, 1, 24) AS sample, n_docs, keeper_doc_id
+        |FROM g WHERE n_docs >= 2 ORDER BY pfx16""".stripMargin,
     // D17 twin: same positional 5-gram windows (with in-doc repeats),
     // same ndocs >= 2 hot set, same floor-div ppm and 50% flag
     // D18 twin: same 5-gram build, per-doc DISTINCT set, one phrase

@@ -1402,7 +1402,54 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** F41 corpus LENGTH PROFILE per source — the log₂-binned size
+    * histogram every curation report opens with (doc-length
+    * distributions are the first thing that shifts when a crawl
+    * source degrades; F2's per-doc gate can't show the SHAPE):
+    * bucket = ⌊log₂ n_chars⌋ computed EXACTLY as the binary-digit
+    * count `length(bin(n)) − 1` — n_chars lands on powers of 2, so
+    * a libm log2 would be one ulp from flipping buckets (the F24
+    * boundary-risk argument, dodged instead of argued); shares as
+    * floor-div ppm of the source's docs. One hash aggregate + one
+    * source-keyed window over the BUCKET table. */
+  def lengthProfile(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val b = docs
+      .groupBy($"source",
+        expr("cast(length(bin(n_chars)) - 1 as bigint)").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+    b.withColumn("src_docs",
+        sum($"n_docs").over(Window.partitionBy($"source")))
+      .select($"source", $"len_bucket", $"n_docs", $"total_chars",
+        expr("n_docs * 1000000 div src_docs").as("share_ppm"))
+      .orderBy($"source", $"len_bucket")
+  }
+
+  /** F42 CODE-SWITCH / language-mix audit per document (the
+    * mixed-language gate a monolingual pretraining slice runs after
+    * F3's argmax labels the PRIMARY language — an argmax is blind to
+    * a 40% second-language tail, which poisons tokenizer stats and
+    * eval splits): marker totals from the F3 profiles, minority mass
+    * as floor-div ppm, and the mixed flag as the EXACT integer
+    * predicate total ≥ 5 ∧ (total−best)·10 ≥ 3·total (≥30% minority —
+    * the B22/B63 no-float-decision posture). */
+  def codeSwitch(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    withLangPred(docs)
+      .withColumn("total",
+        $"s_en" + $"s_es" + $"s_fr" + $"s_de" + $"s_zh")
+      .select($"doc_id", $"lang_pred", $"total".as("total_markers"),
+        $"best".as("best_markers"),
+        when($"total" > 0L,
+          expr("(total - best) * 1000000 div total")).as("minor_ppm"),
+        ($"total" >= 5L && ($"total" - $"best") * 10L >= $"total" * 3L)
+          .cast("long").as("code_switched"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_length_profile" -> onDocs(lengthProfile),
+    "text_codeswitch" -> onDocs(codeSwitch),
     "text_mojibake" -> onDocs(mojibake),
     "text_dsir_ess" -> onDocs(dsirEss),
     "text_nb_quality" -> onDocs(nbQuality),
@@ -1550,6 +1597,48 @@ object TextAnalysis {
       |  FROM parts GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // F41 twin: the identical exact binary-digit bucket, same
+    // floor-div shares
+    "text_length_profile" ->
+      """WITH b AS (
+        |  SELECT source, (length(bin(n_chars)) - 1)::BIGINT AS len_bucket,
+        |    count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+        |  FROM documents GROUP BY 1, 2),
+        |s AS (
+        |  SELECT *, (sum(n_docs) OVER (PARTITION BY source))::BIGINT
+        |    AS src_docs
+        |  FROM b)
+        |SELECT source, len_bucket, n_docs, total_chars,
+        |  (n_docs * 1000000 // src_docs)::BIGINT AS share_ppm
+        |FROM s ORDER BY source, len_bucket""".stripMargin,
+    // F42 twin: the F3 marker regexes verbatim, same integer
+    // minority-mass predicate
+    "text_codeswitch" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\b(the|a|of)\b'))::BIGINT AS s_en,
+        |    len(regexp_extract_all(text, '\b(la|el|los|de)\b'))::BIGINT AS s_es,
+        |    len(regexp_extract_all(text, '\b(le|la|les|des)\b'))::BIGINT AS s_fr,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und)\b'))::BIGINT AS s_de,
+        |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]'))::BIGINT AS s_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT *, greatest(s_en, s_es, s_fr, s_de, s_zh) AS best,
+        |    s_en + s_es + s_fr + s_de + s_zh AS total
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN best = 0 THEN 'und'
+        |    WHEN s_zh = best THEN 'zh'
+        |    WHEN s_en = best THEN 'en'
+        |    WHEN s_es = best THEN 'es'
+        |    WHEN s_fr = best THEN 'fr'
+        |    ELSE 'de' END AS lang_pred,
+        |  total AS total_markers, best AS best_markers,
+        |  CASE WHEN total > 0 THEN
+        |    ((total - best) * 1000000 // total)::BIGINT END AS minor_ppm,
+        |  (CASE WHEN total >= 5 AND (total - best) * 10 >= total * 3
+        |    THEN 1 ELSE 0 END)::BIGINT AS code_switched
+        |FROM p ORDER BY doc_id""".stripMargin,
     // F40 twin: the identical RE2 \x{}-class patterns, exact counts,
     // floor-div rate, same flag threshold
     "text_mojibake" ->

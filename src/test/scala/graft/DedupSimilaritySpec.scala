@@ -570,6 +570,55 @@ class DedupSimilaritySpec extends AnyFunSuite {
       g2(0).getLong(4)) == ((9L, 4L, 2L, 0L)))
   }
 
+  test("D20 prefix dups: shared normalized heads cluster, unique and short docs drop") {
+    import spark.implicits._
+    val head = "Cookie   Notice\twe VALUE your privacy on this site " +
+      "please accept our totally reasonable tracking terms today"
+    val docs = Seq(
+      (5L, head + " — article about owls"),
+      (3L, head.toLowerCase + " — article about trains"), // norm-equal
+      (9L, "a completely different document body with its own text"),
+      (11L, "short"))                                     // < 20 chars
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixDups(docs).collect()
+    assert(got.length == 1, s"expected one cluster: ${got.toSeq}")
+    assert(got(0).getLong(2) == 2L && got(0).getLong(3) == 3L)
+    assert(got(0).getString(1).startsWith("cookie notice we value"))
+  }
+
+  test("F41 length profile: power-of-two boundaries bucket exactly, shares floor") {
+    import spark.implicits._
+    val docs = Seq((1L, "s1", 7L), (2L, "s1", 8L), (3L, "s1", 1023L),
+      (4L, "s1", 1024L), (5L, "s2", 64L))
+      .map { case (id, src, n) => (id, "x", "en", src, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.lengthProfile(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    // 7 -> bucket 2, 8 -> 3, 1023 -> 9, 1024 -> 10, 64 -> 6
+    assert(got.keySet == Set(("s1", 2L), ("s1", 3L), ("s1", 9L),
+      ("s1", 10L), ("s2", 6L)), s"buckets: ${got.keySet}")
+    assert(got(("s1", 2L)) == ((1L, 250000L)))
+    assert(got(("s2", 6L)) == ((1L, 1000000L)))
+  }
+
+  test("F42 code-switch: pure text silent, a 50/50 mix flags, sparse markers never flag") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat of a hat the a end"),        // pure en: 5 markers
+      (2L, "the the the und der die river bank"), // en 3 / de 3 mix
+      (3L, "und la"),                             // 2 markers < 5 floor
+      (4L, "zzz qqq www"))                        // no markers -> und
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.codeSwitch(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) == (("en", 5L, 0L, 0L)))
+    assert(got(2L)._2 == 6L && got(2L)._3 == 500000L && got(2L)._4 == 1L)
+    assert(got(3L)._4 == 0L, "below the 5-marker floor")
+    assert(got(4L) == (("und", 0L, -1L, 0L)), "no markers: und, null ppm")
+  }
+
   test("F40 mojibake: double-decode pairs, U+FFFD, and controls each fire; clean text is silent") {
     import spark.implicits._
     val docs = Seq(

@@ -2128,6 +2128,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got((1L, 2L)) >= 5L, s"shared: ${got((1L, 2L))}")
   }
 
+  test("C61 lag quantiles: arithmetic-series delays give exact type-1 ranks") {
+    import spark.implicits._
+    // event_ids 0..99 -> delays id*97 (ids far below the modulus):
+    // p50 = 50th smallest = 49*97, p90 = 89*97, p99 = 98*97
+    val df = (0L until 100L).map(i => ("a", i))
+      .toDF("event_type", "event_id")
+      .withColumn("ts", expr("to_timestamp('2024-01-01')"))
+      .withColumn("user_id", lit(1L))
+    val r = graft.operators.Cdc.lagQuantiles(df).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) ==
+      ((100L, 97L * 99L / 2L, 49L * 97L, 89L * 97L, 98L * 97L, 99L * 97L)),
+      s"got $r")
+  }
+
   test("C48 interval union: overlap merges, touching merges, gap splits") {
     import spark.implicits._
     // u1: 0s and 300s overlap into [0,900); 1200s opens a new island
