@@ -842,7 +842,59 @@ object Graph {
       .select($"a".as("part_a"), $"b".as("part_b"), $"support")
   }
 
+  /** I12 LANDMARK HARMONIC centrality (Marchiori-Latora harmonic
+    * sums from a seed cohort — the Eppstein-Wang landmark shape: at
+    * graph scale nobody runs all-pairs BFS, they pick K landmarks
+    * and sum 1/d from those; harmonic rather than closeness so
+    * UNREACHED pairs contribute 0 instead of poisoning the mean —
+    * the right convention on disconnected commerce graphs): per-seed
+    * min-hop labels propagate exactly like I3 but keyed (node, seed),
+    * then H(v) = Σ_seeds 1/d(s,v). The reciprocal sum is EXACT
+    * integer ppm — 10⁶ div hop per term (hop ≤ radius, so the floor
+    * values are a fixed small set) — making the aggregate
+    * order-free where a double Σ1/d would depend on fold order.
+    * State is nodes × K labels (landmark-bounded, the I3 budget
+    * argument per seed); radius caps each propagation. */
+  def harmonicFromSeeds(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst"))).persist()
+    var labels = seeds.select($"node").distinct()
+      .select($"node", $"node".as("seed"), lit(0L).as("hop"))
+    for (i <- 1 to rounds) {
+      val offers = sym.join(labels.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"), $"seed", ($"hop" + 1).as("hop"))
+      labels = labels.union(offers)
+        .groupBy($"node", $"seed").agg(min($"hop").as("hop"))
+      if (i % 2 == 0 || i == rounds) labels = truncate(labels)
+    }
+    sym.unpersist()
+    labels.filter($"hop" >= 1)
+      .groupBy($"node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div hop")).as("harmonic_ppm"))
+      .orderBy($"node")
+  }
+
+  /** q_harmonic: landmark harmonic centrality over the I3
+    * supplier↔part graph from every 25th supplier, radius 4 —
+    * "which parts and suppliers sit closest to the cohort"
+    * (a supply-chain criticality ranking). */
+  def harmonicSupplyChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sp = Tables.lineitem(s, dir)
+      .select(concat(lit("s"), $"l_suppkey".cast("string")).as("src"),
+        concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+      .distinct()
+    val seeds = Tables.supplier(s, dir)
+      .filter($"s_suppkey" % 25 === 2)
+      .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"))
+    harmonicFromSeeds(sp, seeds, 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_harmonic" -> harmonicSupplyChain,
     "q_ktruss" -> ktrussCoOrder,
     "q_sssp" -> ssspSupplyChain,
     "q_communities" -> communitiesCoOrder,
@@ -1055,7 +1107,36 @@ object Graph {
        |ORDER BY part_a, part_b""".stripMargin
   }
 
+  /** I12 twin: the I3 unrolled propagation carrying the seed column,
+    * then the same exact 10⁶ div hop reciprocal sum. */
+  private def harmonicSql(rounds: Int): String = {
+    val base =
+      """WITH sp AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+        |  FROM lineitem),
+        |sym AS (SELECT src, dst FROM sp UNION ALL SELECT dst, src FROM sp),
+        |h0 AS (
+        |  SELECT DISTINCT 's' || s_suppkey AS node,
+        |    's' || s_suppkey AS seed, 0::BIGINT AS hop
+        |  FROM supplier WHERE s_suppkey % 25 = 2)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""h$i AS (
+         |  SELECT node, seed, min(hop)::BIGINT AS hop FROM (
+         |    SELECT node, seed, hop FROM h${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst, h.seed, h.hop + 1 FROM sym e
+         |    JOIN h${i - 1} h ON e.src = h.node)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT node, count(*)::BIGINT AS n_reached,
+       |  sum(1000000 // hop)::BIGINT AS harmonic_ppm
+       |FROM h$rounds WHERE hop >= 1 GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_harmonic" -> harmonicSql(4),
     "q_ktruss" -> ktrussSql(5, 2),
     "q_sssp" -> ssspSql(4),
     "q_communities" -> lpaSql(3),

@@ -677,6 +677,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got((2L, 11L)) == 6.0 / 7.0, s"j: ${got((2L, 11L))}")
   }
 
+  test("E28 maxsim: all-facet match outranks single-facet, facet maxes are per-slice") {
+    import spark.implicits._
+    // 64-dim vectors, 4 slices of 16; in window-local coordinates:
+    // q0's facet i = e_i; doc 10 mirrors q0 (every facet finds its
+    // slice: maxsim 4); doc 11 matches facet 0 only, other slices
+    // sit on e_15 which no facet of q0 uses (maxsim 1); queries 1-4
+    // live on e_10 so they perturb nothing
+    def vec(f: Int => Int): Seq[Float] =
+      (0 until 64).map(d => if (d % 16 == f(d / 16)) 1.0f else 0.0f)
+    val rows = Seq(
+      (0L, vec(i => i)),
+      (1L, vec(_ => 10)), (2L, vec(_ => 10)),
+      (3L, vec(_ => 10)), (4L, vec(_ => 10)),
+      (10L, vec(i => i)),
+      (11L, vec(i => if (i == 0) 0 else 15)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.maxSim(rows).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.take(2).toSeq == Seq((1L, 10L, 4.0), (2L, 11L, 1.0)),
+      s"got ${got.toSeq}")
+  }
+
   test("E26 hamming cascade: exact top-3 of the binary shortlist, scores descend") {
     import spark.implicits._
     val got = Similarity.hammingRerank(Tables.embeddings(spark, sf))

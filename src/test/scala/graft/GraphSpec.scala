@@ -183,6 +183,27 @@ class GraphSpec extends AnyFunSuite {
       4L -> 2L, 5L -> 1L, 6L -> 0L), s"got $both")
   }
 
+  test("I12 harmonic: path reciprocals exact, two landmarks sum, seeds excluded at 0") {
+    import spark.implicits._
+    // path a-b-c-d; one seed at a: H_ppm(b)=10^6, (c)=5*10^5,
+    // (d)=333333 (exact floor), n_reached 1 each; a itself only has
+    // its hop-0 label, which the hop>=1 filter drops
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val one = Graph.harmonicFromSeeds(path, Seq("a").toDF("node"), 3)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(one == Map("b" -> ((1L, 1000000L)), "c" -> ((1L, 500000L)),
+      "d" -> ((1L, 333333L))), s"got $one")
+    // landmarks at both ends: every node sums 1/d over BOTH seeds,
+    // and each seed is reached by the other
+    val both = Graph.harmonicFromSeeds(path, Seq("a", "d").toDF("node"), 3)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(both == Map(
+      "a" -> ((1L, 333333L)), "b" -> ((2L, 1500000L)),
+      "c" -> ((2L, 1500000L)), "d" -> ((1L, 333333L))), s"got $both")
+  }
+
   test("kCorePeel: pendant chain peels off K4; extra rounds are a no-op") {
     import spark.implicits._
     // K4 on 1..4 plus pendant chain 4-5-6: the 3-core is exactly the
