@@ -549,6 +549,67 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Grayscale test value for the GIF path — a different coefficient
+    * mix than [[bmpChannel]]/[[pngChannel]] so a format cross-wiring
+    * cannot cancel out. */
+  private[graft] def gifGray(id: Long, x: Int, y: Int): Int =
+    ((id * 53 + y.toLong * 71 + x.toLong * 29) % 256).toInt
+
+  /** REAL GIF per document: TYPE_BYTE_GRAY raster around the
+    * [[gifGray]] pattern, ImageIO GIF-encoded — grayscale keeps the
+    * image inside one 256-entry palette, so the LZW round trip is
+    * bit-lossless (spec-pinned; an RGB source would hit the writer's
+    * palette quantizer). Heights are kept >= 5: the JDK GIF codec
+    * corrupts rows of images shorter than 5 px (measured — every
+    * h <= 4 round trip loses pixels past the first row; h >= 5 is
+    * bit-exact across 600 ids), so the synthesized dims avoid the
+    * broken region entirely. */
+  private[graft] def gifBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.getRaster.setSample(x, y, 0, gifGray(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", baos)
+    baos.toByteArray
+  }
+
+  /** G13 graded entry (`mm_gif_stats`): the G9/G11 contract brought
+    * to the THIRD container family — GIF's LZW + palette indirection
+    * (PNG proved zlib+filters, BMP proved raw stride/BGR; a GIF
+    * decoder resolves every pixel THROUGH the color table, so a
+    * palette off-by-one shifts sums where raw formats cannot):
+    * per-doc grayscale GIFs decode back through the [[imagePixels]]
+    * seam; exact gray sum + the position-weighted moment + an
+    * r=g=b channel-equality count that pins the palette's gray
+    * ramp. Oracle replays the pixel formula — a hash match proves
+    * encoder, LZW decode, palette resolution, and aggregation agree
+    * to the bit. */
+  private def gifStatsEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long]
+      .map(id => (id,
+        gifBytes(id, (2 + id % 6).toInt, (5 + id % 4).toInt)))
+      .toDF("doc_id", "payload")
+    imagePixels(payloads)
+      .groupBy($"doc_id")
+      .agg((max($"x") + 1).as("width"), (max($"y") + 1).as("height"),
+        count(lit(1)).as("n_px"),
+        sum($"r").as("sum_gray"),
+        sum($"r" * (($"x" + 3) * ($"y" + 2))).as("moment"),
+        sum(when($"r" === $"g" && $"g" === $"b", 1L).otherwise(0L))
+          .as("n_gray_px"))
+      .orderBy($"doc_id")
+  }
+
   /** G10 REAL average-hash (`mm_phash_real`): the G5 perceptual
     * fingerprint computed from ACTUALLY DECODED pixels instead of the
     * stub codec — 8×8 BMPs synthesized from the [[bmpChannel]]
@@ -948,6 +1009,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_bmp_stats" -> bmpStatsEntry,
     "mm_png_stats" -> pngStatsEntry,
+    "mm_gif_stats" -> gifStatsEntry,
     "mm_phash_real" -> phashRealEntry,
     "mm_resample" -> wavResampleEntry,
     "mm_wav_features" -> wavFeaturesEntry,
@@ -962,6 +1024,31 @@ object Multimodal {
     "mm_phash_dedup" -> phashDedupEntry)
 
   val oracles: Map[String, String] = Map(
+    // G13 twin: the gifGray formula replayed over the (x, y) grid —
+    // a hash match proves the LZW + palette decode end to end
+    "mm_gif_stats" ->
+      """WITH dims AS (
+        |  SELECT doc_id, (2 + doc_id % 6)::BIGINT AS w,
+        |    (5 + doc_id % 4)::BIGINT AS h
+        |  FROM documents),
+        |xs AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w::INT))::BIGINT AS x
+        |  FROM dims),
+        |px AS (
+        |  SELECT doc_id, w, h, x,
+        |    unnest(range(0, h::INT))::BIGINT AS y
+        |  FROM xs),
+        |v AS (
+        |  SELECT doc_id, x, y,
+        |    (doc_id * 53 + y * 71 + x * 29) % 256 AS g
+        |  FROM px)
+        |SELECT doc_id,
+        |  (max(x) + 1)::BIGINT AS width, (max(y) + 1)::BIGINT AS height,
+        |  count(*)::BIGINT AS n_px,
+        |  sum(g)::BIGINT AS sum_gray,
+        |  sum(g * ((x + 3) * (y + 2)))::BIGINT AS moment,
+        |  count(*)::BIGINT AS n_gray_px
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // G5 twin: the bmpChannel formula (with the twins' saturating
     // +16 exposure edit as least(chan + 16, 255)) replayed into the
     // same exact-integer fingerprint, then the pair set as an

@@ -133,6 +133,48 @@ object Relational {
       .orderBy($"priority")
   }
 
+  /** A67 TUKEY-FENCE outlier audit per order priority (the box-plot
+    * 1.5×IQR rule — the robust outlier count an anomaly report
+    * leads with where a 3σ rule is itself dragged by the outliers
+    * it hunts): q1/q3 as A29 type-1 order statistics from the
+    * cumulative value histogram, then the fences applied WITHOUT
+    * ever forming 1.5·IQR as a float — low ⟺ 2v < 5q1 − 3q3,
+    * high ⟺ 2v > 5q3 − 3q1 (the ×2-cleared EXACT integer
+    * predicates; the B22/B63 no-float-decision posture). Outlier
+    * counts aggregate the HISTOGRAM rows, so the whole operator is
+    * one corpus shuffle + distinct-value-frame math. */
+  def tukeyFences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("priority"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val counts = pts.groupBy($"priority", $"cents")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"priority").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"priority")))
+      .localCheckpoint()
+    val qs = cum.groupBy($"priority")
+      .agg(max($"n").as("n"),
+        min(when($"cum" >= ceil(lit(0.25) * $"n"), $"cents")).as("q1"),
+        min(when($"cum" >= ceil(lit(0.75) * $"n"), $"cents")).as("q3"))
+    cum.drop("n")
+      .join(qs.select($"priority", $"n", $"q1", $"q3"), "priority")
+      .groupBy($"priority")
+      .agg(max($"n").as("n_orders"), max($"q1").as("q1_cents"),
+        max($"q3").as("q3_cents"),
+        sum(when($"cents" * 2 < $"q1" * 5 - $"q3" * 3, $"c")
+          .otherwise(0L)).as("n_low"),
+        sum(when($"cents" * 2 > $"q3" * 5 - $"q1" * 3, $"c")
+          .otherwise(0L)).as("n_high"))
+      .withColumn("outlier_ppm",
+        expr("(n_low + n_high) * 1000000 div n_orders"))
+      .orderBy($"priority")
+  }
+
   /** A59 QCUT — pandas `qcut(x, 4)`'s semantic twin: VALUE-based
     * quartile binning. A18's `ntile` splits equal values across
     * buckets by arbitrary row order; qcut assigns by VALUE, so ties
@@ -2038,6 +2080,7 @@ object Relational {
     "q_mode" -> modePerGroup,
     "q_argmax" -> argExtremes,
     "q_quantiles" -> quantiles,
+    "q_tukey_fences" -> tukeyFences,
     "q_qcut" -> qcut,
     "q_quantiles_interp" -> quantilesInterp,
     "q_winsorize" -> winsorize,
@@ -3041,6 +3084,39 @@ object Relational {
         |  min(cents) AS min_cents, max(cents) AS max_cents,
         |  (sum(c) * 1000000 // max(n))::BIGINT AS share_ppm
         |FROM b GROUP BY 1, 2 ORDER BY priority, bucket""".stripMargin,
+    // A67 twin: same type-1 quartiles off the same histogram, same
+    // x2-cleared integer fence predicates, counts off histogram rows
+    "q_tukey_fences" ->
+      """WITH pts AS (
+        |  SELECT o_orderpriority AS priority,
+        |    round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |counts AS (
+        |  SELECT priority, cents, count(*)::BIGINT AS c
+        |  FROM pts GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT priority, cents, c,
+        |    (sum(c) OVER (PARTITION BY priority ORDER BY cents))::BIGINT
+        |      AS cum,
+        |    (sum(c) OVER (PARTITION BY priority))::BIGINT AS n
+        |  FROM counts),
+        |qs AS (
+        |  SELECT priority, max(n) AS n,
+        |    min(CASE WHEN cum >= ceil(0.25 * n) THEN cents END) AS q1,
+        |    min(CASE WHEN cum >= ceil(0.75 * n) THEN cents END) AS q3
+        |  FROM cum GROUP BY 1),
+        |f AS (
+        |  SELECT c.priority, q.n AS n_orders, q.q1 AS q1_cents,
+        |    q.q3 AS q3_cents,
+        |    sum(CASE WHEN c.cents * 2 < q.q1 * 5 - q.q3 * 3
+        |      THEN c.c ELSE 0 END)::BIGINT AS n_low,
+        |    sum(CASE WHEN c.cents * 2 > q.q3 * 5 - q.q1 * 3
+        |      THEN c.c ELSE 0 END)::BIGINT AS n_high
+        |  FROM cum c JOIN qs q ON c.priority = q.priority
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT priority, n_orders, q1_cents, q3_cents, n_low, n_high,
+        |  ((n_low + n_high) * 1000000 // n_orders)::BIGINT AS outlier_ppm
+        |FROM f ORDER BY priority""".stripMargin,
     "q_quantiles" ->
       """WITH pts AS (
         |  SELECT o_orderpriority AS priority,

@@ -144,6 +144,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.size == 6 + 12, "corrupt payload must contribute no rows")
   }
 
+  test("G13 GIF round trip: palette gray ramp exact at h>=5, corrupt drops") {
+    import spark.implicits._
+    val assets = ((0L until 6L).map(id =>
+        (id, Multimodal.gifBytes(id, (2 + id % 6).toInt, (5 + id % 4).toInt)))
+      :+ (99L, "GIF89a but not really".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.imagePixels(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(!got.keys.exists(_._1 == 99L), "corrupt GIF must quarantine")
+    for (id <- 0L until 6L; x <- 0 until (2 + id % 6).toInt;
+         y <- 0 until (5 + id % 4).toInt) {
+      val g = Multimodal.gifGray(id, x, y).toLong
+      assert(got((id, x.toLong, y.toLong)) == ((g, g, g)),
+        s"pixel ($id,$x,$y): ${got((id, x.toLong, y.toLong))} want $g")
+    }
+  }
+
   test("G5 perceptual near-dup finds edited copies, not unrelated assets") {
     import spark.implicits._
     // strong region contrast (alternating dark/bright 10-byte tiles):

@@ -319,6 +319,22 @@ class OperatorsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("A67 tukey fences: planted outliers counted, fences never float") {
+    import spark.implicits._
+    // cents [10,20,30,40,100]: type-1 q1 = 20 (ceil(1.25)=2nd), q3 =
+    // 40 (ceil(3.75)=4th); low fence 2v < 5*20-3*40 = -20 -> none;
+    // high 2v > 5*40-3*20 = 140 i.e. v > 70 -> the 100
+    val dir = java.nio.file.Files.createTempDirectory("tukey").toString
+    Seq(10L, 20L, 30L, 40L, 100L).zipWithIndex
+      .map { case (c, i) => (i.toLong, "A", c / 100.0) }
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.operators.Relational.tukeyFences(spark, dir).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) == ((5L, 20L, 40L, 0L, 1L, 200000L)),
+      s"got $r")
+  }
+
   test("F35 BPE fertility: per-source tokens-per-word after 2 hand-traced merges") {
     import spark.implicits._
     // global words: aaab×2 (s1), cab×3 (s1:1, s2:2) → merge 1 = (a,b)
