@@ -157,6 +157,48 @@ object CdcStream {
       .agg(count(lit(1)).as("counter"))
   }
 
+  /** One running-quantile emission from [[lagQuantileStream]]. */
+  case class LagQuantilePoint(event_type: String, n_events: Long,
+      p50_ms: Long, p90_ms: Long, p99_ms: Long, max_ms: Long)
+
+  /** C62 STREAMING ingest-lag monitor — the continuous twin of C61's
+    * batch percentiles (the latency panel that must exist WHILE the
+    * feed runs, not in tomorrow's batch report): per event type a
+    * BOUNDED millisecond histogram rides in state — ≤ `maxBuckets`
+    * counters whatever the throughput, lags past the cap clamp into
+    * the top bucket (stated; an SLO monitor cares about "over N ms",
+    * not its exact value) — and every micro-batch folds its lags in
+    * and emits the updated EXACT type-1 p50/p90/p99 over everything
+    * seen. Exact because the histogram is lossless at ms granularity
+    * below the cap — the C61 value-domain argument carried into
+    * `flatMapGroupsWithState` state. */
+  def lagQuantileStream(lags: Dataset[(String, Long)],
+      maxBuckets: Int = 8192): Dataset[LagQuantilePoint] = {
+    import lags.sparkSession.implicits._
+    lags.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (typ: String, it: Iterator[(String, Long)],
+         state: GroupState[Map[Long, Long]]) =>
+          var h = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { case (_, lagUs) =>
+            val b = math.min(lagUs / 1000L, maxBuckets - 1L)
+            h = h.updated(b, h.getOrElse(b, 0L) + 1L)
+          }
+          state.update(h)
+          val n = h.values.sum
+          val sorted = h.toSeq.sortBy(_._1)
+          def q(p: Double): Long = {
+            val k = math.ceil(p * n).toLong
+            var cum = 0L
+            sorted.find { case (_, c) => cum += c; cum >= k }
+              .map(_._1).getOrElse(sorted.last._1)
+          }
+          Iterator.single(LagQuantilePoint(typ, n,
+            q(0.5), q(0.9), q(0.99), sorted.last._1))
+      }
+  }
+
   /** C7 streaming windowed aggregation with watermark: tumbling 1-hour
     * event-time counts — the streaming twin of Cdc.eventCounts. The
     * 2h watermark bounds state: closed windows are finalized and

@@ -234,6 +234,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C62 streaming lag quantiles: exact running percentiles across batches, cap clamps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Long)]
+    val q = CdcStream.lagQuantileStream(in.toDS(), maxBuckets = 100)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("lag_stream").start()
+    try {
+      // batch 1: lags 1..10 ms (as µs) -> p50 = 5, p90 = 9, p99 = 10
+      in.addData((1 to 10).map(i => ("a", i * 1000L)): _*)
+      q.processAllAvailable()
+      // batch 2: ten more at 90 ms + one monster 10 s (clamps to
+      // bucket 99): n = 21, p50 = ceil(10.5) = 11th -> 90,
+      // p99 = ceil(20.79) = 21st -> 99 (the clamp bucket)
+      in.addData(((1 to 10).map(_ => ("a", 90000L)) :+ ("a", 10000000L)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("lag_stream")
+        .as[CdcStream.LagQuantilePoint].collect().sortBy(_.n_events)
+      assert(rows.length == 2)
+      assert(rows(0) == CdcStream.LagQuantilePoint("a", 10L, 5L, 9L, 10L, 10L),
+        s"batch1: ${rows(0)}")
+      assert(rows(1) == CdcStream.LagQuantilePoint("a", 21L, 90L, 90L, 99L, 99L),
+        s"batch2: ${rows(1)}")
+    } finally q.stop()
+  }
+
   test("C39 MV delta stream folds to the batch recompute across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
