@@ -1099,7 +1099,56 @@ object Cdc {
       .orderBy($"event_type")
   }
 
+  /** C63 sequence-GAP audit over the event-id space ("did the feed
+    * lose messages" — the completeness check a CDC consumer runs
+    * against a producer's monotonically-assigned ids; C60's feed
+    * audit counts re-deliveries and inversions, this counts the
+    * HOLES): islands over the distinct id space → gap count, total
+    * missing ids, widest gap.
+    *
+    * Scale shape: NO global window (an unpartitioned lead over 10¹⁰
+    * ids is one task) — the A45/F14 two-level decomposition: ids
+    * bucket by id div 10⁴, within-bucket gaps from a PARTITIONED
+    * lead, cross-bucket gaps from the bucket-summary frame (bucket
+    * count-sized, its one ordered window runs on thousands of rows,
+    * not the corpus; empty buckets between neighbors fold into the
+    * boundary gap). All exact integers. */
+  def gapDetect(events: DataFrame, bucketSize: Long = 10000L): DataFrame = {
+    import events.sparkSession.implicits._
+    val ids = events.select($"event_id".as("id")).distinct()
+      .withColumn("bkt", expr(s"id div $bucketSize"))
+      .localCheckpoint()
+    val wIn = Window.partitionBy($"bkt").orderBy($"id")
+    val inner = ids
+      .withColumn("nxt", lead($"id", 1).over(wIn))
+      .filter($"nxt".isNotNull && $"nxt" - $"id" > 1L)
+      .agg(count(lit(1)).as("gaps_in"),
+        sum($"nxt" - $"id" - 1L).as("miss_in"),
+        max($"nxt" - $"id" - 1L).as("maxgap_in"))
+    val summary = ids.groupBy($"bkt")
+      .agg(min($"id").as("bmin"), max($"id").as("bmax"),
+        count(lit(1)).as("bn"))
+    val wB = Window.orderBy($"bkt")
+    val cross = summary
+      .withColumn("nmin", lead($"bmin", 1).over(wB))
+      .filter($"nmin".isNotNull && $"nmin" - $"bmax" > 1L)
+      .agg(count(lit(1)).as("gaps_x"),
+        sum($"nmin" - $"bmax" - 1L).as("miss_x"),
+        max($"nmin" - $"bmax" - 1L).as("maxgap_x"))
+    val bounds = ids.agg(count(lit(1)).as("n_ids"), min($"id").as("id_min"),
+      max($"id").as("id_max"))
+    bounds.crossJoin(inner).crossJoin(cross)
+      .select($"n_ids", $"id_min", $"id_max",
+        (coalesce($"gaps_in", lit(0L)) + coalesce($"gaps_x", lit(0L)))
+          .as("n_gaps"),
+        (coalesce($"miss_in", lit(0L)) + coalesce($"miss_x", lit(0L)))
+          .as("n_missing"),
+        greatest(coalesce($"maxgap_in", lit(0L)),
+          coalesce($"maxgap_x", lit(0L))).as("max_gap"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_gap_detect" -> onEvents(e => gapDetect(e)),
     "cdc_lag_quantiles" -> onEvents(lagQuantiles),
     "cdc_intervals" -> onEvents(e => intervalUnion(e)),
     "cdc_markov_pi" -> onEvents(e => markovStationary(e)),
@@ -1214,6 +1263,24 @@ object Cdc {
   }
 
   val oracles: Map[String, String] = Map(
+    // C63 twin: one global lead over distinct ids (oracle-scale) —
+    // equals the two-level decomposition exactly in integers
+    "cdc_gap_detect" ->
+      """WITH ids AS (SELECT DISTINCT event_id AS id FROM events),
+        |g AS (
+        |  SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids),
+        |gaps AS (
+        |  SELECT count(*)::BIGINT AS n_gaps,
+        |    sum(nxt - id - 1)::BIGINT AS n_missing,
+        |    max(nxt - id - 1)::BIGINT AS max_gap
+        |  FROM g WHERE nxt IS NOT NULL AND nxt - id > 1)
+        |SELECT (SELECT count(*) FROM ids)::BIGINT AS n_ids,
+        |  (SELECT min(id) FROM ids)::BIGINT AS id_min,
+        |  (SELECT max(id) FROM ids)::BIGINT AS id_max,
+        |  coalesce(n_gaps, 0)::BIGINT AS n_gaps,
+        |  coalesce(n_missing, 0)::BIGINT AS n_missing,
+        |  coalesce(max_gap, 0)::BIGINT AS max_gap
+        |FROM gaps""".stripMargin,
     // C61 twin: same regenerated delay, same cumulative histogram
     // and type-1 ceil ranks, floor-div mean
     "cdc_lag_quantiles" ->

@@ -175,6 +175,45 @@ object Relational {
       .orderBy($"priority")
   }
 
+  /** A68 TRIMMED MEAN per order priority (scipy `trim_mean(x, 0.1)`
+    * twin — the robust center between the mean A5 reports and the
+    * median A29 selects: cut g = ⌊n/10⌋ order statistics from EACH
+    * tail, average the rest): computed ENTIRELY from the A29
+    * cumulative value histogram — each distinct value's rank
+    * interval [cum−c+1, cum] intersects the kept band [g+1, n−g]
+    * and contributes cents·overlap, all exact BIGINT (never a
+    * corpus-row sort, never a float until the ONE export division).
+    * The trimmed-vs-raw gap is the skew signal. */
+  def trimmedMean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pts = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("priority"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val counts = pts.groupBy($"priority", $"cents")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy($"priority").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum", sum($"c").over(wCum))
+      .withColumn("n", sum($"c").over(Window.partitionBy($"priority")))
+      .withColumn("g", expr("n div 10"))
+      .withColumn("overlap", greatest(lit(0L),
+        least($"cum", $"n" - $"g") -
+          greatest($"cum" - $"c" + 1L, $"g" + 1L) + 1L))
+      .groupBy($"priority")
+      .agg(max($"n").as("n_orders"), max($"g").as("n_cut_each"),
+        sum($"overlap").as("n_kept"),
+        sum($"cents" * $"overlap").as("kept_cents"),
+        sum($"cents" * $"c").as("all_cents"))
+      .select($"priority", $"n_orders", $"n_cut_each", $"n_kept",
+        ($"kept_cents".cast("double") / $"n_kept".cast("double"))
+          .as("trimmed_mean_cents"),
+        ($"all_cents".cast("double") / $"n_orders".cast("double"))
+          .as("mean_cents"))
+      .orderBy($"priority")
+  }
+
   /** A59 QCUT — pandas `qcut(x, 4)`'s semantic twin: VALUE-based
     * quartile binning. A18's `ntile` splits equal values across
     * buckets by arbitrary row order; qcut assigns by VALUE, so ties
@@ -2081,6 +2120,7 @@ object Relational {
     "q_argmax" -> argExtremes,
     "q_quantiles" -> quantiles,
     "q_tukey_fences" -> tukeyFences,
+    "q_trimmed_mean" -> trimmedMean,
     "q_qcut" -> qcut,
     "q_quantiles_interp" -> quantilesInterp,
     "q_winsorize" -> winsorize,
@@ -3084,6 +3124,33 @@ object Relational {
         |  min(cents) AS min_cents, max(cents) AS max_cents,
         |  (sum(c) * 1000000 // max(n))::BIGINT AS share_ppm
         |FROM b GROUP BY 1, 2 ORDER BY priority, bucket""".stripMargin,
+    // A68 twin: same histogram, same integer rank-interval overlap,
+    // one division each at export
+    "q_trimmed_mean" ->
+      """WITH pts AS (
+        |  SELECT o_orderpriority AS priority,
+        |    round(o_totalprice * 100)::BIGINT AS cents
+        |  FROM orders),
+        |counts AS (
+        |  SELECT priority, cents, count(*)::BIGINT AS c
+        |  FROM pts GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT priority, cents, c,
+        |    (sum(c) OVER (PARTITION BY priority ORDER BY cents))::BIGINT
+        |      AS cum,
+        |    (sum(c) OVER (PARTITION BY priority))::BIGINT AS n
+        |  FROM counts),
+        |ov AS (
+        |  SELECT priority, cents, c, cum, n, n // 10 AS g,
+        |    greatest(0, least(cum, n - n // 10)
+        |      - greatest(cum - c + 1, n // 10 + 1) + 1) AS overlap
+        |  FROM cum)
+        |SELECT priority, max(n) AS n_orders, max(g) AS n_cut_each,
+        |  sum(overlap)::BIGINT AS n_kept,
+        |  sum(cents * overlap)::DOUBLE / sum(overlap)::DOUBLE
+        |    AS trimmed_mean_cents,
+        |  sum(cents * c)::DOUBLE / max(n)::DOUBLE AS mean_cents
+        |FROM ov GROUP BY priority ORDER BY priority""".stripMargin,
     // A67 twin: same type-1 quartiles off the same histogram, same
     // x2-cleared integer fence predicates, counts off histogram rows
     "q_tukey_fences" ->

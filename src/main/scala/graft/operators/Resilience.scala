@@ -2641,7 +2641,12 @@ object Resilience {
       .select($"day", $"y".as("x"))
       .join(d.filter($"event_type" === yType)
         .select($"day", $"y".as("yv")), "day")
-    val pairs = xy.as("a").join(xy.as("b"),
+    // the day grid is frame-bounded (days², never event rows), so the
+    // inequality self-join broadcasts one side — a declared
+    // BroadcastNestedLoopJoin over a tiny frame, not an accidental
+    // CartesianProduct over the corpus (the plan gate forbids the
+    // latter everywhere)
+    val pairs = xy.as("a").join(broadcast(xy.as("b")),
         col("a.day") < col("b.day"))
       .select((col("a.x") - col("b.x")).as("dx"),
         (col("a.yv") - col("b.yv")).as("dy"))

@@ -1447,7 +1447,30 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** F43 URL-DENSITY / link-spam gate per document (the C4-style
+    * "mostly links" filter: link farms and nav pages score fine on
+    * F2's punctuation ratios but are worthless training text; URL
+    * density is the cheap decisive signal): URL count from ONE
+    * RE2-safe regexp, density as floor-div ppm of the token count,
+    * and the spam flag as the EXACT integer predicate n_urls ≥ 3 ∧
+    * n_urls·20 ≥ n_tok (≥5% of tokens are links — the B22/B63
+    * posture). Pure per-row column math, zero shuffle. */
+  def urlDensity(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id",
+        size(expr("regexp_extract_all(text, 'https?://[^ \\\\t\\\\n]+', 0)"))
+          .cast("long").as("n_urls"),
+        size(split(trim($"text"), Dedup.Ws)).cast("long").as("n_tok"))
+      .withColumn("url_ppm",
+        expr("n_urls * 1000000 div greatest(n_tok, 1)"))
+      .withColumn("link_spam",
+        ($"n_urls" >= 3L && $"n_urls" * 20L >= $"n_tok").cast("long"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_url_density" -> onDocs(urlDensity),
     "text_length_profile" -> onDocs(lengthProfile),
     "text_codeswitch" -> onDocs(codeSwitch),
     "text_mojibake" -> onDocs(mojibake),
@@ -1597,6 +1620,21 @@ object TextAnalysis {
       |  FROM parts GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // F43 twin: same RE2 URL pattern, same token convention, same
+    // exact integer spam predicate
+    "text_url_density" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, 'https?://[^ \t\n]+'))::BIGINT
+        |    AS n_urls,
+        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok,
+        |  (len(regexp_extract_all(text, 'https?://[^ \t\n]+')) * 1000000
+        |    // greatest(len(string_split_regex(trim(text), '\s+')), 1))
+        |    ::BIGINT AS url_ppm,
+        |  (CASE WHEN len(regexp_extract_all(text, 'https?://[^ \t\n]+')) >= 3
+        |    AND len(regexp_extract_all(text, 'https?://[^ \t\n]+')) * 20
+        |      >= len(string_split_regex(trim(text), '\s+'))
+        |    THEN 1 ELSE 0 END)::BIGINT AS link_spam
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // F41 twin: the identical exact binary-digit bucket, same
     // floor-div shares
     "text_length_profile" ->

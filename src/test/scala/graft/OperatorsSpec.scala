@@ -319,6 +319,56 @@ class OperatorsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("A68 trimmed mean: one order statistic cut each side, outlier gap shows") {
+    import spark.implicits._
+    // cents 1..9 + 1000: g = 1 -> keep ranks 2..9 (values 2..9):
+    // trimmed = 44/8 = 5.5 while the raw mean is dragged to 104.5
+    val dir = java.nio.file.Files.createTempDirectory("trim").toString
+    ((1L to 9L) :+ 1000L).zipWithIndex
+      .map { case (c, i) => (i.toLong, "A", c / 100.0) }
+      .toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.operators.Relational.trimmedMean(spark, dir).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5)) == ((10L, 1L, 8L, 5.5, 104.5)),
+      s"got $r")
+  }
+
+  test("C63 gap detect: in-bucket and cross-bucket holes, empty buckets fold in") {
+    import spark.implicits._
+    // ids 1,2,3,7,8 then a jump across many empty 10^4-buckets to
+    // 100001: gaps 3->7 (3 missing) and 8->100001 (99992 missing)
+    val df = Seq(1L, 2L, 3L, 7L, 8L, 100001L)
+      .map(id => (id, 1L, "a"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", expr("to_timestamp('2024-01-01')"))
+    val r = graft.operators.Cdc.gapDetect(df).collect()(0)
+    assert(r.toSeq == Seq(6L, 1L, 100001L, 2L, 99995L, 99992L), s"got $r")
+    // a dense sequence reports zero everywhere
+    val dense = (10L to 20L).map(id => (id, 1L, "a"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", expr("to_timestamp('2024-01-01')"))
+    val d = graft.operators.Cdc.gapDetect(dense).collect()(0)
+    assert(d.toSeq == Seq(11L, 10L, 20L, 0L, 0L, 0L), s"got $d")
+  }
+
+  test("F43 url density: spam flag needs both count and share, prose is silent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "perfectly ordinary prose with no links at all"),
+      (2L, "http://a.com https://b.com https://c.org click here"),
+      (3L, ("w " * 48) + "see https://one.example only"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.urlDensity(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((0L, 8L, 0L, 0L)))
+    // 3 urls / 5 tokens: 600000 ppm, >= 3 urls and >= 5% -> spam
+    assert(got(2L) == ((3L, 5L, 600000L, 1L)), s"got ${got(2L)}")
+    // 1 url / 51 tokens: density fine, count floor unmet
+    assert(got(3L)._1 == 1L && got(3L)._4 == 0L)
+  }
+
   test("A67 tukey fences: planted outliers counted, fences never float") {
     import spark.implicits._
     // cents [10,20,30,40,100]: type-1 q1 = 20 (ceil(1.25)=2nd), q3 =
