@@ -2637,10 +2637,13 @@ object Resilience {
       yType: String = "view"): DataFrame = {
     import events.sparkSession.implicits._
     val d = dailyTyped(events)
+    // day-grid-sized and consumed by BOTH sides of the pair join:
+    // checkpointed so the corpus is scanned twice total, not 8×
     val xy = d.filter($"event_type" === xType)
       .select($"day", $"y".as("x"))
       .join(d.filter($"event_type" === yType)
         .select($"day", $"y".as("yv")), "day")
+      .localCheckpoint()
     // the day grid is frame-bounded (days², never event rows), so the
     // inequality self-join broadcasts one side — a declared
     // BroadcastNestedLoopJoin over a tiny frame, not an accidental
