@@ -931,7 +931,53 @@ object Dedup {
       .orderBy($"pfx16")
   }
 
+  /** D21 SUFFIX-duplication detector — D20's mirror for TAIL
+    * boilerplate (footers, cookie banners, "© …" blocks and share
+    * bars sit at the END of pages as often as templated intros sit
+    * at the top; a head-only rule misses them): group by the LAST
+    * `n` chars of the normalized text. Same one-hash-aggregate cost
+    * shape; same ≥ 2 / min-length rules. */
+  def suffixDups(docs: DataFrame, n: Int = 100,
+      minLen: Int = 20): DataFrame = {
+    import docs.sparkSession.implicits._
+    // explicit positive positions: negative-start substring clips
+    // differently across engines, so the window is computed as
+    // greatest(len − n + 1, 1) in both
+    docs
+      .select($"doc_id", norm($"text").as("t"))
+      .withColumn("len", length($"t"))
+      .filter($"len" >= minLen)
+      .select($"doc_id",
+        expr(s"substring(t, greatest(len - $n + 1, 1), $n)").as("sfx"))
+      .groupBy($"sfx")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("keeper_doc_id"))
+      .filter($"n_docs" >= 2)
+      .select(substring(md5($"sfx"), 1, 16).as("sfx16"),
+        substring($"sfx", 1, 24).as("sample"),
+        $"n_docs", $"keeper_doc_id")
+      .orderBy($"sfx16")
+  }
+
+  /** The planted boilerplate footer for the D21 graded corpus — 124
+    * normalized chars, longer than the 100-char suffix window, so
+    * every footered doc's window is footer-only and the cluster is
+    * exact (the test corpus's own near-dups salt their TAILS, so the
+    * raw table has no natural suffix dups — the planted footer makes
+    * the graded query carry signal; the real detector is the
+    * operator, exercised unplanted in the spec). */
+  private[operators] val FooterText =
+    " — © example holdings incorporated all rights reserved" +
+    " terms of service privacy policy cookie settings contact" +
+    " support careers"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_suffix" -> ((s, dir) => {
+      import s.implicits._
+      val d = graft.sources.Tables.documents(s, dir)
+      suffixDups(d.withColumn("text",
+        when($"doc_id" % 7 === 0, concat($"text", lit(FooterText)))
+          .otherwise($"text")))
+    }),
     "dedup_prefix" -> onDocs(d => prefixDups(d)),
     "dedup_phrase" -> onDocs(d => phraseMine(d)),
     "dedup_spans" -> onDocs(d => dupSpans(d)),
@@ -1052,6 +1098,29 @@ object Dedup {
        |ORDER BY df DESC, shingle LIMIT $topK""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // D21 twin: same normalization, same explicit-position suffix
+    // window, same >= 2 group rule
+    "dedup_suffix" ->
+      s"""WITH ft AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || '$FooterText'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+        |  FROM ft),
+        |p AS (
+        |  SELECT doc_id,
+        |    substr(t, greatest(length(t) - 100 + 1, 1), 100) AS sfx
+        |  FROM t WHERE length(t) >= 20),
+        |g AS (
+        |  SELECT sfx, count(*)::BIGINT AS n_docs,
+        |    min(doc_id)::BIGINT AS keeper_doc_id
+        |  FROM p GROUP BY 1)
+        |SELECT substr(md5(sfx), 1, 16) AS sfx16,
+        |  substr(sfx, 1, 24) AS sample, n_docs, keeper_doc_id
+        |FROM g WHERE n_docs >= 2 ORDER BY sfx16""".stripMargin,
     // D20 twin: same normalization (the F4 fingerprint pair), same
     // prefix length, same >= 2 group rule
     "dedup_prefix" ->

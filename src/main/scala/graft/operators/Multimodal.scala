@@ -610,6 +610,94 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Multi-frame ANIMATED GIF per document around the [[gifGray]]
+    * pattern with a per-frame offset — the real-container stand-in
+    * for a video clip (every frame is an LZW-compressed palette
+    * image in one file). */
+  private[graft] def animGifBytes(id: Long, w: Int, h: Int,
+      frames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    for (f <- 0 until frames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0,
+            ((gifGray(id, x, y) + f * 101) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    wr.endWriteSequence(); ios.close(); wr.dispose()
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode: every frame of every payload through
+    * the JDK GIF `ImageReader` inside the declared mapPartitions
+    * seam, fanned out to (doc, frame, x, y, gray) rows — the G2/G3
+    * "video → frames" shape with a REAL container instead of the
+    * stub fan-out. Undecodable payloads contribute no rows (G6
+    * quarantine contract). */
+  def gifFramePixels(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        try {
+          val rd = javax.imageio.ImageIO
+            .getImageReadersByFormatName("gif").next()
+          rd.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(p)))
+          val n = rd.getNumImages(true)
+          val out = for {
+            f <- (0 until n).iterator
+            img = rd.read(f)
+            y <- (0 until img.getHeight).iterator
+            x <- (0 until img.getWidth).iterator
+          } yield (id, f.toLong, x.toLong, y.toLong,
+            ((img.getRGB(x, y) >> 16) & 255).toLong)
+          val res = out.toVector
+          rd.dispose()
+          res.iterator
+        } catch {
+          case scala.util.control.NonFatal(_) => Iterator.empty
+        }
+      })
+      .toDF("doc_id", "frame", "x", "y", "gray")
+  }
+
+  /** G14 graded entry (`mm_gif_frames`): REAL video-shaped frame
+    * decode — G3's 1→N fan-out upgraded from the stub to an actual
+    * multi-frame container: per-doc animated GIFs (2-4 frames, the
+    * [[gifGray]] pattern shifted +101·frame) decode through
+    * [[gifFramePixels]]; per-FRAME exact gray sums + moment + the
+    * doc's frame count. The oracle replays the (frame, x, y)
+    * formula, so the hash proves the sequence reader walks every
+    * frame, in order, with the per-frame palettes resolved — the
+    * thing a video pipeline's frame sampler must get right. */
+  private def gifFramesEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long]
+      .map(id => (id, animGifBytes(id, (3 + id % 4).toInt,
+        (5 + id % 3).toInt, (2 + id % 3).toInt)))
+      .toDF("doc_id", "payload")
+    gifFramePixels(payloads)
+      .groupBy($"doc_id", $"frame")
+      .agg(count(lit(1)).as("n_px"), sum($"gray").as("sum_gray"),
+        sum($"gray" * (($"x" + 2) * ($"y" + 5))).as("moment"))
+      .orderBy($"doc_id", $"frame")
+  }
+
   /** G10 REAL average-hash (`mm_phash_real`): the G5 perceptual
     * fingerprint computed from ACTUALLY DECODED pixels instead of the
     * stub codec — 8×8 BMPs synthesized from the [[bmpChannel]]
@@ -1010,6 +1098,7 @@ object Multimodal {
     "mm_bmp_stats" -> bmpStatsEntry,
     "mm_png_stats" -> pngStatsEntry,
     "mm_gif_stats" -> gifStatsEntry,
+    "mm_gif_frames" -> gifFramesEntry,
     "mm_phash_real" -> phashRealEntry,
     "mm_resample" -> wavResampleEntry,
     "mm_wav_features" -> wavFeaturesEntry,
@@ -1024,6 +1113,34 @@ object Multimodal {
     "mm_phash_dedup" -> phashDedupEntry)
 
   val oracles: Map[String, String] = Map(
+    // G14 twin: the per-frame formula replayed over the
+    // (frame, x, y) grid — a hash match proves the sequence reader
+    // walks every frame in order with per-frame palettes resolved
+    "mm_gif_frames" ->
+      """WITH dims AS (
+        |  SELECT doc_id, (3 + doc_id % 4)::BIGINT AS w,
+        |    (5 + doc_id % 3)::BIGINT AS h,
+        |    (2 + doc_id % 3)::BIGINT AS nf
+        |  FROM documents),
+        |fs AS (
+        |  SELECT doc_id, w, h, unnest(range(0, nf::INT))::BIGINT AS frame
+        |  FROM dims),
+        |xs AS (
+        |  SELECT doc_id, w, h, frame, unnest(range(0, w::INT))::BIGINT AS x
+        |  FROM fs),
+        |px AS (
+        |  SELECT doc_id, frame, x, unnest(range(0, h::INT))::BIGINT AS y
+        |  FROM xs),
+        |v AS (
+        |  SELECT doc_id, frame, x, y,
+        |    ((doc_id * 53 + y * 71 + x * 29) % 256 + frame * 101) % 256
+        |      AS g
+        |  FROM px)
+        |SELECT doc_id, frame, count(*)::BIGINT AS n_px,
+        |  sum(g)::BIGINT AS sum_gray,
+        |  sum(g * ((x + 2) * (y + 5)))::BIGINT AS moment
+        |FROM v GROUP BY doc_id, frame
+        |ORDER BY doc_id, frame""".stripMargin,
     // G13 twin: the gifGray formula replayed over the (x, y) grid —
     // a hash match proves the LZW + palette decode end to end
     "mm_gif_stats" ->

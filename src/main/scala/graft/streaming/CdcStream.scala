@@ -199,6 +199,49 @@ object CdcStream {
       }
   }
 
+  /** One per-bucket completeness emission from
+    * [[completenessStream]]. */
+  case class BucketCompleteness(bucket: Long, n_seen: Long,
+      lo_id: Long, hi_id: Long, n_missing_interior: Long)
+
+  /** C64 STREAMING completeness monitor — the continuous twin of
+    * C63's batch gap audit ("are we missing producer ids" answered
+    * WHILE the feed runs): ids key by bucket = id div `bucketSize`,
+    * each bucket owns ONE fixed bitmap in state (bucketSize bits ≈
+    * 1 KB at 8192 — bounded per key whatever the throughput or
+    * re-delivery rate; setting a bit twice is a no-op, so replays
+    * are idempotent by construction), and every micro-batch emits
+    * the bucket's exact seen-count and interior hole count.
+    * Cross-bucket/boundary gaps remain the batch C63 report's job —
+    * the division of labor is stated, not accidental. */
+  def completenessStream(ids: Dataset[Long],
+      bucketSize: Int = 8192): Dataset[BucketCompleteness] = {
+    import ids.sparkSession.implicits._
+    val bs = bucketSize.toLong
+    ids.groupByKey(_ / bs)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (bkt: Long, it: Iterator[Long], state: GroupState[Array[Long]]) =>
+          val words = state.getOption
+            .getOrElse(new Array[Long]((bucketSize + 63) / 64))
+          it.foreach { id =>
+            val off = (id - bkt * bs).toInt
+            words(off >> 6) |= 1L << (off & 63)
+          }
+          state.update(words)
+          var n = 0L; var lo = -1L; var hi = -1L
+          var i = 0
+          while (i < bucketSize) {
+            if (((words(i >> 6) >> (i & 63)) & 1L) == 1L) {
+              n += 1; if (lo < 0) lo = i; hi = i
+            }
+            i += 1
+          }
+          Iterator.single(BucketCompleteness(bkt, n,
+            bkt * bs + lo, bkt * bs + hi, (hi - lo + 1) - n))
+      }
+  }
+
   /** C7 streaming windowed aggregation with watermark: tumbling 1-hour
     * event-time counts — the streaming twin of Cdc.eventCounts. The
     * 2h watermark bounds state: closed windows are finalized and

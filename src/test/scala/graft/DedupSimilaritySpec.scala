@@ -586,6 +586,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(0).getString(1).startsWith("cookie notice we value"))
   }
 
+  test("D21 suffix dups: shared footers cluster even when heads differ, shorts drop") {
+    import spark.implicits._
+    val footer = "© example corp all rights reserved terms privacy " +
+      "cookie settings contact support careers sitemap accessibility help"
+    val docs = Seq(
+      (4L, "article about owls and their many virtues " + footer),
+      (2L, "COMPLETELY different piece on trains\t" + footer), // norm-equal tail
+      (8L, "unique document with its own ending entirely here"),
+      (9L, "short"))
+      .toDF("doc_id", "text")
+    val got = Dedup.suffixDups(docs).collect()
+    assert(got.length == 1, s"expected one footer cluster: ${got.toSeq}")
+    assert(got(0).getLong(2) == 2L && got(0).getLong(3) == 2L)
+  }
+
   test("F41 length profile: power-of-two boundaries bucket exactly, shares floor") {
     import spark.implicits._
     val docs = Seq((1L, "s1", 7L), (2L, "s1", 8L), (3L, "s1", 1023L),

@@ -163,6 +163,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("G14 animated GIF frames: every frame exact and in order, corrupt drops") {
+    import spark.implicits._
+    val assets = ((0L until 4L).map(id =>
+        (id, Multimodal.animGifBytes(id, (3 + id % 4).toInt,
+          (5 + id % 3).toInt, (2 + id % 3).toInt)))
+      :+ (99L, "GIF89a three frames of lies".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.gifFramePixels(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        r.getLong(4)).toMap
+    assert(!got.keys.exists(_._1 == 99L), "corrupt GIF must quarantine")
+    for (id <- 0L until 4L; f <- 0 until (2 + id % 3).toInt;
+         x <- 0 until (3 + id % 4).toInt; y <- 0 until (5 + id % 3).toInt) {
+      val want = (Multimodal.gifGray(id, x, y) + f * 101) % 256
+      assert(got((id, f.toLong, x.toLong, y.toLong)) == want.toLong,
+        s"pixel ($id,f$f,$x,$y): ${got((id, f.toLong, x.toLong, y.toLong))}")
+    }
+    // frame counts exact per doc
+    val nf = got.keys.groupBy(_._1).map { case (d, ks) =>
+      d -> (ks.map(_._2).max + 1) }
+    assert(nf == (0L until 4L).map(id => id -> (2L + id % 3)).toMap)
+  }
+
   test("G5 perceptual near-dup finds edited copies, not unrelated assets") {
     import spark.implicits._
     // strong region contrast (alternating dark/bright 10-byte tiles):

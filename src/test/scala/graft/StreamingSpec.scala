@@ -234,6 +234,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C64 streaming completeness: per-bucket bitmap holes exact, replays idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Long]
+    val q = CdcStream.completenessStream(in.toDS(), bucketSize = 64)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("cmp_stream").start()
+    try {
+      // batch 1: bucket 0 gets 0..9 minus {4, 7}; bucket 2 gets 130
+      in.addData((0L to 9L).filterNot(Set(4L, 7L)) :+ 130L: _*)
+      q.processAllAvailable()
+      // batch 2: the hole at 4 fills, 7 stays missing; 130 REPLAYS
+      in.addData(4L, 130L)
+      q.processAllAvailable()
+      val rows = spark.table("cmp_stream")
+        .as[CdcStream.BucketCompleteness].collect()
+      val latest = rows.groupBy(_.bucket).map { case (b, v) =>
+        b -> v.maxBy(_.n_seen) }
+      assert(latest(0L) == CdcStream.BucketCompleteness(0L, 9L, 0L, 9L, 1L),
+        s"bucket0: ${latest(0L)}")
+      assert(latest(2L) == CdcStream.BucketCompleteness(2L, 1L, 130L, 130L, 0L),
+        "replayed id must be a bitmap no-op")
+      // batch-1 emission for bucket 0 showed both holes
+      assert(rows.exists(r => r.bucket == 0L && r.n_missing_interior == 2L))
+    } finally q.stop()
+  }
+
   test("C62 streaming lag quantiles: exact running percentiles across batches, cap clamps") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
