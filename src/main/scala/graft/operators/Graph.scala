@@ -842,6 +842,66 @@ object Graph {
       .select($"a".as("part_a"), $"b".as("part_b"), $"support")
   }
 
+  /** I13 distributed MINIMUM SPANNING FOREST via Borůvka (1926; the
+    * provably O(log V)-round member of the MST family and the one
+    * that distributes — Kruskal's global edge sort and Prim's single
+    * frontier do not): every component picks its lightest outgoing
+    * edge under the STRICT total order (w, a, b) — a total order
+    * makes the MSF unique, so no tie can create a cycle and the
+    * result is deterministically comparable against a driver-side
+    * Kruskal — then picked components CONTRACT via the alternating
+    * star-contraction CC (conjoined-tree chains can be path-deep, the
+    * regime label propagation cannot touch). Components at least
+    * halve per round ⇒ ⌈log₂V⌉ rounds; each round is two comp joins,
+    * one min-struct aggregate, and a component-graph contraction —
+    * all shuffles on node/component ids, no driver-side graph state.
+    * Spec-verified (iterative contraction is not SQL-expressible;
+    * correctness is pinned by exact Kruskal equality on random
+    * graphs + a planted-structure case). Weights BIGINT. */
+  def boruvkaMst(edges: DataFrame, rounds: Int = 16): DataFrame = {
+    import edges.sparkSession.implicits._
+    val canon = edges
+      .select(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b"), $"w")
+      .filter($"a" =!= $"b")
+      .groupBy($"a", $"b").agg(min($"w").as("w"))
+      .localCheckpoint()
+    val verts = canon.select($"a".as("id"))
+      .union(canon.select($"b".as("id"))).distinct()
+    var comp = verts.select($"id", $"id".as("c")).localCheckpoint()
+    var mst = canon.limit(0).localCheckpoint()
+    var done = false
+    var r = 0
+    while (!done && r < rounds) {
+      val ec = canon
+        .join(comp.select($"id".as("a"), $"c".as("ca")), "a")
+        .join(comp.select($"id".as("b"), $"c".as("cb")), "b")
+        .filter($"ca" =!= $"cb")
+        .localCheckpoint()
+      if (ec.isEmpty) done = true
+      else {
+        val halves = ec.select($"ca".as("g"), $"w", $"a", $"b")
+          .union(ec.select($"cb".as("g"), $"w", $"a", $"b"))
+        val chosen = halves.groupBy($"g")
+          .agg(min(struct($"w", $"a", $"b")).as("e"))
+          .select($"e.a".as("a"), $"e.b".as("b"), $"e.w".as("w"))
+          .distinct()
+          .localCheckpoint()
+        mst = mst.union(chosen).localCheckpoint()
+        val cedges = ec.join(chosen, Seq("a", "b", "w"), "left_semi")
+          .select($"ca".as("src"), $"cb".as("dst"))
+        val mapping = connectedComponentsAltStar(cedges,
+            comp.select($"c".as("id")).distinct())
+          .select($"id".as("c"), $"component".as("nc"))
+        comp = comp.join(mapping, Seq("c"), "left")
+          .select($"id", coalesce($"nc", $"c").as("c"))
+          .localCheckpoint()
+      }
+      r += 1
+    }
+    mst.orderBy($"w", $"a", $"b")
+  }
+
   /** I12 LANDMARK HARMONIC centrality (Marchiori-Latora harmonic
     * sums from a seed cohort — the Eppstein-Wang landmark shape: at
     * graph scale nobody runs all-pairs BFS, they pick K landmarks

@@ -1648,6 +1648,47 @@ object Relational {
               (lit(1.0) / na + lit(1.0) / nb)), 6)).as("z_score"))
   }
 
+  /** A69 SAMPLE-SIZE / power analysis for the A47 experiment (the
+    * planning twin every A/B readout needs BEFORE the test runs —
+    * "how many users per arm to detect a 10% lift at α=.05,
+    * power .80": the two-proportion formula n = (z_{α/2}·√(2p̄(1−p̄))
+    * + z_β·√(p₁(1−p₁)+p₂(1−p₂)))²/δ² at relative lifts 5/10/20%
+    * off the corpus's OWN observed conversion rate): z constants as
+    * shared 17-digit literals (the B55 contract), the quadratic
+    * written as q·q — pow() is not ulp-identical to repeated
+    * multiplication (the B55 finding, dodged again) — and ONE pinned
+    * IEEE sequence into a ceil. Degenerate baselines (p₁ = 0 or
+    * p₂ ≥ 1) null. */
+  def powerAnalysis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .agg(count(lit(1)).as("n_users"), sum($"converted").as("n_conv"))
+    val za = lit(1.9599639845400545)
+    val zb = lit(0.8416212335729143)
+    base
+      .select($"n_users", $"n_conv",
+        explode(array(lit(5L), lit(10L), lit(20L))).as("lift_pct"))
+      .withColumn("p1", $"n_conv".cast("double") / $"n_users".cast("double"))
+      .withColumn("p2",
+        $"p1" * (lit(1.0) + $"lift_pct".cast("double") / lit(100.0)))
+      .withColumn("pbar", ($"p1" + $"p2") / lit(2.0))
+      // q guarded INSIDE the expression: past-1 targets would feed
+      // sqrt a negative — NaN in Spark but an ERROR in the twin
+      .withColumn("q",
+        when($"n_conv" > 0L && $"p2" < 1.0,
+          za * sqrt(lit(2.0) * $"pbar" * (lit(1.0) - $"pbar")) +
+            zb * sqrt($"p1" * (lit(1.0) - $"p1") +
+              $"p2" * (lit(1.0) - $"p2"))))
+      .select($"lift_pct", $"n_users", $"n_conv",
+        round($"p1", 6).as("p_base"),
+        ceil(($"q" * $"q") / (($"p2" - $"p1") * ($"p2" - $"p1")))
+          .cast("long").as("n_per_group"))
+      .orderBy($"lift_pct")
+  }
+
   /** A48 market-basket association (support/confidence/lift for
     * co-ordered part pairs — the "customers who bought A also
     * bought B" readout): pairs from the same per-order self-join
@@ -2099,6 +2140,7 @@ object Relational {
     "q_ridge" -> ridge2,
     "q_basket_lift" -> basketLift,
     "q_ab_test" -> abTest,
+    "q_power" -> powerAnalysis,
     "q_lorenz" -> lorenzGini,
     "q_skyline" -> skyline,
     "q_auc" -> aucScore,
@@ -2492,6 +2534,38 @@ object Relational {
         |SELECT a, b, n_ab, n_a, n_b, supp_ppm, conf_ppm, lift_ppm, rk
         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
     // A47 twin: same exact counts, same pooled-p̂ scalar sequence
+    // A69 twin: the same z literals, the same q·q quadratic (never
+    // pow — the B55 finding), one pinned IEEE sequence into ceil
+    "q_power" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT count(*)::BIGINT AS n_users,
+        |    sum(converted)::BIGINT AS n_conv
+        |  FROM pu),
+        |l AS (
+        |  SELECT n_users, n_conv, unnest([5, 10, 20])::BIGINT AS lift_pct
+        |  FROM b),
+        |c AS (
+        |  SELECT *, n_conv::DOUBLE / n_users::DOUBLE AS p1,
+        |    (n_conv::DOUBLE / n_users::DOUBLE)
+        |      * (1.0 + lift_pct::DOUBLE / 100.0) AS p2
+        |  FROM l),
+        |d AS (
+        |  SELECT *, (p1 + p2) / 2.0 AS pbar FROM c),
+        |e AS (
+        |  SELECT *,
+        |    CASE WHEN n_conv > 0 AND p2 < 1.0 THEN
+        |      1.9599639845400545 * sqrt(2.0 * pbar * (1.0 - pbar))
+        |      + 0.8416212335729143 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+        |    END AS q
+        |  FROM d)
+        |SELECT lift_pct, n_users, n_conv, round(p1, 6) AS p_base,
+        |  ceil((q * q) / ((p2 - p1) * (p2 - p1)))::BIGINT AS n_per_group
+        |FROM e ORDER BY lift_pct""".stripMargin,
     "q_ab_test" ->
       """WITH pu AS (
         |  SELECT user_id,

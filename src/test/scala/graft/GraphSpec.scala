@@ -204,6 +204,50 @@ class GraphSpec extends AnyFunSuite {
       "c" -> ((2L, 1500000L)), "d" -> ((1L, 333333L))), s"got $both")
   }
 
+  test("I13 boruvka MSF: planted structure exact, random graphs equal driver Kruskal") {
+    import spark.implicits._
+    // planted: two triangles bridged by a heavy edge + an isolated
+    // pair — MSF = the two cheap edges of each triangle, the bridge,
+    // and the pair edge (forest across components)
+    val planted = Seq(
+      (1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 10L),
+      (4L, 5L, 1L), (5L, 6L, 2L), (4L, 6L, 10L),
+      (3L, 4L, 50L),          // bridge: must be kept (only connector)
+      (7L, 8L, 5L))
+      .toDF("src", "dst", "w")
+    val got = Graph.boruvkaMst(planted).as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 2L), (4L, 5L, 1L),
+      (5L, 6L, 2L), (3L, 4L, 50L), (7L, 8L, 5L)), s"got $got")
+
+    // random: 120 nodes, ~700 edges, formula weights made STRICTLY
+    // distinct per pair — exact equality with a driver Kruskal
+    val es = (0 until 700).map { i =>
+      val a = math.abs((i * 7919 + 13) % 120).toLong
+      val b = math.abs((i * 104729 + 57) % 120).toLong
+      (a, b, ((a * 131 + b * 17 + i) % 100000).toLong)
+    }.filter(t => t._1 != t._2)
+    val gotR = Graph.boruvkaMst(es.toDF("src", "dst", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+    // driver Kruskal under the SAME (w, a, b) total order
+    val canon = es.map { case (s, d, w) =>
+      (math.min(s, d), math.max(s, d), w) }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((a, b), v) => (a, b, v.map(_._3).min) }.toSeq
+      .sortBy(t => (t._3, t._1, t._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val kruskal = canon.flatMap { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) None else { parent(ra) = rb; Some((a, b, w)) }
+    }.toSet
+    assert(gotR == kruskal,
+      s"diff +${(gotR -- kruskal).take(5)} -${(kruskal -- gotR).take(5)}")
+  }
+
   test("kCorePeel: pendant chain peels off K4; extra rounds are a no-op") {
     import spark.implicits._
     // K4 on 1..4 plus pendant chain 4-5-6: the 3-core is exactly the

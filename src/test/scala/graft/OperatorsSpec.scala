@@ -319,6 +319,34 @@ class OperatorsSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("A69 power analysis: closed form exact at 20% baseline, saturated target nulls") {
+    import graft.operators.Relational
+    // 10 users, 2 purchasers -> p1 = 0.2
+    val ev = dailyEvents("view" -> Seq(10))
+      .union(dailyEvents("purchase" -> Seq(2)))
+      .withColumn("user_id",
+        org.apache.spark.sql.functions.expr(
+          "CASE WHEN event_type = 'purchase' THEN event_id % 2" +
+          " ELSE event_id % 10 END"))
+    val dir = java.nio.file.Files.createTempDirectory("pw").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.powerAnalysis(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    def expected(lift: Double): Long = {
+      val p1 = 0.2; val p2 = p1 * (1.0 + lift / 100.0)
+      val pbar = (p1 + p2) / 2.0
+      val q = 1.9599639845400545 * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+        0.8416212335729143 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+      math.ceil((q * q) / ((p2 - p1) * (p2 - p1))).toLong
+    }
+    assert(got(5L) == ((0.2, expected(5))), s"got ${got(5L)}")
+    assert(got(10L) == ((0.2, expected(10))))
+    assert(got(20L) == ((0.2, expected(20))))
+    // smaller lifts need more samples, and a lot more
+    assert(got(5L)._2 > 3 * got(10L)._2 && got(10L)._2 > 3 * got(20L)._2)
+  }
+
   test("A68 trimmed mean: one order statistic cut each side, outlier gap shows") {
     import spark.implicits._
     // cents 1..9 + 1000: g = 1 -> keep ranks 2..9 (values 2..9):

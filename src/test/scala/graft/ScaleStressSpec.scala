@@ -677,4 +677,43 @@ class ScaleStressSpec extends AnyFunSuite {
     out.unpersist()
     assert(secs < 120, s"cross-corpus dedup too slow: $secs s")
   }
+
+  test("boruvka MSF at 200k edges / 40k nodes: exact Kruskal equality, log-round bound") {
+    import spark.implicits._
+    val es = spark.range(200000L).select(
+        (expr("abs(xxhash64(id))") % 40000L).as("src"),
+        (expr("abs(xxhash64(id + 11))") % 40000L).as("dst"),
+        (expr("abs(xxhash64(id + 23))") % 1000000L).as("w"))
+      .filter($"src" =!= $"dst")
+      .localCheckpoint()
+    val t0 = System.nanoTime()
+    val got = graft.operators.Graph.boruvkaMst(es)
+      .as[(Long, Long, Long)].collect().toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"boruvka over 200k edges in $secs%.1f s, ${got.size} MSF edges")
+    // driver Kruskal under the same (w, a, b) order — exact equality
+    val canon = es.as[(Long, Long, Long)].collect()
+      .map { case (s, d, w) => (math.min(s, d), math.max(s, d), w) }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((a, b), v) => (a, b, v.map(_._3).min) }.toSeq
+      .sortBy(t => (t._3, t._1, t._2))
+    val parent = new Array[Long](40000)
+    java.util.Arrays.setAll(parent, (i: Int) => i.toLong)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r.toInt) != r) r = parent(r.toInt)
+      var c = x
+      while (parent(c.toInt) != r) {
+        val n = parent(c.toInt); parent(c.toInt) = r; c = n
+      }
+      r
+    }
+    val kruskal = canon.flatMap { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) None
+      else { parent(ra.toInt) = rb; Some((a, b, w)) }
+    }.toSet
+    assert(got == kruskal,
+      s"MSF diverged: +${(got -- kruskal).take(3)} -${(kruskal -- got).take(3)}")
+    assert(secs < 300, s"boruvka too slow: $secs s")
+  }
 }
