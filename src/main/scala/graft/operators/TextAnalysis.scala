@@ -1469,7 +1469,44 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** F45 DETERMINISTIC k-SAMPLE per source — the reproducible audit
+    * sample every corpus review pulls ("send me 5 docs from each
+    * source", and the SAME 5 next week, with no RNG state anywhere):
+    * sample = the k docs with the smallest Knuth multiplicative hash
+    * key (id·2654435761 mod 2³¹ — exact integer, uniform enough for
+    * sampling, replayable in any engine), i.e. a bottom-k ORDER
+    * STATISTIC, not a rand() filter.
+    *
+    * Scale shape: NO per-source corpus sort. Rank = two-level
+    * decomposition (the A57/C46 pattern): keys bucket by key div 2²¹,
+    * per-source bucket counts give each bucket's preceding-rank
+    * offset through a bucket-table window (thousands of rows), and
+    * the within-bucket rank is a window over (source, bucket) —
+    * bucket-sized partitions, never source-sized. All exact
+    * integers. */
+  def sampleK(docs: DataFrame, k: Int = 5): DataFrame = {
+    import docs.sparkSession.implicits._
+    val keyed = docs.select($"source", $"doc_id")
+      .withColumn("key", expr("(doc_id * 2654435761) % 2147483648"))
+      .withColumn("bkt", expr("key div 2097152"))
+    val bcounts = keyed.groupBy($"source", $"bkt")
+      .agg(count(lit(1)).as("bc"))
+    val wB = Window.partitionBy($"source").orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bcounts.withColumn("off",
+      coalesce(sum($"bc").over(wB), lit(0L)))
+    val wIn = Window.partitionBy($"source", $"bkt")
+      .orderBy($"key", $"doc_id")
+    keyed
+      .join(offs.select($"source", $"bkt", $"off"), Seq("source", "bkt"))
+      .withColumn("rk", $"off" + row_number().over(wIn))
+      .filter($"rk" <= k)
+      .select($"source", $"rk", $"doc_id", $"key")
+      .orderBy($"source", $"rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_sample_k" -> onDocs(d => sampleK(d)),
     "text_url_density" -> onDocs(urlDensity),
     "text_length_profile" -> onDocs(lengthProfile),
     "text_codeswitch" -> onDocs(codeSwitch),
@@ -1620,6 +1657,22 @@ object TextAnalysis {
       |  FROM parts GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // F45 twin: same multiplicative-hash keys; the oracle uses ONE
+    // per-source window — equal to the two-level rank exactly in
+    // integers (keys are distinct because the multiplier is odd and
+    // ids < 2^31, so both ranks are over a strict order)
+    "text_sample_k" ->
+      """WITH keyed AS (
+        |  SELECT source, doc_id,
+        |    (doc_id * 2654435761) % 2147483648 AS key
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, key,
+        |    row_number() OVER (PARTITION BY source ORDER BY key, doc_id)
+        |      ::BIGINT AS rk
+        |  FROM keyed)
+        |SELECT source, rk, doc_id, key FROM r
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     // F43 twin: same RE2 URL pattern, same token convention, same
     // exact integer spam predicate
     "text_url_density" ->

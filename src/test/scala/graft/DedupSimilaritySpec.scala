@@ -617,6 +617,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(("s2", 6L)) == ((1L, 1000000L)))
   }
 
+  test("F45 sample-k: deterministic under repartition, equals the single-window rank") {
+    import spark.implicits._
+    val docs = (0L until 500L)
+      .map(id => (id, s"doc $id", s"s${id % 3}"))
+      .toDF("doc_id", "text", "source")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.sampleK(d).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = rows(docs)
+    assert(a == rows(docs.repartition(13)), "sample must not depend on layout")
+    assert(a.groupBy(_._1).forall(_._2.size == 5), "k per source")
+    // the two-level rank equals one brute-force per-source sort
+    val expect = (0L until 500L).map(id =>
+        (s"s${id % 3}", id, (id * 2654435761L) % 2147483648L))
+      .groupBy(_._1).toSeq.flatMap { case (src, v) =>
+        v.sortBy(t => (t._3, t._2)).take(5).zipWithIndex
+          .map { case (t, i) => (src, i + 1L, t._2) }
+      }.sortBy(t => (t._1, t._2))
+    assert(a == expect, s"got ${a.take(6)}")
+  }
+
   test("F42 code-switch: pure text silent, a 50/50 mix flags, sparse markers never flag") {
     import spark.implicits._
     val docs = Seq(
