@@ -2567,6 +2567,110 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B66 GARCH(1,1) VOLATILITY FILTER per event type (Bollerslev
+    * 1986 — the conditional-variance lens the B22/B31 constant-σ
+    * monitors lack: after a burst, tomorrow's "normal" band should
+    * be WIDER, then decay; GARCH carries exactly that memory):
+    * σ²_t = ω + α·ε²_{t−1} + β·σ²_{t−1} filtered with FIXED
+    * (α, β) = (0.1, 0.8) over the demeaned day-ordered series —
+    * parameter filtering, not MLE (stated; the MLE is a solver, the
+    * filter is the deployable monitor). ω = (1−α−β)·Var targets the
+    * unconditional variance.
+    *
+    * Exactness: μ and Var come from exact BIGINT moments in one
+    * division each; the fold carries (σ², max, prev) through ONE
+    * `aggregate` with every update textually mirrored by the
+    * recursive-CTE twin (the B27 Kalman contract), and even the ω
+    * coefficient is written as the EXPRESSION (1.0 − α − β) in both
+    * engines — 1−0.9 is not the double 0.1, so a pre-folded literal
+    * would diverge in the last ulp. */
+  def garch(events: DataFrame, alpha: Double = 0.1,
+      beta: Double = 0.8): DataFrame = {
+    import events.sparkSession.implicits._
+    val a = alpha; val b = beta
+    val daily = dailyTyped(events)
+    val agg = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"y").as("s"),
+        sum($"y" * $"y").as("q"),
+        expr("array_sort(collect_list(struct(day, " +
+          "cast(y as double) as yd)))").as("obs"))
+      .filter($"n" >= 3L && ($"n" * $"q" - $"s" * $"s") > 0L)
+    agg
+      .withColumn("v", expr("transform(obs, o -> o.yd)"))
+      .withColumn("mu", $"s".cast("double") / $"n".cast("double"))
+      .withColumn("var0", ($"n" * $"q" - $"s" * $"s").cast("double") /
+        ($"n" * ($"n" - 1L)).cast("double"))
+      .withColumn("om", expr(s"(1.0 - $a - $b) * var0"))
+      .withColumn("st", expr(
+        s"""aggregate(slice(v, 2, size(v) - 1),
+           |  named_struct('s2', var0, 'mx', var0,
+           |    'pv', element_at(v, 1)),
+           |  (acc, x) -> named_struct(
+           |    's2', om + $a * (acc.pv - mu) * (acc.pv - mu)
+           |      + $b * acc.s2,
+           |    'mx', greatest(acc.mx,
+           |      om + $a * (acc.pv - mu) * (acc.pv - mu)
+           |      + $b * acc.s2),
+           |    'pv', x))""".stripMargin))
+      .select($"event_type", $"n".as("n_days"),
+        round($"var0", 6).as("var_uncond"),
+        round($"st.s2", 6).as("sigma2_last"),
+        round($"st.mx", 6).as("sigma2_max"))
+      .orderBy($"event_type")
+  }
+
+  /** B67 SHEWHART individuals CONTROL CHART per event type (the
+    * X-mR chart — SPC's "is the process stable" readout, SRE'd:
+    * limits from the MOVING RANGE rather than the global σ, because
+    * a trending series inflates σ and hides its own excursions where
+    * the mR catches only step noise): center = ȳ, limits =
+    * ȳ ± 2.66·M̄R (the d2-derived individuals constant), violations
+    * and the western-electric "8 consecutive on one side" runs
+    * signal. ȳ and M̄R are one exact-integer division each; limit
+    * comparisons are between the same IEEE doubles in both engines;
+    * the runs signal is an EXACT integer window predicate. */
+  def controlChart(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val pts = dailyTyped(events)
+      .withColumn("py", lag($"y", 1).over(w))
+      .withColumn("mr", abs($"y" - $"py"))
+    val stats = pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"y").as("s"),
+        count($"mr").as("n_mr"), sum($"mr").as("smr"))
+      .filter($"n_mr" >= 1L && $"smr" >= 0L)
+      .withColumn("ybar", $"s".cast("double") / $"n_days".cast("double"))
+      .withColumn("mrbar", $"smr".cast("double") / $"n_mr".cast("double"))
+      .withColumn("ucl", $"ybar" + lit(2.66) * $"mrbar")
+      .withColumn("lcl", $"ybar" - lit(2.66) * $"mrbar")
+    val flagged = pts.join(stats.select($"event_type", $"n_days".as("nn"),
+        $"s".as("ss"), $"ybar", $"ucl", $"lcl"), "event_type")
+      .withColumn("viol",
+        when($"y".cast("double") > $"ucl" ||
+          $"y".cast("double") < $"lcl", 1L).otherwise(0L))
+      // western-electric run rule on the EXACT integer side signal:
+      // y > ȳ ⟺ y·n > Σy cross-multiplied (never a float decision —
+      // the B22/B31 posture); 8-in-a-row via one keyed window sum
+      .withColumn("side",
+        when($"y" * $"nn" > $"ss", 1L).otherwise(0L))
+    val runs = flagged
+      .withColumn("run8", sum($"side").over(
+        w.rowsBetween(-7, Window.currentRow)))
+      .withColumn("runflag",
+        when($"run8" === 8L || $"run8" === 0L, 1L).otherwise(0L))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("runhit", when($"rn" >= 8 && $"runflag" === 1L, 1L)
+        .otherwise(0L))
+    runs.groupBy($"event_type")
+      .agg(max($"ybar").as("b"), max($"ucl").as("u"), max($"lcl").as("l"),
+        count(lit(1)).as("nd"), sum($"viol").as("n_viol"),
+        sum($"runhit").as("n_run_signals"))
+      .select($"event_type", $"nd".as("n_days"), round($"b", 6).as("ybar"),
+        round($"u", 6).as("ucl"), round($"l", 6).as("lcl"),
+        $"n_viol", $"n_run_signals")
+      .orderBy($"event_type")
+  }
+
   /** B63 POISSON OVERDISPERSION index per event type (the
     * variance-to-mean ratio + its chi-square dispersion statistic —
     * the 30-second "is a Poisson model even admissible" gate before
@@ -2674,6 +2778,8 @@ object Resilience {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chow" -> ((s, dir) => chowBreak(Tables.events(s, dir))),
+    "q_control_chart" -> ((s, dir) => controlChart(Tables.events(s, dir))),
+    "q_garch" -> ((s, dir) => garch(Tables.events(s, dir))),
     "q_croston" -> ((s, dir) => croston(Tables.events(s, dir))),
     "q_halflife" -> ((s, dir) => halflife(Tables.events(s, dir))),
     "q_dispersion" -> ((s, dir) => dispersion(Tables.events(s, dir))),
@@ -2894,6 +3000,87 @@ object Resilience {
          |    round(((ssep - sse1 - sse2) / 2.0)
          |      / ((sse1 + sse2) / (np - 4)::DOUBLE), 4) END AS chow_f
          |FROM sse ORDER BY event_type""".stripMargin,
+    // B67 twin: same one-division center/limits, same IEEE limit
+    // compares, same cross-multiplied integer side + 8-window run
+    "q_control_chart" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |l AS (
+         |  SELECT event_type, day, y,
+         |    abs(y - lag(y) OVER w) AS mr
+         |  FROM d
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |st AS (
+         |  SELECT event_type, count(*)::BIGINT AS n_days,
+         |    sum(y)::BIGINT AS s, count(mr)::BIGINT AS n_mr,
+         |    sum(mr)::BIGINT AS smr
+         |  FROM l GROUP BY 1),
+         |lim AS (
+         |  SELECT event_type, n_days, s,
+         |    s::DOUBLE / n_days::DOUBLE AS ybar,
+         |    s::DOUBLE / n_days::DOUBLE
+         |      + 2.66 * (smr::DOUBLE / n_mr::DOUBLE) AS ucl,
+         |    s::DOUBLE / n_days::DOUBLE
+         |      - 2.66 * (smr::DOUBLE / n_mr::DOUBLE) AS lcl
+         |  FROM st WHERE n_mr >= 1),
+         |f AS (
+         |  SELECT l.event_type, l.day, l.y, m.n_days, m.ybar, m.ucl,
+         |    m.lcl,
+         |    CASE WHEN l.y::DOUBLE > m.ucl OR l.y::DOUBLE < m.lcl
+         |      THEN 1 ELSE 0 END AS viol,
+         |    CASE WHEN l.y * m.n_days > m.s THEN 1 ELSE 0 END AS side
+         |  FROM l JOIN lim m ON l.event_type = m.event_type),
+         |r AS (
+         |  SELECT *,
+         |    sum(side) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS run8,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+         |      AS rn
+         |  FROM f)
+         |SELECT event_type, max(n_days)::BIGINT AS n_days,
+         |  round(max(ybar), 6) AS ybar, round(max(ucl), 6) AS ucl,
+         |  round(max(lcl), 6) AS lcl,
+         |  sum(viol)::BIGINT AS n_viol,
+         |  sum(CASE WHEN rn >= 8 AND (run8 = 8 OR run8 = 0)
+         |    THEN 1 ELSE 0 END)::BIGINT AS n_run_signals
+         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // B66 twin: recursive CTE running the textually identical GARCH
+    // update in the same day order, the same (1.0 - 0.1 - 0.8)·var
+    // omega EXPRESSION (1−0.9 is not the double 0.1)
+    "q_garch" ->
+      s"""WITH RECURSIVE d AS ($dailyCountsSql),
+         |pts AS (
+         |  SELECT event_type, y::DOUBLE AS yd,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+         |      AS t
+         |  FROM d),
+         |st AS (
+         |  SELECT event_type, count(*)::BIGINT AS n,
+         |    sum(y)::BIGINT AS s, sum(y*y)::BIGINT AS q
+         |  FROM d GROUP BY 1),
+         |base AS (
+         |  SELECT event_type, n,
+         |    s::DOUBLE / n::DOUBLE AS mu,
+         |    (n*q - s*s)::DOUBLE / (n*(n-1))::DOUBLE AS var0
+         |  FROM st WHERE n >= 3 AND n*q - s*s > 0),
+         |om AS (
+         |  SELECT *, (1.0 - 0.1 - 0.8) * var0 AS om FROM base),
+         |g AS (
+         |  SELECT o.event_type, 1 AS t, o.n, o.mu, o.om,
+         |    o.var0 AS s2, o.var0 AS mx, p.yd AS pv, o.var0
+         |  FROM om o JOIN pts p
+         |    ON p.event_type = o.event_type AND p.t = 1
+         |  UNION ALL
+         |  SELECT g.event_type, g.t + 1, g.n, g.mu, g.om,
+         |    g.om + 0.1 * (g.pv - g.mu) * (g.pv - g.mu) + 0.8 * g.s2,
+         |    greatest(g.mx,
+         |      g.om + 0.1 * (g.pv - g.mu) * (g.pv - g.mu) + 0.8 * g.s2),
+         |    p.yd, g.var0
+         |  FROM g JOIN pts p
+         |    ON p.event_type = g.event_type AND p.t = g.t + 1)
+         |SELECT g.event_type, g.n AS n_days,
+         |  round(g.var0, 6) AS var_uncond,
+         |  round(g.s2, 6) AS sigma2_last, round(g.mx, 6) AS sigma2_max
+         |FROM g WHERE g.t = g.n ORDER BY g.event_type""".stripMargin,
     // B62 twin: recursive CTE running the textually identical
     // coupled EWMA updates in the same day order, same 0.1/0.95
     // literals

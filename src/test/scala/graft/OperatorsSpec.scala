@@ -2655,6 +2655,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.contains("flat"), "constant series must be excluded")
   }
 
+  test("B66 garch: hand-folded variance recursion exact, constant series excluded") {
+    import graft.operators.Resilience
+    val got = Resilience.garch(dailyEvents(
+        "osc" -> Seq(2, 4, 2, 4),
+        "flat" -> Seq(4, 4, 4, 4)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(!got.contains("flat"), "zero-variance series must be excluded")
+    // replicate the exact double sequence: mu=3, var0=16/12, om=(1-.1-.8)*var0
+    val mu = 12.0 / 4.0; val var0 = 16.0 / 12.0
+    val om = (1.0 - 0.1 - 0.8) * var0
+    def step(s2: Double, pv: Double) =
+      om + 0.1 * (pv - mu) * (pv - mu) + 0.8 * s2
+    val s2a = step(var0, 2.0); val s2b = step(s2a, 4.0)
+    val s2c = step(s2b, 2.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("osc") == ((4L, r6(var0), r6(s2c),
+      r6(Seq(var0, s2a, s2b, s2c).max))), s"got ${got("osc")}")
+  }
+
+  test("B67 control chart: moving-range limits catch the spike, 8-run rule fires both sides") {
+    import graft.operators.Resilience
+    val got = Resilience.controlChart(dailyEvents(
+        "spike" -> Seq(10, 10, 10, 10, 50),
+        "shift" -> (Seq.fill(8)(1) ++ Seq.fill(8)(3))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(5), r.getLong(6)))).toMap
+    // spike: mRbar = 40/4 = 10, ucl = 18 + 26.6 = 44.6 -> one y=50 out;
+    // runs need 8 days of history on one side: none
+    assert(got("spike") == ((5L, 1L, 0L)), s"spike: ${got("spike")}")
+    // shift: limits hug ybar (mRbar = 2/15) so BOTH levels violate;
+    // the run rule fires at day 8 (all-below) and day 16 (all-above)
+    assert(got("shift") == ((16L, 16L, 2L)), s"shift: ${got("shift")}")
+  }
+
   test("B62 croston: hand-folded intermittent series exact, single demand excluded") {
     import graft.operators.Resilience
     // demands 4@d0, 6@d10, 2@d12 -> z: 4 -> 4.2 -> 3.98;
