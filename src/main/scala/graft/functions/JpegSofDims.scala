@@ -56,8 +56,9 @@ case class JpegSofDims(child: Expression) extends UnaryExpression {
          |  if (($buf[$p] & 0xFF) == 0xFF && ($m & 0xF0) == 0xC0
          |      && $m != 0xC4 && $m != 0xC8 && $m != 0xCC) {
          |    if ($p + 8 < $lim) {
-         |      $out = ((long)((($buf[$p + 7] & 0xFF) << 8) | ($buf[$p + 8] & 0xFF)) << 32)
-         |        | (long)((($buf[$p + 5] & 0xFF) << 8) | ($buf[$p + 6] & 0xFF));
+         |      long ${out}w = (long)((($buf[$p + 7] & 0xFF) << 8) | ($buf[$p + 8] & 0xFF));
+         |      long ${out}h = (long)((($buf[$p + 5] & 0xFF) << 8) | ($buf[$p + 6] & 0xFF));
+         |      $out = (${out}w << 32) | ${out}h;
          |    }
          |    break;
          |  }

@@ -2776,8 +2776,109 @@ object Resilience {
           .as("tau_b"))
   }
 
+  /** B68 KRUSKAL-WALLIS H test across event types (Kruskal &
+    * Wallis 1952 — the k-group rank ANOVA: B41's Mann-Whitney asks
+    * "do these TWO cohorts differ", B41/A41's ANOVA assumes
+    * normality; KW asks "do any of the k types' daily-volume
+    * distributions differ" with no distributional assumption — the
+    * first test an on-call analyst runs over a fleet of segments):
+    * global average ranks over the pooled daily counts,
+    * H = 12/(N(N+1))·Σᵢ Rᵢ²/nᵢ − 3(N+1), tie-corrected by
+    * C = 1 − Σ(t³−t)/(N³−N).
+    *
+    * Exactness: DOUBLED average ranks are integers —
+    * rank2(v) = 2·|{y < v}| + t(v) + 1 — computed on the
+    * VALUE-DOMAIN frame (distinct daily counts, bounded, never a
+    * corpus window) and joined back, so rank sums R2ᵢ are exact
+    * BIGINTs and Σᵢ Rᵢ²/nᵢ = Σᵢ R2ᵢ²/(4nᵢ) has decimal(38,0)
+    * numerators; each group contributes ONE IEEE division and the k
+    * doubles fold in event_type order through one `aggregate`
+    * mirrored textually by the DuckDB list_reduce (the B66
+    * contract). The tie term Σ(t³−t) and N³−N stay integer to one
+    * final division. */
+  def kruskalWallis(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = dailyTyped(events)
+    // value-domain frame: one row per distinct daily count
+    val freq = pts.groupBy($"y").agg(count(lit(1)).as("t"))
+    val wv = Window.orderBy($"y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = freq
+      .withColumn("less", coalesce(sum($"t").over(wv), lit(0L)))
+      .withColumn("rank2", lit(2L) * $"less" + $"t" + lit(1L))
+      .select($"y", $"rank2")
+    val grp = pts.join(broadcast(ranked), "y")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("ni"), sum($"rank2").as("r2"))
+    val tot = grp.agg(
+      count(lit(1)).as("k"), sum($"ni").as("nn"),
+      expr("array_sort(collect_list(struct(event_type, " +
+        "cast(r2 as decimal(38,0)) * r2 as r2sq, " +
+        "cast(ni as double) as nid)))").as("terms"))
+    val tie = freq.agg(sum($"t" * $"t" * $"t" - $"t").as("tie3"))
+    tot.crossJoin(tie)
+      .filter($"k" >= 2L && $"nn" >= 3L)
+      // Σᵢ R2ᵢ²/(4nᵢ), one division per group, event_type-ordered fold
+      .withColumn("a", expr(
+        "aggregate(terms, cast(0.0 as double), " +
+          "(acc, x) -> acc + cast(x.r2sq as double) / x.nid)"))
+      .withColumn("h", lit(3.0) * $"a" /
+        ($"nn" * ($"nn" + 1L)).cast("double") -
+        lit(3.0) * ($"nn" + 1L).cast("double"))
+      .withColumn("c", lit(1.0) - $"tie3".cast("double") /
+        ($"nn" * $"nn" * $"nn" - $"nn").cast("double"))
+      .select($"k", $"nn".as("n_obs"), ($"k" - 1L).as("df"),
+        round($"h", 6).as("h"),
+        when($"c" > 0.0, round($"h" / $"c", 6)).as("h_tie_corrected"))
+  }
+
+  /** B69 FRIEDMAN test over complete day blocks (Friedman 1937 —
+    * the within-block rank test: B68 pools all days into one rank
+    * pool, so a shared day-of-week swell drowns the signal; Friedman
+    * ranks the k event types WITHIN each day, removing every
+    * day-level shift — "does some type consistently out-volume the
+    * others, day after day"): blocks = days where all k types
+    * appear, χ²_F = 12/(nk(k+1))·Σⱼ Rⱼ² − 3n(k+1) with
+    * average-rank ties.
+    *
+    * Exactness: in-block doubled ranks are integers via the same
+    * 2·less + t + 1 identity (k rows per block, a keyed window over
+    * a k-row partition); Rⱼ2 = 2Rⱼ sums are exact BIGINTs, so
+    * Σ Rⱼ2² is ONE order-free decimal(38,0) integer sum — no float
+    * fold at all — and the statistic is a single IEEE division:
+    * χ²_F = 3·ΣRⱼ2²/(nk(k+1)) − 3n(k+1). */
+  def friedman(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = dailyTyped(events)
+    val kRow = pts.agg(countDistinct($"event_type").as("k"))
+    val dayCnt = pts.groupBy($"day").agg(count(lit(1)).as("c"))
+    val full = pts.join(broadcast(dayCnt), "day")
+      .crossJoin(broadcast(kRow)).filter($"c" === $"k")
+    val wLess = Window.partitionBy($"day").orderBy($"y")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val ranked = full
+      .withColumn("less", coalesce(count(lit(1)).over(wLess), lit(0L)))
+      .withColumn("teq", count(lit(1)).over(
+        Window.partitionBy($"day", $"y")))
+      .withColumn("rank2", lit(2L) * $"less" + $"teq" + lit(1L))
+    val grp = ranked.groupBy($"event_type")
+      .agg(max($"k").as("k"), count(lit(1)).as("n"),
+        sum($"rank2").as("rj2"))
+    grp.agg(max($"k").as("k"), max($"n").as("n_blocks"),
+        sum($"rj2".cast("decimal(38,0)") * $"rj2").as("ssq"))
+      .filter($"k" >= 2L && $"n_blocks" >= 2L)
+      .withColumn("chi2_f",
+        lit(3.0) * $"ssq".cast("double") /
+          ($"n_blocks" * $"k" * ($"k" + 1L)).cast("double") -
+          lit(3.0) * ($"n_blocks" * ($"k" + 1L)).cast("double"))
+      .select($"k", $"n_blocks", ($"k" - 1L).as("df"),
+        round($"chi2_f", 6).as("chi2_f"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chow" -> ((s, dir) => chowBreak(Tables.events(s, dir))),
+    "q_kruskal_wallis" -> ((s, dir) => kruskalWallis(Tables.events(s, dir))),
+    "q_friedman" -> ((s, dir) => friedman(Tables.events(s, dir))),
     "q_control_chart" -> ((s, dir) => controlChart(Tables.events(s, dir))),
     "q_garch" -> ((s, dir) => garch(Tables.events(s, dir))),
     "q_croston" -> ((s, dir) => croston(Tables.events(s, dir))),
@@ -2942,6 +3043,75 @@ object Resilience {
          |  FROM c JOIN wm ON c.event_type = wm.event_type)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B68 twin: same doubled-average-rank integers on the value-
+    // domain frame, HUGEINT rank-sum squares (== decimal(38,0)),
+    // one division per group folded in the same event_type order
+    // via list_reduce (0.0+t1 = t1 exactly, so the Spark aggregate
+    // init folds identically), integer tie term to one division
+    "q_kruskal_wallis" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |f AS (SELECT y, count(*)::BIGINT AS t FROM d GROUP BY 1),
+         |r AS (
+         |  SELECT y, 2 * coalesce(sum(t) OVER (ORDER BY y
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + t + 1 AS rank2
+         |  FROM f),
+         |j AS (SELECT d.event_type, r.rank2 FROM d JOIN r USING (y)),
+         |g AS (
+         |  SELECT event_type, count(*)::BIGINT AS ni,
+         |    sum(rank2)::BIGINT AS r2
+         |  FROM j GROUP BY 1),
+         |tot AS (
+         |  SELECT count(*)::BIGINT AS k, sum(ni)::BIGINT AS nn,
+         |    list(struct_pack(event_type := event_type,
+         |        r2sq := r2::HUGEINT * r2, nid := ni::DOUBLE)
+         |      ORDER BY event_type) AS terms
+         |  FROM g),
+         |tie AS (SELECT sum(t*t*t - t)::BIGINT AS tie3 FROM f),
+         |h AS (
+         |  SELECT k, nn, tie3,
+         |    list_reduce(list_transform(terms,
+         |      x -> x.r2sq::DOUBLE / x.nid), (a, b) -> a + b) AS a
+         |  FROM tot, tie WHERE k >= 2 AND nn >= 3)
+         |SELECT k, nn AS n_obs, k - 1 AS df,
+         |  round(3.0 * a / (nn * (nn + 1))::DOUBLE
+         |    - 3.0 * (nn + 1)::DOUBLE, 6) AS h,
+         |  CASE WHEN 1.0 - tie3::DOUBLE / (nn*nn*nn - nn)::DOUBLE > 0.0
+         |    THEN round((3.0 * a / (nn * (nn + 1))::DOUBLE
+         |        - 3.0 * (nn + 1)::DOUBLE)
+         |      / (1.0 - tie3::DOUBLE / (nn*nn*nn - nn)::DOUBLE), 6)
+         |    END AS h_tie_corrected
+         |FROM h""".stripMargin,
+    // B69 twin: same in-block 2·less + t + 1 rank integers (RANGE
+    // window == Spark's rangeBetween on the integer count), the
+    // rank-sum-square total is one order-free HUGEINT sum, one IEEE
+    // division at the end
+    "q_friedman" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |kk AS (SELECT count(DISTINCT event_type)::BIGINT AS k FROM d),
+         |dc AS (SELECT day, count(*)::BIGINT AS c FROM d GROUP BY 1),
+         |fb AS (
+         |  SELECT d.event_type, d.day, d.y, kk.k
+         |  FROM d JOIN dc ON d.day = dc.day CROSS JOIN kk
+         |  WHERE dc.c = kk.k),
+         |r AS (
+         |  SELECT event_type, k,
+         |    2 * coalesce(count(*) OVER (PARTITION BY day ORDER BY y
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + count(*) OVER (PARTITION BY day, y) + 1 AS rank2
+         |  FROM fb),
+         |g AS (
+         |  SELECT event_type, max(k)::BIGINT AS k,
+         |    count(*)::BIGINT AS n, sum(rank2)::BIGINT AS rj2
+         |  FROM r GROUP BY 1),
+         |t AS (
+         |  SELECT max(k)::BIGINT AS k, max(n)::BIGINT AS n_blocks,
+         |    sum(rj2::HUGEINT * rj2) AS ssq
+         |  FROM g)
+         |SELECT k, n_blocks, k - 1 AS df,
+         |  round(3.0 * ssq::DOUBLE / (n_blocks * k * (k + 1))::DOUBLE
+         |    - 3.0 * (n_blocks * (k + 1))::DOUBLE, 6) AS chi2_f
+         |FROM t WHERE k >= 2 AND n_blocks >= 2""".stripMargin,
     // B60 twin: identical integer moments, HUGEINT cross-products
     // (== Spark's decimal(38,0)), one double cast per SSE, same F
     // tail and guards

@@ -2677,6 +2677,44 @@ class OperatorsSpec extends AnyFunSuite {
       r6(Seq(var0, s2a, s2b, s2c).max))), s"got ${got("osc")}")
   }
 
+  test("B68 kruskal-wallis: hand-ranked H exact, tie correction rescales") {
+    import graft.operators.Resilience
+    // no ties: a={1,2} b={3,4} -> ranks 1,2|3,4; Ra=3, Rb=7
+    // H = 12/(4*5)*(9/2 + 49/2) - 3*5 = 2.4; C = 1
+    val r1 = Resilience.kruskalWallis(dailyEvents(
+      "a" -> Seq(1, 2), "b" -> Seq(3, 4))).collect()
+    assert(r1.length == 1)
+    assert((r1(0).getLong(0), r1(0).getLong(1), r1(0).getLong(2),
+      r1(0).getDouble(3), r1(0).getDouble(4)) == ((2L, 4L, 1L, 2.4, 2.4)))
+    // ties: a={1,1} b={2} -> avg ranks 1.5,1.5,3; H = 1.5;
+    // tie3 = 2^3-2 = 6, C = 1 - 6/24 = 0.75, Hc = 2.0
+    val r2 = Resilience.kruskalWallis(dailyEvents(
+      "a" -> Seq(1, 1), "b" -> Seq(2))).collect()
+    assert((r2(0).getDouble(3), r2(0).getDouble(4)) == ((1.5, 2.0)))
+  }
+
+  test("B69 friedman: within-day ranks exact, incomplete blocks drop") {
+    import graft.operators.Resilience
+    // 3 complete days: ranks a=(1,1,3) b=(2,2,2) c=(3,3,1) ->
+    // Rj = 5,6,7; chi2 = 12/(3*3*4)*110 - 36 = 2/3
+    val r1 = Resilience.friedman(dailyEvents(
+      "a" -> Seq(1, 1, 3), "b" -> Seq(2, 2, 2),
+      "c" -> Seq(3, 3, 1))).collect()
+    assert(r1.length == 1)
+    assert((r1(0).getLong(0), r1(0).getLong(1), r1(0).getLong(2),
+      r1(0).getDouble(3)) == ((3L, 3L, 2L, 0.666667)))
+    // tie inside day0 (2,2 -> rank2 3,3), day1 ranks 1,2:
+    // Rj2 = 5,7 -> chi2 = 3*74/(2*2*3) - 18 = 0.5
+    val r2 = Resilience.friedman(dailyEvents(
+      "a" -> Seq(2, 1), "b" -> Seq(2, 3))).collect()
+    assert(r2(0).getDouble(3) == 0.5)
+    // a day missing one type is not a complete block: with only one
+    // block left the test is undefined -> empty frame
+    val r3 = Resilience.friedman(dailyEvents(
+      "a" -> Seq(2, 5), "b" -> Seq(2))).collect()
+    assert(r3.isEmpty)
+  }
+
   test("B67 control chart: moving-range limits catch the spike, 8-run rule fires both sides") {
     import graft.operators.Resilience
     val got = Resilience.controlChart(dailyEvents(
