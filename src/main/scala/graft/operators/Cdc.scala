@@ -1147,7 +1147,85 @@ object Cdc {
           coalesce($"maxgap_x", lit(0L))).as("max_gap"))
   }
 
+  /** C65 INTER-ARRIVAL burstiness profile per event type (the
+    * ops-monitor companion of C63's id-space gaps: C63 audits WHAT
+    * arrived, this audits WHEN — a Poisson-ish feed has CV ≈ 1;
+    * CV ≫ 1 means bursts + silences, the regime where per-second
+    * autoscaling and watermark settings both need headroom): gap
+    * count, mean gap, coefficient of variation, and the
+    * Goh-Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1).
+    *
+    * 100 TB shape: NO per-type global sort — the gap multiset of a
+    * sorted sequence decomposes exactly by the A45/F14 two-level
+    * split (within-day gaps from a (type, day)-keyed window +
+    * day-boundary gaps from the day-summary frame: min_us(next) −
+    * max_us(prev) — tie order inside equal timestamps permutes only
+    * zero gaps, so the multiset is order-invariant). Σg and Σg² are
+    * exact BIGINT/decimal(38,0); sample variance
+    * (n·Σg²−(Σg)²)/(n(n−1)) is one decimal→double division, then a
+    * pinned sqrt/divide tail. */
+  def interarrival(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val e = events.select($"event_type", unix_micros($"ts").as("us"),
+      to_date($"ts").as("day"), $"event_id")
+    val wIn = Window.partitionBy($"event_type", $"day")
+      .orderBy($"us", $"event_id")
+    val inner = e.withColumn("g", $"us" - lag($"us", 1).over(wIn))
+      .filter($"g".isNotNull).select($"event_type", $"g")
+    val daySum = e.groupBy($"event_type", $"day")
+      .agg(min($"us").as("mn"), max($"us").as("mx"))
+    val wD = Window.partitionBy($"event_type").orderBy($"day")
+    val bound = daySum
+      .withColumn("g", $"mn" - lag($"mx", 1).over(wD))
+      .filter($"g".isNotNull).select($"event_type", $"g")
+    inner.unionByName(bound)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum($"g").as("sg"),
+        sum($"g".cast("decimal(38,0)") * $"g").as("sq"))
+      .filter($"n_gaps" >= 2L && $"sg" > 0L)
+      .withColumn("mean_us",
+        $"sg".cast("double") / $"n_gaps".cast("double"))
+      .withColumn("sd", sqrt(expr(
+        "cast(cast(n_gaps as decimal(38,0)) * sq - cast(sg as " +
+          "decimal(38,0)) * sg as double)" +
+          " / cast(n_gaps * (n_gaps - 1) as double)")))
+      .select($"event_type", $"n_gaps",
+        round($"mean_us", 6).as("mean_us"),
+        round($"sd" / $"mean_us", 6).as("cv"),
+        round(($"sd" - $"mean_us") / ($"sd" + $"mean_us"), 6)
+          .as("burstiness"))
+      .orderBy($"event_type")
+  }
+
+  /** C66 McNEMAR paired-proportion test (McNemar 1947 — the paired
+    * twin of A47's two-sample z: each USER is their own control, so
+    * "do more users click than purchase" is decided ONLY by the
+    * discordant pairs b = click-only, c = purchase-only;
+    * χ² = (|b−c|−1)²/(b+c) with Edwards' continuity correction —
+    * the concordant mass that swamps an unpaired test cancels out).
+    * One hash aggregate per user then one global row: every count
+    * exact integer, the statistic ONE integer²/integer division. */
+  def mcnemar(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val flags = events.groupBy($"user_id")
+      .agg(max(($"event_type" === "click").cast("long")).as("a"),
+        max(($"event_type" === "purchase").cast("long")).as("b"))
+    flags
+      .agg(count(lit(1)).as("n_users"),
+        sum($"a" * $"b").as("n_both"),
+        sum($"a" * (lit(1L) - $"b")).as("n_click_only"),
+        sum((lit(1L) - $"a") * $"b").as("n_purchase_only"))
+      .withColumn("chi2", when($"n_click_only" + $"n_purchase_only" > 0L,
+        round(((abs($"n_click_only" - $"n_purchase_only") - 1L) *
+          (abs($"n_click_only" - $"n_purchase_only") - 1L)).cast("double")
+          / ($"n_click_only" + $"n_purchase_only").cast("double"), 6)))
+      .withColumn("significant",
+        coalesce(($"chi2" > 3.841).cast("long"), lit(0L)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_interarrival" -> onEvents(interarrival),
+    "cdc_mcnemar" -> onEvents(mcnemar),
     "cdc_gap_detect" -> onEvents(e => gapDetect(e)),
     "cdc_lag_quantiles" -> onEvents(lagQuantiles),
     "cdc_intervals" -> onEvents(e => intervalUnion(e)),
@@ -1263,6 +1341,58 @@ object Cdc {
   }
 
   val oracles: Map[String, String] = Map(
+    // C65 twin: one global per-type lag (oracle-scale) — the gap
+    // multiset equals the two-level day decomposition exactly
+    // (sorted-sequence differences; tie order permutes only zeros),
+    // so the integer sums and the one-division tail replay
+    "cdc_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |      PARTITION BY event_type ORDER BY epoch_us(ts), event_id)
+        |      AS g
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_gaps,
+        |    sum(g)::BIGINT AS sg, sum(g::HUGEINT * g) AS sq
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1),
+        |s AS (
+        |  SELECT event_type, n_gaps,
+        |    sg::DOUBLE / n_gaps::DOUBLE AS mean_us,
+        |    sqrt((n_gaps::HUGEINT * sq - sg::HUGEINT * sg)::DOUBLE
+        |      / (n_gaps * (n_gaps - 1))::DOUBLE) AS sd
+        |  FROM a WHERE n_gaps >= 2 AND sg > 0)
+        |SELECT event_type, n_gaps, round(mean_us, 6) AS mean_us,
+        |  round(sd / mean_us, 6) AS cv,
+        |  round((sd - mean_us) / (sd + mean_us), 6) AS burstiness
+        |FROM s ORDER BY event_type""".stripMargin,
+    // C66 twin: identical per-user flag aggregate, integer discordant
+    // counts, the same continuity-corrected one-division statistic
+    "cdc_mcnemar" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS a,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS b
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT count(*)::BIGINT AS n_users,
+        |    sum(a * b)::BIGINT AS n_both,
+        |    sum(a * (1 - b))::BIGINT AS n_click_only,
+        |    sum((1 - a) * b)::BIGINT AS n_purchase_only
+        |  FROM f)
+        |SELECT n_users, n_both, n_click_only, n_purchase_only,
+        |  CASE WHEN n_click_only + n_purchase_only > 0 THEN
+        |    round(((abs(n_click_only - n_purchase_only) - 1)
+        |      * (abs(n_click_only - n_purchase_only) - 1))::DOUBLE
+        |      / (n_click_only + n_purchase_only)::DOUBLE, 6) END AS chi2,
+        |  coalesce((CASE WHEN n_click_only + n_purchase_only > 0 THEN
+        |    round(((abs(n_click_only - n_purchase_only) - 1)
+        |      * (abs(n_click_only - n_purchase_only) - 1))::DOUBLE
+        |      / (n_click_only + n_purchase_only)::DOUBLE, 6) > 3.841
+        |    END)::BIGINT, 0) AS significant
+        |FROM t""".stripMargin,
     // C63 twin: one global lead over distinct ids (oracle-scale) —
     // equals the two-level decomposition exactly in integers
     "cdc_gap_detect" ->

@@ -2875,10 +2875,71 @@ object Resilience {
         round($"chi2_f", 6).as("chi2_f"))
   }
 
+  /** B70 JARQUE-BERA normality test per event type (Jarque & Bera
+    * 1980 — the moment-based "is Gaussian even plausible" gate in
+    * front of every σ-based monitor in the B-track: B22's z-scores,
+    * B31's bands and B67's limits all assume approximate normality;
+    * JB prices that assumption from skewness and kurtosis:
+    * JB = n/6·(S² + (K−3)²/4)).
+    *
+    * Exactness: central moments are SHIFT-INVARIANT, so the daily
+    * counts first demean by the INTEGER shift s div n — residuals
+    * are spread-sized, not magnitude-sized, which keeps every power
+    * sum exact decimal(38,0) (== HUGEINT) far past the raw-count
+    * overflow bound (a raw Σy⁴ wraps 38 digits at ~10⁹·daily already;
+    * the shifted sums survive any magnitude with bounded spread).
+    * The three moment numerators are integer polynomials in the
+    * shifted sums (n·s2−s1², n²·s3−3n·s1·s2+2s1³,
+    * n³·s4−4n²·s1·s3+6n·s1²·s2−3s1⁴); ONE decimal→double cast and
+    * division each, then S = m3/(m2·√m2) (repeated multiplication,
+    * never pow — the B55 lesson) and K = m4/m2² in a pinned IEEE
+    * tail. Zero-variance series excluded. */
+  def jarqueBera(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = dailyTyped(events)
+    val st = pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"y").as("s"))
+    val pw = pts.join(broadcast(st), "event_type")
+      .withColumn("yp", $"y" - expr("s div n"))
+    val m = pw.groupBy($"event_type")
+      .agg(max($"n").as("n"),
+        sum($"yp").cast("decimal(38,0)").as("s1"),
+        sum($"yp".cast("decimal(38,0)") * $"yp").as("s2"),
+        sum($"yp".cast("decimal(38,0)") * $"yp" * $"yp").as("s3"),
+        sum($"yp".cast("decimal(38,0)") * $"yp" * $"yp" * $"yp")
+          .as("s4"))
+      .filter($"n" >= 4L)
+    m
+      .withColumn("m2", expr(
+        "cast(cast(n as decimal(38,0)) * s2 - s1 * s1 as double)" +
+          " / cast(n * n as double)"))
+      .withColumn("m3", expr(
+        "cast(cast(n as decimal(38,0)) * n * s3" +
+          " - 3 * cast(n as decimal(38,0)) * s1 * s2" +
+          " + 2 * s1 * s1 * s1 as double) / cast(n * n * n as double)"))
+      .withColumn("m4", expr(
+        "cast(cast(n as decimal(38,0)) * n * n * s4" +
+          " - 4 * cast(n as decimal(38,0)) * n * s1 * s3" +
+          " + 6 * cast(n as decimal(38,0)) * s1 * s1 * s2" +
+          " - 3 * s1 * s1 * s1 * s1 as double)" +
+          " / cast(n * n * n * n as double)"))
+      .filter($"m2" > 0.0)
+      .withColumn("sk", $"m3" / ($"m2" * sqrt($"m2")))
+      .withColumn("ku", $"m4" / ($"m2" * $"m2"))
+      .select($"event_type", $"n".as("n_days"),
+        round($"sk", 6).as("skewness"), round($"ku", 6).as("kurtosis"),
+        round($"n".cast("double") / lit(6.0) *
+          ($"sk" * $"sk" +
+            ($"ku" - lit(3.0)) * ($"ku" - lit(3.0)) / lit(4.0)), 6)
+          .as("jb"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chow" -> ((s, dir) => chowBreak(Tables.events(s, dir))),
     "q_kruskal_wallis" -> ((s, dir) => kruskalWallis(Tables.events(s, dir))),
     "q_friedman" -> ((s, dir) => friedman(Tables.events(s, dir))),
+    "q_jarque_bera" -> ((s, dir) => jarqueBera(Tables.events(s, dir))),
     "q_control_chart" -> ((s, dir) => controlChart(Tables.events(s, dir))),
     "q_garch" -> ((s, dir) => garch(Tables.events(s, dir))),
     "q_croston" -> ((s, dir) => croston(Tables.events(s, dir))),
@@ -3112,6 +3173,47 @@ object Resilience {
          |  round(3.0 * ssq::DOUBLE / (n_blocks * k * (k + 1))::DOUBLE
          |    - 3.0 * (n_blocks * (k + 1))::DOUBLE, 6) AS chi2_f
          |FROM t WHERE k >= 2 AND n_blocks >= 2""".stripMargin,
+    // B70 twin: same integer shift s//n (both engines floor on
+    // non-negative operands), HUGEINT shifted power sums, identical
+    // moment polynomials with one double cast+division each, same
+    // repeated-multiplication √m2 tail
+    "q_jarque_bera" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |st AS (
+         |  SELECT event_type, count(*)::BIGINT AS n,
+         |    sum(y)::BIGINT AS s
+         |  FROM d GROUP BY 1),
+         |p AS (
+         |  SELECT d.event_type, st.n, (d.y - st.s // st.n)::BIGINT AS yp
+         |  FROM d JOIN st USING (event_type)),
+         |m AS (
+         |  SELECT event_type, max(n)::BIGINT AS n,
+         |    sum(yp)::HUGEINT AS s1,
+         |    sum(yp::HUGEINT * yp) AS s2,
+         |    sum(yp::HUGEINT * yp * yp) AS s3,
+         |    sum(yp::HUGEINT * yp * yp * yp) AS s4
+         |  FROM p GROUP BY 1 HAVING count(*) >= 4),
+         |c AS (
+         |  SELECT event_type, n,
+         |    (n::HUGEINT * s2 - s1 * s1)::DOUBLE
+         |      / (n * n)::DOUBLE AS m2,
+         |    (n::HUGEINT * n * s3 - 3 * n::HUGEINT * s1 * s2
+         |      + 2 * s1 * s1 * s1)::DOUBLE
+         |      / (n * n * n)::DOUBLE AS m3,
+         |    (n::HUGEINT * n * n * s4 - 4 * n::HUGEINT * n * s1 * s3
+         |      + 6 * n::HUGEINT * s1 * s1 * s2
+         |      - 3 * s1 * s1 * s1 * s1)::DOUBLE
+         |      / (n * n * n * n)::DOUBLE AS m4
+         |  FROM m),
+         |f AS (
+         |  SELECT event_type, n, m3 / (m2 * sqrt(m2)) AS sk,
+         |    m4 / (m2 * m2) AS ku
+         |  FROM c WHERE m2 > 0.0)
+         |SELECT event_type, n AS n_days, round(sk, 6) AS skewness,
+         |  round(ku, 6) AS kurtosis,
+         |  round(n::DOUBLE / 6.0
+         |    * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0), 6) AS jb
+         |FROM f ORDER BY event_type""".stripMargin,
     // B60 twin: identical integer moments, HUGEINT cross-products
     // (== Spark's decimal(38,0)), one double cast per SSE, same F
     // tail and guards

@@ -2715,6 +2715,64 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3.isEmpty)
   }
 
+  test("B70 jarque-bera: shifted-moment skew/kurtosis exact, flat series excluded") {
+    import graft.operators.Resilience
+    val got = Resilience.jarqueBera(dailyEvents(
+        "a" -> Seq(1, 2, 3, 6), "flat" -> Seq(4, 4, 4, 4)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(!got.contains("flat"), "zero-variance series must be excluded")
+    // shift = 12 div 4 = 3, residuals (-2,-1,0,3):
+    // s2=14 s3=18 s4=98 -> m2=3.5 m3=4.5 m4=24.5
+    val m2 = 3.5; val m3 = 4.5; val m4 = 24.5
+    val sk = m3 / (m2 * math.sqrt(m2)); val ku = m4 / (m2 * m2)
+    val jb = 4.0 / 6.0 * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") == ((4L, r6(sk), r6(ku), r6(jb))), s"got ${got("a")}")
+  }
+
+  test("C65 interarrival: day-split gap multiset equals the sorted-sequence gaps") {
+    import spark.implicits._
+    // day0 seconds 0,10,10,40 then day1 second 0: gaps 10s, 0, 30s
+    // in-day + 86360s across the boundary
+    val df = Seq((0, 0), (0, 10), (0, 10), (0, 40), (1, 0))
+      .zipWithIndex.map { case ((d, sec), i) => (i.toLong, 1L, "a", d, sec) }
+      .toDF("event_id", "user_id", "event_type", "d", "sec")
+      .withColumn("ts", expr(
+        "to_timestamp('2024-01-01') + make_interval(0, 0, 0, d, 0, 0, sec)"))
+    val r = graft.operators.Cdc.interarrival(df).collect()(0)
+    val gaps = Seq(10L, 0L, 30L, 86360L).map(_ * 1000000L)
+    val n = gaps.length.toLong; val sg = gaps.sum
+    val sq = gaps.map(g => BigInt(g) * g).sum
+    val mean = sg.toDouble / n.toDouble
+    val sd = math.sqrt((BigDecimal(n * sq - sg * BigInt(sg))).toDouble /
+      (n * (n - 1)).toDouble)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4)) == (("a", n, r6(mean), r6(sd / mean),
+      r6((sd - mean) / (sd + mean)))), s"got $r")
+  }
+
+  test("C66 mcnemar: only discordant users decide, concordant-only feed is null") {
+    import spark.implicits._
+    def evs(rows: (Long, String)*) = rows.zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", expr("to_timestamp('2024-01-01')"))
+    // u1 click-only; u2-u4 purchase-only; u5 both; u6 neither
+    val r = graft.operators.Cdc.mcnemar(evs(
+      1L -> "click", 2L -> "purchase", 3L -> "purchase", 4L -> "purchase",
+      5L -> "click", 5L -> "purchase", 6L -> "view")).collect()(0)
+    // chi2 = (|1-3|-1)^2 / 4 = 0.25
+    assert(r.toSeq == Seq(6L, 1L, 1L, 3L, 0.25, 0L), s"got $r")
+    val nul = graft.operators.Cdc.mcnemar(evs(
+      1L -> "click", 1L -> "purchase")).collect()(0)
+    assert(nul.isNullAt(4) && nul.getLong(5) == 0L, s"got $nul")
+  }
+
   test("B67 control chart: moving-range limits catch the spike, 8-run rule fires both sides") {
     import graft.operators.Resilience
     val got = Resilience.controlChart(dailyEvents(
