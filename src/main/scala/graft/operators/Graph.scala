@@ -966,7 +966,61 @@ object Graph {
     harmonicFromSeeds(sp, seeds, 4)
   }
 
+  /** I14 RICH-CLUB connectivity profile (Zhou & Mondragón 2004 —
+    * "do the hubs trade with EACH OTHER or only fan out?": for each
+    * degree threshold k, φ(k) = 2·E_{>k}/(N_{>k}(N_{>k}−1)), the
+    * edge density among nodes of degree > k; a rising φ(k) means an
+    * oligarchic core, the structural fact behind skew planning —
+    * C10's salting exists because rich clubs exist).
+    *
+    * 100 TB shape: NO per-threshold corpus pass — degrees and
+    * per-edge min-endpoint-degrees reduce once into VALUE-DOMAIN
+    * histograms, and every threshold reads the histograms (a
+    * broadcast inequality join against the literal k ladder); all
+    * counts and the φ ppm stay exact integers. */
+  def richClub(edges: DataFrame, ks: Seq[Long]): DataFrame = {
+    import edges.sparkSession.implicits._
+    val deg = edges.select($"src".as("node"))
+      .unionByName(edges.select($"dst".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("deg"))
+    val em = edges
+      .join(deg.select($"node".as("src"), $"deg".as("ds")), "src")
+      .join(deg.select($"node".as("dst"), $"deg".as("dt")), "dst")
+      .select(least($"ds", $"dt").as("m"))
+    val degH = deg.groupBy($"deg").agg(count(lit(1)).as("c"))
+    val emH = em.groupBy($"m").agg(count(lit(1)).as("c"))
+    val kdf = ks.toDF("k")
+    val nk = kdf.join(broadcast(degH), $"deg" > $"k", "left")
+      .groupBy($"k").agg(coalesce(sum($"c"), lit(0L)).as("n_nodes"))
+    val ek = kdf.join(broadcast(emH), $"m" > $"k", "left")
+      .groupBy($"k").agg(coalesce(sum($"c"), lit(0L)).as("n_edges"))
+    nk.join(ek, "k")
+      .select($"k", $"n_nodes", $"n_edges",
+        when($"n_nodes" >= 2L, expr(
+          "2 * n_edges * 1000000 div (n_nodes * (n_nodes - 1))"))
+          .as("phi_ppm"))
+      .orderBy($"k")
+  }
+
+  /** q_rich_club: rich-club profile of the supplier↔customer trade
+    * graph over the k = 1..64 doubling ladder ('s'/'c' prefixes keep
+    * the key spaces disjoint; the graph is bipartite, so φ includes
+    * the same-side pairs a null model would exclude — stated: this
+    * grades hub-hub CONNECTIVITY concentration, not a z-score). */
+  def richClubTrade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(concat(lit("s"), $"l_suppkey".cast("string")).as("src"),
+        concat(lit("c"), $"o_custkey".cast("string")).as("dst"))
+      .distinct()
+    richClub(edges, Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rich_club" -> richClubTrade,
     "q_harmonic" -> harmonicSupplyChain,
     "q_ktruss" -> ktrussCoOrder,
     "q_sssp" -> ssspSupplyChain,
@@ -1209,6 +1263,38 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    // I14 twin: same distinct edges, same two histogram-free counts
+    // per threshold (oracle-scale direct sums), same integer ppm
+    "q_rich_club" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS src,
+        |    'c' || o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT src AS node FROM ed
+        |    UNION ALL SELECT dst AS node FROM ed)
+        |  GROUP BY 1),
+        |em AS (
+        |  SELECT least(d1.deg, d2.deg) AS m
+        |  FROM ed JOIN deg d1 ON ed.src = d1.node
+        |  JOIN deg d2 ON ed.dst = d2.node),
+        |ks AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64]::BIGINT[]) AS k),
+        |nk AS (
+        |  SELECT ks.k,
+        |    sum(CASE WHEN deg.deg > ks.k THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_nodes
+        |  FROM ks, deg GROUP BY 1),
+        |ek AS (
+        |  SELECT ks.k,
+        |    sum(CASE WHEN em.m > ks.k THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_edges
+        |  FROM ks, em GROUP BY 1)
+        |SELECT nk.k, n_nodes, n_edges,
+        |  CASE WHEN n_nodes >= 2 THEN
+        |    2 * n_edges * 1000000 // (n_nodes * (n_nodes - 1))
+        |  END AS phi_ppm
+        |FROM nk JOIN ek USING (k) ORDER BY k""".stripMargin,
     "q_harmonic" -> harmonicSql(4),
     "q_ktruss" -> ktrussSql(5, 2),
     "q_sssp" -> ssspSql(4),

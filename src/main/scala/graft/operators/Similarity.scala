@@ -1495,6 +1495,17 @@ object Similarity {
     }
     val codes = e.select($"vec_id", bitExprs.reduce(_.bitwiseOR(_)).as("code"))
       .localCheckpoint()
+    codeCascade(e, codes, shortlist)
+  }
+
+  /** Shared Hamming-shortlist → exact-cosine-rerank tail of the
+    * two-stage code cascades (E26 projection codes, E29 BQ codes):
+    * integer (ham, vec_id) shortlist through the bounded-heap
+    * TopKAgg, then the E10 re-rank contract (round-6 cosines, id
+    * tie) over ONLY queries×shortlist vectors. */
+  private def codeCascade(e: DataFrame, codes: DataFrame,
+      shortlist: Int): DataFrame = {
+    import e.sparkSession.implicits._
     val qc = codes.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"code".as("qcode"))
     val short = codes.join(broadcast(qc), $"vec_id" =!= $"q_id")
@@ -1515,6 +1526,33 @@ object Similarity {
       .filter($"rank" <= TopK)
       .select($"q_id", $"rank", $"vec_id", $"cos")
       .orderBy($"q_id", $"rank")
+  }
+
+  /** E29 BINARY-QUANTIZATION search — ONE sign bit per ORIGINAL
+    * dimension (the Lucene/Milvus-style BQ tier: E19/E26 hash
+    * through random hyperplanes, BQ keeps the axes themselves, so
+    * for roughly-centered encoders the 64-dim corpus compresses to
+    * ONE BIGINT per vector with NO projection arithmetic at encode
+    * time — the cheapest possible index build), cascaded exactly
+    * like E26: integer Hamming shortlist over the 8 B/vector code
+    * table, exact-cosine re-rank of only the shortlist.
+    *
+    * Sign bits are scale-invariant (code(λv) = code(v) for λ>0) and
+    * engine-exact: a float's sign survives the double cast
+    * bit-for-bit, so the oracle replays codes, shortlist, and
+    * re-rank identically. 100 TB: the corpus scan is 8 B/vector; a
+    * per-dim-median threshold (the balanced-bits refinement) would
+    * add one exact integer-rank pass — stated upgrade path. */
+  def annBq(vecs: DataFrame, shortlist: Int = 10): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = withNorm(vecs)
+    val bitExprs = (0 until 64).map { j =>
+      when(element_at($"v", j + 1) > lit(0.0f), lit(1L << j))
+        .otherwise(lit(0L))
+    }
+    val codes = e.select($"vec_id", bitExprs.reduce(_.bitwiseOR(_)).as("code"))
+      .localCheckpoint()
+    codeCascade(e, codes, shortlist)
   }
 
   /** E27 per-cell EMBEDDING DRIFT monitor (the production check
@@ -1635,6 +1673,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_maxsim" -> onVecs(maxSim),
     "ann_hamming_rerank" -> onVecs(v => hammingRerank(v)),
+    "ann_bq" -> onVecs(v => annBq(v)),
     "ann_drift" -> onVecs(embedDrift),
     "ann_hard_negatives" -> onVecs(v => hardNegatives(v)),
     "ann_knn_classify" -> onVecs(v => knnClassify(v)),
@@ -1724,6 +1763,24 @@ object Similarity {
       s"(CASE WHEN list_dot_product(v, ${planeLit(j)}) > 0" +
         s" THEN ${1L << j} ELSE 0 END)"
     }.mkString("\n    + ")
+    cascadeOracleSql(bits, shortlist)
+  }
+
+  /** E29 oracle: the identical per-dim sign-bit packing (DuckDB
+    * lists are 1-indexed like Spark element_at; a float's sign
+    * survives the DOUBLE[] cast exactly), then the shared cascade. */
+  private def bqOracleSql(shortlist: Int): String = {
+    val bits = (0 until 64).map { j =>
+      s"(CASE WHEN v[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n    + ")
+    cascadeOracleSql(bits, shortlist)
+  }
+
+  /** Shared twin of [[codeCascade]]: codes → integer Hamming
+    * shortlist → exact round-6 cosine re-rank (bit 63 lands as the
+    * BIGINT min-value literal — the left-to-right sum never
+    * overflows because bits 0..62 cap at 2⁶³−1). */
+  private def cascadeOracleSql(bits: String, shortlist: Int): String = {
     s"""WITH $eCte,
        |codes AS (SELECT vec_id,
        |    $bits AS code
@@ -2525,6 +2582,7 @@ object Similarity {
          |    / 1000000.0, 6) AS drift
          |FROM g ORDER BY cell""".stripMargin,
     "ann_hamming_rerank" -> hammingRerankOracleSql(shortlist = 10),
+    "ann_bq" -> bqOracleSql(shortlist = 10),
     "ann_rp" -> rpOracleSql,
     "ann_lsh" ->
       s"""WITH $eCte,

@@ -802,4 +802,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       3L -> ((2L, 1L, 500000L))))   // shares "b c d e f", adds "c d e f g"
     // doc 4 (< 5 words) carries no shingles and is absent by design
   }
+  test("E29 binary quantization: full-shortlist BQ equals brute force; signs are scale-invariant") {
+    import spark.implicits._
+    import graft.sources.Tables
+    // shortlist covering the whole corpus makes the cascade's rerank
+    // stage a brute-force scan: results must match E1 row-for-row
+    val bq = Similarity.annBq(Tables.embeddings(spark, sf),
+      shortlist = 600).collect().map(_.toSeq)
+    val bf = Similarity.bruteforce(Tables.embeddings(spark, sf))
+      .collect().map(_.toSeq)
+    assert(bq.toSeq == bf.toSeq,
+      s"full-shortlist BQ must equal brute force (${bq.length} rows)")
+    // planted: the positive-scaled twin shares the code AND wins the
+    // rerank with cosine exactly 1
+    val dim = 64
+    def vec(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
+    val base = vec(j => if (j % 3 == 0) 1.5f else -0.5f)
+    val vecs = Seq(
+      (0L, base, 0),
+      (1L, base.map(_ * 0.5f), 0),               // scaled twin
+      (2L, base.map(x => -x), 0),                 // antipode
+      (3L, vec(j => if (j % 2 == 0) 2f else -1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.annBq(vecs, shortlist = 1).collect()
+      .filter(_.getLong(0) == 0L).map(r => (r.getLong(2), r.getDouble(3)))
+    assert(top.toSeq == Seq((1L, 1.0)), s"got ${top.toSeq}")
+  }
 }

@@ -362,4 +362,18 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L),
       (2L, 3L, 2L), (2L, 4L, 2L), (3L, 4L, 2L)), s"got ${got.toSeq}")
   }
+  test("I14 rich club: star+triangle thresholds exact, degenerate club nulls") {
+    import spark.implicits._
+    // a-b, a-c, a-d, b-c: deg a=3, b=2, c=2, d=1;
+    // min-endpoint degrees: ab=2, ac=2, ad=1, bc=2
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"))
+      .toDF("src", "dst")
+    val got = Graph.richClub(edges, Seq(1L, 2L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // k=1: club {a,b,c} carries all of ab, ac, bc -> phi = 6/6 = 1
+    // k=2: club {a} alone -> phi undefined (null)
+    assert(got.toSeq == Seq((1L, 3L, 3L, 1000000L), (2L, 1L, 0L, -1L)),
+      s"got ${got.toSeq}")
+  }
 }
