@@ -1094,7 +1094,42 @@ object Multimodal {
     wavResample(payloads)
   }
 
+  /** G15 graded entry (`mm_image_entropy`): per-asset HISTOGRAM
+    * ENTROPY over REAL decoded GIF pixels — the standard "is this
+    * image information or filler" triage (a blank/banner asset
+    * carries near-zero gray entropy, a photo-like raster runs
+    * toward 8 bits; a media-curation pipeline prunes on exactly
+    * this before spending decode budget downstream): 256-bin gray
+    * histogram per doc through the [[imagePixels]] seam, Shannon
+    * H = −Σ p·ln p folded in BIN order (the F18 ordered-fold
+    * contract), mode share as exact integer ppm. Oracle replays the
+    * [[gifGray]] formula — a hash match proves decode + histogram +
+    * fold agree to the bit. */
+  private def gifEntropyEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long]
+      .map(id => (id,
+        gifBytes(id, (2 + id % 6).toInt, (5 + id % 4).toInt)))
+      .toDF("doc_id", "payload")
+    imagePixels(payloads)
+      .groupBy($"doc_id", $"r").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_px"), count(lit(1)).as("n_levels"),
+        max($"c").as("cmax"),
+        sort_array(collect_list(struct($"r", $"c"))).as("cs"))
+      .withColumn("entropy", round(expr(
+        """aggregate(transform(cs, x ->
+          |    - ((cast(x.c as double) / cast(n_px as double))
+          |      * ln(cast(x.c as double) / cast(n_px as double)))),
+          |  0D, (acc, x) -> acc + x)""".stripMargin), 6))
+      .select($"doc_id", $"n_px", $"n_levels",
+        expr("cmax * 1000000 div n_px").as("mode_ppm"), $"entropy")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_image_entropy" -> gifEntropyEntry,
     "mm_bmp_stats" -> bmpStatsEntry,
     "mm_png_stats" -> pngStatsEntry,
     "mm_gif_stats" -> gifStatsEntry,
@@ -1141,6 +1176,46 @@ object Multimodal {
         |  sum(g * ((x + 2) * (y + 5)))::BIGINT AS moment
         |FROM v GROUP BY doc_id, frame
         |ORDER BY doc_id, frame""".stripMargin,
+    // G15 twin: the gifGray formula replayed into the same 256-bin
+    // histogram, entropy folded in the same bin order (list_reduce
+    // == the Spark aggregate with 0.0 init), mode share integer ppm
+    "mm_image_entropy" ->
+      """WITH dims AS (
+        |  SELECT doc_id, (2 + doc_id % 6)::BIGINT AS w,
+        |    (5 + doc_id % 4)::BIGINT AS h
+        |  FROM documents),
+        |xs AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w::INT))::BIGINT AS x
+        |  FROM dims),
+        |px AS (
+        |  SELECT doc_id, w, h, x,
+        |    unnest(range(0, h::INT))::BIGINT AS y
+        |  FROM xs),
+        |v AS (
+        |  SELECT doc_id, (doc_id * 53 + y * 71 + x * 29) % 256 AS g
+        |  FROM px),
+        |cc AS (
+        |  SELECT doc_id, g, count(*)::BIGINT AS c
+        |  FROM v GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_px,
+        |    count(*)::BIGINT AS n_levels, max(c)::BIGINT AS cmax
+        |  FROM cc GROUP BY 1),
+        |parts AS (
+        |  SELECT cc.doc_id, cc.g,
+        |    - ((cc.c::DOUBLE / t.n_px::DOUBLE)
+        |      * ln(cc.c::DOUBLE / t.n_px::DOUBLE)) AS contrib
+        |  FROM cc JOIN tot t USING (doc_id)),
+        |agg AS (
+        |  SELECT doc_id,
+        |    list_reduce(list(contrib ORDER BY g), (acc, x) -> acc + x)
+        |      AS ent
+        |  FROM parts GROUP BY 1)
+        |SELECT t.doc_id, t.n_px, t.n_levels,
+        |  t.cmax * 1000000 // t.n_px AS mode_ppm,
+        |  round(agg.ent, 6) AS entropy
+        |FROM tot t JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // G13 twin: the gifGray formula replayed over the (x, y) grid —
     // a hash match proves the LZW + palette decode end to end
     "mm_gif_stats" ->

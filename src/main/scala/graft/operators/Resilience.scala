@@ -2935,8 +2935,136 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B71 VARIANCE-RATIO random-walk test per event type
+    * (Lo & MacKinlay 1988 — the "is this series a random walk, a
+    * trend, or mean-reverting" discriminator BEFORE the forecast
+    * ladder commits: under a random walk the variance of q-period
+    * differences is exactly q× the 1-period variance, so VR(q) > 1
+    * reads momentum, < 1 mean reversion; the plain uncorrected VR,
+    * not the bias-adjusted small-sample variant — stated):
+    * VR(q) = σ²_q/σ²_1 with σ²_q = (1/(nq))Σ(y_t − y_{t−q} − qμ̂)²,
+    * μ̂ = (y_n − y_0)/n, and the homoskedastic
+    * z = (VR−1)·√(nq)/√(2(2q−1)(q−1)/(3q)) for q ∈ {2, 4}.
+    *
+    * Exactness: μ̂ = D/n is rational, so both deviation sums clear
+    * denominators — A = Σ(n·Δ₁ − D)² and B_q = Σ(n·Δ_q − qD)² are
+    * exact decimal(38,0) (== HUGEINT), and VR = B_q/(q·A) is ONE
+    * division of two exact integers; the z tail is a pinned IEEE
+    * sqrt/divide chain with the q-constants written as the same
+    * literal arithmetic in both engines. */
+  def varianceRatio(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val wAll = Window.partitionBy($"event_type")
+    val pts = dailyTyped(events)
+      .withColumn("d1", $"y" - lag($"y", 1).over(w))
+      .withColumn("d2", $"y" - lag($"y", 2).over(w))
+      .withColumn("d4", $"y" - lag($"y", 4).over(w))
+      .withColumn("nobs", count(lit(1)).over(wAll))
+      .withColumn("dd", last($"y").over(
+        w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)) -
+        first($"y").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val agg = pts.groupBy($"event_type")
+      .agg(max($"nobs").as("m"), max($"dd").as("dd"),
+        count($"d1").as("n"),
+        sum(when($"d1".isNotNull,
+          (($"nobs" - 1L) * $"d1" - $"dd").cast("decimal(38,0)") *
+            (($"nobs" - 1L) * $"d1" - $"dd")).otherwise(lit(null)))
+          .as("a"),
+        sum(when($"d2".isNotNull,
+          (($"nobs" - 1L) * $"d2" - $"dd" * 2L).cast("decimal(38,0)") *
+            (($"nobs" - 1L) * $"d2" - $"dd" * 2L)).otherwise(lit(null)))
+          .as("b2"),
+        sum(when($"d4".isNotNull,
+          (($"nobs" - 1L) * $"d4" - $"dd" * 4L).cast("decimal(38,0)") *
+            (($"nobs" - 1L) * $"d4" - $"dd" * 4L)).otherwise(lit(null)))
+          .as("b4"))
+      .filter($"n" >= 8L && $"a" > 0)
+    val both = agg.select($"event_type", $"n", lit(2L).as("q"),
+        $"b2".as("braw"), $"a")
+      .unionByName(agg.select($"event_type", $"n", lit(4L).as("q"),
+        $"b4".as("braw"), $"a"))
+    both
+      // VR = B_q/(q·A): one division of two exact decimals
+      .withColumn("vr", $"braw".cast("double") /
+        ($"a" * $"q").cast("double"))
+      .select($"event_type", $"q", $"n".as("n_diffs"),
+        round($"vr", 6).as("vr"),
+        round(($"vr" - lit(1.0)) *
+          sqrt(($"n" * $"q").cast("double")) /
+          sqrt((lit(2.0) * ($"q" * 2L - 1L).cast("double") *
+            ($"q" - 1L).cast("double")) /
+            (lit(3.0) * $"q".cast("double"))), 6).as("z"))
+      .filter($"z".isNotNull)
+      .orderBy($"event_type", $"q")
+  }
+
+  /** B72 LEVENE/BROWN-FORSYTHE variance-homogeneity test across
+    * event types (Brown & Forsythe 1974 — the gate in FRONT of
+    * A41's ANOVA, which assumes equal group variances; the
+    * median-centered variant keeps the test honest under the skew
+    * B70 detects): W = ((N−k)/(k−1)) ·
+    * Σnᵢ(Z̄ᵢ−Z̄)² / ΣΣ(Zᵢⱼ−Z̄ᵢ)² on Z = |y − median|.
+    *
+    * Exactness: the per-type median doubles into an exact integer
+    * (med2 = 2·mid or the middle-pair sum via one ranked pass over
+    * the day-grid frame), so Z2 = |2y − med2| is integer and W is
+    * scale-invariant to the doubling (both quadratic forms carry
+    * 4×, which cancels). Between/within sums decompose into
+    * per-group one-division terms (Sᵢ²/nᵢ — the B68 contract)
+    * folded in event_type order; S²/N is one more division; the
+    * ratio is the only compound IEEE step. */
+  def levene(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val wR = Window.partitionBy($"event_type").orderBy($"y", $"day")
+    val wAll = Window.partitionBy($"event_type")
+    val pts = dailyTyped(events)
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("m", count(lit(1)).over(wAll))
+    val med = pts
+      .withColumn("wgt",
+        when($"m" % 2L === 1L && $"rn" === expr("(m + 1) div 2"), 2L)
+          .when($"m" % 2L === 0L &&
+            ($"rn" === expr("m div 2") ||
+              $"rn" === expr("m div 2 + 1")), 1L)
+          .otherwise(0L))
+      .groupBy($"event_type").agg(sum($"y" * $"wgt").as("med2"))
+    val z = pts.join(broadcast(med), "event_type")
+      .withColumn("z2", abs(lit(2L) * $"y" - $"med2"))
+    val grp = z.groupBy($"event_type")
+      .agg(count(lit(1)).as("ni"), sum($"z2").as("si"),
+        sum($"z2".cast("decimal(38,0)") * $"z2").as("qi"))
+    grp.agg(count(lit(1)).as("k"), sum($"ni").as("nn"),
+        sum($"si").as("s"),
+        expr("array_sort(collect_list(struct(event_type, " +
+          "cast(si as decimal(38,0)) * si as s2, " +
+          "cast(ni as double) as nid, cast(qi as double) as qid)))")
+          .as("terms"))
+      .filter($"k" >= 2L && $"nn" > $"k")
+      // Σᵢ Sᵢ²/nᵢ — one division per group, event_type-ordered fold
+      .withColumn("ssn", expr(
+        "aggregate(terms, cast(0.0 as double), " +
+          "(acc, x) -> acc + cast(x.s2 as double) / x.nid)"))
+      .withColumn("between", $"ssn" -
+        expr("cast(cast(s as decimal(38,0)) * s as double)") /
+          $"nn".cast("double"))
+      .withColumn("within", expr(
+        "aggregate(terms, cast(0.0 as double), " +
+          "(acc, x) -> acc + (x.qid - cast(x.s2 as double) / x.nid))"))
+      .filter($"within" > 0.0)
+      .select($"k", $"nn".as("n_obs"), ($"k" - 1L).as("df1"),
+        ($"nn" - $"k").as("df2"),
+        round((($"nn" - $"k").cast("double") /
+          ($"k" - 1L).cast("double")) * ($"between" / $"within"), 6)
+          .as("w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chow" -> ((s, dir) => chowBreak(Tables.events(s, dir))),
+    "q_variance_ratio" -> ((s, dir) => varianceRatio(Tables.events(s, dir))),
+    "q_levene" -> ((s, dir) => levene(Tables.events(s, dir))),
     "q_kruskal_wallis" -> ((s, dir) => kruskalWallis(Tables.events(s, dir))),
     "q_friedman" -> ((s, dir) => friedman(Tables.events(s, dir))),
     "q_jarque_bera" -> ((s, dir) => jarqueBera(Tables.events(s, dir))),
@@ -3173,6 +3301,94 @@ object Resilience {
          |  round(3.0 * ssq::DOUBLE / (n_blocks * k * (k + 1))::DOUBLE
          |    - 3.0 * (n_blocks * (k + 1))::DOUBLE, 6) AS chi2_f
          |FROM t WHERE k >= 2 AND n_blocks >= 2""".stripMargin,
+    // B71 twin: identical cleared-denominator deviation sums in
+    // HUGEINT, VR as the same single division, the z tail's
+    // q-constants written as the same literal arithmetic
+    "q_variance_ratio" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |w AS (
+         |  SELECT event_type, y,
+         |    y - lag(y, 1) OVER wd AS d1,
+         |    y - lag(y, 2) OVER wd AS d2,
+         |    y - lag(y, 4) OVER wd AS d4,
+         |    count(*) OVER (PARTITION BY event_type) AS nobs,
+         |    (last_value(y) OVER wf - first_value(y) OVER wf) AS dd
+         |  FROM d
+         |  WINDOW wd AS (PARTITION BY event_type ORDER BY day),
+         |    wf AS (PARTITION BY event_type ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND UNBOUNDED FOLLOWING)),
+         |a0 AS (
+         |  SELECT event_type, count(d1)::BIGINT AS n,
+         |    sum(CASE WHEN d1 IS NOT NULL THEN
+         |      ((nobs - 1)::HUGEINT * d1 - dd)
+         |      * ((nobs - 1)::HUGEINT * d1 - dd) END) AS a,
+         |    sum(CASE WHEN d2 IS NOT NULL THEN
+         |      ((nobs - 1)::HUGEINT * d2 - 2 * dd)
+         |      * ((nobs - 1)::HUGEINT * d2 - 2 * dd) END) AS b2,
+         |    sum(CASE WHEN d4 IS NOT NULL THEN
+         |      ((nobs - 1)::HUGEINT * d4 - 4 * dd)
+         |      * ((nobs - 1)::HUGEINT * d4 - 4 * dd) END) AS b4
+         |  FROM w GROUP BY 1),
+         |a1 AS (SELECT * FROM a0 WHERE n >= 8 AND a > 0),
+         |u AS (
+         |  SELECT event_type, n, 2::BIGINT AS q, b2 AS braw, a FROM a1
+         |  UNION ALL
+         |  SELECT event_type, n, 4::BIGINT AS q, b4 AS braw, a FROM a1),
+         |v AS (
+         |  SELECT event_type, q, n AS n_diffs,
+         |    braw::DOUBLE / (a * q)::DOUBLE AS vr
+         |  FROM u WHERE braw IS NOT NULL)
+         |SELECT event_type, q, n_diffs, round(vr, 6) AS vr,
+         |  round((vr - 1.0) * sqrt((n_diffs * q)::DOUBLE)
+         |    / sqrt((2.0 * (q * 2 - 1)::DOUBLE * (q - 1)::DOUBLE)
+         |      / (3.0 * q::DOUBLE)), 6) AS z
+         |FROM v ORDER BY event_type, q""".stripMargin,
+    // B72 twin: same ranked doubled-median integers, same per-group
+    // S²/n one-division terms folded in event_type order via
+    // list_reduce, the ratio as the only compound IEEE step
+    "q_levene" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |r AS (
+         |  SELECT event_type, y,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY y, day) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS m
+         |  FROM d),
+         |med AS (
+         |  SELECT event_type, sum(y * (CASE
+         |    WHEN m % 2 = 1 AND rn = (m + 1) // 2 THEN 2
+         |    WHEN m % 2 = 0 AND (rn = m // 2 OR rn = m // 2 + 1) THEN 1
+         |    ELSE 0 END))::BIGINT AS med2
+         |  FROM r GROUP BY 1),
+         |z AS (
+         |  SELECT d.event_type, abs(2 * d.y - med.med2)::BIGINT AS z2
+         |  FROM d JOIN med USING (event_type)),
+         |g AS (
+         |  SELECT event_type, count(*)::BIGINT AS ni,
+         |    sum(z2)::BIGINT AS si, sum(z2::HUGEINT * z2) AS qi
+         |  FROM z GROUP BY 1),
+         |t AS (
+         |  SELECT count(*)::BIGINT AS k, sum(ni)::BIGINT AS nn,
+         |    sum(si)::BIGINT AS s,
+         |    list(struct_pack(event_type := event_type,
+         |        s2 := si::HUGEINT * si, nid := ni::DOUBLE,
+         |        qid := qi::DOUBLE)
+         |      ORDER BY event_type) AS terms
+         |  FROM g),
+         |f AS (
+         |  SELECT k, nn, s,
+         |    list_reduce(list_transform(terms,
+         |      x -> x.s2::DOUBLE / x.nid), (a, b) -> a + b) AS ssn,
+         |    list_reduce(list_transform(terms,
+         |      x -> x.qid - x.s2::DOUBLE / x.nid), (a, b) -> a + b)
+         |      AS within
+         |  FROM t WHERE k >= 2 AND nn > k)
+         |SELECT k, nn AS n_obs, k - 1 AS df1, nn - k AS df2,
+         |  round(((nn - k)::DOUBLE / (k - 1)::DOUBLE)
+         |    * ((ssn - (s::HUGEINT * s)::DOUBLE / nn::DOUBLE)
+         |      / within), 6) AS w
+         |FROM f WHERE within > 0.0""".stripMargin,
     // B70 twin: same integer shift s//n (both engines floor on
     // non-negative operands), HUGEINT shifted power sums, identical
     // moment polynomials with one double cast+division each, same

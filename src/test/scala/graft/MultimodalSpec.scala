@@ -388,4 +388,36 @@ class MultimodalSpec extends AnyFunSuite {
       r.getLong(5)) == ((4000L, 2L, 5L, 26L, 500L)),
       s"got ${r.mkString(",")}")
   }
+  test("G15 image entropy: decoded histogram fold equals the formula fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, sum, expr}
+    val ids = 0L until 6L
+    val assets = ids.map(id =>
+        (id, Multimodal.gifBytes(id, (2 + id % 6).toInt, (5 + id % 4).toInt)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.imagePixels(assets)
+      .groupBy($"doc_id", $"r").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n"), expr(
+        """round(aggregate(transform(
+          |    sort_array(collect_list(struct(r, c))), x ->
+          |    - ((cast(x.c as double) / cast(sum(c) as double))
+          |      * ln(cast(x.c as double) / cast(sum(c) as double)))),
+          |  0D, (acc, x) -> acc + x), 6)""".stripMargin).as("ent"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (id <- ids) {
+      val w = (2 + id % 6).toInt; val h = (5 + id % 4).toInt
+      val px = for (x <- 0 until w; y <- 0 until h)
+        yield Multimodal.gifGray(id, x, y)
+      val n = px.size.toDouble
+      val ent = px.groupBy(identity).toSeq.sortBy(_._1)
+        .foldLeft(0.0) { case (acc, (_, g)) =>
+          acc + (-(g.size / n) * math.log(g.size / n)) }
+      assert(got(id) == ((px.size.toLong, r6(ent))),
+        s"doc $id: ${got(id)} want (${px.size}, ${r6(ent)})")
+    }
+  }
 }

@@ -2715,6 +2715,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3.isEmpty)
   }
 
+  test("B71 variance ratio: alternating series mean-reverts, perfect trend excluded") {
+    import graft.operators.Resilience
+    // trend: every 1-diff equals mu-hat -> A = 0, excluded
+    // alt 2,1,2,...: n=9, D=-1; A = 5*64+4*100 = 720;
+    // B2 = 8*4 = 32; B4 = 6*16 = 96
+    val got = Resilience.varianceRatio(dailyEvents(
+        "alt" -> Seq(2, 1, 2, 1, 2, 1, 2, 1, 2, 1),
+        "trend" -> (1 to 10)))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(!got.keys.exists(_._1 == "trend"), "zero-A series must drop")
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vr2 = 32.0 / (720.0 * 2); val vr4 = 96.0 / (720.0 * 4)
+    val z2 = (vr2 - 1.0) * math.sqrt(18.0) /
+      math.sqrt((2.0 * 3 * 1) / 6.0)
+    val z4 = (vr4 - 1.0) * math.sqrt(36.0) /
+      math.sqrt((2.0 * 7 * 3) / 12.0)
+    assert(got(("alt", 2L)) == ((9L, r6(vr2), r6(z2))),
+      s"q=2: ${got(("alt", 2L))}")
+    assert(got(("alt", 4L)) == ((9L, r6(vr4), r6(z4))),
+      s"q=4: ${got(("alt", 4L))}")
+  }
+
+  test("B72 levene: median-centered spreads exact, all-constant groups degenerate") {
+    import graft.operators.Resilience
+    // a = {1,5,9}: med 5, Z2 = 8,0,8; b = {3,3,3,3}: med2 6, Z2 = 0
+    val got = Resilience.levene(dailyEvents(
+      "a" -> Seq(1, 5, 9), "b" -> Seq(3, 3, 3, 3))).collect()
+    assert(got.length == 1)
+    val ssn = (0.0 + 256.0 / 3.0) + 0.0
+    val between = ssn - 256.0 / 7.0
+    val within = (0.0 + (128.0 - 256.0 / 3.0)) + 0.0
+    val w = (5.0 / 1.0) * (between / within)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2),
+      got(0).getLong(3), got(0).getDouble(4)) == ((2L, 7L, 1L, 5L, r6(w))),
+      s"got ${got(0)}")
+    // every group constant -> within = 0 -> undefined, empty frame
+    val r0 = Resilience.levene(dailyEvents(
+      "a" -> Seq(2, 2, 2), "b" -> Seq(5, 5))).collect()
+    assert(r0.isEmpty)
+  }
+
   test("B70 jarque-bera: shifted-moment skew/kurtosis exact, flat series excluded") {
     import graft.operators.Resilience
     val got = Resilience.jarqueBera(dailyEvents(
