@@ -373,6 +373,50 @@ object CdcStream {
     * order within each batch, and the cross-batch contract is
     * per-key in-order delivery (the CDC envelope offset order,
     * same as [[latestState]]). */
+  case class InterarrivalPoint(event_type: String, n_gaps: Long,
+    mean_us: Double, cv: Double, burstiness: Double)
+
+  /** C67 streaming INTER-ARRIVAL monitor — the continuous twin of
+    * the batch burstiness audit (`Cdc.interarrival`, C65): per event
+    * type the state is ONE 4-tuple (last_us, n, Σg, Σg²) — bounded
+    * whatever the throughput — and each micro-batch emits the
+    * running mean gap, CV, and Goh-Barabási burstiness. Σg² rides in
+    * a double (the monitor posture: ≤ 2⁻⁵² relative error per
+    * update; EXACT grading is the batch C65's decimal job — stated
+    * division of labor, same as C62/C63 vs their batch twins).
+    * Batch-internal order is (ts, event_id); cross-batch the per-key
+    * in-order delivery contract (the [[cusumStream]] contract). */
+  def interarrivalStream(
+      events: Dataset[(String, java.sql.Timestamp, Long)])
+      : Dataset[InterarrivalPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (t: String, it: Iterator[(String, java.sql.Timestamp, Long)],
+            state: GroupState[(Long, Long, Long, Double)]) =>
+          var (last, n, sg, sq) =
+            state.getOption.getOrElse((-1L, 0L, 0L, 0.0))
+          it.toArray.sortBy(e => (tsUs(e._2), e._3)).foreach { e =>
+            val us = tsUs(e._2)
+            if (last >= 0L) {
+              val g = us - last
+              n += 1; sg += g; sq += g.toDouble * g.toDouble
+            }
+            last = us
+          }
+          state.update((last, n, sg, sq))
+          if (n >= 2L && sg > 0L) {
+            val mean = sg.toDouble / n.toDouble
+            val v = (n.toDouble * sq - sg.toDouble * sg.toDouble) /
+              (n.toDouble * (n - 1L).toDouble)
+            val sd = math.sqrt(math.max(v, 0.0))
+            Iterator.single(InterarrivalPoint(t, n, mean, sd / mean,
+              (sd - mean) / (sd + mean)))
+          } else Iterator.empty
+      }
+  }
+
   def cusumStream(changes: Dataset[Change],
       targetCents: Long): Dataset[Drift] = {
     import changes.sparkSession.implicits._

@@ -671,6 +671,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C67 streaming interarrival across batches == batch twin on exact-double gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)  // seconds
+    // one type, gaps 10s, 0s, 30s, 60s — small enough that every
+    // double product is exact, so stream == batch bit-for-bit
+    val all = Seq(0L, 10L, 10L, 40L, 100L).zipWithIndex
+      .map { case (sec, i) => ("a", t(sec), i.toLong) }
+    val in = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val q = CdcStream.interarrivalStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("ia_stream").start()
+    try {
+      in.addData(all.take(3): _*); q.processAllAvailable()
+      in.addData(all.drop(3): _*); q.processAllAvailable()
+      val last = spark.table("ia_stream")
+        .as[CdcStream.InterarrivalPoint].collect().maxBy(_.n_gaps)
+      assert(last.n_gaps == 4L)
+      val batch = graft.operators.Cdc.interarrival(
+          all.map { case (ty, ts, id) => (id, 1L, ty, ts) }
+            .toDF("event_id", "user_id", "event_type", "ts"))
+        .collect().head
+      def r6(x: Double) = BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert((batch.getLong(1), batch.getDouble(2), batch.getDouble(3),
+        batch.getDouble(4)) == ((last.n_gaps, r6(last.mean_us),
+        r6(last.cv), r6(last.burstiness))),
+        s"batch $batch vs stream $last")
+    } finally q.stop()
+  }
+
   test("C34 streaming CUSUM across batches == batch closed form (n-scaled)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
