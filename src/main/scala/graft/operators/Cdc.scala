@@ -1223,7 +1223,35 @@ object Cdc {
         coalesce(($"chi2" > 3.841).cast("long"), lit(0L)))
   }
 
+  /** C68 per-state DWELL-TIME profile (the DURATION face of C44's
+    * transition COUNTS: a funnel that converts in the same
+    * click→purchase graph can still be dying if users now dwell 10×
+    * longer in 'view' — time-in-state is the metric; each event's
+    * dwell is the gap to the SAME user's next event, attributed to
+    * the state being left). Terminal events (no successor) carry no
+    * dwell and drop — stated. One keyed window on the
+    * high-cardinality user axis + one aggregate; all integers to
+    * one mean division. */
+  def dwell(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("next_us", lead(unix_micros($"ts"), 1).over(w))
+      .filter($"next_us".isNotNull)
+      .withColumn("g", $"next_us" - $"us")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_dwells"), sum($"g").as("total_us"),
+        max($"g").as("max_us"))
+      .withColumn("mean_us", round(
+        $"total_us".cast("double") / $"n_dwells".cast("double"), 6))
+      .select($"event_type", $"n_dwells", $"total_us", $"max_us",
+        $"mean_us")
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_dwell" -> onEvents(dwell),
     "cdc_interarrival" -> onEvents(interarrival),
     "cdc_mcnemar" -> onEvents(mcnemar),
     "cdc_gap_detect" -> onEvents(e => gapDetect(e)),
@@ -1341,6 +1369,20 @@ object Cdc {
   }
 
   val oracles: Map[String, String] = Map(
+    // C68 twin: same keyed lead on (ts, event_id), ties give zero
+    // dwells whichever way they order (C65 argument), integer sums
+    // to one division
+    "cdc_dwell" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS g
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n_dwells,
+        |  sum(g)::BIGINT AS total_us, max(g)::BIGINT AS max_us,
+        |  round(sum(g)::DOUBLE / count(*)::DOUBLE, 6) AS mean_us
+        |FROM g WHERE g IS NOT NULL GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
     // C65 twin: one global per-type lag (oracle-scale) — the gap
     // multiset equals the two-level day decomposition exactly
     // (sorted-sequence differences; tie order permutes only zeros),

@@ -3061,8 +3061,51 @@ object Resilience {
           .as("w"))
   }
 
+  /** B73 ARCH-LM volatility-clustering test per event type (Engle
+    * 1982 — the admission gate in FRONT of B66's GARCH: GARCH
+    * assumes conditional heteroskedasticity exists; ARCH-LM prices
+    * that premise as LM = m·R² of the e²_t ~ e²_{t−1} lag-1
+    * regression vs χ²(1) = 3.841 — no clustering, no reason to run
+    * a volatility filter).
+    *
+    * Exactness: squared residuals clear the rational mean —
+    * z_t = (n·y_t − s)² is an exact decimal(38,0) (R² is invariant
+    * to the n² scaling) — and all five regression sums over the
+    * lag-1 pair frame stay decimal; the three centered cross-terms
+    * (m·Sab − Sa·Sb etc.) are exact ~10²⁹-digit integers inside the
+    * 38-digit bound, each takes ONE decimal→double cast, and R² is
+    * one squared-divide IEEE tail. The significance flag compares
+    * the ROUNDED LM (the C66 boundary lesson). */
+  def archLm(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val wAll = Window.partitionBy($"event_type")
+    val pts = dailyTyped(events)
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum($"y").over(wAll))
+      .withColumn("z", (($"n" * $"y" - $"s").cast("decimal(38,0)") *
+        ($"n" * $"y" - $"s")))
+      .withColumn("zp", lag($"z", 1).over(w))
+      .filter($"zp".isNotNull)
+    pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("m"), sum($"z").as("sa"),
+        sum($"zp").as("sb"), sum($"z" * $"zp").as("sab"),
+        sum($"z" * $"z").as("saa"), sum($"zp" * $"zp").as("sbb"))
+      .filter($"m" >= 8L)
+      .withColumn("num", ($"m" * $"sab" - $"sa" * $"sb").cast("double"))
+      .withColumn("d1", ($"m" * $"saa" - $"sa" * $"sa").cast("double"))
+      .withColumn("d2", ($"m" * $"sbb" - $"sb" * $"sb").cast("double"))
+      .filter($"d1" > 0.0 && $"d2" > 0.0)
+      .withColumn("lm", round($"m".cast("double") *
+        ($"num" * $"num" / ($"d1" * $"d2")), 6))
+      .select($"event_type", $"m".as("n_pairs"), $"lm",
+        ($"lm" > 3.841).cast("long").as("arch_effect"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chow" -> ((s, dir) => chowBreak(Tables.events(s, dir))),
+    "q_arch_lm" -> ((s, dir) => archLm(Tables.events(s, dir))),
     "q_variance_ratio" -> ((s, dir) => varianceRatio(Tables.events(s, dir))),
     "q_levene" -> ((s, dir) => levene(Tables.events(s, dir))),
     "q_kruskal_wallis" -> ((s, dir) => kruskalWallis(Tables.events(s, dir))),
@@ -3301,6 +3344,41 @@ object Resilience {
          |  round(3.0 * ssq::DOUBLE / (n_blocks * k * (k + 1))::DOUBLE
          |    - 3.0 * (n_blocks * (k + 1))::DOUBLE, 6) AS chi2_f
          |FROM t WHERE k >= 2 AND n_blocks >= 2""".stripMargin,
+    // B73 twin: same cleared-mean squared residuals in HUGEINT,
+    // same five regression sums, one double cast per centered
+    // cross-term, rounded-LM flag on both sides
+    "q_arch_lm" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |w AS (
+         |  SELECT event_type, day, y,
+         |    count(*) OVER (PARTITION BY event_type) AS n,
+         |    sum(y) OVER (PARTITION BY event_type) AS s
+         |  FROM d),
+         |z AS (
+         |  SELECT event_type, day,
+         |    (n::HUGEINT * y - s) * (n::HUGEINT * y - s) AS z
+         |  FROM w),
+         |p AS (
+         |  SELECT event_type, z, lag(z) OVER (
+         |    PARTITION BY event_type ORDER BY day) AS zp
+         |  FROM z),
+         |g AS (
+         |  SELECT event_type, count(*)::BIGINT AS m, sum(z) AS sa,
+         |    sum(zp) AS sb, sum(z * zp) AS sab, sum(z * z) AS saa,
+         |    sum(zp * zp) AS sbb
+         |  FROM p WHERE zp IS NOT NULL GROUP BY 1),
+         |f AS (
+         |  SELECT event_type, m,
+         |    (m * sab - sa * sb)::DOUBLE AS num,
+         |    (m * saa - sa * sa)::DOUBLE AS d1,
+         |    (m * sbb - sb * sb)::DOUBLE AS d2
+         |  FROM g WHERE m >= 8)
+         |SELECT event_type, m AS n_pairs,
+         |  round(m::DOUBLE * (num * num / (d1 * d2)), 6) AS lm,
+         |  (round(m::DOUBLE * (num * num / (d1 * d2)), 6) > 3.841)
+         |    ::BIGINT AS arch_effect
+         |FROM f WHERE d1 > 0.0 AND d2 > 0.0
+         |ORDER BY event_type""".stripMargin,
     // B71 twin: identical cleared-denominator deviation sums in
     // HUGEINT, VR as the same single division, the z tail's
     // q-constants written as the same literal arithmetic

@@ -2715,6 +2715,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3.isEmpty)
   }
 
+  test("B73 arch-lm: hand regression exact, zero-variance residuals excluded") {
+    import graft.operators.Resilience
+    // burst 2,2,2,2,6,2,2,2,2: z = 16 x8, 1024; the lag-1 regression
+    // gives num = -1016064, d1 = d2 = 7112448 = 7|num| -> R^2 = 1/49
+    val got = Resilience.archLm(dailyEvents(
+        "burst" -> Seq(2, 2, 2, 2, 6, 2, 2, 2, 2),
+        "flat" -> Seq.fill(9)(3)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(!got.contains("flat"), "constant squared residuals must drop")
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val num = -1016064.0; val d = 7112448.0
+    val lm = r6(8.0 * (num * num / (d * d)))
+    assert(got("burst") == ((8L, lm, 0L)), s"got ${got("burst")}")
+  }
+
+  test("C68 dwell: gap to the user's next event lands on the state left, terminals drop") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(
+      (1L, 10L, t(0), "view"), (1L, 11L, t(10), "click"),
+      (1L, 12L, t(40), "purchase"),
+      (2L, 20L, t(5), "view"), (2L, 21L, t(25), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = graft.operators.Cdc.dwell(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // view dwells: u1 10s, u2 20s; click: 30s; purchase terminal
+    assert(!got.contains("purchase"), "terminal events carry no dwell")
+    assert(got("view") == ((2L, 30000000L, 20000000L, 15000000.0)),
+      s"view: ${got("view")}")
+    assert(got("click") == ((1L, 30000000L, 30000000L, 30000000.0)),
+      s"click: ${got("click")}")
+  }
+
   test("B71 variance ratio: alternating series mean-reverts, perfect trend excluded") {
     import graft.operators.Resilience
     // trend: every 1-diff equals mu-hat -> A = 0, excluded
