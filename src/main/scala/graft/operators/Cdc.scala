@@ -1250,7 +1250,44 @@ object Cdc {
       .orderBy($"event_type")
   }
 
+  private val SloPpm = 250000L
+
+  /** C69 SLO ERROR-BUDGET BURN monitor (the Google-SRE multi-window
+    * burn alert, batch-replayed: a 1-day error-rate spike alone can
+    * be a blip, a high 7-day rate alone is old news — paging fires
+    * only when BOTH the fast and slow windows burn past the SLO,
+    * here 25% expressed as [[SloPpm]] with 1× burn thresholds for
+    * simplicity, stated): per day the event/error counts, the 1-day
+    * and trailing-7-day error rates (integer ppm), and the
+    * two-window alert flag.
+    *
+    * The trailing window RANGES over the integer day index, so
+    * calendar gaps shrink the denominator instead of silently
+    * stretching the window (a ROWS frame would look 7 PRESENT days
+    * back); the alert compares exact integer cross-products, never
+    * the divided ppm. Day-grid-sized frame throughout. */
+  def sloBurn(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val daily = events.groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(($"event_type" === "error").cast("long")).as("n_errors"))
+      .withColumn("di", datediff($"day", lit("1970-01-01")))
+    val w7 = Window.orderBy($"di").rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("e7", sum($"n_errors").over(w7))
+      .withColumn("t7", sum($"n_events").over(w7))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_events", $"n_errors",
+        expr("n_errors * 1000000 div n_events").as("rate1_ppm"),
+        expr("e7 * 1000000 div t7").as("rate7_ppm"),
+        (($"n_errors" * 1000000L > $"n_events" * SloPpm) &&
+          ($"e7" * 1000000L > $"t7" * SloPpm)).cast("long")
+          .as("burn_alert"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_slo_burn" -> onEvents(sloBurn),
     "cdc_dwell" -> onEvents(dwell),
     "cdc_interarrival" -> onEvents(interarrival),
     "cdc_mcnemar" -> onEvents(mcnemar),
@@ -1369,6 +1406,28 @@ object Cdc {
   }
 
   val oracles: Map[String, String] = Map(
+    // C69 twin: same day-index RANGE window, same integer ppm and
+    // cross-multiplied alert (SloPpm = 250000 interpolated from the
+    // one shared constant — the CmsW lesson)
+    "cdc_slo_burn" ->
+      s"""WITH daily AS (
+         |  SELECT ts::DATE AS day, count(*)::BIGINT AS n_events,
+         |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      ::BIGINT AS n_errors,
+         |    datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS di
+         |  FROM events GROUP BY 1, 4),
+         |w AS (
+         |  SELECT day, n_events, n_errors,
+         |    sum(n_errors) OVER w7 AS e7, sum(n_events) OVER w7 AS t7
+         |  FROM daily
+         |  WINDOW w7 AS (ORDER BY di
+         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT strftime(day, '%Y-%m-%d') AS day, n_events, n_errors,
+         |  (n_errors * 1000000 // n_events)::BIGINT AS rate1_ppm,
+         |  (e7 * 1000000 // t7)::BIGINT AS rate7_ppm,
+         |  (n_errors * 1000000 > n_events * $SloPpm
+         |    AND e7 * 1000000 > t7 * $SloPpm)::BIGINT AS burn_alert
+         |FROM w ORDER BY day""".stripMargin,
     // C68 twin: same keyed lead on (ts, event_id), ties give zero
     // dwells whichever way they order (C65 argument), integer sums
     // to one division

@@ -3103,8 +3103,56 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B74 PETTITT rank-based change-point test per event type
+    * (Pettitt 1979 — the ROBUST twin of B36's least-squares split:
+    * B36's SSE argmax chases a single outlier burst; Pettitt works
+    * on ranks, so one 100× spike day cannot fake a level shift):
+    * U_t = Σ_{i≤t,j>t} sgn(y_j − y_i), K = max|U_t|,
+    * p ≈ min(1, 2·exp(−6K²/(n³+n²))).
+    *
+    * NO O(n²) pair pass and NO O(n³) per-t sums: the telescoping
+    * U_t = U_{t−1} − V_t with V_t = Σ_j sgn(y_t − y_j), and V comes
+    * from the per-type VALUE-DOMAIN histogram (V = 2·less + t − n,
+    * the B68 doubled-rank identity) — one histogram, one join-back,
+    * one keyed cumsum. All integers until the single exp tail (the
+    * B34 exp-parity precedent); argmax ties take the earliest day. */
+  def pettitt(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = dailyTyped(events)
+    val freq = pts.groupBy($"event_type", $"y")
+      .agg(count(lit(1)).as("t"))
+    val wv = Window.partitionBy($"event_type").orderBy($"y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy($"event_type")
+    val vtab = freq
+      .withColumn("less", coalesce(sum($"t").over(wv), lit(0L)))
+      .withColumn("n", sum($"t").over(wn))
+      .withColumn("v", lit(2L) * $"less" + $"t" - $"n")
+      .select($"event_type", $"y", $"v", $"n")
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val cum = pts.join(vtab, Seq("event_type", "y"))
+      .withColumn("i", row_number().over(w))
+      .withColumn("u", -sum($"v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"i" < $"n" && $"n" >= 8L)
+    val wt = Window.partitionBy($"event_type")
+      .orderBy(abs($"u").desc, $"day")
+    cum
+      .withColumn("rn", row_number().over(wt))
+      .filter($"rn" === 1)
+      .select($"event_type", $"n".as("n_days"),
+        date_format($"day", "yyyy-MM-dd").as("tau_day"),
+        abs($"u").as("k_stat"),
+        round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) *
+          (abs($"u") * abs($"u")).cast("double") /
+          ($"n" * $"n" * $"n" + $"n" * $"n").cast("double"))), 6)
+          .as("p_approx"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chow" -> ((s, dir) => chowBreak(Tables.events(s, dir))),
+    "q_pettitt" -> ((s, dir) => pettitt(Tables.events(s, dir))),
     "q_arch_lm" -> ((s, dir) => archLm(Tables.events(s, dir))),
     "q_variance_ratio" -> ((s, dir) => varianceRatio(Tables.events(s, dir))),
     "q_levene" -> ((s, dir) => levene(Tables.events(s, dir))),
@@ -3344,6 +3392,40 @@ object Resilience {
          |  round(3.0 * ssq::DOUBLE / (n_blocks * k * (k + 1))::DOUBLE
          |    - 3.0 * (n_blocks * (k + 1))::DOUBLE, 6) AS chi2_f
          |FROM t WHERE k >= 2 AND n_blocks >= 2""".stripMargin,
+    // B74 twin: same value-domain V identity, same telescoped
+    // integer cumsum, same single exp tail, earliest-day ties
+    "q_pettitt" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |f AS (
+         |  SELECT event_type, y, count(*)::BIGINT AS t
+         |  FROM d GROUP BY 1, 2),
+         |vt AS (
+         |  SELECT event_type, y,
+         |    2 * coalesce(sum(t) OVER (PARTITION BY event_type
+         |      ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) + t
+         |    - sum(t) OVER (PARTITION BY event_type) AS v,
+         |    sum(t) OVER (PARTITION BY event_type) AS n
+         |  FROM f),
+         |c AS (
+         |  SELECT d.event_type, d.day, vt.n,
+         |    row_number() OVER wd AS i,
+         |    - sum(vt.v) OVER (PARTITION BY d.event_type ORDER BY d.day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+         |  FROM d JOIN vt ON d.event_type = vt.event_type
+         |    AND d.y = vt.y
+         |  WINDOW wd AS (PARTITION BY d.event_type ORDER BY d.day)),
+         |r AS (
+         |  SELECT event_type, day, n, u, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY abs(u) DESC, day) AS rn
+         |  FROM c WHERE i < n AND n >= 8)
+         |SELECT event_type, n::BIGINT AS n_days,
+         |  strftime(day, '%Y-%m-%d') AS tau_day,
+         |  abs(u)::BIGINT AS k_stat,
+         |  round(least(1.0, 2.0 * exp(-6.0
+         |    * (abs(u) * abs(u))::DOUBLE
+         |    / (n * n * n + n * n)::DOUBLE)), 6) AS p_approx
+         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     // B73 twin: same cleared-mean squared residuals in HUGEINT,
     // same five regression sums, one double cast per centered
     // cross-term, rounded-LM flag on both sides

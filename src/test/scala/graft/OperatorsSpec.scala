@@ -2715,6 +2715,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3.isEmpty)
   }
 
+  test("B74 pettitt: rank change-point exact via the telescoped V identity") {
+    import graft.operators.Resilience
+    // 1,1,1,1,5,5,5,5: V = -4 x4 then +4 x4, U = 4,8,12,16,12,8,4
+    // -> K = 16 at day 4; flat series: K = 0, p capped at 1
+    val got = Resilience.pettitt(dailyEvents(
+        "shift" -> Seq(1, 1, 1, 1, 5, 5, 5, 5),
+        "flat" -> Seq.fill(8)(2)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3),
+          r.getDouble(4)))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p = r6(math.min(1.0, 2.0 * math.exp(-6.0 * 256.0 / 576.0)))
+    assert(got("shift") == ((8L, "2024-01-04", 16L, p)),
+      s"shift: ${got("shift")}")
+    assert(got("flat") == ((8L, "2024-01-01", 0L, 1.0)),
+      s"flat: ${got("flat")}")
+  }
+
+  test("C69 slo burn: alert needs both windows over budget, day gaps shrink the frame") {
+    import spark.implicits._
+    def evs(d: Int, errs: Int, tot: Int) = (0 until tot).map(i =>
+      (d.toLong * 100 + i, 1L, if (i < errs) "error" else "view", d, i))
+    val df = (evs(0, 1, 4) ++ evs(1, 1, 4) ++ evs(2, 1, 4) ++
+      evs(3, 3, 4) ++ evs(10, 2, 4))
+      .toDF("event_id", "user_id", "event_type", "d", "sec")
+      .withColumn("ts", expr(
+        "to_timestamp('2024-01-01') + make_interval(0, 0, 0, d, 0, 0, sec)"))
+    val got = graft.operators.Cdc.sloBurn(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // exactly-at-SLO days do not alert (strict >); day 3 burns both
+    // windows; the gap leaves day 10's 7-day frame holding only itself
+    assert(got("2024-01-01") == ((250000L, 250000L, 0L)))
+    assert(got("2024-01-04") == ((750000L, 375000L, 1L)),
+      s"day3: ${got("2024-01-04")}")
+    assert(got("2024-01-11") == ((500000L, 500000L, 1L)),
+      s"day10: ${got("2024-01-11")}")
+  }
+
   test("B73 arch-lm: hand regression exact, zero-variance residuals excluded") {
     import graft.operators.Resilience
     // burst 2,2,2,2,6,2,2,2,2: z = 16 x8, 1024; the lag-1 regression
