@@ -1286,7 +1286,101 @@ object Cdc {
       .orderBy($"day")
   }
 
+  /** C70 CUPED variance-reduced experiment readout (Deng et al.
+    * 2013 — the adjustment every mature experimentation platform
+    * applies before reading A47's z: a user's PRE-period activity
+    * explains much of their post-period variance, so regressing it
+    * out shrinks the CI by the squared correlation ρ² at zero cost
+    * in bias): users split by the A47 id-parity arms, the observed
+    * window splits at its midpoint day into pre (covariate x) and
+    * post (metric y), θ = Cov(x,y)/Var(x) pooled across arms, and
+    * the readout carries the raw and CUPED-adjusted arm deltas plus
+    * the variance-reduction share ρ².
+    *
+    * Exactness: per-user counts are integers; Cov/Var clear
+    * denominators (n·Σxy − ΣxΣy etc., exact decimal(38,0) ==
+    * HUGEINT), θ is ONE division of two exact integers, and the
+    * adjusted deltas are a pinned IEEE chain over exact arm sums —
+    * textually mirrored in the twin. Zero pre-period variance
+    * (θ undefined) nulls the adjusted columns, raw delta stays. */
+  def cuped(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val e = events.withColumn("di",
+      datediff(to_date($"ts"), lit("1970-01-01")))
+    val bounds = e.agg(min($"di").as("lo"), max($"di").as("hi"))
+    val perUser = e.crossJoin(broadcast(bounds))
+      .withColumn("mid", expr("(lo + hi + 1) div 2"))
+      .groupBy($"user_id")
+      .agg(sum(when($"di" < $"mid", 1L).otherwise(0L)).as("x"),
+        sum(when($"di" >= $"mid", 1L).otherwise(0L)).as("y"))
+      .select(($"user_id" % 2).as("cohort"), $"x", $"y")
+    val mom = perUser.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x".cast("decimal(38,0)") * $"x").as("sxx"),
+      sum($"x".cast("decimal(38,0)") * $"y").as("sxy"),
+      sum($"y".cast("decimal(38,0)") * $"y").as("syy"))
+    val arms = perUser.groupBy($"cohort")
+      .agg(count(lit(1)).as("na"), sum($"x").as("sxa"),
+        sum($"y").as("sya"))
+    val a = arms.filter($"cohort" === 0)
+      .select($"na".as("n_a"), $"sxa".as("sx_a"), $"sya".as("sy_a"))
+    val b = arms.filter($"cohort" === 1)
+      .select($"na".as("n_b"), $"sxa".as("sx_b"), $"sya".as("sy_b"))
+    a.crossJoin(b).crossJoin(mom)
+      .withColumn("covn", expr(
+        "cast(cast(n as decimal(38,0)) * sxy - " +
+          "cast(sx as decimal(38,0)) * sy as double)"))
+      .withColumn("varx", expr(
+        "cast(cast(n as decimal(38,0)) * sxx - " +
+          "cast(sx as decimal(38,0)) * sx as double)"))
+      .withColumn("vary", expr(
+        "cast(cast(n as decimal(38,0)) * syy - " +
+          "cast(sy as decimal(38,0)) * sy as double)"))
+      .withColumn("theta", when($"varx" > 0.0, $"covn" / $"varx"))
+      .withColumn("meanx",
+        $"sx".cast("double") / $"n".cast("double"))
+      .withColumn("diff_raw",
+        $"sy_b".cast("double") / $"n_b".cast("double") -
+          $"sy_a".cast("double") / $"n_a".cast("double"))
+      .withColumn("diff_cuped",
+        ($"sy_b".cast("double") - $"theta" *
+          ($"sx_b".cast("double") - $"n_b".cast("double") * $"meanx"))
+          / $"n_b".cast("double") -
+        ($"sy_a".cast("double") - $"theta" *
+          ($"sx_a".cast("double") - $"n_a".cast("double") * $"meanx"))
+          / $"n_a".cast("double"))
+      .select($"n".as("n_users"), $"n_a", $"n_b",
+        round($"theta", 6).as("theta"),
+        when($"varx" > 0.0 && $"vary" > 0.0,
+          round($"covn" * $"covn" / ($"varx" * $"vary"), 6))
+          .as("rho2"),
+        round($"diff_raw", 6).as("diff_raw"),
+        round($"diff_cuped", 6).as("diff_cuped"))
+  }
+
+  /** C71 SAMPLE-RATIO-MISMATCH gate (the #1 A/B sanity check in
+    * practice — a 50/50 split that arrives 48/52 means assignment,
+    * logging, or bot filtering is broken and EVERY downstream
+    * readout is garbage; run before A47/C70, not after):
+    * χ² = (n_a − n_b)²/(n_a + n_b) over the user split vs
+    * χ²(1) = 3.841. All integers to one division; the flag compares
+    * the ROUNDED χ² (the C66 lesson). */
+  def srm(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.select($"user_id").distinct()
+      .agg(count(lit(1)).as("n_users"),
+        sum(($"user_id" % 2 === 0).cast("long")).as("n_a"),
+        sum(($"user_id" % 2 =!= 0).cast("long")).as("n_b"))
+      .withColumn("chi2", round(
+        (($"n_a" - $"n_b") * ($"n_a" - $"n_b")).cast("double") /
+          ($"n_a" + $"n_b").cast("double"), 6))
+      .select($"n_users", $"n_a", $"n_b", $"chi2",
+        ($"chi2" > 3.841).cast("long").as("srm_flag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_cuped" -> onEvents(cuped),
+    "cdc_srm" -> onEvents(srm),
     "cdc_slo_burn" -> onEvents(sloBurn),
     "cdc_dwell" -> onEvents(dwell),
     "cdc_interarrival" -> onEvents(interarrival),
@@ -1406,6 +1500,80 @@ object Cdc {
   }
 
   val oracles: Map[String, String] = Map(
+    // C70 twin: same midpoint split, same cleared-denominator
+    // HUGEINT moments, one-division theta, pinned adjusted-delta
+    // chain
+    "cdc_cuped" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS di
+        |  FROM events),
+        |b AS (SELECT min(di)::BIGINT AS lo, max(di)::BIGINT AS hi
+        |      FROM e),
+        |pu AS (
+        |  SELECT e.user_id % 2 AS cohort,
+        |    sum(CASE WHEN e.di < (b.lo + b.hi + 1) // 2
+        |      THEN 1 ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN e.di >= (b.lo + b.hi + 1) // 2
+        |      THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM e, b GROUP BY 1, e.user_id),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x::HUGEINT * x) AS sxx,
+        |    sum(x::HUGEINT * y) AS sxy, sum(y::HUGEINT * y) AS syy
+        |  FROM pu),
+        |ar AS (
+        |  SELECT cohort, count(*)::BIGINT AS na, sum(x)::BIGINT AS sxa,
+        |    sum(y)::BIGINT AS sya
+        |  FROM pu GROUP BY 1),
+        |ab AS (
+        |  SELECT a.na AS n_a, a.sxa AS sx_a, a.sya AS sy_a,
+        |    bb.na AS n_b, bb.sxa AS sx_b, bb.sya AS sy_b
+        |  FROM (SELECT * FROM ar WHERE cohort = 0) a,
+        |    (SELECT * FROM ar WHERE cohort = 1) bb),
+        |c AS (
+        |  SELECT ab.*, m.n, m.sx,
+        |    (m.n::HUGEINT * m.sxy - m.sx::HUGEINT * m.sy)::DOUBLE
+        |      AS covn,
+        |    (m.n::HUGEINT * m.sxx - m.sx::HUGEINT * m.sx)::DOUBLE
+        |      AS varx,
+        |    (m.n::HUGEINT * m.syy - m.sy::HUGEINT * m.sy)::DOUBLE
+        |      AS vary
+        |  FROM ab, m),
+        |t AS (
+        |  SELECT *,
+        |    CASE WHEN varx > 0.0 THEN covn / varx END AS theta,
+        |    sx::DOUBLE / n::DOUBLE AS meanx,
+        |    sy_b::DOUBLE / n_b::DOUBLE - sy_a::DOUBLE / n_a::DOUBLE
+        |      AS diff_raw
+        |  FROM c)
+        |SELECT n AS n_users, n_a, n_b, round(theta, 6) AS theta,
+        |  CASE WHEN varx > 0.0 AND vary > 0.0 THEN
+        |    round(covn * covn / (varx * vary), 6) END AS rho2,
+        |  round(diff_raw, 6) AS diff_raw,
+        |  round((sy_b::DOUBLE - theta
+        |      * (sx_b::DOUBLE - n_b::DOUBLE * meanx)) / n_b::DOUBLE
+        |    - (sy_a::DOUBLE - theta
+        |      * (sx_a::DOUBLE - n_a::DOUBLE * meanx)) / n_a::DOUBLE, 6)
+        |    AS diff_cuped
+        |FROM t""".stripMargin,
+    // C71 twin: one distinct-user aggregate, one division, rounded
+    // flag both engines
+    "cdc_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (
+        |  SELECT count(*)::BIGINT AS n_users,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_a,
+        |    sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_b
+        |  FROM u)
+        |SELECT n_users, n_a, n_b,
+        |  round(((n_a - n_b) * (n_a - n_b))::DOUBLE
+        |    / (n_a + n_b)::DOUBLE, 6) AS chi2,
+        |  (round(((n_a - n_b) * (n_a - n_b))::DOUBLE
+        |    / (n_a + n_b)::DOUBLE, 6) > 3.841)::BIGINT AS srm_flag
+        |FROM t""".stripMargin,
     // C69 twin: same day-index RANGE window, same integer ppm and
     // cross-multiplied alert (SloPpm = 250000 interpolated from the
     // one shared constant — the CmsW lesson)

@@ -2734,6 +2734,42 @@ class OperatorsSpec extends AnyFunSuite {
       s"flat: ${got("flat")}")
   }
 
+  test("C70 cuped: hand moments exact, adjusted delta shrinks toward the true effect") {
+    import spark.implicits._
+    // window days 0..3, mid = 2: x = pre count, y = post count
+    // u0:(2,4) u2:(1,2) even arm; u1:(3,7) u3:(2,5) odd arm
+    val spec = Seq(
+      (0L, Seq(0, 1, 2, 2, 3, 3)), (2L, Seq(0, 2, 3)),
+      (1L, Seq(0, 0, 1, 2, 2, 2, 3, 3, 3, 3)), (3L, Seq(1, 1, 2, 2, 2, 2, 2)))
+    val df = spec.flatMap { case (u, days) => days.zipWithIndex.map {
+        case (d, i) => (u * 1000 + i, u, "view", d, i) } }
+      .toDF("event_id", "user_id", "event_type", "d", "sec")
+      .withColumn("ts", expr(
+        "to_timestamp('2024-01-01') + make_interval(0, 0, 0, d, 0, 0, sec)"))
+    val r = graft.operators.Cdc.cuped(df).collect()(0)
+    // covn = 20, varx = 8, vary = 52 -> theta 2.5, rho2 400/416
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.toSeq == Seq(4L, 2L, 2L, 2.5, r6(400.0 / 416.0), 3.0, 0.5),
+      s"got $r")
+  }
+
+  test("C71 srm: balanced split quiet, broken split pages") {
+    import spark.implicits._
+    def evs(uids: Seq[Long]) = uids.zipWithIndex
+      .map { case (u, i) => (i.toLong, u, "view") }
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", expr("to_timestamp('2024-01-01')"))
+    // 2 even vs 3 odd users: chi2 = 1/5, no flag
+    val ok = graft.operators.Cdc.srm(evs(Seq(0L, 2L, 1L, 3L, 5L)))
+      .collect()(0)
+    assert(ok.toSeq == Seq(5L, 2L, 3L, 0.2, 0L), s"got $ok")
+    // 30 even, 0 odd: chi2 = 30 -> flag
+    val bad = graft.operators.Cdc.srm(evs((0L until 60L by 2)))
+      .collect()(0)
+    assert((bad.getDouble(3), bad.getLong(4)) == ((30.0, 1L)), s"got $bad")
+  }
+
   test("C69 slo burn: alert needs both windows over budget, day gaps shrink the frame") {
     import spark.implicits._
     def evs(d: Int, errs: Int, tot: Int) = (0 until tot).map(i =>
