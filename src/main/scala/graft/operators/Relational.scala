@@ -2124,7 +2124,99 @@ object Relational {
   def kAnonymityEvents(s: SparkSession, dir: String): DataFrame =
     kAnonymity(Tables.events(s, dir))
 
+  /** A70 SIMPSON'S-PARADOX stratification audit (Simpson 1951 /
+    * Bickel et al. 1975 — the Berkeley-admissions trap as an
+    * operator: a pooled association that REVERSES inside every
+    * stratum is a confounded readout, and nobody eyeballs 25
+    * nation-level 2×2 tables; exposure = urgent order priority,
+    * outcome = fulfilled status, strata = customer nation): per
+    * stratum the 2×2 direction sign(a·d − b·c), pooled the same,
+    * and the verdict counts agreeing vs flipped strata.
+    *
+    * Exactness: every direction is an INTEGER cross-product
+    * comparison (decimal(38,0) == HUGEINT, never an OR division);
+    * the pooled odds ratio exports as the only double. Strata with
+    * a zero cell or a tied table are counted neither way
+    * (n_undecided). */
+  def simpson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.orders(s, dir)
+      .select($"o_custkey",
+        ($"o_orderpriority" === "1-URGENT").cast("long").as("x"),
+        ($"o_orderstatus" === "F").cast("long").as("yy"))
+      .join(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
+    val cells = rows.groupBy($"c_nationkey".as("stratum"))
+      .agg(sum($"x" * $"yy").as("a"),
+        sum($"x" * (lit(1L) - $"yy")).as("b"),
+        sum((lit(1L) - $"x") * $"yy").as("c"),
+        sum((lit(1L) - $"x") * (lit(1L) - $"yy")).as("d"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val dirs = cells
+      .withColumn("cross", dec($"a") * $"d" - dec($"b") * $"c")
+      .withColumn("sgn", when($"cross" > 0, 1L)
+        .when($"cross" < 0, -1L).otherwise(0L))
+    val pooled = cells.agg(sum($"a").as("pa"), sum($"b").as("pb"),
+      sum($"c").as("pc"), sum($"d").as("pd"))
+      .withColumn("pcross", dec($"pa") * $"pd" - dec($"pb") * $"pc")
+      .withColumn("psgn", when($"pcross" > 0, 1L)
+        .when($"pcross" < 0, -1L).otherwise(0L))
+      .withColumn("pooled_or",
+        when($"pb" > 0 && $"pc" > 0,
+          round((dec($"pa") * $"pd").cast("double") /
+            (dec($"pb") * $"pc").cast("double"), 6)))
+    dirs.crossJoin(broadcast(pooled))
+      .groupBy($"psgn", $"pooled_or")
+      .agg(count(lit(1)).as("n_strata"),
+        sum(when($"sgn" =!= 0L && $"sgn" === $"psgn", 1L)
+          .otherwise(0L)).as("n_agree"),
+        sum(when($"sgn" =!= 0L && $"sgn" === -$"psgn", 1L)
+          .otherwise(0L)).as("n_flipped"),
+        sum(when($"sgn" === 0L, 1L).otherwise(0L)).as("n_undecided"))
+      .select($"n_strata", $"pooled_or", $"psgn".as("pooled_sign"),
+        $"n_agree", $"n_flipped", $"n_undecided",
+        ($"n_flipped" > $"n_agree").cast("long").as("simpson_flag"))
+  }
+
+  /** A71 LAST-DIGIT uniformity test (the forensic-accounting
+    * companion of A38's Benford first-digit law: first digits obey
+    * Benford, LAST digits of organic amounts are UNIFORM — human
+    * round-number invention fails each test in the opposite
+    * direction): χ² over the 10 cent-digit cells of the order
+    * totals vs χ²(9) = 16.919.
+    *
+    * Exactness: χ² against the rational expectation n/10 clears
+    * denominators — χ² = Σ(10·oᵢ − n)²/(10n) — so the numerator is
+    * ONE exact decimal(38,0) sum over the 10-cell frame and the
+    * statistic is a single division; the flag compares the ROUNDED
+    * χ² (the C66 lesson). */
+  def lastDigit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val digits = Tables.orders(s, dir)
+      .select((expr("cast(round(o_totalprice * 100) as bigint)") % 10L)
+        .as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("o"))
+    // a MISSING digit still deviates by the full expectation — the
+    // 0..9 ladder keeps absent cells in the sum (the A38 trap)
+    val full = s.range(0, 10).select($"id".as("digit"))
+      .join(digits, Seq("digit"), "left")
+      .withColumn("o", coalesce($"o", lit(0L)))
+    val tot = full.agg(sum($"o").as("n"),
+      sum(($"o" > 0L).cast("long")).as("n_nonzero"))
+    full.crossJoin(broadcast(tot))
+      .withColumn("dev", ($"o" * 10L - $"n").cast("decimal(38,0)"))
+      .groupBy($"n", $"n_nonzero")
+      .agg(sum($"dev" * $"dev").as("ssq"))
+      .filter($"n" > 0L)
+      .withColumn("chi2", round($"ssq".cast("double") /
+        ($"n" * 10L).cast("double"), 6))
+      .select($"n".as("n_orders"), $"n_nonzero", $"chi2",
+        ($"chi2" > 16.919).cast("long").as("suspect_flag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simpson" -> simpson,
+    "q_last_digit" -> lastDigit,
     "q_k_anonymity" -> kAnonymityEvents,
     "q_grouping_sets" -> groupingSetsMarginals,
     "q_abc" -> abcPareto,
@@ -2195,6 +2287,79 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A70 twin: same integer cross-product directions (HUGEINT ==
+    // decimal(38,0)), same pooled OR as the only double
+    "q_simpson" ->
+      """WITH r AS (
+        |  SELECT c.c_nationkey AS stratum,
+        |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END AS x,
+        |    CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS yy
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cells AS (
+        |  SELECT stratum, sum(x * yy)::BIGINT AS a,
+        |    sum(x * (1 - yy))::BIGINT AS b,
+        |    sum((1 - x) * yy)::BIGINT AS c,
+        |    sum((1 - x) * (1 - yy))::BIGINT AS d
+        |  FROM r GROUP BY 1),
+        |dirs AS (
+        |  SELECT stratum,
+        |    CASE WHEN a::HUGEINT * d - b::HUGEINT * c > 0 THEN 1
+        |      WHEN a::HUGEINT * d - b::HUGEINT * c < 0 THEN -1
+        |      ELSE 0 END AS sgn
+        |  FROM cells),
+        |p AS (
+        |  SELECT sum(a)::BIGINT AS pa, sum(b)::BIGINT AS pb,
+        |    sum(c)::BIGINT AS pc, sum(d)::BIGINT AS pd
+        |  FROM cells),
+        |ps AS (
+        |  SELECT
+        |    CASE WHEN pa::HUGEINT * pd - pb::HUGEINT * pc > 0 THEN 1
+        |      WHEN pa::HUGEINT * pd - pb::HUGEINT * pc < 0 THEN -1
+        |      ELSE 0 END AS psgn,
+        |    CASE WHEN pb > 0 AND pc > 0 THEN
+        |      round((pa::HUGEINT * pd)::DOUBLE
+        |        / (pb::HUGEINT * pc)::DOUBLE, 6) END AS pooled_or
+        |  FROM p)
+        |SELECT count(*)::BIGINT AS n_strata, ps.pooled_or,
+        |  ps.psgn::BIGINT AS pooled_sign,
+        |  sum(CASE WHEN sgn <> 0 AND sgn = psgn THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_agree,
+        |  sum(CASE WHEN sgn <> 0 AND sgn = -psgn THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_flipped,
+        |  sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_undecided,
+        |  (sum(CASE WHEN sgn <> 0 AND sgn = -psgn THEN 1 ELSE 0 END)
+        |    > sum(CASE WHEN sgn <> 0 AND sgn = psgn THEN 1 ELSE 0
+        |      END))::BIGINT AS simpson_flag
+        |FROM dirs, ps GROUP BY ps.psgn, ps.pooled_or""".stripMargin,
+    // A71 twin: same cleared-denominator chi-square, one division,
+    // rounded flag
+    "q_last_digit" ->
+      """WITH d AS (
+        |  SELECT cast(round(o_totalprice * 100) AS BIGINT) % 10
+        |    AS digit
+        |  FROM orders),
+        |c0 AS (SELECT digit, count(*)::BIGINT AS o FROM d GROUP BY 1),
+        |c AS (
+        |  SELECT l.digit, coalesce(c0.o, 0)::BIGINT AS o
+        |  FROM (SELECT unnest(range(0, 10))::BIGINT AS digit) l
+        |  LEFT JOIN c0 USING (digit)),
+        |t AS (
+        |  SELECT sum(o)::BIGINT AS n,
+        |    sum(CASE WHEN o > 0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_nonzero
+        |  FROM c),
+        |s AS (
+        |  SELECT t.n, t.n_nonzero,
+        |    sum((c.o::HUGEINT * 10 - t.n) * (c.o::HUGEINT * 10 - t.n))
+        |      AS ssq
+        |  FROM c, t GROUP BY 1, 2)
+        |SELECT n AS n_orders, n_nonzero,
+        |  round(ssq::DOUBLE / (n * 10)::DOUBLE, 6) AS chi2,
+        |  (round(ssq::DOUBLE / (n * 10)::DOUBLE, 6) > 16.919)::BIGINT
+        |    AS suspect_flag
+        |FROM s WHERE n > 0""".stripMargin,
     // A66 twin: same integer micro-cent unit prices (floor-div),
     // same exact weight sums, same three divisions
     "q_price_index" ->

@@ -2734,6 +2734,49 @@ class OperatorsSpec extends AnyFunSuite {
       s"flat: ${got("flat")}")
   }
 
+  test("A70 simpson: per-stratum reversal against the pooled direction flags") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("simp").toString
+    // Berkeley shape: both strata favor non-urgent (ad-bc < 0) while
+    // the pooled table favors urgent (150 > 0)
+    def arm(nation: Long, urgent: Boolean, nf: Int, nOther: Int) =
+      (0 until nf).map(_ => (nation, urgent, "F")) ++
+        (0 until nOther).map(_ => (nation, urgent, "O"))
+    val rows = arm(1, true, 1, 9) ++ arm(1, false, 3, 17) ++
+      arm(2, true, 16, 4) ++ arm(2, false, 9, 1)
+    rows.zipWithIndex.map { case ((n, u, st), i) =>
+        (i.toLong, n * 1000, if (u) "1-URGENT" else "3-MEDIUM", st) }
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1000L, 1L), (2000L, 2L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = graft.operators.Relational.simpson(spark, dir).collect()(0)
+    // pooled: a=17 b=13 c=12 d=18 -> or = 306/156, sign +1;
+    // both strata sign -1 -> flipped = 2, flag = 1
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.toSeq == Seq(2L, r6(306.0 / 156.0), 1L, 0L, 2L, 0L, 1L),
+      s"got $r")
+  }
+
+  test("A71 last digit: uniform cents quiet, missing cells still deviate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("digit").toString
+    // two full 0..9 cycles: chi2 = 0
+    (0 until 20).map(i => (i.toLong, (100 + i % 10) / 100.0))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val ok = graft.operators.Relational.lastDigit(spark, dir).collect()(0)
+    assert(ok.toSeq == Seq(20L, 10L, 0.0, 0L), s"got $ok")
+    // every amount ends in 0: the 9 ABSENT cells must still count
+    // -> chi2 = (180^2 + 9*20^2)/200 = 180
+    (0 until 20).map(i => (i.toLong, 1.00 + i))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val bad = graft.operators.Relational.lastDigit(spark, dir).collect()(0)
+    assert(bad.toSeq == Seq(20L, 1L, 180.0, 1L), s"got $bad")
+  }
+
   test("C70 cuped: hand moments exact, adjusted delta shrinks toward the true effect") {
     import spark.implicits._
     // window days 0..3, mid = 2: x = pre count, y = post count
