@@ -716,4 +716,89 @@ class ScaleStressSpec extends AnyFunSuite {
       s"MSF diverged: +${(got -- kruskal).take(3)} -${(kruskal -- got).take(3)}")
     assert(secs < 300, s"boruvka too slow: $secs s")
   }
+  test("binary quantization at 10^6 vectors: 8-byte cascade bounded and informative") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val n = 1000000
+    val vecs = spark.range(n).select($"id".as("vec_id"),
+      expr("""transform(sequence(0, 63), j ->
+              |  cast(xxhash64(id, j) % 1000 as double) / 1000.0)"""
+        .stripMargin).as("embedding")).persist()
+    try {
+      val t0 = System.nanoTime()
+      val got = Similarity.annBq(vecs, shortlist = 100).collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"1M-vector BQ (64-bit codes + hamming-100 + rerank): $secs%.1f s")
+      assert(got.length == 15, s"5 queries x top-3, got ${got.length}")
+      // informativeness: the reranked winners' true cosine must beat
+      // the corpus mean by a wide margin (the E20 selection test)
+      val meanTop = got.filter(_.getLong(1) == 1L)
+        .map(_.getDouble(3)).sum / 5.0
+      assert(meanTop > 0.4, s"top-1 mean cosine $meanTop on random corpus")
+      assert(secs < 120.0, f"BQ cascade must stay bounded, took $secs%.1f s")
+    } finally vecs.unpersist()
+  }
+
+  test("rich club at 2x10^6 edges: histogram profile equals the driver replica") {
+    import spark.implicits._
+    val es = spark.range(2000000L).select(
+        concat(lit("n"), (expr("abs(xxhash64(id))") % 40000L).cast("string")).as("src"),
+        concat(lit("n"), (expr("abs(xxhash64(id + 7))") % 40000L).cast("string")).as("dst"))
+      .filter($"src" =!= $"dst").distinct().localCheckpoint()
+    val ks = Seq(1L, 4L, 16L, 64L, 256L)
+    val t0 = System.nanoTime()
+    val got = graft.operators.Graph.richClub(es, ks).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"rich club over ${es.count()} distinct edges in $secs%.1f s")
+    // driver replica: exact degrees and min-endpoint counts
+    val edges = es.as[(String, String)].collect()
+    val deg = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    edges.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    val want = ks.map { k =>
+      val nk = deg.valuesIterator.count(_ > k).toLong
+      val ek = edges.count { case (a, b) =>
+        math.min(deg(a), deg(b)) > k }.toLong
+      val phi = if (nk >= 2) 2L * ek * 1000000L / (nk * (nk - 1L))
+        else -1L
+      (k, nk, ek, phi)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq.take(3)}... want ${want.take(3)}...")
+  }
+
+  test("pettitt at 10^5 days: telescoped U equals the driver replica, no pair frame") {
+    import spark.implicits._
+    // one event per day, counts 1..5 cycling, level shift at day 60k
+    val nDays = 100000
+    val ev = spark.range(nDays.toLong).select($"id".as("d"))
+      .withColumn("y", expr("1 + cast(d % 5 as bigint) + " +
+        "case when d >= 60000 then 3 else 0 end"))
+      .select($"d", explode(expr("sequence(1, y)")).as("j"))
+      .select(($"d" * 100 + $"j").as("event_id"), lit(1L).as("user_id"),
+        lit("a").as("event_type"),
+        expr("to_timestamp('2000-01-01') + make_interval(0, 0, 0, " +
+          "cast(d as int), 0, 0, j)").as("ts"))
+      .localCheckpoint()
+    val t0 = System.nanoTime()
+    val r = graft.operators.Resilience.pettitt(ev).collect()(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"pettitt over $nDays%d days in $secs%.1f s: K=${r.getLong(3)}")
+    // driver replica of K via the same V identity
+    val ys = (0 until nDays).map(d =>
+      1L + d % 5 + (if (d >= 60000) 3L else 0L))
+    val freq = ys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sorted = freq.keys.toSeq.sorted
+    val less = sorted.scanLeft(0L)((acc, v) => acc + freq(v))
+      .zip(sorted).map { case (l, v) => v -> l }.toMap
+    val vOf = ys.map(y => 2L * less(y) + freq(y) - nDays)
+    var u = 0L; var k = 0L; var tau = -1
+    for (t <- 0 until nDays - 1) {
+      u -= vOf(t)
+      if (math.abs(u) > k) { k = math.abs(u); tau = t }
+    }
+    assert(r.getLong(3) == k, s"K: ${r.getLong(3)} vs driver $k")
+    assert(secs < 120.0, f"pettitt must stay frame-bounded, took $secs%.1f s")
+  }
 }
