@@ -1555,6 +1555,33 @@ object Similarity {
     codeCascade(e, codes, shortlist)
   }
 
+  /** E30 served-TIER RECALL report — the "which index do I actually
+    * deploy" table every serving stack produces before committing
+    * storage: each compressed tier's top-k (E29 BQ sign bits, E19
+    * projection-Hamming, E20 random projection, E12 SQ8) joins
+    * against E1's exact top-k on (q_id, vec_id), and recall exports
+    * as exact integer ppm over queries×k. At 10⁹ vectors the same
+    * report runs over a sampled query set — the tier frames are the
+    * already-scale-shaped operators, the joins are query-set-sized. */
+  def tierRecall(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val exact = bruteforce(vecs).select($"q_id", $"vec_id")
+      .localCheckpoint()
+    def overlap(tier: String, df: DataFrame) =
+      df.select($"q_id", $"vec_id")
+        .join(exact, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(tier).as("tier"), $"n_hits")
+    overlap("bq", annBq(vecs))
+      .unionByName(overlap("hamming", annHamming(vecs)))
+      .unionByName(overlap("rp", annRp(vecs)))
+      .unionByName(overlap("sq8", annSq8(vecs)))
+      .withColumn("n_total", lit((NumQueries * TopK).toLong))
+      .withColumn("recall_ppm",
+        expr(s"n_hits * 1000000 div ${NumQueries * TopK}"))
+      .orderBy($"tier")
+  }
+
   /** E27 per-cell EMBEDDING DRIFT monitor (the production check
     * behind every "do we need to rebuild the index / retrain the
     * quantizer" decision: E8's persisted centroids and E6's codebooks
@@ -1674,6 +1701,7 @@ object Similarity {
     "ann_maxsim" -> onVecs(maxSim),
     "ann_hamming_rerank" -> onVecs(v => hammingRerank(v)),
     "ann_bq" -> onVecs(v => annBq(v)),
+    "ann_tier_recall" -> onVecs(tierRecall),
     "ann_drift" -> onVecs(embedDrift),
     "ann_hard_negatives" -> onVecs(v => hardNegatives(v)),
     "ann_knn_classify" -> onVecs(v => knnClassify(v)),
@@ -2162,7 +2190,34 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] =
+    baseOracles + ("ann_tier_recall" -> tierRecallOracleSql)
+
+  /** E30 twin: each tier's FULL oracle chain rides as a parenthesized
+    * subquery (DuckDB accepts WITH inside a FROM subquery), joined
+    * against the exact chain on (q_id, vec_id) — so the recall oracle
+    * inherits every tier's bit-level determinism for free. */
+  private def tierRecallOracleSql: String = {
+    def overlap(tier: String, key: String) =
+      s"""SELECT '$tier' AS tier, count(*)::BIGINT AS n_hits
+         |FROM (SELECT q_id, vec_id FROM (${baseOracles(key)}) s) t
+         |JOIN ex USING (q_id, vec_id)""".stripMargin
+    s"""WITH ex AS (
+       |  SELECT q_id, vec_id FROM (${baseOracles("ann_bruteforce")}) x),
+       |u AS (
+       |${overlap("bq", "ann_bq")}
+       |UNION ALL
+       |${overlap("hamming", "ann_hamming")}
+       |UNION ALL
+       |${overlap("rp", "ann_rp")}
+       |UNION ALL
+       |${overlap("sq8", "ann_sq8")})
+       |SELECT tier, n_hits, ${NumQueries * TopK}::BIGINT AS n_total,
+       |  n_hits * 1000000 // ${NumQueries * TopK} AS recall_ppm
+       |FROM u ORDER BY tier""".stripMargin
+  }
+
+  private val baseOracles: Map[String, String] = Map(
     // E28 twin: identical slices, 6dp sub-cosines, facet max over
     // identical rounded doubles, the same fixed ((m0+m1)+m2)+m3 sum
     // chain, (maxsim DESC, vec_id) ranks

@@ -373,6 +373,33 @@ object CdcStream {
     * order within each batch, and the cross-batch contract is
     * per-key in-order delivery (the CDC envelope offset order,
     * same as [[latestState]]). */
+  /** C72 STREAMING SLO-burn monitor — the continuous twin of the
+    * batch two-window alert (`Cdc.sloBurn`, C69), built on a NATIVE
+    * SLIDING window (7-day window sliding 1 day over the event-time
+    * watermark) rather than keyed state: every day each live window
+    * re-emits its exact error/event counts, the integer-ppm rate,
+    * and the burning flag vs the shared [[graft.operators.Cdc]] SLO
+    * constant. The fast 1-day window and the two-window AND stay the
+    * batch report's job (stated division of labor — C63/C64 shape).
+    * State is bounded by watermark retention (7 live windows/day),
+    * and the flag compares integer cross-products, never divided
+    * ppm. */
+  def sloBurnStream(events: DataFrame, sloPpm: Long = 250000L)
+      : DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window($"ts", "7 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(($"event_type" === "error").cast("long")).as("n_errors"))
+      .select(unix_micros($"w.start").as("win_start_us"),
+        unix_micros($"w.end").as("win_end_us"),
+        $"n_events", $"n_errors",
+        expr("n_errors * 1000000 div n_events").as("rate7_ppm"),
+        ($"n_errors" * 1000000L > $"n_events" * sloPpm).cast("long")
+          .as("burning"))
+  }
+
   case class InterarrivalPoint(event_type: String, n_gaps: Long,
     mean_us: Double, cv: Double, burstiness: Double)
 

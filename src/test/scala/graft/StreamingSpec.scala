@@ -671,6 +671,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C72 streaming slo burn: sliding windows carry exact counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def t(day: Int, sec: Int) = new java.sql.Timestamp(
+      86400000L * (19723 + day) + sec * 1000L)  // 2024-01-01 + day
+    // day0: 1/4 errors, day1: 3/4 — split mid-day1 across batches
+    val all = Seq((0, 0, "error"), (0, 1, "view"), (0, 2, "view"),
+      (0, 3, "view"), (1, 0, "error"), (1, 1, "error"),
+      (1, 2, "error"), (1, 3, "view"))
+      .zipWithIndex.map { case ((d, s0, ty), i) =>
+        (i.toLong, 1L, ty, t(d, s0)) }
+    val in = MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    val q = CdcStream.sloBurnStream(in.toDS()
+        .toDF("event_id", "user_id", "event_type", "ts"))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("slo_stream").start()
+    try {
+      in.addData(all.take(6): _*); q.processAllAvailable()
+      in.addData(all.drop(6): _*); q.processAllAvailable()
+      // the window ENDING after day1 (covers days -5..1) must hold
+      // the exact totals 4/8 across both batches
+      val rows = spark.table("slo_stream")
+        .groupBy($"win_end_us")
+        .agg(org.apache.spark.sql.functions.max(org.apache.spark.sql
+          .functions.struct($"n_events", $"n_errors", $"rate7_ppm",
+            $"burning")).as("s"))
+        .select($"win_end_us", $"s.*").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      val endDay2 = (19723L + 2) * 86400000000L
+      assert(rows(endDay2) == ((8L, 4L, 500000L, 1L)),
+        s"window ending day2: ${rows.get(endDay2)} of ${rows.keys}")
+      // the window ending after day0 holds only day0's 1/4
+      val endDay1 = (19723L + 1) * 86400000000L
+      assert(rows(endDay1) == ((4L, 1L, 250000L, 0L)),
+        s"window ending day1: ${rows.get(endDay1)}")
+    } finally q.stop()
+  }
+
   test("C67 streaming interarrival across batches == batch twin on exact-double gaps") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
