@@ -1378,7 +1378,56 @@ object Cdc {
         ($"chi2" > 3.841).cast("long").as("srm_flag"))
   }
 
+  /** C73 GROWTH-ACCOUNTING ledger per calendar month (the
+    * new/retained/resurrected/churned decomposition every
+    * subscription/DAU review runs — a flat "active users" line can
+    * hide a leaky bucket where heavy acquisition masks heavy churn;
+    * the ledger makes the four flows explicit): per month the
+    * active count, first-ever users (new), users also active the
+    * PREVIOUS calendar month (retained), users returning after a
+    * gap (resurrected), and users active last month who went silent
+    * (churned_in, attributed to the month they failed to appear
+    * in — reported only for months that exist in the activity
+    * frame, stated).
+    *
+    * All counts are exact integers from one distinct user-month
+    * frame: new/retained/resurrected from a per-user lag, churned
+    * from one anti-join of the month-shifted frame — no float
+    * anywhere. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val um = events
+      .select($"user_id",
+        date_trunc("month", $"ts").cast("date").as("month"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"month")
+    val flags = um
+      .withColumn("prev", lag($"month", 1).over(w))
+      .withColumn("is_new", $"prev".isNull.cast("long"))
+      // null prev must read as 0, not null (a month of only new
+      // users would otherwise sum its retained flag to NULL)
+      .withColumn("is_retained", coalesce(
+        ($"prev" === add_months($"month", -1)).cast("long"), lit(0L)))
+      .withColumn("is_resurrected",
+        ($"prev".isNotNull && $"prev" < add_months($"month", -1))
+          .cast("long"))
+    val monthly = flags.groupBy($"month")
+      .agg(count(lit(1)).as("n_active"), sum($"is_new").as("n_new"),
+        sum($"is_retained").as("n_retained"),
+        sum($"is_resurrected").as("n_resurrected"))
+    val churned = um
+      .select($"user_id", add_months($"month", 1).as("month"))
+      .join(um, Seq("user_id", "month"), "left_anti")
+      .groupBy($"month").agg(count(lit(1)).as("ch"))
+    monthly.join(churned, Seq("month"), "left")
+      .select(date_format($"month", "yyyy-MM").as("month"),
+        $"n_active", $"n_new", $"n_retained", $"n_resurrected",
+        coalesce($"ch", lit(0L)).as("n_churned_in"))
+      .orderBy($"month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_growth_accounting" -> onEvents(growthAccounting),
     "cdc_cuped" -> onEvents(cuped),
     "cdc_srm" -> onEvents(srm),
     "cdc_slo_burn" -> onEvents(sloBurn),
@@ -1500,6 +1549,41 @@ object Cdc {
   }
 
   val oracles: Map[String, String] = Map(
+    // C73 twin: same distinct user-month frame, per-user lag flags,
+    // month-shifted anti-join churn, all exact integers
+    "cdc_growth_accounting" ->
+      """WITH um AS (
+        |  SELECT DISTINCT user_id,
+        |    date_trunc('month', ts)::DATE AS month
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, month,
+        |    lag(month, 1) OVER (PARTITION BY user_id ORDER BY month)
+        |      AS prev
+        |  FROM um),
+        |m AS (
+        |  SELECT month, count(*)::BIGINT AS n_active,
+        |    sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_new,
+        |    sum(CASE WHEN prev = (month - INTERVAL 1 MONTH)::DATE
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_retained,
+        |    sum(CASE WHEN prev IS NOT NULL
+        |      AND prev < (month - INTERVAL 1 MONTH)::DATE
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_resurrected
+        |  FROM f GROUP BY 1),
+        |ch AS (
+        |  SELECT s.month, count(*)::BIGINT AS ch
+        |  FROM (SELECT user_id,
+        |          (month + INTERVAL 1 MONTH)::DATE AS month
+        |        FROM um) s
+        |  LEFT JOIN um ON s.user_id = um.user_id
+        |    AND s.month = um.month
+        |  WHERE um.user_id IS NULL GROUP BY 1)
+        |SELECT strftime(m.month, '%Y-%m') AS month, m.n_active,
+        |  m.n_new, m.n_retained, m.n_resurrected,
+        |  coalesce(ch.ch, 0)::BIGINT AS n_churned_in
+        |FROM m LEFT JOIN ch ON m.month = ch.month
+        |ORDER BY month""".stripMargin,
     // C70 twin: same midpoint split, same cleared-denominator
     // HUGEINT moments, one-division theta, pinned adjusted-delta
     // chain

@@ -3150,8 +3150,54 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B75 DURBIN-WATSON autocorrelation diagnostic on the TREND
+    * RESIDUALS per event type (Durbin & Watson 1950 — the classic
+    * "is the regression lying to you" check: B4 fits y ~ a + b·t and
+    * B35 tests the RAW series, but what invalidates the fit's
+    * standard errors is autocorrelation of the RESIDUALS; DW ≈ 2
+    * clean, → 0 positive autocorr, → 4 negative):
+    * DW = Σ(eₜ−eₜ₋₁)²/Σeₜ².
+    *
+    * Exactness: the OLS residual clears BOTH rational coefficients —
+    * Eₜ = nD·yₜ − D·Σy + b_num·(Σt − n·t) with D = nΣt²−(Σt)² and
+    * b_num = nΣty−ΣtΣy is an exact decimal(38,0) multiple of eₜ,
+    * and the common (nD)² factor cancels in the ratio, so DW is ONE
+    * division of two exact integer sums (exact while |E| ≤ ~10¹⁸·
+    * spread — the A66-style bound; sf0.1 sits 3 digits inside it).
+    * Degenerate fits (n < 8, zero t-variance, zero residuals) drop. */
+  def durbinWatson(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val wAll = Window.partitionBy($"event_type")
+    val pts = dailyTyped(events)
+      .withColumn("t", row_number().over(w).cast("long"))
+    val st = pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"t").as("stt"),
+        sum($"y").as("sy"), sum($"t" * $"t").as("st2"),
+        sum($"t" * $"y").as("sty"))
+      .withColumn("dd", $"n" * $"st2" - $"stt" * $"stt")
+      .withColumn("bnum", $"n" * $"sty" - $"stt" * $"sy")
+      .filter($"n" >= 8L && $"dd" > 0L)
+    val res = pts.join(broadcast(st), "event_type")
+      .withColumn("e", expr(
+        "cast(n as decimal(38,0)) * dd * y - cast(dd as decimal(38,0))" +
+          " * sy + cast(bnum as decimal(38,0)) * (stt - n * t)"))
+      .withColumn("ep", lag($"e", 1).over(w))
+    res.groupBy($"event_type")
+      .agg(max($"n").as("n_days"),
+        sum($"e" * $"e").as("see"),
+        sum(when($"ep".isNotNull,
+          ($"e" - $"ep") * ($"e" - $"ep"))).as("sd2"))
+      .filter($"see" > 0)
+      .select($"event_type", $"n_days",
+        round($"sd2".cast("double") / $"see".cast("double"), 6)
+          .as("dw"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chow" -> ((s, dir) => chowBreak(Tables.events(s, dir))),
+    "q_durbin_watson" -> ((s, dir) => durbinWatson(Tables.events(s, dir))),
     "q_pettitt" -> ((s, dir) => pettitt(Tables.events(s, dir))),
     "q_arch_lm" -> ((s, dir) => archLm(Tables.events(s, dir))),
     "q_variance_ratio" -> ((s, dir) => varianceRatio(Tables.events(s, dir))),
@@ -3392,6 +3438,41 @@ object Resilience {
          |  round(3.0 * ssq::DOUBLE / (n_blocks * k * (k + 1))::DOUBLE
          |    - 3.0 * (n_blocks * (k + 1))::DOUBLE, 6) AS chi2_f
          |FROM t WHERE k >= 2 AND n_blocks >= 2""".stripMargin,
+    // B75 twin: same cleared-coefficient residual integers in
+    // HUGEINT, the (nD)² factor cancelling in the same single
+    // division
+    "q_durbin_watson" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |p AS (
+         |  SELECT event_type, y, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY day)::BIGINT AS t
+         |  FROM d),
+         |st AS (
+         |  SELECT event_type, count(*)::BIGINT AS n,
+         |    sum(t)::BIGINT AS stt, sum(y)::BIGINT AS sy,
+         |    sum(t * t)::BIGINT AS st2, sum(t * y)::BIGINT AS sty
+         |  FROM p GROUP BY 1),
+         |c AS (
+         |  SELECT event_type, n, stt, sy,
+         |    n * st2 - stt * stt AS dd, n * sty - stt * sy AS bnum
+         |  FROM st WHERE n >= 8 AND n * st2 - stt * stt > 0),
+         |r AS (
+         |  SELECT p.event_type, c.n,
+         |    c.n::HUGEINT * c.dd * p.y - c.dd::HUGEINT * c.sy
+         |      + c.bnum::HUGEINT * (c.stt - c.n * p.t) AS e,
+         |    lag(c.n::HUGEINT * c.dd * p.y - c.dd::HUGEINT * c.sy
+         |      + c.bnum::HUGEINT * (c.stt - c.n * p.t), 1) OVER (
+         |      PARTITION BY p.event_type ORDER BY p.t) AS ep
+         |  FROM p JOIN c USING (event_type)),
+         |g AS (
+         |  SELECT event_type, max(n)::BIGINT AS n_days,
+         |    sum(e * e) AS see,
+         |    sum(CASE WHEN ep IS NOT NULL
+         |      THEN (e - ep) * (e - ep) END) AS sd2
+         |  FROM r GROUP BY 1)
+         |SELECT event_type, n_days,
+         |  round(sd2::DOUBLE / see::DOUBLE, 6) AS dw
+         |FROM g WHERE see > 0 ORDER BY event_type""".stripMargin,
     // B74 twin: same value-domain V identity, same telescoped
     // integer cumsum, same single exp tail, earliest-day ties
     "q_pettitt" ->

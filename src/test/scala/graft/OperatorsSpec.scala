@@ -2715,6 +2715,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3.isEmpty)
   }
 
+  test("B75 durbin-watson: cleared-coefficient residuals exact, perfect fit drops") {
+    import graft.operators.Resilience
+    // alternating 2,1,...: E = (896,-1664,1152,-1408,1408,-1152,
+    // 1664,-896) -> see = 13762560, sd2 = 50003968
+    val got = Resilience.durbinWatson(dailyEvents(
+        "alt" -> Seq(2, 1, 2, 1, 2, 1, 2, 1),
+        "lin" -> (1 to 8)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!got.contains("lin"), "zero-residual fit must drop")
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("alt") == ((8L, r6(50003968.0 / 13762560.0))),
+      s"got ${got("alt")}")
+  }
+
+  test("C73 growth accounting: four flows exact, churn lands on the month missed") {
+    import spark.implicits._
+    val rows = Seq((1L, "2024-01-15"), (1L, "2024-02-03"),
+      (1L, "2024-04-09"), (2L, "2024-01-20"), (3L, "2024-02-11"),
+      (3L, "2024-04-25"))
+    val df = rows.zipWithIndex.map { case ((u, d), i) => (i.toLong, u, d) }
+      .toDF("event_id", "user_id", "d")
+      .withColumn("ts", expr("to_timestamp(d)"))
+      .withColumn("event_type", expr("'view'"))
+    val got = graft.operators.Cdc.growthAccounting(df).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("2024-01") == ((2L, 2L, 0L, 0L, 0L)), s"${got("2024-01")}")
+    // u1 retained, u3 new; u2 churned into february
+    assert(got("2024-02") == ((2L, 1L, 1L, 0L, 1L)), s"${got("2024-02")}")
+    // both actives resurrect after the march gap; march itself has
+    // no activity row, so u1/u3's churn-into-march is not reported
+    // (stated precondition)
+    assert(got("2024-04") == ((2L, 0L, 0L, 2L, 0L)), s"${got("2024-04")}")
+    assert(!got.contains("2024-03"))
+  }
+
   test("B74 pettitt: rank change-point exact via the telescoped V identity") {
     import graft.operators.Resilience
     // 1,1,1,1,5,5,5,5: V = -4 x4 then +4 x4, U = 4,8,12,16,12,8,4
