@@ -1250,7 +1250,7 @@ object Cdc {
       .orderBy($"event_type")
   }
 
-  private val SloPpm = 250000L
+  private[graft] val SloPpm = 250000L
 
   /** C69 SLO ERROR-BUDGET BURN monitor (the Google-SRE multi-window
     * burn alert, batch-replayed: a 1-day error-rate spike alone can

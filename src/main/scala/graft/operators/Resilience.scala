@@ -2992,8 +2992,11 @@ object Resilience {
         ($"a" * $"q").cast("double"))
       .select($"event_type", $"q", $"n".as("n_diffs"),
         round($"vr", 6).as("vr"),
+        // Lo-MacKinlay's √(nq) is the TOTAL 1-period increment
+        // count — n_diffs already IS nq; multiplying by q again
+        // inflated z by √q (review-caught)
         round(($"vr" - lit(1.0)) *
-          sqrt(($"n" * $"q").cast("double")) /
+          sqrt($"n".cast("double")) /
           sqrt((lit(2.0) * ($"q" * 2L - 1L).cast("double") *
             ($"q" - 1L).cast("double")) /
             (lit(3.0) * $"q".cast("double"))), 6).as("z"))
@@ -3143,8 +3146,10 @@ object Resilience {
       .select($"event_type", $"n".as("n_days"),
         date_format($"day", "yyyy-MM-dd").as("tau_day"),
         abs($"u").as("k_stat"),
+        // K² in decimal: a raw long·long wraps past K ≈ 3·10⁹
+        // (≈110k shifted days) — the oracle's HUGEINT already does
         round(least(lit(1.0), lit(2.0) * exp(lit(-6.0) *
-          (abs($"u") * abs($"u")).cast("double") /
+          (abs($"u").cast("decimal(38,0)") * abs($"u")).cast("double") /
           ($"n" * $"n" * $"n" + $"n" * $"n").cast("double"))), 6)
           .as("p_approx"))
       .orderBy($"event_type")
@@ -3581,7 +3586,7 @@ object Resilience {
          |    braw::DOUBLE / (a * q)::DOUBLE AS vr
          |  FROM u WHERE braw IS NOT NULL)
          |SELECT event_type, q, n_diffs, round(vr, 6) AS vr,
-         |  round((vr - 1.0) * sqrt((n_diffs * q)::DOUBLE)
+         |  round((vr - 1.0) * sqrt(n_diffs::DOUBLE)
          |    / sqrt((2.0 * (q * 2 - 1)::DOUBLE * (q - 1)::DOUBLE)
          |      / (3.0 * q::DOUBLE)), 6) AS z
          |FROM v ORDER BY event_type, q""".stripMargin,

@@ -360,19 +360,6 @@ object CdcStream {
   case class Drift(user_id: Long, n_events: Long,
       drift_up: Long, drift_down: Long)
 
-  /** C34 streaming CUSUM drift detection — the continuous twin of the
-    * batch closed form (`Resilience.cusumDrift`): per key, prefix sum
-    * P of (cents − target), running min/max of P, and the historical
-    * max up/down drift S⁺ = P − min(0, minP) / S⁻ = max(0, maxP) − P,
-    * all updated incrementally. The reference value is a FIXED target
-    * (standard streaming CUSUM) because a stream has no global mean;
-    * with target == the series mean, the batch statistic is exactly
-    * n × this one (its deviations are n-scaled) — the spec pins that
-    * identity. State is six longs + nothing else per key (bounded
-    * regardless of stream length); events apply in (ts, event_id)
-    * order within each batch, and the cross-batch contract is
-    * per-key in-order delivery (the CDC envelope offset order,
-    * same as [[latestState]]). */
   /** C72 STREAMING SLO-burn monitor — the continuous twin of the
     * batch two-window alert (`Cdc.sloBurn`, C69), built on a NATIVE
     * SLIDING window (7-day window sliding 1 day over the event-time
@@ -384,7 +371,8 @@ object CdcStream {
     * State is bounded by watermark retention (7 live windows/day),
     * and the flag compares integer cross-products, never divided
     * ppm. */
-  def sloBurnStream(events: DataFrame, sloPpm: Long = 250000L)
+  def sloBurnStream(events: DataFrame,
+      sloPpm: Long = graft.operators.Cdc.SloPpm)
       : DataFrame = {
     import events.sparkSession.implicits._
     events
@@ -444,6 +432,19 @@ object CdcStream {
       }
   }
 
+  /** C34 streaming CUSUM drift detection — the continuous twin of the
+    * batch closed form (`Resilience.cusumDrift`): per key, prefix sum
+    * P of (cents − target), running min/max of P, and the historical
+    * max up/down drift S⁺ = P − min(0, minP) / S⁻ = max(0, maxP) − P,
+    * all updated incrementally. The reference value is a FIXED target
+    * (standard streaming CUSUM) because a stream has no global mean;
+    * with target == the series mean, the batch statistic is exactly
+    * n × this one (its deviations are n-scaled) — the spec pins that
+    * identity. State is six longs + nothing else per key (bounded
+    * regardless of stream length); events apply in (ts, event_id)
+    * order within each batch, and the cross-batch contract is
+    * per-key in-order delivery (the CDC envelope offset order,
+    * same as [[latestState]]). */
   def cusumStream(changes: Dataset[Change],
       targetCents: Long): Dataset[Drift] = {
     import changes.sparkSession.implicits._

@@ -2923,9 +2923,9 @@ class OperatorsSpec extends AnyFunSuite {
     def r6(x: Double) = BigDecimal(x).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble
     val vr2 = 32.0 / (720.0 * 2); val vr4 = 96.0 / (720.0 * 4)
-    val z2 = (vr2 - 1.0) * math.sqrt(18.0) /
+    val z2 = (vr2 - 1.0) * math.sqrt(9.0) /
       math.sqrt((2.0 * 3 * 1) / 6.0)
-    val z4 = (vr4 - 1.0) * math.sqrt(36.0) /
+    val z4 = (vr4 - 1.0) * math.sqrt(9.0) /
       math.sqrt((2.0 * 7 * 3) / 12.0)
     assert(got(("alt", 2L)) == ((9L, r6(vr2), r6(z2))),
       s"q=2: ${got(("alt", 2L))}")
