@@ -1426,7 +1426,35 @@ object Cdc {
       .orderBy($"month")
   }
 
+  /** C74 DAU/MAU STICKINESS per calendar month (the engagement
+    * companion of C73's flow ledger: the ledger says WHO moved,
+    * stickiness says how OFTEN the actives come back — mean daily
+    * actives over monthly actives, the ratio every consumer product
+    * reports): per month the MAU, the mean DAU over the month's
+    * PRESENT days (absent days are capture gaps, not zeros —
+    * stated), and stickiness as exact integer ppm via cross-
+    * multiplication (Σdau·10⁶ div (n_days·mau)), never a divided
+    * float. Two distinct-frames and two aggregates — all integer. */
+  def stickiness(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val ud = events.select($"user_id", to_date($"ts").as("day"),
+      date_trunc("month", $"ts").cast("date").as("month")).distinct()
+    val dau = ud.groupBy($"month", $"day")
+      .agg(count(lit(1)).as("dau"))
+      .groupBy($"month")
+      .agg(count(lit(1)).as("n_days"), sum($"dau").as("sum_dau"))
+    val mau = ud.select($"user_id", $"month").distinct()
+      .groupBy($"month").agg(count(lit(1)).as("mau"))
+    dau.join(mau, "month")
+      .select(date_format($"month", "yyyy-MM").as("month"),
+        $"n_days", $"mau",
+        expr("sum_dau * 1000000 div (n_days * mau)")
+          .as("stickiness_ppm"))
+      .orderBy($"month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_stickiness" -> onEvents(stickiness),
     "cdc_growth_accounting" -> onEvents(growthAccounting),
     "cdc_cuped" -> onEvents(cuped),
     "cdc_srm" -> onEvents(srm),
@@ -1549,6 +1577,27 @@ object Cdc {
   }
 
   val oracles: Map[String, String] = Map(
+    // C74 twin: same two distinct frames, same integer ppm
+    // cross-multiplication
+    "cdc_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, ts::DATE AS day,
+        |    date_trunc('month', ts)::DATE AS month
+        |  FROM events),
+        |d AS (
+        |  SELECT month, count(*)::BIGINT AS n_days,
+        |    sum(dau)::BIGINT AS sum_dau
+        |  FROM (SELECT month, day, count(*)::BIGINT AS dau
+        |        FROM ud GROUP BY 1, 2) x
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT month, count(*)::BIGINT AS mau
+        |  FROM (SELECT DISTINCT user_id, month FROM ud) y
+        |  GROUP BY 1)
+        |SELECT strftime(d.month, '%Y-%m') AS month, d.n_days, m.mau,
+        |  d.sum_dau * 1000000 // (d.n_days * m.mau) AS stickiness_ppm
+        |FROM d JOIN m ON d.month = m.month
+        |ORDER BY month""".stripMargin,
     // C73 twin: same distinct user-month frame, per-user lag flags,
     // month-shifted anti-join churn, all exact integers
     "cdc_growth_accounting" ->

@@ -2753,6 +2753,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.contains("2024-03"))
   }
 
+  test("C74 stickiness: mean-DAU over MAU exact, repeat visits within a day collapse") {
+    import spark.implicits._
+    // jan: u1 active day1+day2 (two events day1 collapse), u2 day1
+    // -> DAU 2,1 over 2 present days, MAU 2:
+    // stickiness = 3*1e6 div (2*2) = 750000
+    val rows = Seq((1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 09:00:00"),
+      (1L, "2024-01-02 08:00:00"), (2L, "2024-01-01 10:00:00"))
+    val df = rows.zipWithIndex.map { case ((u, d), i) => (i.toLong, u, d) }
+      .toDF("event_id", "user_id", "d")
+      .withColumn("ts", expr("to_timestamp(d)"))
+      .withColumn("event_type", expr("'view'"))
+    val r = graft.operators.Cdc.stickiness(df).collect()(0)
+    assert(r.toSeq == Seq("2024-01", 2L, 2L, 750000L), s"got $r")
+  }
+
   test("B74 pettitt: rank change-point exact via the telescoped V identity") {
     import graft.operators.Resilience
     // 1,1,1,1,5,5,5,5: V = -4 x4 then +4 x4, U = 4,8,12,16,12,8,4
