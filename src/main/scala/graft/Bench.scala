@@ -11,13 +11,19 @@ import scala.collection.concurrent.TrieMap
   *  - pass 1 times every query ONCE in sorted order — full per-query
   *    coverage lands as early as possible;
   *  - further passes (up to SPARK_GRAFT_REPS, default 2) re-time
-  *    queries cheapest-first, but only while the POLISH budget
-  *    (SPARK_GRAFT_BUDGET_SEC, default 300 s of re-measure time,
-  *    pass 1 excluded — charging mandatory coverage against it
-  *    silently degraded rows to first-touch best-of-1 once the suite
-  *    outgrew the budget) has room — best-of-n noise rejection
-  *    degrades gracefully instead of blowing the driver's wall-clock
-  *    limit;
+  *    queries by RATIO VS THE COMMITTED BASELINE descending (parsed
+  *    from BASELINE.md's superseding per-query table; rows with no
+  *    baseline — new queries — and pass-1 failures sort first), but
+  *    only while the POLISH budget (SPARK_GRAFT_BUDGET_SEC, default
+  *    300 s of re-measure time, pass 1 excluded — charging mandatory
+  *    coverage against it silently degraded rows to first-touch
+  *    best-of-1 once the suite outgrew the budget) has room.
+  *    Cheapest-first ordering (the old policy) spent the whole budget
+  *    giving sub-second rows their fourth rep while multi-second
+  *    first-touch outliers (JIT + codegen + plan compile) were
+  *    recorded at best-of-1 and read as false >=2x regressions;
+  *    ratio-descending sends the retry exactly where a 2x row would
+  *    otherwise be reported;
   *  - a JVM shutdown hook emits the partial JSON if the driver's
   *    `timeout` SIGTERMs us anyway, so a kill can truncate the table
   *    but can no longer erase it.
@@ -34,6 +40,28 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${sfDirRef.get}"}"""
   }
+
+  /** Committed per-query baseline seconds, parsed from BASELINE.md's
+    * `| query | sec |` tables; later tables overwrite earlier rows, so
+    * the superseding re-baseline table at the bottom of the file wins.
+    * Missing file or unparseable rows degrade to an empty map (polish
+    * order then treats every row as baseline-less, i.e. first). */
+  private def baselineTimes(): Map[String, Double] =
+    try {
+      val src = scala.io.Source.fromFile("BASELINE.md", "UTF-8")
+      try {
+        val m = scala.collection.mutable.LinkedHashMap[String, Double]()
+        src.getLines().foreach { l =>
+          val t = l.trim
+          if (t.startsWith("|")) {
+            val cells = t.split("\\|").map(_.trim).filter(_.nonEmpty)
+            if (cells.length == 2 && cells(1).matches("[0-9]+(\\.[0-9]+)?"))
+              m.put(cells(0), cells(1).toDouble)
+          }
+        }
+        m.toMap
+      } finally src.close()
+    } catch { case _: Throwable => Map.empty }
 
   private def writeFile(): Unit =
     try {
@@ -100,16 +128,22 @@ object Bench {
       if (verbose) System.err.println(
         f"[bench] ${(System.nanoTime() - wall0) / 1e9}%8.1f wall  $t%7.3f q  $name")
     }
-    // passes 2..reps: cheapest-first (noise matters most on sub-second
-    // rows; expensive iterative queries are rep-stable), stop at budget.
-    // Pass-1 failures (transient OOM/GC timeout) sort LAST and get a
-    // retry slot here — a one-off crash no longer freezes the row at
-    // -1 / excluded-from-total for the whole run
+    // passes 2..reps: ratio-vs-committed-baseline DESCENDING — the
+    // worst-looking rows (first-touch outliers on expensive queries)
+    // get the retry before sub-second rows get their fourth rep.
+    // Pass-1 failures (transient OOM/GC timeout) and rows with no
+    // baseline (new queries) sort FIRST — a one-off crash no longer
+    // freezes the row at -1 / excluded-from-total for the whole run
+    val base = baselineTimes()
     var pass = 2
     while (pass <= reps && spent < budgetSec) {
       val order = queries.sortBy { case (n, _) =>
         val v = results.getOrElse(n, -1.0)
-        if (v >= 0) v else Double.MaxValue
+        if (v < 0) Double.MinValue // failed: retry first
+        else base.get(n) match {
+          case Some(b) if b > 0 => -(v / b) // ratio desc
+          case _                => Double.MinValue / 2 // new query: early
+        }
       }
       val it = order.iterator
       while (it.hasNext && spent < budgetSec) {

@@ -1190,7 +1190,13 @@ object Cdc {
           "decimal(38,0)) * sg as double)" +
           " / cast(n_gaps * (n_gaps - 1) as double)")))
       .select($"event_type", $"n_gaps",
-        round($"mean_us", 6).as("mean_us"),
+        // exported mean is EXACT-integer-derived: (sg·10⁶ div n) is an
+        // exact decimal floor-div, its int→double conversion and the
+        // one ÷10⁶ are correctly rounded in both engines — round(x, 6)
+        // on a ~1e10 double needs 17 significant digits and the two
+        // engines pick different neighbors (the sf0.001 lesson)
+        (expr("cast((cast(sg as decimal(38,0)) * 1000000) div n_gaps " +
+          "as double)") / 1e6).as("mean_us"),
         round($"sd" / $"mean_us", 6).as("cv"),
         round(($"sd" - $"mean_us") / ($"sd" + $"mean_us"), 6)
           .as("burstiness"))
@@ -1759,12 +1765,14 @@ object Cdc {
         |    sum(g)::BIGINT AS sg, sum(g::HUGEINT * g) AS sq
         |  FROM g WHERE g IS NOT NULL GROUP BY 1),
         |s AS (
-        |  SELECT event_type, n_gaps,
+        |  SELECT event_type, n_gaps, sg,
         |    sg::DOUBLE / n_gaps::DOUBLE AS mean_us,
         |    sqrt((n_gaps::HUGEINT * sq - sg::HUGEINT * sg)::DOUBLE
         |      / (n_gaps * (n_gaps - 1))::DOUBLE) AS sd
         |  FROM a WHERE n_gaps >= 2 AND sg > 0)
-        |SELECT event_type, n_gaps, round(mean_us, 6) AS mean_us,
+        |SELECT event_type, n_gaps,
+        |  (sg::HUGEINT * 1000000 // n_gaps)::DOUBLE / 1000000.0
+        |    AS mean_us,
         |  round(sd / mean_us, 6) AS cv,
         |  round((sd - mean_us) / (sd + mean_us), 6) AS burstiness
         |FROM s ORDER BY event_type""".stripMargin,

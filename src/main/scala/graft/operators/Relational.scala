@@ -1487,21 +1487,44 @@ object Relational {
     * numerator terms exact decimal(38,0) product-sums (rank ties
     * carry equal x, so Σi·xᵢ is tie-order invariant — the statistic
     * is deterministic even though row_number is not). Deciles via
-    * ntile over the same (spend, custkey) total order; cumulative
-    * share exported as integer ppm. Windows run over the
-    * CUSTOMER-aggregate frame, never the order corpus (an
-    * ultra-high-cardinality key set would bucket the cumsum, the
-    * F14 shape). */
+    * the ntile bucket formula over the same (spend, custkey) total
+    * order; cumulative share exported as integer ppm.
+    *
+    * Scale shape: the global rank is DECOMPOSED two-level (the
+    * A45/F14 pattern) — range-bucket on cents (ties share a bucket,
+    * so bucket order extends the (cents, custkey) total order),
+    * row_number INSIDE each bucket, cross-bucket offsets from the
+    * bucket-count frame via a broadcast non-equi self-join — so no
+    * single-task WindowExec ever touches the customer-cardinality
+    * frame, and ntile is replaced by its closed-form bucket formula
+    * over (i, n). The decile cumsum is a ≤10-row self-join. */
   def lorenzGini(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val spend = Tables.orders(s, dir)
       .groupBy($"o_custkey")
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
-    val wOrd = Window.orderBy($"cents", $"o_custkey")
+      .withColumn("bkt", expr("cents div 1000000"))
+    val bktCnt = spend.groupBy($"bkt").agg(count(lit(1)).as("bc"))
+    val offs = bktCnt.as("x")
+      .join(bktCnt.as("y"), col("y.bkt") < col("x.bkt"), "left")
+      .groupBy(col("x.bkt").as("bkt"))
+      .agg(coalesce(sum(col("y.bc")), lit(0L)).as("off"))
+    val nAll = spend.agg(count(lit(1)).as("n_all"))
+    val wIn = Window.partitionBy($"bkt").orderBy($"cents", $"o_custkey")
     val ranked = spend
-      .withColumn("i", row_number().over(wOrd).cast("long"))
-      .withColumn("decile", ntile(10).over(wOrd).cast("long"))
+      .join(broadcast(offs), Seq("bkt"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("i", ($"off" + row_number().over(wIn)).cast("long"))
+      // Spark's ntile(10) in closed form: the first n%10 tiles carry
+      // ceil(n/10) rows, the rest floor(n/10); CASE short-circuits so
+      // the floor-division branch never runs when n < 10
+      .withColumn("decile", expr(
+        "cast(case when i <= (n_all % 10) * (n_all div 10 + 1) " +
+          "then (i - 1) div (n_all div 10 + 1) + 1 " +
+          "else (n_all % 10) + " +
+          "(i - (n_all % 10) * (n_all div 10 + 1) - 1) div (n_all div 10)" +
+          " + 1 end as bigint)"))
     val tot = ranked.groupBy().agg(
       count(lit(1)).as("n"),
       sum($"cents".cast("decimal(38,0)")).as("sx"),
@@ -1513,10 +1536,15 @@ object Relational {
     val deciles = ranked.groupBy($"decile")
       .agg(count(lit(1)).as("n_cust"),
         sum($"cents".cast("decimal(38,0)")).as("dec_cents"))
-    val wCum = Window.orderBy($"decile")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deciles
-      .withColumn("cum_cents", sum($"dec_cents").over(wCum))
+    // cumulative spend over the ≤10-row decile frame: a broadcast
+    // non-equi self-join, not an unpartitioned running-sum window
+    deciles.as("x")
+      .join(broadcast(deciles.as("y")),
+        col("y.decile") <= col("x.decile"))
+      .groupBy(col("x.decile").as("decile"),
+        col("x.n_cust").as("n_cust"),
+        col("x.dec_cents").as("dec_cents"))
+      .agg(sum(col("y.dec_cents")).as("cum_cents"))
       .crossJoin(tot)
       .select($"decile", $"n_cust",
         $"dec_cents".cast("double").as("dec_dollars_x100"),
@@ -1532,9 +1560,10 @@ object Relational {
     * revenue desc, class A while the cumulative share ≤ 80%, B to
     * 95%, else C; per-class summary row. ALL integer: the class
     * predicate cross-multiplies (cum·100 vs thresh·total), so no
-    * float ever decides a boundary. Scale note: the rank window is
-    * the A52 shape (distinct-part frame, not the lineitem corpus);
-    * the summary output is 3 rows. */
+    * float ever decides a boundary. Scale note: the cumulative sum
+    * runs over the distinct-part frame (never the lineitem corpus)
+    * and is two-level bucket-decomposed in the body below; the
+    * summary output is 3 rows. */
   def abcPareto(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1542,13 +1571,29 @@ object Relational {
       .groupBy($"l_partkey")
       .agg(expr("sum(cast(round(l_extendedprice * 100) as bigint) * " +
         "(100 - cast(round(l_discount * 100) as bigint)))").as("cp"))
-    val wOrd = Window.orderBy($"cp".desc, $"l_partkey")
-    val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
-      Window.currentRow)
+      .withColumn("bkt", expr("cp div 100000000"))
     val tot = rev.agg(sum($"cp".cast("decimal(38,0)"))).collect()(0)
       .getDecimal(0).toBigInteger.longValueExact()
+    // cumulative revenue DECOMPOSED two-level (the A45/F14 pattern):
+    // range-bucket on cp (equal cp shares a bucket, so descending
+    // bucket order extends the (cp desc, partkey) total order),
+    // in-bucket running sum, cross-bucket offsets from the
+    // bucket-total frame via a broadcast non-equi self-join — no
+    // single-task WindowExec touches the part-cardinality frame
+    val bktSum = rev.groupBy($"bkt")
+      .agg(sum($"cp".cast("decimal(38,0)")).as("bs"))
+    val offs = bktSum.as("x")
+      .join(bktSum.as("y"), col("y.bkt") > col("x.bkt"), "left")
+      .groupBy(col("x.bkt").as("bkt"))
+      .agg(coalesce(sum(col("y.bs")),
+        lit(0).cast("decimal(38,0)")).as("prior"))
+    val wIn = Window.partitionBy($"bkt")
+      .orderBy($"cp".desc, $"l_partkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val classed = rev
-      .withColumn("cum", sum($"cp").over(wCum))
+      .join(broadcast(offs), Seq("bkt"))
+      .withColumn("cum",
+        $"prior" + sum($"cp".cast("decimal(38,0)")).over(wIn))
       .withColumn("abc",
         // cross-multiply in decimal(38,0): cum·100 wraps int64 past
         // total cent-percent revenue ~9.2e16 (≈ sf40) — same overflow
@@ -1725,7 +1770,7 @@ object Relational {
       .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter($"n_ab" >= 3)
-    pairs
+    val scored = pairs
       .join(item.select($"part".as("a"), $"n_part".as("n_a")), "a")
       .join(item.select($"part".as("b"), $"n_part".as("n_b")), "b")
       .crossJoin(nOrders)
@@ -1735,9 +1780,13 @@ object Relational {
         expr("cast(cast(n_ab as decimal(38,0)) * n_orders * 1000000 " +
           "div (cast(n_a as decimal(38,0)) * n_b) as bigint)")
           .as("lift_ppm"))
+    // top-20 via orderBy+limit (TakeOrderedAndProject — the
+    // countMinOn/cdc_paths pattern: never an unpartitioned window
+    // over the superlinear Σ basket² pair frame); the rank window
+    // then runs on the 20-row result only
+    scored.orderBy($"lift_ppm".desc, $"a", $"b").limit(20)
       .withColumn("rk", row_number().over(
         Window.orderBy($"lift_ppm".desc, $"a", $"b")).cast("long"))
-      .filter($"rk" <= 20)
       .orderBy($"rk")
   }
 

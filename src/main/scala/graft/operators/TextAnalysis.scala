@@ -597,8 +597,8 @@ object TextAnalysis {
     * uses the rounded value with the bigram itself as tie-break.
     * Shape: one tokenization pass feeds both the bigram and unigram
     * aggregates (localCheckpointed — the hybrid_rrf HOF-collapse
-    * lesson), two corpus-vocabulary-sized joins, a top-k window over
-    * the min-count survivors. */
+    * lesson), two corpus-vocabulary-sized joins, an orderBy+limit
+    * top-k (TakeOrderedAndProject) over the min-count survivors. */
   def collocations(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -625,10 +625,13 @@ object TextAnalysis {
         ($"c12".cast("decimal(38,0)") * $"n" * $"n").cast("double") /
           (($"btot".cast("decimal(38,0)") * $"c1" * $"c2").cast("double"))),
         4))
-    scored
+    // top-k via orderBy+limit (TakeOrderedAndProject — the
+    // countMinOn/cdc_paths pattern: never an unpartitioned window
+    // over the vocabulary² bigram frame); the rank window then runs
+    // on the k-row result only
+    scored.orderBy($"pmi".desc, $"t1", $"t2").limit(CollocTopK)
       .withColumn("rank", row_number().over(
         Window.orderBy($"pmi".desc, $"t1", $"t2")).cast("long"))
-      .filter($"rank" <= CollocTopK)
       .select($"rank", $"t1", $"t2", $"c12", $"pmi")
       .orderBy($"rank")
   }

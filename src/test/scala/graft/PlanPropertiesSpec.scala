@@ -145,6 +145,39 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("no single-task window over an unbounded frame (the r7 fixed four)") {
+    // q_basket_lift / text_collocations: top-k must ride orderBy+limit
+    // (TakeOrderedAndProject) with the rank window running on the
+    // k-row result ONLY; q_lorenz / q_abc: rank/cumsum must be the
+    // two-level bucket decomposition (in-bucket partitioned window +
+    // broadcast offsets) with NO unpartitioned window at all. Checked
+    // on the optimized logical plan (stable under AQE): every Window
+    // with an empty partitionSpec must sit above a GlobalLimit —
+    // i.e. its input frame is bounded to k rows, never corpus-sized.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      GlobalLimit, LogicalPlan, Window => LWindow}
+    def bounded(p: LogicalPlan): Boolean =
+      p.collectFirst { case _: GlobalLimit => true }.isDefined
+    for (q <- Seq("q_basket_lift", "text_collocations", "q_lorenz", "q_abc")) {
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val unpart = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      unpart.foreach { w =>
+        assert(bounded(w.child),
+          s"$q runs an unpartitioned Window over an unbounded frame:\n$w")
+      }
+    }
+    // and the two ranked-list queries must keep the TakeOrdered path
+    for (q <- Seq("q_basket_lift", "text_collocations"))
+      assert(plan(q).contains("TakeOrderedAndProject"), s"$q sorts globally")
+    // the two decomposed queries must have NO unpartitioned window left
+    for (q <- Seq("q_lorenz", "q_abc")) {
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      assert(lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w }.isEmpty,
+        s"$q still has an unpartitioned Window")
+    }
+  }
+
   test("windowed operators partition by key (no global window)") {
     for (q <- Seq("cdc_latest_state", "cdc_scd2", "q_running_sum")) {
       val p = plan(q)
