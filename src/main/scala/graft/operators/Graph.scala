@@ -899,6 +899,13 @@ object Graph {
       }
       r += 1
     }
+    // components only HALVE per round, so >~2^rounds initial
+    // components can exhaust the budget — fail loudly (the
+    // resolveRemapClosure posture) instead of silently returning a
+    // partial spanning forest
+    require(done,
+      s"boruvkaMst did not converge within $rounds rounds; " +
+        "raise the rounds budget (components halve per round)")
     mst.orderBy($"w", $"a", $"b")
   }
 

@@ -260,14 +260,54 @@ object Lake {
     def readPublishedPruned(spark: SparkSession, dir: String,
         partCol: String, values: Seq[String]): DataFrame = {
       val all = manifestFiles(spark, dir, currentVersion(spark, dir))
-      val tags = values.map(v => s"__p_$partCol=$v").toSet
+      // compare in the UNESCAPED value domain: Spark percent-escapes
+      // special characters (':', '=', '%', '#', ...) in partition
+      // directory names and writes nulls as __HIVE_DEFAULT_PARTITION__;
+      // matching raw strings against the escaped path segment would
+      // silently drop matching files — violating the "pruning is an
+      // optimization, never a filter" contract. Null-partition files
+      // are kept unconditionally for the same reason.
+      val wanted = values.toSet
+      val prefix = s"__p_$partCol="
       val kept = all.filter { path =>
         val segs = path.split("/")
-        val part = segs.find(_.startsWith(s"__p_$partCol="))
-        part.forall(tags.contains)
+        val part = segs.find(_.startsWith(prefix))
+        part.forall { seg =>
+          val raw = seg.substring(prefix.length)
+          // manifest paths carry URI percent-encoding ON TOP of the
+          // Hive partition escaping ('%' itself becomes %25), so match
+          // at every unescape depth — pruning is optimization-only, so
+          // a false keep is harmless while a false drop loses rows
+          val once = unescapePathName(raw)
+          val twice = unescapePathName(once)
+          raw == "__HIVE_DEFAULT_PARTITION__" ||
+            wanted.contains(raw) || wanted.contains(once) ||
+            wanted.contains(twice)
+        }
       }
       if (kept.isEmpty) spark.read.parquet(all: _*).limit(0)
       else spark.read.parquet(kept: _*)
+    }
+
+    /** Inverse of Spark's partition-path escaping (Hive convention:
+      * special characters become %XX with two uppercase hex digits) —
+      * a malformed escape passes through verbatim rather than
+      * throwing, matching Spark's own lenient unescape. */
+    private[sources] def unescapePathName(s: String): String = {
+      if (s.indexOf('%') < 0) return s
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length) {
+          val code = try {
+            Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          } catch { case _: NumberFormatException => -1 }
+          if (code >= 0) { sb.append(code.toChar); i += 3 }
+          else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
     }
 
     /** Current published view; empty-but-typed is the caller's

@@ -218,14 +218,18 @@ object CdcStream {
       bucketSize: Int = 8192): Dataset[BucketCompleteness] = {
     import ids.sparkSession.implicits._
     val bs = bucketSize.toLong
-    ids.groupByKey(_ / bs)
+    // floorDiv/floorMod, not truncating / and -: a negative id under
+    // truncating division lands in the wrong bucket with a NEGATIVE
+    // offset (ArrayIndexOutOfBounds at runtime); floor semantics keep
+    // every id in the bucket that owns its [bkt*bs, (bkt+1)*bs) range
+    ids.groupByKey(id => Math.floorDiv(id, bs))
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.NoTimeout()) {
         (bkt: Long, it: Iterator[Long], state: GroupState[Array[Long]]) =>
           val words = state.getOption
             .getOrElse(new Array[Long]((bucketSize + 63) / 64))
           it.foreach { id =>
-            val off = (id - bkt * bs).toInt
+            val off = Math.floorMod(id, bs).toInt
             words(off >> 6) |= 1L << (off & 63)
           }
           state.update(words)

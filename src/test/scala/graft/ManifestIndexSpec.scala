@@ -159,6 +159,36 @@ class ManifestIndexSpec extends AnyFunSuite {
       s"read ${readCells.length} of ${allCells.length} cells")
   }
 
+  test("pruned read matches escaped partition paths and keeps null partitions") {
+    // Spark percent-escapes ':' '=' '%' '#' in partition directory
+    // names and writes nulls as __HIVE_DEFAULT_PARTITION__; the pruned
+    // read must still find those files — pruning is an optimization,
+    // never a filter
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_mi_esc").toString
+    val df = Seq(
+      ("a=1:b", 1L), ("a=1:b", 2L), ("plain", 3L), (null: String, 4L))
+      .toDF("tag", "v")
+    Lake.Manifest.publishSnapshot(df, d, partitionBy = Seq("tag"))
+    // the written path segment is escaped — raw-string matching would
+    // find nothing here
+    val files = Lake.Manifest.readPublished(spark, d).inputFiles
+    // URI encoding on top of Hive escaping: ':' → %3A → %253A
+    assert(files.exists(f => f.contains("%3A") || f.contains("%253A")),
+      s"expected an escaped ':' in the partition paths:\n${files.mkString("\n")}")
+    val pruned = Lake.Manifest.readPublishedPruned(spark, d, "tag",
+      Seq("a=1:b"))
+    val got = pruned.filter($"tag" === "a=1:b").select($"v")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L), s"escaped-value partition dropped: $got")
+    // null-partition files are never pruned away
+    val nulls = pruned.filter($"tag".isNull).count()
+    assert(nulls == 1L, "null partition (__HIVE_DEFAULT_PARTITION__) was pruned")
+    // and a plain value still prunes: the 'plain' partition is dropped
+    assert(pruned.inputFiles.length < files.length,
+      "pruning kept every file — no pruning happened at all")
+  }
+
   test("compaction is one snapshot commit: serve results and applied-batch metas survive, file count shrinks") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_mi_co").toString
