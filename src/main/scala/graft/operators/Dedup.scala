@@ -84,11 +84,13 @@ object Dedup {
   }
 
   /** Row-local MinHash signature from a (materialized) shingle-array
-    * column: per permutation i, min over shingles of
-    * XXH64(shingle bytes, seed = i) — the IDENTICAL per-shingle hash
-    * [[graft.functions.MinHashAgg]] computes, so streaming signatures
-    * agree bit-for-bit with the batch aggregate (pinned by
-    * DocStreamSpec). NULL when the doc has no shingles.
+    * column: per permutation i, min over shingles of the seeded poly
+    * hash (codepoint fold mod 2⁶³, seed = golden-gamma multiple i) —
+    * the IDENTICAL per-shingle hash [[graft.functions.MinHashAgg]]
+    * computes, so streaming signatures agree bit-for-bit with the
+    * batch aggregate (pinned by DocStreamSpec) AND with the DuckDB
+    * oracle replay (see [[graft.functions.PolyHash]]). NULL when the
+    * doc has no shingles.
     *
     * Pass an already-selected column (e.g. `withColumn("sh", …)`), not
     * the [[shingleArrCol]] expression inline: the signature references
@@ -96,11 +98,9 @@ object Dedup {
     * once-per-row cost (CollapseProject leaves non-cheap multi-use
     * aliases alone). */
   private[graft] def minhashSigCol(sh: Column, numPerm: Int): Column = {
-    import org.apache.spark.sql.GraftSqlBridge
-    import org.apache.spark.sql.catalyst.expressions.XxHash64
     val mins = (0 until numPerm).map { i =>
-      array_min(transform(sh, s => GraftSqlBridge.column(
-        XxHash64(Seq(GraftSqlBridge.expression(s)), i.toLong))))
+      array_min(transform(sh, s =>
+        graft.functions.PolyHash.polyHash64(s, graft.functions.PolyHash.seed(i))))
     }
     when(size(sh) > 0, array(mins: _*))
   }
@@ -1097,7 +1097,99 @@ object Dedup {
        |FROM sh GROUP BY 1 HAVING count(*) >= $minDf
        |ORDER BY df DESC, shingle LIMIT $topK""".stripMargin
 
+  /** The 32 MinHash permutation seeds as a DuckDB HUGEINT[] literal
+    * (golden-gamma multiples, [[graft.functions.PolyHash.seed]]). */
+  private def minhashSeedList: String =
+    (0 until 32).map(graft.functions.PolyHash.seed).mkString(", ")
+  private def PolyMod = graft.functions.PolyHash.ModSql
+
   val oracles: Map[String, String] = Map(
+    // D3 twin — the WHOLE LSH pipeline replayed bit-for-bit (the A62
+    // exactly-graded-sketch principle): per-shingle seeded poly hash
+    // h = fold(codepoints, seed·B^n + Σc·B^j mod 2⁶³) with the SAME 32
+    // golden-gamma seed literals, per-permutation mins, 8 bands × 4
+    // rows joined on the RAW 4-tuple (Spark buckets by xxhash64 of the
+    // tuple — equality of tuples is the same relation), then the exact
+    // DF-capped Jaccard verify of dedup_ngram_jaccard on candidates
+    "dedup_minhash" ->
+      s"""WITH $shinglesSql,
+        |perms AS (
+        |  SELECT unnest(range(0, 32))::INT AS perm,
+        |    unnest([$minhashSeedList]::HUGEINT[]) AS seed),
+        |hp AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::HUGEINT, cps),
+        |      (a, c) -> (a * 1000003 + c) % $PolyMod) AS base,
+        |    list_reduce(list_prepend(1::HUGEINT, cps),
+        |      (a, c) -> (a * 1000003) % $PolyMod) AS pw
+        |  FROM (SELECT doc_id, list_transform(range(1, len(shingle) + 1),
+        |          i -> unicode(shingle[i])::HUGEINT) AS cps FROM sh0)),
+        |sig AS (
+        |  SELECT doc_id, perm,
+        |    min((seed * pw + base) % $PolyMod)::BIGINT AS mh
+        |  FROM hp CROSS JOIN perms GROUP BY doc_id, perm, seed),
+        |bandkey AS (
+        |  SELECT doc_id, perm // 4 AS band, list(mh ORDER BY perm) AS tup
+        |  FROM sig GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bandkey a JOIN bandkey b
+        |    ON a.band = b.band AND a.tup = b.tup AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $JaccardT
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // D4 twin — fingerprint replayed bit-for-bit: RAW (non-distinct)
+    // shingles weight the 64 bit balances, h's bit 63 is always 0
+    // (63-bit hash) so bits 0..62 suffice, sign rule b > 0, pigeonhole
+    // chunk join on (c, byte) and bit_count(xor) verify
+    "dedup_simhash" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        |  FROM documents),
+        |shr AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, len(w) - ${ShingleN - 2}),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |         w[i+3] || ' ' || w[i+4])) AS shingle
+        |  FROM w WHERE len(w) >= $ShingleN),
+        |hp AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(${graft.functions.SimHashAgg.Seed}::HUGEINT,
+        |      list_transform(range(1, len(shingle) + 1),
+        |        i -> unicode(shingle[i])::HUGEINT)),
+        |    (a, c) -> (a * 1000003 + c) % $PolyMod)::BIGINT AS h
+        |  FROM shr),
+        |bal AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS b
+        |  FROM hp CROSS JOIN (SELECT unnest(range(0, 63))::INT AS j) bits
+        |  GROUP BY doc_id, j),
+        |fp AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN b > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+        |      AS fp
+        |  FROM bal GROUP BY doc_id),
+        |chunks AS (
+        |  SELECT doc_id, fp, c, (fp >> (c * 8)) & 255 AS v
+        |  FROM fp CROSS JOIN (SELECT unnest(range(0, 8))::INT AS c) cs),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    bit_count(xor(x.fp, y.fp))::BIGINT AS hamming
+        |  FROM chunks x JOIN chunks y
+        |    ON x.c = y.c AND x.v = y.v AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM pairs
+        |WHERE hamming <= 7 ORDER BY doc_a, doc_b""".stripMargin,
     // D21 twin: same normalization, same explicit-position suffix
     // window, same >= 2 group rule
     "dedup_suffix" ->
