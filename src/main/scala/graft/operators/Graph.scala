@@ -181,6 +181,128 @@ object Graph {
       .select($"id", coalesce($"c", $"id").as("component"))
   }
 
+  // ---------------------------------------------------------------
+  // I15 INCREMENTAL connected components — the C×I bridge: an
+  // edge-delta CDC feed maintains the component labeling WITHOUT
+  // recomputing the graph. Mirrors the E9 frozen-state + delta-apply
+  // shape: the labeling is a Lake.Manifest-published table plus an
+  // append-only REMAP log (old_component → new_component); every
+  // delta batch is ONE atomic manifest commit per table, and readers
+  // resolve labels through the pointer-doubled remap closure (the
+  // Pipeline remap-chain machinery, reused). Append cost scales with
+  // the DELTA: the alternating-star re-convergence runs only on the
+  // delta-sized component graph (touched components), never the
+  // corpus; the only full-frame contact is one equi-join probing the
+  // delta endpoints' base labels — broadcast-delta, zero shuffle of
+  // the label frame, and pruned further if labels are published
+  // partitioned. Correctness: labels are component-min node ids, and
+  // a merge maps every absorbed label to the strictly smaller min —
+  // so the log is acyclic by construction and base+deltas equals the
+  // full recompute bit-for-bit (GraphSpec; 10⁶-edge/1% delta
+  // ScaleStressSpec with measured delta-scaled cost).
+  // ---------------------------------------------------------------
+
+  import graft.sources.Lake
+
+  /** Publish the component labeling of `edges` ∪ `vertices` under
+    * `dir` as the incremental-maintenance base state: `dir/labels`
+    * (id, component) and an empty `dir/remaps` (from_cid, to_cid)
+    * log. */
+  def publishComponents(edges: DataFrame, vertices: DataFrame,
+      dir: String): Unit = {
+    import edges.sparkSession.implicits._
+    val labels = connectedComponentsAltStar(edges, vertices)
+    Lake.Manifest.publishSnapshot(labels, s"$dir/labels")
+    Lake.Manifest.publishSnapshot(
+      labels.select($"id".as("from_cid"), $"component".as("to_cid"))
+        .limit(0), s"$dir/remaps")
+  }
+
+  /** Current labeling under `dir`: base labels resolved through the
+    * remap-log closure. One broadcast join — the log is merge-event
+    * sized, compacted away by [[compactComponents]]. */
+  def readComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Lake.Manifest.readPublished(spark, s"$dir/labels")
+    val remaps = Lake.Manifest.readPublished(spark, s"$dir/remaps")
+    val closure = graft.Pipeline.resolveRemapClosure(
+      remaps.select($"from_cid", $"to_cid"))
+    base
+      .join(broadcast(closure.select($"__from".as("component"), $"__eff")),
+        Seq("component"), "left")
+      .select($"id", coalesce($"__eff", $"component").as("component"))
+  }
+
+  /** Apply one batch of edge deltas (src, dst — additions; undirected)
+    * to the published labeling: re-converge ONLY the touched
+    * components and commit (a) the merge remaps to the log and (b)
+    * labels for never-seen nodes, each as one atomic manifest append.
+    * Returns (n_merges, n_new_nodes) for feed monitoring. */
+  def appendComponentDelta(spark: SparkSession, dir: String,
+      delta: DataFrame): (Long, Long) = {
+    import spark.implicits._
+    val canon = delta.select($"src", $"dst").filter($"src" =!= $"dst")
+      .localCheckpoint()
+    val ends = canon.select($"src".as("id"))
+      .union(canon.select($"dst".as("id"))).distinct()
+    val base = Lake.Manifest.readPublished(spark, s"$dir/labels")
+    val remaps = Lake.Manifest.readPublished(spark, s"$dir/remaps")
+    val closure = graft.Pipeline.resolveRemapClosure(
+      remaps.select($"from_cid", $"to_cid"))
+    // endpoint labels: base label (own id for new nodes) resolved
+    // through the existing closure — delta-sized frame throughout
+    val cur = ends
+      .join(base, Seq("id"), "left")
+      .select($"id", coalesce($"component", $"id").as("c0"))
+      .join(broadcast(closure.select($"__from".as("c0"), $"__eff")),
+        Seq("c0"), "left")
+      .select($"id", coalesce($"__eff", $"c0").as("c"))
+      .localCheckpoint()
+    val ce = canon
+      .join(cur.select($"id".as("src"), $"c".as("ca")), "src")
+      .join(cur.select($"id".as("dst"), $"c".as("cb")), "dst")
+      .filter($"ca" =!= $"cb")
+      .select($"ca".as("src"), $"cb".as("dst"))
+    val m = connectedComponentsAltStar(ce, cur.select($"c".as("id")).distinct())
+      .localCheckpoint()
+    // log only remaps of EXISTING component labels — a new node
+    // absorbed at birth gets its final label in the labels append
+    // directly, so a from_cid for its own-id label would be redundant
+    // log growth (the log must stay merge-event sized)
+    val existingComps = cur
+      .join(base.select($"id"), Seq("id"), "left_semi")
+      .select($"c".as("from_cid")).distinct()
+    val mapping = m.filter($"id" =!= $"component")
+      .select($"id".as("from_cid"), $"component".as("to_cid"))
+      .join(existingComps, Seq("from_cid"), "left_semi")
+      .localCheckpoint()
+    val nMerges = mapping.count()
+    if (nMerges > 0)
+      Lake.Manifest.publishAppend(mapping, s"$dir/remaps")
+    val newNodes = cur
+      .join(base.select($"id"), Seq("id"), "left_anti")
+      .join(m.select($"id".as("c"), $"component".as("nc")), Seq("c"), "left")
+      .select($"id", coalesce($"nc", $"c").as("component"))
+      .localCheckpoint()
+    val nNew = newNodes.count()
+    if (nNew > 0)
+      Lake.Manifest.publishAppend(newNodes, s"$dir/labels")
+    (nMerges, nNew)
+  }
+
+  /** Fold the remap log into the label table (one linear pass —
+    * the periodic table service, exactly the compactRemaps posture):
+    * labels snapshot to the resolved view, log resets to empty.
+    * Read results are unchanged before/after. */
+  def compactComponents(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val resolved = readComponents(spark, dir).localCheckpoint()
+    Lake.Manifest.publishSnapshot(resolved, s"$dir/labels")
+    Lake.Manifest.publishSnapshot(
+      resolved.select($"id".as("from_cid"), $"component".as("to_cid"))
+        .limit(0), s"$dir/remaps")
+  }
+
   /** PageRank over a directed edge list (Brin/Page 1998 — the quality
     * prior a web-corpus pipeline feeds into sampling weights) in
     * FIXED-POINT integer arithmetic: ranks live in 10⁻¹² units

@@ -376,4 +376,42 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 3L, 3L, 1000000L), (2L, 1L, 0L, -1L)),
       s"got ${got.toSeq}")
   }
+
+  test("I15 incremental components: base+deltas == full recompute, " +
+      "including cross-batch merge chains and a dethroning new min") {
+    import spark.implicits._
+    def cc(df: org.apache.spark.sql.DataFrame) =
+      Graph.connectedComponentsAltStar(df,
+          df.select($"src".as("id")).union(df.select($"dst".as("id"))))
+        .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_icc").toString
+    // base: {5,6}, {9,10}, {20,21} — three components, minima 5/9/20
+    val base = Seq((5L, 6L), (9L, 10L), (20L, 21L)).toDF("src", "dst")
+    Graph.publishComponents(base,
+      base.select($"src".as("id")).union(base.select($"dst".as("id"))), dir)
+    // delta 1: merge {5,6} with {9,10} (remap 9→5), attach new node 30
+    // to {20,21} (new-node label through the merge map)
+    val d1 = Seq((6L, 10L), (30L, 20L)).toDF("src", "dst")
+    val (m1, n1) = Graph.appendComponentDelta(spark, dir, d1)
+    assert(m1 == 1L && n1 == 1L, s"delta1 counts ($m1, $n1)")
+    // delta 2: new node 3 bridges the merged {5,6,9,10} — the NEW
+    // min dethrones 5, chaining 9→5→3 through two log entries; plus
+    // an intra-component no-op edge
+    val d2 = Seq((3L, 10L), (20L, 30L)).toDF("src", "dst")
+    val (m2, n2) = Graph.appendComponentDelta(spark, dir, d2)
+    assert(m2 == 1L && n2 == 1L, s"delta2 counts ($m2, $n2)")
+    val all = base.union(d1).union(d2)
+    val want = cc(all)
+    val got = Graph.readComponents(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"incremental $got\nfull $want")
+    assert(got(9L) == 3L && got(30L) == 20L, s"chain resolution: $got")
+    // compaction folds the log and is read-invariant
+    Graph.compactComponents(spark, dir)
+    val gotC = Graph.readComponents(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(gotC == want, "compaction changed the labeling")
+    assert(graft.sources.Lake.Manifest.readPublished(spark, s"$dir/remaps")
+      .count() == 0L, "compaction should reset the remap log")
+  }
 }

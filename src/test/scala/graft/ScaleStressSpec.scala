@@ -801,4 +801,54 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(r.getLong(3) == k, s"K: ${r.getLong(3)} vs driver $k")
     assert(secs < 120.0, f"pettitt must stay frame-bounded, took $secs%.1f s")
   }
+
+  test("I15 incremental components at 10^6 edges / 1% delta: base+delta == full recompute, delta-scaled cost") {
+    import spark.implicits._
+    // 10^6 undirected edges over 200k nodes; the ~99% base edges stay
+    // INSIDE 10-node cells (so the base labeling has ~20k components),
+    // the ~1% delta edges are global (so they genuinely merge
+    // components) — the daily CDC edge-feed shape
+    val all = spark.range(1000000L).select(
+        expr("abs(xxhash64(id)) % 200000").as("src"),
+        expr("case when pmod(xxhash64(id, 29L), 100) = 0 " +
+          "then abs(xxhash64(id + 3)) % 200000 " +
+          "else (abs(xxhash64(id)) % 200000) " +
+          "- pmod(abs(xxhash64(id)) % 200000, 10) " +
+          "+ abs(xxhash64(id + 3)) % 10 end").as("dst"),
+        expr("pmod(xxhash64(id, 29L), 100) = 0").as("is_delta"))
+      .localCheckpoint()
+    val base = all.filter(!$"is_delta").select($"src", $"dst")
+    val delta = all.filter($"is_delta").select($"src", $"dst")
+      .localCheckpoint()
+    val nDelta = delta.count()
+    assert(nDelta > 5000 && nDelta < 20000, s"delta size $nDelta")
+    val verts = all.select($"src".as("id")).union(all.select($"dst".as("id")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_icc_big").toString
+    val t0 = System.nanoTime()
+    graft.operators.Graph.publishComponents(base, verts, dir)
+    val fullSecs = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val (nMerges, nNew) =
+      graft.operators.Graph.appendComponentDelta(spark, dir, delta)
+    val deltaSecs = (System.nanoTime() - t1) / 1e9
+    info(f"full publish $fullSecs%.1f s; 1%% delta apply $deltaSecs%.1f s " +
+      f"($nMerges merges, $nNew new nodes)")
+    // correctness: base+delta labeling == one-shot full recompute
+    val want = graft.operators.Graph
+      .connectedComponentsAltStar(all, verts)
+      .agg(count(lit(1)), countDistinct($"component"),
+        sum($"component"), bit_xor(xxhash64($"id", $"component")))
+      .collect().head
+    val got = graft.operators.Graph.readComponents(spark, dir)
+      .agg(count(lit(1)), countDistinct($"component"),
+        sum($"component"), bit_xor(xxhash64($"id", $"component")))
+      .collect().head
+    assert(got == want, s"incremental $got vs full $want")
+    assert(nMerges > 0, "the 1% delta should merge at least one component")
+    // the whole point of the bridge: applying the delta must cost a
+    // fraction of the full recompute (the converge loop runs on the
+    // delta-sized component graph only)
+    assert(deltaSecs < fullSecs * 0.75,
+      f"delta apply $deltaSecs%.1f s did not beat full recompute $fullSecs%.1f s")
+  }
 }
