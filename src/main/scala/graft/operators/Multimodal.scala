@@ -838,6 +838,98 @@ object Multimodal {
     bb.array()
   }
 
+  /** Minimal spec-shaped ISO-BMFF (mp4) container around an
+    * LCG-sized sample table — the ENCODER side of the G16 demux seam
+    * (ISO/IEC 14496-12 box tree: ftyp, moov/trak/mdia/minf/stbl with
+    * stsc/stsz/stco, then one contiguous mdat). Layout is closed-form
+    * in doc_id so the oracle replays offsets from the formula alone:
+    * n = 5 + 2·(id%4) samples sized 50 + lcg%200, chunked 3 then 2s
+    * (two stsc runs — the walk must honor run boundaries), opaque
+    * mvhd/tkhd/mdhd/hdlr/stsd/stts boxes the walker has to SKIP. */
+  private[graft] def mp4Bytes(docId: Long): Array[Byte] = {
+    val n = (5 + 2 * (docId % 4)).toInt
+    val sizes = new Array[Int](n)
+    var s = (docId * 1103515245L + 12345L) % 2147483648L
+    var k = 0
+    while (k < n) {
+      s = (s * 1103515245L + 12345L) % 2147483648L
+      sizes(k) = (50 + s % 200).toInt
+      k += 1
+    }
+    val c = 1 + (n - 3) / 2
+    val total = sizes.sum
+    val mdatStart = 244 + 4 * n + 4 * c
+    val bb = java.nio.ByteBuffer.allocate(mdatStart + total)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def box(size: Int, typ: String): Unit = {
+      bb.putInt(size); bb.put(typ.getBytes("US-ASCII")); ()
+    }
+    box(24, "ftyp")
+    bb.put("isom".getBytes("US-ASCII")).putInt(512)
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    box(212 + 4 * n + 4 * c, "moov")
+    box(16, "mvhd"); bb.putLong(0L)
+    box(188 + 4 * n + 4 * c, "trak")
+    box(16, "tkhd"); bb.putLong(0L)
+    box(164 + 4 * n + 4 * c, "mdia")
+    box(16, "mdhd"); bb.putLong(0L)
+    box(16, "hdlr"); bb.put("vide".getBytes("US-ASCII")).putInt(0)
+    box(124 + 4 * n + 4 * c, "minf")
+    box(116 + 4 * n + 4 * c, "stbl")
+    box(16, "stsd"); bb.putLong(0L)
+    box(16, "stts"); bb.putLong(0L)
+    box(40, "stsc"); bb.putInt(0).putInt(2)
+      .putInt(1).putInt(3).putInt(1)
+      .putInt(2).putInt(2).putInt(1)
+    box(20 + 4 * n, "stsz"); bb.putInt(0).putInt(0).putInt(n)
+    sizes.foreach(bb.putInt)
+    box(16 + 4 * c, "stco"); bb.putInt(0).putInt(c)
+    var off = mdatStart
+    var i = 0
+    var j = 0
+    while (j < c) {
+      bb.putInt(off)
+      val spc = if (j == 0) 3 else 2
+      var w = 0
+      while (w < spc && i < n) { off += sizes(i); i += 1; w += 1 }
+      j += 1
+    }
+    box(8 + total, "mdat")
+    i = 0
+    while (i < n) {
+      var b = 0
+      while (b < sizes(i)) { bb.put(((docId + i) % 251).toByte); b += 1 }
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** G16 demux: per-sample read plan from the stbl tables — see
+    * [[graft.functions.Mp4Demux]]. */
+  def mp4SampleTable(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets
+      .select($"doc_id",
+        explode(graft.functions.Mp4Demux.mp4Samples($"payload")).as("sm"))
+      .select($"doc_id", $"sm.sample_idx".as("sample_idx"),
+        $"sm.chunk_idx".as("chunk_idx"),
+        $"sm.file_offset".as("file_offset"),
+        $"sm.sample_size".as("sample_size"))
+  }
+
+  /** G16 graded entry (`mm_mp4_samples`): synthesized spec-shaped
+    * mp4s demuxed back through the box walk; the oracle replays the
+    * closed-form layout (sizes from the LCG, chunking 3-then-2s,
+    * mdat offset arithmetic) with no byte parsing — a hash match
+    * proves encoder and demuxer agree on every sample's absolute
+    * (chunk, offset, size). */
+  private def mp4SamplesEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, mp4Bytes(id))).toDF("doc_id", "payload")
+    mp4SampleTable(payloads).orderBy($"doc_id", $"sample_idx")
+  }
+
   /** Exact integer PCM statistics per decoded file (rms is the one
     * double, derived from the exact sum of squares). */
   case class WavStats(doc_id: Long, sample_rate: Long, n_samples: Long,
@@ -1139,6 +1231,7 @@ object Multimodal {
     "mm_wav_features" -> wavFeaturesEntry,
     "mm_wav_clipping" -> wavClippingEntry,
     "mm_sniff" -> sniffEntry,
+    "mm_mp4_samples" -> mp4SamplesEntry,
     "mm_wav_stats" -> wavStatsEntry,
     "mm_binary_meta" -> binaryMetaHex,
     // exactly graded since round 7 (was rows-only on the stub
@@ -1148,6 +1241,36 @@ object Multimodal {
     "mm_phash_dedup" -> phashDedupEntry)
 
   val oracles: Map[String, String] = Map(
+    // G16 twin: the closed-form container layout replayed with no
+    // byte parsing — sizes from the LCG recurrence, chunk = 1 for the
+    // first 3 samples then 2-sample chunks (the stsc runs), offset =
+    // mdat data start (244 + 4n + 4c) + exact prefix sum of sizes
+    "mm_mp4_samples" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, (5 + 2 * (doc_id % 4))::INT AS n,
+        |    (doc_id * 1103515245 + 12345) % 2147483648 AS s
+        |  FROM documents),
+        |gen AS (
+        |  SELECT doc_id, n, 0 AS k, s, CAST(NULL AS BIGINT) AS sz
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, n, k + 1,
+        |    (s * 1103515245 + 12345) % 2147483648,
+        |    50 + ((s * 1103515245 + 12345) % 2147483648) % 200
+        |  FROM gen WHERE k < n),
+        |sizes AS (
+        |  SELECT doc_id, n, k - 1 AS i, sz,
+        |    coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prior
+        |  FROM gen WHERE sz IS NOT NULL)
+        |SELECT doc_id, i::BIGINT AS sample_idx,
+        |  (CASE WHEN i < 3 THEN 1 ELSE 2 + (i - 3) // 2 END)::BIGINT
+        |    AS chunk_idx,
+        |  (244 + 4 * n + 4 * (1 + (n - 3) // 2) + prior)::BIGINT
+        |    AS file_offset,
+        |  sz::BIGINT AS sample_size
+        |FROM sizes ORDER BY doc_id, sample_idx""".stripMargin,
     // G14 twin: the per-frame formula replayed over the
     // (frame, x, y) grid — a hash match proves the sequence reader
     // walks every frame in order with per-frame palettes resolved

@@ -420,4 +420,73 @@ class MultimodalSpec extends AnyFunSuite {
         s"doc $id: ${got(id)} want (${px.size}, ${r6(ent)})")
     }
   }
+
+  test("G16 mp4 demux: crafted box tree hand-checked, uniform stsz, unknown boxes skipped, malformed quarantines") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, size}
+    import graft.functions.Mp4Demux
+    def be32(v: Int): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    // hand-built: 3 samples sized 10/20/30, stsc = one run of 2 per
+    // chunk (so chunk1 = s0,s1; chunk2 = s2 PARTIAL), stco = 100, 200
+    def full(v: Int*) = v.flatMap(be32).toArray
+    val stbl = box("stbl",
+      box("free", Array.fill(4)(0x55.toByte)) ++ // must be skipped
+      box("stsc", full(0, 1, /*run*/ 1, 2, 1)) ++
+      box("stsz", full(0, 0, 3, 10, 20, 30)) ++
+      box("stco", full(0, 2, 100, 200)))
+    val mp4 = box("ftyp", "isomxxxxisom".getBytes("US-ASCII")) ++
+      box("moov", box("mvhd", full(0, 0)) ++
+        box("trak", box("mdia", box("minf", stbl))))
+    val got = Seq((1L, mp4)).toDF("doc_id", "payload")
+      .select(explode(Mp4Demux.mp4Samples($"payload")).as("s"))
+      .select($"s.sample_idx", $"s.chunk_idx", $"s.file_offset",
+        $"s.sample_size")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((0L, 1L, 100L, 10L), (1L, 1L, 110L, 20L),
+      (2L, 2L, 200L, 30L)), s"got $got")
+    // uniform stsz (sample_size != 0, no per-sample table)
+    val stblU = box("stbl",
+      box("stsc", full(0, 1, 1, 2, 1)) ++
+      box("stsz", full(0, 7, 3)) ++
+      box("stco", full(0, 2, 100, 200)))
+    val mp4U = box("moov",
+      box("trak", box("mdia", box("minf", stblU))))
+    val gotU = Seq((1L, mp4U)).toDF("doc_id", "payload")
+      .select(explode(Mp4Demux.mp4Samples($"payload")).as("s"))
+      .select($"s.file_offset", $"s.sample_size")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(gotU == Seq((100L, 7L), (107L, 7L), (200L, 7L)), s"got $gotU")
+    // malformed inputs quarantine to zero samples, never throw:
+    // truncated box, missing stbl, stco table overrun, garbage
+    val noStbl = box("moov", box("trak", box("mdia", box("minf",
+      box("vmhd", full(0))))))
+    val overrun = box("moov", box("trak", box("mdia", box("minf",
+      box("stbl",
+        box("stsc", full(0, 1, 1, 2, 1)) ++
+        box("stsz", full(0, 0, 3, 10, 20, 30)) ++
+        box("stco", full(0, 99))))))) // claims 99 chunks, holds 0
+    for (bad <- Seq(mp4.take(40), noStbl, overrun,
+        "garbage".getBytes("US-ASCII"))) {
+      val n = Seq((1L, bad)).toDF("doc_id", "payload")
+        .select(size(Mp4Demux.mp4Samples($"payload")).as("n"))
+        .as[Int].collect().head
+      assert(n == 0, s"malformed payload yielded $n samples")
+    }
+    // the synthesized corpus shape: offsets are mdat-contiguous and
+    // chunk boundaries honor the 3-then-2 stsc runs
+    val syn = Seq((3L, graft.operators.Multimodal.mp4Bytes(3L)))
+      .toDF("doc_id", "payload")
+    val rows = graft.operators.Multimodal.mp4SampleTable(syn)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    val n = 5 + 2 * (3L % 4) // 11 samples, 5 chunks
+    assert(rows.length == n)
+    assert(rows.map(_._3).toSeq ==
+      Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L, 5L, 5L),
+      s"chunking ${rows.map(_._3).toSeq}")
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      b._4 == a._4 + a._5 }, "offsets must be mdat-contiguous")
+  }
 }
