@@ -3,20 +3,67 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import graft.functions.{DotProduct, MinHashAgg}
 
 /** SparkSessionExtensions hook: registers the engine's custom
-  * expressions for SQL users, so `spark.sql("SELECT dot_product(a,b)
-  * ...")` works the same as the Scala API — the library is usable
-  * from pure-SQL clients (JDBC/thrift) too.
+  * expressions AND table functions for SQL users, so a pure-SQL
+  * client (JDBC/thrift) can run the library without a line of Scala:
+  *
+  *  - scalar/agg expressions: `dot_product(a, b)`, `minhash_sig(s, n)`
+  *  - `graft_q('<query key>', '<table dir>')` — the WHOLE operator
+  *    registry as one table-valued function: every key in
+  *    [[SparkEntry.queries]] (302 operators) becomes
+  *    `SELECT * FROM graft_q('q_topk', '/data/sf1')`, composable with
+  *    arbitrary SQL on top (joins, filters, CTEs).
+  *  - `graft_topk(dir)` — ergonomic alias for the flagship ranked
+  *    revenue query.
   *
   * Activate with `.withExtensions(new GraftExtensions)` (GraftSession
   * does) or `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Foldable-string TVF argument or analysis error (a column here
+    * would otherwise surface as a runtime ClassCastException). */
+  private def litString(args: Seq[Expression], i: Int,
+      usage: String): String = {
+    if (i >= args.length || !args(i).foldable ||
+        args(i).dataType != org.apache.spark.sql.types.StringType)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" -> usage))
+    args(i).eval().toString
+  }
+
+  /** Resolve a registry key against a table dir into the operator's
+    * logical plan — the analysis-time body of the graft TVFs. */
+  private def registryPlan(name: String, dir: String): LogicalPlan = {
+    val fn = SparkEntry.queries.getOrElse(name,
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" ->
+          (s"unknown graft query '$name'; keys: " +
+            SparkEntry.queries.keys.toSeq.sorted.take(8).mkString(", ") +
+            s", ... (${SparkEntry.queries.size} total)"))))
+    fn(org.apache.spark.sql.SparkSession.active, dir)
+      .queryExecution.logical
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_q"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_q"),
+      (args: Seq[Expression]) => {
+        val usage = "graft_q(name, dir) requires two literal strings"
+        registryPlan(litString(args, 0, usage), litString(args, 1, usage))
+      }))
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_topk"),
+      (args: Seq[Expression]) => registryPlan("q_topk",
+        litString(args, 0, "graft_topk(dir) requires a literal string"))))
     e.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

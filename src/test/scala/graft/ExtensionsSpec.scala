@@ -131,4 +131,33 @@ class ExtensionsSpec extends AnyFunSuite {
     val sizes = both.orderBy($"id").select(size($"fast")).as[Int].collect()
     assert(sizes(0) == 0 && sizes(1) == 0 && sizes(2) == 1)
   }
+
+  test("graft table functions: the whole registry is callable from pure SQL") {
+    import spark.implicits._
+    val sf = GraftTestSession.sf
+    // the ergonomic alias runs the flagship ranked query end to end
+    val topk = spark.sql(s"SELECT * FROM graft_topk('$sf')").collect()
+    assert(topk.length == 10, s"graft_topk returned ${topk.length} rows")
+    // graft_q dispatches ANY registry key; result == the Scala API
+    val viaSql = spark.sql(s"SELECT * FROM graft_q('q_agg', '$sf')")
+      .collect().map(_.toString).sorted.toSeq
+    val viaApi = SparkEntry.queries("q_agg")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSql == viaApi, "SQL TVF diverged from the Scala API")
+    // and it composes with arbitrary SQL on top
+    val n = spark.sql(
+      s"""SELECT count(*) FROM graft_q('q_topk', '$sf') t
+         |JOIN graft_q('q_topk', '$sf') u ON t.c_custkey = u.c_custkey
+         |""".stripMargin).collect().head.getLong(0)
+    assert(n == 10L, s"TVF self-join returned $n rows")
+    // unknown keys and non-literal args fail at ANALYSIS time
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM graft_q('no_such_query', '$sf')")
+    }
+    assert(e1.getMessage.contains("unknown graft query"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_topk(42)")
+    }
+    assert(e2.getMessage.contains("literal string"))
+  }
 }
