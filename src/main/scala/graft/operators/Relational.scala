@@ -1501,6 +1501,10 @@ object Relational {
   def lorenzGini(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // the customer-aggregate frame feeds four branches (bucket
+    // counts, offsets, rank join, totals); AQE exchange reuse shares
+    // the one orders scan+agg across them (measured: a localCheckpoint
+    // here was slower — it serializes an extra materialization job)
     val spend = Tables.orders(s, dir)
       .groupBy($"o_custkey")
       .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
@@ -1510,7 +1514,7 @@ object Relational {
       .join(bktCnt.as("y"), col("y.bkt") < col("x.bkt"), "left")
       .groupBy(col("x.bkt").as("bkt"))
       .agg(coalesce(sum(col("y.bc")), lit(0L)).as("off"))
-    val nAll = spend.agg(count(lit(1)).as("n_all"))
+    val nAll = bktCnt.agg(sum($"bc").as("n_all"))
     val wIn = Window.partitionBy($"bkt").orderBy($"cents", $"o_custkey")
     val ranked = spend
       .join(broadcast(offs), Seq("bkt"))
@@ -1572,6 +1576,9 @@ object Relational {
       .agg(expr("sum(cast(round(l_extendedprice * 100) as bigint) * " +
         "(100 - cast(round(l_discount * 100) as bigint)))").as("cp"))
       .withColumn("bkt", expr("cp div 100000000"))
+      // the part-aggregate frame feeds three branches (total collect,
+      // bucket sums, the classed join) — one lineitem scan, not three
+      .localCheckpoint()
     val tot = rev.agg(sum($"cp".cast("decimal(38,0)"))).collect()(0)
       .getDecimal(0).toBigInteger.longValueExact()
     // cumulative revenue DECOMPOSED two-level (the A45/F14 pattern):
