@@ -52,20 +52,26 @@ object Mp4Demux {
     -1
   }
 
+  /** (lo, hi) payload bounds of the first trak's stbl, or null. */
+  private def stblBounds(bytes: Array[Byte]): (Int, Int) = {
+    var lo = 0
+    var hi = bytes.length
+    for (container <- Seq("moov", "trak", "mdia", "minf", "stbl")) {
+      val p = findBox(bytes, lo, hi, container)
+      if (p < 0) return null
+      hi = p + be32(bytes, p).toInt
+      lo = p + 8
+    }
+    (lo, hi)
+  }
+
   /** Per-sample read plan: array of (sample_idx, chunk_idx 1-based,
     * absolute file offset, size). Empty on any malformation. */
   def samples(bytes: Array[Byte]): ArrayData = {
     val empty = new GenericArrayData(Array.empty[Any])
-    val n = bytes.length
-    // descend the container chain; each step re-walks siblings
-    var lo = 0
-    var hi = n
-    for (container <- Seq("moov", "trak", "mdia", "minf", "stbl")) {
-      val p = findBox(bytes, lo, hi, container)
-      if (p < 0) return empty
-      hi = p + be32(bytes, p).toInt
-      lo = p + 8
-    }
+    val b = stblBounds(bytes)
+    if (b == null) return empty
+    val (lo, hi) = b
     val stsc = findBox(bytes, lo, hi, "stsc")
     val stsz = findBox(bytes, lo, hi, "stsz")
     val stco = findBox(bytes, lo, hi, "stco")
@@ -112,9 +118,70 @@ object Mp4Demux {
     new GenericArrayData(out)
   }
 
+  /** Per-sample TIMING plan from stts (decode timestamps) + stss
+    * (sync samples): array of (sample_idx, dts, duration,
+    * is_sync 0/1). Absent stss means EVERY sample is a sync sample
+    * (ISO 14496-12 §8.6.2 — the box is only written when some
+    * samples are NOT sync). Empty on any malformation. This is what
+    * a keyframe-aware frame sampler consumes: seek targets are sync
+    * samples, presentation windows come from the dts ladder. */
+  def timing(bytes: Array[Byte]): ArrayData = {
+    val empty = new GenericArrayData(Array.empty[Any])
+    val b = stblBounds(bytes)
+    if (b == null) return empty
+    val (lo, hi) = b
+    val stts = findBox(bytes, lo, hi, "stts")
+    val stsz = findBox(bytes, lo, hi, "stsz")
+    if (stts < 0 || stsz < 0) return empty
+    val nSamples = be32(bytes, stsz + 16).toInt
+    if (nSamples < 0 || nSamples > (1 << 24)) return empty
+    val nRuns = be32(bytes, stts + 12).toInt
+    if (nRuns <= 0 || stts + 16 + 8L * nRuns > stts + be32(bytes, stts))
+      return empty
+    // stss is optional; a present-but-corrupt table quarantines
+    val stss = findBox(bytes, lo, hi, "stss")
+    var sync: Array[Boolean] = null
+    if (stss >= 0) {
+      val nk = be32(bytes, stss + 12).toInt
+      if (nk < 0 || stss + 16 + 4L * nk > stss + be32(bytes, stss))
+        return empty
+      sync = new Array[Boolean](nSamples)
+      var k = 0
+      while (k < nk) {
+        val idx = be32(bytes, stss + 16 + 4 * k) // 1-based
+        if (idx >= 1 && idx <= nSamples) sync((idx - 1).toInt) = true
+        k += 1
+      }
+    }
+    val out = new Array[Any](nSamples)
+    var i = 0
+    var run = 0
+    var left = be32(bytes, stts + 16) // samples left in current run
+    var delta = be32(bytes, stts + 20)
+    var dts = 0L
+    while (i < nSamples) {
+      while (left <= 0) {
+        run += 1
+        if (run >= nRuns) return empty // stts covers fewer samples
+        left = be32(bytes, stts + 16 + 8 * run)
+        delta = be32(bytes, stts + 20 + 8 * run)
+      }
+      val isSync = if (sync == null) 1L else if (sync(i)) 1L else 0L
+      out(i) = InternalRow(i.toLong, dts, delta, isSync)
+      dts += delta
+      left -= 1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** `mp4_samples(payload)` as a codegen-friendly Column. */
   def mp4Samples(c: Column): Column =
     GraftSqlBridge.column(Mp4SampleTable(GraftSqlBridge.expression(c)))
+
+  /** `mp4_timing(payload)` as a codegen-friendly Column. */
+  def mp4Timing(c: Column): Column =
+    GraftSqlBridge.column(Mp4TimingTable(GraftSqlBridge.expression(c)))
 }
 
 /** Scalar wrapper: binary → array<struct<sample_idx, chunk_idx,
@@ -139,6 +206,32 @@ case class Mp4SampleTable(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, in => s"graft.functions.Mp4Demux.samples($in)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Scalar wrapper: binary → array<struct<sample_idx, dts, duration,
+  * is_sync>> inside whole-stage codegen. */
+case class Mp4TimingTable(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mp4_timing needs a binary input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sample_idx", LongType, nullable = false),
+    StructField("dts", LongType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("is_sync", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Mp4Demux.timing(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.functions.Mp4Demux.timing($in)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

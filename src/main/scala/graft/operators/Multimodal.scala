@@ -844,8 +844,11 @@ object Multimodal {
     * stsc/stsz/stco, then one contiguous mdat). Layout is closed-form
     * in doc_id so the oracle replays offsets from the formula alone:
     * n = 5 + 2·(id%4) samples sized 50 + lcg%200, chunked 3 then 2s
-    * (two stsc runs — the walk must honor run boundaries), opaque
-    * mvhd/tkhd/mdhd/hdlr/stsd/stts boxes the walker has to SKIP. */
+    * (two stsc runs — the walk must honor run boundaries), two REAL
+    * stts timing runs (3 samples at d1 = 100·(1+id%3) ticks, the
+    * rest at d2 = 40+id%7) with stss keyframes at samples 1,4,7,…,
+    * and opaque mvhd/tkhd/mdhd/hdlr/stsd boxes the walker must
+    * SKIP. */
   private[graft] def mp4Bytes(docId: Long): Array[Byte] = {
     val n = (5 + 2 * (docId % 4)).toInt
     val sizes = new Array[Int](n)
@@ -857,8 +860,13 @@ object Multimodal {
       k += 1
     }
     val c = 1 + (n - 3) / 2
+    // timing: two stts runs (3 samples at d1 ticks, the rest at d2)
+    // and stss keyframes at 1-based samples 1, 4, 7, ...
+    val d1 = (100 * (1 + docId % 3)).toInt
+    val d2 = (40 + docId % 7).toInt
+    val nk = (n + 2) / 3
     val total = sizes.sum
-    val mdatStart = 244 + 4 * n + 4 * c
+    val mdatStart = 276 + 4 * n + 4 * c + 4 * nk
     val bb = java.nio.ByteBuffer.allocate(mdatStart + total)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     def box(size: Int, typ: String): Unit = {
@@ -867,17 +875,21 @@ object Multimodal {
     box(24, "ftyp")
     bb.put("isom".getBytes("US-ASCII")).putInt(512)
       .put("isom".getBytes("US-ASCII")).putInt(0)
-    box(212 + 4 * n + 4 * c, "moov")
+    box(244 + 4 * n + 4 * c + 4 * nk, "moov")
     box(16, "mvhd"); bb.putLong(0L)
-    box(188 + 4 * n + 4 * c, "trak")
+    box(220 + 4 * n + 4 * c + 4 * nk, "trak")
     box(16, "tkhd"); bb.putLong(0L)
-    box(164 + 4 * n + 4 * c, "mdia")
+    box(196 + 4 * n + 4 * c + 4 * nk, "mdia")
     box(16, "mdhd"); bb.putLong(0L)
     box(16, "hdlr"); bb.put("vide".getBytes("US-ASCII")).putInt(0)
-    box(124 + 4 * n + 4 * c, "minf")
-    box(116 + 4 * n + 4 * c, "stbl")
+    box(156 + 4 * n + 4 * c + 4 * nk, "minf")
+    box(148 + 4 * n + 4 * c + 4 * nk, "stbl")
     box(16, "stsd"); bb.putLong(0L)
-    box(16, "stts"); bb.putLong(0L)
+    box(32, "stts"); bb.putInt(0).putInt(2)
+      .putInt(3).putInt(d1).putInt(n - 3).putInt(d2)
+    box(16 + 4 * nk, "stss"); bb.putInt(0).putInt(nk)
+    k = 0
+    while (k < nk) { bb.putInt(1 + 3 * k); k += 1 }
     box(40, "stsc"); bb.putInt(0).putInt(2)
       .putInt(1).putInt(3).putInt(1)
       .putInt(2).putInt(2).putInt(1)
@@ -915,6 +927,29 @@ object Multimodal {
         $"sm.chunk_idx".as("chunk_idx"),
         $"sm.file_offset".as("file_offset"),
         $"sm.sample_size".as("sample_size"))
+  }
+
+  /** G17 timing plan from the same stbl: stts decode timestamps +
+    * stss keyframe flags — see [[graft.functions.Mp4Demux.timing]]. */
+  def mp4TimingTable(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets
+      .select($"doc_id",
+        explode(graft.functions.Mp4Demux.mp4Timing($"payload")).as("tm"))
+      .select($"doc_id", $"tm.sample_idx".as("sample_idx"),
+        $"tm.dts".as("dts"), $"tm.duration".as("duration"),
+        $"tm.is_sync".as("is_sync"))
+  }
+
+  /** G17 graded entry (`mm_mp4_timing`): the synthesized mp4s' stts
+    * runs and stss keyframe ladder demuxed back; the oracle replays
+    * the two-run timing formula and the every-3rd-sample sync rule
+    * closed-form. */
+  private def mp4TimingEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, mp4Bytes(id))).toDF("doc_id", "payload")
+    mp4TimingTable(payloads).orderBy($"doc_id", $"sample_idx")
   }
 
   /** G16 graded entry (`mm_mp4_samples`): synthesized spec-shaped
@@ -1232,6 +1267,7 @@ object Multimodal {
     "mm_wav_clipping" -> wavClippingEntry,
     "mm_sniff" -> sniffEntry,
     "mm_mp4_samples" -> mp4SamplesEntry,
+    "mm_mp4_timing" -> mp4TimingEntry,
     "mm_wav_stats" -> wavStatsEntry,
     "mm_binary_meta" -> binaryMetaHex,
     // exactly graded since round 7 (was rows-only on the stub
@@ -1244,7 +1280,23 @@ object Multimodal {
     // G16 twin: the closed-form container layout replayed with no
     // byte parsing — sizes from the LCG recurrence, chunk = 1 for the
     // first 3 samples then 2-sample chunks (the stsc runs), offset =
-    // mdat data start (244 + 4n + 4c) + exact prefix sum of sizes
+    // mdat data start (276 + 4n + 4c + 4·⌈n/3⌉) + exact size prefix
+    // G17 twin: the two-run stts formula (3 at d1, rest at d2) and
+    // the 1,4,7,… stss ladder replayed closed-form — a hash match
+    // proves the run walk and the 1-based sync mapping
+    "mm_mp4_timing" ->
+      """WITH d AS (
+        |  SELECT doc_id, (5 + 2 * (doc_id % 4))::INT AS n,
+        |    100 * (1 + doc_id % 3) AS d1, 40 + doc_id % 7 AS d2
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, n, d1, d2, unnest(range(0, n)) AS i FROM d)
+        |SELECT doc_id, i::BIGINT AS sample_idx,
+        |  (CASE WHEN i < 3 THEN i * d1
+        |        ELSE 3 * d1 + (i - 3) * d2 END)::BIGINT AS dts,
+        |  (CASE WHEN i < 3 THEN d1 ELSE d2 END)::BIGINT AS duration,
+        |  (CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS is_sync
+        |FROM idx ORDER BY doc_id, sample_idx""".stripMargin,
     "mm_mp4_samples" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, (5 + 2 * (doc_id % 4))::INT AS n,
@@ -1267,8 +1319,8 @@ object Multimodal {
         |SELECT doc_id, i::BIGINT AS sample_idx,
         |  (CASE WHEN i < 3 THEN 1 ELSE 2 + (i - 3) // 2 END)::BIGINT
         |    AS chunk_idx,
-        |  (244 + 4 * n + 4 * (1 + (n - 3) // 2) + prior)::BIGINT
-        |    AS file_offset,
+        |  (276 + 4 * n + 4 * (1 + (n - 3) // 2) + 4 * ((n + 2) // 3)
+        |    + prior)::BIGINT AS file_offset,
         |  sz::BIGINT AS sample_size
         |FROM sizes ORDER BY doc_id, sample_idx""".stripMargin,
     // G14 twin: the per-frame formula replayed over the

@@ -489,4 +489,63 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.sliding(2).forall { case Array(a, b) =>
       b._4 == a._4 + a._5 }, "offsets must be mdat-contiguous")
   }
+
+  test("G17 mp4 timing: stts run boundary exact, absent stss means all-sync, corrupt quarantines") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, size}
+    import graft.functions.Mp4Demux
+    def be32(v: Int): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    def full(v: Int*) = v.flatMap(be32).toArray
+    def wrap(stbl: Array[Byte]) = box("moov",
+      box("trak", box("mdia", box("minf", box("stbl", stbl)))))
+    // 4 samples: stts runs (2 @ 100 ticks, 2 @ 7), stss = {1, 4}
+    val timed = wrap(
+      box("stts", full(0, 2, 2, 100, 2, 7)) ++
+      box("stss", full(0, 2, 1, 4)) ++
+      box("stsz", full(0, 0, 4, 10, 10, 10, 10)))
+    val got = Seq((1L, timed)).toDF("doc_id", "payload")
+      .select(explode(Mp4Demux.mp4Timing($"payload")).as("t"))
+      .select($"t.sample_idx", $"t.dts", $"t.duration", $"t.is_sync")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((0L, 0L, 100L, 1L), (1L, 100L, 100L, 0L),
+      (2L, 200L, 7L, 0L), (3L, 207L, 7L, 1L)), s"got $got")
+    // no stss box: every sample is a sync sample (ISO 14496-12)
+    val noStss = wrap(
+      box("stts", full(0, 1, 2, 50)) ++
+      box("stsz", full(0, 0, 2, 10, 10)))
+    val gotNs = Seq((1L, noStss)).toDF("doc_id", "payload")
+      .select(explode(Mp4Demux.mp4Timing($"payload")).as("t"))
+      .select($"t.is_sync").as[Long].collect().toSeq
+    assert(gotNs == Seq(1L, 1L), s"absent stss must mean all-sync: $gotNs")
+    // stts covering fewer samples than stsz claims -> quarantine;
+    // corrupt stss table length -> quarantine
+    val short = wrap(
+      box("stts", full(0, 1, 1, 50)) ++
+      box("stsz", full(0, 0, 3, 10, 10, 10)))
+    val badStss = wrap(
+      box("stts", full(0, 1, 2, 50)) ++
+      box("stss", full(0, 99)) ++
+      box("stsz", full(0, 0, 2, 10, 10)))
+    for (bad <- Seq(short, badStss)) {
+      val n = Seq((1L, bad)).toDF("doc_id", "payload")
+        .select(size(Mp4Demux.mp4Timing($"payload")).as("n"))
+        .as[Int].collect().head
+      assert(n == 0, s"malformed timing yielded $n rows")
+    }
+    // synthesized corpus: two runs and the 1,4,7,... keyframe ladder
+    val syn = Seq((5L, graft.operators.Multimodal.mp4Bytes(5L)))
+      .toDF("doc_id", "payload")
+    val rows = graft.operators.Multimodal.mp4TimingTable(syn)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+    val (dd1, dd2) = (100 * (1 + 5 % 3), 40 + 5 % 7) // 300, 45
+    assert(rows.length == 7) // n = 5 + 2*(5%4)
+    assert(rows.map(_._4).toSeq ==
+      Seq(dd1, dd1, dd1, dd2, dd2, dd2, dd2).map(_.toLong))
+    assert(rows.map(_._5).toSeq == Seq(1L, 0L, 0L, 1L, 0L, 0L, 1L))
+    assert(rows.map(_._3).toSeq ==
+      Seq(0L, 300L, 600L, 900L, 945L, 990L, 1035L))
+  }
 }
