@@ -239,7 +239,7 @@ object Graph {
     * labels for never-seen nodes, each as one atomic manifest append.
     * Returns (n_merges, n_new_nodes) for feed monitoring. */
   def appendComponentDelta(spark: SparkSession, dir: String,
-      delta: DataFrame): (Long, Long) = {
+      delta: DataFrame, meta: String = ""): (Long, Long) = {
     import spark.implicits._
     val canon = delta.select($"src", $"dst").filter($"src" =!= $"dst")
       .localCheckpoint()
@@ -278,7 +278,7 @@ object Graph {
       .localCheckpoint()
     val nMerges = mapping.count()
     if (nMerges > 0)
-      Lake.Manifest.publishAppend(mapping, s"$dir/remaps")
+      Lake.Manifest.publishAppend(mapping, s"$dir/remaps", meta = meta)
     val newNodes = cur
       .join(base.select($"id"), Seq("id"), "left_anti")
       .join(m.select($"id".as("c"), $"component".as("nc")), Seq("c"), "left")
@@ -286,7 +286,7 @@ object Graph {
       .localCheckpoint()
     val nNew = newNodes.count()
     if (nNew > 0)
-      Lake.Manifest.publishAppend(newNodes, s"$dir/labels")
+      Lake.Manifest.publishAppend(newNodes, s"$dir/labels", meta = meta)
     (nMerges, nNew)
   }
 

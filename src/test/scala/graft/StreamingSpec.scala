@@ -815,4 +815,56 @@ class StreamingSpec extends AnyFunSuite {
         ids.filter(_ >= (1L << 44))))
     } finally q.stop()
   }
+
+  test("I15 streaming component maintenance: edge feed trails to the full labeling; replays are no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("graft_gs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gs_ck").toString
+    val base = Seq((5L, 6L), (9L, 10L), (20L, 21L)).toDF("src", "dst")
+    graft.operators.Graph.publishComponents(base,
+      base.select($"src".as("id")).union(base.select($"dst".as("id"))), dir)
+    val in = MemoryStream[(Long, Long)]
+    in.addData((6L, 10L), (30L, 20L)) // batch 0: merge + new node
+    in.addData((3L, 10L))             // batch 1: dethroning new min
+    val q = graft.streaming.GraphStream.maintainComponents(
+      in.toDF().toDF("src", "dst"), dir, ckpt)
+    q.awaitTermination()
+    val all = base.union(
+      Seq((6L, 10L), (30L, 20L), (3L, 10L)).toDF("src", "dst"))
+    def cc(df: DataFrame) =
+      graft.operators.Graph.connectedComponentsAltStar(df,
+          df.select($"src".as("id")).union(df.select($"dst".as("id"))))
+        .as[(Long, Long)].collect().toMap
+    val want = cc(all)
+    def read() = graft.operators.Graph.readComponents(spark, dir)
+      .as[(Long, Long)].collect()
+    val got = read()
+    assert(got.toMap == want && got.length == got.map(_._1).distinct.length,
+      s"streamed ${got.toMap}\nfull $want")
+    // full replay of an applied batch is a meta-gated skip
+    val replay = Seq((6L, 10L), (30L, 20L)).toDF("src", "dst")
+    assert(graft.streaming.GraphStream.streamEdgeBatch(dir, replay, 0L)
+      == (-1L, -1L))
+    // half-applied crash replay: batch 2's remap commit landed but the
+    // labels commit did not — the replayed batch must skip the merge
+    // (endpoints already share a component) and still add the node
+    val halfDelta = Seq((100L, 3L)).toDF("src", "dst")
+    val preMap = Seq((20L, 3L)).toDF("from_cid", "to_cid") // 20 -> 3
+    graft.sources.Lake.Manifest.publishAppend(preMap, s"$dir/remaps",
+      meta = "batch=2")
+    // (20's component merging into 3 is exactly what (100,3)+(100,20)
+    // would do; simulate the un-committed half by replaying the full
+    // delta that produces it)
+    val (m2, n2) = graft.streaming.GraphStream.streamEdgeBatch(dir,
+      Seq((100L, 3L), (100L, 20L)).toDF("src", "dst"), 2L)
+    assert(m2 == 0L && n2 == 1L, s"half-replay counts ($m2, $n2)")
+    val fin = read()
+    val wantFin = cc(all.union(halfDelta)
+      .union(Seq((100L, 20L)).toDF("src", "dst")))
+    assert(fin.toMap == wantFin &&
+      fin.length == fin.map(_._1).distinct.length,
+      s"half-replay ${fin.toMap}\nfull $wantFin")
+  }
 }
