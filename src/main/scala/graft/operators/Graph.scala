@@ -303,6 +303,178 @@ object Graph {
         .limit(0), s"$dir/remaps")
   }
 
+  // ---------------------------------------------------------------
+  // I16 INCREMENTAL PageRank — the second half of the C×I bridge
+  // (I15 maintains components; this maintains the quality prior).
+  // EXACT, not approximate: the fixed-iteration integer PageRank is
+  // a deterministic function of the edge set, and after an edge
+  // delta only the delta's downstream AFFECTED CONE can change —
+  //   Δ₀ = endpoints of genuinely-new edges (outdegs/existence
+  //        changed), Δ_k = Δ₀ ∪ outNbrs(Δ_{k-1})
+  // — because r_k(v) depends only on in-neighbors' r_{k-1}, their
+  // outdegs, and v's in-edge set (the differential-dataflow
+  // observation). Each iteration recomputes r_k ONLY over Δ_k using
+  // the SAME integer arithmetic as [[pageRank]], so base+deltas is
+  // BIT-EQUAL to the full recompute (GraphSpec pins it; Δ_k is a
+  // safe overapproximation — recomputing an unchanged node yields
+  // its old value).
+  //
+  // State mirrors I15: Manifest tables `edges` (appended),
+  // `ranks` (iter, node, r — the per-iteration base snapshot; the
+  // per-iteration frames ARE the incremental state) and an
+  // append-only `rpatch` (iter, node, r, seq) log; reads resolve
+  // last-writer-wins via a broadcast anti-join; compaction folds the
+  // log. Write cost ∝ cone size; the full-frame contacts are
+  // broadcast-filtered probes of the edges/ranks tables (prunable
+  // under a bucketed layout), never a corpus shuffle. Replay is
+  // semantically idempotent: a re-delivered batch finds its edges
+  // already present and commits nothing.
+  // ---------------------------------------------------------------
+
+  /** [[pageRank]] that returns EVERY iteration's frame —
+    * (iter, node, r) for iter = 1..iters — the state an incremental
+    * maintainer needs (identical arithmetic, shared scan). */
+  def pageRankAllIters(edges: DataFrame, iters: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val e = edges.select($"src", $"dst").distinct().persist()
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg")).persist()
+    val nodes = e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct().persist()
+    var ranks = nodes.select($"node", lit(1000000000000L).as("r"))
+    var out: DataFrame = null
+    for (i <- 1 to iters) {
+      val w = deg.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select($"src", expr("r div outdeg").as("contrib"))
+      val sums = e.join(w, "src")
+        .groupBy($"dst").agg(sum($"contrib").as("s"))
+      ranks = truncate(nodes
+        .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select($"node",
+          (lit(150000000000L) +
+            expr("coalesce(s, 0L) * 17 div 20")).as("r")))
+      val tagged = ranks.select(lit(i.toLong).as("iter"), $"node", $"r")
+      out = if (out == null) tagged else out.unionByName(tagged)
+    }
+    deg.unpersist(); nodes.unpersist(); e.unpersist()
+    out
+  }
+
+  /** Publish the incremental-PageRank state for `edges` under `dir`. */
+  def publishPageRank(edges: DataFrame, dir: String, iters: Int = 5): Unit = {
+    import edges.sparkSession.implicits._
+    val e = edges.select($"src", $"dst").distinct().localCheckpoint()
+    Lake.Manifest.publishSnapshot(e, s"$dir/edges")
+    val ranks = pageRankAllIters(e, iters).localCheckpoint()
+    Lake.Manifest.publishSnapshot(ranks, s"$dir/ranks")
+    Lake.Manifest.publishSnapshot(
+      ranks.select($"iter", $"node", $"r", lit(0L).as("seq")).limit(0),
+      s"$dir/rpatch")
+  }
+
+  /** Effective (node, r) at iteration `k`: base snapshot overridden
+    * by the latest patch per node (one broadcast anti-join). */
+  def readPageRankIter(spark: SparkSession, dir: String,
+      k: Long): DataFrame = {
+    import spark.implicits._
+    val base = Lake.Manifest.readPublished(spark, s"$dir/ranks")
+      .filter($"iter" === k).select($"node", $"r")
+    val log = Lake.Manifest.readPublished(spark, s"$dir/rpatch")
+      .filter($"iter" === k)
+    val latest = log.groupBy($"node")
+      .agg(expr("max_by(r, seq)").as("r"))
+    base.join(broadcast(latest.select($"node")), Seq("node"), "left_anti")
+      .unionByName(latest)
+  }
+
+  /** Effective final-iteration ranks (node, r). */
+  def readPageRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val iters = Lake.Manifest.readPublished(spark, s"$dir/ranks")
+      .agg(max($"iter")).collect()(0).getLong(0)
+    readPageRankIter(spark, dir, iters)
+  }
+
+  /** Apply one batch of edge additions: recompute ONLY the affected
+    * cone per iteration and append the patches + the new edges, each
+    * as one atomic manifest commit. Returns the number of patched
+    * (iter, node) rows (0 = replay/no-op; nothing is committed). */
+  def appendPageRankDelta(spark: SparkSession, dir: String,
+      delta: DataFrame, meta: String = ""): Long = {
+    import spark.implicits._
+    val oldE = Lake.Manifest.readPublished(spark, s"$dir/edges")
+    val added = delta.select($"src", $"dst").distinct()
+      .join(oldE, Seq("src", "dst"), "left_anti")
+      .localCheckpoint()
+    if (added.isEmpty) return 0L
+    val allE = oldE.unionByName(added).persist()
+    val outdeg = allE.groupBy($"src")
+      .agg(count(lit(1)).as("outdeg")).persist()
+    val iters = Lake.Manifest.readPublished(spark, s"$dir/ranks")
+      .agg(max($"iter")).collect()(0).getLong(0)
+    val d0 = added.select($"src".as("node"))
+      .union(added.select($"dst".as("node"))).distinct().localCheckpoint()
+    var deltaK = d0
+    var prevPatch: DataFrame = null // recomputed (node, r) at k-1
+    var patches: DataFrame = null
+    for (k <- 1L to iters) {
+      deltaK = d0.unionByName(
+          allE.join(broadcast(deltaK.select($"node".as("src"))), "src")
+            .select($"dst".as("node")))
+        .distinct().localCheckpoint()
+      // effective r_{k-1} for the cone's in-neighbors: k=1 is the
+      // uniform init; otherwise stored state overridden by the rows
+      // recomputed in the previous loop round
+      val inE = allE.join(broadcast(deltaK.select($"node".as("dst"))), "dst")
+      val contrib =
+        if (k == 1L)
+          inE.join(outdeg, "src")
+            .select($"dst", expr("1000000000000 div outdeg").as("contrib"))
+        else {
+          val stored = readPageRankIter(spark, dir, k - 1)
+          val eff = stored
+            .join(broadcast(prevPatch.select($"node")), Seq("node"),
+              "left_anti")
+            .unionByName(prevPatch)
+          inE.join(eff.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select($"dst", expr("r div outdeg").as("contrib"))
+        }
+      val sums = contrib.groupBy($"dst").agg(sum($"contrib").as("s"))
+      val rk = deltaK
+        .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select($"node",
+          (lit(150000000000L) +
+            expr("coalesce(s, 0L) * 17 div 20")).as("r"))
+        .localCheckpoint()
+      val tagged = rk.select(lit(k).as("iter"), $"node", $"r")
+      patches = if (patches == null) tagged else patches.unionByName(tagged)
+      prevPatch = rk
+    }
+    val seq = Lake.Manifest.latestVersion(spark, s"$dir/rpatch") + 1L
+    val out = patches.withColumn("seq", lit(seq)).localCheckpoint()
+    val n = out.count()
+    Lake.Manifest.publishAppend(out, s"$dir/rpatch", meta = meta)
+    Lake.Manifest.publishAppend(added, s"$dir/edges", meta = meta)
+    allE.unpersist(); outdeg.unpersist()
+    n
+  }
+
+  /** Fold the patch log into the per-iteration base snapshot (the
+    * periodic table service; read results unchanged). */
+  def compactPageRank(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val iters = Lake.Manifest.readPublished(spark, s"$dir/ranks")
+      .agg(max($"iter")).collect()(0).getLong(0)
+    val folded = (1L to iters).map { k =>
+      readPageRankIter(spark, dir, k)
+        .select(lit(k).as("iter"), $"node", $"r")
+    }.reduce(_ unionByName _).localCheckpoint()
+    Lake.Manifest.publishSnapshot(folded, s"$dir/ranks")
+    Lake.Manifest.publishSnapshot(
+      folded.select($"iter", $"node", $"r", lit(0L).as("seq")).limit(0),
+      s"$dir/rpatch")
+  }
+
   /** PageRank over a directed edge list (Brin/Page 1998 — the quality
     * prior a web-corpus pipeline feeds into sampling weights) in
     * FIXED-POINT integer arithmetic: ranks live in 10⁻¹² units

@@ -414,4 +414,55 @@ class GraphSpec extends AnyFunSuite {
     assert(graft.sources.Lake.Manifest.readPublished(spark, s"$dir/remaps")
       .count() == 0L, "compaction should reset the remap log")
   }
+
+  test("I16 incremental PageRank: base+deltas BIT-EQUAL to the full recompute; replay commits nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    def pr(df: org.apache.spark.sql.DataFrame) =
+      Graph.pageRank(df, 5).as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipr").toString
+    // base: a cycle with a chord and a dangling sink — outdegs 1 and 2,
+    // a node with no in-edges after the delta cannot exist (cycle)
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+      .toDF("src", "dst")
+    Graph.publishPageRank(base, dir)
+    assert(Graph.readPageRank(spark, dir).as[(Long, Long)]
+      .collect().toMap == pr(base), "published state != full PR")
+    // delta 1: new node 9 -> 2 (new endpoint + outdeg-0 source),
+    // plus 4 -> 1 (the sink gains an out-edge: outdeg change ripples)
+    val d1 = Seq((9L, 2L), (4L, 1L)).toDF("src", "dst")
+    val n1 = Graph.appendPageRankDelta(spark, dir, d1)
+    assert(n1 > 0)
+    val all1 = base.union(d1)
+    assert(Graph.readPageRank(spark, dir).as[(Long, Long)]
+      .collect().toMap == pr(all1), "delta 1 diverged")
+    // delta 2: existing-nodes edge that changes 2's outdeg (2 -> 4):
+    // node 2 contributes less everywhere downstream
+    val d2 = Seq((2L, 4L)).toDF("src", "dst")
+    assert(Graph.appendPageRankDelta(spark, dir, d2) > 0)
+    val all2 = all1.union(d2)
+    val want = pr(all2)
+    assert(Graph.readPageRank(spark, dir).as[(Long, Long)]
+      .collect().toMap == want, "delta 2 diverged")
+    // every intermediate iteration matches the full recompute too
+    val fullIters = Graph.pageRankAllIters(all2, 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val gotIters = (1L to 5L).flatMap(k =>
+      Graph.readPageRankIter(spark, dir, k)
+        .select(lit(k).as("iter"), $"node", $"r")
+        .as[(Long, Long, Long)].collect()).toSet
+    assert(gotIters == fullIters, "an intermediate iteration diverged")
+    // replaying an applied batch is a no-op: nothing committed
+    val vE = graft.sources.Lake.Manifest.latestVersion(spark, s"$dir/edges")
+    val vP = graft.sources.Lake.Manifest.latestVersion(spark, s"$dir/rpatch")
+    assert(Graph.appendPageRankDelta(spark, dir, d2) == 0L)
+    assert(graft.sources.Lake.Manifest.latestVersion(spark, s"$dir/edges") == vE)
+    assert(graft.sources.Lake.Manifest.latestVersion(spark, s"$dir/rpatch") == vP)
+    // compaction folds the log read-invariantly
+    Graph.compactPageRank(spark, dir)
+    assert(Graph.readPageRank(spark, dir).as[(Long, Long)]
+      .collect().toMap == want, "compaction changed the ranks")
+    assert(graft.sources.Lake.Manifest.readPublished(spark, s"$dir/rpatch")
+      .count() == 0L)
+  }
 }

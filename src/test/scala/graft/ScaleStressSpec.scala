@@ -851,4 +851,49 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(deltaSecs < fullSecs * 0.75,
       f"delta apply $deltaSecs%.1f s did not beat full recompute $fullSecs%.1f s")
   }
+
+  test("I16 incremental PageRank at 10^6 edges: cone-bounded delta apply, bit-equal to the full recompute") {
+    import spark.implicits._
+    // cell-local base edges (out-neighborhoods stay inside 10-node
+    // cells, so the affected cone of a delta is the cells it touches,
+    // not the graph); ~0.05% of edges are global and form the delta
+    val all = spark.range(1000000L).select(
+        expr("abs(xxhash64(id)) % 200000").as("src"),
+        expr("case when pmod(xxhash64(id, 31L), 2000) = 0 " +
+          "then abs(xxhash64(id + 3)) % 200000 " +
+          "else (abs(xxhash64(id)) % 200000) " +
+          "- pmod(abs(xxhash64(id)) % 200000, 10) " +
+          "+ abs(xxhash64(id + 3)) % 10 end").as("dst"),
+        expr("pmod(xxhash64(id, 31L), 2000) = 0").as("is_delta"))
+      .localCheckpoint()
+    val base = all.filter(!$"is_delta").select($"src", $"dst")
+    val delta = all.filter($"is_delta").select($"src", $"dst")
+      .localCheckpoint()
+    val nDelta = delta.count()
+    assert(nDelta > 200 && nDelta < 2000, s"delta size $nDelta")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ipr_big").toString
+    val t0 = System.nanoTime()
+    graft.operators.Graph.publishPageRank(base, dir)
+    val fullSecs = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val patched = graft.operators.Graph.appendPageRankDelta(spark, dir, delta)
+    val deltaSecs = (System.nanoTime() - t1) / 1e9
+    val nNodes = 200000L
+    info(f"full publish $fullSecs%.1f s; delta apply $deltaSecs%.1f s " +
+      f"($patched patched rows over 5 iters, " +
+      f"${patched * 100.0 / (5 * nNodes)}%.1f%% of the state)")
+    // cone-bounded: the patch log must stay a small fraction of the
+    // full 5-iteration state
+    assert(patched > 0 && patched < nNodes * 5 / 4,
+      s"cone exploded: $patched patched rows")
+    // bit-equality with the one-shot full recompute
+    val want = graft.operators.Graph
+      .pageRank(all.select($"src", $"dst"), 5)
+      .agg(count(lit(1)), sum($"r"), bit_xor(xxhash64($"node", $"r")))
+      .collect().head
+    val got = graft.operators.Graph.readPageRank(spark, dir)
+      .agg(count(lit(1)), sum($"r"), bit_xor(xxhash64($"node", $"r")))
+      .collect().head
+    assert(got == want, s"incremental $got vs full $want")
+  }
 }
