@@ -46,6 +46,40 @@ object GraphStream {
     else Graph.appendComponentDelta(spark, dir, batch, meta = tag)
   }
 
+  /** Apply ONE edge micro-batch to the I16 PageRank state exactly
+    * once: patched-row count, or -1 for a full-replay skip. The
+    * delta-apply is semantically idempotent too (re-delivered edges
+    * anti-join to nothing and commit nothing), so the meta gate is a
+    * recompute short-circuit, not the correctness mechanism. */
+  def streamPageRankBatch(dir: String, batch: DataFrame,
+      batchId: Long): Long = {
+    val spark = batch.sparkSession
+    val tag = s"batch=$batchId"
+    val metas = graft.sources.Lake.Manifest
+      .publishedMetas(spark, s"$dir/edges")
+    if (metas.contains(tag)) -1L
+    else Graph.appendPageRankDelta(spark, dir, batch, meta = tag)
+  }
+
+  /** Continuous quality-prior maintenance over an edge stream: the
+    * published PageRank trails the feed by one trigger, each batch
+    * patching only its affected cone (I16). `compactEvery > 0` folds
+    * the patch log every N applied batches. */
+  def maintainPageRank(edges: DataFrame, dir: String,
+      checkpoint: String, compactEvery: Int = 0): StreamingQuery = {
+    val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+    edges.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = streamPageRankBatch(dir, batch, batchId)
+        if (n >= 0 && compactEvery > 0 &&
+            counter.incrementAndGet() % compactEvery == 0)
+          Graph.compactPageRank(batch.sparkSession, dir)
+      }
+      .start()
+  }
+
   /** Continuous labeling maintenance over an edge stream. */
   def maintainComponents(edges: DataFrame, dir: String,
       checkpoint: String, compactEvery: Int = 0): StreamingQuery = {

@@ -867,4 +867,36 @@ class StreamingSpec extends AnyFunSuite {
       fin.length == fin.map(_._1).distinct.length,
       s"half-replay ${fin.toMap}\nfull $wantFin")
   }
+
+  test("I16 streaming PageRank maintenance: edge feed trails to the exact full ranks; replays skip") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gpr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gpr_ck").toString
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+      .toDF("src", "dst")
+    graft.operators.Graph.publishPageRank(base, dir)
+    val in = MemoryStream[(Long, Long)]
+    in.addData((9L, 2L), (4L, 1L)) // batch 0: new node + outdeg change
+    in.addData((2L, 4L))           // batch 1: downstream ripple
+    val q = graft.streaming.GraphStream.maintainPageRank(
+      in.toDF().toDF("src", "dst"), dir, ckpt)
+    q.awaitTermination()
+    val all = base.union(
+      Seq((9L, 2L), (4L, 1L), (2L, 4L)).toDF("src", "dst"))
+    val want = graft.operators.Graph.pageRank(all, 5)
+      .as[(Long, Long)].collect().toMap
+    val got = graft.operators.Graph.readPageRank(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(got.toMap == want &&
+      got.length == got.map(_._1).distinct.length,
+      s"streamed ${got.toMap}\nfull $want")
+    // meta-gated full replay (batch 0 certainly ran; AvailableNow may
+    // have folded both addData calls into it)
+    assert(graft.streaming.GraphStream.streamPageRankBatch(dir,
+      Seq((9L, 2L), (4L, 1L)).toDF("src", "dst"), 0L) == -1L)
+    // un-gated replay of already-present edges: semantic no-op
+    assert(graft.streaming.GraphStream.streamPageRankBatch(dir,
+      Seq((2L, 4L)).toDF("src", "dst"), 99L) == 0L)
+  }
 }
