@@ -118,13 +118,14 @@ object Mp4Demux {
     new GenericArrayData(out)
   }
 
-  /** Per-sample TIMING plan from stts (decode timestamps) + stss
-    * (sync samples): array of (sample_idx, dts, duration,
-    * is_sync 0/1). Absent stss means EVERY sample is a sync sample
-    * (ISO 14496-12 §8.6.2 — the box is only written when some
-    * samples are NOT sync). Empty on any malformation. This is what
-    * a keyframe-aware frame sampler consumes: seek targets are sync
-    * samples, presentation windows come from the dts ladder. */
+  /** Per-sample TIMING plan from stts (decode timestamps) + ctts
+    * (composition offsets — the B-frame presentation reorder) + stss
+    * (sync samples): array of (sample_idx, dts, pts, duration,
+    * is_sync 0/1). Absent stss means EVERY sample is a sync sample;
+    * absent ctts means pts = dts (ISO 14496-12 §8.6 — both boxes are
+    * only written when needed). Empty on any malformation. This is
+    * what a keyframe-aware frame sampler consumes: seek targets are
+    * sync samples, presentation windows come from the pts ladder. */
   def timing(bytes: Array[Byte]): ArrayData = {
     val empty = new GenericArrayData(Array.empty[Any])
     val b = stblBounds(bytes)
@@ -153,11 +154,25 @@ object Mp4Demux {
         k += 1
       }
     }
+    // ctts is optional (pts = dts without it); a present-but-corrupt
+    // table quarantines. Version-0 offsets are unsigned; the
+    // synthesis and crafted specs stay within int range.
+    val ctts = findBox(bytes, lo, hi, "ctts")
+    var cttsRuns = 0
+    if (ctts >= 0) {
+      cttsRuns = be32(bytes, ctts + 12).toInt
+      if (cttsRuns <= 0 ||
+          ctts + 16 + 8L * cttsRuns > ctts + be32(bytes, ctts))
+        return empty
+    }
     val out = new Array[Any](nSamples)
     var i = 0
     var run = 0
     var left = be32(bytes, stts + 16) // samples left in current run
     var delta = be32(bytes, stts + 20)
+    var cRun = 0
+    var cLeft = if (ctts >= 0) be32(bytes, ctts + 16) else Long.MaxValue
+    var cOff = if (ctts >= 0) be32(bytes, ctts + 20) else 0L
     var dts = 0L
     while (i < nSamples) {
       while (left <= 0) {
@@ -166,10 +181,17 @@ object Mp4Demux {
         left = be32(bytes, stts + 16 + 8 * run)
         delta = be32(bytes, stts + 20 + 8 * run)
       }
+      while (cLeft <= 0) {
+        cRun += 1
+        if (cRun >= cttsRuns) return empty // ctts covers fewer samples
+        cLeft = be32(bytes, ctts + 16 + 8 * cRun)
+        cOff = be32(bytes, ctts + 20 + 8 * cRun)
+      }
       val isSync = if (sync == null) 1L else if (sync(i)) 1L else 0L
-      out(i) = InternalRow(i.toLong, dts, delta, isSync)
+      out(i) = InternalRow(i.toLong, dts, dts + cOff, delta, isSync)
       dts += delta
       left -= 1
+      cLeft -= 1
       i += 1
     }
     new GenericArrayData(out)
@@ -211,8 +233,8 @@ case class Mp4SampleTable(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Scalar wrapper: binary → array<struct<sample_idx, dts, duration,
-  * is_sync>> inside whole-stage codegen. */
+/** Scalar wrapper: binary → array<struct<sample_idx, dts, pts,
+  * duration, is_sync>> inside whole-stage codegen. */
 case class Mp4TimingTable(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -223,6 +245,7 @@ case class Mp4TimingTable(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("sample_idx", LongType, nullable = false),
     StructField("dts", LongType, nullable = false),
+    StructField("pts", LongType, nullable = false),
     StructField("duration", LongType, nullable = false),
     StructField("is_sync", LongType, nullable = false))),
     containsNull = false)

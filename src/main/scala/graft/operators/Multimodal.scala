@@ -866,7 +866,7 @@ object Multimodal {
     val d2 = (40 + docId % 7).toInt
     val nk = (n + 2) / 3
     val total = sizes.sum
-    val mdatStart = 276 + 4 * n + 4 * c + 4 * nk
+    val mdatStart = 292 + 12 * n + 4 * c + 4 * nk
     val bb = java.nio.ByteBuffer.allocate(mdatStart + total)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     def box(size: Int, typ: String): Unit = {
@@ -875,18 +875,23 @@ object Multimodal {
     box(24, "ftyp")
     bb.put("isom".getBytes("US-ASCII")).putInt(512)
       .put("isom".getBytes("US-ASCII")).putInt(0)
-    box(244 + 4 * n + 4 * c + 4 * nk, "moov")
+    box(260 + 12 * n + 4 * c + 4 * nk, "moov")
     box(16, "mvhd"); bb.putLong(0L)
-    box(220 + 4 * n + 4 * c + 4 * nk, "trak")
+    box(236 + 12 * n + 4 * c + 4 * nk, "trak")
     box(16, "tkhd"); bb.putLong(0L)
-    box(196 + 4 * n + 4 * c + 4 * nk, "mdia")
+    box(212 + 12 * n + 4 * c + 4 * nk, "mdia")
     box(16, "mdhd"); bb.putLong(0L)
     box(16, "hdlr"); bb.put("vide".getBytes("US-ASCII")).putInt(0)
-    box(156 + 4 * n + 4 * c + 4 * nk, "minf")
-    box(148 + 4 * n + 4 * c + 4 * nk, "stbl")
+    box(172 + 12 * n + 4 * c + 4 * nk, "minf")
+    box(164 + 12 * n + 4 * c + 4 * nk, "stbl")
     box(16, "stsd"); bb.putLong(0L)
     box(32, "stts"); bb.putInt(0).putInt(2)
       .putInt(3).putInt(d1).putInt(n - 3).putInt(d2)
+    // ctts composition offsets (B-frame reorder): per-sample entries
+    // with the closed-form offset ((i*7) % 3) * 10
+    box(16 + 8 * n, "ctts"); bb.putInt(0).putInt(n)
+    k = 0
+    while (k < n) { bb.putInt(1).putInt(((k * 7) % 3) * 10); k += 1 }
     box(16 + 4 * nk, "stss"); bb.putInt(0).putInt(nk)
     k = 0
     while (k < nk) { bb.putInt(1 + 3 * k); k += 1 }
@@ -937,8 +942,8 @@ object Multimodal {
       .select($"doc_id",
         explode(graft.functions.Mp4Demux.mp4Timing($"payload")).as("tm"))
       .select($"doc_id", $"tm.sample_idx".as("sample_idx"),
-        $"tm.dts".as("dts"), $"tm.duration".as("duration"),
-        $"tm.is_sync".as("is_sync"))
+        $"tm.dts".as("dts"), $"tm.pts".as("pts"),
+        $"tm.duration".as("duration"), $"tm.is_sync".as("is_sync"))
   }
 
   /** G17 graded entry (`mm_mp4_timing`): the synthesized mp4s' stts
@@ -1280,7 +1285,7 @@ object Multimodal {
     // G16 twin: the closed-form container layout replayed with no
     // byte parsing — sizes from the LCG recurrence, chunk = 1 for the
     // first 3 samples then 2-sample chunks (the stsc runs), offset =
-    // mdat data start (276 + 4n + 4c + 4·⌈n/3⌉) + exact size prefix
+    // mdat data start (292 + 12n + 4c + 4·⌈n/3⌉) + exact size prefix
     // G17 twin: the two-run stts formula (3 at d1, rest at d2) and
     // the 1,4,7,… stss ladder replayed closed-form — a hash match
     // proves the run walk and the 1-based sync mapping
@@ -1294,6 +1299,9 @@ object Multimodal {
         |SELECT doc_id, i::BIGINT AS sample_idx,
         |  (CASE WHEN i < 3 THEN i * d1
         |        ELSE 3 * d1 + (i - 3) * d2 END)::BIGINT AS dts,
+        |  ((CASE WHEN i < 3 THEN i * d1
+        |         ELSE 3 * d1 + (i - 3) * d2 END)
+        |    + ((i * 7) % 3) * 10)::BIGINT AS pts,
         |  (CASE WHEN i < 3 THEN d1 ELSE d2 END)::BIGINT AS duration,
         |  (CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END)::BIGINT AS is_sync
         |FROM idx ORDER BY doc_id, sample_idx""".stripMargin,
@@ -1319,7 +1327,7 @@ object Multimodal {
         |SELECT doc_id, i::BIGINT AS sample_idx,
         |  (CASE WHEN i < 3 THEN 1 ELSE 2 + (i - 3) // 2 END)::BIGINT
         |    AS chunk_idx,
-        |  (276 + 4 * n + 4 * (1 + (n - 3) // 2) + 4 * ((n + 2) // 3)
+        |  (292 + 12 * n + 4 * (1 + (n - 3) // 2) + 4 * ((n + 2) // 3)
         |    + prior)::BIGINT AS file_offset,
         |  sz::BIGINT AS sample_size
         |FROM sizes ORDER BY doc_id, sample_idx""".stripMargin,

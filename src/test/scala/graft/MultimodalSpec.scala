@@ -501,25 +501,32 @@ class MultimodalSpec extends AnyFunSuite {
     def full(v: Int*) = v.flatMap(be32).toArray
     def wrap(stbl: Array[Byte]) = box("moov",
       box("trak", box("mdia", box("minf", box("stbl", stbl)))))
-    // 4 samples: stts runs (2 @ 100 ticks, 2 @ 7), stss = {1, 4}
+    // 4 samples: stts runs (2 @ 100 ticks, 2 @ 7), stss = {1, 4},
+    // ctts runs (1 sample @ +5, 3 samples @ +0) — the B-frame reorder
     val timed = wrap(
       box("stts", full(0, 2, 2, 100, 2, 7)) ++
+      box("ctts", full(0, 2, 1, 5, 3, 0)) ++
       box("stss", full(0, 2, 1, 4)) ++
       box("stsz", full(0, 0, 4, 10, 10, 10, 10)))
     val got = Seq((1L, timed)).toDF("doc_id", "payload")
       .select(explode(Mp4Demux.mp4Timing($"payload")).as("t"))
-      .select($"t.sample_idx", $"t.dts", $"t.duration", $"t.is_sync")
-      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
-    assert(got == Seq((0L, 0L, 100L, 1L), (1L, 100L, 100L, 0L),
-      (2L, 200L, 7L, 0L), (3L, 207L, 7L, 1L)), s"got $got")
+      .select($"t.sample_idx", $"t.dts", $"t.pts", $"t.duration",
+        $"t.is_sync")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((0L, 0L, 5L, 100L, 1L), (1L, 100L, 100L, 100L, 0L),
+      (2L, 200L, 200L, 7L, 0L), (3L, 207L, 207L, 7L, 1L)), s"got $got")
     // no stss box: every sample is a sync sample (ISO 14496-12)
     val noStss = wrap(
       box("stts", full(0, 1, 2, 50)) ++
       box("stsz", full(0, 0, 2, 10, 10)))
     val gotNs = Seq((1L, noStss)).toDF("doc_id", "payload")
       .select(explode(Mp4Demux.mp4Timing($"payload")).as("t"))
-      .select($"t.is_sync").as[Long].collect().toSeq
-    assert(gotNs == Seq(1L, 1L), s"absent stss must mean all-sync: $gotNs")
+      .select($"t.is_sync", $"t.dts", $"t.pts")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gotNs.map(_._1) == Seq(1L, 1L),
+      s"absent stss must mean all-sync: $gotNs")
+    assert(gotNs.forall(r => r._2 == r._3),
+      s"absent ctts must mean pts = dts: $gotNs")
     // stts covering fewer samples than stsz claims -> quarantine;
     // corrupt stss table length -> quarantine
     val short = wrap(
@@ -529,7 +536,11 @@ class MultimodalSpec extends AnyFunSuite {
       box("stts", full(0, 1, 2, 50)) ++
       box("stss", full(0, 99)) ++
       box("stsz", full(0, 0, 2, 10, 10)))
-    for (bad <- Seq(short, badStss)) {
+    val shortCtts = wrap( // ctts covers 1 of 2 samples
+      box("stts", full(0, 1, 2, 50)) ++
+      box("ctts", full(0, 1, 1, 5)) ++
+      box("stsz", full(0, 0, 2, 10, 10)))
+    for (bad <- Seq(short, badStss, shortCtts)) {
       val n = Seq((1L, bad)).toDF("doc_id", "payload")
         .select(size(Mp4Demux.mp4Timing($"payload")).as("n"))
         .as[Int].collect().head
@@ -539,13 +550,16 @@ class MultimodalSpec extends AnyFunSuite {
     val syn = Seq((5L, graft.operators.Multimodal.mp4Bytes(5L)))
       .toDF("doc_id", "payload")
     val rows = graft.operators.Multimodal.mp4TimingTable(syn)
-      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._2)
     val (dd1, dd2) = (100 * (1 + 5 % 3), 40 + 5 % 7) // 300, 45
     assert(rows.length == 7) // n = 5 + 2*(5%4)
-    assert(rows.map(_._4).toSeq ==
+    assert(rows.map(_._5).toSeq ==
       Seq(dd1, dd1, dd1, dd2, dd2, dd2, dd2).map(_.toLong))
-    assert(rows.map(_._5).toSeq == Seq(1L, 0L, 0L, 1L, 0L, 0L, 1L))
+    assert(rows.map(_._6).toSeq == Seq(1L, 0L, 0L, 1L, 0L, 0L, 1L))
     assert(rows.map(_._3).toSeq ==
       Seq(0L, 300L, 600L, 900L, 945L, 990L, 1035L))
+    // pts = dts + ((i*7) % 3)*10 — the synthesized ctts ladder
+    assert(rows.map(r => r._4 - r._3).toSeq ==
+      (0 until 7).map(i => (((i * 7) % 3) * 10).toLong))
   }
 }
