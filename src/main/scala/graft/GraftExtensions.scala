@@ -25,7 +25,9 @@ import graft.functions.{DotProduct, MinHashAgg}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   /** Foldable-string TVF argument or analysis error (a column here
-    * would otherwise surface as a runtime ClassCastException). */
+    * would otherwise surface as a runtime ClassCastException; a
+    * foldable typed null — CAST(NULL AS STRING) — folds to null and
+    * must raise the same usage error, not NPE). */
   private def litString(args: Seq[Expression], i: Int,
       usage: String): String = {
     if (i >= args.length || !args(i).foldable ||
@@ -33,11 +35,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "USER_RAISED_EXCEPTION",
         messageParameters = Map("errorMessage" -> usage))
-    args(i).eval().toString
+    val v = args(i).eval()
+    if (v == null)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "USER_RAISED_EXCEPTION",
+        messageParameters = Map("errorMessage" -> usage))
+    v.toString
   }
 
   /** Resolve a registry key against a table dir into the operator's
-    * logical plan — the analysis-time body of the graft TVFs. */
+    * logical plan — the analysis-time body of the graft TVFs.
+    *
+    * Contract note: the registry builder runs at ANALYSIS time, so
+    * the handful of operators whose construction is eager (e.g.
+    * `q_abc`'s localCheckpointed shared aggregate, the served-index
+    * queries that read a model) execute those Spark jobs while the
+    * SQL statement is being analyzed, not when it runs. The planned
+    * query is still byte-identical to the Scala API's; the cost just
+    * lands earlier. Purely declarative entries (the majority) build
+    * a lazy plan here at zero runtime cost. */
   private def registryPlan(name: String, dir: String): LogicalPlan = {
     val fn = SparkEntry.queries.getOrElse(name,
       throw new org.apache.spark.sql.AnalysisException(

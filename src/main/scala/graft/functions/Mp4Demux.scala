@@ -31,6 +31,9 @@ object Mp4Demux {
     ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
       ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
 
+  /** FullBox version byte (payload byte 0 of a box headered at p). */
+  private def ver(b: Array[Byte], p: Int): Int = b(p + 8) & 0xff
+
   private def typIs(b: Array[Byte], p: Int, t: String): Boolean =
     b(p) == t.charAt(0).toByte && b(p + 1) == t.charAt(1).toByte &&
       b(p + 2) == t.charAt(2).toByte && b(p + 3) == t.charAt(3).toByte
@@ -76,6 +79,11 @@ object Mp4Demux {
     val stsz = findBox(bytes, lo, hi, "stsz")
     val stco = findBox(bytes, lo, hi, "stco")
     if (stsc < 0 || stsz < 0 || stco < 0) return empty
+    // Only version 0 is defined for stsc/stsz/stco (ISO 14496-12;
+    // the 64-bit chunk table is the separate co64 box) — an unknown
+    // version means unknown layout, so quarantine rather than misparse
+    if (ver(bytes, stsc) != 0 || ver(bytes, stsz) != 0 ||
+        ver(bytes, stco) != 0) return empty
     // stsz: ver/flags, uniform sample_size, sample_count[, sizes]
     val uniform = be32(bytes, stsz + 12)
     val nSamples = be32(bytes, stsz + 16).toInt
@@ -134,6 +142,7 @@ object Mp4Demux {
     val stts = findBox(bytes, lo, hi, "stts")
     val stsz = findBox(bytes, lo, hi, "stsz")
     if (stts < 0 || stsz < 0) return empty
+    if (ver(bytes, stts) != 0 || ver(bytes, stsz) != 0) return empty
     val nSamples = be32(bytes, stsz + 16).toInt
     if (nSamples < 0 || nSamples > (1 << 24)) return empty
     val nRuns = be32(bytes, stts + 12).toInt
@@ -143,6 +152,7 @@ object Mp4Demux {
     val stss = findBox(bytes, lo, hi, "stss")
     var sync: Array[Boolean] = null
     if (stss >= 0) {
+      if (ver(bytes, stss) != 0) return empty
       val nk = be32(bytes, stss + 12).toInt
       if (nk < 0 || stss + 16 + 4L * nk > stss + be32(bytes, stss))
         return empty
@@ -155,15 +165,26 @@ object Mp4Demux {
       }
     }
     // ctts is optional (pts = dts without it); a present-but-corrupt
-    // table quarantines. Version-0 offsets are unsigned; the
-    // synthesis and crafted specs stay within int range.
+    // table quarantines. Version 0 offsets are UNSIGNED, version 1
+    // offsets are SIGNED (real muxers emit v1 for B-frame reorder
+    // where early samples present before they decode) — reading a
+    // v1 negative as unsigned be32 would make pts ≈ dts + 4.29e9,
+    // silently wrong; unknown versions quarantine.
     val ctts = findBox(bytes, lo, hi, "ctts")
     var cttsRuns = 0
+    var cttsSigned = false
     if (ctts >= 0) {
+      val v = ver(bytes, ctts)
+      if (v > 1) return empty
+      cttsSigned = v == 1
       cttsRuns = be32(bytes, ctts + 12).toInt
       if (cttsRuns <= 0 ||
           ctts + 16 + 8L * cttsRuns > ctts + be32(bytes, ctts))
         return empty
+    }
+    def cttsOff(p: Int): Long = {
+      val raw = be32(bytes, p)
+      if (cttsSigned) raw.toInt.toLong else raw
     }
     val out = new Array[Any](nSamples)
     var i = 0
@@ -172,7 +193,7 @@ object Mp4Demux {
     var delta = be32(bytes, stts + 20)
     var cRun = 0
     var cLeft = if (ctts >= 0) be32(bytes, ctts + 16) else Long.MaxValue
-    var cOff = if (ctts >= 0) be32(bytes, ctts + 20) else 0L
+    var cOff = if (ctts >= 0) cttsOff(ctts + 20) else 0L
     var dts = 0L
     while (i < nSamples) {
       while (left <= 0) {
@@ -185,7 +206,7 @@ object Mp4Demux {
         cRun += 1
         if (cRun >= cttsRuns) return empty // ctts covers fewer samples
         cLeft = be32(bytes, ctts + 16 + 8 * cRun)
-        cOff = be32(bytes, ctts + 20 + 8 * cRun)
+        cOff = cttsOff(ctts + 20 + 8 * cRun)
       }
       val isSync = if (sync == null) 1L else if (sync(i)) 1L else 0L
       out(i) = InternalRow(i.toLong, dts, dts + cOff, delta, isSync)

@@ -277,7 +277,13 @@ object Graph {
       .join(existingComps, Seq("from_cid"), "left_semi")
       .localCheckpoint()
     val nMerges = mapping.count()
-    if (nMerges > 0)
+    // a TAGGED batch commits to BOTH tables even when one side is
+    // empty (the commit is just a meta line then): the streaming
+    // full-replay gate requires the tag in both metas, so a
+    // merge-only or newnode-only batch must still register as
+    // applied — otherwise every restart re-runs its delta compute
+    // (correct via semantic idempotency, pure waste)
+    if (nMerges > 0 || meta.nonEmpty)
       Lake.Manifest.publishAppend(mapping, s"$dir/remaps", meta = meta)
     val newNodes = cur
       .join(base.select($"id"), Seq("id"), "left_anti")
@@ -285,7 +291,7 @@ object Graph {
       .select($"id", coalesce($"nc", $"c").as("component"))
       .localCheckpoint()
     val nNew = newNodes.count()
-    if (nNew > 0)
+    if (nNew > 0 || meta.nonEmpty)
       Lake.Manifest.publishAppend(newNodes, s"$dir/labels", meta = meta)
     (nMerges, nNew)
   }
@@ -409,8 +415,23 @@ object Graph {
     val allE = oldE.unionByName(added).persist()
     val outdeg = allE.groupBy($"src")
       .agg(count(lit(1)).as("outdeg")).persist()
-    val iters = Lake.Manifest.readPublished(spark, s"$dir/ranks")
-      .agg(max($"iter")).collect()(0).getLong(0)
+    // resolve the published state ONCE — the loop below must not
+    // re-list manifests or re-broadcast the full patch-log node set
+    // every iteration (cost grew with log size × iters per batch).
+    // ranks stays a lazy pruned parquet scan (iter is a pushed
+    // filter); the patch log is delta-event sized, so one
+    // materialization covers all iterations.
+    val baseRanks = Lake.Manifest.readPublished(spark, s"$dir/ranks")
+    val patchLog = Lake.Manifest.readPublished(spark, s"$dir/rpatch")
+      .localCheckpoint()
+    def effIter(k: Long): DataFrame = {
+      val b = baseRanks.filter($"iter" === k).select($"node", $"r")
+      val latest = patchLog.filter($"iter" === k).groupBy($"node")
+        .agg(expr("max_by(r, seq)").as("r"))
+      b.join(broadcast(latest.select($"node")), Seq("node"), "left_anti")
+        .unionByName(latest)
+    }
+    val iters = baseRanks.agg(max($"iter")).collect()(0).getLong(0)
     val d0 = added.select($"src".as("node"))
       .union(added.select($"dst".as("node"))).distinct().localCheckpoint()
     var deltaK = d0
@@ -430,7 +451,7 @@ object Graph {
           inE.join(outdeg, "src")
             .select($"dst", expr("1000000000000 div outdeg").as("contrib"))
         else {
-          val stored = readPageRankIter(spark, dir, k - 1)
+          val stored = effIter(k - 1)
           val eff = stored
             .join(broadcast(prevPatch.select($"node")), Seq("node"),
               "left_anti")

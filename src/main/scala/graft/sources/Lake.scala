@@ -290,12 +290,23 @@ object Lake {
     }
 
     /** Inverse of Spark's partition-path escaping (Hive convention:
-      * special characters become %XX with two uppercase hex digits) —
-      * a malformed escape passes through verbatim rather than
-      * throwing, matching Spark's own lenient unescape. */
-    private[sources] def unescapePathName(s: String): String = {
+      * special characters become %XX with two uppercase hex digits).
+      * Escapes decode to BYTES first and the byte run UTF-8-decodes
+      * as a unit — a non-ASCII value encoded as UTF-8 pairs (é →
+      * %C3%A9) must round-trip to 'é', not to the two mojibake chars
+      * a char-wise decode produces (which would false-DROP matching
+      * files in readPublishedPruned). A malformed escape passes
+      * through verbatim rather than throwing, matching Spark's own
+      * lenient unescape. */
+    private[graft] def unescapePathName(s: String): String = {
       if (s.indexOf('%') < 0) return s
       val sb = new java.lang.StringBuilder(s.length)
+      val bytes = new java.io.ByteArrayOutputStream(8)
+      def flush(): Unit = if (bytes.size > 0) {
+        sb.append(new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+        bytes.reset()
+      }
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
@@ -303,10 +314,11 @@ object Lake {
           val code = try {
             Integer.parseInt(s.substring(i + 1, i + 3), 16)
           } catch { case _: NumberFormatException => -1 }
-          if (code >= 0) { sb.append(code.toChar); i += 3 }
-          else { sb.append(c); i += 1 }
-        } else { sb.append(c); i += 1 }
+          if (code >= 0) { bytes.write(code); i += 3 }
+          else { flush(); sb.append(c); i += 1 }
+        } else { flush(); sb.append(c); i += 1 }
       }
+      flush()
       sb.toString
     }
 

@@ -29,6 +29,11 @@ import graft.operators.Graph
   */
 object GraphStream {
 
+  /** A tagged batch commits to BOTH tables (empty side = meta-only
+    * commit — appendComponentDelta guarantees it), so tag-in-both is
+    * exactly "fully applied": a crash between the two commits leaves
+    * the tag in one table only and the replay correctly re-runs,
+    * while merge-only / newnode-only / no-op batches still gate. */
   private def applied(spark: org.apache.spark.sql.SparkSession,
       dir: String, tag: String): Boolean =
     graft.sources.Lake.Manifest.publishedMetas(spark, s"$dir/remaps")

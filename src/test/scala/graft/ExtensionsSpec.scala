@@ -159,5 +159,15 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM graft_topk(42)")
     }
     assert(e2.getMessage.contains("literal string"))
+    // a foldable typed NULL folds to null — must raise the same
+    // usage error at analysis time, never an NPE
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM graft_q(CAST(NULL AS STRING), '$sf')")
+    }
+    assert(e3.getMessage.contains("literal string"), e3.getMessage)
+    val e4 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_topk(CAST(NULL AS STRING))")
+    }
+    assert(e4.getMessage.contains("literal string"), e4.getMessage)
   }
 }

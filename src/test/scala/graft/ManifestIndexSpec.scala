@@ -184,6 +184,16 @@ class ManifestIndexSpec extends AnyFunSuite {
     // null-partition files are never pruned away
     val nulls = pruned.filter($"tag".isNull).count()
     assert(nulls == 1L, "null partition (__HIVE_DEFAULT_PARTITION__) was pruned")
+    // a non-ASCII value whose manifest path carries UTF-8 percent
+    // pairs (Hadoop Path URI-encodes é → %C3%A9) must unescape back
+    // to 'é', not to the two byte-wise mojibake chars — a char-wise
+    // decode false-drops such a partition entirely. (The write
+    // itself can't run here: this container's JVM file encoding is
+    // ASCII-only, so the decode is pinned at the function level.)
+    assert(Lake.Manifest.unescapePathName("caf%C3%A9") == "café")
+    assert(Lake.Manifest.unescapePathName("%E6%97%A5%E6%9C%AC") == "日本")
+    assert(Lake.Manifest.unescapePathName("caf%25C3%25A9") == "caf%C3%A9")
+    assert(Lake.Manifest.unescapePathName("a%3Ab%ZZ") == "a:b%ZZ")
     // and a plain value still prunes: the 'plain' partition is dropped
     assert(pruned.inputFiles.length < files.length,
       "pruning kept every file — no pruning happened at all")

@@ -546,6 +546,43 @@ class MultimodalSpec extends AnyFunSuite {
         .as[Int].collect().head
       assert(n == 0, s"malformed timing yielded $n rows")
     }
+    // ctts VERSION 1 carries SIGNED offsets (B-frame reorder from
+    // real muxers): -5 must sign-extend, not become ~4.29e9
+    def fullV1(version: Int, v: Int*) =
+      be32(version << 24) ++ v.flatMap(be32).toArray
+    val v1Ctts = wrap(
+      box("stts", full(0, 1, 2, 50)) ++
+      box("ctts", fullV1(1, 2, 1, -5, 1, 3)) ++
+      box("stsz", full(0, 0, 2, 10, 10)))
+    val gotV1 = Seq((1L, v1Ctts)).toDF("doc_id", "payload")
+      .select(explode(Mp4Demux.mp4Timing($"payload")).as("t"))
+      .select($"t.sample_idx", $"t.dts", $"t.pts")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(gotV1 == Seq((0L, 0L, -5L), (1L, 50L, 53L)),
+      s"v1 ctts must sign-extend: $gotV1")
+    // unknown FullBox versions quarantine instead of misparsing:
+    // ctts v2, stts v1 (timing), stsz v1 (sample plan)
+    val v2Ctts = wrap(
+      box("stts", full(0, 1, 2, 50)) ++
+      box("ctts", fullV1(2, 1, 2, 5)) ++
+      box("stsz", full(0, 0, 2, 10, 10)))
+    val v1Stts = wrap(
+      box("stts", fullV1(1, 1, 2, 50)) ++
+      box("stsz", full(0, 0, 2, 10, 10)))
+    for (bad <- Seq(v2Ctts, v1Stts)) {
+      val n = Seq((1L, bad)).toDF("doc_id", "payload")
+        .select(size(Mp4Demux.mp4Timing($"payload")).as("n"))
+        .as[Int].collect().head
+      assert(n == 0, s"unknown-version timing box yielded $n rows")
+    }
+    val v1Stsz = wrap(
+      box("stsc", full(0, 1, 1, 2, 1)) ++
+      box("stsz", fullV1(1, 0, 2, 10, 10)) ++
+      box("stco", full(0, 1, 100)))
+    val nV1 = Seq((1L, v1Stsz)).toDF("doc_id", "payload")
+      .select(size(Mp4Demux.mp4Samples($"payload")).as("n"))
+      .as[Int].collect().head
+    assert(nV1 == 0, s"v1 stsz yielded $nV1 samples")
     // synthesized corpus: two runs and the 1,4,7,... keyframe ladder
     val syn = Seq((5L, graft.operators.Multimodal.mp4Bytes(5L)))
       .toDF("doc_id", "payload")

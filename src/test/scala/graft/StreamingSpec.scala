@@ -868,6 +868,41 @@ class StreamingSpec extends AnyFunSuite {
       s"half-replay ${fin.toMap}\nfull $wantFin")
   }
 
+  test("I15 one-sided tagged batches register as applied: merge-only, newnode-only and no-op replays all meta-gate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gs1").toString
+    val base = Seq((5L, 6L), (9L, 10L)).toDF("src", "dst")
+    graft.operators.Graph.publishComponents(base,
+      base.select($"src".as("id")).union(base.select($"dst".as("id"))), dir)
+    // merge-only batch (no new nodes): the labels table still carries
+    // the tag (empty commit), so a restart SKIPS instead of re-running
+    val mergeOnly = Seq((6L, 10L)).toDF("src", "dst")
+    assert(graft.streaming.GraphStream.streamEdgeBatch(dir, mergeOnly, 0L)
+      == (1L, 0L))
+    assert(graft.streaming.GraphStream.streamEdgeBatch(dir, mergeOnly, 0L)
+      == (-1L, -1L), "merge-only batch did not register as applied")
+    // newnode-only batch (no merges): same gate via the remaps side
+    val nodeOnly = Seq((50L, 5L)).toDF("src", "dst")
+    assert(graft.streaming.GraphStream.streamEdgeBatch(dir, nodeOnly, 1L)
+      == (0L, 1L))
+    assert(graft.streaming.GraphStream.streamEdgeBatch(dir, nodeOnly, 1L)
+      == (-1L, -1L), "newnode-only batch did not register as applied")
+    // fully-no-op batch (intra-component duplicate edge) too
+    val nop = Seq((5L, 6L)).toDF("src", "dst")
+    assert(graft.streaming.GraphStream.streamEdgeBatch(dir, nop, 2L)
+      == (0L, 0L))
+    assert(graft.streaming.GraphStream.streamEdgeBatch(dir, nop, 2L)
+      == (-1L, -1L), "no-op batch did not register as applied")
+    // and the labeling is still exact
+    val all = base.union(mergeOnly).union(nodeOnly)
+    val want = graft.operators.Graph.connectedComponentsAltStar(all,
+        all.select($"src".as("id")).union(all.select($"dst".as("id"))))
+      .as[(Long, Long)].collect().toMap
+    val got = graft.operators.Graph.readComponents(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("I16 streaming PageRank maintenance: edge feed trails to the exact full ranks; replays skip") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
