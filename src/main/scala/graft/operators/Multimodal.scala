@@ -921,6 +921,126 @@ object Multimodal {
     bb.array()
   }
 
+  /** Multi-track, 64-bit-path twin of [[mp4Bytes]] (G18): a
+    * header-only metadata PREFIX — ftyp, a 64-bit `largesize` free
+    * box the walker must skip, a moov with TWO traks carrying REAL
+    * hdlr and mdhd boxes (video: mdhd version 0; audio: mdhd
+    * version 1 with 64-bit times), the audio chunk offsets in a
+    * co64 table BEYOND 4 GiB, and a size-0 mdat stub (box-to-EOF) —
+    * i.e. exactly what a ranged header read of a multi-GB asset
+    * hands the demux at 100 TB: plan every sample read without
+    * fetching a byte of media. All fields are closed-form in doc_id
+    * so the oracle replays them with no byte parsing.
+    *
+    *  - video trak: n1 = 4+id%3 samples of d1 = 100·(1+id%3) ticks
+    *    at timescale 600·(1+id%2); per-sample sizes
+    *    80 + (id·7 + k·13)%100, one chunk at offset 4096+id%512
+    *  - audio trak: n2 = 6+id%4 samples, uniform size 20+id%11,
+    *    d2 = 30+id%5 ticks at timescale 8000+(id%3)·4000, two
+    *    samples per chunk, co64 offsets 2³³ + id·10⁵ + j·65536 */
+  private[graft] def mp4MultiTrackBytes(docId: Long): Array[Byte] = {
+    val n1 = (4 + docId % 3).toInt
+    val d1 = (100 * (1 + docId % 3)).toInt
+    val ts1 = (600 * (1 + docId % 2)).toInt
+    val sz1 = Array.tabulate(n1)(k => (80 + (docId * 7 + k * 13) % 100).toInt)
+    val o1 = (4096 + docId % 512).toInt
+    val n2 = (6 + docId % 4).toInt
+    val u2 = (20 + docId % 11).toInt
+    val d2 = (30 + docId % 5).toInt
+    val ts2 = (8000 + (docId % 3) * 4000).toInt
+    val c2 = (n2 + 1) / 2
+    val bb = java.nio.ByteBuffer.allocate(504 + 4 * n1 + 8 * c2)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def box(size: Int, typ: String): Unit = {
+      bb.putInt(size); bb.put(typ.getBytes("US-ASCII")); ()
+    }
+    box(24, "ftyp")
+    bb.put("isom".getBytes("US-ASCII")).putInt(512)
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    // 64-bit largesize box: size field 1, real 24-byte size follows
+    box(1, "free"); bb.putLong(24L).putLong(0x5555555555555555L)
+    box(440 + 4 * n1 + 8 * c2, "moov")
+    box(16, "mvhd"); bb.putLong(0L)
+    // ---- trak 0: video — mdhd v0, per-sample stsz, 32-bit stco
+    box(204 + 4 * n1, "trak")
+    box(16, "tkhd"); bb.putLong(0L)
+    box(180 + 4 * n1, "mdia")
+    box(32, "mdhd"); bb.putInt(0).putInt(0).putInt(0)
+      .putInt(ts1).putInt(n1 * d1).putInt(0)
+    box(32, "hdlr"); bb.putInt(0).putInt(0)
+      .put("vide".getBytes("US-ASCII")).putInt(0).putInt(0).putInt(0)
+    box(108 + 4 * n1, "minf")
+    box(100 + 4 * n1, "stbl")
+    box(24, "stts"); bb.putInt(0).putInt(1).putInt(n1).putInt(d1)
+    box(28, "stsc"); bb.putInt(0).putInt(1).putInt(1).putInt(n1).putInt(1)
+    box(20 + 4 * n1, "stsz"); bb.putInt(0).putInt(0).putInt(n1)
+    sz1.foreach(bb.putInt)
+    box(20, "stco"); bb.putInt(0).putInt(1).putInt(o1)
+    // ---- trak 1: audio — mdhd v1 (64-bit), uniform stsz, co64
+    box(212 + 8 * c2, "trak")
+    box(16, "tkhd"); bb.putLong(0L)
+    box(188 + 8 * c2, "mdia")
+    box(44, "mdhd"); bb.putInt(1 << 24).putLong(0L).putLong(0L)
+      .putInt(ts2).putLong(n2.toLong * d2).putInt(0)
+    box(32, "hdlr"); bb.putInt(0).putInt(0)
+      .put("soun".getBytes("US-ASCII")).putInt(0).putInt(0).putInt(0)
+    box(104 + 8 * c2, "minf")
+    box(96 + 8 * c2, "stbl")
+    box(24, "stts"); bb.putInt(0).putInt(1).putInt(n2).putInt(d2)
+    box(28, "stsc"); bb.putInt(0).putInt(1).putInt(1).putInt(2).putInt(1)
+    box(20, "stsz"); bb.putInt(0).putInt(u2).putInt(n2)
+    box(16 + 8 * c2, "co64"); bb.putInt(0).putInt(c2)
+    var j = 0
+    while (j < c2) {
+      bb.putLong((1L << 33) + docId * 100000L + j * 65536L); j += 1
+    }
+    box(0, "mdat"); bb.putLong(0x4d44415421212121L) // box-to-EOF stub
+    bb.array()
+  }
+
+  /** G18 track directory over the multi-track synthesis. */
+  def mp4TrackDirectory(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets
+      .select($"doc_id",
+        explode(graft.functions.Mp4Demux.mp4Tracks($"payload")).as("t"))
+      .select($"doc_id", $"t.track_idx".as("track_idx"),
+        $"t.handler".as("handler"), $"t.timescale".as("timescale"),
+        $"t.duration".as("duration"), $"t.n_samples".as("n_samples"),
+        $"t.n_chunks".as("n_chunks"))
+  }
+
+  /** G18 graded entry (`mm_mp4_tracks`): both traks' hdlr handler,
+    * mdhd v0 AND v1 timescale/duration, and stsz/stco-co64 counts
+    * demuxed back; the oracle replays the closed-form fields. */
+  private def mp4TracksEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, mp4MultiTrackBytes(id)))
+      .toDF("doc_id", "payload")
+    mp4TrackDirectory(payloads).orderBy($"doc_id", $"track_idx")
+  }
+
+  /** G19 graded entry (`mm_mp4_audio_plan`): the handler-routed
+    * ('soun') read plan through the 64-bit co64 table — every
+    * returned offset is beyond 4 GiB, planned from the header-only
+    * prefix; the oracle replays chunk = 1 + i div 2 and
+    * offset = 2³³ + id·10⁵ + (i div 2)·65536 + (i mod 2)·u2. */
+  private def mp4AudioPlanEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, mp4MultiTrackBytes(id)))
+      .toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id", explode(graft.functions.Mp4Demux
+        .mp4SamplesFor($"payload", "soun")).as("sm"))
+      .select($"doc_id", $"sm.sample_idx".as("sample_idx"),
+        $"sm.chunk_idx".as("chunk_idx"),
+        $"sm.file_offset".as("file_offset"),
+        $"sm.sample_size".as("sample_size"))
+      .orderBy($"doc_id", $"sample_idx")
+  }
+
   /** G16 demux: per-sample read plan from the stbl tables — see
     * [[graft.functions.Mp4Demux]]. */
   def mp4SampleTable(assets: DataFrame): DataFrame = {
@@ -1273,6 +1393,8 @@ object Multimodal {
     "mm_sniff" -> sniffEntry,
     "mm_mp4_samples" -> mp4SamplesEntry,
     "mm_mp4_timing" -> mp4TimingEntry,
+    "mm_mp4_tracks" -> mp4TracksEntry,
+    "mm_mp4_audio_plan" -> mp4AudioPlanEntry,
     "mm_wav_stats" -> wavStatsEntry,
     "mm_binary_meta" -> binaryMetaHex,
     // exactly graded since round 7 (was rows-only on the stub
@@ -1282,6 +1404,40 @@ object Multimodal {
     "mm_phash_dedup" -> phashDedupEntry)
 
   val oracles: Map[String, String] = Map(
+    // G18 twin: both traks' closed-form metadata — a hash match
+    // proves the multi-trak walk, the real hdlr parse, BOTH mdhd
+    // layouts (v0 32-bit, v1 64-bit) and the stco/co64 counts
+    "mm_mp4_tracks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    4 + doc_id % 3 AS n1, 100 * (1 + doc_id % 3) AS d1,
+        |    600 * (1 + doc_id % 2) AS ts1,
+        |    6 + doc_id % 4 AS n2, 30 + doc_id % 5 AS d2,
+        |    8000 + (doc_id % 3) * 4000 AS ts2
+        |  FROM documents)
+        |SELECT doc_id, 0::BIGINT AS track_idx, 'vide' AS handler,
+        |  ts1::BIGINT AS timescale, (n1 * d1)::BIGINT AS duration,
+        |  n1::BIGINT AS n_samples, 1::BIGINT AS n_chunks FROM d
+        |UNION ALL
+        |SELECT doc_id, 1::BIGINT, 'soun', ts2::BIGINT,
+        |  (n2 * d2)::BIGINT, n2::BIGINT, ((n2 + 1) // 2)::BIGINT
+        |FROM d
+        |ORDER BY doc_id, track_idx""".stripMargin,
+    // G19 twin: the handler-routed co64 read plan — offsets beyond
+    // 4 GiB replayed closed-form (2^33 = 8589934592)
+    "mm_mp4_audio_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id, (6 + doc_id % 4)::INT AS n2,
+        |    20 + doc_id % 11 AS u2
+        |  FROM documents),
+        |i AS (
+        |  SELECT doc_id, u2, unnest(range(0, n2))::BIGINT AS i FROM d)
+        |SELECT doc_id, i AS sample_idx,
+        |  (1 + i // 2)::BIGINT AS chunk_idx,
+        |  (8589934592 + doc_id * 100000 + (i // 2) * 65536
+        |    + (i % 2) * u2)::BIGINT AS file_offset,
+        |  u2::BIGINT AS sample_size
+        |FROM i ORDER BY doc_id, sample_idx""".stripMargin,
     // G16 twin: the closed-form container layout replayed with no
     // byte parsing — sizes from the LCG recurrence, chunk = 1 for the
     // first 3 samples then 2-sample chunks (the stsc runs), offset =

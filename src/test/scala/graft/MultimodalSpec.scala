@@ -599,4 +599,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.map(r => r._4 - r._3).toSeq ==
       (0 until 7).map(i => (((i * 7) % 3) * 10).toLong))
   }
+
+  test("G18/G19 multi-track mp4: track directory, handler routing, co64 past 4 GiB, largesize skip, mdhd v0+v1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, size}
+    import graft.functions.Mp4Demux
+    // the synthesized two-trak header prefix, id = 7:
+    //   video: n1 = 4+7%3 = 5, d1 = 100·(1+1) = 200, ts1 = 600·2 = 1200
+    //   audio: n2 = 6+7%4 = 9, u2 = 20+7 = 27, d2 = 30+2 = 32,
+    //          ts2 = 8000+4000 = 12000, c2 = 5
+    val mt = graft.operators.Multimodal.mp4MultiTrackBytes(7L)
+    val tracks = Seq((7L, mt)).toDF("doc_id", "payload")
+      .select(explode(Mp4Demux.mp4Tracks($"payload")).as("t"))
+      .select($"t.track_idx", $"t.handler", $"t.timescale",
+        $"t.duration", $"t.n_samples", $"t.n_chunks")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(tracks == Seq(
+      (0L, "vide", 1200L, 1000L, 5L, 1L),   // mdhd v0: 5·200 ticks
+      (1L, "soun", 12000L, 288L, 9L, 5L)),  // mdhd v1: 9·32 ticks
+      s"track directory: $tracks")
+    // handler routing: 'soun' walks the SECOND trak through co64 —
+    // offsets beyond 4 GiB (2^33 + 7·10^5 + chunk·65536), two
+    // uniform-27 samples per chunk
+    val base = (1L << 33) + 700000L
+    val audio = Seq((7L, mt)).toDF("doc_id", "payload")
+      .select(explode(Mp4Demux.mp4SamplesFor($"payload", "soun")).as("s"))
+      .select($"s.sample_idx", $"s.chunk_idx", $"s.file_offset",
+        $"s.sample_size")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(audio.length == 9)
+    assert(audio.forall(_._3 >= (1L << 33)), "co64 offsets must be > 4 GiB")
+    assert(audio.take(4) == Seq(
+      (0L, 1L, base, 27L), (1L, 1L, base + 27L, 27L),
+      (2L, 2L, base + 65536L, 27L), (3L, 2L, base + 65536L + 27L, 27L)),
+      s"audio plan head: ${audio.take(4)}")
+    assert(audio.last == (8L, 5L, base + 4L * 65536L, 27L),
+      s"odd tail sample: ${audio.last}")
+    // 'vide' routes to the first trak: per-sample sizes, 32-bit stco
+    val video = Seq((7L, mt)).toDF("doc_id", "payload")
+      .select(explode(Mp4Demux.mp4SamplesFor($"payload", "vide")).as("s"))
+      .select($"s.sample_idx", $"s.file_offset", $"s.sample_size")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(video.length == 5)
+    assert(video.head._2 == 4096L + 7L % 512L)
+    assert(video.map(_._3) ==
+      (0 until 5).map(k => 80L + (7L * 7 + k * 13) % 100),
+      s"video sizes: ${video.map(_._3)}")
+    // first-trak default (no handler) == the 'vide' plan
+    val first = Seq((7L, mt)).toDF("doc_id", "payload")
+      .select(explode(Mp4Demux.mp4Samples($"payload")).as("s"))
+      .select($"s.sample_idx", $"s.file_offset", $"s.sample_size")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(first == video, "first-trak default diverged from 'vide'")
+    // timing routes too: audio trak is one stts run of 9 @ 32 ticks,
+    // no stss/ctts — all sync, pts = dts
+    val at = Seq((7L, mt)).toDF("doc_id", "payload")
+      .select(explode(Mp4Demux.mp4TimingFor($"payload", "soun")).as("t"))
+      .select($"t.dts", $"t.pts", $"t.duration", $"t.is_sync")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(at.length == 9 && at.forall(r =>
+      r._1 == r._2 && r._3 == 32L && r._4 == 1L),
+      s"audio timing: $at")
+    // an absent handler quarantines to zero rows (no wrong-trak read)
+    val none = Seq((7L, mt)).toDF("doc_id", "payload")
+      .select(size(Mp4Demux.mp4SamplesFor($"payload", "text")).as("n"))
+      .as[Int].collect().head
+    assert(none == 0, s"absent handler yielded $none samples")
+    // malformed largesize (declared past EOF) degrades to empty
+    val cut = mt.take(40) // truncates inside the largesize free box
+    val nCut = Seq((7L, cut)).toDF("doc_id", "payload")
+      .select(size(Mp4Demux.mp4Tracks($"payload")).as("n"))
+      .as[Int].collect().head
+    assert(nCut == 0, s"truncated largesize yielded $nCut tracks")
+  }
 }
