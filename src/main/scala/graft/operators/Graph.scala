@@ -310,6 +310,119 @@ object Graph {
   }
 
   // ---------------------------------------------------------------
+  // I17 INCREMENTAL triangle counts — the third leg of the C×I
+  // bridge (I15 labels, I16 quality prior, this: the local
+  // clustering signal feeding spam/community features). EXACT: a
+  // triangle appears in G∪Δ but not G iff it contains ≥1 delta
+  // edge, so the per-node count delta is computable from the delta
+  // alone — for each genuinely-new edge (a,b), every common
+  // neighbor w of a and b in G∪Δ closes one new triangle {a,b,w};
+  // a triangle containing TWO or THREE new edges is generated once
+  // per new edge, so triangles dedup by their sorted node triple
+  // before counting (the spec plants both cases). Cost ∝
+  // Σ_new-edges |N(a) ∩ N(b)| — delta-sized against a broadcast of
+  // the delta's endpoints; the only full-frame contacts are the
+  // two endpoint-neighborhood probes of the edge table (prunable
+  // under a bucketed layout), never a corpus shuffle.
+  //
+  // State mirrors I15/I16: Manifest tables `edges` (canonical a<b,
+  // appended), `tri` (node, triangles — base snapshot) and an
+  // append-only `tpatch` (node, triangles, seq) log; reads resolve
+  // last-writer-wins via a broadcast anti-join; compaction folds
+  // the log. Replay is semantically idempotent: a re-delivered
+  // batch finds its edges already present and commits nothing.
+  // ---------------------------------------------------------------
+
+  /** Publish the incremental triangle-count state for `edges`. */
+  def publishTriangles(edges: DataFrame, dir: String): Unit = {
+    import edges.sparkSession.implicits._
+    val canon = edges
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct().localCheckpoint()
+    Lake.Manifest.publishSnapshot(canon, s"$dir/edges")
+    val tri = triangleCounts(canon.select($"a".as("src"), $"b".as("dst")))
+      .localCheckpoint()
+    Lake.Manifest.publishSnapshot(tri, s"$dir/tri")
+    Lake.Manifest.publishSnapshot(
+      tri.select($"node", $"triangles", lit(0L).as("seq")).limit(0),
+      s"$dir/tpatch")
+  }
+
+  /** Effective (node, triangles): base overridden by the latest
+    * patch per node (one broadcast anti-join — the I16 read). */
+  def readTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Lake.Manifest.readPublished(spark, s"$dir/tri")
+    val log = Lake.Manifest.readPublished(spark, s"$dir/tpatch")
+    val latest = log.groupBy($"node")
+      .agg(expr("max_by(triangles, seq)").as("triangles"))
+    base.join(broadcast(latest.select($"node")), Seq("node"), "left_anti")
+      .unionByName(latest)
+  }
+
+  /** Apply one batch of edge additions: enumerate ONLY the
+    * delta-closed triangles, dedup by node triple, and append the
+    * patched counts + the new edges, each as one atomic manifest
+    * commit. Returns the number of patched node rows (0 =
+    * replay/no-op; nothing is committed). */
+  def appendTriangleDelta(spark: SparkSession, dir: String,
+      delta: DataFrame, meta: String = ""): Long = {
+    import spark.implicits._
+    val oldE = Lake.Manifest.readPublished(spark, s"$dir/edges")
+    val added = delta
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct()
+      .join(oldE, Seq("a", "b"), "left_anti")
+      .localCheckpoint()
+    if (added.isEmpty) return 0L
+    val allE = oldE.unionByName(added).persist()
+    val nbrs = allE.select($"a".as("u"), $"b".as("w"))
+      .union(allE.select($"b".as("u"), $"a".as("w")))
+    // common neighbors of each new edge's endpoints — both probes
+    // are broadcast-delta equi-joins against the edge table
+    val cand = added
+      .join(nbrs.select($"u".as("a"), $"w"), Seq("a"))
+      .join(nbrs.select($"u".as("b"), $"w"), Seq("b", "w"), "left_semi")
+    // one row per NEW TRIANGLE: a triangle with 2-3 delta edges is
+    // generated once per delta edge — dedup by the sorted triple
+    val tris = cand
+      .select(array_sort(array($"a", $"b", $"w")).as("t")).distinct()
+      .localCheckpoint()
+    val dtri = tris.select(explode($"t").as("node"))
+      .groupBy($"node").agg(count(lit(1)).as("dt"))
+    // touched = new-edge endpoints (zeros-included contract for
+    // never-seen nodes) ∪ triangle members (counts changed)
+    val touched = added.select($"a".as("node"))
+      .union(added.select($"b".as("node")))
+      .union(dtri.select($"node")).distinct()
+    val cur = readTriangles(spark, dir)
+    val patch = touched
+      .join(cur.withColumnRenamed("triangles", "old"), Seq("node"), "left")
+      .join(dtri, Seq("node"), "left")
+      .select($"node",
+        (coalesce($"old", lit(0L)) + coalesce($"dt", lit(0L)))
+          .as("triangles"))
+      .localCheckpoint()
+    val seq = Lake.Manifest.latestVersion(spark, s"$dir/tpatch") + 1L
+    val out = patch.withColumn("seq", lit(seq))
+    val n = out.count()
+    Lake.Manifest.publishAppend(out, s"$dir/tpatch", meta = meta)
+    Lake.Manifest.publishAppend(added, s"$dir/edges", meta = meta)
+    allE.unpersist()
+    n
+  }
+
+  /** Fold the patch log into the base snapshot (read-invariant). */
+  def compactTriangles(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val folded = readTriangles(spark, dir).localCheckpoint()
+    Lake.Manifest.publishSnapshot(folded, s"$dir/tri")
+    Lake.Manifest.publishSnapshot(
+      folded.select($"node", $"triangles", lit(0L).as("seq")).limit(0),
+      s"$dir/tpatch")
+  }
+
+  // ---------------------------------------------------------------
   // I16 INCREMENTAL PageRank — the second half of the C×I bridge
   // (I15 maintains components; this maintains the quality prior).
   // EXACT, not approximate: the fixed-iteration integer PageRank is

@@ -66,6 +66,39 @@ object GraphStream {
     else Graph.appendPageRankDelta(spark, dir, batch, meta = tag)
   }
 
+  /** Apply ONE edge micro-batch to the I17 triangle-count state
+    * exactly once: patched-row count, or -1 for a full-replay skip.
+    * Same semantic idempotency as PageRank (re-delivered edges
+    * anti-join to nothing and commit nothing). */
+  def streamTriangleBatch(dir: String, batch: DataFrame,
+      batchId: Long): Long = {
+    val spark = batch.sparkSession
+    val tag = s"batch=$batchId"
+    val metas = graft.sources.Lake.Manifest
+      .publishedMetas(spark, s"$dir/edges")
+    if (metas.contains(tag)) -1L
+    else Graph.appendTriangleDelta(spark, dir, batch, meta = tag)
+  }
+
+  /** Continuous triangle-count maintenance over an edge stream (the
+    * local clustering signal): each batch patches only the nodes in
+    * delta-closed triangles (I17). `compactEvery > 0` folds the
+    * patch log every N applied batches. */
+  def maintainTriangles(edges: DataFrame, dir: String,
+      checkpoint: String, compactEvery: Int = 0): StreamingQuery = {
+    val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+    edges.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = streamTriangleBatch(dir, batch, batchId)
+        if (n >= 0 && compactEvery > 0 &&
+            counter.incrementAndGet() % compactEvery == 0)
+          Graph.compactTriangles(batch.sparkSession, dir)
+      }
+      .start()
+  }
+
   /** Continuous quality-prior maintenance over an edge stream: the
     * published PageRank trails the feed by one trigger, each batch
     * patching only its affected cone (I16). `compactEvery > 0` folds

@@ -415,6 +415,57 @@ class GraphSpec extends AnyFunSuite {
       .count() == 0L, "compaction should reset the remap log")
   }
 
+  test("I17 incremental triangles: base+deltas == full recompute, " +
+      "multi-new-edge triangles dedup, new nodes carry zeros, replay commits nothing") {
+    import spark.implicits._
+    def full(df: org.apache.spark.sql.DataFrame) =
+      Graph.triangleCounts(df).as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_itr").toString
+    // base: triangle {1,2,3} + pendant 3-4 + disjoint edge 5-6
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("src", "dst")
+    Graph.publishTriangles(base, dir)
+    assert(Graph.readTriangles(spark, dir).as[(Long, Long)]
+      .collect().toMap == full(base), "published state != full counts")
+    // delta 1: (2,4) closes {2,3,4}; (4,1) closes BOTH {1,2,4} (via
+    // the other NEW edge — the dedup case) and {1,3,4}; plus a new
+    // node 7 hanging off 5 (zero triangles, must still appear) and a
+    // replayed duplicate of an existing edge (no-op)
+    val d1 = Seq((2L, 4L), (4L, 1L), (7L, 5L), (1L, 2L)).toDF("src", "dst")
+    assert(Graph.appendTriangleDelta(spark, dir, d1) > 0L)
+    val all1 = base.union(d1)
+    val want1 = full(all1)
+    val got1 = Graph.readTriangles(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(got1.length == got1.map(_._1).distinct.length, "dup node rows")
+    assert(got1.toMap == want1, s"delta1 ${got1.toMap}\nfull $want1")
+    assert(got1.toMap.apply(7L) == 0L, "new pendant node must carry 0")
+    // delta 2: an ALL-NEW triangle {10,11,12} (three delta edges
+    // must dedup to ONE triangle) + (5,7), which closes nothing
+    // (6-7 absent) but duplicates an edge delta 1 already added —
+    // the anti-join must drop it
+    val d2 = Seq((10L, 11L), (11L, 12L), (10L, 12L), (5L, 7L))
+      .toDF("src", "dst")
+    assert(Graph.appendTriangleDelta(spark, dir, d2) > 0L)
+    val all2 = all1.union(d2)
+    val want2 = full(all2)
+    assert(Graph.readTriangles(spark, dir).as[(Long, Long)]
+      .collect().toMap == want2, "delta 2 diverged")
+    assert(want2(10L) == 1L && want2(11L) == 1L && want2(12L) == 1L)
+    // replaying an applied batch commits nothing
+    val vE = graft.sources.Lake.Manifest.latestVersion(spark, s"$dir/edges")
+    val vP = graft.sources.Lake.Manifest.latestVersion(spark, s"$dir/tpatch")
+    assert(Graph.appendTriangleDelta(spark, dir, d2) == 0L)
+    assert(graft.sources.Lake.Manifest.latestVersion(spark, s"$dir/edges") == vE)
+    assert(graft.sources.Lake.Manifest.latestVersion(spark, s"$dir/tpatch") == vP)
+    // compaction folds the log read-invariantly
+    Graph.compactTriangles(spark, dir)
+    assert(Graph.readTriangles(spark, dir).as[(Long, Long)]
+      .collect().toMap == want2, "compaction changed the counts")
+    assert(graft.sources.Lake.Manifest.readPublished(spark, s"$dir/tpatch")
+      .count() == 0L)
+  }
+
   test("I16 incremental PageRank: base+deltas BIT-EQUAL to the full recompute; replay commits nothing") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit

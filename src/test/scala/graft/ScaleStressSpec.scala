@@ -852,6 +852,51 @@ class ScaleStressSpec extends AnyFunSuite {
       f"delta apply $deltaSecs%.1f s did not beat full recompute $fullSecs%.1f s")
   }
 
+  test("I17 incremental triangles at 10^6 edges / 0.1% delta: delta-scaled patch, equal to the full recompute") {
+    import spark.implicits._
+    // cell-local edges (10-node cells, so triangles are plentiful
+    // and every delta edge's common-neighbor probe stays inside one
+    // cell); ~0.1% of edges form the delta — the daily feed shape
+    val all = spark.range(1000000L).select(
+        expr("abs(xxhash64(id)) % 200000").as("src"),
+        expr("(abs(xxhash64(id)) % 200000) " +
+          "- pmod(abs(xxhash64(id)) % 200000, 10) " +
+          "+ abs(xxhash64(id + 3)) % 10").as("dst"),
+        expr("pmod(xxhash64(id, 37L), 1000) = 0").as("is_delta"))
+      .localCheckpoint()
+    val base = all.filter(!$"is_delta").select($"src", $"dst")
+    val delta = all.filter($"is_delta").select($"src", $"dst")
+      .localCheckpoint()
+    val nDelta = delta.count()
+    assert(nDelta > 400 && nDelta < 2000, s"delta size $nDelta")
+    val dir = java.nio.file.Files.createTempDirectory("graft_itr_big").toString
+    val t0 = System.nanoTime()
+    graft.operators.Graph.publishTriangles(base, dir)
+    val fullSecs = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val patched = graft.operators.Graph.appendTriangleDelta(spark, dir, delta)
+    val deltaSecs = (System.nanoTime() - t1) / 1e9
+    info(f"full publish $fullSecs%.1f s; delta apply $deltaSecs%.1f s " +
+      f"($patched patched rows)")
+    // delta-scaled: each delta edge touches at most its 10-node cell
+    assert(patched > 0 && patched <= nDelta * 10,
+      s"patch exploded: $patched rows for $nDelta delta edges")
+    // equality with the one-shot full recompute
+    val want = graft.operators.Graph
+      .triangleCounts(all.select($"src", $"dst"))
+      .agg(count(lit(1)), sum($"triangles"),
+        bit_xor(xxhash64($"node", $"triangles")))
+      .collect().head
+    val got = graft.operators.Graph.readTriangles(spark, dir)
+      .agg(count(lit(1)), sum($"triangles"),
+        bit_xor(xxhash64($"node", $"triangles")))
+      .collect().head
+    assert(got == want, s"incremental $got vs full $want")
+    // the delta apply must not approach the full recompute's cost
+    assert(deltaSecs < fullSecs,
+      f"delta apply $deltaSecs%.1f s did not beat full $fullSecs%.1f s")
+  }
+
   test("I16 incremental PageRank at 10^6 edges: cone-bounded delta apply, bit-equal to the full recompute") {
     import spark.implicits._
     // cell-local base edges (out-neighborhoods stay inside 10-node

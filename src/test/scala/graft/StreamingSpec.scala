@@ -903,6 +903,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("I17 streaming triangle maintenance: edge feed trails to the exact full counts; replays skip") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gtr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gtr_ck").toString
+    val base = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    graft.operators.Graph.publishTriangles(base, dir)
+    val in = MemoryStream[(Long, Long)]
+    in.addData((2L, 4L), (4L, 1L)) // closes {2,3,4}, {1,2,4}, {1,3,4}
+    in.addData((5L, 1L), (5L, 2L)) // closes {1,2,5}
+    val q = graft.streaming.GraphStream.maintainTriangles(
+      in.toDF().toDF("src", "dst"), dir, ckpt)
+    q.awaitTermination()
+    val all = base.union(Seq((2L, 4L), (4L, 1L), (5L, 1L), (5L, 2L))
+      .toDF("src", "dst"))
+    val want = graft.operators.Graph.triangleCounts(all)
+      .as[(Long, Long)].collect().toMap
+    val got = graft.operators.Graph.readTriangles(spark, dir)
+      .as[(Long, Long)].collect()
+    assert(got.toMap == want &&
+      got.length == got.map(_._1).distinct.length,
+      s"streamed ${got.toMap}\nfull $want")
+    // meta-gated full replay; un-gated replay is a semantic no-op
+    assert(graft.streaming.GraphStream.streamTriangleBatch(dir,
+      Seq((2L, 4L), (4L, 1L)).toDF("src", "dst"), 0L) == -1L)
+    assert(graft.streaming.GraphStream.streamTriangleBatch(dir,
+      Seq((5L, 2L)).toDF("src", "dst"), 99L) == 0L)
+  }
+
   test("I16 streaming PageRank maintenance: edge feed trails to the exact full ranks; replays skip") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
