@@ -80,6 +80,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_topk"),
       (args: Seq[Expression]) => registryPlan("q_topk",
         litString(args, 0, "graft_topk(dir) requires a literal string"))))
+    // the mp4 demux family for pure-SQL clients: a second optional
+    // literal-string argument routes by hdlr handler type
+    e.injectFunction((
+      new FunctionIdentifier("mp4_samples"),
+      new ExpressionInfo(classOf[graft.functions.Mp4SampleTable].getName,
+        "mp4_samples"),
+      (args: Seq[Expression]) =>
+        if (args.length <= 1) graft.functions.Mp4SampleTable(args.head)
+        else graft.functions.Mp4SampleTable(args.head, litString(args, 1,
+          "mp4_samples(payload[, handler]) requires a literal handler"))))
+    e.injectFunction((
+      new FunctionIdentifier("mp4_timing"),
+      new ExpressionInfo(classOf[graft.functions.Mp4TimingTable].getName,
+        "mp4_timing"),
+      (args: Seq[Expression]) =>
+        if (args.length <= 1) graft.functions.Mp4TimingTable(args.head)
+        else graft.functions.Mp4TimingTable(args.head, litString(args, 1,
+          "mp4_timing(payload[, handler]) requires a literal handler"))))
+    e.injectFunction((
+      new FunctionIdentifier("mp4_tracks"),
+      new ExpressionInfo(classOf[graft.functions.Mp4TrackDir].getName,
+        "mp4_tracks"),
+      (args: Seq[Expression]) => graft.functions.Mp4TrackDir(args.head)))
     e.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),

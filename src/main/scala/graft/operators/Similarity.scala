@@ -465,6 +465,47 @@ object Similarity {
       .orderBy($"q_id")
   }
 
+  /** E31 MATRYOSHKA prefix-dim retrieval evaluation (Kusupati et al.
+    * 2022 — MRL-trained embeddings promise that the FIRST m
+    * dimensions are themselves a usable embedding; serving stacks
+    * exploit it by retrieving with a cheap prefix and reranking with
+    * the full vector): for each prefix width m, per-query top-k
+    * overlap between prefix-cosine retrieval and the full-dim exact
+    * top-k — the recall-vs-bytes curve that decides how many dims
+    * the ANN tier actually stores. Same exact-integer contract as
+    * E23: both top-k sets are bit-deterministic (6dp cosines, id tie
+    * rule), overlap is a semi-join count, ratios floor-div ppm.
+    * Corpus cost = one scan per prefix width of the |Q|-broadcast
+    * scored frame with the SAME bounded-heap top-k aggregate as E1 —
+    * no per-group sort, no pairwise frame beyond corpus × |Q|. */
+  def annMatryoshka(vecs: DataFrame,
+      dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val exact = bruteforce(vecs).select($"q_id", $"vec_id")
+      .localCheckpoint()
+    val approx = dims.map { m =>
+      bruteforce(vecs.select($"vec_id",
+          slice($"embedding", 1, m).as("embedding")))
+        .select(lit(m.toLong).as("m"), $"q_id", $"vec_id".as("av"))
+    }.reduce(_ unionByName _)
+    val hits = approx
+      .join(exact.withColumnRenamed("vec_id", "av"),
+        Seq("q_id", "av"), "left_semi")
+      .groupBy($"m", $"q_id").agg(count(lit(1)).as("n_hit"))
+    val mFrame = dims.map(_.toLong).toDF("m")
+    val per = exact.groupBy($"q_id").agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(mFrame))
+      .join(hits, Seq("m", "q_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+    val tot = per.groupBy($"m")
+      .agg(sum($"n_hit").as("sh"), sum($"n_exact").as("se"))
+    per.join(broadcast(tot), Seq("m"))
+      .select($"m", $"q_id", $"n_exact", $"n_hit",
+        expr("n_hit * 1000000 div n_exact").as("recall_ppm"),
+        expr("sh * 1000000 div se").as("macro_ppm"))
+      .orderBy($"m", $"q_id")
+  }
+
   /** Cosine-argmax cell id over literal centroids: `greatest` on
     * (cos, -c_id) structs picks the best cell, ties to the lowest id —
     * the same rule as the previous max_by aggregation. */
@@ -1720,6 +1761,7 @@ object Similarity {
     "ann_ndcg" -> onVecs(annNdcg),
     "ann_ivf" -> onVecs(annIvf),
     "ann_recall" -> onVecs(annRecall),
+    "ann_matryoshka" -> onVecs(v => annMatryoshka(v)),
     "ann_ivf_kmeans" -> onVecs(v => annIvfKmeans(v)),
     "ann_ivfpq" -> onVecs(v => annIvfPq(v)),
     "ann_ivfpq_rerank" -> onVecs(v => annIvfPqRerank(v)),
@@ -2659,6 +2701,56 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, cos FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    // E31 twin: the E1 chain once at full dim and once per prefix
+    // width (list_slice), overlap by a semi count, floor-div ppm
+    "ann_matryoshka" ->
+      s"""WITH $eCte,
+         |ms AS (SELECT unnest([8, 16, 32])::BIGINT AS m),
+         |t AS (
+         |  SELECT ms.m, e.vec_id, list_slice(e.v, 1, ms.m::INT) AS tv,
+         |    sqrt(list_dot_product(list_slice(e.v, 1, ms.m::INT),
+         |                          list_slice(e.v, 1, ms.m::INT))) AS tn
+         |  FROM e CROSS JOIN ms),
+         |bscored AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    round(list_dot_product(q.v, e.v) / (q.n * e.n), 6) AS cos
+         |  FROM e JOIN e q ON q.vec_id < $NumQueries
+         |    AND e.vec_id <> q.vec_id),
+         |branked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM bscored),
+         |bt AS (SELECT q_id, vec_id FROM branked WHERE rank <= $TopK),
+         |tscored AS (
+         |  SELECT tq.m, tq.vec_id AS q_id, tc.vec_id,
+         |    round(list_dot_product(tq.tv, tc.tv) / (tq.tn * tc.tn), 6)
+         |      AS cos
+         |  FROM t tq JOIN t tc ON tq.m = tc.m
+         |    AND tq.vec_id < $NumQueries AND tc.vec_id <> tq.vec_id),
+         |tranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY m, q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM tscored),
+         |tt AS (SELECT m, q_id, vec_id FROM tranked WHERE rank <= $TopK),
+         |hits AS (
+         |  SELECT tt.m, tt.q_id, count(*)::BIGINT AS n_hit
+         |  FROM tt SEMI JOIN bt
+         |    ON tt.q_id = bt.q_id AND tt.vec_id = bt.vec_id
+         |  GROUP BY 1, 2),
+         |per AS (
+         |  SELECT ms.m, b.q_id, b.n_exact,
+         |    coalesce(h.n_hit, 0)::BIGINT AS n_hit
+         |  FROM (SELECT q_id, count(*)::BIGINT AS n_exact
+         |        FROM bt GROUP BY 1) b
+         |  CROSS JOIN ms
+         |  LEFT JOIN hits h ON h.m = ms.m AND h.q_id = b.q_id),
+         |tot AS (SELECT m, sum(n_hit)::BIGINT AS sh,
+         |        sum(n_exact)::BIGINT AS se FROM per GROUP BY 1)
+         |SELECT per.m, q_id, n_exact, n_hit,
+         |  n_hit * 1000000 // n_exact AS recall_ppm,
+         |  sh * 1000000 // se AS macro_ppm
+         |FROM per JOIN tot ON per.m = tot.m
+         |ORDER BY per.m, q_id""".stripMargin,
     // E23 twin: the E1 and E3 chains side by side (CTEs renamed
     // apart), overlap by a null-counting left join, floor-div ppm
     "ann_recall" ->

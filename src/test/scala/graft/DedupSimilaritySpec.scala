@@ -546,6 +546,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.size == 12, s"rows: ${got.size}")
   }
 
+  test("E31 matryoshka: full-width prefix is perfect recall, ambiguous prefix degrades exactly") {
+    import spark.implicits._
+    // 8 vectors, dim 16: a SHARED 4-dim prefix [1,0,0,0] (so prefix-4
+    // cosines all tie at 1.0 and the id rule picks the lowest ids)
+    // and a parity-keyed tail (e_{i%2}), so full-dim cosine is 1.0
+    // for same-parity pairs, 0.5 across — both exact in 6dp.
+    val vecs = (0 until 8).map { i =>
+      val v = Array.fill(16)(0.0f)
+      v(0) = 1.0f
+      v(4 + (i % 2)) = 1.0f
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.annMatryoshka(vecs, Seq(4, 16))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    // m=16 IS the full vector: every query recalls its exact top-3
+    val full = got.filter(_._1 == 16L)
+    assert(full.length == 5 && full.forall(r =>
+      r._3 == 3L && r._4 == 3L && r._5 == 1000000L && r._6 == 1000000L),
+      s"full-width rows: $full")
+    // m=4: every prefix cosine ties at 1.0, so the prefix top-3 is
+    // the 3 lowest non-self ids; the exact top-3 is the 3 lowest
+    // SAME-PARITY ids. Hand-folded overlaps: q0..q3 → 1, q4 → 2
+    // (exact {0,2,6} vs prefix {0,1,2}); macro = 6/15.
+    val p4 = got.filter(_._1 == 4L)
+    assert(p4.map(_._4) == Seq(1L, 1L, 1L, 1L, 2L), s"prefix hits: $p4")
+    assert(p4.forall(_._3 == 3L))
+    assert(p4.map(_._5) == Seq(333333L, 333333L, 333333L, 333333L, 666666L))
+    assert(p4.forall(_._6 == 400000L), s"macro: ${p4.map(_._6)}")
+  }
+
   test("E24 knn classify: majority wins, vote tie prefers the smaller label") {
     import spark.implicits._
     def v(x: Float, y: Float) = Array(x, y, 0f, 0f)

@@ -170,4 +170,31 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("literal string"), e4.getMessage)
   }
+
+  test("mp4 demux family is callable from SQL, handler routing included") {
+    import spark.implicits._
+    Seq((7L, graft.operators.Multimodal.mp4MultiTrackBytes(7L)))
+      .toDF("doc_id", "payload").createOrReplaceTempView("mt_assets")
+    val tracks = spark.sql(
+      """SELECT t.track_idx, t.handler, t.n_samples
+        |FROM mt_assets LATERAL VIEW explode(mp4_tracks(payload)) AS t
+        |ORDER BY t.track_idx""".stripMargin)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(tracks == Seq((0L, "vide", 5L), (1L, "soun", 9L)),
+      s"SQL mp4_tracks: $tracks")
+    val nAudio = spark.sql(
+      "SELECT size(mp4_samples(payload, 'soun')) FROM mt_assets")
+      .as[Int].collect().head
+    assert(nAudio == 9, s"SQL routed mp4_samples: $nAudio")
+    val nTiming = spark.sql(
+      "SELECT size(mp4_timing(payload)) FROM mt_assets")
+      .as[Int].collect().head
+    assert(nTiming == 5, s"SQL mp4_timing: $nTiming")
+    // a non-literal handler is an analysis error, not a runtime cast
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT mp4_samples(payload, doc_id) FROM mt_assets").collect()
+    }
+    assert(e.getMessage.contains("literal handler"), e.getMessage)
+  }
 }
