@@ -1239,6 +1239,62 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** G20 energy-gate ACTIVITY SEGMENTATION over the decoded PCM (the
+    * VAD-shaped first cut an audio-curation pipeline takes before
+    * spending ASR budget — keep the energetic islands, drop the
+    * silence): frames of `win` samples carry their exact sum of
+    * squares; a frame is ACTIVE iff its mean square ≥ the whole
+    * file's mean square, compared in cleared-denominator integers
+    * (sum_sq·n_total ≥ tot_sq·n_win — no float threshold anywhere);
+    * consecutive active frames fuse into segments via the
+    * gaps-and-islands idiom (frame − row_number, both windows
+    * PARTITIONED by doc). Output: one row per segment with exact
+    * frame bounds and energy. */
+  def wavVad(assets: DataFrame, win: Int = 16): DataFrame = {
+    import assets.sparkSession.implicits._
+    val frames = assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        parseWavSamples(p).iterator.flatMap { case (_, ss) =>
+          ss.iterator.zipWithIndex.map { case (s, i) =>
+            (id, i.toLong, s.toLong)
+          }
+        }
+      })
+      .toDF("doc_id", "idx", "s")
+      .groupBy($"doc_id", expr(s"idx div $win").as("frame"))
+      .agg(count(lit(1)).as("n_win"), sum($"s" * $"s").as("sum_sq"))
+    val tot = frames.groupBy($"doc_id")
+      .agg(sum($"sum_sq").as("tot_sq"), sum($"n_win").as("n_tot"))
+    val act = frames.join(tot, Seq("doc_id"))
+      .filter($"sum_sq" * $"n_tot" >= $"tot_sq" * $"n_win")
+      .withColumn("grp", $"frame" - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"frame")))
+    act.groupBy($"doc_id", $"grp")
+      .agg(min($"frame").as("start_frame"), max($"frame").as("end_frame"),
+        count(lit(1)).as("n_frames"), sum($"sum_sq").as("seg_sq"))
+      .withColumn("seg", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"start_frame"))
+        .cast("long"))
+      .select($"doc_id", $"seg", $"start_frame", $"end_frame",
+        $"n_frames", $"seg_sq")
+      .orderBy($"doc_id", $"seg")
+  }
+
+  /** G20 graded entry (`mm_wav_vad`): LCG-synthesized WAVs of
+    * 64 + id%65 samples (4-9 frames) segmented by the integer energy
+    * gate; the oracle replays the LCG, the gate and the islands. */
+  private def wavVadEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long]
+      .map(id => (id, wavBytes(lcgSamples(id, (64 + id % 65).toInt))))
+      .toDF("doc_id", "payload")
+    wavVad(payloads)
+  }
+
   /** G7 graded entry (`mm_wav_features`): same synthesized WAVs as
     * G6, decoded back through the chunk walker into 16-sample
     * frames; the oracle regenerates the frames from the LCG
@@ -1389,6 +1445,7 @@ object Multimodal {
     "mm_phash_real" -> phashRealEntry,
     "mm_resample" -> wavResampleEntry,
     "mm_wav_features" -> wavFeaturesEntry,
+    "mm_wav_vad" -> wavVadEntry,
     "mm_wav_clipping" -> wavClippingEntry,
     "mm_sniff" -> sniffEntry,
     "mm_mp4_samples" -> mp4SamplesEntry,
@@ -1743,6 +1800,49 @@ object Multimodal {
     // G7 twin: same LCG regeneration, 0-based sample index (k−1),
     // frame = idx // 16, crossing counted at the right endpoint via
     // lag — all-integer until the one rms sqrt
+    // G20 twin: LCG regen, the same cleared-denominator energy gate
+    // (sum_sq·n_tot >= tot_sq·n_win — integer on both sides), and
+    // the same frame − row_number islands
+    "mm_wav_vad" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, 64 + doc_id % 65 AS n,
+        |    (doc_id * 1103515245 + 12345) % 2147483648 AS s
+        |  FROM documents),
+        |gen AS (
+        |  SELECT doc_id, n, 0 AS k, s, CAST(NULL AS BIGINT) AS sample
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, n, k + 1,
+        |    (s * 1103515245 + 12345) % 2147483648,
+        |    ((s * 1103515245 + 12345) % 2147483648) % 65536 - 32768
+        |  FROM gen WHERE k < n),
+        |pcm AS (
+        |  SELECT doc_id, k - 1 AS idx, sample FROM gen
+        |  WHERE sample IS NOT NULL),
+        |fr AS (
+        |  SELECT doc_id, idx // 16 AS frame, count(*)::BIGINT AS n_win,
+        |    sum(sample * sample)::BIGINT AS sum_sq
+        |  FROM pcm GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT doc_id, sum(sum_sq)::BIGINT AS tot_sq,
+        |    sum(n_win)::BIGINT AS n_tot
+        |  FROM fr GROUP BY 1),
+        |act AS (
+        |  SELECT fr.doc_id, frame, sum_sq,
+        |    frame - row_number() OVER (
+        |      PARTITION BY fr.doc_id ORDER BY frame) AS grp
+        |  FROM fr JOIN tot ON fr.doc_id = tot.doc_id
+        |  WHERE sum_sq * n_tot >= tot_sq * n_win),
+        |seg AS (
+        |  SELECT doc_id, min(frame)::BIGINT AS start_frame,
+        |    max(frame)::BIGINT AS end_frame, count(*)::BIGINT AS n_frames,
+        |    sum(sum_sq)::BIGINT AS seg_sq
+        |  FROM act GROUP BY doc_id, grp)
+        |SELECT doc_id,
+        |  (row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY start_frame))::BIGINT AS seg,
+        |  start_frame, end_frame, n_frames, seg_sq
+        |FROM seg ORDER BY doc_id, seg""".stripMargin,
     "mm_wav_features" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, 32 + doc_id % 33 AS n,

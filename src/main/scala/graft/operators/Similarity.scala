@@ -761,6 +761,90 @@ object Similarity {
     s
   }
 
+  private val RqK = 16 // centroids per RQ stage
+
+  /** E32 RESIDUAL QUANTIZATION, two stages (Chen et al. 2010; the
+    * additive-codebook family ScaNN/Faiss-RQ deploy where PQ's
+    * subspace independence hurts): stage 1 quantizes the vector
+    * against a full-width codebook, stage 2 quantizes the RESIDUAL
+    * v − c₁ against a second codebook, and the approximation is the
+    * SUM ĉ = c₁ + d₂ — 2 bytes per vector here vs PQ's per-subspace
+    * split, with the second stage spending its bits on whatever the
+    * first missed. Codebooks are deterministic samples (stage 1: the
+    * E3/E6 seed rows; stage 2: a SECOND sample stride's residuals
+    * against stage 1 — computed on the driver, K·dim doubles), the
+    * 100 TB posture being exactly the PQ one: codebooks are tiny
+    * driver state, encode is one codegen'd literal-argmin projection
+    * (zero join, zero shuffle), queries never read the vector corpus.
+    *
+    * Bit-exactness: every cross term is precomputed on the driver in
+    * the SAME index-order fold DuckDB's list_dot_product uses, and
+    * every composite ((a+b)+c) is parenthesized identically in the
+    * twin, so ADC doubles hash-match with NO rounding: encode stage 2
+    * minimizes (d·d − 2 v·d) + 2 c·d and the query distance is
+    * ((q·q + t₁[c]) + t₂[d]) + w[c][d] with w = (c·c + 2 c·d) + d·d. */
+  def annRq(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = vecs.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // stage-1 codebook: the deterministic sample rows
+    val c1: Array[Array[Double]] = e
+      .filter(pmod($"vec_id" * 7, lit(101)) < RqK)
+      .orderBy($"vec_id").limit(RqK)
+      .collect().map(_.getSeq[Double](1).toArray)
+    // stage-2 codebook: a second sample's residuals vs stage 1
+    // (assignment replicated driver-side with the same tie rule)
+    val c2: Array[Array[Double]] = e
+      .filter(pmod($"vec_id" * 13, lit(103)) < RqK)
+      .orderBy($"vec_id").limit(RqK)
+      .collect().map(_.getSeq[Double](1).toArray)
+      .map { sv =>
+        val best = c1.zipWithIndex.minBy { case (c, cid) =>
+          (dotD(c, c) - 2.0 * dotD(sv, c), cid) }._1
+        sv.zip(best).map { case (x, y) => x - y }
+      }
+    val cc = c1.map(c => dotD(c, c))
+    val dd = c2.map(d => dotD(d, d))
+    val cd2 = c1.map(c => c2.map(d => 2.0 * dotD(c, d)).toSeq).toSeq
+    val wcd = c1.indices.map(i =>
+      c2.indices.map(j => (cc(i) + cd2(i)(j)) + dd(j)).toSeq).toSeq
+    // encode: two literal argmins (tie → lowest code id)
+    val s1 = c1.zipWithIndex.map { case (c, cid) =>
+      struct((lit(cc(cid)) - lit(2.0) * VectorFunctions.dot($"v", typedlit(c.toSeq)))
+        .as("d"), lit(cid).as("id"))
+    }
+    val coded1 = e.select($"vec_id", $"v",
+      least(s1.toIndexedSeq: _*).getField("id").as("code1"))
+    val s2 = c2.zipWithIndex.map { case (d, did) =>
+      struct(((lit(dd(did)) - lit(2.0) * VectorFunctions.dot($"v", typedlit(d.toSeq)))
+        + element_at(element_at(typedlit(cd2), $"code1" + 1), did + 1))
+        .as("d"), lit(did).as("id"))
+    }
+    val codes = coded1.select($"vec_id", $"code1",
+      least(s2.toIndexedSeq: _*).getField("id").as("code2"))
+    // ADC: per-query code tables (K mults each), then every corpus
+    // row is three array lookups + adds — codes only, no vectors
+    val t1 = array(c1.map(c =>
+      lit(-2.0) * VectorFunctions.dot($"qv", typedlit(c.toSeq))).toIndexedSeq: _*)
+    val t2 = array(c2.map(d =>
+      lit(-2.0) * VectorFunctions.dot($"qv", typedlit(d.toSeq))).toIndexedSeq: _*)
+    val q = e.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"))
+      .withColumn("qq", VectorFunctions.dot($"qv", $"qv"))
+      .select($"q_id", $"qq", t1.as("t1"), t2.as("t2"))
+    val adc = (($"qq" + element_at($"t1", $"code1" + 1))
+      + element_at($"t2", $"code2" + 1)) +
+      element_at(element_at(typedlit(wcd), $"code1" + 1), $"code2" + 1)
+    val scored = codes.join(broadcast(q), $"vec_id" =!= $"q_id")
+      .withColumn("adc", adc)
+    scored.groupBy($"q_id")
+      .agg(graft.functions.TopKAgg.topK(
+        struct((-$"adc").as("score"), $"vec_id".as("id")), TopK).as("top"))
+      .select($"q_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+        $"t.id".as("vec_id"), (-$"t.score").as("adc"))
+      .orderBy($"q_id", $"rank")
+  }
+
   /** E7 IVF-PQ (Jégou et al. 2011 §IV, IVFADC): the E-track capstone
     * composing E5's learned coarse quantizer with E6's product codes —
     * trained on RESIDUALS v − centroid(cell), which are smaller than
@@ -1768,9 +1852,69 @@ object Similarity {
     "ann_ivfpq_index" -> (ivfPqIndexEntry(_, _)),
     "ann_ivfpq_index_rerank" -> (ivfPqIndexRerankEntry(_, _)),
     "ann_pq" -> onVecs(annPq),
+    "ann_rq" -> onVecs(annRq),
     "ann_sq8" -> onVecs(annSq8),
     "kmeans_silhouette" -> onVecs(v => kmeansSilhouette(v)),
     "kmeans_assign" -> onVecs(v => kmeans(v)))
+
+  /** DuckDB twin of [[annRq]]: both codebooks replayed from the two
+    * sample strides, the stage-2 sample's residuals rebuilt
+    * element-wise, both argmins with the lowest-code tie rule, and
+    * every composite double parenthesized exactly as the Scala side
+    * computes it — bit-identical ADC, no rounding. */
+  private def annRqOracleSql: String =
+    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c1 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |  FROM (SELECT vec_id, v FROM ev
+       |        WHERE (vec_id * 7) % 101 < $RqK ORDER BY vec_id LIMIT $RqK)),
+       |s2 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS did, v AS sv
+       |  FROM (SELECT vec_id, v FROM ev
+       |        WHERE (vec_id * 13) % 103 < $RqK ORDER BY vec_id LIMIT $RqK)),
+       |s2a AS (
+       |  SELECT did, sv, cv FROM (
+       |    SELECT s2.did, s2.sv, c1.cv, row_number() OVER (
+       |      PARTITION BY s2.did
+       |      ORDER BY list_dot_product(c1.cv, c1.cv)
+       |        - 2 * list_dot_product(s2.sv, c1.cv), c1.cid) AS rn
+       |    FROM s2 CROSS JOIN c1) WHERE rn = 1),
+       |c2 AS (
+       |  SELECT did, list_transform(generate_series(1, len(sv)),
+       |    i -> sv[i] - cv[i]) AS dv
+       |  FROM s2a),
+       |e1 AS (
+       |  SELECT vec_id, v, code1, cv FROM (
+       |    SELECT ev.vec_id, ev.v, c1.cid AS code1, c1.cv, row_number()
+       |      OVER (PARTITION BY ev.vec_id
+       |      ORDER BY list_dot_product(c1.cv, c1.cv)
+       |        - 2 * list_dot_product(ev.v, c1.cv), c1.cid) AS rn
+       |    FROM ev CROSS JOIN c1) WHERE rn = 1),
+       |e2 AS (
+       |  SELECT vec_id, code1, code2, cv, dv FROM (
+       |    SELECT e1.vec_id, e1.code1, e1.cv, c2.did AS code2, c2.dv,
+       |      row_number() OVER (PARTITION BY e1.vec_id
+       |      ORDER BY (list_dot_product(c2.dv, c2.dv)
+       |          - 2 * list_dot_product(e1.v, c2.dv))
+       |        + 2 * list_dot_product(e1.cv, c2.dv), c2.did) AS rn
+       |    FROM e1 CROSS JOIN c2) WHERE rn = 1),
+       |q AS (
+       |  SELECT vec_id AS q_id, v AS qv, list_dot_product(v, v) AS qq
+       |  FROM ev WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, e2.vec_id,
+       |    ((q.qq + (-2) * list_dot_product(q.qv, e2.cv))
+       |      + (-2) * list_dot_product(q.qv, e2.dv))
+       |    + ((list_dot_product(e2.cv, e2.cv)
+       |        + 2 * list_dot_product(e2.cv, e2.dv))
+       |      + list_dot_product(e2.dv, e2.dv)) AS adc
+       |  FROM e2 CROSS JOIN q WHERE e2.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY adc, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id, adc FROM ranked
+       |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
   /** DuckDB twin of [[annPq]]: same seed codebooks (slices of the
     * LIMIT-16 sample), same squared-euclidean argmin per subspace
@@ -2340,6 +2484,7 @@ object Similarity {
     "ann_ivfpq_index_rerank" ->
       ivfPqRerankOracleSql(k = 16, iters = 2, nProbe = 2, shortlist = 10),
     "ann_pq" -> annPqOracleSql,
+    "ann_rq" -> annRqOracleSql,
     // explicit half-up (floor(x+0.5)) in BOTH engines — round() tie
     // rules differ; dequant + cosine replay the identical IEEE ops.
     "ann_sq8" ->

@@ -546,6 +546,77 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.size == 12, s"rows: ${got.size}")
   }
 
+  test("E32 residual quantization: distributed == sequential replica, stage 2 shrinks seed reconstruction error") {
+    import spark.implicits._
+    // synthetic 40×8 corpus, fully deterministic floats, all 40
+    // vectors DISTINCT (a periodic formula would alias sample rows
+    // into stage-1 seeds and void the reconstruction property)
+    def elem(i: Int, j: Int): Float =
+      ((i * i * 7 + i * 31 + j * 17 + j * j * i) % 97 - 48).toFloat / 8.0f
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(j => elem(i, j)))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.annRq(vecs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // sequential replica of the exact same algorithm (same sample
+    // strides, same tie rules, same fold orders)
+    val ev = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(j => elem(i, j).toDouble).toArray)
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var k = 0
+      while (k < a.length) { s += a(k) * b(k); k += 1 }; s
+    }
+    val c1 = ev.filter { case (id, _) => (id * 7) % 101 < 16 }
+      .take(16).map(_._2)
+    val c2 = ev.filter { case (id, _) => (id * 13) % 103 < 16 }
+      .take(16).map(_._2).map { sv =>
+        val best = c1.zipWithIndex.minBy { case (c, cid) =>
+          (dot(c, c) - 2.0 * dot(sv, c), cid) }._1
+        sv.zip(best).map { case (x, y) => x - y }
+      }
+    def enc(v: Array[Double]): (Int, Int) = {
+      val k1 = c1.zipWithIndex.minBy { case (c, cid) =>
+        (dot(c, c) - 2.0 * dot(v, c), cid) }._2
+      val k2 = c2.zipWithIndex.minBy { case (d, did) =>
+        ((dot(d, d) - 2.0 * dot(v, d)) + 2.0 * dot(c1(k1), d), did) }._2
+      (k1, k2)
+    }
+    val codes = ev.map { case (id, v) => (id, enc(v)) }
+    val want = (0L until 5L).flatMap { qid =>
+      val qv = ev(qid.toInt)._2
+      val qq = dot(qv, qv)
+      codes.filter(_._1 != qid).map { case (id, (k1, k2)) =>
+        val w = (dot(c1(k1), c1(k1)) + 2.0 * dot(c1(k1), c2(k2))) +
+          dot(c2(k2), c2(k2))
+        val adc = ((qq + -2.0 * dot(qv, c1(k1))) +
+          -2.0 * dot(qv, c2(k2))) + w
+        (id, adc)
+      }.sortBy { case (id, adc) => (adc, id) }.take(3).zipWithIndex
+        .map { case ((id, adc), r) => (qid, (r + 1).toLong, id, adc) }
+    }
+    assert(got == want, s"got $got\nwant $want")
+    // the two-stage code reconstructs every stage-2 SAMPLE row
+    // EXACTLY (its own residual is in the codebook and the argmin
+    // lands on it), and strictly improves on stage 1 alone for every
+    // sample row that is not itself a stage-1 seed (ids 0, 1, 16
+    // sit in both sample strides here, so 5 of 8 improve strictly)
+    val sample = ev.filter { case (id, _) => (id * 13) % 103 < 16 }
+      .take(16).map(_._2)
+    assert(sample.length == 8)
+    val recon = sample.map { v =>
+      val (k1, k2) = enc(v)
+      val e1 = v.zip(c1(k1)).map { case (a, b) => a - b }
+      val r2 = e1.zip(c2(k2)).map { case (a, b) => a - b }
+      (dot(r2, r2), dot(e1, e1))
+    }
+    assert(recon.forall(_._1 == 0.0),
+      s"a sample row failed exact reconstruction: $recon")
+    assert(recon.count { case (r2, e1) => r2 < e1 } == 5,
+      s"strict improvements: $recon")
+  }
+
   test("E31 matryoshka: full-width prefix is perfect recall, ambiguous prefix degrades exactly") {
     import spark.implicits._
     // 8 vectors, dim 16: a SHARED 4-dim prefix [1,0,0,0] (so prefix-4

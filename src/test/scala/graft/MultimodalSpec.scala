@@ -374,6 +374,29 @@ class MultimodalSpec extends AnyFunSuite {
         BigDecimal.RoundingMode.HALF_UP).toDouble)), s"${got((2L, 0L))}")
     assert(!got.keySet.exists(_._1 == 3L), "malformed payload must drop")
   }
+  test("G20 wav vad: integer energy gate, islands fuse, partial tail frame weighs by its own width") {
+    import spark.implicits._
+    // frames of 4 over [20×4 | 0×4 | 20×4 | 30×2]: sum_sq =
+    // 1600, 0, 1600, 1800(n=2); tot_sq = 5000, n_tot = 14. Active
+    // iff sum_sq·14 ≥ 5000·n_win: f0 22400≥20000 ✓, f1 ✗,
+    // f2 ✓, f3 25200≥10000 ✓ → segments {0} and {2,3}.
+    val s = (Array.fill(4)(20) ++ Array.fill(4)(0) ++
+      Array.fill(4)(20) ++ Array.fill(2)(30)).map(_.toShort)
+    val df = Seq((1L, Multimodal.wavBytes(s))).toDF("doc_id", "payload")
+    val got = Multimodal.wavVad(df, win = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L, 0L, 1L, 1600L),
+      (1L, 2L, 2L, 3L, 2L, 3400L)), s"segments: $got")
+    // an all-equal file is ONE full-length segment (every frame sits
+    // exactly at the mean)
+    val flat = Seq((2L, Multimodal.wavBytes(Array.fill(8)(7.toShort))))
+      .toDF("doc_id", "payload")
+    val gotF = Multimodal.wavVad(flat, win = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gotF == Seq((2L, 1L, 0L, 1L, 2L, 8L * 49L)), s"flat: $gotF")
+  }
+
   test("G8 resample: pair means floor on negatives, odd tail drops") {
     import spark.implicits._
     // (1,2) -> 1; (-5,-4) -> -9 >> 1 = -5 (FLOOR, not toward zero);
