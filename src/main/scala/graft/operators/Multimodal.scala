@@ -1090,6 +1090,32 @@ object Multimodal {
     mp4SampleTable(payloads).orderBy($"doc_id", $"sample_idx")
   }
 
+  /** G21 graded entry (`mm_mp4_keyframe_plan`): the point of the
+    * whole demux track — "give me the byte ranges of every keyframe"
+    * — as ONE scan: both tables come off the same payload row and
+    * zip positionally (sample_idx is the shared ladder), so the plan
+    * is scan → zip → explode → filter with ZERO joins and zero
+    * shuffle beyond the presentation sort. A decoder pool consumes
+    * exactly this frame: seek to file_offset, read sample_size,
+    * decode one keyframe, never touch the frames between. */
+  private def mp4KeyframePlanEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, mp4Bytes(id))).toDF("doc_id", "payload")
+    val z = payloads.select($"doc_id", explode(arrays_zip(
+      graft.functions.Mp4Demux.mp4Timing($"payload"),
+      graft.functions.Mp4Demux.mp4Samples($"payload"))).as("z"))
+    val t = col("z").getField("0")
+    val sm = col("z").getField("1")
+    z.filter(t.getField("is_sync") === 1)
+      .select($"doc_id",
+        t.getField("sample_idx").as("sample_idx"),
+        t.getField("pts").as("pts"),
+        sm.getField("file_offset").as("file_offset"),
+        sm.getField("sample_size").as("sample_size"))
+      .orderBy($"doc_id", $"sample_idx")
+  }
+
   /** Exact integer PCM statistics per decoded file (rms is the one
     * double, derived from the exact sum of squares). */
   case class WavStats(doc_id: Long, sample_rate: Long, n_samples: Long,
@@ -1452,6 +1478,7 @@ object Multimodal {
     "mm_mp4_timing" -> mp4TimingEntry,
     "mm_mp4_tracks" -> mp4TracksEntry,
     "mm_mp4_audio_plan" -> mp4AudioPlanEntry,
+    "mm_mp4_keyframe_plan" -> mp4KeyframePlanEntry,
     "mm_wav_stats" -> wavStatsEntry,
     "mm_binary_meta" -> binaryMetaHex,
     // exactly graded since round 7 (was rows-only on the stub
@@ -1480,6 +1507,40 @@ object Multimodal {
         |  (n2 * d2)::BIGINT, n2::BIGINT, ((n2 + 1) // 2)::BIGINT
         |FROM d
         |ORDER BY doc_id, track_idx""".stripMargin,
+    // G21 twin: the G16 offset arithmetic and the G17 timing formula
+    // merged on the sample ladder, filtered to the 1,4,7,… keyframes
+    "mm_mp4_keyframe_plan" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, (5 + 2 * (doc_id % 4))::INT AS n,
+        |    100 * (1 + doc_id % 3) AS d1, 40 + doc_id % 7 AS d2,
+        |    (doc_id * 1103515245 + 12345) % 2147483648 AS s
+        |  FROM documents),
+        |gen AS (
+        |  SELECT doc_id, n, 0 AS k, s, CAST(NULL AS BIGINT) AS sz
+        |  FROM d
+        |  UNION ALL
+        |  SELECT doc_id, n, k + 1,
+        |    (s * 1103515245 + 12345) % 2147483648,
+        |    50 + ((s * 1103515245 + 12345) % 2147483648) % 200
+        |  FROM gen WHERE k < n),
+        |sizes AS (
+        |  SELECT doc_id, n, k - 1 AS i, sz,
+        |    coalesce(sum(sz) OVER (PARTITION BY doc_id ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prior
+        |  FROM gen WHERE sz IS NOT NULL),
+        |t AS (
+        |  SELECT z.doc_id, z.i, d.d1, d.d2, z.n, z.sz, z.prior
+        |  FROM sizes z JOIN d ON z.doc_id = d.doc_id)
+        |SELECT doc_id, i::BIGINT AS sample_idx,
+        |  ((CASE WHEN i < 3 THEN i * d1
+        |         ELSE 3 * d1 + (i - 3) * d2 END)
+        |    + ((i * 7) % 3) * 10)::BIGINT AS pts,
+        |  (292 + 12 * n + 4 * (1 + (n - 3) // 2) + 4 * ((n + 2) // 3)
+        |    + prior)::BIGINT AS file_offset,
+        |  sz::BIGINT AS sample_size
+        |FROM t WHERE i % 3 = 0
+        |ORDER BY doc_id, sample_idx""".stripMargin,
     // G19 twin: the handler-routed co64 read plan — offsets beyond
     // 4 GiB replayed closed-form (2^33 = 8589934592)
     "mm_mp4_audio_plan" ->
