@@ -75,6 +75,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val usage = "graft_q(name, dir) requires two literal strings"
         registryPlan(litString(args, 0, usage), litString(args, 1, usage))
       }))
+    // discoverability for SQL clients: the registry AS a table —
+    // `SELECT * FROM graft_catalog()` lists every query key and
+    // whether it carries a DuckDB oracle (rows-only ops don't)
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_catalog"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_catalog"),
+      (_: Seq[Expression]) => {
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        SparkEntry.queries.keys.toSeq.sorted
+          .map(k => (k, SparkEntry.oracleSql.contains(k)))
+          .toDF("query_key", "has_oracle").queryExecution.logical
+      }))
     e.injectTableFunction((
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_topk"),

@@ -171,6 +171,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("literal string"), e4.getMessage)
   }
 
+  test("graft_catalog lists the whole registry with oracle flags") {
+    import spark.implicits._
+    val rows = spark.sql(
+      "SELECT query_key, has_oracle FROM graft_catalog()")
+      .as[(String, Boolean)].collect().toSeq
+    assert(rows.length == SparkEntry.queries.size)
+    assert(rows.map(_._1).toSet == SparkEntry.queries.keySet)
+    val byKey = rows.toMap
+    assert(byKey("ann_rq") && byKey("q_topk"), "oracled keys flagged")
+    assert(!byKey("q_sketches") && !byKey("text_compress"),
+      "rows-only keys must show has_oracle = false")
+    // composes: count the oracle-less keys in SQL
+    val n = spark.sql(
+      "SELECT count(*) FROM graft_catalog() WHERE NOT has_oracle")
+      .collect().head.getLong(0)
+    assert(n == 2L, s"rows-only count $n")
+  }
+
   test("mp4 demux family is callable from SQL, handler routing included") {
     import spark.implicits._
     Seq((7L, graft.operators.Multimodal.mp4MultiTrackBytes(7L)))

@@ -105,4 +105,46 @@ class PropertySpec extends AnyFunSuite {
       assert(back.sortedDesc == h.sortedDesc)
     }
   }
+
+  test("Mp4Demux fuzz: random bytes and mutated valid payloads never throw, outputs stay well-formed") {
+    import graft.functions.Mp4Demux
+    import org.apache.spark.unsafe.types.UTF8String
+    val handlers = Seq("vide", "soun", "text").map(UTF8String.fromString)
+    def check(b: Array[Byte]): Unit = {
+      // the quarantine contract: malformed input degrades to empty
+      // or to internally-consistent tables — NEVER an exception
+      val sm = Mp4Demux.samples(b)
+      val tm = Mp4Demux.timing(b)
+      val tr = Mp4Demux.tracks(b)
+      assert(sm.numElements >= 0 && tm.numElements >= 0 &&
+        tr.numElements >= 0)
+      handlers.foreach { h =>
+        Mp4Demux.samplesFor(b, h); Mp4Demux.timingFor(b, h); ()
+      }
+      // sample indexes, when present, are the dense 0..n-1 ladder
+      (0 until sm.numElements).foreach { i =>
+        assert(sm.getStruct(i, 4).getLong(0) == i.toLong)
+      }
+    }
+    // pure random garbage at assorted sizes
+    (0 until 300).foreach { i =>
+      val n = rng.nextInt(600)
+      val b = new Array[Byte](n)
+      rng.nextBytes(b)
+      check(b)
+    }
+    // single-byte mutations and truncations of VALID payloads — the
+    // adversarial band where a parser is most likely to misstep
+    val valid = Seq(
+      graft.operators.Multimodal.mp4Bytes(7L),
+      graft.operators.Multimodal.mp4MultiTrackBytes(7L))
+    valid.foreach { v =>
+      (0 until 400).foreach { _ =>
+        val b = v.clone()
+        b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+        check(b)
+      }
+      (0 until 100).foreach { _ => check(v.take(rng.nextInt(v.length))) }
+    }
+  }
 }
