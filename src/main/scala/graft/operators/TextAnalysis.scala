@@ -221,6 +221,144 @@ object TextAnalysis {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------
+  // F46 INCREMENTAL BM25 INDEX — the C×F bridge (the fourth leg
+  // next to I15/I16/I17): a document CDC feed maintains a SERVED
+  // retrieval index without retokenizing the corpus. State under
+  // `dir` is three Manifest tables — `postings` (term, doc_id, tf)
+  // laid out by term-hash bucket so a query's serve read is
+  // PARTITION-PRUNED to its terms' buckets (the E8 pruned-serve
+  // shape, applied to text); `docs` (doc_id, dl) with EVERY doc
+  // (dl = 0 for token-less ones — N and avgdl must count them
+  // exactly as the batch operator does); and a single-row `meta`
+  // (n_docs, total_len) snapshot folded forward per batch. Appends
+  // are both SEMANTICALLY idempotent (new docs anti-join the docs
+  // table, so a full replay of an applied untagged batch commits
+  // nothing) and, when tagged, PER-TABLE gated (each table skips
+  // its commit if its metas already carry the tag) — so a crash
+  // between the three commits replays cleanly: committed tables
+  // skip, the missing ones complete, exactly once end to end.
+  // Served scores replay the bm25() arithmetic verbatim, so
+  // base+deltas == the one-shot batch ranking (spec-pinned).
+  // ---------------------------------------------------------------
+
+  import graft.sources.Lake
+
+  private val Bm25Buckets = 64
+  private def termBucket(c: Column): Column =
+    pmod(xxhash64(c), lit(Bm25Buckets.toLong))
+
+  /** Per-doc term counts and EVERY doc's length (0 when token-less). */
+  private[graft] def bm25Frames(docs: DataFrame): (DataFrame, DataFrame) = {
+    import docs.sparkSession.implicits._
+    val tcounts = docs
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = docs.select($"doc_id")
+      .join(tcounts.groupBy($"doc_id").agg(sum($"tf").as("l")),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"l", lit(0L)).as("dl"))
+      .localCheckpoint()
+    (tcounts, dl)
+  }
+
+  /** Publish the BM25 index base state for `docs` under `dir`. */
+  def publishBm25Index(docs: DataFrame, dir: String): Unit = {
+    import docs.sparkSession.implicits._
+    val (tcounts, dl) = bm25Frames(docs)
+    Lake.Manifest.publishSnapshot(
+      tcounts.select($"term", $"doc_id", $"tf", termBucket($"term").as("tb")),
+      s"$dir/postings", partitionBy = Seq("tb"))
+    Lake.Manifest.publishSnapshot(dl.withColumn("src", lit("")),
+      s"$dir/docs")
+    Lake.Manifest.publishSnapshot(
+      dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_len")),
+      s"$dir/meta")
+  }
+
+  /** Apply one batch of NEW documents (doc_id, text): tokenize only
+    * the batch, append its postings (bucket-partitioned) and doc
+    * lengths, fold the meta row forward. Returns the number of docs
+    * added (0 = replay/no-op).
+    *
+    * Replay exactness: docs rows carry the tag that committed them
+    * (`src`), and a TAGGED call anti-joins against every doc NOT
+    * from its own tag — so a crash-window replay (e.g. postings and
+    * docs landed, meta did not) recomputes the identical `added`
+    * set, the already-committed tables skip via their tag gates, and
+    * the missing commit completes with the right delta. */
+  def appendBm25Docs(spark: SparkSession, dir: String, batch: DataFrame,
+      meta: String = ""): Long = {
+    import spark.implicits._
+    def gated(table: String): Boolean = meta.nonEmpty &&
+      Lake.Manifest.publishedMetas(spark, s"$dir/$table").contains(meta)
+    val docsTbl = Lake.Manifest.readPublished(spark, s"$dir/docs")
+    val existing = (if (meta.nonEmpty) docsTbl.filter($"src" =!= meta)
+      else docsTbl).select($"doc_id")
+    val added = batch.select($"doc_id", $"text")
+      .join(existing, Seq("doc_id"), "left_anti").localCheckpoint()
+    val nNew = added.count()
+    if (nNew == 0L) return 0L
+    val (tcounts, dl) = bm25Frames(added)
+    // postings FIRST, docs second (docs is the anti-join gate for
+    // untagged replays), meta last; each commit skips if its tag
+    // already landed, so any crash window replays exactly once
+    if (!gated("postings"))
+      Lake.Manifest.publishAppend(
+        tcounts.select($"term", $"doc_id", $"tf",
+          termBucket($"term").as("tb")),
+        s"$dir/postings", partitionBy = Seq("tb"), meta = meta)
+    if (!gated("docs"))
+      Lake.Manifest.publishAppend(dl.withColumn("src", lit(meta)),
+        s"$dir/docs", meta = meta)
+    if (!gated("meta")) {
+      val old = Lake.Manifest.readPublished(spark, s"$dir/meta")
+        .collect()(0)
+      val d = dl.agg(count(lit(1)), sum($"dl")).collect()(0)
+      Lake.Manifest.publishSnapshot(
+        Seq((old.getLong(0) + d.getLong(0), old.getLong(1) + d.getLong(1)))
+          .toDF("n_docs", "total_len"),
+        s"$dir/meta", meta = meta)
+    }
+    nNew
+  }
+
+  /** Serve a BM25 query from the published index: the postings read
+    * is driver-side PRUNED to the query terms' hash buckets (at
+    * corpus scale: |terms|/64 of the posting files opened, the rest
+    * never touched), df comes from the pruned postings, N/avgdl from
+    * the one-row meta — the corpus text is NEVER read or tokenized
+    * at query time. Arithmetic is bm25()'s, verbatim. */
+  def queryBm25Index(spark: SparkSession, dir: String,
+      queryTerms: Seq[String] = Bm25Query, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val m = Lake.Manifest.readPublished(spark, s"$dir/meta").collect()(0)
+    val n = m.getLong(0)
+    val avgdl = m.getLong(1).toDouble / n
+    val buckets = queryTerms.toDF("term")
+      .select(termBucket($"term")).as[Long].collect().distinct
+    val posts = Lake.Manifest.readPublishedPruned(spark,
+        s"$dir/postings", "tb", buckets.map(_.toString).toSeq)
+      .filter($"term".isin(queryTerms: _*))
+      .select($"doc_id", $"term", $"tf")
+    val df = posts.groupBy($"term").agg(count(lit(1)).as("df"))
+    val dl = Lake.Manifest.readPublished(spark, s"$dir/docs")
+      .select($"doc_id", $"dl")
+    posts.join(df, "term")
+      .join(dl, "doc_id")
+      .withColumn("idf",
+        log(lit(1.0) + (lit(n.toDouble) - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("part", $"idf" * ($"tf" * lit(Bm25K1 + 1.0)) /
+        ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+          lit(Bm25B) * $"dl" / lit(avgdl))))
+      .groupBy($"doc_id")
+      .agg(sum($"part").as("raw"), count(lit(1)).as("n_terms_hit"))
+      .select($"doc_id", round($"raw", 4).as("score"), $"n_terms_hit")
+      .orderBy(round($"raw", 4).desc, $"doc_id")
+      .limit(k)
+  }
+
   /** F16 unigram language-model scoring — the CCNet/CC-Net-style
     * perplexity proxy for corpus quality filtering: train add-one-
     * smoothed unigram probabilities ON the corpus itself (p(t) =

@@ -176,4 +176,35 @@ object DocStream {
           }
       }
   }
+
+  /** Apply ONE document micro-batch to the F46 BM25 index exactly
+    * once: docs added, or -1 for a full-replay skip. Partial
+    * crash-window replays complete via the per-table tag gates and
+    * the src-tagged anti-join inside appendBm25Docs. */
+  def streamBm25Batch(dir: String, batch: DataFrame,
+      batchId: Long): Long = {
+    val spark = batch.sparkSession
+    val tag = s"batch=$batchId"
+    val applied = Seq("postings", "docs", "meta").forall(t =>
+      graft.sources.Lake.Manifest.publishedMetas(spark, s"$dir/$t")
+        .contains(tag))
+    if (applied) -1L
+    else graft.operators.TextAnalysis
+      .appendBm25Docs(spark, dir, batch, meta = tag)
+  }
+
+  /** Continuous BM25 index maintenance over a document feed: the
+    * served retrieval index trails the drop zone by one trigger,
+    * each batch tokenizing only ITS documents — the corpus is never
+    * retokenized (the VecStream/E9 continuous-maintenance shape,
+    * applied to text retrieval). */
+  def maintainBm25(docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamBm25Batch(dir, batch, batchId); ()
+      }
+      .start()
 }

@@ -236,4 +236,72 @@ class DocStreamSpec extends AnyFunSuite {
         !scrubbed.contains("555-867-5309"), s"PII leaked: $scrubbed")
     } finally q.stop()
   }
+
+  test("F46 incremental BM25 index: base+deltas == batch bm25, pruned serve, replay exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.sources.{Lake, Tables}
+    val sf = GraftTestSession.sf
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    // base = doc_id % 3 == 0; two streamed deltas cover the rest
+    TextAnalysis.publishBm25Index(docs.filter($"doc_id" % 3 === 0), dir)
+    val in = MemoryStream[(Long, String)]
+    val d1 = docs.filter($"doc_id" % 3 === 1)
+      .as[(Long, String)].collect().toSeq
+    val d2 = docs.filter($"doc_id" % 3 === 2)
+      .as[(Long, String)].collect().toSeq
+    in.addData(d1); in.addData(d2)
+    val q = DocStream.maintainBm25(
+      in.toDF().toDF("doc_id", "text"), dir,
+      java.nio.file.Files.createTempDirectory("graft_bm25_ck").toString)
+    q.awaitTermination()
+    // the served ranking equals the one-shot batch operator
+    val want = TextAnalysis.bm25(docs).collect().map(_.toString).toSeq
+    val got = TextAnalysis.queryBm25Index(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(got == want, s"served:\n$got\nbatch:\n$want")
+    // serve is partition-pruned: fewer posting files opened than
+    // published (64 hash buckets, 3 query terms)
+    val all = Lake.Manifest.readPublished(spark, s"$dir/postings")
+      .inputFiles.length
+    val opened = TextAnalysis.queryBm25Index(spark, dir).inputFiles
+      .count(_.contains("postings"))
+    assert(opened < all, s"pruning opened $opened of $all posting files")
+    // meta-gated full replay; untagged duplicate is a semantic no-op
+    assert(DocStream.streamBm25Batch(dir,
+      d1.toDF("doc_id", "text"), 0L) == -1L)
+    assert(TextAnalysis.appendBm25Docs(spark, dir,
+      d2.toDF("doc_id", "text")) == 0L)
+    // crash-window replay: postings+docs landed for batch 9 but meta
+    // did not — the tagged replay must complete ONLY the meta fold.
+    // Simulate the half-applied state with the SAME frame builder
+    // the operator uses, tag included.
+    val extra = Seq((900001L, "spark window spark"),
+      (900002L, "lone")).toDF("doc_id", "text")
+    val tag = "batch=9"
+    val (tcounts, dl) = TextAnalysis.bm25Frames(extra)
+    Lake.Manifest.publishAppend(
+      tcounts.select($"term", $"doc_id", $"tf",
+        pmod(xxhash64($"term"), lit(64L)).as("tb")),
+      s"$dir/postings", partitionBy = Seq("tb"), meta = tag)
+    Lake.Manifest.publishAppend(dl.withColumn("src", lit(tag)),
+      s"$dir/docs", meta = tag)
+    val metaBefore = Lake.Manifest.readPublished(spark, s"$dir/meta")
+      .as[(Long, Long)].collect().head
+    val vP = Lake.Manifest.latestVersion(spark, s"$dir/postings")
+    val vD = Lake.Manifest.latestVersion(spark, s"$dir/docs")
+    assert(DocStream.streamBm25Batch(dir, extra, 9L) == 2L)
+    // postings/docs untouched (tag gates), meta folded exactly once
+    assert(Lake.Manifest.latestVersion(spark, s"$dir/postings") == vP)
+    assert(Lake.Manifest.latestVersion(spark, s"$dir/docs") == vD)
+    val metaAfter = Lake.Manifest.readPublished(spark, s"$dir/meta")
+      .as[(Long, Long)].collect().head
+    assert(metaAfter == ((metaBefore._1 + 2L, metaBefore._2 + 4L)),
+      s"meta $metaBefore -> $metaAfter")
+    // and a full replay of batch 9 now gates out entirely
+    assert(DocStream.streamBm25Batch(dir, extra, 9L) == -1L)
+  }
 }
