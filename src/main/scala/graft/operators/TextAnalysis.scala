@@ -1675,6 +1675,14 @@ object TextAnalysis {
     "text_profile" -> onDocs(profile),
     "text_tfidf" -> onDocs(tfidf),
     "text_bm25" -> onDocs(d => bm25(d)),
+    // the F46 SERVED path under the same oracle as the batch
+    // ranking: publish the index, then answer from postings alone
+    "text_bm25_serve" -> ((s, dir) => {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_bm25_serve").toString
+      publishBm25Index(Tables.documents(s, dir), d)
+      queryBm25Index(s, d)
+    }),
     "text_lm_score" -> onDocs(lmScore),
     "text_bigram_lm" -> onDocs(bigramLm),
     "text_collocations" -> onDocs(collocations),
@@ -1797,7 +1805,38 @@ object TextAnalysis {
       |      list(contrib ORDER BY term)), (acc, x) -> acc + x) AS lw
       |  FROM parts GROUP BY 1)""".stripMargin
 
+  /** Shared by text_bm25 and text_bm25_serve (F46): the served
+    * index must reproduce the batch ranking exactly. */
+  private def bm25OracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+       |stats AS (
+       |  SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
+       |    (SELECT sum(dl)::DOUBLE / (SELECT count(*) FROM documents)
+       |     FROM dl) AS avgdl),
+       |qt AS (SELECT doc_id, term FROM toks
+       |  WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})),
+       |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM qt GROUP BY 1, 2),
+       |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM qt GROUP BY 1),
+       |parts AS (
+       |  SELECT tf.doc_id,
+       |    ln(1.0 + (s.n::DOUBLE - df.df + 0.5) / (df.df + 0.5))
+       |      * (tf.tf * ${Bm25K1 + 1.0}) /
+       |      (tf.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl / s.avgdl))
+       |      AS part
+       |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s),
+       |agg AS (
+       |  SELECT doc_id, sum(part) AS raw, count(*)::BIGINT AS n_terms_hit
+       |  FROM parts GROUP BY 1)
+       |SELECT doc_id, round(raw, 4) AS score, n_terms_hit
+       |FROM agg ORDER BY round(raw, 4) DESC, doc_id LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // F46 serve twin: the SERVED index must reproduce the batch
+    // ranking exactly, so it grades against the same SQL
+    "text_bm25_serve" -> bm25OracleSql,
     // F45 twin: same multiplicative-hash keys; the oracle uses ONE
     // per-source window — equal to the two-level rank exactly in
     // integers (keys are distinct because the multiplier is odd and
@@ -2466,31 +2505,7 @@ object TextAnalysis {
     // F15 twin: identical BM25 op sequence — BIGINT counts, one avgdl
     // ratio, libm ln, rank on shared doubles, export rounded (the F6
     // precedent)
-    "text_bm25" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
-         |  FROM documents),
-         |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
-         |stats AS (
-         |  SELECT (SELECT count(*)::BIGINT FROM documents) AS n,
-         |    (SELECT sum(dl)::DOUBLE / (SELECT count(*) FROM documents)
-         |     FROM dl) AS avgdl),
-         |qt AS (SELECT doc_id, term FROM toks
-         |  WHERE term IN (${Bm25Query.map(t => s"'$t'").mkString(", ")})),
-         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM qt GROUP BY 1, 2),
-         |df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM qt GROUP BY 1),
-         |parts AS (
-         |  SELECT tf.doc_id,
-         |    ln(1.0 + (s.n::DOUBLE - df.df + 0.5) / (df.df + 0.5))
-         |      * (tf.tf * ${Bm25K1 + 1.0}) /
-         |      (tf.tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl.dl / s.avgdl))
-         |      AS part
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s),
-         |agg AS (
-         |  SELECT doc_id, sum(part) AS raw, count(*)::BIGINT AS n_terms_hit
-         |  FROM parts GROUP BY 1)
-         |SELECT doc_id, round(raw, 4) AS score, n_terms_hit
-         |FROM agg ORDER BY round(raw, 4) DESC, doc_id LIMIT 10""".stripMargin,
+    "text_bm25" -> bm25OracleSql,
     // F18 twin: same per-char contribs folded in sorted char order;
     // list_reduce's first-element init == Spark's 0-init (0+x₁ = x₁)
     "text_entropy" ->
