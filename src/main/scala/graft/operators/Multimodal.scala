@@ -1116,6 +1116,233 @@ object Multimodal {
       .orderBy($"doc_id", $"sample_idx")
   }
 
+  /** Minimal spec-shaped MPEG-1 Layer III stream (G22) — the ENCODER
+    * side of the mp3 frame walk: an ID3v2 prefix whose SYNCSAFE size
+    * the walker must decode (tagLen = 130 + id%200 spans two 7-bit
+    * bytes), n = 4 + id%5 frames whose headers carry a VARYING
+    * bitrate ladder (brIdx = 1 + (id+5i)%14 — the stream is VBR
+    * whenever the indices differ), samplerate index id%3, per-frame
+    * padding bit (id+i)%2, and (for even ids) a 128-byte ID3v1 "TAG"
+    * trailer the walker must recognize and stop at. Layout is
+    * closed-form in doc_id so the oracle replays every offset from
+    * the formula alone (frame length = 144000·kbps // hz + pad). */
+  private[graft] def mp3Bytes(docId: Long): Array[Byte] = {
+    val tagLen = (130 + docId % 200).toInt
+    val n = (4 + docId % 5).toInt
+    val srIdx = (docId % 3).toInt
+    val sr = Array(44100, 48000, 32000)(srIdx)
+    val br = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320)
+    val brIdx = Array.tabulate(n)(i => (1 + (docId + 5L * i) % 14).toInt)
+    val pads = Array.tabulate(n)(i => ((docId + i) % 2).toInt)
+    val lens = Array.tabulate(n)(i => 144000 * br(brIdx(i)) / sr + pads(i))
+    val trailer = if (docId % 2 == 0) 128 else 0
+    val bb = java.nio.ByteBuffer.allocate(10 + tagLen + lens.sum + trailer)
+    bb.put("ID3".getBytes("US-ASCII"))
+      .put(3.toByte).put(0.toByte).put(0.toByte)
+      .put(((tagLen >> 21) & 0x7f).toByte)
+      .put(((tagLen >> 14) & 0x7f).toByte)
+      .put(((tagLen >> 7) & 0x7f).toByte)
+      .put((tagLen & 0x7f).toByte)
+    var j = 0
+    while (j < tagLen) { bb.put(((docId + j) % 251).toByte); j += 1 }
+    var i = 0
+    while (i < n) {
+      bb.put(0xff.toByte).put(0xfb.toByte)
+        .put(((brIdx(i) << 4) | (srIdx << 2) | (pads(i) << 1)).toByte)
+        .put(0xc0.toByte)
+      var b = 4
+      while (b < lens(i)) { bb.put(((docId + i) % 251).toByte); b += 1 }
+      i += 1
+    }
+    if (trailer > 0) {
+      bb.put("TAG".getBytes("US-ASCII"))
+      var t = 3
+      while (t < 128) { bb.put(0.toByte); t += 1 }
+    }
+    bb.array()
+  }
+
+  /** G22 frame table over mp3 payloads — one row per frame with its
+    * absolute byte range and header fields (the audio read plan). */
+  def mp3FrameTable(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets
+      .select($"doc_id",
+        explode(graft.functions.MpegAudio.mp3Frames($"payload")).as("f"))
+      .select($"doc_id", $"f.frame_idx".as("frame_idx"),
+        $"f.offset".as("offset"), $"f.frame_bytes".as("frame_bytes"),
+        $"f.bitrate_kbps".as("bitrate_kbps"),
+        $"f.sample_rate".as("sample_rate"), $"f.padding".as("padding"))
+  }
+
+  /** G22 graded entry (`mm_mp3_frames`): the synthesized mp3s walked
+    * back frame by frame — a hash match proves the syncsafe ID3
+    * skip, the header field extraction, the spec's frame-length
+    * arithmetic, and the ID3v1 trailer stop all agree with the
+    * closed-form layout. */
+  private def mp3FramesEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, mp3Bytes(id))).toDF("doc_id", "payload")
+    mp3FrameTable(payloads).orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** G23 graded entry (`mm_mp3_summary`): the curation-level signal
+    * the frame walk exists for — per asset: frame count, CBR/VBR
+    * flag (distinct bitrates on the actual ladder, where the ID3
+    * header could lie), mean bitrate in exact ppk, payload byte
+    * span, and the EXACT duration in ms (1152 samples per MPEG-1
+    * Layer III frame; integer floor-div on both sides). */
+  private def mp3SummaryEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, mp3Bytes(id))).toDF("doc_id", "payload")
+    mp3FrameTable(payloads)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct($"bitrate_kbps").as("n_bitrates"),
+        sum($"frame_bytes").as("frame_span"),
+        sum($"bitrate_kbps").as("kbps_sum"),
+        max($"sample_rate").as("sample_rate"))
+      .select($"doc_id", $"n_frames",
+        when($"n_bitrates" === 1, 1L).otherwise(0L).as("is_cbr"),
+        $"frame_span",
+        expr("kbps_sum * 1000 div n_frames").as("mean_bitrate_ppk"),
+        expr("n_frames * 1152 * 1000 div sample_rate").as("duration_ms"))
+      .orderBy($"doc_id")
+  }
+
+  /** Minimal spec-shaped FLAC header (G24) — the ENCODER side of the
+    * STREAMINFO bit-parse: "fLaC", a STREAMINFO first block with
+    * every bit-packed field closed-form in doc_id (sample rate
+    * 32000 + (id%5)·4000 in 20 bits, channels 1 + id%2 in 3,
+    * bits-per-sample 16 + 8·(id%2) in 5, total samples
+    * 100000 + (id·7919)%1000000 in 36), then a PADDING block of
+    * 5 + id%10 bytes carrying the LAST flag — the walker must skip
+    * it by declared length and count it. */
+  private[graft] def flacBytes(docId: Long): Array[Byte] = {
+    val minBs = 1024 + (docId % 1024).toInt
+    val maxBs = minBs + (docId % 512).toInt
+    val minFs = 100 + (docId % 1000).toInt
+    val maxFs = minFs + (docId % 5000).toInt
+    val sr = 32000 + ((docId % 5) * 4000).toInt
+    val ch = 1 + (docId % 2).toInt
+    val bps = 16 + 8 * (docId % 2).toInt
+    val ts = 100000L + (docId * 7919L) % 1000000L
+    val padLen = (5 + docId % 10).toInt
+    val bb = java.nio.ByteBuffer.allocate(4 + 4 + 34 + 4 + padLen)
+    bb.put("fLaC".getBytes("US-ASCII"))
+    bb.put(0.toByte).put(0.toByte).put(0.toByte).put(34.toByte)
+    bb.putShort(minBs.toShort).putShort(maxBs.toShort)
+    bb.put((minFs >> 16).toByte).put((minFs >> 8).toByte).put(minFs.toByte)
+    bb.put((maxFs >> 16).toByte).put((maxFs >> 8).toByte).put(maxFs.toByte)
+    bb.put((sr >> 12).toByte).put(((sr >> 4) & 0xff).toByte)
+      .put((((sr & 0xf) << 4) | ((ch - 1) << 1) | ((bps - 1) >> 4)).toByte)
+      .put(((((bps - 1) & 0xf) << 4) | ((ts >> 32) & 0xf).toInt).toByte)
+      .put(((ts >> 24) & 0xff).toByte).put(((ts >> 16) & 0xff).toByte)
+      .put(((ts >> 8) & 0xff).toByte).put((ts & 0xff).toByte)
+    var j = 0
+    while (j < 16) { bb.put(((docId + j) % 251).toByte); j += 1 }
+    bb.put(0x81.toByte) // LAST | PADDING
+    bb.put(0.toByte).put(0.toByte).put(padLen.toByte)
+    j = 0
+    while (j < padLen) { bb.put(0.toByte); j += 1 }
+    bb.array()
+  }
+
+  /** G24 graded entry (`mm_flac_info`): the synthesized headers
+    * parsed back — a hash match proves the bit unpacking (20/3/5/36
+    * bit fields across byte boundaries), the block-chain walk, and
+    * the exact integer duration all agree with the closed form. */
+  private def flacInfoEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, flacBytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id",
+        graft.functions.FlacInfo.flacInfo($"payload").as("fi"))
+      .select($"doc_id",
+        $"fi.min_blocksize".as("min_blocksize"),
+        $"fi.max_blocksize".as("max_blocksize"),
+        $"fi.min_framesize".as("min_framesize"),
+        $"fi.max_framesize".as("max_framesize"),
+        $"fi.sample_rate".as("sample_rate"),
+        $"fi.channels".as("channels"),
+        $"fi.bits_per_sample".as("bits_per_sample"),
+        $"fi.total_samples".as("total_samples"),
+        $"fi.n_blocks".as("n_blocks"),
+        $"fi.duration_ms".as("duration_ms"))
+      .orderBy($"doc_id")
+  }
+
+  /** Minimal spec-shaped Exif JPEG (G25) — the ENCODER side of the
+    * TIFF IFD walk: SOI, an APP0/JFIF segment the marker scan must
+    * SKIP (every third id), then APP1 "Exif\0\0" wrapping a TIFF
+    * whose byte order ALTERNATES by id ("II" even / "MM" odd — the
+    * walk is exercised against both), magic 42, and an IFD0 of four
+    * ascending tags: ImageWidth (LONG, inline), Make (ASCII count 6
+    * — forced OUT-OF-LINE via its offset), Orientation (SHORT,
+    * inline in the field's first two bytes), XResolution (RATIONAL
+    * at an offset). All values closed-form in doc_id. */
+  private[graft] def exifBytes(docId: Long): Array[Byte] = {
+    val le = docId % 2 == 0
+    val width = (640 + docId % 1280).toInt
+    val orient = (1 + docId % 8).toInt
+    val mk = ("CAM" + ('0' + (docId % 10).toInt).toChar +
+      ('A' + (docId % 7).toInt).toChar).getBytes("US-ASCII") ++
+      Array[Byte](0)
+    val xnum = (72 + docId % 9).toInt
+    val xden = (1 + docId % 3).toInt
+    val tiff = java.nio.ByteBuffer.allocate(76).order(
+      if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    tiff.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+      .putShort(42.toShort).putInt(8)
+    tiff.putShort(4.toShort)
+    tiff.putShort(0x0100.toShort).putShort(4.toShort).putInt(1)
+      .putInt(width)
+    tiff.putShort(0x010f.toShort).putShort(2.toShort).putInt(6)
+      .putInt(62)
+    tiff.putShort(0x0112.toShort).putShort(3.toShort).putInt(1)
+      .putShort(orient.toShort).putShort(0.toShort)
+    tiff.putShort(0x011a.toShort).putShort(5.toShort).putInt(1)
+      .putInt(68)
+    tiff.putInt(0) // next IFD
+    tiff.put(mk).putInt(xnum).putInt(xden)
+    val app0 =
+      if (docId % 3 == 0)
+        Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16) ++
+          "JFIF".getBytes("US-ASCII") ++ Array.fill(10)(0.toByte)
+      else Array.empty[Byte]
+    val app1Len = 2 + 6 + 76
+    Array(0xff.toByte, 0xd8.toByte) ++ app0 ++
+      Array(0xff.toByte, 0xe1.toByte,
+        ((app1Len >> 8) & 0xff).toByte, (app1Len & 0xff).toByte) ++
+      "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++
+      tiff.array() ++ Array(0xff.toByte, 0xd9.toByte)
+  }
+
+  /** G25 graded entry (`mm_exif_meta`): the synthesized Exif JPEGs
+    * walked back — a hash match proves the marker scan, BOTH byte
+    * orders, inline vs offset value resolution, the SHORT-in-field
+    * layout, and the ASCII NUL strip all agree with the closed
+    * form. */
+  private def exifMetaEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, exifBytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id",
+        graft.functions.TiffIfd.exifMetaCol($"payload").as("ex"))
+      .select($"doc_id", $"ex.endian".as("endian"),
+        $"ex.n_entries".as("n_entries"),
+        $"ex.image_width".as("image_width"),
+        $"ex.orientation".as("orientation"), $"ex.make".as("make"),
+        $"ex.xres_num".as("xres_num"), $"ex.xres_den".as("xres_den"))
+      .orderBy($"doc_id")
+  }
+
   /** Exact integer PCM statistics per decoded file (rms is the one
     * double, derived from the exact sum of squares). */
   case class WavStats(doc_id: Long, sample_rate: Long, n_samples: Long,
@@ -1479,6 +1706,10 @@ object Multimodal {
     "mm_mp4_tracks" -> mp4TracksEntry,
     "mm_mp4_audio_plan" -> mp4AudioPlanEntry,
     "mm_mp4_keyframe_plan" -> mp4KeyframePlanEntry,
+    "mm_mp3_frames" -> mp3FramesEntry,
+    "mm_mp3_summary" -> mp3SummaryEntry,
+    "mm_flac_info" -> flacInfoEntry,
+    "mm_exif_meta" -> exifMetaEntry,
     "mm_wav_stats" -> wavStatsEntry,
     "mm_binary_meta" -> binaryMetaHex,
     // exactly graded since round 7 (was rows-only on the stub
@@ -1488,6 +1719,92 @@ object Multimodal {
     "mm_phash_dedup" -> phashDedupEntry)
 
   val oracles: Map[String, String] = Map(
+    // G22 twin: the closed-form mp3 layout replayed — syncsafe tag
+    // offset, the bitrate/samplerate ladders as 1-based list lookups,
+    // the spec's integer frame-length formula, offsets by window sum
+    "mm_mp3_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, 130 + doc_id % 200 AS taglen,
+        |    (4 + doc_id % 5)::INT AS n, (doc_id % 3)::INT AS sridx
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, taglen, sridx,
+        |    unnest(range(0, n))::BIGINT AS i
+        |  FROM d),
+        |v AS (
+        |  SELECT doc_id, taglen, i,
+        |    list_value(32,40,48,56,64,80,96,112,128,160,192,224,256,
+        |      320)[(1 + (doc_id + 5 * i) % 14)::INT] AS kbps,
+        |    list_value(44100,48000,32000)[sridx + 1] AS hz,
+        |    (doc_id + i) % 2 AS pad
+        |  FROM f),
+        |w AS (
+        |  SELECT doc_id, i, kbps, hz, pad,
+        |    144000 * kbps // hz + pad AS flen,
+        |    10 + taglen + coalesce(sum(144000 * kbps // hz + pad)
+        |      OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM v)
+        |SELECT doc_id, i AS frame_idx, off::BIGINT AS offset,
+        |  flen::BIGINT AS frame_bytes, kbps::BIGINT AS bitrate_kbps,
+        |  hz::BIGINT AS sample_rate, pad::BIGINT AS padding
+        |FROM w ORDER BY doc_id, frame_idx""".stripMargin,
+    // G23 twin: the same ladder folded to the per-asset signal —
+    // every derived column integer floor-div on both sides
+    "mm_mp3_summary" ->
+      """WITH d AS (
+        |  SELECT doc_id, (4 + doc_id % 5)::INT AS n,
+        |    (doc_id % 3)::INT AS sridx
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, sridx, unnest(range(0, n))::BIGINT AS i
+        |  FROM d),
+        |v AS (
+        |  SELECT doc_id, i,
+        |    list_value(32,40,48,56,64,80,96,112,128,160,192,224,256,
+        |      320)[(1 + (doc_id + 5 * i) % 14)::INT] AS kbps,
+        |    list_value(44100,48000,32000)[sridx + 1] AS hz,
+        |    (doc_id + i) % 2 AS pad
+        |  FROM f)
+        |SELECT doc_id, count(*)::BIGINT AS n_frames,
+        |  (CASE WHEN count(DISTINCT kbps) = 1 THEN 1 ELSE 0
+        |   END)::BIGINT AS is_cbr,
+        |  sum(144000 * kbps // hz + pad)::BIGINT AS frame_span,
+        |  (sum(kbps) * 1000 // count(*))::BIGINT AS mean_bitrate_ppk,
+        |  (count(*) * 1152 * 1000 // max(hz))::BIGINT AS duration_ms
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // G25 twin: the closed-form IFD values replayed — the endianness
+    // CASE is the whole point (the walk must produce identical
+    // values from both byte orders)
+    "mm_exif_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS endian,
+        |  4::BIGINT AS n_entries,
+        |  (640 + doc_id % 1280)::BIGINT AS image_width,
+        |  (1 + doc_id % 8)::BIGINT AS orientation,
+        |  'CAM' || (doc_id % 10)::VARCHAR
+        |    || chr((65 + doc_id % 7)::INT) AS make,
+        |  (72 + doc_id % 9)::BIGINT AS xres_num,
+        |  (1 + doc_id % 3)::BIGINT AS xres_den
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // G24 twin: the closed-form STREAMINFO fields replayed directly
+    // (the bit packing cancels: encoder packs, walker unpacks) —
+    // duration integer floor-div on both sides
+    "mm_flac_info" ->
+      """SELECT doc_id,
+        |  (1024 + doc_id % 1024)::BIGINT AS min_blocksize,
+        |  (1024 + doc_id % 1024 + doc_id % 512)::BIGINT AS max_blocksize,
+        |  (100 + doc_id % 1000)::BIGINT AS min_framesize,
+        |  (100 + doc_id % 1000 + doc_id % 5000)::BIGINT AS max_framesize,
+        |  (32000 + (doc_id % 5) * 4000)::BIGINT AS sample_rate,
+        |  (1 + doc_id % 2)::BIGINT AS channels,
+        |  (16 + 8 * (doc_id % 2))::BIGINT AS bits_per_sample,
+        |  (100000 + (doc_id * 7919) % 1000000)::BIGINT AS total_samples,
+        |  2::BIGINT AS n_blocks,
+        |  ((100000 + (doc_id * 7919) % 1000000) * 1000
+        |    // (32000 + (doc_id % 5) * 4000))::BIGINT AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // G18 twin: both traks' closed-form metadata — a hash match
     // proves the multi-trak walk, the real hdlr parse, BOTH mdhd
     // layouts (v0 32-bit, v1 64-bit) and the stco/co64 counts

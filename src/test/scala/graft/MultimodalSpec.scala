@@ -726,4 +726,191 @@ class MultimodalSpec extends AnyFunSuite {
       .as[Int].collect().head
     assert(nCut == 0, s"truncated largesize yielded $nCut tracks")
   }
+
+  test("G22 mp3 frame walk: hand-built stream, syncsafe skip, ID3v1 stop, malformed quarantines") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, size}
+    import graft.functions.MpegAudio
+    def frame(b2: Int, bodyTo: Int): Array[Byte] =
+      Array(0xff.toByte, 0xfb.toByte, b2.toByte, 0xc0.toByte) ++
+        Array.fill(bodyTo - 4)(0x11.toByte)
+    // hand-computed: brIdx 9 = 128 kbps @ 44100 pad 1 → 418 bytes;
+    // brIdx 4 = 56 kbps pad 0 → 182 bytes
+    val f0 = frame((9 << 4) | 2, 144000 * 128 / 44100 + 1)
+    val f1 = frame(4 << 4, 144000 * 56 / 44100)
+    // ID3v2 prefix: tagLen 300 spans two syncsafe bytes (2, 44)
+    val id3 = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 0, 2, 44) ++ Array.fill(300)(0x22.toByte)
+    val trailer = "TAG".getBytes("US-ASCII") ++ Array.fill(125)(0.toByte)
+    val mp3 = id3 ++ f0 ++ f1 ++ trailer
+    val got = Seq((1L, mp3)).toDF("doc_id", "payload")
+      .select(explode(MpegAudio.mp3Frames($"payload")).as("f"))
+      .select($"f.frame_idx", $"f.offset", $"f.frame_bytes",
+        $"f.bitrate_kbps", $"f.sample_rate", $"f.padding")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+    assert(got == Seq((0L, 310L, 418L, 128L, 44100L, 1L),
+      (1L, 728L, 182L, 56L, 44100L, 0L)), s"got $got")
+    // a bare stream (no ID3v2, no trailer) walks from byte 0
+    val bare = Seq((1L, f1)).toDF("doc_id", "payload")
+      .select(explode(MpegAudio.mp3Frames($"payload")).as("f"))
+      .select($"f.offset", $"f.frame_bytes")
+      .as[(Long, Long)].collect().toSeq
+    assert(bare == Seq((0L, 182L)), s"bare $bare")
+    // malformed inputs quarantine to zero frames, never throw:
+    // syncsafe high bit, MPEG-2 header, Layer II, free bitrate, bad
+    // bitrate, reserved samplerate, truncated frame, trailing junk
+    val badSyncsafe = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 0, 0x80.toByte, 1) ++ f0
+    val mpeg2 = f0.clone(); mpeg2(1) = 0xf3.toByte
+    val layer2 = f0.clone(); layer2(1) = 0xfd.toByte
+    val freeBr = f0.clone(); freeBr(2) = 0x02.toByte
+    val badBr = f0.clone(); badBr(2) = 0xf2.toByte
+    val badSr = f0.clone(); badSr(2) = 0x9e.toByte
+    for (bad <- Seq(badSyncsafe, mpeg2, layer2, freeBr, badBr, badSr,
+        f0.take(100), f0 ++ "junk".getBytes("US-ASCII"),
+        "garbage".getBytes("US-ASCII"))) {
+      val n = Seq((1L, bad)).toDF("doc_id", "payload")
+        .select(size(MpegAudio.mp3Frames($"payload")).as("n"))
+        .as[Int].collect().head
+      assert(n == 0, s"malformed payload yielded $n frames")
+    }
+    // the synthesized corpus shape: walker == closed-form layout
+    val id = 3L
+    val syn = Seq((id, graft.operators.Multimodal.mp3Bytes(id)))
+      .toDF("doc_id", "payload")
+    val rows = graft.operators.Multimodal.mp3FrameTable(syn)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._2)
+    val brTab = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+      192, 224, 256, 320)
+    val n = (4 + id % 5).toInt
+    assert(rows.length == n, s"${rows.length} frames, want $n")
+    var off = 10L + 130 + id % 200
+    for (i <- 0 until n) {
+      val kbps = brTab((1 + (id + 5L * i) % 14).toInt)
+      val flen = 144000 * kbps / 44100 + ((id + i) % 2).toInt
+      assert(rows(i) == ((id, i.toLong, off, flen.toLong, kbps.toLong,
+        44100L, (id + i) % 2)), s"frame $i: ${rows(i)}")
+      off += flen
+    }
+  }
+
+  test("G24 flac streaminfo: hand-packed bits exact, chain walk counts blocks, malformed quarantines") {
+    import spark.implicits._
+    import graft.functions.FlacInfo
+    import org.apache.spark.sql.functions.col
+    // hand-packed: sr 44100, 2 ch, 16 bps, 1,234,567 total samples
+    val streaminfo = Array[Byte](
+      0x04, 0x00, 0x10, 0x00, // min/max blocksize 1024/4096
+      0x00, 0x00, 0x64, 0x00, 0x10, 0x00, // min/max framesize 100/4096
+      0x0a, 0xc4.toByte, 0x42, 0xf0.toByte, // sr|ch|bps packing
+      0x00, 0x12, 0xd6.toByte, 0x87.toByte) ++ // ts = 1234567
+      Array.fill(16)(0.toByte) // md5
+    val good = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x00, 0x00, 0x00, 34) ++ streaminfo ++
+      Array[Byte](0x81.toByte, 0x00, 0x00, 0x03, 0, 0, 0)
+    val got = Seq((1L, good)).toDF("doc_id", "payload")
+      .select(FlacInfo.flacInfo($"payload").as("fi"))
+      .select(col("fi.*"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(got == ((1024L, 4096L, 100L, 4096L, 44100L, 2L, 16L,
+      1234567L, 2L, 1234567L * 1000L / 44100L)), s"got $got")
+    // malformed inputs parse to NULL, never throw: bad magic, first
+    // block not STREAMINFO, wrong length, truncated, chain overrun,
+    // missing LAST flag, zero sample rate
+    val notFirst = good.clone(); notFirst(4) = 0x01
+    val badLen = good.clone(); badLen(7) = 35
+    val overrun = good.clone(); overrun(45) = 99 // padding len 99 > EOF
+    val noLast = good.clone(); noLast(42) = 0x01 // padding not LAST
+    val zeroSr = good.clone()
+    zeroSr(18) = 0; zeroSr(19) = 0; zeroSr(20) = (zeroSr(20) & 0x0f).toByte
+    for (bad <- Seq("fLaX".getBytes("US-ASCII") ++ good.drop(4),
+        notFirst, badLen, good.take(30), overrun, noLast, zeroSr,
+        Array[Byte](1, 2, 3))) {
+      val n = Seq((1L, bad)).toDF("doc_id", "payload")
+        .select(FlacInfo.flacInfo($"payload").isNull.as("n"))
+        .as[Boolean].collect().head
+      assert(n, "malformed payload parsed to a non-null row")
+    }
+    // the synthesized corpus shape: walker == closed form
+    val id = 7L
+    val syn = Seq((id, graft.operators.Multimodal.flacBytes(id)))
+      .toDF("doc_id", "payload")
+      .select(FlacInfo.flacInfo($"payload").as("fi"))
+      .select(col("fi.*"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    val ts = 100000L + (id * 7919L) % 1000000L
+    val sr = 32000L + (id % 5) * 4000L
+    assert(syn == ((1024L + id % 1024, 1024L + id % 1024 + id % 512,
+      100L + id % 1000, 100L + id % 1000 + id % 5000, sr, 1L + id % 2,
+      16L + 8L * (id % 2), ts, 2L, ts * 1000L / sr)), s"syn $syn")
+  }
+
+  test("G25 exif ifd walk: hand-built LE, synthesized MM, partial tags null, malformed quarantines") {
+    import spark.implicits._
+    import graft.functions.TiffIfd
+    import org.apache.spark.sql.functions.col
+    // hand-built little-endian: SHORT width 800, orientation 6,
+    // no Make/XResolution → those fields null, row present
+    def exifJpeg(tiff: Array[Byte]): Array[Byte] = {
+      val l = 2 + 6 + tiff.length
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe1.toByte,
+        ((l >> 8) & 0xff).toByte, (l & 0xff).toByte) ++
+        "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff ++
+        Array(0xff.toByte, 0xd9.toByte)
+    }
+    val tiffLe = "II".getBytes("US-ASCII") ++ Array[Byte](
+      0x2a, 0x00, 8, 0, 0, 0,
+      2, 0, // two entries
+      0x00, 0x01, 3, 0, 1, 0, 0, 0, 0x20, 0x03, 0, 0, // width 800
+      0x12, 0x01, 3, 0, 1, 0, 0, 0, 6, 0, 0, 0, // orientation 6
+      0, 0, 0, 0) // next IFD
+    def parse(bytes: Array[Byte]): Seq[(String, Long, Option[Long],
+        Option[Long], Option[String], Option[Long], Option[Long])] =
+      Seq((1L, bytes)).toDF("doc_id", "payload")
+        .select(TiffIfd.exifMetaCol($"payload").as("ex"))
+        .filter($"ex".isNotNull).select(col("ex.*"))
+        .as[(String, Long, Option[Long], Option[Long], Option[String],
+          Option[Long], Option[Long])].collect().toSeq
+    assert(parse(exifJpeg(tiffLe)) ==
+      Seq(("II", 2L, Some(800L), Some(6L), None, None, None)))
+    // a well-formed IFD whose Make offset runs out of bounds keeps
+    // the row, nulls the field (directory semantics)
+    val tiffBadMake = "II".getBytes("US-ASCII") ++ Array[Byte](
+      0x2a, 0x00, 8, 0, 0, 0,
+      1, 0,
+      0x0f, 0x01, 2, 0, 6, 0, 0, 0, 0x0f, 0x27, 0, 0, // offset 9999
+      0, 0, 0, 0)
+    assert(parse(exifJpeg(tiffBadMake)) ==
+      Seq(("II", 1L, None, None, None, None, None)))
+    // structural malformation → NULL row: no SOI, SOS before APP1,
+    // bad TIFF magic, IFD offset past segment, entry table overrun
+    val noApp1 = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte,
+      0xda.toByte, 0, 4, 0, 0)
+    val badMagic = tiffLe.clone(); badMagic(2) = 0x2b
+    val farIfd = tiffLe.clone(); farIfd(4) = 99.toByte
+    val overrun = tiffLe.clone(); overrun(8) = 50 // claims 50 entries
+    for (bad <- Seq(Array[Byte](1, 2, 3), noApp1, exifJpeg(badMagic),
+        exifJpeg(farIfd), exifJpeg(overrun))) {
+      assert(parse(bad).isEmpty, "malformed payload parsed non-null")
+    }
+    // the synthesized corpus shape, BOTH endians (id 4 = II with a
+    // JFIF prefix to skip; id 7 = MM)
+    for (id <- Seq(4L, 7L)) {
+      val syn = Seq((id, graft.operators.Multimodal.exifBytes(id)))
+        .toDF("doc_id", "payload")
+        .select(TiffIfd.exifMetaCol($"payload").as("ex"))
+        .select(col("ex.*"))
+        .as[(String, Long, Option[Long], Option[Long], Option[String],
+          Option[Long], Option[Long])].collect().head
+      val mk = "CAM" + ('0' + (id % 10).toInt).toChar +
+        ('A' + (id % 7).toInt).toChar
+      assert(syn == (((if (id % 2 == 0) "II" else "MM"), 4L,
+        Some(640L + id % 1280), Some(1L + id % 8), Some(mk),
+        Some(72L + id % 9), Some(1L + id % 3))), s"id $id: $syn")
+    }
+  }
 }
