@@ -661,6 +661,78 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank (Page et al. 1999 §6; the proximity prior
+    * behind seed-anchored corpus curation — "weight documents by
+    * their link proximity to a trusted seed set", the TrustRank
+    * shape): identical integer fixed-point recurrence to [[pageRank]]
+    * except the teleport term lands ONLY on seed nodes — r₀ = 10¹²
+    * on seeds / 0 elsewhere, and the per-iteration reset 1.5·10¹¹
+    * multiplies the seed indicator. Mass therefore flows outward
+    * from the seeds along edges and decays by 0.85 per hop; nodes
+    * unreachable from the seed set stay at exactly 0 (a useful
+    * audit: the nonzero support IS the seed cone). Same plan shape
+    * per iteration as [[pageRank]] — one broadcast-joined scan of
+    * the cached edge list + one map-side-combinable long-sum — so
+    * the 10¹¹-edge posture carries over unchanged.
+    *
+    * @param edges (src, dst) directed pairs; duplicates collapsed
+    * @param seeds (node) seed rows; intersected with graph nodes
+    * @return (node, r) fixed-point 10⁻¹² rank, zeros included
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val e = edges.select($"src", $"dst").distinct().persist()
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg")).persist()
+    val nodes = e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct()
+    // seed indicator folded onto the node frame once; the seed set
+    // is tiny by construction, so the join broadcasts
+    val marked = nodes
+      .join(seeds.select($"node", lit(1L).as("s_flag")).distinct(),
+        Seq("node"), "left")
+      .select($"node", coalesce($"s_flag", lit(0L)).as("is_seed"))
+      .persist()
+    var ranks = marked.select($"node",
+      (lit(1000000000000L) * $"is_seed").as("r"))
+    for (i <- 1 to iters) {
+      val w = deg.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select($"src", expr("r div outdeg").as("contrib"))
+      val sums = e.join(w, "src")
+        .groupBy($"dst").agg(sum($"contrib").as("s"))
+      ranks = marked
+        .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select($"node", $"is_seed",
+          (lit(150000000000L) * $"is_seed" +
+            expr("coalesce(s, 0L) * 17 div 20")).as("r"))
+        .select($"node", $"r")
+      if (i % 4 == 0 || i == iters) ranks = truncate(ranks)
+    }
+    deg.unpersist(); marked.unpersist(); e.unpersist()
+    ranks
+  }
+
+  /** q_ppr: 5 personalized-PageRank iterations over the
+    * supplier→customer trade graph, seeded at every 20th supplier
+    * (the BFS seed convention) — the proximity-to-trusted-sellers
+    * prior over the customer space. */
+  def pprTrade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(concat(lit("s"), $"l_suppkey".cast("string")).as("src"),
+        concat(lit("c"), $"o_custkey".cast("string")).as("dst"))
+    val seeds = Tables.supplier(s, dir)
+      .filter($"s_suppkey" % 20 === 1)
+      .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"))
+    personalizedPageRank(edges, seeds, 5)
+      .select($"node", $"r".as("ppr_fp"),
+        round($"r".cast("double") / 1e12, 6).as("ppr"))
+      .orderBy($"node")
+  }
+
   /** Per-node triangle counts by DEGREE-ORIENTED wedge enumeration
     * (Schank/Wagner "forward" / Latapy compact-forward — the standard
     * O(E^{3/2}) bound): every undirected edge is directed from its
@@ -1464,6 +1536,7 @@ object Graph {
     "q_powerlaw" -> powerlawCoOrder,
     "q_assortativity" -> assortativityCoOrder,
     "q_pagerank" -> pageRankTrade,
+    "q_ppr" -> pprTrade,
     "q_triangles" -> trianglesCoOrder,
     "q_bfs_hops" -> bfsSupplyChain,
     "q_link_predict" -> linkPredictCoOrder,
@@ -1498,6 +1571,47 @@ object Graph {
        |$iterCtes
        |SELECT node, r AS rank_fp,
        |  round(r::DOUBLE / 1e12, 6) AS rank
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled personalized-PageRank twin — the [[pageRankSql]] chain
+    * with the teleport term gated on the seed indicator. */
+  private def pprSql(iters: Int): String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |deg AS (
+        |  SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (
+        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |seeds AS (
+        |  SELECT DISTINCT 's' || s_suppkey AS node FROM supplier
+        |  WHERE s_suppkey % 20 = 1),
+        |m AS (
+        |  SELECT n.node,
+        |    (CASE WHEN s.node IS NULL THEN 0 ELSE 1 END)::BIGINT
+        |      AS is_seed
+        |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+        |r0 AS (
+        |  SELECT node, (1000000000000 * is_seed)::BIGINT AS r FROM m)"""
+        .stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT m.node,
+         |    (150000000000 * m.is_seed
+         |      + coalesce(c.s, 0) * 17 // 20)::BIGINT AS r
+         |  FROM m LEFT JOIN (
+         |    SELECT e.dst, sum(rr.r // d.outdeg)::BIGINT AS s
+         |    FROM edges e
+         |    JOIN deg d ON e.src = d.src
+         |    JOIN r${i - 1} rr ON rr.node = e.src
+         |    GROUP BY e.dst) c ON m.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iterCtes
+       |SELECT node, r AS ppr_fp,
+       |  round(r::DOUBLE / 1e12, 6) AS ppr
        |FROM r$iters ORDER BY node""".stripMargin
   }
 
@@ -1857,6 +1971,7 @@ object Graph {
         |ORDER BY cand.cn DESC, jaccard_ppm DESC, cand.x, cand.y
         |LIMIT 100""".stripMargin,
     "q_pagerank" -> pageRankSql(5),
+    "q_ppr" -> pprSql(5),
     "q_bfs_hops" -> bfsSql(4),
     "q_kcore" -> kcoreSql(3, 6),
     // degree-oriented forward counting, integer-exact throughout

@@ -134,6 +134,37 @@ class GraphSpec extends AnyFunSuite {
     for ((k, v) <- r2) assert(got(k) == v, s"$k: ${got(k)} vs $v")
   }
 
+  test("I18 personalized pageRank: mass flows only from the seed cone, off-graph seeds ignored") {
+    import spark.implicits._
+    // a→b, a→c, b→c seeded at {a}: only a carries teleport mass, so
+    // b and c hold pure flow-through rank and a node OUTSIDE the
+    // seed cone would stay at exactly 0; the off-graph seed "zz"
+    // must be ignored (seed set intersects graph nodes)
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val seeds = Seq("a", "zz").toDF("node")
+    val got = Graph.personalizedPageRank(edges, seeds, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val R = 150000000000L
+    def flow(s: Long) = s * 17 / 20
+    val r1 = Map("a" -> R,
+      "b" -> flow(1000000000000L / 2),
+      "c" -> flow(1000000000000L / 2))
+    val r2 = Map("a" -> R,
+      "b" -> flow(r1("a") / 2),
+      "c" -> flow(r1("a") / 2 + r1("b") / 1))
+    assert(got.keySet == Set("a", "b", "c"), s"nodes ${got.keySet}")
+    for ((k, v) <- r2) assert(got(k) == v, s"$k: ${got(k)} vs $v")
+    // an isolated non-seed component stays at exactly zero
+    val edges2 = Seq(("a", "b"), ("x", "y")).toDF("src", "dst")
+    val got2 = Graph.personalizedPageRank(edges2,
+        Seq("a").toDF("node"), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2("x") == 0L && got2("y") == 0L,
+      s"non-cone nodes must hold 0: $got2")
+    assert(got2("a") == R && got2("b") == flow(R),
+      s"seed cone: $got2")
+  }
+
   test("pageRank collapses duplicate edges; disconnected node holds reset") {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("a", "b"), ("x", "y")).toDF("src", "dst")
