@@ -719,6 +719,57 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** F47 interpolated KNESER-NEY bigram scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1998 — the smoothing that made count-based LMs
+    * competitive, and the model class CCNet-style quality filters
+    * actually deploy): per corpus bigram,
+    * P(t₂|t₁) = max(c₁₂ − D, 0)/c₁ + (D·N₁₊(t₁,•)/c₁)·P_cont(t₂)
+    * with D = 0.75 and P_cont(t₂) = N₁₊(•,t₂)/N₁₊(••) — the
+    * CONTINUATION probability ("how many contexts does t₂ follow")
+    * that add-one smoothing lacks; per doc, the mean bigram log
+    * probability. Absolute discounting beats the F19 add-one
+    * baseline exactly where curation needs it: frequent-but-
+    * context-bound tokens stop looking probable everywhere.
+    * Exactness: every count is an exact corpus BIGINT; the float
+    * composition A + B·C (A, B, C each one division) is mirrored
+    * with IDENTICAL parenthesization and fold order (sorted (t₁,t₂)
+    * contributions) in the twin, ln is correctly-rounded libm both
+    * engines (the F16 precedent), rounded at export.
+    * Shape: one tokenization pass (localCheckpointed), corpus
+    * bigram/context/continuation aggregates are vocabulary-sized,
+    * the distinct-bigram total collects as ONE driver long, and the
+    * per-doc fold is map-side combinable. */
+  def knLm(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bi = docs.select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(slice(w, 1, size(w) - 1), (t, i) -> struct(t as t1, w[i + 1] as t2))"))
+        .as("b"))
+      .select($"doc_id", $"b.t1".as("t1"), $"b.t2".as("t2"))
+      .groupBy($"doc_id", $"t1", $"t2").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cb = bi.groupBy($"t1", $"t2").agg(sum($"c").as("cb"))
+      .localCheckpoint()
+    val cf = cb.groupBy($"t1")
+      .agg(sum($"cb").as("cf"), count(lit(1)).as("n1f"))
+    val bw = cb.groupBy($"t2").agg(count(lit(1)).as("n1b"))
+    val nbb = cb.count()
+    bi.join(cb, Seq("t1", "t2")).join(cf, Seq("t1")).join(bw, Seq("t2"))
+      .withColumn("contrib", $"c" * log(
+        greatest($"cb" - lit(0.75), lit(0.0)) / $"cf" +
+          lit(0.75) * $"n1f" / $"cf" * ($"n1b" / lit(nbb.toDouble))))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"t1", $"t2", $"contrib")))
+          .as("parts"),
+        sum($"c").as("n_bigrams"))
+      .withColumn("lp",
+        expr("aggregate(transform(parts, x -> x.contrib), 0D, (acc, x) -> acc + x)"))
+      .select($"doc_id", $"n_bigrams",
+        round($"lp" / $"n_bigrams", 4).as("kn_lm"))
+      .orderBy($"doc_id")
+  }
+
   private val CollocMinCount = 5
   private val CollocTopK = 20
 
@@ -1685,6 +1736,7 @@ object TextAnalysis {
     }),
     "text_lm_score" -> onDocs(lmScore),
     "text_bigram_lm" -> onDocs(bigramLm),
+    "text_kn_lm" -> onDocs(knLm),
     "text_collocations" -> onDocs(collocations),
     "text_chunk" -> onDocs(d => chunk(d)),
     "text_entropy" -> onDocs(charEntropy),
@@ -2618,6 +2670,39 @@ object TextAnalysis {
         |      list(contrib ORDER BY t1, t2)), (acc, x) -> acc + x) AS lp
         |  FROM parts GROUP BY 1)
         |SELECT doc_id, n_bigrams, round(lp / n_bigrams, 4) AS bigram_lm
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // F47 twin: the identical KN composition A + B·C with identical
+    // parenthesization (each of A, B, C one division), contributions
+    // folded in the same sorted (t1, t2) order
+    "text_kn_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, w, unnest(range(1, length(w))) AS i FROM toks),
+        |bigr AS (
+        |  SELECT doc_id, w[i] AS t1, w[i + 1] AS t2 FROM pos),
+        |bi AS (
+        |  SELECT doc_id, t1, t2, count(*)::BIGINT AS c
+        |  FROM bigr GROUP BY 1, 2, 3),
+        |cb AS (SELECT t1, t2, sum(c)::BIGINT AS cb FROM bi GROUP BY 1, 2),
+        |cf AS (
+        |  SELECT t1, sum(cb)::BIGINT AS cf, count(*)::BIGINT AS n1f
+        |  FROM cb GROUP BY 1),
+        |bw AS (SELECT t2, count(*)::BIGINT AS n1b FROM cb GROUP BY 1),
+        |nb AS (SELECT count(*)::BIGINT AS nbb FROM cb),
+        |parts AS (
+        |  SELECT b.doc_id, b.t1, b.t2, b.c,
+        |    b.c * ln(greatest(cb.cb - 0.75, 0.0) / cf.cf
+        |      + 0.75 * cf.n1f / cf.cf * (bw.n1b / nb.nbb)) AS contrib
+        |  FROM bi b JOIN cb USING (t1, t2) JOIN cf USING (t1)
+        |    JOIN bw USING (t2), nb),
+        |agg AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(contrib ORDER BY t1, t2)), (acc, x) -> acc + x) AS lp
+        |  FROM parts GROUP BY 1)
+        |SELECT doc_id, n_bigrams, round(lp / n_bigrams, 4) AS kn_lm
         |FROM agg ORDER BY doc_id""".stripMargin,
     // F16 twin: same smoothed probabilities, contributions folded in
     // the SAME sorted term order via list(... ORDER BY term) +

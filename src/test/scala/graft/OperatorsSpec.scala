@@ -893,6 +893,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L)._2 > got(2L)._2, "natural order must outscore shuffled")
   }
 
+  test("F47 Kneser-Ney LM: hand-computed discount + continuation interpolation") {
+    import spark.implicits._
+    // corpus bigrams: ab×2, ba×1, bc×2 → contexts a·=2 (1 type),
+    // b·=3 (2 types); continuations: ·a 1, ·b 1, ·c 1 of 3 distinct
+    // bigrams. P(ab) = 1.25/2 + (.75·1/2)(1/3) = 0.75;
+    // P(ba) = 0.25/3 + (.75·2/3)(1/3) = 0.25;
+    // P(bc) = 1.25/3 + (.75·2/3)(1/3) = 7/12. doc3 has no bigram.
+    val docs = Seq((1L, "a b a b c"), (2L, "b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.knLm(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(!got.contains(3L), "single-token doc carries no bigram")
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pAb = math.max(2 - 0.75, 0.0) / 2 + 0.75 * 1 / 2 * (1.0 / 3)
+    val pBa = math.max(1 - 0.75, 0.0) / 3 + 0.75 * 2 / 3 * (1.0 / 3)
+    val pBc = math.max(2 - 0.75, 0.0) / 3 + 0.75 * 2 / 3 * (1.0 / 3)
+    assert(got(1L) == ((4L, r4(
+      (2 * math.log(pAb) + math.log(pBa) + math.log(pBc)) / 4))),
+      s"doc1: ${got(1L)}")
+    assert(got(2L) == ((1L, r4(math.log(pBc)))), s"doc2: ${got(2L)}")
+    // absolute discounting: the predictable repeated bigram outscores
+    // the shuffled mix
+    assert(got(2L)._2 > got(1L)._2,
+      "pure high-count bigram must outscore the mix")
+  }
+
   test("A39 KS: hand-computed ECDF gap, smallest-value tie, non-R/N excluded") {
     import spark.implicits._
     // R = {1,2,3,4}, N = {3,4,5,6} (dollars): cross-multiplied gaps
