@@ -1085,7 +1085,14 @@ object Similarity {
   /** Reload the KB-sized model half of a persisted index. The
     * geometry (cell count, subspace count/width) comes entirely from
     * the stored rows, so indexes built at any (k, pqM, pqK) load
-    * through the one path. */
+    * through the one path. For a MANIFEST-MANAGED index the codes
+    * manifest's `split=` metas then replay over the parquet
+    * centroids in commit order — each records explicit child
+    * centroid values (set semantics, so replay over an
+    * already-updated table is a no-op), which is what couples the
+    * model to the code table ATOMICALLY: a reader sees a cell's
+    * split centroids exactly when it sees its re-encoded rows,
+    * because both ride the same pointer swap (E33). */
   private[graft] def loadIvfPqModel(spark: SparkSession,
       dir: String): IvfPqModel = {
     val cents = spark.read.parquet(s"$dir/centroids").collect()
@@ -1096,7 +1103,20 @@ object Similarity {
     val books = Array.tabulate(nSub) { j =>
       bookRows.filter(_._1 == j).map(t => (t._2, t._3)).sortBy(_._1)
     }
-    IvfPqModel(cents, books)
+    val base = IvfPqModel(cents, books)
+    if (!isPublishedIndex(spark, dir)) return base
+    val splits = graft.sources.Lake.Manifest
+      .publishedMetasOrdered(spark, codesDir(dir))
+      .filter(_.startsWith("split="))
+    if (splits.isEmpty) return base
+    val byId = scala.collection.mutable.LinkedHashMap(
+      base.centroids.toSeq: _*)
+    for (s <- splits) {
+      val parts = s.stripPrefix("split=").split(":")
+      byId(parts(0).toInt) = parts(2).split(",").map(_.toDouble)
+      byId(parts(1).toInt) = parts(3).split(",").map(_.toDouble)
+    }
+    IvfPqModel(byId.toArray.sortBy(_._1), books)
   }
 
   /** E8 SERVE: answer `queries(q_id, qv)` from a persisted index with
@@ -1181,6 +1201,116 @@ object Similarity {
     graft.sources.Lake.Manifest.publishAppend(
       ivfPqEncode(e, m), codesDir(dir), partitionBy = Seq("cell"),
       meta = meta)
+  }
+
+  /** E33 CELL SPLIT — the maintenance a STREAMED index eventually
+    * needs (the FreshDiskANN-class problem): appends skew into hot
+    * cells, and an oversized posting cell degrades every probe that
+    * touches it (the serve reads the whole cell). Splitting re-homes
+    * ONLY the hot cell's members under two child centroids — a
+    * deterministic 2-means over the cell (seeds: the min-id member,
+    * then the member farthest from it) — and RE-ENCODES them against
+    * their new centroids from the TRUE vectors (`vecs`, the corpus
+    * table the index was built from): codes are residual-encoded, so
+    * a centroid change without re-encode would silently corrupt ADC
+    * scores. Everything lands in ONE manifest commit
+    * ([[graft.sources.Lake.Manifest.publishReplacePartitions]]): the
+    * parent partition's files drop, the children's files add, and
+    * the `split=` meta carries the child centroids — so model and
+    * codes can NEVER be observed out of step (the two-table crash
+    * window of a separate centroid write does not exist). Members
+    * whose re-encode assigns them to some OTHER existing cell land
+    * there as ordinary appends (full re-homing under the new
+    * geometry). Other cells' files are byte-untouched; a crashed
+    * attempt is invisible (pointer swap last); re-running converges
+    * (the re-read parent cell is the new child-A, which splits
+    * further only if still oversized).
+    *
+    * @return the new child cell id, or -1 when the cell is too small
+    *         or degenerate (all members identical) — nothing commits
+    */
+  def splitIvfCellPublished(spark: SparkSession, dir: String,
+      vecs: DataFrame, cell: Int): Int = {
+    import spark.implicits._
+    val M = graft.sources.Lake.Manifest
+    val m = loadIvfPqModel(spark, dir)
+    require(cell <= m.maxCell && m.centByCell(cell) != null,
+      s"no cell $cell in the index under $dir")
+    val members = M.readPublishedPruned(spark, codesDir(dir), "cell",
+        Seq(cell.toString))
+      .filter($"cell" === cell).select($"vec_id")
+    val cellVecs = vecs
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .join(members, "vec_id").localCheckpoint()
+    if (cellVecs.count() < 2L) return -1
+    def d2To(c: Array[Double]): Column =
+      aggregate(zip_with($"v", typedlit(c.toSeq),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    val c1 = cellVecs.orderBy($"vec_id").limit(1)
+      .collect()(0).getSeq[Double](1).toArray
+    val farRow = cellVecs.withColumn("d2", d2To(c1))
+      .orderBy($"d2".desc, $"vec_id").limit(1).collect()(0)
+    if (farRow.getDouble(farRow.fieldIndex("d2")) == 0.0) return -1
+    val c2 = farRow.getSeq[Double](1).toArray
+    val assigned = cellVecs
+      .withColumn("side", when(d2To(c2) < d2To(c1), 1).otherwise(0))
+    val sums = assigned.select($"side", posexplode($"v"))
+      .groupBy($"side", $"pos")
+      .agg(sum($"col").as("sx"), count(lit(1)).as("n"))
+      .collect()
+    val dim = c1.length
+    def mean(side: Int): Array[Double] = {
+      val rows = sums.filter(_.getInt(0) == side)
+      if (rows.isEmpty) null
+      else {
+        val a = new Array[Double](dim)
+        rows.foreach(r => a(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+        a
+      }
+    }
+    val a = mean(0)
+    val b = mean(1)
+    if (a == null || b == null) return -1
+    val newId = m.maxCell + 1
+    val m2 = IvfPqModel(
+      (m.centroids.filterNot(_._1 == cell) :+ ((cell, a)) :+ ((newId, b)))
+        .sortBy(_._1), m.books)
+    val recoded = ivfPqEncode(cellVecs.select($"vec_id", $"v"), m2)
+    val metaStr = "split=" + cell + ":" + newId + ":" +
+      a.map(_.toString).mkString(",") + ":" +
+      b.map(_.toString).mkString(",")
+    M.publishReplacePartitions(recoded, codesDir(dir), "cell",
+      Seq(cell.toString), meta = metaStr)
+    newId
+  }
+
+  /** Per-cell row counts of a published index — the oversized-cell
+    * report a split policy consumes (one manifest-listed scan of the
+    * code table, counting only). */
+  def ivfCellSizesPublished(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Lake.Manifest.readPublished(spark, codesDir(dir))
+      .groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
+  }
+
+  /** One maintenance pass: split every cell holding more than `cap`
+    * members (each split is its own atomic commit — a crash between
+    * two splits loses nothing, the next pass resumes). Children that
+    * remain oversized split on the NEXT pass: one pass halves the
+    * worst cell, the fixpoint is reached in log(skew) passes — the
+    * bounded-work-per-invocation contract a maintenance daemon
+    * wants. Returns the number of splits performed. */
+  def rebalanceIvfIndexPublished(spark: SparkSession, dir: String,
+      vecs: DataFrame, cap: Long): Int = {
+    import spark.implicits._
+    val fat = ivfCellSizesPublished(spark, dir)
+      .filter($"n_vectors" > cap).select($"cell")
+      .collect().map(_.getInt(0)).sorted
+    var done = 0
+    for (c <- fat) if (splitIvfCellPublished(spark, dir, vecs, c) >= 0)
+      done += 1
+    done
   }
 
   /** Compaction for the published layout: one snapshot commit of the

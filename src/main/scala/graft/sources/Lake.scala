@@ -156,6 +156,17 @@ object Lake {
       manifestLines(spark, dir, currentVersion(spark, dir))
         .filter(_.startsWith("#meta ")).map(_.stripPrefix("#meta ")).toSet
 
+    /** Meta lines in FIRST-COMMIT order. The Set view above answers
+      * membership; state-carrying metas (e.g. the E33 cell-split
+      * records, which redefine centroids and must replay in commit
+      * order) need the sequence. `commit` appends fresh metas after
+      * the carried ones and `distinct` keeps first occurrences, so
+      * position in the current manifest IS commit order. */
+    def publishedMetasOrdered(spark: SparkSession,
+        dir: String): Seq[String] =
+      manifestLines(spark, dir, currentVersion(spark, dir))
+        .filter(_.startsWith("#meta ")).map(_.stripPrefix("#meta "))
+
     /** True once any version has been published under `dir`. */
     def isManaged(spark: SparkSession, dir: String): Boolean =
       currentVersion(spark, dir) > 0L
@@ -247,6 +258,43 @@ object Lake {
     def publishSnapshot(df: DataFrame, dir: String,
         partitionBy: Seq[String] = Nil, meta: String = ""): Long =
       commit(df, dir, Seq.empty, partitionBy, meta)
+
+    /** Replace-partition publish (the Delta `replaceWhere` shape):
+      * new version = predecessor files MINUS every file under
+      * `__p_<partCol>=<v>` for v in `dropValues`, PLUS `df`'s files
+      * (laid out partitioned by `partCol`, which may land rows in
+      * partitions OUTSIDE dropValues — those commit as ordinary
+      * appends). One atomic pointer swap covers both the drop and
+      * the add, so a reader never sees the partition half-replaced.
+      *
+      * REFUSES a table holding any file not attributable to a
+      * `partCol` partition: a kept unattributable file could still
+      * hold dropped-partition rows, silently duplicating them after
+      * the replace — unlike pruning, replacement IS load-bearing.
+      * Values match at every unescape depth (the pruned-read rule),
+      * which can only over-DROP across escape collisions — the safe
+      * direction here, since `df` re-supplies the dropped rows. */
+    def publishReplacePartitions(df: DataFrame, dir: String,
+        partCol: String, dropValues: Seq[String],
+        meta: String = ""): Long = {
+      val spark = df.sparkSession
+      val all = manifestFiles(spark, dir, currentVersion(spark, dir))
+      val prefix = s"__p_$partCol="
+      val unattributed = all.filterNot(
+        _.split("/").exists(_.startsWith(prefix)))
+      require(unattributed.isEmpty,
+        s"replace-partition needs a fully $partCol-partitioned table; " +
+          s"unattributable files: ${unattributed.take(3).mkString(", ")}")
+      val drop = dropValues.toSet
+      val carry = all.filter { path =>
+        val seg = path.split("/").find(_.startsWith(prefix)).get
+        val raw = seg.substring(prefix.length)
+        val once = unescapePathName(raw)
+        !(drop.contains(raw) || drop.contains(once) ||
+          drop.contains(unescapePathName(once)))
+      }
+      commit(df, dir, carry, Seq(partCol), meta)
+    }
 
     /** Partition-pruned read of the current version: keep only the
       * files whose path carries `__p_<partCol>=<v>` for some wanted

@@ -207,6 +207,127 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(collectAll(Similarity.queryIvfPqIndex(spark, idxDir, q)) == expected)
   }
 
+  // E33 cell split: a 3-cluster corpus trained at k=2 leaves one cell
+  // holding two true clusters — the post-append skew shape.
+  private def splitCorpus(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    val rows = (0 until 10).map(i =>
+      (i.toLong, Array(10.0 + 0.01 * i, 0, 0, 0, 0, 0, 0, 0))) ++
+      (10 until 20).map(i =>
+        (i.toLong, Array(-10.0 - 0.01 * i, 0, 0, 0, 0, 0, 0, 0))) ++
+      (20 until 30).map(i =>
+        (i.toLong, Array(0.0, 10.0 + 0.01 * i, 0, 0, 0, 0, 0, 0)))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("E33 split: one atomic commit re-homes only the hot cell, model rides the manifest, untouched cells byte-identical") {
+    import spark.implicits._
+    val M = graft.sources.Lake.Manifest
+    val d = java.nio.file.Files.createTempDirectory("graft_split").toString
+    val vecs = splitCorpus(spark)
+    Similarity.publishIvfPqIndex(vecs, d, k = 2, iters = 2,
+      pqM = 2, pqK = 4)
+    val sizes = Similarity.ivfCellSizesPublished(spark, d)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val fat = sizes.maxBy(t => (t._2, t._1))._1
+    val cold = sizes.keySet - fat
+    val m0 = Similarity.loadIvfPqModel(spark, d)
+    val vBefore = M.latestVersion(spark, s"$d/codes")
+    val coldFilesBefore = cold.map(c => c -> M.readPublishedPruned(
+      spark, s"$d/codes", "cell", Seq(c.toString))
+      .inputFiles.toSet).toMap
+    val memberIds = M.readPublishedPruned(spark, s"$d/codes", "cell",
+        Seq(fat.toString)).filter($"cell" === fat)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(memberIds.size == 20, s"fat cell should hold 2 clusters: $sizes")
+
+    val newId = Similarity.splitIvfCellPublished(spark, d, vecs, fat)
+    assert(newId == m0.maxCell + 1, s"child id $newId")
+    // exactly ONE commit covers codes + model
+    assert(M.latestVersion(spark, s"$d/codes") == vBefore + 1)
+    // model: parent redefined, child added, reload idempotent
+    val m1 = Similarity.loadIvfPqModel(spark, d)
+    val m2 = Similarity.loadIvfPqModel(spark, d)
+    assert(m1.maxCell == newId)
+    assert(!java.util.Arrays.equals(m1.centByCell(fat), m0.centByCell(fat)),
+      "parent centroid must be redefined")
+    assert(m1.centroids.map(_._1).toSeq == m2.centroids.map(_._1).toSeq &&
+      m1.centroids.zip(m2.centroids).forall { case ((_, x), (_, y)) =>
+        java.util.Arrays.equals(x, y) }, "reload must be idempotent")
+    // row conservation: every vec_id exactly once
+    val after = M.readPublished(spark, s"$d/codes")
+    assert(after.count() == 30L)
+    assert(after.groupBy($"vec_id").count().filter($"count" > 1).count() == 0)
+    // member rows == frozen re-encode against the split model
+    val got = after.filter($"vec_id".isin(memberIds.toSeq: _*))
+      .select($"vec_id", $"cell", $"codes")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toSeq)).toSet
+    val want = Similarity.ivfPqEncode(
+        vecs.filter($"vec_id".isin(memberIds.toSeq: _*))
+          .select($"vec_id", $"embedding".cast("array<double>").as("v")),
+        m1)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Int](2).toSeq)).toSet
+    assert(got == want, "split rows must equal the frozen-model re-encode")
+    // both children non-empty (the two merged clusters separate)
+    val childSizes = Similarity.ivfCellSizesPublished(spark, d)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(childSizes.getOrElse(fat, 0L) > 0L &&
+      childSizes.getOrElse(newId, 0L) > 0L, s"children: $childSizes")
+    // cold cells byte-untouched
+    for (c <- cold) {
+      val now = M.readPublishedPruned(spark, s"$d/codes", "cell",
+        Seq(c.toString)).inputFiles.toSet
+      assert(coldFilesBefore(c).subsetOf(now),
+        s"cold cell $c files rewritten")
+    }
+    // serve end-to-end: a query at each cluster center finds an
+    // in-cluster top-1 with all cells probed
+    val q = Seq((0L, Array(10.05, 0, 0, 0, 0, 0, 0, 0)),
+      (1L, Array(0.0, 10.05, 0, 0, 0, 0, 0, 0)))
+      .toDF("q_id", "qv")
+    val served = Similarity.queryIvfPqIndex(spark, d, q,
+      nProbe = m1.centroids.length)
+    val top1 = served.filter($"rank" === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1(0L) < 10L, s"query 0 top-1 off-cluster: $top1")
+    assert(top1(1L) >= 20L, s"query 1 top-1 off-cluster: $top1")
+  }
+
+  test("E33 degenerate cells refuse; a rebalance pass splits every oversized cell atomically") {
+    import spark.implicits._
+    val M = graft.sources.Lake.Manifest
+    // all-identical corpus: the single cell cannot split
+    val dDeg = java.nio.file.Files.createTempDirectory("graft_split_deg")
+      .toString
+    // ids 0/29/58/87 pass the codebook sample gate (7·i mod 101 < 4),
+    // so the books hold >1 code and the encode argmin stays n-ary;
+    // k=2 over identical vectors still collapses to one cell
+    val same = Seq(0L, 29L, 58L, 87L, 1L, 2L, 3L, 4L).map(i =>
+      (i, Array(1.0, 2, 3, 4, 5, 6, 7, 8)))
+      .toDF("vec_id", "embedding")
+    Similarity.publishIvfPqIndex(same, dDeg, k = 2, iters = 1,
+      pqM = 2, pqK = 4)
+    val v0 = M.latestVersion(spark, s"$dDeg/codes")
+    val cell0 = Similarity.ivfCellSizesPublished(spark, dDeg)
+      .collect().head.getInt(0)
+    assert(Similarity.splitIvfCellPublished(spark, dDeg, same, cell0) == -1)
+    assert(M.latestVersion(spark, s"$dDeg/codes") == v0,
+      "degenerate split must commit nothing")
+    // rebalance: cap 12 forces exactly the fat cell to split
+    val d = java.nio.file.Files.createTempDirectory("graft_rebal").toString
+    val vecs = splitCorpus(spark)
+    Similarity.publishIvfPqIndex(vecs, d, k = 2, iters = 2,
+      pqM = 2, pqK = 4)
+    val n = Similarity.rebalanceIvfIndexPublished(spark, d, vecs, cap = 12L)
+    assert(n == 1, s"expected exactly one oversized cell, split $n")
+    val after = Similarity.ivfCellSizesPublished(spark, d)
+      .collect().map(r => r.getLong(1))
+    assert(after.forall(_ <= 12L), s"sizes after rebalance: ${after.toSeq}")
+    assert(after.sum == 30L)
+  }
+
   test("served path scans fewer code files than the index holds (pruning is real)") {
     import spark.implicits._
     val codesDir = new java.io.File(s"$idxDir/codes")

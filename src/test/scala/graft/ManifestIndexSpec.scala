@@ -224,4 +224,42 @@ class ManifestIndexSpec extends AnyFunSuite {
     assert(!graft.streaming.VecStream.streamAppendBatch(
       d, vecs.filter($"vec_id" % 4 === 1), 0L))
   }
+
+  test("replace-partition: one swap drops and adds, off-target rows append, unattributable tables refuse") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_repl").toString
+    val base = Seq((1L, 1), (2L, 1), (3L, 2), (4L, 2))
+      .toDF("id", "p")
+    Lake.Manifest.publishSnapshot(base, d, partitionBy = Seq("p"))
+    val v0 = Lake.Manifest.latestVersion(spark, d)
+    val p2Files = Lake.Manifest.readPublishedPruned(spark, d, "p",
+      Seq("2")).inputFiles.toSet
+    // replacement: p=1 shrinks to one REWRITTEN row, and one row
+    // lands in a NEW partition p=3 (an ordinary append)
+    val repl = Seq((10L, 1), (11L, 3)).toDF("id", "p")
+    Lake.Manifest.publishReplacePartitions(repl, d, "p", Seq("1"))
+    assert(Lake.Manifest.latestVersion(spark, d) == v0 + 1,
+      "replace must be exactly one commit")
+    val after = Lake.Manifest.readPublished(spark, d)
+      .select($"id", $"p").as[(Long, Int)].collect().toSet
+    assert(after == Set((10L, 1), (3L, 2), (4L, 2), (11L, 3)),
+      s"after replace: $after")
+    // the untouched partition's files are byte-identical
+    val p2Now = Lake.Manifest.readPublishedPruned(spark, d, "p",
+      Seq("2")).inputFiles.toSet
+    assert(p2Files.subsetOf(p2Now), "p=2 files rewritten")
+    // time travel still serves the pre-replace content
+    assert(Lake.Manifest.readPublishedVersion(spark, d, v0)
+      .select($"id", $"p").as[(Long, Int)].collect().toSet ==
+      Set((1L, 1), (2L, 1), (3L, 2), (4L, 2)))
+    // a table holding any file NOT attributable to the partition
+    // column refuses the replace (a kept unattributable file could
+    // still hold dropped rows — replacement is load-bearing)
+    val dU = java.nio.file.Files.createTempDirectory("graft_repl_u")
+      .toString
+    Lake.Manifest.publishSnapshot(base, dU) // unpartitioned commit
+    intercept[IllegalArgumentException] {
+      Lake.Manifest.publishReplacePartitions(repl, dU, "p", Seq("1"))
+    }
+  }
 }
