@@ -814,6 +814,65 @@ object Graph {
     labels
   }
 
+  /** I19 SHORTEST-PATH COUNTING from a seed set — the forward pass of
+    * Brandes' betweenness (Brandes 2001 §3): multi-source BFS where
+    * each newly-reached node's σ = Σ σ(predecessors at the previous
+    * hop) counts the number of DISTINCT shortest paths from the seed
+    * set. Path multiplicity is the redundancy/robustness signal hop
+    * distance alone misses (hops says "reachable in 3", σ says "via
+    * 1 route or via 4,000"). All-integer: σ is an exact BIGINT sum
+    * along the BFS DAG — no float, so the unrolled SQL twin hashes.
+    * Per round: one frontier equi-join + one sum aggregate + one
+    * anti-join against the settled set (frontier-sized, the
+    * [[bfsHops]] plan); the frontier localCheckpoints per round (it
+    * is consumed twice).
+    *
+    * @param edges (src, dst) treated as undirected; deduplicated
+    *              (parallel edges would double-count paths)
+    * @return (node, hop, sigma) for every node settled within
+    *         `rounds` hops of a seed
+    */
+  def pathCounts(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().persist()
+    var levels = seeds.select($"node").distinct()
+      .select($"node", lit(0L).as("hop"), lit(1L).as("sigma"))
+    var frontier = levels
+    for (k <- 1 to rounds) {
+      val fresh = sym
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .groupBy($"dst").agg(sum($"sigma").as("sig"))
+        .select($"dst".as("node"), $"sig")
+        .join(levels.select($"node"), Seq("node"), "left_anti")
+        .select($"node", lit(k.toLong).as("hop"), $"sig".as("sigma"))
+        .localCheckpoint()
+      levels = levels.union(fresh)
+      frontier = fresh
+    }
+    sym.unpersist()
+    levels
+  }
+
+  /** q_path_counts: shortest-path multiplicity from every 20th
+    * supplier over the supplier↔part supply graph (the q_bfs_hops
+    * graph and seeds), 4 rounds. */
+  def pathCountsSupplyChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sp = Tables.lineitem(s, dir)
+      .select(concat(lit("s"), $"l_suppkey".cast("string")).as("src"),
+        concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+      .distinct()
+    val seeds = Tables.supplier(s, dir)
+      .filter($"s_suppkey" % 20 === 1)
+      .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"))
+    pathCounts(sp, seeds, 4)
+      .select($"node", $"hop".as("hops"), $"sigma".as("n_paths"))
+      .orderBy($"node")
+  }
+
   /** Bounded k-core peeling: `rounds` passes of "drop every vertex of
     * degree < k, restrict edges to survivors". The true k-core is this
     * process run to fixpoint; each pass costs one degree aggregate and
@@ -1539,6 +1598,7 @@ object Graph {
     "q_ppr" -> pprTrade,
     "q_triangles" -> trianglesCoOrder,
     "q_bfs_hops" -> bfsSupplyChain,
+    "q_path_counts" -> pathCountsSupplyChain,
     "q_link_predict" -> linkPredictCoOrder,
     "q_kcore" -> kcoreCoOrder)
 
@@ -1613,6 +1673,36 @@ object Graph {
        |SELECT node, r AS ppr_fp,
        |  round(r::DOUBLE / 1e12, 6) AS ppr
        |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled path-count twin — per round, σ sums over the previous
+    * FRONTIER only (f_{k-1}), with the settled set excluded. */
+  private def pathCountsSql(rounds: Int): String = {
+    val base =
+      """WITH sp AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+        |  FROM lineitem),
+        |sym AS (SELECT src, dst FROM sp UNION SELECT dst, src FROM sp),
+        |l0 AS (
+        |  SELECT DISTINCT 's' || s_suppkey AS node, 0::BIGINT AS hop,
+        |    1::BIGINT AS sigma
+        |  FROM supplier WHERE s_suppkey % 20 = 1),
+        |f0 AS (SELECT node, sigma FROM l0)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""f$i AS (
+         |  SELECT e.dst AS node, sum(f.sigma)::BIGINT AS sigma
+         |  FROM sym e JOIN f${i - 1} f ON e.src = f.node
+         |  WHERE e.dst NOT IN (SELECT node FROM l${i - 1})
+         |  GROUP BY e.dst),
+         |l$i AS (
+         |  SELECT * FROM l${i - 1}
+         |  UNION ALL
+         |  SELECT node, $i::BIGINT, sigma FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT node, hop AS hops, sigma AS n_paths
+       |FROM l$rounds ORDER BY node""".stripMargin
   }
 
   /** Unrolled BFS twin — the identical per-round min-fold. */
@@ -1973,6 +2063,7 @@ object Graph {
     "q_pagerank" -> pageRankSql(5),
     "q_ppr" -> pprSql(5),
     "q_bfs_hops" -> bfsSql(4),
+    "q_path_counts" -> pathCountsSql(4),
     "q_kcore" -> kcoreSql(3, 6),
     // degree-oriented forward counting, integer-exact throughout
     "q_triangles" ->

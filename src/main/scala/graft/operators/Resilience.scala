@@ -1090,6 +1090,46 @@ object Resilience {
       .orderBy($"user_id")
   }
 
+  /** B76 PAGE-HINKLEY drift detection per key (Page 1954; Hinkley
+    * 1971 — the sequential changepoint monitor streaming systems
+    * deploy for concept drift, e.g. a feature distribution moving
+    * under a model): cumulative deviation from the series mean with
+    * a TOLERANCE δ, m_t = Σ_{i≤t}(x_i − x̄ − δ), alarmed when
+    * m_t − min_{s≤t} m_s exceeds λ — unlike the B25 CUSUM report
+    * (max drift), PH localizes WHEN the drift started: the first
+    * index crossing λ. Exactness: x in exact cents and every term
+    * cleared of the 1/N mean denominator — d_t = N·x_t − S − δ·N
+    * (all BIGINT), the running min seeded at 0 (m_0 = 0), and the
+    * alarm threshold compared as ph_t > λ·N — no float anywhere.
+    * δ = 5 cents, λ = 1000 cents. One keyed window pass; both
+    * windows PARTITIONED by key, never global. */
+  def pageHinkley(events: DataFrame, deltaCents: Long = 5L,
+      lambdaCents: Long = 1000L): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy($"user_id")
+    val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = events.select($"user_id", $"event_id", $"ts",
+      round($"value" * 100).cast("long").as("cents"))
+    val scored = pts
+      .withColumn("n", count(lit(1)).over(byKey))
+      .withColumn("s", sum($"cents").over(byKey))
+      .withColumn("d", $"n" * $"cents" - $"s" - lit(deltaCents) * $"n")
+      .withColumn("m", sum($"d").over(run))
+      .withColumn("runmin", least(min($"m").over(run), lit(0L)))
+      .withColumn("ph", $"m" - $"runmin")
+      .withColumn("idx", row_number().over(ord))
+    scored.groupBy($"user_id")
+      .agg(max($"n").as("n_events"), max($"ph").as("ph_max"),
+        min(when($"ph" > lit(lambdaCents) * $"n", $"idx"))
+          .cast("long").as("alarm_idx"))
+      .select($"user_id", $"n_events", $"ph_max",
+        when($"alarm_idx".isNotNull, 1L).otherwise(0L).as("alarmed"),
+        $"alarm_idx")
+      .orderBy($"user_id")
+  }
+
   /** B26 rolling lag-1 AUTOCORRELATION per key — the trending/mean-
     * reversion monitor (the windowed sibling of B17's global AR(1)
     * fit): over each trailing `window` events, Pearson correlation of
@@ -3245,6 +3285,7 @@ object Resilience {
     "q_rsi" -> ((s, dir) => rsi(Tables.events(s, dir))),
     "q_rolling_corr" -> ((s, dir) => rollingAutocorr(Tables.events(s, dir))),
     "q_cusum" -> ((s, dir) => cusumDrift(Tables.events(s, dir))),
+    "q_page_hinkley" -> ((s, dir) => pageHinkley(Tables.events(s, dir))),
     "q_ffill_gaps" -> ((s, dir) => ffillDaily(Tables.events(s, dir))),
     "q_rolling_stats" -> ((s, dir) => rollingStats(Tables.events(s, dir))),
     "q_ewma" -> ((s, dir) => ewma(Tables.events(s, dir))),
@@ -5185,6 +5226,44 @@ object Resilience {
         |      sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
         |    END AS autocorr
         |FROM sums ORDER BY user_id, event_id""".stripMargin,
+    // B76 twin: the cusum machinery plus the tolerance term and the
+    // first-crossing localization — all BIGINT, threshold compared
+    // in the same N-cleared units
+    "q_page_hinkley" ->
+      """WITH pts AS (
+        |  SELECT user_id, event_id, ts,
+        |    round(value * 100)::BIGINT AS cents
+        |  FROM events),
+        |scored AS (
+        |  SELECT user_id, event_id, ts,
+        |    (count(*) OVER w0)::BIGINT AS n,
+        |    (count(*) OVER w0)::BIGINT * cents
+        |      - (sum(cents) OVER w0)::BIGINT
+        |      - 5 * (count(*) OVER w0)::BIGINT AS d
+        |  FROM pts
+        |  WINDOW w0 AS (PARTITION BY user_id)),
+        |p1 AS (
+        |  SELECT user_id, event_id, ts, n,
+        |    (sum(d) OVER wo)::BIGINT AS m,
+        |    row_number() OVER wo AS idx
+        |  FROM scored
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p2 AS (
+        |  SELECT user_id, n, idx,
+        |    m - least((min(m) OVER wo)::BIGINT, 0) AS ph
+        |  FROM p1
+        |  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (
+        |  SELECT user_id, max(n) AS n_events, max(ph) AS ph_max,
+        |    min(CASE WHEN ph > 1000 * n THEN idx END)::BIGINT
+        |      AS alarm_idx
+        |  FROM p2 GROUP BY user_id)
+        |SELECT user_id, n_events, ph_max,
+        |  (CASE WHEN alarm_idx IS NOT NULL THEN 1 ELSE 0
+        |   END)::BIGINT AS alarmed, alarm_idx
+        |FROM agg ORDER BY user_id""".stripMargin,
     "q_cusum" ->
       """WITH pts AS (
         |  SELECT user_id, event_id, ts,

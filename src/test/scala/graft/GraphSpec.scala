@@ -214,6 +214,36 @@ class GraphSpec extends AnyFunSuite {
       4L -> 2L, 5L -> 1L, 6L -> 0L), s"got $both")
   }
 
+  test("I19 path counts: diamond multiplies, closer seed overrides, frontier-only sums") {
+    import spark.implicits._
+    // a−b, a−c, b−d, c−d, d−e seeded at {a}: the diamond gives d two
+    // shortest paths (σ=2) which propagate to e
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e")).toDF("src", "dst")
+    val got = Graph.pathCounts(edges, Seq("a").toDF("node"), 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map("a" -> ((0L, 1L)), "b" -> ((1L, 1L)),
+      "c" -> ((1L, 1L)), "d" -> ((2L, 2L)), "e" -> ((3L, 2L))),
+      s"got $got")
+    // a second seed z adjacent to d: d settles at hop 1 with σ=1
+    // (the closer seed's single path REPLACES the diamond's two —
+    // σ counts SHORTEST paths only), and e inherits σ=1 at hop 2
+    val edges2 = edges.union(Seq(("z", "d")).toDF("src", "dst"))
+    val got2 = Graph.pathCounts(edges2,
+        Seq("a", "z").toDF("node"), 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got2("d") == ((1L, 1L)) && got2("e") == ((2L, 1L)),
+      s"got2 $got2")
+    assert(got2("b") == ((1L, 1L)) && got2("z") == ((0L, 1L)))
+    // parallel/duplicate edges must not double-count paths
+    val got3 = Graph.pathCounts(edges.union(edges),
+        Seq("a").toDF("node"), 4)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got3("d") == 2L, s"dupes double-counted: $got3")
+  }
+
   test("I12 harmonic: path reciprocals exact, two landmarks sum, seeds excluded at 0") {
     import spark.implicits._
     // path a-b-c-d; one seed at a: H_ppm(b)=10^6, (c)=5*10^5,

@@ -667,6 +667,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L)), s"constant series: ${got(2L)}")
   }
 
+  test("B76 page-hinkley: drift onset localized, tolerance suppresses small shifts") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s)
+    // user 1: 4 x 1.00 then 4 x 30.00 — the shift must alarm and the
+    // first crossing replays from the closed form; user 2 constant —
+    // never alarms; user 3: tiny oscillation within the tolerance
+    val rows = (0 until 4).map(i => (1L, i.toLong, t(i), 1.0)) ++
+      (4 until 8).map(i => (1L, i.toLong, t(i), 30.0)) ++
+      (0 until 6).map(i => (2L, 100L + i, t(i), 5.0)) ++
+      (0 until 6).map(i => (3L, 200L + i, t(i), 5.0 + 0.01 * (i % 2)))
+    val got = graft.operators.Resilience.pageHinkley(
+        rows.toDF("user_id", "event_id", "ts", "value"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // closed-form replica for user 1: d_i = n·c_i − S − 5n
+    val c = Seq(100L, 100, 100, 100, 3000, 3000, 3000, 3000)
+    val n = c.size.toLong; val s = c.sum
+    val m = c.map(n * _ - s - 5 * n).scanLeft(0L)(_ + _).tail
+    val ph = m.zipWithIndex.map { case (mi, i) =>
+      mi - math.min(0L, m.take(i + 1).min) }
+    val alarm = ph.indexWhere(_ > 1000 * n) + 1
+    assert(got(1L) == ((n, ph.max, 1L, alarm.toLong)), s"got ${got(1L)}")
+    assert(alarm >= 5, "alarm must localize inside the shifted tail")
+    assert(got(2L)._3 == 0L && got(2L)._4 == -1L,
+      s"constant series alarmed: ${got(2L)}")
+    assert(got(3L)._3 == 0L,
+      s"within-tolerance oscillation alarmed: ${got(3L)}")
+  }
+
   test("B29 cross-correlation: perfect 1-day lead gives ccf exactly 1.0") {
     import spark.implicits._
     def t(day: Int) = new java.sql.Timestamp(
