@@ -941,4 +941,79 @@ class ScaleStressSpec extends AnyFunSuite {
       .collect().head
     assert(got == want, s"incremental $got vs full $want")
   }
+
+  test("E33 split of the dominant hot cell at 2x10^5 vectors: cell-local cost beats the rebuild, blobs separate exactly, cold cell untouched") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val M = graft.sources.Lake.Manifest
+    // 200k vectors, three separated blobs: A (30k at +10x) and
+    // B (30k at +10y) land in ONE trained cell at k=2; C (140k at
+    // −10x) gets its own. The merged 60k cell is the hot-cell shape
+    // a streamed index develops.
+    val vecs = spark.range(200000L).select($"id".as("vec_id"),
+      expr("""case
+        |  when id < 30000 then
+        |    array(10.0 + 0.00001 * id, 0D, 0D, 0D, 0D, 0D, 0D, 0D)
+        |  when id < 60000 then
+        |    array(0D, 10.0 + 0.00001 * id, 0D, 0D, 0D, 0D, 0D, 0D)
+        |  else array(-10.0 - 0.00001 * id, 0D, 0D, 0D, 0D, 0D, 0D, 0D)
+        |end""".stripMargin).as("embedding")).localCheckpoint()
+    val d = java.nio.file.Files.createTempDirectory("graft_split_scale")
+      .toString
+    val t0 = System.nanoTime()
+    Similarity.publishIvfPqIndex(vecs, d, k = 2, iters = 2,
+      pqM = 2, pqK = 4)
+    val publishSecs = (System.nanoTime() - t0) / 1e9
+    // k=2 over three blobs always merges two of them: the hot cell
+    // is the larger one (which pair merges depends on the trained
+    // local optimum — derive it, don't assume it)
+    val blobOf = when($"vec_id" < 30000L, "A")
+      .when($"vec_id" < 60000L, "B").otherwise("C")
+    val sizes = Similarity.ivfCellSizesPublished(spark, d)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hot = sizes.maxBy(t => (t._2, t._1))._1
+    val hotBlobs = M.readPublished(spark, s"$d/codes")
+      .filter($"cell" === hot).select(blobOf.as("b"))
+      .distinct().as[String].collect().toSet
+    assert(hotBlobs.size == 2, s"hot cell should merge 2 blobs: $hotBlobs")
+    val coldCells = (sizes.keySet - hot).map(_.toString).toSeq
+    val coldFiles = M.readPublishedPruned(spark, s"$d/codes", "cell",
+      coldCells).inputFiles.toSet
+    val t1 = System.nanoTime()
+    val newId = Similarity.splitIvfCellPublished(spark, d, vecs, hot)
+    val splitSecs = (System.nanoTime() - t1) / 1e9
+    info(f"publish(200k) $publishSecs%.1f s; split of the hot cell " +
+      f"$splitSecs%.1f s")
+    assert(newId >= 0)
+    assert(splitSecs < publishSecs,
+      f"split must be cell-local: $splitSecs%.1f vs $publishSecs%.1f")
+    // deterministic 2-means on separated blobs: each child is PURE
+    // (one blob per child, every member accounted for)
+    val purity = M.readPublished(spark, s"$d/codes")
+      .filter($"cell".isin(hot, newId))
+      .select($"cell", blobOf.as("blob"))
+      .groupBy($"cell").agg(countDistinct($"blob").as("nb"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val wantSizes = hotBlobs.map(b =>
+      if (b == "C") 140000L else 30000L)
+    assert(purity.map(_._1).forall(_ == 1L) &&
+      purity.map(_._2).toSet == wantSizes,
+      s"children must separate the blobs exactly: ${purity.toSeq}")
+    // cold cell files byte-untouched; row conservation
+    val coldNow = M.readPublishedPruned(spark, s"$d/codes", "cell",
+      coldCells).inputFiles.toSet
+    assert(coldFiles.subsetOf(coldNow), "cold cell rewritten")
+    assert(M.readPublished(spark, s"$d/codes").count() == 200000L)
+    // serve end-to-end after the split: query at the center of the
+    // SMALLER merged blob (the one the split just isolated)
+    val small = (hotBlobs - "C").headOption.getOrElse("A")
+    val (qv, lo, hi) =
+      if (small == "A") (Array(10.0001, 0, 0, 0, 0, 0, 0, 0), 0L, 30000L)
+      else (Array(0.0, 10.0001, 0, 0, 0, 0, 0, 0), 30000L, 60000L)
+    val q = Seq((900000L, qv)).toDF("q_id", "qv")
+    val top1 = Similarity.queryIvfPqIndex(spark, d, q, nProbe = 2)
+      .filter($"rank" === 1).collect().head.getLong(2)
+    assert(top1 >= lo && top1 < hi, s"post-split serve off-blob: $top1")
+  }
 }
