@@ -270,16 +270,38 @@ object Multimodal {
       beField(49, 2) * 65536L + beField(51, 2) * 16777216L
     val bmpH = abs(when(bmpHRaw > 2147483647L, bmpHRaw - 4294967296L)
       .otherwise(bmpHRaw))
+    // FLAC "fLaC" + mandatory-first STREAMINFO: samplerate (20 bits)
+    // and channels-1 (3 bits) sit bit-packed at bytes 18-20 — nibble
+    // arithmetic over the hex view (the G24 walk does the full parse;
+    // the sniffer reads just the routing fields)
+    val isFlac = substring(h, 1, 8) === "664C6143"
+    val flacSr = beField(37, 2) * 4096L + beField(39, 2) * 16L +
+      shiftright(beField(41, 2), 4)
+    val flacCh = shiftright(beField(41, 2), 1).bitwiseAND(lit(7L)) + 1L
+    // MPEG audio: a bare frame sync (FF Ex/Fx) or an ID3v2 prefix.
+    // The bare header carries the samplerate index (byte 2 bits 2-3);
+    // behind an ID3 tag the rate is the G22 frame walk's job, not a
+    // 32-byte sniff's — null there.
+    val isMp3Bare = substring(h, 1, 3) === "FFF" ||
+      substring(h, 1, 3) === "FFE"
+    val isId3 = substring(h, 1, 6) === "494433"
+    val isMp3 = isMp3Bare || isId3
+    val mp3SrIdx = shiftright(beField(5, 2), 2).bitwiseAND(lit(3L))
+    val mp3Sr = when(mp3SrIdx < 3L, element_at(
+      typedlit(Seq(44100L, 48000L, 32000L)),
+      (mp3SrIdx + 1L).cast("int")))
     assets.select($"doc_id",
       when(isPng, "png").when(isGif, "gif").when(isJpeg, "jpeg")
         .when(isBmp, "bmp").when(isWav, "wav").when(isMp4, "mp4")
+        .when(isFlac, "flac").when(isMp3, "mp3")
         .otherwise("unknown").as("format"),
       when(isPng, pngW).when(isGif, gifW).when(isJpeg, jpegW)
         .when(isBmp, bmpW).as("width"),
       when(isPng, pngH).when(isGif, gifH).when(isJpeg, jpegH)
         .when(isBmp, bmpH).as("height"),
-      when(isWav, wavSr).as("sample_rate"),
-      when(isWav, wavCh).as("n_channels"),
+      when(isWav, wavSr).when(isFlac, flacSr)
+        .when(isMp3Bare, mp3Sr).as("sample_rate"),
+      when(isWav, wavCh).when(isFlac, flacCh).as("n_channels"),
       when(isMp4, mp4Brand).as("brand"),
       octet_length($"payload").cast("long").as("n_bytes"))
   }
@@ -372,7 +394,15 @@ object Multimodal {
     val hSigned = s"(CASE WHEN doc_id % 2 = 1 THEN 4294967296 - $h ELSE $h END)"
     val sr = "(8000 + (doc_id % 100) * 441)"
     val ch = "(1 + doc_id % 2)"
-    s"""unhex(CASE doc_id % 5
+    // flac STREAMINFO routing fields (the G24 bit packing): byte 18 =
+    // sr>>12, byte 19 = (sr>>4)&255, byte 20 = (sr&15)<<4 | (ch-1)<<1
+    val fsr = "(32000 + (doc_id % 5) * 4000)"
+    val flacPacked = s"lpad(hex($fsr div 4096), 2, '0') || " +
+      s"lpad(hex(($fsr div 16) % 256), 2, '0') || " +
+      s"lpad(hex(($fsr % 16) * 16 + ($ch - 1) * 2), 2, '0')"
+    // mp3 bare frame header: FF FB, byte 2 = brIdx 9 | srIdx<<2
+    val mp3B2 = "lpad(hex(144 + (doc_id % 3) * 4), 2, '0')"
+    s"""unhex(CASE doc_id % 7
        |  WHEN 0 THEN '89504E470D0A1A0A0000000D49484452'
        |    || lpad(hex($w), 8, '0') || lpad(hex($h), 8, '0')
        |  WHEN 1 THEN '474946383961' || ${leHex(2, w)} || ${leHex(2, h)}
@@ -380,6 +410,10 @@ object Multimodal {
        |    || ${leHex(4, w)} || ${leHex(4, hSigned)}
        |  WHEN 3 THEN '524946460000000057415645666D742010000000' || '0100'
        |    || ${leHex(2, ch)} || ${leHex(4, sr)}
+       |  WHEN 5 THEN '664C614300000022'
+       |    || '00000000000000000000'
+       |    || $flacPacked
+       |  WHEN 6 THEN 'FFFB' || $mp3B2 || 'C0'
        |  ELSE '4E4F544D45444941'
        |END)""".stripMargin
   }
@@ -2306,19 +2340,25 @@ object Multimodal {
     // the constructed binary back to exactly what was planted
     "mm_sniff" ->
       """SELECT doc_id,
-        |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-        |    WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav' ELSE 'unknown'
+        |  CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |    WHEN 2 THEN 'bmp' WHEN 3 THEN 'wav' WHEN 5 THEN 'flac'
+        |    WHEN 6 THEN 'mp3' ELSE 'unknown'
         |    END AS format,
-        |  (CASE WHEN doc_id % 5 <= 2 THEN 100 + doc_id % 1000
+        |  (CASE WHEN doc_id % 7 <= 2 THEN 100 + doc_id % 1000
         |    END)::BIGINT AS width,
-        |  (CASE WHEN doc_id % 5 <= 2 THEN 50 + doc_id % 500
+        |  (CASE WHEN doc_id % 7 <= 2 THEN 50 + doc_id % 500
         |    END)::BIGINT AS height,
-        |  (CASE WHEN doc_id % 5 = 3 THEN 8000 + (doc_id % 100) * 441
+        |  (CASE doc_id % 7
+        |    WHEN 3 THEN 8000 + (doc_id % 100) * 441
+        |    WHEN 5 THEN 32000 + (doc_id % 5) * 4000
+        |    WHEN 6 THEN list_value(44100, 48000, 32000)
+        |      [(doc_id % 3 + 1)::INT]
         |    END)::BIGINT AS sample_rate,
-        |  (CASE WHEN doc_id % 5 = 3 THEN 1 + doc_id % 2
+        |  (CASE WHEN doc_id % 7 IN (3, 5) THEN 1 + doc_id % 2
         |    END)::BIGINT AS n_channels,
-        |  (CASE doc_id % 5 WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 26
-        |    WHEN 3 THEN 28 ELSE 8 END)::BIGINT AS n_bytes
+        |  (CASE doc_id % 7 WHEN 0 THEN 24 WHEN 1 THEN 10 WHEN 2 THEN 26
+        |    WHEN 3 THEN 28 WHEN 5 THEN 21 WHEN 6 THEN 4
+        |    ELSE 8 END)::BIGINT AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id, lower(hex(text::BLOB)) AS payload_hex,

@@ -323,8 +323,19 @@ class MultimodalSpec extends AnyFunSuite {
     val mp4 = (Array(0x00, 0x00, 0x00, 0x18).map(_.toByte) ++
       "ftypisom".getBytes("US-ASCII") ++
       Array[Byte](0, 0, 2, 0) ++ "isomiso2".getBytes("US-ASCII"))
+    // flac: fLaC + STREAMINFO-first header, sr 44100 / 2ch packed at
+    // bytes 18-20 (0x0A 0xC4 0x42); mp3: bare frame sync FF FB with
+    // srIdx 1 (48000) in byte 2, and an ID3v2-prefixed stream (rate
+    // unknown to a 32-byte sniff)
+    val flac = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x00, 0x00, 0x00, 34) ++ Array.fill(10)(0.toByte) ++
+      Array[Byte](0x0a, 0xc4.toByte, 0x42, 0, 0, 0, 0, 0)
+    val mp3 = Array[Byte](0xff.toByte, 0xfb.toByte, 0x94.toByte,
+      0xc0.toByte)
+    val id3 = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 0, 0, 9)
     val assets = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, junk), (5L, wav),
-      (6L, jpegSof0), (7L, jpegSof2), (8L, bmp), (9L, mp4))
+      (6L, jpegSof0), (7L, jpegSof2), (8L, bmp), (9L, mp4),
+      (10L, flac), (11L, mp3), (12L, id3))
       .toDF("doc_id", "payload")
     val got = Multimodal.sniffHeaders(assets)
       .collect().map(r => r.getLong(0) -> ((r.getString(1),
@@ -349,6 +360,12 @@ class MultimodalSpec extends AnyFunSuite {
       s"got ${got(8L)}")
     assert(got(9L) == (("mp4", None, None, None, None, Some("isom"))),
       s"got ${got(9L)}")
+    assert(got(10L) == (("flac", None, None, Some(44100L), Some(2L), None)),
+      s"got ${got(10L)}")
+    assert(got(11L) == (("mp3", None, None, Some(48000L), None, None)),
+      s"got ${got(11L)}")
+    assert(got(12L) == (("mp3", None, None, None, None, None)),
+      s"got ${got(12L)}")
   }
 
   test("G7 wav features: alternation maxes crossings per frame, zero never crosses") {
