@@ -306,6 +306,59 @@ object Multimodal {
       octet_length($"payload").cast("long").as("n_bytes"))
   }
 
+  /** G26 ASSET CATALOG — the C×G bridge (the fourth leg next to the
+    * graph and BM25 maintainers): a continuously-ingested binary
+    * corpus needs a queryable directory BEFORE any decode spend —
+    * "give me every mp4", "how many hours of 48 kHz audio landed
+    * today" — and at 100 TB that directory must be maintained from
+    * the feed (sniff each batch once), never by re-scanning assets.
+    * State = one [[graft.sources.Lake.Manifest]] table of
+    * [[sniffHeaders]] rows PARTITIONED BY FORMAT, so a decoder pool's
+    * read ("all flac") opens only its partition's files — the E8
+    * pruned-serve shape applied to asset routing. */
+  def catalogRows(assets: DataFrame): DataFrame =
+    sniffHeaders(assets).select(col("doc_id"), col("format"),
+      col("width"), col("height"), col("sample_rate"),
+      col("n_channels"), col("brand"), col("n_bytes"))
+
+  /** Publish the catalog of `assets(doc_id, payload)` as a snapshot. */
+  def publishAssetCatalog(assets: DataFrame, dir: String): Long =
+    graft.sources.Lake.Manifest.publishSnapshot(catalogRows(assets),
+      dir, partitionBy = Seq("format"))
+
+  /** Append a delta batch: new assets sniff ONCE and commit
+    * atomically; re-delivered doc_ids anti-join to nothing (the
+    * semantic-idempotence contract), and a tagged batch always
+    * commits (possibly meta-only) so the replay gate is reliable. */
+  def appendAssetCatalog(spark: SparkSession, dir: String,
+      assets: DataFrame, meta: String = ""): Long = {
+    import spark.implicits._
+    if (!graft.sources.Lake.Manifest.isManaged(spark, dir))
+      return graft.sources.Lake.Manifest.publishSnapshot(
+        catalogRows(assets), dir, partitionBy = Seq("format"),
+        meta = meta)
+    val fresh = catalogRows(assets)
+      .join(readAssetCatalog(spark, dir).select($"doc_id"),
+        Seq("doc_id"), "left_anti")
+    graft.sources.Lake.Manifest.publishAppend(fresh, dir,
+      partitionBy = Seq("format"), meta = meta)
+  }
+
+  /** Current catalog view. */
+  def readAssetCatalog(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Lake.Manifest.readPublished(spark, dir)
+
+  /** Format-routed read: the manifest file list prunes to the one
+    * format partition (driver-side string work), then the exact
+    * filter applies — pruning is an optimization, never the filter. */
+  def readAssetCatalogFormat(spark: SparkSession, dir: String,
+      format: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Lake.Manifest
+      .readPublishedPruned(spark, dir, "format", Seq(format))
+      .filter($"format" === format)
+  }
+
   /** aHash-style 64-bit perceptual fingerprint over decoded bytes:
     * 64 equal regions, bit r set iff region mean > global mean
     * (integer cross-multiply — no float division). A real codec

@@ -207,4 +207,35 @@ object DocStream {
         streamBm25Batch(dir, batch, batchId); ()
       }
       .start()
+
+  /** One asset-feed micro-batch into the G26 catalog: exactly-once
+    * by the batch-tag gate (an already-applied tag skips) plus
+    * semantic idempotence (re-delivered doc_ids anti-join to
+    * nothing). Returns -1 when skipped. */
+  def streamAssetBatch(dir: String, batch: DataFrame,
+      batchId: Long): Long = {
+    val spark = batch.sparkSession
+    val tag = s"batch=$batchId"
+    if (graft.sources.Lake.Manifest.isManaged(spark, dir) &&
+        graft.sources.Lake.Manifest.publishedMetas(spark, dir)
+          .contains(tag)) -1L
+    else graft.operators.Multimodal
+      .appendAssetCatalog(spark, dir, batch, meta = tag)
+  }
+
+  /** C×G: continuous ASSET-CATALOG maintenance over a binary feed —
+    * each landed asset is header-sniffed ONCE, in its micro-batch,
+    * and the format-partitioned catalog trails the drop zone by one
+    * trigger; decoder pools route off the catalog without touching
+    * payload bytes (the F46/E9 continuous-maintenance shape, applied
+    * to multimodal routing). */
+  def maintainAssetCatalog(assets: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    assets.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamAssetBatch(dir, batch, batchId); ()
+      }
+      .start()
 }

@@ -304,4 +304,50 @@ class DocStreamSpec extends AnyFunSuite {
     // and a full replay of batch 9 now gates out entirely
     assert(DocStream.streamBm25Batch(dir, extra, 9L) == -1L)
   }
+
+  test("G26 asset catalog: base+deltas == one-shot sniff, format-pruned read, replay exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.sources.Lake
+    // a mixed binary feed: mp3 / flac / exif-jpeg / mp4 by id
+    def payload(id: Long): Array[Byte] = (id % 4) match {
+      case 0 => Multimodal.mp3Bytes(id)
+      case 1 => Multimodal.flacBytes(id)
+      case 2 => Multimodal.exifBytes(id)
+      case _ => Multimodal.mp4Bytes(id)
+    }
+    val all = (0L until 60L).map(i => (i, payload(i)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    Multimodal.publishAssetCatalog(
+      all.filter(_._1 % 3 == 0).toDF("doc_id", "payload"), dir)
+    val in = MemoryStream[(Long, Array[Byte])]
+    in.addData(all.filter(_._1 % 3 == 1))
+    in.addData(all.filter(_._1 % 3 == 2))
+    val q = DocStream.maintainAssetCatalog(
+      in.toDF().toDF("doc_id", "payload"), dir,
+      java.nio.file.Files.createTempDirectory("graft_cat_ck").toString)
+    q.awaitTermination()
+    // streamed catalog == the one-shot sniff of the union
+    val got = Multimodal.readAssetCatalog(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val want = Multimodal.catalogRows(all.toDF("doc_id", "payload"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, s"catalog diverged:\n${got.take(3)}\nvs\n${want.take(3)}")
+    assert(got.size == 60)
+    // format-routed read: only the mp3 partition's files open
+    val mp3s = Multimodal.readAssetCatalogFormat(spark, dir, "mp3")
+    assert(mp3s.count() == all.count(_._1 % 4 == 0))
+    val allFiles = Multimodal.readAssetCatalog(spark, dir)
+      .inputFiles.length
+    assert(mp3s.inputFiles.length < allFiles,
+      s"format read opened ${mp3s.inputFiles.length} of $allFiles")
+    // meta-gated replay skips; an untagged duplicate is a semantic
+    // no-op (anti-join adds zero rows)
+    assert(DocStream.streamAssetBatch(dir,
+      all.filter(_._1 % 3 == 1).toDF("doc_id", "payload"), 0L) == -1L)
+    Multimodal.appendAssetCatalog(spark, dir,
+      all.filter(_._1 % 3 == 2).toDF("doc_id", "payload"))
+    assert(Multimodal.readAssetCatalog(spark, dir).count() == 60L)
+  }
 }
