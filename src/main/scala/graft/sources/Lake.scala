@@ -375,6 +375,21 @@ object Lake {
     def readPublished(spark: SparkSession, dir: String): DataFrame =
       readPublishedVersion(spark, dir, currentVersion(spark, dir))
 
+    /** H24 SCHEMA EVOLUTION read: the current version with the UNION
+      * schema across every listed file (Parquet footer merge), so a
+      * table whose appends grew columns over time reads as one frame
+      * — old files' missing columns are null, exactly the
+      * Delta/Iceberg evolution contract. Kept separate from
+      * [[readPublished]] (footer-merge costs one extra driver pass
+      * over file metadata and most tables never evolve): callers opt
+      * in where drift is expected — landed CDC feeds, long-lived
+      * catalogs — and the C50 schema-drift AUDIT decides what the
+      * evolved read then absorbs. */
+    def readPublishedEvolved(spark: SparkSession, dir: String): DataFrame = {
+      val files = manifestFiles(spark, dir, currentVersion(spark, dir))
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
+    }
+
     /** Time travel: any still-retained version. */
     def readPublishedVersion(spark: SparkSession, dir: String,
         version: Long): DataFrame = {

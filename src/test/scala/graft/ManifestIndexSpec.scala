@@ -262,4 +262,27 @@ class ManifestIndexSpec extends AnyFunSuite {
       Lake.Manifest.publishReplacePartitions(repl, dU, "p", Seq("1"))
     }
   }
+
+  test("H24 schema evolution: appends may grow columns; the evolved read unions, old rows null") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    Lake.Manifest.publishSnapshot(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), d)
+    // a later append carries an extra column the early files lack
+    Lake.Manifest.publishAppend(
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "score"), d)
+    val evolved = Lake.Manifest.readPublishedEvolved(spark, d)
+    assert(evolved.columns.toSet == Set("id", "v", "score"),
+      s"union schema: ${evolved.columns.toSeq}")
+    val rows = evolved.select($"id", $"v", $"score")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rows == Set((1L, "a", -1L), (2L, "b", -1L),
+      (3L, "c", 30L), (4L, "d", 40L)), s"rows $rows")
+    // and an append MISSING an early column still unions
+    Lake.Manifest.publishAppend(Seq((5L, 50L)).toDF("id", "score"), d)
+    val evolved2 = Lake.Manifest.readPublishedEvolved(spark, d)
+    assert(evolved2.count() == 5L &&
+      evolved2.filter($"id" === 5L && $"v".isNull).count() == 1L)
+  }
 }
