@@ -391,6 +391,60 @@ object Mp4Demux {
     new GenericArrayData(out)
   }
 
+  /** EDIT LIST (trak/edts/elst — ISO 14496-12 §8.6.6): the table
+    * that maps media time onto the presentation timeline. Entry
+    * semantics: media_time == −1 is an EMPTY edit (a presentation
+    * delay of segment_duration movie-timescale ticks); otherwise the
+    * edit presents media starting at media_time — the demuxed pts
+    * ladder (G17) shifts by exactly these values, so a sampler that
+    * ignores elst misaligns every A/V sync downstream. Both FullBox
+    * layouts: v0 = u32 duration + s32 media_time; v1 = u64 + s64.
+    * Rate exports as ppm (u16.16 fixed point · 10⁶ / 2¹⁶). Routed by
+    * hdlr handler; a trak without edts yields the identity (empty
+    * array — callers treat no-edit as pass-through); malformation
+    * quarantines to empty. */
+  def editsFor(bytes: Array[Byte], handler: UTF8String): ArrayData = {
+    val empty = new GenericArrayData(Array.empty[Any])
+    val want = handler.toString
+    for ((tLo, tHi) <- trakList(bytes)) {
+      if (want.isEmpty || want == trakHandler(bytes, tLo, tHi)) {
+        val edts = findBox(bytes, tLo, tHi, "edts")
+        if (edts < 0L) return empty // no edit list: identity
+        val elst = findBox(bytes, loOf(edts), hiOf(edts), "elst")
+        if (elst < 0L) return empty
+        val (lo, hi) = (loOf(elst), hiOf(elst))
+        if (lo + 8 > hi) return empty
+        val v = ver(bytes, lo)
+        if (v > 1) return empty // unknown layout: quarantine
+        val n = be32(bytes, lo + 4).toInt
+        val entryLen = if (v == 0) 12 else 20
+        if (n < 0 || lo + 8 + n.toLong * entryLen > hi) return empty
+        val out = new Array[Any](n)
+        var i = 0
+        while (i < n) {
+          val p = lo + 8 + i * entryLen
+          val (dur, mt, rp) =
+            if (v == 0)
+              (be32(bytes, p),
+                be32(bytes, p + 4).toInt.toLong, // sign-extend s32
+                p + 8)
+            else (be64(bytes, p), be64(bytes, p + 8), p + 16)
+          val rateInt = ((bytes(rp) & 0xffL) << 8) | (bytes(rp + 1) & 0xffL)
+          val rateFrac = ((bytes(rp + 2) & 0xffL) << 8) | (bytes(rp + 3) & 0xffL)
+          out(i) = InternalRow(i.toLong, dur, mt,
+            rateInt * 1000000L + rateFrac * 1000000L / 65536L)
+          i += 1
+        }
+        return new GenericArrayData(out)
+      }
+    }
+    empty
+  }
+
+  /** `mp4_edits(payload, handler)` as a codegen-friendly Column. */
+  def mp4EditsFor(c: Column, handler: String): Column =
+    GraftSqlBridge.column(Mp4EditList(GraftSqlBridge.expression(c), handler))
+
   /** `mp4_samples(payload)` as a codegen-friendly Column. */
   def mp4Samples(c: Column): Column =
     GraftSqlBridge.column(Mp4SampleTable(GraftSqlBridge.expression(c)))
@@ -513,6 +567,39 @@ case class Mp4TrackDir(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, in => s"graft.functions.Mp4Demux.tracks($in)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Scalar wrapper: binary → array<struct<edit_idx, segment_duration,
+  * media_time, rate_ppm>> inside whole-stage codegen. An empty
+  * `handler` reads the first trak's edit list. */
+case class Mp4EditList(child: Expression, handler: String = "")
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"mp4_edits needs a binary input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("edit_idx", LongType, nullable = false),
+    StructField("segment_duration", LongType, nullable = false),
+    StructField("media_time", LongType, nullable = false),
+    StructField("rate_ppm", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    Mp4Demux.editsFor(input.asInstanceOf[Array[Byte]],
+      UTF8String.fromString(handler))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("handler", UTF8String.fromString(handler),
+      classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev,
+      in => s"graft.functions.Mp4Demux.editsFor($in, $h)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

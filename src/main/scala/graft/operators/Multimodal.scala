@@ -306,6 +306,27 @@ object Multimodal {
       octet_length($"payload").cast("long").as("n_bytes"))
   }
 
+  /** G27 graded entry (`mm_mp4_edits`): the video trak's edit list
+    * walked back — a hash match proves the edts/elst parse (v0
+    * layout, signed media_time, u16.16 rate → ppm) agrees with the
+    * planted closed form. The presentation-timeline composition a
+    * sampler applies: an empty edit DELAYS by segment_duration movie
+    * ticks; a normal edit presents media from media_time — pts
+    * ladders that ignore this misalign A/V sync. */
+  private def mp4EditsEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, mp4MultiTrackBytes(id)))
+      .toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id", explode(
+        graft.functions.Mp4Demux.mp4EditsFor($"payload", "vide")).as("e"))
+      .select($"doc_id", $"e.edit_idx".as("edit_idx"),
+        $"e.segment_duration".as("segment_duration"),
+        $"e.media_time".as("media_time"), $"e.rate_ppm".as("rate_ppm"))
+      .orderBy($"doc_id", $"edit_idx")
+  }
+
   /** G26 ASSET CATALOG — the C×G bridge (the fourth leg next to the
     * graph and BM25 maintainers): a continuously-ingested binary
     * corpus needs a queryable directory BEFORE any decode spend —
@@ -1036,7 +1057,12 @@ object Multimodal {
     val d2 = (30 + docId % 5).toInt
     val ts2 = (8000 + (docId % 3) * 4000).toInt
     val c2 = (n2 + 1) / 2
-    val bb = java.nio.ByteBuffer.allocate(504 + 4 * n1 + 8 * c2)
+    // video edit list (G27): one EMPTY edit (presentation delay
+    // d0 = 500·(1+id%4) movie ticks, media_time −1) then the normal
+    // edit presenting from m = 100·(id%3)
+    val d0 = (500 * (1 + docId % 4)).toInt
+    val em = (100 * (docId % 3)).toInt
+    val bb = java.nio.ByteBuffer.allocate(552 + 4 * n1 + 8 * c2)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     def box(size: Int, typ: String): Unit = {
       bb.putInt(size); bb.put(typ.getBytes("US-ASCII")); ()
@@ -1046,11 +1072,17 @@ object Multimodal {
       .put("isom".getBytes("US-ASCII")).putInt(0)
     // 64-bit largesize box: size field 1, real 24-byte size follows
     box(1, "free"); bb.putLong(24L).putLong(0x5555555555555555L)
-    box(440 + 4 * n1 + 8 * c2, "moov")
+    box(488 + 4 * n1 + 8 * c2, "moov")
     box(16, "mvhd"); bb.putLong(0L)
-    // ---- trak 0: video — mdhd v0, per-sample stsz, 32-bit stco
-    box(204 + 4 * n1, "trak")
+    // ---- trak 0: video — mdhd v0, per-sample stsz, 32-bit stco,
+    // and an edts/elst the G27 walk must read (and the stbl walks
+    // must SKIP)
+    box(252 + 4 * n1, "trak")
     box(16, "tkhd"); bb.putLong(0L)
+    box(48, "edts")
+    box(40, "elst"); bb.putInt(0).putInt(2)
+      .putInt(d0).putInt(-1).putShort(1).putShort(0)
+      .putInt(n1 * d1).putInt(em).putShort(1).putShort(0)
     box(180 + 4 * n1, "mdia")
     box(32, "mdhd"); bb.putInt(0).putInt(0).putInt(0)
       .putInt(ts1).putInt(n1 * d1).putInt(0)
@@ -1797,6 +1829,7 @@ object Multimodal {
     "mm_mp3_summary" -> mp3SummaryEntry,
     "mm_flac_info" -> flacInfoEntry,
     "mm_exif_meta" -> exifMetaEntry,
+    "mm_mp4_edits" -> mp4EditsEntry,
     "mm_wav_stats" -> wavStatsEntry,
     "mm_binary_meta" -> binaryMetaHex,
     // exactly graded since round 7 (was rows-only on the stub
@@ -1861,6 +1894,19 @@ object Multimodal {
         |  (sum(kbps) * 1000 // count(*))::BIGINT AS mean_bitrate_ppk,
         |  (count(*) * 1152 * 1000 // max(hz))::BIGINT AS duration_ms
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // G27 twin: the planted elst entries replayed — empty edit
+    // first (media_time −1), then the presenting edit
+    "mm_mp4_edits" ->
+      """SELECT doc_id, 0::BIGINT AS edit_idx,
+        |  (500 * (1 + doc_id % 4))::BIGINT AS segment_duration,
+        |  (-1)::BIGINT AS media_time, 1000000::BIGINT AS rate_ppm
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 1::BIGINT,
+        |  ((4 + doc_id % 3) * 100 * (1 + doc_id % 3))::BIGINT,
+        |  (100 * (doc_id % 3))::BIGINT, 1000000::BIGINT
+        |FROM documents
+        |ORDER BY doc_id, edit_idx""".stripMargin,
     // G25 twin: the closed-form IFD values replayed — the endianness
     // CASE is the whole point (the walk must produce identical
     // values from both byte orders)

@@ -813,6 +813,63 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("G27 mp4 edit list: v0 and v1 layouts, signed media_time, no-edts identity, malformed quarantines") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, size}
+    import graft.functions.Mp4Demux
+    def be32(v: Int): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    def full(v: Int*) = v.flatMap(be32).toArray
+    def hdlr(h: String) = box("hdlr",
+      full(0, 0) ++ h.getBytes("US-ASCII") ++ full(0))
+    // v1 elst: one 20-byte entry — u64 duration, s64 media_time −2,
+    // rate 0.5 (0x0000.8000 → 500000 ppm)
+    val elstV1 = box("elst", Array[Byte](1, 0, 0, 0) ++ full(1) ++
+      full(0, 700) ++ full(-1, -2) ++
+      Array[Byte](0, 0, 0x80.toByte, 0))
+    val mt = box("moov", box("trak",
+      box("edts", elstV1) ++ box("mdia", hdlr("vide"))))
+    val got = Seq((1L, mt)).toDF("doc_id", "payload")
+      .select(explode(Mp4Demux.mp4EditsFor($"payload", "vide")).as("e"))
+      .select($"e.edit_idx", $"e.segment_duration", $"e.media_time",
+        $"e.rate_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 700L, -2L, 500000L)), s"v1: $got")
+    // the synthesized corpus: planted v0 entries replay closed-form
+    val id = 5L
+    val syn = Seq((id, graft.operators.Multimodal.mp4MultiTrackBytes(id)))
+      .toDF("doc_id", "payload")
+      .select(explode(Mp4Demux.mp4EditsFor($"payload", "vide")).as("e"))
+      .select($"e.edit_idx", $"e.segment_duration", $"e.media_time",
+        $"e.rate_ppm")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val n1d1 = (4 + id % 3) * 100 * (1 + id % 3)
+    assert(syn == Seq((0L, 500L * (1 + id % 4), -1L, 1000000L),
+      (1L, n1d1, 100L * (id % 3), 1000000L)), s"syn: $syn")
+    // a trak WITHOUT edts yields the identity (empty), and the audio
+    // trak of the synthesis has no edit list
+    val none = Seq((id, graft.operators.Multimodal.mp4MultiTrackBytes(id)))
+      .toDF("doc_id", "payload")
+      .select(size(Mp4Demux.mp4EditsFor($"payload", "soun")).as("n"))
+      .as[Int].collect().head
+    assert(none == 0, s"audio trak has no elst, got $none edits")
+    // malformed: entry table overruns the box, unknown version
+    val overrun = box("moov", box("trak",
+      box("edts", box("elst", Array[Byte](0, 0, 0, 0) ++ full(9))) ++
+        box("mdia", hdlr("vide"))))
+    val badVer = box("moov", box("trak",
+      box("edts", box("elst", Array[Byte](2, 0, 0, 0) ++ full(0))) ++
+        box("mdia", hdlr("vide"))))
+    for (bad <- Seq(overrun, badVer)) {
+      val n = Seq((1L, bad)).toDF("doc_id", "payload")
+        .select(size(Mp4Demux.mp4EditsFor($"payload", "vide")).as("n"))
+        .as[Int].collect().head
+      assert(n == 0, s"malformed elst yielded $n edits")
+    }
+  }
+
   test("G24 flac streaminfo: hand-packed bits exact, chain walk counts blocks, malformed quarantines") {
     import spark.implicits._
     import graft.functions.FlacInfo
