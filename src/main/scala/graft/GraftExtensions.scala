@@ -117,6 +117,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "mp4_tracks"),
       (args: Seq[Expression]) => graft.functions.Mp4TrackDir(args.head)))
     e.injectFunction((
+      new FunctionIdentifier("mp4_edits"),
+      new ExpressionInfo(classOf[graft.functions.Mp4EditList].getName,
+        "mp4_edits"),
+      (args: Seq[Expression]) =>
+        if (args.length <= 1) graft.functions.Mp4EditList(args.head)
+        else graft.functions.Mp4EditList(args.head, litString(args, 1,
+          "mp4_edits(payload[, handler]) requires a literal handler"))))
+    // the audio/image header-demux family (G22/G24/G25)
+    e.injectFunction((
+      new FunctionIdentifier("mp3_frames"),
+      new ExpressionInfo(classOf[graft.functions.Mp3FrameTable].getName,
+        "mp3_frames"),
+      (args: Seq[Expression]) => graft.functions.Mp3FrameTable(args.head)))
+    e.injectFunction((
+      new FunctionIdentifier("flac_info"),
+      new ExpressionInfo(classOf[graft.functions.FlacStreamInfo].getName,
+        "flac_info"),
+      (args: Seq[Expression]) => graft.functions.FlacStreamInfo(args.head)))
+    e.injectFunction((
+      new FunctionIdentifier("exif_meta"),
+      new ExpressionInfo(classOf[graft.functions.ExifMeta].getName,
+        "exif_meta"),
+      (args: Seq[Expression]) => graft.functions.ExifMeta(args.head)))
+    e.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))

@@ -751,6 +751,36 @@ object Similarity {
       .orderBy($"q_id", $"rank")
   }
 
+  /** E34 RANDOM-ROTATION PQ (the cheap cousin of OPQ — Ge et al.
+    * 2013 learn the rotation, Faiss's RandomRotationMatrix just
+    * applies one; both exist because plain PQ quantizes each
+    * subspace INDEPENDENTLY and correlated/unbalanced dimensions
+    * concentrate error in a few subspaces): apply a fixed
+    * ORTHOGONAL transform — a dimension permutation
+    * j ← (29·j) mod 64 composed with deterministic sign flips —
+    * to every vector, then run the identical E6 PQ-ADC chain on the
+    * rotated space. Distances are rotation-invariant, so the
+    * approximation target is unchanged while the subspace
+    * decomposition decorrelates. Exactness: the rotation multiplies
+    * original doubles by ±1 and permutes — bit-exact — and the PQ
+    * chain downstream is the proven E6 machinery, so the oracle
+    * (the E6 twin over the same rotated view) hashes with no
+    * rounding. */
+  def annRrPq(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val rotated = vecs.select($"vec_id", expr(RrRotateSql).as("embedding"))
+    annPq(rotated)
+  }
+
+  /** The fixed rotation, shared textually with the twin: permutation
+    * stride 29 (coprime to 64 — a full cycle), sign flip on every
+    * (13·j) % 5 == 0 lane. */
+  private val RrRotateSql: String =
+    """transform(sequence(0, 63), j ->
+      |  element_at(cast(embedding as array<double>), (j * 29) % 64 + 1)
+      |  * (CASE WHEN (j * 13) % 5 = 0 THEN -1.0 ELSE 1.0 END))"""
+      .stripMargin
+
   /** Driver-side sequential dot — the same index-order fold
     * VectorFunctions.dot and DuckDB's list_dot_product use, so
     * driver-precomputed literals are bit-identical to what either
@@ -1982,6 +2012,7 @@ object Similarity {
     "ann_ivfpq_index" -> (ivfPqIndexEntry(_, _)),
     "ann_ivfpq_index_rerank" -> (ivfPqIndexRerankEntry(_, _)),
     "ann_pq" -> onVecs(annPq),
+    "ann_rr_pq" -> onVecs(annRrPq),
     "ann_rq" -> onVecs(annRq),
     "ann_sq8" -> onVecs(annSq8),
     "kmeans_silhouette" -> onVecs(v => kmeansSilhouette(v)),
@@ -2050,8 +2081,20 @@ object Similarity {
     * LIMIT-16 sample), same squared-euclidean argmin per subspace
     * (tie → lowest code), ADC folded left in subspace order via
     * list_reduce — bit-identical doubles, no rounding. */
-  private def annPqOracleSql: String =
-    s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  private def annPqOracleSql: String = annPqOracleSqlOver(
+    "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")
+
+  /** E34 twin: the E6 chain verbatim over the ROTATED view — the
+    * rotation (permute by stride 29, deterministic sign flips) is
+    * exact ±1 arithmetic, so the whole ranking still hashes. */
+  private def annRrPqOracleSql: String = annPqOracleSqlOver(
+    """SELECT vec_id, list_transform(range(0, 64), j ->
+      |  (embedding::DOUBLE[])[(j * 29) % 64 + 1]
+      |  * (CASE WHEN (j * 13) % 5 = 0 THEN -1.0 ELSE 1.0 END)) AS v
+      |FROM embeddings""".stripMargin)
+
+  private def annPqOracleSqlOver(evSelect: String): String =
+    s"""WITH ev AS ($evSelect),
        |seeds AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
        |  FROM (SELECT vec_id, v FROM ev
@@ -2614,6 +2657,7 @@ object Similarity {
     "ann_ivfpq_index_rerank" ->
       ivfPqRerankOracleSql(k = 16, iters = 2, nProbe = 2, shortlist = 10),
     "ann_pq" -> annPqOracleSql,
+    "ann_rr_pq" -> annRrPqOracleSql,
     "ann_rq" -> annRqOracleSql,
     // explicit half-up (floor(x+0.5)) in BOTH engines — round() tie
     // rules differ; dequant + cosine replay the identical IEEE ops.

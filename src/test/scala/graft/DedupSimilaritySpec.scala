@@ -394,6 +394,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ann_rr_pq: the rotation is orthogonal and the chain is annPq over the rotated view") {
+    import spark.implicits._
+    val vecs = Seq.tabulate(100) { i =>
+      val src = if (i == 50) 0 else i
+      (i.toLong, Array.tabulate(64)(d =>
+        (((src * 2654435761L + d * 40503L) % 1000L) / 250.0f) - 2.0f))
+    }.toDF("vec_id", "embedding")
+    // orthogonality: a permutation + sign flips preserves norms and
+    // pairwise dot products EXACTLY (same multiset of ±products)
+    def rot(v: Array[Double]): Array[Double] =
+      Array.tabulate(64)(j =>
+        v((j * 29) % 64) * (if ((j * 13) % 5 == 0) -1.0 else 1.0))
+    val sample = vecs.limit(3).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // per-lane products are EXACTLY preserved (the two sign flips
+    // cancel; the permutation only reorders them), so the sorted
+    // product multiset is bit-equal — the float-safe orthogonality
+    // statement (a summed comparison would reorder the fold)
+    def prods(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sorted.toSeq
+    for (a <- sample; b <- sample)
+      assert(prods(rot(a), rot(b)) == prods(a, b),
+        "rotation must preserve the product multiset exactly")
+    // the operator == the plain PQ chain over the pre-rotated frame
+    val got = Similarity.annRrPq(vecs).collect().map(_.toString).toSeq
+    val pre = vecs.select($"vec_id",
+      org.apache.spark.sql.functions.expr(
+        """transform(sequence(0, 63), j ->
+          |  element_at(cast(embedding as array<double>),
+          |    (j * 29) % 64 + 1)
+          |  * (CASE WHEN (j * 13) % 5 = 0 THEN -1.0 ELSE 1.0
+          |     END))""".stripMargin).as("embedding"))
+    val want = Similarity.annPq(pre).collect().map(_.toString).toSeq
+    assert(got == want, "annRrPq must equal annPq on the rotated view")
+    // the coded duplicate still surfaces (rotation-invariant recall)
+    val byQ = Similarity.annRrPq(vecs).collect().groupBy(_.getLong(0))
+    assert(byQ(0L).map(_.getLong(2)).contains(50L))
+  }
+
   test("dedup_embedding is symmetric-free and thresholded") {
     val df = Dedup.embeddingCosine(Tables.embeddings(spark, sf))
     assert(df.filter(col("vec_a") >= col("vec_b")).count() == 0)

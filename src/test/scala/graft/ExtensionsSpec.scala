@@ -215,4 +215,34 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("literal handler"), e.getMessage)
   }
+
+  test("audio/image header demux family is callable from SQL") {
+    import spark.implicits._
+    Seq((7L, graft.operators.Multimodal.mp4MultiTrackBytes(7L)))
+      .toDF("doc_id", "payload").createOrReplaceTempView("mt_assets")
+    val edits = spark.sql(
+      """SELECT e.edit_idx, e.media_time
+        |FROM mt_assets LATERAL VIEW
+        |  explode(mp4_edits(payload, 'vide')) AS e
+        |ORDER BY e.edit_idx""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(edits == Seq((0L, -1L), (1L, 100L * (7L % 3))),
+      s"SQL mp4_edits: $edits")
+    Seq((3L, graft.operators.Multimodal.mp3Bytes(3L)),
+      (4L, graft.operators.Multimodal.flacBytes(4L)),
+      (5L, graft.operators.Multimodal.exifBytes(5L)))
+      .toDF("doc_id", "payload").createOrReplaceTempView("av_assets")
+    val nFrames = spark.sql(
+      "SELECT size(mp3_frames(payload)) FROM av_assets WHERE doc_id = 3")
+      .as[Int].collect().head
+    assert(nFrames == (4 + 3 % 5), s"SQL mp3_frames: $nFrames")
+    val sr = spark.sql(
+      "SELECT flac_info(payload).sample_rate FROM av_assets WHERE doc_id = 4")
+      .as[Long].collect().head
+    assert(sr == 32000L + (4 % 5) * 4000L, s"SQL flac_info: $sr")
+    val orient = spark.sql(
+      "SELECT exif_meta(payload).orientation FROM av_assets WHERE doc_id = 5")
+      .as[Long].collect().head
+    assert(orient == 1L + 5 % 8, s"SQL exif_meta: $orient")
+  }
 }
