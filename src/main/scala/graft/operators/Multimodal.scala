@@ -327,6 +327,87 @@ object Multimodal {
       .orderBy($"doc_id", $"edit_idx")
   }
 
+  /** Minimal spec-shaped SubRip (SRT) document (G28) — the ENCODER
+    * side of subtitle parsing: n = 3 + id%4 cues, each a 1-based
+    * index line, a `HH:MM:SS,mmm --> HH:MM:SS,mmm` time line, and a
+    * caption line, blocks separated by blank lines. Times are
+    * closed-form in (id, cue): start = 300·i + id%100,
+    * end = start + 250 + id%120 — so the oracle replays cue tables
+    * without parsing a byte, and a hash match proves the parser
+    * INVERTS the formatter (digit padding, ms comma and all). */
+  private[graft] def srtText(docId: Long): String = {
+    val n = (3 + docId % 4).toInt
+    def fmt(ms: Long): String = {
+      val h = ms / 3600000; val m = (ms / 60000) % 60
+      val s = (ms / 1000) % 60; val r = ms % 1000
+      f"$h%02d:$m%02d:$s%02d,$r%03d"
+    }
+    (0 until n).map { i =>
+      val start = 300L * i + docId % 100
+      val end = start + 250 + docId % 120
+      s"${i + 1}\n${fmt(start)} --> ${fmt(end)}\ncap ${docId} ${i}"
+    }.mkString("\n\n")
+  }
+
+  /** G28 SRT cue parse — declarative column ops only (split on blank
+    * lines, one regexp over the time line): subtitles are the text
+    * half of a vision-language corpus, and at 100 TB the cue table
+    * is what aligns captions to frames WITHOUT decoding either. */
+  def srtCues(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = "(\\\\d{2}):(\\\\d{2}):(\\\\d{2}),(\\\\d{3})"
+    def ms(prefix: Int): String = {
+      val g = (k: Int) => s"cast(regexp_extract(b[1], '$t --> $t', ${prefix + k}) as bigint)"
+      s"((${g(0)} * 3600000 + ${g(1)} * 60000 + ${g(2)} * 1000 + ${g(3)}))"
+    }
+    docs.select($"doc_id", explode(expr(
+        "transform(split(text, '\\n\\n'), s -> split(s, '\\n'))")).as("b"))
+      .filter(size($"b") >= 3)
+      .select($"doc_id",
+        expr("cast(b[0] as bigint)").as("cue_idx"),
+        expr(ms(1)).as("start_ms"),
+        expr(ms(5)).as("end_ms"),
+        expr("b[2]").as("caption"))
+      .withColumn("dur_ms", $"end_ms" - $"start_ms")
+  }
+
+  /** G28 graded entry (`mm_srt_cues`). */
+  private def srtCuesEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, srtText(id))).toDF("doc_id", "text")
+    srtCues(payloads).orderBy($"doc_id", $"cue_idx")
+  }
+
+  /** G29 graded entry (`mm_caption_frames`) — the composition the
+    * subtitle track exists for: ALIGN CAPTIONS TO FRAMES without
+    * decoding either side. Video sample pts (the G17 ladder off the
+    * multi-trak header, ticks → exact floor-div ms at the mdhd
+    * timescale) interval-joins the SRT cue table per asset — the
+    * (frame byte range, caption) pairs a vision-language pipeline
+    * feeds its encoder. The join is doc-keyed with a bounded cue
+    * list per doc (an equi-join plus a range predicate — never a
+    * cross-corpus interval join). */
+  private def captionFramesEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, mp4MultiTrackBytes(id), srtText(id)))
+      .toDF("doc_id", "payload", "srt")
+    val frames = payloads.select($"doc_id",
+        explode(graft.functions.Mp4Demux.mp4TimingFor($"payload", "vide"))
+          .as("t"),
+        graft.functions.Mp4Demux.mp4Tracks($"payload").getItem(0)
+          .getField("timescale").as("ts"))
+      .select($"doc_id", $"t.sample_idx".as("sample_idx"),
+        expr("t.pts * 1000 div ts").as("pts_ms"))
+    val cues = srtCues(payloads.select($"doc_id", $"srt".as("text")))
+    frames.join(cues, Seq("doc_id"))
+      .filter($"pts_ms" >= $"start_ms" && $"pts_ms" < $"end_ms")
+      .select($"doc_id", $"sample_idx", $"pts_ms", $"cue_idx",
+        $"caption")
+      .orderBy($"doc_id", $"sample_idx", $"cue_idx")
+  }
+
   /** G26 ASSET CATALOG — the C×G bridge (the fourth leg next to the
     * graph and BM25 maintainers): a continuously-ingested binary
     * corpus needs a queryable directory BEFORE any decode spend —
@@ -1830,6 +1911,8 @@ object Multimodal {
     "mm_flac_info" -> flacInfoEntry,
     "mm_exif_meta" -> exifMetaEntry,
     "mm_mp4_edits" -> mp4EditsEntry,
+    "mm_srt_cues" -> srtCuesEntry,
+    "mm_caption_frames" -> captionFramesEntry,
     "mm_wav_stats" -> wavStatsEntry,
     "mm_binary_meta" -> binaryMetaHex,
     // exactly graded since round 7 (was rows-only on the stub
@@ -1894,6 +1977,41 @@ object Multimodal {
         |  (sum(kbps) * 1000 // count(*))::BIGINT AS mean_bitrate_ppk,
         |  (count(*) * 1152 * 1000 // max(hz))::BIGINT AS duration_ms
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // G28 twin: the closed-form cue table replayed with no parsing —
+    // a hash match proves the parser inverts the formatter
+    "mm_srt_cues" ->
+      """WITH d AS (
+        |  SELECT doc_id, (3 + doc_id % 4)::INT AS n FROM documents),
+        |c AS (SELECT doc_id, unnest(range(0, n))::BIGINT AS i FROM d)
+        |SELECT doc_id, (i + 1)::BIGINT AS cue_idx,
+        |  (300 * i + doc_id % 100)::BIGINT AS start_ms,
+        |  (300 * i + doc_id % 100 + 250 + doc_id % 120)::BIGINT AS end_ms,
+        |  'cap ' || doc_id::VARCHAR || ' ' || i::VARCHAR AS caption,
+        |  (250 + doc_id % 120)::BIGINT AS dur_ms
+        |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
+    // G29 twin: the G17 pts ladder (ticks → floor-div ms at the mdhd
+    // timescale) interval-joined with the closed-form cue table
+    "mm_caption_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, (4 + doc_id % 3)::INT AS n1,
+        |    100 * (1 + doc_id % 3) AS d1, 600 * (1 + doc_id % 2) AS ts,
+        |    (3 + doc_id % 4)::INT AS nc
+        |  FROM documents),
+        |f AS (SELECT doc_id, d1, ts,
+        |    unnest(range(0, n1))::BIGINT AS k FROM d),
+        |fr AS (SELECT doc_id, k AS sample_idx,
+        |    (k * d1 * 1000) // ts AS pts_ms FROM f),
+        |cu AS (SELECT doc_id, unnest(range(0, nc))::BIGINT AS i FROM d),
+        |cues AS (SELECT doc_id, (i + 1)::BIGINT AS cue_idx,
+        |    300 * i + doc_id % 100 AS s,
+        |    300 * i + doc_id % 100 + 250 + doc_id % 120 AS e,
+        |    'cap ' || doc_id::VARCHAR || ' ' || i::VARCHAR AS caption
+        |  FROM cu)
+        |SELECT fr.doc_id, fr.sample_idx, fr.pts_ms::BIGINT AS pts_ms,
+        |  c.cue_idx, c.caption
+        |FROM fr JOIN cues c ON fr.doc_id = c.doc_id
+        |  AND fr.pts_ms >= c.s AND fr.pts_ms < c.e
+        |ORDER BY fr.doc_id, sample_idx, cue_idx""".stripMargin,
     // G27 twin: the planted elst entries replayed — empty edit
     // first (media_time −1), then the presenting edit
     "mm_mp4_edits" ->

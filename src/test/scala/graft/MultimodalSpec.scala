@@ -870,6 +870,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("G28 srt cues: hour-scale timestamps parse exactly, short blocks drop, formatter round-trips") {
+    import spark.implicits._
+    val srt = "1\n01:02:03,456 --> 01:02:05,000\nhello world\n\n" +
+      "2\n10:00:00,001 --> 10:00:00,999\nsecond cue\n\n" +
+      "junkblock" // no time line: must drop, not crash
+    val got = graft.operators.Multimodal.srtCues(
+        Seq((1L, srt)).toDF("doc_id", "text"))
+      .select($"cue_idx", $"start_ms", $"end_ms", $"caption", $"dur_ms")
+      .as[(Long, Long, Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, 3723456L, 3725000L, "hello world", 1544L),
+      (2L, 36000001L, 36000999L, "second cue", 998L)), s"got $got")
+    // the synthesized corpus round-trips the formatter
+    val id = 7L
+    val syn = graft.operators.Multimodal.srtCues(
+        Seq((id, graft.operators.Multimodal.srtText(id)))
+          .toDF("doc_id", "text"))
+      .select($"cue_idx", $"start_ms", $"end_ms")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val want = (0 until (3 + id % 4).toInt).map { i =>
+      val s = 300L * i + id % 100
+      ((i + 1).toLong, s, s + 250 + id % 120)
+    }
+    assert(syn == want, s"syn $syn")
+  }
+
   test("G24 flac streaminfo: hand-packed bits exact, chain walk counts blocks, malformed quarantines") {
     import spark.implicits._
     import graft.functions.FlacInfo
