@@ -1324,22 +1324,33 @@ object Similarity {
       .groupBy($"cell").agg(count(lit(1)).as("n_vectors"))
   }
 
-  /** One maintenance pass: split every cell holding more than `cap`
+  /** Maintenance passes: split every cell holding more than `cap`
     * members (each split is its own atomic commit — a crash between
-    * two splits loses nothing, the next pass resumes). Children that
-    * remain oversized split on the NEXT pass: one pass halves the
-    * worst cell, the fixpoint is reached in log(skew) passes — the
-    * bounded-work-per-invocation contract a maintenance daemon
-    * wants. Returns the number of splits performed. */
+    * two splits loses nothing, the next invocation resumes). A split
+    * child can itself remain oversized (2-means is rarely an even
+    * halving), so up to `maxPasses` rounds run until a pass performs
+    * no split — the fixpoint arrives in O(log skew) passes and
+    * `maxPasses` keeps any one invocation's work bounded (the
+    * maintenance-daemon contract; degenerate all-identical cells
+    * refuse to split and stop the loop rather than spin it). Returns
+    * the number of splits performed. */
   def rebalanceIvfIndexPublished(spark: SparkSession, dir: String,
-      vecs: DataFrame, cap: Long): Int = {
+      vecs: DataFrame, cap: Long, maxPasses: Int = 1): Int = {
     import spark.implicits._
-    val fat = ivfCellSizesPublished(spark, dir)
-      .filter($"n_vectors" > cap).select($"cell")
-      .collect().map(_.getInt(0)).sorted
     var done = 0
-    for (c <- fat) if (splitIvfCellPublished(spark, dir, vecs, c) >= 0)
-      done += 1
+    var pass = 0
+    var progressed = true
+    while (progressed && pass < maxPasses) {
+      progressed = false
+      pass += 1
+      val fat = ivfCellSizesPublished(spark, dir)
+        .filter($"n_vectors" > cap).select($"cell")
+        .collect().map(_.getInt(0)).sorted
+      for (c <- fat) if (splitIvfCellPublished(spark, dir, vecs, c) >= 0) {
+        done += 1
+        progressed = true
+      }
+    }
     done
   }
 

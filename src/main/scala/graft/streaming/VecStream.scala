@@ -69,6 +69,36 @@ object VecStream {
     }
   }
 
+  /** Continuous maintenance with CELL BALANCE (E33 composed into the
+    * stream loop — the FreshDiskANN posture): append each trigger,
+    * then split any cell the batch pushed past `cap`, then compact
+    * on fragmentation. Each split is its OWN atomic commit, so a
+    * crash between splits loses nothing and the replayed batch gates
+    * out while the next tick resumes the rebalance (cap checks are
+    * idempotent). `vectors` supplies the TRUE vectors for the
+    * re-encode at split time — the landed vector lake, read lazily
+    * per tick; the index alone cannot re-encode (codes are residual
+    * to their cell centroid). Published layout only. */
+  def appendToIndexBalanced(vecs: DataFrame, dir: String,
+      checkpoint: String, vectors: () => DataFrame, cap: Long,
+      maxFiles: Int = 64): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (streamAppendBatch(dir, batch, batchId)) {
+          val spark = batch.sparkSession
+          // fixpoint within the tick (bounded at 8 passes ≈ 256×
+          // skew): one batch can push a cell far past cap, and the
+          // 2-means halving is rarely even
+          Similarity.rebalanceIvfIndexPublished(spark, dir, vectors(),
+            cap, maxPasses = 8)
+          if (maxFiles > 0)
+            Similarity.compactIvfPqIndexPublished(spark, dir, maxFiles)
+        }
+      }
+      .start()
+
   /** Continuous index maintenance: encode-and-append every trigger,
     * compacting when the cell dirs fragment past `maxFiles`. */
   def appendToIndex(vecs: DataFrame, dir: String, checkpoint: String,

@@ -328,6 +328,55 @@ class IvfPqIndexSpec extends AnyFunSuite {
     assert(after.sum == 30L)
   }
 
+  test("E33 streamed appends skew a cell past cap; the balanced maintainer splits it in the loop") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val M = graft.sources.Lake.Manifest
+    def vec(x: Double, y: Double) =
+      Array(x, y, 0.0, 0, 0, 0, 0, 0)
+    // base: two balanced 20-vector blobs; the stream then dumps 30
+    // more into blob A's region (with spread, so a 2-means split
+    // separates them) — the post-append skew shape
+    val base = ((0L until 20L).map(i => (i, vec(10.0 + 0.01 * i, 0))) ++
+      (20L until 40L).map(i => (i, vec(-10.0 - 0.01 * i, 0))))
+      .toDF("vec_id", "embedding")
+    val delta = (100L until 130L)
+      .map(i => (i, vec(8.0 + 0.1 * (i - 100), 1.0)))
+      .toDF("vec_id", "embedding")
+    val d = java.nio.file.Files.createTempDirectory("graft_bal").toString
+    Similarity.publishIvfPqIndex(base, d, k = 2, iters = 2,
+      pqM = 2, pqK = 4)
+    val lake = java.nio.file.Files.createTempDirectory("graft_bal_lake")
+      .toString
+    base.union(delta).write.mode("overwrite").parquet(lake)
+    val in = MemoryStream[(Long, Array[Double])]
+    in.addData(delta.as[(Long, Array[Double])].collect().toSeq)
+    val q = graft.streaming.VecStream.appendToIndexBalanced(
+      in.toDF().toDF("vec_id", "embedding"), d,
+      java.nio.file.Files.createTempDirectory("graft_bal_ck").toString,
+      () => spark.read.parquet(lake), cap = 30L)
+    q.awaitTermination()
+    // no cell exceeds the cap and every vector survives exactly once
+    val sizes = Similarity.ivfCellSizesPublished(spark, d)
+      .collect().map(r => r.getLong(1))
+    assert(sizes.forall(_ <= 30L), s"post-stream sizes: ${sizes.toSeq}")
+    assert(sizes.sum == 70L)
+    val codes = M.readPublished(spark, s"$d/codes")
+    assert(codes.groupBy($"vec_id").count()
+      .filter($"count" > 1).count() == 0)
+    // the split rode the stream loop: a split= meta exists and the
+    // model reload sees the child centroid
+    val m = Similarity.loadIvfPqModel(spark, d)
+    assert(M.publishedMetasOrdered(spark, s"$d/codes")
+      .exists(_.startsWith("split=")), "no split committed in-loop")
+    assert(m.centroids.length >= 3, s"cells: ${m.centroids.length}")
+    // serve still answers from the balanced index
+    val qdf = Seq((900000L, vec(10.0, 0.0))).toDF("q_id", "qv")
+    assert(Similarity.queryIvfPqIndex(spark, d, qdf,
+      nProbe = m.centroids.length).count() > 0)
+  }
+
   test("served path scans fewer code files than the index holds (pruning is real)") {
     import spark.implicits._
     val codesDir = new java.io.File(s"$idxDir/codes")
