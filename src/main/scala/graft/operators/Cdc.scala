@@ -692,6 +692,34 @@ object Cdc {
       .orderBy($"user_id")
   }
 
+  /** C75 REORDER-BUFFER DEPTH per key — the sizing question between
+    * C36's "how late" and C38's "what would drop": replaying a feed
+    * in EVENT-TIME order from an arrival-ordered log needs a buffer,
+    * and its size is the maximum FORWARD displacement between an
+    * event's arrival rank and its event-time rank (an event that
+    * arrived 7 positions after its time slot forces 7 rows of
+    * buffering). All-integer: two row_number ladders per key and
+    * their difference; displaced counts and the total absolute
+    * displacement quantify how pervasive the disorder is (one
+    * straggler vs systemic shuffle). Both windows PARTITIONED by
+    * key — never global. */
+  def reorderDepth(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val byArrival = Window.partitionBy($"user_id").orderBy($"event_id")
+    val byTime = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("a_rank", row_number().over(byArrival).cast("long"))
+      .withColumn("t_rank", row_number().over(byTime).cast("long"))
+      .withColumn("depth", $"a_rank" - $"t_rank")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(greatest($"depth", lit(0L))).as("buffer_depth"),
+        sum(when($"depth" =!= 0L, 1L).otherwise(0L)).as("n_displaced"),
+        sum(abs($"depth")).as("total_abs_depth"))
+      .orderBy($"user_id")
+  }
+
   /** C38 watermark-delay PLANNING — the decision table C36's audit
     * feeds: for each candidate watermark delay, how many rows the
     * stream would DROP (lateness exceeds the delay) vs absorb
@@ -1499,6 +1527,7 @@ object Cdc {
     "cdc_bitemporal" -> onEvents(bitemporal),
     "cdc_funnel_window" -> onEvents(e => funnelWindow(e)),
     "cdc_late_audit" -> onEvents(lateAudit),
+    "cdc_reorder_depth" -> onEvents(reorderDepth),
     "cdc_watermark_plan" -> onEvents(e => watermarkPlan(e)),
     "cdc_offset_islands" -> onEvents(offsetIslands),
     "cdc_incr_agg" -> (incrAggEntry(_, _)),
@@ -1992,6 +2021,22 @@ object Cdc {
         |ORDER BY user_id, event_id""".stripMargin,
     // lateness of each row vs the running event-time max in ARRIVAL
     // (event_id) order — exact integer µs both engines
+    // C75 twin: the same two per-key rank ladders and displacement
+    // folds — all BIGINT
+    "cdc_reorder_depth" ->
+      """WITH r AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY event_id) AS a_rank,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t_rank
+        |  FROM events)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  max(greatest(a_rank - t_rank, 0))::BIGINT AS buffer_depth,
+        |  sum(CASE WHEN a_rank <> t_rank THEN 1 ELSE 0
+        |    END)::BIGINT AS n_displaced,
+        |  sum(abs(a_rank - t_rank))::BIGINT AS total_abs_depth
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "cdc_late_audit" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -770,6 +770,42 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  private val CoocWindow = 4
+  private val CoocTopK = 20
+
+  /** F48 windowed CO-OCCURRENCE counts (the skip-gram statistic —
+    * Mikolov et al. 2013's training input, and the raw table behind
+    * PMI embeddings à la Levy & Goldberg 2014): ordered token pairs
+    * (t₁ → t₂ at distance 1..4) counted corpus-wide, with the
+    * minimum observed distance per pair — where F20's collocations
+    * see only ADJACENT bigrams, the ±k window captures the looser
+    * association an embedding model actually trains on. Shape: per
+    * doc the pair frame is built by ONE flattened transform over
+    * the token array (|doc|·k struct rows, no self-join, no array
+    * carried through the explode), one corpus groupBy, and an
+    * orderBy+limit top-k (TakeOrderedAndProject — never a window
+    * over the vocabulary² frame); the rank window then runs on the
+    * k-row result only. All counts BIGINT. */
+  def cooc(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs.select($"doc_id", tokens($"text").as("w"))
+      .filter(size($"w") >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, $CoocWindow), o ->
+           |  transform(slice(w, 1, greatest(size(w) - o, 0)),
+           |    (t, i) -> struct(t as t1, w[i + o] as t2, o as dist))))"""
+          .stripMargin)).as("p"))
+      .select($"p.t1".as("t1"), $"p.t2".as("t2"), $"p.dist".as("dist"))
+    val counted = pairs.groupBy($"t1", $"t2")
+      .agg(count(lit(1)).as("n"), min($"dist").cast("long").as("min_dist"))
+    counted.orderBy($"n".desc, $"t1", $"t2").limit(CoocTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"n".desc, $"t1", $"t2")).cast("long"))
+      .select($"rank", $"t1", $"t2", $"n", $"min_dist")
+      .orderBy($"rank")
+  }
+
   private val CollocMinCount = 5
   private val CollocTopK = 20
 
@@ -1738,6 +1774,7 @@ object TextAnalysis {
     "text_bigram_lm" -> onDocs(bigramLm),
     "text_kn_lm" -> onDocs(knLm),
     "text_collocations" -> onDocs(collocations),
+    "text_cooc" -> onDocs(cooc),
     "text_chunk" -> onDocs(d => chunk(d)),
     "text_entropy" -> onDocs(charEntropy),
     "text_tokens" -> onDocs(tokenCounts),
@@ -2610,6 +2647,30 @@ object TextAnalysis {
     // F20 twin: same one-pass bigram/unigram counts, same exact
     // integer products (HUGEINT == the Spark side's decimal(38,0)),
     // one ln, ranked on the shared rounded double with (t1,t2) ties
+    // F48 twin: the same flattened offset expansion (1-based list
+    // indexing), corpus counts, deterministic top-k
+    "text_cooc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, w, unnest(range(1, length(w) + 1)) AS i
+        |  FROM toks WHERE length(w) >= 2),
+        |offs AS (
+        |  SELECT doc_id, w, i, unnest(range(1, 5)) AS o FROM pos),
+        |pairs AS (
+        |  SELECT w[i] AS t1, w[i + o] AS t2, o AS dist
+        |  FROM offs WHERE i + o <= length(w)),
+        |counted AS (
+        |  SELECT t1, t2, count(*)::BIGINT AS n,
+        |    min(dist)::BIGINT AS min_dist
+        |  FROM pairs GROUP BY 1, 2),
+        |top AS (
+        |  SELECT t1, t2, n, min_dist,
+        |    row_number() OVER (ORDER BY n DESC, t1, t2) AS rk
+        |  FROM counted)
+        |SELECT rk::BIGINT AS rank, t1, t2, n, min_dist
+        |FROM top WHERE rk <= 20 ORDER BY rank""".stripMargin,
     "text_collocations" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

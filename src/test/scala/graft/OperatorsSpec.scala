@@ -667,6 +667,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L)), s"constant series: ${got(2L)}")
   }
 
+  test("C75 reorder depth: straggler displacement exact, in-order key reports zero") {
+    import spark.implicits._
+    def t(s: Long) = new java.sql.Timestamp(s * 1000)
+    // user 1: event 3 belongs FIRST by time but arrived third
+    // (depth 2); user 2 fully in-order
+    val rows = Seq((1L, 1L, t(10)), (1L, 2L, t(20)), (1L, 3L, t(5)),
+      (1L, 4L, t(30)),
+      (2L, 10L, t(1)), (2L, 11L, t(2)), (2L, 12L, t(3)))
+    val got = graft.operators.Cdc.reorderDepth(
+        rows.toDF("user_id", "event_id", "ts"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((4L, 2L, 3L, 4L)), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 0L, 0L, 0L)), s"got ${got(2L)}")
+  }
+
+  test("F48 cooc: window pairs hand-counted, distance recorded, deterministic top-k") {
+    import spark.implicits._
+    // "a b a": offsets give (a,b,1), (b,a,1), (a,a,2); "b b" adds
+    // (b,b,1) — four pairs, each counted once, tie-broken by term
+    val docs = Seq((1L, "a b a"), (2L, "b b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.cooc(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, "a", "a", 1L, 2L), (2L, "a", "b", 1L, 1L),
+      (3L, "b", "a", 1L, 1L), (4L, "b", "b", 1L, 1L)), s"got $got")
+  }
+
   test("B76 page-hinkley: drift onset localized, tolerance suppresses small shifts") {
     import spark.implicits._
     def t(s: Long) = new java.sql.Timestamp(s)
