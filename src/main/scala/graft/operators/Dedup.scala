@@ -798,6 +798,71 @@ object Dedup {
     * D2's. Pairs share ≥ 5 selected hashes; posting lists DF-capped
     * at 20 (the D2 stop-shingle bound), so candidate work stays
     * Σ df²-bounded at corpus scale. */
+  /** D22 CONTENT-DEFINED CHUNKING dedup (the LBFS/FastCDC family —
+    * Muthitacharoen et al. 2001; the storage-level dedup every blob
+    * store and backup system runs, and at 100 TB the first question
+    * about a crawl refresh is "how many chunks are actually new"):
+    * cut points come from CONTENT, not offsets — a position ends a
+    * chunk iff its k-gram rolling hash ≡ 0 (mod 64) — so an edit
+    * moves only ITS chunk's boundaries and every chunk outside the
+    * edited region keeps its identity (the insertion-locality
+    * property fixed-size blocking lacks; spec-pinned by prepending
+    * text and watching the tail chunks survive). Chunks dedup by
+    * exact content across docs; per doc the report is (n_chunks,
+    * chunks shared with ≥1 other doc, dedup ppm) — the new-bytes
+    * estimate a storage tier prices. Unconstrained cut points (no
+    * min/max clamp): the clamp adds a sequential dependency between
+    * cuts for ~nothing at the analysis level, and the expected
+    * chunk length is the mask density (64) either way.
+    * Shape: gram hashes ride the SAME codegen'd RollingPolyHash
+    * pass as D16, cut lists are doc-local and bounded (~len/64),
+    * chunk assembly is one in-row boundary zip — no char explode,
+    * no window over the corpus. */
+  def cdcChunks(docs: DataFrame, k: Int = 8): DataFrame = {
+    import docs.sparkSession.implicits._
+    val norm = docs.select($"doc_id",
+      substring(regexp_replace(regexp_replace(lower($"text"),
+        "[^a-z0-9 ]", ""), Ws, " "), 1, 2000).as("txt"))
+    val cuts = norm.filter(length($"txt") >= k)
+      .select($"doc_id", posexplode(
+        graft.functions.TextHash.rollingPolyHash($"txt", k))
+        .as(Seq("pos0", "h")))
+      .filter(pmod($"h", lit(64)) === 0)
+      .select($"doc_id", ($"pos0" + lit(k + 1)).cast("long").as("b"))
+    val bounds = norm
+      .join(cuts.groupBy($"doc_id")
+        .agg(sort_array(collect_set($"b")).as("bs")),
+        Seq("doc_id"), "left")
+      .select($"doc_id", $"txt", expr(
+        """concat(array(1L),
+          |  coalesce(filter(bs, x -> x <= length(txt)), array()),
+          |  array(cast(length(txt) + 1 as bigint)))""".stripMargin)
+        .as("bs"))
+    bounds.select($"doc_id", $"txt", explode(expr(
+        """filter(transform(slice(bs, 1, size(bs) - 1),
+          |  (s, i) -> struct(s as s, bs[i + 1] as e)),
+          |  p -> p.e > p.s)""".stripMargin)).as("c"))
+      .select($"doc_id", $"c.s".as("start"),
+        ($"c.e" - $"c.s").as("chunk_len"),
+        expr("substring(txt, c.s, c.e - c.s)").as("chunk"))
+  }
+
+  /** D22 graded entry: the per-doc storage-dedup report. */
+  def cdcChunkReport(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val ch = cdcChunks(docs).localCheckpoint()
+    val shared = ch.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("nd"))
+    ch.join(shared, "chunk")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"nd" >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum($"chunk_len").as("n_bytes"))
+      .select($"doc_id", $"n_chunks", $"dup_chunks", $"n_bytes",
+        expr("dup_chunks * 1000000 div n_chunks").as("dedup_ppm"))
+      .orderBy($"doc_id")
+  }
+
   def winnow(docs: DataFrame, k: Int = 12, w: Int = 8): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -982,6 +1047,7 @@ object Dedup {
     "dedup_phrase" -> onDocs(d => phraseMine(d)),
     "dedup_spans" -> onDocs(d => dupSpans(d)),
     "dedup_winnow" -> onDocs(d => winnow(d)),
+    "dedup_cdc_chunks" -> onDocs(cdcChunkReport),
     "dedup_corpus" -> onDocs(dedupedCorpus),
     "dedup_exact" -> onDocs(exact),
     "dedup_cross" -> crossCorpusOnSources _,
@@ -1267,6 +1333,56 @@ object Dedup {
     // D16 twin: same normalization (note DuckDB needs the 'g' flag
     // where Spark replaces all matches by default), same polynomial
     // hash fold, same min-key window selection, same DF cap
+    // D22 twin: the same rolling polynomial (the D16 fold), the same
+    // mask-64 cut rule, chunks assembled by lead() over boundary
+    // rows, dedup by exact chunk content
+    "dedup_cdc_chunks" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    substring(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), '[ \t\n\f\r]+', ' ', 'g'),
+        |      1, 2000) AS txt
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, txt, unnest(range(1, length(txt) - 6)) AS i
+        |  FROM norm WHERE length(txt) >= 8),
+        |grams AS (
+        |  SELECT doc_id, i,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT, list_transform(range(0, 8), j -> j)),
+        |      (a, j) -> (a * 257
+        |        + ascii(substring(txt, (i + j)::INT, 1))) % 1000000007)
+        |      AS h
+        |  FROM pos),
+        |cuts AS (
+        |  SELECT doc_id, (i + 8)::BIGINT AS b FROM grams
+        |  WHERE h % 64 = 0),
+        |bset AS (
+        |  SELECT n.doc_id, n.txt, b FROM norm n JOIN cuts c
+        |    ON n.doc_id = c.doc_id AND c.b <= length(n.txt)
+        |  UNION
+        |  SELECT doc_id, txt, 1::BIGINT FROM norm
+        |  UNION
+        |  SELECT doc_id, txt, (length(txt) + 1)::BIGINT FROM norm),
+        |pairs AS (
+        |  SELECT doc_id, txt, b AS s,
+        |    lead(b) OVER (PARTITION BY doc_id ORDER BY b) AS e
+        |  FROM bset),
+        |chunks AS (
+        |  SELECT doc_id, (e - s)::BIGINT AS chunk_len,
+        |    substring(txt, s::INT, (e - s)::INT) AS chunk
+        |  FROM pairs WHERE e IS NOT NULL AND e > s),
+        |shared AS (
+        |  SELECT chunk, count(DISTINCT doc_id) AS nd
+        |  FROM chunks GROUP BY chunk)
+        |SELECT c.doc_id, count(*)::BIGINT AS n_chunks,
+        |  sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0
+        |    END)::BIGINT AS dup_chunks,
+        |  sum(c.chunk_len)::BIGINT AS n_bytes,
+        |  (sum(CASE WHEN s.nd >= 2 THEN 1 ELSE 0 END) * 1000000
+        |    // count(*))::BIGINT AS dedup_ppm
+        |FROM chunks c JOIN shared s USING (chunk)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "dedup_winnow" ->
       """WITH norm AS (
         |  SELECT doc_id,

@@ -433,6 +433,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(byQ(0L).map(_.getLong(2)).contains(50L))
   }
 
+  test("D22 cdc chunking: insertion locality — a prepended edit leaves the tail chunks intact") {
+    import spark.implicits._
+    // deterministic ~1200-char text; B = a 37-char insertion + A.
+    // Content-defined cuts re-synchronize at the first boundary past
+    // the edit, so all later chunks keep their identity — the
+    // property fixed-size blocking lacks (every block shifts).
+    val rng = Iterator.iterate(42L)(s => (s * 1103515245L + 12345L) & 0x7fffffffL)
+    val a = rng.take(1200).map(s =>
+      if (s % 7 == 0) ' ' else ('a' + (s % 26)).toChar).mkString
+    val b = "the quick brown fox jumps over it " + a
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs)
+      .select($"doc_id", $"chunk").as[(Long, String)].collect()
+    val ca = chunks.filter(_._1 == 1L).map(_._2).toSeq
+    val cb = chunks.filter(_._1 == 2L).map(_._2).toSet
+    assert(ca.size >= 5, s"corpus too short to chunk: ${ca.size}")
+    val surviving = ca.count(cb.contains)
+    assert(surviving >= ca.size - 2,
+      s"only $surviving of ${ca.size} chunks survived a prepend")
+    // the report prices it: doc 1's chunks are nearly all shared
+    val rep = Dedup.cdcChunkReport(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep(1L)._2 >= rep(1L)._1 - 2, s"report: $rep")
+    // identical docs dedup at exactly 1e6 ppm
+    val twin = Dedup.cdcChunkReport(
+        Seq((1L, a), (2L, a)).toDF("doc_id", "text"))
+      .select($"doc_id", $"dedup_ppm").as[(Long, Long)].collect().toMap
+    assert(twin(1L) == 1000000L && twin(2L) == 1000000L, s"twin $twin")
+  }
+
   test("dedup_embedding is symmetric-free and thresholded") {
     val df = Dedup.embeddingCosine(Tables.embeddings(spark, sf))
     assert(df.filter(col("vec_a") >= col("vec_b")).count() == 0)
