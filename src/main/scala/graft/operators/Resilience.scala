@@ -1090,6 +1090,56 @@ object Resilience {
       .orderBy($"user_id")
   }
 
+  /** B77 BOOTSTRAP CONFIDENCE INTERVAL for the per-nation mean
+    * yearly revenue (Efron 1979 — the distribution-free CI every
+    * analyst reaches for when n = 7 years makes normal theory a
+    * joke): B = 200 DETERMINISTIC resamples — resample b draws year
+    * index (31·b + 17·j) mod n for j < n, the fixed-design
+    * convention that makes the bootstrap replayable bit-for-bit in
+    * both engines (a seeded RNG would have to be reimplemented; a
+    * linear index pattern IS the seed) — and the percentile CI is
+    * the 5th/196th order statistic of the 200 resample sums.
+    * Exactness: revenue folds as exact CENTS (per-order round, then
+    * BIGINT sums — never a float sum), order statistics of exact
+    * integers, floor-div means. Scale shape: the resample frame is
+    * |groups|·B·n rows of longs (the aggregate frame, not the
+    * corpus), built by one cross join + one equi-join — the corpus
+    * is touched once for the yearly aggregate. */
+  def bootstrapCi(s: SparkSession, dir: String,
+      bReps: Int = 200): DataFrame = {
+    import s.implicits._
+    val y = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"o_orderdate").cast("long").as("yr"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val idx = y
+      .withColumn("yi", (row_number().over(
+        Window.partitionBy($"n_name").orderBy($"yr")) - 1).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy($"n_name")))
+      .select($"n_name", $"yi", $"n", $"cents")
+      .localCheckpoint()
+    val b = s.range(bReps).toDF("b")
+    val picks = idx.select($"n_name", $"n", $"yi".as("j")).crossJoin(b)
+      .withColumn("pick", ($"b" * 31 + $"j" * 17) % $"n")
+    val sums = picks
+      .join(idx.select($"n_name", $"yi".as("pick"), $"cents"),
+        Seq("n_name", "pick"))
+      .groupBy($"n_name", $"b").agg(sum($"cents").as("s"))
+    val stats = sums.groupBy($"n_name")
+      .agg(sort_array(collect_list($"s")).as("ss"))
+    idx.groupBy($"n_name")
+      .agg(max($"n").as("n_years"), sum($"cents").as("tot"))
+      .join(stats, "n_name")
+      .select($"n_name", $"n_years",
+        expr("tot div n_years").as("mean_cents"),
+        expr("ss[4] div n_years").as("boot_lo_cents"),
+        expr("ss[195] div n_years").as("boot_hi_cents"))
+      .orderBy($"n_name")
+  }
+
   /** B76 PAGE-HINKLEY drift detection per key (Page 1954; Hinkley
     * 1971 — the sequential changepoint monitor streaming systems
     * deploy for concept drift, e.g. a feature distribution moving
@@ -3286,6 +3336,7 @@ object Resilience {
     "q_rolling_corr" -> ((s, dir) => rollingAutocorr(Tables.events(s, dir))),
     "q_cusum" -> ((s, dir) => cusumDrift(Tables.events(s, dir))),
     "q_page_hinkley" -> ((s, dir) => pageHinkley(Tables.events(s, dir))),
+    "q_bootstrap_ci" -> ((s, dir) => bootstrapCi(s, dir)),
     "q_ffill_gaps" -> ((s, dir) => ffillDaily(Tables.events(s, dir))),
     "q_rolling_stats" -> ((s, dir) => rollingStats(Tables.events(s, dir))),
     "q_ewma" -> ((s, dir) => ewma(Tables.events(s, dir))),
@@ -5226,6 +5277,43 @@ object Resilience {
         |      sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
         |    END AS autocorr
         |FROM sums ORDER BY user_id, event_id""".stripMargin,
+    // B77 twin: the identical fixed-design resampling — exact cents,
+    // 1-based list indexing (ss[5] == Spark's ss[4])
+    "q_bootstrap_ci" ->
+      """WITH y AS (
+        |  SELECT n_name, year(o_orderdate)::BIGINT AS yr,
+        |    sum(round(o_totalprice * 100)::BIGINT) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT n_name, cents,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY yr) - 1
+        |      AS yi,
+        |    count(*) OVER (PARTITION BY n_name) AS n
+        |  FROM y),
+        |bs AS (SELECT unnest(range(0, 200)) AS b),
+        |picks AS (
+        |  SELECT i.n_name, bs.b, (bs.b * 31 + i.yi * 17) % i.n AS pick
+        |  FROM idx i CROSS JOIN bs),
+        |sums AS (
+        |  SELECT p.n_name, p.b, sum(i2.cents)::BIGINT AS s
+        |  FROM picks p JOIN idx i2
+        |    ON p.n_name = i2.n_name AND p.pick = i2.yi
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT n_name, list_sort(list(s)) AS ss FROM sums GROUP BY 1),
+        |base AS (
+        |  SELECT n_name, max(n)::BIGINT AS n_years,
+        |    sum(cents)::BIGINT AS tot
+        |  FROM idx GROUP BY 1)
+        |SELECT b.n_name, b.n_years,
+        |  (b.tot // b.n_years)::BIGINT AS mean_cents,
+        |  (st.ss[5] // b.n_years)::BIGINT AS boot_lo_cents,
+        |  (st.ss[196] // b.n_years)::BIGINT AS boot_hi_cents
+        |FROM base b JOIN stats st USING (n_name)
+        |ORDER BY n_name""".stripMargin,
     // B76 twin: the cusum machinery plus the tolerance term and the
     // first-crossing localization — all BIGINT, threshold compared
     // in the same N-cleared units

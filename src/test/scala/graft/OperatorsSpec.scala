@@ -667,6 +667,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L)), s"constant series: ${got(2L)}")
   }
 
+  test("B77 bootstrap CI: fixed-design resamples replayed driver-side") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bci").toString
+    Seq((1L, 1L)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, "X")).toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 1.0, java.sql.Date.valueOf("1995-06-01")),
+      (1L, 2.0, java.sql.Date.valueOf("1996-06-01")),
+      (1L, 3.0, java.sql.Date.valueOf("1997-06-01")))
+      .toDF("o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = graft.operators.Resilience.bootstrapCi(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // driver replica of the fixed design over cents {100, 200, 300}
+    val cents = Array(100L, 200L, 300L)
+    val sums = (0 until 200).map(b =>
+      (0 until 3).map(j => cents(((31 * b + 17 * j) % 3).toInt)).sum)
+      .sorted
+    assert(got == Seq(("X", 3L, 200L, sums(4) / 3, sums(195) / 3)),
+      s"got $got, want lo=${sums(4) / 3} hi=${sums(195) / 3}")
+    // the CI must bracket the mean
+    assert(got.head._4 <= 200L && got.head._5 >= 200L)
+  }
+
   test("C75 reorder depth: straggler displacement exact, in-order key reports zero") {
     import spark.implicits._
     def t(s: Long) = new java.sql.Timestamp(s * 1000)
