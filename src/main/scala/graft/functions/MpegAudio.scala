@@ -103,6 +103,102 @@ object MpegAudio {
   /** `mp3_frames(payload)` as a codegen-friendly Column. */
   def mp3Frames(c: Column): Column =
     GraftSqlBridge.column(Mp3FrameTable(GraftSqlBridge.expression(c)))
+
+  /** ID3v2 TEXT-FRAME walk (G30; the id3v2.3/2.4 informal
+    * standards): the ID3 tag the G22 frame walk SKIPS is itself the
+    * audio catalog's metadata source — title (TIT2), artist (TPE1)
+    * and friends are 10-byte-headered frames inside the tag body,
+    * terminated by zero padding. Version matters: v2.3 frame sizes
+    * are plain be32, v2.4 sizes are SYNCSAFE — a v2.4 file read
+    * with v2.3 size math overruns frames whenever a size byte
+    * exceeds 0x7F. Only ISO-8859-1 text frames (encoding byte 0,
+    * frame id starting 'T') are decoded — other encodings and
+    * non-text frames are skipped structurally (their size still
+    * walks). Malformation — bad magic/version, syncsafe violation,
+    * frame overrunning the tag — returns EMPTY, never wrong. */
+  def id3Frames(bytes: Array[Byte]): ArrayData = {
+    val len = bytes.length
+    if (len < 10 || bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3')
+      return empty
+    val v = bytes(3) & 0xff
+    if (v < 3 || v > 4) return empty
+    var sz = 0
+    var k = 6
+    while (k < 10) {
+      val b = bytes(k) & 0xff
+      if ((b & 0x80) != 0) return empty
+      sz = (sz << 7) | b
+      k += 1
+    }
+    val tagEnd = math.min(10 + sz, len)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var p = 10
+    while (p + 10 <= tagEnd && bytes(p) != 0) {
+      var ok = true
+      var c = 0
+      while (c < 4 && ok) {
+        val ch = bytes(p + c) & 0xff
+        ok = (ch >= 'A' && ch <= 'Z') || (ch >= '0' && ch <= '9')
+        c += 1
+      }
+      if (!ok) return empty
+      val fSize =
+        if (v == 4) {
+          var s = 0L
+          var i = p + 4
+          while (i < p + 8) {
+            val b = bytes(i) & 0xff
+            if ((b & 0x80) != 0) return empty
+            s = (s << 7) | b
+            i += 1
+          }
+          s
+        } else {
+          ((bytes(p + 4) & 0xffL) << 24) | ((bytes(p + 5) & 0xffL) << 16) |
+            ((bytes(p + 6) & 0xffL) << 8) | (bytes(p + 7) & 0xffL)
+        }
+      if (fSize < 0L || p + 10 + fSize > tagEnd) return empty
+      if (bytes(p) == 'T' && fSize >= 1L && bytes(p + 10) == 0) {
+        var end = p + 10 + fSize.toInt
+        while (end > p + 11 && bytes(end - 1) == 0) end -= 1
+        out += InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            new String(bytes, p, 4, "US-ASCII")),
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            new String(bytes, p + 11, end - (p + 11), "ISO-8859-1")))
+      }
+      p += 10 + fSize.toInt
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** `id3_frames(payload)` as a codegen-friendly Column. */
+  def id3FramesCol(c: Column): Column =
+    GraftSqlBridge.column(Id3TextFrames(GraftSqlBridge.expression(c)))
+}
+
+/** Scalar wrapper: binary → array<struct<frame_id, content>> inside
+  * whole-stage codegen. */
+case class Id3TextFrames(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"id3_frames needs a binary input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame_id", StringType, nullable = false),
+    StructField("content", StringType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MpegAudio.id3Frames(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, in => s"graft.functions.MpegAudio.id3Frames($in)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Scalar wrapper: binary → array<struct<frame_idx, offset,

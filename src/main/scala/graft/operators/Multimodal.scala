@@ -1339,13 +1339,29 @@ object Multimodal {
     val trailer = if (docId % 2 == 0) 128 else 0
     val bb = java.nio.ByteBuffer.allocate(10 + tagLen + lens.sum + trailer)
     bb.put("ID3".getBytes("US-ASCII"))
-      .put(3.toByte).put(0.toByte).put(0.toByte)
+      .put((3 + docId % 2).toByte).put(0.toByte).put(0.toByte)
       .put(((tagLen >> 21) & 0x7f).toByte)
       .put(((tagLen >> 14) & 0x7f).toByte)
       .put(((tagLen >> 7) & 0x7f).toByte)
       .put((tagLen & 0x7f).toByte)
-    var j = 0
-    while (j < tagLen) { bb.put(((docId + j) % 251).toByte); j += 1 }
+    // real tag frames inside the (size-invariant) tag body: TIT2 +
+    // TPE1 text frames then zero padding — G30 walks these; the G22
+    // frame offsets depend only on tagLen, so this stays transparent
+    // to the mp3 frame walk. Version alternates 2.3/2.4 by id (frame
+    // sizes are < 128, where plain and syncsafe encodings coincide;
+    // the G30 spec pins the divergent ≥128 case with crafted bytes).
+    val title = ("t" + (docId % 1000)).getBytes("ISO-8859-1")
+    val artist = ("artist" + (docId % 7)).getBytes("ISO-8859-1")
+    var written = 0
+    def frame(fid: String, content: Array[Byte]): Unit = {
+      bb.put(fid.getBytes("US-ASCII")).putInt(content.length + 1)
+        .put(0.toByte).put(0.toByte).put(0.toByte).put(content)
+      written += 10 + 1 + content.length
+    }
+    frame("TIT2", title)
+    frame("TPE1", artist)
+    var j = written
+    while (j < tagLen) { bb.put(0.toByte); j += 1 }
     var i = 0
     while (i < n) {
       bb.put(0xff.toByte).put(0xfb.toByte)
@@ -1386,6 +1402,25 @@ object Multimodal {
     val payloads = Tables.documents(s, dir).select($"doc_id")
       .as[Long].map(id => (id, mp3Bytes(id))).toDF("doc_id", "payload")
     mp3FrameTable(payloads).orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** G30 graded entry (`mm_id3_tags`): the tag body the frame walk
+    * skips, walked for its metadata — TIT2/TPE1 text frames under
+    * BOTH size conventions (v2.3 plain be32, v2.4 syncsafe — the
+    * synthesis alternates version by id; sizes here are < 128 where
+    * the encodings coincide, and the spec pins the divergent ≥ 128
+    * case with crafted bytes). */
+  private def id3TagsEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, mp3Bytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id",
+        explode(graft.functions.MpegAudio.id3FramesCol($"payload"))
+          .as("f"))
+      .select($"doc_id", $"f.frame_id".as("frame_id"),
+        $"f.content".as("content"))
+      .orderBy($"doc_id", $"frame_id")
   }
 
   /** G23 graded entry (`mm_mp3_summary`): the curation-level signal
@@ -1909,6 +1944,7 @@ object Multimodal {
     "mm_mp3_frames" -> mp3FramesEntry,
     "mm_mp3_summary" -> mp3SummaryEntry,
     "mm_flac_info" -> flacInfoEntry,
+    "mm_id3_tags" -> id3TagsEntry,
     "mm_exif_meta" -> exifMetaEntry,
     "mm_mp4_edits" -> mp4EditsEntry,
     "mm_srt_cues" -> srtCuesEntry,
@@ -1977,6 +2013,15 @@ object Multimodal {
         |  (sum(kbps) * 1000 // count(*))::BIGINT AS mean_bitrate_ppk,
         |  (count(*) * 1152 * 1000 // max(hz))::BIGINT AS duration_ms
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // G30 twin: the planted text frames replayed closed-form
+    "mm_id3_tags" ->
+      """SELECT doc_id, 'TIT2' AS frame_id,
+        |  't' || (doc_id % 1000)::VARCHAR AS content
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'TPE1', 'artist' || (doc_id % 7)::VARCHAR
+        |FROM documents
+        |ORDER BY doc_id, frame_id""".stripMargin,
     // G28 twin: the closed-form cue table replayed with no parsing —
     // a hash match proves the parser inverts the formatter
     "mm_srt_cues" ->

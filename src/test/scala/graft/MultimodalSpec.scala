@@ -813,6 +813,67 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("G30 id3 text frames: v2.4 syncsafe sizes diverge from v2.3 at 128+, non-text frames skip, malformed quarantines") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, size}
+    import graft.functions.MpegAudio
+    def tag(ver: Int, body: Array[Byte]): Array[Byte] = {
+      val sz = body.length
+      "ID3".getBytes("US-ASCII") ++ Array[Byte](ver.toByte, 0, 0,
+        ((sz >> 21) & 0x7f).toByte, ((sz >> 14) & 0x7f).toByte,
+        ((sz >> 7) & 0x7f).toByte, (sz & 0x7f).toByte) ++ body
+    }
+    // v2.4 TIT2 with content 200 bytes: syncsafe size (0,0,1,0x48)
+    // — a v2.3 be32 read would see 328 and overrun the tag
+    val longTitle = Array[Byte](0) ++ Array.fill(199)('x'.toByte)
+    val f24 = "TIT2".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 1, 0x48, 0, 0) ++ longTitle
+    val got24 = Seq((1L, tag(4, f24)))
+      .toDF("doc_id", "payload")
+      .select(explode(MpegAudio.id3FramesCol($"payload")).as("f"))
+      .select($"f.frame_id", $"f.content")
+      .as[(String, String)].collect().toSeq
+    assert(got24 == Seq(("TIT2", "x" * 199)), s"v2.4: $got24")
+    // the same bytes under version 3 claim size 328 > tag: quarantine
+    assert(Seq((1L, tag(3, f24))).toDF("doc_id", "payload")
+      .select(size(MpegAudio.id3FramesCol($"payload")).as("n"))
+      .as[Int].collect().head == 0, "v2.3 misread must quarantine")
+    // a non-text frame is skipped structurally; a UTF-16 text frame
+    // (encoding 1) is skipped; the later latin1 frame still lands
+    val priv = "PRIV".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 3, 0, 0, 9, 9, 9)
+    val utf16 = "TALB".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 3, 0, 0, 1, 0x41, 0)
+    val tit = "TIT2".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 3, 0, 0, 0) ++ "hi".getBytes("ISO-8859-1")
+    val mixed = Seq((1L, tag(3, priv ++ utf16 ++ tit)))
+      .toDF("doc_id", "payload")
+      .select(explode(MpegAudio.id3FramesCol($"payload")).as("f"))
+      .select($"f.frame_id", $"f.content")
+      .as[(String, String)].collect().toSeq
+    assert(mixed == Seq(("TIT2", "hi")), s"mixed: $mixed")
+    // malformed: bad frame-id bytes, v2.4 size with a high bit set
+    val badId = "ti!2".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 3, 0, 0, 0, 65, 66)
+    val badSync = "TIT2".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0x80.toByte, 0, 0, 0)
+    for ((v, bad) <- Seq((3, badId), (4, badSync))) {
+      assert(Seq((1L, tag(v, bad))).toDF("doc_id", "payload")
+        .select(size(MpegAudio.id3FramesCol($"payload")).as("n"))
+        .as[Int].collect().head == 0, "malformed tag yielded frames")
+    }
+    // the synthesized corpus: both versions replay the closed form
+    for (id <- Seq(6L, 7L)) {
+      val syn = Seq((id, graft.operators.Multimodal.mp3Bytes(id)))
+        .toDF("doc_id", "payload")
+        .select(explode(MpegAudio.id3FramesCol($"payload")).as("f"))
+        .select($"f.frame_id", $"f.content")
+        .as[(String, String)].collect().toSeq.sorted
+      assert(syn == Seq(("TIT2", "t" + id % 1000),
+        ("TPE1", "artist" + id % 7)), s"id $id: $syn")
+    }
+  }
+
   test("G27 mp4 edit list: v0 and v1 layouts, signed media_time, no-edts identity, malformed quarantines") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{explode, size}
