@@ -863,6 +863,65 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** D23 CHUNK STORE — the C×D bridge (the storage-layer leg next to
+    * F46's BM25 and G26's catalog): a continuously-ingested corpus
+    * prices each refresh by "how many D22 chunks are actually NEW",
+    * and at 100 TB that answer must come from a maintained store,
+    * never by re-chunking history. State = ONE Manifest table of
+    * distinct (chunk hash, length) rows PARTITIONED BY HASH BUCKET
+    * (64 — the BM25-postings shape, so point membership probes prune
+    * to one bucket's files); appends are batch-tag-gated AND
+    * semantically idempotent (known hashes anti-join to nothing).
+    * Chunk identity is xxhash64 of the content — a 64-bit content
+    * address (collision odds ~n²/2⁶⁵; the store prices storage, it
+    * does not serve bytes, so a collision costs an undercount not a
+    * corruption). */
+  def publishChunkStore(docs: DataFrame, dir: String): Long = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.sources.Lake.Manifest.publishSnapshot(
+      chunkRows(docs), dir, partitionBy = Seq("hb"))
+  }
+
+  private def chunkRows(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    cdcChunks(docs)
+      .select(xxhash64($"chunk").as("h"), $"chunk_len")
+      .groupBy($"h").agg(min($"chunk_len").as("chunk_len"))
+      .withColumn("hb", pmod($"h", lit(64L)))
+  }
+
+  /** Price an incoming batch BEFORE applying it: how many of its
+    * chunks (and bytes) the store already holds. */
+  def chunkBatchReport(spark: SparkSession, dir: String,
+      docs: DataFrame): (Long, Long, Long) = {
+    import spark.implicits._
+    val incoming = chunkRows(docs).localCheckpoint()
+    val known = incoming.join(
+      graft.sources.Lake.Manifest.readPublished(spark, dir)
+        .select($"h"), Seq("h"), "left_semi")
+    val (n, b) = incoming.agg(count(lit(1)), sum($"chunk_len"))
+      .as[(Long, Option[Long])].collect().head match {
+        case (c, s) => (c, s.getOrElse(0L))
+      }
+    val kn = known.count()
+    (n, kn, b)
+  }
+
+  /** Append a delta batch: only UNSEEN chunk hashes commit. */
+  def appendChunkDocs(spark: SparkSession, dir: String,
+      docs: DataFrame, meta: String = ""): Long = {
+    import spark.implicits._
+    if (!graft.sources.Lake.Manifest.isManaged(spark, dir))
+      return graft.sources.Lake.Manifest.publishSnapshot(
+        chunkRows(docs), dir, partitionBy = Seq("hb"), meta = meta)
+    val fresh = chunkRows(docs).join(
+      graft.sources.Lake.Manifest.readPublished(spark, dir)
+        .select($"h"), Seq("h"), "left_anti")
+    graft.sources.Lake.Manifest.publishAppend(fresh, dir,
+      partitionBy = Seq("hb"), meta = meta)
+  }
+
   def winnow(docs: DataFrame, k: Int = 12, w: Int = 8): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -223,6 +223,34 @@ object DocStream {
       .appendAssetCatalog(spark, dir, batch, meta = tag)
   }
 
+  /** One chunk-store micro-batch: exactly-once by the batch-tag gate
+    * plus semantic idempotence (known chunk hashes anti-join to
+    * nothing). Returns -1 when skipped. */
+  def streamChunkBatch(dir: String, batch: DataFrame,
+      batchId: Long): Long = {
+    val spark = batch.sparkSession
+    val tag = s"batch=$batchId"
+    if (graft.sources.Lake.Manifest.isManaged(spark, dir) &&
+        graft.sources.Lake.Manifest.publishedMetas(spark, dir)
+          .contains(tag)) -1L
+    else graft.operators.Dedup
+      .appendChunkDocs(spark, dir, batch, meta = tag)
+  }
+
+  /** C×D: continuous CHUNK-STORE maintenance over a document feed —
+    * each batch chunks only ITS documents and appends only UNSEEN
+    * content addresses, so the store prices every refresh ("how many
+    * chunks are actually new") without ever re-chunking history. */
+  def maintainChunkStore(docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamChunkBatch(dir, batch, batchId); ()
+      }
+      .start()
+
   /** C×G: continuous ASSET-CATALOG maintenance over a binary feed —
     * each landed asset is header-sniffed ONCE, in its micro-batch,
     * and the format-partitioned catalog trails the drop zone by one

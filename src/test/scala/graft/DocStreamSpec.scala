@@ -305,6 +305,44 @@ class DocStreamSpec extends AnyFunSuite {
     assert(DocStream.streamBm25Batch(dir, extra, 9L) == -1L)
   }
 
+  test("D23 chunk store: base+deltas == one-shot chunk set, refresh prices known bytes, replay exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.sources.{Lake, Tables}
+    val docs = Tables.documents(spark, GraftTestSession.sf)
+      .select($"doc_id", $"text").localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft_cs").toString
+    Dedup.publishChunkStore(docs.filter($"doc_id" % 3 === 0), dir)
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs.filter($"doc_id" % 3 === 1)
+      .as[(Long, String)].collect().toSeq)
+    in.addData(docs.filter($"doc_id" % 3 === 2)
+      .as[(Long, String)].collect().toSeq)
+    val q = DocStream.maintainChunkStore(
+      in.toDF().toDF("doc_id", "text"), dir,
+      java.nio.file.Files.createTempDirectory("graft_cs_ck").toString)
+    q.awaitTermination()
+    // streamed store == the one-shot chunk set of the union
+    val got = Lake.Manifest.readPublished(spark, dir)
+      .select($"h").as[Long].collect().toSet
+    val want = Dedup.cdcChunks(docs)
+      .select(xxhash64($"chunk").as("h")).as[Long].collect().toSet
+    assert(got == want,
+      s"store diverged: ${got.size} vs ${want.size} hashes")
+    // an already-ingested batch prices at 100% known
+    val (n, known, bytes) = Dedup.chunkBatchReport(spark, dir,
+      docs.filter($"doc_id" % 3 === 1))
+    assert(n > 0 && known == n && bytes > 0,
+      s"re-offered batch must be fully known: $n/$known")
+    // meta-gated replay skips; an untagged duplicate appends nothing
+    assert(DocStream.streamChunkBatch(dir,
+      docs.filter($"doc_id" % 3 === 1), 0L) == -1L)
+    val before = Lake.Manifest.readPublished(spark, dir).count()
+    Dedup.appendChunkDocs(spark, dir, docs.filter($"doc_id" % 3 === 2))
+    assert(Lake.Manifest.readPublished(spark, dir).count() == before)
+  }
+
   test("G26 asset catalog: base+deltas == one-shot sniff, format-pruned read, replay exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
