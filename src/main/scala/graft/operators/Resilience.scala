@@ -1090,6 +1090,43 @@ object Resilience {
       .orderBy($"user_id")
   }
 
+  /** B78 CHATTERJEE'S ξ (xi) rank correlation per event type
+    * (Chatterjee 2021, JASA — the dependence coefficient that fixed
+    * rank correlation's blind spot: Pearson/Spearman/Kendall all
+    * score an oscillating or U-shaped dependence near ZERO, ξ
+    * detects ANY functional dependence of y on TIME, approaching 1
+    * when y is a function of x and 0 under independence): order the
+    * daily series by day, rank y with the ≤-tie convention
+    * (r_i = #{j : y_j ≤ y_i} — one RANGE-framed count window),
+    * ξ = 1 − 3·Σ|r_{i+1} − r_i| / (n² − 1). Exactness: ranks and
+    * the absolute-difference sum are exact BIGINT window/lag math;
+    * the single division happens once at export (round 6). A
+    * TRENDING series scores high ξ even where the B34 Mann-Kendall
+    * monotonicity test and ACF both see structure only of their own
+    * kind — ξ is the catch-all screen before the specific tests. */
+  def xicor(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val byType = Window.partitionBy($"event_type")
+    val tieRank = byType.orderBy($"y")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val byDay = byType.orderBy($"day")
+    val ranked = pts
+      .withColumn("r", count(lit(1)).over(tieRank))
+      .withColumn("rn", lead($"r", 1).over(byDay))
+    ranked.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs($"rn" - $"r")).as("s_abs"))
+      .filter($"n_days" >= 2)
+      .select($"event_type", $"n_days", $"s_abs",
+        round(($"n_days" * $"n_days" - 1 - lit(3L) * $"s_abs")
+          .cast("double") /
+          ($"n_days" * $"n_days" - 1).cast("double"), 6).as("xi"))
+      .orderBy($"event_type")
+  }
+
   /** B77 BOOTSTRAP CONFIDENCE INTERVAL for the per-nation mean
     * yearly revenue (Efron 1979 — the distribution-free CI every
     * analyst reaches for when n = 7 years makes normal theory a
@@ -3337,6 +3374,7 @@ object Resilience {
     "q_cusum" -> ((s, dir) => cusumDrift(Tables.events(s, dir))),
     "q_page_hinkley" -> ((s, dir) => pageHinkley(Tables.events(s, dir))),
     "q_bootstrap_ci" -> ((s, dir) => bootstrapCi(s, dir)),
+    "q_xicor" -> ((s, dir) => xicor(Tables.events(s, dir))),
     "q_ffill_gaps" -> ((s, dir) => ffillDaily(Tables.events(s, dir))),
     "q_rolling_stats" -> ((s, dir) => rollingStats(Tables.events(s, dir))),
     "q_ewma" -> ((s, dir) => ewma(Tables.events(s, dir))),
@@ -5277,6 +5315,30 @@ object Resilience {
         |      sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
         |    END AS autocorr
         |FROM sums ORDER BY user_id, event_id""".stripMargin,
+    // B78 twin: the same RANGE-framed tie rank and lag fold — all
+    // BIGINT, one division at export
+    "q_xicor" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, day, y,
+        |    (count(*) OVER (PARTITION BY event_type ORDER BY y
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS r
+        |  FROM pts),
+        |lagged AS (
+        |  SELECT event_type, r,
+        |    lead(r) OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM ranked),
+        |agg AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_days,
+        |    sum(abs(rn - r))::BIGINT AS s_abs
+        |  FROM lagged GROUP BY 1)
+        |SELECT event_type, n_days, s_abs,
+        |  round((n_days * n_days - 1 - 3 * s_abs)::DOUBLE
+        |    / (n_days * n_days - 1)::DOUBLE, 6) AS xi
+        |FROM agg WHERE n_days >= 2 ORDER BY event_type""".stripMargin,
     // B77 twin: the identical fixed-design resampling — exact cents,
     // 1-based list indexing (ss[5] == Spark's ss[4])
     "q_bootstrap_ci" ->

@@ -667,6 +667,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L)), s"constant series: ${got(2L)}")
   }
 
+  test("B78 xicor: monotone series scores 1 - 3/(n+1), oscillation collapses, ranks tie by <=") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Date.valueOf(f"2020-01-$day%02d").getTime + 7200000L)
+    // "inc": daily counts 1..5 (strictly increasing: ranks walk by 1,
+    // S = n-1, xi = 1 - 3/(n+1) = 0.5); "osc": counts 1,3,2,5,4
+    // (ranks 1,3,2,5,4 -> S = 7, xi = 1 - 21/24 = 0.125)
+    val rows =
+      (1 to 5).flatMap(d => Seq.fill(d)(("inc", t(d)))) ++
+        Seq(1, 3, 2, 5, 4).zipWithIndex.flatMap { case (c, i) =>
+          Seq.fill(c)(("osc", t(i + 1))) }
+    val df = rows.zipWithIndex
+      .map { case ((et, ts), i) => (i.toLong, et, ts, 1.0) }
+      .toDF("user_id", "event_type", "ts", "value")
+    val got = graft.operators.Resilience.xicor(df)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("inc") == ((5L, 4L, 0.5)), s"inc: ${got("inc")}")
+    assert(got("osc") == ((5L, 7L, 0.125)), s"osc: ${got("osc")}")
+    assert(got("inc")._3 > got("osc")._3,
+      "functional dependence must outscore oscillation")
+  }
+
   test("B77 bootstrap CI: fixed-design resamples replayed driver-side") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bci").toString
