@@ -136,6 +136,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "flac_info"),
       (args: Seq[Expression]) => graft.functions.FlacStreamInfo(args.head)))
     e.injectFunction((
+      new FunctionIdentifier("tar_members"),
+      new ExpressionInfo(classOf[graft.functions.TarMemberTable].getName,
+        "tar_members"),
+      (args: Seq[Expression]) => graft.functions.TarMemberTable(args.head)))
+    e.injectFunction((
       new FunctionIdentifier("exif_meta"),
       new ExpressionInfo(classOf[graft.functions.ExifMeta].getName,
         "exif_meta"),

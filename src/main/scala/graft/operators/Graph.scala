@@ -712,6 +712,66 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999 — the bipartite quality
+    * prior of a link corpus: a hub is good because it points at good
+    * authorities and vice versa; on a buyer→seller or page→resource
+    * graph the two scores separate the curator side from the content
+    * side, which PageRank's single score conflates) in EXACT integer
+    * fixed point: scores live in 10⁻⁶ units and each half-iteration
+    * is (a) one broadcast-joined scan of the cached edge list + one
+    * map-side-combinable long-sum shuffled on node id, then (b) an
+    * L∞ (max) renormalization s ← s·10⁶ div max(s) — max instead of
+    * the textbook L2 because max of integers is EXACT and
+    * order-independent where a float sqrt-of-sum-of-squares is not;
+    * the normalized fixed point is the same dominant eigenvector
+    * direction, just scaled so the top node reads exactly 10⁶. Every
+    * op is exact BIGINT, so the usual floating determinism problem
+    * vanishes. Sum magnitude is indeg·10⁶ — near 10¹² in-edges per
+    * node switch the sum to decimal(38,0) (the C18 posture). The max
+    * is a 1-row aggregate broadcast back (AQE turns the join against
+    * it into a BroadcastNestedLoop of one row — constant cost).
+    *
+    * @param edges (src, dst) directed pairs; duplicates collapsed
+    * @return (node, hub_fp, auth_fp) fixed-point 10⁻⁶ scores
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val e = edges.select($"src", $"dst").distinct().persist()
+    val nodes = e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct().persist()
+    val unit = 1000000L
+    var hubs = nodes.select($"node", lit(unit).as("h"))
+    var auths = nodes.select($"node", lit(unit).as("a"))
+    // each half-step is referenced TWICE (the max aggregate and the
+    // rescale) and again by the next half-step — checkpoint it once
+    // per call or the recompute compounds 3× per level (measured:
+    // 45 s → 4 s at sf0.1)
+    def renorm(df: DataFrame, c: String): DataFrame = {
+      val cut = truncate(df)
+      val mx = cut.agg(max(col(c)).as("mx"))
+      cut.crossJoin(broadcast(mx))
+        .select($"node", expr(s"$c * ${unit}L div mx").as(c))
+    }
+    for (i <- 1 to iters) {
+      val a = nodes
+        .join(e.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy($"dst".as("node")).agg(sum($"h").as("s")),
+          Seq("node"), "left")
+        .select($"node", coalesce($"s", lit(0L)).as("a"))
+      auths = renorm(a, "a")
+      val h = nodes
+        .join(e.join(auths.withColumnRenamed("node", "dst"), "dst")
+            .groupBy($"src".as("node")).agg(sum($"a").as("s")),
+          Seq("node"), "left")
+        .select($"node", coalesce($"s", lit(0L)).as("h"))
+      hubs = renorm(h, "h")
+    }
+    val out = hubs.join(auths, "node")
+      .select($"node", $"h".as("hub_fp"), $"a".as("auth_fp"))
+    nodes.unpersist(); e.unpersist()
+    out
+  }
+
   /** q_ppr: 5 personalized-PageRank iterations over the
     * supplier→customer trade graph, seeded at every 20th supplier
     * (the BFS seed convention) — the proximity-to-trusted-sellers
@@ -922,6 +982,24 @@ object Graph {
     pageRank(edges, 5)
       .select($"node", $"r".as("rank_fp"),
         round($"r".cast("double") / 1e12, 6).as("rank"))
+      .orderBy($"node")
+  }
+
+  /** q_hits: 5 HITS iterations over the supplier→customer trade
+    * graph (the [[pageRankTrade]] edge derivation) — suppliers are
+    * the hub side (they point), customers the authority side. */
+  def hitsTrade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(concat(lit("s"), $"l_suppkey".cast("string")).as("src"),
+        concat(lit("c"), $"o_custkey".cast("string")).as("dst"))
+    hits(edges, 5)
+      .select($"node", $"hub_fp", $"auth_fp",
+        round($"hub_fp".cast("double") / 1e6, 6).as("hub"),
+        round($"auth_fp".cast("double") / 1e6, 6).as("auth"))
       .orderBy($"node")
   }
 
@@ -1595,6 +1673,7 @@ object Graph {
     "q_powerlaw" -> powerlawCoOrder,
     "q_assortativity" -> assortativityCoOrder,
     "q_pagerank" -> pageRankTrade,
+    "q_hits" -> hitsTrade,
     "q_ppr" -> pprTrade,
     "q_triangles" -> trianglesCoOrder,
     "q_bfs_hops" -> bfsSupplyChain,
@@ -1632,6 +1711,51 @@ object Graph {
        |SELECT node, r AS rank_fp,
        |  round(r::DOUBLE / 1e12, 6) AS rank
        |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled HITS twin — per iteration four CTEs: the in-edge sum,
+    * its max-normalization (window max — a scalar subquery would
+    * reference the prior CTE twice and double the inlined plan tree
+    * per iteration), the out-edge sum, its normalization. Same exact
+    * integers as the Spark side. */
+  private def hitsSql(iters: Int): String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (
+        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |h0 AS (SELECT node, 1000000::BIGINT AS h FROM nodes)"""
+        .stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""a${i}r AS (
+         |  SELECT n.node, coalesce(c.s, 0)::BIGINT AS a
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, sum(hh.h)::BIGINT AS s
+         |    FROM edges e JOIN h${i - 1} hh ON hh.node = e.src
+         |    GROUP BY e.dst) c ON n.node = c.dst),
+         |a$i AS (
+         |  SELECT node,
+         |    (a * 1000000 // max(a) OVER ())::BIGINT AS a
+         |  FROM a${i}r),
+         |h${i}r AS (
+         |  SELECT n.node, coalesce(c.s, 0)::BIGINT AS h
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.src, sum(aa.a)::BIGINT AS s
+         |    FROM edges e JOIN a$i aa ON aa.node = e.dst
+         |    GROUP BY e.src) c ON n.node = c.src),
+         |h$i AS (
+         |  SELECT node,
+         |    (h * 1000000 // max(h) OVER ())::BIGINT AS h
+         |  FROM h${i}r)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iterCtes
+       |SELECT h.node, h.h AS hub_fp, a.a AS auth_fp,
+       |  round(h.h::DOUBLE / 1e6, 6) AS hub,
+       |  round(a.a::DOUBLE / 1e6, 6) AS auth
+       |FROM h$iters h JOIN a$iters a ON h.node = a.node
+       |ORDER BY h.node""".stripMargin
   }
 
   /** Unrolled personalized-PageRank twin — the [[pageRankSql]] chain
@@ -2061,6 +2185,7 @@ object Graph {
         |ORDER BY cand.cn DESC, jaccard_ppm DESC, cand.x, cand.y
         |LIMIT 100""".stripMargin,
     "q_pagerank" -> pageRankSql(5),
+    "q_hits" -> hitsSql(5),
     "q_ppr" -> pprSql(5),
     "q_bfs_hops" -> bfsSql(4),
     "q_path_counts" -> pathCountsSql(4),

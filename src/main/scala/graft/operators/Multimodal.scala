@@ -1511,6 +1511,88 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Minimal spec-shaped ustar shard (G31/G32) — the ENCODER side of
+    * the tar member walk: a WebDataset-convention archive of
+    * 2 + id%3 samples, each two members (`d{id}_s{i}.txt`, size
+    * 300 + (id·7 + i·13)%700 — one or two data blocks, so the walk
+    * must round the skip up to the 512 boundary — and a 1-byte
+    * `.cls` label), valid POSIX headers with real checksums, closed
+    * by two zero blocks. Every field the walker reads (name, octal
+    * size, checksum, magic) is exercised with real encoded bytes. */
+  private[graft] def tarBytes(docId: Long): Array[Byte] = {
+    val nsamp = 2 + (docId % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream(8192)
+    def member(name: String, data: Array[Byte]): Unit = {
+      val h = new Array[Byte](512)
+      def put(v: String, off: Int): Unit = {
+        val b = v.getBytes("US-ASCII")
+        System.arraycopy(b, 0, h, off, b.length)
+      }
+      put(name, 0)
+      put("0000644", 100); put("0000000", 108); put("0000000", 116)
+      put(f"${data.length}%011o", 124)
+      put("00000000000", 136)
+      h(156) = '0'
+      put("ustar", 257); put("00", 263)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var s = 0; var i = 0
+      while (i < 512) { s += h(i) & 0xff; i += 1 }
+      put(f"$s%06o", 148); h(154) = 0; h(155) = ' '
+      bos.write(h); bos.write(data)
+      bos.write(new Array[Byte]((512 - data.length % 512) % 512))
+    }
+    var i = 0
+    while (i < nsamp) {
+      val tlen = 300 + ((docId * 7 + i * 13) % 700).toInt
+      val txt = Array.tabulate[Byte](tlen)(j =>
+        ('a' + ((docId + i + j) % 26)).toByte)
+      member(s"d${docId}_s$i.txt", txt)
+      member(s"d${docId}_s$i.cls",
+        Array[Byte](('0' + ((docId + i) % 10)).toByte))
+      i += 1
+    }
+    bos.write(new Array[Byte](1024))
+    bos.toByteArray
+  }
+
+  private def tarMemberTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, tarBytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id",
+        explode(graft.functions.TarWalk.tarMembers($"payload")).as("m"))
+      .select($"doc_id", $"m.entry_idx".as("entry_idx"),
+        $"m.name".as("name"), $"m.offset".as("offset"),
+        $"m.size".as("size"))
+  }
+
+  /** G31 graded entry (`mm_tar_index`): the synthesized shards walked
+    * back member by member — a hash match proves the octal size
+    * parse, the checksum verification, and the 512-padding skip
+    * arithmetic all agree with the closed-form layout. */
+  private def tarIndexEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tarMemberTable(s, dir).orderBy($"doc_id", $"entry_idx")
+  }
+
+  /** G32 graded entry (`mm_wds_samples`): the WebDataset view of the
+    * member table — members grouped by key prefix into SAMPLES, each
+    * with its file count, byte total, label presence, and first
+    * member offset (the ranged-read start a sample fetch seeks to). */
+  private def wdsSamplesEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tarMemberTable(s, dir)
+      .groupBy($"doc_id",
+        substring_index($"name", ".", 1).as("sample_key"))
+      .agg(count(lit(1)).as("n_files"),
+        sum($"size").as("bytes_total"),
+        max(when($"name".endsWith(".cls"), 1L).otherwise(0L))
+          .as("has_cls"),
+        min($"offset").as("first_offset"))
+      .orderBy($"doc_id", $"sample_key")
+  }
+
   /** Minimal spec-shaped Exif JPEG (G25) — the ENCODER side of the
     * TIFF IFD walk: SOI, an APP0/JFIF segment the marker scan must
     * SKIP (every third id), then APP1 "Exif\0\0" wrapping a TIFF
@@ -1945,6 +2027,8 @@ object Multimodal {
     "mm_mp3_summary" -> mp3SummaryEntry,
     "mm_flac_info" -> flacInfoEntry,
     "mm_id3_tags" -> id3TagsEntry,
+    "mm_tar_index" -> tarIndexEntry,
+    "mm_wds_samples" -> wdsSamplesEntry,
     "mm_exif_meta" -> exifMetaEntry,
     "mm_mp4_edits" -> mp4EditsEntry,
     "mm_srt_cues" -> srtCuesEntry,
@@ -2013,6 +2097,49 @@ object Multimodal {
         |  (sum(kbps) * 1000 // count(*))::BIGINT AS mean_bitrate_ppk,
         |  (count(*) * 1152 * 1000 // max(hz))::BIGINT AS duration_ms
         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // G31 twin: the closed-form shard layout replayed — entry k's
+    // data offset is 512·(k+1) plus the 512-rounded data spans of
+    // every earlier member (window sum)
+    "mm_tar_index" ->
+      """WITH d AS (
+        |  SELECT doc_id, (2 + doc_id % 3)::INT AS n FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, n))::BIGINT AS i FROM d),
+        |m AS (
+        |  SELECT doc_id, 2 * i AS entry_idx,
+        |    'd' || doc_id::VARCHAR || '_s' || i::VARCHAR || '.txt' AS name,
+        |    (300 + (doc_id * 7 + i * 13) % 700)::BIGINT AS size
+        |  FROM s
+        |  UNION ALL
+        |  SELECT doc_id, 2 * i + 1,
+        |    'd' || doc_id::VARCHAR || '_s' || i::VARCHAR || '.cls',
+        |    1::BIGINT
+        |  FROM s)
+        |SELECT doc_id, entry_idx::BIGINT AS entry_idx, name,
+        |  (512 * (entry_idx + 1)
+        |    + coalesce(sum(((size + 511) // 512) * 512) OVER (
+        |        PARTITION BY doc_id ORDER BY entry_idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0))::BIGINT AS offset,
+        |  size
+        |FROM m ORDER BY doc_id, entry_idx""".stripMargin,
+    // G32 twin: sample i's span is 1536 + its 512-rounded text size;
+    // its first offset is 512 plus the spans of earlier samples
+    "mm_wds_samples" ->
+      """WITH d AS (
+        |  SELECT doc_id, (2 + doc_id % 3)::INT AS n FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, n))::BIGINT AS i FROM d),
+        |sz AS (SELECT doc_id, i,
+        |    (300 + (doc_id * 7 + i * 13) % 700)::BIGINT AS tsize
+        |  FROM s)
+        |SELECT doc_id,
+        |  'd' || doc_id::VARCHAR || '_s' || i::VARCHAR AS sample_key,
+        |  2::BIGINT AS n_files, (tsize + 1)::BIGINT AS bytes_total,
+        |  1::BIGINT AS has_cls,
+        |  (512 + coalesce(sum(1536 + ((tsize + 511) // 512) * 512)
+        |    OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0))::BIGINT AS first_offset
+        |FROM sz ORDER BY doc_id, sample_key""".stripMargin,
     // G30 twin: the planted text frames replayed closed-form
     "mm_id3_tags" ->
       """SELECT doc_id, 'TIT2' AS frame_id,

@@ -992,6 +992,50 @@ object Relational {
           ($"n_r".cast("double") * $"n_n".cast("double")), 6).as("ks_d"))
   }
 
+  /** A72 two-sample Cramér–von Mises criterion between the returned
+    * ('R') and delivered-clean ('N') price distributions (Anderson
+    * 1962; the whole-shape companion to [[ksTest]]'s max-gap — KS
+    * sees the worst point, CvM integrates EVERY ECDF gap, so a
+    * distribution that drifts a little everywhere is caught here
+    * first). T = U / (m·n·N²) with U = Σ over pooled observations of
+    * (F_m − G_n)² scaled integer-exactly: per distinct cents value,
+    * (cr+cn)·(cumr·n − cumn·m)² in decimal(38,0) (HUGEINT twin) —
+    * cross-multiplied ECDFs, the ks_test posture, exact at any SF
+    * within 10³⁸. Ties need no special-casing: the ECDF formulation
+    * is well-defined on tied pooled values (each distinct value
+    * contributes once with its multiplicity). Shape: ONE groupBy to
+    * the distinct-value frame, one cumulative window over it, one
+    * global aggregate — identical cost to q_ks_test. */
+  def cvmTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vc = Tables.lineitem(s, dir)
+      .filter($"l_returnflag".isin("R", "N"))
+      .select($"l_returnflag".as("flag"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"cents")
+      .agg(sum(when($"flag" === "R", 1L).otherwise(0L)).as("cr"),
+        sum(when($"flag" === "N", 1L).otherwise(0L)).as("cn"))
+    val wCum = Window.orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc
+      .withColumn("cumr", sum($"cr").over(wCum))
+      .withColumn("cumn", sum($"cn").over(wCum))
+      .withColumn("nr", sum($"cr").over(Window.partitionBy()))
+      .withColumn("nn", sum($"cn").over(Window.partitionBy()))
+      .withColumn("gap", $"cumr".cast("decimal(38,0)") * $"nn" -
+        $"cumn".cast("decimal(38,0)") * $"nr")
+    cum.groupBy()
+      .agg(max($"nr").as("n_r"), max($"nn").as("n_n"),
+        sum(($"cr" + $"cn").cast("decimal(38,0)") * $"gap" * $"gap")
+          .as("u"))
+      .select($"n_r", $"n_n",
+        round($"u".cast("double") /
+          ($"n_r".cast("double") * $"n_n".cast("double") *
+            ($"n_r" + $"n_n").cast("double") *
+            ($"n_r" + $"n_n").cast("double")), 6).as("t_cvm"))
+  }
+
   /** A40 Welch's unequal-variance t-test for every priority pair
     * (scipy `ttest_ind(equal_var=False)` twin — "did this slice's
     * money distribution move?"): per-group n/Σx/Σx² are EXACT
@@ -2299,6 +2343,7 @@ object Relational {
     "q_spearman" -> spearman,
     "q_runs_test" -> runsTest,
     "q_ks_test" -> ksTest,
+    "q_cvm" -> cvmTest,
     "q_welch_ttest" -> welchTTest,
     "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
@@ -3184,6 +3229,38 @@ object Relational {
         |  round(max(diff)::DOUBLE / (max(nr)::DOUBLE * max(nn)::DOUBLE), 6)
         |    AS ks_d
         |FROM m WHERE diff = mx""".stripMargin,
+    // A72 twin: same distinct-value ECDF frame as q_ks_test; U is an
+    // exact HUGEINT sum of (cr+cn)·gap², the export the one division
+    "q_cvm" ->
+      """WITH vc AS (
+        |  SELECT round(l_extendedprice * 100)::BIGINT AS cents,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS cr,
+        |    sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)::BIGINT AS cn
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT cents, cr, cn,
+        |    (sum(cr) OVER (ORDER BY cents
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |       AS cumr,
+        |    (sum(cn) OVER (ORDER BY cents
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |       AS cumn,
+        |    (sum(cr) OVER ())::BIGINT AS nr,
+        |    (sum(cn) OVER ())::BIGINT AS nn
+        |  FROM vc),
+        |g AS (
+        |  SELECT nr, nn,
+        |    (cr + cn)::HUGEINT
+        |      * (cumr::HUGEINT * nn - cumn::HUGEINT * nr)
+        |      * (cumr::HUGEINT * nn - cumn::HUGEINT * nr) AS term
+        |  FROM cum)
+        |SELECT max(nr) AS n_r, max(nn) AS n_n,
+        |  round(sum(term)::DOUBLE
+        |    / (max(nr)::DOUBLE * max(nn)::DOUBLE
+        |       * (max(nr) + max(nn))::DOUBLE
+        |       * (max(nr) + max(nn))::DOUBLE), 6) AS t_cvm
+        |FROM g""".stripMargin,
     // A40 twin: identical exact decimal sums, identical IEEE scalar
     // sequence (÷ × √ are correctly rounded in both engines), so
     // t and dof are bit-identical before the export round

@@ -2903,6 +2903,62 @@ object Resilience {
           .as("tau_b"))
   }
 
+  /** B79 HOEFFDING'S D independence test between the daily click and
+    * view series (Hoeffding 1948 — the nonparametric dependence
+    * measure that, unlike B57's τ or Spearman, detects NON-MONOTONE
+    * association: a U-shaped load↔latency coupling reads τ ≈ 0 but
+    * D > 0; the B78 ξ is asymmetric where D is symmetric, so the
+    * pair brackets the dependence question): with tie-free
+    * permutation ranks r (by x then day) and s (by y then day — the
+    * house tie-break-by-day convention, a documented jitter
+    * variant), c_i = #(r_j < r_i ∧ s_j < s_i), D1 = Σc(c−1),
+    * D2 = Σ(r−1)(r−2)(s−1)(s−2), D3 = Σ(r−2)(s−2)c, and
+    * D = 30·[(n−2)(n−3)D1 + D2 − 2(n−2)D3] / [n(n−1)⋯(n−4)].
+    *
+    * Exactness: ranks, c_i and all three sums are exact integers
+    * (sums in decimal(38,0) — D2 approaches n⁵); the export is ONE
+    * cast-to-double division of exact integers, identical IEEE in
+    * both engines. Shape: the day-grid frame ranks in one bounded
+    * window pass, the bivariate dominance counts c_i come from ONE
+    * broadcast inequality self-join of the day-grid frame (days²
+    * pairs — frame-bounded, never event rows; the B57 posture), one
+    * grouped count, one global aggregate. */
+  def hoeffdingD(events: DataFrame, xType: String = "click",
+      yType: String = "view"): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = dailyTyped(events)
+    val xy = d.filter($"event_type" === xType)
+      .select($"day", $"y".as("x"))
+      .join(d.filter($"event_type" === yType)
+        .select($"day", $"y".as("yv")), "day")
+    // day-grid-sized frame: the single-partition rank windows are
+    // bounded by the calendar, not the corpus
+    val ranked = xy.select($"day",
+        row_number().over(Window.orderBy($"x", $"day")).cast("long")
+          .as("r"),
+        row_number().over(Window.orderBy($"yv", $"day")).cast("long")
+          .as("s"))
+      .localCheckpoint()
+    val q = ranked.as("a").join(broadcast(ranked.as("b")),
+        col("b.r") <= col("a.r") && col("b.s") <= col("a.s"))
+      .groupBy(col("a.r").as("r"), col("a.s").as("s"))
+      .agg((count(lit(1)) - 1L).as("c")) // j = i always matches
+    q.agg(count(lit(1)).as("n"),
+        sum(($"c" * ($"c" - 1L)).cast("decimal(38,0)")).as("d1x"),
+        sum((($"r" - 1L) * ($"r" - 2L)).cast("decimal(38,0)") *
+          (($"s" - 1L) * ($"s" - 2L)).cast("decimal(38,0)")).as("d2x"),
+        sum((($"r" - 2L) * ($"s" - 2L)).cast("decimal(38,0)") * $"c")
+          .as("d3x"))
+      .select($"n", $"d1x".cast("long").as("d1"),
+        $"d2x".cast("long").as("d2"), $"d3x".cast("long").as("d3"),
+        round(
+          (lit(30.0) * (($"n" - 2L) * ($"n" - 3L) * $"d1x" + $"d2x" -
+            lit(2L) * ($"n" - 2L) * $"d3x").cast("double")) /
+          (($"n" * ($"n" - 1L) * ($"n" - 2L) * ($"n" - 3L) *
+            ($"n" - 4L)).cast("double")), 6).as("hoeffding_d"))
+  }
+
   /** B68 KRUSKAL-WALLIS H test across event types (Kruskal &
     * Wallis 1952 — the k-group rank ANOVA: B41's Mann-Whitney asks
     * "do these TWO cohorts differ", B41/A41's ANOVA assumes
@@ -3344,6 +3400,7 @@ object Resilience {
     "q_dispersion" -> ((s, dir) => dispersion(Tables.events(s, dir))),
     "q_gumbel" -> ((s, dir) => gumbelFit(Tables.events(s, dir))),
     "q_kendall_tau" -> ((s, dir) => kendallTau(Tables.events(s, dir))),
+    "q_hoeffding_d" -> ((s, dir) => hoeffdingD(Tables.events(s, dir))),
     "q_turning_points" -> ((s, dir) => turningPoints(Tables.events(s, dir))),
     "q_nelson_aalen" -> ((s, dir) => nelsonAalen(Tables.events(s, dir))),
     "q_did" -> didEventStudy,
@@ -4076,6 +4133,37 @@ object Resilience {
          |        * (n_pairs - tied_y - tied_xy))::DOUBLE), 6)
          |  END AS tau_b
          |FROM a2""".stripMargin,
+    // B79 twin: same tie-broken permutation ranks, same dominance
+    // self-join, HUGEINT sums, one exact-integer double division
+    "q_hoeffding_d" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |xy AS (
+         |  SELECT x.day, x.y AS x, v.y AS yv
+         |  FROM (SELECT day, y FROM d WHERE event_type = 'click') x
+         |  JOIN (SELECT day, y FROM d WHERE event_type = 'view') v
+         |    USING (day)),
+         |rk AS (
+         |  SELECT day,
+         |    row_number() OVER (ORDER BY x, day)::BIGINT AS r,
+         |    row_number() OVER (ORDER BY yv, day)::BIGINT AS s
+         |  FROM xy),
+         |q AS (
+         |  SELECT a.r, a.s, (count(*) - 1)::BIGINT AS c
+         |  FROM rk a JOIN rk b ON b.r <= a.r AND b.s <= a.s
+         |  GROUP BY a.r, a.s),
+         |agg AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    sum(c::HUGEINT * (c - 1)) AS d1x,
+         |    sum((r - 1)::HUGEINT * (r - 2) * (s - 1) * (s - 2)) AS d2x,
+         |    sum((r - 2)::HUGEINT * (s - 2) * c) AS d3x
+         |  FROM q)
+         |SELECT n, d1x::BIGINT AS d1, d2x::BIGINT AS d2,
+         |  d3x::BIGINT AS d3,
+         |  round(30.0 * ((n - 2)::HUGEINT * (n - 3) * d1x + d2x
+         |      - 2 * (n - 2)::HUGEINT * d3x)::DOUBLE
+         |    / (n::HUGEINT * (n - 1) * (n - 2) * (n - 3)
+         |       * (n - 4))::DOUBLE, 6) AS hoeffding_d
+         |FROM agg""".stripMargin,
     // B59 twin: same strict-extremum integer predicate, same
     // closed-form moments in the same IEEE op order
     "q_turning_points" ->

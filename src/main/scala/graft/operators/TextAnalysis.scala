@@ -66,6 +66,54 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** F49 Gopher quality rules (Rae et al. 2021, Table A1 — the
+    * published repetition-free heuristic gate nearly every LLM
+    * corpus pipeline since has reused, distinct from [[quality]]'s
+    * blended score: Gopher is a conjunction of HARD thresholds):
+    * word count in [50, 100000], mean word length in [3, 10],
+    * <90% of lines bullet-led, <30% of lines ellipsis-ended, >80%
+    * of words containing an alphabetic character, and ≥2 distinct
+    * stopword hits ("the be to of and that have with"). Every rule
+    * is evaluated as an INTEGER cross-multiplication (len_sum ≥ 3n
+    * rather than len_sum/n ≥ 3, bullet·10 < lines·9, alpha·5 >
+    * words·4) so there is no float and no engine disagreement at the
+    * threshold. Shape: ONE projection pass over the corpus (all
+    * signals are row-local HOF/regex counts inside codegen), no
+    * shuffle before the export sort — on 100 TB this is a pure
+    * map-stage filter, the cheapest possible gate. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val t = docs
+      .select($"doc_id", tokens($"text").as("w"),
+        split($"text", "\n").as("lines"))
+      .select($"doc_id",
+        size($"w").cast("long").as("n_words"),
+        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))")
+          .as("len_sum"),
+        size(expr("filter(w, x -> x rlike '[a-zA-Z]')")).cast("long")
+          .as("alpha_words"),
+        size($"lines").cast("long").as("n_lines"),
+        size(expr(
+          "filter(lines, x -> x like '-%' or x like '*%')"))
+          .cast("long").as("bullet_lines"),
+        size(expr("filter(lines, x -> x like '%...')")).cast("long")
+          .as("ellipsis_lines"),
+        stops.map(sw => when(array_contains($"w", sw), 1L)
+          .otherwise(0L)).reduce(_ + _).as("stop_hits"))
+    t.select($"doc_id", $"n_words", $"len_sum", $"alpha_words",
+        $"n_lines", $"bullet_lines", $"ellipsis_lines", $"stop_hits",
+        ($"n_words" >= 50L && $"n_words" <= 100000L &&
+          $"len_sum" >= $"n_words" * 3 &&
+          $"len_sum" <= $"n_words" * 10 &&
+          $"bullet_lines" * 10 < $"n_lines" * 9 &&
+          $"ellipsis_lines" * 10 < $"n_lines" * 3 &&
+          $"alpha_words" * 5 > $"n_words" * 4 &&
+          $"stop_hits" >= 2L).as("keep"))
+      .orderBy($"doc_id")
+  }
+
   /** F3 language-ID by marker profiles (n-gram-heuristic family):
     * per-language marker counts, argmax with fixed precedence.
     * Latin-script languages count `\b`-delimited marker WORDS; zh
@@ -1779,6 +1827,7 @@ object TextAnalysis {
     "text_entropy" -> onDocs(charEntropy),
     "text_tokens" -> onDocs(tokenCounts),
     "text_quality" -> onDocs(quality),
+    "text_gopher" -> onDocs(gopherRules),
     "text_langid" -> onDocs(langId),
     "text_fingerprint" -> onDocs(fingerprint),
     "text_ngram_profile" -> onDocs(ngramProfile),
@@ -2534,6 +2583,42 @@ object TextAnalysis {
         |  (least(n_tok * 10000, 1000000) // 2 + stop_ppm // 2
         |    - punct_ppm // 5 >= 200000) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    // F49 twin: identical tokenization (the text_quality split), the
+    // same integer cross-multiplied thresholds — list HOFs mirror
+    // Spark's filter/aggregate lambdas
+    "text_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS w,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(w)::BIGINT AS n_words,
+        |    coalesce(list_sum(list_transform(w, x -> length(x))),
+        |      0)::BIGINT AS len_sum,
+        |    len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT
+        |      AS alpha_words,
+        |    len(lines)::BIGINT AS n_lines,
+        |    len(list_filter(lines,
+        |      x -> x LIKE '-%' OR x LIKE '*%'))::BIGINT AS bullet_lines,
+        |    len(list_filter(lines, x -> x LIKE '%...'))::BIGINT
+        |      AS ellipsis_lines,
+        |    (list_contains(w, 'the')::INT + list_contains(w, 'be')::INT
+        |     + list_contains(w, 'to')::INT + list_contains(w, 'of')::INT
+        |     + list_contains(w, 'and')::INT + list_contains(w, 'that')::INT
+        |     + list_contains(w, 'have')::INT
+        |     + list_contains(w, 'with')::INT)::BIGINT AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words, len_sum, alpha_words, n_lines,
+        |  bullet_lines, ellipsis_lines, stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000
+        |   AND len_sum >= n_words * 3 AND len_sum <= n_words * 10
+        |   AND bullet_lines * 10 < n_lines * 9
+        |   AND ellipsis_lines * 10 < n_lines * 3
+        |   AND alpha_words * 5 > n_words * 4
+        |   AND stop_hits >= 2) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

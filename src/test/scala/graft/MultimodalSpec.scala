@@ -1074,4 +1074,57 @@ class MultimodalSpec extends AnyFunSuite {
         Some(72L + id % 9), Some(1L + id % 3))), s"id $id: $syn")
     }
   }
+
+  test("G31 tar member walk: layout round-trip, quarantine, prefix field") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.TarWalk
+    def parse(b: Array[Byte]): Seq[(Long, String, Long, Long, String)] =
+      Seq(Tuple1(b)).toDF("payload")
+        .select(explode(TarWalk.tarMembers(col("payload"))).as("m"))
+        .select(col("m.entry_idx"), col("m.name"), col("m.offset"),
+          col("m.size"), col("m.typeflag"))
+        .as[(Long, String, Long, Long, String)].collect().toSeq
+
+    // synthesized shard round-trips to the closed-form layout
+    val id = 5L
+    val got = parse(graft.operators.Multimodal.tarBytes(id))
+    val nsamp = 2 + (id % 3).toInt
+    var off = 512L
+    val want = (0 until nsamp).flatMap { i =>
+      val tlen = 300L + (id * 7 + i * 13) % 700
+      val t = (2L * i, s"d${id}_s$i.txt", off, tlen, "0")
+      off += 512L * ((tlen + 511) / 512) + 512L
+      val c = (2L * i + 1, s"d${id}_s$i.cls", off, 1L, "0")
+      off += 512L + 512L
+      Seq(t, c)
+    }
+    assert(got == want, s"layout mismatch: $got")
+
+    // corruption quarantines to EMPTY: flipped checksum byte, bad
+    // magic, base-256 size, data past EOF
+    val ok = graft.operators.Multimodal.tarBytes(id)
+    val badSum = ok.clone(); badSum(0) = 'z'   // name changes, sum stale
+    val badMagic = ok.clone(); badMagic(257) = 'X'
+    val b256 = ok.clone(); b256(124) = 0x80.toByte
+    val cut = ok.take(700) // header claims more data than remains
+    for (bad <- Seq(badSum, badMagic, b256, cut))
+      assert(parse(bad).isEmpty, "malformed shard parsed non-empty")
+
+    // clean EOF without the two zero blocks still yields the members
+    val dataEnd = ok.length - 1024
+    assert(parse(ok.take(dataEnd)) == want)
+
+    // POSIX prefix field joins onto the name
+    val pfx = ok.clone()
+    val pb = "shard/part0".getBytes("US-ASCII")
+    System.arraycopy(pb, 0, pfx, 345, pb.length)
+    // re-checksum the first header after the edit
+    java.util.Arrays.fill(pfx, 148, 156, ' '.toByte)
+    var s0 = 0; var k = 0
+    while (k < 512) { s0 += pfx(k) & 0xff; k += 1 }
+    val cs = f"$s0%06o".getBytes("US-ASCII")
+    System.arraycopy(cs, 0, pfx, 148, 6); pfx(154) = 0; pfx(155) = ' '
+    assert(parse(pfx).head._2 == s"shard/part0/d${id}_s0.txt")
+  }
 }
