@@ -141,6 +141,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "tar_members"),
       (args: Seq[Expression]) => graft.functions.TarMemberTable(args.head)))
     e.injectFunction((
+      new FunctionIdentifier("zip_dir"),
+      new ExpressionInfo(classOf[graft.functions.ZipDirTable].getName,
+        "zip_dir"),
+      (args: Seq[Expression]) => graft.functions.ZipDirTable(args.head)))
+    e.injectFunction((
       new FunctionIdentifier("exif_meta"),
       new ExpressionInfo(classOf[graft.functions.ExifMeta].getName,
         "exif_meta"),

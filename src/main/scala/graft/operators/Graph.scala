@@ -985,6 +985,115 @@ object Graph {
       .orderBy($"node")
   }
 
+  /** STRONGLY connected components by transitive-closure pointer
+    * doubling (R₀ = E, R_{k+1} = R_k ∪ R_k∘R_k — paths up to 2^k
+    * after k doublings; Valiant 1975's parallel closure): node u and
+    * v share an SCC iff u→v AND v→u in the closure, and the SCC id
+    * is the member minimum. Closure is Θ(n²) OUTPUT — this operator
+    * is for the COARSE entity tier (nations, categories, datacenter
+    * zones: the "does money cycle between regions" audit), never the
+    * raw web graph; at that tier n² is a few thousand rows and every
+    * doubling is one self-equi-join + a distinct, each shuffled on
+    * the join key. (The web-scale SCC path is forward-backward label
+    * propagation — out of scope while no graded corpus needs it.)
+    *
+    * @param edges (src, dst) directed pairs
+    * @param doublings closure radius 2^doublings ≥ graph diameter
+    * @return (node, scc_id, scc_size), every graph node covered
+    */
+  def stronglyConnected(edges: DataFrame, doublings: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    var r = edges.select($"src", $"dst").distinct()
+    for (_ <- 1 to doublings) {
+      val j = r.as("a").join(r.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+      r = truncate(r.union(j).distinct())
+    }
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node"))).distinct()
+    val mutual = r.as("f").join(r.as("g"),
+        col("f.src") === col("g.dst") && col("f.dst") === col("g.src"))
+      .select(col("f.src").as("node"), col("f.dst").as("m"))
+      .union(nodes.select($"node", $"node".as("m"))) // trivially mutual
+    mutual.groupBy($"node")
+      .agg(min($"m").as("scc_id"),
+        countDistinct($"m").as("scc_size"))
+  }
+
+  /** q_scc: strongly connected components of the nation-level trade
+    * graph — nation u → v when the u→v trade flow clears the mean
+    * pair flow (an integer cross-multiplied threshold: cents·n_pairs
+    * ≥ total — no float, no SF-tuned constant). "Does value CYCLE
+    * between these economies, and in which blocs?" */
+  def sccTrade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flows = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_nationkey".as("sn")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey".as("cn")),
+        $"o_custkey" === $"c_custkey")
+      .filter($"sn" =!= $"cn")
+      .groupBy($"sn".as("src"), $"cn".as("dst"))
+      .agg(sum($"cents").as("cents"))
+      .localCheckpoint() // consumed by the threshold AND the filter
+    val tot = flows.agg(sum($"cents").as("t"),
+      count(lit(1)).as("np"))
+    val edges = flows.crossJoin(broadcast(tot))
+      .filter($"cents" * $"np" >= $"t")
+      .select($"src", $"dst")
+    stronglyConnected(edges, 5)
+      .select($"node".cast("long").as("nation"),
+        $"scc_id".cast("long").as("scc_id"), $"scc_size")
+      .orderBy($"nation")
+  }
+
+  /** q_mst: minimum spanning tree of the undirected nation trade
+    * graph (weights = pair trade cents, made DISTINCT by the
+    * (cents, a, b) composite key w = cents·1000 + a·30 + b — nation
+    * keys < 25, so the key is injective and order-preserving on
+    * cents). The MST is the "cheapest backbone" — which n−1 trade
+    * relationships span every economy at minimum flow. The oracle
+    * computes the SAME unique tree by a completely different
+    * algorithm (minimax-path closure: an edge is in the MST iff no
+    * path between its endpoints has all edges lighter — the cycle
+    * property), so a hash match is algorithm-independent evidence.
+    * Runs the I13 [[boruvkaMst]] engine (spec'd against Kruskal). */
+  def mstTrade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pair = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_nationkey".as("sn")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey".as("cn")),
+        $"o_custkey" === $"c_custkey")
+      .filter($"sn" =!= $"cn")
+      .groupBy(least($"sn", $"cn").as("a"),
+        greatest($"sn", $"cn").as("b"))
+      .agg(sum($"cents").as("cents"))
+    // consumed by the MST run AND the cents re-join: checkpoint so
+    // the 4-way pair aggregation runs once
+    val edges = pair.select($"a", $"b", $"cents",
+      ($"cents" * 1000L + $"a" * 30L + $"b").as("w"))
+      .localCheckpoint()
+    boruvkaMst(edges.select($"a".as("src"), $"b".as("dst"), $"w"))
+      .join(edges.select($"a", $"b", $"cents", $"w".as("w2")),
+        Seq("a", "b"))
+      .select($"a".cast("long").as("a"), $"b".cast("long").as("b"),
+        $"cents", $"w2".as("w"))
+      .orderBy($"w")
+  }
+
   /** q_hits: 5 HITS iterations over the supplier→customer trade
     * graph (the [[pageRankTrade]] edge derivation) — suppliers are
     * the hub side (they point), customers the authority side. */
@@ -1674,6 +1783,8 @@ object Graph {
     "q_assortativity" -> assortativityCoOrder,
     "q_pagerank" -> pageRankTrade,
     "q_hits" -> hitsTrade,
+    "q_scc" -> sccTrade,
+    "q_mst" -> mstTrade,
     "q_ppr" -> pprTrade,
     "q_triangles" -> trianglesCoOrder,
     "q_bfs_hops" -> bfsSupplyChain,
@@ -1711,6 +1822,91 @@ object Graph {
        |SELECT node, r AS rank_fp,
        |  round(r::DOUBLE / 1e12, 6) AS rank
        |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled closure twin for q_scc — MATERIALIZED base (each
+    * doubling references the prior level twice, so the inlined tree
+    * holds 2^k copies of the base: materialization keeps the 4-way
+    * join single-scan), k doublings, the mutual join, the min/count
+    * aggregate. Same integers as the Spark side. */
+  private def sccSql(doublings: Int): String = {
+    val base =
+      """WITH flows AS MATERIALIZED (
+        |  SELECT s_nationkey AS src, c_nationkey AS dst,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE s_nationkey <> c_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT sum(cents) AS t, count(*) AS np FROM flows),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst FROM flows, tot WHERE cents * np >= t),
+        |r0 AS (SELECT DISTINCT src, dst FROM e)""".stripMargin
+    val lv = (1 to doublings).map { i =>
+      s"""r$i AS (
+         |  SELECT src, dst FROM r${i - 1}
+         |  UNION
+         |  SELECT a.src, b.dst
+         |  FROM r${i - 1} a JOIN r${i - 1} b ON a.dst = b.src)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$lv,
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |mu AS (
+       |  SELECT f.src AS node, f.dst AS m
+       |  FROM r$doublings f JOIN r$doublings g
+       |    ON f.src = g.dst AND f.dst = g.src
+       |  UNION
+       |  SELECT node, node FROM nodes)
+       |SELECT node::BIGINT AS nation, min(m)::BIGINT AS scc_id,
+       |  count(DISTINCT m)::BIGINT AS scc_size
+       |FROM mu GROUP BY node ORDER BY nation""".stripMargin
+  }
+
+  /** Minimax-closure twin for q_mst — a DIFFERENT algorithm than the
+    * Spark side's Borůvka: with distinct weights the MST is unique
+    * and equals { e=(u,v,w) : minimax-path(u,v) = w } (cycle
+    * property), and minimax distances close under doubling —
+    * m_{k+1}(u,v) = min(m_k(u,v), min_x max(m_k(u,x), m_k(x,v))).
+    * Agreement is therefore algorithm-independent evidence. */
+  private def mstSql(doublings: Int): String = {
+    val base =
+      """WITH pair AS MATERIALIZED (
+        |  SELECT least(s_nationkey, c_nationkey) AS a,
+        |    greatest(s_nationkey, c_nationkey) AS b,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE s_nationkey <> c_nationkey
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT a, b, cents,
+        |    (cents * 1000 + a * 30 + b)::BIGINT AS w
+        |  FROM pair),
+        |m0 AS (
+        |  SELECT a AS u, b AS v, w FROM e
+        |  UNION ALL SELECT b, a, w FROM e)""".stripMargin
+    val lv = (1 to doublings).map { i =>
+      s"""m$i AS (
+         |  SELECT u, v, min(w) AS w FROM (
+         |    SELECT u, v, w FROM m${i - 1}
+         |    UNION ALL
+         |    SELECT p.u AS u, q.v AS v, greatest(p.w, q.w) AS w
+         |    FROM m${i - 1} p JOIN m${i - 1} q
+         |      ON p.v = q.u AND p.u <> q.v) s
+         |  GROUP BY u, v)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$lv
+       |SELECT e.a::BIGINT AS a, e.b::BIGINT AS b, e.cents, e.w
+       |FROM e JOIN m$doublings m ON m.u = e.a AND m.v = e.b
+       |  AND m.w = e.w
+       |ORDER BY e.w""".stripMargin
   }
 
   /** Unrolled HITS twin — per iteration four CTEs: the in-edge sum,
@@ -2186,6 +2382,8 @@ object Graph {
         |LIMIT 100""".stripMargin,
     "q_pagerank" -> pageRankSql(5),
     "q_hits" -> hitsSql(5),
+    "q_scc" -> sccSql(5),
+    "q_mst" -> mstSql(5),
     "q_ppr" -> pprSql(5),
     "q_bfs_hops" -> bfsSql(4),
     "q_path_counts" -> pathCountsSql(4),

@@ -1593,6 +1593,73 @@ object Multimodal {
       .orderBy($"doc_id", $"sample_key")
   }
 
+  /** Minimal spec-shaped ZIP (G33) — the ENCODER side of the
+    * central-directory walk: 2 + id%3 STORED members with REAL
+    * java.util.zip.CRC32 checksums, correct local headers, a central
+    * directory whose offsets are closed-form in doc_id, and a
+    * self-consistent EOCD. Every field the walker reads is exercised
+    * with real little-endian bytes. */
+  private[graft] def zipBytes(docId: Long): Array[Byte] = {
+    val nmem = 2 + (docId % 3).toInt
+    val bos = new java.io.ByteArrayOutputStream(4096)
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      var k = 0
+      while (k < 4) { bos.write(((v >> (8 * k)) & 0xff).toInt); k += 1 }
+    }
+    var off = 0
+    val ms = (0 until nmem).map { i =>
+      val dlen = 20 + ((docId * 3 + i * 7) % 100).toInt
+      val data = Array.tabulate[Byte](dlen)(j =>
+        ('A' + ((docId + i + j) % 26)).toByte)
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      val name = s"f${docId}_$i.txt"
+      val m = (name, data, off.toLong, crc.getValue)
+      off += 30 + name.length + dlen
+      m
+    }
+    ms.foreach { case (name, data, _, crc) =>
+      le32(0x04034b50L); le16(20); le16(0); le16(0)
+      le16(0); le16(0x5821)
+      le32(crc); le32(data.length.toLong); le32(data.length.toLong)
+      le16(name.length); le16(0)
+      bos.write(name.getBytes("US-ASCII")); bos.write(data)
+    }
+    val cdOff = bos.size()
+    ms.foreach { case (name, data, loff, crc) =>
+      le32(0x02014b50L); le16(20); le16(20); le16(0); le16(0)
+      le16(0); le16(0x5821)
+      le32(crc); le32(data.length.toLong); le32(data.length.toLong)
+      le16(name.length); le16(0); le16(0); le16(0); le16(0)
+      le32(0L); le32(loff)
+      bos.write(name.getBytes("US-ASCII"))
+    }
+    val cdSize = bos.size() - cdOff
+    le32(0x06054b50L); le16(0); le16(0); le16(nmem); le16(nmem)
+    le32(cdSize.toLong); le32(cdOff.toLong); le16(0)
+    bos.toByteArray
+  }
+
+  /** G33 graded entry (`mm_zip_dir`): the synthesized archives read
+    * back through the directory — a hash match proves the backward
+    * EOCD scan, the little-endian field extraction, the local-header
+    * cross-check, and the data-offset arithmetic all agree with the
+    * closed-form layout. */
+  private def zipDirEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, zipBytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id",
+        explode(graft.functions.ZipWalk.zipDir($"payload")).as("m"))
+      .select($"doc_id", $"m.entry_idx".as("entry_idx"),
+        $"m.name".as("name"), $"m.method".as("method"),
+        $"m.csize".as("csize"), $"m.usize".as("usize"),
+        $"m.data_offset".as("data_offset"))
+      .orderBy($"doc_id", $"entry_idx")
+  }
+
   /** Minimal spec-shaped Exif JPEG (G25) — the ENCODER side of the
     * TIFF IFD walk: SOI, an APP0/JFIF segment the marker scan must
     * SKIP (every third id), then APP1 "Exif\0\0" wrapping a TIFF
@@ -2029,6 +2096,7 @@ object Multimodal {
     "mm_id3_tags" -> id3TagsEntry,
     "mm_tar_index" -> tarIndexEntry,
     "mm_wds_samples" -> wdsSamplesEntry,
+    "mm_zip_dir" -> zipDirEntry,
     "mm_exif_meta" -> exifMetaEntry,
     "mm_mp4_edits" -> mp4EditsEntry,
     "mm_srt_cues" -> srtCuesEntry,
@@ -2140,6 +2208,29 @@ object Multimodal {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |    0))::BIGINT AS first_offset
         |FROM sz ORDER BY doc_id, sample_key""".stripMargin,
+    // G33 twin: the closed-form zip layout replayed — member i's
+    // local header sits after every earlier member's
+    // 30 + namelen + dlen span; its data starts 30 + namelen later
+    "mm_zip_dir" ->
+      """WITH d AS (
+        |  SELECT doc_id, (2 + doc_id % 3)::INT AS n FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, n))::BIGINT AS i FROM d),
+        |m AS (
+        |  SELECT doc_id, i,
+        |    'f' || doc_id::VARCHAR || '_' || i::VARCHAR || '.txt' AS name,
+        |    (20 + (doc_id * 3 + i * 7) % 100)::BIGINT AS dlen
+        |  FROM s),
+        |o AS (
+        |  SELECT doc_id, i, name, dlen,
+        |    coalesce(sum(30 + length(name) + dlen) OVER (
+        |      PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS loff
+        |  FROM m)
+        |SELECT doc_id, i AS entry_idx, name, 0::BIGINT AS method,
+        |  dlen AS csize, dlen AS usize,
+        |  (loff + 30 + length(name))::BIGINT AS data_offset
+        |FROM o ORDER BY doc_id, entry_idx""".stripMargin,
     // G30 twin: the planted text frames replayed closed-form
     "mm_id3_tags" ->
       """SELECT doc_id, 'TIT2' AS frame_id,

@@ -1036,6 +1036,66 @@ object Relational {
             ($"n_r" + $"n_n").cast("double")), 6).as("t_cvm"))
   }
 
+  /** A73 DISTANCE CORRELATION per order year (Székely, Rizzo &
+    * Bakirov 2007 — dCor = 0 iff INDEPENDENT, the property Pearson
+    * famously lacks; where B79's Hoeffding D tests dependence on
+    * ranks, dCor measures it on the raw scales): between the daily
+    * order count x and daily revenue y within each year. Using the
+    * double-centered identity, n⁴·dCov²(x,y) = n²·Σᵢⱼaᵢⱼbᵢⱼ +
+    * (Σa)(Σb) − 2n·Σᵢ(Σⱼaᵢⱼ)(Σⱼbᵢⱼ) with aᵢⱼ = |xᵢ−xⱼ|,
+    * bᵢⱼ = |yᵢ−yⱼ| — every term an EXACT integer (sums in
+    * decimal(38,0): (Σa)(Σb) clears int64 at year scale), and
+    * dCor² = V_xy/√(V_x·V_y) cancels the n⁴. ONE cast-to-double
+    * division + sqrt at export, identical IEEE both engines.
+    * Shape: one corpus aggregate to the (year, day) frame, ONE
+    * year-keyed self-join of that frame (365² pairs per year —
+    * calendar-bounded, never order rows), one grouped pass to
+    * per-day row sums, one year aggregate. */
+  def distanceCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.orders(s, dir)
+      .select(year($"o_orderdate").cast("long").as("yr"),
+        $"o_orderdate".as("day"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"yr", $"day")
+      .agg(count(lit(1)).as("x"), sum($"cents").as("y"))
+      .localCheckpoint() // both sides of the pair join
+    val pairs = d.as("p").join(broadcast(d.as("q")),
+        col("p.yr") === col("q.yr"))
+      .select(col("p.yr").as("yr"), col("p.day").as("day"),
+        abs(col("p.x") - col("q.x")).as("a"),
+        abs(col("p.y") - col("q.y")).as("b"))
+    val rows = pairs.groupBy($"yr", $"day")
+      .agg(sum($"a").as("ra"), sum($"b").as("rb"),
+        // cast BEFORE multiplying: b² alone clears int64 (b ~ 10⁹
+        // cents-gap already at sf0.01)
+        sum($"a".cast("decimal(38,0)") * $"b").as("sab"),
+        sum($"a".cast("decimal(38,0)") * $"a").as("saa"),
+        sum($"b".cast("decimal(38,0)") * $"b").as("sbb"))
+    val agg = rows.groupBy($"yr")
+      .agg(count(lit(1)).as("n"),
+        sum($"ra".cast("decimal(38,0)")).as("sa"),
+        sum($"rb".cast("decimal(38,0)")).as("sb"),
+        sum($"sab").as("tab"), sum($"saa").as("taa"),
+        sum($"sbb").as("tbb"),
+        sum($"ra".cast("decimal(38,0)") * $"rb").as("crab"),
+        sum($"ra".cast("decimal(38,0)") * $"ra").as("cra2"),
+        sum($"rb".cast("decimal(38,0)") * $"rb").as("crb2"))
+    agg.select($"yr", $"n",
+        ($"n" * $"n" * $"tab" + $"sa" * $"sb" -
+          lit(2L) * $"n" * $"crab").as("vxy"),
+        ($"n" * $"n" * $"taa" + $"sa" * $"sa" -
+          lit(2L) * $"n" * $"cra2").as("vx"),
+        ($"n" * $"n" * $"tbb" + $"sb" * $"sb" -
+          lit(2L) * $"n" * $"crb2").as("vy"))
+      .select($"yr", $"n",
+        when($"vx" > 0 && $"vy" > 0,
+          round($"vxy".cast("double") /
+            sqrt($"vx".cast("double") * $"vy".cast("double")), 6))
+          .as("dcor2"))
+      .orderBy($"yr")
+  }
+
   /** A40 Welch's unequal-variance t-test for every priority pair
     * (scipy `ttest_ind(equal_var=False)` twin — "did this slice's
     * money distribution move?"): per-group n/Σx/Σx² are EXACT
@@ -2344,6 +2404,7 @@ object Relational {
     "q_runs_test" -> runsTest,
     "q_ks_test" -> ksTest,
     "q_cvm" -> cvmTest,
+    "q_dcorr" -> distanceCorr,
     "q_welch_ttest" -> welchTTest,
     "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
@@ -3261,6 +3322,42 @@ object Relational {
         |       * (max(nr) + max(nn))::DOUBLE
         |       * (max(nr) + max(nn))::DOUBLE), 6) AS t_cvm
         |FROM g""".stripMargin,
+    // A73 twin: identical pair expansion, HUGEINT row/year sums, the
+    // same n⁴-scaled double-centered identity, one double div+sqrt
+    "q_dcorr" ->
+      """WITH d AS (
+        |  SELECT year(o_orderdate)::BIGINT AS yr, o_orderdate AS day,
+        |    count(*)::BIGINT AS x,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        |  FROM orders GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT p.yr, p.day,
+        |    abs(p.x - q.x)::BIGINT AS a, abs(p.y - q.y)::BIGINT AS b
+        |  FROM d p JOIN d q ON p.yr = q.yr),
+        |rows_ AS (
+        |  SELECT yr, day, sum(a)::BIGINT AS ra, sum(b)::BIGINT AS rb,
+        |    sum(a::HUGEINT * b) AS sab, sum(a::HUGEINT * a) AS saa,
+        |    sum(b::HUGEINT * b) AS sbb
+        |  FROM pairs GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT yr, count(*)::BIGINT AS n,
+        |    sum(ra::HUGEINT) AS sa, sum(rb::HUGEINT) AS sb,
+        |    sum(sab) AS tab, sum(saa) AS taa, sum(sbb) AS tbb,
+        |    sum(ra::HUGEINT * rb) AS crab,
+        |    sum(ra::HUGEINT * ra) AS cra2,
+        |    sum(rb::HUGEINT * rb) AS crb2
+        |  FROM rows_ GROUP BY 1),
+        |v AS (
+        |  SELECT yr, n,
+        |    n * n * tab + sa * sb - 2 * n * crab AS vxy,
+        |    n * n * taa + sa * sa - 2 * n * cra2 AS vx,
+        |    n * n * tbb + sb * sb - 2 * n * crb2 AS vy
+        |  FROM agg)
+        |SELECT yr, n,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN
+        |    round(vxy::DOUBLE / sqrt(vx::DOUBLE * vy::DOUBLE), 6)
+        |  END AS dcor2
+        |FROM v ORDER BY yr""".stripMargin,
     // A40 twin: identical exact decimal sums, identical IEEE scalar
     // sequence (÷ × √ are correctly rounded in both engines), so
     // t and dof are bit-identical before the export round

@@ -854,6 +854,56 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** F50 TEXTRANK keyword extraction (Mihalcea & Tarau 2004 — the
+    * unsupervised keyword ranker: PageRank over the word
+    * co-occurrence graph, "a word matters if it co-occurs with words
+    * that matter"; the keyphrase-vocabulary step of a corpus pipeline
+    * where F20's PMI finds PAIRS and this finds the global lexicon):
+    * candidate words are alphabetic length ≥ 4 (the standard
+    * POS-filter proxy, documented), windows of ±2 over the FILTERED
+    * sequence (the common simplification), the graph is undirected
+    * (each canonical pair symmetrized), and the rank recurrence is
+    * the I4 integer fixed-point [[Graph.pageRank]] — every engine
+    * disagreement the float formulation invites is gone. Top-30 by
+    * (rank desc, word). Shape: one tokenization pass → a flattened
+    * in-row offset expansion (the F48 plan — no self-join) → one
+    * distinct on canonical pairs → 5 broadcast-joined PageRank
+    * iterations on the vocabulary-sized graph; the corpus is read
+    * ONCE, everything after is vocabulary-scale. */
+  def textrank(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the Ws class must NOT ride through a SQL string literal — the
+    // parser eats the unknown '\f' escape and the class gains a
+    // literal 'f' delimiter ('filter' tokenized as 'ilter'); the
+    // Column-API lambda keeps the regex out of literal parsing
+    val toks = docs.select($"doc_id",
+      org.apache.spark.sql.functions.filter(tokens($"text"),
+        x => x.rlike("^[a-zA-Z]{4,}$")).as("w"))
+    val pairs = toks.filter(size($"w") >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, 2), o ->
+          |  transform(slice(w, 1, greatest(size(w) - o, 0)),
+          |    (t, i) -> struct(t as t1, w[i + o] as t2))))"""
+          .stripMargin)).as("p"))
+      .select($"p.t1".as("t1"), $"p.t2".as("t2"))
+      .filter($"t1" =!= $"t2")
+    val edges = pairs
+      .select(least($"t1", $"t2").as("a"),
+        greatest($"t1", $"t2").as("b"))
+      .distinct()
+      .localCheckpoint() // consumed by both directions of the sym
+    val sym = edges.select($"a".as("src"), $"b".as("dst"))
+      .union(edges.select($"b".as("src"), $"a".as("dst")))
+    Graph.pageRank(sym, 5)
+      .orderBy($"r".desc, $"node").limit(30)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"r".desc, $"node")).cast("long"))
+      .select($"rank", $"node".as("word"), $"r".as("rank_fp"),
+        round($"r".cast("double") / 1e12, 6).as("score"))
+      .orderBy($"rank")
+  }
+
   private val CollocMinCount = 5
   private val CollocTopK = 20
 
@@ -1823,6 +1873,7 @@ object TextAnalysis {
     "text_kn_lm" -> onDocs(knLm),
     "text_collocations" -> onDocs(collocations),
     "text_cooc" -> onDocs(cooc),
+    "text_textrank" -> onDocs(textrank),
     "text_chunk" -> onDocs(d => chunk(d)),
     "text_entropy" -> onDocs(charEntropy),
     "text_tokens" -> onDocs(tokenCounts),
@@ -2756,6 +2807,81 @@ object TextAnalysis {
         |  FROM counted)
         |SELECT rk::BIGINT AS rank, t1, t2, n, min_dist
         |FROM top WHERE rk <= 20 ORDER BY rank""".stripMargin,
+    // F50 twin: same candidate filter, same ±2 offset expansion, the
+    // unrolled integer-PageRank chain (the I4 oracle pattern; edges
+    // MATERIALIZED — deg/nodes/every iteration reference it)
+    "text_textrank" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> regexp_matches(x, '^[a-zA-Z]{4,}$')) AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, w, unnest(range(1, length(w) + 1)) AS i
+        |  FROM toks WHERE length(w) >= 2),
+        |offs AS (
+        |  SELECT doc_id, w, i, unnest(range(1, 3)) AS o FROM pos),
+        |cand AS (
+        |  SELECT w[i] AS t1, w[i + o] AS t2
+        |  FROM offs WHERE i + o <= length(w) AND w[i] <> w[i + o]),
+        |edges AS MATERIALIZED (
+        |  SELECT DISTINCT least(t1, t2) AS a, greatest(t1, t2) AS b
+        |  FROM cand),
+        |sym AS MATERIALIZED (
+        |  SELECT a AS src, b AS dst FROM edges
+        |  UNION ALL SELECT b, a FROM edges),
+        |deg AS (
+        |  SELECT src, count(*)::BIGINT AS outdeg FROM sym GROUP BY 1),
+        |nodes AS (
+        |  SELECT src AS node FROM sym UNION SELECT dst FROM sym),
+        |r0 AS (SELECT node, 1000000000000::BIGINT AS r FROM nodes),
+        |r1 AS (
+        |  SELECT n.node,
+        |    (150000000000 + coalesce(c.s, 0) * 17 // 20)::BIGINT AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst, sum(rr.r // d.outdeg)::BIGINT AS s
+        |    FROM sym e JOIN deg d ON e.src = d.src
+        |    JOIN r0 rr ON rr.node = e.src GROUP BY e.dst) c
+        |    ON n.node = c.dst),
+        |r2 AS (
+        |  SELECT n.node,
+        |    (150000000000 + coalesce(c.s, 0) * 17 // 20)::BIGINT AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst, sum(rr.r // d.outdeg)::BIGINT AS s
+        |    FROM sym e JOIN deg d ON e.src = d.src
+        |    JOIN r1 rr ON rr.node = e.src GROUP BY e.dst) c
+        |    ON n.node = c.dst),
+        |r3 AS (
+        |  SELECT n.node,
+        |    (150000000000 + coalesce(c.s, 0) * 17 // 20)::BIGINT AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst, sum(rr.r // d.outdeg)::BIGINT AS s
+        |    FROM sym e JOIN deg d ON e.src = d.src
+        |    JOIN r2 rr ON rr.node = e.src GROUP BY e.dst) c
+        |    ON n.node = c.dst),
+        |r4 AS (
+        |  SELECT n.node,
+        |    (150000000000 + coalesce(c.s, 0) * 17 // 20)::BIGINT AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst, sum(rr.r // d.outdeg)::BIGINT AS s
+        |    FROM sym e JOIN deg d ON e.src = d.src
+        |    JOIN r3 rr ON rr.node = e.src GROUP BY e.dst) c
+        |    ON n.node = c.dst),
+        |r5 AS (
+        |  SELECT n.node,
+        |    (150000000000 + coalesce(c.s, 0) * 17 // 20)::BIGINT AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst, sum(rr.r // d.outdeg)::BIGINT AS s
+        |    FROM sym e JOIN deg d ON e.src = d.src
+        |    JOIN r4 rr ON rr.node = e.src GROUP BY e.dst) c
+        |    ON n.node = c.dst),
+        |top AS (
+        |  SELECT node, r,
+        |    row_number() OVER (ORDER BY r DESC, node) AS rk
+        |  FROM r5)
+        |SELECT rk::BIGINT AS rank, node AS word, r AS rank_fp,
+        |  round(r::DOUBLE / 1e12, 6) AS score
+        |FROM top WHERE rk <= 30 ORDER BY rank""".stripMargin,
     "text_collocations" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

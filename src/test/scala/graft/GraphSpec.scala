@@ -577,4 +577,22 @@ class GraphSpec extends AnyFunSuite {
     assert(graft.sources.Lake.Manifest.readPublished(spark, s"$dir/rpatch")
       .count() == 0L)
   }
+
+  test("I21 SCC closure: cycles fuse, bridges don't, singletons covered") {
+    import spark.implicits._
+    // 1→2→3→1 (cycle), 3→4→5 (bridge chain), 5→6→5 (2-cycle),
+    // 7→1 (feeder: its own singleton SCC)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 5L), (7L, 1L)).toDF("src", "dst")
+    val got = Graph.stronglyConnected(edges, 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 1L), (5L, 5L, 2L), (6L, 5L, 2L), (7L, 7L, 1L)), got)
+    // doubling radius covers the diameter: a directed 6-cycle needs
+    // paths of length 5 — 3 doublings (radius 8) fuse it whole
+    val six = (1L to 6L).map(i => (i, i % 6 + 1)).toDF("src", "dst")
+    val full = Graph.stronglyConnected(six, 3)
+      .as[(Long, Long, Long)].collect()
+    assert(full.forall(r => r._2 == 1L && r._3 == 6L), full.toSeq)
+  }
 }

@@ -1127,4 +1127,56 @@ class MultimodalSpec extends AnyFunSuite {
     System.arraycopy(cs, 0, pfx, 148, 6); pfx(154) = 0; pfx(155) = ' '
     assert(parse(pfx).head._2 == s"shard/part0/d${id}_s0.txt")
   }
+
+  test("G33 zip directory walk: JDK-writer interop, comment scan, quarantine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.ZipWalk
+    def parse(b: Array[Byte]): Seq[(Long, String, Long, Long, Long, Long)] =
+      Seq(Tuple1(b)).toDF("payload")
+        .select(explode(ZipWalk.zipDir(col("payload"))).as("m"))
+        .select(col("m.entry_idx"), col("m.name"), col("m.method"),
+          col("m.csize"), col("m.usize"), col("m.data_offset"))
+        .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+
+    // interop: an archive written by the JDK's OWN ZipOutputStream
+    // (stored entries) parses to the right names/sizes, and the
+    // data_offset really addresses the bytes
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    val payloads = Seq("alpha" -> "hello world", "beta/x" -> "0123456789abcdef")
+    payloads.foreach { case (n, s) =>
+      val d = s.getBytes("US-ASCII")
+      val e = new java.util.zip.ZipEntry(n)
+      e.setMethod(java.util.zip.ZipOutputStream.STORED)
+      e.setSize(d.length); e.setCompressedSize(d.length)
+      val c = new java.util.zip.CRC32(); c.update(d); e.setCrc(c.getValue)
+      zos.putNextEntry(e); zos.write(d); zos.closeEntry()
+    }
+    zos.close()
+    val jdk = bos.toByteArray
+    val got = parse(jdk)
+    assert(got.map(r => (r._2, r._5)) ==
+      payloads.map(p => (p._1, p._2.length.toLong)), got)
+    got.zip(payloads).foreach { case (r, (_, s)) =>
+      val data = new String(jdk, r._6.toInt, r._5.toInt, "US-ASCII")
+      assert(data == s, s"data_offset points at '$data', want '$s'")
+    }
+
+    // the synthesized corpus shape round-trips, also under a
+    // trailing comment (EOCD backward scan)
+    val syn = graft.operators.Multimodal.zipBytes(7L)
+    val want = parse(syn)
+    assert(want.nonEmpty && want.map(_._2) ==
+      (0 until 2 + 7 % 3).map(i => s"f7_$i.txt"))
+    val commented = syn.dropRight(2) ++
+      Array[Byte](9, 0) ++ "comment!x".getBytes("US-ASCII")
+    assert(parse(commented) == want, "comment scan broke the walk")
+
+    // quarantine: bad local sig, truncation, garbage
+    val badLocal = syn.clone(); badLocal(0) = 'X'
+    for (bad <- Seq(badLocal, syn.take(syn.length - 3),
+        Array[Byte](1, 2, 3)))
+      assert(parse(bad).isEmpty, "malformed zip parsed non-empty")
+  }
 }
