@@ -146,6 +146,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "zip_dir"),
       (args: Seq[Expression]) => graft.functions.ZipDirTable(args.head)))
     e.injectFunction((
+      new FunctionIdentifier("h264_sps"),
+      new ExpressionInfo(classOf[graft.functions.H264SpsInfo].getName,
+        "h264_sps"),
+      (args: Seq[Expression]) => graft.functions.H264SpsInfo(args.head)))
+    e.injectFunction((
       new FunctionIdentifier("exif_meta"),
       new ExpressionInfo(classOf[graft.functions.ExifMeta].getName,
         "exif_meta"),

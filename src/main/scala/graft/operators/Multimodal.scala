@@ -1660,6 +1660,76 @@ object Multimodal {
       .orderBy($"doc_id", $"entry_idx")
   }
 
+  /** Minimal spec-shaped H.264 SPS NAL (G34) — the ENCODER side of
+    * the Exp-Golomb parse: a Baseline-profile SPS whose every field
+    * is closed-form in doc_id, written by a real bit-writer with
+    * ue(v) encoding, rbsp trailing bits, and the emulation-prevention
+    * escape applied (a zero-heavy field pattern does produce 00 00
+    * runs). poc_type ALTERNATES 0/2 by id so both in-scope branches
+    * parse. */
+  private[graft] def spsBytes(docId: Long): Array[Byte] = {
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]
+    def u(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bits += ((v >> i) & 1L).toInt; i -= 1 }
+    }
+    def ue(v: Long): Unit = {
+      val z = 63 - java.lang.Long.numberOfLeadingZeros(v + 1)
+      var i = 0
+      while (i < z) { bits += 0; i += 1 }
+      u(v + 1, z + 1)
+    }
+    u(66, 8); u(0, 8); u(30 + (docId % 3) * 10, 8)
+    ue(docId % 4)            // seq_parameter_set_id
+    ue(docId % 5)            // log2_max_frame_num_minus4
+    val poc = (docId % 2) * 2
+    ue(poc)                  // pic_order_cnt_type ∈ {0, 2}
+    if (poc == 0) ue(docId % 3) // log2_max_pic_order_cnt_lsb_minus4
+    ue(1 + docId % 4)        // max_num_ref_frames
+    u(docId % 2, 1)          // gaps_in_frame_num_value_allowed
+    ue(39 + docId % 40)      // pic_width_in_mbs_minus1
+    ue(21 + docId % 20)      // pic_height_in_map_units_minus1
+    u(1, 1); u(1, 1)         // frame_mbs_only, direct_8x8_inference
+    u(0, 1); u(0, 1)         // frame_cropping, vui_present
+    u(1, 1)                  // rbsp_stop_one_bit
+    while (bits.length % 8 != 0) bits += 0
+    val rb = bits.grouped(8)
+      .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0x67) // nal_ref_idc = 3, nal_unit_type = 7
+    var zeros = 0
+    rb.foreach { b =>
+      if (zeros >= 2 && (b & 0xff) <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  /** G34 graded entry (`mm_h264_sps`): the synthesized SPS NALs
+    * parsed back — a hash match proves the NAL gate, the
+    * emulation-prevention unescape, the ue(v) decode across byte
+    * boundaries, and the width/height macroblock arithmetic all
+    * agree with the closed form. */
+  private def h264SpsEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, spsBytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id",
+        graft.functions.H264Sps.spsCol($"payload").as("sp"))
+      .select($"doc_id",
+        $"sp.profile_idc".as("profile_idc"),
+        $"sp.level_idc".as("level_idc"),
+        $"sp.sps_id".as("sps_id"),
+        $"sp.log2_max_frame_num".as("log2_max_frame_num"),
+        $"sp.poc_type".as("poc_type"),
+        $"sp.max_ref_frames".as("max_ref_frames"),
+        $"sp.frame_mbs_only".as("frame_mbs_only"),
+        $"sp.width".as("width"), $"sp.height".as("height"))
+      .orderBy($"doc_id")
+  }
+
   /** Minimal spec-shaped Exif JPEG (G25) — the ENCODER side of the
     * TIFF IFD walk: SOI, an APP0/JFIF segment the marker scan must
     * SKIP (every third id), then APP1 "Exif\0\0" wrapping a TIFF
@@ -2097,6 +2167,7 @@ object Multimodal {
     "mm_tar_index" -> tarIndexEntry,
     "mm_wds_samples" -> wdsSamplesEntry,
     "mm_zip_dir" -> zipDirEntry,
+    "mm_h264_sps" -> h264SpsEntry,
     "mm_exif_meta" -> exifMetaEntry,
     "mm_mp4_edits" -> mp4EditsEntry,
     "mm_srt_cues" -> srtCuesEntry,
@@ -2231,6 +2302,18 @@ object Multimodal {
         |  dlen AS csize, dlen AS usize,
         |  (loff + 30 + length(name))::BIGINT AS data_offset
         |FROM o ORDER BY doc_id, entry_idx""".stripMargin,
+    // G34 twin: every SPS field replayed closed-form from doc_id
+    "mm_h264_sps" ->
+      """SELECT doc_id, 66::BIGINT AS profile_idc,
+        |  (30 + (doc_id % 3) * 10)::BIGINT AS level_idc,
+        |  (doc_id % 4)::BIGINT AS sps_id,
+        |  (doc_id % 5 + 4)::BIGINT AS log2_max_frame_num,
+        |  ((doc_id % 2) * 2)::BIGINT AS poc_type,
+        |  (1 + doc_id % 4)::BIGINT AS max_ref_frames,
+        |  1::BIGINT AS frame_mbs_only,
+        |  ((40 + doc_id % 40) * 16)::BIGINT AS width,
+        |  ((22 + doc_id % 20) * 16)::BIGINT AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // G30 twin: the planted text frames replayed closed-form
     "mm_id3_tags" ->
       """SELECT doc_id, 'TIT2' AS frame_id,

@@ -1096,6 +1096,56 @@ object Relational {
       .orderBy($"yr")
   }
 
+  /** A74 PAGE'S L trend test (Page 1963 — the ORDERED-alternative
+    * companion of the Friedman test: Friedman asks "do the k years
+    * differ at all", Page asks "do they trend in THIS order", which
+    * is the sharper question a growth audit actually has): blocks =
+    * customer nations, treatments = order years in chronological
+    * order; within each complete block rank the yearly revenues
+    * (ties broken by year — permutation ranks, the house jitter
+    * convention), L = Σ_blocks Σ_j j·R_bj. Incomplete blocks
+    * (nations missing a year) are EXCLUDED — Page's statistic
+    * assumes a complete design, and silently ranking a short row
+    * would shift L (the decision is a visible n_blocks, not a wrong
+    * number). L and the μ/σ² building blocks A = n·k·(k+1)²,
+    * B = n·k²·(k+1)·(k²−1) stay exact integers; the export is
+    * z = (L − A/4)/√(B/144), one identical IEEE sequence both
+    * engines. Shape: one corpus aggregate to the (nation, year)
+    * frame, two bounded windows, one global aggregate. */
+  def pageTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.orders(s, dir)
+      .select($"o_custkey",
+        year($"o_orderdate").cast("long").as("yr"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .join(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey".as("nation")),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"nation", $"yr").agg(sum($"cents").as("cents"))
+      .localCheckpoint() // k, completeness, and ranks all read it
+    val k = g.select(countDistinct($"yr")).collect()(0).getLong(0)
+    val complete = g.groupBy($"nation")
+      .agg(count(lit(1)).as("ny")).filter($"ny" === k)
+      .select($"nation")
+    val ranked = g.join(complete, "nation")
+      .select($"nation", $"yr", $"cents",
+        row_number().over(Window.partitionBy($"nation")
+          .orderBy($"cents", $"yr")).cast("long").as("r"),
+        dense_rank().over(Window.partitionBy($"nation")
+          .orderBy($"yr")).cast("long").as("j"))
+    ranked.agg(
+        (count(lit(1)) / k).cast("long").as("n_blocks"),
+        lit(k).as("k"),
+        sum($"r" * $"j").as("l"))
+      .select($"n_blocks", $"k", $"l",
+        round(($"l".cast("double") -
+          ($"n_blocks" * $"k" * ($"k" + 1L) * ($"k" + 1L))
+            .cast("double") / 4.0) /
+          sqrt(($"n_blocks" * $"k" * $"k" * ($"k" + 1L) *
+            ($"k" * $"k" - 1L)).cast("double") / 144.0), 6).as("z"))
+  }
+
   /** A40 Welch's unequal-variance t-test for every priority pair
     * (scipy `ttest_ind(equal_var=False)` twin — "did this slice's
     * money distribution move?"): per-group n/Σx/Σx² are EXACT
@@ -2405,6 +2455,7 @@ object Relational {
     "q_ks_test" -> ksTest,
     "q_cvm" -> cvmTest,
     "q_dcorr" -> distanceCorr,
+    "q_page_trend" -> pageTrend,
     "q_welch_ttest" -> welchTTest,
     "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
@@ -3322,6 +3373,37 @@ object Relational {
         |       * (max(nr) + max(nn))::DOUBLE
         |       * (max(nr) + max(nn))::DOUBLE), 6) AS t_cvm
         |FROM g""".stripMargin,
+    // A74 twin: same complete-block gate, same permutation ranks,
+    // integer L/A/B, one identical IEEE z sequence
+    "q_page_trend" ->
+      """WITH g AS (
+        |  SELECT c_nationkey AS nation,
+        |    year(o_orderdate)::BIGINT AS yr,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |kk AS (SELECT count(DISTINCT yr)::BIGINT AS k FROM g),
+        |complete AS (
+        |  SELECT nation FROM g GROUP BY nation
+        |  HAVING count(*) = (SELECT k FROM kk)),
+        |ranked AS (
+        |  SELECT g.nation, g.yr,
+        |    row_number() OVER (PARTITION BY g.nation
+        |      ORDER BY g.cents, g.yr)::BIGINT AS r,
+        |    dense_rank() OVER (PARTITION BY g.nation
+        |      ORDER BY g.yr)::BIGINT AS j
+        |  FROM g SEMI JOIN complete USING (nation)),
+        |agg AS (
+        |  SELECT (count(*) / (SELECT k FROM kk))::BIGINT AS n_blocks,
+        |    (SELECT k FROM kk) AS k,
+        |    sum(r * j)::BIGINT AS l
+        |  FROM ranked)
+        |SELECT n_blocks, k, l,
+        |  round((l::DOUBLE
+        |      - (n_blocks * k * (k + 1) * (k + 1))::DOUBLE / 4.0)
+        |    / sqrt((n_blocks * k * k * (k + 1)
+        |      * (k * k - 1))::DOUBLE / 144.0), 6) AS z
+        |FROM agg""".stripMargin,
     // A73 twin: identical pair expansion, HUGEINT row/year sums, the
     // same n⁴-scaled double-centered identity, one double div+sqrt
     "q_dcorr" ->

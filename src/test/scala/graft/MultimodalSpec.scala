@@ -1179,4 +1179,91 @@ class MultimodalSpec extends AnyFunSuite {
         Array[Byte](1, 2, 3)))
       assert(parse(bad).isEmpty, "malformed zip parsed non-empty")
   }
+
+  test("G34 h264 SPS: exp-golomb round-trip, crop math, scope quarantine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.H264Sps
+    def parse(b: Array[Byte]): Option[(Long, Long, Long, Long, Long,
+        Long, Long, Long, Long)] = {
+      val r = Seq(Tuple1(b)).toDF("payload")
+        .select(H264Sps.spsCol(col("payload")).as("s"))
+        .select(col("s.profile_idc"), col("s.level_idc"),
+          col("s.sps_id"), col("s.log2_max_frame_num"),
+          col("s.poc_type"), col("s.max_ref_frames"),
+          col("s.frame_mbs_only"), col("s.width"), col("s.height"))
+        .collect().head
+      if (r.isNullAt(0)) None
+      else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    }
+    // synthesized corpus shape, both poc branches
+    for (id <- Seq(4L, 7L)) {
+      val got = parse(graft.operators.Multimodal.spsBytes(id))
+      assert(got.contains((66L, 30 + (id % 3) * 10, id % 4,
+        id % 5 + 4, (id % 2) * 2, 1 + id % 4, 1L,
+        (40 + id % 40) * 16, (22 + id % 20) * 16)), s"id $id: $got")
+    }
+    // local bit-writer for the crafted cases
+    def sps(fields: ((Int, Long) => Unit, Long => Unit) => Unit): Array[Byte] = {
+      val bits = scala.collection.mutable.ArrayBuffer[Int]()
+      def u(n: Int, v: Long): Unit =
+        (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1L).toInt)
+      def ue(v: Long): Unit = {
+        val z = 63 - java.lang.Long.numberOfLeadingZeros(v + 1)
+        (1 to z).foreach(_ => bits += 0); u(z + 1, v + 1)
+      }
+      fields(u, ue)
+      bits += 1
+      while (bits.length % 8 != 0) bits += 0
+      val rb = bits.grouped(8)
+        .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+      val out = new java.io.ByteArrayOutputStream(); out.write(0x67)
+      var zeros = 0
+      rb.foreach { b =>
+        if (zeros >= 2 && (b & 0xff) <= 3) { out.write(3); zeros = 0 }
+        out.write(b); zeros = if (b == 0) zeros + 1 else 0
+      }
+      out.toByteArray
+    }
+    // frame cropping: 4:2:0 units shave 2 px per horizontal crop and
+    // 2·(2−fmo) per vertical — 40x23 mbs cropped (1,2,3,0) →
+    // 656−2·3=650 wide, 368−2·3·1... fmo=1: 2·(ct+cb)·1 = 6 → 362
+    val cropped = sps { (u, ue) =>
+      u(8, 66); u(8, 0); u(8, 30)
+      ue(0); ue(0); ue(2) // sps_id, log2mfn, poc 2
+      ue(1); u(1, 0)      // max_ref, gaps
+      ue(40); ue(22)      // 41x23 mbs → 656x368
+      u(1, 1); u(1, 1)    // fmo, direct8x8
+      u(1, 1)             // cropping
+      ue(1); ue(2); ue(1); ue(2) // left right top bottom
+      u(1, 0)             // vui
+    }
+    val c = parse(cropped).get
+    assert((c._8, c._9) == ((656L - 2 * 3, 368L - 2 * 3)), c)
+    // interlaced: fmo=0 doubles the map-unit height (and needs the
+    // adaptive flag bit)
+    val interlaced = sps { (u, ue) =>
+      u(8, 77); u(8, 0); u(8, 40)
+      ue(0); ue(0); ue(2); ue(1); u(1, 0)
+      ue(39); ue(14)      // 40x15 map units
+      u(1, 0); u(1, 0)    // fmo=0, mb_adaptive
+      u(1, 1); u(1, 0); u(1, 0)
+    }
+    val i = parse(interlaced).get
+    assert((i._7, i._8, i._9) == ((0L, 640L, 480L)), i)
+    // quarantine: High profile, poc_type 1, wrong NAL type, truncation
+    val high = sps { (u, ue) =>
+      u(8, 100); u(8, 0); u(8, 40); ue(0)
+    }
+    val poc1 = sps { (u, ue) =>
+      u(8, 66); u(8, 0); u(8, 30); ue(0); ue(0); ue(1)
+    }
+    val ok = graft.operators.Multimodal.spsBytes(4L)
+    val wrongType = ok.clone(); wrongType(0) = 0x61 // type 1, not SPS
+    for (bad <- Seq(high, poc1, wrongType, ok.take(6),
+        Array[Byte](0x67)))
+      assert(parse(bad).isEmpty, "out-of-scope SPS parsed non-null")
+  }
 }
