@@ -286,6 +286,11 @@ object Multimodal {
       substring(h, 1, 3) === "FFE"
     val isId3 = substring(h, 1, 6) === "494433"
     val isMp3 = isMp3Bare || isId3
+    // shard containers (G31/G33): zip by the local-header signature;
+    // tar by the POSIX magic at byte 257 (outside the 32-byte hex
+    // window — one extra 5-byte slice, still scan-only)
+    val isZip = substring(h, 1, 8) === "504B0304"
+    val isTar = upper(hex(substring($"payload", 258, 5))) === "7573746172"
     val mp3SrIdx = shiftright(beField(5, 2), 2).bitwiseAND(lit(3L))
     val mp3Sr = when(mp3SrIdx < 3L, element_at(
       typedlit(Seq(44100L, 48000L, 32000L)),
@@ -294,6 +299,7 @@ object Multimodal {
       when(isPng, "png").when(isGif, "gif").when(isJpeg, "jpeg")
         .when(isBmp, "bmp").when(isWav, "wav").when(isMp4, "mp4")
         .when(isFlac, "flac").when(isMp3, "mp3")
+        .when(isZip, "zip").when(isTar, "tar")
         .otherwise("unknown").as("format"),
       when(isPng, pngW).when(isGif, gifW).when(isJpeg, jpegW)
         .when(isBmp, bmpW).as("width"),

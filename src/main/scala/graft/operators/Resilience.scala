@@ -2959,6 +2959,43 @@ object Resilience {
             ($"n" - 4L)).cast("double")), 6).as("hoeffding_d"))
   }
 
+  /** B80 WILCOXON SIGNED-RANK test on the paired daily click/view
+    * series (Wilcoxon 1945 — the PAIRED companion of B41's
+    * Mann-Whitney: not "do two cohorts differ" but "within each day,
+    * does click systematically exceed view", which cancels the
+    * shared daily-volume regime that swamps the unpaired test):
+    * d = x − y per day, zeros DROPPED (the standard convention,
+    * visible in n_nonzero), |d| ranked with ties broken by day (the
+    * house jitter — permutation ranks, documented), W⁺ = Σ ranks of
+    * positive d. W⁺, W⁻ and n stay integer; the export is
+    * z = (W⁺ − n(n+1)/4)/√(n(n+1)(2n+1)/24), one IEEE sequence.
+    * Shape: the day-grid frame, one bounded rank window, one
+    * aggregate. */
+  def wilcoxonSignedRank(events: DataFrame, xType: String = "click",
+      yType: String = "view"): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = dailyTyped(events)
+    val xy = d.filter($"event_type" === xType)
+      .select($"day", $"y".as("x"))
+      .join(d.filter($"event_type" === yType)
+        .select($"day", $"y".as("yv")), "day")
+      .select($"day", ($"x" - $"yv").as("d"))
+      .filter($"d" =!= 0L)
+    val ranked = xy.select($"d",
+      row_number().over(Window.orderBy(abs($"d"), $"day"))
+        .cast("long").as("r"))
+    ranked.agg(count(lit(1)).as("n_nonzero"),
+        sum(when($"d" > 0L, $"r").otherwise(0L)).as("w_plus"),
+        sum(when($"d" < 0L, $"r").otherwise(0L)).as("w_minus"))
+      .select($"n_nonzero", $"w_plus", $"w_minus",
+        round(($"w_plus".cast("double") -
+          ($"n_nonzero" * ($"n_nonzero" + 1L)).cast("double") / 4.0) /
+          sqrt(($"n_nonzero" * ($"n_nonzero" + 1L) *
+            (lit(2L) * $"n_nonzero" + 1L)).cast("double") / 24.0), 6)
+          .as("z"))
+  }
+
   /** B68 KRUSKAL-WALLIS H test across event types (Kruskal &
     * Wallis 1952 — the k-group rank ANOVA: B41's Mann-Whitney asks
     * "do these TWO cohorts differ", B41/A41's ANOVA assumes
@@ -3401,6 +3438,8 @@ object Resilience {
     "q_gumbel" -> ((s, dir) => gumbelFit(Tables.events(s, dir))),
     "q_kendall_tau" -> ((s, dir) => kendallTau(Tables.events(s, dir))),
     "q_hoeffding_d" -> ((s, dir) => hoeffdingD(Tables.events(s, dir))),
+    "q_wilcoxon_sr" -> ((s, dir) =>
+      wilcoxonSignedRank(Tables.events(s, dir))),
     "q_turning_points" -> ((s, dir) => turningPoints(Tables.events(s, dir))),
     "q_nelson_aalen" -> ((s, dir) => nelsonAalen(Tables.events(s, dir))),
     "q_did" -> didEventStudy,
@@ -4133,6 +4172,31 @@ object Resilience {
          |        * (n_pairs - tied_y - tied_xy))::DOUBLE), 6)
          |  END AS tau_b
          |FROM a2""".stripMargin,
+    // B80 twin: same zero-drop, same |d|/day permutation ranks,
+    // integer W+/W-, one IEEE z sequence
+    "q_wilcoxon_sr" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |xy AS (
+         |  SELECT x.day, (x.y - v.y)::BIGINT AS d
+         |  FROM (SELECT day, y FROM d WHERE event_type = 'click') x
+         |  JOIN (SELECT day, y FROM d WHERE event_type = 'view') v
+         |    USING (day)
+         |  WHERE x.y <> v.y),
+         |rk AS (
+         |  SELECT d,
+         |    row_number() OVER (ORDER BY abs(d), day)::BIGINT AS r
+         |  FROM xy),
+         |agg AS (
+         |  SELECT count(*)::BIGINT AS n_nonzero,
+         |    sum(CASE WHEN d > 0 THEN r ELSE 0 END)::BIGINT AS w_plus,
+         |    sum(CASE WHEN d < 0 THEN r ELSE 0 END)::BIGINT AS w_minus
+         |  FROM rk)
+         |SELECT n_nonzero, w_plus, w_minus,
+         |  round((w_plus::DOUBLE
+         |      - (n_nonzero * (n_nonzero + 1))::DOUBLE / 4.0)
+         |    / sqrt((n_nonzero * (n_nonzero + 1)
+         |      * (2 * n_nonzero + 1))::DOUBLE / 24.0), 6) AS z
+         |FROM agg""".stripMargin,
     // B79 twin: same tie-broken permutation ranks, same dominance
     // self-join, HUGEINT sums, one exact-integer double division
     "q_hoeffding_d" ->

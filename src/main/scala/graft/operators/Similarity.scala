@@ -119,6 +119,46 @@ object Similarity {
       .orderBy($"vec_id", $"rank")
   }
 
+  /** E37 CELL-PRUNED k-NN graph — E35's declared 100 TB path made a
+    * graded operator: assign every vector to its trained Lloyd's
+    * cell (the E5 quantizer), then build the graph from SAME-CELL
+    * pairs only. Candidate count drops from n² to Σ|cell|² ≈ n²/k
+    * (measured 4M → ~260k at the graded geometry) and the pair join
+    * becomes an equi-join SHUFFLED ON CELL — at 100 TB each cell's
+    * pairs co-locate on one executor, nothing global. Boundary-
+    * crossing true neighbors are the known cost (the SemDeDup
+    * trade); recall vs the exact E35 graph is spec-MEASURED (1.000
+    * when cells align with real cluster structure; 0.24 on the
+    * near-isotropic graded corpus, where no partition can respect
+    * neighborhoods — the same geometry caveat as E36), and the
+    * escape hatch is more probes or an E36 refinement round over
+    * this graph as init. Nodes in singleton cells emit no rows —
+    * honest output, not a padded one. */
+  def knnGraphIvf(vecs: DataFrame, k: Int = KnnGraphK, cells: Int = 16,
+      iters: Int = 2): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val centroids = kmeansCentroids(vecs, cells, iters)
+    val e = vecs
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("n", VectorFunctions.norm($"v"))
+      .withColumn("cell", assignCol(centroids))
+      .localCheckpoint()
+    val scored = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("nbr_id"),
+        round(cosine(col("a.v"), col("b.v"), col("a.n"), col("b.n")),
+          6).as("cos"))
+    scored.groupBy($"vec_id")
+      .agg(graft.functions.TopKAgg.topK(
+        struct($"cos".as("score"), $"nbr_id".as("id")), k).as("top"))
+      .select($"vec_id", posexplode($"top").as(Seq("pos", "t")))
+      .select($"vec_id", ($"pos" + 1).cast("long").as("rank"),
+        $"t.id".as("nbr_id"), $"t.score".as("cos"))
+      .orderBy($"vec_id", $"rank")
+  }
+
   /** E36 NN-DESCENT k-NN graph construction (Dong, Moses & Li,
     * WWW 2011 — "a neighbor of a neighbor is likely a neighbor":
     * the standard way to build a kNN graph WITHOUT the quadratic
@@ -2099,6 +2139,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_maxsim" -> onVecs(maxSim),
     "knn_graph" -> onVecs(v => knnGraph(v)),
+    "knn_graph_ivf" -> onVecs(v => knnGraphIvf(v)),
     "ann_nndescent" -> onVecs(v => nnDescent(v)),
     "ann_hamming_rerank" -> onVecs(v => hammingRerank(v)),
     "ann_bq" -> onVecs(v => annBq(v)),
@@ -2957,6 +2998,24 @@ object Similarity {
          |  SELECT a.vec_id, b.vec_id AS nbr_id,
          |    round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
          |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rank
+         |  FROM scored)
+         |SELECT vec_id, rank::BIGINT AS rank, nbr_id, cos
+         |FROM ranked WHERE rank <= $KnnGraphK
+         |ORDER BY vec_id, rank""".stripMargin,
+    // E37 twin: the shared Lloyd's-assignment chain, a same-cell
+    // equi-join, the rank window
+    "knn_graph_ivf" ->
+      s"""WITH ${lloydAssignCtesSql(16, 2)},
+         |scored AS (
+         |  SELECT x.vec_id, y.vec_id AS nbr_id,
+         |    round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cos
+         |  FROM asg x JOIN asg y
+         |    ON x.cell = y.cell AND x.vec_id <> y.vec_id
+         |  JOIN ev a ON a.vec_id = x.vec_id
+         |  JOIN ev b ON b.vec_id = y.vec_id),
          |ranked AS (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rank

@@ -1031,4 +1031,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // just pin the output shape)
     assert(nd.size == 1000 * 5)
   }
+
+  test("E37 cell-pruned kNN graph: near-exact recall when cells align") {
+    import spark.implicits._
+    // INTERLEAVED cluster ids (id % 20) so the first-20-by-id Lloyd's
+    // seeds land one per cluster; cells then coincide with clusters
+    // and the same-cell graph should recover the exact graph
+    val dim = 64
+    val vecs = spark.range(1000L).select($"id".as("vec_id"),
+      org.apache.spark.sql.functions.expr(
+        s"""transform(sequence(0, ${dim - 1}), j ->
+           |  cast(CASE
+           |    WHEN j = 3 * (id % 20) THEN 10.0
+           |    WHEN j = 3 * (id % 20) + 1 THEN double(id div 20) / 50.0
+           |    WHEN j = 3 * (id % 20) + 2 THEN double(id % 7) / 10.0
+           |    ELSE 0.0 END as float))""".stripMargin).as("embedding"),
+      ($"id" % 20).cast("int").as("label"))
+    val exact = Similarity.knnGraph(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.knnGraphIvf(vecs, cells = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    info(f"cell-pruned recall (aligned clusters): $recall%.3f")
+    assert(recall >= 0.95, f"cell pruning lost the graph: $recall%.3f")
+  }
 }

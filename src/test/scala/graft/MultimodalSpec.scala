@@ -1266,4 +1266,17 @@ class MultimodalSpec extends AnyFunSuite {
         Array[Byte](0x67)))
       assert(parse(bad).isEmpty, "out-of-scope SPS parsed non-null")
   }
+
+  test("sniffer routes the shard containers: zip and tar") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, graft.operators.Multimodal.zipBytes(3L)),
+      (2L, graft.operators.Multimodal.tarBytes(3L)),
+      (3L, "just text, no container".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.sniffHeaders(rows)
+      .select("doc_id", "format").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "zip", 2L -> "tar", 3L -> "unknown"), got)
+  }
 }
