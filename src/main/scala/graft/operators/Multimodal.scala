@@ -467,6 +467,124 @@ object Multimodal {
       .filter($"format" === format)
   }
 
+  /** G36 graded entry (`mm_av_sync`): the A/V SYNC audit — the first
+    * question a video-curation gate asks that needs TWO tracks at
+    * once ("is the audio where the video thinks it is"): each video
+    * sample's presentation time is matched to its NEAREST audio
+    * sample time (both converted to ms at their OWN mdhd timescales
+    * — the whole point: the tracks tick in different units, v0+v1
+    * mdhd parsing feeding one comparison), drift = a − v signed.
+    * Composition of G17 timing × G18 track directory, nothing new
+    * decoded; per doc the pair frame is n₁·n₂ ≤ 54 — row-local
+    * scale. Nearest-tie rule: (|drift|, a_idx) min — total order. */
+  private def avSyncEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, mp4MultiTrackBytes(id)))
+      .toDF("doc_id", "payload").localCheckpoint()
+    def msOf(handler: String, idxName: String, msName: String) = {
+      val ts = payloads.select($"doc_id",
+          explode(graft.functions.Mp4Demux.mp4Tracks($"payload"))
+            .as("tk"))
+        .filter($"tk.handler" === handler)
+        .select($"doc_id", $"tk.timescale".as("ts"))
+      payloads.select($"doc_id",
+          explode(graft.functions.Mp4Demux.mp4TimingFor($"payload",
+            handler)).as("t"))
+        .select($"doc_id", $"t.sample_idx".as(idxName),
+          $"t.pts".as("pts"))
+        .join(ts, "doc_id")
+        .select($"doc_id", col(idxName),
+          expr("pts * 1000 div ts").as(msName))
+    }
+    val v = msOf("vide", "v_idx", "v_ms")
+    val a = msOf("soun", "a_idx", "a_ms")
+    v.join(a, "doc_id")
+      .groupBy($"doc_id", $"v_idx", $"v_ms")
+      .agg(min(struct(abs($"a_ms" - $"v_ms").as("ad"),
+        $"a_idx".as("ai"), $"a_ms".as("am"))).as("b"))
+      .select($"doc_id", $"v_idx", $"v_ms", $"b.ai".as("a_idx"),
+        $"b.am".as("a_ms"), ($"b.am" - $"v_ms").as("drift_ms"))
+      .orderBy($"doc_id", $"v_idx")
+  }
+
+  /** G35 SHARD MEMBER CATALOG — the shard-format legs (G31 tar, G33
+    * zip) lifted to lake state: a WebDataset-style training corpus
+    * lands as shards, and "give me sample X's byte ranges" must be
+    * answered from an INDEX, never by re-walking archives. State =
+    * one [[graft.sources.Lake.Manifest]] table of member rows
+    * (shard, format, entry, name, sample_key, offset, size)
+    * partitioned by a 32-bucket hash of sample_key, so a sample
+    * fetch prunes to one bucket's files (the E8 pruned-serve shape
+    * applied to shard routing); each shard is walked ONCE, in the
+    * batch that lands it. Signature-routed: zip members come from
+    * the central directory, tar members from the header walk;
+    * quarantined (malformed) shards contribute zero rows by the
+    * walkers' own contract. */
+  def shardMemberRows(shards: DataFrame): DataFrame = {
+    import shards.sparkSession.implicits._
+    val isZip = upper(hex(substring($"payload", 1, 4))) === "504B0304"
+    val isTar =
+      upper(hex(substring($"payload", 258, 5))) === "7573746172"
+    val tarRows = shards.filter(isTar)
+      .select($"doc_id",
+        explode(graft.functions.TarWalk.tarMembers($"payload"))
+          .as("m"))
+      .select($"doc_id", lit("tar").as("fmt"),
+        $"m.entry_idx".as("entry_idx"), $"m.name".as("name"),
+        $"m.offset".as("offset"), $"m.size".as("size"))
+    val zipRows = shards.filter(isZip)
+      .select($"doc_id",
+        explode(graft.functions.ZipWalk.zipDir($"payload")).as("m"))
+      .select($"doc_id", lit("zip").as("fmt"),
+        $"m.entry_idx".as("entry_idx"), $"m.name".as("name"),
+        $"m.data_offset".as("offset"), $"m.usize".as("size"))
+    tarRows.unionByName(zipRows)
+      .withColumn("sample_key", substring_index($"name", ".", 1))
+      .withColumn("kb", pmod(xxhash64($"sample_key"), lit(32L)))
+  }
+
+  /** Publish the shard catalog of `shards(doc_id, payload)`. */
+  def publishShardCatalog(shards: DataFrame, dir: String): Long =
+    graft.sources.Lake.Manifest.publishSnapshot(
+      shardMemberRows(shards), dir, partitionBy = Seq("kb"))
+
+  /** Append a delta batch: new shards walk ONCE and commit
+    * atomically; re-delivered shard ids anti-join to nothing, and a
+    * tagged batch always commits (possibly meta-only) so the replay
+    * gate stays reliable. */
+  def appendShardCatalog(spark: SparkSession, dir: String,
+      shards: DataFrame, meta: String = ""): Long = {
+    import spark.implicits._
+    if (!graft.sources.Lake.Manifest.isManaged(spark, dir))
+      return graft.sources.Lake.Manifest.publishSnapshot(
+        shardMemberRows(shards), dir, partitionBy = Seq("kb"),
+        meta = meta)
+    val fresh = shardMemberRows(shards)
+      .join(graft.sources.Lake.Manifest.readPublished(spark, dir)
+          .select($"doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    graft.sources.Lake.Manifest.publishAppend(fresh, dir,
+      partitionBy = Seq("kb"), meta = meta)
+  }
+
+  /** A sample's ranged-read plan: bucket-pruned manifest read, exact
+    * filter on the key (pruning is an optimization, never the
+    * filter), members in shard order. The bucket id is computed with
+    * the SAME xxhash64(seed 42) Spark's `xxhash64` column uses. */
+  def readSampleRanges(spark: SparkSession, dir: String,
+      sampleKey: String): DataFrame = {
+    import spark.implicits._
+    val kb = math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sampleKey),
+        org.apache.spark.sql.types.StringType, 42L), 32L)
+    graft.sources.Lake.Manifest
+      .readPublishedPruned(spark, dir, "kb", Seq(kb.toString))
+      .filter($"sample_key" === sampleKey)
+      .orderBy($"doc_id", $"entry_idx")
+  }
+
   /** aHash-style 64-bit perceptual fingerprint over decoded bytes:
     * 64 equal regions, bit r set iff region mean > global mean
     * (integer cross-multiply — no float division). A real codec
@@ -2174,6 +2292,7 @@ object Multimodal {
     "mm_wds_samples" -> wdsSamplesEntry,
     "mm_zip_dir" -> zipDirEntry,
     "mm_h264_sps" -> h264SpsEntry,
+    "mm_av_sync" -> avSyncEntry,
     "mm_exif_meta" -> exifMetaEntry,
     "mm_mp4_edits" -> mp4EditsEntry,
     "mm_srt_cues" -> srtCuesEntry,
@@ -2308,6 +2427,42 @@ object Multimodal {
         |  dlen AS csize, dlen AS usize,
         |  (loff + 30 + length(name))::BIGINT AS data_offset
         |FROM o ORDER BY doc_id, entry_idx""".stripMargin,
+    // G36 twin: both tracks' pts ladders replayed closed-form at
+    // their own timescales, nearest-audio argmin via a rank window
+    "mm_av_sync" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (4 + doc_id % 3)::INT AS n1,
+        |    100 * (1 + doc_id % 3) AS d1,
+        |    600 * (1 + doc_id % 2) AS ts1,
+        |    (6 + doc_id % 4)::INT AS n2,
+        |    (30 + doc_id % 5) AS d2,
+        |    (8000 + (doc_id % 3) * 4000) AS ts2
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, unnest(range(0, n1))::BIGINT AS v_idx,
+        |    d1, ts1, n2, d2, ts2
+        |  FROM d),
+        |vv AS (
+        |  SELECT doc_id, v_idx,
+        |    (v_idx * d1 * 1000) // ts1 AS v_ms, n2, d2, ts2
+        |  FROM v),
+        |p AS (
+        |  SELECT doc_id, v_idx, v_ms,
+        |    unnest(range(0, n2))::BIGINT AS a_idx, d2, ts2
+        |  FROM vv),
+        |q AS (
+        |  SELECT doc_id, v_idx, v_ms, a_idx,
+        |    (a_idx * d2 * 1000) // ts2 AS a_ms
+        |  FROM p),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id, v_idx
+        |    ORDER BY abs(a_ms - v_ms), a_idx) AS rk
+        |  FROM q)
+        |SELECT doc_id, v_idx, v_ms::BIGINT AS v_ms, a_idx,
+        |  a_ms::BIGINT AS a_ms, (a_ms - v_ms)::BIGINT AS drift_ms
+        |FROM r WHERE rk = 1 ORDER BY doc_id, v_idx""".stripMargin,
     // G34 twin: every SPS field replayed closed-form from doc_id
     "mm_h264_sps" ->
       """SELECT doc_id, 66::BIGINT AS profile_idc,

@@ -904,6 +904,67 @@ object TextAnalysis {
       .orderBy($"rank")
   }
 
+  /** F51 HEAPS' LAW fit (Heaps 1978 — vocabulary growth V(n) ≈ K·n^β:
+    * the corpus-statistics twin of F16's Zipf; β tells a tokenizer/
+    * dedup planner how fast NEW types keep arriving — β near 1 means
+    * an open vocabulary (ids, hashes — dedup keys explode), β ≪ 1 a
+    * closing one): the vocabulary-growth curve is sampled at 10
+    * doc-id prefix cuts — n_j = tokens in docs below cut j, v_j =
+    * distinct words whose FIRST document lies below cut j (one
+    * min-aggregate per word, no per-prefix rescan) — then log-log
+    * OLS over the 10 points. Exactness: every (n_j, v_j) is an exact
+    * integer (they hash as output columns); the OLS runs over TEN
+    * values pivoted to columns and summed LEFT-TO-RIGHT as an
+    * explicit expression tree — a parse-tree-pinned fold, so the
+    * float sums are order-identical in both engines (the B43
+    * pinned-fold posture without a list accumulator). Shape: one
+    * tokenization pass, one word-level min-aggregate, two broadcast
+    * joins of a 10-row cut frame, one pivot row. */
+  def heapsLaw(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
+    val toks = docs.select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id", size($"w").cast("long").as("len"),
+        $"w")
+      .localCheckpoint() // token counts AND first-doc both read it
+    val nDocs = toks.count()
+    val firstDoc = toks.select(explode($"w").as("t"), $"doc_id")
+      .groupBy($"t").agg(min($"doc_id").as("fd"))
+    // integer floor-div: a double /10 here would round vs truncate
+    // differently across engines on non-multiples
+    val cuts = spark.range(1, 11).select($"id".as("j"),
+      expr(s"${nDocs}L * id div 10").as("cut"))
+    val nj = cuts.join(toks, $"doc_id" < $"cut")
+      .groupBy($"j").agg(sum($"len").as("n_tokens"))
+    val vj = cuts.join(firstDoc, $"fd" < $"cut")
+      .groupBy($"j").agg(count(lit(1)).as("vocab"))
+    val pts = nj.join(vj, "j").localCheckpoint()
+    // pivot the 10 points to columns; the OLS sums are then explicit
+    // left-to-right expression trees (order-pinned in both engines)
+    val aggCols = (1 to 10).flatMap(j => Seq(
+      max(when($"j" === j, $"n_tokens")).as(s"n$j"),
+      max(when($"j" === j, $"vocab")).as(s"v$j")))
+    val pivoted = pts.groupBy().agg(aggCols.head, aggCols.tail: _*)
+    val sx = (1 to 10).map(j => log(col(s"n$j").cast("double")))
+      .reduceLeft(_ + _)
+    val sy = (1 to 10).map(j => log(col(s"v$j").cast("double")))
+      .reduceLeft(_ + _)
+    val sxx = (1 to 10).map { j =>
+      val l = log(col(s"n$j").cast("double")); l * l
+    }.reduceLeft(_ + _)
+    val sxy = (1 to 10).map { j =>
+      log(col(s"n$j").cast("double")) *
+        log(col(s"v$j").cast("double"))
+    }.reduceLeft(_ + _)
+    val beta = (lit(10.0) * sxy - sx * sy) /
+      (lit(10.0) * sxx - sx * sx)
+    val fit = pivoted.select(round(beta, 6).as("beta"),
+      round(exp((sy - beta * sx) / 10.0), 6).as("k_hat"))
+    pts.crossJoin(broadcast(fit))
+      .select($"j", $"n_tokens", $"vocab", $"beta", $"k_hat")
+      .orderBy($"j")
+  }
+
   private val CollocMinCount = 5
   private val CollocTopK = 20
 
@@ -1874,6 +1935,7 @@ object TextAnalysis {
     "text_collocations" -> onDocs(collocations),
     "text_cooc" -> onDocs(cooc),
     "text_textrank" -> onDocs(textrank),
+    "text_heaps" -> onDocs(heapsLaw),
     "text_chunk" -> onDocs(d => chunk(d)),
     "text_entropy" -> onDocs(charEntropy),
     "text_tokens" -> onDocs(tokenCounts),
@@ -2807,6 +2869,52 @@ object TextAnalysis {
         |  FROM counted)
         |SELECT rk::BIGINT AS rank, t1, t2, n, min_dist
         |FROM top WHERE rk <= 20 ORDER BY rank""".stripMargin,
+    // F51 twin: same prefix cuts (integer floor-div), same pivot,
+    // the OLS written as the SAME left-to-right expression tree
+    "text_heaps" -> {
+      def lnn(j: Int) = s"ln(n$j::DOUBLE)"
+      def lnv(j: Int) = s"ln(v$j::DOUBLE)"
+      val sx = (1 to 10).map(lnn).mkString(" + ")
+      val sy = (1 to 10).map(lnv).mkString(" + ")
+      val sxx = (1 to 10).map(j => s"${lnn(j)} * ${lnn(j)}")
+        .mkString(" + ")
+      val sxy = (1 to 10).map(j => s"${lnn(j)} * ${lnv(j)}")
+        .mkString(" + ")
+      val beta = s"(10.0 * ($sxy) - ($sx) * ($sy)) " +
+        s"/ (10.0 * ($sxx) - ($sx) * ($sx))"
+      val pivCols = (1 to 10).flatMap(j => Seq(
+        s"max(CASE WHEN j = $j THEN n_tokens END) AS n$j",
+        s"max(CASE WHEN j = $j THEN vocab END) AS v$j"))
+        .mkString(",\n    ")
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |fd AS MATERIALIZED (
+         |  SELECT t, min(doc_id) AS fd FROM (
+         |    SELECT doc_id, unnest(w) AS t FROM toks) s GROUP BY 1),
+         |cc AS (
+         |  SELECT j::BIGINT AS j,
+         |    ((SELECT count(*) FROM toks) * j) // 10 AS cut
+         |  FROM (SELECT unnest(range(1, 11)) AS j) u),
+         |nj AS (
+         |  SELECT c.j, sum(length(t.w))::BIGINT AS n_tokens
+         |  FROM cc c JOIN toks t ON t.doc_id < c.cut GROUP BY 1),
+         |vj AS (
+         |  SELECT c.j, count(*)::BIGINT AS vocab
+         |  FROM cc c JOIN fd f ON f.fd < c.cut GROUP BY 1),
+         |pts AS MATERIALIZED (
+         |  SELECT nj.j, n_tokens, vocab FROM nj JOIN vj USING (j)),
+         |piv AS (
+         |  SELECT
+         |    $pivCols
+         |  FROM pts),
+         |fit AS (
+         |  SELECT round($beta, 6) AS beta,
+         |    round(exp((($sy) - ($beta) * ($sx)) / 10.0), 6) AS k_hat
+         |  FROM piv)
+         |SELECT p.j, p.n_tokens, p.vocab, f.beta, f.k_hat
+         |FROM pts p CROSS JOIN fit f ORDER BY p.j""".stripMargin
+    },
     // F50 twin: same candidate filter, same ±2 offset expansion, the
     // unrolled integer-PageRank chain (the I4 oracle pattern; edges
     // MATERIALIZED — deg/nodes/every iteration reference it)

@@ -251,6 +251,35 @@ object DocStream {
       }
       .start()
 
+  /** One shard-catalog micro-batch: exactly-once by the batch-tag
+    * gate plus semantic idempotence (known shard ids anti-join to
+    * nothing). Returns -1 when skipped. */
+  def streamShardBatch(dir: String, batch: DataFrame,
+      batchId: Long): Long = {
+    val spark = batch.sparkSession
+    val tag = s"batch=$batchId"
+    if (graft.sources.Lake.Manifest.isManaged(spark, dir) &&
+        graft.sources.Lake.Manifest.publishedMetas(spark, dir)
+          .contains(tag)) -1L
+    else graft.operators.Multimodal
+      .appendShardCatalog(spark, dir, batch, meta = tag)
+  }
+
+  /** C×G (G35): continuous SHARD-CATALOG maintenance over a shard
+    * feed — each landed tar/zip shard is walked ONCE, in its
+    * micro-batch, and the sample-bucket-partitioned member index
+    * trails the drop zone by one trigger; a sample fetch then reads
+    * byte ranges off the index without ever re-opening archives. */
+  def maintainShardCatalog(shards: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    shards.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamShardBatch(dir, batch, batchId); ()
+      }
+      .start()
+
   /** C×G: continuous ASSET-CATALOG maintenance over a binary feed —
     * each landed asset is header-sniffed ONCE, in its micro-batch,
     * and the format-partitioned catalog trails the drop zone by one

@@ -388,4 +388,62 @@ class DocStreamSpec extends AnyFunSuite {
       all.filter(_._1 % 3 == 2).toDF("doc_id", "payload"))
     assert(Multimodal.readAssetCatalog(spark, dir).count() == 60L)
   }
+
+  test("G35 shard catalog: streamed member index, pruned sample fetch, replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // mixed feed: tar shards, zip shards, one garbage blob (walks to
+    // zero rows by the quarantine contract)
+    def payload(id: Long): Array[Byte] = (id % 3) match {
+      case 0 => Multimodal.tarBytes(id)
+      case 1 => Multimodal.zipBytes(id)
+      case _ => s"not a shard $id".getBytes("US-ASCII")
+    }
+    val all = (0L until 30L).map(i => (i, payload(i)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard").toString
+    Multimodal.publishShardCatalog(
+      all.filter(_._1 < 10).toDF("doc_id", "payload"), dir)
+    val in = MemoryStream[(Long, Array[Byte])]
+    in.addData(all.filter(t => t._1 >= 10 && t._1 < 20))
+    in.addData(all.filter(_._1 >= 20))
+    val q = DocStream.maintainShardCatalog(
+      in.toDF().toDF("doc_id", "payload"), dir,
+      java.nio.file.Files.createTempDirectory("graft_shard_ck").toString)
+    q.awaitTermination()
+    // streamed index == the one-shot walk of the union
+    val got = graft.sources.Lake.Manifest.readPublished(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val want = Multimodal.shardMemberRows(all.toDF("doc_id", "payload"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, s"index diverged:\n${got.take(3)}\nvs\n${want.take(3)}")
+    // a sample fetch prunes to its bucket and returns real ranges:
+    // tar shard 3 sample 0's .txt member must be addressable
+    val key = "d3_s0"
+    val ranges = Multimodal.readSampleRanges(spark, dir, key)
+      .select($"fmt", $"name", $"offset", $"size").collect()
+    assert(ranges.map(_.getString(1)).sorted.toSeq ==
+      Seq(s"$key.cls", s"$key.txt"), ranges.toSeq)
+    val txt = ranges.find(_.getString(1).endsWith(".txt")).get
+    val shard3 = Multimodal.tarBytes(3L)
+    val dataAt = new String(shard3, txt.getLong(2).toInt,
+      txt.getLong(3).toInt, "US-ASCII")
+    assert(dataAt.forall(c => c >= 'a' && c <= 'z'),
+      "offset does not address the member data")
+    val allFiles = graft.sources.Lake.Manifest.readPublished(spark, dir)
+      .inputFiles.length
+    val prunedFiles = Multimodal.readSampleRanges(spark, dir, key)
+      .inputFiles.length
+    assert(prunedFiles < allFiles,
+      s"sample fetch opened $prunedFiles of $allFiles")
+    // meta-gated replay skips; an untagged duplicate is a semantic
+    // no-op
+    assert(DocStream.streamShardBatch(dir,
+      all.filter(_._1 >= 20).toDF("doc_id", "payload"), 0L) == -1L)
+    val before = graft.sources.Lake.Manifest.readPublished(spark, dir).count()
+    Multimodal.appendShardCatalog(spark, dir,
+      all.filter(_._1 < 10).toDF("doc_id", "payload"))
+    assert(graft.sources.Lake.Manifest.readPublished(spark, dir)
+      .count() == before)
+  }
 }
