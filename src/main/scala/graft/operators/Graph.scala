@@ -1053,6 +1053,70 @@ object Graph {
       .orderBy($"nation")
   }
 
+  /** MIN-PLUS distance closure by doubling (the tropical-semiring
+    * matrix squaring — D_{k+1}(u,v) = min(D_k(u,v),
+    * min_x D_k(u,x) + D_k(x,v)); k doublings close paths of 2^k
+    * edges): all-pairs hop distances on a COARSE graph. Same n²
+    * output contract and tier as [[stronglyConnected]]. */
+  def hopClosure(edges: DataFrame, doublings: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .filter($"src" =!= $"dst").distinct()
+    val nodes = sym.select($"src".as("n")).distinct()
+    var d = sym.select($"src", $"dst", lit(1L).as("dist"))
+      .union(nodes.select($"n".as("src"), $"n".as("dst"),
+        lit(0L).as("dist")))
+    for (_ <- 1 to doublings) {
+      val via = d.as("p").join(d.as("q"),
+          col("p.dst") === col("q.src"))
+        .select(col("p.src").as("src"), col("q.dst").as("dst"),
+          (col("p.dist") + col("q.dist")).as("dist"))
+      d = truncate(d.union(via).groupBy($"src", $"dst")
+        .agg(min($"dist").as("dist")))
+    }
+    d
+  }
+
+  /** q_eccentricity: per-nation ECCENTRICITY (max hop distance to
+    * any reached nation) over the undirected thresholded trade graph
+    * (the [[sccTrade]] edge derivation symmetrized), plus the graph
+    * RADIUS (min ecc) and DIAMETER (max ecc) — the "how far is the
+    * farthest economy" audit; unreached pairs are EXCLUDED and
+    * n_reached says so (the harmonic-centrality convention). */
+  def eccentricityTrade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val flows = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey",
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_nationkey".as("sn")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_nationkey".as("cn")),
+        $"o_custkey" === $"c_custkey")
+      .filter($"sn" =!= $"cn")
+      .groupBy($"sn".as("src"), $"cn".as("dst"))
+      .agg(sum($"cents").as("cents"))
+      .localCheckpoint()
+    val tot = flows.agg(sum($"cents").as("t"), count(lit(1)).as("np"))
+    val edges = flows.crossJoin(broadcast(tot))
+      .filter($"cents" * $"np" >= $"t")
+      .select($"src", $"dst")
+    val ecc = hopClosure(edges, 5)
+      .groupBy($"src".as("nation"))
+      .agg(max($"dist").as("ecc"),
+        count(lit(1)).as("n_reached"))
+    ecc.withColumn("radius", min($"ecc").over(Window.partitionBy()))
+      .withColumn("diameter", max($"ecc").over(Window.partitionBy()))
+      .select($"nation".cast("long").as("nation"), $"ecc",
+        $"n_reached", $"radius", $"diameter")
+      .orderBy($"nation")
+  }
+
   /** q_mst: minimum spanning tree of the undirected nation trade
     * graph (weights = pair trade cents, made DISTINCT by the
     * (cents, a, b) composite key w = cents·1000 + a·30 + b — nation
@@ -1785,6 +1849,7 @@ object Graph {
     "q_hits" -> hitsTrade,
     "q_scc" -> sccTrade,
     "q_mst" -> mstTrade,
+    "q_eccentricity" -> eccentricityTrade,
     "q_ppr" -> pprTrade,
     "q_triangles" -> trianglesCoOrder,
     "q_bfs_hops" -> bfsSupplyChain,
@@ -1864,6 +1929,52 @@ object Graph {
        |SELECT node::BIGINT AS nation, min(m)::BIGINT AS scc_id,
        |  count(DISTINCT m)::BIGINT AS scc_size
        |FROM mu GROUP BY node ORDER BY nation""".stripMargin
+  }
+
+  /** Min-plus closure twin for q_eccentricity — the q_scc MATERIALIZED
+    * base symmetrized, k min-plus doublings, per-node max + the
+    * radius/diameter window. */
+  private def eccentricitySql(doublings: Int): String = {
+    val base =
+      """WITH flows AS MATERIALIZED (
+        |  SELECT s_nationkey AS src, c_nationkey AS dst,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE s_nationkey <> c_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT sum(cents) AS t, count(*) AS np FROM flows),
+        |e AS MATERIALIZED (
+        |  SELECT src, dst FROM flows, tot WHERE cents * np >= t),
+        |sym AS (
+        |  SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |nodes AS (SELECT DISTINCT src AS n FROM sym),
+        |d0 AS (
+        |  SELECT src, dst, 1::BIGINT AS dist FROM sym
+        |  WHERE src <> dst
+        |  UNION
+        |  SELECT n, n, 0::BIGINT FROM nodes)""".stripMargin
+    val lv = (1 to doublings).map { i =>
+      s"""d$i AS (
+         |  SELECT src, dst, min(dist)::BIGINT AS dist FROM (
+         |    SELECT src, dst, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT p.src, q.dst, p.dist + q.dist
+         |    FROM d${i - 1} p JOIN d${i - 1} q ON p.dst = q.src) s
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$lv,
+       |ecc AS (
+       |  SELECT src AS nation, max(dist)::BIGINT AS ecc,
+       |    count(*)::BIGINT AS n_reached
+       |  FROM d$doublings GROUP BY 1)
+       |SELECT nation::BIGINT AS nation, ecc, n_reached,
+       |  (min(ecc) OVER ())::BIGINT AS radius,
+       |  (max(ecc) OVER ())::BIGINT AS diameter
+       |FROM ecc ORDER BY nation""".stripMargin
   }
 
   /** Minimax-closure twin for q_mst — a DIFFERENT algorithm than the
@@ -2384,6 +2495,7 @@ object Graph {
     "q_hits" -> hitsSql(5),
     "q_scc" -> sccSql(5),
     "q_mst" -> mstSql(5),
+    "q_eccentricity" -> eccentricitySql(5),
     "q_ppr" -> pprSql(5),
     "q_bfs_hops" -> bfsSql(4),
     "q_path_counts" -> pathCountsSql(4),

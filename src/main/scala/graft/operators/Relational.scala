@@ -1146,6 +1146,58 @@ object Relational {
             ($"k" * $"k" - 1L)).cast("double") / 144.0), 6).as("z"))
   }
 
+  /** A76 DETERMINISTIC RANSAC line fit per order year (Fischler &
+    * Bolles 1981 made engine-exact: the random hypothesis sampling
+    * is replaced by EXHAUSTIVE fixed-offset pairs — every (day i,
+    * day i+30) line is a hypothesis — so the consensus search is
+    * deterministic and the twin replays it; the estimator the B-track
+    * OLS family lacks: a 10-day outage drags least squares, RANSAC's
+    * consensus count ignores it): inlier ⇔ |dy·(t−t₁) − dx·(y−y₁)| ≤
+    * dx·T, a pure INTEGER cross-multiplication with the tolerance
+    * T = Σy div (n·20) (5% of the mean daily revenue — data-derived,
+    * no SF-tuned constant); winner = (max inliers, min i). No float
+    * anywhere. Shape: one corpus aggregate to the (year, day) frame,
+    * one offset-30 self-join for hypotheses (≈ n per year), one
+    * year-keyed hypothesis×point join (n² per year, calendar-
+    * bounded), one grouped count, one argmax. */
+  def ransacTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.orders(s, dir)
+      .select(year($"o_orderdate").cast("long").as("yr"),
+        $"o_orderdate".as("day"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"yr", $"day").agg(sum($"cents").as("y"))
+      .select($"yr", $"y",
+        row_number().over(Window.partitionBy($"yr")
+          .orderBy($"day")).cast("long").as("t"))
+      .localCheckpoint() // hypotheses, points and T all read it
+    val tol = d.groupBy($"yr")
+      .agg(expr("sum(y) div (count(1) * 20)").as("tt"),
+        count(lit(1)).as("n"))
+    val hyp = d.as("p").join(d.as("q"),
+        col("p.yr") === col("q.yr") &&
+          col("q.t") === col("p.t") + 30L)
+      .select(col("p.yr").as("yr"), col("p.t").as("i"),
+        col("p.y").as("y1"), (col("q.y") - col("p.y")).as("dy"))
+    val scored = hyp.join(d.withColumnRenamed("yr", "yr2"),
+        $"yr" === $"yr2")
+      .join(broadcast(tol.withColumnRenamed("yr", "yr3")),
+        $"yr" === $"yr3")
+      .filter(abs($"dy" * ($"t" - $"i") - lit(30L) * ($"y" - $"y1"))
+        <= lit(30L) * $"tt")
+      .groupBy($"yr", $"i", $"y1", $"dy")
+      .agg(count(lit(1)).as("inliers"))
+    scored.groupBy($"yr")
+      .agg(max(struct($"inliers", (-$"i").as("ni"), $"y1", $"dy"))
+        .as("b"))
+      .join(broadcast(tol), "yr")
+      .select($"yr", $"n".as("n_days"), (-$"b.ni").as("best_i"),
+        $"b.inliers".as("n_inliers"), $"b.y1".as("anchor_y"),
+        $"b.dy".as("slope30"), $"tt".as("tol_cents"))
+      .orderBy($"yr")
+  }
+
   /** A40 Welch's unequal-variance t-test for every priority pair
     * (scipy `ttest_ind(equal_var=False)` twin — "did this slice's
     * money distribution move?"): per-group n/Σx/Σx² are EXACT
@@ -2456,6 +2508,7 @@ object Relational {
     "q_cvm" -> cvmTest,
     "q_dcorr" -> distanceCorr,
     "q_page_trend" -> pageTrend,
+    "q_ransac" -> ransacTrend,
     "q_welch_ttest" -> welchTTest,
     "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
@@ -3373,6 +3426,42 @@ object Relational {
         |       * (max(nr) + max(nn))::DOUBLE
         |       * (max(nr) + max(nn))::DOUBLE), 6) AS t_cvm
         |FROM g""".stripMargin,
+    // A76 twin: same exhaustive offset-30 hypotheses, same integer
+    // inlier cross-multiplication, same (inliers, min i) winner
+    "q_ransac" ->
+      """WITH d0 AS (
+        |  SELECT year(o_orderdate)::BIGINT AS yr, o_orderdate AS day,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        |  FROM orders GROUP BY 1, 2),
+        |d AS MATERIALIZED (
+        |  SELECT yr, y,
+        |    row_number() OVER (PARTITION BY yr ORDER BY day)::BIGINT
+        |      AS t
+        |  FROM d0),
+        |tol AS (
+        |  SELECT yr, (sum(y) // (count(*) * 20))::BIGINT AS tt,
+        |    count(*)::BIGINT AS n
+        |  FROM d GROUP BY 1),
+        |hyp AS (
+        |  SELECT p.yr, p.t AS i, p.y AS y1, (q.y - p.y)::BIGINT AS dy
+        |  FROM d p JOIN d q ON p.yr = q.yr AND q.t = p.t + 30),
+        |scored AS (
+        |  SELECT h.yr, h.i, h.y1, h.dy, count(*)::BIGINT AS inliers
+        |  FROM hyp h
+        |  JOIN d x ON x.yr = h.yr
+        |  JOIN tol tl ON tl.yr = h.yr
+        |  WHERE abs(h.dy * (x.t - h.i) - 30 * (x.y - h.y1))
+        |    <= 30 * tl.tt
+        |  GROUP BY 1, 2, 3, 4),
+        |best AS (
+        |  SELECT yr, i, y1, dy, inliers, row_number() OVER (
+        |    PARTITION BY yr ORDER BY inliers DESC, i) AS rk
+        |  FROM scored)
+        |SELECT b.yr, tl.n AS n_days, b.i AS best_i,
+        |  b.inliers AS n_inliers, b.y1 AS anchor_y, b.dy AS slope30,
+        |  tl.tt AS tol_cents
+        |FROM best b JOIN tol tl ON tl.yr = b.yr
+        |WHERE b.rk = 1 ORDER BY b.yr""".stripMargin,
     // A74 twin: same complete-block gate, same permutation ranks,
     // integer L/A/B, one identical IEEE z sequence
     "q_page_trend" ->
