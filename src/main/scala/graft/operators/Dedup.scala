@@ -922,6 +922,37 @@ object Dedup {
       partitionBy = Seq("hb"), meta = meta)
   }
 
+  /** D24 CONTRASTIVE TRAINING PAIRS mined from the D8 near-dup
+    * clusters (the SimCSE/contrastive-pretraining data shape: a
+    * near-duplicate IS a natural positive — same content, different
+    * surface — and dedup output is exactly where they live; the
+    * mining step every embedding-model pipeline runs on top of its
+    * dedup pass): anchor = a cluster's canonical doc, positive =
+    * each other member, negative = the NEXT canonical doc id
+    * cyclically (deterministic and twin-replayable — a DEMO sampler;
+    * production swaps in hash-random or E26-style hard negatives,
+    * which the ann_hard_negatives operator already provides). The
+    * cyclic-next windows run over the CANONICAL frame
+    * (cluster-count-sized, not corpus-sized). */
+  def trainingPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val comp = nearDupClusters(docs).localCheckpoint()
+    val canon = comp.filter($"is_canonical" === 1L)
+      .select($"cluster_id".as("anchor"))
+    val wOrd = Window.orderBy($"anchor")
+    val wAll = Window.orderBy($"anchor")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val negs = canon.select($"anchor",
+      coalesce(lead($"anchor", 1).over(wOrd),
+        first($"anchor").over(wAll)).as("negative"))
+    val pos = comp.filter($"doc_id" =!= $"cluster_id")
+      .select($"cluster_id".as("anchor"), $"doc_id".as("positive"))
+    pos.join(negs, "anchor")
+      .select($"anchor", $"positive", $"negative")
+      .orderBy($"anchor", $"positive")
+  }
+
   def winnow(docs: DataFrame, k: Int = 12, w: Int = 8): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1118,6 +1149,7 @@ object Dedup {
     "dedup_fuzzy_brand" -> ((s, dir) =>
       fuzzyKeys(Tables.part(s, dir), "p_brand", maxDist = 1)),
     "dedup_clusters" -> onDocs(nearDupClusters),
+    "dedup_training_pairs" -> onDocs(trainingPairs),
     // deterministic eval stand-in: every 50th doc is the "benchmark";
     // library users pass their own eval frame
     "dedup_decontam" -> onDocs(d => decontaminate(
@@ -1684,43 +1716,66 @@ object Dedup {
     // components via recursive CTE: min reachable id == component min
     // (reachability is symmetric because edges are emitted both ways)
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $shinglesSql,
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
-         |  WHERE a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM inter
-         |  JOIN sizes sa ON doc_a = sa.doc_id
-         |  JOIN sizes sb ON doc_b = sb.doc_id
-         |  WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $JaccardT),
-         |hs AS (
-         |  SELECT doc_id,
-         |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
-         |  FROM documents),
-         |ex AS (SELECT h, min(doc_id) AS keeper FROM hs GROUP BY h),
-         |epairs AS (
-         |  SELECT e.keeper AS doc_a, hs.doc_id AS doc_b
-         |  FROM hs JOIN ex e USING (h) WHERE hs.doc_id <> e.keeper),
-         |allp AS (
-         |  SELECT doc_a, doc_b FROM pairs
-         |  UNION ALL SELECT doc_a, doc_b FROM epairs),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM allp
-         |  UNION ALL SELECT doc_b, doc_a FROM allp),
-         |reach(id, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.b, re.r FROM reach re JOIN edges e ON e.a = re.id),
-         |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |cs AS (SELECT cluster_id, count(*) AS n_members FROM comp
-         |       GROUP BY cluster_id)
+      s"""WITH RECURSIVE $clustersCoreSql
          |SELECT c.id AS doc_id, c.cluster_id,
          |  (c.id = c.cluster_id)::BIGINT AS is_canonical, cs.n_members
          |FROM comp c JOIN cs USING (cluster_id)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    // D24 twin: the D8 cluster core + the cyclic-next negative rule
+    "dedup_training_pairs" ->
+      s"""WITH RECURSIVE $clustersCoreSql,
+         |canon AS (
+         |  SELECT cluster_id AS anchor FROM comp WHERE id = cluster_id),
+         |negs AS (
+         |  SELECT anchor,
+         |    coalesce(lead(anchor) OVER (ORDER BY anchor),
+         |      (SELECT min(anchor) FROM canon)) AS negative
+         |  FROM canon),
+         |pos AS (
+         |  SELECT cluster_id AS anchor, id AS positive
+         |  FROM comp WHERE id <> cluster_id)
+         |SELECT p.anchor, p.positive, n.negative
+         |FROM pos p JOIN negs n USING (anchor)
+         |ORDER BY anchor, positive""".stripMargin)
+
+  /** The D8 near-dup cluster derivation (shingle-jaccard ∪ exact-dup
+    * pairs → recursive min-label components) shared by the
+    * dedup_clusters and dedup_training_pairs twins. Yields `comp(id,
+    * cluster_id)` and `cs(cluster_id, n_members)`. */
+  private lazy val clustersCoreSql: String =
+    s"""$shinglesSql,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id
+       |  WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $JaccardT),
+       |hs AS (
+       |  SELECT doc_id,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h
+       |  FROM documents),
+       |ex AS (SELECT h, min(doc_id) AS keeper FROM hs GROUP BY h),
+       |epairs AS (
+       |  SELECT e.keeper AS doc_a, hs.doc_id AS doc_b
+       |  FROM hs JOIN ex e USING (h) WHERE hs.doc_id <> e.keeper),
+       |allp AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_a, doc_b FROM epairs),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM allp
+       |  UNION ALL SELECT doc_b, doc_a FROM allp),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b, re.r FROM reach re JOIN edges e ON e.a = re.id),
+       |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |cs AS (SELECT cluster_id, count(*) AS n_members FROM comp
+       |       GROUP BY cluster_id)""".stripMargin
 
   /** DuckDB twin of the LSH-blocked embedding dedup: the ±1 plane
     * literals are generated from the SAME MurmurHash3 derivation the

@@ -965,6 +965,41 @@ object TextAnalysis {
       .orderBy($"j")
   }
 
+  /** F52 VOCABULARY COVERAGE curve (the tokenizer-budget dial: what
+    * fraction of corpus token OCCURRENCES does a k-type vocabulary
+    * cover — the number a BPE/vocab-size decision actually trades
+    * on, and Zipf's integral in empirical form): terms ranked by
+    * (count desc, term), cumulative coverage read at k ∈ {100, 1000,
+    * 10000}. Exactness: counts, cumulative sums and the ppm are all
+    * integer. Shape: one tokenization pass to term counts (map-side
+    * combinable), ONE vocabulary-sized rank window (the vocabulary
+    * is orders smaller than the corpus; at open-vocabulary 100 TB
+    * scale the same read comes from a bounded-heap top-k per cut —
+    * the TopKAgg path — since only the k cuts are consumed), a
+    * 3-row cut join. */
+  def vocabCoverage(docs: DataFrame,
+      cuts: Seq[Long] = Seq(100L, 1000L, 10000L)): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tc = docs.select(explode(tokens($"text")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy($"c".desc, $"t")
+    val ranked = tc.select($"c",
+        row_number().over(w).cast("long").as("r"),
+        sum($"c").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("cum"))
+      .localCheckpoint() // totals and every cut read it
+    val tot = ranked.agg(max($"cum").as("total"),
+      max($"r").as("vocab_size"))
+    val kf = docs.sparkSession.createDataset(cuts).toDF("k")
+    kf.crossJoin(broadcast(tot))
+      .join(ranked, $"r" === least($"k", $"vocab_size"))
+      .select($"k", $"vocab_size", $"cum".as("covered_tokens"),
+        $"total".as("total_tokens"),
+        expr("cum * 1000000 div total").as("coverage_ppm"))
+      .orderBy($"k")
+  }
+
   private val CollocMinCount = 5
   private val CollocTopK = 20
 
@@ -1936,6 +1971,7 @@ object TextAnalysis {
     "text_cooc" -> onDocs(cooc),
     "text_textrank" -> onDocs(textrank),
     "text_heaps" -> onDocs(heapsLaw),
+    "text_vocab_coverage" -> onDocs(v => vocabCoverage(v)),
     "text_chunk" -> onDocs(d => chunk(d)),
     "text_entropy" -> onDocs(charEntropy),
     "text_tokens" -> onDocs(tokenCounts),
@@ -2869,6 +2905,31 @@ object TextAnalysis {
         |  FROM counted)
         |SELECT rk::BIGINT AS rank, t1, t2, n, min_dist
         |FROM top WHERE rk <= 20 ORDER BY rank""".stripMargin,
+    // F52 twin: same (count desc, term) rank, same cumulative sum,
+    // same clamped cut lookup
+    "text_vocab_coverage" ->
+      """WITH tc AS (
+        |  SELECT t, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+        |    FROM documents) s
+        |  GROUP BY 1),
+        |ranked AS MATERIALIZED (
+        |  SELECT c,
+        |    row_number() OVER (ORDER BY c DESC, t)::BIGINT AS r,
+        |    sum(c) OVER (ORDER BY c DESC, t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum
+        |  FROM tc),
+        |tot AS (
+        |  SELECT max(cum)::BIGINT AS total, max(r)::BIGINT AS vocab_size
+        |  FROM ranked),
+        |kf AS (SELECT unnest([100, 1000, 10000])::BIGINT AS k)
+        |SELECT kf.k, tot.vocab_size, ranked.cum AS covered_tokens,
+        |  tot.total AS total_tokens,
+        |  (ranked.cum * 1000000 // tot.total)::BIGINT AS coverage_ppm
+        |FROM kf CROSS JOIN tot
+        |JOIN ranked ON ranked.r = least(kf.k, tot.vocab_size)
+        |ORDER BY kf.k""".stripMargin,
     // F51 twin: same prefix cuts (integer floor-div), same pivot,
     // the OLS written as the SAME left-to-right expression tree
     "text_heaps" -> {
