@@ -1198,6 +1198,33 @@ object Relational {
       .orderBy($"yr")
   }
 
+  /** H25 graded entry (`src_gz_jsonl`): GZIP-compressed JSONL export
+    * → re-ingest → aggregate, in one self-contained query — grading
+    * the whole codec loop (to_json escaping, the gzip codec Spark
+    * applies per file, the H15 permissive Jsonl reader) against an
+    * oracle that never saw the files: the per-lang counts, char
+    * sums, and a content-sensitive signature Σ doc_id·len(text) must
+    * survive the trip exactly. Gzip'd text is NOT splittable — one
+    * file per input partition is the scale posture (each file a
+    * task), which the partitioned write here preserves; byte-exact
+    * text equality is additionally spec-pinned in SourcesSpec. */
+  def gzJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_gz").toString + "/docs"
+    docs.select(to_json(struct($"doc_id", $"text", $"lang",
+        $"source", $"n_chars")).as("value"))
+      .write.mode("overwrite").option("compression", "gzip").text(tmp)
+    val back = graft.sources.Jsonl.clean(
+      graft.sources.Jsonl.read(s, tmp, docs.schema))
+    back.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars"),
+        sum($"doc_id" * length($"text")).as("sig"))
+      .orderBy($"lang")
+  }
+
   /** A40 Welch's unequal-variance t-test for every priority pair
     * (scipy `ttest_ind(equal_var=False)` twin — "did this slice's
     * money distribution move?"): per-group n/Σx/Σx² are EXACT
@@ -2509,6 +2536,7 @@ object Relational {
     "q_dcorr" -> distanceCorr,
     "q_page_trend" -> pageTrend,
     "q_ransac" -> ransacTrend,
+    "src_gz_jsonl" -> gzJsonlRoundtrip,
     "q_welch_ttest" -> welchTTest,
     "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
@@ -3426,6 +3454,13 @@ object Relational {
         |       * (max(nr) + max(nn))::DOUBLE
         |       * (max(nr) + max(nn))::DOUBLE), 6) AS t_cvm
         |FROM g""".stripMargin,
+    // H25 twin: the oracle never sees the gz files — parity proves
+    // the export/re-ingest loop was lossless
+    "src_gz_jsonl" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS chars,
+        |  sum(doc_id * length(text))::BIGINT AS sig
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // A76 twin: same exhaustive offset-30 hypotheses, same integer
     // inlier cross-multiplication, same (inliers, min i) winner
     "q_ransac" ->

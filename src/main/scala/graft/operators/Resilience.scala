@@ -2996,6 +2996,40 @@ object Resilience {
           .as("z"))
   }
 
+  /** B81 GRUBBS' TEST per event type (Grubbs 1950 — the single-worst-
+    * outlier test: B22's rolling z-score flags LOCAL spikes against a
+    * moving window, Grubbs asks the GLOBAL question "is the most
+    * extreme day of this whole series statistically an outlier", the
+    * one-number answer an incident review wants): G = max|y − ȳ|/s.
+    * Exactness: the argmax deviation is the exact INTEGER max|n·y−S|
+    * (cross-multiplied mean — ties broken by day), s² = (nQ−S²)/
+    * (n(n−1)) from exact decimal moments, and G = maxdev/(n·s) is
+    * two IEEE ops at export. One aggregate + one argmax struct-max,
+    * both map-side combinable. */
+  def grubbsTest(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val d = dailyTyped(events)
+    val st = d.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"y").as("s"),
+        sum($"y".cast("decimal(38,0)") * $"y").as("q"))
+    d.join(st, "event_type")
+      .select($"event_type", $"day", $"n", $"s", $"q",
+        abs($"n" * $"y" - $"s").as("dev"))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"), max($"s").as("sv"), max($"q").as("qv"),
+        max(struct($"dev", $"day")).as("b"))
+      .select($"event_type", $"n", $"b.dev".as("max_dev_n"),
+        // exported as VARCHAR: Spark DATE → pandas object vs
+        // DuckDB DATE → datetime64 would dtype-mismatch the gate
+        $"b.day".cast("string").as("at_day"),
+        round($"b.dev".cast("double") /
+          ($"n".cast("double") *
+            sqrt(($"n" * $"qv" - $"sv".cast("decimal(38,0)") * $"sv")
+              .cast("double") /
+              ($"n" * ($"n" - 1L)).cast("double"))), 6).as("g"))
+      .orderBy($"event_type")
+  }
+
   /** B68 KRUSKAL-WALLIS H test across event types (Kruskal &
     * Wallis 1952 — the k-group rank ANOVA: B41's Mann-Whitney asks
     * "do these TWO cohorts differ", B41/A41's ANOVA assumes
@@ -3440,6 +3474,7 @@ object Resilience {
     "q_hoeffding_d" -> ((s, dir) => hoeffdingD(Tables.events(s, dir))),
     "q_wilcoxon_sr" -> ((s, dir) =>
       wilcoxonSignedRank(Tables.events(s, dir))),
+    "q_grubbs" -> ((s, dir) => grubbsTest(Tables.events(s, dir))),
     "q_turning_points" -> ((s, dir) => turningPoints(Tables.events(s, dir))),
     "q_nelson_aalen" -> ((s, dir) => nelsonAalen(Tables.events(s, dir))),
     "q_did" -> didEventStudy,
@@ -4172,6 +4207,29 @@ object Resilience {
          |        * (n_pairs - tied_y - tied_xy))::DOUBLE), 6)
          |  END AS tau_b
          |FROM a2""".stripMargin,
+    // B81 twin: same integer argmax deviation, same exact moments,
+    // the same two IEEE export ops
+    "q_grubbs" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |st AS (
+         |  SELECT event_type, count(*)::BIGINT AS n,
+         |    sum(y)::BIGINT AS s, sum(y::HUGEINT * y) AS q
+         |  FROM d GROUP BY 1),
+         |dev AS (
+         |  SELECT d.event_type, d.day, st.n, st.s, st.q,
+         |    abs(st.n * d.y - st.s)::BIGINT AS dev
+         |  FROM d JOIN st USING (event_type)),
+         |mx AS (
+         |  SELECT event_type, n, s, q, dev, day, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY dev DESC, day DESC)
+         |    AS rk
+         |  FROM dev)
+         |SELECT event_type, n, dev AS max_dev_n,
+         |  day::VARCHAR AS at_day,
+         |  round(dev::DOUBLE / (n::DOUBLE
+         |    * sqrt((n * q - s::HUGEINT * s)::DOUBLE
+         |        / (n * (n - 1))::DOUBLE)), 6) AS g
+         |FROM mx WHERE rk = 1 ORDER BY event_type""".stripMargin,
     // B80 twin: same zero-drop, same |d|/day permutation ranks,
     // integer W+/W-, one IEEE z sequence
     "q_wilcoxon_sr" ->

@@ -682,4 +682,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(decoded(byId("a.png")).width == 7 &&
       decoded(byId("b.bmp")).width == 4, "real pixel decode through ingest")
   }
+
+  test("H25 gz jsonl: read(write(docs)) is byte-exact, files really gzip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{to_json, struct, col}
+    val docs = Seq(
+      (1L, "plain text", "en"),
+      (2L, "esc \"quotes\" and\nnewline and\ttab", "en"),
+      (3L, "unicode: héllo wörld — ≤≥ 中文", "zh"),
+      (4L, "", "und"))
+      .toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_gzspec").toString + "/d"
+    docs.select(to_json(struct(col("doc_id"), col("text"),
+        col("lang"))).as("value"))
+      .coalesce(1).write.option("compression", "gzip").text(tmp)
+    // the files on disk are really gzip members
+    val files = new java.io.File(tmp).listFiles
+      .filter(_.getName.endsWith(".gz"))
+    assert(files.nonEmpty, "no .gz part files written")
+    val head = new Array[Byte](2)
+    val fis = new java.io.FileInputStream(files.head)
+    fis.read(head); fis.close()
+    assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b,
+      "not a gzip magic")
+    // byte-exact round trip, including escapes and unicode
+    val back = graft.sources.Jsonl.clean(
+        graft.sources.Jsonl.read(spark, tmp, docs.schema))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(back == docs.as[(Long, String, String)].collect()
+      .sortBy(_._1).toSeq, s"roundtrip diverged: $back")
+  }
 }
