@@ -1020,4 +1020,84 @@ class ScaleStressSpec extends AnyFunSuite {
       .filter($"rank" === 1).collect().head.getLong(2)
     assert(top1 >= lo && top1 < hi, s"post-split serve off-blob: $top1")
   }
+
+  test("G31 tar walk at a 20k-member shard: one pass, exact offsets, bounded time") {
+    import spark.implicits._
+    // one ~34 MB archive with 20k 1-KiB members — the walk must be a
+    // single linear byte pass (512-byte header hops), never quadratic
+    val n = 20000
+    val bos = new java.io.ByteArrayOutputStream(40 << 20)
+    def put(h: Array[Byte], v: String, off: Int): Unit = {
+      val b = v.getBytes("US-ASCII")
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    val data = Array.fill[Byte](1024)('x')
+    (0 until n).foreach { i =>
+      val h = new Array[Byte](512)
+      put(h, f"m$i%05d.bin", 0)
+      put(h, "0000644", 100); put(h, "0000000", 108)
+      put(h, "0000000", 116); put(h, f"${1024}%011o", 124)
+      put(h, "00000000000", 136); h(156) = '0'
+      put(h, "ustar", 257); put(h, "00", 263)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var s = 0; var k = 0
+      while (k < 512) { s += h(k) & 0xff; k += 1 }
+      put(h, f"$s%06o", 148); h(154) = 0; h(155) = ' '
+      bos.write(h); bos.write(data)
+    }
+    bos.write(new Array[Byte](1024))
+    val shard = bos.toByteArray
+    val t0 = System.nanoTime()
+    val got = Seq((0L, shard)).toDF("doc_id", "payload")
+      .select(explode(graft.functions.TarWalk.tarMembers($"payload"))
+        .as("m"))
+      .select($"m.entry_idx", $"m.offset", $"m.size")
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"20k-member walk: $secs%.2f s")
+    assert(got.length == n)
+    // every offset is the closed-form 1536·i + 512
+    assert(got.forall(r =>
+      r.getLong(1) == 1536L * r.getLong(0) + 512L && r.getLong(2) == 1024L))
+    assert(secs < 30, s"20k-member walk took ${secs}s")
+  }
+
+  test("E37 cell-pruned kNN graph at 10^5 vectors: n^2/k candidate cut holds") {
+    import spark.implicits._
+    // 100k dim-8 vectors in 256 well-separated shells; the same-cell
+    // pair count must track sum(|cell|^2) ~ n^2/k, not n^2
+    val vecs = spark.range(100000L).select($"id".as("vec_id"),
+      expr("""transform(sequence(0, 7), j ->
+        |  cast(CASE WHEN j = cast(id % 8 as int)
+        |    THEN 10.0 + double(id % 97) / 97.0
+        |    ELSE double((id * 31 + j * 17) % 100) / 1000.0
+        |  END as float))""".stripMargin).as("embedding"))
+      .localCheckpoint()
+    val t0 = System.nanoTime()
+    val g = graft.operators.Similarity.knnGraphIvf(vecs, cells = 64,
+      iters = 1)
+    val rows = g.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"100k-vector cell-pruned graph: $secs%.1f s, $rows rows")
+    assert(rows > 0)
+    // n^2 would be 10^10 pair dots — minutes; the pruned build must
+    // land in the n^2/k regime
+    assert(secs < 120, s"cell-pruned graph took ${secs}s")
+  }
+
+  test("I20 HITS at 2x10^6 edges: per-iteration cost bounded, scores sane") {
+    import spark.implicits._
+    val edges = spark.range(2000000L).select(
+      concat(lit("s"), expr("abs(xxhash64(id)) % 50000")).as("src"),
+      concat(lit("c"), expr("abs(xxhash64(id + 7)) % 50000")).as("dst"))
+    val t0 = System.nanoTime()
+    val h = graft.operators.Graph.hits(edges, 3)
+    val agg = h.agg(count(lit(1)), max($"hub_fp"), max($"auth_fp"))
+      .collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"2M-edge HITS(3): $secs%.1f s, ${agg.getLong(0)} nodes")
+    // L-inf renorm pins the top node at exactly 10^6 on both sides
+    assert(agg.getLong(1) == 1000000L && agg.getLong(2) == 1000000L)
+    assert(secs < 180, s"2M-edge HITS took ${secs}s")
+  }
 }
