@@ -3030,6 +3030,106 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B82 MOOD'S MEDIAN TEST across event types (Mood 1950 — the
+    * bluntest k-group location test: B68's Kruskal-Wallis uses full
+    * rank information, Mood only asks "does each type's share of
+    * above-pooled-median days match its size", which survives
+    * arbitrary monotone corruption of the values — the right test
+    * when the metric's SCALE is untrustworthy but its ordering
+    * isn't): pooled LOWER median via the value-domain cumulative
+    * (2·cum ≥ N cross-multiplied — the A29 exact-quantile shape,
+    * never a corpus sort), per-type above/at-or-below counts, χ² =
+    * Σ (O−E)²/E over the 2×k table. Per-type χ² contributions are
+    * row-local IEEE from exact integers; the GLOBAL χ² folds the k
+    * contributions in event_type order (array_sort + aggregate — the
+    * B66/B68 pinned-fold contract). Output is the per-type table
+    * with the global χ²/df alongside. */
+  def moodMedianTest(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = dailyTyped(events)
+    val freq = pts.groupBy($"y").agg(count(lit(1)).as("t"))
+    val wc = Window.orderBy($"y")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = freq.withColumn("cum", sum($"t").over(wc))
+      .crossJoin(broadcast(pts.agg(count(lit(1)).as("npool"))))
+      .filter($"cum" * 2L >= $"npool")
+      .agg(min($"y").as("m"))
+    val grp = pts.crossJoin(broadcast(med))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("ni"),
+        sum(when($"y" > $"m", 1L).otherwise(0L)).as("above"))
+    val marg = grp.agg(sum($"ni").as("nn"), sum($"above").as("aa"),
+      count(lit(1)).as("k"))
+    val contrib = grp.crossJoin(broadcast(marg))
+      .withColumn("ea", $"aa".cast("double") * $"ni".cast("double") /
+        $"nn".cast("double"))
+      .withColumn("eb", ($"nn" - $"aa").cast("double") *
+        $"ni".cast("double") / $"nn".cast("double"))
+      .withColumn("contrib",
+        pow($"above".cast("double") - $"ea", 2.0) / $"ea" +
+          pow(($"ni" - $"above").cast("double") - $"eb", 2.0) / $"eb")
+      .localCheckpoint() // per-type rows AND the global fold read it
+    val tot = contrib.agg(max($"k").as("k"),
+        expr("array_sort(collect_list(struct(event_type, contrib)))")
+          .as("ts"))
+      .select(($"k" - 1L).as("df"),
+        round(expr("aggregate(ts, cast(0.0 as double), " +
+          "(acc, x) -> acc + x.contrib)"), 6).as("chi2"))
+    contrib.crossJoin(broadcast(tot))
+      .select($"event_type", $"ni".as("n_days"), $"above",
+        ($"ni" - $"above").as("at_or_below"),
+        round($"contrib", 6).as("chi2_term"), $"chi2", $"df")
+      .orderBy($"event_type")
+  }
+
+  /** B83 ANSARI-BRADLEY dispersion test on the paired daily
+    * click/view series (Ansari & Bradley 1960 — the nonparametric
+    * SCALE test: B41/B80 ask about location, this asks "is one
+    * series more SPREAD than the other" — the variance question
+    * without the F-test's normality bet): pool both series, rank
+    * with the house tie-break (y, day, series), score each
+    * observation min(r, N+1−r) — extremes score low, the middle
+    * high — and W = Σ scores of the click series. W and the even/odd
+    * μ/σ² numerators stay exact integers; one IEEE z at export.
+    * Shape: day-grid frame, one pooled rank window, one aggregate. */
+  def ansariBradley(events: DataFrame, xType: String = "click",
+      yType: String = "view"): DataFrame = {
+    import events.sparkSession.implicits._
+    val d = dailyTyped(events)
+      .filter($"event_type".isin(xType, yType))
+      .select($"event_type", $"day", $"y")
+    val ranked = d.select($"event_type",
+      row_number().over(Window.orderBy($"y", $"day", $"event_type"))
+        .cast("long").as("r"))
+    val nTot = ranked.agg(count(lit(1)).as("nn"))
+    val scored = ranked.crossJoin(broadcast(nTot))
+      .select($"event_type",
+        least($"r", $"nn" + 1L - $"r").as("s"), $"nn")
+    scored.groupBy()
+      .agg(sum(when($"event_type" === xType, 1L).otherwise(0L))
+          .as("n1"),
+        sum(when($"event_type" === yType, 1L).otherwise(0L)).as("n2"),
+        sum(when($"event_type" === xType, $"s").otherwise(0L))
+          .as("w_ab"),
+        max($"nn").as("nn"))
+      .select($"n1", $"n2", $"w_ab",
+        round(
+          when($"nn" % 2L === 0L,
+            ($"w_ab".cast("double") -
+              ($"n1" * ($"nn" + 2L)).cast("double") / 4.0) /
+            sqrt(($"n1" * $"n2" * ($"nn" + 2L) * ($"nn" - 2L))
+              .cast("double") /
+              (lit(48.0) * ($"nn" - 1L).cast("double"))))
+          .otherwise(
+            ($"w_ab".cast("double") -
+              ($"n1" * ($"nn" + 1L) * ($"nn" + 1L)).cast("double") /
+              (lit(4.0) * $"nn".cast("double"))) /
+            sqrt(($"n1" * $"n2" * ($"nn" + 1L) *
+              (lit(3L) + $"nn" * $"nn")).cast("double") /
+              (lit(48.0) * ($"nn" * $"nn").cast("double")))), 6)
+          .as("z"))
+  }
+
   /** B68 KRUSKAL-WALLIS H test across event types (Kruskal &
     * Wallis 1952 — the k-group rank ANOVA: B41's Mann-Whitney asks
     * "do these TWO cohorts differ", B41/A41's ANOVA assumes
@@ -3475,6 +3575,9 @@ object Resilience {
     "q_wilcoxon_sr" -> ((s, dir) =>
       wilcoxonSignedRank(Tables.events(s, dir))),
     "q_grubbs" -> ((s, dir) => grubbsTest(Tables.events(s, dir))),
+    "q_mood_median" -> ((s, dir) => moodMedianTest(Tables.events(s, dir))),
+    "q_ansari_bradley" -> ((s, dir) =>
+      ansariBradley(Tables.events(s, dir))),
     "q_turning_points" -> ((s, dir) => turningPoints(Tables.events(s, dir))),
     "q_nelson_aalen" -> ((s, dir) => nelsonAalen(Tables.events(s, dir))),
     "q_did" -> didEventStudy,
@@ -4207,6 +4310,90 @@ object Resilience {
          |        * (n_pairs - tied_y - tied_xy))::DOUBLE), 6)
          |  END AS tau_b
          |FROM a2""".stripMargin,
+    // B82 twin: same value-domain pooled median, same 2×k table,
+    // per-type IEEE contributions, event_type-ordered list fold
+    "q_mood_median" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |f AS (SELECT y, count(*)::BIGINT AS t FROM d GROUP BY 1),
+         |np AS (SELECT count(*)::BIGINT AS npool FROM d),
+         |med AS (
+         |  SELECT min(y) AS m FROM (
+         |    SELECT y, sum(t) OVER (ORDER BY y
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum
+         |    FROM f) c, np
+         |  WHERE cum * 2 >= np.npool),
+         |g AS (
+         |  SELECT event_type, count(*)::BIGINT AS ni,
+         |    sum(CASE WHEN y > (SELECT m FROM med) THEN 1 ELSE 0
+         |      END)::BIGINT AS above
+         |  FROM d GROUP BY 1),
+         |marg AS (
+         |  SELECT sum(ni)::BIGINT AS nn, sum(above)::BIGINT AS aa,
+         |    count(*)::BIGINT AS k
+         |  FROM g),
+         |contrib AS (
+         |  SELECT g.event_type, g.ni, g.above, m.k,
+         |    pow(g.above::DOUBLE
+         |        - m.aa::DOUBLE * g.ni::DOUBLE / m.nn::DOUBLE, 2.0)
+         |      / (m.aa::DOUBLE * g.ni::DOUBLE / m.nn::DOUBLE)
+         |    + pow((g.ni - g.above)::DOUBLE
+         |        - (m.nn - m.aa)::DOUBLE * g.ni::DOUBLE / m.nn::DOUBLE,
+         |        2.0)
+         |      / ((m.nn - m.aa)::DOUBLE * g.ni::DOUBLE / m.nn::DOUBLE)
+         |      AS contrib
+         |  FROM g, marg m),
+         |tot AS (
+         |  SELECT (max(k) - 1)::BIGINT AS df,
+         |    round(list_reduce(list_transform(
+         |      list(struct_pack(event_type := event_type,
+         |          contrib := contrib) ORDER BY event_type),
+         |      x -> x.contrib), (a, b) -> a + b), 6) AS chi2
+         |  FROM contrib)
+         |SELECT c.event_type, c.ni AS n_days, c.above,
+         |  (c.ni - c.above)::BIGINT AS at_or_below,
+         |  round(c.contrib, 6) AS chi2_term, t.chi2, t.df
+         |FROM contrib c CROSS JOIN tot t
+         |ORDER BY c.event_type""".stripMargin,
+    // B83 twin: same pooled tie-broken ranks, same min(r, N+1−r)
+    // scores, the same even/odd IEEE z branch
+    "q_ansari_bradley" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |p AS (
+         |  SELECT event_type, day, y FROM d
+         |  WHERE event_type IN ('click', 'view')),
+         |rk AS (
+         |  SELECT event_type,
+         |    row_number() OVER (ORDER BY y, day, event_type)::BIGINT
+         |      AS r
+         |  FROM p),
+         |nt AS (SELECT count(*)::BIGINT AS nn FROM rk),
+         |sc AS (
+         |  SELECT event_type, least(r, nt.nn + 1 - r)::BIGINT AS s,
+         |    nt.nn
+         |  FROM rk, nt),
+         |agg AS (
+         |  SELECT
+         |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+         |      END)::BIGINT AS n1,
+         |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+         |      END)::BIGINT AS n2,
+         |    sum(CASE WHEN event_type = 'click' THEN s ELSE 0
+         |      END)::BIGINT AS w_ab,
+         |    max(nn)::BIGINT AS nn
+         |  FROM sc)
+         |SELECT n1, n2, w_ab,
+         |  round(CASE WHEN nn % 2 = 0 THEN
+         |    (w_ab::DOUBLE - (n1 * (nn + 2))::DOUBLE / 4.0)
+         |    / sqrt((n1 * n2 * (nn + 2) * (nn - 2))::DOUBLE
+         |        / (48.0 * (nn - 1)::DOUBLE))
+         |  ELSE
+         |    (w_ab::DOUBLE - (n1 * (nn + 1) * (nn + 1))::DOUBLE
+         |      / (4.0 * nn::DOUBLE))
+         |    / sqrt((n1 * n2 * (nn + 1) * (3 + nn * nn))::DOUBLE
+         |        / (48.0 * (nn * nn)::DOUBLE))
+         |  END, 6) AS z
+         |FROM agg""".stripMargin,
     // B81 twin: same integer argmax deviation, same exact moments,
     // the same two IEEE export ops
     "q_grubbs" ->
