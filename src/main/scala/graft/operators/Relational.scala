@@ -1359,6 +1359,77 @@ object Relational {
           6).as("z_score"))
   }
 
+  /** A77 CLIFF'S DELTA between the returned/clean price
+    * distributions (Cliff 1993 — the ordinal EFFECT SIZE the A41
+    * Mann-Whitney z deliberately isn't: z says "significant at this
+    * n", δ = P(x>y) − P(x<y) says "how big", n-free — the number a
+    * report should lead with): computed on the same distinct-value
+    * frame as A41 — #(x>y) = Σ_v cr_v·(cn strictly below v) via one
+    * cumulative window, all counts exact decimal(38,0), ONE double
+    * division at export. |δ| ≥ 0.474 is Romano's "large" — emitted
+    * as a flag so the threshold is part of the contract. */
+  def cliffsDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vc = Tables.lineitem(s, dir)
+      .filter($"l_returnflag".isin("R", "N"))
+      .select($"l_returnflag".as("flag"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"cents")
+      .agg(sum(when($"flag" === "R", 1L).otherwise(0L)).as("cr"),
+        sum(when($"flag" === "N", 1L).otherwise(0L)).as("cn"))
+    val wCum = Window.orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = vc
+      .withColumn("belowN", sum($"cn").over(wCum) - $"cn")
+      .withColumn("belowR", sum($"cr").over(wCum) - $"cr")
+    h.groupBy()
+      .agg(sum($"cr").as("n_r"), sum($"cn").as("n_n"),
+        sum($"cr".cast("decimal(38,0)") * $"belowN").as("gt"),
+        sum($"cn".cast("decimal(38,0)") * $"belowR").as("lt"))
+      .select($"n_r", $"n_n",
+        round(($"gt" - $"lt").cast("double") /
+          ($"n_r".cast("double") * $"n_n".cast("double")), 6)
+          .as("delta"),
+        (abs(($"gt" - $"lt").cast("double") /
+          ($"n_r".cast("double") * $"n_n".cast("double"))) >= 0.474)
+          .as("large"))
+  }
+
+  /** A78 COHEN'S D between the same two samples (Cohen 1988 — the
+    * interval-scale effect size beside A77's ordinal δ: standardized
+    * mean difference over the pooled SD; the power-analysis number):
+    * per-flag moments are exact (Σx in BIGINT, Σx² in
+    * decimal(38,0) — the A40 posture), every later op is the
+    * identical IEEE sequence in both engines, export rounds 6. */
+  def cohensD(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.lineitem(s, dir)
+      .filter($"l_returnflag".isin("R", "N"))
+      .select($"l_returnflag".as("flag"),
+        round($"l_extendedprice" * 100).cast("long").as("cents"))
+      .groupBy($"flag")
+      .agg(count(lit(1)).as("n"),
+        sum($"cents").as("s"),
+        sum($"cents".cast("decimal(38,0)") * $"cents").as("q"))
+      .select($"flag", $"n", $"n".cast("double").as("nd"),
+        $"s".cast("double").as("sd"), $"q".cast("double").as("qd"))
+      .withColumn("m", $"sd" / $"nd")
+      .withColumn("v", ($"qd" - $"sd" * $"sd" / $"nd") /
+        ($"nd" - lit(1.0)))
+    val r = g.filter($"flag" === "R")
+      .select($"n".as("n_r"), $"nd".as("ndr"), $"m".as("mr"),
+        $"v".as("vr"))
+    val n = g.filter($"flag" === "N")
+      .select($"n".as("n_n"), $"nd".as("ndn"), $"m".as("mn"),
+        $"v".as("vn"))
+    r.crossJoin(n)
+      .select($"n_r", $"n_n",
+        round(($"mr" - $"mn") /
+          sqrt((($"ndr" - 1.0) * $"vr" + ($"ndn" - 1.0) * $"vn") /
+            ($"ndr" + $"ndn" - 2.0)), 6).as("cohens_d"))
+  }
+
   /** A58 data-quality EXPECTATIONS audit (the Great-Expectations /
     * dbt-test contract checker as one engine pass — the gate a 100 TB
     * ingest runs before anything downstream trusts the batch): seven
@@ -2537,6 +2608,8 @@ object Relational {
     "q_page_trend" -> pageTrend,
     "q_ransac" -> ransacTrend,
     "src_gz_jsonl" -> gzJsonlRoundtrip,
+    "q_cliffs_delta" -> cliffsDelta,
+    "q_cohens_d" -> cohensD,
     "q_welch_ttest" -> welchTTest,
     "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
@@ -3422,6 +3495,55 @@ object Relational {
         |  round(max(diff)::DOUBLE / (max(nr)::DOUBLE * max(nn)::DOUBLE), 6)
         |    AS ks_d
         |FROM m WHERE diff = mx""".stripMargin,
+    // A77 twin: same distinct-value frame, HUGEINT dominance sums,
+    // one double division + the Romano flag
+    "q_cliffs_delta" ->
+      """WITH vc AS (
+        |  SELECT round(l_extendedprice * 100)::BIGINT AS cents,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS cr,
+        |    sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)::BIGINT AS cn
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        |  GROUP BY 1),
+        |h AS (
+        |  SELECT cr, cn,
+        |    sum(cn) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cn
+        |      AS belowN,
+        |    sum(cr) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cr
+        |      AS belowR
+        |  FROM vc),
+        |agg AS (
+        |  SELECT sum(cr)::BIGINT AS n_r, sum(cn)::BIGINT AS n_n,
+        |    sum(cr::HUGEINT * belowN) AS gt,
+        |    sum(cn::HUGEINT * belowR) AS lt
+        |  FROM h)
+        |SELECT n_r, n_n,
+        |  round((gt - lt)::DOUBLE / (n_r::DOUBLE * n_n::DOUBLE), 6)
+        |    AS delta,
+        |  (abs((gt - lt)::DOUBLE / (n_r::DOUBLE * n_n::DOUBLE))
+        |    >= 0.474) AS large
+        |FROM agg""".stripMargin,
+    // A78 twin: the A40 exact-moment posture, identical IEEE order
+    "q_cohens_d" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, count(*)::BIGINT AS n,
+        |    count(*)::DOUBLE AS nd,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::DOUBLE AS sd,
+        |    sum((round(l_extendedprice * 100)::BIGINT)::HUGEINT
+        |      * round(l_extendedprice * 100)::BIGINT)::DOUBLE AS qd
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT flag, n, nd, sd / nd AS m,
+        |    (qd - sd * sd / nd) / (nd - 1.0) AS v
+        |  FROM g)
+        |SELECT r.n AS n_r, n.n AS n_n,
+        |  round((r.m - n.m)
+        |    / sqrt(((r.nd - 1.0) * r.v + (n.nd - 1.0) * n.v)
+        |        / (r.nd + n.nd - 2.0)), 6) AS cohens_d
+        |FROM (SELECT * FROM m WHERE flag = 'R') r
+        |CROSS JOIN (SELECT * FROM m WHERE flag = 'N') n""".stripMargin,
     // A72 twin: same distinct-value ECDF frame as q_ks_test; U is an
     // exact HUGEINT sum of (cr+cn)·gap², the export the one division
     "q_cvm" ->
