@@ -278,6 +278,32 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** D25 JACCARD HISTOGRAM over the D2 candidate pairs — the
+    * threshold-SENSITIVITY curve a dedup rollout decides on ("at 0.5
+    * we merge 400 pairs; dropping to 0.4 adds 2,100 — is the corpus
+    * bimodal or a smear?"): every shingle-sharing pair bucketed by
+    * ⌊10·j⌋ via the INTEGER cross-multiply 10·inter div union (j = 1
+    * exact dups land in their own bucket 10 — the decision-relevant
+    * split), counts per bucket. Same DF-capped inverted-index join
+    * as D2 — the histogram costs exactly one aggregate more than the
+    * candidate enumeration it audits. */
+  def jaccardHist(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = shingles(docs)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.select($"doc_id".as("doc_a"), $"shingle")
+    val b = sh.select($"doc_id".as("doc_b"), $"shingle")
+    a.join(b, "shingle").filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sa")),
+        "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sb")),
+        "doc_b")
+      .select(expr("i * 10 div (sa + sb - i)").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"bucket")
+  }
+
   private val ContainThresh = 0.9
 
   /** D11 containment near-dup (asymmetric): |A∩B| / min(|A|,|B|) —
@@ -1150,6 +1176,7 @@ object Dedup {
       fuzzyKeys(Tables.part(s, dir), "p_brand", maxDist = 1)),
     "dedup_clusters" -> onDocs(nearDupClusters),
     "dedup_training_pairs" -> onDocs(trainingPairs),
+    "dedup_jaccard_hist" -> onDocs(jaccardHist),
     // deterministic eval stand-in: every 50th doc is the "benchmark";
     // library users pass their own eval frame
     "dedup_decontam" -> onDocs(d => decontaminate(
@@ -1721,6 +1748,24 @@ object Dedup {
          |  (c.id = c.cluster_id)::BIGINT AS is_canonical, cs.n_members
          |FROM comp c JOIN cs USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+    // D25 twin: same candidate enumeration, same integer bucket
+    "dedup_jaccard_hist" ->
+      s"""WITH $shinglesSql,
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh
+         |          GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    count(*)::BIGINT AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT (i * 10 // (sa.sz + sb.sz - i))::BIGINT AS bucket
+         |  FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id)
+         |SELECT bucket, count(*)::BIGINT AS n_pairs
+         |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin,
     // D24 twin: the D8 cluster core + the cyclic-next negative rule
     "dedup_training_pairs" ->
       s"""WITH RECURSIVE $clustersCoreSql,

@@ -3030,6 +3030,52 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B84 PAIRED PERMUTATION TEST on the daily click−view differences
+    * (Fisher 1935's exact logic, Monte-Carlo'd — the workhorse that
+    * needs NO distributional assumption at all: under H₀ each day's
+    * difference is symmetric, so random sign flips generate the null;
+    * p = share of flipped sums at least as extreme as the observed):
+    * the 200 sign vectors come from an LCG bit — sign(k, i) = parity
+    * of ((k·2654435761 + i·40503) mod 2³¹) — so the "random"
+    * permutations are DETERMINISTIC, engine-exact, and the twin
+    * replays them (the A76 RANSAC de-randomization move applied to
+    * resampling; the bootstrap precedent is B77). T_obs and every
+    * T_k are exact integer sums; p is one division at export.
+    * Shape: the day-grid frame cross-joined with a 200-row
+    * permutation frame (days·200 rows — calendar-bounded), one
+    * grouped sum, one aggregate. */
+  def permutationTest(events: DataFrame, xType: String = "click",
+      yType: String = "view", nPerms: Int = 200): DataFrame = {
+    import events.sparkSession.implicits._
+    val spark = events.sparkSession
+    val d = dailyTyped(events)
+    val xy = d.filter($"event_type" === xType)
+      .select($"day", $"y".as("x"))
+      .join(d.filter($"event_type" === yType)
+        .select($"day", $"y".as("yv")), "day")
+      .select(($"x" - $"yv").as("diff"),
+        // a stable integer day index for the LCG bit
+        datediff($"day", lit("1990-01-01").cast("date"))
+          .cast("long").as("i"))
+      .localCheckpoint() // T_obs AND the flip expansion read it
+    val tObs = xy.agg(sum($"diff").as("t_obs"),
+      count(lit(1)).as("n_days"))
+    val perms = spark.range(1, nPerms + 1).select($"id".as("k"))
+    val flipped = xy.crossJoin(perms)
+      .select($"k",
+        when(($"k" * 2654435761L + $"i" * 40503L) % 2147483648L % 2L
+          === 0L, $"diff").otherwise(-$"diff").as("fd"))
+      .groupBy($"k").agg(sum($"fd").as("tk"))
+    flipped.crossJoin(broadcast(tObs))
+      .agg(max($"n_days").as("n_days"), max($"t_obs").as("t_obs"),
+        count(lit(1)).as("n_perms"),
+        sum(when(abs($"tk") >= abs($"t_obs"), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .select($"n_days", $"t_obs", $"n_perms", $"n_extreme",
+        round($"n_extreme".cast("double") /
+          $"n_perms".cast("double"), 6).as("p_value"))
+  }
+
   /** B82 MOOD'S MEDIAN TEST across event types (Mood 1950 — the
     * bluntest k-group location test: B68's Kruskal-Wallis uses full
     * rank information, Mood only asks "does each type's share of
@@ -3576,6 +3622,7 @@ object Resilience {
       wilcoxonSignedRank(Tables.events(s, dir))),
     "q_grubbs" -> ((s, dir) => grubbsTest(Tables.events(s, dir))),
     "q_mood_median" -> ((s, dir) => moodMedianTest(Tables.events(s, dir))),
+    "q_perm_test" -> ((s, dir) => permutationTest(Tables.events(s, dir))),
     "q_ansari_bradley" -> ((s, dir) =>
       ansariBradley(Tables.events(s, dir))),
     "q_turning_points" -> ((s, dir) => turningPoints(Tables.events(s, dir))),
@@ -4310,6 +4357,33 @@ object Resilience {
          |        * (n_pairs - tied_y - tied_xy))::DOUBLE), 6)
          |  END AS tau_b
          |FROM a2""".stripMargin,
+    // B84 twin: the same LCG sign bits, integer flipped sums, one
+    // division
+    "q_perm_test" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |xy AS (
+         |  SELECT (x.y - v.y)::BIGINT AS diff,
+         |    datediff('day', DATE '1990-01-01', x.day)::BIGINT AS i
+         |  FROM (SELECT day, y FROM d WHERE event_type = 'click') x
+         |  JOIN (SELECT day, y FROM d WHERE event_type = 'view') v
+         |    USING (day)),
+         |obs AS (
+         |  SELECT sum(diff)::BIGINT AS t_obs, count(*)::BIGINT AS n_days
+         |  FROM xy),
+         |perms AS (SELECT unnest(range(1, 201))::BIGINT AS k),
+         |fl AS (
+         |  SELECT p.k,
+         |    sum(CASE WHEN (p.k * 2654435761 + xy.i * 40503)
+         |        % 2147483648 % 2 = 0
+         |      THEN xy.diff ELSE -xy.diff END)::BIGINT AS tk
+         |  FROM xy CROSS JOIN perms p GROUP BY p.k)
+         |SELECT o.n_days, o.t_obs, count(*)::BIGINT AS n_perms,
+         |  sum(CASE WHEN abs(fl.tk) >= abs(o.t_obs) THEN 1 ELSE 0
+         |    END)::BIGINT AS n_extreme,
+         |  round(sum(CASE WHEN abs(fl.tk) >= abs(o.t_obs) THEN 1
+         |      ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS p_value
+         |FROM fl CROSS JOIN obs o
+         |GROUP BY o.n_days, o.t_obs""".stripMargin,
     // B82 twin: same value-domain pooled median, same 2×k table,
     // per-type IEEE contributions, event_type-ordered list fold
     "q_mood_median" ->
