@@ -151,6 +151,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "h264_sps"),
       (args: Seq[Expression]) => graft.functions.H264SpsInfo(args.head)))
     e.injectFunction((
+      new FunctionIdentifier("webp_dims"),
+      new ExpressionInfo(classOf[graft.functions.WebpDimsInfo].getName,
+        "webp_dims"),
+      (args: Seq[Expression]) => graft.functions.WebpDimsInfo(args.head)))
+    e.injectFunction((
       new FunctionIdentifier("exif_meta"),
       new ExpressionInfo(classOf[graft.functions.ExifMeta].getName,
         "exif_meta"),

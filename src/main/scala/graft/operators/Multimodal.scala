@@ -286,6 +286,9 @@ object Multimodal {
       substring(h, 1, 3) === "FFE"
     val isId3 = substring(h, 1, 6) === "494433"
     val isMp3 = isMp3Bare || isId3
+    // G37: RIFF + WEBP fourcc (the sibling of the RIFF/WAVE check)
+    val isWebp = substring(h, 1, 8) === "52494646" &&
+      substring(h, 17, 8) === "57454250"
     // shard containers (G31/G33): zip by the local-header signature;
     // tar by the POSIX magic at byte 257 (outside the 32-byte hex
     // window — one extra 5-byte slice, still scan-only)
@@ -300,6 +303,7 @@ object Multimodal {
         .when(isBmp, "bmp").when(isWav, "wav").when(isMp4, "mp4")
         .when(isFlac, "flac").when(isMp3, "mp3")
         .when(isZip, "zip").when(isTar, "tar")
+        .when(isWebp, "webp")
         .otherwise("unknown").as("format"),
       when(isPng, pngW).when(isGif, gifW).when(isJpeg, jpegW)
         .when(isBmp, bmpW).as("width"),
@@ -506,6 +510,64 @@ object Multimodal {
       .select($"doc_id", $"v_idx", $"v_ms", $"b.ai".as("a_idx"),
         $"b.am".as("a_ms"), ($"b.am" - $"v_ms").as("drift_ms"))
       .orderBy($"doc_id", $"v_idx")
+  }
+
+  /** Minimal spec-shaped WebP (G37) — the ENCODER side of the
+    * three-layout dimension parse: variant alternates by id%3
+    * (lossy VP8 with the 9D 01 2A start code and 14-bit+scale
+    * fields, lossless VP8L with the LSB-first 28-bit pack, extended
+    * VP8X with 24-bit LE canvas−1), dims closed-form in doc_id. */
+  private[graft] def webpBytes(docId: Long): Array[Byte] = {
+    val w = (200 + docId % 300).toInt
+    val h = (100 + docId % 200).toInt
+    val bos = new java.io.ByteArrayOutputStream(64)
+    def a(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Long): Unit = {
+      var k = 0
+      while (k < 4) { bos.write(((v >> (8 * k)) & 0xff).toInt); k += 1 }
+    }
+    def le24(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    a("RIFF"); le32(40L); a("WEBP")
+    (docId % 3) match {
+      case 0 =>
+        a("VP8 "); le32(12L)
+        bos.write(0x30); bos.write(0x01); bos.write(0x00) // frame tag
+        bos.write(0x9d); bos.write(0x01); bos.write(0x2a)
+        le16(w); le16(h)
+        le16(0) // pad
+      case 1 =>
+        a("VP8L"); le32(8L)
+        bos.write(0x2f)
+        val bits = (w - 1).toLong | ((h - 1).toLong << 14) |
+          ((docId % 2) << 28)
+        le32(bits)
+        le24(0) // pad
+      case _ =>
+        a("VP8X"); le32(10L)
+        le32(0L) // flags + reserved
+        le24(w - 1); le24(h - 1)
+    }
+    bos.toByteArray
+  }
+
+  /** G37 graded entry (`mm_webp_dims`): the synthesized WebPs parsed
+    * back — a hash match proves all three layout branches (scale-bit
+    * masking, the LSB-first 28-bit unpack, the 24-bit canvas−1)
+    * agree with the closed form. */
+  private def webpDimsEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, webpBytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id",
+        graft.functions.WebpDims.dimsCol($"payload").as("d"))
+      .select($"doc_id", $"d.variant".as("variant"),
+        $"d.width".as("width"), $"d.height".as("height"))
+      .orderBy($"doc_id")
   }
 
   /** G35 SHARD MEMBER CATALOG — the shard-format legs (G31 tar, G33
@@ -2293,6 +2355,7 @@ object Multimodal {
     "mm_zip_dir" -> zipDirEntry,
     "mm_h264_sps" -> h264SpsEntry,
     "mm_av_sync" -> avSyncEntry,
+    "mm_webp_dims" -> webpDimsEntry,
     "mm_exif_meta" -> exifMetaEntry,
     "mm_mp4_edits" -> mp4EditsEntry,
     "mm_srt_cues" -> srtCuesEntry,
@@ -2463,6 +2526,14 @@ object Multimodal {
         |SELECT doc_id, v_idx, v_ms::BIGINT AS v_ms, a_idx,
         |  a_ms::BIGINT AS a_ms, (a_ms - v_ms)::BIGINT AS drift_ms
         |FROM r WHERE rk = 1 ORDER BY doc_id, v_idx""".stripMargin,
+    // G37 twin: variant and dims replayed closed-form from doc_id
+    "mm_webp_dims" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l'
+        |    ELSE 'vp8x' END AS variant,
+        |  (200 + doc_id % 300)::BIGINT AS width,
+        |  (100 + doc_id % 200)::BIGINT AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // G34 twin: every SPS field replayed closed-form from doc_id
     "mm_h264_sps" ->
       """SELECT doc_id, 66::BIGINT AS profile_idc,

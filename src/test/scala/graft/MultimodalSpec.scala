@@ -1267,16 +1267,56 @@ class MultimodalSpec extends AnyFunSuite {
       assert(parse(bad).isEmpty, "out-of-scope SPS parsed non-null")
   }
 
-  test("sniffer routes the shard containers: zip and tar") {
+  test("sniffer routes the shard containers: zip, tar, webp") {
     import spark.implicits._
     val rows = Seq(
       (1L, graft.operators.Multimodal.zipBytes(3L)),
       (2L, graft.operators.Multimodal.tarBytes(3L)),
-      (3L, "just text, no container".getBytes("US-ASCII")))
+      (3L, "just text, no container".getBytes("US-ASCII")),
+      (4L, graft.operators.Multimodal.webpBytes(4L)))
       .toDF("doc_id", "payload")
     val got = Multimodal.sniffHeaders(rows)
       .select("doc_id", "format").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got == Map(1L -> "zip", 2L -> "tar", 3L -> "unknown"), got)
+    assert(got == Map(1L -> "zip", 2L -> "tar", 3L -> "unknown",
+      4L -> "webp"), got)
+  }
+
+  test("G37 webp dims: all three layouts, quarantine on the rest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.WebpDims
+    def parse(b: Array[Byte]): Option[(String, Long, Long)] = {
+      val r = Seq(Tuple1(b)).toDF("payload")
+        .select(WebpDims.dimsCol(col("payload")).as("d"))
+        .select(col("d.variant"), col("d.width"), col("d.height"))
+        .collect().head
+      if (r.isNullAt(0)) None
+      else Some((r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+    for (id <- Seq(3L, 4L, 5L)) { // one of each variant
+      val want = (Seq("vp8", "vp8l", "vp8x")((id % 3).toInt),
+        200L + id % 300, 100L + id % 200)
+      assert(parse(graft.operators.Multimodal.webpBytes(id))
+        .contains(want), s"id $id")
+    }
+    // the VP8 scale bits must be masked off the 14-bit dims
+    val scaled = graft.operators.Multimodal.webpBytes(3L).clone()
+    scaled(27) = (scaled(27) | 0xc0).toByte // upscale 3x in width
+    assert(parse(scaled).exists(_._2 == 200L + 3 % 300),
+      "scale bits leaked into the width")
+    // quarantine: bad start code, VP8L version != 0, unknown chunk,
+    // WAVE-not-WEBP, truncation
+    val badStart = graft.operators.Multimodal.webpBytes(3L).clone()
+    badStart(23) = 0x11
+    val badVer = graft.operators.Multimodal.webpBytes(4L).clone()
+    badVer(24) = (badVer(24) | 0xe0).toByte // version bits 3b111
+    val unk = graft.operators.Multimodal.webpBytes(5L).clone()
+    unk(12) = 'X'
+    val wave = graft.operators.Multimodal.webpBytes(3L).clone()
+    wave(8) = 'W'; wave(9) = 'A'; wave(10) = 'V'; wave(11) = 'E'
+    for (bad <- Seq(badStart, badVer, unk, wave,
+        graft.operators.Multimodal.webpBytes(3L).take(20)))
+      assert(parse(bad).isEmpty, "malformed webp parsed non-null")
   }
 }
