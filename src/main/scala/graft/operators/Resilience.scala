@@ -3030,6 +3030,54 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B85 SEASONAL MANN-KENDALL per event type (Hirsch & Slack 1984 —
+    * the B34 trend test de-seasonalized the nonparametric way:
+    * comparisons run only WITHIN each calendar month across years,
+    * so a December swell can never masquerade as a trend; the
+    * standard water-quality/monitoring variant): S = Σ_m S_m over
+    * month-local sign pairs, Var = Σ_m [n_m(n_m−1)(2n_m+5) −
+    * Σ_t t(t−1)(2t+5)]/18 with the month-local tie correction, z
+    * with the ±1 continuity shift. Every S_m, the variance
+    * numerator, and the tie terms are exact integers (month sums are
+    * order-free integer adds — no float fold at all); TWO IEEE ops
+    * at export. Shape: one month-keyed pair self-join of the
+    * day-grid frame (Σ_m n_m² pairs — calendar-bounded), one tie
+    * aggregate, one per-type reduce. */
+  def seasonalMannKendall(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val d = dailyTyped(events)
+      .select($"event_type", $"day", month($"day").as("mo"), $"y")
+      .localCheckpoint() // pairs, counts and ties all read it
+    val pairs = d.as("a").join(d.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.mo") === col("b.mo") && col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(when(col("b.y") > col("a.y"), 1L)
+        .when(col("b.y") < col("a.y"), -1L).otherwise(0L)).as("s"))
+    val nm = d.groupBy($"event_type", $"mo")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"event_type")
+      .agg(sum($"n" * ($"n" - 1L) * (lit(2L) * $"n" + 5L))
+        .as("vn_raw"))
+    val ties = d.groupBy($"event_type", $"mo", $"y")
+      .agg(count(lit(1)).as("t"))
+      .filter($"t" > 1L)
+      .groupBy($"event_type")
+      .agg(sum($"t" * ($"t" - 1L) * (lit(2L) * $"t" + 5L))
+        .as("tie_term"))
+    pairs.join(nm, "event_type")
+      .join(ties, Seq("event_type"), "left")
+      .select($"event_type", $"s",
+        ($"vn_raw" - coalesce($"tie_term", lit(0L))).as("var18"))
+      .select($"event_type", $"s", $"var18",
+        round(
+          when($"s" > 0L, ($"s" - 1L).cast("double"))
+            .when($"s" < 0L, ($"s" + 1L).cast("double"))
+            .otherwise(lit(0.0)) /
+          sqrt($"var18".cast("double") / 18.0), 6).as("z"))
+      .orderBy($"event_type")
+  }
+
   /** B84 PAIRED PERMUTATION TEST on the daily click−view differences
     * (Fisher 1935's exact logic, Monte-Carlo'd — the workhorse that
     * needs NO distributional assumption at all: under H₀ each day's
@@ -3623,6 +3671,8 @@ object Resilience {
     "q_grubbs" -> ((s, dir) => grubbsTest(Tables.events(s, dir))),
     "q_mood_median" -> ((s, dir) => moodMedianTest(Tables.events(s, dir))),
     "q_perm_test" -> ((s, dir) => permutationTest(Tables.events(s, dir))),
+    "q_seasonal_mk" -> ((s, dir) =>
+      seasonalMannKendall(Tables.events(s, dir))),
     "q_ansari_bradley" -> ((s, dir) =>
       ansariBradley(Tables.events(s, dir))),
     "q_turning_points" -> ((s, dir) => turningPoints(Tables.events(s, dir))),
@@ -4357,6 +4407,41 @@ object Resilience {
          |        * (n_pairs - tied_y - tied_xy))::DOUBLE), 6)
          |  END AS tau_b
          |FROM a2""".stripMargin,
+    // B85 twin: same month-local pairs, integer S and variance
+    // numerator, the same continuity-shifted z
+    "q_seasonal_mk" ->
+      s"""WITH d AS ($dailyCountsSql),
+         |dm AS (
+         |  SELECT event_type, day, month(day)::BIGINT AS mo, y
+         |  FROM d),
+         |p AS (
+         |  SELECT a.event_type,
+         |    sum(CASE WHEN b.y > a.y THEN 1
+         |      WHEN b.y < a.y THEN -1 ELSE 0 END)::BIGINT AS s
+         |  FROM dm a JOIN dm b ON a.event_type = b.event_type
+         |    AND a.mo = b.mo AND a.day < b.day
+         |  GROUP BY 1),
+         |nm AS (
+         |  SELECT event_type,
+         |    sum(n * (n - 1) * (2 * n + 5))::BIGINT AS vn_raw
+         |  FROM (SELECT event_type, mo, count(*)::BIGINT AS n
+         |        FROM dm GROUP BY 1, 2) g
+         |  GROUP BY 1),
+         |ties AS (
+         |  SELECT event_type,
+         |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie_term
+         |  FROM (SELECT event_type, mo, y, count(*)::BIGINT AS t
+         |        FROM dm GROUP BY 1, 2, 3) g
+         |  WHERE t > 1 GROUP BY 1)
+         |SELECT p.event_type, p.s,
+         |  (nm.vn_raw - coalesce(ties.tie_term, 0))::BIGINT AS var18,
+         |  round((CASE WHEN p.s > 0 THEN (p.s - 1)::DOUBLE
+         |    WHEN p.s < 0 THEN (p.s + 1)::DOUBLE ELSE 0.0 END)
+         |    / sqrt((nm.vn_raw - coalesce(ties.tie_term, 0))::DOUBLE
+         |      / 18.0), 6) AS z
+         |FROM p JOIN nm USING (event_type)
+         |LEFT JOIN ties USING (event_type)
+         |ORDER BY p.event_type""".stripMargin,
     // B84 twin: the same LCG sign bits, integer flipped sums, one
     // division
     "q_perm_test" ->
