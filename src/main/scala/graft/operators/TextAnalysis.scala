@@ -965,6 +965,37 @@ object TextAnalysis {
       .orderBy($"j")
   }
 
+  /** F53 SCRIPT/CHARSET PROFILE per document (the routing signal
+    * beside F22's mojibake detector: a tokenizer/langid pipeline
+    * wants "what is this doc MADE of" before any model runs —
+    * ascii-letter/digit/punct/CJK/other-nonspace counts and the
+    * DOMINANT class with a fixed tie precedence): pure regex counts
+    * in one codegen projection; the dominant-class argmax is a
+    * greatest() over integers with CJK-first precedence (any
+    * ideograph presence is decisive the way shared Latin classes are
+    * not — the F3 rule). Integer-exact throughout. */
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = docs.select($"doc_id",
+      size(expr("regexp_extract_all(text, '[A-Za-z]', 0)"))
+        .cast("long").as("n_alpha"),
+      size(expr("regexp_extract_all(text, '[0-9]', 0)"))
+        .cast("long").as("n_digit"),
+      size(expr("regexp_extract_all(text, '[.,!?;:()\\'\"-]', 0)"))
+        .cast("long").as("n_punct"),
+      size(expr("regexp_extract_all(text, '[\\\\x{4E00}-\\\\x{9FFF}]', 0)"))
+        .cast("long").as("n_cjk"),
+      length($"text").cast("long").as("n_chars"))
+    t.select($"doc_id", $"n_alpha", $"n_digit", $"n_punct", $"n_cjk",
+        $"n_chars",
+        when($"n_cjk" > 0L, "cjk")
+          .when($"n_alpha" >= $"n_digit" &&
+            $"n_alpha" >= $"n_punct", "latin")
+          .when($"n_digit" >= $"n_punct", "numeric")
+          .otherwise("punct").as("dominant"))
+      .orderBy($"doc_id")
+  }
+
   /** F52 VOCABULARY COVERAGE curve (the tokenizer-budget dial: what
     * fraction of corpus token OCCURRENCES does a k-type vocabulary
     * cover — the number a BPE/vocab-size decision actually trades
@@ -1972,6 +2003,7 @@ object TextAnalysis {
     "text_textrank" -> onDocs(textrank),
     "text_heaps" -> onDocs(heapsLaw),
     "text_vocab_coverage" -> onDocs(v => vocabCoverage(v)),
+    "text_script_profile" -> onDocs(scriptProfile),
     "text_chunk" -> onDocs(d => chunk(d)),
     "text_entropy" -> onDocs(charEntropy),
     "text_tokens" -> onDocs(tokenCounts),
@@ -2905,6 +2937,26 @@ object TextAnalysis {
         |  FROM counted)
         |SELECT rk::BIGINT AS rank, t1, t2, n, min_dist
         |FROM top WHERE rk <= 20 ORDER BY rank""".stripMargin,
+    // F53 twin: same regex classes, same CJK-first precedence
+    "text_script_profile" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT
+        |      AS n_alpha,
+        |    len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit,
+        |    len(regexp_extract_all(text, '[.,!?;:()''"-]'))::BIGINT
+        |      AS n_punct,
+        |    len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]'))::BIGINT
+        |      AS n_cjk,
+        |    length(text)::BIGINT AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, n_alpha, n_digit, n_punct, n_cjk, n_chars,
+        |  CASE WHEN n_cjk > 0 THEN 'cjk'
+        |    WHEN n_alpha >= n_digit AND n_alpha >= n_punct
+        |      THEN 'latin'
+        |    WHEN n_digit >= n_punct THEN 'numeric'
+        |    ELSE 'punct' END AS dominant
+        |FROM t ORDER BY doc_id""".stripMargin,
     // F52 twin: same (count desc, term) rank, same cumulative sum,
     // same clamped cut lookup
     "text_vocab_coverage" ->
