@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
   * Wire format is the public ITU-T H.264 spec §7.3.2.1 (also ISO/IEC
   * 14496-10): NAL header byte (type must be 7), emulation-prevention
   * unescape (00 00 03 → 00 00, §7.4.1), then ue(v) Exp-Golomb
-  * fields. Scope is the Baseline/Main/Extended header layout
-  * (profile_idc < 100); High-profile SPSes carry a chroma-format
-  * block this v0 does NOT parse — they QUARANTINE explicitly (the
+  * fields. Scope is the Baseline/Main/Extended header layout; any
+  * profile_idc that carries the chroma-format block per §7.3.2.1.1
+  * (44, 83, 86, 100, 110, 118, 122, 128, 134, 135, 138, 139, 244)
+  * is NOT parsed by this v0 — it QUARANTINES explicitly (the
   * ctts-version lesson: enforce the scope, never misparse past it).
   * pic_order_cnt_type 1 (the delta-table variant) likewise
   * quarantines; types 0 and 2 parse.
@@ -30,6 +31,11 @@ import org.apache.spark.sql.types._
   * return NULL — corrupt assets degrade to "no info", never a wrong
   * resolution. */
 object H264Sps {
+
+  /** profile_idc values whose SPS carries the chroma_format_idc
+    * block (H.264 §7.3.2.1.1) — out of the v0 baseline layout. */
+  private val ChromaBlockProfiles: Set[Long] =
+    Set(44L, 83L, 86L, 100L, 110L, 118L, 122L, 128L, 134L, 135L, 138L, 139L, 244L)
 
   /** Strip the NAL header byte and emulation-prevention bytes. */
   private def rbsp(b: Array[Byte]): Array[Byte] = {
@@ -97,7 +103,9 @@ object H264Sps {
     r.u(8) // constraint flags + reserved
     val level = r.u(8)
     if (profile < 0 || level < 0) return null
-    if (profile >= 100) return null // High-profile chroma block: v0 scope
+    // Parsing a chroma-block profile as the baseline layout would
+    // read the chroma fields as frame_num/width — quarantine instead.
+    if (ChromaBlockProfiles.contains(profile)) return null
     val spsId = r.ue()
     val log2mfn = r.ue()
     val pocType = r.ue()

@@ -82,17 +82,48 @@ object TarWalk {
     var e = p
     val end = p + n
     while (e < end && b(e) != 0) e += 1
-    new String(b, p, e - p, java.nio.charset.StandardCharsets.US_ASCII)
+    new String(b, p, e - p, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The `path=` record of a PAX extended header block (POSIX
+    * "%d %s=%s\n" records, length counts the whole record, values
+    * are UTF-8); null when absent, "" sentinel on malformation. */
+  private def paxPath(b: Array[Byte], off: Int, size: Int): String = {
+    var p = off
+    val end = off + size
+    var path: String = null
+    while (p < end) {
+      var q = p
+      var recLen = 0
+      while (q < end && b(q) >= '0' && b(q) <= '9') {
+        recLen = recLen * 10 + (b(q) - '0'); q += 1
+      }
+      if (q >= end || b(q) != ' ' || recLen <= 0 ||
+          p + recLen > end || b(p + recLen - 1) != '\n') return ""
+      val kv = new String(b, q + 1, p + recLen - 1 - (q + 1),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val eq = kv.indexOf('=')
+      if (eq < 0) return ""
+      if (kv.substring(0, eq) == "path") path = kv.substring(eq + 1)
+      p += recLen
+    }
+    path
   }
 
   /** Member table: array<struct<entry_idx, name, offset, size,
     * typeflag>> — offset addresses the member DATA (header + 512);
-    * empty on any malformation. */
+    * empty on any malformation. PAX extended headers (typeflag x)
+    * and GNU long-name blocks (L) apply their recorded name to the
+    * FOLLOWING member and are not emitted as members themselves;
+    * global PAX headers (g) and GNU long-linkname blocks (K) are
+    * skipped with their data blocks consumed — metadata blobs never
+    * index as samples (GNU tar docs, POSIX pax Interchange Format). */
   def members(bytes: Array[Byte]): ArrayData = {
     val len = bytes.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var p = 0
     var idx = 0L
+    var pendingName: String = null // from a preceding 'x' or 'L'
     while (p + 512 <= len) {
       if (zeroBlock(bytes, p)) return new GenericArrayData(out.toArray)
       // POSIX magic "ustar" at 257 (v7 archives lack it: quarantine)
@@ -103,16 +134,37 @@ object TarWalk {
       if (size < 0L) return empty
       val declared = octal(bytes, p + 148, 8)
       if (declared < 0L || declared != checksum(bytes, p)) return empty
-      val base = str(bytes, p, 100)
-      val prefix = str(bytes, p + 345, 155)
-      val name = if (prefix.isEmpty) base else prefix + "/" + base
       val tf = bytes(p + 156)
-      val typeflag = if (tf == 0) "0" else tf.toChar.toString
       val blocks = (size + 511L) / 512L
       if (p + 512L + blocks * 512L > len) return empty // truncated data
-      out += InternalRow(idx, UTF8String.fromString(name),
-        p + 512L, size, UTF8String.fromString(typeflag))
-      idx += 1L
+      if (tf == 'x' || tf == 'g' || tf == 'L' || tf == 'K') {
+        if (size > (1L << 20)) return empty // metadata blob cap
+        if (tf == 'x') {
+          val path = paxPath(bytes, p + 512, size.toInt)
+          if (path != null && path.isEmpty) return empty // malformed PAX
+          if (path != null) pendingName = path
+        } else if (tf == 'L') {
+          // GNU longname: NUL-terminated name fills the data blocks
+          var e = p + 512
+          val dEnd = p + 512 + size.toInt
+          while (e < dEnd && bytes(e) != 0) e += 1
+          pendingName = new String(bytes, p + 512, e - (p + 512),
+            java.nio.charset.StandardCharsets.UTF_8)
+        } // 'g'/'K': consume and drop
+      } else {
+        val name =
+          if (pendingName != null) pendingName
+          else {
+            val base = str(bytes, p, 100)
+            val prefix = str(bytes, p + 345, 155)
+            if (prefix.isEmpty) base else prefix + "/" + base
+          }
+        pendingName = null
+        val typeflag = if (tf == 0) "0" else tf.toChar.toString
+        out += InternalRow(idx, UTF8String.fromString(name),
+          p + 512L, size, UTF8String.fromString(typeflag))
+        idx += 1L
+      }
       p += 512 + (blocks * 512L).toInt
     }
     new GenericArrayData(out.toArray)

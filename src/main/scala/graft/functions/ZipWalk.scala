@@ -79,8 +79,16 @@ object ZipWalk {
       val commentLen = u16(bytes, p + 32)
       val localOff = u32(bytes, p + 42)
       if (p + 46 + nameLen + extraLen + commentLen > found) return empty
-      val name = new String(bytes, p + 46, nameLen,
-        java.nio.charset.StandardCharsets.US_ASCII)
+      // APPNOTE §4.4.4: general-purpose bit 11 (EFS) declares the
+      // name UTF-8; otherwise the legacy encoding is CP437, which
+      // ISO-8859-1 maps byte-preserving for the ASCII range and
+      // round-trips (no replacement chars) beyond it. WebDataset-era
+      // writers set EFS, so non-ASCII sample keys group correctly.
+      val gpFlags = u16(bytes, p + 8)
+      val nameCharset =
+        if ((gpFlags & 0x0800) != 0) java.nio.charset.StandardCharsets.UTF_8
+        else java.nio.charset.StandardCharsets.ISO_8859_1
+      val name = new String(bytes, p + 46, nameLen, nameCharset)
       // cross-check the local header: signature + its own name/extra
       // lengths give the true data offset
       if (localOff + 30 > cdOff) return empty

@@ -969,9 +969,13 @@ object Dedup {
     val wOrd = Window.orderBy($"anchor")
     val wAll = Window.orderBy($"anchor")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // Degenerate single-cluster frame: the cyclic fallback would
+    // make negative == anchor — emit NULL instead (same guard in
+    // the DuckDB twin) so a one-cluster corpus never trains on its
+    // own anchor as a negative.
     val negs = canon.select($"anchor",
-      coalesce(lead($"anchor", 1).over(wOrd),
-        first($"anchor").over(wAll)).as("negative"))
+      nullif(coalesce(lead($"anchor", 1).over(wOrd),
+        first($"anchor").over(wAll)), $"anchor").as("negative"))
     val pos = comp.filter($"doc_id" =!= $"cluster_id")
       .select($"cluster_id".as("anchor"), $"doc_id".as("positive"))
     pos.join(negs, "anchor")
@@ -1773,8 +1777,8 @@ object Dedup {
          |  SELECT cluster_id AS anchor FROM comp WHERE id = cluster_id),
          |negs AS (
          |  SELECT anchor,
-         |    coalesce(lead(anchor) OVER (ORDER BY anchor),
-         |      (SELECT min(anchor) FROM canon)) AS negative
+         |    nullif(coalesce(lead(anchor) OVER (ORDER BY anchor),
+         |      (SELECT min(anchor) FROM canon)), anchor) AS negative
          |  FROM canon),
          |pos AS (
          |  SELECT cluster_id AS anchor, id AS positive

@@ -1128,6 +1128,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(parse(pfx).head._2 == s"shard/part0/d${id}_s0.txt")
   }
 
+  test("G31 tar PAX and GNU long-name headers: applied, skipped, never indexed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.TarWalk
+    def parse(b: Array[Byte]): Seq[(Long, String, Long, Long, String)] =
+      Seq(Tuple1(b)).toDF("payload")
+        .select(explode(TarWalk.tarMembers(col("payload"))).as("m"))
+        .select(col("m.entry_idx"), col("m.name"), col("m.offset"),
+          col("m.size"), col("m.typeflag"))
+        .as[(Long, String, Long, Long, String)].collect().toSeq
+    def hdr(name: String, size: Long, tf: Char): Array[Byte] = {
+      val b = new Array[Byte](512)
+      val nb = name.getBytes("UTF-8")
+      System.arraycopy(nb, 0, b, 0, math.min(nb.length, 100))
+      val sz = f"$size%011o".getBytes("US-ASCII")
+      System.arraycopy(sz, 0, b, 124, 11)
+      b(156) = tf.toByte
+      System.arraycopy("ustar".getBytes("US-ASCII"), 0, b, 257, 5)
+      java.util.Arrays.fill(b, 148, 156, ' '.toByte)
+      var s = 0; var i = 0
+      while (i < 512) { s += b(i) & 0xff; i += 1 }
+      val cs = f"$s%06o".getBytes("US-ASCII")
+      System.arraycopy(cs, 0, b, 148, 6); b(154) = 0; b(155) = ' '
+      b
+    }
+    def member(name: String, data: Array[Byte], tf: Char = '0'): Array[Byte] =
+      hdr(name, data.length.toLong, tf) ++ data ++
+        new Array[Byte]((512 - data.length % 512) % 512)
+    def paxRecord(key: String, value: String): Array[Byte] = {
+      val body = s" $key=$value\n".getBytes("UTF-8")
+      var l = body.length + 1
+      while (l.toString.length + body.length != l) l += 1
+      (l.toString.getBytes("US-ASCII") ++ body)
+    }
+    val longName = "very/deep/dataset/layout/" + ("seg/" * 22) +
+      "sample_00042.jsonl" // > 100 bytes
+    val utf8Name = "shard/données_εξ.txt"
+    val paxArchive =
+      member("PaxHeaders.0/trunc", paxRecord("path", longName), 'x') ++
+      member(longName.take(100), "payload-A".getBytes("US-ASCII")) ++
+      member("ignored-global", paxRecord("path", "never/applies"), 'g') ++
+      member("plain.txt", "payload-B".getBytes("US-ASCII")) ++
+      member("././@LongLink", (utf8Name + "\u0000").getBytes("UTF-8"), 'L') ++
+      member(utf8Name.take(20), "payload-C".getBytes("US-ASCII")) ++
+      member("././@LongLink", ("link/target\u0000").getBytes("UTF-8"), 'K') ++
+      member("linked.bin", "payload-D".getBytes("US-ASCII")) ++
+      new Array[Byte](1024)
+    val got = parse(paxArchive)
+    // four REAL members, none of the metadata blocks indexed
+    assert(got.map(_._2) ==
+      Seq(longName, "plain.txt", utf8Name, "linked.bin"), got)
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    // offsets address the actual payloads
+    got.zip(Seq("payload-A", "payload-B", "payload-C", "payload-D"))
+      .foreach { case (r, want) =>
+        val data = new String(paxArchive, r._3.toInt, r._4.toInt, "UTF-8")
+        assert(data == want, s"offset of ${r._2} points at '$data'")
+      }
+    // a malformed PAX record (no terminating newline) quarantines
+    val badPax =
+      member("PaxHeaders.0/x", "9 path=ab".getBytes("US-ASCII"), 'x') ++
+      member("a.txt", "z".getBytes("US-ASCII")) ++ new Array[Byte](1024)
+    assert(parse(badPax).isEmpty, "malformed PAX parsed non-empty")
+    // PAX header without a path record: following member keeps its own name
+    val noPath =
+      member("PaxHeaders.0/y", paxRecord("mtime", "1700000000.5"), 'x') ++
+      member("own-name.txt", "q".getBytes("US-ASCII")) ++ new Array[Byte](1024)
+    assert(parse(noPath).map(_._2) == Seq("own-name.txt"))
+  }
+
   test("G33 zip directory walk: JDK-writer interop, comment scan, quarantine") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode}
@@ -1144,7 +1214,10 @@ class MultimodalSpec extends AnyFunSuite {
     // data_offset really addresses the bytes
     val bos = new java.io.ByteArrayOutputStream()
     val zos = new java.util.zip.ZipOutputStream(bos)
-    val payloads = Seq("alpha" -> "hello world", "beta/x" -> "0123456789abcdef")
+    // JDK writes UTF-8 names with the EFS flag (GP bit 11) set — the
+    // non-ASCII key must round-trip, not decode to replacement chars
+    val payloads = Seq("alpha" -> "hello world", "beta/x" -> "0123456789abcdef",
+      "shard/clé_数据.txt" -> "utf8 sample")
     payloads.foreach { case (n, s) =>
       val d = s.getBytes("US-ASCII")
       val e = new java.util.zip.ZipEntry(n)
@@ -1253,16 +1326,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
     val i = parse(interlaced).get
     assert((i._7, i._8, i._9) == ((0L, 640L, 480L)), i)
-    // quarantine: High profile, poc_type 1, wrong NAL type, truncation
-    val high = sps { (u, ue) =>
-      u(8, 100); u(8, 0); u(8, 40); ue(0)
+    // quarantine: every chroma-block profile (H.264 §7.3.2.1.1 —
+    // including the sub-100 ones 44/83/86), poc_type 1, wrong NAL
+    // type, truncation
+    val chromaProfiles = Seq(44, 83, 86, 100, 110, 118, 122, 128,
+      134, 135, 138, 139, 244)
+    val highs = chromaProfiles.map { pr =>
+      sps { (u, ue) => u(8, pr); u(8, 0); u(8, 40); ue(0) }
     }
     val poc1 = sps { (u, ue) =>
       u(8, 66); u(8, 0); u(8, 30); ue(0); ue(0); ue(1)
     }
     val ok = graft.operators.Multimodal.spsBytes(4L)
     val wrongType = ok.clone(); wrongType(0) = 0x61 // type 1, not SPS
-    for (bad <- Seq(high, poc1, wrongType, ok.take(6),
+    for (bad <- highs ++ Seq(poc1, wrongType, ok.take(6),
         Array[Byte](0x67)))
       assert(parse(bad).isEmpty, "out-of-scope SPS parsed non-null")
   }
