@@ -124,6 +124,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (args.length <= 1) graft.functions.Mp4EditList(args.head)
         else graft.functions.Mp4EditList(args.head, litString(args, 1,
           "mp4_edits(payload[, handler]) requires a literal handler"))))
+    e.injectFunction((
+      new FunctionIdentifier("mp4_frag_samples"),
+      new ExpressionInfo(classOf[graft.functions.Mp4FragTable].getName,
+        "mp4_frag_samples"),
+      (args: Seq[Expression]) => graft.functions.Mp4FragTable(args.head)))
     // the audio/image header-demux family (G22/G24/G25)
     e.injectFunction((
       new FunctionIdentifier("mp3_frames"),

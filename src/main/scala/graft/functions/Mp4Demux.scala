@@ -36,17 +36,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * corrupt asset must degrade to "no samples", not kill the scan. */
 object Mp4Demux {
 
-  private def be32(b: Array[Byte], p: Int): Long =
+  private[functions] def be32(b: Array[Byte], p: Int): Long =
     ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
       ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
 
-  private def be64(b: Array[Byte], p: Int): Long =
+  private[functions] def be64(b: Array[Byte], p: Int): Long =
     (be32(b, p) << 32) | be32(b, p + 4)
 
   /** FullBox version byte (first payload byte). */
-  private def ver(b: Array[Byte], lo: Int): Int = b(lo) & 0xff
+  private[functions] def ver(b: Array[Byte], lo: Int): Int = b(lo) & 0xff
 
-  private def typIs(b: Array[Byte], p: Int, t: String): Boolean =
+  private[functions] def typIs(b: Array[Byte], p: Int, t: String): Boolean =
     b(p) == t.charAt(0).toByte && b(p + 1) == t.charAt(1).toByte &&
       b(p + 2) == t.charAt(2).toByte && b(p + 3) == t.charAt(3).toByte
 
@@ -55,7 +55,7 @@ object Mp4Demux {
     * size ≥ 8 plain, size == 1 → 64-bit largesize follows the type,
     * size == 0 → box extends to the end of the enclosure. Packed as
     * (payloadLo << 32) | boxEnd, or -1 on malformation/overrun. */
-  private def bounds(b: Array[Byte], p: Int, end: Int): Long = {
+  private[functions] def bounds(b: Array[Byte], p: Int, end: Int): Long = {
     if (p + 8 > end) return -1L
     val size = be32(b, p)
     if (size == 0L) return ((p + 8).toLong << 32) | end.toLong
@@ -72,7 +72,7 @@ object Mp4Demux {
   /** First box of type `t` among the siblings in [start, end),
     * packed as (payloadLo << 32) | boxEnd; -1 if absent. Starting
     * `from` past the previous box's end iterates siblings. */
-  private def findBox(b: Array[Byte], start: Int, end: Int,
+  private[functions] def findBox(b: Array[Byte], start: Int, end: Int,
       t: String): Long = {
     var p = start
     while (p + 8 <= end) {
@@ -86,8 +86,8 @@ object Mp4Demux {
     -1L
   }
 
-  private def loOf(packed: Long): Int = (packed >>> 32).toInt
-  private def hiOf(packed: Long): Int = (packed & 0xffffffffL).toInt
+  private[functions] def loOf(packed: Long): Int = (packed >>> 32).toInt
+  private[functions] def hiOf(packed: Long): Int = (packed & 0xffffffffL).toInt
 
   /** (lo, hi) payload bounds of the FIRST trak's stbl, or null. */
   private def stblBounds(bytes: Array[Byte]): (Int, Int) = {

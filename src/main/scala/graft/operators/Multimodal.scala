@@ -1296,6 +1296,116 @@ object Multimodal {
     bb.array()
   }
 
+  /** Fragmented-mp4 twin of [[mp4Bytes]] (G38): styp + a stub moov
+    * whose ONLY sample metadata is the mvex/trex defaults (track 1,
+    * default duration 1000, default flags non-sync), then
+    * F = 2 + id%3 movie fragments, each moof(mfhd seq,
+    * traf(tfhd default-base-is-moof, tfdt v1 base decode time,
+    * trun)) + mdat — the CMAF/DASH segment wire shape. The trun
+    * field mix varies per fragment so every flags path is exercised:
+    * per-sample sizes when f is even (sz = 20 + (id·31+f·17+i·7)%180)
+    * vs a tfhd default-size override when odd (30 + (id+f)%50);
+    * per-sample durations when f%3=0 (500 + 10·i) vs the trex
+    * default 1000; v1 signed composition offsets when f%3=1
+    * (((i%3)−1)·100). first_sample_flags marks sample 0 sync; all
+    * others inherit the trex non-sync default. All fields closed-form
+    * in doc_id so the oracle replays layout, offsets and timing with
+    * no byte parsing. */
+  private[graft] def mp4FragBytes(docId: Long): Array[Byte] = {
+    val nF = (2 + docId % 3).toInt
+    def n(f: Int) = (3 + (docId + f) % 4).toInt
+    def hasDur(f: Int) = f % 3 == 0
+    def hasSize(f: Int) = f % 2 == 0
+    def hasCts(f: Int) = f % 3 == 1
+    def kOf(f: Int) = (if (hasDur(f)) 1 else 0) +
+      (if (hasSize(f)) 1 else 0) + (if (hasCts(f)) 1 else 0)
+    def dsz(f: Int) = (30 + (docId + f) % 50).toInt
+    def sz(f: Int, i: Int) = (20 + (docId * 31 + f * 17 + i * 7) % 180).toInt
+    def dur(f: Int, i: Int) = if (hasDur(f)) 500 + 10 * i else 1000
+    def cts(f: Int, i: Int) = if (hasCts(f)) ((i % 3) - 1) * 100 else 0
+    // 8 moof + 16 mfhd + 8 traf + (16|20) tfhd + 20 tfdt + 24 trun
+    // fixed part + 4 bytes per present trun field per sample
+    def moofSize(f: Int) =
+      92 + (if (f % 2 == 1) 4 else 0) + n(f) * 4 * kOf(f)
+    def payload(f: Int) =
+      if (hasSize(f)) (0 until n(f)).map(sz(f, _)).sum else n(f) * dsz(f)
+    val totalLen = 68 +
+      (0 until nF).map(f => moofSize(f) + 8 + payload(f)).sum
+    val bb = java.nio.ByteBuffer.allocate(totalLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def box(size: Int, typ: String): Unit = {
+      bb.putInt(size); bb.put(typ.getBytes("US-ASCII")); ()
+    }
+    box(20, "styp")
+    bb.put("msdh".getBytes("US-ASCII")).putInt(0)
+      .put("msdh".getBytes("US-ASCII"))
+    box(48, "moov"); box(40, "mvex"); box(32, "trex")
+    bb.putInt(0).putInt(1).putInt(1).putInt(1000).putInt(0)
+      .putInt(0x00010000)
+    var base = 0L
+    var f = 0
+    while (f < nF) {
+      val nn = n(f)
+      box(moofSize(f), "moof")
+      box(16, "mfhd"); bb.putInt(0).putInt(f + 1)
+      box(moofSize(f) - 24, "traf")
+      box(16 + (if (f % 2 == 1) 4 else 0), "tfhd")
+      bb.putInt(0x020000 | (if (f % 2 == 1) 0x10 else 0)) // v0 + flags
+      bb.putInt(1) // track_ID
+      if (f % 2 == 1) bb.putInt(dsz(f))
+      box(20, "tfdt"); bb.putInt(0x01000000).putLong(base)
+      val trunFlags = 0x01 | 0x04 |
+        (if (hasDur(f)) 0x100 else 0) | (if (hasSize(f)) 0x200 else 0) |
+        (if (hasCts(f)) 0x800 else 0)
+      box(24 + nn * 4 * kOf(f), "trun")
+      bb.putInt(((if (hasCts(f)) 1 else 0) << 24) | trunFlags)
+      bb.putInt(nn)
+      bb.putInt(moofSize(f) + 8) // data_offset → mdat payload start
+      bb.putInt(0x02000000) // first_sample_flags: I-frame, sync
+      var i = 0
+      while (i < nn) {
+        if (hasDur(f)) bb.putInt(dur(f, i))
+        if (hasSize(f)) bb.putInt(sz(f, i))
+        if (hasCts(f)) bb.putInt(cts(f, i))
+        i += 1
+      }
+      box(8 + payload(f), "mdat")
+      i = 0
+      while (i < nn) {
+        val s = if (hasSize(f)) sz(f, i) else dsz(f)
+        var b2 = 0
+        while (b2 < s) { bb.put(((docId + i) % 251).toByte); b2 += 1 }
+        i += 1
+      }
+      base += (0 until nn).map(dur(f, _)).sum
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** G38 graded entry (`mm_mp4_fragments`): the fragmented-layout
+    * per-sample read+timing plan demuxed back from the moof walk; the
+    * oracle replays the closed-form fragment layout — moof sizes,
+    * mdat offset arithmetic, tfdt bases, trun field mixes — with no
+    * byte parsing, so a hash match proves encoder and walker agree on
+    * every sample's absolute (offset, size, dts, pts, sync). */
+  private def mp4FragmentsEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, mp4FragBytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id", explode(graft.functions.Mp4Frag
+        .mp4FragSamples($"payload")).as("sm"))
+      .select($"doc_id", $"sm.seq".as("seq"),
+        $"sm.track_id".as("track_id"),
+        $"sm.sample_idx".as("sample_idx"),
+        $"sm.file_offset".as("file_offset"),
+        $"sm.sample_size".as("sample_size"),
+        $"sm.dts".as("dts"), $"sm.pts".as("pts"),
+        $"sm.duration".as("duration"), $"sm.is_sync".as("is_sync"))
+      .orderBy($"doc_id", $"seq", $"sample_idx")
+  }
+
   /** Multi-track, 64-bit-path twin of [[mp4Bytes]] (G18): a
     * header-only metadata PREFIX — ftyp, a 64-bit `largesize` free
     * box the walker must skip, a moov with TWO traks carrying REAL
@@ -2346,6 +2456,7 @@ object Multimodal {
     "mm_mp4_tracks" -> mp4TracksEntry,
     "mm_mp4_audio_plan" -> mp4AudioPlanEntry,
     "mm_mp4_keyframe_plan" -> mp4KeyframePlanEntry,
+    "mm_mp4_fragments" -> mp4FragmentsEntry,
     "mm_mp3_frames" -> mp3FramesEntry,
     "mm_mp3_summary" -> mp3SummaryEntry,
     "mm_flac_info" -> flacInfoEntry,
@@ -2369,6 +2480,73 @@ object Multimodal {
     "mm_phash_dedup" -> phashDedupEntry)
 
   val oracles: Map[String, String] = Map(
+    // G38 twin: the fragmented layout replayed closed-form — per-
+    // fragment moof sizes (92 + tfhd override + 4 bytes per present
+    // trun field per sample), mdat payload prefix sums for offsets,
+    // tfdt bases as prior-fragment duration sums, the per-fragment
+    // trun field mix (sizes when f even, durations when f%3=0, v1
+    // signed cts when f%3=1), first-sample-only sync
+    "mm_mp4_fragments" ->
+      """WITH d AS (
+        |  SELECT doc_id, (2 + doc_id % 3)::INT AS nf FROM documents),
+        |fr AS (
+        |  SELECT doc_id, unnest(range(0, nf))::BIGINT AS f FROM d),
+        |fx AS (
+        |  SELECT doc_id, f, (3 + (doc_id + f) % 4)::BIGINT AS n,
+        |    CASE WHEN f % 3 = 0 THEN 1 ELSE 0 END AS has_dur,
+        |    CASE WHEN f % 2 = 0 THEN 1 ELSE 0 END AS has_size,
+        |    CASE WHEN f % 3 = 1 THEN 1 ELSE 0 END AS has_cts
+        |  FROM fr),
+        |si AS (
+        |  SELECT doc_id, f, n, has_dur, has_size, has_cts,
+        |    unnest(range(0, n::INT))::BIGINT AS i
+        |  FROM fx),
+        |sv AS (
+        |  SELECT doc_id, f, n, has_dur, has_size, has_cts, i,
+        |    CASE WHEN has_size = 1
+        |      THEN 20 + (doc_id * 31 + f * 17 + i * 7) % 180
+        |      ELSE 30 + (doc_id + f) % 50 END AS ssz,
+        |    CASE WHEN has_dur = 1 THEN 500 + 10 * i ELSE 1000 END AS sdur,
+        |    CASE WHEN has_cts = 1 THEN ((i % 3) - 1) * 100 ELSE 0 END AS scts
+        |  FROM si),
+        |sw AS (
+        |  SELECT *,
+        |    coalesce(sum(ssz) OVER (PARTITION BY doc_id, f ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prior_sz,
+        |    coalesce(sum(sdur) OVER (PARTITION BY doc_id, f ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prior_dur
+        |  FROM sv),
+        |fagg AS (
+        |  SELECT doc_id, f, max(n) AS n,
+        |    92 + CASE WHEN f % 2 = 1 THEN 4 ELSE 0 END
+        |      + max(n) * 4 * (max(has_dur) + max(has_size) + max(has_cts))
+        |      AS moof_size,
+        |    sum(ssz) AS payload, sum(sdur) AS dur_total
+        |  FROM sv GROUP BY doc_id, f),
+        |fw AS (
+        |  SELECT doc_id, f, moof_size,
+        |    coalesce(sum(moof_size + 8 + payload) OVER (
+        |      PARTITION BY doc_id ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS prior_bytes,
+        |    coalesce(sum(dur_total) OVER (
+        |      PARTITION BY doc_id ORDER BY f
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS base_dts
+        |  FROM fagg)
+        |SELECT s.doc_id, (s.f + 1)::BIGINT AS seq, 1::BIGINT AS track_id,
+        |  s.i::BIGINT AS sample_idx,
+        |  (68 + w.prior_bytes + w.moof_size + 8 + s.prior_sz)::BIGINT
+        |    AS file_offset,
+        |  s.ssz::BIGINT AS sample_size,
+        |  (w.base_dts + s.prior_dur)::BIGINT AS dts,
+        |  (w.base_dts + s.prior_dur + s.scts)::BIGINT AS pts,
+        |  s.sdur::BIGINT AS duration,
+        |  (CASE WHEN s.i = 0 THEN 1 ELSE 0 END)::BIGINT AS is_sync
+        |FROM sw s JOIN fw w ON s.doc_id = w.doc_id AND s.f = w.f
+        |ORDER BY s.doc_id, seq, sample_idx""".stripMargin,
     // G22 twin: the closed-form mp3 layout replayed — syncsafe tag
     // offset, the bitrate/samplerate ladders as 1-based list lookups,
     // the spec's integer frame-length formula, offsets by window sum

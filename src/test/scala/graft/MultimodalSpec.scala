@@ -1344,6 +1344,114 @@ class MultimodalSpec extends AnyFunSuite {
       assert(parse(bad).isEmpty, "out-of-scope SPS parsed non-null")
   }
 
+  test("G38 fmp4 fragment walk: trun field mixes, explicit base offset, scope quarantine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.Mp4Frag
+    def parse(b: Array[Byte]): Seq[(Long, Long, Long, Long, Long, Long,
+        Long, Long, Long)] =
+      Seq(Tuple1(b)).toDF("payload")
+        .select(explode(Mp4Frag.mp4FragSamples(col("payload"))).as("m"))
+        .select(col("m.seq"), col("m.track_id"), col("m.sample_idx"),
+          col("m.file_offset"), col("m.sample_size"), col("m.dts"),
+          col("m.pts"), col("m.duration"), col("m.is_sync"))
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq
+
+    // synthesized corpus shape round-trips to the closed form (id 5:
+    // F=4 fragments — covers every trun field mix: f0 dur+size,
+    // f1 cts + tfhd size override, f2 size-only, f3 dur-less override)
+    val id = 5L
+    val got = parse(graft.operators.Multimodal.mp4FragBytes(id))
+    val nF = (2 + id % 3).toInt
+    def n(f: Int) = (3 + (id + f) % 4).toInt
+    def k(f: Int) = (if (f % 3 == 0) 1 else 0) +
+      (if (f % 2 == 0) 1 else 0) + (if (f % 3 == 1) 1 else 0)
+    def sz(f: Int, i: Int) =
+      if (f % 2 == 0) (20 + (id * 31 + f * 17 + i * 7) % 180)
+      else 30 + (id + f) % 50
+    def dur(f: Int, i: Int) = if (f % 3 == 0) 500L + 10 * i else 1000L
+    def cts(f: Int, i: Int) = if (f % 3 == 1) ((i % 3) - 1) * 100L else 0L
+    def moofSize(f: Int) = 92 + (if (f % 2 == 1) 4 else 0) + n(f) * 4 * k(f)
+    var fragStart = 68L
+    var base = 0L
+    val want = (0 until nF).flatMap { f =>
+      var off = fragStart + moofSize(f) + 8
+      var dts = base
+      val rows = (0 until n(f)).map { i =>
+        val r = (f + 1L, 1L, i.toLong, off, sz(f, i), dts,
+          dts + cts(f, i), dur(f, i), if (i == 0) 1L else 0L)
+        off += sz(f, i); dts += dur(f, i); r
+      }
+      fragStart = off
+      base = dts
+      rows
+    }
+    assert(got == want, s"layout mismatch:\n$got\nvs\n$want")
+
+    // explicit 64-bit base_data_offset (tfhd flag 0x01) overrides the
+    // moof-relative default: minimal hand-built fragment
+    def bb(n: Int) = java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def frag(tfhdFlags: Int, baseOff: Long, trunFlags: Int,
+        withTfdt: Boolean = true, trunVer: Int = 0): Array[Byte] = {
+      val tfhdSz = 16 + (if ((tfhdFlags & 1) != 0) 8 else 0) +
+        (if ((tfhdFlags & 0x10) != 0) 4 else 0) +
+        (if ((tfhdFlags & 0x20) != 0) 4 else 0)
+      val trunSz = 16 + (if ((trunFlags & 1) != 0) 4 else 0) +
+        (if ((trunFlags & 4) != 0) 4 else 0) +
+        2 * (4 * Integer.bitCount(trunFlags & 0xf00))
+      val tfdtSz = if (withTfdt) 20 else 0
+      val trafSz = 8 + tfhdSz + tfdtSz + trunSz
+      val moofSz = 8 + 16 + trafSz
+      val b = bb(moofSz)
+      b.putInt(moofSz).put("moof".getBytes("US-ASCII"))
+      b.putInt(16).put("mfhd".getBytes("US-ASCII")).putInt(0).putInt(1)
+      b.putInt(trafSz).put("traf".getBytes("US-ASCII"))
+      b.putInt(tfhdSz).put("tfhd".getBytes("US-ASCII"))
+        .putInt(tfhdFlags).putInt(7) // track 7
+      if ((tfhdFlags & 1) != 0) b.putLong(baseOff)
+      if ((tfhdFlags & 0x10) != 0) b.putInt(55)
+      if ((tfhdFlags & 0x20) != 0) b.putInt(0x00010000) // non-sync default
+      if (withTfdt)
+        b.putInt(20).put("tfdt".getBytes("US-ASCII"))
+          .putInt(0x01000000).putLong(9000L)
+      b.putInt(trunSz).put("trun".getBytes("US-ASCII"))
+        .putInt((trunVer << 24) | trunFlags).putInt(2) // two samples
+      if ((trunFlags & 1) != 0) b.putInt(400)
+      if ((trunFlags & 4) != 0) b.putInt(0x02000000)
+      var i = 0
+      while (i < 2) {
+        if ((trunFlags & 0x100) != 0) b.putInt(100 + i)
+        if ((trunFlags & 0x200) != 0) b.putInt(10 + i)
+        if ((trunFlags & 0x400) != 0) b.putInt(0x00010000)
+        i += 1
+      }
+      b.array()
+    }
+    val explicitBase = frag(0x01 | 0x10 | 0x20, 1L << 33, 0x01 | 0x100)
+    val gotB = parse(explicitBase)
+    assert(gotB.map(r => (r._2, r._4, r._5, r._6, r._8)) == Seq(
+      (7L, (1L << 33) + 400L, 55L, 9000L, 100L),
+      (7L, (1L << 33) + 455L, 55L, 9100L, 101L)), gotB)
+    // per-sample flags override first_sample_flags absent: both non-sync
+    assert(parse(frag(0x01 | 0x10, 0L, 0x01 | 0x100 | 0x400))
+      .map(_._9) == Seq(0L, 0L))
+
+    // scope quarantine: legacy implicit base (neither flag), trun
+    // without data_offset, missing tfdt, trun version 2, truncation,
+    // and a default needed but absent at every level
+    for (bad <- Seq(
+        frag(0x10, 0L, 0x01 | 0x100),              // no base, no moof-base
+        frag(0x01 | 0x10, 0L, 0x100),              // no data_offset
+        frag(0x01 | 0x10, 0L, 0x01 | 0x100, withTfdt = false),
+        frag(0x01 | 0x10, 0L, 0x01 | 0x100, trunVer = 2),
+        frag(0x01 | 0x10, 0L, 0x01 | 0x100).dropRight(3),
+        frag(0x01, 0L, 0x01 | 0x100),              // size: no tfhd/trex
+        frag(0x01 | 0x10, 0L, 0x01)))              // duration: no default
+      assert(parse(bad).isEmpty, "out-of-scope fragment parsed non-empty")
+  }
+
   test("sniffer routes the shard containers: zip, tar, webp") {
     import spark.implicits._
     val rows = Seq(
