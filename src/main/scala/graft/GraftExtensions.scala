@@ -129,6 +129,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.Mp4FragTable].getName,
         "mp4_frag_samples"),
       (args: Seq[Expression]) => graft.functions.Mp4FragTable(args.head)))
+    e.injectFunction((
+      new FunctionIdentifier("ogg_pages"),
+      new ExpressionInfo(classOf[graft.functions.OggPageTable].getName,
+        "ogg_pages"),
+      (args: Seq[Expression]) => graft.functions.OggPageTable(args.head)))
     // the audio/image header-demux family (G22/G24/G25)
     e.injectFunction((
       new FunctionIdentifier("mp3_frames"),

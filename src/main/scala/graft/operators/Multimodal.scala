@@ -294,6 +294,8 @@ object Multimodal {
     // window — one extra 5-byte slice, still scan-only)
     val isZip = substring(h, 1, 8) === "504B0304"
     val isTar = upper(hex(substring($"payload", 258, 5))) === "7573746172"
+    // G39: Ogg capture pattern "OggS" + stream_structure_version 0
+    val isOgg = substring(h, 1, 10) === "4F67675300"
     val mp3SrIdx = shiftright(beField(5, 2), 2).bitwiseAND(lit(3L))
     val mp3Sr = when(mp3SrIdx < 3L, element_at(
       typedlit(Seq(44100L, 48000L, 32000L)),
@@ -303,7 +305,7 @@ object Multimodal {
         .when(isBmp, "bmp").when(isWav, "wav").when(isMp4, "mp4")
         .when(isFlac, "flac").when(isMp3, "mp3")
         .when(isZip, "zip").when(isTar, "tar")
-        .when(isWebp, "webp")
+        .when(isWebp, "webp").when(isOgg, "ogg")
         .otherwise("unknown").as("format"),
       when(isPng, pngW).when(isGif, gifW).when(isJpeg, jpegW)
         .when(isBmp, bmpW).as("width"),
@@ -1406,6 +1408,79 @@ object Multimodal {
       .orderBy($"doc_id", $"seq", $"sample_idx")
   }
 
+  /** Spec-shaped OGG stream (G39; RFC 3533): P = 2 + id%3 pages,
+    * serial 1 + id%1000, page p carrying nseg = 1 + (id+p)%3 lacing
+    * values — 255 (packet CONTINUES) when (id+p+s)%4 = 0, else
+    * 40 + (id·7+p·11+s·3)%200 (packet completes) — so the walker's
+    * packet accounting and the continued-packet flag chain are both
+    * exercised; granule (p+1)·1000 + id%17, BOS on the first page,
+    * EOS on the last, real RFC 3533 CRCs (the walker verifies them).
+    * All fields closed-form in doc_id for the oracle replay. */
+  private[graft] def oggBytes(docId: Long): Array[Byte] = {
+    val nP = (2 + docId % 3).toInt
+    def nseg(p: Int) = (1 + (docId + p) % 3).toInt
+    def lace(p: Int, s: Int): Int =
+      if ((docId + p + s) % 4 == 0) 255
+      else (40 + (docId * 7 + p * 11 + s * 3) % 200).toInt
+    def payload(p: Int) = (0 until nseg(p)).map(lace(p, _)).sum
+    val total = (0 until nP).map(p => 27 + nseg(p) + payload(p)).sum
+    val out = new Array[Byte](total)
+    var off = 0
+    var p = 0
+    while (p < nP) {
+      val ns = nseg(p)
+      val pl = payload(p)
+      val pageLen = 27 + ns + pl
+      val bb = java.nio.ByteBuffer.wrap(out, off, pageLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("US-ASCII")).put(0.toByte)
+      val continued = p > 0 && lace(p - 1, nseg(p - 1) - 1) == 255
+      val htype = (if (p == 0) 2 else 0) | (if (p == nP - 1) 4 else 0) |
+        (if (continued) 1 else 0)
+      bb.put(htype.toByte)
+      bb.putLong((p + 1) * 1000L + docId % 17)
+      bb.putInt((1 + docId % 1000).toInt)
+      bb.putInt(p)
+      bb.putInt(0) // CRC placeholder
+      bb.put(ns.toByte)
+      var s = 0
+      while (s < ns) { bb.put(lace(p, s).toByte); s += 1 }
+      var b = 0
+      while (b < pl) { bb.put(((docId + p + b) % 251).toByte); b += 1 }
+      val crc = graft.functions.OggWalk.crcOf(
+        java.util.Arrays.copyOfRange(out, off, off + pageLen))
+      val cb = java.nio.ByteBuffer.wrap(out, off + 22, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      cb.putInt(crc)
+      off += pageLen
+      p += 1
+    }
+    out
+  }
+
+  /** G39 graded entry (`mm_ogg_pages`): the page directory walked
+    * back — CRC-verified headers, packet accounting under the 255
+    * continuation rule, BOS/EOS/continued flags, byte-exact payload
+    * offsets; the oracle replays the closed-form page layout. */
+  private def oggPagesEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, oggBytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id", explode(graft.functions.OggWalk
+        .oggPages($"payload")).as("pg"))
+      .select($"doc_id", $"pg.page_idx".as("page_idx"),
+        $"pg.serial".as("serial"), $"pg.page_seq".as("page_seq"),
+        $"pg.granule".as("granule"), $"pg.is_bos".as("is_bos"),
+        $"pg.is_eos".as("is_eos"),
+        $"pg.is_continued".as("is_continued"),
+        $"pg.n_segments".as("n_segments"),
+        $"pg.n_packets".as("n_packets"),
+        $"pg.data_offset".as("data_offset"),
+        $"pg.payload_size".as("payload_size"))
+      .orderBy($"doc_id", $"page_idx")
+  }
+
   /** Multi-track, 64-bit-path twin of [[mp4Bytes]] (G18): a
     * header-only metadata PREFIX — ftyp, a 64-bit `largesize` free
     * box the walker must skip, a moov with TWO traks carrying REAL
@@ -2457,6 +2532,7 @@ object Multimodal {
     "mm_mp4_audio_plan" -> mp4AudioPlanEntry,
     "mm_mp4_keyframe_plan" -> mp4KeyframePlanEntry,
     "mm_mp4_fragments" -> mp4FragmentsEntry,
+    "mm_ogg_pages" -> oggPagesEntry,
     "mm_mp3_frames" -> mp3FramesEntry,
     "mm_mp3_summary" -> mp3SummaryEntry,
     "mm_flac_info" -> flacInfoEntry,
@@ -2480,6 +2556,51 @@ object Multimodal {
     "mm_phash_dedup" -> phashDedupEntry)
 
   val oracles: Map[String, String] = Map(
+    // G39 twin: the closed-form page layout replayed — lacing values
+    // (255 = continuation), per-page payload/packet accounting,
+    // continued-flag chained off the PREVIOUS page's last lacing via
+    // lag(), offsets by cumulative page length
+    "mm_ogg_pages" ->
+      """WITH d AS (
+        |  SELECT doc_id, (2 + doc_id % 3)::INT AS np FROM documents),
+        |pg AS (
+        |  SELECT doc_id, unnest(range(0, np))::BIGINT AS p FROM d),
+        |px AS (
+        |  SELECT doc_id, p, (1 + (doc_id + p) % 3)::BIGINT AS ns FROM pg),
+        |sg AS (
+        |  SELECT doc_id, p, ns, unnest(range(0, ns::INT))::BIGINT AS s
+        |  FROM px),
+        |sl AS (
+        |  SELECT doc_id, p, ns, s,
+        |    CASE WHEN (doc_id + p + s) % 4 = 0 THEN 255
+        |         ELSE 40 + (doc_id * 7 + p * 11 + s * 3) % 200 END AS l
+        |  FROM sg),
+        |pa AS (
+        |  SELECT doc_id, p, max(ns) AS ns, sum(l) AS payload,
+        |    sum(CASE WHEN l < 255 THEN 1 ELSE 0 END) AS packets,
+        |    max(CASE WHEN s = ns - 1 THEN l END) AS last_l
+        |  FROM sl GROUP BY doc_id, p),
+        |pw AS (
+        |  SELECT doc_id, p, ns, payload, packets,
+        |    coalesce(lag(last_l) OVER (PARTITION BY doc_id ORDER BY p),
+        |      0) AS prev_last,
+        |    coalesce(sum(27 + ns + payload) OVER (
+        |      PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS start,
+        |    max(p) OVER (PARTITION BY doc_id) AS last_p
+        |  FROM pa)
+        |SELECT doc_id, p AS page_idx,
+        |  (1 + doc_id % 1000)::BIGINT AS serial, p AS page_seq,
+        |  ((p + 1) * 1000 + doc_id % 17)::BIGINT AS granule,
+        |  (CASE WHEN p = 0 THEN 1 ELSE 0 END)::BIGINT AS is_bos,
+        |  (CASE WHEN p = last_p THEN 1 ELSE 0 END)::BIGINT AS is_eos,
+        |  (CASE WHEN prev_last = 255 THEN 1 ELSE 0 END)::BIGINT
+        |    AS is_continued,
+        |  ns::BIGINT AS n_segments, packets::BIGINT AS n_packets,
+        |  (start + 27 + ns)::BIGINT AS data_offset,
+        |  payload::BIGINT AS payload_size
+        |FROM pw ORDER BY doc_id, page_idx""".stripMargin,
     // G38 twin: the fragmented layout replayed closed-form — per-
     // fragment moof sizes (92 + tfhd override + 4 bytes per present
     // trun field per sample), mdat payload prefix sums for offsets,

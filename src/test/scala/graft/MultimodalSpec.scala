@@ -1452,19 +1452,58 @@ class MultimodalSpec extends AnyFunSuite {
       assert(parse(bad).isEmpty, "out-of-scope fragment parsed non-empty")
   }
 
+  test("G39 ogg page walk: offsets address payloads, CRC gate, quarantine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.OggWalk
+    def parse(b: Array[Byte]): Seq[(Long, Long, Long, Long, Long, Long)] =
+      Seq(Tuple1(b)).toDF("payload")
+        .select(explode(OggWalk.oggPages(col("payload"))).as("m"))
+        .select(col("m.page_idx"), col("m.is_continued"),
+          col("m.n_segments"), col("m.n_packets"), col("m.data_offset"),
+          col("m.payload_size"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val id = 7L // page 0's LAST lacing is 255 → page 1 is continued
+    val ok = graft.operators.Multimodal.oggBytes(id)
+    val got = parse(ok)
+    assert(got.nonEmpty && got.map(_._1) == got.indices.map(_.toLong), got)
+    // data_offset really addresses the first payload byte of the page
+    got.foreach { case (p, _, _, _, off, pl) =>
+      assert(pl == 0 || (ok(off.toInt) & 0xff) == ((id + p) % 251).toInt,
+        s"page $p data_offset points at the wrong byte")
+    }
+    // the page BEFORE a continued page ends with a 255 lacing, so it
+    // completes fewer packets than it has segments
+    val cont = got.find(_._2 == 1L)
+    assert(cont.isDefined, "no continued page in the synthesized stream")
+    val before = got(cont.get._1.toInt - 1)
+    assert(before._4 < before._3,
+      s"pre-continuation page completed every packet: $before")
+    // quarantine: flipped payload byte (CRC gate), bad capture, bad
+    // version, truncated lacing table, trailing garbage
+    val crcBad = ok.clone(); crcBad(ok.length - 1) =
+      (crcBad(ok.length - 1) ^ 0x5a).toByte
+    val capBad = ok.clone(); capBad(1) = 'X'
+    val verBad = ok.clone(); verBad(4) = 1
+    for (bad <- Seq(crcBad, capBad, verBad, ok.take(20),
+        ok ++ Array[Byte](1, 2, 3)))
+      assert(parse(bad).isEmpty, "malformed ogg parsed non-empty")
+  }
+
   test("sniffer routes the shard containers: zip, tar, webp") {
     import spark.implicits._
     val rows = Seq(
       (1L, graft.operators.Multimodal.zipBytes(3L)),
       (2L, graft.operators.Multimodal.tarBytes(3L)),
       (3L, "just text, no container".getBytes("US-ASCII")),
-      (4L, graft.operators.Multimodal.webpBytes(4L)))
+      (4L, graft.operators.Multimodal.webpBytes(4L)),
+      (5L, graft.operators.Multimodal.oggBytes(5L)))
       .toDF("doc_id", "payload")
     val got = Multimodal.sniffHeaders(rows)
       .select("doc_id", "format").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "zip", 2L -> "tar", 3L -> "unknown",
-      4L -> "webp"), got)
+      4L -> "webp", 5L -> "ogg"), got)
   }
 
   test("G37 webp dims: all three layouts, quarantine on the rest") {
