@@ -1208,36 +1208,24 @@ object Relational {
     * file per input partition is the scale posture (each file a
     * task), which the partitioned write here preserves; byte-exact
     * text equality is additionally spec-pinned in SourcesSpec. */
-  def gzJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
-    // Driver-local temp path: valid ONLY in local mode (the graded
-    // harness) — on a multi-node cluster each executor would write
-    // its task files to its OWN local disk and the re-read would
-    // miss them; a cluster deployment must pass a shared-FS/object
-    // path instead (the Lake warehouse is the in-repo shape).
-    val root = java.nio.file.Files.createTempDirectory("graft_gz")
-    val tmp = root.toString + "/docs"
+  /** Roundtrip scaffolding for the `src_*` graded loops: a
+    * driver-local temp dir — valid ONLY in local mode (the graded
+    * harness); on a multi-node cluster each executor would write its
+    * task files to its OWN local disk and the re-read would miss
+    * them, so a cluster deployment passes a shared-FS/object path
+    * instead (the Lake warehouse is the in-repo shape) — whose
+    * small final aggregate is MATERIALIZED (|groups| rows) before
+    * the dir is recursively deleted: the caller gets a local
+    * relation, never a plan still reading the temp files, and no
+    * corpus copy is left behind per invocation. */
+  private def localRoundtrip(s: SparkSession, prefix: String)
+      (body: String => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(prefix)
     try {
-      docs.select(to_json(struct($"doc_id", $"text", $"lang",
-          $"source", $"n_chars")).as("value"))
-        .write.mode("overwrite").option("compression", "gzip").text(tmp)
-      val back = graft.sources.Jsonl.clean(
-        graft.sources.Jsonl.read(s, tmp, docs.schema))
-      val agg = back.groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum($"n_chars").as("chars"),
-          sum($"doc_id" * length($"text")).as("sig"))
-        .orderBy($"lang")
-      // Materialize (|langs| rows) so the gzip'd corpus copy can be
-      // deleted before returning — the caller gets a local relation,
-      // not a plan that still reads the temp files.
+      val agg = body(root.toString)
       val rows = agg.collect().toSeq
-      s.createDataFrame(
-        s.sparkContext.parallelize(rows, 1), agg.schema)
-        .orderBy($"lang")
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), agg.schema)
     } finally {
-      // Best-effort recursive delete: no corpus copy left per call.
       import java.nio.file.{Files, Path}
       import java.util.Comparator
       if (Files.exists(root)) {
@@ -1247,6 +1235,88 @@ object Relational {
         finally walk.close()
       }
     }
+  }
+
+  def gzJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    localRoundtrip(s, "graft_gz") { root =>
+      val tmp = root + "/docs"
+      docs.select(to_json(struct($"doc_id", $"text", $"lang",
+          $"source", $"n_chars")).as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(tmp)
+      val back = graft.sources.Jsonl.clean(
+        graft.sources.Jsonl.read(s, tmp, docs.schema))
+      back.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("chars"),
+          sum($"doc_id" * length($"text")).as("sig"))
+        .orderBy($"lang")
+    }.orderBy($"lang")
+  }
+
+  /** H26 graded entry (`src_orc`): ORC export → re-ingest →
+    * aggregate, one self-contained query grading the WHOLE columnar
+    * interchange loop (Sink.orc's hive-partitioned layout, Spark's
+    * ORC writer/reader pair, partition-column reattachment on read)
+    * against an oracle that never saw the files — DuckDB has no ORC
+    * reader at all, so parity proves the loop byte-lossless for
+    * every value that feeds the signature Σ doc_id·len(text). The
+    * lang partition column exercises directory-derived values (a
+    * column TYPED differently on the way back — partition values
+    * parse as strings — would hash-mismatch immediately). */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    localRoundtrip(s, "graft_orc") { root =>
+      val tmp = root + "/docs"
+      graft.sources.Sink.orc(docs.select($"doc_id", $"text", $"lang",
+        $"source", $"n_chars"), tmp, Seq("lang"))
+      val back = s.read.orc(tmp)
+      back.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("chars"),
+          sum($"doc_id" * length($"text")).as("sig"))
+        .orderBy($"lang")
+    }.orderBy($"lang")
+  }
+
+  /** H27 graded entry (`src_fixed_width`): FIXED-WIDTH export →
+    * re-ingest → aggregate — the mainframe/enterprise interchange
+    * format (COBOL copybook extracts, bank/telco feeds) where fields
+    * live at BYTE COLUMNS, no delimiter anywhere. The export
+    * sanitizes text to printable ASCII (fixed-width is a byte-column
+    * format — a multibyte char or embedded newline breaks every
+    * column to its right), truncates to the 40-byte field and pads;
+    * the re-ingest inverts by substring + rtrim. The oracle replays
+    * sanitize/truncate/rtrim on the source table directly — parity
+    * proves the byte-column map round-trips. */
+  def fixedWidthRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sanitized = docs.select($"doc_id", $"lang", $"n_chars",
+      regexp_replace($"text", "[^ -~]", "").as("txt"))
+    localRoundtrip(s, "graft_fw") { root =>
+      val tmp = root + "/docs"
+      // layout: doc_id[12 zero-padded] lang[8 space-padded]
+      //         n_chars[10 zero-padded] text[40 space-padded]
+      sanitized.select(concat(
+          lpad($"doc_id".cast("string"), 12, "0"),
+          rpad($"lang", 8, " "),
+          lpad($"n_chars".cast("string"), 10, "0"),
+          rpad(substring($"txt", 1, 40), 40, " ")).as("value"))
+        .write.mode("overwrite").text(tmp)
+      val back = s.read.text(tmp).select(
+        substring($"value", 1, 12).cast("long").as("doc_id"),
+        rtrim(substring($"value", 13, 8)).as("lang"),
+        substring($"value", 21, 10).cast("long").as("n_chars"),
+        rtrim(substring($"value", 31, 40)).as("txt"))
+      back.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("chars"),
+          sum($"doc_id" * length($"txt")).as("sig"))
+        .orderBy($"lang")
+    }.orderBy($"lang")
   }
 
   /** A40 Welch's unequal-variance t-test for every priority pair
@@ -2632,6 +2702,8 @@ object Relational {
     "q_page_trend" -> pageTrend,
     "q_ransac" -> ransacTrend,
     "src_gz_jsonl" -> gzJsonlRoundtrip,
+    "src_orc" -> orcRoundtrip,
+    "src_fixed_width" -> fixedWidthRoundtrip,
     "q_cliffs_delta" -> cliffsDelta,
     "q_cohens_d" -> cohensD,
     "q_welch_ttest" -> welchTTest,
@@ -3606,6 +3678,22 @@ object Relational {
       """SELECT lang, count(*)::BIGINT AS n_docs,
         |  sum(n_chars)::BIGINT AS chars,
         |  sum(doc_id * length(text))::BIGINT AS sig
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // H26 twin: DuckDB has NO ORC reader — the oracle aggregates the
+    // source table directly, so parity proves the ORC loop lossless
+    "src_orc" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS chars,
+        |  sum(doc_id * length(text))::BIGINT AS sig
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // H27 twin: the byte-column sanitize/truncate/rtrim replayed on
+    // the source table — the oracle never sees the fixed-width files
+    "src_fixed_width" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS chars,
+        |  sum(doc_id * length(rtrim(substr(
+        |    regexp_replace(text, '[^ -~]', '', 'g'), 1, 40))))::BIGINT
+        |    AS sig
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // A76 twin: same exhaustive offset-30 hypotheses, same integer
     // inlier cross-multiplication, same (inliers, min i) winner
