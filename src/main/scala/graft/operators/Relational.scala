@@ -1359,6 +1359,68 @@ object Relational {
       .orderBy($"pa", $"pb")
   }
 
+  /** A79 FISHER EXACT TEST per region (scipy `fisher_exact` twin —
+    * the small-sample 2×2 independence test the A36 chi-square
+    * approximation breaks on; here: is the BUILDING market segment
+    * independent of positive account balance?): hypergeometric pmf
+    * computed ITERATIVELY in log space — logU(k) accumulates
+    * ln((r−k+1)(c−k+1)/(k(n−r−c+k))) from kmin by a per-region
+    * ordered window cumsum (no factorials, no lgamma — Spark SQL has
+    * none), normalized by Z = Σ exp(logU − max) and summed under the
+    * two-sided rule pmf(k) ≤ pmf(a)·(1+10⁻⁷) (the scipy tie
+    * tolerance). Determinism: every float fold is an ORDERED window
+    * cumsum over the k frame (≤ min(r,c) rows per region — frame-
+    * bounded), so both engines run the identical IEEE sequence; ln
+    * is libm, the export round absorbs the last ulp. One corpus
+    * aggregate to 5 region rows, then a ≤10³-row generated frame. */
+  def fisherExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val nat = Tables.nation(s, dir)
+    val t = cust.join(broadcast(nat),
+        cust("c_nationkey") === nat("n_nationkey"))
+      .select($"n_regionkey".cast("long").as("region"),
+        ($"c_mktsegment" === "BUILDING").cast("long").as("ir"),
+        ($"c_acctbal" > 0).cast("long").as("ic"))
+      .groupBy($"region").agg(count(lit(1)).as("n"),
+        sum($"ir").as("r"), sum($"ic").as("c"),
+        sum($"ir" * $"ic").as("a"))
+    val kf = t
+      .withColumn("kmin", greatest(lit(0L), $"c" - ($"n" - $"r")))
+      .withColumn("kmax", least($"r", $"c"))
+      .withColumn("k", explode(sequence($"kmin", $"kmax")))
+    val lr = when($"k" === $"kmin", lit(0.0)).otherwise(
+      log(($"r" - $"k" + 1).cast("double")) +
+        log(($"c" - $"k" + 1).cast("double")) -
+        log($"k".cast("double")) -
+        log(($"n" - $"r" - $"c" + $"k").cast("double")))
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy($"region").orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"region")
+    val u = kf
+      .withColumn("logu", sum(lr).over(wOrd))
+      .withColumn("mx", max($"logu").over(wAll))
+      .withColumn("term", exp($"logu" - $"mx"))
+      .withColumn("zcum", sum($"term").over(wOrd))
+      // positive terms: the ordered cumsum is nondecreasing, so max
+      // IS the final total — one deterministic fold, no re-sort
+      .withColumn("z", max($"zcum").over(wAll))
+      .withColumn("ta", max(when($"k" === $"a", $"term")).over(wAll))
+      .withColumn("p2cum", sum(when(
+        $"term" <= $"ta" * lit(1.0 + 1e-7), $"term").otherwise(lit(0.0)))
+        .over(wOrd))
+      .withColumn("lcum_a", max(when($"k" === $"a", $"zcum")).over(wAll))
+    u.groupBy($"region").agg(
+        max($"n").as("n"), max($"r").as("n_building"),
+        max($"c").as("n_positive"), max($"a").as("n_both"),
+        round(max($"p2cum") / max($"z"), 6).as("p_two_sided"),
+        round(max($"lcum_a") / max($"z"), 6).as("p_left"),
+        round((max($"z") - max($"lcum_a") + max($"ta")) / max($"z"), 6)
+          .as("p_right"))
+      .orderBy($"region")
+  }
+
   /** A41 one-way ANOVA across the 7 line numbers (scipy `f_oneway`
     * twin — the k-group generalization of A40; "does position within
     * an order shift the money distribution?"): per-group n/Σx/Σx²
@@ -2707,6 +2769,7 @@ object Relational {
     "q_cliffs_delta" -> cliffsDelta,
     "q_cohens_d" -> cohensD,
     "q_welch_ttest" -> welchTTest,
+    "q_fisher_exact" -> fisherExact,
     "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
     "q_mad" -> madPerGroup,
@@ -3798,6 +3861,61 @@ object Relational {
         |    round(vxy::DOUBLE / sqrt(vx::DOUBLE * vy::DOUBLE), 6)
         |  END AS dcor2
         |FROM v ORDER BY yr""".stripMargin,
+    // A79 twin: the same log-space hypergeometric recurrence, the
+    // same ordered window cumsums (k order), the same two-sided rule
+    "q_fisher_exact" ->
+      """WITH t AS (
+        |  SELECT n_regionkey::BIGINT AS region, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS r,
+        |    sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS a
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |kf AS (
+        |  SELECT region, n, r, c, a,
+        |    greatest(0, c - (n - r)) AS kmin, least(r, c) AS kmax,
+        |    unnest(range(greatest(0, c - (n - r)), least(r, c) + 1))
+        |      ::BIGINT AS k
+        |  FROM t),
+        |lu AS (
+        |  SELECT *,
+        |    sum(CASE WHEN k = kmin THEN 0.0
+        |      ELSE ln((r - k + 1)::DOUBLE) + ln((c - k + 1)::DOUBLE)
+        |        - ln(k::DOUBLE) - ln((n - r - c + k)::DOUBLE) END)
+        |      OVER (PARTITION BY region ORDER BY k
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS logu
+        |  FROM kf),
+        |tm AS (
+        |  SELECT *, exp(logu - max(logu) OVER (PARTITION BY region))
+        |    AS term
+        |  FROM lu),
+        |zc AS (
+        |  SELECT *,
+        |    sum(term) OVER (PARTITION BY region ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zcum,
+        |    max(CASE WHEN k = a THEN term END)
+        |      OVER (PARTITION BY region) AS ta
+        |  FROM tm),
+        |pc AS (
+        |  SELECT *,
+        |    max(zcum) OVER (PARTITION BY region) AS z,
+        |    sum(CASE WHEN term <= ta * (1.0 + 1e-7) THEN term
+        |      ELSE 0.0 END)
+        |      OVER (PARTITION BY region ORDER BY k
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS p2cum,
+        |    max(CASE WHEN k = a THEN zcum END)
+        |      OVER (PARTITION BY region) AS lcum_a
+        |  FROM zc)
+        |SELECT region, max(n) AS n, max(r) AS n_building,
+        |  max(c) AS n_positive, max(a) AS n_both,
+        |  round(max(p2cum) / max(z), 6) AS p_two_sided,
+        |  round(max(lcum_a) / max(z), 6) AS p_left,
+        |  round((max(z) - max(lcum_a) + max(ta)) / max(z), 6) AS p_right
+        |FROM pc GROUP BY region ORDER BY region""".stripMargin,
     // A40 twin: identical exact decimal sums, identical IEEE scalar
     // sequence (÷ × √ are correctly rounded in both engines), so
     // t and dof are bit-identical before the export round

@@ -1419,6 +1419,47 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B86 HODGES-LEHMANN location estimator per event type (the
+    * robust pseudo-median behind the B80 Wilcoxon machinery —
+    * scipy/R `wilcox.test` conf.int twin: the median of all Walsh
+    * averages (yᵢ+yⱼ)/2, i ≤ j, over the daily-count series; 29%
+    * breakdown vs the mean's 0%, yet ~95% Gaussian efficiency, so
+    * it is THE location summary for spiky ops series). Exact
+    * integers end-to-end: Walsh SUMS yᵢ+yⱼ stay BIGINT, the median
+    * is positional over the sorted pair frame (ties collapse to
+    * identical values, so engine-specific tie order cannot change
+    * the selected VALUE), and the only division is the final /2 (or
+    * /4 averaging the two middles of an even frame). Shape: one
+    * day-grid aggregate, one i ≤ j self-join of the ~365-row grid
+    * (≤ n(n+1)/2 ≈ 67k pairs per type — FRAME-bounded, never
+    * corpus-sized), one ordered rank window. */
+  def hodgesLehmann(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val idx = pts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .select($"event_type", $"i", $"y")
+    val pairs = idx.as("a").join(idx.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.i") <= col("b.i"))
+      .select(col("a.event_type").as("event_type"),
+        (col("a.y") + col("b.y")).as("ws"))
+    val wr = Window.partitionBy($"event_type").orderBy($"ws")
+    val wp = Window.partitionBy($"event_type")
+    pairs
+      .withColumn("rn", row_number().over(wr).cast("long"))
+      .withColumn("m", count(lit(1)).over(wp))
+      .filter($"rn" === ($"m" + 1) / 2 || $"rn" === ($"m" + 2) / 2)
+      .groupBy($"event_type")
+      .agg(max($"m").as("n_pairs"),
+        round(sum($"ws").cast("double") /
+          (count(lit(1)) * 2).cast("double"), 4).as("hl"))
+      .orderBy($"event_type")
+  }
+
   /** B35 autocorrelation function + Ljung-Box portmanteau statistic
     * per event type — the "is this series white noise?" gate that
     * decides whether the B17/B18 forecast ladder has anything to
@@ -3698,6 +3739,7 @@ object Resilience {
     "q_var_es" -> ((s, dir) => varEs(Tables.events(s, dir))),
     "q_changepoint" -> ((s, dir) => changePoint(Tables.events(s, dir))),
     "q_mann_kendall" -> mannKendall,
+    "q_hodges_lehmann" -> hodgesLehmann,
     "q_kaplan_meier" -> ((s, dir) => kaplanMeier(Tables.events(s, dir))),
     "q_bollinger" -> ((s, dir) => bollinger(Tables.events(s, dir))),
     "q_rsi" -> ((s, dir) => rsi(Tables.events(s, dir))),
@@ -5593,6 +5635,33 @@ object Resilience {
         |  round(p::DOUBLE / i, 4) AS mean_left,
         |  round((s-p)::DOUBLE / (n-i), 4) AS mean_right
         |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // B86 twin: same integer Walsh sums over the i <= j pair frame,
+    // same positional median (tied values are identical, so tie
+    // order cannot change the selected value), same final division
+    "q_hodges_lehmann" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      ::BIGINT AS i
+        |  FROM pts),
+        |pairs AS (
+        |  SELECT a.event_type, (a.y + b.y)::BIGINT AS ws
+        |  FROM idx a JOIN idx b
+        |    ON a.event_type = b.event_type AND a.i <= b.i),
+        |ranked AS (
+        |  SELECT event_type, ws,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ws)
+        |      ::BIGINT AS rn,
+        |    count(*) OVER (PARTITION BY event_type)::BIGINT AS m
+        |  FROM pairs)
+        |SELECT event_type, max(m) AS n_pairs,
+        |  round(sum(ws)::DOUBLE / (count(*) * 2)::DOUBLE, 4) AS hl
+        |FROM ranked
+        |WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // B34 twin: same daily series, same exact S and tie sum, same
     // continuity-corrected scalar sequence
     "q_mann_kendall" ->
