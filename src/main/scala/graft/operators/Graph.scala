@@ -916,6 +916,21 @@ object Graph {
     levels
   }
 
+  /** q_betweenness: 3-landmark Brandes dependency scores over the
+    * supplier↔part supply graph (the q_bfs_hops graph), landmarks
+    * s1/s21/s41, radius 3. */
+  def betweennessSupplyChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sp = Tables.lineitem(s, dir)
+      .select(concat(lit("s"), $"l_suppkey".cast("string")).as("src"),
+        concat(lit("p"), $"l_partkey".cast("string")).as("dst"))
+      .distinct()
+    val seeds = Tables.supplier(s, dir)
+      .filter($"s_suppkey" % 20 === 1 && $"s_suppkey" <= 41)
+      .select(concat(lit("s"), $"s_suppkey".cast("string")).as("seed"))
+    landmarkBetweenness(sp, seeds, 3)
+  }
+
   /** q_path_counts: shortest-path multiplicity from every 20th
     * supplier over the supplier↔part supply graph (the q_bfs_hops
     * graph and seeds), 4 rounds. */
@@ -930,6 +945,103 @@ object Graph {
       .select(concat(lit("s"), $"s_suppkey".cast("string")).as("node"))
     pathCounts(sp, seeds, 4)
       .select($"node", $"hop".as("hops"), $"sigma".as("n_paths"))
+      .orderBy($"node")
+  }
+
+  /** I24 LANDMARK BETWEENNESS — the backward half of Brandes (2001)
+    * that I19's forward σ pass was missing: per landmark seed s, the
+    * dependency δ_s(v) = Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w))
+    * accumulated DOWN the BFS DAG (level h+1 → h), then betweenness
+    * ≈ Σ_s δ_s(v) over the K landmarks — the standard sampling
+    * estimator (Brandes-Pich 2007): exact per landmark, scaled by
+    * K/n for the global figure, and the ONLY viable shape at scale
+    * (exact betweenness is all-pairs). BFS truncation at `rounds`
+    * makes the deepest level's δ = 0 — the landmark-radius semantics,
+    * stated, not hidden.
+    *
+    * Determinism: σ is exact BIGINT (I19); δ is float but EVERY fold
+    * is pinned — per (seed, v) the successor contributions accumulate
+    * by an ordered window cumsum over w (positive terms: the running
+    * max IS the final total), and the cross-seed sum folds the ≤K
+    * seed rows by the same ordered-cumsum trick. Both engines run the
+    * identical IEEE sequence; the export round absorbs the ulp.
+    * Per level: one frontier equi-join + one window over the
+    * level-frame + one aggregate — the I10/I19 plan, K seeds wide. */
+  def landmarkBetweenness(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().persist()
+    // forward: multi-landmark σ, keyed (seed, node) — each landmark's
+    // BFS runs independently in one frame (the q_harmonic shape)
+    var levels = seeds.select($"seed").distinct()
+      .select($"seed", $"seed".as("node"), lit(0L).as("hop"),
+        lit(1L).as("sigma"))
+    var frontier = levels
+    for (k <- 1 to rounds) {
+      val fresh = sym
+        .join(frontier.select($"seed", $"node".as("src"), $"sigma"), "src")
+        .groupBy($"seed", $"dst").agg(sum($"sigma").as("sig"))
+        .select($"seed", $"dst".as("node"), $"sig")
+        .join(levels.select($"seed", $"node"), Seq("seed", "node"),
+          "left_anti")
+        .select($"seed", $"node", lit(k.toLong).as("hop"),
+          $"sig".as("sigma"))
+        .localCheckpoint()
+      levels = levels.union(fresh).localCheckpoint()
+      frontier = fresh
+    }
+    val lev = levels.persist()
+    // backward: δ = 0 at the truncation level, then one level up per
+    // pass; succ(v) = BFS-DAG neighbors one hop deeper. The forward
+    // pass's persisted sym is reused — the edge frame is the
+    // dominant input and recomputing its distinct per level tripled
+    // the backward cost.
+    var deltaNext = lev.filter($"hop" === rounds)
+      .select($"seed", $"node", lit(0.0).as("delta"))
+    var all = deltaNext
+    val symE = sym
+    for (h <- rounds - 1 to 0 by -1) {
+      val vset = lev.filter($"hop" === h)
+        .select($"seed", $"node".as("v"), $"sigma".as("sv"))
+      val wset = lev.filter($"hop" === h + 1)
+        .select($"seed".as("sw_seed"), $"node".as("w"), $"sigma".as("sw"))
+        .join(deltaNext.select($"seed".as("sw_seed"),
+          $"node".as("w"), $"delta".as("dw")), Seq("sw_seed", "w"))
+      val contrib = symE
+        .join(vset, symE("src") === vset("v"))
+        .join(wset, symE("dst") === wset("w") &&
+          vset("seed") === wset("sw_seed"))
+        .select($"seed", $"v", $"w",
+          ($"sv".cast("double") / $"sw".cast("double") *
+            (lit(1.0) + $"dw")).as("c"))
+      val wOrd = Window.partitionBy($"seed", $"v").orderBy($"w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dv = contrib
+        .withColumn("cum", sum($"c").over(wOrd))
+        .groupBy($"seed", $"v")
+        // positive terms: the ordered running sum is nondecreasing,
+        // so max IS the final total — one deterministic fold
+        .agg(max($"cum").as("delta"))
+        .select($"seed", $"v".as("node"), $"delta")
+      deltaNext = vset.select($"seed", $"v".as("node"))
+        .join(dv, Seq("seed", "node"), "left")
+        .na.fill(0.0, Seq("delta"))
+        .localCheckpoint()
+      all = all.union(deltaNext)
+    }
+    sym.unpersist()
+    lev.unpersist()
+    // cross-seed fold in seed order (≤ K rows per node); seeds
+    // themselves (hop 0, node == seed) are endpoints — excluded
+    val wSeed = Window.partitionBy($"node").orderBy($"seed")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all.filter($"node" =!= $"seed")
+      .withColumn("cum", sum($"delta").over(wSeed))
+      .groupBy($"node")
+      .agg(count(lit(1)).as("n_seeds"), round(max($"cum"), 6).as("bw"))
       .orderBy($"node")
   }
 
@@ -1854,6 +1966,7 @@ object Graph {
     "q_triangles" -> trianglesCoOrder,
     "q_bfs_hops" -> bfsSupplyChain,
     "q_path_counts" -> pathCountsSupplyChain,
+    "q_betweenness" -> betweennessSupplyChain,
     "q_link_predict" -> linkPredictCoOrder,
     "q_kcore" -> kcoreCoOrder)
 
@@ -2108,6 +2221,76 @@ object Graph {
 
   /** Unrolled path-count twin — per round, σ sums over the previous
     * FRONTIER only (f_{k-1}), with the settled set excluded. */
+  /** Unrolled Brandes twin: the I19 forward σ CTE chain keyed by
+    * seed, then per-level backward dependency CTEs whose float folds
+    * are the SAME ordered window cumsums (successors in w order, the
+    * running max as the final total), then the seed-ordered fold. */
+  private def betweennessSql(rounds: Int): String = {
+    val base =
+      """WITH sp AS (
+        |  SELECT DISTINCT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+        |  FROM lineitem),
+        |sym AS (SELECT src, dst FROM sp UNION SELECT dst, src FROM sp),
+        |l0 AS (
+        |  SELECT DISTINCT 's' || s_suppkey AS seed,
+        |    's' || s_suppkey AS node, 0::BIGINT AS hop, 1::BIGINT AS sigma
+        |  FROM supplier WHERE s_suppkey % 20 = 1 AND s_suppkey <= 41),
+        |f0 AS (SELECT seed, node, sigma FROM l0)""".stripMargin
+    val fwd = (1 to rounds).map { i =>
+      s"""f$i AS (
+         |  SELECT f.seed, e.dst AS node, sum(f.sigma)::BIGINT AS sigma
+         |  FROM sym e JOIN f${i - 1} f ON e.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM l${i - 1} l
+         |    WHERE l.seed = f.seed AND l.node = e.dst)
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT * FROM l${i - 1}
+         |  UNION ALL
+         |  SELECT seed, node, $i::BIGINT, sigma FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    val dInit =
+      s"""d$rounds AS (
+         |  SELECT seed, node, 0.0::DOUBLE AS delta
+         |  FROM l$rounds WHERE hop = $rounds)""".stripMargin
+    val bwd = (rounds - 1 to 0 by -1).map { h =>
+      s"""c$h AS (
+         |  SELECT v.seed, v.node AS v, w.node AS w,
+         |    v.sigma::DOUBLE / w.sigma::DOUBLE * (1.0 + dw.delta) AS c
+         |  FROM sym e
+         |  JOIN (SELECT * FROM l$rounds WHERE hop = $h) v
+         |    ON e.src = v.node
+         |  JOIN (SELECT * FROM l$rounds WHERE hop = ${h + 1}) w
+         |    ON e.dst = w.node AND w.seed = v.seed
+         |  JOIN d${h + 1} dw ON dw.seed = w.seed AND dw.node = w.node),
+         |a$h AS (
+         |  SELECT seed, v, max(cum) AS delta FROM (
+         |    SELECT seed, v,
+         |      sum(c) OVER (PARTITION BY seed, v ORDER BY w
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |    FROM c$h) GROUP BY 1, 2),
+         |d$h AS (
+         |  SELECT v.seed, v.node, coalesce(a.delta, 0.0)::DOUBLE AS delta
+         |  FROM (SELECT seed, node FROM l$rounds WHERE hop = $h) v
+         |  LEFT JOIN a$h a ON a.seed = v.seed AND a.v = v.node)""".stripMargin
+    }.mkString(",\n")
+    val allD = (0 to rounds).map(h => s"SELECT * FROM d$h")
+      .mkString("\nUNION ALL\n")
+    s"""$base,
+       |$fwd,
+       |$dInit,
+       |$bwd,
+       |alld AS (
+       |$allD)
+       |SELECT node, count(*)::BIGINT AS n_seeds,
+       |  round(max(cum), 6) AS bw
+       |FROM (
+       |  SELECT node, seed,
+       |    sum(delta) OVER (PARTITION BY node ORDER BY seed
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM alld WHERE node <> seed)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
+
   private def pathCountsSql(rounds: Int): String = {
     val base =
       """WITH sp AS (
@@ -2499,6 +2682,7 @@ object Graph {
     "q_ppr" -> pprSql(5),
     "q_bfs_hops" -> bfsSql(4),
     "q_path_counts" -> pathCountsSql(4),
+    "q_betweenness" -> betweennessSql(3),
     "q_kcore" -> kcoreSql(3, 6),
     // degree-oriented forward counting, integer-exact throughout
     "q_triangles" ->

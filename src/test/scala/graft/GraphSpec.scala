@@ -595,4 +595,32 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     assert(full.forall(r => r._2 == 1L && r._3 == 6L), full.toSeq)
   }
+
+  test("I24 landmark betweenness: diamond dependencies exact, multi-seed sums") {
+    import spark.implicits._
+    // diamond + tail: s-a, s-b, a-c, b-c, c-d. From seed s:
+    // σ = [s:1, a:1, b:1, c:2, d:2]; Brandes backward:
+    // δ(d)=0 (radius cut), δ(c)=(2/2)(1+0)=1,
+    // δ(a)=δ(b)=(1/2)(1+1)=1. Seed row s is an endpoint: excluded.
+    val edges = Seq(("s", "a"), ("s", "b"), ("a", "c"), ("b", "c"),
+      ("c", "d")).toDF("src", "dst")
+    val got = Graph.landmarkBetweenness(edges,
+        Seq("s").toDF("seed"), 3)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 1L, 1.0), ("b", 1L, 1.0), ("c", 1L, 1.0),
+      ("d", 1L, 0.0)), got)
+    // two landmarks sum: from d the chain d-c-{a,b} gives δ_d(c) =
+    // (1/1)(1+1) + (1/1)(1+1)... c's successors from d are a AND b:
+    // σ_d = [d:1, c:1, a:1, b:1, s:2]; δ_d(s)=0 (radius),
+    // δ_d(a)=δ_d(b)=(1/2)(1+0)=0.5 each... a's successor is s:
+    // δ_d(a)=(1/2)(1+0)=0.5; δ_d(c)=(1/1)(1+0.5)·2=3.0
+    val got2 = Graph.landmarkBetweenness(edges,
+        Seq("s", "d").toDF("seed"), 3)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    val m = got2.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m("c") == ((2L, 1.0 + 3.0)), m)   // both seeds reach c
+    assert(m("a") == ((2L, 1.0 + 0.5)), m)
+    assert(m("s") == ((1L, 0.0)), m)         // only d's BFS scores s
+    assert(m("d") == ((1L, 0.0)), m)
+  }
 }
