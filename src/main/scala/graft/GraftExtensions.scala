@@ -130,6 +130,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "mp4_frag_samples"),
       (args: Seq[Expression]) => graft.functions.Mp4FragTable(args.head)))
     e.injectFunction((
+      new FunctionIdentifier("mkv_tracks"),
+      new ExpressionInfo(classOf[graft.functions.MkvTrackDir].getName,
+        "mkv_tracks"),
+      (args: Seq[Expression]) => graft.functions.MkvTrackDir(args.head)))
+    e.injectFunction((
       new FunctionIdentifier("ogg_pages"),
       new ExpressionInfo(classOf[graft.functions.OggPageTable].getName,
         "ogg_pages"),

@@ -296,6 +296,8 @@ object Multimodal {
     val isTar = upper(hex(substring($"payload", 258, 5))) === "7573746172"
     // G39: Ogg capture pattern "OggS" + stream_structure_version 0
     val isOgg = substring(h, 1, 10) === "4F67675300"
+    // G40: EBML magic (Matroska/WebM)
+    val isMkv = substring(h, 1, 8) === "1A45DFA3"
     val mp3SrIdx = shiftright(beField(5, 2), 2).bitwiseAND(lit(3L))
     val mp3Sr = when(mp3SrIdx < 3L, element_at(
       typedlit(Seq(44100L, 48000L, 32000L)),
@@ -306,6 +308,7 @@ object Multimodal {
         .when(isFlac, "flac").when(isMp3, "mp3")
         .when(isZip, "zip").when(isTar, "tar")
         .when(isWebp, "webp").when(isOgg, "ogg")
+        .when(isMkv, "mkv")
         .otherwise("unknown").as("format"),
       when(isPng, pngW).when(isGif, gifW).when(isJpeg, jpegW)
         .when(isBmp, bmpW).as("width"),
@@ -1481,6 +1484,77 @@ object Multimodal {
       .orderBy($"doc_id", $"page_idx")
   }
 
+  /** Spec-shaped Matroska/WebM container (G40; RFC 8794 EBML + the
+    * Matroska registry): EBML header (DocType), then a Segment —
+    * UNKNOWN-size (0xFF, the streaming convention the walker must
+    * run to EOF) when id is even, known 2-byte size when odd — with
+    * Info/TimestampScale = 100000·(10+id%5) ns, a Tracks element
+    * whose size is a deliberately NON-MINIMAL 2-byte VINT (RFC 8794
+    * allows it; a parser assuming minimal encoding mis-walks), two
+    * TrackEntries (video: number 1/type 1/V_MPEG4-AVC codec/
+    * DefaultDuration 33000000+(id%10)·10⁶; audio: number 2/type 2/
+    * A_OPUS/Channels 1+id%2), and one Cluster with Timestamp
+    * 1000+id%300. All fields closed-form for the oracle replay. */
+  private[graft] def mkvBytes(docId: Long): Array[Byte] = {
+    def idBytes(id: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      (1 to n.toInt).map(i => ((id >>> (8 * (n - i))) & 0xff).toByte).toArray
+    }
+    def sizeBytes(n: Int, len: Int): Array[Byte] = len match {
+      case 1 => Array((0x80 | n).toByte)
+      case 2 => Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+    }
+    def uint(v: Long, n: Int): Array[Byte] =
+      (1 to n).map(i => ((v >>> (8 * (n - i))) & 0xff).toByte).toArray
+    def el(id: Long, body: Array[Byte], szLen: Int = 1): Array[Byte] =
+      idBytes(id) ++ sizeBytes(body.length, szLen) ++ body
+    val ts = 100000L * (10 + docId % 5)
+    val dd = 33000000L + (docId % 10) * 1000000L
+    val ch = 1L + docId % 2
+    val c0 = 1000L + docId % 300
+    val header = el(0x1A45DFA3L,
+      el(0x4282L, "matroska".getBytes("US-ASCII")))
+    val info = el(0x1549A966L, el(0x2AD7B1L, uint(ts, 4)))
+    val tr1 = el(0xAEL,
+      el(0xD7L, uint(1L, 1)) ++ el(0x83L, uint(1L, 1)) ++
+        el(0x86L, "V_MPEG4/ISO/AVC".getBytes("US-ASCII")) ++
+        el(0x23E383L, uint(dd, 4)))
+    val tr2 = el(0xAEL,
+      el(0xD7L, uint(2L, 1)) ++ el(0x83L, uint(2L, 1)) ++
+        el(0x86L, "A_OPUS".getBytes("US-ASCII")) ++
+        el(0x9FL, uint(ch, 1)))
+    val trk = el(0x1654AE6BL, tr1 ++ tr2, szLen = 2)
+    val cluster = el(0x1F43B675L, el(0xE7L, uint(c0, 2)))
+    val segBody = info ++ trk ++ cluster
+    val segment =
+      if (docId % 2 == 0)
+        idBytes(0x18538067L) ++ Array(0xff.toByte) ++ segBody
+      else
+        idBytes(0x18538067L) ++ sizeBytes(segBody.length, 2) ++ segBody
+    header ++ segment
+  }
+
+  /** G40 graded entry (`mm_mkv_tracks`): the EBML track directory
+    * walked back — VINT ids/sizes (incl. the non-minimal 2-byte size
+    * and the unknown-size Segment), registry descent, uint decode;
+    * the oracle replays the closed-form fields. */
+  private def mkvTracksEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, mkvBytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id", explode(graft.functions.EbmlWalk
+        .mkvTracks($"payload")).as("t"))
+      .select($"doc_id", $"t.track_idx".as("track_idx"),
+        $"t.track_number".as("track_number"),
+        $"t.track_type".as("track_type"),
+        $"t.codec_id".as("codec_id"), $"t.detail".as("detail"),
+        $"t.timescale_ns".as("timescale_ns"),
+        $"t.n_clusters".as("n_clusters"),
+        $"t.cluster0_ts".as("cluster0_ts"))
+      .orderBy($"doc_id", $"track_idx")
+  }
+
   /** Multi-track, 64-bit-path twin of [[mp4Bytes]] (G18): a
     * header-only metadata PREFIX — ftyp, a 64-bit `largesize` free
     * box the walker must skip, a moov with TWO traks carrying REAL
@@ -2533,6 +2607,7 @@ object Multimodal {
     "mm_mp4_keyframe_plan" -> mp4KeyframePlanEntry,
     "mm_mp4_fragments" -> mp4FragmentsEntry,
     "mm_ogg_pages" -> oggPagesEntry,
+    "mm_mkv_tracks" -> mkvTracksEntry,
     "mm_mp3_frames" -> mp3FramesEntry,
     "mm_mp3_summary" -> mp3SummaryEntry,
     "mm_flac_info" -> flacInfoEntry,
@@ -2556,6 +2631,27 @@ object Multimodal {
     "mm_phash_dedup" -> phashDedupEntry)
 
   val oracles: Map[String, String] = Map(
+    // G40 twin: the closed-form EBML fields replayed — a hash match
+    // proves VINT id/size decode (incl. non-minimal sizes and the
+    // unknown-size Segment), registry descent and uint decode
+    "mm_mkv_tracks" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    100000 * (10 + doc_id % 5) AS ts,
+        |    33000000 + (doc_id % 10) * 1000000 AS dd,
+        |    1 + doc_id % 2 AS ch,
+        |    1000 + doc_id % 300 AS c0
+        |  FROM documents)
+        |SELECT doc_id, 0::BIGINT AS track_idx, 1::BIGINT AS track_number,
+        |  1::BIGINT AS track_type, 'V_MPEG4/ISO/AVC' AS codec_id,
+        |  dd::BIGINT AS detail, ts::BIGINT AS timescale_ns,
+        |  1::BIGINT AS n_clusters, c0::BIGINT AS cluster0_ts
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, 1::BIGINT, 2::BIGINT, 2::BIGINT, 'A_OPUS',
+        |  ch::BIGINT, ts::BIGINT, 1::BIGINT, c0::BIGINT
+        |FROM d
+        |ORDER BY doc_id, track_idx""".stripMargin,
     // G39 twin: the closed-form page layout replayed — lacing values
     // (255 = continuation), per-page payload/packet accounting,
     // continued-flag chained off the PREVIOUS page's last lacing via

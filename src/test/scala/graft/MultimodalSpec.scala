@@ -1490,6 +1490,50 @@ class MultimodalSpec extends AnyFunSuite {
       assert(parse(bad).isEmpty, "malformed ogg parsed non-empty")
   }
 
+  test("G40 ebml track walk: both segment size forms, vint edges, quarantine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.EbmlWalk
+    def parse(b: Array[Byte]): Seq[(Long, Long, Long, String, Long,
+        Long, Long, Long)] =
+      Seq(Tuple1(b)).toDF("payload")
+        .select(explode(EbmlWalk.mkvTracks(col("payload"))).as("t"))
+        .select(col("t.track_idx"), col("t.track_number"),
+          col("t.track_type"), col("t.codec_id"), col("t.detail"),
+          col("t.timescale_ns"), col("t.n_clusters"),
+          col("t.cluster0_ts"))
+        .as[(Long, Long, Long, String, Long, Long, Long, Long)]
+        .collect().toSeq
+    // both segment-size forms round-trip (even id: unknown-size 0xFF
+    // to EOF; odd id: known 2-byte size)
+    for (id <- Seq(4L, 7L)) {
+      val got = parse(graft.operators.Multimodal.mkvBytes(id))
+      val ts = 100000L * (10 + id % 5)
+      val c0 = 1000L + id % 300
+      assert(got == Seq(
+        (0L, 1L, 1L, "V_MPEG4/ISO/AVC",
+          33000000L + (id % 10) * 1000000L, ts, 1L, c0),
+        (1L, 2L, 2L, "A_OPUS", 1L + id % 2, ts, 1L, c0)), s"id $id: $got")
+    }
+    // quarantine: zero VINT lead byte, truncation, wrong first
+    // element, unknown size on a non-Segment element
+    val ok = graft.operators.Multimodal.mkvBytes(4L)
+    val zeroLead = ok.clone()
+    // the Tracks element's 2-byte size starts right after its 4-byte
+    // id — locate by the registry bytes 0x16 0x54 0xAE 0x6B
+    val tOff = ok.indices.find(i => (ok(i) & 0xff) == 0x16 &&
+      (ok(i + 1) & 0xff) == 0x54 && (ok(i + 2) & 0xff) == 0xAE &&
+      (ok(i + 3) & 0xff) == 0x6B).get
+    zeroLead(tOff + 4) = 0 // size VINT lead byte 0x00: malformed
+    val unkChild = ok.clone()
+    unkChild(tOff + 4) = 0xff.toByte // unknown size on Tracks
+    unkChild(tOff + 5) = 0xff.toByte
+    val badFirst = ok.clone(); badFirst(0) = 0x18
+    for (bad <- Seq(zeroLead, unkChild, badFirst, ok.take(30),
+        Array[Byte](0x1a, 0x45)))
+      assert(parse(bad).isEmpty, "malformed ebml parsed non-empty")
+  }
+
   test("sniffer routes the shard containers: zip, tar, webp") {
     import spark.implicits._
     val rows = Seq(
@@ -1497,13 +1541,14 @@ class MultimodalSpec extends AnyFunSuite {
       (2L, graft.operators.Multimodal.tarBytes(3L)),
       (3L, "just text, no container".getBytes("US-ASCII")),
       (4L, graft.operators.Multimodal.webpBytes(4L)),
-      (5L, graft.operators.Multimodal.oggBytes(5L)))
+      (5L, graft.operators.Multimodal.oggBytes(5L)),
+      (6L, graft.operators.Multimodal.mkvBytes(6L)))
       .toDF("doc_id", "payload")
     val got = Multimodal.sniffHeaders(rows)
       .select("doc_id", "format").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "zip", 2L -> "tar", 3L -> "unknown",
-      4L -> "webp", 5L -> "ogg"), got)
+      4L -> "webp", 5L -> "ogg", 6L -> "mkv"), got)
   }
 
   test("G37 webp dims: all three layouts, quarantine on the rest") {
