@@ -1320,9 +1320,75 @@ object Similarity {
       queries.select($"q_id", $"qv".cast("array<double>").as("qv")),
       m, nProbe)
     val cells = qprobe.select($"cell").distinct().collect().map(_.getInt(0))
-    val coded = loadCodes(spark, dir, cells)
+    val coded0 = loadCodes(spark, dir, cells)
       .filter($"cell".isin(cells.map(c => c: java.lang.Integer).toIndexedSeq: _*))
+    // E38: serve-time tombstone mask — deleted rows drop out of every
+    // serve path (plain and re-ranked ride this core) the moment the
+    // delete commit lands, physical rewrite deferred to compaction
+    val coded = tombstones(spark, dir) match {
+      case Some(t) => coded0.join(t, Seq("vec_id"), "left_anti")
+      case None    => coded0
+    }
     ivfPqScore(coded, qprobe, k)
+  }
+
+  private def tombsDir(dir: String) = s"$dir/tombs"
+
+  /** The published tombstone set of an index, when any delete has
+    * ever committed. */
+  private def tombstones(spark: SparkSession,
+      dir: String): Option[DataFrame] =
+    if (graft.sources.Lake.Manifest.isManaged(spark, tombsDir(dir)))
+      Some(graft.sources.Lake.Manifest.readPublished(spark, tombsDir(dir))
+        .select(col("vec_id")))
+    else None
+
+  /** E38 TOMBSTONED DELETE from a published index — the maintenance
+    * leg E9 (append) and E33 (split) were missing: GDPR erasure and
+    * corpus re-curation both need "remove these vectors from serving
+    * NOW" without retraining or rewriting a 100 TB code table. The
+    * delete is ONE atomic manifest commit to a side tombstone table;
+    * the serve core anti-joins it (tombstone set ≪ corpus — it
+    * broadcasts), so visibility is immediate and crash-safe: a
+    * reader sees the delete exactly when the pointer swaps, never a
+    * half-applied mask. Physical reclamation is [[compactIvfPqIndex]]
+    * — the Delta/Iceberg delete-vector posture. Idempotent by
+    * construction (an id tombstoned twice masks the same rows). */
+  def deleteFromIvfPqIndexPublished(spark: SparkSession, dir: String,
+      ids: DataFrame, meta: String = ""): Long = {
+    import spark.implicits._
+    graft.sources.Lake.Manifest.publishAppend(
+      ids.select($"vec_id"), tombsDir(dir), meta = meta)
+  }
+
+  /** E38 COMPACTION: physically drop tombstoned rows by replacing
+    * ONLY the cell partitions that contain them (one atomic
+    * replace-partition commit — untouched cells stay byte-identical),
+    * then snapshot the tombstone table to empty. Serve results are
+    * IDENTICAL before and after (spec-pinned): the mask moves from
+    * the anti-join to the files. Returns the number of cells
+    * rewritten. */
+  def compactIvfPqIndex(spark: SparkSession, dir: String): Int = {
+    import spark.implicits._
+    val M = graft.sources.Lake.Manifest
+    tombstones(spark, dir) match {
+      case None => 0
+      case Some(t) =>
+        val codes = M.readPublished(spark, codesDir(dir))
+        val hit = codes.join(t, Seq("vec_id"), "left_semi")
+          .select($"cell").distinct().collect().map(_.getInt(0))
+        if (hit.nonEmpty) {
+          val kept = M.readPublishedPruned(spark, codesDir(dir), "cell",
+              hit.map(_.toString).toIndexedSeq)
+            .filter($"cell".isin(hit.map(c => c: java.lang.Integer)
+              .toIndexedSeq: _*))
+            .join(t, Seq("vec_id"), "left_anti")
+          M.publishReplacePartitions(kept, codesDir(dir), "cell",
+            hit.map(_.toString).toIndexedSeq, meta = "compact=tombs")
+        }
+        M.publishSnapshot(t.filter(lit(false)), tombsDir(dir))
+        hit.length
+    }
   }
 
   private def codesDir(dir: String) = s"$dir/codes"
@@ -1654,6 +1720,27 @@ object Similarity {
 
   private def ivfPqIndexEntry(s: SparkSession, dir: String): DataFrame =
     queryIvfPqIndex(s, ensureIndex(s, dir), queriesOf(s, dir))
+
+  /** E38 adapter: a PUBLISHED index with vec_id % 7 == 3 tombstoned,
+    * served through the unchanged core — the oracle replays the same
+    * frozen-model chain with the deleted ids filtered from the code
+    * join (training saw the FULL corpus on both sides; deletes are
+    * post-training, exactly the serve-mask semantics). */
+  private def ensureDeleteIndex(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val idxDir = sys.props("java.io.tmpdir") +
+      s"/graft_ivfpq_del_v1_${new java.io.File(dir).getName}"
+    if (!graft.sources.Lake.Manifest.isManaged(s, s"$idxDir/tombs")) {
+      publishIvfPqIndex(Tables.embeddings(s, dir), idxDir)
+      deleteFromIvfPqIndexPublished(s, idxDir,
+        Tables.embeddings(s, dir).filter($"vec_id" % 7 === 3)
+          .select($"vec_id"))
+    }
+    idxDir
+  }
+
+  private def deleteServeEntry(s: SparkSession, dir: String): DataFrame =
+    queryIvfPqIndex(s, ensureDeleteIndex(s, dir), queriesOf(s, dir))
 
   /** E11 adapter: served shortlist + exact re-rank, same oracle twin
     * as `ann_ivfpq_rerank` (frozen persisted model == the model the
@@ -2167,6 +2254,7 @@ object Similarity {
     "ann_ivfpq" -> onVecs(v => annIvfPq(v)),
     "ann_ivfpq_rerank" -> onVecs(v => annIvfPqRerank(v)),
     "ann_ivfpq_index" -> (ivfPqIndexEntry(_, _)),
+    "ann_delete_serve" -> (deleteServeEntry(_, _)),
     "ann_ivfpq_index_rerank" -> (ivfPqIndexRerankEntry(_, _)),
     "ann_pq" -> onVecs(annPq),
     "ann_rr_pq" -> onVecs(annRrPq),
@@ -2641,7 +2729,8 @@ object Similarity {
          |SELECT q_id, rank::BIGINT AS rank, vec_id, cos FROM rr2
          |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
 
-  private def ivfPqOracleSql(k: Int, iters: Int, nProbe: Int): String = {
+  private def ivfPqOracleSql(k: Int, iters: Int, nProbe: Int,
+      del: String = ""): String = {
     def sub(l: String, j: String = "s.j") =
       s"list_slice($l, $j*$PqSub+1, $j*$PqSub+$PqSub)"
     s"""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2692,7 +2781,7 @@ object Similarity {
        |      - 2 * list_dot_product(${sub("q.qr", "cd.j")},
        |                             ${sub("b.cbv", "cd.j")}) AS d
        |  FROM qrq q
-       |  JOIN codes cd ON q.cell = cd.cell AND cd.vec_id <> q.q_id
+       |  JOIN codes cd ON q.cell = cd.cell AND cd.vec_id <> q.q_id$del
        |  JOIN cb b ON cd.cid = b.cid),
        |adcs AS (
        |  SELECT q_id, vec_id, any_value(cell) AS cell,
@@ -2811,6 +2900,10 @@ object Similarity {
     // construction (parquet round-trips the model doubles exactly),
     // so it shares the same SQL twin
     "ann_ivfpq_index" -> ivfPqOracleSql(k = 16, iters = 2, nProbe = 2),
+    // E38 twin: identical frozen-model chain, deleted ids filtered
+    // from the code join (post-training serve-mask semantics)
+    "ann_delete_serve" -> ivfPqOracleSql(k = 16, iters = 2, nProbe = 2,
+      del = " AND cd.vec_id % 7 <> 3"),
     "ann_ivfpq_index_rerank" ->
       ivfPqRerankOracleSql(k = 16, iters = 2, nProbe = 2, shortlist = 10),
     "ann_pq" -> annPqOracleSql,

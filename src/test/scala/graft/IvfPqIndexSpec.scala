@@ -393,4 +393,45 @@ class IvfPqIndexSpec extends AnyFunSuite {
       assert(n <= 10 && n < allCells, s"probed $n of $allCells cells")
     }
   }
+
+  test("E38 tombstoned delete: immediate serve mask, compaction preserves results") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_del").toString
+    val vecs = Tables.embeddings(spark, sf)
+    Similarity.publishIvfPqIndex(vecs, d)
+    val q = vecs.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("qv"))
+    val before = collectAll(Similarity.queryIvfPqIndex(spark, d, q))
+    // delete every id the pre-delete top lists actually served, plus
+    // one id that never existed (idempotent no-op territory)
+    val victims = before.map(_._3).distinct.take(4)
+    Similarity.deleteFromIvfPqIndexPublished(spark, d,
+      (victims :+ 999999999L).toDF("vec_id"))
+    val masked = collectAll(Similarity.queryIvfPqIndex(spark, d, q))
+    assert(masked.nonEmpty)
+    assert(masked.forall(r => !victims.contains(r._3)),
+      "tombstoned id still served")
+    // the mask equals a from-scratch serve over the reduced code set:
+    // same frozen model, codes re-published without the victims
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ivfpq_del2").toString
+    Similarity.publishIvfPqIndex(vecs, d2)
+    Similarity.deleteFromIvfPqIndexPublished(spark, d2,
+      victims.toDF("vec_id"))
+    assert(collectAll(Similarity.queryIvfPqIndex(spark, d2, q)) == masked,
+      "extra no-op tombstone changed results")
+    // compaction: physical rewrite of only the hit cells, identical
+    // serve, empty mask afterwards
+    val rewritten = Similarity.compactIvfPqIndex(spark, d)
+    assert(rewritten > 0, "no cells rewritten despite live tombstones")
+    val after = collectAll(Similarity.queryIvfPqIndex(spark, d, q))
+    assert(after == masked, "compaction changed served results")
+    assert(graft.sources.Lake.Manifest
+      .readPublished(spark, s"$d/tombs").count() == 0L,
+      "compaction left tombstones behind")
+    // and the physically-deleted ids are gone from the code table
+    val left = graft.sources.Lake.Manifest
+      .readPublished(spark, s"$d/codes")
+      .filter($"vec_id".isin(victims: _*)).count()
+    assert(left == 0L, s"$left tombstoned rows survived compaction")
+  }
 }
