@@ -1255,6 +1255,30 @@ object Relational {
     }.orderBy($"lang")
   }
 
+  /** H28 graded entry (`src_bz2_jsonl`): the H25 loop under BZIP2 —
+    * the one compressed-TEXT codec Hadoop can SPLIT (gzip streams are
+    * monolithic: one 10 GB .gz = one task; bzip2's block structure
+    * lets the reader start at any block boundary, so the same 10 GB
+    * fans out across the cluster). Same oracle contract: the oracle
+    * never sees the files, parity proves the loop lossless. */
+  def bz2JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    localRoundtrip(s, "graft_bz2") { root =>
+      val tmp = root + "/docs"
+      docs.select(to_json(struct($"doc_id", $"text", $"lang",
+          $"source", $"n_chars")).as("value"))
+        .write.mode("overwrite").option("compression", "bzip2").text(tmp)
+      val back = graft.sources.Jsonl.clean(
+        graft.sources.Jsonl.read(s, tmp, docs.schema))
+      back.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("chars"),
+          sum($"doc_id" * length($"text")).as("sig"))
+        .orderBy($"lang")
+    }.orderBy($"lang")
+  }
+
   /** H26 graded entry (`src_orc`): ORC export → re-ingest →
     * aggregate, one self-contained query grading the WHOLE columnar
     * interchange loop (Sink.orc's hive-partitioned layout, Spark's
@@ -1418,6 +1442,81 @@ object Relational {
         round(max($"lcum_a") / max($"z"), 6).as("p_left"),
         round((max($"z") - max($"lcum_a") + max($"ta")) / max($"z"), 6)
           .as("p_right"))
+      .orderBy($"region")
+  }
+
+  /** A80 TOST EQUIVALENCE test for every priority pair (the
+    * two-one-sided-tests twin of A40 — the question A40 CANNOT
+    * answer: "are these two slices the SAME to within a margin?"
+    * Non-rejection of a difference test is not equivalence; TOST is
+    * the regulatory-standard answer): margin δ = 2% of the pooled
+    * mean, t⁻ = (Δ+δ)/se and t⁺ = (Δ−δ)/se on the A40 Welch se,
+    * equivalent ⇔ t⁻ > z AND t⁺ < −z at z = 1.6449 (normal critical
+    * — the Welch dof is ≥10⁴ here, where t ≡ z to 4 decimals). Same
+    * exact decimal(38,0) moment sums, same one-IEEE-op-per-step
+    * scalar tail as A40 — bit parity before the export round. */
+  def tost(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.orders(s, dir)
+      .select($"o_orderpriority".as("priority"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"priority")
+      .agg(count(lit(1)).as("n"),
+        sum($"cents".cast("decimal(38,0)")).as("s1"),
+        sum(($"cents" * $"cents").cast("decimal(38,0)")).as("s2"))
+      .select($"priority", $"n".cast("double").as("nd"),
+        $"s1".cast("double").as("s1d"), $"s2".cast("double").as("s2d"))
+      .withColumn("m", $"s1d" / $"nd")
+      .withColumn("v",
+        ($"s2d" - $"s1d" * $"s1d" / $"nd") / ($"nd" - lit(1.0)))
+    val a = g.select($"priority".as("pa"), $"nd".as("nda"),
+      $"m".as("ma"), $"v".as("va"))
+    val b = g.select($"priority".as("pb"), $"nd".as("ndb"),
+      $"m".as("mb"), $"v".as("vb"))
+    val se = sqrt($"va" / $"nda" + $"vb" / $"ndb")
+    val diff = $"ma" - $"mb"
+    val margin = ($"ma" * $"nda" + $"mb" * $"ndb") /
+      ($"nda" + $"ndb") * lit(0.02)
+    val tl = (diff + margin) / se
+    val tu = (diff - margin) / se
+    a.join(b, $"pa" < $"pb")
+      .select($"pa", $"pb",
+        round(diff / lit(100.0), 4).as("mean_diff"),
+        round(margin / lit(100.0), 4).as("margin"),
+        round(tl, 6).as("t_lower"), round(tu, 6).as("t_upper"),
+        (tl > lit(1.6449) && tu < lit(-1.6449)).cast("long")
+          .as("equivalent"))
+      .orderBy($"pa", $"pb")
+  }
+
+  /** A81 MATTHEWS CORRELATION of the A79 region 2×2 (the balanced-
+    * classes-immune association coefficient — chi-square's signed,
+    * bounded cousin: MCC = (TP·TN − FP·FN)/√(r·c·(n−r)·(n−c))):
+    * numerator exact BIGINT, the four marginal factors cross-multiply
+    * in decimal(38,0) (the C18 posture — (n/4)⁴ clears int64 at
+    * n ≈ 10⁵ already), ONE sqrt + ONE division at the end. */
+  def mcc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_regionkey".cast("long").as("region"),
+        ($"c_mktsegment" === "BUILDING").cast("long").as("ir"),
+        ($"c_acctbal" > 0).cast("long").as("ic"))
+      .groupBy($"region").agg(count(lit(1)).as("n"),
+        sum($"ir").as("r"), sum($"ic").as("c"),
+        sum($"ir" * $"ic").as("tp"))
+    def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(38,0)")
+    val fn = $"r" - $"tp"            // BUILDING & non-positive
+    val fp = $"c" - $"tp"            // positive & non-BUILDING
+    val tn = $"n" - $"r" - $"c" + $"tp"
+    val num = dec($"tp") * dec(tn) - dec(fp) * dec(fn)
+    val den = dec($"r") * dec($"c") * dec($"n" - $"r") * dec($"n" - $"c")
+    t.select($"region", $"n", $"tp", fp.as("fp"), fn.as("fn"),
+        tn.as("tn"),
+        when(den > 0,
+          round(num.cast("double") / sqrt(den.cast("double")), 6))
+          .as("mcc"))
       .orderBy($"region")
   }
 
@@ -2766,10 +2865,13 @@ object Relational {
     "src_gz_jsonl" -> gzJsonlRoundtrip,
     "src_orc" -> orcRoundtrip,
     "src_fixed_width" -> fixedWidthRoundtrip,
+    "src_bz2_jsonl" -> bz2JsonlRoundtrip,
     "q_cliffs_delta" -> cliffsDelta,
     "q_cohens_d" -> cohensD,
     "q_welch_ttest" -> welchTTest,
     "q_fisher_exact" -> fisherExact,
+    "q_tost" -> tost,
+    "q_mcc" -> mcc,
     "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
     "q_mad" -> madPerGroup,
@@ -3742,6 +3844,12 @@ object Relational {
         |  sum(n_chars)::BIGINT AS chars,
         |  sum(doc_id * length(text))::BIGINT AS sig
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // H28 twin: same as H25 — the oracle never sees the bz2 files
+    "src_bz2_jsonl" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS chars,
+        |  sum(doc_id * length(text))::BIGINT AS sig
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // H26 twin: DuckDB has NO ORC reader — the oracle aggregates the
     // source table directly, so parity proves the ORC loop lossless
     "src_orc" ->
@@ -3861,6 +3969,55 @@ object Relational {
         |    round(vxy::DOUBLE / sqrt(vx::DOUBLE * vy::DOUBLE), 6)
         |  END AS dcor2
         |FROM v ORDER BY yr""".stripMargin,
+    // A80 twin: the A40 exact moment sums + the same scalar TOST tail
+    "q_tost" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS priority, count(*)::DOUBLE AS nd,
+        |    sum((round(o_totalprice * 100)::BIGINT)::DECIMAL(38,0))::DOUBLE
+        |      AS s1d,
+        |    sum(((round(o_totalprice * 100)::BIGINT)
+        |      * (round(o_totalprice * 100)::BIGINT))::DECIMAL(38,0))::DOUBLE
+        |      AS s2d
+        |  FROM orders GROUP BY 1),
+        |gm AS (
+        |  SELECT priority, nd, s1d / nd AS m,
+        |    (s2d - s1d * s1d / nd) / (nd - 1.0) AS v
+        |  FROM g),
+        |p AS (
+        |  SELECT a.priority AS pa, b.priority AS pb,
+        |    a.m - b.m AS diff,
+        |    (a.m * a.nd + b.m * b.nd) / (a.nd + b.nd) * 0.02 AS margin,
+        |    sqrt(a.v / a.nd + b.v / b.nd) AS se
+        |  FROM gm a JOIN gm b ON a.priority < b.priority)
+        |SELECT pa, pb, round(diff / 100.0, 4) AS mean_diff,
+        |  round(margin / 100.0, 4) AS margin,
+        |  round((diff + margin) / se, 6) AS t_lower,
+        |  round((diff - margin) / se, 6) AS t_upper,
+        |  (CASE WHEN (diff + margin) / se > 1.6449
+        |    AND (diff - margin) / se < -1.6449 THEN 1 ELSE 0 END)::BIGINT
+        |    AS equivalent
+        |FROM p ORDER BY pa, pb""".stripMargin,
+    // A81 twin: exact integer numerator, HUGEINT marginal product,
+    // one sqrt + one division
+    "q_mcc" ->
+      """WITH t AS (
+        |  SELECT n_regionkey::BIGINT AS region, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS r,
+        |    sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal > 0
+        |      THEN 1 ELSE 0 END)::BIGINT AS tp
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1)
+        |SELECT region, n, tp, (c - tp)::BIGINT AS fp,
+        |  (r - tp)::BIGINT AS fn, (n - r - c + tp)::BIGINT AS tn,
+        |  CASE WHEN r::HUGEINT * c * (n - r) * (n - c) > 0 THEN
+        |    round((tp::HUGEINT * (n - r - c + tp)::HUGEINT
+        |      - (c - tp)::HUGEINT * (r - tp)::HUGEINT)::DOUBLE
+        |      / sqrt((r::HUGEINT * c::HUGEINT * (n - r)::HUGEINT
+        |        * (n - c)::HUGEINT)::DOUBLE), 6)
+        |  END AS mcc
+        |FROM t ORDER BY region""".stripMargin,
     // A79 twin: the same log-space hypergeometric recurrence, the
     // same ordered window cumsums (k order), the same two-sided rule
     "q_fisher_exact" ->
