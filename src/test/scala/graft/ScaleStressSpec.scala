@@ -1100,4 +1100,83 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(agg.getLong(1) == 1000000L && agg.getLong(2) == 1000000L)
     assert(secs < 180, s"2M-edge HITS took ${secs}s")
   }
+
+  test("G38 fmp4 walk at a 10k-fragment asset: one linear pass, exact offsets") {
+    import spark.implicits._
+    // a DASH-recording-shaped asset: 10k fragments x 4 samples, all
+    // sizes/durations from trex defaults (the CMAF steady state) — the
+    // walk must hop moof->mdat linearly, never rescan
+    val nF = 10000
+    val spc = 4 // samples per fragment
+    val dsz = 32
+    // trun: 24 fixed bytes (data_offset + first_sample_flags, no
+    // per-sample fields); moof = 8+16+8+16+20+24 = 92; mdat = 8+128
+    val fragBytes = 92 + 8 + spc * dsz
+    val bb = java.nio.ByteBuffer.allocate(68 + nF * fragBytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def box(size: Int, typ: String): Unit = {
+      bb.putInt(size); bb.put(typ.getBytes("US-ASCII")); ()
+    }
+    box(20, "styp")
+    bb.put("msdh".getBytes("US-ASCII")).putInt(0)
+      .put("msdh".getBytes("US-ASCII"))
+    box(48, "moov"); box(40, "mvex"); box(32, "trex")
+    bb.putInt(0).putInt(1).putInt(1).putInt(1000).putInt(dsz)
+      .putInt(0x00010000)
+    var f = 0
+    while (f < nF) {
+      box(92, "moof")
+      box(16, "mfhd"); bb.putInt(0).putInt(f + 1)
+      box(68, "traf")
+      box(16, "tfhd"); bb.putInt(0x020000).putInt(1)
+      box(20, "tfdt"); bb.putInt(0x01000000).putLong(f * 4000L)
+      box(24, "trun"); bb.putInt(0x01 | 0x04).putInt(spc)
+        .putInt(100).putInt(0x02000000)
+      box(8 + spc * dsz, "mdat")
+      var b = 0
+      while (b < spc * dsz) { bb.put('x'.toByte); b += 1 }
+      f += 1
+    }
+    val asset = bb.array()
+    val t0 = System.nanoTime()
+    val got = Seq(Tuple1(asset)).toDF("payload")
+      .select(explode(graft.functions.Mp4Frag
+        .mp4FragSamples($"payload")).as("m"))
+      .select($"m.seq", $"m.sample_idx", $"m.file_offset", $"m.dts")
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"10k-fragment walk: $secs%.2f s, ${got.length} samples")
+    assert(got.length == nF * spc)
+    // closed-form: fragment f starts at 68 + f*fragBytes; data_offset
+    // 100 from moof start; sample i at +i*dsz; dts = f*4000 + i*1000
+    assert(got.forall { r =>
+      val fr = r.getLong(0) - 1; val i = r.getLong(1)
+      r.getLong(2) == 68 + fr * (92 + 8 + spc * dsz) + 100 + i * dsz &&
+        r.getLong(3) == fr * 4000L + i * 1000L
+    })
+    assert(secs < 30, s"10k-fragment walk took ${secs}s")
+  }
+
+  test("I24 landmark betweenness at 10^6 edges: K-landmark cost, not all-pairs") {
+    import spark.implicits._
+    // 10^6 edges over 2x10^5 nodes; 3 landmarks, radius 2 — the cost
+    // model is K frontier joins + K backward level joins, so the wall
+    // clock must sit in the q_harmonic class, nowhere near all-pairs
+    val edges = spark.range(1000000L).select(
+      concat(lit("n"), expr("abs(xxhash64(id)) % 200000")).as("src"),
+      concat(lit("n"), expr("abs(xxhash64(id + 13)) % 200000")).as("dst"))
+    val seeds = Seq("n0", "n1", "n2").toDF("seed")
+    val t0 = System.nanoTime()
+    val bw = graft.operators.Graph.landmarkBetweenness(edges, seeds, 3)
+    val agg = bw.agg(count(lit(1)), sum($"bw")).collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1M-edge 3-landmark betweenness(r=3): $secs%.1f s, " +
+      f"${agg.getLong(0)} nodes scored")
+    // mean sym-degree 10 → per-seed reach ~deg^r (coverage grows with
+    // the radius, cost with the sym-frame joins — the bound under
+    // test is the COST)
+    assert(agg.getLong(0) > 2000L, "BFS failed to expand")
+    assert(agg.getDouble(1) > 0.0)
+    assert(secs < 240, s"1M-edge betweenness took ${secs}s")
+  }
 }
