@@ -1521,6 +1521,15 @@ object Graph {
         .agg(max(struct($"c", (-$"lab").as("nl"))).as("m"))
         .select($"node".as("v"), (-$"m.nl").as("lab")))
     }
+    modularitySummary(canon, sym, labels, topK)
+  }
+
+  /** The I9 modularity audit tail shared by the community detectors:
+    * per-community (n_nodes, e_in, d_sum, contrib) + the global Q,
+    * EXACT decimal(38,0) numerators, one double division per row. */
+  private def modularitySummary(canon: DataFrame, sym: DataFrame,
+      labels: DataFrame, topK: Int): DataFrame = {
+    import canon.sparkSession.implicits._
     val deg = sym.groupBy($"a".as("node")).agg(count(lit(1)).as("d"))
     val members = labels.join(deg, $"v" === $"node")
       .groupBy($"lab".as("community"))
@@ -1547,6 +1556,79 @@ object Graph {
           .cast("double") / $"den", 6).as("q_total"))
       .orderBy(desc("n_nodes"), $"community")
       .limit(topK)
+  }
+
+  /** I25 LOUVAIN MOVE PASSES (Blondel et al. 2008, the local-move
+    * half, run as SYNCHRONOUS parallel sweeps — the distributed
+    * convention, e.g. GraphX/Grappolo-style; classic Louvain's
+    * sequential visit order does not exist on a cluster): each sweep
+    * every node considers its neighbor communities and takes the
+    * modularity-argmax move. The gain comparison is INTEGER-EXACT by
+    * clearing the 1/(2m) denominators: argmax_c of
+    * ΔQ ∝ 2m·k_in(i,c) − k_i·Σtot′(c), with Σtot′(c) excluding i
+    * when c is its current community — BIGINT throughout (switch to
+    * decimal(38,0) past ~10⁹ edges), ties to the LOWER community id,
+    * so both engines pick identical moves with zero float anywhere
+    * in the loop. Output: the I9 modularity summary of the final
+    * partition. Per sweep: one sym-frame join (k_in), one bounded
+    * label aggregate (Σtot), one struct-argmax — the LPA cost class,
+    * O(E) shuffled on node keys. */
+  def louvainMoves(edges: DataFrame, sweeps: Int,
+      topK: Int = 10): DataFrame = {
+    import edges.sparkSession.implicits._
+    val canon = truncate(edges
+      .select(least($"src", $"dst").as("a"),
+        greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct())
+    val sym = truncate(
+      canon.union(canon.select($"b".as("a"), $"a".as("b"))))
+    val deg = sym.groupBy($"a".as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val m2 = deg.agg(sum($"d")).head.getLong(0) // 2m: one bounded agg
+    var labels = sym.select($"a".as("v")).distinct()
+      .withColumn("lab", $"v")
+    for (_ <- 1 to sweeps) {
+      val tot = labels.join(deg, $"v" === $"node")
+        .groupBy($"lab".as("c")).agg(sum($"d").as("tot"))
+      val kin = sym.join(labels.select($"v", $"lab".as("nc")),
+          sym("b") === $"v")
+        .groupBy(sym("a").as("node"), $"nc".as("c"))
+        .agg(count(lit(1)).as("kin"))
+      // the stay option must exist even with no same-community
+      // neighbor: a zero row merges via max (true k_in ≥ 0)
+      val cand = kin
+        .unionByName(labels.select($"v".as("node"), $"lab".as("c"),
+          lit(0L).as("kin")))
+        .groupBy($"node", $"c").agg(max($"kin").as("kin"))
+      val scored = cand
+        .join(labels.select($"v".as("node"), $"lab".as("cur")), "node")
+        .join(deg, "node")
+        .join(tot, "c")
+        .withColumn("totadj",
+          $"tot" - when($"c" === $"cur", $"d").otherwise(lit(0L)))
+        .withColumn("score", lit(m2) * $"kin" - $"d" * $"totadj")
+      labels = truncate(scored.groupBy($"node")
+        .agg(max(struct($"score", (-$"c").as("nc"))).as("m"))
+        .select($"node".as("v"), (-$"m.nc").as("lab")))
+    }
+    modularitySummary(canon, sym, labels, topK)
+  }
+
+  /** q_louvain: 2 synchronous Louvain move sweeps + modularity over
+    * the ≥2-support co-order part graph (the q_communities graph —
+    * same input, gain-driven moves instead of plurality votes). */
+  def louvainCoOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val canon = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").cast("long").as("src"),
+        col("y.l_partkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"src", $"dst")
+    louvainMoves(canon, 2)
   }
 
   /** q_communities: 3 LPA sweeps + modularity over the ≥2-support
@@ -1967,6 +2049,7 @@ object Graph {
     "q_bfs_hops" -> bfsSupplyChain,
     "q_path_counts" -> pathCountsSupplyChain,
     "q_betweenness" -> betweennessSupplyChain,
+    "q_louvain" -> louvainCoOrder,
     "q_link_predict" -> linkPredictCoOrder,
     "q_kcore" -> kcoreCoOrder)
 
@@ -2371,6 +2454,76 @@ object Graph {
     * one neighbor-label vote aggregate and the same
     * (count, −label) struct-max — then the exact-HUGEINT modularity
     * assembly. */
+  /** Unrolled Louvain twin: per sweep the same integer-exact gain
+    * argmax (2m·k_in − k_i·Σtot′, ties to the lower community id),
+    * then the shared modularity tail. */
+  private def louvainSql(sweeps: Int): String = {
+    val iters = (1 to sweeps).map { r =>
+      s"""tot$r AS (
+         |  SELECT l.lab AS c, sum(deg.d)::BIGINT AS tot
+         |  FROM l${r - 1} l JOIN deg ON deg.node = l.v GROUP BY 1),
+         |kin$r AS (
+         |  SELECT s.a AS node, l.lab AS c, count(*)::BIGINT AS kin
+         |  FROM sym s JOIN l${r - 1} l ON s.b = l.v GROUP BY 1, 2),
+         |cand$r AS (
+         |  SELECT node, c, max(kin)::BIGINT AS kin FROM (
+         |    SELECT node, c, kin FROM kin$r
+         |    UNION ALL SELECT v, lab, 0 FROM l${r - 1})
+         |  GROUP BY 1, 2),
+         |sc$r AS (
+         |  SELECT cd.node, cd.c,
+         |    m2.m2 * cd.kin - deg.d *
+         |      (t.tot - CASE WHEN cd.c = l.lab THEN deg.d ELSE 0 END)
+         |      AS score
+         |  FROM cand$r cd
+         |  JOIN l${r - 1} l ON cd.node = l.v
+         |  JOIN deg ON deg.node = cd.node
+         |  JOIN tot$r t ON t.c = cd.c
+         |  CROSS JOIN m2),
+         |l$r AS (
+         |  SELECT node AS v,
+         |    (-(max(struct_pack(s := score, nc := -c)).nc))::BIGINT AS lab
+         |  FROM sc$r GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH canon AS (
+       |  SELECT x.l_partkey::BIGINT AS a, y.l_partkey::BIGINT AS b
+       |  FROM lineitem x JOIN lineitem y
+       |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS (
+       |  SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon),
+       |deg AS (SELECT a AS node, count(*)::BIGINT AS d
+       |        FROM sym GROUP BY 1),
+       |m2 AS (SELECT sum(d)::BIGINT AS m2 FROM deg),
+       |l0 AS (SELECT DISTINCT a AS v, a AS lab FROM sym),
+       |$iters,
+       |mem AS (
+       |  SELECT l.lab AS community, count(*)::BIGINT AS n_nodes,
+       |    sum(deg.d)::BIGINT AS d_sum
+       |  FROM l$sweeps l JOIN deg ON deg.node = l.v GROUP BY 1),
+       |ein AS (
+       |  SELECT la.lab AS community, count(*)::BIGINT AS e_in
+       |  FROM canon JOIN l$sweeps la ON canon.a = la.v
+       |    JOIN l$sweeps lb ON canon.b = lb.v
+       |  WHERE la.lab = lb.lab GROUP BY 1),
+       |cm AS (
+       |  SELECT community, n_nodes, d_sum,
+       |    coalesce(e_in, 0)::BIGINT AS e_in
+       |  FROM mem LEFT JOIN ein USING (community)),
+       |tt AS (
+       |  SELECT sum(e_in)::HUGEINT AS se,
+       |    sum(d_sum::HUGEINT * d_sum)::HUGEINT AS sdd,
+       |    sum(d_sum)::HUGEINT AS t2m
+       |  FROM cm)
+       |SELECT community, n_nodes, e_in, d_sum,
+       |  round((2::HUGEINT * t2m * e_in - d_sum::HUGEINT * d_sum)::DOUBLE
+       |    / (t2m * t2m)::DOUBLE, 6) AS contrib,
+       |  round((2::HUGEINT * t2m * se - sdd)::DOUBLE
+       |    / (t2m * t2m)::DOUBLE, 6) AS q_total
+       |FROM cm, tt
+       |ORDER BY n_nodes DESC, community LIMIT 10""".stripMargin
+  }
+
   private def lpaSql(rounds: Int): String = {
     val iters = (1 to rounds).map { r =>
       s"""c$r AS (
@@ -2552,6 +2705,7 @@ object Graph {
     "q_ktruss" -> ktrussSql(5, 2),
     "q_sssp" -> ssspSql(4),
     "q_communities" -> lpaSql(3),
+    "q_louvain" -> louvainSql(2),
     // I8 twin: same degree aggregate, same node-ordered ln fold and
     // continuity-corrected MLE tail
     "q_powerlaw" ->
