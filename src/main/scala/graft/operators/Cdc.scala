@@ -1337,6 +1337,54 @@ object Cdc {
     * adjusted deltas are a pinned IEEE chain over exact arm sums —
     * textually mirrored in the twin. Zero pre-period variance
     * (θ undefined) nulls the adjusted columns, raw delta stays. */
+  /** C76 mSPRT — the ALWAYS-VALID A/B monitor (Johari-Pekelis-Walsh
+    * mixture sequential probability ratio test; the fix for the
+    * peeking problem every live experiment dashboard has: a fixed-n
+    * test read daily inflates false positives several-fold, while
+    * the mSPRT's Λ_n is a martingale under H0, so P(ever cross 1/α)
+    * ≤ α no matter how often anyone looks): users split by the A47
+    * id-parity arms, daily diff S_n = Σ(a_t − b_t) and volume
+    * V_n = Σ(a_t + b_t) accumulate per event type, and with the
+    * normal mixture τ² the log statistic is
+    * lnΛ_n = ½·ln(V/(V+τ²)) + τ²·S²/(2V(V+τ²)). Readout: the final
+    * and max lnΛ plus the FIRST day index crossing ln(1/α) at
+    * α = 0.05 — the day the experiment could have stopped.
+    *
+    * Determinism: S and V are exact BIGINT ordered cumsums (S² fits
+    * int64 to ~3·10⁹ events/arm; decimal past that); lnΛ is the
+    * identical IEEE chain on identical integers in both engines,
+    * maxed (not summed) across rows; export rounds absorb the ulp.
+    * All windows run over the frame-bounded daily grid. */
+  def msprt(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val tau2 = 10000.0
+    val daily = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum(when($"user_id" % 2 === 0, 1L).otherwise(0L)).as("a"),
+        sum(when($"user_id" % 2 =!= 0, 1L).otherwise(0L)).as("b"))
+    val wOrd = Window.partitionBy($"event_type").orderBy($"day")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val vD = $"v".cast("double")
+    val cum = daily
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("s", sum($"a" - $"b").over(wCum))
+      .withColumn("v", sum($"a" + $"b").over(wCum))
+      .withColumn("lln",
+        lit(0.5) * log(vD / (vD + lit(tau2))) +
+          lit(tau2) * ($"s" * $"s").cast("double") /
+            (lit(2.0) * vD * (vD + lit(tau2))))
+      .withColumn("cross", when($"lln" >= log(lit(20.0)), $"i"))
+    cum.groupBy($"event_type")
+      .agg(max($"i").as("n_days"),
+        max(struct($"i", $"s")).getField("s").as("s_final"),
+        max(struct($"i", $"v")).getField("v").as("v_final"),
+        round(max(struct($"i", $"lln")).getField("lln"), 6)
+          .as("lln_final"),
+        round(max($"lln"), 6).as("max_lln"),
+        min($"cross").as("first_cross_day"))
+      .orderBy($"event_type")
+  }
+
   def cuped(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     val e = events.withColumn("di",
@@ -1491,6 +1539,7 @@ object Cdc {
     "cdc_stickiness" -> onEvents(stickiness),
     "cdc_growth_accounting" -> onEvents(growthAccounting),
     "cdc_cuped" -> onEvents(cuped),
+    "cdc_msprt" -> onEvents(msprt),
     "cdc_srm" -> onEvents(srm),
     "cdc_slo_burn" -> onEvents(sloBurn),
     "cdc_dwell" -> onEvents(dwell),
@@ -1668,6 +1717,42 @@ object Cdc {
         |  coalesce(ch.ch, 0)::BIGINT AS n_churned_in
         |FROM m LEFT JOIN ch ON m.month = ch.month
         |ORDER BY month""".stripMargin,
+    // C76 twin: same exact S/V cumsums in day order, same IEEE lnΛ
+    // chain, same ln(20) crossing rule
+    "cdc_msprt" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)::BIGINT AS b
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      ::BIGINT AS i,
+        |    sum(a - b) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      ::BIGINT AS s,
+        |    sum(a + b) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      ::BIGINT AS v
+        |  FROM daily),
+        |lam AS (
+        |  SELECT *,
+        |    0.5 * ln(v::DOUBLE / (v::DOUBLE + 10000.0))
+        |      + 10000.0 * (s * s)::DOUBLE
+        |        / (2.0 * v::DOUBLE * (v::DOUBLE + 10000.0)) AS lln
+        |  FROM cum),
+        |fin AS (
+        |  SELECT event_type, max(i)::BIGINT AS n_days,
+        |    round(max(lln), 6) AS max_lln,
+        |    min(CASE WHEN lln >= ln(20.0) THEN i END)::BIGINT
+        |      AS first_cross_day
+        |  FROM lam GROUP BY 1)
+        |SELECT f.event_type, f.n_days, c.s AS s_final, c.v AS v_final,
+        |  round(c.lln, 6) AS lln_final, f.max_lln, f.first_cross_day
+        |FROM fin f JOIN lam c
+        |  ON c.event_type = f.event_type AND c.i = f.n_days
+        |ORDER BY f.event_type""".stripMargin,
     // C70 twin: same midpoint split, same cleared-denominator
     // HUGEINT moments, one-division theta, pinned adjusted-delta
     // chain

@@ -1461,6 +1461,78 @@ object Multimodal {
     out
   }
 
+  /** Opus-in-Ogg twin of [[oggBytes]] (G41; RFC 7845 §5.1): page 0
+    * carries the 19-byte OpusHead ID header as its single packet —
+    * magic, version 1, channels 1+id%2, pre-skip 312+id%100 (LE16),
+    * input sample rate 48000/44100 by id%2 (LE32), output gain
+    * (id%7)−3 dB·256 (SIGNED LE16 — the two's-complement leg),
+    * mapping family 0 — followed by one audio page. Real CRCs. */
+  private[graft] def opusBytes(docId: Long): Array[Byte] = {
+    val head = java.nio.ByteBuffer.allocate(19)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    head.put("OpusHead".getBytes("US-ASCII"))
+    head.put(1.toByte)
+    head.put((1 + docId % 2).toByte)
+    head.putShort((312 + docId % 100).toShort)
+    head.putInt(if (docId % 2 == 0) 48000 else 44100)
+    head.putShort((((docId % 7) - 3) * 256).toShort)
+    head.put(0.toByte)
+    val hb = head.array()
+    def page(seq: Int, htype: Int, granule: Long,
+        payload: Array[Byte]): Array[Byte] = {
+      val pageLen = 27 + 1 + payload.length
+      val bb = java.nio.ByteBuffer.allocate(pageLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("OggS".getBytes("US-ASCII")).put(0.toByte)
+        .put(htype.toByte).putLong(granule)
+        .putInt((1 + docId % 1000).toInt).putInt(seq).putInt(0)
+        .put(1.toByte).put(payload.length.toByte)
+        .put(payload)
+      val raw = bb.array()
+      val crc = graft.functions.OggWalk.crcOf(raw)
+      java.nio.ByteBuffer.wrap(raw, 22, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc)
+      raw
+    }
+    val audio = Array.tabulate(40 + (docId % 50).toInt)(i =>
+      ((docId + i) % 251).toByte)
+    page(0, 2, 0L, hb) ++ page(1, 4, 960L + docId % 1000, audio)
+  }
+
+  /** G41 graded entry (`mm_opus_head`): the RFC 7845 ID header read
+    * THROUGH the G39 page walk — the CRC-gated page directory finds
+    * the first packet, column byte math decodes the LE fields
+    * (including the signed output gain), no new expression needed;
+    * the oracle replays the closed-form header. */
+  private def opusHeadEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, opusBytes(id))).toDF("doc_id", "payload")
+    val p0 = payloads
+      .select($"doc_id", $"payload", explode(graft.functions.OggWalk
+        .oggPages($"payload")).as("pg"))
+      .filter($"pg.page_idx" === 0L && $"pg.payload_size" >= 19L)
+      .select($"doc_id", $"payload",
+        $"pg.data_offset".as("off"), $"pg.granule".as("granule"))
+    val h = upper(hex(expr("substring(payload, off + 1, 19)")))
+    def le(hexPos: Int, bytes: Int): Column =
+      (0 until bytes).map(i =>
+        conv(substring(h, hexPos + 2 * i, 2), 16, 10).cast("long") *
+          lit(1L << (8 * i))).reduce(_ + _)
+    val gainRaw = le(33, 2)
+    p0.filter(substring(h, 1, 16) === "4F70757348656164") // "OpusHead"
+      .select($"doc_id",
+        le(17, 1).as("version"),
+        le(19, 1).as("channels"),
+        le(21, 2).as("pre_skip"),
+        le(25, 4).as("input_rate"),
+        // s16 two's complement
+        when(gainRaw > 32767L, gainRaw - 65536L).otherwise(gainRaw)
+          .as("gain_q8"),
+        le(37, 1).as("mapping_family"))
+      .orderBy($"doc_id")
+  }
+
   /** G39 graded entry (`mm_ogg_pages`): the page directory walked
     * back — CRC-verified headers, packet accounting under the 255
     * continuation rule, BOS/EOS/continued flags, byte-exact payload
@@ -2608,6 +2680,7 @@ object Multimodal {
     "mm_mp4_fragments" -> mp4FragmentsEntry,
     "mm_ogg_pages" -> oggPagesEntry,
     "mm_mkv_tracks" -> mkvTracksEntry,
+    "mm_opus_head" -> opusHeadEntry,
     "mm_mp3_frames" -> mp3FramesEntry,
     "mm_mp3_summary" -> mp3SummaryEntry,
     "mm_flac_info" -> flacInfoEntry,
@@ -2631,6 +2704,17 @@ object Multimodal {
     "mm_phash_dedup" -> phashDedupEntry)
 
   val oracles: Map[String, String] = Map(
+    // G41 twin: the closed-form RFC 7845 header replayed (incl. the
+    // signed gain) — parity proves the page walk + LE byte math
+    "mm_opus_head" ->
+      """SELECT doc_id, 1::BIGINT AS version,
+        |  (1 + doc_id % 2)::BIGINT AS channels,
+        |  (312 + doc_id % 100)::BIGINT AS pre_skip,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 44100 END)::BIGINT
+        |    AS input_rate,
+        |  (((doc_id % 7) - 3) * 256)::BIGINT AS gain_q8,
+        |  0::BIGINT AS mapping_family
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // G40 twin: the closed-form EBML fields replayed — a hash match
     // proves VINT id/size decode (incl. non-minimal sizes and the
     // unknown-size Segment), registry descent and uint decode

@@ -1460,6 +1460,43 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B87 PINBALL (quantile) LOSS of a seasonal-naive forecast per
+    * event type — the eval half the forecast ladder was missing
+    * (B17/B18/B21 produce forecasts; M4/M5-style practice scores
+    * them with pinball at several τ, the proper scoring rule for
+    * quantile forecasts): baseline ŷ_t = y_{t−7} (the seasonal
+    * naive every ladder rung must beat), residual d = y − ŷ, and
+    * L_τ = Σ τ·d⁺ + (1−τ)·d⁻ at τ ∈ {0.1, 0.5, 0.9}. INTEGER-exact:
+    * with τ in tenths, loss×10 = τ₁₀·d for d ≥ 0 and (τ₁₀−10)·d
+    * otherwise — a BIGINT sum; the only divisions are the two export
+    * scalars. One day-grid lag window + one aggregate per τ (the
+    * τ frame is a 3-element explode, not a re-scan). */
+  def pinball(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val scored = pts
+      .withColumn("f", lag($"y", 7).over(w))
+      .filter($"f".isNotNull)
+      .withColumn("d", $"y" - $"f")
+      .withColumn("tau10", explode(typedlit(Seq(1L, 5L, 9L))))
+      .withColumn("loss10",
+        when($"d" >= 0L, $"tau10" * $"d")
+          .otherwise(($"tau10" - 10L) * $"d"))
+    scored.groupBy($"event_type", $"tau10")
+      .agg(count(lit(1)).as("n_scored"),
+        round(sum($"loss10").cast("double") / lit(10.0), 4)
+          .as("total_loss"),
+        round(sum($"loss10").cast("double") /
+          (lit(10.0) * count(lit(1)).cast("double")), 6).as("mean_loss"))
+      .select($"event_type",
+        ($"tau10".cast("double") / lit(10.0)).as("tau"),
+        $"n_scored", $"total_loss", $"mean_loss")
+      .orderBy($"event_type", $"tau")
+  }
+
   /** B35 autocorrelation function + Ljung-Box portmanteau statistic
     * per event type — the "is this series white noise?" gate that
     * decides whether the B17/B18 forecast ladder has anything to
@@ -3740,6 +3777,7 @@ object Resilience {
     "q_changepoint" -> ((s, dir) => changePoint(Tables.events(s, dir))),
     "q_mann_kendall" -> mannKendall,
     "q_hodges_lehmann" -> hodgesLehmann,
+    "q_pinball" -> pinball,
     "q_kaplan_meier" -> ((s, dir) => kaplanMeier(Tables.events(s, dir))),
     "q_bollinger" -> ((s, dir) => bollinger(Tables.events(s, dir))),
     "q_rsi" -> ((s, dir) => rsi(Tables.events(s, dir))),
@@ -5635,6 +5673,28 @@ object Resilience {
         |  round(p::DOUBLE / i, 4) AS mean_left,
         |  round((s-p)::DOUBLE / (n-i), 4) AS mean_right
         |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // B87 twin: same lag-7 day-grid forecast, same integer tenths
+    // loss, divisions only at export
+    "q_pinball" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (
+        |  SELECT event_type, y,
+        |    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+        |  FROM pts),
+        |sc AS (
+        |  SELECT event_type, t.tau10, (y - f)::BIGINT AS d
+        |  FROM lg CROSS JOIN (SELECT unnest([1, 5, 9])::BIGINT AS tau10) t
+        |  WHERE f IS NOT NULL)
+        |SELECT event_type, tau10::DOUBLE / 10.0 AS tau,
+        |  count(*)::BIGINT AS n_scored,
+        |  round(sum(CASE WHEN d >= 0 THEN tau10 * d
+        |    ELSE (tau10 - 10) * d END)::DOUBLE / 10.0, 4) AS total_loss,
+        |  round(sum(CASE WHEN d >= 0 THEN tau10 * d
+        |    ELSE (tau10 - 10) * d END)::DOUBLE
+        |    / (10.0 * count(*)::DOUBLE), 6) AS mean_loss
+        |FROM sc GROUP BY 1, 2 ORDER BY event_type, tau""".stripMargin,
     // B86 twin: same integer Walsh sums over the i <= j pair frame,
     // same positional median (tied values are identical, so tie
     // order cannot change the selected value), same final division
