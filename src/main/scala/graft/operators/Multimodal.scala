@@ -242,11 +242,14 @@ object Multimodal {
     val isGif = substring(h, 1, 6) === "474946"
     val isJpeg = substring(h, 1, 4) === "FFD8"
     val isBmp = substring(h, 1, 4) === "424D"
-    // ISO-BMFF (mp4/mov/m4a family): 'ftyp' box at bytes 5-8; the
-    // major brand (bytes 9-12, ASCII) routes to the demuxer pool.
-    // Dims live in moov/trak/tkhd at arbitrary depth — a box walk is
-    // the codec pool's job, not the sniffer's.
-    val isMp4 = substring(h, 9, 8) === "66747970"
+    // ISO-BMFF (mp4/mov/m4a family): 'ftyp' box at bytes 5-8 — or
+    // 'styp', its CMAF/DASH-segment sibling (ISO 14496-12 §8.16.2:
+    // same layout, marks a media segment) — the major brand (bytes
+    // 9-12, ASCII) routes to the demuxer pool. Dims live in
+    // moov/trak/tkhd at arbitrary depth — a box walk is the codec
+    // pool's job, not the sniffer's.
+    val isMp4 = substring(h, 9, 8) === "66747970" ||
+      substring(h, 9, 8) === "73747970"
     val mp4Brand = decode(unhex(substring(h, 17, 8)), "UTF-8")
     // canonical RIFF/WAVE with a leading fmt chunk (bytes 13-16)
     val isWav = substring(h, 1, 8) === "52494646" &&
@@ -1533,6 +1536,65 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** G42 graded entry (`mm_container_triage`): the ROUTING
+    * COMPOSITION the whole G-track exists for, as one query — a
+    * mixed corpus (mp4 / fragmented-mp4 / mkv / ogg by doc_id % 4)
+    * goes through the G4 sniffer, each format's rows route to ITS
+    * walker (progressive stbl, moof/trun, EBML, page walk), and one
+    * normalized triage row comes back per asset: format, stream
+    * count, sample/page count, first timestamp tick. This is the
+    * first stage of a 100 TB video-corpus intake: one header-sized
+    * read per asset, one codec-pool routing decision, no payload
+    * decoded. The oracle replays each branch's closed form. */
+  private def containerTriageEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map { id =>
+        val p = (id % 4) match {
+          case 0 => mp4Bytes(id)
+          case 1 => mp4FragBytes(id)
+          case 2 => mkvBytes(id)
+          case _ => oggBytes(id)
+        }
+        (id, p)
+      }.toDF("doc_id", "payload")
+    val sniffed = sniffHeaders(payloads)
+      .select($"doc_id", $"format")
+      .join(payloads, "doc_id")
+    // each branch walks ONLY its rows (filter pushes to the scan);
+    // fMP4 sniffs as mp4 (styp IS an ftyp sibling — brand routing),
+    // so the mp4 branch splits on whether the stbl walk found samples
+    val mp4Rows = sniffed.filter($"format" === "mp4")
+      .select($"doc_id", $"format",
+        graft.functions.Mp4Demux.mp4Samples($"payload").as("prog"),
+        graft.functions.Mp4Frag.mp4FragSamples($"payload").as("frag"))
+      .select($"doc_id",
+        when(size($"prog") > 0, lit("mp4")).otherwise(lit("fmp4"))
+          .as("container"),
+        lit(1L).as("n_streams"),
+        when(size($"prog") > 0, size($"prog").cast("long"))
+          .otherwise(size($"frag").cast("long")).as("n_units"),
+        when(size($"prog") > 0, lit(0L))
+          .otherwise(element_at($"frag", 1).getField("dts"))
+          .as("first_tick"))
+    val mkvRows = sniffed.filter($"format" === "mkv")
+      .select($"doc_id",
+        graft.functions.EbmlWalk.mkvTracks($"payload").as("t"))
+      .select($"doc_id", lit("mkv").as("container"),
+        size($"t").cast("long").as("n_streams"),
+        element_at($"t", 1).getField("n_clusters").as("n_units"),
+        element_at($"t", 1).getField("cluster0_ts").as("first_tick"))
+    val oggRows = sniffed.filter($"format" === "ogg")
+      .select($"doc_id",
+        graft.functions.OggWalk.oggPages($"payload").as("p"))
+      .select($"doc_id", lit("ogg").as("container"),
+        lit(1L).as("n_streams"),
+        size($"p").cast("long").as("n_units"),
+        element_at($"p", 1).getField("granule").as("first_tick"))
+    mp4Rows.unionByName(mkvRows).unionByName(oggRows)
+      .orderBy($"doc_id")
+  }
+
   /** G39 graded entry (`mm_ogg_pages`): the page directory walked
     * back — CRC-verified headers, packet accounting under the 255
     * continuation rule, BOS/EOS/continued flags, byte-exact payload
@@ -2681,6 +2743,7 @@ object Multimodal {
     "mm_ogg_pages" -> oggPagesEntry,
     "mm_mkv_tracks" -> mkvTracksEntry,
     "mm_opus_head" -> opusHeadEntry,
+    "mm_container_triage" -> containerTriageEntry,
     "mm_mp3_frames" -> mp3FramesEntry,
     "mm_mp3_summary" -> mp3SummaryEntry,
     "mm_flac_info" -> flacInfoEntry,
@@ -2704,6 +2767,31 @@ object Multimodal {
     "mm_phash_dedup" -> phashDedupEntry)
 
   val oracles: Map[String, String] = Map(
+    // G42 twin: each routing branch's closed form replayed — parity
+    // proves the sniff → walker routing AND every walker's counting
+    "mm_container_triage" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |f1 AS (
+        |  SELECT doc_id, unnest(range(0, (2 + doc_id % 3)::INT))
+        |    ::BIGINT AS f
+        |  FROM d WHERE doc_id % 4 = 1)
+        |SELECT doc_id, 'mp4' AS container, 1::BIGINT AS n_streams,
+        |  (5 + 2 * (doc_id % 4))::BIGINT AS n_units,
+        |  0::BIGINT AS first_tick
+        |FROM d WHERE doc_id % 4 = 0
+        |UNION ALL
+        |SELECT doc_id, 'fmp4', 1::BIGINT,
+        |  sum(3 + (doc_id + f) % 4)::BIGINT, 0::BIGINT
+        |FROM f1 GROUP BY doc_id
+        |UNION ALL
+        |SELECT doc_id, 'mkv', 2::BIGINT, 1::BIGINT,
+        |  (1000 + doc_id % 300)::BIGINT
+        |FROM d WHERE doc_id % 4 = 2
+        |UNION ALL
+        |SELECT doc_id, 'ogg', 1::BIGINT, (2 + doc_id % 3)::BIGINT,
+        |  (1000 + doc_id % 17)::BIGINT
+        |FROM d WHERE doc_id % 4 = 3
+        |ORDER BY doc_id""".stripMargin,
     // G41 twin: the closed-form RFC 7845 header replayed (incl. the
     // signed gain) — parity proves the page walk + LE byte math
     "mm_opus_head" ->

@@ -187,4 +187,29 @@ class PlanPropertiesSpec extends AnyFunSuite {
         || p.contains("windowspecdefinition(o_custkey"), s"$q: $p")
     }
   }
+
+  test("round-10 header walks: one scan, zero joins, zero pre-sort Exchange") {
+    // the container walks are row-local byte math — the ONLY shuffle
+    // allowed in the plan is the final presentation sort; a join or
+    // aggregate Exchange here would mean the walk stopped being
+    // per-row (the 100 TB posture: one ranged header read per asset,
+    // embarrassingly parallel)
+    for (q <- Seq("mm_mp4_fragments", "mm_ogg_pages", "mm_mkv_tracks")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, // rangepartitioning for the sort (+AQE read)
+        s"$q has $exchanges Exchanges — the walk is shuffling:\n$p")
+      assert("HashAggregate".r.findAllIn(p).isEmpty,
+        s"$q grew an aggregate:\n$p")
+    }
+    // the round-10 stats additions must keep their windows partitioned
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("q_fisher_exact", "q_hodges_lehmann", "q_pinball",
+        "cdc_msprt")) {
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val unpart = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(unpart.isEmpty, s"$q runs an unpartitioned Window")
+    }
+  }
 }
