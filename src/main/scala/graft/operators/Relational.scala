@@ -1445,6 +1445,69 @@ object Relational {
       .orderBy($"region")
   }
 
+  /** A82 ATKINSON INEQUALITY INDEX (ε = 1) per market segment
+    * (Atkinson 1970 — the welfare-grounded cousin of A34's Gini:
+    * A₁ = 1 − geomean(y)/mean(y), the share of total income society
+    * could forgo under a log utility and keep welfare constant):
+    * per-customer revenue in cents, then ONE aggregate per segment.
+    * Determinism without an ordered fold: Σ ln(y) is summed as the
+    * FIXED-POINT integers round(ln(y)·10⁹) — a BIGINT sum is
+    * order-free and exact, a 1-ulp libm disagreement flips at most
+    * a handful of last-digit units (≪ the round-6 export), so the
+    * float-fold problem never arises (the integer-ppm convention). */
+  def atkinson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"), $"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    perCust
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"y".cast("decimal(38,0)")).as("s"),
+        sum(round(log($"y".cast("double")) * lit(1e9)).cast("long"))
+          .as("lsum"))
+      .select($"segment", $"n_customers",
+        round($"s".cast("double") /
+          ($"n_customers".cast("double") * 100.0), 2).as("mean_rev"),
+        round(lit(1.0) -
+          exp($"lsum".cast("double") /
+            ($"n_customers".cast("double") * lit(1e9))) /
+          ($"s".cast("double") / $"n_customers".cast("double")), 6)
+          .as("atkinson_1"))
+      .orderBy($"segment")
+  }
+
+  /** A83 CAPTURE-RECAPTURE population estimate (Chapman's
+    * bias-corrected Lincoln-Petersen — ecology's tool, and exactly
+    * how corpus people estimate "how many unique users/documents
+    * exist beyond what two crawls both saw"): users seen in the
+    * first half of the window vs the second, overlap m, estimate
+    * n̂ = (n₁+1)(n₂+1)/(m+1) − 1, compared against the TRUE distinct
+    * count the estimator never saw. All integers + one division. */
+  def captureRecapture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select($"event_type", $"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01")).as("di"))
+    val bounds = e.agg(min($"di").as("lo"), max($"di").as("hi"))
+    val marked = e.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when($"di" < expr("(lo + hi + 1) div 2"), 0L).otherwise(1L))
+      .groupBy($"event_type", $"user_id")
+      .agg(max(when($"half" === 0L, 1L).otherwise(0L)).as("in1"),
+        max(when($"half" === 1L, 1L).otherwise(0L)).as("in2"))
+    marked.groupBy($"event_type")
+      .agg(sum($"in1").as("n1"), sum($"in2").as("n2"),
+        sum($"in1" * $"in2").as("m"),
+        count(lit(1)).as("true_n"))
+      .select($"event_type", $"n1", $"n2", $"m", $"true_n",
+        round(($"n1" + 1).cast("double") * ($"n2" + 1).cast("double") /
+          ($"m" + 1).cast("double") - lit(1.0), 2).as("n_hat"))
+      .orderBy($"event_type")
+  }
+
   /** A80 TOST EQUIVALENCE test for every priority pair (the
     * two-one-sided-tests twin of A40 — the question A40 CANNOT
     * answer: "are these two slices the SAME to within a margin?"
@@ -2872,6 +2935,8 @@ object Relational {
     "q_fisher_exact" -> fisherExact,
     "q_tost" -> tost,
     "q_mcc" -> mcc,
+    "q_atkinson" -> atkinson,
+    "q_capture_recapture" -> captureRecapture,
     "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
     "q_mad" -> madPerGroup,
@@ -3969,6 +4034,42 @@ object Relational {
         |    round(vxy::DOUBLE / sqrt(vx::DOUBLE * vy::DOUBLE), 6)
         |  END AS dcor2
         |FROM v ORDER BY yr""".stripMargin,
+    // A82 twin: same fixed-point integer ln sum (order-free), same
+    // single-division tail
+    "q_atkinson" ->
+      """WITH pc AS (
+        |  SELECT c_mktsegment AS segment, o_custkey,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT segment, count(*)::BIGINT AS n_customers,
+        |  round(sum(y::DECIMAL(38,0))::DOUBLE
+        |    / (count(*)::DOUBLE * 100.0), 2) AS mean_rev,
+        |  round(1.0 - exp(sum(round(ln(y::DOUBLE) * 1e9)::BIGINT)::DOUBLE
+        |      / (count(*)::DOUBLE * 1e9))
+        |    / (sum(y::DECIMAL(38,0))::DOUBLE / count(*)::DOUBLE), 6)
+        |    AS atkinson_1
+        |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // A83 twin: same half-window marking, same integer overlap, one
+    // division
+    "q_capture_recapture" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id,
+        |    datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS di
+        |  FROM events),
+        |b AS (SELECT min(di)::BIGINT AS lo, max(di)::BIGINT AS hi FROM e),
+        |mk AS (
+        |  SELECT event_type, user_id,
+        |    max(CASE WHEN di < (b.lo + b.hi + 1) // 2 THEN 1 ELSE 0 END)
+        |      ::BIGINT AS in1,
+        |    max(CASE WHEN di >= (b.lo + b.hi + 1) // 2 THEN 1 ELSE 0 END)
+        |      ::BIGINT AS in2
+        |  FROM e, b GROUP BY 1, 2)
+        |SELECT event_type, sum(in1)::BIGINT AS n1, sum(in2)::BIGINT AS n2,
+        |  sum(in1 * in2)::BIGINT AS m, count(*)::BIGINT AS true_n,
+        |  round((sum(in1) + 1)::DOUBLE * (sum(in2) + 1)::DOUBLE
+        |    / (sum(in1 * in2) + 1)::DOUBLE - 1.0, 2) AS n_hat
+        |FROM mk GROUP BY 1 ORDER BY 1""".stripMargin,
     // A80 twin: the A40 exact moment sums + the same scalar TOST tail
     "q_tost" ->
       """WITH g AS (

@@ -199,6 +199,58 @@ object CdcStream {
       }
   }
 
+  /** One per-type emission from [[msprtStream]]. */
+  case class MsprtPoint(event_type: String, n_obs: Long, s: Long,
+      v: Long, lln: Double, crossed: Boolean, first_cross_n: Option[Long])
+
+  /** C76 STREAMING mSPRT monitor — the continuous twin of the batch
+    * always-valid A/B test (`Cdc.msprt`): the WHOLE point of an
+    * always-valid p-value is that the dashboard reads it live, so
+    * the monitor belongs in the stream. Per event type the state is
+    * FOUR scalars — S = Σ±1 (id-parity arm diff), V = n, the sticky
+    * crossed flag and the first-crossing count — bounded whatever
+    * the throughput; every micro-batch folds its events in (order
+    * within S is irrelevant: S and V are commutative integer sums,
+    * which is why this statistic streams exactly) and emits the
+    * updated lnΛ under the same normal-mixture form as the batch
+    * twin. The crossing is ONE-SHOT sticky: the first n where
+    * lnΛ ≥ ln(1/α) is recorded and never revised — the always-valid
+    * guarantee is about EVER crossing, so the live monitor must not
+    * un-cross on later mean reversion. Spec pins S/V/lnΛ equality
+    * with the batch statistic across micro-batch splits. */
+  def msprtStream(arms: Dataset[(String, Long)],
+      tau2: Double = 10000.0, alpha: Double = 0.05): Dataset[MsprtPoint] = {
+    import arms.sparkSession.implicits._
+    val lnCrit = math.log(1.0 / alpha)
+    arms.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (typ: String, it: Iterator[(String, Long)],
+         state: GroupState[(Long, Long, Boolean, Long)]) =>
+          var (s, v, crossed, firstN) =
+            state.getOption.getOrElse((0L, 0L, false, 0L))
+          it.foreach { case (_, userId) =>
+            s += (if (userId % 2 == 0) 1L else -1L)
+            v += 1L
+            if (!crossed && v > 0L) {
+              val vd = v.toDouble
+              val lln = 0.5 * math.log(vd / (vd + tau2)) +
+                tau2 * (s.toDouble * s.toDouble) /
+                  (2.0 * vd * (vd + tau2))
+              if (lln >= lnCrit) { crossed = true; firstN = v }
+            }
+          }
+          state.update((s, v, crossed, firstN))
+          val vd = v.toDouble
+          val lln =
+            if (v == 0L) 0.0
+            else 0.5 * math.log(vd / (vd + tau2)) +
+              tau2 * (s.toDouble * s.toDouble) / (2.0 * vd * (vd + tau2))
+          Iterator.single(MsprtPoint(typ, v, s, v, lln, crossed,
+            if (crossed) Some(firstN) else None))
+      }
+  }
+
   /** One per-bucket completeness emission from
     * [[completenessStream]]. */
   case class BucketCompleteness(bucket: Long, n_seen: Long,

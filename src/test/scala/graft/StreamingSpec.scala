@@ -67,6 +67,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C76 streaming mSPRT: batch-split invariant, sticky one-shot crossing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def lln(s: Long, v: Long, tau2: Double = 10000.0): Double =
+      0.5 * math.log(v.toDouble / (v + tau2)) +
+        tau2 * (s.toDouble * s) / (2.0 * v * (v + tau2))
+    val in = MemoryStream[(String, Long)]
+    val q = CdcStream.msprtStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("msprt_stream").start()
+    def latest(): Map[String, (Long, Long, Double, Boolean, Option[Long])] =
+      spark.table("msprt_stream").collect()
+        .map(r => (r.getString(0), (r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getBoolean(5),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)))))
+        .groupBy(_._1).map { case (k, rs) =>
+          k -> rs.maxBy(_._2._2)._2 } // highest V = latest emission
+    try {
+      // balanced arms: S hovers near 0, no crossing
+      val b1 = (1L to 40L).map(u => ("click", u))
+      in.addData(b1: _*); q.processAllAvailable()
+      val p1 = latest()("click")
+      assert(p1._1 == 0L && p1._2 == 40L && !p1._4)
+      assert(math.abs(p1._3 - lln(0L, 40L)) < 1e-12)
+      // heavy drift in a second type: even ids only → S = V, crosses
+      val drift = (1L to 300L).map(u => ("buy", 2L * u))
+      in.addData(drift.take(150): _*); q.processAllAvailable()
+      in.addData(drift.drop(150): _*); q.processAllAvailable()
+      val p2 = latest()("buy")
+      assert(p2._1 == 300L && p2._2 == 300L)
+      assert(p2._4, s"300/300 one-arm events did not cross: $p2")
+      val firstN = p2._5.get
+      assert(lln(firstN, firstN) >= math.log(20.0) &&
+        (firstN == 1L || lln(firstN - 1, firstN - 1) < math.log(20.0)),
+        s"first_cross_n=$firstN is not the FIRST crossing")
+      // sticky: pile the opposite arm on until lnΛ drops below the
+      // boundary — crossed and first_cross_n must not revise
+      in.addData((1L to 300L).map(u => ("buy", 2L * u + 1)): _*)
+      q.processAllAvailable()
+      val p3 = latest()("buy")
+      assert(p3._1 == 0L && p3._2 == 600L)
+      assert(p3._3 < math.log(20.0), "test setup: should be sub-boundary")
+      assert(p3._4 && p3._5.contains(firstN),
+        s"crossing un-stuck on mean reversion: $p3")
+      // batch-split invariance: same data in one batch == the above
+      val in2 = MemoryStream[(String, Long)]
+      val q2 = CdcStream.msprtStream(in2.toDS())
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName("msprt_stream2").start()
+      try {
+        in2.addData((drift ++ (1L to 300L).map(u =>
+          ("buy", 2L * u + 1))): _*)
+        q2.processAllAvailable()
+        val one = spark.table("msprt_stream2").collect()
+          .map(r => (r.getLong(2), r.getLong(3), r.getBoolean(5))).head
+        assert(one == ((0L, 600L, true)), s"split-sensitivity: $one")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("end-to-end file->transform->parquet-sink streaming pipeline") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_e2e").toString
