@@ -130,6 +130,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "mp4_frag_samples"),
       (args: Seq[Expression]) => graft.functions.Mp4FragTable(args.head)))
     e.injectFunction((
+      new FunctionIdentifier("pdf_xref"),
+      new ExpressionInfo(classOf[graft.functions.PdfXrefTable].getName,
+        "pdf_xref"),
+      (args: Seq[Expression]) => graft.functions.PdfXrefTable(args.head)))
+    e.injectFunction((
       new FunctionIdentifier("mkv_tracks"),
       new ExpressionInfo(classOf[graft.functions.MkvTrackDir].getName,
         "mkv_tracks"),

@@ -301,6 +301,8 @@ object Multimodal {
     val isOgg = substring(h, 1, 10) === "4F67675300"
     // G40: EBML magic (Matroska/WebM)
     val isMkv = substring(h, 1, 8) === "1A45DFA3"
+    // G43: "%PDF-" — routes to the document-extraction pool
+    val isPdf = substring(h, 1, 10) === "255044462D"
     val mp3SrIdx = shiftright(beField(5, 2), 2).bitwiseAND(lit(3L))
     val mp3Sr = when(mp3SrIdx < 3L, element_at(
       typedlit(Seq(44100L, 48000L, 32000L)),
@@ -311,7 +313,7 @@ object Multimodal {
         .when(isFlac, "flac").when(isMp3, "mp3")
         .when(isZip, "zip").when(isTar, "tar")
         .when(isWebp, "webp").when(isOgg, "ogg")
-        .when(isMkv, "mkv")
+        .when(isMkv, "mkv").when(isPdf, "pdf")
         .otherwise("unknown").as("format"),
       when(isPng, pngW).when(isGif, gifW).when(isJpeg, jpegW)
         .when(isBmp, bmpW).as("width"),
@@ -1595,6 +1597,58 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Spec-shaped classic-xref PDF (G43; ISO 32000-1 §7.5.4):
+    * `%PDF-1.4` header, n = 3 + id%5 one-digit-numbered objects of
+    * deterministic length (body 20 + (id·7 + i·13)%60 filler bytes),
+    * a classic xref table (free-list head entry 0 + one in-use entry
+    * per object with its REAL byte offset), and the
+    * trailer/startxref/%%EOF tail. All offsets closed-form in doc_id
+    * for the oracle replay. */
+  private[graft] def pdfBytes(docId: Long): Array[Byte] = {
+    val n = (3 + docId % 5).toInt
+    def m(i: Int) = (20 + (docId * 7 + i * 13) % 60).toInt
+    val sb = new StringBuilder
+    sb.append("%PDF-1.4\n") // 9 bytes
+    val offs = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      offs(i) = sb.length
+      sb.append(s"$i 0 obj\n")
+      var b = 0
+      while (b < m(i)) { sb.append('x'); b += 1 }
+      sb.append("\nendobj\n")
+      i += 1
+    }
+    val xrefAt = sb.length
+    sb.append("xref\n").append(s"0 ${n + 1}\n")
+    sb.append("0000000000 65535 f\r\n")
+    i = 1
+    while (i <= n) {
+      sb.append(f"${offs(i)}%010d 00000 n\r\n")
+      i += 1
+    }
+    sb.append("trailer\n<< /Size ").append(n + 1).append(" >>\n")
+    sb.append("startxref\n").append(xrefAt).append("\n%%EOF")
+    sb.toString.getBytes("US-ASCII")
+  }
+
+  /** G43 graded entry (`mm_pdf_xref`): the object directory walked
+    * back from the trailer — a hash match proves the backward
+    * startxref scan, the subsection walk, and every absolute object
+    * offset against the encoder's closed form. */
+  private def pdfXrefEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, pdfBytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id", explode(graft.functions.PdfXref
+        .pdfXref($"payload")).as("x"))
+      .select($"doc_id", $"x.obj_num".as("obj_num"),
+        $"x.offset".as("offset"), $"x.generation".as("generation"),
+        $"x.in_use".as("in_use"))
+      .orderBy($"doc_id", $"obj_num")
+  }
+
   /** G39 graded entry (`mm_ogg_pages`): the page directory walked
     * back — CRC-verified headers, packet accounting under the 255
     * continuation rule, BOS/EOS/continued flags, byte-exact payload
@@ -2744,6 +2798,7 @@ object Multimodal {
     "mm_mkv_tracks" -> mkvTracksEntry,
     "mm_opus_head" -> opusHeadEntry,
     "mm_container_triage" -> containerTriageEntry,
+    "mm_pdf_xref" -> pdfXrefEntry,
     "mm_mp3_frames" -> mp3FramesEntry,
     "mm_mp3_summary" -> mp3SummaryEntry,
     "mm_flac_info" -> flacInfoEntry,
@@ -2767,6 +2822,30 @@ object Multimodal {
     "mm_phash_dedup" -> phashDedupEntry)
 
   val oracles: Map[String, String] = Map(
+    // G43 twin: the closed-form object layout replayed — the header
+    // is 9 bytes, object i spans 16 + m(i) bytes, offsets by prefix
+    // sum; entry 0 is the 65535-generation free-list head
+    "mm_pdf_xref" ->
+      """WITH d AS (
+        |  SELECT doc_id, (3 + doc_id % 5)::INT AS n FROM documents),
+        |ob AS (
+        |  SELECT doc_id, n, unnest(range(1, n + 1))::BIGINT AS i FROM d),
+        |sz AS (
+        |  SELECT doc_id, i,
+        |    16 + 20 + (doc_id * 7 + i * 13) % 60 AS olen
+        |  FROM ob),
+        |offs AS (
+        |  SELECT doc_id, i,
+        |    9 + coalesce(sum(olen) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM sz)
+        |SELECT doc_id, 0::BIGINT AS obj_num, 0::BIGINT AS offset,
+        |  65535::BIGINT AS generation, 0::BIGINT AS in_use
+        |FROM d
+        |UNION ALL
+        |SELECT doc_id, i, off::BIGINT, 0::BIGINT, 1::BIGINT FROM offs
+        |ORDER BY doc_id, obj_num""".stripMargin,
     // G42 twin: each routing branch's closed form replayed — parity
     // proves the sniff → walker routing AND every walker's counting
     "mm_container_triage" ->

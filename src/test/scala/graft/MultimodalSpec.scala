@@ -1534,6 +1534,45 @@ class MultimodalSpec extends AnyFunSuite {
       assert(parse(bad).isEmpty, "malformed ebml parsed non-empty")
   }
 
+  test("G43 pdf xref walk: trailer scan, offsets address objects, scope quarantine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.PdfXref
+    def parse(b: Array[Byte]): Seq[(Long, Long, Long, Long)] =
+      Seq(Tuple1(b)).toDF("payload")
+        .select(explode(PdfXref.pdfXref(col("payload"))).as("x"))
+        .select(col("x.obj_num"), col("x.offset"),
+          col("x.generation"), col("x.in_use"))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val id = 9L
+    val ok = graft.operators.Multimodal.pdfBytes(id)
+    val got = parse(ok)
+    val n = (3 + id % 5).toInt
+    assert(got.length == n + 1)
+    assert(got.head == ((0L, 0L, 65535L, 0L)), got.head)
+    // every in-use offset addresses the "<i> 0 obj" keyword itself
+    got.tail.foreach { case (num, off, gen, used) =>
+      assert(gen == 0L && used == 1L)
+      val at = new String(ok, off.toInt, 8, "US-ASCII")
+      assert(at.startsWith(s"$num 0 obj"), s"obj $num offset points at '$at'")
+    }
+    // scope: an xref STREAM (startxref → an object, not the keyword)
+    // quarantines — rewrite the startxref target to object 1's offset
+    val s = new String(ok, "US-ASCII")
+    val obj1Off = got(1)._2
+    val streamy = s.replaceAll("startxref\n\\d+",
+      s"startxref\n$obj1Off").getBytes("US-ASCII")
+    assert(parse(streamy).isEmpty, "xref-stream layout parsed non-empty")
+    // malformed: no header, truncated table, corrupted entry letter
+    val noHdr = ok.drop(2)
+    val cut = ok.take(ok.length - 40)
+    val badLetter = ok.clone()
+    val xIdx = s.indexOf("00000 n\r")
+    badLetter(xIdx + 6) = 'q'
+    for (bad <- Seq(noHdr, cut, badLetter))
+      assert(parse(bad).isEmpty, "malformed pdf parsed non-empty")
+  }
+
   test("sniffer routes the shard containers: zip, tar, webp") {
     import spark.implicits._
     val rows = Seq(
@@ -1542,13 +1581,14 @@ class MultimodalSpec extends AnyFunSuite {
       (3L, "just text, no container".getBytes("US-ASCII")),
       (4L, graft.operators.Multimodal.webpBytes(4L)),
       (5L, graft.operators.Multimodal.oggBytes(5L)),
-      (6L, graft.operators.Multimodal.mkvBytes(6L)))
+      (6L, graft.operators.Multimodal.mkvBytes(6L)),
+      (7L, graft.operators.Multimodal.pdfBytes(7L)))
       .toDF("doc_id", "payload")
     val got = Multimodal.sniffHeaders(rows)
       .select("doc_id", "format").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "zip", 2L -> "tar", 3L -> "unknown",
-      4L -> "webp", 5L -> "ogg", 6L -> "mkv"), got)
+      4L -> "webp", 5L -> "ogg", 6L -> "mkv", 7L -> "pdf"), got)
   }
 
   test("G37 webp dims: all three layouts, quarantine on the rest") {
