@@ -931,6 +931,22 @@ object Graph {
     landmarkBetweenness(sp, seeds, 3)
   }
 
+  /** q_random_walks: 4-hop deterministic walks from every 20th
+    * supplier over the NUMERIC supplier↔part supply graph (parts
+    * offset by 10⁶ to keep the key spaces disjoint — the hash hop
+    * needs integer nodes). */
+  def randomWalksSupplyChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sp = Tables.lineitem(s, dir)
+      .select($"l_suppkey".cast("long").as("src"),
+        ($"l_partkey".cast("long") + 1000000L).as("dst"))
+      .distinct()
+    val seeds = Tables.supplier(s, dir)
+      .filter($"s_suppkey" % 20 === 1)
+      .select($"s_suppkey".cast("long").as("node"))
+    randomWalks(sp, seeds, 4)
+  }
+
   /** q_path_counts: shortest-path multiplicity from every 20th
     * supplier over the supplier↔part supply graph (the q_bfs_hops
     * graph and seeds), 4 rounds. */
@@ -1043,6 +1059,52 @@ object Graph {
       .groupBy($"node")
       .agg(count(lit(1)).as("n_seeds"), round(max($"cum"), 6).as("bw"))
       .orderBy($"node")
+  }
+
+  /** I26 DETERMINISTIC RANDOM WALKS (the DeepWalk/node2vec corpus
+    * step — Perozzi et al. 2014: graph-embedding training data IS a
+    * corpus of walks, so the walk sampler is a training-data
+    * operator, not an analytics one): from each seed, `steps` hops
+    * where step t leaves node c through its
+    * (1 + (c·2654435761 + t·40503) mod p mod deg(c))-th neighbor in
+    * dst order — a HASH-driven choice, so the "random" walk is a
+    * pure function of (graph, seed, t): reproducible across runs,
+    * engines, and re-partitioning (Spark's rand() is none of those).
+    * Per step: one equi-join against the rank-indexed adjacency
+    * (built once, localCheckpointed) — frontier-sized, the I3 plan;
+    * the adjacency index is one window over the edge frame. All
+    * integers; the SQL twin replays identical hops. */
+  def randomWalks(edges: DataFrame, seeds: DataFrame,
+      steps: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+    val wAdj = Window.partitionBy($"src").orderBy($"dst")
+    val adj = sym
+      .withColumn("rn", row_number().over(wAdj).cast("long"))
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy($"src")))
+      .localCheckpoint()
+    var walks = seeds.select($"node".as("walk_id"))
+      .join(adj.select($"src").distinct(),
+        $"walk_id" === $"src", "left_semi")
+      .select($"walk_id", lit(0L).as("step"), $"walk_id".as("cur"))
+    var all = walks
+    for (t <- 1 to steps) {
+      val w = walks.select($"walk_id", $"cur".as("wcur"))
+      val pick = ((col("wcur") * lit(2654435761L) +
+        lit(t.toLong) * lit(40503L)) % lit(1000000007L)) % col("deg")
+      walks = w.join(adj,
+          col("wcur") === col("src") && col("rn") === lit(1L) + pick)
+        .select($"walk_id", lit(t.toLong).as("step"),
+          $"dst".as("cur"))
+        .localCheckpoint()
+      all = all.union(walks)
+    }
+    all.select($"walk_id", $"step", $"cur".as("node"))
+      .orderBy($"walk_id", $"step")
   }
 
   /** Bounded k-core peeling: `rounds` passes of "drop every vertex of
@@ -2050,6 +2112,7 @@ object Graph {
     "q_path_counts" -> pathCountsSupplyChain,
     "q_betweenness" -> betweennessSupplyChain,
     "q_louvain" -> louvainCoOrder,
+    "q_random_walks" -> randomWalksSupplyChain,
     "q_link_predict" -> linkPredictCoOrder,
     "q_kcore" -> kcoreCoOrder)
 
@@ -2304,6 +2367,39 @@ object Graph {
 
   /** Unrolled path-count twin — per round, σ sums over the previous
     * FRONTIER only (f_{k-1}), with the settled set excluded. */
+  /** Unrolled walk twin: identical hash hops over the identical
+    * rank-indexed adjacency. */
+  private def randomWalksSql(steps: Int): String = {
+    val iters = (1 to steps).map { t =>
+      s"""w$t AS (
+         |  SELECT w.walk_id, $t::BIGINT AS step, a.dst AS cur
+         |  FROM w${t - 1} w JOIN adj a ON a.src = w.cur
+         |    AND a.rn = 1 + (w.cur * 2654435761 + $t * 40503)
+         |      % 1000000007 % a.deg)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to steps).map(t => s"SELECT * FROM w$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH sp AS (
+       |  SELECT DISTINCT l_suppkey::BIGINT AS src,
+       |    (1000000 + l_partkey)::BIGINT AS dst
+       |  FROM lineitem),
+       |sym AS (SELECT src, dst FROM sp UNION SELECT dst, src FROM sp),
+       |adj AS (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst)::BIGINT AS rn,
+       |    count(*) OVER (PARTITION BY src)::BIGINT AS deg
+       |  FROM sym),
+       |w0 AS (
+       |  SELECT s_suppkey::BIGINT AS walk_id, 0::BIGINT AS step,
+       |    s_suppkey::BIGINT AS cur
+       |  FROM supplier WHERE s_suppkey % 20 = 1
+       |    AND EXISTS (SELECT 1 FROM sym WHERE src = s_suppkey)),
+       |$iters
+       |SELECT walk_id, step, cur AS node FROM (
+       |$unions)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   /** Unrolled Brandes twin: the I19 forward σ CTE chain keyed by
     * seed, then per-level backward dependency CTEs whose float folds
     * are the SAME ordered window cumsums (successors in w order, the
@@ -2706,6 +2802,7 @@ object Graph {
     "q_sssp" -> ssspSql(4),
     "q_communities" -> lpaSql(3),
     "q_louvain" -> louvainSql(2),
+    "q_random_walks" -> randomWalksSql(4),
     // I8 twin: same degree aggregate, same node-ordered ln fold and
     // continuity-corrected MLE tail
     "q_powerlaw" ->
