@@ -1279,6 +1279,38 @@ object Relational {
     }.orderBy($"lang")
   }
 
+  /** H29 graded entry (`src_csv_multiline`): CSV with EMBEDDED
+    * NEWLINES AND QUOTES round-tripped — the CSV edge every naive
+    * line-splitter corrupts (a quoted field may span lines, so
+    * "split on \n" breaks records apart; RFC 4180 quoting doubles
+    * embedded quotes): the documents' real multi-line text exports
+    * through Spark's quoting writer and re-ingests with
+    * multiLine=true, and the content signature must survive exactly.
+    * NOTE the scale cost is REAL and stated: multiLine CSV is not
+    * splittable (a record boundary cannot be found mid-file), one
+    * file per task — the H28 bzip2-JSONL loop is the splittable
+    * landing shape; this one grades the parser edge. */
+  def csvMultilineRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    localRoundtrip(s, "graft_csvml") { root =>
+      val tmp = root + "/docs"
+      docs.select($"doc_id", $"lang", $"n_chars", $"text")
+        .write.mode("overwrite").option("header", "true")
+        .option("quoteAll", "true").csv(tmp)
+      val back = s.read
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .schema("doc_id LONG, lang STRING, n_chars LONG, text STRING")
+        .csv(tmp)
+      back.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("chars"),
+          sum($"doc_id" * length(coalesce($"text", lit("")))).as("sig"))
+        .orderBy($"lang")
+    }.orderBy($"lang")
+  }
+
   /** H26 graded entry (`src_orc`): ORC export → re-ingest →
     * aggregate, one self-contained query grading the WHOLE columnar
     * interchange loop (Sink.orc's hive-partitioned layout, Spark's
@@ -2929,6 +2961,7 @@ object Relational {
     "src_orc" -> orcRoundtrip,
     "src_fixed_width" -> fixedWidthRoundtrip,
     "src_bz2_jsonl" -> bz2JsonlRoundtrip,
+    "src_csv_multiline" -> csvMultilineRoundtrip,
     "q_cliffs_delta" -> cliffsDelta,
     "q_cohens_d" -> cohensD,
     "q_welch_ttest" -> welchTTest,
@@ -3905,6 +3938,14 @@ object Relational {
     // H25 twin: the oracle never sees the gz files — parity proves
     // the export/re-ingest loop was lossless
     "src_gz_jsonl" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS chars,
+        |  sum(doc_id * length(text))::BIGINT AS sig
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // H29 twin: the oracle never sees the CSV — parity proves the
+    // quote/newline round-trip lossless (empty-string text lands as
+    // NULL through CSV; the signature coalesces identically)
+    "src_csv_multiline" ->
       """SELECT lang, count(*)::BIGINT AS n_docs,
         |  sum(n_chars)::BIGINT AS chars,
         |  sum(doc_id * length(text))::BIGINT AS sig

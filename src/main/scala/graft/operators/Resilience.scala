@@ -2463,6 +2463,69 @@ object Resilience {
       .orderBy($"rk")
   }
 
+  /** B88 BENJAMINI-YEKUTIELI FDR (the B55 step-up under ARBITRARY
+    * dependence — BH's guarantee needs independence/PRDS; when the
+    * per-type trend tests share regime shocks, the safe control
+    * multiplies the threshold by the harmonic factor
+    * c(m) = Σ₁..m 1/i, BY 2001): identical Mann-Kendall p machinery
+    * as B55, p_adj = min suffix(p·m·c(m)/rank). c(m) folds the
+    * m-term harmonic sum in PINNED ascending order (both engines'
+    * ordered list fold). Reading B55 next to B88 shows the price of
+    * dependence-robustness directly: c(5) ≈ 2.28× looser. */
+  def fdrBy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val az = abs($"z_unr")
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val phi = exp(az * az * -0.5) * lit(0.3989422804014327)
+    val tail = phi * (lit(0.319381530) * t +
+      lit(-0.356563782) * t * t +
+      lit(1.781477937) * t * t * t +
+      lit(-1.821255978) * t * t * t * t +
+      lit(1.330274429) * t * t * t * t * t)
+    val pts = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val pairs = pts.as("a").join(pts.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        signum(col("b.cnt") - col("a.cnt")).cast("long").as("sgn"))
+      .groupBy($"event_type").agg(sum($"sgn").as("s_stat"))
+    val ties = pts.groupBy($"event_type", $"cnt")
+      .agg(count(lit(1)).as("t"))
+      .groupBy($"event_type")
+      .agg(sum($"t").as("n"),
+        sum($"t" * ($"t" - 1) * (lit(2) * $"t" + 5)).as("tsum"))
+    val varNum = ($"n" * ($"n" - 1) * (lit(2) * $"n" + 5) - $"tsum")
+    val zed = pairs.join(ties, "event_type")
+      .withColumn("var_s", varNum.cast("double") / lit(18.0))
+      .withColumn("z_unr",
+        when($"s_stat" > 0,
+          ($"s_stat" - 1).cast("double") / sqrt($"var_s"))
+          .when($"s_stat" < 0,
+            ($"s_stat" + 1).cast("double") / sqrt($"var_s"))
+          .otherwise(lit(0.0)))
+      .withColumn("p_two", least(lit(1.0), lit(2.0) * tail))
+    val mTests = Window.partitionBy()
+    val wRank = Window.orderBy($"p_two", $"event_type")
+    val wSuffix = Window.orderBy($"rk")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    zed
+      .withColumn("m", count(lit(1)).over(mTests))
+      .withColumn("cm", expr(
+        "aggregate(sequence(1, int(m)), 0D, (a, i) -> a + 1.0 / double(i))"))
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("p_adj", least(lit(1.0), min(
+        $"p_two" * $"m".cast("double") * $"cm" / $"rk".cast("double"))
+        .over(wSuffix)))
+      .select($"event_type", $"s_stat",
+        round($"p_two", 6).as("p_two"), $"rk",
+        round($"cm", 6).as("c_m"),
+        round($"p_adj", 6).as("p_adj"),
+        ($"p_adj" < 0.05).cast("long").as("reject"))
+      .orderBy($"rk")
+  }
+
   /** B56 spectral ENTROPY per event type (the one-number regularity
     * summary of B44's periodogram — ≈0 a single dominant cycle, →1
     * white noise; the "is there ANY rhythm worth modeling" screen
@@ -3761,6 +3824,7 @@ object Resilience {
     "q_cointegration" -> ((s, dir) => cointegration(Tables.events(s, dir))),
     "q_logrank" -> ((s, dir) => logRank(Tables.events(s, dir))),
     "q_fdr_bh" -> fdrBh,
+    "q_fdr_by" -> fdrBy,
     "q_seasonality" -> seasonalityIndex,
     "q_dtw" -> dtwSeasonal,
     "q_acf" -> ((s, dir) => acfLjungBox(Tables.events(s, dir))),
@@ -5042,6 +5106,67 @@ object Resilience {
     // B55 twin: B34's exact integer S/Var core, the same literal
     // Abramowitz-Stegun tail, the same ascending-(p, type) rank and
     // suffix-min step-up
+    // B88 twin: the B55 chain + the pinned ascending harmonic fold
+    "q_fdr_by" ->
+      s"""WITH pts AS (
+         |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT a.event_type,
+         |    sum(CASE WHEN b.cnt > a.cnt THEN 1
+         |        WHEN b.cnt < a.cnt THEN -1 ELSE 0 END)::BIGINT AS s_stat
+         |  FROM pts a JOIN pts b
+         |  ON a.event_type = b.event_type AND a.day < b.day
+         |  GROUP BY 1),
+         |ties AS (
+         |  SELECT event_type, sum(t)::BIGINT AS n,
+         |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tsum
+         |  FROM (SELECT event_type, cnt, count(*)::BIGINT AS t
+         |        FROM pts GROUP BY 1, 2) GROUP BY 1),
+         |z AS (
+         |  SELECT p.event_type, p.s_stat,
+         |    CASE WHEN p.s_stat > 0 THEN (p.s_stat - 1)::DOUBLE
+         |        / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tsum)
+         |          ::DOUBLE / 18.0)
+         |      WHEN p.s_stat < 0 THEN (p.s_stat + 1)::DOUBLE
+         |        / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tsum)
+         |          ::DOUBLE / 18.0)
+         |      ELSE 0.0 END AS z_unr
+         |  FROM prs p JOIN ties t USING (event_type)),
+         |zt AS (
+         |  SELECT event_type, s_stat, z_unr,
+         |    1.0 / (1.0 + 0.2316419 * abs(z_unr)) AS t
+         |  FROM z),
+         |p AS (
+         |  SELECT event_type, s_stat, z_unr,
+         |    least(1.0, 2.0 * (exp(abs(z_unr) * abs(z_unr) * -0.5)
+         |      * 0.3989422804014327
+         |      * (0.319381530 * t
+         |        + -0.356563782 * t * t
+         |        + 1.781477937 * t * t * t
+         |        + -1.821255978 * t * t * t * t
+         |        + 1.330274429 * t * t * t * t * t))) AS p_two
+         |  FROM zt),
+         |rk AS (
+         |  SELECT *,
+         |    row_number() OVER (ORDER BY p_two, event_type)::BIGINT
+         |      AS rk,
+         |    count(*) OVER ()::BIGINT AS m
+         |  FROM p),
+         |cm AS (
+         |  SELECT *, list_reduce(list_transform(range(1, m + 1),
+         |    i -> 1.0 / i), (a, b) -> a + b) AS cmv
+         |  FROM rk),
+         |adj AS (
+         |  SELECT *,
+         |    least(1.0, min(p_two * m::DOUBLE * cmv / rk::DOUBLE)
+         |      OVER (ORDER BY rk DESC)) AS p_adj
+         |  FROM cm)
+         |SELECT event_type, s_stat,
+         |  round(p_two, 6) AS p_two, rk, round(cmv, 6) AS c_m,
+         |  round(p_adj, 6) AS p_adj,
+         |  (CASE WHEN p_adj < 0.05 THEN 1 ELSE 0 END)::BIGINT AS reject
+         |FROM adj ORDER BY rk""".stripMargin,
     "q_fdr_bh" ->
       s"""WITH pts AS (
          |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS cnt
