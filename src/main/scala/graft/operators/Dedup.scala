@@ -373,6 +373,70 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** D26 MINHASH CALIBRATION — the estimator-quality curve of the D3
+    * machinery (the tuning question every LSH deployment asks before
+    * trusting bands as a filter: how tight is sig-agreement/32 around
+    * TRUE Jaccard on MY corpus? The binomial theory says sd ≈
+    * √(j(1−j)/32); this measures it): per banded candidate pair, the
+    * lane-agreement estimate eq/32 next to the exact DF-capped
+    * Jaccard, profiled per true-jaccard decile — n_pairs, mean
+    * estimate, mean truth, mean |error|. Determinism: eq/32 is exact
+    * binary; the per-pair error fixes to round(|err|·10⁹) BIGINT
+    * before summing (the A82 convention — integer sums are
+    * order-free), divisions only at export. Cost: the D3 shapes
+    * (signature aggregate, banded join, capped verify) + one
+    * signature equi-join over the candidate set. */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val numPerm = 32
+    val bands = 8
+    val rows = numPerm / bands
+    val sh0 = rawShingles(docs).distinct().localCheckpoint()
+    val sigs = sh0
+      .groupBy($"doc_id")
+      .agg(graft.functions.MinHashAgg.minhashSig($"shingle", numPerm).as("sig"))
+      .localCheckpoint()
+    val bandCols = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => element_at($"sig", b * rows + r + 1))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bucket"))
+    }
+    val buckets = sigs.select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"bb.band", $"bb.bucket")
+      .distinct()
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter($"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    val truth = jaccardPairs(dfCapped(sh0), 0.0, Some(cand))
+    val est = cand
+      .join(sigs.select($"doc_id".as("doc_a"), $"sig".as("siga")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"sig".as("sigb")), "doc_b")
+      .withColumn("eq", expr(
+        "aggregate(zip_with(siga, sigb, (x, y) -> if(x = y, 1, 0)), " +
+          "0, (a, b) -> a + b)").cast("long"))
+      .select($"doc_a", $"doc_b", $"eq")
+    // bucket-collision candidates with zero common shingles carry
+    // jaccard 0 (left join), so the curve sees its own false positives
+    val scored = est.join(truth, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0.0, Seq("jaccard"))
+      .withColumn("est_j", $"eq".cast("double") / lit(32.0))
+      .withColumn("bucket",
+        least(lit(9L), floor($"jaccard" * 10).cast("long")))
+      .withColumn("err_fp",
+        round(abs($"est_j" - $"jaccard") * lit(1e9)).cast("long"))
+      .withColumn("est_fp", round($"est_j" * lit(1e9)).cast("long"))
+      .withColumn("true_fp", round($"jaccard" * lit(1e9)).cast("long"))
+    scored.groupBy($"bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum($"est_fp").cast("double") /
+          (count(lit(1)).cast("double") * 1e9), 6).as("mean_est"),
+        round(sum($"true_fp").cast("double") /
+          (count(lit(1)).cast("double") * 1e9), 6).as("mean_true"),
+        round(sum($"err_fp").cast("double") /
+          (count(lit(1)).cast("double") * 1e9), 6).as("mean_abs_err"))
+      .orderBy($"bucket")
+  }
+
   /** D4 SimHash near-dup: 64-bit fingerprint from token hashes,
     * candidates via 8×8-bit chunk buckets (pigeonhole ⇒ every pair
     * with hamming ≤ 7 collides on some chunk), verified with
@@ -1173,6 +1237,7 @@ object Dedup {
     "dedup_cross" -> crossCorpusOnSources _,
     "dedup_ngram_jaccard" -> onDocs(ngramJaccard),
     "dedup_minhash" -> onDocs(minhashLsh),
+    "dedup_minhash_calibration" -> onDocs(minhashCalibration),
     "dedup_simhash" -> onDocs(simhash),
     "dedup_embedding" -> ((s, dir) => embeddingCosine(Tables.embeddings(s, dir))),
     "dedup_semantic" -> ((s, dir) => semanticDedup(Tables.embeddings(s, dir))),
@@ -1337,6 +1402,72 @@ object Dedup {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE >= $JaccardT
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // D26 twin: the D3 signature chain + a lane-agreement join, true
+    // jaccard LEFT-joined (bucket-collision pairs score 0), errors
+    // fixed-point summed (the A82 order-free convention)
+    "dedup_minhash_calibration" ->
+      s"""WITH $shinglesSql,
+        |perms AS (
+        |  SELECT unnest(range(0, 32))::INT AS perm,
+        |    unnest([$minhashSeedList]::HUGEINT[]) AS seed),
+        |hp AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::HUGEINT, cps),
+        |      (a, c) -> (a * 1000003 + c) % $PolyMod) AS base,
+        |    list_reduce(list_prepend(1::HUGEINT, cps),
+        |      (a, c) -> (a * 1000003) % $PolyMod) AS pw
+        |  FROM (SELECT doc_id, list_transform(range(1, len(shingle) + 1),
+        |          i -> unicode(shingle[i])::HUGEINT) AS cps FROM sh0)),
+        |sig AS (
+        |  SELECT doc_id, perm,
+        |    min((seed * pw + base) % $PolyMod)::BIGINT AS mh
+        |  FROM hp CROSS JOIN perms GROUP BY doc_id, perm, seed),
+        |bandkey AS (
+        |  SELECT doc_id, perm // 4 AS band, list(mh ORDER BY perm) AS tup
+        |  FROM sig GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bandkey a JOIN bandkey b
+        |    ON a.band = b.band AND a.tup = b.tup AND a.doc_id < b.doc_id),
+        |eqc AS (
+        |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS eq
+        |  FROM cand c
+        |  JOIN sig a ON a.doc_id = c.doc_a
+        |  JOIN sig b ON b.doc_id = c.doc_b
+        |    AND b.perm = a.perm AND b.mh = a.mh
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT c.doc_a, c.doc_b, coalesce(eq, 0)::BIGINT AS eq
+        |  FROM cand c LEFT JOIN eqc USING (doc_a, doc_b)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+        |  GROUP BY 1, 2),
+        |tj AS (
+        |  SELECT e.doc_a, e.doc_b, e.eq,
+        |    coalesce(i::DOUBLE / (sa.sz + sb.sz - i)::DOUBLE, 0.0) AS j
+        |  FROM est e
+        |  LEFT JOIN inter ON e.doc_a = inter.doc_a
+        |    AND e.doc_b = inter.doc_b
+        |  LEFT JOIN sizes sa ON e.doc_a = sa.doc_id
+        |  LEFT JOIN sizes sb ON e.doc_b = sb.doc_id),
+        |fp AS (
+        |  SELECT least(9, floor(j * 10)::BIGINT)::BIGINT AS bucket,
+        |    round(abs(eq::DOUBLE / 32.0 - j) * 1e9)::BIGINT AS err_fp,
+        |    round((eq::DOUBLE / 32.0) * 1e9)::BIGINT AS est_fp,
+        |    round(j * 1e9)::BIGINT AS true_fp
+        |  FROM tj)
+        |SELECT bucket, count(*)::BIGINT AS n_pairs,
+        |  round(sum(est_fp)::DOUBLE / (count(*)::DOUBLE * 1e9), 6)
+        |    AS mean_est,
+        |  round(sum(true_fp)::DOUBLE / (count(*)::DOUBLE * 1e9), 6)
+        |    AS mean_true,
+        |  round(sum(err_fp)::DOUBLE / (count(*)::DOUBLE * 1e9), 6)
+        |    AS mean_abs_err
+        |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin,
     // D4 twin — fingerprint replayed bit-for-bit: RAW (non-distinct)
     // shingles weight the 64 bit balances, h's bit 63 is always 0
     // (63-bit hash) so bits 0..62 suffice, sign rule b > 0, pigeonhole
