@@ -1540,6 +1540,40 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** A84 HILL TAIL-INDEX of customer revenue (Hill 1975 — the
+    * order-statistics MLE for the Pareto exponent: I8/q_powerlaw
+    * asks the scale-free question of DEGREES; this asks it of MONEY,
+    * which decides whether revenue concentration has finite variance
+    * at all: α̂ = k / Σᵢ ln(y₍ᵢ₎/y₍ₖ₊₁₎) over the top-k order
+    * stats): top-(k+1) per-customer revenues via orderBy().limit()
+    * — TakeOrderedAndProject, the countMinOn lesson, never a global
+    * sort — then the k ln-ratios fold as FIXED-POINT integers (the
+    * A82 order-free convention). k = 100. */
+  def hillTail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 100
+    val perCust = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    val top = perCust.orderBy(desc("y"), $"o_custkey").limit(k + 1)
+      .localCheckpoint()
+    val thresh = top.orderBy($"y".asc, $"o_custkey".desc).limit(1)
+      .select($"y".as("yk1"))
+    // strictly above the threshold order stat: boundary ties drop on
+    // BOTH sides (k_used < k then — deterministic either way)
+    top.crossJoin(broadcast(thresh))
+      .filter($"y" > $"yk1")
+      .agg(count(lit(1)).as("k_used"),
+        sum(round(log($"y".cast("double") / $"yk1".cast("double")) *
+          lit(1e9)).cast("long")).as("lsum"),
+        max($"yk1").as("yk1v"))
+      .select($"k_used",
+        round($"yk1v".cast("double") / 100.0, 2).as("threshold_rev"),
+        when($"lsum" > 0,
+          round($"k_used".cast("double") /
+            ($"lsum".cast("double") / 1e9), 4)).as("alpha_hill"))
+  }
+
   /** A80 TOST EQUIVALENCE test for every priority pair (the
     * two-one-sided-tests twin of A40 — the question A40 CANNOT
     * answer: "are these two slices the SAME to within a margin?"
@@ -2970,6 +3004,7 @@ object Relational {
     "q_mcc" -> mcc,
     "q_atkinson" -> atkinson,
     "q_capture_recapture" -> captureRecapture,
+    "q_hill" -> hillTail,
     "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
     "q_mad" -> madPerGroup,
@@ -4075,6 +4110,25 @@ object Relational {
         |    round(vxy::DOUBLE / sqrt(vx::DOUBLE * vy::DOUBLE), 6)
         |  END AS dcor2
         |FROM v ORDER BY yr""".stripMargin,
+    // A84 twin: same deterministic top-(k+1) multiset, same strict
+    // threshold rule, same fixed-point ln-ratio sum
+    "q_hill" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        |  FROM orders GROUP BY 1),
+        |top AS (
+        |  SELECT y FROM pc ORDER BY y DESC, o_custkey LIMIT 101),
+        |th AS (SELECT min(y)::BIGINT AS yk1 FROM top)
+        |SELECT count(*)::BIGINT AS k_used,
+        |  round(yk1::DOUBLE / 100.0, 2) AS threshold_rev,
+        |  CASE WHEN sum(round(ln(y::DOUBLE / yk1::DOUBLE) * 1e9)::BIGINT)
+        |      > 0 THEN
+        |    round(count(*)::DOUBLE /
+        |      (sum(round(ln(y::DOUBLE / yk1::DOUBLE) * 1e9)::BIGINT)
+        |        ::DOUBLE / 1e9), 4)
+        |  END AS alpha_hill
+        |FROM top, th WHERE y > yk1 GROUP BY yk1""".stripMargin,
     // A82 twin: same fixed-point integer ln sum (order-free), same
     // single-division tail
     "q_atkinson" ->

@@ -1497,6 +1497,44 @@ object Resilience {
       .orderBy($"event_type", $"tau")
   }
 
+  /** B89 TRACKING SIGNAL of the seasonal-naive forecast per event
+    * type (Brown's forecast monitor — operations' standard "has the
+    * forecast gone BIASED" alarm, the control-chart companion to
+    * B87's accuracy score: TS_n = Σe / MAD_n, flag when |TS| > 4):
+    * over the lag-7 baseline residuals in day order, E_n = Σd and
+    * A_n = Σ|d| are exact BIGINT cumsums, TS_n = n·E_n/A_n is one
+    * division per day, and the readout is the final TS, the max
+    * |TS|, and the FIRST flag day. Frame-bounded day grid. */
+  def trackingSignal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val wOrd = Window.partitionBy($"event_type").orderBy($"day")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = pts
+      .withColumn("f", lag($"y", 7).over(wOrd))
+      .filter($"f".isNotNull)
+      .withColumn("d", $"y" - $"f")
+    val cum = scored
+      .withColumn("i", row_number().over(wOrd).cast("long"))
+      .withColumn("e", sum($"d").over(wCum))
+      .withColumn("a", sum(abs($"d")).over(wCum))
+      .withColumn("ts", when($"a" > 0,
+        ($"i" * $"e").cast("double") / $"a".cast("double")))
+      .withColumn("flag",
+        when(abs($"ts") > lit(4.0), $"i"))
+    cum.groupBy($"event_type")
+      .agg(max($"i").as("n_scored"),
+        max(struct($"i", $"e")).getField("e").as("cum_err"),
+        max(struct($"i", $"a")).getField("a").as("cum_abs_err"),
+        round(max(struct($"i", $"ts")).getField("ts"), 4)
+          .as("ts_final"),
+        round(max(abs($"ts")), 4).as("ts_max_abs"),
+        min($"flag").as("first_flag_day"))
+      .orderBy($"event_type")
+  }
+
   /** B35 autocorrelation function + Ljung-Box portmanteau statistic
     * per event type — the "is this series white noise?" gate that
     * decides whether the B17/B18 forecast ladder has anything to
@@ -3842,6 +3880,7 @@ object Resilience {
     "q_mann_kendall" -> mannKendall,
     "q_hodges_lehmann" -> hodgesLehmann,
     "q_pinball" -> pinball,
+    "q_tracking_signal" -> trackingSignal,
     "q_kaplan_meier" -> ((s, dir) => kaplanMeier(Tables.events(s, dir))),
     "q_bollinger" -> ((s, dir) => bollinger(Tables.events(s, dir))),
     "q_rsi" -> ((s, dir) => rsi(Tables.events(s, dir))),
@@ -5798,6 +5837,45 @@ object Resilience {
         |  round(p::DOUBLE / i, 4) AS mean_left,
         |  round((s-p)::DOUBLE / (n-i), 4) AS mean_right
         |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // B89 twin: same lag-7 residuals, same exact E/A cumsums, one
+    // division per day, same struct-max final-row pick
+    "q_tracking_signal" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (
+        |  SELECT event_type, day, y,
+        |    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS f
+        |  FROM pts),
+        |sc AS (SELECT event_type, day, (y - f)::BIGINT AS d
+        |       FROM lg WHERE f IS NOT NULL),
+        |cum AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      ::BIGINT AS i,
+        |    sum(d) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      ::BIGINT AS e,
+        |    sum(abs(d)) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      ::BIGINT AS a
+        |  FROM sc),
+        |ts AS (
+        |  SELECT *, CASE WHEN a > 0
+        |    THEN (i * e)::DOUBLE / a::DOUBLE END AS tsv
+        |  FROM cum),
+        |fin AS (
+        |  SELECT event_type, max(i)::BIGINT AS n_scored,
+        |    round(max(abs(tsv)), 4) AS ts_max_abs,
+        |    min(CASE WHEN abs(tsv) > 4.0 THEN i END)::BIGINT
+        |      AS first_flag_day
+        |  FROM ts GROUP BY 1)
+        |SELECT f.event_type, f.n_scored, c.e AS cum_err,
+        |  c.a AS cum_abs_err, round(c.tsv, 4) AS ts_final,
+        |  f.ts_max_abs, f.first_flag_day
+        |FROM fin f JOIN ts c
+        |  ON c.event_type = f.event_type AND c.i = f.n_scored
+        |ORDER BY f.event_type""".stripMargin,
     // B87 twin: same lag-7 day-grid forecast, same integer tenths
     // loss, divisions only at export
     "q_pinball" ->
