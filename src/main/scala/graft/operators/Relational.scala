@@ -1540,6 +1540,54 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** A85 THEIL DECOMPOSITION across market segments (the property
+    * that makes Theil THE inequality index for grouped data — A55
+    * reports one number; this splits it EXACTLY: T = T_within +
+    * T_between, "how much revenue inequality lives inside segments
+    * vs between their means" — Gini cannot do this): per-customer
+    * revenue shares s_i = y_i/Y, T = Σ s_i ln(n·s_i) computed per
+    * segment and for the segment MEANS. Every ln folds as the A82
+    * fixed-point integers weighted by exact cents (Σ y_i·round(ln·10⁹)
+    * is a decimal(38,0) sum — order-free), divisions at export. */
+  def theilDecomposition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pc = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"), $"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+      .localCheckpoint()
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val seg = pc.groupBy($"segment")
+      .agg(count(lit(1)).as("ng"), sum(dec($"y")).as("yg"),
+        // Σ y·ln(y) in cents·nano-nats, exact
+        sum(dec($"y") * dec(round(log($"y".cast("double")) * lit(1e9))
+          .cast("long"))).as("ylny"))
+    val tot = seg.agg(sum($"ng").as("n"), sum($"yg").as("yy"),
+      sum($"ylny").as("sylny"))
+    // T_g (within segment g) = Σ_g (y_i/Y_g)·ln(n_g·y_i/Y_g)
+    //                        = [Σ y·ln y]/Y_g − ln(Y_g/n_g)
+    val within = seg.crossJoin(broadcast(tot))
+      .withColumn("t_g",
+        $"ylny".cast("double") / 1e9 / $"yg".cast("double") -
+          log($"yg".cast("double") / $"ng".cast("double")))
+      .withColumn("share", $"yg".cast("double") / $"yy".cast("double"))
+      .withColumn("between_term",
+        $"share" * log($"share" * $"n".cast("double") /
+          $"ng".cast("double")))
+    val totals = within.agg(
+      sum(round($"share" * $"t_g" * lit(1e9)).cast("long")).as("tw_fp"),
+      sum(round($"between_term" * lit(1e9)).cast("long")).as("tb_fp"))
+    within.crossJoin(broadcast(totals))
+      .select($"segment", $"ng".as("n_customers"),
+        round($"share", 6).as("rev_share"),
+        round($"t_g", 6).as("theil_within_seg"),
+        round($"tw_fp".cast("double") / 1e9, 6).as("t_within"),
+        round($"tb_fp".cast("double") / 1e9, 6).as("t_between"),
+        round(($"tw_fp" + $"tb_fp").cast("double") / 1e9, 6)
+          .as("t_total"))
+      .orderBy($"segment")
+  }
+
   /** A84 HILL TAIL-INDEX of customer revenue (Hill 1975 — the
     * order-statistics MLE for the Pareto exponent: I8/q_powerlaw
     * asks the scale-free question of DEGREES; this asks it of MONEY,
@@ -3005,6 +3053,7 @@ object Relational {
     "q_atkinson" -> atkinson,
     "q_capture_recapture" -> captureRecapture,
     "q_hill" -> hillTail,
+    "q_theil_decomp" -> theilDecomposition,
     "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
     "q_mad" -> madPerGroup,
@@ -4110,6 +4159,42 @@ object Relational {
         |    round(vxy::DOUBLE / sqrt(vx::DOUBLE * vy::DOUBLE), 6)
         |  END AS dcor2
         |FROM v ORDER BY yr""".stripMargin,
+    // A85 twin: same exact cents-weighted fixed-point ln sums
+    // (HUGEINT), same per-segment scalar tail, same fp-summed totals
+    "q_theil_decomp" ->
+      """WITH pc AS (
+        |  SELECT c_mktsegment AS segment, o_custkey,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT segment, count(*)::BIGINT AS ng,
+        |    sum(y::HUGEINT)::HUGEINT AS yg,
+        |    sum(y::HUGEINT * round(ln(y::DOUBLE) * 1e9)::BIGINT::HUGEINT)
+        |      ::HUGEINT AS ylny
+        |  FROM pc GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(ng)::BIGINT AS n, sum(yg)::HUGEINT AS yy FROM seg),
+        |w AS (
+        |  SELECT segment, ng, yg, ylny, n, yy,
+        |    ylny::DOUBLE / 1e9 / yg::DOUBLE
+        |      - ln(yg::DOUBLE / ng::DOUBLE) AS t_g,
+        |    yg::DOUBLE / yy::DOUBLE AS share
+        |  FROM seg, tot),
+        |w2 AS (
+        |  SELECT *,
+        |    share * ln(share * n::DOUBLE / ng::DOUBLE) AS bt
+        |  FROM w),
+        |t AS (
+        |  SELECT sum(round(share * t_g * 1e9)::BIGINT)::BIGINT AS tw_fp,
+        |    sum(round(bt * 1e9)::BIGINT)::BIGINT AS tb_fp
+        |  FROM w2)
+        |SELECT segment, ng AS n_customers, round(share, 6) AS rev_share,
+        |  round(t_g, 6) AS theil_within_seg,
+        |  round(tw_fp::DOUBLE / 1e9, 6) AS t_within,
+        |  round(tb_fp::DOUBLE / 1e9, 6) AS t_between,
+        |  round((tw_fp + tb_fp)::DOUBLE / 1e9, 6) AS t_total
+        |FROM w2, t ORDER BY segment""".stripMargin,
     // A84 twin: same deterministic top-(k+1) multiset, same strict
     // threshold rule, same fixed-point ln-ratio sum
     "q_hill" ->

@@ -1497,6 +1497,36 @@ object Resilience {
       .orderBy($"event_type", $"tau")
   }
 
+  /** B90 MASE — mean absolute SCALED error of the seasonal-naive
+    * forecast (Hyndman-Koehler 2006, the scale-free forecast metric
+    * that made cross-series comparison possible and the M-competition
+    * standard; completes the B87/B89 eval trio: pinball = quantile
+    * accuracy, tracking = bias alarm, MASE = "does lag-7 even beat
+    * lag-1?"): over days where BOTH forecasts exist, MASE =
+    * Σ|y−y_{t−7}| / Σ|y−y_{t−1}| — two exact BIGINT sums, ONE
+    * division; < 1 means the seasonal ladder has something to model
+    * beyond yesterday's value. */
+  def mase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    pts
+      .withColumn("f7", lag($"y", 7).over(w))
+      .withColumn("f1", lag($"y", 1).over(w))
+      .filter($"f7".isNotNull && $"f1".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs($"y" - $"f7")).as("abs_err_7"),
+        sum(abs($"y" - $"f1")).as("abs_err_1"))
+      .select($"event_type", $"n_scored", $"abs_err_7", $"abs_err_1",
+        when($"abs_err_1" > 0,
+          round($"abs_err_7".cast("double") / $"abs_err_1".cast("double"),
+            6)).as("mase"))
+      .orderBy($"event_type")
+  }
+
   /** B89 TRACKING SIGNAL of the seasonal-naive forecast per event
     * type (Brown's forecast monitor — operations' standard "has the
     * forecast gone BIASED" alarm, the control-chart companion to
@@ -3881,6 +3911,7 @@ object Resilience {
     "q_hodges_lehmann" -> hodgesLehmann,
     "q_pinball" -> pinball,
     "q_tracking_signal" -> trackingSignal,
+    "q_mase" -> mase,
     "q_kaplan_meier" -> ((s, dir) => kaplanMeier(Tables.events(s, dir))),
     "q_bollinger" -> ((s, dir) => bollinger(Tables.events(s, dir))),
     "q_rsi" -> ((s, dir) => rsi(Tables.events(s, dir))),
@@ -5837,6 +5868,25 @@ object Resilience {
         |  round(p::DOUBLE / i, 4) AS mean_left,
         |  round((s-p)::DOUBLE / (n-i), 4) AS mean_right
         |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    // B90 twin: same both-forecast day filter, two exact sums, one
+    // division
+    "q_mase" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (
+        |  SELECT event_type, y,
+        |    lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS f7,
+        |    lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS f1
+        |  FROM pts)
+        |SELECT event_type, count(*)::BIGINT AS n_scored,
+        |  sum(abs(y - f7))::BIGINT AS abs_err_7,
+        |  sum(abs(y - f1))::BIGINT AS abs_err_1,
+        |  CASE WHEN sum(abs(y - f1)) > 0 THEN
+        |    round(sum(abs(y - f7))::DOUBLE / sum(abs(y - f1))::DOUBLE, 6)
+        |  END AS mase
+        |FROM lg WHERE f7 IS NOT NULL AND f1 IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // B89 twin: same lag-7 residuals, same exact E/A cumsums, one
     // division per day, same struct-max final-row pick
     "q_tracking_signal" ->

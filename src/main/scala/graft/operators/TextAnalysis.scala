@@ -1600,6 +1600,36 @@ object TextAnalysis {
     * hash-stable at all tested SFs). Shape: one token aggregate, one
     * bounded per-source window over the term-count table, one
     * 200-row fold per source. */
+  /** F54 DISTINCT-N diversity (Li et al. 2016 — THE standard
+    * repetitiveness metric of the generation era: distinct-1/2/3 =
+    * unique n-grams / total n-grams over the corpus; collapsing
+    * distinct-2 is the classic symptom of mode-collapsed or
+    * over-deduplicated synthetic data, so a training-data pipeline
+    * reports it next to F12's within-doc repetition): exact
+    * distinct/total counts per n ∈ {1,2,3} — two integer aggregates
+    * per n over the exploded n-gram frame, one division at export.
+    * The n-gram frame is the F5/F20 shape (posexplode-free word
+    * slide via transform over the token array). */
+  def distinctN(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tok = docs.select(tokens($"text").as("w"))
+    val grams = (1 to 3).map { n =>
+      val g =
+        if (n == 1) tok.select(explode($"w").as("gram"))
+        else tok
+          .filter(size($"w") >= n)
+          .select(explode(expr(
+            s"transform(sequence(0, size(w) - $n), " +
+              s"i -> concat_ws(' ', slice(w, i + 1, $n)))")).as("gram"))
+      g.agg(count(lit(1)).as("total_ngrams"),
+          countDistinct($"gram").as("distinct_ngrams"))
+        .select(lit(n.toLong).as("n"), $"total_ngrams", $"distinct_ngrams",
+          round($"distinct_ngrams".cast("double") /
+            $"total_ngrams".cast("double"), 6).as("distinct_ratio"))
+    }
+    grams.reduce(_ unionByName _).orderBy($"n")
+  }
+
   def zipfSlope(docs: DataFrame, topN: Int = 200): DataFrame = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1978,6 +2008,7 @@ object TextAnalysis {
     "text_code_detect" -> onDocs(codeDetect),
     "text_lang_confusion" -> onDocs(langConfusion),
     "text_zipf" -> onDocs(d => zipfSlope(d)),
+    "text_distinct_n" -> onDocs(distinctN),
     "text_lexdiv" -> onDocs(lexicalDiversity),
     "text_jsd" -> onDocs(d => jsdSlices(d)),
     "text_heavy_hitters" -> onDocs(d => heavyHitters(d)),
@@ -2495,6 +2526,35 @@ object TextAnalysis {
         |FROM ct ORDER BY lang, lang_pred""".stripMargin,
     // F26 twin: same tokenizer, same (n desc, term) rank, same
     // rank-ordered folds of the same libm lns, round-4 export
+    // F54 twin: same whitespace tokens, same word-slide n-grams,
+    // exact integer counts, one division at export
+    "text_distinct_n" ->
+      """WITH w AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g1 AS (SELECT unnest(w) AS gram FROM w),
+        |g2 AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS gram
+        |  FROM w WHERE len(w) >= 2),
+        |g3 AS (
+        |  SELECT unnest(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |  FROM w WHERE len(w) >= 3)
+        |SELECT 1::BIGINT AS n, count(*)::BIGINT AS total_ngrams,
+        |  count(DISTINCT gram)::BIGINT AS distinct_ngrams,
+        |  round(count(DISTINCT gram)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS distinct_ratio
+        |FROM g1
+        |UNION ALL
+        |SELECT 2::BIGINT, count(*)::BIGINT, count(DISTINCT gram)::BIGINT,
+        |  round(count(DISTINCT gram)::DOUBLE / count(*)::DOUBLE, 6)
+        |FROM g2
+        |UNION ALL
+        |SELECT 3::BIGINT, count(*)::BIGINT, count(DISTINCT gram)::BIGINT,
+        |  round(count(DISTINCT gram)::DOUBLE / count(*)::DOUBLE, 6)
+        |FROM g3
+        |ORDER BY n""".stripMargin,
     "text_zipf" ->
       """WITH toks AS (
         |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
