@@ -1455,6 +1455,56 @@ object Graph {
     linkPrediction(canon, 100)
   }
 
+  /** I27 ADAMIC-ADAR link prediction (Adamic-Adar 2003 — the
+    * frequency-weighted upgrade of I5's common neighbors: a shared
+    * RARE neighbor is strong evidence, a shared hub is none, so each
+    * common neighbor z scores 1/ln(deg z); the standard baseline
+    * every link-prediction paper reports next to CN/Jaccard): same
+    * wedge enumeration as I5, each wedge weighted at its CENTER by
+    * the fixed-point integer round(10⁹/ln(deg c)) — the A82
+    * convention keeps the per-pair sum an exact BIGINT fold — then
+    * the non-edge top-k rides orderBy().limit() (TakeOrdered). A
+    * wedge center has ≥ 2 neighbors by construction, so ln ≥ ln 2 —
+    * the deg-1 pole cannot enter a wedge. */
+  def adamicAdar(edges: DataFrame, topK: Int = 100): DataFrame = {
+    import edges.sparkSession.implicits._
+    val canon = edges.select($"a", $"b").localCheckpoint()
+    val sym = canon.select($"a".as("u"), $"b".as("v"))
+      .union(canon.select($"b".as("u"), $"a".as("v")))
+    val deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("d"))
+    val wdeg = deg.filter($"d" >= 2)
+      .withColumn("w",
+        round(lit(1e9) / log($"d".cast("double"))).cast("long"))
+    val wedges = sym.select($"u".as("c"), $"v".as("x"))
+      .join(sym.select($"u".as("c"), $"v".as("y")), Seq("c"))
+      .filter($"x" < $"y")
+      .join(wdeg.select($"node".as("c"), $"w"), "c")
+    val aa = wedges.groupBy($"x", $"y")
+      .agg(count(lit(1)).as("cn"), sum($"w").as("aa_fp"))
+    aa.join(canon.select($"a".as("x"), $"b".as("y")),
+        Seq("x", "y"), "left_anti")
+      .orderBy($"aa_fp".desc, $"x", $"y")
+      .limit(topK)
+      .select($"x", $"y", $"cn",
+        round($"aa_fp".cast("double") / 1e9, 6).as("adamic_adar"))
+  }
+
+  /** q_adamic_adar: top-100 AA-predicted part pairs over the I5
+    * graph. */
+  def adamicAdarCoOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val canon = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").cast("long").as("a"),
+        col("y.l_partkey").cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"a", $"b")
+    adamicAdar(canon, 100)
+  }
+
   /** I6 degree assortativity (Newman 2002) — ARE hubs wired to hubs?
     * The one-number mixing diagnostic read before trusting any
     * sampling/pruning policy on a derived graph: social-like graphs
@@ -2114,6 +2164,7 @@ object Graph {
     "q_louvain" -> louvainCoOrder,
     "q_random_walks" -> randomWalksSupplyChain,
     "q_link_predict" -> linkPredictCoOrder,
+    "q_adamic_adar" -> adamicAdarCoOrder,
     "q_kcore" -> kcoreCoOrder)
 
   /** Unrolled 5-iteration PageRank CTE chain — the identical
@@ -2899,6 +2950,36 @@ object Graph {
         |FROM s""".stripMargin,
     // I5 twin: same wedge counting, same anti-join, same integer ppm,
     // same total-order top-k
+    // I27 twin: same wedge frame, center-weighted by the identical
+    // fixed-point 10^9/ln(deg) integers, same TakeOrdered tie order
+    "q_adamic_adar" ->
+      """WITH canon AS (
+        |  SELECT x.l_partkey::BIGINT AS a, y.l_partkey::BIGINT AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT a AS u, b AS v FROM canon
+        |        UNION ALL SELECT b, a FROM canon),
+        |deg AS (SELECT u AS node, count(*)::BIGINT AS d
+        |        FROM sym GROUP BY 1),
+        |wdeg AS (
+        |  SELECT node, round(1e9 / ln(d::DOUBLE))::BIGINT AS w
+        |  FROM deg WHERE d >= 2),
+        |wedges AS (
+        |  SELECT e1.v AS x, e2.v AS y, wd.w
+        |  FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN wdeg wd ON wd.node = e1.u),
+        |aa AS (SELECT x, y, count(*)::BIGINT AS cn,
+        |         sum(w)::BIGINT AS aa_fp
+        |       FROM wedges GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT aa.x, aa.y, aa.cn, aa.aa_fp FROM aa
+        |  WHERE NOT EXISTS (SELECT 1 FROM canon c
+        |    WHERE c.a = aa.x AND c.b = aa.y))
+        |SELECT x, y, cn, round(aa_fp::DOUBLE / 1e9, 6) AS adamic_adar
+        |FROM cand
+        |ORDER BY aa_fp DESC, x, y
+        |LIMIT 100""".stripMargin,
     "q_link_predict" ->
       """WITH canon AS (
         |  SELECT x.l_partkey::BIGINT AS a, y.l_partkey::BIGINT AS b
