@@ -1540,6 +1540,36 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** A86 WILSON SCORE INTERVAL for the returned-line rate per
+    * priority (Wilson 1927 — the proportion CI that, unlike the Wald
+    * interval every spreadsheet computes, never leaves [0,1], never
+    * collapses to zero width at p̂ ∈ {0,1}, and holds coverage at
+    * small n; the standard for rate dashboards): p̂ = returns/n,
+    * center (p̂ + z²/2n)/(1 + z²/n), half-width
+    * z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n), z = 1.96. Counts are exact
+    * integers from one scan; the interval is a pinned scalar chain
+    * on identical doubles — bit parity before the export round. */
+  def wilsonCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val z = 1.96
+    val g = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority".as("priority"))
+      .agg(count(lit(1)).as("n"),
+        sum(($"l_returnflag" === "R").cast("long")).as("r"))
+    val nd = $"n".cast("double")
+    val p = $"r".cast("double") / nd
+    val z2n = lit(z * z) / nd
+    val center = (p + z2n / lit(2.0)) / (lit(1.0) + z2n)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nd +
+      lit(z * z) / (lit(4.0) * nd * nd)) / (lit(1.0) + z2n)
+    g.select($"priority", $"n", $"r",
+        round(p, 6).as("p_hat"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+      .orderBy($"priority")
+  }
+
   /** A85 THEIL DECOMPOSITION across market segments (the property
     * that makes Theil THE inequality index for grouped data — A55
     * reports one number; this splits it EXACTLY: T = T_within +
@@ -3054,6 +3084,7 @@ object Relational {
     "q_capture_recapture" -> captureRecapture,
     "q_hill" -> hillTail,
     "q_theil_decomp" -> theilDecomposition,
+    "q_wilson_ci" -> wilsonCi,
     "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
     "q_mad" -> madPerGroup,
@@ -4159,6 +4190,29 @@ object Relational {
         |    round(vxy::DOUBLE / sqrt(vx::DOUBLE * vy::DOUBLE), 6)
         |  END AS dcor2
         |FROM v ORDER BY yr""".stripMargin,
+    // A86 twin: same exact counts, same pinned scalar interval chain
+    "q_wilson_ci" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS priority, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1)
+        |SELECT priority, n, r,
+        |  round(r::DOUBLE / n::DOUBLE, 6) AS p_hat,
+        |  round((r::DOUBLE / n::DOUBLE + (1.96 * 1.96) / n::DOUBLE / 2.0)
+        |      / (1.0 + (1.96 * 1.96) / n::DOUBLE)
+        |    - 1.96 * sqrt((r::DOUBLE / n::DOUBLE)
+        |        * (1.0 - r::DOUBLE / n::DOUBLE) / n::DOUBLE
+        |        + (1.96 * 1.96) / (4.0 * n::DOUBLE * n::DOUBLE))
+        |      / (1.0 + (1.96 * 1.96) / n::DOUBLE), 6) AS wilson_lo,
+        |  round((r::DOUBLE / n::DOUBLE + (1.96 * 1.96) / n::DOUBLE / 2.0)
+        |      / (1.0 + (1.96 * 1.96) / n::DOUBLE)
+        |    + 1.96 * sqrt((r::DOUBLE / n::DOUBLE)
+        |        * (1.0 - r::DOUBLE / n::DOUBLE) / n::DOUBLE
+        |        + (1.96 * 1.96) / (4.0 * n::DOUBLE * n::DOUBLE))
+        |      / (1.0 + (1.96 * 1.96) / n::DOUBLE), 6) AS wilson_hi
+        |FROM g ORDER BY priority""".stripMargin,
     // A85 twin: same exact cents-weighted fixed-point ln sums
     // (HUGEINT), same per-segment scalar tail, same fp-summed totals
     "q_theil_decomp" ->
