@@ -43,6 +43,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     v.toString
   }
 
+  /** Foldable numeric TVF argument or analysis error (same contract
+    * as [[litString]]; SQL numeric literals arrive as int/long/
+    * double/decimal depending on how the user wrote them, so all
+    * four shapes normalize to a double here). */
+  private def litNumber(args: Seq[Expression], i: Int,
+      usage: String): Double = {
+    import org.apache.spark.sql.types._
+    def fail() = throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "USER_RAISED_EXCEPTION",
+      messageParameters = Map("errorMessage" -> usage))
+    if (i >= args.length || !args(i).foldable ||
+        !args(i).dataType.isInstanceOf[NumericType]) fail()
+    args(i).eval() match {
+      case null => fail()
+      case d: Decimal => d.toDouble
+      case n: java.lang.Number => n.doubleValue()
+      case _ => fail()
+    }
+  }
+
   /** Resolve a registry key against a table dir into the operator's
     * logical plan — the analysis-time body of the graft TVFs.
     *
@@ -93,6 +113,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName, "graft_topk"),
       (args: Seq[Expression]) => registryPlan("q_topk",
         litString(args, 0, "graft_topk(dir) requires a literal string"))))
+    // the reference's headline INTERACTIVE feature (README.md:5 —
+    // "Users can input a shock percentage to simulate future
+    // downturns") as a PARAMETERIZED TVF: unlike graft_q's pinned
+    // registry constants, the shock fraction and horizon come from
+    // the SQL user. `SELECT * FROM graft_shock('/data/sf1', 0.25, 3)`
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_shock"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_shock"),
+      (args: Seq[Expression]) => {
+        val usage = "graft_shock(dir, pct, horizon) requires a " +
+          "literal string dir, a literal shock fraction in (0, 1), " +
+          "and a literal horizon in [1, 1000] years"
+        if (args.length != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "USER_RAISED_EXCEPTION",
+            messageParameters = Map("errorMessage" -> usage))
+        val dir = litString(args, 0, usage)
+        val pct = litNumber(args, 1, usage)
+        val horizon = litNumber(args, 2, usage)
+        if (!(pct > 0.0 && pct < 1.0))
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "USER_RAISED_EXCEPTION",
+            messageParameters = Map("errorMessage" ->
+              s"graft_shock pct must be a fraction in (0, 1), got $pct"))
+        if (horizon < 1.0 || horizon > 1000.0 || horizon != horizon.floor)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "USER_RAISED_EXCEPTION",
+            messageParameters = Map("errorMessage" ->
+              (s"graft_shock horizon must be an integer in [1, 1000], " +
+                s"got $horizon")))
+        graft.operators.Resilience.shockSimParams(
+          org.apache.spark.sql.SparkSession.active, dir, pct,
+          horizon.toInt).queryExecution.logical
+      }))
     // the mp4 demux family for pure-SQL clients: a second optional
     // literal-string argument routes by hdlr handler type
     e.injectFunction((
@@ -170,6 +224,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.H264SpsInfo].getName,
         "h264_sps"),
       (args: Seq[Expression]) => graft.functions.H264SpsInfo(args.head)))
+    e.injectFunction((
+      new FunctionIdentifier("h265_sps"),
+      new ExpressionInfo(classOf[graft.functions.H265SpsInfo].getName,
+        "h265_sps"),
+      (args: Seq[Expression]) => graft.functions.H265SpsInfo(args.head)))
+    e.injectFunction((
+      new FunctionIdentifier("aac_frames"),
+      new ExpressionInfo(classOf[graft.functions.AacFrameTable].getName,
+        "aac_frames"),
+      (args: Seq[Expression]) => graft.functions.AacFrameTable(args.head)))
     e.injectFunction((
       new FunctionIdentifier("webp_dims"),
       new ExpressionInfo(classOf[graft.functions.WebpDimsInfo].getName,

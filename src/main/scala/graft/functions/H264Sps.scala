@@ -18,10 +18,10 @@ import org.apache.spark.sql.types._
   * Wire format is the public ITU-T H.264 spec §7.3.2.1 (also ISO/IEC
   * 14496-10): NAL header byte (type must be 7), emulation-prevention
   * unescape (00 00 03 → 00 00, §7.4.1), then ue(v) Exp-Golomb
-  * fields. Scope is the Baseline/Main/Extended header layout; any
-  * profile_idc that carries the chroma-format block per §7.3.2.1.1
-  * (44, 83, 86, 100, 110, 118, 122, 128, 134, 135, 138, 139, 244)
-  * is NOT parsed by this v0 — it QUARANTINES explicitly (the
+  * fields. Scope is the Baseline/Main/Extended header layout,
+  * enforced as a WHITELIST (profile_idc 66/77/88): every other
+  * value — the §7.3.2.1.1 chroma-block profiles, the legacy 144,
+  * and all reserved/future values — QUARANTINES explicitly (the
   * ctts-version lesson: enforce the scope, never misparse past it).
   * pic_order_cnt_type 1 (the delta-table variant) likewise
   * quarantines; types 0 and 2 parse.
@@ -32,10 +32,15 @@ import org.apache.spark.sql.types._
   * resolution. */
 object H264Sps {
 
-  /** profile_idc values whose SPS carries the chroma_format_idc
-    * block (H.264 §7.3.2.1.1) — out of the v0 baseline layout. */
-  private val ChromaBlockProfiles: Set[Long] =
-    Set(44L, 83L, 86L, 100L, 110L, 118L, 122L, 128L, 134L, 135L, 138L, 139L, 244L)
+  /** profile_idc values whose SPS provably LACKS the
+    * chroma_format_idc block (H.264 §7.3.2.1.1): Baseline (66),
+    * Main (77), Extended (88). A WHITELIST, not a blacklist — the
+    * legacy 2005-era High 4:4:4 profile (144) and every reserved /
+    * future value carry (or may carry) the chroma block, and parsing
+    * it as the baseline layout would read chroma fields as
+    * frame_num/width: the silent misparse the ctts lesson forbids.
+    * Everything not on this list quarantines. */
+  private val BaselineLayoutProfiles: Set[Long] = Set(66L, 77L, 88L)
 
   /** Strip the NAL header byte and emulation-prevention bytes. */
   private def rbsp(b: Array[Byte]): Array[Byte] = {
@@ -103,9 +108,10 @@ object H264Sps {
     r.u(8) // constraint flags + reserved
     val level = r.u(8)
     if (profile < 0 || level < 0) return null
-    // Parsing a chroma-block profile as the baseline layout would
-    // read the chroma fields as frame_num/width — quarantine instead.
-    if (ChromaBlockProfiles.contains(profile)) return null
+    // Parsing a chroma-block (or unknown) profile as the baseline
+    // layout would read the chroma fields as frame_num/width —
+    // quarantine everything not provably baseline-layout.
+    if (!BaselineLayoutProfiles.contains(profile)) return null
     val spsId = r.ue()
     val log2mfn = r.ue()
     val pocType = r.ue()

@@ -187,6 +187,15 @@ object Mp4Frag {
         if (tver > 1) return false
         val tf = (be32(b, q) & 0xffffffL).toInt
         val count = be32(b, q + 4)
+        // Sanity cap (the Mp4Demux nSamples lesson): when no
+        // per-sample trun fields are present (CMAF steady state,
+        // flags 0x01|0x04) the emit loop below has no per-iteration
+        // bounds check, so a corrupt count=0xFFFFFFFF would append
+        // ~4.3e9 rows and OOM. Quarantine instead — degrade to no
+        // samples, never kill the scan. Cumulative cap across truns
+        // bounds the whole traf the same way.
+        if (count > (1L << 24) || sampleIdx + count > (1L << 24))
+          return false
         q += 8
         if ((tf & TrDataOffset) == 0) return false // implicit offset: out of scope
         if (q + 4 > qEnd) return false

@@ -933,13 +933,14 @@ object Graph {
 
   /** q_random_walks: 4-hop deterministic walks from every 20th
     * supplier over the NUMERIC supplier↔part supply graph (parts
-    * offset by 10⁶ to keep the key spaces disjoint — the hash hop
-    * needs integer nodes). */
+    * offset by 2³² to keep the key spaces disjoint — the hash hop
+    * needs integer nodes, and s_suppkey scales as 10⁴·SF so a small
+    * offset would silently merge supplier and part nodes at high SF). */
   def randomWalksSupplyChain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sp = Tables.lineitem(s, dir)
       .select($"l_suppkey".cast("long").as("src"),
-        ($"l_partkey".cast("long") + 1000000L).as("dst"))
+        ($"l_partkey".cast("long") + (1L << 32)).as("dst"))
       .distinct()
     val seeds = Tables.supplier(s, dir)
       .filter($"s_suppkey" % 20 === 1)
@@ -1094,7 +1095,11 @@ object Graph {
     var all = walks
     for (t <- 1 to steps) {
       val w = walks.select($"walk_id", $"cur".as("wcur"))
-      val pick = ((col("wcur") * lit(2654435761L) +
+      // reduce cur mod p BEFORE the Knuth multiply: node ids may use
+      // high disjoint offsets (≥2³²), and (2³³−1)·2654435761 would
+      // overflow BIGINT — an ANSI-mode error, a silent wrap otherwise.
+      // (p−1)·2654435761 ≈ 2.7e18 stays in range.
+      val pick = (((col("wcur") % lit(1000000007L)) * lit(2654435761L) +
         lit(t.toLong) * lit(40503L)) % lit(1000000007L)) % col("deg")
       walks = w.join(adj,
           col("wcur") === col("src") && col("rn") === lit(1L) + pick)
@@ -2425,14 +2430,14 @@ object Graph {
       s"""w$t AS (
          |  SELECT w.walk_id, $t::BIGINT AS step, a.dst AS cur
          |  FROM w${t - 1} w JOIN adj a ON a.src = w.cur
-         |    AND a.rn = 1 + (w.cur * 2654435761 + $t * 40503)
-         |      % 1000000007 % a.deg)""".stripMargin
+         |    AND a.rn = 1 + ((w.cur % 1000000007) * 2654435761
+         |      + $t * 40503) % 1000000007 % a.deg)""".stripMargin
     }.mkString(",\n")
     val unions = (0 to steps).map(t => s"SELECT * FROM w$t")
       .mkString("\nUNION ALL\n")
     s"""WITH sp AS (
        |  SELECT DISTINCT l_suppkey::BIGINT AS src,
-       |    (1000000 + l_partkey)::BIGINT AS dst
+       |    (4294967296 + l_partkey)::BIGINT AS dst
        |  FROM lineitem),
        |sym AS (SELECT src, dst FROM sp UNION SELECT dst, src FROM sp),
        |adj AS (

@@ -2025,6 +2025,64 @@ object Multimodal {
         $"f.sample_rate".as("sample_rate"), $"f.padding".as("padding"))
   }
 
+  /** Minimal spec-shaped AAC ADTS stream (G45) — the audio sibling
+    * of [[mp3Bytes]] with an EXPLICIT per-frame length field: n
+    * frames whose header fields and payload sizes are closed-form in
+    * (doc_id, frame index); the CRC branch (protection_absent = 0,
+    * 9-byte header + a 2-byte CRC the walk skips structurally) is
+    * exercised every 3rd id. */
+  private[graft] def aacBytes(docId: Long): Array[Byte] = {
+    val n = (3 + docId % 4).toInt
+    val prof = (docId % 3).toInt          // object type − 1
+    val sfi = (3 + docId % 5).toInt       // 48000…22050
+    val ch = (1 + docId % 2).toInt
+    val crc = if (docId % 3 == 0) 1 else 0
+    val hdr = if (crc == 1) 9 else 7
+    val payloads = Array.tabulate(n)(i =>
+      (64 + (docId * 13 + i * 7) % 100).toInt)
+    val bb = java.nio.ByteBuffer.allocate(payloads.map(_ + hdr).sum)
+    var i = 0
+    while (i < n) {
+      val flen = hdr + payloads(i)
+      val protAbsent = 1 - crc
+      bb.put(0xff.toByte)
+        .put((0xf0 | protAbsent).toByte) // MPEG-4 bit 0, layer 00
+        .put(((prof << 6) | (sfi << 2) | ((ch >> 2) & 1)).toByte)
+        .put((((ch & 3) << 6) | ((flen >> 11) & 3)).toByte)
+        .put(((flen >> 3) & 0xff).toByte)
+        .put((((flen & 7) << 5) | 0x1f).toByte) // fullness hi
+        .put((0xfc | (i % 2)).toByte)           // fullness lo + blocks−1
+      if (crc == 1) bb.putShort(0x1234.toShort) // CRC: skipped, not checked
+      var j = 0
+      while (j < payloads(i)) {
+        bb.put(((docId + i + j) % 251).toByte); j += 1
+      }
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** G45 graded entry (`mm_aac_frames`): the synthesized ADTS
+    * streams walked back frame by frame — a hash match proves the
+    * sync gate, the 13-bit length decode across three header bytes,
+    * the CRC-present header-size branch, and the frame-length chain
+    * all agree with the closed-form layout. */
+  private def aacFramesEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, aacBytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id",
+        explode(graft.functions.AacAdts.aacFrames($"payload")).as("f"))
+      .select($"doc_id", $"f.frame_idx".as("frame_idx"),
+        $"f.offset".as("offset"), $"f.frame_bytes".as("frame_bytes"),
+        $"f.aot".as("aot"), $"f.sample_rate".as("sample_rate"),
+        $"f.channels".as("channels"),
+        $"f.crc_present".as("crc_present"),
+        $"f.n_blocks".as("n_blocks"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
   /** G22 graded entry (`mm_mp3_frames`): the synthesized mp3s walked
     * back frame by frame — a hash match proves the syncsafe ID3
     * skip, the header field extraction, the spec's frame-length
@@ -2359,6 +2417,93 @@ object Multimodal {
         $"sp.poc_type".as("poc_type"),
         $"sp.max_ref_frames".as("max_ref_frames"),
         $"sp.frame_mbs_only".as("frame_mbs_only"),
+        $"sp.width".as("width"), $"sp.height".as("height"))
+      .orderBy($"doc_id")
+  }
+
+  /** Minimal spec-shaped H.265/HEVC SPS NAL (G44) — the modern-codec
+    * sibling of [[spsBytes]]: 2-byte NAL header (SPS_NUT 33, base
+    * layer), profile_tier_level with the sub-layer branch exercised
+    * every 5th id (one sub-layer with BOTH its 88-bit profile block
+    * and 8-bit level present, plus the reserved alignment bits), then
+    * the explicit chroma/geometry/bit-depth fields with the
+    * conformance window present every 3rd id. All values closed-form
+    * in doc_id so the DuckDB twin replays them with no parsing. */
+  private[graft] def h265SpsBytes(docId: Long): Array[Byte] = {
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]
+    def u(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bits += ((v >> i) & 1L).toInt; i -= 1 }
+    }
+    def ue(v: Long): Unit = {
+      val z = 63 - java.lang.Long.numberOfLeadingZeros(v + 1)
+      var i = 0
+      while (i < z) { bits += 0; i += 1 }
+      u(v + 1, z + 1)
+    }
+    val profile = 1 + docId % 2         // Main / Main 10
+    val tier = (docId / 2) % 2
+    val level = 90 + (docId % 4) * 30   // 3.0 / 4.0 / 5.0 / 6.0
+    val chroma = 1 + (docId % 3) % 2    // 4:2:0 / 4:2:2
+    val bdM8 = (profile - 1) * 2        // Main 10 → 10-bit
+    val msl = if (docId % 5 == 0) 1 else 0
+    u(0, 4); u(msl, 3); u(1, 1)         // vps_id, max_sub_layers, nesting
+    u(0, 2); u(tier, 1); u(profile, 5)  // PTL: space, tier, profile
+    u(1L << (31 - profile).toInt, 32)   // own compat flag set
+    u(1, 1); u(0, 47)                   // progressive + constraints/reserved
+    u(level, 8)
+    if (msl == 1) {
+      u(1, 1); u(1, 1)                  // sub-layer profile+level present
+      u(0, 2 * 7)                       // alignment for i in 1..7
+      u(0, 2); u(0, 1); u(profile, 5)   // sub-layer 88-bit profile block
+      u(0, 32); u(0, 4); u(0, 44)
+      u(level - 30, 8)                  // sub-layer level
+    }
+    ue(docId % 4)                       // sps_seq_parameter_set_id
+    ue(chroma)
+    ue(320 + (docId % 40) * 16)         // pic_width_in_luma_samples
+    ue(240 + (docId % 20) * 16)         // pic_height_in_luma_samples
+    val win = docId % 3 == 1
+    u(if (win) 1 else 0, 1)
+    if (win) { ue(1); ue(2); ue(1); ue(1) } // conf_win l/r/t/b
+    ue(bdM8); ue(bdM8)                  // bit_depth_luma/chroma_minus8
+    ue(docId % 3)                       // log2_max_pic_order_cnt_lsb_minus4
+    u(1, 1)                             // rbsp_stop_one_bit
+    while (bits.length % 8 != 0) bits += 0
+    val rb = bits.grouped(8)
+      .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(33 << 1) // forbidden 0, SPS_NUT 33, layer id 0 (hi bit)
+    out.write(0x01)    // layer id 0 (lo 5 bits), temporal_id_plus1 1
+    var zeros = 0
+    rb.foreach { b =>
+      if (zeros >= 2 && (b & 0xff) <= 3) { out.write(3); zeros = 0 }
+      out.write(b)
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  /** G44 graded entry (`mm_h265_sps`): the synthesized HEVC SPS NALs
+    * parsed back — a hash match proves the 2-byte NAL gate, the
+    * profile_tier_level walk (incl. the sub-layer branch and its
+    * alignment bits), the emulation-prevention unescape, and the
+    * chroma-unit conformance-window crop all agree with the closed
+    * form. */
+  private def h265SpsEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, h265SpsBytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id",
+        graft.functions.H265Sps.spsCol($"payload").as("sp"))
+      .select($"doc_id",
+        $"sp.profile_idc".as("profile_idc"),
+        $"sp.tier_flag".as("tier_flag"),
+        $"sp.level_idc".as("level_idc"),
+        $"sp.chroma_format".as("chroma_format"),
+        $"sp.bit_depth_luma".as("bit_depth_luma"),
+        $"sp.bit_depth_chroma".as("bit_depth_chroma"),
         $"sp.width".as("width"), $"sp.height".as("height"))
       .orderBy($"doc_id")
   }
@@ -2801,12 +2946,14 @@ object Multimodal {
     "mm_pdf_xref" -> pdfXrefEntry,
     "mm_mp3_frames" -> mp3FramesEntry,
     "mm_mp3_summary" -> mp3SummaryEntry,
+    "mm_aac_frames" -> aacFramesEntry,
     "mm_flac_info" -> flacInfoEntry,
     "mm_id3_tags" -> id3TagsEntry,
     "mm_tar_index" -> tarIndexEntry,
     "mm_wds_samples" -> wdsSamplesEntry,
     "mm_zip_dir" -> zipDirEntry,
     "mm_h264_sps" -> h264SpsEntry,
+    "mm_h265_sps" -> h265SpsEntry,
     "mm_av_sync" -> avSyncEntry,
     "mm_webp_dims" -> webpDimsEntry,
     "mm_exif_meta" -> exifMetaEntry,
@@ -3046,6 +3193,38 @@ object Multimodal {
         |  flen::BIGINT AS frame_bytes, kbps::BIGINT AS bitrate_kbps,
         |  hz::BIGINT AS sample_rate, pad::BIGINT AS padding
         |FROM w ORDER BY doc_id, frame_idx""".stripMargin,
+    // G45 twin: the closed-form ADTS layout replayed — offsets are
+    // prefix sums of the header+payload lengths, frame length is
+    // integer on both sides
+    "mm_aac_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, (3 + doc_id % 4)::INT AS n,
+        |    1 + doc_id % 3 AS aot, 3 + doc_id % 5 AS sfi,
+        |    1 + doc_id % 2 AS ch,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS crc
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, aot, sfi, ch, crc,
+        |    unnest(range(0, n))::BIGINT AS i
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id, aot, ch, crc, i,
+        |    list_value(48000,44100,32000,24000,22050)[(sfi - 2)::INT]
+        |      AS hz,
+        |    (CASE WHEN crc = 1 THEN 9 ELSE 7 END)
+        |      + 64 + (doc_id * 13 + i * 7) % 100 AS flen
+        |  FROM f),
+        |w AS (
+        |  SELECT doc_id, aot, ch, crc, i, hz, flen,
+        |    coalesce(sum(flen) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM g)
+        |SELECT doc_id, i AS frame_idx, off::BIGINT AS offset,
+        |  flen::BIGINT AS frame_bytes, aot::BIGINT AS aot,
+        |  hz::BIGINT AS sample_rate, ch::BIGINT AS channels,
+        |  crc::BIGINT AS crc_present, (i % 2 + 1)::BIGINT AS n_blocks
+        |FROM w ORDER BY doc_id, frame_idx""".stripMargin,
     // G23 twin: the same ladder folded to the per-asset signal —
     // every derived column integer floor-div on both sides
     "mm_mp3_summary" ->
@@ -3192,6 +3371,28 @@ object Multimodal {
         |  ((40 + doc_id % 40) * 16)::BIGINT AS width,
         |  ((22 + doc_id % 20) * 16)::BIGINT AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // G44 twin: the closed-form HEVC SPS fields replayed with no
+    // parsing — conf-window crop is in chroma sub-sampling units
+    // (SubWidthC = 2 for 4:2:0/4:2:2, SubHeightC = 2 for 4:2:0 only)
+    "mm_h265_sps" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 2 AS profile,
+        |    (doc_id // 2) % 2 AS tier,
+        |    90 + (doc_id % 4) * 30 AS level,
+        |    1 + (doc_id % 3) % 2 AS chroma,
+        |    320 + (doc_id % 40) * 16 AS pw,
+        |    240 + (doc_id % 20) * 16 AS ph,
+        |    CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS win
+        |  FROM documents)
+        |SELECT doc_id, profile::BIGINT AS profile_idc,
+        |  tier::BIGINT AS tier_flag, level::BIGINT AS level_idc,
+        |  chroma::BIGINT AS chroma_format,
+        |  (8 + (profile - 1) * 2)::BIGINT AS bit_depth_luma,
+        |  (8 + (profile - 1) * 2)::BIGINT AS bit_depth_chroma,
+        |  (pw - win * 2 * 3)::BIGINT AS width,
+        |  (ph - win * (CASE WHEN chroma = 1 THEN 2 ELSE 1 END) * 2)
+        |    ::BIGINT AS height
+        |FROM d ORDER BY doc_id""".stripMargin,
     // G30 twin: the planted text frames replayed closed-form
     "mm_id3_tags" ->
       """SELECT doc_id, 'TIT2' AS frame_id,

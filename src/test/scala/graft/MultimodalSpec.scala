@@ -1329,8 +1329,12 @@ class MultimodalSpec extends AnyFunSuite {
     // quarantine: every chroma-block profile (H.264 §7.3.2.1.1 —
     // including the sub-100 ones 44/83/86), poc_type 1, wrong NAL
     // type, truncation
+    // 144 is the 2005-era High 4:4:4 (chroma block, pre-FRExt
+    // renumber); 155/200 stand in for reserved/future values — the
+    // gate is a baseline-layout WHITELIST, so these must quarantine
+    // rather than misparse chroma fields as frame_num/width.
     val chromaProfiles = Seq(44, 83, 86, 100, 110, 118, 122, 128,
-      134, 135, 138, 139, 244)
+      134, 135, 138, 139, 144, 155, 200, 244)
     val highs = chromaProfiles.map { pr =>
       sps { (u, ue) => u(8, pr); u(8, 0); u(8, 40); ue(0) }
     }
@@ -1342,6 +1346,170 @@ class MultimodalSpec extends AnyFunSuite {
     for (bad <- highs ++ Seq(poc1, wrongType, ok.take(6),
         Array[Byte](0x67)))
       assert(parse(bad).isEmpty, "out-of-scope SPS parsed non-null")
+  }
+
+  test("G44 h265 SPS: PTL walk, chroma-unit crop, scope quarantine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.H265Sps
+    def parse(b: Array[Byte]): Option[(Long, Long, Long, Long, Long,
+        Long, Long, Long)] = {
+      val r = Seq(Tuple1(b)).toDF("payload")
+        .select(H265Sps.spsCol(col("payload")).as("s"))
+        .select(col("s.profile_idc"), col("s.tier_flag"),
+          col("s.level_idc"), col("s.chroma_format"),
+          col("s.bit_depth_luma"), col("s.bit_depth_chroma"),
+          col("s.width"), col("s.height"))
+        .collect().head
+      if (r.isNullAt(0)) None
+      else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    }
+    // synthesized corpus shape: id 4 (window absent, no sub-layers),
+    // id 10 (sub-layer PTL branch: id%5==0, window present: id%3==1),
+    // id 7 (window present, 4:2:2 — SubHeightC = 1)
+    for (id <- Seq(4L, 10L, 7L)) {
+      val profile = 1 + id % 2
+      val chroma = 1 + (id % 3) % 2
+      val win = if (id % 3 == 1) 1L else 0L
+      val subH = if (chroma == 1) 2L else 1L
+      val got = parse(graft.operators.Multimodal.h265SpsBytes(id))
+      assert(got.contains((profile, (id / 2) % 2, 90 + (id % 4) * 30,
+        chroma, 8 + (profile - 1) * 2, 8 + (profile - 1) * 2,
+        320 + (id % 40) * 16 - win * 6,
+        240 + (id % 20) * 16 - win * subH * 2)), s"id $id: $got")
+    }
+    // local bit-writer for crafted cases (2-byte HEVC NAL header)
+    def sps(hdr: (Int, Int) = (33 << 1, 0x01))(
+        fields: ((Long, Int) => Unit, Long => Unit) => Unit): Array[Byte] = {
+      val bits = scala.collection.mutable.ArrayBuffer[Int]()
+      def u(v: Long, n: Int): Unit =
+        (n - 1 to 0 by -1).foreach(i => bits += ((v >> i) & 1L).toInt)
+      def ue(v: Long): Unit = {
+        val z = 63 - java.lang.Long.numberOfLeadingZeros(v + 1)
+        (1 to z).foreach(_ => bits += 0); u(v + 1, z + 1)
+      }
+      fields(u, ue)
+      bits += 1
+      while (bits.length % 8 != 0) bits += 0
+      val rb = bits.grouped(8)
+        .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(hdr._1); out.write(hdr._2)
+      var zeros = 0
+      rb.foreach { b =>
+        if (zeros >= 2 && (b & 0xff) <= 3) { out.write(3); zeros = 0 }
+        out.write(b); zeros = if (b == 0) zeros + 1 else 0
+      }
+      out.toByteArray
+    }
+    def body(profile: Long, chroma: Long, bdM8: Long = 0,
+        space: Long = 0)(u: (Long, Int) => Unit,
+        ue: Long => Unit): Unit = {
+      u(0, 4); u(0, 3); u(1, 1)
+      u(space, 2); u(0, 1); u(profile, 5)
+      u(0, 32); u(1, 1); u(0, 47); u(120, 8)
+      ue(0); ue(chroma)
+      if (chroma == 3) u(0, 1) // separate_colour_plane_flag
+      ue(640); ue(480)
+      u(1, 1); ue(2); ue(4); ue(2); ue(2) // window l r t b
+      ue(bdM8); ue(bdM8); ue(0)
+    }
+    // 4:4:4 (Rext): crop units are LUMA samples — width 640−6=634,
+    // height 480−4=476, not the 4:2:0 doubled units
+    val rext = sps()((u, ue) => body(4, 3)(u, ue))
+    assert(parse(rext).contains((4L, 0L, 120L, 3L, 8L, 8L, 634L, 476L)),
+      parse(rext).toString)
+    // quarantines: wrong NAL type (VPS 32), non-base layer, zero
+    // temporal id, reserved profile space, unknown profiles (0, 9,
+    // 24), chroma 4, bit depth beyond minus8 ceiling, truncation
+    val bads = Seq(
+      sps(hdr = (32 << 1, 0x01))((u, ue) => body(1, 1)(u, ue)),
+      sps(hdr = ((33 << 1) | 1, 0x01))((u, ue) => body(1, 1)(u, ue)),
+      sps(hdr = (33 << 1, 0x08))((u, ue) => body(1, 1)(u, ue)),
+      sps(hdr = (33 << 1, 0x00))((u, ue) => body(1, 1)(u, ue)),
+      sps()((u, ue) => body(1, 1, space = 1)(u, ue)),
+      sps()((u, ue) => body(0, 1)(u, ue)),
+      sps()((u, ue) => body(9, 1)(u, ue)),
+      sps()((u, ue) => body(24, 1)(u, ue)),
+      sps()((u, ue) => body(1, 4)(u, ue)),
+      sps()((u, ue) => body(1, 1, bdM8 = 9)(u, ue)),
+      sps()((u, ue) => body(1, 1)(u, ue)).take(9),
+      Array[Byte](0x42, 0x01))
+    for ((bad, i) <- bads.zipWithIndex)
+      assert(parse(bad).isEmpty, s"out-of-scope SPS #$i parsed non-null")
+  }
+
+  test("G45 aac adts walk: frame-length chain, CRC branch, scope quarantine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.functions.AacAdts
+    def parse(b: Array[Byte]): Seq[(Long, Long, Long, Long, Long, Long,
+        Long, Long)] =
+      Seq(Tuple1(b)).toDF("payload")
+        .select(explode(AacAdts.aacFrames(col("payload"))).as("f"))
+        .select(col("f.frame_idx"), col("f.offset"),
+          col("f.frame_bytes"), col("f.aot"), col("f.sample_rate"),
+          col("f.channels"), col("f.crc_present"), col("f.n_blocks"))
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq
+    // synthesized corpus round-trip: id 6 (CRC present: 6%3==0),
+    // id 7 (CRC absent)
+    for (id <- Seq(6L, 7L)) {
+      val crc = if (id % 3 == 0) 1L else 0L
+      val hdr = if (crc == 1L) 9L else 7L
+      val n = (3 + id % 4).toInt
+      val lens = (0 until n).map(i => hdr + 64 + (id * 13 + i * 7) % 100)
+      val offs = lens.scanLeft(0L)(_ + _)
+      val hz = Seq(48000L, 44100L, 32000L, 24000L, 22050L)((id % 5).toInt)
+      val want = (0 until n).map(i => (i.toLong, offs(i), lens(i),
+        1 + id % 3, hz, 1 + id % 2, crc, i % 2 + 1L))
+      assert(parse(graft.operators.Multimodal.aacBytes(id)) == want,
+        s"id $id")
+    }
+    // crafted two-frame stream: frame 0 CRC-PRESENT (9-byte header,
+    // protection_absent=0), frame 1 CRC-ABSENT — the chain must land
+    // exactly on frame 1's syncword through frame 0's length field
+    def frame(crc: Boolean, prof: Int, sfi: Int, ch: Int, payload: Int,
+        blocks: Int): Array[Byte] = {
+      val hdr = if (crc) 9 else 7
+      val flen = hdr + payload
+      val b = java.nio.ByteBuffer.allocate(flen)
+      b.put(0xff.toByte).put((0xf0 | (if (crc) 0 else 1)).toByte)
+        .put(((prof << 6) | (sfi << 2) | ((ch >> 2) & 1)).toByte)
+        .put((((ch & 3) << 6) | ((flen >> 11) & 3)).toByte)
+        .put(((flen >> 3) & 0xff).toByte)
+        .put((((flen & 7) << 5) | 0x10).toByte)
+        .put((0x3c | (blocks - 1)).toByte)
+      if (crc) b.putShort(0xBEEF.toShort)
+      (0 until payload).foreach(j => b.put((j % 97).toByte))
+      b.array()
+    }
+    val two = frame(crc = true, 1, 4, 2, 50, 1) ++
+      frame(crc = false, 1, 4, 2, 33, 2)
+    assert(parse(two) == Seq(
+      (0L, 0L, 59L, 2L, 44100L, 2L, 1L, 1L),
+      (1L, 59L, 40L, 2L, 44100L, 2L, 0L, 2L)), parse(two).toString)
+    // 6-channel (5.1) layout exercises the channel bit split across
+    // header bytes 2 and 3
+    val six = frame(crc = false, 0, 3, 6, 20, 1)
+    assert(parse(six).map(r => (r._4, r._5, r._6)) ==
+      Seq((1L, 48000L, 6L)), parse(six).toString)
+    // quarantines: lost sync, non-zero layer, reserved frequency,
+    // PCE channel config 0, length under its own header, a frame
+    // running past EOF, trailing garbage, short tail
+    val ok = frame(crc = false, 1, 4, 2, 30, 1)
+    val badSync = ok.clone(); badSync(0) = 0xfe.toByte
+    val badLayer = ok.clone(); badLayer(1) = (badLayer(1) | 0x02).toByte
+    val badFreq = frame(crc = false, 1, 13, 2, 30, 1)
+    val pce = frame(crc = false, 1, 4, 0, 30, 1)
+    // length 3 < 7-byte header: bytes 3..5 rewritten for flen=3
+    val tiny = ok.clone()
+    tiny(3) = (tiny(3) & 0xfc).toByte; tiny(4) = 0.toByte
+    tiny(5) = ((3 << 5) | (tiny(5) & 0x1f)).toByte
+    for (bad <- Seq(badSync, badLayer, badFreq, pce, tiny,
+        ok.dropRight(1), ok ++ Array[Byte](0, 1, 2), ok.take(5)))
+      assert(parse(bad).isEmpty, "out-of-scope ADTS parsed non-empty")
   }
 
   test("G38 fmp4 fragment walk: trun field mixes, explicit base offset, scope quarantine") {
@@ -1396,6 +1564,7 @@ class MultimodalSpec extends AnyFunSuite {
     def frag(tfhdFlags: Int, baseOff: Long, trunFlags: Int,
         withTfdt: Boolean = true, trunVer: Int = 0): Array[Byte] = {
       val tfhdSz = 16 + (if ((tfhdFlags & 1) != 0) 8 else 0) +
+        (if ((tfhdFlags & 8) != 0) 4 else 0) +
         (if ((tfhdFlags & 0x10) != 0) 4 else 0) +
         (if ((tfhdFlags & 0x20) != 0) 4 else 0)
       val trunSz = 16 + (if ((trunFlags & 1) != 0) 4 else 0) +
@@ -1411,6 +1580,7 @@ class MultimodalSpec extends AnyFunSuite {
       b.putInt(tfhdSz).put("tfhd".getBytes("US-ASCII"))
         .putInt(tfhdFlags).putInt(7) // track 7
       if ((tfhdFlags & 1) != 0) b.putLong(baseOff)
+      if ((tfhdFlags & 8) != 0) b.putInt(1000)
       if ((tfhdFlags & 0x10) != 0) b.putInt(55)
       if ((tfhdFlags & 0x20) != 0) b.putInt(0x00010000) // non-sync default
       if (withTfdt)
@@ -1450,6 +1620,21 @@ class MultimodalSpec extends AnyFunSuite {
         frag(0x01, 0L, 0x01 | 0x100),              // size: no tfhd/trex
         frag(0x01 | 0x10, 0L, 0x01)))              // duration: no default
       assert(parse(bad).isEmpty, "out-of-scope fragment parsed non-empty")
+
+    // corrupt-count quarantine: the CMAF steady state (all defaults
+    // from tfhd, flags 0x01-only trun — NO per-sample fields, so the
+    // emit loop has no per-iteration bounds check) with the trun
+    // sample count patched to 0xFFFFFFFF must quarantine via the
+    // sanity cap, never attempt 4.3e9 rows. The sane twin (count=2)
+    // must parse — proving the cap, not a layout reject, is the gate.
+    val cmaf = frag(0x01 | 0x08 | 0x10 | 0x20, 256L, 0x01)
+    assert(parse(cmaf).map(r => (r._5, r._8)) == Seq((55L, 1000L),
+      (55L, 1000L)), "sane CMAF defaults-only fragment must parse")
+    val countOff = cmaf.length - 8 // ...[ver|flags][COUNT][data_off]
+    val corrupt = cmaf.clone()
+    corrupt(countOff) = 0xff.toByte; corrupt(countOff + 1) = 0xff.toByte
+    corrupt(countOff + 2) = 0xff.toByte; corrupt(countOff + 3) = 0xff.toByte
+    assert(parse(corrupt).isEmpty, "corrupt trun count must quarantine")
   }
 
   test("G39 ogg page walk: offsets address payloads, CRC gate, quarantine") {

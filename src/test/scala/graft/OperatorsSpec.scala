@@ -261,6 +261,39 @@ class OperatorsSpec extends AnyFunSuite {
       (("a", "b", 1L)), s"got $t")
   }
 
+  test("F34/F35 fast path: driver-side merge loop == the distributed loop") {
+    import spark.implicits._
+    // the graded corpus shape: multi-word docs, sources, repeats,
+    // in-round greedy edges ("aaa"), and cross-round staleness (the
+    // candidate index may hold words whose adjacency a later round
+    // already destroyed — the lazy-deletion path must rescan)
+    val docs = Seq(
+      (1L, "aaab aaab cab the quick fox", "web"),
+      (2L, "aaa the the quick quick fox banana", "web"),
+      (3L, "ban ana banana aab aab ab", "books"),
+      (4L, "xyzzy plugh xyzzy cab aaab", "books"),
+      (5L, "the fox the fox the fox", "wiki"))
+      .toDF("doc_id", "text", "source")
+    for (rounds <- Seq(1, 4, 8)) {
+      val slow = graft.operators.TextAnalysis.bpeTrain(docs, rounds)
+        .collect().map(_.toString).toSeq
+      val fast = graft.operators.TextAnalysis.bpeTrainFast(docs, rounds)
+        .collect().map(_.toString).toSeq
+      assert(fast == slow, s"rounds=$rounds diverged:\n$fast\nvs\n$slow")
+    }
+    val slowF = graft.operators.TextAnalysis.bpeFertility(docs, 4)
+      .collect().map(_.toString).toSeq
+    val fastF = graft.operators.TextAnalysis.bpeFertilityFast(docs, 4)
+      .collect().map(_.toString).toSeq
+    assert(fastF == slowF, s"fertility diverged:\n$fastF\nvs\n$slowF")
+    // the cap routes oversized vocabularies to the distributed loop
+    val viaFallback = graft.operators.TextAnalysis
+      .bpeTrainFast(docs, 4, localVocabCap = 1L)
+      .collect().map(_.toString).toSeq
+    assert(viaFallback == graft.operators.TextAnalysis.bpeTrain(docs, 4)
+      .collect().map(_.toString).toSeq, "fallback path diverged")
+  }
+
   test("D18 phrase mining: shared 5-gram surfaces once, in-doc repeats don't inflate df") {
     import spark.implicits._
     val docs = Seq(
