@@ -1470,7 +1470,14 @@ object Graph {
     * convention keeps the per-pair sum an exact BIGINT fold — then
     * the non-edge top-k rides orderBy().limit() (TakeOrdered). A
     * wedge center has ≥ 2 neighbors by construction, so ln ≥ ln 2 —
-    * the deg-1 pole cannot enter a wedge. */
+    * the deg-1 pole cannot enter a wedge.
+    *
+    * SCALE CONTRACT: the wedge frame is Σ deg(c)² over centers —
+    * aggregate-shaped and fine on bounded-degree graphs (stressed at
+    * 2·10⁶ edges / Σd²≈4·10⁷), but a 10⁵-degree hub alone yields
+    * 10¹⁰ wedges; hub-skewed graphs need a degree cap (drop or
+    * sample centers above it — hubs score ~1/ln(deg) ≈ nothing
+    * anyway) or the E37-style cell prune before this operator. */
   def adamicAdar(edges: DataFrame, topK: Int = 100): DataFrame = {
     import edges.sparkSession.implicits._
     val canon = edges.select($"a", $"b").localCheckpoint()

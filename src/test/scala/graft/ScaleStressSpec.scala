@@ -1179,4 +1179,102 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(agg.getDouble(1) > 0.0)
     assert(secs < 240, s"1M-edge betweenness took ${secs}s")
   }
+
+  test("I25 louvain at 2.2x10^6 edges: planted blocks dominate modularity, sweep-shaped cost") {
+    import spark.implicits._
+    // 100k nodes in 2000 planted blocks of 50: 20 intra-block edges
+    // per node + 2 inter-block noise edges (~91% intra) — the shape
+    // community detection exists for. Per-sweep cost is a handful of
+    // sym-frame-sized keyed joins (no pair enumeration), so 2 sweeps
+    // at 2.2M directed edges must sit in the PageRank class.
+    val edges = spark.range(100000L).crossJoin(
+        spark.range(22L).select($"id".as("j")))
+      .select($"id".as("src"),
+        when($"j" < 20,
+          ($"id" - $"id" % 50) +
+            ($"id" + 1 + ($"id" * ($"j" + 2)) % 49) % 50)
+          .otherwise(expr("abs(xxhash64(id * 31 + j)) % 100000"))
+          .as("dst"))
+      .filter($"src" =!= $"dst")
+    val t0 = System.nanoTime()
+    val comm = graft.operators.Graph.louvainMoves(edges, sweeps = 2)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val q = comm.head.getDouble(5)
+    info(f"2.2M-edge louvain 2 sweeps: $secs%.1f s, q_total=$q%.4f, " +
+      s"top community ${comm.head.getLong(1)} nodes")
+    // with 91% intra-block edges the move sweeps must find strong
+    // structure; a label-less or degenerate pass scores ~0
+    assert(q > 0.2 && q <= 1.0, s"modularity out of range: $q")
+    assert(comm.head.getLong(1) >= 10L,
+      "top community failed to coalesce a planted block")
+    assert(secs < 240, s"2.2M-edge louvain took ${secs}s")
+  }
+
+  test("I26 random walks at 2x10^6 edges: every hop a real edge, frontier-join cost") {
+    import spark.implicits._
+    // the PageRank stress graph (2M directed edges, hub-skewed); 500
+    // seeds, 4 hops. Cost shape under test: the adjacency builds ONCE
+    // (one window), then each hop is ONE frontier-sized equi-join —
+    // wall clock must not scale with steps x corpus.
+    val edges = spark.range(2000000L).select(
+      expr("abs(xxhash64(id)) % 100000").as("src"),
+      expr("pmod(abs(xxhash64(id + 7)), 317) * pmod(abs(xxhash64(id + 13)), 317)")
+        .as("dst"))
+    val seeds = spark.range(500L).select($"id".as("node"))
+    val t0 = System.nanoTime()
+    val walks = graft.operators.Graph.randomWalks(edges, seeds, steps = 4)
+      .cache()
+    val n = walks.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // every surviving walk has exactly steps+1 rows, steps 0..4
+    val perWalk = walks.groupBy($"walk_id")
+      .agg(count(lit(1)).as("n"), max($"step").as("mx"))
+    assert(perWalk.filter($"n" =!= 5 || $"mx" =!= 4).count() == 0,
+      "a walk lost steps mid-stream")
+    val nWalks = perWalk.count()
+    assert(n == nWalks * 5, s"$n rows for $nWalks walks")
+    assert(nWalks >= 490, s"only $nWalks of 500 seeds had edges")
+    // every consecutive (cur -> next) hop is a real symmetric edge
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val hops = walks.as("w")
+      .join(walks.as("x"), $"w.walk_id" === $"x.walk_id" &&
+        $"w.step" + 1 === $"x.step")
+      .select($"w.node".as("src"), $"x.node".as("dst"))
+    assert(hops.join(sym, Seq("src", "dst"), "left_anti").count() == 0,
+      "a walk hopped along a non-edge")
+    info(f"2M-edge 500-seed 4-hop walks: $secs%.1f s, $nWalks walks")
+    assert(secs < 180, s"2M-edge random walks took ${secs}s")
+    walks.unpersist()
+  }
+
+  test("I27 adamic-adar at 2x10^6 edges: planted pair tops, wedge frame degree-bounded") {
+    import spark.implicits._
+    // 2M directed edges over 200k nodes (bounded sym degree ~20 →
+    // the wedge frame is Σd²/2 ≈ 4x10^7, the aggregate-shaped cost
+    // the operator is designed around) + a PLANTED non-edge pair
+    // (500000, 500001) sharing exactly 200 hub neighbors — it must
+    // out-score every organic pair
+    val noise = spark.range(2000000L).select(
+      expr("abs(xxhash64(id)) % 200000").as("u"),
+      expr("abs(xxhash64(id + 5)) % 200000").as("v"))
+    val planted = spark.range(200L).select($"id".as("hub"))
+      .select(explode(array(lit(500000L), lit(500001L))).as("u"),
+        $"hub".as("v"))
+    val canon = noise.union(planted)
+      .select(least($"u", $"v").as("a"), greatest($"u", $"v").as("b"))
+      .filter($"a" =!= $"b").distinct()
+    val t0 = System.nanoTime()
+    val top = graft.operators.Graph.adamicAdar(canon, topK = 10).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"2M-edge adamic-adar: $secs%.1f s, top=" +
+      s"(${top.head.getLong(0)},${top.head.getLong(1)}) " +
+      s"cn=${top.head.getLong(2)}")
+    assert((top.head.getLong(0), top.head.getLong(1)) ==
+      ((500000L, 500001L)), "planted pair did not top the ranking")
+    assert(top.head.getLong(2) == 200L,
+      s"planted common-neighbor count off: ${top.head.getLong(2)}")
+    assert(secs < 240, s"2M-edge adamic-adar took ${secs}s")
+  }
 }

@@ -153,4 +153,128 @@ class StreamingSoakSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("E9/E33/E38 soak: mixed append/split/delete stream == the batch-API replay, bit-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    val M = graft.sources.Lake.Manifest
+    def vec(x: Double, y: Double) = Array(x, y, 0.0, 0, 0, 0, 0, 0.0)
+    // base: two balanced 20-vector blobs (the E33 geometry); three
+    // mixed rounds then drive all three maintenance ops against a
+    // SERVED index — the real 100 TB regime the isolated specs
+    // approximate one op at a time
+    val base = ((0L until 20L).map(i => (i, vec(10.0 + 0.01 * i, 0))) ++
+      (20L until 40L).map(i => (i, vec(-10.0 - 0.01 * i, 0))))
+      .toDF("vec_id", "embedding")
+    val deltas = Seq(
+      (100L until 130L).map(i => (i, vec(8.0 + 0.1 * (i - 100), 1.0))),
+      (200L until 225L).map(i => (i, vec(-8.0 - 0.1 * (i - 200), -1.0))),
+      (300L until 320L).map(i => (i, vec(0.5 * (i - 310), 2.0))))
+    val dels = Seq(
+      Seq(3L, 105L, 110L, 27L, 999999L), // incl. a never-existed id
+      Seq(210L, 3L, 115L),               // incl. an already-deleted id
+      Seq(305L, 31L))
+    val cap = 30L
+    val lake = java.nio.file.Files
+      .createTempDirectory("graft_soak_lake").toString
+    val all = base.union(deltas.flatten.toDF("vec_id", "embedding"))
+    all.write.mode("overwrite").parquet(lake)
+    val vectors = () => spark.read.parquet(lake)
+
+    // --- the STREAMED side: one checkpoint, three AvailableNow ticks,
+    // a delete commit between ticks
+    val d1 = java.nio.file.Files.createTempDirectory("graft_soak_s").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_soak_ck").toString
+    Similarity.publishIvfPqIndex(base, d1, k = 2, iters = 2,
+      pqM = 2, pqK = 4)
+    val in = MemoryStream[(Long, Array[Double])]
+    deltas.zip(dels).foreach { case (delta, del) =>
+      in.addData(delta)
+      graft.streaming.VecStream.appendToIndexBalanced(
+        in.toDF().toDF("vec_id", "embedding"), d1, ck, vectors, cap)
+        .awaitTermination()
+      Similarity.deleteFromIvfPqIndexPublished(spark, d1,
+        del.toDF("vec_id"))
+    }
+    // replay idempotence mid-soak: round 1's data re-delivered under
+    // a FRESH checkpoint gates out on its batch meta — state untouched
+    val codesBefore = M.readPublished(spark, s"$d1/codes")
+      .collect().map(_.toString).sorted.toSeq
+    val in2 = MemoryStream[(Long, Array[Double])]
+    in2.addData(deltas.head)
+    graft.streaming.VecStream.appendToIndexBalanced(
+      in2.toDF().toDF("vec_id", "embedding"), d1,
+      java.nio.file.Files.createTempDirectory("graft_soak_ck2").toString,
+      vectors, cap).awaitTermination()
+    val codesAfter = M.readPublished(spark, s"$d1/codes")
+      .collect().map(_.toString).sorted.toSeq
+    assert(codesAfter == codesBefore, "a replayed batch mutated the index")
+
+    // --- the BATCH-API replay: the identical op sequence, no stream
+    val d2 = java.nio.file.Files.createTempDirectory("graft_soak_b").toString
+    Similarity.publishIvfPqIndex(base, d2, k = 2, iters = 2,
+      pqM = 2, pqK = 4)
+    deltas.zip(dels).zipWithIndex.foreach { case ((delta, del), i) =>
+      Similarity.appendIvfPqIndexPublished(d2,
+        delta.toDF("vec_id", "embedding"), meta = s"batch=$i")
+      Similarity.rebalanceIvfIndexPublished(spark, d2, vectors(), cap,
+        maxPasses = 8)
+      Similarity.compactIvfPqIndexPublished(spark, d2, 64)
+      Similarity.deleteFromIvfPqIndexPublished(spark, d2,
+        del.toDF("vec_id"))
+    }
+
+    // bit-identical state: codes table content AND the evolved model
+    val c1 = M.readPublished(spark, s"$d1/codes")
+      .collect().map(_.toString).sorted.toSeq
+    val c2 = M.readPublished(spark, s"$d2/codes")
+      .collect().map(_.toString).sorted.toSeq
+    assert(c1 == c2, "streamed and batch-replayed code tables diverge")
+    val m1 = Similarity.loadIvfPqModel(spark, d1)
+    val m2 = Similarity.loadIvfPqModel(spark, d2)
+    assert(m1.centroids.map { case (c, v) => (c, v.toSeq) }.toSeq ==
+      m2.centroids.map { case (c, v) => (c, v.toSeq) }.toSeq,
+      "evolved centroids diverge")
+    assert(m1.centroids.length >= 3, "the soak never split a cell")
+
+    // bit-identical serve, full probe fan: every surviving id
+    // reachable, every tombstoned id masked, no duplicates
+    val q = Seq((9001L, vec(9.0, 0.5)), (9002L, vec(-9.0, -0.5)),
+      (9003L, vec(0.0, 2.0))).toDF("q_id", "qv")
+    val s1 = Similarity.queryIvfPqIndex(spark, d1, q,
+      nProbe = m1.centroids.length).collect().map(_.toString).sorted.toSeq
+    val s2 = Similarity.queryIvfPqIndex(spark, d2, q,
+      nProbe = m2.centroids.length).collect().map(_.toString).sorted.toSeq
+    assert(s1 == s2, "streamed and batch-replayed serves diverge")
+    val deleted = dels.flatten.toSet
+    val served = Similarity.queryIvfPqIndex(spark, d1, q,
+      nProbe = m1.centroids.length)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(served.forall(!deleted.contains(_)), "tombstoned id served")
+    // per-cell sizes honor the cap and nothing was lost or duplicated
+    val sizes = Similarity.ivfCellSizesPublished(spark, d1)
+      .collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= cap), s"cap violated: ${sizes.toSeq}")
+    val ids = M.readPublished(spark, s"$d1/codes")
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(ids.size == ids.distinct.size, "duplicate vec_id in codes")
+    assert(ids.size == 40 + deltas.map(_.size).sum,
+      "a vector was lost before physical compaction")
+
+    // physical tombstone compaction preserves the serve on both sides
+    assert(Similarity.compactIvfPqIndex(spark, d1) > 0)
+    assert(Similarity.compactIvfPqIndex(spark, d2) > 0)
+    val s1c = Similarity.queryIvfPqIndex(spark, d1, q,
+      nProbe = m1.centroids.length).collect().map(_.toString).sorted.toSeq
+    assert(s1c == s1, "tombstone compaction changed streamed serve")
+    assert(Similarity.queryIvfPqIndex(spark, d2, q,
+      nProbe = m2.centroids.length).collect().map(_.toString).sorted.toSeq
+      == s2, "tombstone compaction changed batch serve")
+    val survivors = M.readPublished(spark, s"$d1/codes")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(survivors.intersect(deleted).isEmpty,
+      "tombstoned rows survived physical compaction")
+  }
 }
