@@ -230,6 +230,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "h265_sps"),
       (args: Seq[Expression]) => graft.functions.H265SpsInfo(args.head)))
     e.injectFunction((
+      new FunctionIdentifier("jpeg_sof"),
+      new ExpressionInfo(classOf[graft.functions.JpegSofInfo].getName,
+        "jpeg_sof"),
+      (args: Seq[Expression]) => graft.functions.JpegSofInfo(args.head)))
+    e.injectFunction((
       new FunctionIdentifier("aac_frames"),
       new ExpressionInfo(classOf[graft.functions.AacFrameTable].getName,
         "aac_frames"),

@@ -842,6 +842,85 @@ object Graph {
     out
   }
 
+  /** I30 LOCAL CLUSTERING COEFFICIENT (Watts/Strogatz 1998 — the
+    * per-node reading of I5: the triangle count says how many closed
+    * wedges a node has, this normalizes by how many it COULD have,
+    * c(v) = 2T(v)/(d(v)(d(v)−1)) — the signal spam/community features
+    * are built from, and the local complement of I14's global rich
+    * club): integer ppm floor-div so both engines agree exactly; the
+    * top-k rides (ppm DESC, node) — a total order. Degree floor
+    * `minDeg` keeps the report off trivial d=2 nodes. Cost = the I5
+    * degree-oriented triangle count + one degree join. */
+  def localClusteringOn(edges: DataFrame, minDeg: Long = 5L,
+      topK: Int = 20): DataFrame = {
+    import edges.sparkSession.implicits._
+    val canon = edges
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .filter($"a" =!= $"b").distinct().localCheckpoint()
+    val deg = canon.select($"a".as("node"))
+      .union(canon.select($"b".as("node")))
+      .groupBy($"node").agg(count(lit(1)).as("d"))
+    triangleCounts(canon.select($"a".as("src"), $"b".as("dst")))
+      .join(deg, "node")
+      .filter($"d" >= minDeg)
+      .select($"node", $"d".as("degree"), $"triangles",
+        expr("2 * triangles * 1000000 div (d * (d - 1))")
+          .as("clustering_ppm"))
+      .orderBy(desc("clustering_ppm"), $"node")
+      .limit(topK)
+  }
+
+  /** q_clustering: top-20 most locally-clustered parts (degree ≥ 5)
+    * of the I5 co-order part graph. */
+  def localClusteringCoOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").cast("long").as("src"),
+        col("y.l_partkey").cast("long").as("dst"))
+    localClusteringOn(edges)
+      .select($"node".as("part"), $"degree", $"triangles",
+        $"clustering_ppm")
+      .orderBy(desc("clustering_ppm"), $"part")
+  }
+
+  /** I31 KATZ CENTRALITY, 3-term truncation (Katz 1953 — the
+    * walk-count centrality between degree and PageRank: PageRank
+    * splits a node's vote across its out-edges, Katz lets every walk
+    * vote at geometric discount α^length, so high-degree neighbors
+    * AMPLIFY rather than dilute — the classic choice for influence
+    * on co-occurrence graphs): katz(v) = Σ_{k≤3} α^k·paths_k(v) with
+    * α = 0.05, carried as EXACT integers — α^k·10⁶ = 50000/2500/125
+    * are integer weights, paths_k(v) = Σ_{(u,v)} paths_{k−1}(u) is
+    * one edge-frame equi-join + keyed sum per hop (never a matrix,
+    * never a driver loop). Both engines replay the identical integer
+    * recursion; the top-k rides (katz_fp DESC, node). */
+  def katzCoOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val canon = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").cast("long").as("a"),
+        col("y.l_partkey").cast("long").as("b"))
+      .distinct().localCheckpoint()
+    val sym = canon.select($"a".as("src"), $"b".as("dst"))
+      .union(canon.select($"b".as("src"), $"a".as("dst")))
+    val p1 = sym.groupBy($"dst".as("node")).agg(count(lit(1)).as("p1"))
+    val p2 = sym.join(p1.select($"node".as("src"), $"p1".as("w")), "src")
+      .groupBy($"dst".as("node")).agg(sum($"w").as("p2"))
+    val p3 = sym.join(p2.select($"node".as("src"), $"p2".as("w")), "src")
+      .groupBy($"dst".as("node")).agg(sum($"w").as("p3"))
+    p1.join(p2, Seq("node"), "left").join(p3, Seq("node"), "left")
+      .select($"node".as("part"), $"p1".as("degree"),
+        ($"p1" * 50000L + coalesce($"p2", lit(0L)) * 2500L +
+          coalesce($"p3", lit(0L)) * 125L).as("katz_fp"))
+      .orderBy(desc("katz_fp"), $"part")
+      .limit(20)
+  }
+
   /** Multi-source BFS hop counts by min-label propagation: each round
     * every labeled vertex offers `hop+1` to its neighbors and labels
     * fold by min — one equi-join + one min-agg per round, both plain
@@ -2175,6 +2254,8 @@ object Graph {
     "q_betweenness" -> betweennessSupplyChain,
     "q_louvain" -> louvainCoOrder,
     "q_random_walks" -> randomWalksSupplyChain,
+    "q_clustering" -> localClusteringCoOrder,
+    "q_katz" -> katzCoOrder,
     "q_link_predict" -> linkPredictCoOrder,
     "q_adamic_adar" -> adamicAdarCoOrder,
     "q_kcore" -> kcoreCoOrder)
@@ -2866,6 +2947,65 @@ object Graph {
     "q_communities" -> lpaSql(3),
     "q_louvain" -> louvainSql(2),
     "q_random_walks" -> randomWalksSql(4),
+    // I30 twin: the q_triangles tri CTE + a degree join, integer ppm
+    // floor-div, the same (ppm DESC, part) total order
+    "q_clustering" ->
+      """WITH canon AS (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey)::BIGINT AS a,
+        |    greatest(x.l_partkey, y.l_partkey)::BIGINT AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (
+        |  SELECT node, count(*)::BIGINT AS d FROM (
+        |    SELECT a AS node FROM canon
+        |    UNION ALL SELECT b FROM canon) GROUP BY 1),
+        |fwd AS (
+        |  SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
+        |    CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS v,
+        |    CASE WHEN (da.d, a) < (db.d, b) THEN db.d ELSE da.d END AS dv
+        |  FROM canon
+        |  JOIN deg da ON da.node = a
+        |  JOIN deg db ON db.node = b),
+        |tri AS (
+        |  SELECT e1.u, e1.v AS x, e2.v AS y
+        |  FROM fwd e1 JOIN fwd e2
+        |    ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+        |  WHERE EXISTS (SELECT 1 FROM fwd f
+        |    WHERE f.u = e1.v AND f.v = e2.v)),
+        |per_node AS (
+        |  SELECT node, count(*)::BIGINT AS triangles FROM (
+        |    SELECT u AS node FROM tri
+        |    UNION ALL SELECT x FROM tri
+        |    UNION ALL SELECT y FROM tri) GROUP BY 1)
+        |SELECT deg.node AS part, deg.d AS degree,
+        |  coalesce(triangles, 0)::BIGINT AS triangles,
+        |  2 * coalesce(triangles, 0) * 1000000 // (deg.d * (deg.d - 1))
+        |    AS clustering_ppm
+        |FROM deg LEFT JOIN per_node ON per_node.node = deg.node
+        |WHERE deg.d >= 5
+        |ORDER BY clustering_ppm DESC, part LIMIT 20""".stripMargin,
+    // I31 twin: the identical integer hop recursion with the literal
+    // α^k·10⁶ weights, the same (katz_fp DESC, part) order
+    "q_katz" ->
+      """WITH canon AS (
+        |  SELECT DISTINCT least(x.l_partkey, y.l_partkey)::BIGINT AS a,
+        |    greatest(x.l_partkey, y.l_partkey)::BIGINT AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |sym AS (SELECT a AS src, b AS dst FROM canon
+        |  UNION ALL SELECT b, a FROM canon),
+        |p1 AS (SELECT dst AS node, count(*)::BIGINT AS p1
+        |  FROM sym GROUP BY 1),
+        |p2 AS (SELECT s.dst AS node, sum(p.p1)::BIGINT AS p2
+        |  FROM sym s JOIN p1 p ON p.node = s.src GROUP BY 1),
+        |p3 AS (SELECT s.dst AS node, sum(p.p2)::BIGINT AS p3
+        |  FROM sym s JOIN p2 p ON p.node = s.src GROUP BY 1)
+        |SELECT p1.node AS part, p1.p1 AS degree,
+        |  (p1.p1 * 50000 + coalesce(p2.p2, 0) * 2500
+        |    + coalesce(p3.p3, 0) * 125)::BIGINT AS katz_fp
+        |FROM p1 LEFT JOIN p2 ON p2.node = p1.node
+        |LEFT JOIN p3 ON p3.node = p1.node
+        |ORDER BY katz_fp DESC, part LIMIT 20""".stripMargin,
     // I8 twin: same degree aggregate, same node-ordered ln fold and
     // continuity-corrected MLE tail
     "q_powerlaw" ->

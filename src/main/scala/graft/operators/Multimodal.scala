@@ -2508,6 +2508,65 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Minimal spec-shaped JPEG header (G46) — SOI, an APP0/JFIF
+    * segment the scan must skip, one or two DQT segments (counted),
+    * then SOF0/SOF2 with closed-form dimensions; no scan data — the
+    * walk stops at SOF by contract. */
+  private[graft] def jpegSofBytes(docId: Long): Array[Byte] = {
+    val prog = (docId % 2).toInt
+    val nDqt = if (docId % 5 == 0) 2 else 1
+    val nc = (1 + docId % 3).toInt
+    val h = (240 + (docId % 20) * 8).toInt
+    val w = (320 + (docId % 40) * 8).toInt
+    val sofLen = 8 + 3 * nc
+    val bb = java.nio.ByteBuffer.allocate(2 + 18 + nDqt * 69 + 2 + sofLen)
+    bb.put(0xff.toByte).put(0xd8.toByte) // SOI
+    bb.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0 JFIF
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(1.toByte) // version 1.1
+      .put(0.toByte).putShort(1).putShort(1) // units, densities
+      .put(0.toByte).put(0.toByte) // no thumbnail
+    var t = 0
+    while (t < nDqt) {
+      bb.put(0xff.toByte).put(0xdb.toByte).putShort(67).put(t.toByte)
+      var k = 0
+      while (k < 64) { bb.put(((docId + t * 7 + k) % 251).toByte); k += 1 }
+      t += 1
+    }
+    bb.put(0xff.toByte).put((if (prog == 1) 0xc2 else 0xc0).toByte)
+      .putShort(sofLen.toShort).put(8.toByte)
+      .putShort(h.toShort).putShort(w.toShort).put(nc.toByte)
+    var c = 0
+    while (c < nc) {
+      bb.put((1 + c).toByte)
+        .put((if (c == 0 && nc == 3) 0x22 else 0x11).toByte)
+        .put(0.toByte)
+      c += 1
+    }
+    bb.array()
+  }
+
+  /** G46 graded entry (`mm_jpeg_sof`): the synthesized JPEG headers
+    * scanned back — a hash match proves the marker walk (APP0 skip,
+    * DQT count, fill-byte tolerance), the big-endian segment-length
+    * chain, and the SOF field extraction agree with the closed
+    * form. */
+  private def jpegSofEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, jpegSofBytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id",
+        graft.functions.JpegSof.sofCol($"payload").as("sp"))
+      .select($"doc_id",
+        $"sp.progressive".as("progressive"),
+        $"sp.precision".as("precision"),
+        $"sp.width".as("width"), $"sp.height".as("height"),
+        $"sp.n_components".as("n_components"),
+        $"sp.n_dqt".as("n_dqt"))
+      .orderBy($"doc_id")
+  }
+
   /** Minimal spec-shaped Exif JPEG (G25) — the ENCODER side of the
     * TIFF IFD walk: SOI, an APP0/JFIF segment the marker scan must
     * SKIP (every third id), then APP1 "Exif\0\0" wrapping a TIFF
@@ -2954,6 +3013,7 @@ object Multimodal {
     "mm_zip_dir" -> zipDirEntry,
     "mm_h264_sps" -> h264SpsEntry,
     "mm_h265_sps" -> h265SpsEntry,
+    "mm_jpeg_sof" -> jpegSofEntry,
     "mm_av_sync" -> avSyncEntry,
     "mm_webp_dims" -> webpDimsEntry,
     "mm_exif_meta" -> exifMetaEntry,
@@ -3393,6 +3453,15 @@ object Multimodal {
         |  (ph - win * (CASE WHEN chroma = 1 THEN 2 ELSE 1 END) * 2)
         |    ::BIGINT AS height
         |FROM d ORDER BY doc_id""".stripMargin,
+    // G46 twin: the closed-form SOF fields replayed with no parsing
+    "mm_jpeg_sof" ->
+      """SELECT doc_id, (doc_id % 2)::BIGINT AS progressive,
+        |  8::BIGINT AS precision,
+        |  (320 + (doc_id % 40) * 8)::BIGINT AS width,
+        |  (240 + (doc_id % 20) * 8)::BIGINT AS height,
+        |  (1 + doc_id % 3)::BIGINT AS n_components,
+        |  (CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END)::BIGINT AS n_dqt
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // G30 twin: the planted text frames replayed closed-form
     "mm_id3_tags" ->
       """SELECT doc_id, 'TIT2' AS frame_id,

@@ -1576,6 +1576,122 @@ object Relational {
       .orderBy($"priority")
   }
 
+  /** A87 COCHRAN'S Q (Cochran 1950 — the k-treatment generalization
+    * of McNemar that C66 cannot answer: "do these THREE engagement
+    * behaviors differ in prevalence across the SAME users?" — the
+    * within-subject design; a between-subject χ² would confound user
+    * mix): blocks = users, treatments = {click, purchase, view},
+    * x_bj = 1 iff the user has ≥1 such event. Q = (k−1)·[k·ΣC_j² −
+    * N²] / (k·N − ΣR_b²) — numerator and denominator are EXACT
+    * BIGINTs off one conditional aggregate (one events scan,
+    * map-side combined; the block frame is user-bounded), one double
+    * division at export. Q ~ χ²_{k−1}; 5% critical 5.991 at k=3. */
+  def cochranQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 3L
+    val flags = Tables.events(s, dir)
+      .filter($"event_type".isin("click", "purchase", "view"))
+      .groupBy($"user_id")
+      .agg(max(($"event_type" === "click").cast("long")).as("x1"),
+        max(($"event_type" === "purchase").cast("long")).as("x2"),
+        max(($"event_type" === "view").cast("long")).as("x3"))
+    val m = flags
+      .select($"x1", $"x2", $"x3",
+        ($"x1" + $"x2" + $"x3").as("r"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum($"x1").as("c1"), sum($"x2").as("c2"), sum($"x3").as("c3"),
+        sum($"r").as("nn"), sum($"r" * $"r").as("sr2"))
+    m.select($"n_blocks", $"c1".as("n_click"), $"c2".as("n_purchase"),
+        $"c3".as("n_view"),
+        when(lit(k) * $"nn" - $"sr2" =!= 0,
+          round(lit((k - 1).toDouble) *
+            (lit(k) * ($"c1" * $"c1" + $"c2" * $"c2" + $"c3" * $"c3") -
+              $"nn" * $"nn").cast("double") /
+            (lit(k) * $"nn" - $"sr2").cast("double"), 4)).as("q_stat"))
+      .withColumn("significant",
+        when($"q_stat".isNotNull, ($"q_stat" > 5.991).cast("int")))
+  }
+
+  /** A88 UNCERTAINTY COEFFICIENT (Theil's U for categoricals — the
+    * NORMALIZED, asymmetric reading of A61's mutual information:
+    * U(X|Y) = I(X;Y)/H(X) is "what fraction of the uncertainty in
+    * the event mix does knowing the weekday remove", a number a
+    * drift monitor can threshold where raw nats cannot be compared
+    * across feature pairs): same observed-cell frame as A61, the
+    * margins' entropies H = Σ (n/N)·ln(N/n) folded in sorted order
+    * (the A36/F16 0-init left-fold precedent), two divisions at
+    * export. */
+  def uncertaintyCoef(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, dir)
+      .groupBy($"event_type".as("x"),
+        expr("(((dayofweek(ts) + 5) % 7) + 1)").cast("long").as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint()
+    val rx = cells.groupBy($"x").agg(sum($"n_xy").as("n_x"))
+    val cy = cells.groupBy($"y").agg(sum($"n_xy").as("n_y"))
+    val n = cells.agg(sum($"n_xy")).collect()(0).getLong(0)
+    val nd = lit(n.toDouble)
+    val mi = cells.join(rx, "x").join(cy, "y")
+      .withColumn("contrib",
+        ($"n_xy".cast("double") / nd) *
+          log(nd * $"n_xy".cast("double") /
+            ($"n_x".cast("double") * $"n_y".cast("double"))))
+      .agg(aggregate(sort_array(collect_list(
+          struct($"x", $"y", $"contrib"))),
+        lit(0.0), (acc, e) => acc + e("contrib")).as("mi"))
+    val hx = rx
+      .withColumn("t", ($"n_x".cast("double") / nd) *
+        log(nd / $"n_x".cast("double")))
+      .agg(aggregate(sort_array(collect_list(struct($"x", $"t"))),
+        lit(0.0), (acc, e) => acc + e("t")).as("hx"))
+    val hy = cy
+      .withColumn("t", ($"n_y".cast("double") / nd) *
+        log(nd / $"n_y".cast("double")))
+      .agg(aggregate(sort_array(collect_list(struct($"y", $"t"))),
+        lit(0.0), (acc, e) => acc + e("t")).as("hy"))
+    mi.crossJoin(hx).crossJoin(hy)
+      .select(lit(n).as("n"), round($"mi", 6).as("mi_nats"),
+        round($"hx", 6).as("h_x"), round($"hy", 6).as("h_y"),
+        when($"hx" > 0, round($"mi" / $"hx", 6)).as("u_x_given_y"),
+        when($"hy" > 0, round($"mi" / $"hy", 6)).as("u_y_given_x"))
+  }
+
+  /** A89 GOODMAN-KRUSKAL GAMMA (1954 — the ORDINAL association the
+    * categorical family misses: A52's Cramér's V treats order
+    * priority as unordered labels, but "1-URGENT < … < 5-LOW" and
+    * price bands ARE ordered, and the question is monotone
+    * association): γ = (C − D)/(C + D) over concordant/discordant
+    * pairs, computed from the CONTINGENCY CELLS (5 priorities ×
+    * 6 fixed price bands → a 30-row frame; the cell×cell pair walk
+    * is 900 rows, never an order-pair join): C = Σ n_ij·n_i'j' over
+    * i<i', j<j'; D over i<i', j>j'. Exact decimal(38,0) products,
+    * one division. */
+  def gkGamma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cells = Tables.orders(s, dir)
+      .select(substring($"o_orderpriority", 1, 1).cast("long").as("i"),
+        least(floor($"o_totalprice" / 50000).cast("long"), lit(5L))
+          .as("j"))
+      .groupBy($"i", $"j").agg(count(lit(1)).as("nij"))
+      .localCheckpoint()
+    val nOrders = cells.agg(sum($"nij")).collect()(0).getLong(0)
+    val p = cells.select($"i".as("pi"), $"j".as("pj"), $"nij".as("pn"))
+    val q = cells.select($"i".as("qi"), $"j".as("qj"), $"nij".as("qn"))
+    p.crossJoin(q)
+      .agg(sum(when($"pi" < $"qi" && $"pj" < $"qj", dec($"pn") * $"qn")
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("c"),
+        sum(when($"pi" < $"qi" && $"pj" > $"qj", dec($"pn") * $"qn")
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("d"))
+      .select(lit(nOrders).as("n_orders"),
+        $"c".cast("long").as("concordant"),
+        $"d".cast("long").as("discordant"),
+        when($"c" + $"d" =!= 0,
+          round(($"c" - $"d").cast("double") /
+            ($"c" + $"d").cast("double"), 6)).as("gamma"))
+  }
+
   /** A85 THEIL DECOMPOSITION across market segments (the property
     * that makes Theil THE inequality index for grouped data — A55
     * reports one number; this splits it EXACTLY: T = T_within +
@@ -3094,6 +3210,9 @@ object Relational {
     "q_hill" -> hillTail,
     "q_theil_decomp" -> theilDecomposition,
     "q_wilson_ci" -> wilsonCi,
+    "q_cochran_q" -> cochranQ,
+    "q_uncertainty" -> uncertaintyCoef,
+    "q_gk_gamma" -> gkGamma,
     "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
     "q_mad" -> madPerGroup,
@@ -4222,6 +4341,93 @@ object Relational {
         |        + (1.96 * 1.96) / (4.0 * n::DOUBLE * n::DOUBLE))
         |      / (1.0 + (1.96 * 1.96) / n::DOUBLE), 6) AS wilson_hi
         |FROM g ORDER BY priority""".stripMargin,
+    // A87 twin: same conditional block aggregate, same exact integer
+    // numerator/denominator, one division, round-then-compare
+    "q_cochran_q" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS x1,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS x2,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      ::BIGINT AS x3
+        |  FROM events WHERE event_type IN ('click', 'purchase', 'view')
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n_blocks, sum(x1)::BIGINT AS c1,
+        |    sum(x2)::BIGINT AS c2, sum(x3)::BIGINT AS c3,
+        |    sum(x1 + x2 + x3)::BIGINT AS nn,
+        |    sum((x1 + x2 + x3) * (x1 + x2 + x3))::BIGINT AS sr2
+        |  FROM f),
+        |o AS (
+        |  SELECT n_blocks, c1, c2, c3,
+        |    CASE WHEN 3 * nn - sr2 <> 0 THEN
+        |      round(2.0e0 * (3 * (c1*c1 + c2*c2 + c3*c3) - nn*nn)::DOUBLE
+        |        / (3 * nn - sr2)::DOUBLE, 4) END AS q_stat
+        |  FROM m)
+        |SELECT n_blocks, c1 AS n_click, c2 AS n_purchase, c3 AS n_view,
+        |  q_stat,
+        |  CASE WHEN q_stat IS NOT NULL
+        |    THEN (q_stat > 5.991e0)::INT END AS significant
+        |FROM o""".stripMargin,
+    // A88 twin: the A61 cell/margin frames, the same per-term IEEE
+    // sequences folded in the same sorted orders, unrounded ratios
+    "q_uncertainty" ->
+      """WITH cells AS (
+        |  SELECT event_type AS x, isodow(ts)::BIGINT AS y,
+        |    count(*)::BIGINT AS n_xy
+        |  FROM events GROUP BY 1, 2),
+        |rx AS (SELECT x, sum(n_xy)::BIGINT AS n_x FROM cells GROUP BY 1),
+        |cy AS (SELECT y, sum(n_xy)::BIGINT AS n_y FROM cells GROUP BY 1),
+        |t AS (SELECT (SELECT sum(n_xy) FROM cells)::BIGINT AS n),
+        |parts AS (
+        |  SELECT c.x, c.y, (c.n_xy::DOUBLE / t.n::DOUBLE)
+        |    * ln(t.n::DOUBLE * c.n_xy::DOUBLE
+        |      / (rx.n_x::DOUBLE * cy.n_y::DOUBLE)) AS contrib
+        |  FROM cells c JOIN rx USING (x) JOIN cy USING (y), t),
+        |mi AS (
+        |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(contrib ORDER BY x, y)), (a, v) -> a + v) AS mi
+        |  FROM parts),
+        |hx AS (
+        |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |    list((n_x::DOUBLE / t.n::DOUBLE)
+        |      * ln(t.n::DOUBLE / n_x::DOUBLE) ORDER BY x)),
+        |    (a, v) -> a + v) AS hx
+        |  FROM rx, t),
+        |hy AS (
+        |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |    list((n_y::DOUBLE / t.n::DOUBLE)
+        |      * ln(t.n::DOUBLE / n_y::DOUBLE) ORDER BY y)),
+        |    (a, v) -> a + v) AS hy
+        |  FROM cy, t)
+        |SELECT (SELECT n FROM t) AS n, round(mi, 6) AS mi_nats,
+        |  round(hx, 6) AS h_x, round(hy, 6) AS h_y,
+        |  CASE WHEN hx > 0 THEN round(mi / hx, 6) END AS u_x_given_y,
+        |  CASE WHEN hy > 0 THEN round(mi / hy, 6) END AS u_y_given_x
+        |FROM mi, hx, hy""".stripMargin,
+    // A89 twin: same 30-cell contingency, same HUGEINT pair products
+    // over the 900-row cell walk, one division
+    "q_gk_gamma" ->
+      """WITH cells AS (
+        |  SELECT substr(o_orderpriority, 1, 1)::BIGINT AS i,
+        |    least(floor(o_totalprice / 50000)::BIGINT, 5) AS j,
+        |    count(*)::BIGINT AS nij
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT
+        |    sum(CASE WHEN p.i < q.i AND p.j < q.j
+        |      THEN p.nij::HUGEINT * q.nij ELSE 0 END)::HUGEINT AS c,
+        |    sum(CASE WHEN p.i < q.i AND p.j > q.j
+        |      THEN p.nij::HUGEINT * q.nij ELSE 0 END)::HUGEINT AS d
+        |  FROM cells p, cells q),
+        |t AS (SELECT sum(nij)::BIGINT AS n_orders FROM cells)
+        |SELECT (SELECT n_orders FROM t) AS n_orders,
+        |  c::BIGINT AS concordant, d::BIGINT AS discordant,
+        |  CASE WHEN c + d <> 0 THEN
+        |    round((c - d)::DOUBLE / (c + d)::DOUBLE, 6) END AS gamma
+        |FROM m""".stripMargin,
     // A85 twin: same exact cents-weighted fixed-point ln sums
     // (HUGEINT), same per-segment scalar tail, same fp-summed totals
     "q_theil_decomp" ->

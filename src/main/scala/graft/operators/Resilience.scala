@@ -1824,6 +1824,166 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B91 KPSS level-stationarity test per event type (Kwiatkowski/
+    * Phillips/Schmidt/Shin 1992 — the COMPLEMENT of B50: ADF's null
+    * is a unit root, KPSS's null is stationarity, and the standard
+    * practice is to run the PAIR — agreement is evidence, the two
+    * nulls disagreeing flags "not enough data to tell"): η = (1/n²)
+    * Σ S_t² over the cumulated mean-deviations, normalized by the
+    * Bartlett-kernel long-run variance at bandwidth l = 4,
+    * s² = γ₀ + 2 Σ_{j≤l} (1 − j/(l+1)) γ_j.
+    *
+    * Determinism: the B35 denominator-clearing trick — n·e_t =
+    * n·y_t − S is an exact integer, so Σ(n·S_t)² and every
+    * n²-scaled autocovariance B_j = Σ(n·e_t)(n·e_{t+j}) are exact
+    * decimal(38,0) sums, the scales cancel algebraically
+    * (η/s² = A / (n·B̃)), and the statistic is one pinned double
+    * sequence — kernel weights fold left-to-right with literal
+    * coefficients. Day-count-bounded frames only. */
+  def kpss(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val l = 4
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val st = pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"y").as("s"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    var led = pts.join(st, "event_type")
+      .withColumn("e", $"n" * $"y" - $"s")
+      .withColumn("cs", sum($"e")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    for (k <- 1 to l) led = led.withColumn(s"e$k", lead($"e", k).over(w))
+    val agg = led.groupBy($"event_type").agg(
+      max($"n").as("nd"),
+      sum(dec($"cs") * $"cs").as("a"),
+      sum(dec($"e") * $"e").as("b0"),
+      sum(dec($"e") * $"e1").as("b1"),
+      sum(dec($"e") * $"e2").as("b2"),
+      sum(dec($"e") * $"e3").as("b3"),
+      sum(dec($"e") * $"e4").as("b4"))
+    // B̃ = B0 + 2Σ(1−j/5)Bj, coefficients as literal doubles in the
+    // pinned left-to-right order; kpss = A / (n·B̃), scales cancel
+    val btilde = $"b0".cast("double") +
+      lit(1.6) * $"b1".cast("double") + lit(1.2) * $"b2".cast("double") +
+      lit(0.8) * $"b3".cast("double") + lit(0.4) * $"b4".cast("double")
+    agg.select($"event_type", $"nd".as("n_days"),
+        when(btilde > 0, round($"a".cast("double") /
+          ($"nd".cast("double") * btilde), 6)).as("kpss_stat"))
+      .withColumn("level_stationary",
+        when($"kpss_stat".isNotNull,
+          ($"kpss_stat" < 0.463).cast("int")))
+      .orderBy($"event_type")
+  }
+
+  /** B92 BREUSCH-PAGAN heteroskedasticity test per event type
+    * (Breusch/Pagan 1979 — the regression diagnostic B75's
+    * Durbin-Watson pairs with: DW asks "are the trend residuals
+    * autocorrelated", this asks "does their VARIANCE drift with
+    * time" — the thing that invalidates every constant-width
+    * forecast band downstream): OLS of daily counts on the day
+    * index, then the LM form n·R² of e² regressed on t; LM ~ χ²₁,
+    * 5% critical 3.841.
+    *
+    * Determinism: the first-stage sums are exact integers; slope and
+    * intercept take one double division each; each residual is one
+    * identical IEEE sequence per row; the second-stage Σu, Σtu, Σu²
+    * fold in pinned day order (B48 contract); R² forms from cleared-
+    * denominator centered sums. Day-count-bounded frames. */
+  def breuschPagan(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val rows = pts.withColumn("t", row_number().over(w).cast("long"))
+    val m = rows.groupBy($"event_type").agg(
+      count(lit(1)).as("n"), sum($"t").as("stt"), sum($"y").as("sy"),
+      sum($"t" * $"t").as("st2"), sum($"t" * $"y").as("sty"))
+      .withColumn("dden", $"n" * $"st2" - $"stt" * $"stt")
+      .withColumn("b", ($"n" * $"sty" - $"stt" * $"sy").cast("double")
+        / $"dden".cast("double"))
+      .withColumn("aa", ($"sy".cast("double") -
+        $"b" * $"stt".cast("double")) / $"n".cast("double"))
+    val res = rows.join(broadcast(m.select($"event_type", $"n", $"st2",
+        $"stt", $"dden", $"b", $"aa")), "event_type")
+      .withColumn("u", ($"y".cast("double") - $"aa" -
+        $"b" * $"t".cast("double")) *
+        ($"y".cast("double") - $"aa" - $"b" * $"t".cast("double")))
+    val folds = res.groupBy($"event_type").agg(
+      max($"n").as("n"), max($"dden").as("dden"),
+      aggregate(sort_array(collect_list(struct($"t", $"u"))),
+        lit(0.0), (acc, e) => acc + e("u")).as("su"),
+      aggregate(sort_array(collect_list(struct($"t", $"u"))),
+        lit(0.0), (acc, e) => acc + e("t").cast("double") * e("u"))
+        .as("stu"),
+      aggregate(sort_array(collect_list(struct($"t", $"u"))),
+        lit(0.0), (acc, e) => acc + e("u") * e("u")).as("suu"))
+    val nd = $"n".cast("double")
+    // Σt = n(n+1) div 2 exactly (t = 1..n); centered sums with
+    // cleared denominators: sxy = n·Σtu − Σt·Σu, syy = n·Σu² − (Σu)²
+    val sxy = nd * $"stu" -
+      expr("n * (n + 1) div 2").cast("double") * $"su"
+    val syy = nd * $"suu" - $"su" * $"su"
+    folds.select($"event_type", $"n".as("n_days"),
+        when($"dden" > 0 && syy > 0,
+          round(nd * (sxy * sxy) /
+            ($"dden".cast("double") * syy), 4)).as("bp_lm"))
+      .withColumn("heteroskedastic",
+        when($"bp_lm".isNotNull, ($"bp_lm" > 3.841).cast("int")))
+      .orderBy($"event_type")
+  }
+
+  /** B93 BARTLETT'S TEST of variance homogeneity across the k event
+    * types (Bartlett 1937 — the PARAMETRIC twin of B72: Levene is
+    * robust to non-normality, Bartlett is the more powerful test
+    * when counts are near-normal, and reporting the pair is the
+    * textbook practice): T = [(N−k)·ln s_p² − Σ(n_i−1)·ln s_i²] / C
+    * with the Box correction C; T ~ χ²_{k−1}.
+    *
+    * Determinism: each group variance forms from exact integer sums
+    * with one division; the cross-group Σ(n_i−1)s_i², Σ(n_i−1)ln s_i²
+    * and Σ1/(n_i−1) fold over the k-row group frame in sorted
+    * event_type order (F26 precedent); ln is libm; round-4 export. */
+  def bartlett(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val g = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec($"y")).as("s"),
+        sum(dec($"y") * $"y").as("ss"))
+      .filter($"n" >= 2)
+      .withColumn("v", ($"n" * $"ss" - $"s" * $"s").cast("double") /
+        ($"n".cast("double") * ($"n".cast("double") - lit(1.0))))
+      .withColumn("wsum", ($"n" * $"ss" - $"s" * $"s").cast("double") /
+        $"n".cast("double"))
+      // constant-series groups (v = 0) are excluded in BOTH engines:
+      // Spark's ln(0) is NULL, DuckDB's is an error — the guard IS
+      // the cross-engine contract
+      .filter($"v" > 0)
+    val f = g.agg(count(lit(1)).as("k"), sum($"n").as("nt"),
+      aggregate(sort_array(collect_list(struct($"event_type", $"wsum"))),
+        lit(0.0), (acc, e) => acc + e("wsum")).as("sw"),
+      aggregate(sort_array(collect_list(struct($"event_type", $"n", $"v"))),
+        lit(0.0), (acc, e) => acc +
+          (e("n").cast("double") - lit(1.0)) * log(e("v")))
+        .as("sl"),
+      aggregate(sort_array(collect_list(struct($"event_type", $"n"))),
+        lit(0.0), (acc, e) => acc +
+          lit(1.0) / (e("n").cast("double") - lit(1.0))).as("sinv"))
+    val nk = ($"nt" - $"k").cast("double")
+    val kd = $"k".cast("double")
+    val t = (nk * log($"sw" / nk) - $"sl") /
+      (lit(1.0) + ($"sinv" - lit(1.0) / nk) / (lit(3.0) * (kd - lit(1.0))))
+    f.select($"k".as("n_groups"), $"nt".as("n_days"),
+        when($"k" >= 2 && $"sw" > 0, round(t, 4)).as("bartlett_t"))
+      .withColumn("significant",
+        when($"bartlett_t".isNotNull, ($"bartlett_t" > 9.488).cast("int")))
+  }
+
   /** B51 rolling-origin FORECAST BACKTEST (the `tscv`/`MASE`
     * evaluation harness the ladder B17/B18/B21/B49 is missing — a
     * forecaster you never scored is a guess): one-step-ahead errors
@@ -3914,6 +4074,9 @@ object Resilience {
     "q_perm_entropy" -> ((s, dir) => permutationEntropy(Tables.events(s, dir))),
     "q_granger" -> ((s, dir) => granger(Tables.events(s, dir))),
     "q_adf" -> ((s, dir) => adf(Tables.events(s, dir))),
+    "q_kpss" -> ((s, dir) => kpss(Tables.events(s, dir))),
+    "q_breusch_pagan" -> ((s, dir) => breuschPagan(Tables.events(s, dir))),
+    "q_bartlett" -> ((s, dir) => bartlett(Tables.events(s, dir))),
     "q_backtest" -> ((s, dir) => backtest(Tables.events(s, dir))),
     "q_stochastic" -> ((s, dir) => stochastic(Tables.events(s, dir))),
     "q_macd" -> ((s, dir) => macd(Tables.events(s, dir))),
@@ -5495,6 +5658,145 @@ object Resilience {
         |  CASE WHEN ok THEN round(tstat, 4) END AS adf_t,
         |  CASE WHEN ok THEN (tstat < -2.86)::INT END AS stationary
         |FROM h ORDER BY event_type""".stripMargin,
+    // B91 twin: same n-scaled integer deviations/cumsums (HUGEINT),
+    // same literal Bartlett weights folded left-to-right, same
+    // cancelled-scale division, round-then-compare
+    "q_kpss" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(y)::BIGINT AS s FROM pts GROUP BY 1),
+        |led AS (
+        |  SELECT p.event_type, st.n,
+        |    (st.n * p.y - st.s)::BIGINT AS e,
+        |    sum(st.n * p.y - st.s) OVER w2::BIGINT AS cs,
+        |    lead(st.n * p.y - st.s, 1) OVER w AS e1,
+        |    lead(st.n * p.y - st.s, 2) OVER w AS e2,
+        |    lead(st.n * p.y - st.s, 3) OVER w AS e3,
+        |    lead(st.n * p.y - st.s, 4) OVER w AS e4
+        |  FROM pts p JOIN st USING (event_type)
+        |  WINDOW w AS (PARTITION BY p.event_type ORDER BY p.day),
+        |    w2 AS (PARTITION BY p.event_type ORDER BY p.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |agg AS (
+        |  SELECT event_type, max(n)::BIGINT AS nd,
+        |    sum(cs::HUGEINT * cs)::HUGEINT AS a,
+        |    sum(e::HUGEINT * e)::HUGEINT AS b0,
+        |    sum(e::HUGEINT * e1)::HUGEINT AS b1,
+        |    sum(e::HUGEINT * e2)::HUGEINT AS b2,
+        |    sum(e::HUGEINT * e3)::HUGEINT AS b3,
+        |    sum(e::HUGEINT * e4)::HUGEINT AS b4
+        |  FROM led GROUP BY 1),
+        |o AS (
+        |  SELECT event_type, nd,
+        |    CASE WHEN (b0::DOUBLE + 1.6e0 * b1::DOUBLE
+        |        + 1.2e0 * b2::DOUBLE + 0.8e0 * b3::DOUBLE
+        |        + 0.4e0 * b4::DOUBLE) > 0 THEN
+        |      round(a::DOUBLE / (nd::DOUBLE * (b0::DOUBLE
+        |        + 1.6e0 * b1::DOUBLE + 1.2e0 * b2::DOUBLE
+        |        + 0.8e0 * b3::DOUBLE + 0.4e0 * b4::DOUBLE)), 6)
+        |    END AS kpss_stat
+        |  FROM agg)
+        |SELECT event_type, nd AS n_days, kpss_stat,
+        |  CASE WHEN kpss_stat IS NOT NULL
+        |    THEN (kpss_stat < 0.463e0)::INT END AS level_stationary
+        |FROM o ORDER BY event_type""".stripMargin,
+    // B92 twin: same exact first-stage sums, one division each for
+    // slope/intercept, the identical per-row residual sequence, the
+    // same three day-ordered folds, cleared-denominator R²
+    "q_breusch_pagan" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |rws AS (
+        |  SELECT event_type, day, y, row_number() OVER w::BIGINT AS t
+        |  FROM pts WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |m AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(t)::BIGINT AS stt, sum(y)::BIGINT AS sy,
+        |    sum(t * t)::BIGINT AS st2, sum(t * y)::BIGINT AS sty
+        |  FROM rws GROUP BY 1),
+        |mb AS (
+        |  SELECT *, (n * st2 - stt * stt)::BIGINT AS dden,
+        |    (n * sty - stt * sy)::DOUBLE
+        |      / (n * st2 - stt * stt)::DOUBLE AS b
+        |  FROM m),
+        |mc AS (SELECT *,
+        |    (sy::DOUBLE - b * stt::DOUBLE) / n::DOUBLE AS aa FROM mb),
+        |res AS (
+        |  SELECT r.event_type, r.t,
+        |    (r.y::DOUBLE - mc.aa - mc.b * r.t::DOUBLE)
+        |      * (r.y::DOUBLE - mc.aa - mc.b * r.t::DOUBLE) AS u
+        |  FROM rws r JOIN mc USING (event_type)),
+        |folds AS (
+        |  SELECT event_type,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(u ORDER BY t)),
+        |      (a, v) -> a + v) AS su,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(t::DOUBLE * u ORDER BY t)), (a, v) -> a + v) AS stu,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(u * u ORDER BY t)), (a, v) -> a + v) AS suu
+        |  FROM res GROUP BY 1),
+        |j AS (
+        |  SELECT m.event_type, m.n, mb.dden, f.su, f.stu, f.suu
+        |  FROM folds f JOIN m USING (event_type)
+        |  JOIN mb USING (event_type)),
+        |o AS (
+        |  SELECT event_type, n,
+        |    CASE WHEN dden > 0 AND (n::DOUBLE * suu - su * su) > 0 THEN
+        |      round(n::DOUBLE
+        |        * ((n::DOUBLE * stu - (n * (n + 1) // 2)::DOUBLE * su)
+        |          * (n::DOUBLE * stu - (n * (n + 1) // 2)::DOUBLE * su))
+        |        / (dden::DOUBLE * (n::DOUBLE * suu - su * su)), 4)
+        |    END AS bp_lm
+        |  FROM j)
+        |SELECT event_type, n AS n_days, bp_lm,
+        |  CASE WHEN bp_lm IS NOT NULL
+        |    THEN (bp_lm > 3.841e0)::INT END AS heteroskedastic
+        |FROM o ORDER BY event_type""".stripMargin,
+    // B93 twin: same exact integer group sums, one division per
+    // group variance, the same three type-ordered folds, the same
+    // Box-correction scalar tail
+    "q_bartlett" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(y::HUGEINT)::HUGEINT AS s,
+        |    sum(y::HUGEINT * y)::HUGEINT AS ss
+        |  FROM pts GROUP BY 1 HAVING count(*) >= 2),
+        |gv AS (
+        |  SELECT event_type, n,
+        |    (n * ss - s * s)::DOUBLE
+        |      / (n::DOUBLE * (n::DOUBLE - 1.0e0)) AS v,
+        |    (n * ss - s * s)::DOUBLE / n::DOUBLE AS wsum
+        |  FROM g),
+        |gf AS (SELECT * FROM gv WHERE v > 0),
+        |f AS (
+        |  SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS nt,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(wsum ORDER BY event_type)), (a, v) -> a + v) AS sw,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list((n::DOUBLE - 1.0e0) * ln(v) ORDER BY event_type)),
+        |      (a, v) -> a + v) AS sl,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(1.0e0 / (n::DOUBLE - 1.0e0) ORDER BY event_type)),
+        |      (a, v) -> a + v) AS sinv
+        |  FROM gf),
+        |o AS (
+        |  SELECT k, nt,
+        |    CASE WHEN k >= 2 AND sw > 0 THEN
+        |      round(((nt - k)::DOUBLE * ln(sw / (nt - k)::DOUBLE) - sl)
+        |        / (1.0e0 + (sinv - 1.0e0 / (nt - k)::DOUBLE)
+        |          / (3.0e0 * (k::DOUBLE - 1.0e0))), 4)
+        |    END AS bartlett_t
+        |  FROM f)
+        |SELECT k AS n_groups, nt AS n_days, bartlett_t,
+        |  CASE WHEN bartlett_t IS NOT NULL
+        |    THEN (bartlett_t > 9.488e0)::INT END AS significant
+        |FROM o""".stripMargin,
     "q_backtest" ->
       """WITH pts AS (
         |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y

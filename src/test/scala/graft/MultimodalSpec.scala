@@ -1440,6 +1440,60 @@ class MultimodalSpec extends AnyFunSuite {
       assert(parse(bad).isEmpty, s"out-of-scope SPS #$i parsed non-null")
   }
 
+  test("G46 jpeg SOF scan: marker walk, fill bytes, scope quarantine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.JpegSof
+    def parse(b: Array[Byte]): Option[(Long, Long, Long, Long, Long,
+        Long)] = {
+      val r = Seq(Tuple1(b)).toDF("payload")
+        .select(JpegSof.sofCol(col("payload")).as("s"))
+        .select(col("s.progressive"), col("s.precision"),
+          col("s.width"), col("s.height"), col("s.n_components"),
+          col("s.n_dqt"))
+        .collect().head
+      if (r.isNullAt(0)) None
+      else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    }
+    // synthesized corpus: id 10 (two DQTs: 10%5==0, baseline,
+    // 2 components), id 7 (progressive, 2 components)
+    for (id <- Seq(10L, 7L)) {
+      val got = parse(graft.operators.Multimodal.jpegSofBytes(id))
+      assert(got.contains((id % 2, 8L, 320 + (id % 40) * 8,
+        240 + (id % 20) * 8, 1 + id % 3,
+        if (id % 5 == 0) 2L else 1L)), s"id $id: $got")
+    }
+    val ok = graft.operators.Multimodal.jpegSofBytes(3L)
+    // fill bytes before a marker are legal: inject FF padding before
+    // the SOF marker (T.81 §B.1.1.2) — same answer
+    val sofAt = ok.length - (8 + 3 * (1 + 3 % 3).toInt) - 2
+    assert((ok(sofAt) & 0xff) == 0xff, "sof offset math off")
+    val padded = ok.take(sofAt) ++ Array(0xff.toByte, 0xff.toByte) ++
+      ok.drop(sofAt)
+    assert(parse(padded) == parse(ok), "fill bytes changed the parse")
+    // quarantines: missing SOI, lost sync, RST in header, EOI/SOS
+    // before SOF, non-whitelisted SOF codings (SOF1 extended, SOF3
+    // lossless, SOF9 arithmetic), truncation, length lies
+    def patchMarker(src: Array[Byte], at: Int, m: Int): Array[Byte] = {
+      val b = src.clone(); b(at + 1) = m.toByte; b
+    }
+    val noSoi = ok.drop(2)
+    val lostSync = ok.clone(); lostSync(2) = 0x00.toByte
+    val rst = patchMarker(ok, 2, 0xd0)
+    val eoi = patchMarker(ok, 2, 0xd9)
+    val sos = patchMarker(ok, 2, 0xda)
+    val sof1 = patchMarker(ok, sofAt, 0xc1)
+    val sof3 = patchMarker(ok, sofAt, 0xc3)
+    val sof9 = patchMarker(ok, sofAt, 0xc9)
+    val lenLies = ok.clone() // SOF claims 9 components but carries 1
+    lenLies(sofAt + 9) = 9.toByte
+    for ((bad, i) <- Seq(noSoi, lostSync, rst, eoi, sos, sof1, sof3,
+        sof9, lenLies, ok.dropRight(1), ok.take(2),
+        Array[Byte](0xff.toByte, 0xd8.toByte)).zipWithIndex)
+      assert(parse(bad).isEmpty, s"out-of-scope JPEG #$i parsed non-null")
+  }
+
   test("G45 aac adts walk: frame-length chain, CRC branch, scope quarantine") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode}
