@@ -1175,6 +1175,27 @@ object Cdc {
           coalesce($"maxgap_x", lit(0L))).as("max_gap"))
   }
 
+  /** C77 SLIDING-HOUR BURST detection per user (the rate-limit /
+    * abuse audit C65's per-TYPE interarrival profile cannot answer:
+    * "which USERS hit us hardest in any one hour" — the question a
+    * token-bucket tuner or bot hunter asks first): max over t of
+    * |events in (t−1h, t]| per user, via a microsecond RANGE window
+    * PARTITIONED by user (the frame grows with per-user activity,
+    * never the corpus — the SURVEY §5 keyed-window contract), then
+    * one keyed max. Top-k rides (burst DESC, user) — a total
+    * order. */
+  def burstUsers(events: DataFrame, topK: Int = 20): DataFrame = {
+    import events.sparkSession.implicits._
+    val e = events.select($"user_id", unix_micros($"ts").as("us"))
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-3600000000L, 0)
+    e.withColumn("b", count(lit(1)).over(w))
+      .groupBy($"user_id")
+      .agg(max($"b").as("max_burst_1h"), count(lit(1)).as("n_events"))
+      .orderBy(desc("max_burst_1h"), $"user_id")
+      .limit(topK)
+  }
+
   /** C65 INTER-ARRIVAL burstiness profile per event type (the
     * ops-monitor companion of C63's id-space gaps: C63 audits WHAT
     * arrived, this audits WHEN — a Poisson-ish feed has CV ≈ 1;
@@ -1544,6 +1565,7 @@ object Cdc {
     "cdc_slo_burn" -> onEvents(sloBurn),
     "cdc_dwell" -> onEvents(dwell),
     "cdc_interarrival" -> onEvents(interarrival),
+    "cdc_burst_users" -> onEvents(e => burstUsers(e)),
     "cdc_mcnemar" -> onEvents(mcnemar),
     "cdc_gap_detect" -> onEvents(e => gapDetect(e)),
     "cdc_lag_quantiles" -> onEvents(lagQuantiles),
@@ -1867,6 +1889,21 @@ object Cdc {
     // multiset equals the two-level day decomposition exactly
     // (sorted-sequence differences; tie order permutes only zeros),
     // so the integer sums and the one-division tail replay
+    // C77 twin: the same per-user microsecond RANGE window, one
+    // keyed max, the same (burst DESC, user) total order
+    "cdc_burst_users" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT AS us
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |      ::BIGINT AS b
+        |  FROM e)
+        |SELECT user_id, max(b)::BIGINT AS max_burst_1h,
+        |  count(*)::BIGINT AS n_events
+        |FROM b GROUP BY 1
+        |ORDER BY max_burst_1h DESC, user_id LIMIT 20""".stripMargin,
     "cdc_interarrival" ->
       """WITH g AS (
         |  SELECT event_type,

@@ -2771,6 +2771,81 @@ object Multimodal {
     wavPcmStats(payloads)
   }
 
+  /** G47 graded entry (`mm_audio_triage`): the AUDIO sibling of
+    * G42's container triage — a mixed five-codec corpus (mp3 / AAC
+    * ADTS / FLAC / Ogg / WAV) routed BY CONTENT through the G4
+    * sniffer, each format to ITS walker, one normalized row per
+    * asset (codec, structural unit count, sample rate, exact
+    * duration). The FFF sync ambiguity is real and handled the G42
+    * way: mp3 and ADTS both sniff as the "mp3" sync family, and the
+    * WALKS disambiguate (the mp3 frame chain parses or the ADTS one
+    * does — never both on valid assets). This is the first stage of
+    * a 100 TB audio intake: header-sized read per asset, ASR-pool
+    * routing decision, zero samples decoded (WAV's PCM length is
+    * arithmetic on the declared data size, not a read). */
+  private def audioTriageEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map { id =>
+        val p = (id % 5) match {
+          case 0 => mp3Bytes(id)
+          case 1 => aacBytes(id)
+          case 2 => flacBytes(id)
+          case 3 => oggBytes(id)
+          case _ => wavBytes(lcgSamples(id, (32 + id % 33).toInt))
+        }
+        (id, p)
+      }.toDF("doc_id", "payload")
+    val sniffed = sniffHeaders(payloads)
+      .select($"doc_id", $"format")
+      .join(payloads, "doc_id")
+    val mpegRows = sniffed.filter($"format" === "mp3")
+      .select($"doc_id",
+        graft.functions.MpegAudio.mp3Frames($"payload").as("m"),
+        graft.functions.AacAdts.aacFrames($"payload").as("a"))
+      .select($"doc_id",
+        when(size($"m") > 0, lit("mp3")).otherwise(lit("aac"))
+          .as("codec"),
+        when(size($"m") > 0, size($"m").cast("long"))
+          .otherwise(size($"a").cast("long")).as("n_units"),
+        when(size($"m") > 0,
+          element_at($"m", 1).getField("sample_rate"))
+          .otherwise(when(size($"a") > 0,
+            element_at($"a", 1).getField("sample_rate")))
+          .as("sample_rate"),
+        when(size($"m") > 0,
+          expr("size(m) * 1152L * 1000L div element_at(m, 1).sample_rate"))
+          .otherwise(when(size($"a") > 0, expr(
+            """aggregate(a, 0L, (acc, f) -> acc + f.n_blocks)
+              | * 1024L * 1000L div element_at(a, 1).sample_rate"""
+              .stripMargin)))
+          .as("duration_ms"))
+    val flacRows = sniffed.filter($"format" === "flac")
+      .select($"doc_id",
+        graft.functions.FlacInfo.flacInfo($"payload").as("fi"))
+      .select($"doc_id", lit("flac").as("codec"),
+        $"fi.n_blocks".as("n_units"),
+        $"fi.sample_rate".as("sample_rate"),
+        $"fi.duration_ms".as("duration_ms"))
+    val oggRows = sniffed.filter($"format" === "ogg")
+      .select($"doc_id", lit("ogg").as("codec"),
+        size(graft.functions.OggWalk.oggPages($"payload")).cast("long")
+          .as("n_units"),
+        // granule timebase is codec-private (RFC 3533 §6): a triage
+        // honestly reports no rate/duration without the id header
+        lit(null).cast("long").as("sample_rate"),
+        lit(null).cast("long").as("duration_ms"))
+    val wavRows = sniffed.filter($"format" === "wav")
+      .select($"doc_id", lit("wav").as("codec"),
+        expr("(length(payload) - 44) div 2").as("n_units"),
+        lit(8000L).as("sample_rate"),
+        expr("((length(payload) - 44) div 2) * 1000 div 8000")
+          .as("duration_ms"))
+    mpegRows.unionByName(flacRows).unionByName(oggRows)
+      .unionByName(wavRows)
+      .orderBy($"doc_id")
+  }
+
   /** G4 graded entry (`mm_sniff`): header sniffing over the planted
     * payloads; brand dropped (no ISO-BMFF in the construction — its
     * detection stays spec-covered with crafted ftyp boxes). */
@@ -3006,6 +3081,7 @@ object Multimodal {
     "mm_mp3_frames" -> mp3FramesEntry,
     "mm_mp3_summary" -> mp3SummaryEntry,
     "mm_aac_frames" -> aacFramesEntry,
+    "mm_audio_triage" -> audioTriageEntry,
     "mm_flac_info" -> flacInfoEntry,
     "mm_id3_tags" -> id3TagsEntry,
     "mm_tar_index" -> tarIndexEntry,
@@ -3285,6 +3361,50 @@ object Multimodal {
         |  hz::BIGINT AS sample_rate, ch::BIGINT AS channels,
         |  crc::BIGINT AS crc_present, (i % 2 + 1)::BIGINT AS n_blocks
         |FROM w ORDER BY doc_id, frame_idx""".stripMargin,
+    // G47 twin: all five branches' closed forms replayed — the
+    // routing modulus picks the branch, every rate/duration integer
+    // floor-div on both sides
+    "mm_audio_triage" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS r FROM documents),
+        |mp3 AS (
+        |  SELECT doc_id, 'mp3' AS codec,
+        |    (4 + doc_id % 5)::BIGINT AS n_units,
+        |    list_value(44100,48000,32000)[(doc_id % 3 + 1)::INT]
+        |      ::BIGINT AS sample_rate,
+        |    ((4 + doc_id % 5) * 1152 * 1000
+        |      // list_value(44100,48000,32000)[(doc_id % 3 + 1)::INT])
+        |      ::BIGINT AS duration_ms
+        |  FROM d WHERE r = 0),
+        |aac AS (
+        |  SELECT doc_id, 'aac' AS codec,
+        |    (3 + doc_id % 4)::BIGINT AS n_units,
+        |    list_value(48000,44100,32000,24000,22050)
+        |      [(doc_id % 5 + 1)::INT]::BIGINT AS sample_rate,
+        |    (((3 + doc_id % 4) + (3 + doc_id % 4) // 2) * 1024 * 1000
+        |      // list_value(48000,44100,32000,24000,22050)
+        |        [(doc_id % 5 + 1)::INT])::BIGINT AS duration_ms
+        |  FROM d WHERE r = 1),
+        |flac AS (
+        |  SELECT doc_id, 'flac' AS codec, 2::BIGINT AS n_units,
+        |    (32000 + (doc_id % 5) * 4000)::BIGINT AS sample_rate,
+        |    ((100000 + (doc_id * 7919) % 1000000) * 1000
+        |      // (32000 + (doc_id % 5) * 4000))::BIGINT AS duration_ms
+        |  FROM d WHERE r = 2),
+        |ogg AS (
+        |  SELECT doc_id, 'ogg' AS codec,
+        |    (2 + doc_id % 3)::BIGINT AS n_units,
+        |    NULL::BIGINT AS sample_rate, NULL::BIGINT AS duration_ms
+        |  FROM d WHERE r = 3),
+        |wav AS (
+        |  SELECT doc_id, 'wav' AS codec,
+        |    (32 + doc_id % 33)::BIGINT AS n_units,
+        |    8000::BIGINT AS sample_rate,
+        |    ((32 + doc_id % 33) * 1000 // 8000)::BIGINT AS duration_ms
+        |  FROM d WHERE r = 4)
+        |SELECT * FROM mp3 UNION ALL SELECT * FROM aac
+        |UNION ALL SELECT * FROM flac UNION ALL SELECT * FROM ogg
+        |UNION ALL SELECT * FROM wav
+        |ORDER BY doc_id""".stripMargin,
     // G23 twin: the same ladder folded to the per-asset signal —
     // every derived column integer floor-div on both sides
     "mm_mp3_summary" ->

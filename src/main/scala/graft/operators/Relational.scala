@@ -1692,6 +1692,54 @@ object Relational {
             ($"c" + $"d").cast("double"), 6)).as("gamma"))
   }
 
+  /** A90 SOMERS' D + KENDALL'S TAU-B (Somers 1962 / Kendall 1945 —
+    * the TIES completion of A89: gamma DROPS tied pairs, so heavy
+    * ties inflate it toward ±1; Somers' d penalizes ties on the
+    * dependent variable (and is ASYMMETRIC — d(Y|X) ≠ d(X|Y), which
+    * is the point: "does priority predict price band" is a different
+    * question from its converse), and tau-b symmetrizes by the
+    * geometric mean): same 30-cell contingency as A89 with two more
+    * exact tie sums — T_X = pairs tied on X only, T_Y = tied on Y
+    * only; d_yx = (C−D)/(C+D+T_Y), d_xy = (C−D)/(C+D+T_X), tau_b =
+    * (C−D)/√((C+D+T_X)(C+D+T_Y)). Exact decimal products, three
+    * divisions and one sqrt at export. */
+  def somersD(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val zero = lit(0).cast("decimal(38,0)")
+    val cells = Tables.orders(s, dir)
+      .select(substring($"o_orderpriority", 1, 1).cast("long").as("i"),
+        least(floor($"o_totalprice" / 50000).cast("long"), lit(5L))
+          .as("j"))
+      .groupBy($"i", $"j").agg(count(lit(1)).as("nij"))
+      .localCheckpoint()
+    val p = cells.select($"i".as("pi"), $"j".as("pj"), $"nij".as("pn"))
+    val q = cells.select($"i".as("qi"), $"j".as("qj"), $"nij".as("qn"))
+    val m = p.crossJoin(q)
+      .agg(
+        sum(when($"pi" < $"qi" && $"pj" < $"qj", dec($"pn") * $"qn")
+          .otherwise(zero)).as("c"),
+        sum(when($"pi" < $"qi" && $"pj" > $"qj", dec($"pn") * $"qn")
+          .otherwise(zero)).as("d"),
+        sum(when($"pi" === $"qi" && $"pj" < $"qj", dec($"pn") * $"qn")
+          .otherwise(zero)).as("tx"),
+        sum(when($"pj" === $"qj" && $"pi" < $"qi", dec($"pn") * $"qn")
+          .otherwise(zero)).as("ty"))
+    val cd = ($"c" - $"d").cast("double")
+    m.select($"c".cast("long").as("concordant"),
+        $"d".cast("long").as("discordant"),
+        $"tx".cast("long").as("t_x"), $"ty".cast("long").as("t_y"),
+        when($"c" + $"d" + $"ty" =!= 0,
+          round(cd / ($"c" + $"d" + $"ty").cast("double"), 6))
+          .as("d_yx"),
+        when($"c" + $"d" + $"tx" =!= 0,
+          round(cd / ($"c" + $"d" + $"tx").cast("double"), 6))
+          .as("d_xy"),
+        when(($"c" + $"d" + $"tx") * ($"c" + $"d" + $"ty") =!= 0,
+          round(cd / sqrt((($"c" + $"d" + $"tx") *
+            ($"c" + $"d" + $"ty")).cast("double")), 6)).as("tau_b"))
+  }
+
   /** A85 THEIL DECOMPOSITION across market segments (the property
     * that makes Theil THE inequality index for grouped data — A55
     * reports one number; this splits it EXACTLY: T = T_within +
@@ -3213,6 +3261,7 @@ object Relational {
     "q_cochran_q" -> cochranQ,
     "q_uncertainty" -> uncertaintyCoef,
     "q_gk_gamma" -> gkGamma,
+    "q_somers_d" -> somersD,
     "q_anova" -> anovaF,
     "q_chisq" -> chiSquare,
     "q_mad" -> madPerGroup,
@@ -4427,6 +4476,38 @@ object Relational {
         |  c::BIGINT AS concordant, d::BIGINT AS discordant,
         |  CASE WHEN c + d <> 0 THEN
         |    round((c - d)::DOUBLE / (c + d)::DOUBLE, 6) END AS gamma
+        |FROM m""".stripMargin,
+    // A90 twin: the A89 cell walk with the two tie sums, three
+    // divisions and one sqrt on identical integers
+    "q_somers_d" ->
+      """WITH cells AS (
+        |  SELECT substr(o_orderpriority, 1, 1)::BIGINT AS i,
+        |    least(floor(o_totalprice / 50000)::BIGINT, 5) AS j,
+        |    count(*)::BIGINT AS nij
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT
+        |    sum(CASE WHEN p.i < q.i AND p.j < q.j
+        |      THEN p.nij::HUGEINT * q.nij ELSE 0 END)::HUGEINT AS c,
+        |    sum(CASE WHEN p.i < q.i AND p.j > q.j
+        |      THEN p.nij::HUGEINT * q.nij ELSE 0 END)::HUGEINT AS d,
+        |    sum(CASE WHEN p.i = q.i AND p.j < q.j
+        |      THEN p.nij::HUGEINT * q.nij ELSE 0 END)::HUGEINT AS tx,
+        |    sum(CASE WHEN p.j = q.j AND p.i < q.i
+        |      THEN p.nij::HUGEINT * q.nij ELSE 0 END)::HUGEINT AS ty
+        |  FROM cells p, cells q)
+        |SELECT c::BIGINT AS concordant, d::BIGINT AS discordant,
+        |  tx::BIGINT AS t_x, ty::BIGINT AS t_y,
+        |  CASE WHEN c + d + ty <> 0 THEN
+        |    round((c - d)::DOUBLE / (c + d + ty)::DOUBLE, 6)
+        |  END AS d_yx,
+        |  CASE WHEN c + d + tx <> 0 THEN
+        |    round((c - d)::DOUBLE / (c + d + tx)::DOUBLE, 6)
+        |  END AS d_xy,
+        |  CASE WHEN (c + d + tx) * (c + d + ty) <> 0 THEN
+        |    round((c - d)::DOUBLE
+        |      / sqrt(((c + d + tx) * (c + d + ty))::DOUBLE), 6)
+        |  END AS tau_b
         |FROM m""".stripMargin,
     // A85 twin: same exact cents-weighted fixed-point ln sums
     // (HUGEINT), same per-segment scalar tail, same fp-summed totals

@@ -1984,6 +1984,44 @@ object Resilience {
         when($"bartlett_t".isNotNull, ($"bartlett_t" > 9.488).cast("int")))
   }
 
+  /** B94 PROCESS CAPABILITY Cp/Cpk of event value per type (the SPC
+    * index pair next to B67's control chart: the chart asks "is the
+    * process in control", capability asks "even in control, does it
+    * FIT the spec" — Cp is spread-vs-tolerance, Cpk penalizes
+    * off-center; the 1.33 bar is the classic four-sigma capability
+    * gate): spec limits are EXTERNAL constants (LSL = $0, USL =
+    * $200), carried in cents so the mean/σ/limits share one scale.
+    *
+    * Determinism: values quantize to exact cents, n/Σ/Σ² are exact
+    * decimal(38,0), σ_c = √((nΣ² − S²)/(n(n−1))) is one division +
+    * one sqrt, Cp/Cpk two more divisions — a pinned scalar chain. */
+  def processCapability(events: DataFrame, lslCents: Long = 0L,
+      uslCents: Long = 20000L): DataFrame = {
+    import events.sparkSession.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val g = events
+      .select($"event_type", round($"value" * 100).cast("long").as("c"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec($"c")).as("s"),
+        sum(dec($"c") * $"c").as("ss"))
+      .filter($"n" >= 2)
+    val nd = $"n".cast("double")
+    val mu = $"s".cast("double") / nd
+    val sig = sqrt(($"n" * $"ss" - $"s" * $"s").cast("double") /
+      (nd * (nd - lit(1.0))))
+    g.select($"event_type", $"n".as("n_events"),
+        round(mu / lit(100.0), 4).as("mean_value"),
+        round(sig / lit(100.0), 4).as("std_value"),
+        when(sig > 0, round(lit((uslCents - lslCents).toDouble) /
+          (lit(6.0) * sig), 4)).as("cp"),
+        when(sig > 0, round(
+          least(lit(uslCents.toDouble) - mu, mu - lit(lslCents.toDouble))
+            / (lit(3.0) * sig), 4)).as("cpk"))
+      .withColumn("capable",
+        when($"cpk".isNotNull, ($"cpk" >= 1.33).cast("int")))
+      .orderBy($"event_type")
+  }
+
   /** B51 rolling-origin FORECAST BACKTEST (the `tscv`/`MASE`
     * evaluation harness the ladder B17/B18/B21/B49 is missing — a
     * forecaster you never scored is a guess): one-step-ahead errors
@@ -4077,6 +4115,7 @@ object Resilience {
     "q_kpss" -> ((s, dir) => kpss(Tables.events(s, dir))),
     "q_breusch_pagan" -> ((s, dir) => breuschPagan(Tables.events(s, dir))),
     "q_bartlett" -> ((s, dir) => bartlett(Tables.events(s, dir))),
+    "q_cpk" -> ((s, dir) => processCapability(Tables.events(s, dir))),
     "q_backtest" -> ((s, dir) => backtest(Tables.events(s, dir))),
     "q_stochastic" -> ((s, dir) => stochastic(Tables.events(s, dir))),
     "q_macd" -> ((s, dir) => macd(Tables.events(s, dir))),
@@ -5797,6 +5836,35 @@ object Resilience {
         |  CASE WHEN bartlett_t IS NOT NULL
         |    THEN (bartlett_t > 9.488e0)::INT END AS significant
         |FROM o""".stripMargin,
+    // B94 twin: exact cent sums (HUGEINT), the same one-division +
+    // one-sqrt scalar chain, literal spec limits
+    "q_cpk" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(round(value * 100)::BIGINT::HUGEINT)::HUGEINT AS s,
+        |    sum(round(value * 100)::BIGINT::HUGEINT
+        |      * round(value * 100)::BIGINT)::HUGEINT AS ss
+        |  FROM events GROUP BY 1 HAVING count(*) >= 2),
+        |o AS (
+        |  SELECT event_type, n,
+        |    s::DOUBLE / n::DOUBLE AS mu,
+        |    sqrt((n * ss - s * s)::DOUBLE
+        |      / (n::DOUBLE * (n::DOUBLE - 1.0e0))) AS sig
+        |  FROM g),
+        |o2 AS (
+        |  SELECT event_type, n, mu, sig,
+        |    CASE WHEN sig > 0
+        |      THEN round(20000.0e0 / (6.0e0 * sig), 4) END AS cp,
+        |    CASE WHEN sig > 0 THEN
+        |      round(least(20000.0e0 - mu, mu - 0.0e0) / (3.0e0 * sig), 4)
+        |    END AS cpk
+        |  FROM o)
+        |SELECT event_type, n AS n_events,
+        |  round(mu / 100.0e0, 4) AS mean_value,
+        |  round(sig / 100.0e0, 4) AS std_value, cp, cpk,
+        |  CASE WHEN cpk IS NOT NULL
+        |    THEN (cpk >= 1.33e0)::INT END AS capable
+        |FROM o2 ORDER BY event_type""".stripMargin,
     "q_backtest" ->
       """WITH pts AS (
         |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
