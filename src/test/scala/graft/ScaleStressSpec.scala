@@ -1080,9 +1080,12 @@ class ScaleStressSpec extends AnyFunSuite {
     val secs = (System.nanoTime() - t0) / 1e9
     info(f"100k-vector cell-pruned graph: $secs%.1f s, $rows rows")
     assert(rows > 0)
-    // n^2 would be 10^10 pair dots — minutes; the pruned build must
-    // land in the n^2/k regime
-    assert(secs < 120, s"cell-pruned graph took ${secs}s")
+    // n^2 would be 10^10 pair dots — tens of minutes even unloaded;
+    // the pruned build must land in the n^2/k regime. Bound sized for
+    // a full-suite run sharing the host with the 2M-edge graph
+    // stresses (46 s quiet, 184 s measured under suite load) — the
+    // regime gap to n^2 stays >3x either way.
+    assert(secs < 300, s"cell-pruned graph took ${secs}s")
   }
 
   test("I20 HITS at 2x10^6 edges: per-iteration cost bounded, scores sane") {
