@@ -289,5 +289,25 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT exif_meta(payload).orientation FROM av_assets WHERE doc_id = 5")
       .as[Long].collect().head
     assert(orient == 1L + 5 % 8, s"SQL exif_meta: $orient")
+    // the round-11 codec legs: HEVC SPS, ADTS frames, JPEG SOF
+    Seq((6L, graft.operators.Multimodal.h265SpsBytes(6L)),
+      (7L, graft.operators.Multimodal.aacBytes(7L)),
+      (8L, graft.operators.Multimodal.jpegSofBytes(8L)))
+      .toDF("doc_id", "payload").createOrReplaceTempView("r11_assets")
+    val hw = spark.sql(
+      """SELECT h265_sps(payload).width, h265_sps(payload).height
+        |FROM r11_assets WHERE doc_id = 6""".stripMargin)
+      .as[(Long, Long)].collect().head
+    assert(hw == ((320L + (6 % 40) * 16, 240L + (6 % 20) * 16)),
+      s"SQL h265_sps: $hw")
+    val aacN = spark.sql(
+      "SELECT size(aac_frames(payload)) FROM r11_assets WHERE doc_id = 7")
+      .as[Int].collect().head
+    assert(aacN == (3 + 7 % 4), s"SQL aac_frames: $aacN")
+    val sof = spark.sql(
+      """SELECT jpeg_sof(payload).progressive, jpeg_sof(payload).width
+        |FROM r11_assets WHERE doc_id = 8""".stripMargin)
+      .as[(Long, Long)].collect().head
+    assert(sof == ((8L % 2, 320L + (8 % 40) * 8)), s"SQL jpeg_sof: $sof")
   }
 }
