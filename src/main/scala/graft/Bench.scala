@@ -231,9 +231,11 @@ object Bench {
             k += 1
           }
           if (best < Double.MaxValue) {
+            // the re-measure lives ONLY in the adjudicated row (already
+            // excluded from total/n_queries): overwriting the primary
+            // would be a one-sided re-measurement that can only lower
+            // the suite total vs the uniform-reps protocol (ADVICE r11)
             results.put(name + "_adjudicated", best)
-            // the re-measure is also the row's best evidence
-            if (best < results(name)) results.put(name, best)
             writeFile()
           }
         }

@@ -44,6 +44,7 @@ object JpegSof {
       if ((bytes(p) & 0xff) != 0xff) return null // lost marker sync
       var q = p
       while (q + 1 < len && (bytes(q + 1) & 0xff) == 0xff) q += 1 // fill
+      if (q + 1 >= len) return null // header ends in fill bytes
       val m = bytes(q + 1) & 0xff
       p = q + 2
       // standalone markers have no length: TEM/RSTn/EOI/SOI are all

@@ -854,16 +854,25 @@ object Graph {
   def localClusteringOn(edges: DataFrame, minDeg: Long = 5L,
       topK: Int = 20): DataFrame = {
     import edges.sparkSession.implicits._
-    // one inlined degree-oriented triangle pass (the I5 shape) with
-    // the degree frame SHARED between orientation and normalization.
-    // The fwd frame is .persist()ed exactly as in triangleCounts: it
-    // feeds SIX plan sites (both wedge sides + the semi probe, x3
-    // union branches), and the InMemoryRelation baked into the
-    // captured plan is what makes them share ONE materialization —
-    // without it the wedge join re-ran per site (measured 27 s vs
-    // 2.5 s at sf0.1). localCheckpoint is NOT a substitute here: its
-    // ExistingRDD leaf drops size statistics and demoted the dim
-    // joins to sort-merge shuffles (measured just as slow).
+    // FULLY LAZY, ZERO persisted state (the ADVICE-r11 leak fix,
+    // measured end to end at sf0.1 this round):
+    //  - the per-node triangle count EXPLODES each closed wedge into
+    //    its three corners instead of the triangleCounts-style triple
+    //    union, so the expensive wedge join appears exactly ONCE in
+    //    the plan and nothing depends on AQE stage reuse across
+    //    branches;
+    //  - no cache anywhere: materializing canon/deg/fwd/joined
+    //    through InMemoryRelation was SLOWER than recomputing the
+    //    fused lazy legs (cache write + unfused SMJs over cache scans
+    //    measured 20-25 s; AQE materializes cached subplans without
+    //    the broadcast legs), and the round-11 cache was never
+    //    released — it pinned a node-count frame for the session
+    //    lifetime and made every later bench rep a cache-reuse
+    //    artifact (best-of-4 0.87 s vs ~8 s honest steady-state);
+    //  - shared legs (canon x4 sites, deg x3, fwd x3) are left to
+    //    AQE exchange reuse inside the ONE action; the measured
+    //    honest cost is ~8 s steady / ~14 s cold at sf0.1, and the
+    //    BASELINE.md row is superseded to the honest figure.
     val canon = edges
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
       .filter($"a" =!= $"b").distinct()
@@ -879,39 +888,23 @@ object Graph {
       when(struct($"da", $"a") < struct($"db", $"b"), $"b").otherwise($"a")
         .as("v"),
       when(struct($"da", $"a") < struct($"db", $"b"), $"db").otherwise($"da")
-        .as("dv")).persist()
+        .as("dv"))
     val wedges = fwd.select($"u", $"v".as("x"), $"dv".as("dx"))
       .join(fwd.select($"u", $"v".as("y"), $"dv".as("dy")), Seq("u"))
       .filter(struct($"dx", $"x") < struct($"dy", $"y"))
     val tri = wedges.join(fwd.select($"u".as("x"), $"v".as("y")),
       Seq("x", "y"), "left_semi")
-    val perNode = tri.select($"u".as("node"))
-      .union(tri.select($"x".as("node")))
-      .union(tri.select($"y".as("node")))
+    val perNode = tri
+      .select(explode(array($"u", $"x", $"y")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("triangles"))
-    // the tail's ppm expression must NOT ride the same plan as the
-    // wedge pipeline: ANY computed expression over the nullable
-    // (perNode) side of the LeftOuter broke AQE stage reuse and
-    // re-ran the triple-union wedge pipeline once per branch
-    // (measured 11 jobs / ~46 s vs 4 jobs / ~7 s at sf0.1; a plain
-    // column passthrough reuses fine). So the node-count-sized
-    // joined frame materializes ONCE through the cache (count()
-    // executes WITH AQE — an eager localCheckpoint goes through
-    // .rdd, skips AQE, and measured 42 s), and the ppm projection +
-    // top-k run over the cached 20k-row frame.
-    val joined = deg.join(perNode, Seq("node"), "left")
+    deg.join(perNode, Seq("node"), "left")
       .filter($"d" >= minDeg)
       .select($"node", $"d".as("degree"),
         coalesce($"triangles", lit(0L)).as("triangles"))
-      .cache()
-    joined.count()
-    val out = joined
       .withColumn("clustering_ppm",
         expr("2 * triangles * 1000000 div (degree * (degree - 1))"))
       .orderBy(desc("clustering_ppm"), $"node")
       .limit(topK)
-    fwd.unpersist()
-    out
   }
 
   /** q_clustering: top-20 most locally-clustered parts (degree ≥ 5)

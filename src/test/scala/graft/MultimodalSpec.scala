@@ -1488,9 +1488,16 @@ class MultimodalSpec extends AnyFunSuite {
     val sof9 = patchMarker(ok, sofAt, 0xc9)
     val lenLies = ok.clone() // SOF claims 9 components but carries 1
     lenLies(sofAt + 9) = 9.toByte
+    // header region ending IN the fill bytes (FF D8 FF FF …FF): the
+    // fill-skip loop must not read past the end — ADVICE r11 (high)
+    val endsInFill = Array(0xff, 0xd8, 0xff, 0xff).map(_.toByte)
+    val endsInFillLong = Array(0xff, 0xd8, 0xff, 0xff, 0xff, 0xff)
+      .map(_.toByte)
     for ((bad, i) <- Seq(noSoi, lostSync, rst, eoi, sos, sof1, sof3,
         sof9, lenLies, ok.dropRight(1), ok.take(2),
-        Array[Byte](0xff.toByte, 0xd8.toByte)).zipWithIndex)
+        Array[Byte](0xff.toByte, 0xd8.toByte), endsInFill,
+        endsInFillLong, ok.take(sofAt) ++ Array.fill(3)(0xff.toByte))
+        .zipWithIndex)
       assert(parse(bad).isEmpty, s"out-of-scope JPEG #$i parsed non-null")
   }
 
