@@ -1556,7 +1556,84 @@ object Cdc {
       .orderBy($"month")
   }
 
+  /** C78 QUEUE DEPTH via the Lindley recursion (Lindley 1952 — the
+    * backlog curve every ingest/consumer-lag dashboard is secretly
+    * plotting: with hourly arrivals aₜ against fixed service capacity
+    * c, the waiting work obeys Wₜ = max(0, Wₜ₋₁ + aₜ − c), whose
+    * closed form Wₜ = Sₜ − min₀≤ₖ≤ₜ Sₖ over prefix sums Sₜ = Σ(aᵢ−c)
+    * turns the sequential recursion into TWO windowed passes — the
+    * reason this runs distributed at all): per event type over the
+    * densified hour grid, capacity = ceil(mean hourly arrivals)
+    * (integer, from exact sums); readout = peak backlog, its hour,
+    * hours backlogged, final backlog — all exact BIGINT. */
+  def queueDepth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("hour", $"ts").as("hr"))
+      .agg(count(lit(1)).as("a"))
+    val spans = pts.groupBy($"event_type")
+      .agg(min($"hr").as("h0"), max($"hr").as("h1"),
+        sum($"a").as("tot"))
+    val grid = spans
+      .select($"event_type", $"tot",
+        explode(expr(
+          "sequence(h0, h1, interval 1 hour)")).as("hr"))
+      .join(pts, Seq("event_type", "hr"), "left")
+      .withColumn("a", coalesce($"a", lit(0L)))
+    val w = Window.partitionBy($"event_type").orderBy($"hr")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walked = grid
+      .withColumn("n_hours", count(lit(1)).over(
+        Window.partitionBy($"event_type")))
+      .withColumn("c", ceil($"tot".cast("double") /
+        $"n_hours".cast("double")).cast("long"))
+      .withColumn("s", sum($"a" - $"c").over(wCum))
+      .withColumn("smin", least(min($"s").over(wCum), lit(0L)))
+      .withColumn("depth", $"s" - $"smin")
+    walked.groupBy($"event_type")
+      .agg(max($"c").as("capacity"), max($"n_hours").as("n_hours"),
+        max(struct($"depth", $"hr")).getField("depth").as("peak_backlog"),
+        unix_micros(max(struct($"depth", $"hr")).getField("hr"))
+          .as("peak_hour_us"),
+        sum(when($"depth" > 0, 1L).otherwise(0L)).as("hours_backlogged"),
+        max(struct($"hr", $"depth")).getField("depth").as("final_backlog"))
+      .orderBy($"event_type")
+  }
+
+  /** C79 EXPONENTIAL-DECAY ENGAGEMENT SCORE (the recency-weighted
+    * activity ranking every growth/notification system runs — C74's
+    * stickiness is a ratio of calendar windows, this is the smooth
+    * version: each event contributes 2^(−age/7d), so last week ≈
+    * half of today): ages bound to the ≤~100-value day grid, so the
+    * score folds EXACTLY — per (user, age) counts are integers and
+    * the per-age weight is the FIXED-POINT integer round(2^(−age/7)·
+    * 10⁹) (the A82 convention), making the sum an exact BIGINT in
+    * both engines and the ranking total-ordered by (score desc,
+    * user). Top-20 via TakeOrdered, never a global sort. */
+  def decayScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("day"))
+    val horizon = ev.agg(max($"day")).collect()(0).getDate(0)
+    val perAge = ev
+      .withColumn("age", datediff(lit(horizon), $"day").cast("long"))
+      .groupBy($"user_id", $"age")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w",
+        round(pow(lit(0.5), $"age".cast("double") / lit(7.0)) * 1e9)
+          .cast("long"))
+    perAge.groupBy($"user_id")
+      .agg(sum($"cnt").as("n_events"),
+        sum($"cnt" * $"w").as("score_fp"))
+      .orderBy($"score_fp".desc, $"user_id")
+      .limit(20)
+      .select($"user_id", $"n_events",
+        round($"score_fp".cast("double") / 1e9, 6).as("decay_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_queue_depth" -> queueDepth,
+    "cdc_decay_score" -> decayScore,
     "cdc_stickiness" -> onEvents(stickiness),
     "cdc_growth_accounting" -> onEvents(growthAccounting),
     "cdc_cuped" -> onEvents(cuped),
@@ -1683,6 +1760,77 @@ object Cdc {
   }
 
   val oracles: Map[String, String] = Map(
+    // C78 twin: same densified hour grid, the same two-window Lindley
+    // closed form on exact integers
+    "cdc_queue_depth" ->
+      """WITH pts AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    count(*)::BIGINT AS a
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT event_type, min(hr) AS h0, max(hr) AS h1,
+        |    sum(a)::BIGINT AS tot
+        |  FROM pts GROUP BY 1),
+        |grid_hours AS (
+        |  SELECT event_type, tot,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM spans),
+        |grid AS (
+        |  SELECT g.event_type, g.tot, g.hr, coalesce(p.a, 0)::BIGINT AS a
+        |  FROM grid_hours g
+        |  LEFT JOIN pts p
+        |    ON p.event_type = g.event_type AND p.hr = g.hr),
+        |caps AS (
+        |  SELECT event_type,
+        |    count(*) OVER (PARTITION BY event_type)::BIGINT AS n_hours,
+        |    hr, a, tot
+        |  FROM grid),
+        |caps2 AS (
+        |  SELECT *, ceil(tot::DOUBLE / n_hours::DOUBLE)::BIGINT AS c
+        |  FROM caps),
+        |sums AS (
+        |  SELECT event_type, n_hours, c, hr,
+        |    sum(a - c) OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM caps2),
+        |walked AS (
+        |  SELECT event_type, n_hours, c, hr, s,
+        |    least(min(s) OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS UNBOUNDED PRECEDING), 0) AS smin
+        |  FROM sums),
+        |d AS (
+        |  SELECT event_type, n_hours, c, hr, (s - smin)::BIGINT AS depth
+        |  FROM walked)
+        |SELECT event_type, max(c)::BIGINT AS capacity,
+        |  max(n_hours)::BIGINT AS n_hours,
+        |  (max(struct_pack(depth := depth, hr := hr))).depth
+        |    AS peak_backlog,
+        |  epoch_us((max(struct_pack(depth := depth, hr := hr))).hr)
+        |    ::BIGINT AS peak_hour_us,
+        |  sum(CASE WHEN depth > 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS hours_backlogged,
+        |  (max(struct_pack(hr := hr, depth := depth))).depth
+        |    AS final_backlog
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // C79 twin: same fixed-point per-age weights, exact BIGINT score
+    "cdc_decay_score" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts::DATE AS day FROM events),
+        |h AS (SELECT max(day) AS horizon FROM ev),
+        |per_age AS (
+        |  SELECT user_id,
+        |    date_diff('day', day, (SELECT horizon FROM h))::BIGINT
+        |      AS age,
+        |    count(*)::BIGINT AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |wt AS (
+        |  SELECT user_id, cnt,
+        |    round(pow(0.5, age::DOUBLE / 7.0) * 1e9)::BIGINT AS w
+        |  FROM per_age)
+        |SELECT user_id, sum(cnt)::BIGINT AS n_events,
+        |  round(sum(cnt * w)::DOUBLE / 1e9, 6) AS decay_score
+        |FROM wt GROUP BY 1
+        |ORDER BY sum(cnt * w) DESC, user_id LIMIT 20""".stripMargin,
     // C74 twin: same two distinct frames, same integer ppm
     // cross-multiplication
     "cdc_stickiness" ->

@@ -3209,7 +3209,253 @@ object Relational {
         ($"chi2" > 16.919).cast("long").as("suspect_flag"))
   }
 
+  /** A91 G-TEST of independence (Sokal/Rohlf — the likelihood-ratio
+    * twin of A36's Pearson χ²: G = 2·Σ n·ln(n·N/(n_x·n_y)) is additive
+    * across partitions of the table, which is why log-linear modeling
+    * and every genomics pipeline prefer it; χ² and G agree
+    * asymptotically but diverge exactly where small expected cells
+    * make the choice matter): return flag × line status cells, exact
+    * integer counts, margins re-aggregated from the CELLS; per-cell
+    * contributions are one identical IEEE sequence folded in SORTED
+    * (x, y) order with a 0-init left fold (the A61 precedent), df =
+    * (r−1)(c−1) from exact distinct counts, round-4 export. */
+  def gTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag".as("x"), $"l_linestatus".as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint()
+    val rx = cells.groupBy($"x").agg(sum($"n_xy").as("n_x"))
+    val cy = cells.groupBy($"y").agg(sum($"n_xy").as("n_y"))
+    val n = cells.agg(sum($"n_xy")).collect()(0).getLong(0)
+    cells.join(rx, "x").join(cy, "y")
+      .withColumn("contrib",
+        lit(2.0) * $"n_xy".cast("double") *
+          log(lit(n.toDouble) * $"n_xy".cast("double") /
+            ($"n_x".cast("double") * $"n_y".cast("double"))))
+      .agg(lit(n).as("n"),
+        ((countDistinct($"x") - 1) * (countDistinct($"y") - 1))
+          .cast("long").as("df"),
+        round(aggregate(sort_array(collect_list(
+            struct($"x", $"y", $"contrib"))),
+          lit(0.0), (acc, c) => acc + c("contrib")), 4).as("g_stat"))
+  }
+
+  /** A92 COCHRAN-ARMITAGE TREND test (Cochran 1954 / Armitage 1955 —
+    * the dose-response test A36's χ² cannot do: χ² asks "do the five
+    * priority bands differ in failure rate AT ALL", this asks "does
+    * the rate rise MONOTONICALLY with priority", one df instead of
+    * four, which is the whole power gain): doses t_i = priority digit
+    * 1..5, cases = F-status orders. T = Σ tᵢ(N·rᵢ − nᵢ·R) is an exact
+    * BIGINT (the n-cleared form of Σ tᵢ(rᵢ − nᵢR/N)); Var·N =
+    * R(N−R)·(N·Σtᵢ²nᵢ − (Σtᵢnᵢ)²) is exact decimal(38,0); Z =
+    * T/√(Var(T)·N⁻¹·N²) folds into ONE division of one sqrt. */
+  def cochranArmitage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = Tables.orders(s, dir)
+      .select(substring($"o_orderpriority", 1, 1).cast("long").as("t"),
+        when($"o_orderstatus" === "F", 1L).otherwise(0L).as("case"))
+      .groupBy($"t")
+      .agg(count(lit(1)).as("ni"), sum($"case").as("ri"))
+      .localCheckpoint()
+    val m = g.agg(sum($"ni").as("n"), sum($"ri").as("r"),
+      sum(dec($"t") * $"ni").as("stn"),
+      sum(dec($"t") * $"t" * $"ni").as("sttn"))
+    g.crossJoin(broadcast(m))
+      .groupBy($"n", $"r", $"stn", $"sttn")
+      .agg(sum(dec($"t") * (dec($"n") * $"ri" - dec($"ni") * $"r"))
+        .as("t_num"))
+      .select($"n".as("n_orders"), $"r".as("n_cases"),
+        $"t_num".cast("long").as("t_stat"),
+        when(dec($"r") * (dec($"n") - $"r") *
+            (dec($"n") * $"sttn" - $"stn" * $"stn") > 0,
+          round($"t_num".cast("double") /
+            sqrt((dec($"r") * (dec($"n") - $"r") *
+              (dec($"n") * $"sttn" - $"stn" * $"stn")).cast("double") /
+              $"n".cast("double")), 4)).as("z_trend"))
+  }
+
+  /** A93 YULE'S Q / YULE'S Y / PHI on one 2×2 (Yule 1900/1912 — the
+    * three classical 2×2 association coefficients in one readout,
+    * each with a different invariance: φ is the Pearson r of two 0/1
+    * columns (margin-sensitive), Q = (ad−bc)/(ad+bc) is invariant to
+    * row/column scaling (the epidemiologist's OR rescaled to [−1,1]),
+    * Y = (√ad−√bc)/(√ad+√bc) halves Q's attenuation bias): exposure =
+    * discount > 5%, outcome = returned; cells exact BIGINT, cross
+    * products decimal(38,0), three scalar formulas, round-6. */
+  def yuleQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    Tables.lineitem(s, dir)
+      .select(($"l_discount" > 0.05).as("e"),
+        ($"l_returnflag" === "R").as("o"))
+      .agg(sum(when($"e" && $"o", 1L).otherwise(0L)).as("a"),
+        sum(when($"e" && !$"o", 1L).otherwise(0L)).as("b"),
+        sum(when(!$"e" && $"o", 1L).otherwise(0L)).as("c"),
+        sum(when(!$"e" && !$"o", 1L).otherwise(0L)).as("d"))
+      .select($"a", $"b", $"c", $"d",
+        when(dec($"a") * $"d" + dec($"b") * $"c" =!= 0,
+          round((dec($"a") * $"d" - dec($"b") * $"c").cast("double") /
+            (dec($"a") * $"d" + dec($"b") * $"c").cast("double"), 6))
+          .as("yule_q"),
+        when(dec($"a") * $"d" + dec($"b") * $"c" =!= 0,
+          round((sqrt((dec($"a") * $"d").cast("double")) -
+            sqrt((dec($"b") * $"c").cast("double"))) /
+            (sqrt((dec($"a") * $"d").cast("double")) +
+              sqrt((dec($"b") * $"c").cast("double"))), 6)).as("yule_y"),
+        when(($"a" + $"b") * ($"c" + $"d") * ($"a" + $"c") *
+            ($"b" + $"d") =!= 0,
+          round((dec($"a") * $"d" - dec($"b") * $"c").cast("double") /
+            sqrt((dec($"a" + $"b") * ($"c" + $"d") * ($"a" + $"c") *
+              ($"b" + $"d")).cast("double")), 6)).as("phi"))
+  }
+
+  /** A94 FLEISS' KAPPA (Fleiss 1971 — the multi-rater agreement
+    * coefficient text_kappa's two-rater Cohen cannot give: when n
+    * raters each classify N items into k categories, are they
+    * agreeing beyond chance? The standard gate on label-quality
+    * before training on crowd labels): items = orders with EXACTLY
+    * four lineitems (Fleiss requires constant raters per item),
+    * raters = the four lineitems, categories = return flags.
+    * P̄ = (Σᵢⱼ nᵢⱼ² − N·n)/(N·n(n−1)) and P̄ₑ = Σⱼ Cⱼ²/(N·n)² are exact
+    * integer ratios; κ = (P̄−P̄ₑ)/(1−P̄ₑ) divides once at export. */
+  def fleissKappa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_returnflag")
+    val four = li.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("nr")).filter($"nr" === 4)
+      .select($"l_orderkey")
+    val cells = li.join(four, "l_orderkey")
+      .groupBy($"l_orderkey", $"l_returnflag")
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint()
+    val nItems = cells.select($"l_orderkey").distinct().count()
+    val catTot = cells.groupBy($"l_returnflag")
+      .agg(sum($"nij").as("cj"))
+    val ssum = cells.agg(sum($"nij" * $"nij")).collect()(0).getLong(0)
+    catTot
+      .agg(sum(dec($"cj") * $"cj").as("scj2"))
+      .select(lit(nItems).as("n_items"), lit(4L).as("n_raters"),
+        lit(ssum).as("sum_nij_sq"),
+        round(lit((ssum - 4L * nItems).toDouble / (12L * nItems)
+          .toDouble), 6).as("p_bar"),
+        round($"scj2".cast("double") /
+          lit((4L * nItems).toDouble * (4L * nItems).toDouble), 6)
+          .as("p_e"),
+        round((lit((ssum - 4L * nItems).toDouble / (12L * nItems)
+            .toDouble) -
+          $"scj2".cast("double") / lit((4L * nItems).toDouble *
+            (4L * nItems).toDouble)) /
+          (lit(1.0) - $"scj2".cast("double") /
+            lit((4L * nItems).toDouble * (4L * nItems).toDouble)), 6)
+          .as("kappa"))
+  }
+
+  /** A95 HOOVER INDEX per market segment (the "Robin Hood" index —
+    * the share of total revenue that would have to MOVE between
+    * customers to equalize them: the most interpretable inequality
+    * number next to A34's Gini and A82's Atkinson, and the only one
+    * that is literally a fraction of dollars): H = Σ|yᵢ − ȳ|/(2·Σyᵢ)
+    * computed in the n-cleared exact form Σ|n·yᵢ − S|/(2·n·S) — the
+    * numerator is an exact decimal(38,0) sum of BIGINT cents, ONE
+    * division at export. Window-free: one per-customer aggregate, one
+    * broadcast totals join, one re-aggregate. */
+  def hooverIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pc = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"), $"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("y"))
+    val st = pc.groupBy($"segment")
+      .agg(count(lit(1)).as("n"), sum(dec($"y")).as("s"))
+    pc.join(broadcast(st), "segment")
+      .groupBy($"segment")
+      .agg(max($"n").as("n_customers"),
+        max($"s").cast("decimal(38,0)").as("total_cents"),
+        sum(abs(dec($"n") * $"y" - $"s")).as("num"))
+      .select($"segment", $"n_customers",
+        $"total_cents".cast("long").as("total_cents"),
+        round($"num".cast("double") /
+          (lit(2.0) * $"n_customers".cast("double") *
+            $"total_cents".cast("double")), 6).as("hoover"))
+      .orderBy($"segment")
+  }
+
+  /** A96 D'AGOSTINO K² omnibus normality test (D'Agostino 1970 /
+    * Anscombe-Glynn 1983 / D'Agostino-Pearson 1973 — the moments-based
+    * normality screen that, unlike A70's Shapiro-class tests, runs as
+    * THREE exact corpus sums however large the corpus: skewness and
+    * kurtosis each transform to an approximate standard normal, K² =
+    * Z₁² + Z₂² ~ χ²(2)): per market segment on order totals binned to
+    * integer kilodollars (keeps the 4th-power sums inside
+    * decimal(38,0) to ~10⁹ rows per segment; re-bin coarser past
+    * that). Central moments come from the n-cleared forms (m₂ⁿ =
+    * n·S₂−S₁² …), in which g₁ = m₃ⁿ/(m₂ⁿ)^{3/2} and b₂ = m₄ⁿ/(m₂ⁿ)²
+    * are n-free; the Z transforms are one pinned libm scalar chain
+    * per segment (5 sqrt, 2 ln, 1 cbrt), round-4 export. */
+  def dagostinoK2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val m = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("segment"),
+        round($"o_totalprice" / 1000).cast("long").as("y"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n"), sum(dec($"y")).as("s1"),
+        sum(dec($"y") * $"y").as("s2"),
+        sum(dec($"y") * $"y" * $"y").as("s3"),
+        sum(dec($"y") * $"y" * $"y" * $"y").as("s4"))
+    val nn = dec($"n")
+    val m2n = (nn * $"s2" - $"s1" * $"s1").cast("double")
+    val m3n = (nn * nn * $"s3" - lit(3) * nn * $"s2" * $"s1" +
+      lit(2) * $"s1" * $"s1" * $"s1").cast("double")
+    val m4n = (nn * nn * nn * $"s4" -
+      lit(4) * nn * nn * $"s3" * $"s1" +
+      lit(6) * nn * $"s2" * $"s1" * $"s1" -
+      lit(3) * $"s1" * $"s1" * $"s1" * $"s1").cast("double")
+    val nd = $"n".cast("double")
+    val g1 = m3n / pow(m2n, 1.5)
+    val b2 = m4n / (m2n * m2n)
+    // D'Agostino skewness transform
+    val yv = g1 * sqrt((nd + 1) * (nd + 3) / (lit(6.0) * (nd - 2)))
+    val beta2 = lit(3.0) * (nd * nd + lit(27.0) * nd - 70) * (nd + 1) *
+      (nd + 3) / ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9))
+    val w2 = sqrt(lit(2.0) * (beta2 - 1)) - 1
+    val dl = lit(1.0) / sqrt(log(sqrt(w2)))
+    val al = sqrt(lit(2.0) / (w2 - 1))
+    val z1 = dl * log(yv / al + sqrt((yv / al) * (yv / al) + 1))
+    // Anscombe-Glynn kurtosis transform
+    val eb2 = lit(3.0) * (nd - 1) / (nd + 1)
+    val vb2 = lit(24.0) * nd * (nd - 2) * (nd - 3) /
+      ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5))
+    val xk = (b2 - eb2) / sqrt(vb2)
+    val bet = lit(6.0) * (nd * nd - lit(5.0) * nd + 2) /
+      ((nd + 7) * (nd + 9)) *
+      sqrt(lit(6.0) * (nd + 3) * (nd + 5) / (nd * (nd - 2) * (nd - 3)))
+    val aa = lit(6.0) + lit(8.0) / bet *
+      (lit(2.0) / bet + sqrt(lit(1.0) + lit(4.0) / (bet * bet)))
+    val z2 = ((lit(1.0) - lit(2.0) / (lit(9.0) * aa)) -
+      cbrt((lit(1.0) - lit(2.0) / aa) /
+        (lit(1.0) + xk * sqrt(lit(2.0) / (aa - 4))))) /
+      sqrt(lit(2.0) / (lit(9.0) * aa))
+    m.select($"segment", $"n".as("n_orders"),
+        round(g1, 6).as("skew_g1"), round(b2, 6).as("kurt_b2"),
+        round(z1, 4).as("z_skew"), round(z2, 4).as("z_kurt"),
+        round(z1 * z1 + z2 * z2, 4).as("k2"))
+      .orderBy($"segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gtest" -> gTest,
+    "q_cochran_armitage" -> cochranArmitage,
+    "q_yule_q" -> yuleQ,
+    "q_fleiss_kappa" -> fleissKappa,
+    "q_hoover" -> hooverIndex,
+    "q_dagostino_k2" -> dagostinoK2,
     "q_simpson" -> simpson,
     "q_last_digit" -> lastDigit,
     "q_k_anonymity" -> kAnonymityEvents,
@@ -3305,6 +3551,215 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A91 twin: same exact cells/margins, same sorted-cell 0-init
+    // left fold of the identical per-cell IEEE contribution
+    "q_gtest" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS x, l_linestatus AS y,
+        |    count(*)::BIGINT AS n_xy
+        |  FROM lineitem GROUP BY 1, 2),
+        |rx AS (SELECT x, sum(n_xy)::BIGINT AS n_x FROM cells GROUP BY 1),
+        |cy AS (SELECT y, sum(n_xy)::BIGINT AS n_y FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(n_xy)::BIGINT AS n FROM cells),
+        |c AS (
+        |  SELECT cells.x, cells.y, tot.n,
+        |    2.0 * n_xy::DOUBLE *
+        |      ln(tot.n::DOUBLE * n_xy::DOUBLE /
+        |        (n_x::DOUBLE * n_y::DOUBLE)) AS contrib
+        |  FROM cells JOIN rx USING (x) JOIN cy USING (y), tot),
+        |f AS (
+        |  SELECT max(n)::BIGINT AS n,
+        |    ((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1))::BIGINT
+        |      AS df,
+        |    list(contrib ORDER BY x, y) AS cs
+        |  FROM c)
+        |SELECT n, df,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE, cs),
+        |    (a, b) -> a + b), 4) AS g_stat
+        |FROM f""".stripMargin,
+    // A92 twin: identical integer T and HUGEINT variance product,
+    // one division of one sqrt
+    "q_cochran_armitage" ->
+      """WITH g AS (
+        |  SELECT substr(o_orderpriority, 1, 1)::BIGINT AS t,
+        |    count(*)::BIGINT AS ni,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+        |      AS ri
+        |  FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT sum(ni)::BIGINT AS n, sum(ri)::BIGINT AS r,
+        |    sum(t::HUGEINT * ni)::HUGEINT AS stn,
+        |    sum(t::HUGEINT * t * ni)::HUGEINT AS sttn
+        |  FROM g),
+        |f AS (
+        |  SELECT m.n, m.r, m.stn, m.sttn,
+        |    sum(t::HUGEINT * (m.n::HUGEINT * ri - ni::HUGEINT * m.r))
+        |      ::HUGEINT AS t_num
+        |  FROM g, m GROUP BY 1, 2, 3, 4)
+        |SELECT n AS n_orders, r AS n_cases, t_num::BIGINT AS t_stat,
+        |  CASE WHEN r::HUGEINT * (n - r) * (n::HUGEINT * sttn - stn * stn)
+        |      > 0 THEN
+        |    round(t_num::DOUBLE /
+        |      sqrt((r::HUGEINT * (n - r) *
+        |        (n::HUGEINT * sttn - stn * stn))::DOUBLE / n::DOUBLE), 4)
+        |  END AS z_trend
+        |FROM f""".stripMargin,
+    // A93 twin: same exact 2x2 cells and HUGEINT cross products,
+    // three scalar formulas
+    "q_yule_q" ->
+      """WITH m AS (
+        |  SELECT
+        |    sum(CASE WHEN l_discount > 0.05 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN l_discount > 0.05 AND l_returnflag <> 'R'
+        |      THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN l_discount <= 0.05 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN l_discount <= 0.05 AND l_returnflag <> 'R'
+        |      THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM lineitem)
+        |SELECT a, b, c, d,
+        |  CASE WHEN a::HUGEINT * d + b::HUGEINT * c <> 0 THEN
+        |    round((a::HUGEINT * d - b::HUGEINT * c)::DOUBLE /
+        |      (a::HUGEINT * d + b::HUGEINT * c)::DOUBLE, 6)
+        |  END AS yule_q,
+        |  CASE WHEN a::HUGEINT * d + b::HUGEINT * c <> 0 THEN
+        |    round((sqrt((a::HUGEINT * d)::DOUBLE) -
+        |      sqrt((b::HUGEINT * c)::DOUBLE)) /
+        |      (sqrt((a::HUGEINT * d)::DOUBLE) +
+        |        sqrt((b::HUGEINT * c)::DOUBLE)), 6)
+        |  END AS yule_y,
+        |  CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) <> 0 THEN
+        |    round((a::HUGEINT * d - b::HUGEINT * c)::DOUBLE /
+        |      sqrt(((a + b)::HUGEINT * (c + d) * (a + c) * (b + d))
+        |        ::DOUBLE), 6)
+        |  END AS phi
+        |FROM m""".stripMargin,
+    // A94 twin: same exactly-4-lineitem item set, same integer
+    // P-bar / P-e ratios, one kappa division
+    "q_fleiss_kappa" ->
+      """WITH four AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY 1 HAVING count(*) = 4),
+        |cells AS (
+        |  SELECT l.l_orderkey, l.l_returnflag, count(*)::BIGINT AS nij
+        |  FROM lineitem l JOIN four USING (l_orderkey)
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT count(DISTINCT l_orderkey)::BIGINT AS n_items,
+        |    sum(nij * nij)::BIGINT AS s
+        |  FROM cells),
+        |cj AS (
+        |  SELECT sum(c2.cj::HUGEINT * c2.cj)::HUGEINT AS scj2 FROM (
+        |    SELECT l_returnflag, sum(nij)::BIGINT AS cj
+        |    FROM cells GROUP BY 1) c2)
+        |SELECT n_items, 4::BIGINT AS n_raters, s AS sum_nij_sq,
+        |  round((s - 4 * n_items)::DOUBLE / (12 * n_items)::DOUBLE, 6)
+        |    AS p_bar,
+        |  round(scj2::DOUBLE /
+        |    ((4 * n_items)::DOUBLE * (4 * n_items)::DOUBLE), 6) AS p_e,
+        |  round(((s - 4 * n_items)::DOUBLE / (12 * n_items)::DOUBLE -
+        |    scj2::DOUBLE / ((4 * n_items)::DOUBLE * (4 * n_items)
+        |      ::DOUBLE)) /
+        |    (1.0 - scj2::DOUBLE / ((4 * n_items)::DOUBLE *
+        |      (4 * n_items)::DOUBLE)), 6) AS kappa
+        |FROM st, cj""".stripMargin,
+    // A95 twin: same exact HUGEINT |n·y − S| sum, one division
+    "q_hoover" ->
+      """WITH pc AS (
+        |  SELECT c_mktsegment AS segment, o_custkey,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT segment, count(*)::BIGINT AS n,
+        |    sum(y::HUGEINT)::HUGEINT AS s
+        |  FROM pc GROUP BY 1)
+        |SELECT pc.segment, max(st.n)::BIGINT AS n_customers,
+        |  max(st.s)::BIGINT AS total_cents,
+        |  round(sum(abs(st.n::HUGEINT * pc.y - st.s))::DOUBLE /
+        |    (2.0 * max(st.n)::DOUBLE * max(st.s)::DOUBLE), 6) AS hoover
+        |FROM pc JOIN st USING (segment)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // A96 twin: same exact HUGEINT moment sums and n-cleared central
+    // forms, the identical libm scalar chain per segment
+    "q_dagostino_k2" ->
+      """WITH m AS (
+        |  SELECT c_mktsegment AS segment, count(*)::BIGINT AS n,
+        |    sum(round(o_totalprice / 1000)::BIGINT::HUGEINT)::HUGEINT
+        |      AS s1,
+        |    sum(round(o_totalprice / 1000)::BIGINT::HUGEINT *
+        |      round(o_totalprice / 1000)::BIGINT)::HUGEINT AS s2,
+        |    sum(round(o_totalprice / 1000)::BIGINT::HUGEINT *
+        |      round(o_totalprice / 1000)::BIGINT *
+        |      round(o_totalprice / 1000)::BIGINT)::HUGEINT AS s3,
+        |    sum(round(o_totalprice / 1000)::BIGINT::HUGEINT *
+        |      round(o_totalprice / 1000)::BIGINT *
+        |      round(o_totalprice / 1000)::BIGINT *
+        |      round(o_totalprice / 1000)::BIGINT)::HUGEINT AS s4
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT segment, n, n::DOUBLE AS nd,
+        |    (n::HUGEINT * s2 - s1 * s1)::DOUBLE AS m2n,
+        |    (n::HUGEINT * n * s3 - 3 * n::HUGEINT * s2 * s1 +
+        |      2 * s1 * s1 * s1)::DOUBLE AS m3n,
+        |    (n::HUGEINT * n * n * s4 - 4 * n::HUGEINT * n * s3 * s1 +
+        |      6 * n::HUGEINT * s2 * s1 * s1 -
+        |      3 * s1 * s1 * s1 * s1)::DOUBLE AS m4n
+        |  FROM m),
+        |t AS (
+        |  SELECT segment, n, nd,
+        |    m3n / pow(m2n, 1.5) AS g1, m4n / (m2n * m2n) AS b2
+        |  FROM c),
+        |z1c AS (
+        |  SELECT *,
+        |    g1 * sqrt((nd + 1) * (nd + 3) / (6.0 * (nd - 2))) AS yv,
+        |    sqrt(2.0 * (3.0 * (nd * nd + 27.0 * nd - 70) * (nd + 1) *
+        |      (nd + 3) / ((nd - 2) * (nd + 5) * (nd + 7) * (nd + 9))
+        |      - 1)) - 1 AS w2
+        |  FROM t),
+        |z1f AS (
+        |  SELECT *,
+        |    (1.0 / sqrt(ln(sqrt(w2)))) *
+        |      ln(yv / sqrt(2.0 / (w2 - 1)) +
+        |        sqrt((yv / sqrt(2.0 / (w2 - 1))) *
+        |          (yv / sqrt(2.0 / (w2 - 1))) + 1)) AS z1
+        |  FROM z1c),
+        |z2c AS (
+        |  SELECT *,
+        |    (b2 - 3.0 * (nd - 1) / (nd + 1)) /
+        |      sqrt(24.0 * nd * (nd - 2) * (nd - 3) /
+        |        ((nd + 1) * (nd + 1) * (nd + 3) * (nd + 5))) AS xk,
+        |    6.0 + 8.0 / (6.0 * (nd * nd - 5.0 * nd + 2) /
+        |        ((nd + 7) * (nd + 9)) *
+        |        sqrt(6.0 * (nd + 3) * (nd + 5) /
+        |          (nd * (nd - 2) * (nd - 3)))) *
+        |      (2.0 / (6.0 * (nd * nd - 5.0 * nd + 2) /
+        |        ((nd + 7) * (nd + 9)) *
+        |        sqrt(6.0 * (nd + 3) * (nd + 5) /
+        |          (nd * (nd - 2) * (nd - 3)))) +
+        |       sqrt(1.0 + 4.0 / ((6.0 * (nd * nd - 5.0 * nd + 2) /
+        |        ((nd + 7) * (nd + 9)) *
+        |        sqrt(6.0 * (nd + 3) * (nd + 5) /
+        |          (nd * (nd - 2) * (nd - 3)))) *
+        |        (6.0 * (nd * nd - 5.0 * nd + 2) /
+        |        ((nd + 7) * (nd + 9)) *
+        |        sqrt(6.0 * (nd + 3) * (nd + 5) /
+        |          (nd * (nd - 2) * (nd - 3))))))) AS aa
+        |  FROM z1f),
+        |z2f AS (
+        |  SELECT *,
+        |    ((1.0 - 2.0 / (9.0 * aa)) -
+        |      cbrt((1.0 - 2.0 / aa) /
+        |        (1.0 + xk * sqrt(2.0 / (aa - 4))))) /
+        |      sqrt(2.0 / (9.0 * aa)) AS z2
+        |  FROM z2c)
+        |SELECT segment, n AS n_orders,
+        |  round(g1, 6) AS skew_g1, round(b2, 6) AS kurt_b2,
+        |  round(z1, 4) AS z_skew, round(z2, 4) AS z_kurt,
+        |  round(z1 * z1 + z2 * z2, 4) AS k2
+        |FROM z2f ORDER BY segment""".stripMargin,
     // A70 twin: same integer cross-product directions (HUGEINT ==
     // decimal(38,0)), same pooled OR as the only double
     "q_simpson" ->

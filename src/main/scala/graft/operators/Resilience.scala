@@ -4067,7 +4067,289 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B95 THETA-METHOD forecast (Assimakopoulos & Nikolopoulos 2000 —
+    * the M3-competition winner and still the serious "simple"
+    * benchmark every forecast bake-off must beat; the B17/B18 ladder's
+    * missing rung between pure trend and pure smoothing): decompose
+    * the day-ordered series into the θ=0 line (the OLS trend, all
+    * long-run signal) and the θ=2 line zₜ = 2yₜ − trendₜ (curvature
+    * doubled), SES-smooth the θ=2 line at pinned α = 0.5, and
+    * forecast F_h = ½(trend(n+h) + ℓ). Trend comes from EXACT integer
+    * sums (Σt, Σt² closed-form, Σy, Σt·y via an indexed fold); the
+    * SES fold is the B49 coupled-recurrence shape over the
+    * frame-bounded daily list; round-4 export. */
+  def thetaForecast(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val lists = pts.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"y"))).as("ps"),
+        count(lit(1)).as("n"), sum($"y").as("sy"))
+      .filter($"n" >= 3)
+      .withColumn("ys", expr("transform(ps, p -> cast(p.y as double))"))
+      .withColumn("sty", expr(
+        "aggregate(transform(ps, (p, i) -> (cast(i as bigint) + 1) * p.y), cast(0 as bigint), (a, x) -> a + x)"))
+      .withColumn("st", ($"n" * ($"n" + 1) / 2).cast("long"))
+      .withColumn("stt",
+        ($"n" * ($"n" + 1) * (lit(2) * $"n" + 1) / 6).cast("long"))
+      .withColumn("b",
+        (($"n" * $"sty" - $"st" * $"sy").cast("double")) /
+          (($"n" * $"stt" - $"st" * $"st").cast("double")))
+      .withColumn("a",
+        ($"sy".cast("double") - $"b" * $"st".cast("double")) /
+          $"n".cast("double"))
+      .withColumn("zs", expr(
+        "transform(ys, (y, i) -> 2.0D * y - (a + b * (cast(i as bigint) + 1)))"))
+      .withColumn("l", expr(
+        """aggregate(slice(zs, 2, size(zs) - 1),
+          |  element_at(zs, 1),
+          |  (acc, z) -> acc + 0.5D * (z - acc))""".stripMargin))
+    lists.select($"event_type", $"n".as("n_days"),
+        round($"b", 6).as("slope"), round($"l", 4).as("ses_level"),
+        round(($"a" + $"b" * ($"n" + 1).cast("double") + $"l") * 0.5, 4)
+          .as("f1"),
+        round(($"a" + $"b" * ($"n" + 2).cast("double") + $"l") * 0.5, 4)
+          .as("f2"),
+        round(($"a" + $"b" * ($"n" + 3).cast("double") + $"l") * 0.5, 4)
+          .as("f3"))
+      .orderBy($"event_type")
+  }
+
+  /** B96 TSB intermittent-demand forecast (Teunter, Syntetos & Babai
+    * 2011 — the modern replacement for B62's Croston: Croston cannot
+    * see obsolescence because it only updates on demand days; TSB
+    * updates the demand PROBABILITY every period, so a key that went
+    * quiet decays toward zero instead of freezing at its last rate):
+    * over the DENSIFIED day grid (zero-demand days exist — sequence()
+    * spine, no corpus cost beyond the daily aggregate), p ← p +
+    * α(1{y>0} − p) every day at α = 0.2, z ← z + β(y − z) on demand
+    * days at β = 0.3, pinned inits p₀ = 0.5, z₀ = 1; forecast =
+    * p·z. One coupled fold per type (the B49 shape). */
+  def tsbForecast(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val spans = pts.groupBy($"event_type")
+      .agg(min($"day").as("d0"), max($"day").as("d1"),
+        sum(when($"y" > 0, 1L).otherwise(0L)).as("n_demand"))
+    val grid = spans
+      .select($"event_type", $"n_demand",
+        explode(expr("sequence(d0, d1)")).as("day"))
+      .join(pts, Seq("event_type", "day"), "left")
+      .withColumn("y", coalesce($"y", lit(0L)))
+    val folded = grid.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_periods"), max($"n_demand").as("n_demand"),
+        sort_array(collect_list(struct($"day", $"y"))).as("ps"))
+      .withColumn("st", expr(
+        """aggregate(ps, struct(0.5D as p, 1.0D as z),
+          |  (acc, x) -> struct(
+          |    acc.p + 0.2D * ((CASE WHEN x.y > 0 THEN 1.0D ELSE 0.0D END) - acc.p) as p,
+          |    CASE WHEN x.y > 0 THEN acc.z + 0.3D * (x.y - acc.z) ELSE acc.z END as z))"""
+          .stripMargin))
+    folded.select($"event_type", $"n_periods", $"n_demand",
+        round($"st.p", 6).as("p_final"), round($"st.z", 4).as("z_final"),
+        round($"st.p" * $"st.z", 4).as("forecast"))
+      .orderBy($"event_type")
+  }
+
+  /** B97 ADI / CV² demand classification (Syntetos & Boylan 2005 —
+    * the 2×2 that DECIDES between the B17/B18 ladder and the
+    * B62/B92 intermittent family before any forecast runs: smooth /
+    * intermittent / erratic / lumpy at the canonical 1.32 / 0.49
+    * cutoffs): ADI = calendar periods per demand day, CV² of demand
+    * sizes from exact n-cleared sums; BOTH classification predicates
+    * cross-multiply to INTEGER comparisons (100·n ≥ 132·k, 100·(kΣy²
+    * − S²) ≥ 49·S²) so the class label never hinges on a float. */
+  def adiCv2(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    pts.groupBy($"event_type")
+      .agg((datediff(max($"day"), min($"day")) + 1).cast("long")
+          .as("n_periods"),
+        count(lit(1)).as("k"),
+        sum(dec($"y")).as("s"), sum(dec($"y") * $"y").as("sq"))
+      .select($"event_type", $"n_periods", $"k".as("n_demand"),
+        round($"n_periods".cast("double") / $"k".cast("double"), 4)
+          .as("adi"),
+        round((dec($"k") * $"sq" - $"s" * $"s").cast("double") /
+          ($"s" * $"s").cast("double"), 4).as("cv2"),
+        when(lit(100) * $"n_periods" < lit(132) * $"k" &&
+            lit(100) * (dec($"k") * $"sq" - $"s" * $"s") <
+              lit(49) * $"s" * $"s", "smooth")
+          .when(lit(100) * $"n_periods" >= lit(132) * $"k" &&
+            lit(100) * (dec($"k") * $"sq" - $"s" * $"s") <
+              lit(49) * $"s" * $"s", "intermittent")
+          .when(lit(100) * $"n_periods" < lit(132) * $"k", "erratic")
+          .otherwise("lumpy").as("demand_class"))
+      .orderBy($"event_type")
+  }
+
+  /** B98 DIEBOLD-MARIANO forecast-accuracy test (Diebold & Mariano
+    * 1995 — the "is forecaster A actually better than B or is it
+    * noise" test B51's backtest scores beg for): naive-1 (yesterday)
+    * vs seasonal-naive-7 (last week) one-step errors on the
+    * day-ordered series, loss differential dₜ = e₁ₜ² − e₇ₜ² (exact
+    * BIGINT), DM = S_d·√(n−1)/√(n·Σd² − S_d²) — squared-loss, h = 1,
+    * so the long-run variance is the plain sample variance; one
+    * division of one sqrt on exact integer sums. DM < 0 favors
+    * naive-1, > 0 favors the weekly pattern. */
+  def dieboldMariano(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val scored = pts
+      .withColumn("l1", lag($"y", 1).over(w))
+      .withColumn("l7", lag($"y", 7).over(w))
+      .filter($"l1".isNotNull && $"l7".isNotNull)
+      .withColumn("d",
+        ($"y" - $"l1") * ($"y" - $"l1") - ($"y" - $"l7") * ($"y" - $"l7"))
+    scored.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec($"d")).as("sd"),
+        sum(dec($"d") * $"d").as("sdd"))
+      .select($"event_type", $"n".as("n_pairs"),
+        round($"sd".cast("double") / $"n".cast("double"), 4)
+          .as("mean_d"),
+        when(dec($"n") * $"sdd" - $"sd" * $"sd" > 0,
+          round($"sd".cast("double") *
+            sqrt(($"n" - 1).cast("double")) /
+            sqrt((dec($"n") * $"sdd" - $"sd" * $"sd").cast("double")),
+            4)).as("dm"),
+        when(dec($"n") * $"sdd" - $"sd" * $"sd" <= 0, "tie")
+          .when($"sd" < 0, "naive1").when($"sd" > 0, "naive7")
+          .otherwise("tie").as("better"))
+      .orderBy($"event_type")
+  }
+
+  /** B99 DETRENDED FLUCTUATION ANALYSIS (Peng et al. 1994 — the
+    * long-memory exponent that, unlike B43's R/S Hurst, stays honest
+    * under nonstationarity, which daily ops series always have):
+    * profile Pⱼ = n·prefixⱼ − j·S (the B43 n-scaling — exact BIGINT,
+    * mean-centered by construction), boxes m ∈ {5, 10, 15}, per-box
+    * OLS detrend with the closed-form residual SS (Szz − (Sz²·Srr −
+    * 2·Sz·Szr·Sr + m·Szr²)/D, all sums exact decimal(38,0), Sr/Srr/D
+    * closed-form literals per m), F(m) = √(mean per-point residual
+    * variance)/n, and α = the 3-point OLS slope of ln F on ln m (the
+    * B43 tail verbatim). α ≈ 0.5 white noise, ≈ 1 pink, > 1
+    * nonstationary drift. */
+  def dfa(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val sizes = Seq(5L, 10L, 15L)
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val st = pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"y").as("s"))
+    val prof = pts
+      .withColumn("j", row_number().over(w).cast("long"))
+      .withColumn("pre", sum($"y").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(st, "event_type")
+      .withColumn("pj", $"n" * $"pre" - $"j" * $"s")
+    val ex = prof.withColumn("m", explode(typedlit(sizes)))
+      .withColumn("b", expr("(j - 1) div m"))
+      .withColumn("r", (($"j" - 1) % $"m") + lit(1L))
+    val boxes = ex.groupBy($"event_type", $"n", $"m", $"b")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec($"pj")).as("sz"),
+        sum(dec($"pj") * $"r").as("szr"),
+        sum(dec($"pj") * $"pj").as("szz"))
+      .filter($"cnt" === $"m")
+      .withColumn("sr", dec($"m" * ($"m" + 1) / 2))
+      .withColumn("srr", dec($"m" * ($"m" + 1) * (lit(2) * $"m" + 1) / 6))
+      .withColumn("dd", dec($"m") * $"srr" - $"sr" * $"sr")
+      .withColumn("sse",
+        $"szz".cast("double") -
+          (($"sz" * $"sz" * $"srr" - lit(2) * $"sz" * $"szr" * $"sr" +
+            dec($"m") * $"szr" * $"szr").cast("double") /
+            $"dd".cast("double")))
+    val fm = boxes.groupBy($"event_type", $"n", $"m")
+      .agg(count(lit(1)).as("nb"),
+        aggregate(sort_array(collect_list(struct($"b", $"sse"))),
+          lit(0.0), (acc, x) => acc + x("sse")).as("ssesum"))
+      .withColumn("f", sqrt($"ssesum" /
+        ($"nb" * $"m").cast("double")) / $"n".cast("double"))
+    val ols = fm.groupBy($"event_type")
+      .agg(count(lit(1)).as("np"),
+        aggregate(sort_array(collect_list(struct($"m",
+            log($"m".cast("double")).as("x"), log($"f").as("y")))),
+          struct(lit(0.0).as("sx"), lit(0.0).as("sy"),
+            lit(0.0).as("sxx"), lit(0.0).as("sxy")),
+          (a, p) => struct(
+            (a("sx") + p("x")).as("sx"), (a("sy") + p("y")).as("sy"),
+            (a("sxx") + p("x") * p("x")).as("sxx"),
+            (a("sxy") + p("x") * p("y")).as("sxy"))).as("o"),
+        max(when($"m" === 5, round($"f", 4))).as("f5"),
+        max(when($"m" === 10, round($"f", 4))).as("f10"),
+        max(when($"m" === 15, round($"f", 4))).as("f15"))
+      .filter($"np" === 3)
+    ols.select($"event_type", $"f5", $"f10", $"f15",
+        round(($"np" * $"o.sxy" - $"o.sx" * $"o.sy") /
+          ($"np" * $"o.sxx" - $"o.sx" * $"o.sx"), 4).as("alpha"))
+      .orderBy($"event_type")
+  }
+
+  /** B100 SAMPLE ENTROPY over the day-over-day DIRECTION sequence
+    * (Richman & Moorman 2000, on the sign-quantized series — the
+    * regularity number B46's permutation entropy approximates from a
+    * different angle: SampEn = −ln(A/B) where B counts matching
+    * length-2 templates and A matching length-3; lower = more
+    * regular/predictable): symbols sₜ = sign(yₜ − yₜ₋₁) ∈ {−1,0,1},
+    * template matches counted EXACTLY by grouping (Σ c(c−1)/2 over
+    * the ≤9 / ≤27 template cells — never a position-pair join), one
+    * ln at export. Self-matches are excluded by construction
+    * (i < j pairs only). */
+  def sampleEntropy(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val sym = pts
+      .withColumn("prev", lag($"y", 1).over(w))
+      .filter($"prev".isNotNull)
+      .withColumn("sgn", signum(($"y" - $"prev").cast("double"))
+        .cast("long"))
+      .withColumn("s2", lead($"sgn", 1).over(w))
+      .withColumn("s3", lead($"sgn", 2).over(w))
+    val b2 = sym.filter($"s2".isNotNull)
+      .groupBy($"event_type", $"sgn", $"s2")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"event_type")
+      .agg(sum($"c").as("n2"),
+        sum(expr("c * (c - 1) div 2")).as("b_pairs"))
+    val a3 = sym.filter($"s3".isNotNull)
+      .groupBy($"event_type", $"sgn", $"s2", $"s3")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"event_type")
+      .agg(sum(expr("c * (c - 1) div 2")).as("a_pairs"))
+    b2.join(a3, "event_type")
+      .select($"event_type", ($"n2" + 1).as("n_symbols"),
+        $"b_pairs", $"a_pairs",
+        when($"a_pairs" > 0 && $"b_pairs" > 0,
+          round(-log($"a_pairs".cast("double") /
+            $"b_pairs".cast("double")), 6)).as("sampen"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_theta_forecast" -> ((s, dir) => thetaForecast(Tables.events(s, dir))),
+    "q_tsb_forecast" -> ((s, dir) => tsbForecast(Tables.events(s, dir))),
+    "q_adi_cv2" -> ((s, dir) => adiCv2(Tables.events(s, dir))),
+    "q_diebold_mariano" ->
+      ((s, dir) => dieboldMariano(Tables.events(s, dir))),
+    "q_dfa" -> ((s, dir) => dfa(Tables.events(s, dir))),
+    "q_sample_entropy" ->
+      ((s, dir) => sampleEntropy(Tables.events(s, dir))),
     "q_chow" -> ((s, dir) => chowBreak(Tables.events(s, dir))),
     "q_durbin_watson" -> ((s, dir) => durbinWatson(Tables.events(s, dir))),
     "q_pettitt" -> ((s, dir) => pettitt(Tables.events(s, dir))),
@@ -4263,6 +4545,248 @@ object Resilience {
          |  FROM c JOIN wm ON c.event_type = wm.event_type)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B95 twin: exact trend sums via the row_number index, the same
+    // α=0.5 SES recursion over the identical θ=2 line
+    "q_theta_forecast" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      ::BIGINT AS t
+        |  FROM pts),
+        |lists AS (
+        |  SELECT event_type, list(y::DOUBLE ORDER BY t) AS ys,
+        |    count(*)::BIGINT AS n, sum(y)::BIGINT AS sy,
+        |    sum(t * y)::BIGINT AS sty
+        |  FROM idx GROUP BY 1 HAVING count(*) >= 3),
+        |ab AS (
+        |  SELECT *, (n * (n + 1) // 2)::BIGINT AS st,
+        |    (n * (n + 1) * (2 * n + 1) // 6)::BIGINT AS stt
+        |  FROM lists),
+        |ab2 AS (
+        |  SELECT *, (n * sty - st * sy)::DOUBLE /
+        |      (n * stt - st * st)::DOUBLE AS b
+        |  FROM ab),
+        |ab3 AS (
+        |  SELECT *, (sy::DOUBLE - b * st::DOUBLE) / n::DOUBLE AS a
+        |  FROM ab2),
+        |st2 AS (
+        |  SELECT event_type, n, a, b, ys, 1::BIGINT AS k,
+        |    2.0 * ys[1] - (a + b * 1) AS l
+        |  FROM ab3
+        |  UNION ALL
+        |  SELECT event_type, n, a, b, ys, k + 1,
+        |    l + 0.5 * ((2.0 * ys[(k + 1)::INT] - (a + b * (k + 1))) - l)
+        |  FROM st2 WHERE k < n),
+        |fin AS (SELECT * FROM st2 WHERE k = n)
+        |SELECT event_type, n AS n_days, round(b, 6) AS slope,
+        |  round(l, 4) AS ses_level,
+        |  round((a + b * (n + 1)::DOUBLE + l) * 0.5, 4) AS f1,
+        |  round((a + b * (n + 2)::DOUBLE + l) * 0.5, 4) AS f2,
+        |  round((a + b * (n + 3)::DOUBLE + l) * 0.5, 4) AS f3
+        |FROM fin ORDER BY event_type""".stripMargin,
+    // B96 twin: same densified day spine, the identical coupled
+    // (p, z) recursion with pinned inits
+    "q_tsb_forecast" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1,
+        |    sum(CASE WHEN y > 0 THEN 1 ELSE 0 END)::BIGINT AS n_demand
+        |  FROM pts GROUP BY 1),
+        |grid_days AS (
+        |  SELECT event_type, n_demand,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        |  FROM spans),
+        |grid AS (
+        |  SELECT g.event_type, g.n_demand, g.day,
+        |    coalesce(p.y, 0)::BIGINT AS y
+        |  FROM grid_days g
+        |  LEFT JOIN pts p
+        |    ON p.event_type = g.event_type AND p.day = g.day),
+        |lists AS (
+        |  SELECT event_type, max(n_demand)::BIGINT AS n_demand,
+        |    count(*)::BIGINT AS n, list(y ORDER BY day) AS ys
+        |  FROM grid GROUP BY 1),
+        |st AS (
+        |  SELECT event_type, n_demand, n, ys, 0::BIGINT AS k,
+        |    0.5::DOUBLE AS p, 1.0::DOUBLE AS z
+        |  FROM lists
+        |  UNION ALL
+        |  SELECT event_type, n_demand, n, ys, k + 1,
+        |    p + 0.2 * ((CASE WHEN ys[(k + 1)::INT] > 0 THEN 1.0
+        |      ELSE 0.0 END) - p),
+        |    CASE WHEN ys[(k + 1)::INT] > 0
+        |      THEN z + 0.3 * (ys[(k + 1)::INT] - z) ELSE z END
+        |  FROM st WHERE k < n),
+        |fin AS (SELECT * FROM st WHERE k = n)
+        |SELECT event_type, n AS n_periods, n_demand,
+        |  round(p, 6) AS p_final, round(z, 4) AS z_final,
+        |  round(p * z, 4) AS forecast
+        |FROM fin ORDER BY event_type""".stripMargin,
+    // B97 twin: same exact calendar span and HUGEINT size sums, the
+    // identical integer classification predicates
+    "q_adi_cv2" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type,
+        |    (date_diff('day', min(day), max(day)) + 1)::BIGINT
+        |      AS n_periods,
+        |    count(*)::BIGINT AS k,
+        |    sum(y::HUGEINT)::HUGEINT AS s,
+        |    sum(y::HUGEINT * y)::HUGEINT AS sq
+        |  FROM pts GROUP BY 1)
+        |SELECT event_type, n_periods, k AS n_demand,
+        |  round(n_periods::DOUBLE / k::DOUBLE, 4) AS adi,
+        |  round((k::HUGEINT * sq - s * s)::DOUBLE / (s * s)::DOUBLE, 4)
+        |    AS cv2,
+        |  CASE
+        |    WHEN 100 * n_periods < 132 * k
+        |      AND 100 * (k::HUGEINT * sq - s * s) < 49 * s * s
+        |      THEN 'smooth'
+        |    WHEN 100 * n_periods >= 132 * k
+        |      AND 100 * (k::HUGEINT * sq - s * s) < 49 * s * s
+        |      THEN 'intermittent'
+        |    WHEN 100 * n_periods < 132 * k THEN 'erratic'
+        |    ELSE 'lumpy' END AS demand_class
+        |FROM m ORDER BY event_type""".stripMargin,
+    // B98 twin: same integer loss differentials off the same two lag
+    // baselines, one sqrt division
+    "q_diebold_mariano" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT * FROM (
+        |    SELECT event_type, y, lag(y, 1) OVER w AS l1,
+        |      lag(y, 7) OVER w AS l7
+        |    FROM pts WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |  WHERE l1 IS NOT NULL AND l7 IS NOT NULL),
+        |d AS (
+        |  SELECT event_type,
+        |    (y - l1) * (y - l1) - (y - l7) * (y - l7) AS d
+        |  FROM lagged),
+        |m AS (
+        |  SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(d::HUGEINT)::HUGEINT AS sd,
+        |    sum(d::HUGEINT * d)::HUGEINT AS sdd
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n AS n_pairs,
+        |  round(sd::DOUBLE / n::DOUBLE, 4) AS mean_d,
+        |  CASE WHEN n::HUGEINT * sdd - sd * sd > 0 THEN
+        |    round(sd::DOUBLE * sqrt((n - 1)::DOUBLE) /
+        |      sqrt((n::HUGEINT * sdd - sd * sd)::DOUBLE), 4)
+        |  END AS dm,
+        |  CASE WHEN n::HUGEINT * sdd - sd * sd <= 0 THEN 'tie'
+        |    WHEN sd < 0 THEN 'naive1' WHEN sd > 0 THEN 'naive7'
+        |    ELSE 'tie' END AS better
+        |FROM m ORDER BY event_type""".stripMargin,
+    // B99 twin: same exact n-scaled profile, HUGEINT box sums and
+    // closed-form residual SS, the identical 3-point ln-ln OLS tail
+    "q_dfa" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(y)::BIGINT AS s
+        |  FROM pts GROUP BY 1),
+        |prof AS (
+        |  SELECT p.event_type, st.n,
+        |    row_number() OVER w::BIGINT AS j,
+        |    st.n * (sum(p.y) OVER (PARTITION BY p.event_type
+        |      ORDER BY p.day ROWS UNBOUNDED PRECEDING)) -
+        |      (row_number() OVER w) * st.s AS pj
+        |  FROM pts p JOIN st USING (event_type)
+        |  WINDOW w AS (PARTITION BY p.event_type ORDER BY p.day)),
+        |ex AS (
+        |  SELECT event_type, n, j, pj, m.m,
+        |    (j - 1) // m.m AS b, ((j - 1) % m.m) + 1 AS r
+        |  FROM prof, (SELECT unnest([5, 10, 15]) AS m) m),
+        |boxes AS (
+        |  SELECT event_type, n, m, b, count(*)::BIGINT AS cnt,
+        |    sum(pj::HUGEINT)::HUGEINT AS sz,
+        |    sum(pj::HUGEINT * r)::HUGEINT AS szr,
+        |    sum(pj::HUGEINT * pj)::HUGEINT AS szz,
+        |    ((m * (m + 1)) // 2)::HUGEINT AS sr,
+        |    ((m * (m + 1) * (2 * m + 1)) // 6)::HUGEINT AS srr
+        |  FROM ex GROUP BY 1, 2, 3, 4, 9, 10 HAVING count(*) = m),
+        |sse AS (
+        |  SELECT event_type, n, m, b,
+        |    szz::DOUBLE - ((sz * sz * srr - 2 * sz * szr * sr +
+        |      m::HUGEINT * szr * szr)::DOUBLE /
+        |      (m::HUGEINT * srr - sr * sr)::DOUBLE) AS sse
+        |  FROM boxes),
+        |fm AS (
+        |  SELECT event_type, n, m, count(*)::BIGINT AS nb,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(sse ORDER BY b)), (a, x) -> a + x) AS ssesum
+        |  FROM sse GROUP BY 1, 2, 3),
+        |f AS (
+        |  SELECT event_type, m,
+        |    sqrt(ssesum / (nb * m)::DOUBLE) / n::DOUBLE AS f
+        |  FROM fm),
+        |o AS (
+        |  SELECT event_type, count(*)::BIGINT AS np,
+        |    max(CASE WHEN m = 5 THEN ln(m::DOUBLE) END) AS x5,
+        |    max(CASE WHEN m = 10 THEN ln(m::DOUBLE) END) AS x10,
+        |    max(CASE WHEN m = 15 THEN ln(m::DOUBLE) END) AS x15,
+        |    max(CASE WHEN m = 5 THEN ln(f) END) AS y5,
+        |    max(CASE WHEN m = 10 THEN ln(f) END) AS y10,
+        |    max(CASE WHEN m = 15 THEN ln(f) END) AS y15,
+        |    max(CASE WHEN m = 5 THEN round(f, 4) END) AS f5,
+        |    max(CASE WHEN m = 10 THEN round(f, 4) END) AS f10,
+        |    max(CASE WHEN m = 15 THEN round(f, 4) END) AS f15
+        |  FROM f GROUP BY 1 HAVING count(*) = 3)
+        |SELECT event_type, f5, f10, f15,
+        |  round((3 * ((x5 * y5 + x10 * y10) + x15 * y15) -
+        |    ((x5 + x10) + x15) * ((y5 + y10) + y15)) /
+        |    (3 * ((x5 * x5 + x10 * x10) + x15 * x15) -
+        |    ((x5 + x10) + x15) * ((x5 + x10) + x15)), 4) AS alpha
+        |FROM o ORDER BY event_type""".stripMargin,
+    // B100 twin: same sign symbols, the same exact template-cell pair
+    // counts, one ln
+    "q_sample_entropy" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT * FROM (
+        |    SELECT event_type, day, y, lag(y) OVER w AS prev
+        |    FROM pts WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |  WHERE prev IS NOT NULL),
+        |sgns AS (
+        |  SELECT event_type, day,
+        |    sign((y - prev)::DOUBLE)::BIGINT AS sgn
+        |  FROM sym),
+        |tpl AS (
+        |  SELECT event_type, sgn, lead(sgn, 1) OVER w AS s2,
+        |    lead(sgn, 2) OVER w AS s3
+        |  FROM sgns WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |b2 AS (
+        |  SELECT event_type, sum(c)::BIGINT AS n2,
+        |    sum(c * (c - 1) // 2)::BIGINT AS b_pairs
+        |  FROM (
+        |    SELECT event_type, sgn, s2, count(*)::BIGINT AS c
+        |    FROM tpl WHERE s2 IS NOT NULL GROUP BY 1, 2, 3)
+        |  GROUP BY 1),
+        |a3 AS (
+        |  SELECT event_type, sum(c * (c - 1) // 2)::BIGINT AS a_pairs
+        |  FROM (
+        |    SELECT event_type, sgn, s2, s3, count(*)::BIGINT AS c
+        |    FROM tpl WHERE s3 IS NOT NULL GROUP BY 1, 2, 3, 4)
+        |  GROUP BY 1)
+        |SELECT b2.event_type, (n2 + 1)::BIGINT AS n_symbols,
+        |  b_pairs, a_pairs,
+        |  CASE WHEN a_pairs > 0 AND b_pairs > 0 THEN
+        |    round(-ln(a_pairs::DOUBLE / b_pairs::DOUBLE), 6)
+        |  END AS sampen
+        |FROM b2 JOIN a3 USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // B68 twin: same doubled-average-rank integers on the value-
     // domain frame, HUGEINT rank-sum squares (== decimal(38,0)),
     // one division per group folded in the same event_type order
