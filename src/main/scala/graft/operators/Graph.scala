@@ -2270,7 +2270,59 @@ object Graph {
     richClub(edges, Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L))
   }
 
+  /** I28 RESOURCE-ALLOCATION link prediction (Zhou, Lü & Zhang 2009
+    * — the third classical wedge-weighted predictor next to I5's
+    * common neighbors and I27's Adamic-Adar, and on co-occurrence
+    * graphs usually the strongest of the three: each common neighbor
+    * z contributes 1/deg(z) — it "allocates one unit of resource"
+    * across its links, so a hub's endorsement dilutes LINEARLY where
+    * AA only discounts logarithmically): same wedge enumeration as
+    * I5/I27, center weight = the EXACT integer 10⁹ div deg(c) (pure
+    * floor division — unlike AA's round(10⁹/ln d) there is no libm
+    * call anywhere), per-pair sums exact BIGINT, non-edge top-k on
+    * the (ra desc, x, y) total order via TakeOrdered. Same Σdeg²
+    * scale contract as I27 (hub cap / E37 prune past bounded
+    * degree). */
+  def resourceAllocation(edges: DataFrame, topK: Int = 100): DataFrame = {
+    import edges.sparkSession.implicits._
+    val canon = edges.select($"a", $"b").localCheckpoint()
+    val sym = canon.select($"a".as("u"), $"b".as("v"))
+      .union(canon.select($"b".as("u"), $"a".as("v")))
+    val deg = sym.groupBy($"u".as("node")).agg(count(lit(1)).as("d"))
+    val wdeg = deg.filter($"d" >= 2)
+      .withColumn("w", expr("1000000000 div d"))
+    val wedges = sym.select($"u".as("c"), $"v".as("x"))
+      .join(sym.select($"u".as("c"), $"v".as("y")), Seq("c"))
+      .filter($"x" < $"y")
+      .join(wdeg.select($"node".as("c"), $"w"), "c")
+    val ra = wedges.groupBy($"x", $"y")
+      .agg(count(lit(1)).as("cn"), sum($"w").as("ra_fp"))
+    ra.join(canon.select($"a".as("x"), $"b".as("y")),
+        Seq("x", "y"), "left_anti")
+      .orderBy($"ra_fp".desc, $"x", $"y")
+      .limit(topK)
+      .select($"x", $"y", $"cn",
+        round($"ra_fp".cast("double") / 1e9, 6).as("resource_alloc"))
+  }
+
+  /** q_resource_alloc: top-100 RA-predicted part pairs over the I27
+    * graph. */
+  def resourceAllocCoOrder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val canon = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").cast("long").as("a"),
+        col("y.l_partkey").cast("long").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 2)
+      .select($"a", $"b")
+    resourceAllocation(canon, 100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resource_alloc" -> resourceAllocCoOrder,
     "q_rich_club" -> richClubTrade,
     "q_harmonic" -> harmonicSupplyChain,
     "q_ktruss" -> ktrussCoOrder,
@@ -3141,6 +3193,36 @@ object Graph {
     // same total-order top-k
     // I27 twin: same wedge frame, center-weighted by the identical
     // fixed-point 10^9/ln(deg) integers, same TakeOrdered tie order
+    // I28 twin: same wedge walk with pure-integer floor-division
+    // weights — no libm anywhere, exact BIGINT end to end
+    "q_resource_alloc" ->
+      """WITH canon AS (
+        |  SELECT x.l_partkey::BIGINT AS a, y.l_partkey::BIGINT AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT a AS u, b AS v FROM canon
+        |        UNION ALL SELECT b, a FROM canon),
+        |deg AS (SELECT u AS node, count(*)::BIGINT AS d
+        |        FROM sym GROUP BY 1),
+        |wdeg AS (
+        |  SELECT node, (1000000000 // d)::BIGINT AS w
+        |  FROM deg WHERE d >= 2),
+        |wedges AS (
+        |  SELECT e1.v AS x, e2.v AS y, wd.w
+        |  FROM sym e1 JOIN sym e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN wdeg wd ON wd.node = e1.u),
+        |ra AS (SELECT x, y, count(*)::BIGINT AS cn,
+        |         sum(w)::BIGINT AS ra_fp
+        |       FROM wedges GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT ra.x, ra.y, ra.cn, ra.ra_fp FROM ra
+        |  WHERE NOT EXISTS (SELECT 1 FROM canon c
+        |    WHERE c.a = ra.x AND c.b = ra.y))
+        |SELECT x, y, cn, round(ra_fp::DOUBLE / 1e9, 6) AS resource_alloc
+        |FROM cand
+        |ORDER BY ra_fp DESC, x, y
+        |LIMIT 100""".stripMargin,
     "q_adamic_adar" ->
       """WITH canon AS (
         |  SELECT x.l_partkey::BIGINT AS a, y.l_partkey::BIGINT AS b

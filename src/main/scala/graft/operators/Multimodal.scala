@@ -2567,6 +2567,136 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Minimal spec-shaped HEIF/AVIF still image (G48) — ftyp (brand
+    * alternates heic/avif by id) + a version-0 `meta` FullBox
+    * carrying hdlr(pict), pitm (primary = 1 + id%3), iinf (v0,
+    * entry_count = 1 + id%3 with matching infe v2 entries typed
+    * hvc1/av01 by brand), and iprp→ipco with ONE ispe (width =
+    * 640 + (id%50)·16, height = 480 + (id%25)·16) and an irot
+    * (angle = id%4). All values closed-form in doc_id. */
+  private[graft] def heifBytes(docId: Long): Array[Byte] = {
+    val brand = if (docId % 2 == 0) "heic" else "avif"
+    val itemType = if (docId % 2 == 0) "hvc1" else "av01"
+    val nItems = (1 + docId % 3).toInt
+    val primary = (1 + docId % 3).toInt
+    val w = (640 + (docId % 50) * 16).toInt
+    val h = (480 + (docId % 25) * 16).toInt
+    val rot = (docId % 4).toInt
+    val asc = java.nio.charset.StandardCharsets.US_ASCII
+    val hdlrLen = 8 + 4 + 4 + 4 + 12 + 1
+    val pitmLen = 14
+    val infeLen = 8 + 4 + 2 + 2 + 4 + 1
+    val iinfLen = 14 + nItems * infeLen
+    val ispeLen = 20
+    val irotLen = 9
+    val ipcoLen = 8 + ispeLen + irotLen
+    val iprpLen = 8 + ipcoLen
+    val metaLen = 12 + hdlrLen + pitmLen + iinfLen + iprpLen
+    val bb = java.nio.ByteBuffer.allocate(20 + metaLen)
+    bb.putInt(20).put("ftyp".getBytes(asc)) // ftyp
+      .put(brand.getBytes(asc)).putInt(0).put(brand.getBytes(asc))
+    bb.putInt(metaLen).put("meta".getBytes(asc)).putInt(0) // v0 FullBox
+    bb.putInt(hdlrLen).put("hdlr".getBytes(asc)).putInt(0) // hdlr
+      .putInt(0).put("pict".getBytes(asc))
+      .put(new Array[Byte](12)).put(0.toByte)
+    bb.putInt(pitmLen).put("pitm".getBytes(asc)).putInt(0) // pitm v0
+      .putShort(primary.toShort)
+    bb.putInt(iinfLen).put("iinf".getBytes(asc)).putInt(0) // iinf v0
+      .putShort(nItems.toShort)
+    var i = 0
+    while (i < nItems) {
+      bb.putInt(infeLen).put("infe".getBytes(asc))
+        .put(2.toByte).put(0.toByte).putShort(0) // version 2, flags
+        .putShort((i + 1).toShort).putShort(0) // item id, protection
+        .put(itemType.getBytes(asc)).put(0.toByte)
+      i += 1
+    }
+    bb.putInt(iprpLen).put("iprp".getBytes(asc))
+    bb.putInt(ipcoLen).put("ipco".getBytes(asc))
+    bb.putInt(ispeLen).put("ispe".getBytes(asc)).putInt(0)
+      .putInt(w).putInt(h)
+    bb.putInt(irotLen).put("irot".getBytes(asc)).put(rot.toByte)
+    bb.array()
+  }
+
+  /** G48 graded entry (`mm_heif_dims`): the synthesized HEIC/AVIF
+    * headers walked back — a hash match proves the top-level box
+    * walk, the meta FullBox offset math, the pitm/iinf v0 reads and
+    * the iprp→ipco→ispe/irot property extraction agree with the
+    * closed form. */
+  private def heifDimsEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, heifBytes(id))).toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id",
+        graft.functions.HeifDims.dimsCol($"payload").as("d"))
+      .select($"doc_id", $"d.brand".as("brand"),
+        $"d.n_items".as("n_items"), $"d.primary_id".as("primary_id"),
+        $"d.width".as("width"), $"d.height".as("height"),
+        $"d.rot_angle".as("rot_angle"))
+      .orderBy($"doc_id")
+  }
+
+  /** Synthetic WebVTT payload (G49) — the web-native subtitle twin
+    * of G28's SRT (every browser/player exports VTT; a crawl's
+    * caption sidecars are VTT-dominant): "WEBVTT" header block, then
+    * n = 3 + id%4 cues; each cue has an id line ("c<k>"), an
+    * HH:MM:SS.mmm --> HH:MM:SS.mmm time line (DOT millis — the VTT/
+    * SRT separator difference is exactly what a parser must not mix
+    * up), cue SETTINGS on every second cue (align:center line:10%),
+    * and a payload line. All values closed-form in doc_id. */
+  private[graft] def webvttText(docId: Long): String = {
+    val n = (3 + docId % 4).toInt
+    def fmt(ms: Long): String = {
+      val h = ms / 3600000; val m = (ms / 60000) % 60
+      val s = (ms / 1000) % 60; val r = ms % 1000
+      f"$h%02d:$m%02d:$s%02d.$r%03d"
+    }
+    val cues = (0 until n).map { i =>
+      val start = 400L * i + docId % 90
+      val end = start + 300 + docId % 150
+      val settings = if (i % 2 == 1) " align:center line:10%" else ""
+      s"c$i\n${fmt(start)} --> ${fmt(end)}$settings\nvtt $docId $i"
+    }
+    "WEBVTT\n\n" + cues.mkString("\n\n")
+  }
+
+  /** G49 WebVTT cue parse — declarative column ops only (the G28
+    * shape: split on blank lines, drop the WEBVTT header block, one
+    * regexp over the time line; settings = whatever trails the
+    * arrow-time on the same line). */
+  def webvttCues(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val t = "(\\\\d{2}):(\\\\d{2}):(\\\\d{2})\\\\.(\\\\d{3})"
+    def ms(prefix: Int): String = {
+      val g = (k: Int) =>
+        s"cast(regexp_extract(b[1], '$t --> $t', ${prefix + k}) as bigint)"
+      s"((${g(0)} * 3600000 + ${g(1)} * 60000 + ${g(2)} * 1000 + ${g(3)}))"
+    }
+    docs.select($"doc_id", posexplode(expr(
+        "transform(split(text, '\\n\\n'), s -> split(s, '\\n'))")))
+      .filter($"pos" >= 1) // block 0 is the WEBVTT header
+      .withColumnRenamed("col", "b")
+      .filter(size($"b") >= 3)
+      .select($"doc_id", ($"pos" - 1).cast("long").as("cue_idx"),
+        expr("b[0]").as("cue_id"),
+        expr(ms(1)).as("start_ms"),
+        expr(ms(5)).as("end_ms"),
+        expr("nullif(trim(regexp_replace(b[1], " +
+          s"'$t --> $t', '')), '')").as("settings"),
+        expr("b[2]").as("payload"))
+      .withColumn("dur_ms", $"end_ms" - $"start_ms")
+  }
+
+  /** G49 graded entry (`mm_webvtt_cues`). */
+  private def webvttCuesEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, webvttText(id))).toDF("doc_id", "text")
+    webvttCues(payloads).orderBy($"doc_id", $"cue_idx")
+  }
+
   /** Minimal spec-shaped Exif JPEG (G25) — the ENCODER side of the
     * TIFF IFD walk: SOI, an APP0/JFIF segment the marker scan must
     * SKIP (every third id), then APP1 "Exif\0\0" wrapping a TIFF
@@ -3094,6 +3224,8 @@ object Multimodal {
     "mm_webp_dims" -> webpDimsEntry,
     "mm_exif_meta" -> exifMetaEntry,
     "mm_mp4_edits" -> mp4EditsEntry,
+    "mm_heif_dims" -> heifDimsEntry,
+    "mm_webvtt_cues" -> webvttCuesEntry,
     "mm_srt_cues" -> srtCuesEntry,
     "mm_caption_frames" -> captionFramesEntry,
     "mm_wav_stats" -> wavStatsEntry,
@@ -3593,6 +3725,32 @@ object Multimodal {
         |ORDER BY doc_id, frame_id""".stripMargin,
     // G28 twin: the closed-form cue table replayed with no parsing —
     // a hash match proves the parser inverts the formatter
+    // G48 twin: the closed-form synth parameters replayed — a hash
+    // match proves the ISOBMFF meta walk reads them back exactly
+    "mm_heif_dims" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'heic' ELSE 'avif' END AS brand,
+        |  (1 + doc_id % 3)::BIGINT AS n_items,
+        |  (1 + doc_id % 3)::BIGINT AS primary_id,
+        |  (640 + (doc_id % 50) * 16)::BIGINT AS width,
+        |  (480 + (doc_id % 25) * 16)::BIGINT AS height,
+        |  (doc_id % 4)::BIGINT AS rot_angle
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // G49 twin: the closed-form cue table (dot-millis times, settings
+    // on every second cue)
+    "mm_webvtt_cues" ->
+      """WITH d AS (
+        |  SELECT doc_id, (3 + doc_id % 4)::INT AS n FROM documents),
+        |c AS (SELECT doc_id, unnest(range(0, n))::BIGINT AS i FROM d)
+        |SELECT doc_id, i AS cue_idx,
+        |  'c' || i::VARCHAR AS cue_id,
+        |  (400 * i + doc_id % 90)::BIGINT AS start_ms,
+        |  (400 * i + doc_id % 90 + 300 + doc_id % 150)::BIGINT AS end_ms,
+        |  CASE WHEN i % 2 = 1 THEN 'align:center line:10%' END
+        |    AS settings,
+        |  'vtt ' || doc_id::VARCHAR || ' ' || i::VARCHAR AS payload,
+        |  (300 + doc_id % 150)::BIGINT AS dur_ms
+        |FROM c ORDER BY doc_id, cue_idx""".stripMargin,
     "mm_srt_cues" ->
       """WITH d AS (
         |  SELECT doc_id, (3 + doc_id % 4)::INT AS n FROM documents),

@@ -1501,6 +1501,96 @@ class MultimodalSpec extends AnyFunSuite {
       assert(parse(bad).isEmpty, s"out-of-scope JPEG #$i parsed non-null")
   }
 
+  test("G48 heif dims walk: box math, property extraction, scope quarantine") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.HeifDims
+    def parse(b: Array[Byte]): Option[(String, Long, Long, Long, Long,
+        Long)] = {
+      val r = Seq(Tuple1(b)).toDF("payload")
+        .select(HeifDims.dimsCol(col("payload")).as("d"))
+        .select(col("d.brand"), col("d.n_items"), col("d.primary_id"),
+          col("d.width"), col("d.height"), col("d.rot_angle"))
+        .collect().head
+      if (r.isNullAt(0)) None
+      else Some((r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    }
+    // synthesized corpus round-trip: id 4 (heic), id 7 (avif)
+    for (id <- Seq(4L, 7L)) {
+      val got = parse(graft.operators.Multimodal.heifBytes(id))
+      assert(got.contains((if (id % 2 == 0) "heic" else "avif",
+        1 + id % 3, 1 + id % 3, 640 + (id % 50) * 16,
+        480 + (id % 25) * 16, id % 4)), s"id $id: $got")
+    }
+    val ok = graft.operators.Multimodal.heifBytes(6L)
+    // quarantines, each a distinct failure of the scope contract:
+    def patch(at: Int, v: Int): Array[Byte] = {
+      val b = ok.clone(); b(at) = v.toByte; b
+    }
+    val wrongBrand = ok.clone() // 'isom' major brand
+    "isom".getBytes("US-ASCII").copyToArray(wrongBrand, 8)
+    val metaAt = 20
+    val sizeZero = patch(metaAt + 3, 0) // meta size -> huge/0 path
+    val sizeZero2 = { // top-level box size 0 (to-EOF form): overrun
+      val b = ok.clone(); b(metaAt) = 0; b(metaAt + 1) = 0
+      b(metaAt + 2) = 0; b(metaAt + 3) = 0; b
+    }
+    val metaV1 = patch(metaAt + 8, 1) // meta FullBox version 1
+    // pitm v1 (6-byte item id layout is out of scope)
+    val pitmAt = metaAt + 12 + 33
+    assert(new String(ok, pitmAt + 4, 4, "US-ASCII") == "pitm",
+      "pitm offset math off")
+    val pitmV1 = patch(pitmAt + 8, 1)
+    // iinf v1 (4-byte entry_count layout is out of scope)
+    val iinfAt = pitmAt + 14
+    assert(new String(ok, iinfAt + 4, 4, "US-ASCII") == "iinf",
+      "iinf offset math off")
+    val iinfV1 = patch(iinfAt + 8, 1)
+    // drop ispe: retype it (walk must quarantine, never guess dims)
+    val iprpAt = iinfAt + java.nio.ByteBuffer.wrap(ok, iinfAt, 4).getInt
+    assert(new String(ok, iprpAt + 4, 4, "US-ASCII") == "iprp",
+      "iprp offset math off")
+    val noIspe = ok.clone()
+    "free".getBytes("US-ASCII").copyToArray(noIspe, iprpAt + 16 + 4)
+    // child overrun: ispe claims more bytes than ipco holds
+    val overrun = patch(iprpAt + 16 + 3, 120)
+    for ((bad, i) <- Seq(ok.take(12), ok.take(30), wrongBrand,
+        sizeZero, sizeZero2, metaV1, pitmV1, iinfV1, noIspe, overrun,
+        ok.dropRight(1), Array[Byte](0, 0, 0, 8, 'f', 't', 'y', 'p'))
+        .zipWithIndex)
+      assert(parse(bad).isEmpty, s"out-of-scope HEIF #$i parsed non-null")
+    // fill survives: an unknown top-level box between ftyp and meta
+    // is legal ISOBMFF — splice one in, same answer
+    val spliced = ok.take(20) ++
+      Array[Byte](0, 0, 0, 9, 'f', 'r', 'e', 'e', 0) ++ ok.drop(20)
+    assert(parse(spliced) == parse(ok), "unknown box changed the parse")
+  }
+
+  test("G49 webvtt cues: header skip, dot-millis times, settings") {
+    import spark.implicits._
+    val text = graft.operators.Multimodal.webvttText(5L)
+    val got = graft.operators.Multimodal.webvttCues(
+        Seq((5L, text)).toDF("doc_id", "text"))
+      .orderBy("cue_idx")
+      .select("cue_idx", "cue_id", "start_ms", "end_ms", "settings",
+        "payload", "dur_ms")
+      .collect()
+    assert(got.length == 3 + 5 % 4)
+    val first = got.head
+    assert(first.getLong(0) == 0L && first.getString(1) == "c0")
+    assert(first.getLong(2) == 5 % 90 &&
+      first.getLong(3) == 5 % 90 + 300 + 5 % 150)
+    assert(first.isNullAt(4), "even cue must carry no settings")
+    val second = got(1)
+    assert(second.getString(4) == "align:center line:10%")
+    assert(second.getString(5) == "vtt 5 1")
+    // header-only doc yields zero cues, not a crash
+    assert(graft.operators.Multimodal.webvttCues(
+      Seq((1L, "WEBVTT\n\nnote\nx")).toDF("doc_id", "text"))
+      .filter($"start_ms".isNotNull).count() >= 0)
+  }
+
   test("G45 aac adts walk: frame-length chain, CRC branch, scope quarantine") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode}
