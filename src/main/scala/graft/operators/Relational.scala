@@ -3449,7 +3449,133 @@ object Relational {
       .orderBy($"segment")
   }
 
+  /** A97 JONCKHEERE-TERPSTRA trend test (Jonckheere 1954 — the
+    * NONPARAMETRIC twin of A92's Cochran-Armitage for a CONTINUOUS
+    * response: does order value shift monotonically across the five
+    * ordered priorities? A41's ANOVA spends 4 df asking "any
+    * difference"; JT spends one asking "ordered difference" —
+    * distribution-free where A92 needs a binary outcome): JT =
+    * Σ_{g<g'} U_{gg'} over between-group Mann-Whitney counts,
+    * computed from the (priority, kilodollar-bin) CONTINGENCY CELLS
+    * (the A89 cell-walk shape — ~5·600 cells, never an order-pair
+    * join); ties at ½ per the standard convention, carried as the
+    * exact integer 2·JT. E and Var from the group sizes (untied
+    * normal approximation, noted); z one sqrt division. */
+  def jonckheereTerpstra(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cells = Tables.orders(s, dir)
+      .select(substring($"o_orderpriority", 1, 1).cast("long").as("t"),
+        round($"o_totalprice" / 1000).cast("long").as("v"))
+      .groupBy($"t", $"v").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val sizes = cells.groupBy($"t").agg(sum($"c").as("ng"))
+    val m = sizes.agg(sum($"ng").as("n"),
+      sum(dec($"ng") * $"ng").as("sn2"),
+      sum(dec($"ng") * $"ng" * (lit(2) * $"ng" + 3)).as("sn3"))
+    val p = cells.select($"t".as("t1"), $"v".as("v1"), $"c".as("c1"))
+    val q = cells.select($"t".as("t2"), $"v".as("v2"), $"c".as("c2"))
+    val jt2 = p.join(q, $"t1" < $"t2")
+      .agg(sum(when($"v1" < $"v2", lit(2).cast("decimal(38,0)") *
+          $"c1" * $"c2")
+        .when($"v1" === $"v2", dec($"c1") * $"c2")
+        .otherwise(lit(0).cast("decimal(38,0)"))).as("jt_x2"))
+    jt2.crossJoin(broadcast(m))
+      .select($"n".as("n_orders"), $"jt_x2".cast("long").as("jt_x2"),
+        round(($"jt_x2".cast("double") / 2.0 -
+          ((dec($"n") * $"n" - $"sn2").cast("double") / 4.0)) /
+          sqrt(((dec($"n") * $"n" * (lit(2) * $"n" + 3) - $"sn3")
+            .cast("double")) / 72.0), 4).as("z_jt"))
+  }
+
+  /** A98 LIN'S CONCORDANCE CORRELATION (Lin 1989 — the AGREEMENT
+    * coefficient A26's Pearson r is routinely misused for: r is
+    * blind to scale and location bias, CCC = r·C_b discounts both,
+    * which is why method-comparison studies (two sensors, two
+    * pipelines producing "the same" number) report CCC): between
+    * each order's header total and its gross lineitem sum, in exact
+    * cents. n-cleared identity: CCC = 2(nS_xy−S_xS_y) /
+    * ((nS_xx−S_x²)+(nS_yy−S_y²)+(S_x−S_y)²) — every term an exact
+    * decimal(38,0), ONE division; r and the bias factor C_b = CCC/r
+    * ride the same sums. */
+  def linCcc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val li = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("y"))
+    val pairs = Tables.orders(s, dir)
+      .select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("x"))
+      .join(li, $"o_orderkey" === $"l_orderkey")
+    val msum = pairs.agg(count(lit(1)).as("n"),
+      sum(dec($"x")).as("sx"), sum(dec($"y")).as("sy"),
+      sum(dec($"x") * $"x").as("sxx"), sum(dec($"y") * $"y").as("syy"),
+      sum(dec($"x") * $"y").as("sxy"))
+    val cxy = (dec($"n") * $"sxy" - $"sx" * $"sy").cast("double")
+    val cxx = (dec($"n") * $"sxx" - $"sx" * $"sx").cast("double")
+    val cyy = (dec($"n") * $"syy" - $"sy" * $"sy").cast("double")
+    val bias = (($"sx" - $"sy") * ($"sx" - $"sy")).cast("double")
+    msum.select($"n".as("n_orders"),
+      round(lit(2.0) * cxy / (cxx + cyy + bias), 6).as("ccc"),
+      round(cxy / sqrt(cxx * cyy), 6).as("pearson_r"),
+      round((lit(2.0) * cxy / (cxx + cyy + bias)) /
+        (cxy / sqrt(cxx * cyy)), 6).as("c_b"))
+  }
+
+  /** A105 PALMA RATIO of revenue concentration (Palma 2011 — the
+    * inequality number policy analysis actually quotes where A46's
+    * Gini is the academic one: top-10% share over bottom-40% share;
+    * for a corpus it reads "how many sources carry the tail"): over
+    * the (cents, custkey)-ranked customer spend frame — the A46
+    * two-level rank decomposition verbatim (range-bucket + in-bucket
+    * row_number + broadcast offsets, so no single-task window ever
+    * sees the customer-cardinality frame) — with top = largest
+    * n div 10 customers, bottom = smallest (4n) div 10 (floor
+    * counts, pinned); both shares exact decimal sums, ONE division
+    * each plus the ratio. */
+  def palmaRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val spend = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .withColumn("bkt", expr("cents div 1000000"))
+    val bktCnt = spend.groupBy($"bkt").agg(count(lit(1)).as("bc"))
+    val offs = bktCnt.as("x")
+      .join(bktCnt.as("y"), col("y.bkt") < col("x.bkt"), "left")
+      .groupBy(col("x.bkt").as("bkt"))
+      .agg(coalesce(sum(col("y.bc")), lit(0L)).as("off"))
+    val nAll = bktCnt.agg(sum($"bc").as("n_all"))
+    val wIn = Window.partitionBy($"bkt").orderBy($"cents", $"o_custkey")
+    val ranked = spend
+      .join(broadcast(offs), Seq("bkt"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("i", ($"off" + row_number().over(wIn)).cast("long"))
+    ranked
+      .groupBy($"n_all")
+      .agg(sum(dec($"cents")).as("tot"),
+        sum(when($"i" > $"n_all" - expr("n_all div 10"), dec($"cents"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("top_cents"),
+        sum(when($"i" <= expr("(4 * n_all) div 10"), dec($"cents"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("bot_cents"))
+      .select($"n_all".as("n_customers"),
+        expr("n_all div 10").as("n_top"),
+        expr("(4 * n_all) div 10").as("n_bottom"),
+        round($"top_cents".cast("double") / $"tot".cast("double"), 6)
+          .as("top10_share"),
+        round($"bot_cents".cast("double") / $"tot".cast("double"), 6)
+          .as("bot40_share"),
+        when($"bot_cents" > 0,
+          round($"top_cents".cast("double") / $"bot_cents".cast("double"),
+            6)).as("palma"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_jonckheere" -> jonckheereTerpstra,
+    "q_lin_ccc" -> linCcc,
+    "q_palma" -> palmaRatio,
     "q_gtest" -> gTest,
     "q_cochran_armitage" -> cochranArmitage,
     "q_yule_q" -> yuleQ,
@@ -3551,6 +3677,89 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A97 twin: same kilodollar cells, same exact 2·JT walk, the
+    // identical normal-approximation scalar tail
+    "q_jonckheere" ->
+      """WITH cells AS (
+        |  SELECT substr(o_orderpriority, 1, 1)::BIGINT AS t,
+        |    round(o_totalprice / 1000)::BIGINT AS v,
+        |    count(*)::BIGINT AS c
+        |  FROM orders GROUP BY 1, 2),
+        |sizes AS (SELECT t, sum(c)::BIGINT AS ng FROM cells GROUP BY 1),
+        |m AS (
+        |  SELECT sum(ng)::BIGINT AS n,
+        |    sum(ng::HUGEINT * ng)::HUGEINT AS sn2,
+        |    sum(ng::HUGEINT * ng * (2 * ng + 3))::HUGEINT AS sn3
+        |  FROM sizes),
+        |jt AS (
+        |  SELECT sum(CASE WHEN p.v < q.v THEN 2::HUGEINT * p.c * q.c
+        |    WHEN p.v = q.v THEN p.c::HUGEINT * q.c
+        |    ELSE 0 END)::HUGEINT AS jt_x2
+        |  FROM cells p JOIN cells q ON p.t < q.t)
+        |SELECT n AS n_orders, jt_x2::BIGINT AS jt_x2,
+        |  round((jt_x2::DOUBLE / 2.0 -
+        |    ((n::HUGEINT * n - sn2)::DOUBLE / 4.0)) /
+        |    sqrt((n::HUGEINT * n * (2 * n + 3) - sn3)::DOUBLE / 72.0), 4)
+        |    AS z_jt
+        |FROM jt, m""".stripMargin,
+    // A98 twin: same exact cent sums, same n-cleared one-division
+    // identity, r and C_b off the same terms
+    "q_lin_ccc" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS y
+        |  FROM lineitem GROUP BY 1),
+        |pairs AS (
+        |  SELECT round(o_totalprice * 100)::BIGINT AS x, li.y
+        |  FROM orders JOIN li ON o_orderkey = l_orderkey),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(x::HUGEINT)::HUGEINT AS sx, sum(y::HUGEINT)::HUGEINT AS sy,
+        |    sum(x::HUGEINT * x)::HUGEINT AS sxx,
+        |    sum(y::HUGEINT * y)::HUGEINT AS syy,
+        |    sum(x::HUGEINT * y)::HUGEINT AS sxy
+        |  FROM pairs),
+        |c AS (
+        |  SELECT n, (n::HUGEINT * sxy - sx * sy)::DOUBLE AS cxy,
+        |    (n::HUGEINT * sxx - sx * sx)::DOUBLE AS cxx,
+        |    (n::HUGEINT * syy - sy * sy)::DOUBLE AS cyy,
+        |    ((sx - sy) * (sx - sy))::DOUBLE AS bias
+        |  FROM m)
+        |SELECT n AS n_orders,
+        |  round(2.0 * cxy / (cxx + cyy + bias), 6) AS ccc,
+        |  round(cxy / sqrt(cxx * cyy), 6) AS pearson_r,
+        |  round((2.0 * cxy / (cxx + cyy + bias)) /
+        |    (cxy / sqrt(cxx * cyy)), 6) AS c_b
+        |FROM c""".stripMargin,
+    // A105 twin: direct global rank (the oracle needn't scale), same
+    // floor counts and exact share sums
+    "q_palma" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |ranked AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey)::BIGINT AS i,
+        |    count(*) OVER ()::BIGINT AS n_all
+        |  FROM spend),
+        |agg AS (
+        |  SELECT max(n_all)::BIGINT AS n_all,
+        |    sum(cents::HUGEINT)::HUGEINT AS tot,
+        |    sum(CASE WHEN i > max_n - (max_n // 10) THEN cents::HUGEINT
+        |      ELSE 0 END)::HUGEINT AS top_cents,
+        |    sum(CASE WHEN i <= (4 * max_n) // 10 THEN cents::HUGEINT
+        |      ELSE 0 END)::HUGEINT AS bot_cents
+        |  FROM (SELECT *, max(n_all) OVER () AS max_n FROM ranked))
+        |SELECT n_all AS n_customers,
+        |  (n_all // 10)::BIGINT AS n_top,
+        |  ((4 * n_all) // 10)::BIGINT AS n_bottom,
+        |  round(top_cents::DOUBLE / tot::DOUBLE, 6) AS top10_share,
+        |  round(bot_cents::DOUBLE / tot::DOUBLE, 6) AS bot40_share,
+        |  CASE WHEN bot_cents > 0 THEN
+        |    round(top_cents::DOUBLE / bot_cents::DOUBLE, 6)
+        |  END AS palma
+        |FROM agg""".stripMargin,
     // A91 twin: same exact cells/margins, same sorted-cell 0-init
     // left fold of the identical per-cell IEEE contribution
     "q_gtest" ->

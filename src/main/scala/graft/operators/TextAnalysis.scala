@@ -1283,6 +1283,38 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** F55 YULE'S K + SIMPSON'S D per source (Yule 1944 / Simpson 1949
+    * — the stylometric repetitiveness constants that, unlike F25's
+    * length-sensitive TTR, are (asymptotically) invariant to sample
+    * size, which is what makes them comparable ACROSS sources of
+    * different volume — the per-SOURCE quality fingerprint next to
+    * F26's Zipf slope): K = 10⁴·(Σc² − N)/N² and D = Σc(c−1)/(N(N−1))
+    * over the per-source token frequency spectrum. Σc² and Σc(c−1)
+    * are exact decimal(38,0); D exports as the exact integer ppb
+    * floor-div, K as one round-6 division. One (source, token)
+    * aggregate — token-keyed shuffle only. */
+  def yuleK(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val perType = docs
+      .select($"source", explode(tokens(lower($"text"))).as("token"))
+      .filter(length($"token") > 0)
+      .groupBy($"source", $"token")
+      .agg(count(lit(1)).as("c"))
+    perType.groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(dec($"c") * $"c").as("sc2"),
+        sum(dec($"c") * ($"c" - 1)).as("scc"))
+      .select($"source", $"n_tokens", $"n_types",
+        round(lit(1e4) * ($"sc2" - $"n_tokens").cast("double") /
+          ($"n_tokens".cast("double") * $"n_tokens".cast("double")), 6)
+          .as("yule_k"),
+        expr("cast(scc * 1000000000 div " +
+          "(cast(n_tokens as decimal(38,0)) * (n_tokens - 1)) " +
+          "as bigint)").as("simpson_ppb"))
+      .orderBy($"source")
+  }
+
   private def onDocs(f: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables.documents(s, dir))
 
@@ -2153,6 +2185,7 @@ object TextAnalysis {
     "text_zipf" -> onDocs(d => zipfSlope(d)),
     "text_distinct_n" -> onDocs(distinctN),
     "text_lexdiv" -> onDocs(lexicalDiversity),
+    "text_yule_k" -> onDocs(yuleK),
     "text_jsd" -> onDocs(d => jsdSlices(d)),
     "text_heavy_hitters" -> onDocs(d => heavyHitters(d)),
     "text_rake" -> onDocs(d => rake(d)),
@@ -2731,6 +2764,29 @@ object TextAnalysis {
         |FROM r ORDER BY source""".stripMargin,
     // F25 twin: same tokenizer, integer ppm ratios, zero row for
     // token-free docs
+    // F55 twin: same spectrum sums in HUGEINT, D the exact integer
+    // ppb floor-div, K one round-6 division
+    "text_yule_k" ->
+      """WITH toks AS (
+        |  SELECT source, t AS token FROM (
+        |    SELECT source, unnest(string_split_regex(trim(lower(text)),
+        |      '[ \t\n\f\r]+')) AS t FROM documents)
+        |  WHERE length(t) > 0),
+        |pt AS (
+        |  SELECT source, token, count(*)::BIGINT AS c
+        |  FROM toks GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, sum(c)::BIGINT AS n_tokens,
+        |    count(*)::BIGINT AS n_types,
+        |    sum(c::HUGEINT * c)::HUGEINT AS sc2,
+        |    sum(c::HUGEINT * (c - 1))::HUGEINT AS scc
+        |  FROM pt GROUP BY 1)
+        |SELECT source, n_tokens, n_types,
+        |  round(1e4 * (sc2 - n_tokens)::DOUBLE /
+        |    (n_tokens::DOUBLE * n_tokens::DOUBLE), 6) AS yule_k,
+        |  (scc * 1000000000 // (n_tokens::HUGEINT * (n_tokens - 1)))
+        |    ::BIGINT AS simpson_ppb
+        |FROM agg ORDER BY source""".stripMargin,
     "text_lexdiv" ->
       """WITH toks AS (
         |  SELECT doc_id, t AS token FROM (
