@@ -130,6 +130,101 @@ object CdcStream {
       }
   }
 
+  /** SplitMix64 finalizer (Steele/Lea/Flood 2014, public domain —
+    * the JDK SplittableRandom mix): the deterministic 64-bit hash
+    * the C81/C82 sketches key on. Pure function of the id, so a
+    * replayed element maps to the SAME point and both sketches are
+    * replay-idempotent by construction. */
+  def mix64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** One bottom-k sample emission from [[bottomKSampleStream]]. */
+  case class SamplePoint(event_type: String, n_state: Int,
+      hash: Long, event_id: Long)
+
+  /** C81 STREAMING BOTTOM-K UNIFORM SAMPLE — the always-current
+    * per-key random sample every monitoring/debug surface wants
+    * ("show me 32 recent-representative events of this type") with
+    * NONE of reservoir sampling's nondeterminism: keep the k ids
+    * with the smallest mix64 hash. Because the hash is a pure
+    * function of the id, the state after ANY prefix equals the batch
+    * bottom-k over the same set (order statistics of a fixed random
+    * permutation = a uniform without-replacement sample), two
+    * streams MERGE by union+trim (the coordinator-free property
+    * reservoirs lack), and REPLAYED elements are no-ops (dedupe by
+    * id in the trim). State: ≤ k (hash, id) pairs per key, forever.
+    * Every micro-batch emits the key's current sample. */
+  def bottomKSampleStream(events: Dataset[(String, Long)], k: Int = 32):
+      Dataset[SamplePoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long)], SamplePoint](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long)],
+            state: GroupState[Seq[(Long, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Seq.empty) ++
+            it.map { case (_, id) => (mix64(id), id) })
+            .distinct.sorted.take(k)
+          state.update(merged)
+          merged.iterator.map { case (h, id) =>
+            SamplePoint(key, merged.size, h, id) }
+      }
+  }
+
+  /** One HLL emission from [[hllStream]]. */
+  case class HllPoint(event_type: String, n_zero_regs: Int,
+      estimate: Long, registers: Seq[Int])
+
+  /** C82 STREAMING HYPERLOGLOG distinct counter — the continuous
+    * twin of A23's batch approx_count_distinct, as the live panel
+    * shape ("distinct users per type, now") a monitoring surface
+    * keeps current per micro-batch: per key, 64 registers (b = 6) in
+    * `flatMapGroupsWithState` state — register j = low 6 hash bits,
+    * rank = leading-zero count of the remaining 58 bits + 1, state
+    * merge = elementwise max (Flajolet et al. 2007). mix64 keys make
+    * the register table a pure function of the id SET: replays are
+    * no-ops, two streams merge by max, and the state after any
+    * prefix equals the batch-computed registers over the same ids —
+    * the property the C82 spec pins exactly. Estimate = the standard
+    * α₆₄·m²/Σ2^(−Mⱼ) with the small-range linear-counting branch.
+    * State: 64 ints per key, forever-bounded. */
+  def hllStream(events: Dataset[(String, Long)]): Dataset[HllPoint] = {
+    import events.sparkSession.implicits._
+    val m = 64
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Int], HllPoint](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, Long)],
+            state: GroupState[Seq[Int]]) =>
+          val regs = state.getOption
+            .map(_.toArray).getOrElse(new Array[Int](m))
+          for ((_, id) <- it) {
+            val h = mix64(id)
+            val j = (h & (m - 1)).toInt
+            val w = h >>> 6
+            val rho =
+              if (w == 0L) 59
+              else java.lang.Long.numberOfLeadingZeros(w) - 6 + 1
+            if (rho > regs(j)) regs(j) = rho
+          }
+          state.update(regs.toSeq)
+          val zeros = regs.count(_ == 0)
+          val alpha = 0.709
+          val raw = alpha * m * m /
+            regs.map(r => math.pow(2.0, -r)).sum
+          val est =
+            if (raw <= 2.5 * m && zeros > 0)
+              m * math.log(m.toDouble / zeros)
+            else raw
+          Iterator.single(HllPoint(key, zeros, math.round(est),
+            regs.toSeq))
+      }
+  }
+
   /** C56 streaming COUNT-MIN maintenance — the A62 sketch kept
     * continuously current on the ingest feed (the production shape of
     * a frequency sketch: nobody rebuilds it in batch per query; the

@@ -294,6 +294,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("C81 streaming bottom-k sample == batch bottom-k, replays no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Long)]
+    val k = 8
+    val q = CdcStream.bottomKSampleStream(in.toDS(), k = k)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("bk_stream").start()
+    try {
+      val idsA = (1L to 40L).map(i => ("click", i * 7))
+      val idsB = (41L to 90L).map(i => ("click", i * 7)) ++
+        (1L to 5L).map(i => ("view", i * 11))
+      in.addData(idsA: _*); q.processAllAvailable()
+      in.addData(idsB: _*); q.processAllAvailable()
+      // replay batch A verbatim: state must not change
+      in.addData(idsA: _*); q.processAllAvailable()
+      val rows = spark.table("bk_stream")
+        .as[CdcStream.SamplePoint].collect()
+      val clickIds = (1L to 90L).map(_ * 7)
+      val expected = clickIds.map(i => (CdcStream.mix64(i), i))
+        .sorted.take(k)
+      // the LAST emission per type carries the final state; since the
+      // replay emitted the same sample again, collect the final k by
+      // smallest hashes among the latest rows
+      val lastClick = rows.filter(_.event_type == "click")
+        .groupBy(r => (r.hash, r.event_id)).keys.toSeq.sorted.take(k)
+      assert(lastClick == expected,
+        s"stream sample != batch bottom-k: $lastClick vs $expected")
+      val viewRows = rows.filter(_.event_type == "view")
+      assert(viewRows.map(_.event_id).distinct.size == 5,
+        "small key must keep all its ids")
+      assert(rows.forall(_.n_state <= k), "state exceeded k")
+    } finally q.stop()
+  }
+
+  test("C82 streaming HLL registers == batch-computed, estimate in band") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(String, Long)]
+    val q = CdcStream.hllStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("hll_stream").start()
+    try {
+      val ids = (1L to 500L).map(i => ("click", i * 13))
+      val (a, b) = ids.splitAt(200)
+      in.addData(a: _*); q.processAllAvailable()
+      in.addData(b: _*); q.processAllAvailable()
+      in.addData(a.take(50): _*); q.processAllAvailable() // replay
+      val rows = spark.table("hll_stream")
+        .as[CdcStream.HllPoint].collect()
+        .filter(_.event_type == "click")
+      val fin = rows.last
+      // batch twin: the same registers computed directly in Scala
+      val regs = new Array[Int](64)
+      for ((_, id) <- ids) {
+        val h = CdcStream.mix64(id)
+        val j = (h & 63).toInt
+        val w = h >>> 6
+        val rho = if (w == 0L) 59
+          else java.lang.Long.numberOfLeadingZeros(w) - 6 + 1
+        if (rho > regs(j)) regs(j) = rho
+      }
+      assert(fin.registers == regs.toSeq,
+        "streamed registers != batch-computed registers")
+      val err = math.abs(fin.estimate - 500.0) / 500.0
+      assert(err < 0.25, s"HLL estimate ${fin.estimate} off by $err")
+    } finally q.stop()
+  }
+
   test("C64 streaming completeness: per-bucket bitmap holes exact, replays idempotent") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
