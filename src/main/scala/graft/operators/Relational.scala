@@ -1279,6 +1279,48 @@ object Relational {
     }.orderBy($"lang")
   }
 
+  /** H30 graded entry (`src_zst_jsonl`): ZSTANDARD JSONL INGEST —
+    * the codec modern producers actually land text in (3-5× faster
+    * decompress than gzip at comparable ratios). The graded surface
+    * is the READ: Spark's text line reader decompresses .zst through
+    * the bundled zstd-jni, so graft ingests zstd drops as-is. The
+    * export half of the loop re-encodes the partitioned uncompressed
+    * text FILE-AT-A-TIME through ZstdOutputStream (file-count-bounded
+    * driver IO, never a per-row loop) because this sandbox's
+    * libhadoop lacks native zstd COMPRESSION — on a real cluster the
+    * writer side is `option("compression", "zstd")` with native
+    * hadoop, same file-per-partition parallelism as H25. Oracle
+    * never sees the files; parity proves the loop lossless. */
+  def zstJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    localRoundtrip(s, "graft_zst") { root =>
+      val tmp = root + "/docs"
+      docs.select(to_json(struct($"doc_id", $"text", $"lang",
+          $"source", $"n_chars")).as("value"))
+        .write.mode("overwrite").text(tmp)
+      // file-level zstd re-encode (see Scaladoc): one stream per part
+      // file, stale FS checksums dropped alongside
+      val d = new java.io.File(tmp)
+      for (f <- d.listFiles) {
+        if (f.getName.startsWith("part-")) {
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          val out = new java.io.FileOutputStream(f.getPath + ".zst")
+          val z = new com.github.luben.zstd.ZstdOutputStream(out)
+          try z.write(bytes) finally z.close()
+          f.delete()
+        } else if (f.getName.endsWith(".crc")) f.delete()
+      }
+      val back = graft.sources.Jsonl.clean(
+        graft.sources.Jsonl.read(s, tmp, docs.schema))
+      back.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("chars"),
+          sum($"doc_id" * length($"text")).as("sig"))
+        .orderBy($"lang")
+    }.orderBy($"lang")
+  }
+
   /** H29 graded entry (`src_csv_multiline`): CSV with EMBEDDED
     * NEWLINES AND QUOTES round-tripped — the CSV edge every naive
     * line-splitter corrupts (a quoted field may span lines, so
@@ -3618,6 +3660,7 @@ object Relational {
     "src_orc" -> orcRoundtrip,
     "src_fixed_width" -> fixedWidthRoundtrip,
     "src_bz2_jsonl" -> bz2JsonlRoundtrip,
+    "src_zst_jsonl" -> zstJsonlRoundtrip,
     "src_csv_multiline" -> csvMultilineRoundtrip,
     "q_cliffs_delta" -> cliffsDelta,
     "q_cohens_d" -> cohensD,
@@ -4902,6 +4945,12 @@ object Relational {
     // quote/newline round-trip lossless (empty-string text lands as
     // NULL through CSV; the signature coalesces identically)
     "src_csv_multiline" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS chars,
+        |  sum(doc_id * length(text))::BIGINT AS sig
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // H30 twin: same as H25 — the oracle never sees the zst files
+    "src_zst_jsonl" ->
       """SELECT lang, count(*)::BIGINT AS n_docs,
         |  sum(n_chars)::BIGINT AS chars,
         |  sum(doc_id * length(text))::BIGINT AS sig
