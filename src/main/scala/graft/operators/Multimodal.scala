@@ -934,6 +934,67 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Hand-built chunk-exact PNG (G50) — unlike [[pngBytes]] (which
+    * grades the DECODE through whatever chunk stream ImageIO picks)
+    * this controls the chunk table itself: IHDR (dims/depth/color/
+    * interlace closed-form in id), pHYs, 1 + id%3 tEXt records, one
+    * junk-payload IDAT (the walk never inflates), IEND — every CRC32
+    * real, so the G50 CRC gate passes on the clean asset and trips
+    * on any flipped byte. */
+  private[graft] def pngChunkBytes(id: Long): Array[Byte] = {
+    val asc = java.nio.charset.StandardCharsets.US_ASCII
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def chunk(t: String, data: Array[Byte]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t.getBytes(asc)).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t.getBytes(asc)); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      out.write(bb.array())
+    }
+    val w = (16 + id % 32).toInt
+    val h = (8 + id % 16).toInt
+    val color = Seq(0, 2, 6)((id % 3).toInt)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(color.toByte)
+      .put(0.toByte).put(0.toByte).put((id % 2).toByte)
+    chunk("IHDR", ihdr.array())
+    val ppm = (2835 + (id % 10) * 100).toInt
+    chunk("pHYs", java.nio.ByteBuffer.allocate(9)
+      .putInt(ppm).putInt(ppm).put(1.toByte).array())
+    val nText = (1 + id % 3).toInt
+    for (k <- 0 until nText)
+      chunk("tEXt", (s"key$k" + " " + s"v ${id} $k").getBytes(asc))
+    val idat = new Array[Byte]((10 + id % 50).toInt)
+    for (i <- idat.indices) idat(i) = ((id + i) % 256).toByte
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** G50 graded entry (`mm_png_chunks`): the synthesized chunk-exact
+    * PNGs walked back — a hash match proves the signature check, the
+    * length chain, EVERY chunk's CRC32, and the IHDR/pHYs field
+    * extraction agree with the closed form. */
+  private def pngChunksEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, pngChunkBytes(id)))
+      .toDF("doc_id", "payload")
+    payloads
+      .select($"doc_id",
+        graft.functions.PngChunks.chunksCol($"payload").as("c"))
+      .select($"doc_id", $"c.width".as("width"),
+        $"c.height".as("height"), $"c.bit_depth".as("bit_depth"),
+        $"c.color_type".as("color_type"),
+        $"c.interlace".as("interlace"), $"c.n_chunks".as("n_chunks"),
+        $"c.n_text".as("n_text"), $"c.idat_bytes".as("idat_bytes"),
+        $"c.ppm_x".as("ppm_x"))
+      .orderBy($"doc_id")
+  }
+
   /** Grayscale test value for the GIF path — a different coefficient
     * mix than [[bmpChannel]]/[[pngChannel]] so a format cross-wiring
     * cannot cancel out. */
@@ -3225,6 +3286,7 @@ object Multimodal {
     "mm_exif_meta" -> exifMetaEntry,
     "mm_mp4_edits" -> mp4EditsEntry,
     "mm_heif_dims" -> heifDimsEntry,
+    "mm_png_chunks" -> pngChunksEntry,
     "mm_webvtt_cues" -> webvttCuesEntry,
     "mm_srt_cues" -> srtCuesEntry,
     "mm_caption_frames" -> captionFramesEntry,
@@ -3735,6 +3797,21 @@ object Multimodal {
         |  (640 + (doc_id % 50) * 16)::BIGINT AS width,
         |  (480 + (doc_id % 25) * 16)::BIGINT AS height,
         |  (doc_id % 4)::BIGINT AS rot_angle
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // G50 twin: the closed-form chunk parameters replayed — n_chunks
+    // = IHDR + pHYs + (1 + id%3) tEXt + IDAT + IEND
+    "mm_png_chunks" ->
+      """SELECT doc_id,
+        |  (16 + doc_id % 32)::BIGINT AS width,
+        |  (8 + doc_id % 16)::BIGINT AS height,
+        |  8::BIGINT AS bit_depth,
+        |  (CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END)
+        |    ::BIGINT AS color_type,
+        |  (doc_id % 2)::BIGINT AS interlace,
+        |  (4 + 1 + doc_id % 3)::BIGINT AS n_chunks,
+        |  (1 + doc_id % 3)::BIGINT AS n_text,
+        |  (10 + doc_id % 50)::BIGINT AS idat_bytes,
+        |  (2835 + (doc_id % 10) * 100)::BIGINT AS ppm_x
         |FROM documents ORDER BY doc_id""".stripMargin,
     // G49 twin: the closed-form cue table (dot-millis times, settings
     // on every second cue)

@@ -1567,6 +1567,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(parse(spliced) == parse(ok), "unknown box changed the parse")
   }
 
+  test("G50 png chunk walk: CRC gate, critical-vs-ancillary, field math") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.PngChunks
+    def parse(b: Array[Byte]): Option[Seq[Long]] = {
+      val r = Seq(Tuple1(b)).toDF("payload")
+        .select(PngChunks.chunksCol(col("payload")).as("c"))
+        .select(col("c.width"), col("c.height"), col("c.bit_depth"),
+          col("c.color_type"), col("c.interlace"), col("c.n_chunks"),
+          col("c.n_text"), col("c.idat_bytes"), col("c.ppm_x"))
+        .collect().head
+      if (r.isNullAt(0)) None else Some((0 to 8).map(r.getLong))
+    }
+    for (id <- Seq(6L, 7L)) {
+      val got = parse(graft.operators.Multimodal.pngChunkBytes(id))
+      assert(got.contains(Seq(16 + id % 32, 8 + id % 16, 8L,
+        Seq(0L, 2L, 6L)((id % 3).toInt), id % 2, 5 + id % 3,
+        1 + id % 3, 10 + id % 50, 2835 + (id % 10) * 100)),
+        s"id $id: $got")
+    }
+    val ok = graft.operators.Multimodal.pngChunkBytes(9L)
+    // CRC gate: flip one byte inside the first tEXt payload
+    val ihdrEnd = 8 + 12 + 13
+    val physEnd = ihdrEnd + 12 + 9
+    assert(new String(ok, physEnd + 4, 4, "US-ASCII") == "tEXt",
+      "tEXt offset math off")
+    val badCrc = ok.clone(); badCrc(physEnd + 9) =
+      (badCrc(physEnd + 9) ^ 0x01).toByte
+    // unknown ANCILLARY chunk ("teST"-style lowercase first letter):
+    // tolerated — retype tEXt to "zzAT" (crc recomputed)
+    def retype(src: Array[Byte], at: Int, t: String): Array[Byte] = {
+      val b = src.clone()
+      t.getBytes("US-ASCII").copyToArray(b, at + 4)
+      val len = java.nio.ByteBuffer.wrap(b, at, 4).getInt
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, at + 4, 4 + len)
+      java.nio.ByteBuffer.wrap(b, at + 8 + len, 4)
+        .putInt(crc.getValue.toInt)
+      b
+    }
+    val ancillary = retype(ok, physEnd, "zzAT")
+    val gotAnc = parse(ancillary)
+    assert(gotAnc.isDefined && gotAnc.get(6) == (1 + 9 % 3) - 1,
+      "ancillary unknown must be skipped, not fatal")
+    // unknown CRITICAL chunk (uppercase first letter): quarantine
+    val critical = retype(ok, physEnd, "ZZAT")
+    // IHDR not first: swap in a valid pHYs before IHDR
+    val swapped = ok.take(8) ++ ok.slice(ihdrEnd, physEnd) ++
+      ok.slice(8, ihdrEnd) ++ ok.drop(physEnd)
+    val badColor = ok.clone(); badColor(8 + 8 + 9) = 5.toByte
+    // color-type byte patched -> CRC fails first; also recompute CRC
+    // so the COLOR whitelist itself is exercised
+    val badColorCrc = {
+      val b = badColor.clone()
+      val crc = new java.util.zip.CRC32(); crc.update(b, 8 + 4, 4 + 13)
+      java.nio.ByteBuffer.wrap(b, 8 + 8 + 13, 4)
+        .putInt(crc.getValue.toInt); b
+    }
+    for ((bad, i) <- Seq(badCrc, critical, swapped, badColor,
+        badColorCrc, ok.dropRight(1), ok.take(20),
+        ok ++ Array[Byte](0), Array[Byte](1, 2, 3)).zipWithIndex)
+      assert(parse(bad).isEmpty, s"out-of-scope PNG #$i parsed non-null")
+  }
+
   test("G49 webvtt cues: header skip, dot-millis times, settings") {
     import spark.implicits._
     val text = graft.operators.Multimodal.webvttText(5L)
