@@ -3037,6 +3037,58 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** G51 graded entry (`mm_image_triage`): the IMAGE sibling of
+    * G42/G47 — a mixed five-class corpus (JPEG / PNG / HEIF / WebP /
+    * junk) routed BY CONTENT: every payload runs all four header
+    * walkers (each walker IS its own sniffer — the magic checks are
+    * the first bytes it reads, and exactly one parses per valid
+    * asset), then one routing decision per asset: reject (nothing
+    * parsed), transcode (progressive JPEG / interlaced PNG — the
+    * formats a training-decode pool handles worst), rotate (HEIF
+    * carrying a nonzero irot — pixels are stored unrotated), small
+    * (< 2000 px — thumbnails waste decode), decode. This is the
+    * first stage of a 100 TB image intake: header-sized read per
+    * asset, pool routing, zero pixels decoded. */
+  private def imageTriageEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map { id =>
+        val p = (id % 5) match {
+          case 0 => jpegSofBytes(id)
+          case 1 => pngChunkBytes(id)
+          case 2 => heifBytes(id)
+          case 3 => webpBytes(id)
+          case _ =>
+            val junk = new Array[Byte](16)
+            for (i <- junk.indices) junk(i) = ((id * 31 + i) % 251).toByte
+            junk
+        }
+        (id, p)
+      }.toDF("doc_id", "payload")
+    val parsed = payloads.select($"doc_id",
+      graft.functions.JpegSof.sofCol($"payload").as("j"),
+      graft.functions.PngChunks.chunksCol($"payload").as("p"),
+      graft.functions.HeifDims.dimsCol($"payload").as("h"),
+      graft.functions.WebpDims.dimsCol($"payload").as("w"))
+    parsed
+      .withColumn("width", coalesce($"j.width", $"p.width",
+        $"h.width", $"w.width"))
+      .withColumn("height", coalesce($"j.height", $"p.height",
+        $"h.height", $"w.height"))
+      .select($"doc_id",
+        when($"j".isNotNull, "jpeg").when($"p".isNotNull, "png")
+          .when($"h".isNotNull, "heif").when($"w".isNotNull, "webp")
+          .otherwise("unknown").as("format"),
+        $"width", $"height",
+        when($"width".isNull, "reject")
+          .when($"j.progressive" === 1 || $"p.interlace" === 1,
+            "transcode")
+          .when($"h.rot_angle" > 0, "rotate")
+          .when($"width" * $"height" < 2000, "small")
+          .otherwise("decode").as("route"))
+      .orderBy($"doc_id")
+  }
+
   /** G4 graded entry (`mm_sniff`): header sniffing over the planted
     * payloads; brand dropped (no ISO-BMFF in the construction — its
     * detection stays spec-covered with crafted ftyp boxes). */
@@ -3287,6 +3339,7 @@ object Multimodal {
     "mm_mp4_edits" -> mp4EditsEntry,
     "mm_heif_dims" -> heifDimsEntry,
     "mm_png_chunks" -> pngChunksEntry,
+    "mm_image_triage" -> imageTriageEntry,
     "mm_webvtt_cues" -> webvttCuesEntry,
     "mm_srt_cues" -> srtCuesEntry,
     "mm_caption_frames" -> captionFramesEntry,
@@ -3798,6 +3851,33 @@ object Multimodal {
         |  (480 + (doc_id % 25) * 16)::BIGINT AS height,
         |  (doc_id % 4)::BIGINT AS rot_angle
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // G51 twin: the five-class corpus routing replayed closed-form —
+    // the route CASE mirrors the operator's priority order exactly
+    "mm_image_triage" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS cls FROM documents),
+        |dims AS (
+        |  SELECT doc_id, cls,
+        |    CASE cls WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |      WHEN 2 THEN 'heif' WHEN 3 THEN 'webp'
+        |      ELSE 'unknown' END AS format,
+        |    CASE cls WHEN 0 THEN 320 + (doc_id % 40) * 8
+        |      WHEN 1 THEN 16 + doc_id % 32
+        |      WHEN 2 THEN 640 + (doc_id % 50) * 16
+        |      WHEN 3 THEN 200 + doc_id % 300 END::BIGINT AS width,
+        |    CASE cls WHEN 0 THEN 240 + (doc_id % 20) * 8
+        |      WHEN 1 THEN 8 + doc_id % 16
+        |      WHEN 2 THEN 480 + (doc_id % 25) * 16
+        |      WHEN 3 THEN 100 + doc_id % 200 END::BIGINT AS height
+        |  FROM d)
+        |SELECT doc_id, format, width, height,
+        |  CASE
+        |    WHEN width IS NULL THEN 'reject'
+        |    WHEN (cls = 0 AND doc_id % 2 = 1)
+        |      OR (cls = 1 AND doc_id % 2 = 1) THEN 'transcode'
+        |    WHEN cls = 2 AND doc_id % 4 > 0 THEN 'rotate'
+        |    WHEN width * height < 2000 THEN 'small'
+        |    ELSE 'decode' END AS route
+        |FROM dims ORDER BY doc_id""".stripMargin,
     // G50 twin: the closed-form chunk parameters replayed — n_chunks
     // = IHDR + pHYs + (1 + id%3) tEXt + IDAT + IEND
     "mm_png_chunks" ->
