@@ -3614,7 +3614,62 @@ object Relational {
             6)).as("palma"))
   }
 
+  /** A106 FIXED-EFFECT META-ANALYSIS with heterogeneity (the
+    * inverse-variance pooling + Cochran's Q + Higgins' I² triad —
+    * how evidence across strata is actually combined: A60 reports
+    * five per-segment odds ratios; the decision-maker needs ONE
+    * pooled effect and a verdict on whether the strata even agree):
+    * per market segment the 2×2 of (discounted, returned) lineitems,
+    * effect = ln OR, var = Σ 1/cell (Woolf), weights w = 1/var;
+    * pooled = Σw·e/Σw, Q = Σw·e² − (Σw·e)²/Σw (the one-pass form),
+    * I² = max(0, (Q−(k−1))/Q). Cells exact BIGINT off ONE corpus
+    * aggregate; the per-segment scalar chain is pinned libm; the
+    * three pooled sums fold in SORTED segment order (A61). */
+  def metaAnalysis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"))
+      .agg(
+        sum(when($"l_discount" > 0.05 && $"l_returnflag" === "R", 1L)
+          .otherwise(0L)).as("a"),
+        sum(when($"l_discount" > 0.05 && $"l_returnflag" =!= "R", 1L)
+          .otherwise(0L)).as("b"),
+        sum(when($"l_discount" <= 0.05 && $"l_returnflag" === "R", 1L)
+          .otherwise(0L)).as("c"),
+        sum(when($"l_discount" <= 0.05 && $"l_returnflag" =!= "R", 1L)
+          .otherwise(0L)).as("d"))
+      .filter($"a" > 0 && $"b" > 0 && $"c" > 0 && $"d" > 0)
+    val scored = cells
+      .withColumn("e", log(($"a".cast("double") * $"d".cast("double")) /
+        ($"b".cast("double") * $"c".cast("double"))))
+      .withColumn("v", lit(1.0) / $"a".cast("double") +
+        lit(1.0) / $"b".cast("double") + lit(1.0) / $"c".cast("double") +
+        lit(1.0) / $"d".cast("double"))
+      .withColumn("w", lit(1.0) / $"v")
+    val pooled = scored.groupBy()
+      .agg(count(lit(1)).as("k"),
+        aggregate(sort_array(collect_list(struct($"segment", $"w"))),
+          lit(0.0), (acc, x) => acc + x("w")).as("sw"),
+        aggregate(sort_array(collect_list(struct($"segment",
+            ($"w" * $"e").as("we")))),
+          lit(0.0), (acc, x) => acc + x("we")).as("swe"),
+        aggregate(sort_array(collect_list(struct($"segment",
+            ($"w" * $"e" * $"e").as("wee")))),
+          lit(0.0), (acc, x) => acc + x("wee")).as("swee"))
+      .withColumn("q", $"swee" - $"swe" * $"swe" / $"sw")
+    pooled.select($"k".as("n_strata"),
+      round($"swe" / $"sw", 6).as("pooled_lnor"),
+      round(exp($"swe" / $"sw"), 6).as("pooled_or"),
+      round(lit(1.96) / sqrt($"sw"), 6).as("ci_halfwidth"),
+      round($"q", 4).as("q_het"),
+      round(greatest(lit(0.0),
+        ($"q" - ($"k" - 1).cast("double")) / $"q"), 6).as("i2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_meta_analysis" -> metaAnalysis,
     "q_jonckheere" -> jonckheereTerpstra,
     "q_lin_ccc" -> linCcc,
     "q_palma" -> palmaRatio,
@@ -3720,6 +3775,51 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A106 twin: same exact per-segment 2x2 cells, identical libm
+    // effect/variance chain, same segment-ordered pooled folds
+    "q_meta_analysis" ->
+      """WITH cells AS (
+        |  SELECT c_mktsegment AS segment,
+        |    sum(CASE WHEN l_discount > 0.05 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END)::BIGINT AS a,
+        |    sum(CASE WHEN l_discount > 0.05 AND l_returnflag <> 'R'
+        |      THEN 1 ELSE 0 END)::BIGINT AS b,
+        |    sum(CASE WHEN l_discount <= 0.05 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END)::BIGINT AS c,
+        |    sum(CASE WHEN l_discount <= 0.05 AND l_returnflag <> 'R'
+        |      THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1
+        |  HAVING min(CASE WHEN l_discount > 0.05 AND l_returnflag = 'R'
+        |    THEN 1 ELSE 0 END) >= 0),
+        |ok AS (SELECT * FROM cells WHERE a > 0 AND b > 0 AND c > 0
+        |  AND d > 0),
+        |scored AS (
+        |  SELECT segment,
+        |    ln((a::DOUBLE * d::DOUBLE) / (b::DOUBLE * c::DOUBLE)) AS e,
+        |    1.0 / a::DOUBLE + 1.0 / b::DOUBLE + 1.0 / c::DOUBLE +
+        |      1.0 / d::DOUBLE AS v
+        |  FROM ok),
+        |w AS (SELECT segment, e, 1.0 / v AS w FROM scored),
+        |f AS (
+        |  SELECT count(*)::BIGINT AS k,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(w ORDER BY segment)), (x, y) -> x + y) AS sw,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(w * e ORDER BY segment)), (x, y) -> x + y) AS swe,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(w * e * e ORDER BY segment)), (x, y) -> x + y) AS swee
+        |  FROM w),
+        |g AS (SELECT *, swee - swe * swe / sw AS q FROM f)
+        |SELECT k AS n_strata,
+        |  round(swe / sw, 6) AS pooled_lnor,
+        |  round(exp(swe / sw), 6) AS pooled_or,
+        |  round(1.96 / sqrt(sw), 6) AS ci_halfwidth,
+        |  round(q, 4) AS q_het,
+        |  round(greatest(0.0, (q - (k - 1)::DOUBLE) / q), 6) AS i2
+        |FROM g""".stripMargin,
     // A97 twin: same kilodollar cells, same exact 2·JT walk, the
     // identical normal-approximation scalar tail
     "q_jonckheere" ->

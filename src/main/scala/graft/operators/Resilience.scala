@@ -4341,7 +4341,68 @@ object Resilience {
       .orderBy($"event_type")
   }
 
+  /** B101 WESTERN ELECTRIC RUNS RULES (the 1956 WECO handbook's four
+    * zone tests — what a REAL SPC deployment runs on top of B67's
+    * bare control chart, because a drifting process violates runs
+    * rules long before any single point crosses 3σ): on the
+    * day-ordered per-type series against ITS OWN mean/σ —
+    * rule 1: a point beyond 3σ; rule 2: 2 of 3 consecutive beyond 2σ
+    * same side; rule 3: 4 of 5 beyond 1σ same side; rule 4: 8
+    * consecutive on one side of the mean. EVERY zone predicate is
+    * the cross-multiplied INTEGER comparison (n·y − S)² ≷ k²·(n·Σy²
+    * − S²) — σ is never computed, so no float ever decides a flag;
+    * the run windows are frame-bounded keyed lags. */
+  def spcRules(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val pts = events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val st = pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"y").as("s"),
+        sum(dec($"y") * $"y").as("sq"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val zoned = pts.join(st, "event_type")
+      .withColumn("dev", dec($"n") * $"y" - $"s")
+      .withColumn("varn", (dec($"n") * $"sq" - dec($"s") * $"s"))
+      .withColumn("side", signum($"dev".cast("double")).cast("long"))
+      .withColumn("z1", ($"dev" * $"dev" > $"varn").cast("long"))
+      .withColumn("z2", ($"dev" * $"dev" > lit(4) * $"varn").cast("long"))
+      .withColumn("z3", ($"dev" * $"dev" > lit(9) * $"varn").cast("long"))
+    val flagged = zoned
+      // signed zone exceedances: ±1 keeps "same side" inside one
+      // summable column (two same-side exceedances sum to ±2,
+      // opposite sides cancel — the SQL-native same-side test)
+      .withColumn("zs1", $"z1" * $"side")
+      .withColumn("zs2", $"z2" * $"side")
+      .withColumn("r1", $"z3" === 1)
+      .withColumn("r2",
+        abs($"zs2" + coalesce(lag($"zs2", 1).over(w), lit(0L)) +
+          coalesce(lag($"zs2", 2).over(w), lit(0L))) >= 2 &&
+          $"z2" === 1)
+      .withColumn("r3",
+        abs((0 to 4).map(k =>
+          coalesce(lag($"zs1", k).over(w), lit(0L))).reduce(_ + _))
+          >= 4 && $"z1" === 1)
+      .withColumn("sum8",
+        (0 to 7).map(k => coalesce(lag($"side", k).over(w), lit(0L)))
+          .reduce(_ + _))
+      .withColumn("cnt8", count(lit(1)).over(
+        w.rowsBetween(-7, Window.currentRow)))
+      .withColumn("r4", $"cnt8" === 8 && abs($"sum8") === 8)
+    flagged.groupBy($"event_type")
+      .agg(max($"n").as("n_days"),
+        sum(when($"r1", 1L).otherwise(0L)).as("rule1_points"),
+        sum(when($"r2", 1L).otherwise(0L)).as("rule2_points"),
+        sum(when($"r3", 1L).otherwise(0L)).as("rule3_points"),
+        sum(when($"r4", 1L).otherwise(0L)).as("rule4_points"),
+        date_format(min(when($"r1" || $"r2" || $"r3" || $"r4", $"day")),
+          "yyyy-MM-dd").as("first_violation"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_spc_rules" -> ((s, dir) => spcRules(Tables.events(s, dir))),
     "q_theta_forecast" -> ((s, dir) => thetaForecast(Tables.events(s, dir))),
     "q_tsb_forecast" -> ((s, dir) => tsbForecast(Tables.events(s, dir))),
     "q_adi_cv2" -> ((s, dir) => adiCv2(Tables.events(s, dir))),
@@ -4545,6 +4606,56 @@ object Resilience {
          |  FROM c JOIN wm ON c.event_type = wm.event_type)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // B101 twin: identical integer zone predicates ((n·y−S)² vs
+    // k²·(nΣy²−S²)) and the same signed-sum run windows
+    "q_spc_rules" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, sum(y)::BIGINT AS s,
+        |    sum(y::HUGEINT * y)::HUGEINT AS sq
+        |  FROM pts GROUP BY 1),
+        |zoned AS (
+        |  SELECT p.event_type, p.day, st.n,
+        |    (st.n::HUGEINT * p.y - st.s) AS dev,
+        |    (st.n::HUGEINT * st.sq - st.s::HUGEINT * st.s) AS varn
+        |  FROM pts p JOIN st USING (event_type)),
+        |z AS (
+        |  SELECT event_type, day, n,
+        |    sign(dev::DOUBLE)::BIGINT AS side,
+        |    (CASE WHEN dev * dev > varn THEN 1 ELSE 0 END)::BIGINT AS z1,
+        |    (CASE WHEN dev * dev > 4 * varn THEN 1 ELSE 0 END)::BIGINT
+        |      AS z2,
+        |    (CASE WHEN dev * dev > 9 * varn THEN 1 ELSE 0 END)::BIGINT
+        |      AS z3
+        |  FROM zoned),
+        |zz AS (
+        |  SELECT *, z1 * side AS zs1, z2 * side AS zs2 FROM z),
+        |fl AS (
+        |  SELECT event_type, day, n,
+        |    (z3 = 1) AS r1,
+        |    (abs(zs2 + coalesce(lag(zs2, 1) OVER w, 0) +
+        |      coalesce(lag(zs2, 2) OVER w, 0)) >= 2 AND z2 = 1) AS r2,
+        |    (abs(((coalesce(lag(zs1, 0) OVER w, 0) +
+        |      coalesce(lag(zs1, 1) OVER w, 0)) +
+        |      (coalesce(lag(zs1, 2) OVER w, 0) +
+        |      coalesce(lag(zs1, 3) OVER w, 0))) +
+        |      coalesce(lag(zs1, 4) OVER w, 0)) >= 4 AND z1 = 1) AS r3,
+        |    (count(*) OVER w8 = 8 AND
+        |     abs(sum(side) OVER w8) = 8) AS r4
+        |  FROM zz
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day),
+        |    w8 AS (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, max(n)::BIGINT AS n_days,
+        |  sum(CASE WHEN r1 THEN 1 ELSE 0 END)::BIGINT AS rule1_points,
+        |  sum(CASE WHEN r2 THEN 1 ELSE 0 END)::BIGINT AS rule2_points,
+        |  sum(CASE WHEN r3 THEN 1 ELSE 0 END)::BIGINT AS rule3_points,
+        |  sum(CASE WHEN r4 THEN 1 ELSE 0 END)::BIGINT AS rule4_points,
+        |  strftime(min(CASE WHEN r1 OR r2 OR r3 OR r4 THEN day END),
+        |    '%Y-%m-%d') AS first_violation
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
     // B95 twin: exact trend sums via the row_number index, the same
     // α=0.5 SES recursion over the identical θ=2 line
     "q_theta_forecast" ->
