@@ -568,6 +568,41 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(secs < 120, s"1M-edge triangle count took ${secs}s")
   }
 
+  test("I30 local clustering at 10^6 edges: planted cliques top the ppm report, one wedge pass") {
+    import spark.implicits._
+    // 40 planted 8-cliques (clustering exactly 1.0) on a dedicated id
+    // range above 10^6 chaff edges over 50k nodes (avg degree 40 —
+    // dense enough that no chaff node reaches ppm 10^6). The round-12
+    // rewrite runs ONE explode-based wedge pipeline with zero
+    // persisted state — this pins the top-k exactness AND that the
+    // cold lazy plan stays wedge-bounded at 10^6 edges.
+    val cliq = spark.range(40L)
+      .select($"id".as("c"), explode(expr("sequence(0, 7)")).as("i"))
+      .select($"c", $"i", explode(expr("sequence(0, 7)")).as("j"))
+      .filter($"i" < $"j")
+      .select(($"c" * 8 + 9000000L).plus($"i").as("src"),
+        ($"c" * 8 + 9000000L).plus($"j").as("dst"))
+    val chaff = spark.range(1000000L).select(
+      expr("abs(xxhash64(id)) % 50000").as("src"),
+      expr("abs(xxhash64(id + 3)) % 50000").as("dst"))
+    val t0 = System.nanoTime()
+    val top = graft.operators.Graph
+      .localClusteringOn(cliq.union(chaff), minDeg = 5L, topK = 320)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1M-edge local clustering in $secs%.1f s, ${top.length} rows")
+    // every planted clique node (degree 7, 21 triangles, ppm 10^6)
+    // must fill the head of the report
+    val cliqueRows = top.filter(_.getLong(0) >= 9000000L)
+    assert(cliqueRows.length == 320,
+      s"expected all 320 clique nodes on top, got ${cliqueRows.length}")
+    assert(cliqueRows.forall(r => r.getLong(3) == 1000000L),
+      "planted clique ppm must be exactly 10^6")
+    assert(cliqueRows.forall(r => r.getLong(1) == 7L &&
+      r.getLong(2) == 21L), "clique degree/triangle math off")
+    assert(secs < 120, s"1M-edge clustering took $secs s")
+  }
+
   test("k-truss at 500k edges + 20k-star hub: planted cliques exact, peel rounds bounded") {
     import spark.implicits._
     // 500 planted 12-cliques (66 edges each, every edge support 10)
