@@ -1599,6 +1599,66 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** Minimal spec-shaped ICO (G52) — ICONDIR (reserved 0, type 1,
+    * count = 1 + id%4) + count ICONDIRENTRYs (width/height bytes
+    * with the 0-means-256 convention on entry 0 of every fifth id,
+    * 32-bit colors, sizes closed-form) + junk payloads of the
+    * declared sizes at sequential offsets. */
+  private[graft] def icoBytes(docId: Long): Array[Byte] = {
+    val n = (1 + docId % 4).toInt
+    val sizes = (0 until n).map(k => (100 + (docId * 7 + k * 13) % 200).toInt)
+    val bb = java.nio.ByteBuffer.allocate(6 + 16 * n + sizes.sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(0).putShort(1).putShort(n.toShort)
+    var off = 6 + 16 * n
+    for (k <- 0 until n) {
+      val big = docId % 5 == 0 && k == 0
+      val dim = if (big) 0 else 16 * (1 + ((docId + k) % 4).toInt)
+      bb.put(dim.toByte).put(dim.toByte) // width, height (0 = 256)
+        .put(0.toByte).put(0.toByte) // palette, reserved
+        .putShort(1).putShort(32) // planes, bitcount
+        .putInt(sizes(k)).putInt(off)
+      off += sizes(k)
+    }
+    for (k <- 0 until n; i <- 0 until sizes(k))
+      bb.put(((docId + k * 31 + i) % 251).toByte)
+    bb.array()
+  }
+
+  /** G52 graded entry (`mm_ico_dims`): ICO/favicon directory read —
+    * the little-endian icon census (Windows ICO, the favicon format
+    * a web crawl carries billions of): entry count, max dimensions
+    * under the 0-means-256 convention, declared payload total. Pure
+    * column byte math over hex() (the G41 OpusHead precedent — no
+    * new expression), gated on reserved==0 && type==1. */
+  private def icoDimsEntry(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir).select($"doc_id")
+      .as[Long].map(id => (id, icoBytes(id))).toDF("doc_id", "payload")
+    val h = upper(hex($"payload"))
+    def leAt(byteOff: Column, nBytes: Int): Column =
+      (0 until nBytes).map(i =>
+        conv(substring(h, lit(1) + (byteOff + i) * 2, lit(2)), 16, 10)
+          .cast("long") * lit(1L << (8 * i))).reduce(_ + _)
+    val dir0 = payloads
+      .filter(leAt(lit(0), 2) === 0L && leAt(lit(2), 2) === 1L)
+      .withColumn("n", leAt(lit(4), 2))
+      .withColumn("k", explode(expr("sequence(0L, n - 1)")))
+      .withColumn("base", lit(6L) + $"k" * 16L)
+    val entries = dir0.select($"doc_id", $"n",
+      when(leAt($"base", 1) === 0L, 256L).otherwise(leAt($"base", 1))
+        .as("w"),
+      when(leAt($"base" + 1, 1) === 0L, 256L)
+        .otherwise(leAt($"base" + 1, 1)).as("hh"),
+      leAt($"base" + 8, 4).as("bytes"))
+    entries.groupBy($"doc_id")
+      .agg(max($"n").as("n_icons"), max($"w").as("max_width"),
+        max($"hh").as("max_height"),
+        max(when($"w" === 256L, 1L).otherwise(0L)).as("has_256"),
+        sum($"bytes").as("total_bytes"))
+      .orderBy($"doc_id")
+  }
+
   /** G42 graded entry (`mm_container_triage`): the ROUTING
     * COMPOSITION the whole G-track exists for, as one query — a
     * mixed corpus (mp4 / fragmented-mp4 / mkv / ogg by doc_id % 4)
@@ -3340,6 +3400,7 @@ object Multimodal {
     "mm_heif_dims" -> heifDimsEntry,
     "mm_png_chunks" -> pngChunksEntry,
     "mm_image_triage" -> imageTriageEntry,
+    "mm_ico_dims" -> icoDimsEntry,
     "mm_webvtt_cues" -> webvttCuesEntry,
     "mm_srt_cues" -> srtCuesEntry,
     "mm_caption_frames" -> captionFramesEntry,
@@ -3851,6 +3912,24 @@ object Multimodal {
         |  (480 + (doc_id % 25) * 16)::BIGINT AS height,
         |  (doc_id % 4)::BIGINT AS rot_angle
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // G52 twin: the closed-form ICONDIR replayed — dims carry the
+    // 0-means-256 convention on entry 0 of every fifth id
+    "mm_ico_dims" ->
+      """WITH d AS (
+        |  SELECT doc_id, (1 + doc_id % 4)::BIGINT AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id, n, unnest(range(0, n))::BIGINT AS k FROM d),
+        |ent AS (
+        |  SELECT doc_id, n, k,
+        |    CASE WHEN doc_id % 5 = 0 AND k = 0 THEN 256
+        |      ELSE 16 * (1 + ((doc_id + k) % 4)) END::BIGINT AS w,
+        |    (100 + (doc_id * 7 + k * 13) % 200)::BIGINT AS bytes
+        |  FROM e)
+        |SELECT doc_id, max(n)::BIGINT AS n_icons,
+        |  max(w)::BIGINT AS max_width, max(w)::BIGINT AS max_height,
+        |  max(CASE WHEN w = 256 THEN 1 ELSE 0 END)::BIGINT AS has_256,
+        |  sum(bytes)::BIGINT AS total_bytes
+        |FROM ent GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // G51 twin: the five-class corpus routing replayed closed-form —
     // the route CASE mirrors the operator's priority order exactly
     "mm_image_triage" ->

@@ -324,6 +324,46 @@ object Resilience {
   def holtForecast(s: SparkSession, dir: String): DataFrame =
     holtOn(series(s, dir))
 
+  /** B102 DAMPED-TREND HOLT (Gardner & McKenzie 1985 — the M/M3/M4
+    * competitions' most durable lesson: an undamped linear trend
+    * extrapolates a straight line forever and overshoots almost
+    * every real horizon, so production Holt ships with φ-damping; at
+    * φ = 0.9 the forecast curve flattens toward l + b·φ/(1−φ)):
+    * l ← α·y + (1−α)(l + φ·b), b ← β(l_new − l_old) + (1−β)·φ·b,
+    * F_h = l + (Σ_{i≤h} φⁱ)·b, with the φ-sums written as explicit
+    * literal additions so both engines fold the same IEEE sequence
+    * (the B18 textual-identity convention). Same bounded per-group
+    * fold shape as B18. */
+  def holtDampedOn(ss: Series, alpha: Double = 0.5, beta: Double = 0.3):
+      DataFrame = {
+    val s0 = ss.df.sparkSession
+    import s0.implicits._
+    val ordered = array_sort(collect_list(struct(col(ss.period).as("p"),
+      round(col(ss.value)).cast("long").as("yc"))))
+    val a = alpha; val b = beta
+    ss.df.groupBy(col(ss.grp))
+      .agg(count(lit(1)).as("n_periods"), ordered.as("obs"))
+      .filter($"n_periods" >= 2)
+      .withColumn("v", transform($"obs", x => x.getField("yc").cast("double")))
+      .withColumn("st", expr(
+        s"""aggregate(slice(v, 2, size(v) - 1),
+           |  named_struct('l', element_at(v, 1),
+           |    'b', element_at(v, 2) - element_at(v, 1)),
+           |  (acc, x) -> named_struct(
+           |    'l', $a * x + ${1 - a} * (acc.l + 0.9 * acc.b),
+           |    'b', $b * ($a * x + ${1 - a} * (acc.l + 0.9 * acc.b)
+           |         - acc.l) + ${1 - b} * 0.9 * acc.b))""".stripMargin))
+      .select(col(ss.grp), $"n_periods", $"st.l".as("level"),
+        $"st.b".as("trend"),
+        expr("st.l + 0.9 * st.b").as("fc1"),
+        expr("st.l + (0.9 + 0.81) * st.b").as("fc2"),
+        expr("st.l + (0.9 + 0.81 + 0.729) * st.b").as("fc3"))
+      .orderBy(col(ss.grp))
+  }
+
+  def holtDamped(s: SparkSession, dir: String): DataFrame =
+    holtDampedOn(series(s, dir))
+
   /** B27 local-level KALMAN filter per group — the state-space member
     * of the forecast ladder (statsmodels `UnobservedComponents
     * (level='local level')` twin; B4 linear → B17 AR(1) → B18 Holt →
@@ -4491,6 +4531,7 @@ object Resilience {
     "q_shock_sim" -> shockSim,
     "q_ar1_forecast" -> ar1Forecast,
     "q_holt_forecast" -> holtForecast,
+    "q_holt_damped" -> holtDamped,
     "q_kalman" -> kalmanForecast,
     "q_theilsen" -> theilSen,
     "q_crosscorr" -> ((s, dir) => crossCorr(s, dir)),
@@ -7507,6 +7548,32 @@ object Resilience {
     // the coupled (level, trend) update silently diverges. The
     // recursion evaluates functionally and mirrors the Spark fold's
     // exact IEEE op sequence.
+    // B102 twin: the B18 recursion with the phi-damped updates and
+    // the literal phi-sum horizon factors, textually identical
+    "q_holt_damped" ->
+      s"""WITH RECURSIVE rev AS ($yearlyRevSql),
+         |pts AS (
+         |  SELECT n_name, round(rev)::BIGINT::DOUBLE AS y,
+         |    row_number() OVER (PARTITION BY n_name ORDER BY yr) AS t
+         |  FROM rev),
+         |n AS (SELECT n_name, max(t) AS n_periods FROM pts GROUP BY 1),
+         |hw AS (
+         |  SELECT a.n_name, 1 AS t, a.y AS l, b.y - a.y AS b
+         |  FROM pts a JOIN pts b
+         |    ON a.n_name = b.n_name AND a.t = 1 AND b.t = 2
+         |  UNION ALL
+         |  SELECT h.n_name, h.t + 1,
+         |    0.5 * p.y + 0.5 * (h.l + 0.9 * h.b),
+         |    0.3 * (0.5 * p.y + 0.5 * (h.l + 0.9 * h.b) - h.l)
+         |      + 0.7 * 0.9 * h.b
+         |  FROM hw h JOIN pts p ON p.n_name = h.n_name AND p.t = h.t + 1)
+         |SELECT hw.n_name, n.n_periods, hw.l AS level, hw.b AS trend,
+         |  hw.l + 0.9 * hw.b AS fc1,
+         |  hw.l + (0.9 + 0.81) * hw.b AS fc2,
+         |  hw.l + (0.9 + 0.81 + 0.729) * hw.b AS fc3
+         |FROM hw JOIN n ON hw.n_name = n.n_name AND hw.t = n.n_periods
+         |WHERE n.n_periods >= 2
+         |ORDER BY hw.n_name""".stripMargin,
     "q_holt_forecast" ->
       s"""WITH RECURSIVE rev AS ($yearlyRevSql),
          |pts AS (

@@ -387,6 +387,36 @@ object Similarity {
       cand.withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6)))
   }
 
+  /** E40 MULTI-PROBE LSH (Lv et al., VLDB 2007 — the table-count
+    * killer: a near neighbor that misses the query's bucket almost
+    * always lands in a bucket differing by ONE low-confidence bit,
+    * so probing the Hamming-1 perturbations of the query bucket buys
+    * the recall extra tables would — at 100 TB that is 5× fewer
+    * index copies for the same recall, the reason every production
+    * LSH deploys multiprobe): the E2 family (8 tables × 4 sign
+    * bits), each query probing its own bucket PLUS all four one-bit
+    * flips (xor with {1,2,4,8}) per table — candidates unioned,
+    * deduped, exact-cosine reranked through the same bounded heap.
+    * Probe fan-out is 5× E2's on the QUERY side only; the corpus is
+    * bucketed once, identically. */
+  def annLshMultiprobe(vecs: DataFrame): DataFrame = {
+    import vecs.sparkSession.implicits._
+    val e = withNorm(vecs)
+    val bucketed = lshBuckets(e, tables = 8, bits = 4)
+    val probes = bucketed.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"n".as("qn"), $"t",
+        explode(typedlit(Seq(0L, 1L, 2L, 4L, 8L))).as("flip"),
+        $"bucket".as("qbucket"))
+      .withColumn("bucket", $"qbucket".bitwiseXOR($"flip"))
+      .select($"q_id", $"qv", $"qn", $"t", $"bucket")
+    val cand = bucketed.join(broadcast(probes), Seq("t", "bucket"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"qv", $"qn", $"vec_id", $"v", $"n")
+      .distinct()
+    topKPerQuery(
+      cand.withColumn("cos", round(cosine($"qv", $"v", $"qn", $"n"), 6)))
+  }
+
   // plane-family id for the Hamming codes — disjoint from E2's
   // (table, bit) space so the two sign-bit families never collide
   private val HammingT = 100
@@ -2244,6 +2274,7 @@ object Similarity {
     "hybrid_rrf" -> ((s, dir) =>
       hybridRrf(Tables.embeddings(s, dir), Tables.documents(s, dir))),
     "ann_lsh" -> onVecs(annLsh),
+    "ann_lsh_multiprobe" -> onVecs(annLshMultiprobe),
     "ann_hamming" -> onVecs(annHamming),
     "ann_rp" -> onVecs(annRp),
     "ann_ndcg" -> onVecs(annNdcg),
@@ -3344,6 +3375,33 @@ object Similarity {
     "ann_hamming_rerank" -> hammingRerankOracleSql(shortlist = 10),
     "ann_bq" -> bqOracleSql(shortlist = 10),
     "ann_rp" -> rpOracleSql,
+    // E40 twin: the E2 bucket union with the query side expanded by
+    // the five xor probes, same dedup + exact rerank
+    "ann_lsh_multiprobe" ->
+      s"""WITH $eCte,
+         |bk AS (
+         |${lshBucketSqlUnion(tables = 8, bits = 4)}),
+         |probes AS (
+         |  SELECT b.vec_id AS q_id, b.t,
+         |    xor(b.bucket, f.flip) AS bucket
+         |  FROM bk b, (SELECT unnest([0, 1, 2, 4, 8]) AS flip) f
+         |  WHERE b.vec_id < $NumQueries),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, x.vec_id
+         |  FROM probes p JOIN bk x ON p.t = x.t AND p.bucket = x.bucket
+         |  WHERE x.vec_id <> p.q_id),
+         |scored AS (
+         |  SELECT c.q_id, c.vec_id,
+         |    round(list_dot_product(eq.v, ex.v) / (eq.n * ex.n), 6) AS cos
+         |  FROM cand c
+         |  JOIN e eq ON c.q_id = eq.vec_id
+         |  JOIN e ex ON c.vec_id = ex.vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "ann_lsh" ->
       s"""WITH $eCte,
          |bk AS (
