@@ -3668,7 +3668,59 @@ object Relational {
         ($"q" - ($"k" - 1).cast("double")) / $"q"), 6).as("i2"))
   }
 
+  /** A107 BRIER SCORE + MURPHY DECOMPOSITION (Brier 1950 / Murphy
+    * 1973 — THE proper scoring rule for probability forecasts and
+    * its reliability/resolution/uncertainty split: A56's AUC ranks,
+    * Brier scores CALIBRATION, and the decomposition says whether a
+    * bad score means miscalibrated bins or just an unpredictable
+    * base rate): forecast = each priority class's own F-rate (the
+    * perfectly-calibrated in-sample forecaster, so REL = 0 exactly —
+    * the pinned identity the spec-by-oracle grades), outcome = F.
+    * With integer cells (nᵢ, rᵢ) and totals (N, R): BS·N²·... — all
+    * three Murphy terms are rational in the cells; BS = UNC − RES +
+    * REL with REL ≡ 0 here, so BS·N = Σ nᵢ·pᵢ(1−pᵢ) computed as
+    * exact-integer numerators over one division per class, folded in
+    * sorted class order (A61). */
+  def brierScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val g = Tables.orders(s, dir)
+      .select(substring($"o_orderpriority", 1, 1).cast("long").as("cls"),
+        when($"o_orderstatus" === "F", 1L).otherwise(0L).as("o"))
+      .groupBy($"cls")
+      .agg(count(lit(1)).as("ni"), sum($"o").as("ri"))
+      .localCheckpoint()
+    val tot = g.agg(sum($"ni").as("n"), sum($"ri").as("r"))
+    val terms = g.crossJoin(broadcast(tot))
+      .withColumn("res_num",
+        // nᵢ·(pᵢ − p̄)² · N² = (N·rᵢ − nᵢ·R)²/nᵢ — keep the exact
+        // integer numerator, one division per class
+        (dec($"n") * $"ri" - dec($"ni") * $"r") *
+          (dec($"n") * $"ri" - dec($"ni") * $"r"))
+      .withColumn("bs_i",
+        // nᵢ·pᵢ(1−pᵢ) = rᵢ(nᵢ−rᵢ)/nᵢ
+        (dec($"ri") * ($"ni" - $"ri")).cast("double") /
+          $"ni".cast("double"))
+      .withColumn("res_i",
+        $"res_num".cast("double") /
+          ($"ni".cast("double") * $"n".cast("double") *
+            $"n".cast("double")))
+    terms.groupBy($"n", $"r")
+      .agg(aggregate(sort_array(collect_list(struct($"cls", $"bs_i"))),
+          lit(0.0), (acc, x) => acc + x("bs_i")).as("bs_sum"),
+        aggregate(sort_array(collect_list(struct($"cls", $"res_i"))),
+          lit(0.0), (acc, x) => acc + x("res_i")).as("res_sum"))
+      .select($"n".as("n_orders"), $"r".as("n_events"),
+        round($"bs_sum" / $"n".cast("double"), 6).as("brier"),
+        round($"res_sum" / $"n".cast("double"), 6).as("resolution"),
+        round((dec($"r") * ($"n" - $"r")).cast("double") /
+          ($"n".cast("double") * $"n".cast("double")), 6)
+          .as("uncertainty"),
+        lit(0.0).as("reliability"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_brier" -> brierScore,
     "q_meta_analysis" -> metaAnalysis,
     "q_jonckheere" -> jonckheereTerpstra,
     "q_lin_ccc" -> linCcc,
@@ -3775,6 +3827,38 @@ object Relational {
     "q_distinct" -> distinctProj)
 
   val oracles: Map[String, String] = Map(
+    // A107 twin: same exact cells, same per-class one-division terms
+    // folded in sorted class order, REL pinned 0 by construction
+    "q_brier" ->
+      """WITH g AS (
+        |  SELECT substr(o_orderpriority, 1, 1)::BIGINT AS cls,
+        |    count(*)::BIGINT AS ni,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+        |      AS ri
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(ni)::BIGINT AS n, sum(ri)::BIGINT AS r FROM g),
+        |terms AS (
+        |  SELECT g.cls, tot.n, tot.r,
+        |    (g.ri::HUGEINT * (g.ni - g.ri))::DOUBLE / g.ni::DOUBLE
+        |      AS bs_i,
+        |    ((tot.n::HUGEINT * g.ri - g.ni::HUGEINT * tot.r) *
+        |     (tot.n::HUGEINT * g.ri - g.ni::HUGEINT * tot.r))::DOUBLE /
+        |      (g.ni::DOUBLE * tot.n::DOUBLE * tot.n::DOUBLE) AS res_i
+        |  FROM g, tot),
+        |f AS (
+        |  SELECT n, r,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(bs_i ORDER BY cls)), (a, b) -> a + b) AS bs_sum,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(res_i ORDER BY cls)), (a, b) -> a + b) AS res_sum
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT n AS n_orders, r AS n_events,
+        |  round(bs_sum / n::DOUBLE, 6) AS brier,
+        |  round(res_sum / n::DOUBLE, 6) AS resolution,
+        |  round((r::HUGEINT * (n - r))::DOUBLE /
+        |    (n::DOUBLE * n::DOUBLE), 6) AS uncertainty,
+        |  0.0 AS reliability
+        |FROM f""".stripMargin,
     // A106 twin: same exact per-segment 2x2 cells, identical libm
     // effect/variance chain, same segment-ordered pooled folds
     "q_meta_analysis" ->
