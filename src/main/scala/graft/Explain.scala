@@ -19,8 +19,11 @@ object Explain {
     })
     keys.foreach { k =>
       println(s"===== $k =====")
-      val df = SparkEntry.queries(k)(spark, sfDir)
       if (exec) {
+        // listener attaches BEFORE construction: iterative operators run
+        // eager jobs (localCheckpoint / persist-materialize) while the
+        // DataFrame is being BUILT, and the bench's timed region covers
+        // construction + count — so must this tool's.
         val jobMs = new java.util.concurrent.atomic.AtomicLong(0L)
         val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
         val l = new org.apache.spark.scheduler.SparkListener {
@@ -33,19 +36,32 @@ object Explain {
               jobMs.addAndGet(e.time - t0)
               println(f"[job ${e.jobId}] ${(e.time - t0) / 1000.0}%.2f s")
             }
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val si = e.stageInfo
+            val wall = (for { a <- si.completionTime; b <- si.submissionTime }
+              yield (a - b) / 1000.0).getOrElse(-1.0)
+            println(f"[stage ${si.stageId}] $wall%.2f s  " +
+              f"tasks=${si.numTasks}  ${si.name.takeWhile(_ != '(').trim}")
+          }
         }
         spark.sparkContext.addSparkListener(l)
         val t0 = System.nanoTime()
+        val df = SparkEntry.queries(k)(spark, sfDir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
         val n = df.count()
         Thread.sleep(300) // let the listener bus drain
         spark.sparkContext.removeSparkListener(l)
         println(f"[exec] $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s" +
-          f" (jobs ${jobMs.get() / 1000.0}%.2f s)")
+          f" (build $tBuild%.2f s, jobs ${jobMs.get() / 1000.0}%.2f s)")
         // the FINAL adaptive plan (post-AQE re-optimization)
         println(df.queryExecution.executedPlan.toString.take(20000))
-      } else
+      } else {
+        val df = SparkEntry.queries(k)(spark, sfDir)
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
+      }
     }
     spark.stop()
   }

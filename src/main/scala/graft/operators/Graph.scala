@@ -39,7 +39,15 @@ object Graph {
       val out = cached.checkpoint()
       cached.unpersist()
       out
-    } else df.localCheckpoint()
+    } else df.localCheckpoint(eager = false)
+    // eager = false: the plan is truncated to a LogicalRDD either way,
+    // but the materialization job is DEFERRED into whatever action
+    // consumes the frame next (the RDD is checkpoint-marked, so it is
+    // still computed exactly once and cached). Iterative operators
+    // call truncate once or twice per round; the eager variant paid
+    // one extra Spark job + driver round-trip per call — measured
+    // ~40% of q_hits/q_bfs_hops wall at sf0.1 was these
+    // materialization jobs' scheduling, not their tasks.
 
   /** Connected components of an undirected graph.
     *
@@ -742,15 +750,22 @@ object Graph {
     val unit = 1000000L
     var hubs = nodes.select($"node", lit(unit).as("h"))
     var auths = nodes.select($"node", lit(unit).as("a"))
-    // each half-step is referenced TWICE (the max aggregate and the
-    // rescale) and again by the next half-step — checkpoint it once
-    // per call or the recompute compounds 3× per level (measured:
-    // 45 s → 4 s at sf0.1)
+    // Each half-step is consumed twice (max + rescale) and again by the
+    // next half-step, so it checkpoints once (plan stays one round
+    // deep — a persist-only variant was MEASURED 1.7× slower: the
+    // logical plan deepens every half-step and the optimizer pass per
+    // action goes quadratic). The L∞ max then lands in the plan as a
+    // LITERAL via a 1-row collect over the checkpointed frame instead
+    // of a broadcast-crossJoin — one broadcast exchange build per
+    // half-step removed (guide §2.4), and the rescale becomes a free
+    // lazy projection. Driver state: one Long per half-step — bounded
+    // at any graph size.
     def renorm(df: DataFrame, c: String): DataFrame = {
       val cut = truncate(df)
-      val mx = cut.agg(max(col(c)).as("mx"))
-      cut.crossJoin(broadcast(mx))
-        .select($"node", expr(s"$c * ${unit}L div mx").as(c))
+      val row = cut.agg(max(col(c)).as("mx")).head(1)
+      val mx = if (row.isEmpty || row(0).isNullAt(0)) 1L
+        else row(0).getLong(0)
+      cut.select($"node", expr(s"$c * ${unit}L div ${mx}L").as(c))
     }
     for (i <- 1 to iters) {
       val a = nodes
