@@ -42,8 +42,15 @@ object Explain {
             val si = e.stageInfo
             val wall = (for { a <- si.completionTime; b <- si.submissionTime }
               yield (a - b) / 1000.0).getOrElse(-1.0)
+            val m = si.taskMetrics
             println(f"[stage ${si.stageId}] $wall%.2f s  " +
-              f"tasks=${si.numTasks}  ${si.name.takeWhile(_ != '(').trim}")
+              f"tasks=${si.numTasks}  run=${m.executorRunTime / 1000.0}%.2f " +
+              f"deser=${m.executorDeserializeTime / 1000.0}%.2f " +
+              f"gc=${m.jvmGCTime / 1000.0}%.2f " +
+              f"in=${m.inputMetrics.recordsRead} " +
+              f"sr=${m.shuffleReadMetrics.recordsRead} " +
+              f"sw=${m.shuffleWriteMetrics.recordsWritten}  " +
+              f"${si.name.takeWhile(_ != '(').trim}")
           }
         }
         spark.sparkContext.addSparkListener(l)

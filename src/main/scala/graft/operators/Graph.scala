@@ -49,6 +49,38 @@ object Graph {
     // ~40% of q_hits/q_bfs_hops wall at sf0.1 was these
     // materialization jobs' scheduling, not their tasks.
 
+  /** Force a lazily-truncated frame's checkpoint chain to compute NOW
+    * (one job), while any persisted inputs the chain references are
+    * still cached. Operators that persist() their edge/degree frames
+    * and unpersist() them on exit MUST call this on the frame they
+    * return: a lazy checkpoint materialized only by the caller's
+    * first action would otherwise recompute the whole iterative
+    * lineage with the caches gone — once per reference per round.
+    * No-op in the reliable-checkpoint posture (truncate is eager
+    * there). The count runs over a LogicalRDD-rooted plan, so no
+    * column pruning can skip the checkpoint computation. */
+  private def materialize(df: DataFrame): DataFrame = {
+    if (df.sparkSession.sparkContext.getCheckpointDir.isEmpty) df.count()
+    df
+  }
+
+  /** Cache for LOOP-INVARIANT inputs (edge lists, degree frames) that
+    * every iteration re-reads. Local posture: a lazy localCheckpoint —
+    * raw UnsafeRow block cache. The InMemoryRelation `persist()` used
+    * before measured 15-20 µs/row on string-keyed edge frames (columnar
+    * encode on write + decode on EVERY per-iteration scan — the
+    * dominant per-iteration cost in pageRank/hits at sf0.1), where the
+    * checkpoint-RDD scan is a plain row copy; its plans also feed AQE
+    * partition coalescing where scans of the 32-partition cache did
+    * not. Cluster posture (checkpoint dir set): plain persist() — a
+    * reliable checkpoint would force a full disk write of the edge
+    * list, which a cache must not. Callers keep their unpersist()
+    * pairing (a no-op on the local branch) and MUST materialize()
+    * any lazily-truncated result before unpersisting. */
+  private def stash(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.persist()
+    else df.localCheckpoint(eager = false)
+
   /** Connected components of an undirected graph.
     *
     * Each round truncates lineage (see [[truncate]]): the round's plan
@@ -73,9 +105,8 @@ object Graph {
     // and without the cache each round would recompute the whole
     // upstream pair-generation pipeline (measured 4x the operator cost
     // on the near-dup clustering path)
-    val sym = edges.select($"src", $"dst")
-      .union(edges.select($"dst".as("src"), $"src".as("dst")))
-      .persist()
+    val sym = stash(edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst"))))
     // FRONTIER-optimized propagation: only vertices whose label
     // improved last round re-send. Round 1 sends everything; on the
     // near-clique graphs this operator targets, the frontier then
@@ -463,10 +494,10 @@ object Graph {
     * maintainer needs (identical arithmetic, shared scan). */
   def pageRankAllIters(edges: DataFrame, iters: Int): DataFrame = {
     import edges.sparkSession.implicits._
-    val e = edges.select($"src", $"dst").distinct().persist()
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg")).persist()
-    val nodes = e.select($"src".as("node"))
-      .union(e.select($"dst".as("node"))).distinct().persist()
+    val e = stash(edges.select($"src", $"dst").distinct())
+    val deg = stash(e.groupBy($"src").agg(count(lit(1)).as("outdeg")))
+    val nodes = stash(e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct())
     var ranks = nodes.select($"node", lit(1000000000000L).as("r"))
     var out: DataFrame = null
     for (i <- 1 to iters) {
@@ -482,6 +513,9 @@ object Graph {
       val tagged = ranks.select(lit(i.toLong).as("iter"), $"node", $"r")
       out = if (out == null) tagged else out.unionByName(tagged)
     }
+    // ranks_i chain through each other, so materializing the last one
+    // computes every iteration while e/deg/nodes are still cached
+    materialize(ranks)
     deg.unpersist(); nodes.unpersist(); e.unpersist()
     out
   }
@@ -643,11 +677,11 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     import edges.sparkSession.implicits._
-    val e = edges.select($"src", $"dst").distinct().persist()
-    val deg = e.groupBy($"src")
-      .agg(count(lit(1)).as("outdeg")).persist()
-    val nodes = e.select($"src".as("node"))
-      .union(e.select($"dst".as("node"))).distinct().persist()
+    val e = stash(edges.select($"src", $"dst").distinct())
+    val deg = stash(e.groupBy($"src")
+      .agg(count(lit(1)).as("outdeg")))
+    val nodes = stash(e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct())
     var ranks = nodes.select($"node", lit(1000000000000L).as("r"))
     for (i <- 1 to iters) {
       val w = deg.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -665,6 +699,9 @@ object Graph {
       // materialization job per round
       if (i % 4 == 0 || i == iters) ranks = truncate(ranks)
     }
+    // compute the chain while e/deg/nodes are still cached (see
+    // materialize), then release the cluster-posture caches
+    ranks = materialize(ranks)
     deg.unpersist(); nodes.unpersist(); e.unpersist()
     ranks
   }
@@ -690,17 +727,16 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
     import edges.sparkSession.implicits._
-    val e = edges.select($"src", $"dst").distinct().persist()
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg")).persist()
+    val e = stash(edges.select($"src", $"dst").distinct())
+    val deg = stash(e.groupBy($"src").agg(count(lit(1)).as("outdeg")))
     val nodes = e.select($"src".as("node"))
       .union(e.select($"dst".as("node"))).distinct()
     // seed indicator folded onto the node frame once; the seed set
     // is tiny by construction, so the join broadcasts
-    val marked = nodes
+    val marked = stash(nodes
       .join(seeds.select($"node", lit(1L).as("s_flag")).distinct(),
         Seq("node"), "left")
-      .select($"node", coalesce($"s_flag", lit(0L)).as("is_seed"))
-      .persist()
+      .select($"node", coalesce($"s_flag", lit(0L)).as("is_seed")))
     var ranks = marked.select($"node",
       (lit(1000000000000L) * $"is_seed").as("r"))
     for (i <- 1 to iters) {
@@ -716,6 +752,7 @@ object Graph {
         .select($"node", $"r")
       if (i % 4 == 0 || i == iters) ranks = truncate(ranks)
     }
+    ranks = materialize(ranks) // before the unpersists — see pageRank
     deg.unpersist(); marked.unpersist(); e.unpersist()
     ranks
   }
@@ -744,9 +781,9 @@ object Graph {
     */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     import edges.sparkSession.implicits._
-    val e = edges.select($"src", $"dst").distinct().persist()
-    val nodes = e.select($"src".as("node"))
-      .union(e.select($"dst".as("node"))).distinct().persist()
+    val e = stash(edges.select($"src", $"dst").distinct())
+    val nodes = stash(e.select($"src".as("node"))
+      .union(e.select($"dst".as("node"))).distinct())
     val unit = 1000000L
     var hubs = nodes.select($"node", lit(unit).as("h"))
     var auths = nodes.select($"node", lit(unit).as("a"))
@@ -957,7 +994,7 @@ object Graph {
           col("x.l_partkey") < col("y.l_partkey"))
       .select(col("x.l_partkey").cast("long").as("a"),
         col("y.l_partkey").cast("long").as("b"))
-      .distinct().localCheckpoint()
+      .distinct().transform(truncate) // lazy: consumed 2x, computed once
     val sym = canon.select($"a".as("src"), $"b".as("dst"))
       .union(canon.select($"b".as("src"), $"a".as("dst")))
     val p1 = sym.groupBy($"dst".as("node")).agg(count(lit(1)).as("p1"))
@@ -990,8 +1027,8 @@ object Graph {
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     import edges.sparkSession.implicits._
-    val sym = edges.select($"src", $"dst")
-      .union(edges.select($"dst".as("src"), $"src".as("dst"))).persist()
+    val sym = stash(edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst"))))
     var labels = seeds.select($"node").distinct()
       .select($"node", lit(0L).as("hop"))
     for (i <- 1 to rounds) {
@@ -1001,6 +1038,7 @@ object Graph {
         .groupBy($"node").agg(min($"hop").as("hop"))
       if (i % 2 == 0 || i == rounds) labels = truncate(labels)
     }
+    labels = materialize(labels) // before sym.unpersist — see pageRank
     sym.unpersist()
     labels
   }
@@ -1026,23 +1064,23 @@ object Graph {
   def pathCounts(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     import edges.sparkSession.implicits._
-    val sym = edges.select($"src", $"dst")
+    val sym = stash(edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
-      .distinct().persist()
+      .distinct())
     var levels = seeds.select($"node").distinct()
       .select($"node", lit(0L).as("hop"), lit(1L).as("sigma"))
     var frontier = levels
     for (k <- 1 to rounds) {
-      val fresh = sym
+      val fresh = truncate(sym
         .join(frontier.withColumnRenamed("node", "src"), "src")
         .groupBy($"dst").agg(sum($"sigma").as("sig"))
         .select($"dst".as("node"), $"sig")
         .join(levels.select($"node"), Seq("node"), "left_anti")
-        .select($"node", lit(k.toLong).as("hop"), $"sig".as("sigma"))
-        .localCheckpoint()
+        .select($"node", lit(k.toLong).as("hop"), $"sig".as("sigma")))
       levels = levels.union(fresh)
       frontier = fresh
     }
+    materialize(frontier) // chained rounds: one job, before unpersist
     sym.unpersist()
     levels
   }
@@ -1119,6 +1157,8 @@ object Graph {
       rounds: Int): DataFrame = {
     import edges.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
+    // persist, not stash: see harmonicFromSeeds — the frontier joins
+    // must stay shuffle-based, which needs the cache's honest stats
     val sym = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .distinct().persist()
@@ -1129,19 +1169,22 @@ object Graph {
         lit(1L).as("sigma"))
     var frontier = levels
     for (k <- 1 to rounds) {
-      val fresh = sym
+      val fresh = truncate(sym
         .join(frontier.select($"seed", $"node".as("src"), $"sigma"), "src")
         .groupBy($"seed", $"dst").agg(sum($"sigma").as("sig"))
         .select($"seed", $"dst".as("node"), $"sig")
         .join(levels.select($"seed", $"node"), Seq("seed", "node"),
           "left_anti")
         .select($"seed", $"node", lit(k.toLong).as("hop"),
-          $"sig".as("sigma"))
-        .localCheckpoint()
-      levels = levels.union(fresh).localCheckpoint()
+          $"sig".as("sigma")))
+      // no checkpoint on the union: its members are all checkpointed
+      // frontiers, so recomputing it is a cached-RDD concat (the
+      // harmonicFromSeeds argument); the old eager checkpoint here
+      // paid TWO materialization jobs per forward round
+      levels = levels.union(fresh)
       frontier = fresh
     }
-    val lev = levels.persist()
+    val lev = stash(levels)
     // backward: δ = 0 at the truncation level, then one level up per
     // pass; succ(v) = BFS-DAG neighbors one hop deeper. The forward
     // pass's persisted sym is reused — the edge frame is the
@@ -1174,12 +1217,14 @@ object Graph {
         // so max IS the final total — one deterministic fold
         .agg(max($"cum").as("delta"))
         .select($"seed", $"v".as("node"), $"delta")
-      deltaNext = vset.select($"seed", $"v".as("node"))
+      deltaNext = truncate(vset.select($"seed", $"v".as("node"))
         .join(dv, Seq("seed", "node"), "left")
-        .na.fill(0.0, Seq("delta"))
-        .localCheckpoint()
+        .na.fill(0.0, Seq("delta")))
       all = all.union(deltaNext)
     }
+    // backward levels chain through deltaNext, so one job computes
+    // them all — and it must run while sym/lev are still cached
+    materialize(deltaNext)
     sym.unpersist()
     lev.unpersist()
     // cross-seed fold in seed order (≤ K rows per node); seeds
@@ -1218,7 +1263,7 @@ object Graph {
       .withColumn("rn", row_number().over(wAdj).cast("long"))
       .withColumn("deg",
         count(lit(1)).over(Window.partitionBy($"src")))
-      .localCheckpoint()
+      .transform(truncate) // lazy: one job materializes adj + all steps
     var walks = seeds.select($"node".as("walk_id"))
       .join(adj.select($"src").distinct(),
         $"walk_id" === $"src", "left_semi")
@@ -1232,11 +1277,10 @@ object Graph {
       // (p−1)·2654435761 ≈ 2.7e18 stays in range.
       val pick = (((col("wcur") % lit(1000000007L)) * lit(2654435761L) +
         lit(t.toLong) * lit(40503L)) % lit(1000000007L)) % col("deg")
-      walks = w.join(adj,
+      walks = truncate(w.join(adj,
           col("wcur") === col("src") && col("rn") === lit(1L) + pick)
         .select($"walk_id", lit(t.toLong).as("step"),
-          $"dst".as("cur"))
-        .localCheckpoint()
+          $"dst".as("cur")))
       all = all.union(walks)
     }
     all.select($"walk_id", $"step", $"cur".as("node"))
@@ -1837,8 +1881,8 @@ object Graph {
       .filter($"a" =!= $"b").distinct())
     val sym = truncate(
       canon.union(canon.select($"b".as("a"), $"a".as("b"))))
-    val deg = sym.groupBy($"a".as("node")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
+    val deg = truncate(
+      sym.groupBy($"a".as("node")).agg(count(lit(1)).as("d")))
     val m2 = deg.agg(sum($"d")).head.getLong(0) // 2m: one bounded agg
     var labels = sym.select($"a".as("v")).distinct()
       .withColumn("lab", $"v")
@@ -1984,7 +2028,7 @@ object Graph {
     */
   def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     import edges.sparkSession.implicits._
-    val e = edges.select($"src", $"dst", $"w").persist()
+    val e = stash(edges.select($"src", $"dst", $"w"))
     var labels = seeds.select($"node").distinct()
       .select($"node", lit(0L).as("dist"))
     for (i <- 1 to rounds) {
@@ -1994,6 +2038,7 @@ object Graph {
         .groupBy($"node").agg(min($"dist").as("dist"))
       if (i % 2 == 0 || i == rounds) labels = truncate(labels)
     }
+    labels = materialize(labels) // before e.unpersist — see pageRank
     e.unpersist()
     labels
   }
@@ -2039,7 +2084,7 @@ object Graph {
       when(struct($"da", $"a") < struct($"db", $"b"), $"b").otherwise($"a")
         .as("v"),
       when(struct($"da", $"a") < struct($"db", $"b"), $"db").otherwise($"da")
-        .as("dv")).localCheckpoint()
+        .as("dv")).transform(truncate) // lazy: consumed 3x, computed once
     val wedges = fwd.select($"u", $"v".as("x"), $"dv".as("dx"))
       .join(fwd.select($"u", $"v".as("y"), $"dv".as("dy")), Seq("u"))
       .filter(struct($"dx", $"x") < struct($"dy", $"y"))
@@ -2069,13 +2114,12 @@ object Graph {
     * plans stay constant-size. ALL integer — no float anywhere. */
   def ktruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     import edges.sparkSession.implicits._
-    var canon = edges
+    var canon = truncate(edges
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-      .filter($"a" =!= $"b").distinct().localCheckpoint()
+      .filter($"a" =!= $"b").distinct())
     for (_ <- 1 to rounds) {
       val sup = edgeSupport(canon)
-      canon = sup.filter($"sup" >= k - 2).select($"a", $"b")
-        .localCheckpoint()
+      canon = truncate(sup.filter($"sup" >= k - 2).select($"a", $"b"))
     }
     canon.join(edgeSupport(canon), Seq("a", "b"), "left")
       .select($"a", $"b", coalesce($"sup", lit(0L)).as("support"))
@@ -2119,42 +2163,41 @@ object Graph {
     * graphs + a planted-structure case). Weights BIGINT. */
   def boruvkaMst(edges: DataFrame, rounds: Int = 16): DataFrame = {
     import edges.sparkSession.implicits._
-    val canon = edges
+    val canon = truncate(edges
       .select(least($"src", $"dst").as("a"),
         greatest($"src", $"dst").as("b"), $"w")
       .filter($"a" =!= $"b")
-      .groupBy($"a", $"b").agg(min($"w").as("w"))
-      .localCheckpoint()
+      .groupBy($"a", $"b").agg(min($"w").as("w")))
     val verts = canon.select($"a".as("id"))
       .union(canon.select($"b".as("id"))).distinct()
-    var comp = verts.select($"id", $"id".as("c")).localCheckpoint()
-    var mst = canon.limit(0).localCheckpoint()
+    var comp = truncate(verts.select($"id", $"id".as("c")))
+    var mst = truncate(canon.limit(0))
     var done = false
     var r = 0
     while (!done && r < rounds) {
-      val ec = canon
+      // lazy truncates throughout: the per-round isEmpty is the ONE
+      // action, and it materializes the whole round's chain (ec plus
+      // last round's chosen/comp/mst checkpoints) in a single job
+      val ec = truncate(canon
         .join(comp.select($"id".as("a"), $"c".as("ca")), "a")
         .join(comp.select($"id".as("b"), $"c".as("cb")), "b")
-        .filter($"ca" =!= $"cb")
-        .localCheckpoint()
+        .filter($"ca" =!= $"cb"))
       if (ec.isEmpty) done = true
       else {
         val halves = ec.select($"ca".as("g"), $"w", $"a", $"b")
           .union(ec.select($"cb".as("g"), $"w", $"a", $"b"))
-        val chosen = halves.groupBy($"g")
+        val chosen = truncate(halves.groupBy($"g")
           .agg(min(struct($"w", $"a", $"b")).as("e"))
           .select($"e.a".as("a"), $"e.b".as("b"), $"e.w".as("w"))
-          .distinct()
-          .localCheckpoint()
-        mst = mst.union(chosen).localCheckpoint()
+          .distinct())
+        mst = truncate(mst.union(chosen))
         val cedges = ec.join(chosen, Seq("a", "b", "w"), "left_semi")
           .select($"ca".as("src"), $"cb".as("dst"))
         val mapping = connectedComponentsAltStar(cedges,
             comp.select($"c".as("id")).distinct())
           .select($"id".as("c"), $"component".as("nc"))
-        comp = comp.join(mapping, Seq("c"), "left")
-          .select($"id", coalesce($"nc", $"c").as("c"))
-          .localCheckpoint()
+        comp = truncate(comp.join(mapping, Seq("c"), "left")
+          .select($"id", coalesce($"nc", $"c").as("c")))
       }
       r += 1
     }
@@ -2184,6 +2227,12 @@ object Graph {
   def harmonicFromSeeds(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     import edges.sparkSession.implicits._
+    // persist (InMemoryRelation), NOT stash: the checkpoint RDD's
+    // PROPAGATED origin stats underestimate the string-keyed sym frame
+    // (~8 MB est for 1.18M rows), so the planner broadcast sym and
+    // streamed the 1-partition frontier — a single-threaded exploding
+    // join measured at 23 s for one round. The cache's honest
+    // materialized size keeps the per-round joins shuffle-based.
     val sym = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst"))).persist()
     // FRONTIER propagation (the Pregel/BFS-wave shape): only nodes
@@ -2196,18 +2245,21 @@ object Graph {
     // needs no checkpoint of its own.
     var labels = seeds.select($"node").distinct()
       .select($"node", $"node".as("seed"), lit(0L).as("hop"))
-      .localCheckpoint()
+      .transform(truncate)
     var frontier = labels
     for (i <- 1 to rounds) {
       val offers = sym.join(frontier.withColumnRenamed("node", "src"), "src")
         .select($"dst".as("node"), $"seed", ($"hop" + 1).as("hop"))
-      frontier = offers.groupBy($"node", $"seed")
+      frontier = truncate(offers.groupBy($"node", $"seed")
         .agg(min($"hop").as("hop"))
         .join(labels.select($"node", $"seed"), Seq("node", "seed"),
-          "left_anti")
-        .localCheckpoint()
+          "left_anti"))
       labels = labels.union(frontier)
     }
+    // frontiers chain (each reads the previous), so ONE job computes
+    // all rounds — replacing the old eager checkpoint-per-round, which
+    // paid a driver round-trip per round; runs before sym.unpersist
+    materialize(frontier)
     sym.unpersist()
     labels.filter($"hop" >= 1)
       .groupBy($"node")
