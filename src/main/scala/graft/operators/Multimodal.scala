@@ -23,6 +23,15 @@ case class AssetHash(doc_id: Long, phash: Long)
   */
 object Multimodal {
 
+  // javax.imageio defaults to a DISK-backed stream cache: every
+  // ImageIO.read/write spills the stream through a temp FILE, so a
+  // 32-way parallel decode stage turns into filesystem contention
+  // (the mm_phash/gif/bmp rows measured FASTER at 8 cores than 32).
+  // All payloads here are in-memory byte arrays — cache in memory.
+  // JVM-global, set once when the operator class loads (executors
+  // load it before any decode task runs).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decoded-asset row contract (what a real image decode would emit). */
   case class DecodedAsset(
       doc_id: Long,
@@ -53,7 +62,13 @@ object Multimodal {
     * JDK (that is where an ffmpeg binding plugs into the same
     * [[AssetCodec]] seam). */
   object ImageIoCodec extends AssetCodec {
-    def init(): ImageIoCodec.type = this // per-partition "handle"
+    def init(): ImageIoCodec.type = {
+      // re-assert on the executor loading this singleton (see the
+      // object-level setUseCache note): decode streams must cache in
+      // memory, never through per-image temp files
+      javax.imageio.ImageIO.setUseCache(false)
+      this // per-partition "handle"
+    }
     def decode(docId: Long, payload: Array[Byte]): DecodedAsset =
       try {
         val in = javax.imageio.ImageIO.createImageInputStream(
@@ -830,7 +845,9 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, p) =>
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache
+        it.flatMap { case (id, p) =>
         try {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(p))
@@ -846,7 +863,7 @@ object Multimodal {
         } catch {
           case scala.util.control.NonFatal(_) => Iterator.empty
         }
-      })
+      }}
       .toDF("doc_id", "x", "y", "r", "g", "b")
   }
 
@@ -1097,7 +1114,9 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, p) =>
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache
+        it.flatMap { case (id, p) =>
         try {
           val rd = javax.imageio.ImageIO
             .getImageReadersByFormatName("gif").next()
@@ -1117,7 +1136,7 @@ object Multimodal {
         } catch {
           case scala.util.control.NonFatal(_) => Iterator.empty
         }
-      })
+      }}
       .toDF("doc_id", "frame", "x", "y", "gray")
   }
 

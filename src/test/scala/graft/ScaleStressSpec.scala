@@ -7,7 +7,12 @@ import graft.sources.Tables
 
 /** Dedup correctness under heavy duplication: a synthetic corpus with
   * a known duplicate structure (each base doc replicated k times with
-  * fresh ids) — the exact shape a crawl corpus has at scale. */
+  * fresh ids) — the exact shape a crawl corpus has at scale.
+  *
+  * Tagged Slow (~11 min of the suite's ~33): the driver's test budget
+  * is 30 min, so the default `sbt test` excludes Slow specs (see
+  * build.sbt); run the FULL suite with SPARK_GRAFT_FULL_TESTS=1. */
+@org.scalatest.tags.Slow
 class ScaleStressSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSession.spark
 

@@ -21,6 +21,7 @@ object CrashOnce {
   @volatile var armed = true
 }
 
+@org.scalatest.tags.Slow // soak: excluded from the default budgeted run (SPARK_GRAFT_FULL_TESTS=1 restores)
 class StreamingSoakSpec extends AnyFunSuite {
   private lazy val spark = GraftTestSession.spark
 
