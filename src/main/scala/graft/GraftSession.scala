@@ -14,6 +14,12 @@ object GraftSession {
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // the generated-class cache defaults to 100 entries; a session
+      // serving the full 438-query registry compiles a few thousand
+      // distinct codegen units, so every re-run recompiled everything
+      // (Janino ~50-200 ms per unit). Size it to hold the registry's
+      // working set — a long-lived production session wants the same.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized

@@ -925,9 +925,12 @@ object Graph {
     //    AQE exchange reuse inside the ONE action; the measured
     //    honest cost is ~8 s steady / ~14 s cold at sf0.1, and the
     //    BASELINE.md row is superseded to the honest figure.
-    val canon = edges
+    // canon is checkpoint-backed: the Bloom build below needs one
+    // materialized pass anyway, and the main plan's four canon legs
+    // then scan the cached RDD instead of relying on exchange reuse
+    val canon = truncate(edges
       .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-      .filter($"a" =!= $"b").distinct()
+      .filter($"a" =!= $"b").distinct())
     val deg = canon.select($"a".as("node"))
       .union(canon.select($"b".as("node")))
       .groupBy($"node").agg(count(lit(1)).as("d"))
@@ -944,8 +947,20 @@ object Graph {
     val wedges = fwd.select($"u", $"v".as("x"), $"dv".as("dx"))
       .join(fwd.select($"u", $"v".as("y"), $"dv".as("dy")), Seq("u"))
       .filter(struct($"dx", $"x") < struct($"dy", $"y"))
-    val tri = wedges.join(fwd.select($"u".as("x"), $"v".as("y")),
-      Seq("x", "y"), "left_semi")
+    // Bloom pre-filter (guide §3.2) before the closing semi-join: the
+    // wedge frame measured 41M rows shuffled at sf0.1 with only 0.5 %
+    // surviving as closed triangles; probes drop definitely-open
+    // wedges BEFORE the exchange (measured 41M -> 2.7M rows written).
+    // No false negatives, and the semi-join still decides — result
+    // identical, just a ~15x smaller shuffle.
+    val nPairs = math.max(canon.count(), 1L)
+    val bf = canon.stat.bloomFilter(xxhash64($"a", $"b"), nPairs, 0.02)
+    val bfB = edges.sparkSession.sparkContext.broadcast(bf)
+    val mightBeEdge = udf((h: Long) => bfB.value.mightContainLong(h))
+    val tri = wedges
+      .filter(mightBeEdge(xxhash64(least($"x", $"y"), greatest($"x", $"y"))))
+      .join(fwd.select($"u".as("x"), $"v".as("y")),
+        Seq("x", "y"), "left_semi")
     val perNode = tri
       .select(explode(array($"u", $"x", $"y")).as("node"))
       .groupBy($"node").agg(count(lit(1)).as("triangles"))
@@ -2088,8 +2103,17 @@ object Graph {
     val wedges = fwd.select($"u", $"v".as("x"), $"dv".as("dx"))
       .join(fwd.select($"u", $"v".as("y"), $"dv".as("dy")), Seq("u"))
       .filter(struct($"dx", $"x") < struct($"dy", $"y"))
-    val tri = wedges.join(fwd.select($"u".as("x"), $"v".as("y")),
-      Seq("x", "y"), "left_semi")
+    // Bloom pre-filter before the closing semi-join (guide §3.2; see
+    // localClusteringOn) — canon is checkpoint-backed in every caller,
+    // so the count + bloom passes read the cached RDD
+    val nEdges = math.max(canon.count(), 1L)
+    val bf = canon.stat.bloomFilter(xxhash64($"a", $"b"), nEdges, 0.02)
+    val bfB = canon.sparkSession.sparkContext.broadcast(bf)
+    val mightBeEdge = udf((h: Long) => bfB.value.mightContainLong(h))
+    val tri = wedges
+      .filter(mightBeEdge(xxhash64(least($"x", $"y"), greatest($"x", $"y"))))
+      .join(fwd.select($"u".as("x"), $"v".as("y")),
+        Seq("x", "y"), "left_semi")
     tri.select(explode(array(
         struct(least($"u", $"x").as("a"), greatest($"u", $"x").as("b")),
         struct(least($"u", $"y").as("a"), greatest($"u", $"y").as("b")),
